@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.model.StageConfig
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.GenericRow
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.util.LongAccumulator
+import scala.jdk.CollectionConverters._
+
+/** Per-row HTTP enrichment — reference `rest` stage (O14,
+  * /root/reference/filters.py:17-89 + /root/reference/filefilter.py:67-81),
+  * rebuilt on Spark's execution model: `mapPartitions` with one pooled
+  * java.net.http.HttpClient per partition and bounded intra-partition
+  * concurrency = `filterThreads` (the reference's consumer-pool semantics,
+  * ConsumerManager.py:24-39, collapse into task slots × this pool).
+  *
+  * Behavior parity (SURVEY §2c):
+  *  - `{col}` templates substituted into path/queryParams/postBody from
+  *    the row; an unfilled placeholder drops the row and counts an error
+  *    (filters.py:31-33,46-48);
+  *  - 2xx appends the response body as string column `newField` (default
+  *    `response`, filters.py:78); non-2xx/exception drops the row
+  *    (filefilter.py:110-113); status-class accumulators 20X/30X/40X/50X;
+  *  - POST sends a JSON body with Content-Type: application/json — always
+  *    (the reference only POSTs when logHttpRequests is on,
+  *    filters.py:63-71; that's the documented bug we fix).
+  *
+  * Scale note: HTTP side effects re-execute under task retry/speculation;
+  * callers should disable speculation for pipelines with rest stages and
+  * keep endpoints idempotent (SURVEY §7 hard part 1).
+  */
+final case class RestConfig(
+    host: String,
+    path: String = "",
+    method: String = "GET",
+    queryParams: Map[String, String] = Map.empty,
+    postBody: Map[String, String] = Map.empty,
+    urlencodeParams: Set[String] = Set.empty,
+    newField: String = "response",
+    filterThreads: Int = 1,
+    timeoutMillis: Long = 30000L)
+
+final case class RestCounters(
+    s20x: LongAccumulator, s30x: LongAccumulator,
+    s40x: LongAccumulator, s50x: LongAccumulator,
+    errors: LongAccumulator)
+
+object RestCounters {
+  def apply(spark: SparkSession, prefix: String): RestCounters = {
+    val sc = spark.sparkContext
+    RestCounters(
+      sc.longAccumulator(s"$prefix.20X"), sc.longAccumulator(s"$prefix.30X"),
+      sc.longAccumulator(s"$prefix.40X"), sc.longAccumulator(s"$prefix.50X"),
+      sc.longAccumulator(s"$prefix.errors"))
+  }
+}
+
+final case class RestStage(name: String, cfg: RestConfig, counters: RestCounters)
+    extends Stage {
+
+  override def apply(spark: SparkSession, df: DataFrame): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(cfg.newField, StringType, nullable = true))
+    val c = cfg
+    val ctr = counters
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      RestStage.processPartition(rows, inSchema, c, ctr)
+    }(enc)
+  }
+}
+
+object RestStage {
+  private val Placeholder = raw"\{([A-Za-z0-9_]+)\}".r
+
+  /** str.format(**row) parity: substitute {col}; None if any placeholder
+    * has no matching column / null value.
+    */
+  private[operators] def substitute(template: String, row: Map[String, Any],
+                                    urlencode: Boolean): Option[String] = {
+    var ok = true
+    val out = Placeholder.replaceAllIn(template, m => {
+      row.get(m.group(1)).flatMap(Option(_)) match {
+        case Some(v) =>
+          val s = v.toString
+          java.util.regex.Matcher.quoteReplacement(
+            if (urlencode) URLEncoder.encode(s, StandardCharsets.UTF_8) else s)
+        case None => ok = false; ""
+      }
+    })
+    if (ok) Some(out) else None
+  }
+
+  private def toJson(m: Map[String, String]): String =
+    m.map { case (k, v) => "\"" + k.replace("\"", "\\\"") + "\":\"" +
+      v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+
+  /** Build the request URI for a row, or None if templating failed. */
+  def buildUri(cfg: RestConfig, rowMap: Map[String, Any]): Option[String] = {
+    val pathOpt = substitute(cfg.path, rowMap, urlencode = false)
+    val qpOpts = cfg.queryParams.toSeq.sortBy(_._1).map { case (k, tmpl) =>
+      substitute(tmpl, rowMap, cfg.urlencodeParams.contains(k)).map(v => s"$k=$v")
+    }
+    if (pathOpt.isEmpty || qpOpts.exists(_.isEmpty)) None
+    else {
+      val qs = qpOpts.flatten.mkString("&")
+      Some(cfg.host + pathOpt.get + (if (qs.nonEmpty) "?" + qs else ""))
+    }
+  }
+
+  private[operators] def processPartition(
+      rows: Iterator[Row], inSchema: StructType, cfg: RestConfig,
+      ctr: RestCounters): Iterator[Row] = {
+    val fieldNames = inSchema.fieldNames
+    val client = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofMillis(cfg.timeoutMillis))
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
+    val threads = math.max(1, cfg.filterThreads)
+    val pool = Executors.newFixedThreadPool(threads)
+
+    def callOne(row: Row): Option[Row] = {
+      val rowMap = fieldNames.zipWithIndex.map { case (f, i) => f -> row.get(i) }.toMap
+      buildUri(cfg, rowMap) match {
+        case None => ctr.errors.add(1L); None
+        case Some(uri) =>
+          try {
+            val b = HttpRequest.newBuilder(URI.create(uri))
+              .timeout(Duration.ofMillis(cfg.timeoutMillis))
+            val req = cfg.method.toUpperCase match {
+              case "POST" =>
+                val body = cfg.postBody.map { case (k, tmpl) =>
+                  k -> substitute(tmpl, rowMap, urlencode = false).getOrElse("")
+                }
+                b.header("Content-Type", "application/json")
+                  .POST(HttpRequest.BodyPublishers.ofString(toJson(body))).build()
+              case _ => b.GET().build()
+            }
+            val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+            val sc = resp.statusCode()
+            if (sc < 300) ctr.s20x.add(1L)
+            else if (sc < 400) ctr.s30x.add(1L)
+            else if (sc < 500) ctr.s40x.add(1L)
+            else ctr.s50x.add(1L)
+            if (sc >= 200 && sc < 300)
+              Some(new GenericRow((row.toSeq :+ resp.body()).toArray))
+            else None // non-2xx → row dropped (filefilter.py:110-113)
+          } catch {
+            case scala.util.control.NonFatal(_) => ctr.errors.add(1L); None
+          }
+      }
+    }
+
+    // Bounded concurrency: submit in waves of threads×4 so memory stays
+    // flat on huge partitions while IO overlaps.
+    val out = rows.grouped(threads * 4).flatMap { batch =>
+      val futures = batch.map(r => pool.submit(new Callable[Option[Row]] {
+        override def call(): Option[Row] = callOne(r)
+      }))
+      futures.flatMap(_.get())
+    }
+    new Iterator[Row] {
+      override def hasNext: Boolean = {
+        val h = out.hasNext
+        if (!h) { pool.shutdown(); pool.awaitTermination(60, TimeUnit.SECONDS) }
+        h
+      }
+      override def next(): Row = out.next()
+    }
+  }
+
+  def fromConfig(spark: SparkSession, cfg: StageConfig): RestStage = {
+    val ac = cfg.actionConfig
+    def smap(k: String): Map[String, String] = ac.get(k) match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Any]].asScala.toMap.map { case (a, b) => a -> String.valueOf(b) }
+      case _ => Map.empty
+    }
+    def slist(k: String): Set[String] = ac.get(k) match {
+      case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSet
+      case _ => Set.empty
+    }
+    val rc = RestConfig(
+      host = ac.getOrElse("host", throw new IllegalArgumentException(s"${cfg.name}: rest stage needs host")).toString,
+      path = ac.get("path").map(_.toString).getOrElse(""),
+      method = ac.get("method").map(_.toString).getOrElse("GET"),
+      queryParams = smap("queryParams"),
+      postBody = smap("postBody"),
+      urlencodeParams = slist("urlencodeParams"),
+      newField = ac.get("newField").map(_.toString).getOrElse("response"),
+      filterThreads = cfg.filterThreads)
+    RestStage(cfg.name, rc, RestCounters(spark, cfg.name))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.model.StageConfig
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+import scala.jdk.CollectionConverters._
+
+/** A pipeline stage: DataFrame => DataFrame, the Spark re-expression of
+  * the reference's filter list (SURVEY.md §7 design stance). Stages stay
+  * lazy — the whole pipeline is one Catalyst plan unless checkpointed.
+  */
+trait Stage extends Serializable {
+  def name: String
+  def apply(spark: SparkSession, df: DataFrame): DataFrame
+}
+
+/** `sql` stage (reference O12, filefilter.py:340-342): the current
+  * pipeline state is exposed as view `df`, the user's SQL replaces it.
+  * Includes a shim for DuckDB's `SELECT * EXCLUDE(a, b)` star modifier
+  * (used by examples/fullExample/fullExample.yml:100-104): the EXCLUDE
+  * list is stripped before parsing and applied as a `drop` afterwards.
+  */
+final case class SqlStage(name: String, code: String) extends Stage {
+  import SqlStage._
+  override def apply(spark: SparkSession, df: DataFrame): DataFrame = {
+    df.createOrReplaceTempView("df")
+    val (sql, excluded) = rewriteExclude(code)
+    val out = spark.sql(sql)
+    if (excluded.isEmpty) out else out.drop(excluded: _*)
+  }
+}
+
+object SqlStage {
+  private val ExcludeRe = raw"(?is)\*\s+EXCLUDE\s*\(([^)]*)\)".r
+
+  /** Rewrite `* EXCLUDE(a, b)` → `*`, returning the excluded columns. */
+  def rewriteExclude(sql: String): (String, Seq[String]) =
+    ExcludeRe.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        val cols = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        (ExcludeRe.replaceFirstIn(sql, "*"), cols)
+      case None => (sql, Nil)
+    }
+}
+
+/** `derive` stage — the Catalyst-visible re-expression of the reference's
+  * per-row `python` stage (O13, filefilter.py:38-50): ordered named Spark
+  * SQL expressions added/overwritten via withColumn, plus filter / drop /
+  * rename conveniences. Expressions compile to codegen'd Catalyst trees
+  * instead of per-row exec() — the reference's error-keep semantics map
+  * to `try_*` / `try_cast` expressions that yield NULL instead of
+  * failing (§2c divergence, documented).
+  */
+final case class DeriveStage(
+    name: String,
+    columns: Seq[(String, String)] = Nil,
+    filterExpr: Option[String] = None,
+    dropCols: Seq[String] = Nil,
+    rename: Seq[(String, String)] = Nil) extends Stage {
+  override def apply(spark: SparkSession, df: DataFrame): DataFrame = {
+    var out = df
+    columns.foreach { case (c, e) => out = out.withColumn(c, expr(e)) }
+    filterExpr.foreach(f => out = out.filter(expr(f)))
+    if (dropCols.nonEmpty) out = out.drop(dropCols: _*)
+    rename.foreach { case (from, to) => out = out.withColumnRenamed(from, to) }
+    out
+  }
+}
+
+object DeriveStage {
+  /** Build from YAML actionConfig:
+    * {{{
+    * actionConfig:
+    *   columns: [{name: tipo, expr: "CASE WHEN telefono RLIKE '^9' ..."}]
+    *   filter: "tipo <> 'error'"
+    *   drop: [lat, lon]
+    *   rename: {old: new}
+    * }}}
+    */
+  def fromConfig(cfg: StageConfig): DeriveStage = {
+    val ac = cfg.actionConfig
+    val cols = ac.get("columns") match {
+      case Some(l: java.util.List[_]) =>
+        l.asScala.toSeq.map {
+          case m: java.util.Map[_, _] =>
+            val mm = m.asInstanceOf[java.util.Map[String, Any]].asScala
+            (mm("name").toString, mm("expr").toString)
+          case other => throw new IllegalArgumentException(s"bad column spec: $other")
+        }
+      case _ => Nil
+    }
+    val drops = ac.get("drop") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+      case _ => Nil
+    }
+    val renames = ac.get("rename") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Any]].asScala.toSeq.map { case (k, v) => (k, v.toString) }
+      case _ => Nil
+    }
+    DeriveStage(cfg.name, cols, ac.get("filter").map(_.toString), drops, renames)
+  }
+}
+
+/** Whole-frame hook — the reference's declared-but-unimplemented
+  * `pandas`/`udf` stage (O15, filefilter.py:344-346) done properly: a
+  * registered Scala DataFrame => DataFrame transform looked up by name.
+  */
+final case class TransformStage(name: String, fnName: String) extends Stage {
+  override def apply(spark: SparkSession, df: DataFrame): DataFrame =
+    TransformRegistry.get(fnName)
+      .getOrElse(throw new IllegalArgumentException(s"unknown transform '$fnName'"))
+      .apply(df)
+}
+
+object TransformRegistry {
+  private val fns = scala.collection.concurrent.TrieMap[String, DataFrame => DataFrame]()
+  def register(name: String, fn: DataFrame => DataFrame): Unit = fns.put(name, fn)
+  def get(name: String): Option[DataFrame => DataFrame] = fns.get(name)
+}
+
+/** Typed per-row transform with the reference's exact python-stage error
+  * semantics (§2c, filefilter.py:55-65): on exception the ORIGINAL row
+  * passes through unchanged and an error accumulator increments. For
+  * logic Spark SQL expressions can't say; schema must be declared
+  * up-front (output = input schema — SURVEY §7 documented divergence
+  * from open per-row dicts).
+  */
+final case class RowTransformStage(
+    name: String,
+    fn: Row => Row,
+    errors: LongAccumulator) extends Stage {
+  override def apply(spark: SparkSession, df: DataFrame): DataFrame = {
+    val f = fn
+    val acc = errors
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        try f(row)
+        catch { case scala.util.control.NonFatal(_) => acc.add(1L); row }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.model.ConfigLoader
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigSpec extends AnyFunSuite {
+
+  test("parses the reference key set") {
+    val cfg = ConfigLoader.fromYaml(
+      """
+        |inDelimiter: ";"
+        |outDelimiter: ";"
+        |sampleLines: 10
+        |reloadConfigEverySeconds: 5
+        |filters:
+        |  - name: classify
+        |    actionType: derive
+        |    filterThreads: 4
+        |    actionConfig:
+        |      columns:
+        |        - {name: tipo, expr: "upper(x)"}
+        |  - name: project
+        |    actionType: sql
+        |    disabled: true
+        |    code: "SELECT * FROM df"
+        |""".stripMargin)
+    assert(cfg.inDelimiter == ";")
+    assert(cfg.sampleLines == 10)
+    assert(cfg.filters.size == 2)
+    assert(cfg.filters.head.filterThreads == 4)
+    assert(cfg.filters(1).disabled)
+  }
+
+  test("code is accepted under actionConfig too (heals countries.yml misconfig)") {
+    val cfg = ConfigLoader.fromYaml(
+      """filters:
+        |  - name: s
+        |    actionType: sql
+        |    actionConfig:
+        |      code: "SELECT 1"
+        |""".stripMargin)
+    assert(cfg.filters.head.code.contains("SELECT 1"))
+  }
+
+  test("unknown actionType fails fast (O4 semantics)") {
+    val e = intercept[IllegalArgumentException] {
+      ConfigLoader.fromYaml("filters:\n  - {name: x, actionType: bogus}\n")
+    }
+    assert(e.getMessage.contains("bogus"))
+  }
+
+  test("defaults match the reference") {
+    val cfg = ConfigLoader.fromYaml("filters:\n  - {name: x, actionType: sql, code: s}\n")
+    assert(cfg.inDelimiter == ",")
+    assert(cfg.outDelimiter == ",")
+    assert(cfg.sampleLines == 0)
+    assert(cfg.filters.head.filterThreads == 1)   // filefilter.py:198
+    assert(cfg.filters.head.chunkSize == 10000)   // filefilter.py:312
+  }
+}

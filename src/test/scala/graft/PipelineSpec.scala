@@ -1,0 +1,139 @@
+package graft
+
+import graft.operators.{Pipeline, SqlStage, TransformRegistry}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  private def tmpCsv(name: String, header: String, rows: Seq[String],
+                     delim: String = ";"): String = {
+    val dir = Files.createTempDirectory("graft").toFile
+    val f = new java.io.File(dir, name)
+    val w = new java.io.PrintWriter(f)
+    w.println(header)
+    rows.foreach(w.println)
+    w.close()
+    f.getAbsolutePath
+  }
+
+  test("phones fixture e2e: source → derive regex classify → sql EXCLUDE → sink (FIXTURES.md §3)") {
+    val in = tmpCsv("phones.csv", "telefono",
+      Seq("912345678", "612345678", "12345", "698765432"))
+    val out = Files.createTempDirectory("graft-out").toString + "/result"
+    val yaml =
+      """
+        |inDelimiter: ";"
+        |outDelimiter: ";"
+        |filters:
+        |  - name: classify
+        |    actionType: derive
+        |    actionConfig:
+        |      columns:
+        |        - name: tipo_telefono
+        |          expr: "CASE WHEN CAST(telefono AS STRING) RLIKE '^9[0-9]{8}$' THEN 'fijo' WHEN CAST(telefono AS STRING) RLIKE '^6[0-9]{8}$' THEN 'movil' ELSE 'error' END"
+        |        - name: aux
+        |          expr: "length(CAST(telefono AS STRING))"
+        |  - name: project
+        |    actionType: sql
+        |    code: "SELECT * EXCLUDE(aux) FROM df"
+        |""".stripMargin
+    val res = Pipeline.runYaml(spark, yaml, in, Some(out))
+    assert(res.output.columns.toSeq == Seq("telefono", "tipo_telefono"))
+    val got = res.output.collect().map(r => (r.get(0).toString, r.getString(1))).toMap
+    assert(got("912345678") == "fijo")
+    assert(got("612345678") == "movil")
+    assert(got("12345") == "error")
+    assert(got("698765432") == "movil")
+    // sink round-trip with delimiter
+    val back = spark.read.option("header", "true").option("delimiter", ";").csv(out)
+    assert(back.count() == 4)
+    assert(back.columns.toSeq == Seq("telefono", "tipo_telefono"))
+  }
+
+  test("fullExample shape: derive json col → extract fields → EXCLUDE projection (FIXTURES.md §1)") {
+    val in = tmpCsv("ids.csv", "id", (1 to 5).map(_.toString))
+    val yaml =
+      """
+        |inDelimiter: ";"
+        |filters:
+        |  - name: coords
+        |    actionType: derive
+        |    actionConfig:
+        |      columns:
+        |        - {name: lat, expr: "40.340 + rand() * (40.643 - 40.340)"}
+        |        - {name: lon, expr: "-3.888 + rand() * (-3.517 - -3.888)"}
+        |  - name: simulate_geocode
+        |    actionType: derive
+        |    actionConfig:
+        |      columns:
+        |        - {name: geocode, expr: "to_json(named_struct('address', concat('Calle ', id), 'state', 'Madrid'))"}
+        |  - name: extract
+        |    actionType: derive
+        |    actionConfig:
+        |      columns:
+        |        - {name: address, expr: "get_json_object(geocode, '$.address')"}
+        |        - {name: state, expr: "get_json_object(geocode, '$.state')"}
+        |  - name: project
+        |    actionType: sql
+        |    code: "SELECT * EXCLUDE(lat, lon, geocode) FROM df"
+        |""".stripMargin
+    val res = Pipeline.runYaml(spark, yaml, in, None)
+    assert(res.output.columns.toSeq == Seq("id", "address", "state"))
+    val rows = res.output.orderBy("id").collect()
+    assert(rows.length == 5)
+    assert(rows.head.getString(1) == "Calle 1")
+    assert(rows.forall(_.getString(2) == "Madrid"))
+  }
+
+  test("sampleLines limits exactly once at source (O5 fixed semantics)") {
+    val in = tmpCsv("many.csv", "id", (1 to 100).map(_.toString))
+    val yaml =
+      """
+        |inDelimiter: ";"
+        |sampleLines: 7
+        |filters:
+        |  - {name: s, actionType: sql, code: "SELECT * FROM df"}
+        |  - {name: s2, actionType: sql, code: "SELECT * FROM df"}
+        |""".stripMargin
+    assert(Pipeline.runYaml(spark, yaml, in).output.count() == 7)
+  }
+
+  test("disabled stages are skipped (O21)") {
+    val in = tmpCsv("d.csv", "id", Seq("1", "2"))
+    val yaml =
+      """
+        |inDelimiter: ";"
+        |filters:
+        |  - {name: bad, actionType: sql, disabled: true, code: "SELECT oops FROM df"}
+        |  - {name: ok, actionType: sql, code: "SELECT id FROM df"}
+        |""".stripMargin
+    assert(Pipeline.runYaml(spark, yaml, in).output.count() == 2)
+  }
+
+  test("transform stage dispatches to registered whole-frame fn (O15 done properly)") {
+    TransformRegistry.register("double_id", df => df.withColumn("id2", col("id") * 2))
+    val in = tmpCsv("t.csv", "id", Seq("1", "2", "3"))
+    val yaml =
+      """
+        |inDelimiter: ";"
+        |filters:
+        |  - {name: t, actionType: transform, code: double_id}
+        |""".stripMargin
+    val out = Pipeline.runYaml(spark, yaml, in).output
+    assert(out.select(sum(col("id2"))).head.getLong(0) == 12L)
+  }
+
+  test("EXCLUDE shim handles whitespace and multiple columns") {
+    assert(SqlStage.rewriteExclude("SELECT * EXCLUDE( a , b ) FROM df")._2 == Seq("a", "b"))
+    assert(SqlStage.rewriteExclude("SELECT * exclude(x) FROM df")._2 == Seq("x"))
+    assert(SqlStage.rewriteExclude("SELECT * FROM df")._2.isEmpty)
+  }
+
+  test("unsupported file format fails fast (O4)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Sources.load(spark, "/tmp/nope.xlsx")
+    }
+    assert(e.getMessage.contains("Unsupported"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.operators.{Pipeline, RestConfig, RestCounters, RestStage}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import org.scalatest.BeforeAndAfterAll
+
+/** REST enrichment against an in-JVM stub server — the `countries`
+  * fixture (FIXTURES.md §2) without the network.
+  */
+class RestStageSpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private var server: HttpServer = _
+  private var port: Int = _
+  @volatile private var lastPostBody: String = _
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress(0), 0)
+    port = server.getAddress.getPort
+    server.createContext("/v3.1/name/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val name = ex.getRequestURI.getPath.stripPrefix("/v3.1/name/")
+        if (name == "atlantis") { // unknown country → 404
+          ex.sendResponseHeaders(404, -1)
+        } else {
+          val body = s"""{"name":"$name","region":"Region-$name"}"""
+          val bytes = body.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    })
+    server.createContext("/echo", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        lastPostBody = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val bytes = s"""{"ok":true}""".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+  }
+
+  override def afterAll(): Unit = server.stop(0)
+
+  test("2xx appends response column; non-2xx rows are dropped (§2c)") {
+    val df = Seq((1, "spain"), (2, "france"), (3, "atlantis")).toDF("id", "countryName")
+    val ctr = RestCounters(spark, "t1")
+    val stage = RestStage("geo", RestConfig(
+      host = s"http://localhost:$port", path = "/v3.1/name/{countryName}",
+      filterThreads = 2), ctr)
+    val out = stage(spark, df).collect()
+    assert(out.length == 2) // atlantis dropped
+    assert(out.forall(_.schema.fieldNames.contains("response")))
+    val spainRow = out.find(_.getString(1) == "spain").get
+    assert(spainRow.getString(2).contains("\"region\":\"Region-spain\""))
+    assert(ctr.s20x.value == 2 && ctr.s40x.value == 1 && ctr.errors.value == 0)
+  }
+
+  test("unfilled {placeholder} drops the row with an error count (filters.py:31-33)") {
+    val df = Seq((1, "spain")).toDF("id", "countryName")
+    val ctr = RestCounters(spark, "t2")
+    val stage = RestStage("geo", RestConfig(
+      host = s"http://localhost:$port", path = "/v3.1/name/{missingCol}"), ctr)
+    assert(stage(spark, df).count() == 0)
+    assert(ctr.errors.value == 1)
+  }
+
+  test("POST always sends a JSON body — reference bug filters.py:63-71 fixed") {
+    val df = Seq((7, "madrid")).toDF("id", "city")
+    val ctr = RestCounters(spark, "t3")
+    val stage = RestStage("post", RestConfig(
+      host = s"http://localhost:$port", path = "/echo", method = "POST",
+      postBody = Map("city" -> "{city}", "tag" -> "const")), ctr)
+    val out = stage(spark, df).collect()
+    assert(out.length == 1)
+    assert(lastPostBody.contains("\"city\":\"madrid\""))
+    assert(lastPostBody.contains("\"tag\":\"const\""))
+  }
+
+  test("urlencodeParams URL-encodes query values (filters.py:25-39)") {
+    val df = Seq((1, "two words&more")).toDF("id", "q")
+    val uri = RestStage.buildUri(
+      RestConfig(host = "http://h", path = "/p",
+        queryParams = Map("q" -> "{q}"), urlencodeParams = Set("q")),
+      Map("id" -> 1, "q" -> "two words&more"))
+    assert(uri.contains("http://h/p?q=two+words%26more"))
+  }
+
+  test("rest stage wired through the YAML pipeline (countries fixture)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft").toFile
+    val f = new java.io.File(dir, "countries.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("id;countryName"); w.println("1;spain"); w.println("2;france"); w.println("3;Germany")
+    w.close()
+    val yaml =
+      s"""
+         |inDelimiter: ";"
+         |outDelimiter: ";"
+         |sampleLines: 10
+         |filters:
+         |  - name: enrich
+         |    actionType: rest
+         |    filterThreads: 2
+         |    actionConfig:
+         |      host: "http://localhost:$port"
+         |      path: "/v3.1/name/{countryName}"
+         |  - name: extract
+         |    actionType: derive
+         |    actionConfig:
+         |      columns:
+         |        - {name: region, expr: "get_json_object(response, '$$.region')"}
+         |""".stripMargin
+    val res = Pipeline.runYaml(spark, yaml, f.getAbsolutePath, None)
+    val rows = res.output.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("region")).toSeq ==
+      Seq("Region-spain", "Region-france", "Region-Germany"))
+  }
+}
