@@ -21,10 +21,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all
+    CoreQueries.all ++ TextQueries.all ++ VectorQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.sql
+    CoreQueries.sql ++ TextQueries.sql ++ VectorQueries.sql
 }

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all built as
+  * shuffle-parallel DataFrame plans (no driver-side collection):
+  *
+  *  - exact: hash group-by on the text (or a fingerprint of it);
+  *  - n-gram Jaccard: inverted-index self-join on shingles — exact, but
+  *    O(sum docfreq²); use for verification / small candidate sets;
+  *  - MinHash + LSH banding: the 100 TB path — near-dup candidates from
+  *    equality joins on band signatures (k minhashes, b bands × r rows),
+  *    then exact Jaccard verification restricted to candidates only;
+  *  - SimHash: 64-bit signatures with banded hamming-distance pairing.
+  */
+object Dedup {
+
+  /** One row per distinct value of `key`, keeping the lowest id. */
+  def exact(df: DataFrame, key: Column, idCol: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, shingle) pairs. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), k)).as("sh"))
+      .distinct()
+
+  /** Exact pairwise Jaccard ≥ threshold via inverted index. Returns
+    * (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, threshold: Double): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, k).cache()
+    val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("ca.n") + col("cb.n") - col("i"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeds, the min
+    * xxhash64(seed, shingle) over the document's shingle set. One
+    * shuffle (groupBy doc) computes all signatures.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy(col("doc"))
+      .agg(array((0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("sh")))): _*).as("mh"))
+
+  /** LSH banding: b bands of r rows; docs sharing any band signature
+    * become candidate pairs. Equality join ⇒ shuffle-parallel, no O(n²).
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = sigs.select(col("doc"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (0 until rows).map(r =>
+          element_at(col("mh"), b * rows + r + 1))): _*)
+      }: _*)).as(Seq("band", "sig")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full near-dup pipeline: shingle → minhash → LSH candidates → exact
+    * Jaccard verification on candidates only. The verification join is
+    * restricted to candidate docs, so total cost stays near-linear in
+    * corpus size for realistic duplicate rates.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, k).cache()
+    val sigs = minhashSignatures(sh, numHashes)
+    val cand = lshCandidates(sigs, bands, numHashes / bands)
+    val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val interCand = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
+    interCand
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over the document's distinct token hashes: bit b of
+    * the signature is the sign of Σ±1 over tokens (bit b of
+    * xxhash64(token)). Built as 64 conditional-sum aggregates in a
+    * single groupBy pass.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("doc"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    * chunks (hamming ≤ 3 ⇒ at least one identical chunk), join on
+    * chunks, verify with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = sigs.select(col("doc"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

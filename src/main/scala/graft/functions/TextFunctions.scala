@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, normalization/fingerprinting, n-gram
+  * language ID, quality scoring. All pure Column expressions — codegen'd
+  * by Catalyst, no UDFs, so they stay inside WholeStageCodegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space split, matching the oracle's
+    * string_split semantics).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles: overlapping k-grams of tokens joined by spaces.
+    * Empty array when the document is shorter than k tokens.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val tok = tokens(text)
+    when(size(tok) >= k,
+      transform(sequence(lit(0), size(tok) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(tok, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Canonical form for near-identical detection: lowercase, trim,
+    * collapse whitespace runs.
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Deterministic document fingerprint (md5 of normalized text) —
+    * portable across engines, unlike xxhash64.
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Number of matches of a word-alternation marker pattern — the
+    * n-gram heuristic behind language ID.
+    */
+  def markerHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  val EnMarkers = "\\b(the|and|of|to)\\b"
+  val EsMarkers = "\\b(el|la|de|los)\\b"
+  val DeMarkers = "\\b(der|und|die|das)\\b"
+
+  /** Heuristic language ID over marker-hit counts (ties break toward
+    * the earlier language in en > es > de order).
+    */
+  def langId(text: Column): Column = {
+    val en = markerHits(text, EnMarkers)
+    val es = markerHits(text, EsMarkers)
+    val de = markerHits(text, DeMarkers)
+    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+  }
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length assuming single-space separation. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - 1)).cast("double") / tokenCount(text)
+
+  /** Simple deterministic quality score: token-length sanity + document
+    * length, branch-only math so it hashes identically across engines.
+    */
+  def qualityScore(text: Column): Column =
+    when(avgTokenLen(text).between(3.0, 10.0), 0.5).otherwise(0.0) +
+      when(tokenCount(text) >= 20, 0.5)
+        .when(tokenCount(text) >= 5, 0.25)
+        .otherwise(0.0)
+}

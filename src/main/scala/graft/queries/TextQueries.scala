@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.{Dedup, TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` and `events`:
+  * dedup (exact / fingerprint / n-gram Jaccard / MinHash-LSH / SimHash),
+  * text analysis (token stats, language ID, quality score), event-stream
+  * batch analytics (tumbling windows, sessionization). SQL-expressible
+  * ones carry a DuckDB oracle; hash-based ones (xxhash64) are Spark-only
+  * and get the driver's rows-only check.
+  */
+object TextQueries {
+
+  /** Exact dedup: hash group-by on full text, keep lowest doc_id. */
+  def q30DedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(documents(s, d), col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  /** Token statistics per language. */
+  def q31TokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(TF.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+           sum(length(col("text")).cast("long")).as("sum_chars"))
+      .withColumn("avg_tokens", col("sum_tokens").cast("double") / col("n_docs"))
+      .orderBy(col("lang"))
+
+  /** Language-ID heuristic: marker n-gram hits per language. */
+  def q32LangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        TF.markerHits(col("text"), TF.EnMarkers).as("en_hits"),
+        TF.markerHits(col("text"), TF.EsMarkers).as("es_hits"),
+        TF.markerHits(col("text"), TF.DeMarkers).as("de_hits"),
+        TF.langId(col("text")).as("predicted"),
+        col("lang").as("labeled"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: deterministic branch-only score. */
+  def q33Quality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.avgTokenLen(col("text")).as("avg_token_len"),
+        TF.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Exact n-gram (word-trigram) Jaccard near-dup pairs via inverted
+    * index — the verification-grade dedup.
+    */
+  def q34JaccardPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(documents(s, d), "doc_id", "text", k = 3, threshold = 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** MinHash+LSH near-dup pairs (the 100 TB path) — Spark-only hashes,
+    * rows-only check; correctness asserted against q34 in the test
+    * suite.
+    */
+  def q35MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SimHash signatures per document (Spark-only hashes, rows-only). */
+  def q36Simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(documents(s, d), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Portable fingerprint dedup: md5 over normalized text. */
+  def q38Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(TF.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal plumbing: opaque binary payload + byte length + magic
+    * prefix (hex of the first 4 bytes) — the metadata path an
+    * image/audio column takes, demonstrated on text→binary.
+    */
+  def q42MultimodalMeta(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        hex(substring(col("text").cast("binary"), 1, 4)).as("magic"))
+      .orderBy(col("doc_id"))
+
+  /** Tumbling 1-hour windows per event type (batch equivalent of the
+    * streaming hourly aggregation in graft.streaming).
+    */
+  def q43EventsHourly(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("bucket"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** Sessionization: 30-minute inactivity gap splits sessions; counts
+    * per user. lag + conditional-sum — one shuffle on user_id.
+    */
+  def q44Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact"     -> (q30DedupExact _),
+    "q31_token_stats"     -> (q31TokenStats _),
+    "q32_lang_id"         -> (q32LangId _),
+    "q33_quality_score"   -> (q33Quality _),
+    "q34_jaccard_pairs"   -> (q34JaccardPairs _),
+    "q35_minhash_lsh"     -> (q35MinhashLsh _),
+    "q36_simhash"         -> (q36Simhash _),
+    "q38_fingerprint"     -> (q38Fingerprint _),
+    "q42_multimodal_meta" -> (q42MultimodalMeta _),
+    "q43_events_hourly"   -> (q43EventsHourly _),
+    "q44_sessionize"      -> (q44Sessionize _),
+  )
+
+  val sql: Map[String, String] = Map(
+    "q30_dedup_exact" -> """
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY doc_id""",
+
+    "q31_token_stats" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS sum_tokens,
+        CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+        CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q32_lang_id" -> """
+      SELECT doc_id,
+        LEN(regexp_extract_all(text, '\b(the|and|of|to)\b')) AS en_hits,
+        LEN(regexp_extract_all(text, '\b(el|la|de|los)\b')) AS es_hits,
+        LEN(regexp_extract_all(text, '\b(der|und|die|das)\b')) AS de_hits,
+        CASE
+          WHEN LEN(regexp_extract_all(text, '\b(the|and|of|to)\b')) >= LEN(regexp_extract_all(text, '\b(el|la|de|los)\b'))
+           AND LEN(regexp_extract_all(text, '\b(the|and|of|to)\b')) >= LEN(regexp_extract_all(text, '\b(der|und|die|das)\b')) THEN 'en'
+          WHEN LEN(regexp_extract_all(text, '\b(el|la|de|los)\b')) >= LEN(regexp_extract_all(text, '\b(der|und|die|das)\b')) THEN 'es'
+          ELSE 'de' END AS predicted,
+        lang AS labeled
+      FROM documents ORDER BY doc_id""",
+
+    "q33_quality_score" -> """
+      SELECT doc_id,
+        LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+        CAST(LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE)
+          / LEN(STRING_SPLIT(text, ' ')) AS avg_token_len,
+        (CASE WHEN CAST(LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE)
+                     / LEN(STRING_SPLIT(text, ' ')) BETWEEN 3.0 AND 10.0
+              THEN 0.5 ELSE 0.0 END)
+        + (CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 20 THEN 0.5
+                WHEN LEN(STRING_SPLIT(text, ' ')) >= 5 THEN 0.25
+                ELSE 0.0 END) AS quality
+      FROM documents ORDER BY doc_id""",
+
+    "q34_jaccard_pairs" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+                                     i -> array_to_string(l[i:i+2], ' '))) s
+             FROM tok),
+      cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+      FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+      ORDER BY doc_a, doc_b""",
+
+    "q38_fingerprint" -> """
+      SELECT MIN(doc_id) AS doc_id,
+        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+      ORDER BY doc_id""",
+
+    "q42_multimodal_meta" -> """
+      SELECT doc_id,
+        octet_length(encode(text)) AS n_bytes,
+        hex(encode(substr(text, 1, 4))) AS magic
+      FROM documents ORDER BY doc_id""",
+
+    "q43_events_hourly" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS bucket,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bucket, event_type""",
+
+    "q44_sessionize" -> """
+      WITH x AS (SELECT user_id, ts, event_id,
+          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      y AS (SELECT user_id,
+          CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_s
+        FROM x)
+      SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+             COUNT(*) AS n_events
+      FROM y GROUP BY user_id ORDER BY user_id""",
+  )
+}

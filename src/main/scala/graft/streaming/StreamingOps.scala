@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: the reference is strictly batch
+  * (SURVEY §2b — its nearest analog is chunk-at-a-time pipelining), so
+  * this is a forward extension: the same event analytics as the batch
+  * queries (q43/q44), expressed as incremental streaming plans with
+  * watermarks — the idiomatic home for the `events` table at scale.
+  */
+object StreamingOps {
+
+  /** events schema as the stream sees it (ts arrives as raw nanos since
+    * the parquet column is TIMESTAMP(NANOS) — see graft.Tables.events).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour windows per event type with a 2-hour watermark:
+    * late events beyond the watermark are dropped, state is bounded —
+    * the incremental counterpart of batch q43_events_hourly.
+    */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user (30-min gap) — Spark's native session
+    * window keeps per-key state bounded by the watermark, the streaming
+    * counterpart of batch q44_sessionize.
+    */
+  def sessionsByUser(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.MediaColumns
+import org.apache.spark.sql.functions._
+
+class MediaColumnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val jpegMagic = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 1, 2)
+  private val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 3, 4)
+
+  test("media type sniffing from magic bytes (real logic)") {
+    val df = Seq((1L, jpegMagic), (2L, pngMagic), (3L, "plain".getBytes))
+      .toDF("id", "payload")
+    val got = df.select(col("id"), MediaColumns.mediaType(col("payload")).as("mt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "image/jpeg")
+    assert(got(2L) == "image/png")
+    assert(got(3L) == "application/octet-stream")
+  }
+
+  test("enrich attaches typed metadata struct + frame samples, deterministic, no shuffle") {
+    val df = Seq((1L, jpegMagic), (2L, pngMagic)).toDF("id", "payload")
+    val out = MediaColumns.enrich(df, "payload", sampleFrames = 4)
+    val schema = out.schema("media_meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.toSeq ==
+      Seq("n_bytes", "media_type", "width", "height", "n_frames"))
+    val r1 = out.drop("payload").collect()
+    val r2 = MediaColumns.enrich(df, "payload", sampleFrames = 4).drop("payload").collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq) // deterministic stub
+    val frames = r1.head.getSeq[Int](r1.head.fieldIndex("frame_samples"))
+    assert(frames.length == 4 && frames == frames.sorted)
+    // narrow plan: no exchange in the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.streaming.StreamingOps
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly agg equals the batch q43 result (memory sink, processAllAvailable)") {
+    // stage the events parquet in a stream-source directory
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.list(Paths.get(s"$sf")).filter(_.getFileName.toString == "events.parquet")
+      .forEach(p => Files.copy(p, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING))
+
+    val stream = StreamingOps.hourlyByType(StreamingOps.readEventStream(spark, dir.toString))
+    val q = stream.writeStream
+      .format("memory").queryName("hourly_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.sql("SELECT * FROM hourly_out ORDER BY bucket, event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = graft.queries.TextQueries.q43EventsHourly(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("streaming session windows produce bounded sessions per user") {
+    val dir = Files.createTempDirectory("graft-stream2")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = StreamingOps.sessionsByUser(StreamingOps.readEventStream(spark, dir.toString))
+    val q = stream.writeStream
+      .format("memory").queryName("sessions_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val sessions = spark.sql("SELECT user_id, COUNT(*) FROM sessions_out GROUP BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // batch q44 counts must match the streaming session-window counts
+    val batch = graft.queries.TextQueries.q44Sessionize(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sessions == batch)
+  }
+}
