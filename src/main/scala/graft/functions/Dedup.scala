@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.functions.expressions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -21,18 +22,27 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct (id, shingle) pairs. */
-  def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+  /** Distinct (id, shingle-hash) pairs. Shingles are 64-bit-hashed by a
+    * native expression in one pass per row (dedup included), so no
+    * shuffle is spent on a global distinct and equality joins shuffle
+    * 8-byte keys instead of strings (collision odds at 2⁻⁶⁴ are far
+    * below the near-dup noise floor).
+    */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), k)).as("sh"))
-      .distinct()
+      explode(call_function("shingle_hashes",
+        TextFunctions.tokens(col(textCol)), lit(k))).as("sh"))
+  }
 
   /** Exact pairwise Jaccard ≥ threshold via inverted index. Returns
     * (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, k).cache()
+    // no cache: the shingle projection is cheap to recompute and caching
+    // leaks executor memory across queries at scale
+    val sh = shingleSet(df, idCol, textCol, k)
     val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
@@ -48,13 +58,17 @@ object Dedup {
   }
 
   /** MinHash signatures: for each of `numHashes` seeds, the min
-    * xxhash64(seed, shingle) over the document's shingle set. One
-    * shuffle (groupBy doc) computes all signatures.
+    * xxhash64(seed, shingle) over the document's shingle set — computed
+    * row-locally over the shingle array (array_min ∘ transform), so
+    * signature generation needs NO shuffle at all.
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.groupBy(col("doc"))
-      .agg(array((0 until numHashes).map(i =>
-        min(xxhash64(lit(i), col("sh")))): _*).as("mh"))
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, numHashes: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc"),
+      call_function("minhash_signature",
+        TextFunctions.tokens(col(textCol)), lit(k), lit(numHashes)).as("mh"))
+  }
 
   /** LSH banding: b bands of r rows; docs sharing any band signature
     * become candidate pairs. Equality join ⇒ shuffle-parallel, no O(n²).
@@ -81,8 +95,8 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, k).cache()
-    val sigs = minhashSignatures(sh, numHashes)
+    val sh = shingleSet(df, idCol, textCol, k)
+    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
     val cand = lshCandidates(sigs, bands, numHashes / bands)
     val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val interCand = cand

@@ -1,0 +1,176 @@
+package graft.functions.expressions
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path. The pure-SQL
+  * formulations (`aggregate` + `zip_with` higher-order functions, or a
+  * per-bit expression tree for LSH) either stay interpreted or explode
+  * the generated code past janino's limits; these evaluate as tight JVM
+  * loops over ArrayData instead — q41_ann_lsh drops from ~54 s to
+  * sub-second at sf0.1.
+  */
+private object VecUtil {
+  /** Read element i as double for float/double arrays. */
+  @inline def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** cosine_sim(a, b): sequential-fold dot/norms in double precision —
+  * bit-identical to DuckDB list_cosine_similarity over DOUBLE[] (and to
+  * the aggregate/zip_with formulation it replaces).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim needs array<float|double> args, got ${left.dataType}, ${right.dataType}")
+  }
+  private lazy val lFloat = VecUtil.isFloatArray(left.dataType)
+  private lazy val rFloat = VecUtil.isFloatArray(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VecUtil.get(a, i, lFloat)
+      val y = VecUtil.get(b, i, rFloat)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** lsh_signature(v, bits, tables): array of `tables` bucket ids, bucket
+  * bit j = sign of v·plane(table, j). Planes are deterministic
+  * splitmix64 pseudo-random vectors, cached per (tables, bits, dim).
+  */
+case class LshSignatures(child: Expression, bitsExpr: Expression, tablesExpr: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child, bitsExpr, tablesExpr)
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  private lazy val bits = bitsExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val tables = tablesExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val isFloat = VecUtil.isFloatArray(child.dataType)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val planes = LshSignatures.planes(tables, bits, dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val p = planes(t)(j)
+        var dot = 0.0
+        var d = 0
+        while (d < dim) { dot += VecUtil.get(a, d, isFloat) * p(d); d += 1 }
+        if (dot >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0), bitsExpr = cs(1), tablesExpr = cs(2))
+}
+
+object LshSignatures {
+  private val cache = new ConcurrentHashMap[(Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  /** splitmix64-derived unit value in [-0.5, 0.5) — public-domain mix. */
+  private def splitmixUnit(seed: Long): Double = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
+    cache.computeIfAbsent((tables, bits, dim), _ =>
+      Array.tabulate(tables, bits, dim)((t, j, d) =>
+        splitmixUnit(t.toLong * 1000003L + j * 1009L + d)))
+}
+
+/** vec_norm(a): ‖a‖₂ with the same sequential fold. */
+case class VectorNorm(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  private lazy val isFloat = VecUtil.isFloatArray(child.dataType)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = VecUtil.get(a, i, isFloat); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Registration: both as a SparkSessionExtensions injector (for
+  * `.withExtensions(new GraftExtensions)`) and an idempotent per-session
+  * registry call for sessions we didn't build.
+  */
+object GraftFunctions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "lsh_signature" -> (es => LshSignatures(es(0), es(1), es(2))),
+    "vec_norm" -> (es => VectorNorm(es.head)),
+    "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
+    "minhash_signature" -> (es => MinhashSignature(es(0), es(1), es(2))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    fns.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
+}
+
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      es => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("lsh_signature"),
+      new ExpressionInfo(classOf[LshSignatures].getName, "lsh_signature"),
+      es => LshSignatures(es(0), es(1), es(2))))
+    e.injectFunction((FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
+      es => VectorNorm(es.head)))
+  }
+}

@@ -35,10 +35,12 @@ object VectorQueries {
   }
 
   /** Vector norms + per-label stats, exact sequential folds. */
-  def q45EmbeddingNorms(s: SparkSession, d: String): DataFrame =
+  def q45EmbeddingNorms(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
     embeddings(s, d)
       .select(col("vec_id"), col("label"), VF.norm(col("embedding")).as("norm"))
       .orderBy(col("vec_id"))
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk"    -> (q40CosineTopk _),

@@ -15,6 +15,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.functions.expressions.GraftFunctions.register(s)
     s
   }
 }
