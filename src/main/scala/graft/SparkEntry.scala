@@ -21,10 +21,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ TextQueries.all ++ VectorQueries.all
+    CoreQueries.all ++ TextQueries.all ++ VectorQueries.all ++ ExtraQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.sql ++ TextQueries.sql ++ VectorQueries.sql
+    CoreQueries.sql ++ TextQueries.sql ++ VectorQueries.sql ++ ExtraQueries.sql
 }

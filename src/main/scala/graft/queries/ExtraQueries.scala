@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.{VectorFunctions => VF}
+import graft.operators.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-wave coverage: embedding near-dup join, native pivot, RANGE
+  * window frames, exact percentiles, array functions, and a query
+  * executed by the YAML pipeline engine itself (source → derive → sql),
+  * so the engine—not just the DataFrame API—sits in the correctness
+  * gate.
+  */
+object ExtraQueries {
+
+  /** Embedding-cosine near-dup pairs, exact (brute-force O(n²)/2 — the
+    * oracle-checkable baseline; the LSH-bucketed path in
+    * VectorFunctions.annTopK is the 100 TB route).
+    */
+  def q46EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        VF.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Native pivot (count per status × priority), nulls filled to 0. */
+  def q47Pivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+        "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+      .orderBy(col("o_orderstatus"))
+
+  /** RANGE frame: trailing-30-day order count + spend per customer. */
+  def q48RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val dayNum = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(dayNum)
+      .rangeBetween(-30, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        count(lit(1)).over(w).as("orders_30d"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("spend_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Exact interpolated percentiles per group. */
+  def q49Median(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+           percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+           min(col("o_totalprice")).as("lo"),
+           max(col("o_totalprice")).as("hi"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Array function battery over tokenized documents. */
+  def q50ArrayOps(s: SparkSession, d: String): DataFrame = {
+    val tok = split(col("text"), " ")
+    documents(s, d)
+      .select(col("doc_id"),
+        size(array_distinct(tok)).as("n_uniq"),
+        array_join(slice(sort_array(tok), 1, 3), ",").as("first3"),
+        array_contains(tok, "spark").as("has_spark"),
+        element_at(tok, 1).as("head_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The YAML pipeline engine end-to-end inside the correctness gate:
+    * parquet source → derive stage → sql aggregation stage.
+    */
+  def q60PipelineSql(s: SparkSession, d: String): DataFrame = {
+    val yaml =
+      """
+        |filters:
+        |  - name: derive_tokens
+        |    actionType: derive
+        |    actionConfig:
+        |      columns:
+        |        - {name: n_tokens, expr: "size(split(text, ' '))"}
+        |      filter: "n_chars >= 100"
+        |  - name: agg
+        |    actionType: sql
+        |    code: "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM df GROUP BY lang ORDER BY lang"
+        |""".stripMargin
+    Pipeline.runYaml(s, yaml, s"$d/documents.parquet", None).output
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_embed_neardup" -> (q46EmbedNearDup _),
+    "q47_pivot"         -> (q47Pivot _),
+    "q48_range_frame"   -> (q48RangeFrame _),
+    "q49_median"        -> (q49Median _),
+    "q50_array_ops"     -> (q50ArrayOps _),
+    "q60_pipeline_sql"  -> (q60PipelineSql _),
+  )
+
+  val sql: Map[String, String] = Map(
+    "q46_embed_neardup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+      ORDER BY id_a, id_b""",
+
+    "q47_pivot" -> """
+      SELECT o_orderstatus,
+        CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS p1,
+        CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS BIGINT) AS p2,
+        CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS BIGINT) AS p3,
+        CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS BIGINT) AS p4,
+        CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS BIGINT) AS p5
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q48_range_frame" -> """
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        COUNT(*) OVER w AS orders_30d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS spend_30d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q49_median" -> """
+      SELECT o_orderpriority,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.9) AS p90,
+        MIN(o_totalprice) AS lo,
+        MAX(o_totalprice) AS hi
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q50_array_ops" -> """
+      SELECT doc_id,
+        LEN(list_distinct(string_split(text, ' '))) AS n_uniq,
+        array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3,
+        list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        string_split(text, ' ')[1] AS head_tok
+      FROM documents ORDER BY doc_id""",
+
+    "q60_pipeline_sql" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents WHERE n_chars >= 100
+      GROUP BY lang ORDER BY lang""",
+  )
+}
