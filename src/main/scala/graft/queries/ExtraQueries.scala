@@ -97,7 +97,32 @@ object ExtraQueries {
     Pipeline.runYaml(s, yaml, s"$d/documents.parquet", None).output
   }
 
+  /** Flatten-all over a JSON-string column (pd.json_normalize analog,
+    * fullExample.yml.old:75-91): schema inferred by sampling, then
+    * from_json + star-expand.
+    */
+  def q61JsonFlatten(s: SparkSession, d: String): DataFrame =
+    graft.functions.JsonOps.flattenJson(events(s, d), "props")
+      .select(col("event_id"), col("event_type"), col("k"))
+      .orderBy(col("event_id"))
+
+  /** Bounded top-k per group via the custom TopKAggregator UDAF —
+    * O(k) state per group instead of a full window sort.
+    */
+  def q62TopkAgg(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("ids"))
+      .select(col("o_custkey"),
+        array_join(transform(col("ids"), _.cast("string")), ",").as("top3"))
+      .orderBy(col("o_custkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_json_flatten"  -> (q61JsonFlatten _),
+    "q62_topk_agg"      -> (q62TopkAgg _),
     "q46_embed_neardup" -> (q46EmbedNearDup _),
     "q47_pivot"         -> (q47Pivot _),
     "q48_range_frame"   -> (q48RangeFrame _),
@@ -107,6 +132,15 @@ object ExtraQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q61_json_flatten" -> """
+      SELECT event_id, event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events ORDER BY event_id""",
+
+    "q62_topk_agg" -> """
+      SELECT o_custkey,
+        array_to_string((list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3], ',') AS top3
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q46_embed_neardup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
