@@ -120,9 +120,42 @@ object ExtraQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Explode as UDTF: token inverted-index counts (lateral view shape). */
+  def q63Explode(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+
+  /** Multiset algebra: INTERSECT ALL / EXCEPT ALL preserve duplicates. */
+  def q64MultisetOps(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_suppkey"))
+    val n = li.filter(col("l_returnflag") === "N").select(col("l_suppkey"))
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    a.intersectAll(n).exceptAll(r)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** Date arithmetic: interval add/sub + day difference. */
+  def q65DateArith(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due"),
+        date_sub(col("o_orderdate").cast("date"), 7).as("week_before"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("age_days"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"))
+      .orderBy(col("o_orderkey"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_json_flatten"  -> (q61JsonFlatten _),
     "q62_topk_agg"      -> (q62TopkAgg _),
+    "q63_explode"       -> (q63Explode _),
+    "q64_multiset_ops"  -> (q64MultisetOps _),
+    "q65_date_arith"    -> (q65DateArith _),
     "q46_embed_neardup" -> (q46EmbedNearDup _),
     "q47_pivot"         -> (q47Pivot _),
     "q48_range_frame"   -> (q48RangeFrame _),
@@ -141,6 +174,30 @@ object ExtraQueries {
       SELECT o_custkey,
         array_to_string((list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3], ',') AS top3
       FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q63_explode" -> """
+      SELECT t AS token, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t ORDER BY n DESC, token""",
+
+    "q64_multiset_ops" -> """
+      SELECT l_suppkey, COUNT(*) AS multiplicity FROM (
+        SELECT l_suppkey FROM (
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+          INTERSECT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'N')
+        EXCEPT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R') t
+      GROUP BY l_suppkey ORDER BY l_suppkey""",
+
+    "q65_date_arith" -> """
+      SELECT o_orderkey,
+        CAST(o_orderdate AS DATE) AS d,
+        CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due,
+        CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS week_before,
+        datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end
+      FROM orders ORDER BY o_orderkey""",
     "q46_embed_neardup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
