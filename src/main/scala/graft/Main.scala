@@ -10,12 +10,8 @@ object Main {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: graft.Main <input> <config.yml> <output>")
     val Array(in, confPath, out) = args.take(3)
-    // spark-submit injects spark.master; default to local[*] otherwise.
-    val spark = SparkSession.builder()
-      .appName("graft")
-      .config("spark.master", sys.props.getOrElse("spark.master", "local[*]"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // spark-submit injects spark.master; GraftSession defaults local[*].
+    val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val yaml = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(confPath)))
     val res = Pipeline.runYaml(spark, yaml, in, Some(out))

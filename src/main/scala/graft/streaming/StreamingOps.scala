@@ -1,8 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+case class UserEvent(user_id: Long, event_type: String)
+case class UserState(count: Long)
+case class UserUpdate(user_id: Long, n_events: Long)
 
 /** Structured Streaming surface: the reference is strictly batch
   * (SURVEY §2b — its nearest analog is chunk-at-a-time pipelining), so
@@ -41,6 +46,26 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Arbitrary keyed state via flatMapGroupsWithState: a running
+    * per-user event counter that emits the updated total on every
+    * micro-batch — the custom-state escape hatch for logic windows
+    * can't express (per-key state lives in the state store, bounded by
+    * key cardinality, not stream length).
+    */
+  def runningCountsByUser(events: DataFrame): Dataset[UserUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserState]) => {
+          val prev = state.getOption.map(_.count).getOrElse(0L)
+          val n = prev + it.size
+          state.update(UserState(n))
+          Iterator(UserUpdate(uid, n))
+        })
+  }
 
   /** Session windows per user (30-min gap) — Spark's native session
     * window keeps per-key state bounded by the watermark, the streaming

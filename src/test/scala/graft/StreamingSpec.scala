@@ -24,6 +24,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("flatMapGroupsWithState running counter converges to batch counts") {
+    val dir = Files.createTempDirectory("graft-stream3")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = StreamingOps.runningCountsByUser(
+      StreamingOps.readEventStream(spark, dir.toString))
+    val q = stream.writeStream
+      .format("memory").queryName("counts_out").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user = total events for that user
+    val got = spark.sql(
+      "SELECT user_id, MAX(n_events) FROM counts_out GROUP BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("streaming session windows produce bounded sessions per user") {
     val dir = Files.createTempDirectory("graft-stream2")
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
