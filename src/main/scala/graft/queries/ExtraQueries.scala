@@ -150,7 +150,47 @@ object ExtraQueries {
         last_day(col("o_orderdate").cast("date")).as("month_end"))
       .orderBy(col("o_orderkey"))
 
+  /** Remaining window family: rank/dense_rank/percent_rank/cume_dist +
+    * first/last value frames.
+    */
+  def q66WindowMisc(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        first(col("c_custkey")).over(frame).as("poorest"),
+        last(col("c_custkey")).over(frame).as("richest"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Ordered string aggregation (listagg/string_agg parity via sorted
+    * collect_list — deterministic).
+    */
+  def q67ListAgg(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+           count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
+  /** Deterministic hash sampling — portable across engines (md5 prefix),
+    * the reproducible alternative to TABLESAMPLE for pipeline sampling.
+    */
+  def q68HashSample(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_window_misc"   -> (q66WindowMisc _),
+    "q67_listagg"       -> (q67ListAgg _),
+    "q68_hash_sample"   -> (q68HashSample _),
     "q61_json_flatten"  -> (q61JsonFlatten _),
     "q62_topk_agg"      -> (q62TopkAgg _),
     "q63_explode"       -> (q63Explode _),
@@ -174,6 +214,32 @@ object ExtraQueries {
       SELECT o_custkey,
         array_to_string((list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3], ',') AS top3
       FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q66_window_misc" -> """
+      SELECT c_custkey, c_mktsegment,
+        RANK() OVER w AS rnk,
+        DENSE_RANK() OVER w AS drnk,
+        PERCENT_RANK() OVER w AS prnk,
+        CUME_DIST() OVER w AS cdist,
+        FIRST_VALUE(c_custkey) OVER wf AS poorest,
+        LAST_VALUE(c_custkey) OVER wf AS richest
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+             wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY c_custkey""",
+
+    "q67_listagg" -> """
+      SELECT n_regionkey,
+        array_to_string(list_sort(list(n_name)), ',') AS nations,
+        COUNT(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "q68_hash_sample" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+      ORDER BY o_orderkey""",
 
     "q63_explode" -> """
       SELECT t AS token, COUNT(*) AS n

@@ -49,6 +49,12 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("ORDER BY is eliminated under count() — bench doesn't pay verify's sort") {
+    val counted = CoreQueries.q01ScanPrune(spark, sf).groupBy().count()
+    val p = planOf(counted)
+    assert(!p.contains("Sort"), p)
+  }
+
   test("entry flagship contains no cartesian product") {
     val p = planOf(SparkEntry.entry(spark))
     assert(!p.contains("CartesianProduct"), p)
