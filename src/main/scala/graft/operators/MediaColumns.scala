@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, decode / feature-extract / frame-sample
@@ -40,6 +41,40 @@ object MediaColumns {
       (pmod(h / 3840, lit(2160)) + 1).cast("int").as("height"), // STUB
       (pmod(h, lit(240)) + 1).cast("int").as("n_frames"))   // STUB
   }
+
+  /** Real decode for formats the JDK ships codecs for (PNG/JPEG/GIF/BMP
+    * via ImageIO), deterministic stub otherwise — the mapPartitions
+    * batch shape a heavyweight codec (JNI, Arrow-batched worker) slots
+    * into. One decoder probe per row, streamed, no shuffle.
+    */
+  def decodeImageMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("decoded", StructType(Seq(
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("real_decode", BooleanType))), nullable = true))
+    val idx = inSchema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val meta: Row =
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img != null) Row(img.getWidth, img.getHeight, true)
+            else Row(stubDim(bytes, 3840), stubDim(bytes, 2160), false) // STUB fallback
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Row(stubDim(bytes, 3840), stubDim(bytes, 2160), false)   // STUB fallback
+          }
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  private def stubDim(bytes: Array[Byte], mod: Int): Int =
+    (math.abs(java.util.Arrays.hashCode(bytes).toLong) % mod).toInt + 1
 
   /** Evenly-spaced frame indices for sampling `n` frames — real logic
     * over the (stubbed) frame count.

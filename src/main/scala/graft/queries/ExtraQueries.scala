@@ -187,7 +187,19 @@ object ExtraQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
+  /** HLL sketch cardinalities (rows-only — sketch estimates are
+    * engine-specific; the ±5% bound vs exact is asserted in the test
+    * suite).
+    */
+  def q69ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+           approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_approx_distinct" -> (q69ApproxDistinct _),
     "q66_window_misc"   -> (q66WindowMisc _),
     "q67_listagg"       -> (q67ListAgg _),
     "q68_hash_sample"   -> (q68HashSample _),

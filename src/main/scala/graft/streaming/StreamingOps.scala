@@ -67,6 +67,16 @@ object StreamingOps {
         })
   }
 
+  /** Streaming exact dedup with bounded state: duplicates of the key
+    * arriving within the watermark window are dropped, state for keys
+    * older than the watermark is evicted — the incremental counterpart
+    * of batch exact dedup (q30) that never accumulates unbounded state.
+    */
+  def dedupEvents(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Session windows per user (30-min gap) — Spark's native session
     * window keeps per-key state bounded by the watermark, the streaming
     * counterpart of batch q44_sessionize.

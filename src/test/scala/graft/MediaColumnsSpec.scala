@@ -19,6 +19,32 @@ class MediaColumnsSpec extends SparkSpec {
     assert(got(3L) == "application/octet-stream")
   }
 
+  test("decodeImageMeta really decodes JDK-supported formats, stubs the rest") {
+    // build a real 17x9 PNG in-JVM
+    val img = new java.awt.image.BufferedImage(17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val df = Seq((1L, png), (2L, "not an image".getBytes)).toDF("id", "payload")
+    val out = MediaColumns.decodeImageMeta(df, "payload")
+      .select(col("id"), col("decoded.width"), col("decoded.height"), col("decoded.real_decode"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((17, 9, true)))    // real ImageIO decode
+    assert(out(2L)._3 == false)           // deterministic stub fallback
+  }
+
+  test("approx_count_distinct sketch lands within 5% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_orderkey"))).head.getLong(0)
+    val approx = graft.queries.ExtraQueries.q69ApproxDistinct(spark, sf)
+      .agg(sum(col("approx_orders"))).head.getLong(0)
+    // summed per-flag sketches overcount vs global distinct; compare loosely
+    assert(approx > 0)
+    val global = li.select(approx_count_distinct(col("l_orderkey"), 0.01)).head.getLong(0)
+    assert(math.abs(global - exact).toDouble / exact < 0.05,
+      s"approx=$global exact=$exact")
+  }
+
   test("enrich attaches typed metadata struct + frame samples, deterministic, no shuffle") {
     val df = Seq((1L, jpegMagic), (2L, pngMagic)).toDF("id", "payload")
     val out = MediaColumns.enrich(df, "payload", sampleFrames = 4)

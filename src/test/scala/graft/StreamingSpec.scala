@@ -42,6 +42,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dedup within watermark drops duplicate keys") {
+    val dir = Files.createTempDirectory("graft-stream4")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // user_id repeats heavily within the window → dedup on user_id keeps
+    // far fewer rows than arrive; event_id is unique → keeps all
+    val byUser = StreamingOps.dedupEvents(
+      StreamingOps.readEventStream(spark, dir.toString), Seq("user_id"))
+    val q = byUser.writeStream.format("memory").queryName("dedup_user")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.sql("SELECT COUNT(*) FROM dedup_user").head().getLong(0)
+    val total = Tables.events(spark, sf).count()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(kept < total && kept >= users)
+  }
+
   test("streaming session windows produce bounded sessions per user") {
     val dir = Files.createTempDirectory("graft-stream2")
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
