@@ -43,7 +43,9 @@ final case class RestConfig(
     urlencodeParams: Set[String] = Set.empty,
     newField: String = "response",
     filterThreads: Int = 1,
-    timeoutMillis: Long = 30000L)
+    timeoutMillis: Long = 30000L,
+    maxRetries: Int = 0,
+    retryBackoffMillis: Long = 200L)
 
 final case class RestCounters(
     s20x: LongAccumulator, s30x: LongAccumulator,
@@ -130,30 +132,46 @@ object RestStage {
       buildUri(cfg, rowMap) match {
         case None => ctr.errors.add(1L); None
         case Some(uri) =>
-          try {
-            val b = HttpRequest.newBuilder(URI.create(uri))
-              .timeout(Duration.ofMillis(cfg.timeoutMillis))
-            val req = cfg.method.toUpperCase match {
-              case "POST" =>
-                val body = cfg.postBody.map { case (k, tmpl) =>
-                  k -> substitute(tmpl, rowMap, urlencode = false).getOrElse("")
-                }
-                b.header("Content-Type", "application/json")
-                  .POST(HttpRequest.BodyPublishers.ofString(toJson(body))).build()
-              case _ => b.GET().build()
-            }
-            val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-            val sc = resp.statusCode()
-            if (sc < 300) ctr.s20x.add(1L)
-            else if (sc < 400) ctr.s30x.add(1L)
-            else if (sc < 500) ctr.s40x.add(1L)
-            else ctr.s50x.add(1L)
-            if (sc >= 200 && sc < 300)
-              Some(new GenericRow((row.toSeq :+ resp.body()).toArray))
-            else None // non-2xx → row dropped (filefilter.py:110-113)
-          } catch {
-            case scala.util.control.NonFatal(_) => ctr.errors.add(1L); None
+          val b = HttpRequest.newBuilder(URI.create(uri))
+            .timeout(Duration.ofMillis(cfg.timeoutMillis))
+          val req = cfg.method.toUpperCase match {
+            case "POST" =>
+              val body = cfg.postBody.map { case (k, tmpl) =>
+                k -> substitute(tmpl, rowMap, urlencode = false).getOrElse("")
+              }
+              b.header("Content-Type", "application/json")
+                .POST(HttpRequest.BodyPublishers.ofString(toJson(body))).build()
+            case _ => b.GET().build()
           }
+          // retry transient failures (5xx / IO errors) with linear
+          // backoff; 4xx is semantic and fails fast
+          var attempt = 0
+          var result: Option[Row] = None
+          var done = false
+          while (!done) {
+            try {
+              val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+              val sc = resp.statusCode()
+              if (sc < 300) ctr.s20x.add(1L)
+              else if (sc < 400) ctr.s30x.add(1L)
+              else if (sc < 500) ctr.s40x.add(1L)
+              else ctr.s50x.add(1L)
+              if (sc >= 200 && sc < 300) {
+                result = Some(new GenericRow((row.toSeq :+ resp.body()).toArray))
+                done = true
+              } else if (sc >= 500 && attempt < cfg.maxRetries) {
+                attempt += 1
+                Thread.sleep(cfg.retryBackoffMillis * attempt)
+              } else done = true // non-2xx → row dropped (filefilter.py:110-113)
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                if (attempt < cfg.maxRetries) {
+                  attempt += 1
+                  Thread.sleep(cfg.retryBackoffMillis * attempt)
+                } else { ctr.errors.add(1L); done = true }
+            }
+          }
+          result
       }
     }
 
@@ -194,7 +212,8 @@ object RestStage {
       postBody = smap("postBody"),
       urlencodeParams = slist("urlencodeParams"),
       newField = ac.get("newField").map(_.toString).getOrElse("response"),
-      filterThreads = cfg.filterThreads)
+      filterThreads = cfg.filterThreads,
+      maxRetries = ac.get("maxRetries").map(_.toString.toInt).getOrElse(0))
     RestStage(cfg.name, rc, RestCounters(spark, cfg.name))
   }
 }

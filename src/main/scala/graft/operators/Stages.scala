@@ -17,31 +17,18 @@ trait Stage extends Serializable {
 
 /** `sql` stage (reference O12, filefilter.py:340-342): the current
   * pipeline state is exposed as view `df`, the user's SQL replaces it.
-  * Includes a shim for DuckDB's `SELECT * EXCLUDE(a, b)` star modifier
-  * (used by examples/fullExample/fullExample.yml:100-104): the EXCLUDE
-  * list is stripped before parsing and applied as a `drop` afterwards.
+  * DuckDB's `SELECT * EXCLUDE(a, b)` star modifier (used by
+  * examples/fullExample/fullExample.yml:100-104) is rewritten to
+  * Spark-native `* EXCEPT (a, b)` — here textually for sessions built
+  * without extensions, and in [[GraftSqlParser]] (injectParser) for
+  * sessions with [[graft.functions.expressions.GraftExtensions]], where
+  * it also covers subqueries/CTEs.
   */
 final case class SqlStage(name: String, code: String) extends Stage {
-  import SqlStage._
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = {
     df.createOrReplaceTempView("df")
-    val (sql, excluded) = rewriteExclude(code)
-    val out = spark.sql(sql)
-    if (excluded.isEmpty) out else out.drop(excluded: _*)
+    spark.sql(GraftSqlParser.rewriteExclude(code))
   }
-}
-
-object SqlStage {
-  private val ExcludeRe = raw"(?is)\*\s+EXCLUDE\s*\(([^)]*)\)".r
-
-  /** Rewrite `* EXCLUDE(a, b)` → `*`, returning the excluded columns. */
-  def rewriteExclude(sql: String): (String, Seq[String]) =
-    ExcludeRe.findFirstMatchIn(sql) match {
-      case Some(m) =>
-        val cols = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        (ExcludeRe.replaceFirstIn(sql, "*"), cols)
-      case None => (sql, Nil)
-    }
 }
 
 /** `derive` stage — the Catalyst-visible re-expression of the reference's

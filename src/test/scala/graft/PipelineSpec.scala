@@ -124,10 +124,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.select(sum(col("id2"))).head.getLong(0) == 12L)
   }
 
-  test("EXCLUDE shim handles whitespace and multiple columns") {
-    assert(SqlStage.rewriteExclude("SELECT * EXCLUDE( a , b ) FROM df")._2 == Seq("a", "b"))
-    assert(SqlStage.rewriteExclude("SELECT * exclude(x) FROM df")._2 == Seq("x"))
-    assert(SqlStage.rewriteExclude("SELECT * FROM df")._2.isEmpty)
+  test("EXCLUDE rewrites to native EXCEPT, incl. subqueries and case-insensitive") {
+    import graft.operators.GraftSqlParser.rewriteExclude
+    assert(rewriteExclude("SELECT * EXCLUDE( a , b ) FROM df") ==
+      "SELECT * EXCEPT ( a , b ) FROM df")
+    assert(rewriteExclude("SELECT * exclude(x) FROM df") == "SELECT * EXCEPT (x) FROM df")
+    assert(rewriteExclude("SELECT * FROM df") == "SELECT * FROM df")
+    // all occurrences, not just the first
+    assert(rewriteExclude("SELECT * EXCLUDE(a) FROM (SELECT * EXCLUDE(b) FROM df)") ==
+      "SELECT * EXCEPT (a) FROM (SELECT * EXCEPT (b) FROM df)")
+    // end-to-end through a sql stage with a subquery EXCLUDE
+    import spark.implicits._
+    val df = Seq((1, 2, 3)).toDF("a", "b", "c")
+    val out = SqlStage("t", "SELECT * EXCLUDE(c) FROM (SELECT * EXCLUDE(b) FROM df)")
+      .apply(spark, df)
+    assert(out.columns.toSeq == Seq("a"))
   }
 
   test("unsupported file format fails fast (O4)") {

@@ -92,6 +92,36 @@ class RestStageSpec extends SparkSpec with BeforeAndAfterAll {
     assert(uri.contains("http://h/p?q=two+words%26more"))
   }
 
+  test("5xx retries with backoff then succeeds; 4xx fails fast") {
+    val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/flaky", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        if (flaky.incrementAndGet() % 3 != 0) ex.sendResponseHeaders(503, -1)
+        else {
+          val bytes = """{"ok":true}""".getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    })
+    val df = Seq((1, "x")).toDF("id", "v")
+    val ctr = RestCounters(spark, "t4")
+    val stage = RestStage("flaky", RestConfig(
+      host = s"http://localhost:$port", path = "/flaky",
+      maxRetries = 5, retryBackoffMillis = 10L), ctr)
+    assert(stage(spark, df).count() == 1) // succeeded on 3rd attempt
+    assert(ctr.s50x.value == 2 && ctr.s20x.value == 1)
+
+    // 4xx must NOT retry
+    val ctr2 = RestCounters(spark, "t5")
+    val notFound = RestStage("nf", RestConfig(
+      host = s"http://localhost:$port", path = "/v3.1/name/atlantis",
+      maxRetries = 5, retryBackoffMillis = 10L), ctr2)
+    assert(notFound(spark, df.withColumn("countryName", org.apache.spark.sql.functions.lit("atlantis"))).count() == 0)
+    assert(ctr2.s40x.value == 1) // single attempt, no retry storm
+  }
+
   test("rest stage wired through the YAML pipeline (countries fixture)") {
     val dir = java.nio.file.Files.createTempDirectory("graft").toFile
     val f = new java.io.File(dir, "countries.csv")
