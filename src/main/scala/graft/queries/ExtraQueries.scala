@@ -198,8 +198,24 @@ object ExtraQueries {
            approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Correlated scalar subquery: orders above their own customer's mean
+    * (decimal-exact mean so the threshold is engine-independent).
+    */
+  def q70CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_corr")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders_corr o
+      WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        FROM orders_corr i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey
+    """)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_approx_distinct" -> (q69ApproxDistinct _),
+    "q70_correlated_subq" -> (q70CorrelatedSubquery _),
     "q66_window_misc"   -> (q66WindowMisc _),
     "q67_listagg"       -> (q67ListAgg _),
     "q68_hash_sample"   -> (q68HashSample _),
@@ -226,6 +242,14 @@ object ExtraQueries {
       SELECT o_custkey,
         array_to_string((list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3], ',') AS top3
       FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q70_correlated_subq" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        FROM orders i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""",
 
     "q66_window_misc" -> """
       SELECT c_custkey, c_mktsegment,

@@ -42,6 +42,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-static join: events stream enriched with the customer dim") {
+    val dir = Files.createTempDirectory("graft-stream5")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = StreamingOps.readEventStream(spark, dir.toString)
+    val dim = Tables.customer(spark, sf)
+      .select(org.apache.spark.sql.functions.col("c_custkey"),
+        org.apache.spark.sql.functions.col("c_mktsegment"))
+    val joined = stream.join(dim,
+      org.apache.spark.sql.functions.expr("user_id = c_custkey"), "inner")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT COUNT(*) FROM enriched").head().getLong(0)
+    val want = Tables.events(spark, sf).join(dim,
+      Tables.events(spark, sf)("user_id") === dim("c_custkey")).count()
+    assert(got == want && got > 0)
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val dir = Files.createTempDirectory("graft-stream4")
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),

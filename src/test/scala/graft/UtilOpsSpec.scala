@@ -4,6 +4,8 @@ import graft.functions.{JsonOps, Scored, TopKAggregator}
 import graft.operators.Skew
 import org.apache.spark.sql.functions._
 
+case class Li(l_returnflag: String, l_quantity: Double)
+
 class UtilOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -32,6 +34,20 @@ class UtilOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(got("g1") == Seq(7L, 3L)) // 9.0 first; 5.0 tie broken to lower id
     assert(got("g2") == Seq(1L))
+  }
+
+  test("typed Dataset API: case-class encoder + groupByKey aggregation") {
+    import spark.implicits._
+    val ds = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity")).as[Li]
+    val typed = ds.groupByKey(_.l_returnflag)
+      .mapGroups((flag, it) => (flag, it.map(_.l_quantity).sum))
+      .collect().toMap
+    val untyped = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(typed.keySet == untyped.keySet)
+    typed.foreach { case (k, v) => assert(math.abs(v - untyped(k)) < 1e-6) }
   }
 
   test("saltedJoin is row-identical to the plain equi-join") {
