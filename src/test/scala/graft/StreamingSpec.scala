@@ -56,8 +56,8 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val got = spark.sql("SELECT COUNT(*) FROM enriched").head().getLong(0)
-    val want = Tables.events(spark, sf).join(dim,
-      Tables.events(spark, sf)("user_id") === dim("c_custkey")).count()
+    val ev = Tables.events(spark, sf)
+    val want = ev.join(dim, ev("user_id") === dim("c_custkey")).count()
     assert(got == want && got > 0)
   }
 
