@@ -17,16 +17,33 @@ case class Scored(score: Double, id: Long)
 class TopKAggregator(k: Int) extends Aggregator[Scored, List[Scored], Seq[Long]] {
   override def zero: List[Scored] = Nil
 
+  // buffer invariant: sorted by (score desc, id asc), length ≤ k
+  private def beats(x: Scored, y: Scored): Boolean =
+    x.score > y.score || (x.score == y.score && x.id < y.id)
+
+  /** O(k) sorted insertion with an O(1) reject of rows that can't make
+    * the cut — no per-row sort on the billion-row hot path.
+    */
   private def insert(buf: List[Scored], s: Scored): List[Scored] = {
-    val merged = (s :: buf).sortBy(x => (-x.score, x.id))
-    if (merged.size > k) merged.take(k) else merged
+    if (buf.sizeIs >= k && !beats(s, buf.last)) return buf
+    val (before, after) = buf.span(beats(_, s))
+    val merged = before ::: s :: after
+    if (merged.sizeIs > k) merged.take(k) else merged
   }
 
   override def reduce(buf: List[Scored], in: Scored): List[Scored] = insert(buf, in)
 
+  /** Classic merge of two sorted buffers, truncated at k. */
   override def merge(a: List[Scored], b: List[Scored]): List[Scored] = {
-    val merged = (a ++ b).sortBy(x => (-x.score, x.id))
-    if (merged.size > k) merged.take(k) else merged
+    def go(x: List[Scored], y: List[Scored], n: Int): List[Scored] =
+      if (n == 0) Nil
+      else (x, y) match {
+        case (Nil, ys) => ys.take(n)
+        case (xs, Nil) => xs.take(n)
+        case (xh :: xt, yh :: yt) =>
+          if (beats(xh, yh)) xh :: go(xt, y, n - 1) else yh :: go(x, yt, n - 1)
+      }
+    go(a, b, k)
   }
 
   override def finish(buf: List[Scored]): Seq[Long] = buf.map(_.id)

@@ -44,7 +44,7 @@ object VectorFunctions {
     * (table, bucket) instead of O(N²).
     */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              dim: Int, bits: Int = 4, tables: Int = 8): DataFrame = {
+              bits: Int = 4, tables: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(queries.sparkSession)
     def withBuckets(df: DataFrame): DataFrame =

@@ -121,7 +121,10 @@ object LshSignatures {
   def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
     cache.computeIfAbsent((tables, bits, dim), _ =>
       Array.tabulate(tables, bits, dim)((t, j, d) =>
-        splitmixUnit(t.toLong * 1000003L + j * 1009L + d)))
+        // seed is injective over (t, j, d) for bits ≤ 64, dim < 2^20 —
+        // an additive formula collided for dim > 1009, correlating
+        // planes within a table
+        splitmixUnit(((t.toLong * 64L + j) << 20) + d)))
 }
 
 /** vec_norm(a): ‖a‖₂ with the same sequential fold. */

@@ -71,7 +71,8 @@ object ConfigLoader {
       case _ => Map.empty
     }
     // code may live top-level (reference behavior) or under actionConfig.
-    val code = m.get("code").orElse(ac.get("code")).map(_.toString)
+    val code = m.get("code").flatMap(Option(_))
+      .orElse(ac.get("code").flatMap(Option(_))).map(_.toString)
     StageConfig(
       name = str(m, "name", s"filter$i"),
       actionType = action,
@@ -83,16 +84,18 @@ object ConfigLoader {
       showSampleOnFinish = bool(m, "showSampleOnFinish"))
   }
 
+  // snakeyaml yields Some(null) for "key:" with a blank value — every
+  // accessor must treat that as absent, not NPE
   private def str(m: Map[String, Any], k: String, dflt: String): String =
-    m.get(k).map(_.toString).filter(_ != "null").getOrElse(dflt)
+    m.get(k).flatMap(Option(_)).map(_.toString).getOrElse(dflt)
   private def num(m: Map[String, Any], k: String, dflt: Long): Long =
-    m.get(k) match {
+    m.get(k).flatMap(Option(_)) match {
       case Some(n: Number) => n.longValue()
       case Some(s: String) if s.nonEmpty && s.forall(_.isDigit) => s.toLong
       case _ => dflt
     }
   private def bool(m: Map[String, Any], k: String): Boolean =
-    m.get(k) match {
+    m.get(k).flatMap(Option(_)) match {
       case Some(b: java.lang.Boolean) => b
       case Some(s: String) => s.equalsIgnoreCase("true")
       case _ => false

@@ -31,8 +31,45 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   private val ExcludeRe = raw"(?is)\*\s+EXCLUDE\s*\(([^)]*)\)".r
 
-  /** Rewrite every `* EXCLUDE(a, b)` into native `* EXCEPT (a, b)`. */
-  def rewriteExclude(sql: String): String =
-    ExcludeRe.replaceAllIn(sql, m =>
-      java.util.regex.Matcher.quoteReplacement(s"* EXCEPT (${m.group(1)})"))
+  /** Rewrite every `* EXCLUDE(a, b)` into native `* EXCEPT (a, b)` —
+    * matching against a copy with string-literal contents masked, so a
+    * literal like `'* EXCLUDE(a)'` inside the query is never touched.
+    * (A `)` inside a quoted column name within the EXCLUDE list remains
+    * unsupported — document as a dialect edge.)
+    */
+  def rewriteExclude(sql: String): String = {
+    val ms = ExcludeRe.findAllMatchIn(maskQuotes(sql)).toList
+    if (ms.isEmpty) sql
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      for (m <- ms) {
+        sb.append(sql.substring(last, m.start))
+        sb.append("* EXCEPT (").append(sql.substring(m.start(1), m.end(1))).append(")")
+        last = m.end
+      }
+      sb.append(sql.substring(last))
+      sb.toString
+    }
+  }
+
+  /** Replace the contents of single-quoted literals with '_' in place
+    * (positions preserved; '' escapes handled).
+    */
+  private def maskQuotes(s: String): String = {
+    val a = s.toCharArray
+    var i = 0
+    var inQ = false
+    while (i < a.length) {
+      val c = a(i)
+      if (inQ) {
+        if (c == '\'') {
+          if (i + 1 < a.length && a(i + 1) == '\'') { a(i) = '_'; a(i + 1) = '_'; i += 1 }
+          else inQ = false
+        } else a(i) = '_'
+      } else if (c == '\'') inQ = true
+      i += 1
+    }
+    new String(a)
+  }
 }

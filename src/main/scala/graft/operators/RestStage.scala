@@ -126,23 +126,37 @@ object RestStage {
       .build()
     val threads = math.max(1, cfg.filterThreads)
     val pool = Executors.newFixedThreadPool(threads)
+    // the iterator below also shuts the pool down on exhaustion, but a
+    // downstream limit may stop pulling early — tie cleanup to the task
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
 
     def callOne(row: Row): Option[Row] = {
       val rowMap = fieldNames.zipWithIndex.map { case (f, i) => f -> row.get(i) }.toMap
       buildUri(cfg, rowMap) match {
         case None => ctr.errors.add(1L); None
         case Some(uri) =>
-          val b = HttpRequest.newBuilder(URI.create(uri))
-            .timeout(Duration.ofMillis(cfg.timeoutMillis))
-          val req = cfg.method.toUpperCase match {
-            case "POST" =>
-              val body = cfg.postBody.map { case (k, tmpl) =>
-                k -> substitute(tmpl, rowMap, urlencode = false).getOrElse("")
-              }
-              b.header("Content-Type", "application/json")
-                .POST(HttpRequest.BodyPublishers.ofString(toJson(body))).build()
-            case _ => b.GET().build()
-          }
+          // URI building can throw on raw substituted values (spaces
+          // etc.) — that's a per-row error (drop + count), never a task
+          // failure (filefilter.py:110-113 parity)
+          val reqOpt =
+            try {
+              val b = HttpRequest.newBuilder(URI.create(uri))
+                .timeout(Duration.ofMillis(cfg.timeoutMillis))
+              Some(cfg.method.toUpperCase match {
+                case "POST" =>
+                  val body = cfg.postBody.map { case (k, tmpl) =>
+                    k -> substitute(tmpl, rowMap, urlencode = false).getOrElse("")
+                  }
+                  b.header("Content-Type", "application/json")
+                    .POST(HttpRequest.BodyPublishers.ofString(toJson(body))).build()
+                case _ => b.GET().build()
+              })
+            } catch {
+              case scala.util.control.NonFatal(_) => ctr.errors.add(1L); None
+            }
+          if (reqOpt.isEmpty) return None
+          val req = reqOpt.get
           // retry transient failures (5xx / IO errors) with linear
           // backoff; 4xx is semantic and fails fast
           var attempt = 0
@@ -204,16 +218,25 @@ object RestStage {
       case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSet
       case _ => Set.empty
     }
+    // null-safe option read: YAML "key:" with a blank value yields
+    // Some(null), which must fall back to the default, not NPE
+    def sopt(k: String): Option[String] =
+      ac.get(k).flatMap(Option(_)).map(_.toString)
+    def sint(k: String, dflt: Long): Long =
+      sopt(k).filter(_.nonEmpty).map(_.toLong).getOrElse(dflt)
     val rc = RestConfig(
-      host = ac.getOrElse("host", throw new IllegalArgumentException(s"${cfg.name}: rest stage needs host")).toString,
-      path = ac.get("path").map(_.toString).getOrElse(""),
-      method = ac.get("method").map(_.toString).getOrElse("GET"),
+      host = sopt("host").getOrElse(
+        throw new IllegalArgumentException(s"${cfg.name}: rest stage needs host")),
+      path = sopt("path").getOrElse(""),
+      method = sopt("method").getOrElse("GET"),
       queryParams = smap("queryParams"),
       postBody = smap("postBody"),
       urlencodeParams = slist("urlencodeParams"),
-      newField = ac.get("newField").map(_.toString).getOrElse("response"),
+      newField = sopt("newField").getOrElse("response"),
       filterThreads = cfg.filterThreads,
-      maxRetries = ac.get("maxRetries").map(_.toString.toInt).getOrElse(0))
+      timeoutMillis = sint("timeoutMillis", 30000L),
+      maxRetries = sint("maxRetries", 0L).toInt,
+      retryBackoffMillis = sint("retryBackoffMillis", 200L))
     RestStage(cfg.name, rc, RestCounters(spark, cfg.name))
   }
 }

@@ -197,7 +197,7 @@ object TextQueries {
     "q42_multimodal_meta" -> """
       SELECT doc_id,
         octet_length(encode(text)) AS n_bytes,
-        hex(encode(substr(text, 1, 4))) AS magic
+        substr(hex(encode(text)), 1, 8) AS magic
       FROM documents ORDER BY doc_id""",
 
     "q43_events_hourly" -> """

@@ -13,8 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  private val Dim = 64
-
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def q40CosineTopk(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
@@ -29,7 +27,7 @@ object VectorQueries {
   def q41AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     VF.annTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-        dim = Dim, bits = 4, tables = 8)
+        bits = 4, tables = 8)
       .select(col("qid"), col("cid"), col("cos"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }

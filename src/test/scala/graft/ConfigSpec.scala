@@ -49,6 +49,23 @@ class ConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bogus"))
   }
 
+  test("blank-valued YAML keys fall back to defaults instead of NPE") {
+    val cfg = ConfigLoader.fromYaml(
+      """
+        |inDelimiter:
+        |sampleLines:
+        |filters:
+        |  - name:
+        |    actionType: sql
+        |    code:
+        |    filterThreads:
+        |""".stripMargin)
+    assert(cfg.inDelimiter == ",")
+    assert(cfg.sampleLines == 0)
+    assert(cfg.filters.head.code.isEmpty)
+    assert(cfg.filters.head.filterThreads == 1)
+  }
+
   test("defaults match the reference") {
     val cfg = ConfigLoader.fromYaml("filters:\n  - {name: x, actionType: sql, code: s}\n")
     assert(cfg.inDelimiter == ",")

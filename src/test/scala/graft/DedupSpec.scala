@@ -61,7 +61,7 @@ class DedupSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") < 10)
     val exact = VectorFunctions.bruteForceTopK(q, emb, 5)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = VectorFunctions.annTopK(q, emb, 5, dim = 64, bits = 4, tables = 8)
+    val ann = VectorFunctions.annTopK(q, emb, 5, bits = 4, tables = 8)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
     // fixture vectors are i.i.d. gaussian (top-5 neighbors at cos≈0.35),

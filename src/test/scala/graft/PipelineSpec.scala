@@ -133,6 +133,11 @@ class PipelineSpec extends SparkSpec {
     // all occurrences, not just the first
     assert(rewriteExclude("SELECT * EXCLUDE(a) FROM (SELECT * EXCLUDE(b) FROM df)") ==
       "SELECT * EXCEPT (a) FROM (SELECT * EXCEPT (b) FROM df)")
+    // string literals are never rewritten
+    assert(rewriteExclude("SELECT '* EXCLUDE(a)' AS note, * EXCLUDE(b) FROM df") ==
+      "SELECT '* EXCLUDE(a)' AS note, * EXCEPT (b) FROM df")
+    assert(rewriteExclude("SELECT 'it''s * EXCLUDE(x)' FROM df") ==
+      "SELECT 'it''s * EXCLUDE(x)' FROM df")
     // end-to-end through a sql stage with a subquery EXCLUDE
     import spark.implicits._
     val df = Seq((1, 2, 3)).toDF("a", "b", "c")

@@ -92,6 +92,16 @@ class RestStageSpec extends SparkSpec with BeforeAndAfterAll {
     assert(uri.contains("http://h/p?q=two+words%26more"))
   }
 
+  test("illegal-URI row is dropped with an error count, not a task failure") {
+    val df = Seq((1, "two words"), (2, "fine")).toDF("id", "countryName")
+    val ctr = RestCounters(spark, "t6")
+    val stage = RestStage("geo", RestConfig(
+      host = s"http://localhost:$port", path = "/v3.1/name/{countryName}"), ctr)
+    val out = stage(spark, df).collect() // must not throw
+    assert(out.length == 1 && out.head.getString(1) == "fine")
+    assert(ctr.errors.value == 1)
+  }
+
   test("5xx retries with backoff then succeeds; 4xx fails fast") {
     val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
     server.createContext("/flaky", new HttpHandler {
