@@ -5,7 +5,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, all built as
-  * shuffle-parallel DataFrame plans (no driver-side collection):
+  * shuffle-parallel DataFrame plans (no driver-side collection).
+  *
+  * Algorithms follow the standard published constructions: MinHash
+  * resemblance sketches (Broder, "On the resemblance and containment of
+  * documents", 1997) with LSH banding (Leskovec/Rajaraman/Ullman,
+  * Mining of Massive Datasets ch. 3), and SimHash random-projection
+  * fingerprints (Charikar, "Similarity estimation techniques from
+  * rounding algorithms", STOC 2002).
+  *
   *
   *  - exact: hash group-by on the text (or a fingerprint of it);
   *  - n-gram Jaccard: inverted-index self-join on shingles — exact, but
