@@ -43,8 +43,33 @@ object Dedup {
         TextFunctions.tokens(col(textCol)), lit(k))).as("sh"))
   }
 
-  /** Exact pairwise Jaccard ≥ threshold via inverted index. Returns
-    * (doc_a, doc_b, jaccard) with doc_a < doc_b.
+  /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs:
+    * intersection counts via a join restricted to the candidates, then
+    * the |A∩B| / (|A|+|B|-|A∩B|) ratio. Shared by the prefix-filtered
+    * exact join and the MinHash-LSH pipeline.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact pairwise Jaccard ≥ threshold via the full inverted-index
+    * self-join: cost Σ docfreq², no candidate stage. On dense shingle
+    * spaces (high docfreq, like this synthetic corpus) this beats the
+    * prefix-filtered variant because candidate verification costs
+    * |candidates|·|S| which explodes when the filter passes many pairs.
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double): DataFrame = {
@@ -63,6 +88,35 @@ object Dedup {
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard with PPJoin-style prefix filtering (Chaudhuri et al.
+    * "A Primitive Operator for Similarity Joins", ICDE 2006; Xiao et
+    * al. PPJoin): under any global total order on shingles, two sets
+    * with J ≥ t must share an element within each one's first
+    * (|S| - ⌈t·|S|⌉ + 1) elements — the candidate self-join indexes
+    * only that prefix (hash order here) and exact verification removes
+    * false positives. Result is identical to [[jaccardPairs]]; prefer
+    * this on SPARSE shingle spaces (real text, low docfreq) where the
+    * candidate set is small — on dense spaces the verification join
+    * dominates and the full join wins.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, threshold: Double): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val sh = shingleSet(df, idCol, textCol, k)
+    val prefix = df.select(col(idCol).as("doc"),
+        array_sort(call_function("shingle_hashes",
+          TextFunctions.tokens(col(textCol)), lit(k))).as("shs"))
+      .select(col("doc"),
+        explode(slice(col("shs"), lit(1),
+          greatest(size(col("shs")) - ceil(size(col("shs")) * threshold).cast("int") + 1,
+            lit(0)))).as("sh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** MinHash signatures: for each of `numHashes` seeds, the min
@@ -106,18 +160,7 @@ object Dedup {
     val sh = shingleSet(df, idCol, textCol, k)
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
     val cand = lshCandidates(sigs, bands, numHashes / bands)
-    val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val interCand = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
-    interCand
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc"))
-      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** 64-bit SimHash over the document's distinct token hashes: bit b of

@@ -41,6 +41,15 @@ class DedupSpec extends SparkSpec {
     assert(nearAvg < randAvg, s"near=$nearAvg rand=$randAvg")
   }
 
+  test("prefix-filtered jaccard equals the full inverted-index join") {
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6))
+    val pref = pairs(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.6))
+    assert(full.nonEmpty && pref == full)
+  }
+
   test("exact dedup keeps lowest id and counts copies") {
     val df = Seq((10L, "aaa"), (3L, "aaa"), (7L, "bbb")).toDF("doc_id", "text")
     val out = Dedup.exact(df, col("text"), col("doc_id"))
