@@ -146,6 +146,26 @@ class PipelineSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("a"))
   }
 
+  test("per-stage checkpoints write parquet and overwrite on re-run (fixes reference re-run duplication)") {
+    val in = tmpCsv("ck.csv", "id", (1 to 10).map(_.toString))
+    val ckDir = Files.createTempDirectory("graft-ck").toString
+    val cfg = graft.model.ConfigLoader.fromYaml(
+      """inDelimiter: ";"
+        |filters:
+        |  - {name: a, actionType: sql, code: "SELECT id, id * 2 AS dbl FROM df"}
+        |  - {name: b, actionType: sql, code: "SELECT * FROM df WHERE id <= 5"}
+        |""".stripMargin)
+    val r1 = Pipeline.run(spark, cfg, in, None, countStages = true, checkpointDir = Some(ckDir))
+    assert(r1.stages.map(_.rows) == Seq(Some(10L), Some(5L)))
+    assert(new java.io.File(s"$ckDir/stage=0").exists())
+    assert(new java.io.File(s"$ckDir/stage=1").exists())
+    // re-run against the same checkpoint dir must NOT duplicate rows
+    // (the reference INSERTs into leftover filter{i} tables — §2c)
+    val r2 = Pipeline.run(spark, cfg, in, None, countStages = true, checkpointDir = Some(ckDir))
+    assert(r2.stages.map(_.rows) == Seq(Some(10L), Some(5L)))
+    assert(r2.output.count() == 5)
+  }
+
   test("unsupported file format fails fast (O4)") {
     val e = intercept[IllegalArgumentException] {
       graft.sources.Sources.load(spark, "/tmp/nope.xlsx")
