@@ -213,8 +213,49 @@ object ExtraQueries {
     """)
   }
 
+  /** Regexp capture groups + position/occurrence functions. */
+  def q71RegexpExtract(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_word"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        instr(col("p_name"), "a").as("first_a"))
+      .orderBy(col("p_partkey"))
+
+  /** IN-subquery predicate (plans as a semi join). */
+  def q72InSubquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_in")
+    customer(s, d).createOrReplaceTempView("customer_in")
+    s.sql("""
+      SELECT o_orderkey, o_custkey
+      FROM orders_in
+      WHERE o_custkey IN (SELECT c_custkey FROM customer_in WHERE c_acctbal > 8000.0)
+      ORDER BY o_orderkey
+    """)
+  }
+
+  /** Deterministic variance/stddev: built-in var_samp is a streaming
+    * (order-dependent) fold in both engines, so compute from exact
+    * decimal Σx and Σx² instead — identical doubles on any partitioning.
+    */
+  def q73Variance(s: SparkSession, d: String): DataFrame = {
+    val x = dec2(col("o_totalprice"))
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(x).cast("double").as("sx"),
+           sum(x * x).cast("double").as("sxx"))
+      .select(col("o_orderstatus"), col("n"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_samp"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_samp"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_approx_distinct" -> (q69ApproxDistinct _),
+    "q71_regexp_extract"  -> (q71RegexpExtract _),
+    "q72_in_subquery"     -> (q72InSubquery _),
+    "q73_variance"        -> (q73Variance _),
     "q70_correlated_subq" -> (q70CorrelatedSubquery _),
     "q66_window_misc"   -> (q66WindowMisc _),
     "q67_listagg"       -> (q67ListAgg _),
@@ -242,6 +283,30 @@ object ExtraQueries {
       SELECT o_custkey,
         array_to_string((list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3], ',') AS top3
       FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q71_regexp_extract" -> """
+      SELECT p_partkey,
+        regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        CAST(instr(p_name, 'a') AS INT) AS first_a
+      FROM part ORDER BY p_partkey""",
+
+    "q72_in_subquery" -> """
+      SELECT o_orderkey, o_custkey
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000.0)
+      ORDER BY o_orderkey""",
+
+    "q73_variance" -> """
+      WITH a AS (
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+        FROM orders GROUP BY o_orderstatus)
+      SELECT o_orderstatus, n,
+        (sxx - sx * sx / n) / (n - 1) AS var_samp,
+        sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp
+      FROM a ORDER BY o_orderstatus""",
 
     "q70_correlated_subq" -> """
       SELECT o_orderkey, o_custkey, o_totalprice
