@@ -251,8 +251,41 @@ object ExtraQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Bitwise aggregates (commutative → order-independent). */
+  def q74BitAggs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(bit_and(col("l_linenumber")).as("band"),
+           bit_or(col("l_linenumber")).as("bor"),
+           bit_xor(col("l_linenumber")).as("bxor"))
+      .orderBy(col("l_returnflag"))
+
+  /** String shaping family: pad / trim / repeat / reverse / translate. */
+  def q75StringShape(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .select(col("n_nationkey"),
+        lpad(col("n_name"), 12, "_").as("padded"),
+        rtrim(lpad(col("n_name"), 12, " ")).as("trimmed"),
+        reverse(col("n_name")).as("rev"),
+        repeat(substring(col("n_name"), 1, 2), 3).as("rep"),
+        translate(col("n_name"), "_", "-").as("dashed"))
+      .orderBy(col("n_nationkey"))
+
+  /** least / greatest / nullif / ifnull scalar conditionals. */
+  def q76Conditionals(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        least(col("l_discount"), col("l_tax")).as("lo"),
+        greatest(col("l_discount"), col("l_tax")).as("hi"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_or_neg"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_approx_distinct" -> (q69ApproxDistinct _),
+    "q74_bit_aggs"        -> (q74BitAggs _),
+    "q75_string_shape"    -> (q75StringShape _),
+    "q76_conditionals"    -> (q76Conditionals _),
     "q71_regexp_extract"  -> (q71RegexpExtract _),
     "q72_in_subquery"     -> (q72InSubquery _),
     "q73_variance"        -> (q73Variance _),
@@ -283,6 +316,30 @@ object ExtraQueries {
       SELECT o_custkey,
         array_to_string((list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3], ',') AS top3
       FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q74_bit_aggs" -> """
+      SELECT l_returnflag,
+        CAST(bit_and(l_linenumber) AS INT) AS band,
+        CAST(bit_or(l_linenumber) AS INT) AS bor,
+        CAST(bit_xor(l_linenumber) AS INT) AS bxor
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q75_string_shape" -> """
+      SELECT n_nationkey,
+        lpad(n_name, 12, '_') AS padded,
+        rtrim(lpad(n_name, 12, ' ')) AS trimmed,
+        reverse(n_name) AS rev,
+        repeat(substr(n_name, 1, 2), 3) AS rep,
+        translate(n_name, '_', '-') AS dashed
+      FROM nation ORDER BY n_nationkey""",
+
+    "q76_conditionals" -> """
+      SELECT l_orderkey, l_linenumber,
+        least(l_discount, l_tax) AS lo,
+        greatest(l_discount, l_tax) AS hi,
+        nullif(l_discount, 0.0) AS disc_or_null,
+        coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "q71_regexp_extract" -> """
       SELECT p_partkey,
