@@ -33,9 +33,19 @@ object TextFunctions {
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
   /** Deterministic document fingerprint (md5 of normalized text) —
-    * portable across engines, unlike xxhash64.
+    * portable across engines, unlike xxhash64. This is the declarative
+    * reference form; the hot path is the native single-pass
+    * `norm_fingerprint` expression (same output bit-for-bit, no
+    * java.util.regex scan) — see [[fingerprintFast]].
     */
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Native single-pass fingerprint. Requires
+    * `GraftFunctions.register(spark)` (or the GraftExtensions injector)
+    * on the session.
+    */
+  def fingerprintFast(text: Column): Column =
+    call_function("norm_fingerprint", text)
 
   /** Number of matches of a word-alternation marker pattern — the
     * n-gram heuristic behind language ID.

@@ -37,6 +37,41 @@ object VectorFunctions {
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Pairwise embedding near-dup detection at scale: banded sign-LSH
+    * candidate generation (equality self-join on (table, bucket) — the
+    * same banding shape as [[Dedup.lshCandidates]] for MinHash), then
+    * exact cosine verification restricted to candidates. Precision is
+    * exact (every emitted pair really clears `threshold`); recall per
+    * pair at angle θ is 1-(1-(1-θ/π)^bits)^tables — e.g. at cos ≥ 0.9
+    * (θ≈26°) the defaults give ≥ 0.99, while at the near-random
+    * cos ≈ 0.45 the fixture uses it degrades gracefully (the exact
+    * all-pairs join in q46 stays the verification oracle; see
+    * ExtraQueries.q46EmbedNearDup).
+    *
+    * 100 TB shape: signatures are row-local (native expression, no
+    * shuffle), candidates come from a bucketed equality join that only
+    * shuffles (id, table, bucket) triples — the wide vector payload is
+    * re-joined by id only for the verified candidate set.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, bits: Int = 8, tables: Int = 16): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val sig = df.select(col(idCol).as("vid"),
+      posexplode(call_function("lsh_signature", col(vecCol), lit(bits), lit(tables)))
+        .as(Seq("tbl", "bucket")))
+    val cand = sig.as("x")
+      .join(sig.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
+      .distinct()
+    val e = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    cand.join(e.as("ea"), col("id_a") === col("ea.vid"))
+      .join(e.as("eb"), col("id_b") === col("eb.vid"))
+      .select(col("id_a"), col("id_b"), cosine(col("ea.vec"), col("eb.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed approximate top-k: queries join candidates sharing any
     * of `tables` random-hyperplane bucket signatures, then exact cosine
     * + rank within the (much smaller) candidate set — the scale path:

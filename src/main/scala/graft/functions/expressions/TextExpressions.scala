@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -61,6 +61,76 @@ case class ShingleHashes(child: Expression, kExpr: Expression)
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(child = cs(0), kExpr = cs(1))
+}
+
+/** norm_fingerprint(text): md5 hex of the canonical document form —
+  * lowercase, strip leading/trailing spaces, collapse whitespace runs to
+  * a single space. Exactly equivalent to
+  * `md5(regexp_replace(trim(lower(text)), "\\s+", " "))` (and to the
+  * DuckDB spelling with the 'g' flag), but in one allocation-light byte
+  * pass instead of a java.util.regex scan per document — the regex path
+  * was 26× the oracle on long documents.
+  *
+  * Whitespace here is java-regex `\s` = [ \t\n\x0B\f\r]; all are
+  * single-byte in UTF-8, so the byte-level pass never splits a
+  * multi-byte code point.
+  */
+case class NormFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"norm_fingerprint needs a string arg, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any = {
+    // Same lowercase as Spark's Lower (UTF8String.toLowerCase).
+    val bytes = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+    // trim() parity: strip 0x20 only at the ends; interior (and non-space
+    // leading/trailing) whitespace is handled by the collapse below.
+    var start = 0
+    var end = bytes.length
+    while (start < end && bytes(start) == 0x20) start += 1
+    while (end > start && bytes(end - 1) == 0x20) end -= 1
+    val out = new Array[Byte](end - start)
+    var m = 0
+    var i = start
+    var inWs = false
+    while (i < end) {
+      val b = bytes(i)
+      val ws = b == 0x20 || (b >= 0x09 && b <= 0x0D)
+      if (ws) {
+        if (!inWs) { out(m) = 0x20; m += 1; inWs = true }
+      } else { out(m) = b; m += 1; inWs = false }
+      i += 1
+    }
+    val md = NormFingerprint.digests.get()
+    md.reset()
+    md.update(out, 0, m)
+    UTF8String.fromBytes(NormFingerprint.hex(md.digest()))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NormFingerprint {
+  /** Per-thread digest: Expression instances are shared across local-mode
+    * tasks, so instance state would race.
+    */
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  private val HexChars = "0123456789abcdef".getBytes
+  private def hex(d: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexChars(d(i) & 0xF)
+      i += 1
+    }
+    out
+  }
 }
 
 /** minhash_signature(tokens, k, numHashes): the full MinHash signature

@@ -152,7 +152,8 @@ object GraftFunctions {
     "lsh_signature" -> (es => LshSignatures(es(0), es(1), es(2))),
     "vec_norm" -> (es => VectorNorm(es.head)),
     "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
-    "minhash_signature" -> (es => MinhashSignature(es(0), es(1), es(2))))
+    "minhash_signature" -> (es => MinhashSignature(es(0), es(1), es(2))),
+    "norm_fingerprint" -> (es => NormFingerprint(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object ExtraQueries {
 
-  /** Embedding-cosine near-dup pairs, exact (brute-force O(n²)/2 — the
-    * oracle-checkable baseline; the LSH-bucketed path in
-    * VectorFunctions.annTopK is the 100 TB route).
+  /** Embedding-cosine near-dup pairs, exact (brute-force O(n²)/2). This
+    * is the VERIFICATION ORACLE only — it plans as a
+    * BroadcastNestedLoopJoin and must never run at scale. The production
+    * pairwise path is the banded sign-LSH join in
+    * [[graft.functions.VectorFunctions.lshNearDupPairs]]
+    * (VectorQueries.q37EmbedNearDupLsh), whose precision is exact and
+    * whose recall is asserted against this query's pass-set in DedupSpec.
     */
   def q46EmbedNearDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)

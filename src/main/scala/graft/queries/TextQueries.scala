@@ -73,13 +73,18 @@ object TextQueries {
       .select(col("doc").as("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
-  /** Portable fingerprint dedup: md5 over normalized text. */
-  def q38Fingerprint(s: SparkSession, d: String): DataFrame =
+  /** Portable fingerprint dedup: md5 over normalized text (native
+    * single-pass norm_fingerprint expression; output identical to the
+    * DuckDB md5 ∘ regexp_replace ∘ trim ∘ lower oracle spelling).
+    */
+  def q38Fingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
     documents(s, d)
-      .groupBy(TF.fingerprint(col("text")).as("fp"))
+      .groupBy(TF.fingerprintFast(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fp"), col("n_copies"))
       .orderBy(col("doc_id"))
+  }
 
   /** Multimodal plumbing: opaque binary payload + byte length + magic
     * prefix (hex of the first 4 bytes) — the metadata path an

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+  /** Banded sign-LSH embedding near-dup pairs — the scale path for
+    * pairwise embedding dedup (Spark-only planes, rows-only check;
+    * precision is exact by construction, recall vs the q46 all-pairs
+    * oracle asserted in DedupSpec).
+    */
+  def q37EmbedNearDupLsh(s: SparkSession, d: String): DataFrame =
+    VF.lshNearDupPairs(embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.45, bits = 8, tables = 16)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def q40CosineTopk(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
@@ -41,6 +51,7 @@ object VectorQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_embed_neardup_lsh" -> (q37EmbedNearDupLsh _),
     "q40_cosine_topk"    -> (q40CosineTopk _),
     "q41_ann_lsh"        -> (q41AnnLsh _),
     "q45_embedding_norm" -> (q45EmbeddingNorms _),

@@ -81,6 +81,54 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("native norm_fingerprint matches the declarative md5∘regexp form bit-for-bit") {
+    val edge = Seq(
+      "  Leading and trailing  ", "\tTabs\tand\nnewlines\r\n", "",
+      "  ", "MiXeD CaSe  runs   ofspace", "ünïcødé ÄÖÜ ß",
+      "already normal text").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = edge.toDF("doc_id", "text").union(docs.select("doc_id", "text"))
+    val cmp = df.select(
+      TextFunctions.fingerprint(col("text")).as("slow"),
+      TextFunctions.fingerprintFast(col("text")).as("fast"))
+    assert(cmp.filter(col("slow") =!= col("fast")).count() == 0)
+    assert(cmp.filter(col("slow").isNull =!= col("fast").isNull).count() == 0)
+  }
+
+  test("LSH embed pair-dedup: exact precision vs q46 all-pairs oracle, recall floor") {
+    val emb = Tables.embeddings(spark, sf)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = toSet(graft.queries.ExtraQueries.q46EmbedNearDup(spark, sf))
+    val lsh = toSet(VectorFunctions.lshNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, bits = 8, tables = 16))
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs at cos >= 0.45")
+    assert(lsh.subsetOf(exact), "every LSH pair must be a verified exact pair (precision 1)")
+    // fixture vectors are near-random (cos 0.45 ≈ 3.6σ) — the hard case;
+    // at production thresholds (cos >= 0.9) banding recall is >= 0.99.
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall on near-random vectors")
+  }
+
+  test("LSH embed pair-dedup finds ALL planted high-cosine duplicates (recall 1 at cos>=0.9)") {
+    // 40 deterministic base vectors + a tiny-perturbation duplicate each:
+    // the realistic embedding-dedup regime (cos >= 0.99 within pairs,
+    // near-orthogonal across pairs).
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val dup = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, base.toSeq), (i.toLong * 2 + 1, dup.toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val found = VectorFunctions.lshNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.9, bits = 8, tables = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 40).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(planted.subsetOf(found), s"missed ${(planted -- found).size} planted pairs")
+  }
+
   test("cosine is exact: self-similarity 1.0, range bounded") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     val cos = emb.select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
