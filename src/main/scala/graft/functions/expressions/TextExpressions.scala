@@ -2,16 +2,19 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native expressions for the shingling/minhash hot loops. The
-  * higher-order-function formulation (transform + concat_ws + element_at
-  * + array_min) evaluates interpreted AND re-evaluates the token-split
-  * subtree per element — O(shingles × k) string splits per row. These
-  * run one tight loop per row instead.
+/** Native expressions for the shingling/minhash/fingerprint hot loops.
+  * The higher-order-function formulation (transform + concat_ws +
+  * element_at + array_min) evaluates interpreted AND re-evaluates the
+  * token-split subtree per element — O(shingles × k) string splits per
+  * row. These run one tight loop per row instead, and codegen as a
+  * single static call (see VectorExpressions' scaladoc for why that
+  * beats CodegenFallback).
   */
 private object ShingleUtil {
   /** 64-bit hash of the k-token window starting at i: xxhash of each
@@ -35,8 +38,7 @@ private object ShingleUtil {
   * shingle strings — set operations (Jaccard, inverted index joins)
   * behave exactly as with string shingles, at 8 bytes a key.
   */
-case class ShingleHashes(child: Expression, kExpr: Expression)
-    extends Expression with CodegenFallback {
+case class ShingleHashes(child: Expression, kExpr: Expression) extends Expression {
   override def children: Seq[Expression] = Seq(child, kExpr)
   override def nullable: Boolean = child.nullable
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -45,7 +47,26 @@ case class ShingleHashes(child: Expression, kExpr: Expression)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
-    val tok = v.asInstanceOf[ArrayData]
+    ShingleHashes.compute(v.asInstanceOf[ArrayData], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code + code"""
+      boolean ${ev.isNull} = ${c.isNull};
+      $javaType ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.expressions.ShingleHashes.compute(${c.value}, $k);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0), kExpr = cs(1))
+}
+
+object ShingleHashes {
+  def compute(tok: ArrayData, k: Int): ArrayData = {
     val n = tok.numElements()
     if (n < k) return ArrayData.toArrayData(Array.emptyLongArray)
     val seen = new java.util.HashSet[java.lang.Long](n * 2)
@@ -59,8 +80,6 @@ case class ShingleHashes(child: Expression, kExpr: Expression)
     }
     ArrayData.toArrayData(java.util.Arrays.copyOf(out, m))
   }
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
-    copy(child = cs(0), kExpr = cs(1))
 }
 
 /** norm_fingerprint(text): md5 hex of the canonical document form —
@@ -75,8 +94,7 @@ case class ShingleHashes(child: Expression, kExpr: Expression)
   * single-byte in UTF-8, so the byte-level pass never splits a
   * multi-byte code point.
   */
-case class NormFingerprint(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class NormFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -84,9 +102,28 @@ case class NormFingerprint(child: Expression)
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"norm_fingerprint needs a string arg, got ${child.dataType}")
 
-  override def nullSafeEval(v: Any): Any = {
+  override def nullSafeEval(v: Any): Any =
+    NormFingerprint.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.expressions.NormFingerprint.compute($s)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NormFingerprint {
+  /** Per-thread digest: Expression instances are shared across local-mode
+    * tasks, so instance state would race.
+    */
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  private val HexChars = "0123456789abcdef".getBytes
+
+  def compute(v: UTF8String): UTF8String = {
     // Same lowercase as Spark's Lower (UTF8String.toLowerCase).
-    val bytes = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+    val bytes = v.toLowerCase.getBytes
     // trim() parity: strip 0x20 only at the ends; interior (and non-space
     // leading/trailing) whitespace is handled by the collapse below.
     var start = 0
@@ -105,22 +142,12 @@ case class NormFingerprint(child: Expression)
       } else { out(m) = b; m += 1; inWs = false }
       i += 1
     }
-    val md = NormFingerprint.digests.get()
+    val md = digests.get()
     md.reset()
     md.update(out, 0, m)
-    UTF8String.fromBytes(NormFingerprint.hex(md.digest()))
+    UTF8String.fromBytes(hex(md.digest()))
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
 
-object NormFingerprint {
-  /** Per-thread digest: Expression instances are shared across local-mode
-    * tasks, so instance state would race.
-    */
-  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
-    java.security.MessageDigest.getInstance("MD5"))
-
-  private val HexChars = "0123456789abcdef".getBytes
   private def hex(d: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](d.length * 2)
     var i = 0
@@ -139,7 +166,7 @@ object NormFingerprint {
   * expression evaluation.
   */
 case class MinhashSignature(child: Expression, kExpr: Expression, numExpr: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
   override def children: Seq[Expression] = Seq(child, kExpr, numExpr)
   override def nullable: Boolean = child.nullable
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -149,7 +176,26 @@ case class MinhashSignature(child: Expression, kExpr: Expression, numExpr: Expre
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
-    val tok = v.asInstanceOf[ArrayData]
+    MinhashSignature.compute(v.asInstanceOf[ArrayData], k, num)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code + code"""
+      boolean ${ev.isNull} = ${c.isNull};
+      $javaType ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.expressions.MinhashSignature.compute(${c.value}, $k, $num);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0), kExpr = cs(1), numExpr = cs(2))
+}
+
+object MinhashSignature {
+  def compute(tok: ArrayData, k: Int, num: Int): ArrayData = {
     val n = tok.numElements()
     val sig = Array.fill(num)(Long.MaxValue)
     if (n >= k) {
@@ -171,6 +217,4 @@ case class MinhashSignature(child: Expression, kExpr: Expression, numExpr: Expre
     }
     ArrayData.toArrayData(sig)
   }
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
-    copy(child = cs(0), kExpr = cs(1), numExpr = cs(2))
 }

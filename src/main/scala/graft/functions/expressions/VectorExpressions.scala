@@ -3,7 +3,8 @@ package graft.functions.expressions
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -13,6 +14,14 @@ import org.apache.spark.sql.types._
   * the generated code past janino's limits; these evaluate as tight JVM
   * loops over ArrayData instead — q41_ann_lsh drops from ~54 s to
   * sub-second at sf0.1.
+  *
+  * Codegen strategy: each expression's doGenCode emits a single static
+  * call into its companion object (scalac puts static forwarders for
+  * companion-object methods on the class), so the generated code stays
+  * tiny (janino-safe) while the expression remains INSIDE
+  * WholeStageCodegen — a CodegenFallback here would force the parent
+  * plan to materialize an InternalRow per call and break the codegen
+  * span around it (q46 evaluates cosine 12.5M times at sf0.1).
   */
 private object VecUtil {
   /** Read element i as double for float/double arrays. */
@@ -27,11 +36,15 @@ private object VecUtil {
 
 /** cosine_sim(a, b): sequential-fold dot/norms in double precision —
   * bit-identical to DuckDB list_cosine_similarity over DOUBLE[] (and to
-  * the aggregate/zip_with formulation it replaces).
+  * the aggregate/zip_with formulation it replaces). Returns NULL when
+  * the vectors have different lengths (DuckDB raises there; silently
+  * truncating would hand plausible-looking scores to ragged embedding
+  * columns).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType | DoubleType, _) => true
@@ -45,10 +58,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private lazy val lFloat = VecUtil.isFloatArray(left.dataType)
   private lazy val rFloat = VecUtil.isFloatArray(right.dataType)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CosineSimilarity.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      lFloat, rFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("cos")
+      s"""
+         java.lang.Double $boxed = graft.functions.expressions.CosineSimilarity.compute(
+           $a, $b, $lFloat, $rFloat);
+         if ($boxed == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object CosineSimilarity {
+  /** Null (not a truncated score) on length mismatch. */
+  def compute(a: ArrayData, b: ArrayData, lFloat: Boolean, rFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -57,10 +90,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 /** lsh_signature(v, bits, tables): array of `tables` bucket ids, bucket
@@ -68,7 +99,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * splitmix64 pseudo-random vectors, cached per (tables, bits, dim).
   */
 case class LshSignatures(child: Expression, bitsExpr: Expression, tablesExpr: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
   override def children: Seq[Expression] = Seq(child, bitsExpr, tablesExpr)
   override def nullable: Boolean = child.nullable
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -81,16 +112,38 @@ case class LshSignatures(child: Expression, bitsExpr: Expression, tablesExpr: Ex
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
-    val a = v.asInstanceOf[ArrayData]
+    LshSignatures.compute(v.asInstanceOf[ArrayData], bits, tables, isFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code + code"""
+      boolean ${ev.isNull} = ${c.isNull};
+      $javaType ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.expressions.LshSignatures.compute(
+          ${c.value}, $bits, $tables, $isFloat);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0), bitsExpr = cs(1), tablesExpr = cs(2))
+}
+
+object LshSignatures {
+  private val cache = new ConcurrentHashMap[(Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  def compute(a: ArrayData, bits: Int, tables: Int, isFloat: Boolean): ArrayData = {
     val dim = a.numElements()
-    val planes = LshSignatures.planes(tables, bits, dim)
+    val ps = planes(tables, bits, dim)
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0L
       var j = 0
       while (j < bits) {
-        val p = planes(t)(j)
+        val p = ps(t)(j)
         var dot = 0.0
         var d = 0
         while (d < dim) { dot += VecUtil.get(a, d, isFloat) * p(d); d += 1 }
@@ -102,12 +155,6 @@ case class LshSignatures(child: Expression, bitsExpr: Expression, tablesExpr: Ex
     }
     ArrayData.toArrayData(out)
   }
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
-    copy(child = cs(0), bitsExpr = cs(1), tablesExpr = cs(2))
-}
-
-object LshSignatures {
-  private val cache = new ConcurrentHashMap[(Int, Int, Int), Array[Array[Array[Double]]]]()
 
   /** splitmix64-derived unit value in [-0.5, 0.5) — public-domain mix. */
   private def splitmixUnit(seed: Long): Double = {
@@ -128,18 +175,25 @@ object LshSignatures {
 }
 
 /** vec_norm(a): ‖a‖₂ with the same sequential fold. */
-case class VectorNorm(child: Expression) extends UnaryExpression with CodegenFallback {
+case class VectorNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   private lazy val isFloat = VecUtil.isFloatArray(child.dataType)
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    VectorNorm.compute(v.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.VectorNorm.compute($a, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object VectorNorm {
+  def compute(a: ArrayData, isFloat: Boolean): Double = {
     var s = 0.0
     var i = 0
     val n = a.numElements()
     while (i < n) { val x = VecUtil.get(a, i, isFloat); s += x * x; i += 1 }
     math.sqrt(s)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Registration: both as a SparkSessionExtensions injector (for
@@ -155,10 +209,14 @@ object GraftFunctions {
     "minhash_signature" -> (es => MinhashSignature(es(0), es(1), es(2))),
     "norm_fingerprint" -> (es => NormFingerprint(es.head)))
 
+  /** Idempotent; guarded so re-registration (every query entry calls
+    * this) doesn't spam "replaced a previously registered function".
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     fns.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
   }
 }
@@ -177,5 +235,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
       es => VectorNorm(es.head)))
+    e.injectFunction((FunctionIdentifier("norm_fingerprint"),
+      new ExpressionInfo(classOf[NormFingerprint].getName, "norm_fingerprint"),
+      es => NormFingerprint(es.head)))
   }
 }

@@ -59,4 +59,43 @@ class PlanSpec extends SparkSpec {
     val p = planOf(SparkEntry.entry(spark))
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("native expressions codegen for real — no silent interpreted fallback") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // With fallback off, a broken doGenCode throws instead of silently
+    // degrading to eval() (the 36x-slower failure mode documented for
+    // janino blowups).
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val docs = Seq((1L, "a b c d e", Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)))
+        .toDF("id", "text", "va", "vb")
+      val out = docs.select(
+        call_function("norm_fingerprint", col("text")).as("fp"),
+        call_function("shingle_hashes", split(col("text"), " "), lit(3)).as("sh"),
+        call_function("minhash_signature", split(col("text"), " "), lit(3), lit(8)).as("mh"),
+        call_function("cosine_sim", col("va"), col("vb")).as("cos"),
+        call_function("lsh_signature", col("va"), lit(4), lit(2)).as("lsh"),
+        call_function("vec_norm", col("va")).as("nrm")).collect().head
+      assert(out.getString(0).length == 32)
+      assert(out.getSeq[Long](1).length == 3)
+      assert(out.getSeq[Long](2).length == 8)
+      assert(math.abs(out.getDouble(3) - 1.0) < 1e-12)
+      assert(out.getSeq[Long](4).length == 2)
+      assert(out.getDouble(5) > 2.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("cosine_sim returns null on ragged vectors instead of a truncated score") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(call_function("cosine_sim", col("a"), col("b")).as("cos"))
+    assert(df.collect().head.isNullAt(0))
+  }
 }
