@@ -30,18 +30,29 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct (id, shingle-hash) pairs. Shingles are 64-bit-hashed by a
-    * native expression in one pass per row (dedup included), so no
-    * shuffle is spent on a global distinct and equality joins shuffle
-    * 8-byte keys instead of strings (collision odds at 2⁻⁶⁴ are far
-    * below the near-dup noise floor).
+  /** Distinct (id, n, shingle-hash) rows, where `n` = |shingle set| is
+    * computed row-locally from the array (no shuffle) so downstream
+    * joins get the length-ratio prune for free. Shingles are
+    * 64-bit-hashed by a native expression in one pass per row (dedup
+    * included), so no shuffle is spent on a global distinct and
+    * equality joins shuffle 8-byte keys instead of strings (collision
+    * odds at 2⁻⁶⁴ are far below the near-dup noise floor).
     */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("doc"),
-      explode(call_function("shingle_hashes",
-        TextFunctions.tokens(col(textCol)), lit(k))).as("sh"))
+        call_function("shingle_hashes",
+          TextFunctions.tokens(col(textCol)), lit(k)).as("shs"))
+      .select(col("doc"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
   }
+
+  /** Length-ratio prune (PPJoin length filter, Xiao et al.): J(A,B) ≥ t
+    * implies t·|A| ≤ |B| and t·|B| ≤ |A| — a necessary condition, so
+    * adding it to a pair join prunes pairs WITHOUT changing the exact
+    * result. Evaluated as a cheap post-probe filter inside the join.
+    */
+  private def lengthRatioOk(na: Column, nb: Column, t: Double): Column =
+    na * t <= nb && nb * t <= na
 
   /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs:
     * intersection counts via a join restricted to the candidates, then
@@ -50,42 +61,68 @@ object Dedup {
     */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
-    val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    // doc sizes ride along on every shingle row (computed row-locally in
+    // shingleSet), so verification needs no separate count-join and the
+    // length-ratio prune drops candidates before the intersection count.
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc") && col("sa.sh") === col("sb.sh") &&
+        lengthRatioOk(col("sa.n"), col("sb.n"), threshold))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa.n").as("na"), col("sb.n").as("nb"))
       .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
+    val jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
     inter
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact pairwise Jaccard ≥ threshold via the full inverted-index
-    * self-join: cost Σ docfreq², no candidate stage. On dense shingle
-    * spaces (high docfreq, like this synthetic corpus) this beats the
+  /** Exact pairwise Jaccard ≥ threshold via the inverted index: cost
+    * Σ docfreq², no candidate stage. On dense shingle spaces (high
+    * docfreq, like this synthetic corpus) this beats the
     * prefix-filtered variant because candidate verification costs
     * |candidates|·|S| which explodes when the filter passes many pairs.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * Plan shape: ONE shuffle on the 8-byte shingle key builds the
+    * posting list per shingle (a self-join would shuffle the index
+    * twice and still probe singleton shingles); docfreq-1 shingles —
+    * the vast majority on real text — can't produce a pair and vanish
+    * at the aggregate. Pairs are then generated in-group from the
+    * sorted posting list (posexplode + slice, both codegen'd
+    * generators), length-ratio-pruned BEFORE the pair shuffle, and
+    * count-aggregated.
+    *
+    * Scale caveat: the posting list is materialized per shingle, so a
+    * stopword-like shingle with docfreq m costs O(m) memory and O(m²)
+    * pairs — that quadratic blowup is inherent to EXACT all-pair
+    * Jaccard however it's computed. At web scale use
+    * [[jaccardPairsPrefix]] (prefix filter bounds candidates) or
+    * [[minhashLshPairs]] (the 100 TB path); this operator's role is
+    * exact verification on bounded corpora.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double): DataFrame = {
     // no cache: the shingle projection is cheap to recompute and caching
     // leaks executor memory across queries at scale
     val sh = shingleSet(df, idCol, textCol, k)
-    val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    val idx = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("doc"), col("n")))).as("ds"))
+      .where(size(col("ds")) > 1)
+    // (a, b) combinations with a.doc < b.doc: element at 0-based pos p
+    // pairs with the slice starting at 1-based p+2; sort_array orders by
+    // the struct's first field (doc), so the ordering invariant holds.
+    val pairs = idx
+      .select(col("ds"), posexplode(col("ds")).as(Seq("p", "a")))
+      .select(col("a"), explode(
+        slice(col("ds"), col("p") + lit(2), size(col("ds")) - col("p") - lit(1))).as("b"))
+    val inter = pairs
+      .where(lengthRatioOk(col("a.n"), col("b.n"), threshold))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") /
-      (col("ca.n") + col("cb.n") - col("i"))
+      (col("na") + col("nb") - col("i"))
     inter
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -108,12 +145,13 @@ object Dedup {
     val prefix = df.select(col(idCol).as("doc"),
         array_sort(call_function("shingle_hashes",
           TextFunctions.tokens(col(textCol)), lit(k))).as("shs"))
-      .select(col("doc"),
+      .select(col("doc"), size(col("shs")).as("n"),
         explode(slice(col("shs"), lit(1),
           greatest(size(col("shs")) - ceil(size(col("shs")) * threshold).cast("int") + 1,
             lit(0)))).as("sh"))
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc") &&
+        lengthRatioOk(col("a.n"), col("b.n"), threshold))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
     verifyJaccard(cand, sh, threshold)
