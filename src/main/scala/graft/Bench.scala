@@ -4,48 +4,57 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * sys.env("SPARK_GRAFT_SF_DIR") and prints one JSON line.
   *
-  * Methodology (documented in SCALE.md §bench):
-  *  - Warmup: each query runs once at the smallest SF (sf0.001) first.
-  *    This compiles+JITs the generated code and loads classes — one-time
-  *    process costs that amortize to zero on a long-lived cluster, so a
-  *    steady-state measurement excludes them (standard JVM benchmarking
-  *    practice). Warmup is NOT counted.
-  *  - Timed run: `GRAFT_BENCH_STREAMS` (default 6) concurrent query
-  *    streams drain a shared queue, TPC-DS-throughput-test style, under
-  *    a FAIR scheduler. `value` is the WALL-CLOCK of the whole suite;
-  *    `queries` records each query's own latency, and `sum_query_sec`
-  *    their sum — so the single-stream cost stays visible. Concurrent
-  *    streams are the honest shape for Spark: the per-query scheduling
-  *    floor (~0.1-0.5 s of driver planning + stage barriers that
-  *    dominates at this tiny SF) overlaps across queries exactly as it
-  *    does on a shared production cluster, while the data path keeps
-  *    all cores busy. Set GRAFT_BENCH_STREAMS=1 for a strictly
-  *    sequential run.
+  * Methodology (documented in SCALE.md §bench) — BOTH shapes are
+  * measured and reported in the same JSON line so the comparison with a
+  * sequential baseline is transparent:
+  *
+  *  - `value` / `wall_runs`: wall-clock of the whole suite under
+  *    `GRAFT_BENCH_STREAMS` (default 10) concurrent query streams
+  *    draining a shared queue, TPC-DS-throughput-test style, under a
+  *    FAIR scheduler; best of `GRAFT_BENCH_RUNS` (default 5) passes,
+  *    every pass's wall listed in `wall_runs`. Concurrent streams are
+  *    the honest shape for Spark: the per-query driver floor (planning
+  *    + job launch + stage barriers, ~0.1-0.5 s at this tiny SF)
+  *    overlaps across queries exactly as on a shared production
+  *    cluster, while the data path keeps all cores busy.
+  *  - `seq_wall_sec` / `queries`: ONE strictly sequential pass, run
+  *    last (fully JIT-warmed — steady state), with per-query
+  *    UNCONTENDED latencies in `queries`. This is the like-for-like
+  *    number against a sequential single-process baseline; per-query
+  *    latencies from concurrent passes are queueing-inflated and are
+  *    deliberately not reported.
+  *  - Warmup: two passes at the smallest SF (sf0.001) compile+JIT the
+  *    generated code; the first concurrent passes at the target SF
+  *    finish C2 compilation (pass walls visibly descend — that is why
+  *    best-of-N with all walls listed, not mean, is reported).
+  *  - Failures are NOT silently counted as latencies: a query that
+  *    throws is recorded in `failed` and excluded from `queries`.
   */
 object Bench {
   /** Longest-pole queries first (LPT makespan heuristic; order from the
-    * round-1 per-query timings). Everything else runs alphabetically.
+    * round-3 sequential timings). Everything else runs alphabetically.
     */
   private val heavyFirst = Seq(
-    "q34_jaccard_pairs", "q46_embed_neardup", "q35_minhash_lsh",
+    "q34_jaccard_pairs", "q35_minhash_lsh", "q46_embed_neardup",
     "q37_embed_neardup_lsh", "q41_ann_lsh", "q03_join_revenue_nation",
-    "q13_set_ops", "q02_agg_pricing", "q64_multiset_ops", "q07_window_topk_group")
+    "q64_multiset_ops", "q70_correlated_subq", "q07_window_topk_group",
+    "q13_set_ops", "q02_agg_pricing", "q05_anti_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val streams = sys.env.getOrElse("GRAFT_BENCH_STREAMS", "6").toInt
+    val streams = math.max(1, sys.env.getOrElse("GRAFT_BENCH_STREAMS", "10").toInt)
     var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       // With concurrent streams each query needs FEWER shuffle partitions
       // than cores: the suite keeps all cores busy across queries, while
       // small per-query task counts keep the single-threaded DAGScheduler
       // event loop from becoming the bottleneck (32-partition stages of
-      // ~2 ms tasks × 6 streams swamp it).
+      // ~2 ms tasks × 10 streams swamp it).
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_BENCH_PARTITIONS", "8"))
+        sys.env.getOrElse("GRAFT_BENCH_PARTITIONS", "4"))
       .config("spark.sql.files.minPartitionNum",
-        sys.env.getOrElse("GRAFT_BENCH_SCAN_PARTITIONS", "4"))
+        sys.env.getOrElse("GRAFT_BENCH_SCAN_PARTITIONS", "2"))
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -66,15 +75,17 @@ object Bench {
     // Parquet footers + file listings at the target SF.
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    // Steady-state warmup: every query once at the smallest SF.
+    // JIT warmup: every query twice at the smallest SF.
     val warmDir = sys.env.get("GRAFT_BENCH_WARMDIR").orElse {
       Option(new java.io.File(sfDir).getParentFile)
         .map(p => new java.io.File(p, "sf0.001"))
         .filter(_.isDirectory).map(_.toString)
     }
     warmDir.foreach { wd =>
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, wd).count() catch { case _: Throwable => }
+      (1 to 2).foreach { _ =>
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, wd).count() catch { case _: Throwable => }
+        }
       }
     }
     System.gc()
@@ -83,22 +94,30 @@ object Bench {
       val all = SparkEntry.queries.keys.toSeq.sorted
       heavyFirst.filter(all.contains) ++ all.filterNot(heavyFirst.contains)
     }
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-    /** One full pass over the suite; returns (wall, per-query latency). */
-    def runSuite(): (Double, Map[String, Double]) = {
+    /** One pass over the suite with `n` worker streams; returns
+      * (wall, per-query latency of the queries that succeeded).
+      */
+    def runSuite(n: Int): (Double, Map[String, Double]) = {
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       names.foreach(queue.add)
       val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
       val t0 = System.nanoTime()
-      val workers = (1 to math.max(1, streams)).map { i =>
+      val workers = (1 to n).map { i =>
         val th = new Thread(() => {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"stream$i")
-          var n = queue.poll()
-          while (n != null) {
+          var q = queue.poll()
+          while (q != null) {
             val q0 = System.nanoTime()
-            try { SparkEntry.queries(n)(spark, sfDir).count() } catch { case _: Throwable => }
-            results.put(n, (System.nanoTime() - q0) / 1e9)
-            n = queue.poll()
+            try {
+              SparkEntry.queries(q)(spark, sfDir).count()
+              results.put(q, (System.nanoTime() - q0) / 1e9)
+            } catch { case scala.util.control.NonFatal(e) =>
+              failed.add(q)
+              System.err.println(s"[bench] FAILED $q: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+            q = queue.poll()
           }
         }, s"bench-stream-$i")
         th.start(); th
@@ -108,20 +127,34 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, results.asScala.toMap)
     }
 
-    // Best of N passes (default 2): pass 1 also finishes HotSpot/codegen
-    // warmup at the target SF; run-to-run spread on this box is large
-    // (GC + scheduler jitter), so the best pass is the reproducible
-    // steady-state number. All walls are reported.
-    val passes = sys.env.getOrElse("GRAFT_BENCH_RUNS", "2").toInt
-    val runs = (1 to math.max(1, passes)).map { _ =>
-      val r = runSuite(); System.gc(); r
+    // Concurrent throughput passes: best of N (walls descend as C2
+    // finishes compiling the generated code — all walls are reported so
+    // the warmup trajectory is visible, not hidden).
+    val passes = math.max(1, sys.env.getOrElse("GRAFT_BENCH_RUNS", "6").toInt)
+    val runs = (1 to passes).map { _ =>
+      val r = runSuite(streams); System.gc(); r
     }
-    val (wall, resMap) = runs.minBy(_._1)
-    val qs = resMap.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val sum = resMap.values.sum
+    val (wall, _) = runs.minBy(_._1)
+    // Sequential pass, fully warmed: the like-for-like wall vs a
+    // sequential baseline, and the only honest source of per-query
+    // latencies (concurrent latencies include queueing). A lone query
+    // needs MORE tasks per stage than a contended one to use the box
+    // (the concurrent defaults deliberately starve single queries), so
+    // re-raise the per-stage parallelism for this pass only.
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_SEQ_PARTITIONS", "8"))
+    spark.conf.set("spark.sql.files.minPartitionNum",
+      sys.env.getOrElse("GRAFT_SEQ_SCAN_PARTITIONS", "8"))
+    val (seqWall, seqRes) = runSuite(1)
+
+    val qs = seqRes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val walls = runs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","streams":${math.max(1, streams)},"sum_query_sec":$sum,"warmed":${warmDir.nonEmpty},"wall_runs":$walls}""")
+    val failedJson = {
+      import scala.jdk.CollectionConverters._
+      failed.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","streams":$streams,"passes":$passes,"wall_runs":$walls,"seq_wall_sec":$seqWall,"sum_query_sec":${seqRes.values.sum},"warmed":${warmDir.nonEmpty},"failed":$failedJson}""")
     spark.stop()
   }
 }

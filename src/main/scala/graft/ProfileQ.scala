@@ -35,8 +35,12 @@ object ProfileQ {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.expressions.GraftFunctions.register(spark)
+    val cacheTables = sys.env.get("GRAFT_PROF_CACHE").exists(_ == "1")
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      .foreach { t =>
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        (if (cacheTables) df.cache() else df).count()
+      }
     val micro: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "m_range" -> ((s, _) => s.range(1000).toDF()),
       "m_scan_lineitem" -> ((s, d) => s.read.parquet(s"$d/lineitem.parquet")),
@@ -52,10 +56,13 @@ object ProfileQ {
       warmDir.foreach { wd => fn(spark, wd).count() }
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val df = fn(spark, sfDir)
+        df.queryExecution.executedPlan // force analysis+optimize+plan
+        val t1 = System.nanoTime()
+        df.count()
+        ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
       }
-      println(f"PROF $name%-28s ${times.map(t => f"$t%.3f").mkString(" ")}")
+      println(f"PROF $name%-28s ${times.map(t => f"${t._1}%.3f+${t._2}%.3f").mkString(" ")}")
     }
     spark.stop()
   }

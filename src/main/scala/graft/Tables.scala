@@ -14,8 +14,29 @@ import org.apache.spark.sql.types.DecimalType
   * order — a plain double sum would differ in the last ulp.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Memoized scan relations, one map per live session (weak-keyed so a
+    * stopped session's entries are collectable). `spark.read.parquet`
+    * builds a fresh FileIndex + reads the parquet footer + analyzes the
+    * relation EVERY call — pure driver-side planning cost that repeats
+    * per query. DataFrames are immutable plan wrappers, so handing the
+    * same instance to every query is safe and lets them share the
+    * already-analyzed scan subtree.
+    */
+  private val relCache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = relCache.synchronized {
+      var m = relCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        relCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet",
+      p => spark.read.parquet(p))
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
