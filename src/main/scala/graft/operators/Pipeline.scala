@@ -26,6 +26,11 @@ object Pipeline {
         case "sql" =>
           SqlStage(sc.name, sc.code.getOrElse(
             throw new IllegalArgumentException(s"${sc.name}: sql stage needs code")))
+        // A reference `python` stage with a literal code block is
+        // migrated to derive columns ([[PythonMigrate]]); with an
+        // actionConfig it is our native derive surface.
+        case "python" if sc.code.exists(_.trim.nonEmpty) =>
+          DeriveStage(sc.name, PythonMigrate.toDeriveColumns(sc.code.get))
         case "python" | "derive" => DeriveStage.fromConfig(sc)
         case "rest" => RestStage.fromConfig(spark, sc)
         case "pandas" | "udf" | "transform" =>

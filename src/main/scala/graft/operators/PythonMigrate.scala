@@ -1,0 +1,600 @@
+package graft.operators
+
+import scala.collection.mutable
+
+/** Migration aid for the reference's per-row `python` stages (O13,
+  * /root/reference/filefilter.py:38-50): translates the restricted
+  * python subset that the reference's own examples use
+  * (/root/reference/FileFilterGPT/phones.yml:6-15,
+  * /root/reference/examples/fullExample/fullExample.yml:22-40) into
+  * Spark SQL derive columns — so those YAMLs run VERBATIM through
+  * [[graft.Main]], compiled to codegen'd Catalyst expressions instead of
+  * per-row exec().
+  *
+  * Supported subset (anything else fails with an actionable message
+  * naming the construct and line):
+  *  - `import re/json/random/pandas` (with aliases); other imports error
+  *  - module-level constant bindings `name = <expr>`
+  *  - `def f(a, b):` whose body is bindings + an if/elif/else chain of
+  *    single `return <expr>` branches (compiled to CASE WHEN), or a
+  *    plain `return <expr>` — including `return {dict literal}`
+  *  - `row['x'] = <expr>` assignments (the output derive columns)
+  *  - expressions: literals, `row['y']`, str/int/float/len/abs/round,
+  *    `re.match(pat, e)` (→ `e RLIKE '^(?:pat)'`), `rand.uniform(a,b)`
+  *    (→ `a + rand()*(b-a)`), `json.dumps({...})` (→ to_json(
+  *    named_struct(...))), `json.loads(e)` + `.get('k', d)` / `['k']`
+  *    (→ get_json_object), arithmetic, comparisons, and/or/not,
+  *    `a if cond else b`, dict-returning function results
+  *
+  * Documented divergences (same spirit as the `derive` stage, SURVEY
+  * §2c): a dict-returning function call is inlined at each USE site, so
+  * a non-deterministic dict member read twice yields independent draws
+  * (the reference evaluated the function once per row); and `.get(k,
+  * default)` maps to get_json_object + coalesce, so an explicit `{}`
+  * default becomes NULL.
+  */
+object PythonMigrate {
+
+  final class MigrationError(line: Int, construct: String, hint: String)
+    extends IllegalArgumentException(
+      s"python stage migration: unsupported construct at line $line: $construct. " +
+        s"$hint Re-express this stage as a 'derive' stage (Spark SQL expressions), " +
+        "a 'sql' stage, or a registered 'transform'.")
+
+  // ---------------------------------------------------------------- lexer
+
+  private sealed trait Tok
+  private case class TName(s: String) extends Tok
+  private case class TNum(s: String) extends Tok
+  private case class TStr(s: String) extends Tok
+  private case class TOp(s: String) extends Tok
+
+  private def lex(src: String, lineNo: Int): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val ops2 = Set("==", "!=", "<=", ">=", "//", "**")
+    while (i < src.length) {
+      val c = src.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '#') i = src.length
+      else if (c.isLetter || c == '_') {
+        val j0 = i
+        while (i < src.length && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_')) i += 1
+        val w = src.substring(j0, i)
+        // r'...' raw string prefix
+        if ((w == "r" || w == "R") && i < src.length && (src.charAt(i) == '\'' || src.charAt(i) == '"')) {
+          val (s, ni) = lexString(src, i, lineNo, raw = true); out += TStr(s); i = ni
+        } else out += TName(w)
+      } else if (c.isDigit || (c == '.' && i + 1 < src.length && src.charAt(i + 1).isDigit)) {
+        val j0 = i
+        while (i < src.length && (src.charAt(i).isDigit || src.charAt(i) == '.')) i += 1
+        out += TNum(src.substring(j0, i))
+      } else if (c == '\'' || c == '"') {
+        val (s, ni) = lexString(src, i, lineNo, raw = false); out += TStr(s); i = ni
+      } else if (i + 1 < src.length && ops2.contains(src.substring(i, i + 2))) {
+        out += TOp(src.substring(i, i + 2)); i += 2
+      } else {
+        out += TOp(c.toString); i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def lexString(src: String, start: Int, lineNo: Int, raw: Boolean): (String, Int) = {
+    val quote = src.charAt(start)
+    val sb = new StringBuilder
+    var i = start + 1
+    while (i < src.length && src.charAt(i) != quote) {
+      val c = src.charAt(i)
+      if (c == '\\' && !raw && i + 1 < src.length) {
+        val n = src.charAt(i + 1)
+        sb += (n match {
+          case 'n' => '\n'; case 't' => '\t'; case '\\' => '\\'
+          case '\'' => '\''; case '"' => '"'; case other => other
+        })
+        i += 2
+      } else if (c == '\\' && raw && i + 1 < src.length) {
+        sb += '\\'; sb += src.charAt(i + 1); i += 2
+      } else { sb += c; i += 1 }
+    }
+    if (i >= src.length)
+      throw new MigrationError(lineNo, "unterminated string literal", "")
+    (sb.toString, i + 1)
+  }
+
+  // ------------------------------------------------------------ value IR
+
+  /** Translated value: either a SQL fragment, a python dict, or a parsed
+    * JSON document handle (json.loads result).
+    */
+  private sealed trait V
+  private case class Sql(sql: String, isString: Boolean = false) extends V
+  private case class Dict(fields: Seq[(String, V)]) extends V
+  private case class Json(src: V) extends V
+  private case class Func(params: Seq[String], body: Seq[Stmt], defLine: Int) extends V
+  /** Bound python module alias, e.g. `rand` -> random. */
+  private case class Module(name: String) extends V
+
+  private def sqlOf(v: V, line: Int): Sql = v match {
+    case s: Sql => s
+    case Json(src) => sqlOf(src, line)
+    case Dict(_) => throw new MigrationError(line, "a dict used as a scalar value",
+      "Subscript it with a constant key.")
+    case Func(_, _, l) => throw new MigrationError(line, s"function value (defined at line $l) used as a scalar", "")
+    case Module(m) => throw new MigrationError(line, s"module '$m' used as a value", "")
+  }
+
+  private def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  // ----------------------------------------------------------- statements
+
+  private sealed trait Stmt { def line: Int }
+  private case class SBind(name: String, expr: Vector[Tok], line: Int) extends Stmt
+  private case class SRow(col: String, expr: Vector[Tok], line: Int) extends Stmt
+  private case class SReturn(expr: Vector[Tok], line: Int) extends Stmt
+  private case class SIf(branches: Seq[(Option[Vector[Tok]], Seq[Stmt])], line: Int) extends Stmt
+  private case class SDef(name: String, params: Seq[String], body: Seq[Stmt], line: Int) extends Stmt
+  private case class SImport(binds: Seq[(String, String)], line: Int) extends Stmt
+
+  private case class Line(no: Int, indent: Int, text: String)
+
+  private def logicalLines(code: String): Vector[Line] =
+    code.linesIterator.zipWithIndex.flatMap { case (raw, idx) =>
+      val noComment = stripComment(raw)
+      val t = noComment.trim
+      if (t.isEmpty) None
+      else Some(Line(idx + 1, noComment.takeWhile(_ == ' ').length +
+        noComment.takeWhile(_ == '\t').length * 8, t))
+    }.toVector
+
+  private def stripComment(s: String): String = {
+    var i = 0; var q: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) { if (c == '\\') i += 1 else if (c == q) q = 0 }
+      else if (c == '\'' || c == '"') q = c
+      else if (c == '#') return s.substring(0, i)
+      i += 1
+    }
+    s
+  }
+
+  /** Parse a block of lines (all at indent >= the first line's). */
+  private def parseBlock(lines: Vector[Line]): Seq[Stmt] = {
+    val out = Seq.newBuilder[Stmt]
+    var i = 0
+    val base = if (lines.nonEmpty) lines.head.indent else 0
+    def childBlock(from: Int): (Vector[Line], Int) = {
+      var j = from
+      while (j < lines.length && lines(j).indent > base) j += 1
+      (lines.slice(from, j), j)
+    }
+    while (i < lines.length) {
+      val ln = lines(i)
+      val t = ln.text
+      if (ln.indent != base)
+        throw new MigrationError(ln.no, s"unexpected indentation: '$t'", "")
+      if (t.startsWith("import ") || t.startsWith("from ")) {
+        out += parseImport(t, ln.no); i += 1
+      } else if (t.startsWith("def ")) {
+        val m = """def\s+(\w+)\s*\(([^)]*)\)\s*:\s*""".r
+        t match {
+          case m(name, params) =>
+            val (body, ni) = childBlock(i + 1)
+            if (body.isEmpty) throw new MigrationError(ln.no, s"empty function '$name'", "")
+            out += SDef(name, params.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+              parseBlock(body), ln.no)
+            i = ni
+          case _ => throw new MigrationError(ln.no, s"'$t'", "Only simple 'def name(args):' is supported.")
+        }
+      } else if (t.startsWith("if ") || t.startsWith("elif ") || t.startsWith("else")) {
+        // collect a full if/elif/else chain
+        val branches = Seq.newBuilder[(Option[Vector[Tok]], Seq[Stmt])]
+        var done = false
+        while (i < lines.length && !done) {
+          val bl = lines(i); val bt = bl.text
+          val cond: Option[String] =
+            if (bt.startsWith("if ") && branches.knownSize == 0) Some(bt.stripPrefix("if "))
+            else if (bt.startsWith("elif ")) Some(bt.stripPrefix("elif "))
+            else if (bt == "else:" || bt.startsWith("else")) None
+            else { done = true; None }
+          if (!done) {
+            val condTrim = cond.map(_.trim.stripSuffix(":").trim)
+            if (cond.isDefined && (condTrim.isEmpty || !bt.trim.endsWith(":")))
+              throw new MigrationError(bl.no, s"'$bt'", "Conditions must end with ':'.")
+            val (body, ni) = childBlock(i + 1)
+            if (body.isEmpty) throw new MigrationError(bl.no, "empty branch body", "")
+            branches += ((condTrim.map(c => lex(c, bl.no)), parseBlock(body)))
+            i = ni
+            if (cond.isEmpty) done = true // else terminates the chain
+            else if (i >= lines.length || lines(i).indent != base ||
+              !(lines(i).text.startsWith("elif") || lines(i).text.startsWith("else"))) done = true
+          }
+        }
+        out += SIf(branches.result(), ln.no)
+      } else if (t.startsWith("return")) {
+        out += SReturn(lex(t.stripPrefix("return").trim, ln.no), ln.no); i += 1
+      } else {
+        // assignment: row['x'] = expr | name = expr  (reject == etc.)
+        val eq = findTopLevelAssign(t)
+        if (eq < 0)
+          throw new MigrationError(ln.no, s"'$t'",
+            "Only assignments, imports, defs and if/elif/else are supported.")
+        val lhs = t.substring(0, eq).trim
+        val rhs = t.substring(eq + 1).trim
+        val rowLhs = """row\s*\[\s*['"](.+?)['"]\s*\]""".r
+        lhs match {
+          case rowLhs(colName) => out += SRow(colName, lex(rhs, ln.no), ln.no)
+          case name if name.matches("""\w+""") => out += SBind(name, lex(rhs, ln.no), ln.no)
+          case other => throw new MigrationError(ln.no, s"assignment to '$other'",
+            "Only row['col'] = ... and name = ... are supported.")
+        }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def findTopLevelAssign(s: String): Int = {
+    var i = 0; var q: Char = 0; var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) { if (c == '\\') i += 1 else if (c == q) q = 0 }
+      else if (c == '\'' || c == '"') q = c
+      else if (c == '(' || c == '[' || c == '{') depth += 1
+      else if (c == ')' || c == ']' || c == '}') depth -= 1
+      else if (depth == 0 && c == '=' &&
+        (i == 0 || !"=<>!+-*/%".contains(s.charAt(i - 1))) &&
+        (i + 1 >= s.length || s.charAt(i + 1) != '=')) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def parseImport(t: String, no: Int): SImport = {
+    val allowed = Set("re", "json", "random", "pandas", "math")
+    val imp = """import\s+(\w+)(?:\s+as\s+(\w+))?""".r
+    val from = """from\s+(\w+)\s+import\s+.*""".r
+    t match {
+      case imp(mod, alias) =>
+        if (!allowed.contains(mod))
+          throw new MigrationError(no, s"import of module '$mod'",
+            s"Only ${allowed.mkString("/")} are understood by the migrator.")
+        SImport(Seq((Option(alias).getOrElse(mod), mod)), no)
+      case from(mod) =>
+        if (!allowed.contains(mod))
+          throw new MigrationError(no, s"import from module '$mod'",
+            s"Only ${allowed.mkString("/")} are understood by the migrator.")
+        SImport(Nil, no)
+      case _ => throw new MigrationError(no, s"'$t'", "")
+    }
+  }
+
+  // --------------------------------------------------- expression parser
+
+  /** Pratt parser over a token vector; evaluates straight to [[V]]
+    * against the environment (bindings, functions, module aliases).
+    */
+  private final class ExprParser(toks: Vector[Tok], env: mutable.Map[String, V], line: Int) {
+    private var pos = 0
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def expect(op: String): Unit = next() match {
+      case TOp(`op`) => ()
+      case other => throw new MigrationError(line, s"expected '$op', found '$other'", "")
+    }
+    private def err(what: String, hint: String = ""): Nothing =
+      throw new MigrationError(line, what, hint)
+
+    def parseFull(): V = {
+      val v = ternary()
+      if (pos < toks.length) err(s"trailing tokens after expression: '${toks.drop(pos).mkString(" ")}'")
+      v
+    }
+
+    // python conditional expression: a if cond else b
+    private def ternary(): V = {
+      val v = orExpr()
+      peek match {
+        case Some(TName("if")) =>
+          next()
+          val cond = boolOf(orExpr())
+          peek match {
+            case Some(TName("else")) => next()
+            case _ => err("conditional expression missing 'else'")
+          }
+          val other = ternary()
+          val (a, b) = (sqlOf(v, line), sqlOf(other, line))
+          Sql(s"CASE WHEN $cond THEN ${a.sql} ELSE ${b.sql} END", a.isString || b.isString)
+        case _ => v
+      }
+    }
+
+    private def orExpr(): V = {
+      var v = andExpr()
+      while (peek.contains(TName("or"))) { next(); v = Sql(s"(${boolOf(v)} OR ${boolOf(andExpr())})") }
+      v
+    }
+    private def andExpr(): V = {
+      var v = notExpr()
+      while (peek.contains(TName("and"))) { next(); v = Sql(s"(${boolOf(v)} AND ${boolOf(notExpr())})") }
+      v
+    }
+    private def notExpr(): V = peek match {
+      case Some(TName("not")) => next(); Sql(s"(NOT ${boolOf(notExpr())})")
+      case _ => comparison()
+    }
+
+    private def comparison(): V = {
+      val l = additive()
+      peek match {
+        case Some(TOp(op)) if Set("==", "!=", "<", ">", "<=", ">=").contains(op) =>
+          next()
+          val r = additive()
+          val sqlOp = op match { case "==" => "="; case "!=" => "<>"; case o => o }
+          Sql(s"(${sqlOf(l, line).sql} $sqlOp ${sqlOf(r, line).sql})")
+        case _ => l
+      }
+    }
+
+    private def additive(): V = {
+      var v = multiplicative()
+      var cont = true
+      while (cont) peek match {
+        case Some(TOp("+")) =>
+          next()
+          val r = multiplicative()
+          val (a, b) = (sqlOf(v, line), sqlOf(r, line))
+          // python `+` is concat for strings, addition for numbers; we
+          // know the static type only for literals/str() results
+          v = if (a.isString || b.isString) Sql(s"concat(${a.sql}, ${b.sql})", isString = true)
+              else Sql(s"(${a.sql} + ${b.sql})")
+        case Some(TOp("-")) => next(); v = Sql(s"(${sqlOf(v, line).sql} - ${sqlOf(multiplicative(), line).sql})")
+        case _ => cont = false
+      }
+      v
+    }
+
+    private def multiplicative(): V = {
+      var v = unary()
+      var cont = true
+      while (cont) peek match {
+        case Some(TOp(op)) if Set("*", "/", "%").contains(op) =>
+          next(); v = Sql(s"(${sqlOf(v, line).sql} $op ${sqlOf(unary(), line).sql})")
+        case _ => cont = false
+      }
+      v
+    }
+
+    private def unary(): V = peek match {
+      case Some(TOp("-")) => next(); Sql(s"(- ${sqlOf(unary(), line).sql})")
+      case _ => postfix()
+    }
+
+    private def postfix(): V = {
+      var v = atom()
+      var cont = true
+      while (cont) peek match {
+        case Some(TOp("(")) => v = call(v, None)
+        case Some(TOp("[")) =>
+          next()
+          val key = ternary()
+          expect("]")
+          v = subscript(v, key)
+        case Some(TOp(".")) =>
+          next()
+          val name = next() match {
+            case TName(n) => n
+            case o => err(s"expected attribute name after '.', found '$o'")
+          }
+          v = peek match {
+            case Some(TOp("(")) => call(v, Some(name))
+            case _ => err(s"attribute access '.$name' without a call", "Only method calls like .get(...) are supported.")
+          }
+        case _ => cont = false
+      }
+      v
+    }
+
+    private def atom(): V = next() match {
+      case TStr(s) => Sql(sqlStr(s), isString = true)
+      case TNum(n) => Sql(n)
+      case TName("True") => Sql("true")
+      case TName("False") => Sql("false")
+      case TName("None") => Sql("NULL")
+      case TName("row") =>
+        expect("[")
+        val col = next() match {
+          case TStr(s) => s
+          case o => err(s"row subscript must be a string literal, found '$o'")
+        }
+        expect("]")
+        Sql(s"`$col`")
+      case TName(n) if peek.contains(TOp("(")) && builtins.contains(n) => call(Module("__builtin__"), Some(n))
+      case TName(n) =>
+        env.getOrElse(n, err(s"undefined name '$n'",
+          "Bind it earlier in the block or pass it as a function argument."))
+      case TOp("(") =>
+        val v = ternary(); expect(")"); v
+      case TOp("{") =>
+        val fields = Seq.newBuilder[(String, V)]
+        if (!peek.contains(TOp("}"))) {
+          var more = true
+          while (more) {
+            val k = next() match {
+              case TStr(s) => s
+              case o => err(s"dict key must be a string literal, found '$o'")
+            }
+            expect(":")
+            fields += ((k, ternary()))
+            peek match { case Some(TOp(",")) => next() ; case _ => more = false }
+          }
+        }
+        expect("}")
+        Dict(fields.result())
+      case other => err(s"unexpected token '$other'")
+    }
+
+    private val builtins = Set("str", "int", "float", "len", "abs", "round")
+
+    private def call(target: V, method: Option[String]): V = {
+      expect("(")
+      val args = Seq.newBuilder[V]
+      if (!peek.contains(TOp(")"))) {
+        var more = true
+        while (more) {
+          args += ternary()
+          peek match { case Some(TOp(",")) => next(); case _ => more = false }
+        }
+      }
+      expect(")")
+      val a = args.result()
+      (target, method) match {
+        case (Module("__builtin__"), Some(fn)) => builtinCall(fn, a)
+        case (Module("re"), Some("match")) =>
+          if (a.length != 2) err("re.match expects (pattern, string)")
+          val pat = a.head match {
+            case Sql(lit, true) => lit
+            case _ => err("re.match pattern must be a string literal")
+          }
+          // RLIKE is an unanchored search; re.match anchors at the start
+          val anchored = "'^(?:" + pat.stripPrefix("'").stripSuffix("'") + ")'"
+          Sql(s"(${sqlOf(a(1), line).sql} RLIKE $anchored)")
+        case (Module("re"), Some(other)) =>
+          err(s"re.$other", "Only re.match is translated; use regexp_replace/regexp_extract in a 'derive' stage.")
+        case (Module("random"), Some("uniform")) =>
+          if (a.length != 2) err("uniform expects (a, b)")
+          val (lo, hi) = (sqlOf(a.head, line).sql, sqlOf(a(1), line).sql)
+          Sql(s"($lo + rand() * ($hi - $lo))")
+        case (Module("random"), Some("random")) => Sql("rand()")
+        case (Module("random"), Some(other)) =>
+          err(s"random.$other", "Only uniform/random are translated.")
+        case (Module("json"), Some("dumps")) => a.head match {
+          case Dict(fields) =>
+            val parts = fields.map { case (k, v) => s"${sqlStr(k)}, ${sqlOf(v, line).sql}" }
+            Sql(s"to_json(named_struct(${parts.mkString(", ")}))", isString = true)
+          case other => err("json.dumps of a non-dict-literal",
+            "Only dict literals are translated (to to_json(named_struct(...))).")
+        }
+        case (Module("json"), Some("loads")) =>
+          if (a.length != 1) err("json.loads expects one argument")
+          Json(a.head)
+        case (Module(m), Some(other)) => err(s"$m.$other", "")
+        case (Json(src), Some("get")) =>
+          if (a.isEmpty) err(".get() needs a key")
+          val key = a.head match {
+            case Sql(lit, true) => lit.stripPrefix("'").stripSuffix("'")
+            case _ => err(".get key must be a string literal")
+          }
+          val base = s"get_json_object(${sqlOf(src, line).sql}, '$$.$key')"
+          a.lift(1) match {
+            case Some(Sql(d, isStr)) if d != "NULL" => Sql(s"coalesce($base, $d)", isStr)
+            case _ => Sql(base, isString = true) // {} default → NULL (documented divergence)
+          }
+        case (f: Func, None) => applyFunc(f, a)
+        case (other, m) => err(s"call on $other${m.fold("")("." + _)}")
+      }
+    }
+
+    private def builtinCall(fn: String, a: Seq[V]): V = fn match {
+      case "str" => Sql(s"CAST(${sqlOf(a.head, line).sql} AS STRING)", isString = true)
+      case "int" => Sql(s"CAST(${sqlOf(a.head, line).sql} AS BIGINT)")
+      case "float" => Sql(s"CAST(${sqlOf(a.head, line).sql} AS DOUBLE)")
+      case "len" => Sql(s"length(${sqlOf(a.head, line).sql})")
+      case "abs" => Sql(s"abs(${sqlOf(a.head, line).sql})")
+      case "round" =>
+        if (a.length == 2) Sql(s"round(${sqlOf(a.head, line).sql}, ${sqlOf(a(1), line).sql})")
+        else Sql(s"round(${sqlOf(a.head, line).sql})")
+    }
+
+    private def subscript(v: V, key: V): V = (v, key) match {
+      case (Dict(fields), Sql(lit, true)) =>
+        val k = lit.stripPrefix("'").stripSuffix("'")
+        fields.collectFirst { case (`k`, fv) => fv }
+          .getOrElse(err(s"dict has no key '$k'"))
+      case (Json(src), Sql(lit, true)) =>
+        val k = lit.stripPrefix("'").stripSuffix("'")
+        Sql(s"get_json_object(${sqlOf(src, line).sql}, '$$.$k')", isString = true)
+      case _ => err("subscript on a non-dict value",
+        "Only dict-literal and json.loads(...) values can be subscripted.")
+    }
+
+    def boolOf(v: V): String = v match {
+      case Sql(s, false) => s
+      case Sql(s, true) => err(s"string value $s used as a condition",
+        "Write an explicit comparison.")
+      case other => err(s"$other used as a condition")
+    }
+
+    /** Inline a user function call: bind params, run the body. */
+    private def applyFunc(f: Func, args: Seq[V]): V = {
+      if (args.length != f.params.length)
+        err(s"function defined at line ${f.defLine} called with ${args.length} args, expects ${f.params.length}")
+      val child = mutable.Map[String, V]() ++= env
+      f.params.zip(args).foreach { case (p, a) => child.put(p, a) }
+      evalBody(f.body, child)
+        .getOrElse(err(s"function defined at line ${f.defLine} has no return on some path",
+          "Every branch must return a value."))
+    }
+  }
+
+  /** Evaluate a def body (bindings, if/elif/else of returns, return). */
+  private def evalBody(body: Seq[Stmt], env: mutable.Map[String, V]): Option[V] = {
+    body.foreach {
+      case SBind(n, toks, line) => env.put(n, new ExprParser(toks, env, line).parseFull())
+      case SReturn(toks, line) => return Some(new ExprParser(toks, env, line).parseFull())
+      case SIf(branches, line) =>
+        // every branch must be a single return → CASE WHEN chain
+        val parts = branches.map { case (condToks, stmts) =>
+          val ret = stmts match {
+            case Seq(SReturn(toks, l)) => new ExprParser(toks, env, l).parseFull()
+            case other => throw new MigrationError(line,
+              s"if/elif branch with ${other.length} statement(s)",
+              "Each branch must be a single 'return <expr>'.")
+          }
+          (condToks.map(ct => { val p = new ExprParser(ct, env, line); p.boolOf(p.parseFull()) }), ret)
+        }
+        val hasElse = parts.exists(_._1.isEmpty)
+        val whens = parts.collect { case (Some(c), v) => s"WHEN $c THEN ${sqlOf(v, line).sql}" }
+        val elseSql = parts.collectFirst { case (None, v) => sqlOf(v, line).sql }
+        val isStr = parts.exists(_._2 match { case Sql(_, s) => s; case _ => false })
+        if (!hasElse)
+          return Some(Sql(s"CASE ${whens.mkString(" ")} ELSE NULL END", isStr))
+        return Some(Sql(s"CASE ${whens.mkString(" ")} ELSE ${elseSql.get} END", isStr))
+      case SRow(_, _, line) => throw new MigrationError(line, "row assignment inside a function", "")
+      case SDef(n, _, _, line) => throw new MigrationError(line, s"nested def '$n'", "")
+      case SImport(_, line) => throw new MigrationError(line, "import inside a function", "")
+    }
+    None
+  }
+
+  /** Translate a reference `python` stage's code block into ordered
+    * (columnName, sparkSqlExpr) derive columns.
+    */
+  def toDeriveColumns(code: String): Seq[(String, String)] = {
+    val stmts = parseBlock(logicalLines(code))
+    val env = mutable.Map[String, V]()
+    val out = Seq.newBuilder[(String, String)]
+    stmts.foreach {
+      case SImport(binds, _) => binds.foreach { case (alias, mod) => env.put(alias, Module(mod)) }
+      case SDef(name, params, body, line) => env.put(name, Func(params, body, line))
+      case SBind(name, toks, line) => env.put(name, new ExprParser(toks, env, line).parseFull())
+      case SRow(colName, toks, line) =>
+        val v = new ExprParser(toks, env, line).parseFull()
+        val sql = sqlOf(v, line).sql
+        out += ((colName, sql))
+        // later statements can read the new column
+        env.put(colName, Sql(s"`$colName`"))
+      case SIf(_, line) => throw new MigrationError(line, "module-level if/elif",
+        "Wrap the logic in a function, or use a conditional expression.")
+      case SReturn(_, line) => throw new MigrationError(line, "module-level return", "")
+    }
+    val cols = out.result()
+    if (cols.isEmpty)
+      throw new IllegalArgumentException(
+        "python stage migration: the code block assigns no row['...'] columns; " +
+          "nothing to translate. Re-express the stage as 'derive', 'sql' or 'transform'.")
+    cols
+  }
+}
