@@ -28,7 +28,14 @@ import scala.jdk.CollectionConverters._
   *    (filefilter.py:110-113); status-class accumulators 20X/30X/40X/50X;
   *  - POST sends a JSON body with Content-Type: application/json — always
   *    (the reference only POSTs when logHttpRequests is on,
-  *    filters.py:63-71; that's the documented bug we fix).
+  *    filters.py:63-71; that's the documented bug we fix);
+  *  - `logHttpRequests` / `logHttpResponses` (filters.py:41-44,55-71)
+  *    emit per-call request lines / 2xx response bodies through
+  *    [[RestLog]] (slf4j by default, swappable for tests);
+  *  - `queryParams` accepts the reference's templated-string form
+  *    ("lat={lat}&lon={lon}", fullExample.yml:63) and a map form;
+  *    `urlencodeParams` accepts the reference's boolean (all params)
+  *    and a list of param names.
   *
   * Scale note: HTTP side effects re-execute under task retry/speculation;
   * callers should disable speculation for pipelines with rest stages and
@@ -45,7 +52,21 @@ final case class RestConfig(
     filterThreads: Int = 1,
     timeoutMillis: Long = 30000L,
     maxRetries: Int = 0,
-    retryBackoffMillis: Long = 200L)
+    retryBackoffMillis: Long = 200L,
+    // reference logHttpRequests/logHttpResponses (filters.py:41-44,55-71):
+    // per-call request / 2xx-response-body log lines, off by default
+    logRequests: Boolean = false,
+    logResponses: Boolean = false)
+
+/** Sink for the reference's logHttpRequests/logHttpResponses lines.
+  * Default is the slf4j logger; tests swap in a collector. A static
+  * object so the executor-side closure doesn't capture a logger.
+  */
+object RestLog {
+  private val slf = org.slf4j.LoggerFactory.getLogger("graft.rest")
+  @volatile var sink: String => Unit = s => slf.info(s)
+  def info(s: String): Unit = sink(s)
+}
 
 final case class RestCounters(
     s20x: LongAccumulator, s30x: LongAccumulator,
@@ -148,9 +169,15 @@ object RestStage {
                   val body = cfg.postBody.map { case (k, tmpl) =>
                     k -> substitute(tmpl, rowMap, urlencode = false).getOrElse("")
                   }
+                  val json = toJson(body)
+                  if (cfg.logRequests)
+                    RestLog.info(s"${cfg.method.toUpperCase} Request: $uri Body: $json")
                   b.header("Content-Type", "application/json")
-                    .POST(HttpRequest.BodyPublishers.ofString(toJson(body))).build()
-                case _ => b.GET().build()
+                    .POST(HttpRequest.BodyPublishers.ofString(json)).build()
+                case _ =>
+                  if (cfg.logRequests)
+                    RestLog.info(s"${cfg.method.toUpperCase} Request: $uri")
+                  b.GET().build()
               })
             } catch {
               case scala.util.control.NonFatal(_) => ctr.errors.add(1L); None
@@ -171,6 +198,7 @@ object RestStage {
               else if (sc < 500) ctr.s40x.add(1L)
               else ctr.s50x.add(1L)
               if (sc >= 200 && sc < 300) {
+                if (cfg.logResponses) RestLog.info(s"Response: ${resp.body()}")
                 result = Some(new GenericRow((row.toSeq :+ resp.body()).toArray))
                 done = true
               } else if (sc >= 500 && attempt < cfg.maxRetries) {
@@ -224,19 +252,40 @@ object RestStage {
       ac.get(k).flatMap(Option(_)).map(_.toString)
     def sint(k: String, dflt: Long): Long =
       sopt(k).filter(_.nonEmpty).map(_.toLong).getOrElse(dflt)
+    def sbool(k: String): Boolean =
+      sopt(k).exists(v => v.equalsIgnoreCase("true") || v.equalsIgnoreCase("yes"))
+    // queryParams in the reference is one templated string
+    // "lat={lat}&lon={lon}" (fullExample.yml:63); we also accept the
+    // map form {lat: "{lat}"} — both fill from the row.
+    val qp: Map[String, String] = ac.get("queryParams") match {
+      case Some(s: String) =>
+        s.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+      case _ => smap("queryParams")
+    }
+    // urlencodeParams in the reference is a single boolean applying to
+    // every param (filters.py:38); the list form names specific keys.
+    val urlenc: Set[String] = ac.get("urlencodeParams") match {
+      case Some(b: java.lang.Boolean) => if (b) qp.keySet else Set.empty
+      case Some(s: String) if s.equalsIgnoreCase("true") => qp.keySet
+      case _ => slist("urlencodeParams")
+    }
     val rc = RestConfig(
       host = sopt("host").getOrElse(
         throw new IllegalArgumentException(s"${cfg.name}: rest stage needs host")),
       path = sopt("path").getOrElse(""),
       method = sopt("method").getOrElse("GET"),
-      queryParams = smap("queryParams"),
+      queryParams = qp,
       postBody = smap("postBody"),
-      urlencodeParams = slist("urlencodeParams"),
+      urlencodeParams = urlenc,
       newField = sopt("newField").getOrElse("response"),
       filterThreads = cfg.filterThreads,
       timeoutMillis = sint("timeoutMillis", 30000L),
       maxRetries = sint("maxRetries", 0L).toInt,
-      retryBackoffMillis = sint("retryBackoffMillis", 200L))
+      retryBackoffMillis = sint("retryBackoffMillis", 200L),
+      logRequests = sbool("logHttpRequests"),
+      logResponses = sbool("logHttpResponses"))
     RestStage(cfg.name, rc, RestCounters(spark, cfg.name))
   }
 }

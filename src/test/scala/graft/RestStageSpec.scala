@@ -162,4 +162,67 @@ class RestStageSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows.map(_.getAs[String]("region")).toSeq ==
       Seq("Region-spain", "Region-france", "Region-Germany"))
   }
+
+  test("logHttpRequests/logHttpResponses gate per-call log lines (filters.py:41-44,55-71)") {
+    import graft.operators.RestLog
+    val lines = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val prev = RestLog.sink
+    RestLog.sink = s => lines.add(s)
+    try {
+      val df = Seq((1, "spain")).toDF("id", "countryName")
+      // both flags off (the default): nothing logged
+      RestStage("quiet", RestConfig(
+        host = s"http://localhost:$port", path = "/v3.1/name/{countryName}"),
+        RestCounters(spark, "l0"))(spark, df).count()
+      assert(lines.isEmpty)
+      // requests on: one GET line with the full templated URI
+      RestStage("reqs", RestConfig(
+        host = s"http://localhost:$port", path = "/v3.1/name/{countryName}",
+        logRequests = true), RestCounters(spark, "l1"))(spark, df).count()
+      assert(lines.size == 1)
+      assert(lines.get(0) == s"GET Request: http://localhost:$port/v3.1/name/spain")
+      lines.clear()
+      // responses on: one line with the 2xx body
+      RestStage("resps", RestConfig(
+        host = s"http://localhost:$port", path = "/v3.1/name/{countryName}",
+        logResponses = true), RestCounters(spark, "l2"))(spark, df).count()
+      assert(lines.size == 1)
+      assert(lines.get(0).startsWith("Response: ") && lines.get(0).contains("Region-spain"))
+      lines.clear()
+      // POST with both on: request line includes the body
+      RestStage("post", RestConfig(
+        host = s"http://localhost:$port", path = "/echo", method = "POST",
+        postBody = Map("c" -> "{countryName}"),
+        logRequests = true, logResponses = true),
+        RestCounters(spark, "l3"))(spark, df).count()
+      assert(lines.size == 2)
+      assert(lines.get(0).startsWith("POST Request: ") && lines.get(0).contains("""Body: {"c":"spain"}"""))
+    } finally RestLog.sink = prev
+  }
+
+  test("reference YAML forms: string queryParams + boolean urlencodeParams + log keys") {
+    val sc = graft.model.ConfigLoader.fromYaml(
+      s"""
+         |filters:
+         |  - name: geocode
+         |    actionType: rest
+         |    actionConfig:
+         |      logHttpRequests: True
+         |      logHttpResponses: False
+         |      method: GET
+         |      host: "http://localhost:$port"
+         |      path: "/v3.1/name/{countryName}"
+         |      queryParams: lat={lat}&lon={lon}
+         |      urlencodeParams: True
+         |      newField: "geocode"
+         |""".stripMargin).filters.head
+    val stage = RestStage.fromConfig(spark, sc)
+    assert(stage.cfg.logRequests && !stage.cfg.logResponses)
+    assert(stage.cfg.queryParams == Map("lat" -> "{lat}", "lon" -> "{lon}"))
+    assert(stage.cfg.urlencodeParams == Set("lat", "lon"))
+    assert(stage.cfg.newField == "geocode")
+    val uri = RestStage.buildUri(stage.cfg,
+      Map("countryName" -> "spain", "lat" -> "40.4 N", "lon" -> "-3.7"))
+    assert(uri.contains(s"http://localhost:$port/v3.1/name/spain?lat=40.4+N&lon=-3.7"))
+  }
 }
