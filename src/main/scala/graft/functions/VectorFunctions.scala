@@ -52,24 +52,61 @@ object VectorFunctions {
     * shuffle), candidates come from a bucketed equality join that only
     * shuffles (id, table, bucket) triples — the wide vector payload is
     * re-joined by id only for the verified candidate set.
+    *
+    * Parameter sizing: with fixed `bits`, expected bucket population is
+    * n/2^bits, so candidate pairs grow O(n²/2^bits) — `bits` must scale
+    * with the corpus: bits ≈ log₂(n) − log₂(target bucket size) (e.g.
+    * n=10⁹ with ~1k-row buckets → bits ≈ 20). `maxBucketSize` is the
+    * backstop for CLUSTERED corpora where some buckets stay hot at any
+    * bits (duplicated embeddings, zero vectors): buckets over the cap
+    * are deterministically sampled down to it (rank by xxhash64(id)),
+    * bounding any one bucket's pair blowup at cap²/2. Sampling can drop
+    * pairs whose BOTH members were evicted from EVERY shared bucket —
+    * with `tables` independent tables that loss is (1-(cap/m)²)^tables
+    * per hot bucket of size m, and a bucket over the cap is itself the
+    * signal that `bits` is undersized for the corpus. Set
+    * `maxBucketSize = 0` to disable.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, bits: Int = 8, tables: Int = 16): DataFrame = {
+                      threshold: Double, bits: Int = 8, tables: Int = 16,
+                      maxBucketSize: Int = 4096): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val sig = df.select(col(idCol).as("vid"),
-      posexplode(call_function("lsh_signature", col(vecCol), lit(bits), lit(tables)))
-        .as(Seq("tbl", "bucket")))
-    val cand = sig.as("x")
-      .join(sig.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vid") < col("y.vid"))
-      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
-      .distinct()
+    val cand = lshPairCandidates(df, idCol, vecCol, bits, tables, maxBucketSize)
     val e = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     cand.join(e.as("ea"), col("id_a") === col("ea.vid"))
       .join(e.as("eb"), col("id_b") === col("eb.vid"))
       .select(col("id_a"), col("id_b"), cosine(col("ea.vec"), col("eb.vec")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Candidate stage of [[lshNearDupPairs]]: distinct (id_a, id_b) pairs
+    * sharing any (table, bucket), with the hot-bucket cap applied.
+    * Exposed for tests and for callers that verify with their own
+    * distance.
+    */
+  def lshPairCandidates(df: DataFrame, idCol: String, vecCol: String,
+                        bits: Int, tables: Int, maxBucketSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(df.sparkSession)
+    val raw = df.select(col(idCol).as("vid"),
+      posexplode(call_function("lsh_signature", col(vecCol), lit(bits), lit(tables)))
+        .as(Seq("tbl", "bucket")))
+    val sig =
+      if (maxBucketSize <= 0) raw
+      else {
+        // Deterministic down-sample of hot buckets: one extra shuffle of
+        // the id-triples (same key as the join below), O(m log m) per
+        // bucket instead of the join's O(m²).
+        val w = Window.partitionBy(col("tbl"), col("bucket")).orderBy(xxhash64(col("vid")), col("vid"))
+        raw.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= maxBucketSize).drop("rn")
+      }
+    sig.as("x")
+      .join(sig.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
+      .distinct()
   }
 
   /** LSH-bucketed approximate top-k: queries join candidates sharing any

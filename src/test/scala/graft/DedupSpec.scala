@@ -129,6 +129,30 @@ class DedupSpec extends SparkSpec {
     assert(planted.subsetOf(found), s"missed ${(planted -- found).size} planted pairs")
   }
 
+  test("hot-bucket cap bounds candidate pairs on a clustered corpus (VERDICT r2 #6)") {
+    // Degenerate cluster: 300 copies of one vector (tiny noise) — every
+    // copy lands in the same bucket of every table, the regime where a
+    // fixed-bits LSH quadratic-blows. Uncapped that is 300·299/2 ≈ 45k
+    // candidate pairs; cap=10 bounds each table's bucket at 10·9/2.
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, base.map(x => x + 1e-4f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val uncapped = VectorFunctions.lshPairCandidates(
+      df, "vec_id", "embedding", bits = 8, tables = 16, maxBucketSize = 0).count()
+    val capped = VectorFunctions.lshPairCandidates(
+      df, "vec_id", "embedding", bits = 8, tables = 16, maxBucketSize = 10).count()
+    assert(uncapped > 40000L, s"fixture not clustered enough: $uncapped")
+    assert(capped <= 16L * 45, s"cap leaked: $capped candidate pairs")
+    // and the default cap (4096) leaves normal-scale corpora untouched
+    val defaultCap = VectorFunctions.lshPairCandidates(
+      df, "vec_id", "embedding", bits = 8, tables = 16, maxBucketSize = 4096).count()
+    assert(defaultCap == uncapped)
+  }
+
   test("cosine is exact: self-similarity 1.0, range bounded") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     val cos = emb.select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
