@@ -191,15 +191,28 @@ object ExtraQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
-  /** HLL sketch cardinalities (rows-only — sketch estimates are
-    * engine-specific; the ±5% bound vs exact is asserted in the test
-    * suite).
+  /** HLL sketch cardinalities with the accuracy bound IN the harness
+    * (VERDICT r2 #8): sketch estimates are engine-specific, so instead
+    * of emitting raw estimates (rows-only check), emit the EXACT
+    * distinct counts plus booleans asserting the HLL estimate lands
+    * within ±5% of them. The oracle computes the same exact counts with
+    * literal TRUE flags — the driver's cell-exact compare then fails the
+    * gate iff Spark's approx_count_distinct drifts out of the bound.
     */
   def q69ApproxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-           approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+           countDistinct(col("l_partkey")).as("exact_parts"),
+           // rsd=0.01 so the ±5% assertion is a ~5σ bound, not ~1σ as
+           // with the 0.05 default (which fails ~1/3 of the time)
+           approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+           approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("ao") - col("exact_orders")).cast("double") / col("exact_orders") <= 0.05)
+          .as("orders_within_5pct"),
+        (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.05)
+          .as("parts_within_5pct"))
       .orderBy(col("l_returnflag"))
 
   /** Correlated scalar subquery: orders above their own customer's mean
@@ -311,6 +324,14 @@ object ExtraQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q69_approx_distinct" -> """
+      SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        TRUE AS orders_within_5pct,
+        TRUE AS parts_within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q61_json_flatten" -> """
       SELECT event_id, event_type,
         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

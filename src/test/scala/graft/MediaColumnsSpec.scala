@@ -36,10 +36,11 @@ class MediaColumnsSpec extends SparkSpec {
   test("approx_count_distinct sketch lands within 5% of exact") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_orderkey"))).head.getLong(0)
-    val approx = graft.queries.ExtraQueries.q69ApproxDistinct(spark, sf)
-      .agg(sum(col("approx_orders"))).head.getLong(0)
-    // summed per-flag sketches overcount vs global distinct; compare loosely
-    assert(approx > 0)
+    // q69 now asserts the per-group bound inside the harness; every
+    // within_5pct flag must be true here too
+    val flags = graft.queries.ExtraQueries.q69ApproxDistinct(spark, sf)
+      .select(col("orders_within_5pct"), col("parts_within_5pct")).collect()
+    assert(flags.nonEmpty && flags.forall(r => r.getBoolean(0) && r.getBoolean(1)))
     val global = li.select(approx_count_distinct(col("l_orderkey"), 0.01)).head.getLong(0)
     assert(math.abs(global - exact).toDouble / exact < 0.05,
       s"approx=$global exact=$exact")
