@@ -54,7 +54,7 @@ object Main {
     val yaml = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(confPath)))
     try {
       val res = Pipeline.run(spark, graft.model.ConfigLoader.fromYaml(yaml), in,
-        Some(out), countStages = interactive)
+        Some(out), countStages = interactive, configPath = Some(confPath))
       res.stages.foreach { r =>
         val rows = r.rows.fold("")(n => s" rows=$n")
         println(s"[graft] stage ${r.name} (${r.actionType}) done$rows")

@@ -15,9 +15,13 @@ import scala.jdk.CollectionConverters._
   * filefilter.py:56, which makes examples/countries/countries.yml:20 a
   * silent no-op — we heal it).
   *
-  * Divergences (SURVEY.md §7): `reloadConfigEverySeconds` is parsed but
-  * ignored (no mid-stage rescale in Spark); `chunkSize` is parsed but
-  * ignored (Spark partitions are the chunks).
+  * Divergences (SURVEY.md §7): `chunkSize` is parsed but ignored (Spark
+  * partitions are the chunks). `reloadConfigEverySeconds` IS honored for
+  * the one thing the reference actually reloads — per-filter
+  * `filterThreads` (filefilter.py:144-171 setNewThreads): rest-stage
+  * worker pools re-read the config between waves and resize (see
+  * [[graft.operators.RestStage]]); `reloadConfigEvery` (the key the
+  * reference's own fullExample.yml uses) is accepted as an alias.
   */
 final case class StageConfig(
     name: String,
@@ -55,7 +59,8 @@ object ConfigLoader {
       inDelimiter = str(root.toMap, "inDelimiter", ","),
       outDelimiter = str(root.toMap, "outDelimiter", ","),
       sampleLines = num(root.toMap, "sampleLines", 0L),
-      reloadConfigEverySeconds = num(root.toMap, "reloadConfigEverySeconds", 0L).toInt,
+      reloadConfigEverySeconds = num(root.toMap, "reloadConfigEverySeconds",
+        num(root.toMap, "reloadConfigEvery", 0L)).toInt,
       filters = filters)
   }
 

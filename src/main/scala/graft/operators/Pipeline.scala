@@ -20,7 +20,8 @@ object Pipeline {
   /** Compile enabled stages; disabled filters are skipped but keep their
     * index (reference O21, filefilter.py:307-310).
     */
-  def compile(spark: SparkSession, cfg: PipelineConfig): Seq[(StageConfig, Stage)] =
+  def compile(spark: SparkSession, cfg: PipelineConfig,
+              configPath: Option[String] = None): Seq[(StageConfig, Stage)] =
     cfg.filters.filterNot(_.disabled).map { sc =>
       val stage: Stage = sc.actionType match {
         case "sql" =>
@@ -32,7 +33,8 @@ object Pipeline {
         case "python" if sc.code.exists(_.trim.nonEmpty) =>
           DeriveStage(sc.name, PythonMigrate.toDeriveColumns(sc.code.get))
         case "python" | "derive" => DeriveStage.fromConfig(sc)
-        case "rest" => RestStage.fromConfig(spark, sc)
+        case "rest" =>
+          RestStage.fromConfig(spark, sc, cfg.reloadConfigEverySeconds, configPath)
         case "pandas" | "udf" | "transform" =>
           TransformStage(sc.name, sc.code.getOrElse(
             throw new IllegalArgumentException(s"${sc.name}: transform stage needs a registered fn name in code")))
@@ -47,10 +49,11 @@ object Pipeline {
     */
   def run(spark: SparkSession, cfg: PipelineConfig, inputPath: String,
           outputPath: Option[String], countStages: Boolean = false,
-          checkpointDir: Option[String] = None): RunResult = {
+          checkpointDir: Option[String] = None,
+          configPath: Option[String] = None): RunResult = {
     var df = Sources.load(spark, inputPath, cfg.inDelimiter, cfg.sampleLines)
     val reports = Seq.newBuilder[StageReport]
-    compile(spark, cfg).zipWithIndex.foreach { case ((sc, stage), i) =>
+    compile(spark, cfg, configPath).zipWithIndex.foreach { case ((sc, stage), i) =>
       df = stage(spark, df)
       checkpointDir.foreach { dir =>
         df.write.mode("overwrite").parquet(s"$dir/stage=$i")

@@ -56,7 +56,14 @@ final case class RestConfig(
     // reference logHttpRequests/logHttpResponses (filters.py:41-44,55-71):
     // per-call request / 2xx-response-body log lines, off by default
     logRequests: Boolean = false,
-    logResponses: Boolean = false)
+    logResponses: Boolean = false,
+    // config hot-reload (O18, filefilter.py:144-171): every
+    // `reloadEverySeconds` the worker pool re-reads `configPath` between
+    // waves and resizes to the stage's current filterThreads — the one
+    // setting the reference's reload actually applies (setNewThreads).
+    // On a cluster the path must be shared storage (executors read it).
+    reloadEverySeconds: Int = 0,
+    configPath: Option[String] = None)
 
 /** Sink for the reference's logHttpRequests/logHttpResponses lines.
   * Default is the slf4j logger; tests swap in a collector. A static
@@ -92,8 +99,9 @@ final case class RestStage(name: String, cfg: RestConfig, counters: RestCounters
     val c = cfg
     val ctr = counters
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val stageName = name
     df.mapPartitions { rows =>
-      RestStage.processPartition(rows, inSchema, c, ctr)
+      RestStage.processPartition(rows, inSchema, c, ctr, stageName)
     }(enc)
   }
 }
@@ -139,14 +147,44 @@ object RestStage {
 
   private[operators] def processPartition(
       rows: Iterator[Row], inSchema: StructType, cfg: RestConfig,
-      ctr: RestCounters): Iterator[Row] = {
+      ctr: RestCounters, stageName: String = ""): Iterator[Row] = {
     val fieldNames = inSchema.fieldNames
     val client = HttpClient.newBuilder()
       .connectTimeout(Duration.ofMillis(cfg.timeoutMillis))
       .followRedirects(HttpClient.Redirect.NORMAL)
       .build()
-    val threads = math.max(1, cfg.filterThreads)
-    val pool = Executors.newFixedThreadPool(threads)
+    var threads = math.max(1, cfg.filterThreads)
+    // resizable so config hot-reload can rescale mid-partition (O18)
+    val pool = new java.util.concurrent.ThreadPoolExecutor(
+      threads, threads, 60L, TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable]())
+    var lastReload = System.currentTimeMillis()
+
+    /** Between waves: re-read the YAML and apply a changed filterThreads
+      * (reference setNewThreads, filefilter.py:144-155). Read errors are
+      * logged and skipped — a broken config mid-run must not kill tasks.
+      */
+    def maybeReload(): Unit =
+      if (cfg.reloadEverySeconds > 0 && cfg.configPath.isDefined &&
+        System.currentTimeMillis() - lastReload >= cfg.reloadEverySeconds * 1000L) {
+        lastReload = System.currentTimeMillis()
+        try {
+          val yaml = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(cfg.configPath.get)), StandardCharsets.UTF_8)
+          graft.model.ConfigLoader.fromYaml(yaml).filters
+            .find(_.name == stageName).map(f => math.max(1, f.filterThreads))
+            .filter(_ != threads)
+            .foreach { nt =>
+              RestLog.info(s"Changing threads for filter $stageName: $threads -> $nt")
+              if (nt > threads) { pool.setMaximumPoolSize(nt); pool.setCorePoolSize(nt) }
+              else { pool.setCorePoolSize(nt); pool.setMaximumPoolSize(nt) }
+              threads = nt
+            }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            RestLog.info(s"Config reload failed for filter $stageName: ${e.getMessage}")
+        }
+      }
     // the iterator below also shuts the pool down on exhaustion, but a
     // downstream limit may stop pulling early — tie cleanup to the task
     Option(org.apache.spark.TaskContext.get())
@@ -218,13 +256,24 @@ object RestStage {
     }
 
     // Bounded concurrency: submit in waves of threads×4 so memory stays
-    // flat on huge partitions while IO overlaps.
-    val out = rows.grouped(threads * 4).flatMap { batch =>
-      val futures = batch.map(r => pool.submit(new Callable[Option[Row]] {
-        override def call(): Option[Row] = callOne(r)
-      }))
-      futures.flatMap(_.get())
-    }
+    // flat on huge partitions while IO overlaps; wave size tracks the
+    // (possibly hot-reloaded) thread count.
+    val out = new Iterator[Seq[Row]] {
+      override def hasNext: Boolean = rows.hasNext
+      override def next(): Seq[Row] = {
+        maybeReload()
+        val batch = {
+          val b = Seq.newBuilder[Row]
+          var i = 0
+          while (i < threads * 4 && rows.hasNext) { b += rows.next(); i += 1 }
+          b.result()
+        }
+        val futures = batch.map(r => pool.submit(new Callable[Option[Row]] {
+          override def call(): Option[Row] = callOne(r)
+        }))
+        futures.flatMap(_.get())
+      }
+    }.flatten
     new Iterator[Row] {
       override def hasNext: Boolean = {
         val h = out.hasNext
@@ -235,7 +284,9 @@ object RestStage {
     }
   }
 
-  def fromConfig(spark: SparkSession, cfg: StageConfig): RestStage = {
+  def fromConfig(spark: SparkSession, cfg: StageConfig,
+                 reloadEverySeconds: Int = 0,
+                 configPath: Option[String] = None): RestStage = {
     val ac = cfg.actionConfig
     def smap(k: String): Map[String, String] = ac.get(k) match {
       case Some(m: java.util.Map[_, _]) =>
@@ -285,7 +336,9 @@ object RestStage {
       maxRetries = sint("maxRetries", 0L).toInt,
       retryBackoffMillis = sint("retryBackoffMillis", 200L),
       logRequests = sbool("logHttpRequests"),
-      logResponses = sbool("logHttpResponses"))
+      logResponses = sbool("logHttpResponses"),
+      reloadEverySeconds = reloadEverySeconds,
+      configPath = configPath)
     RestStage(cfg.name, rc, RestCounters(spark, cfg.name))
   }
 }

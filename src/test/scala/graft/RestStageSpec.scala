@@ -200,6 +200,53 @@ class RestStageSpec extends SparkSpec with BeforeAndAfterAll {
     } finally RestLog.sink = prev
   }
 
+  test("config hot-reload rescales the worker pool mid-run (O18, filefilter.py:144-171)") {
+    import graft.operators.{RestConfig, RestLog, RestStage}
+    // slow endpoint so the partition is still running when the config changes
+    server.createContext("/slow", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        Thread.sleep(30)
+        val bytes = """{"ok":true}""".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    val confFile = java.nio.file.Files.createTempFile("graft-reload", ".yml").toFile
+    def writeConf(threads: Int): Unit = {
+      val w = new java.io.PrintWriter(confFile)
+      w.println(
+        s"""filters:
+           |  - name: slowrest
+           |    actionType: rest
+           |    filterThreads: $threads
+           |    actionConfig:
+           |      host: "http://localhost:$port"
+           |      path: "/slow"
+           |""".stripMargin)
+      w.close()
+    }
+    writeConf(1)
+    val lines = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val prev = RestLog.sink
+    RestLog.sink = s => lines.add(s)
+    try {
+      // rewrite the config to 6 threads shortly after the stage starts
+      val rewriter = new Thread(() => { Thread.sleep(500); writeConf(6) })
+      rewriter.start()
+      val df = (1 to 80).map(i => (i, "x")).toDF("id", "v").coalesce(1)
+      val stage = RestStage("slowrest", RestConfig(
+        host = s"http://localhost:$port", path = "/slow", filterThreads = 1,
+        reloadEverySeconds = 1, configPath = Some(confFile.getAbsolutePath)),
+        RestCounters(spark, "hr"))
+      assert(stage(spark, df).count() == 80) // all rows processed across the resize
+      rewriter.join()
+      val msgs = lines.toArray.map(_.toString)
+      assert(msgs.exists(_.contains("Changing threads for filter slowrest: 1 -> 6")),
+        s"no resize line in: ${msgs.mkString("; ")}")
+    } finally RestLog.sink = prev
+  }
+
   test("reference YAML forms: string queryParams + boolean urlencodeParams + log keys") {
     val sc = graft.model.ConfigLoader.fromYaml(
       s"""
