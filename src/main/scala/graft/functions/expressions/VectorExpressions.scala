@@ -209,16 +209,27 @@ object GraftFunctions {
     "minhash_signature" -> (es => MinhashSignature(es(0), es(1), es(2))),
     "norm_fingerprint" -> (es => NormFingerprint(es.head)))
 
-  /** Idempotent; guarded so re-registration (every query entry calls
-    * this) doesn't spam "replaced a previously registered function".
+  /** Sessions already registered (weak so stopped sessions collect).
+    * Keyed on the session itself rather than name-existence checks: a
+    * pre-existing foreign function under one of our names must be
+    * REPLACED (ADVICE r2 — functionExists would silently keep it and
+    * every graft operator on that session would compute with it).
     */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    fns.foreach { case (name, b) =>
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotent per session; re-registration (every query entry calls
+    * this) is a no-op instead of spamming "replaced a previously
+    * registered function".
+    */
+  def register(spark: SparkSession): Unit =
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      val reg = spark.sessionState.functionRegistry
+      fns.foreach { case (name, b) =>
         reg.createOrReplaceTempFunction(name, b, "scala_udf")
+      }
     }
-  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
