@@ -109,6 +109,56 @@ object VectorFunctions {
       .distinct()
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * scale path next to sign-LSH ([[annTopK]]): a coarse quantizer of
+    * `nlist` centroids partitions the corpus into posting lists; each
+    * query probes its `nprobe` nearest lists and ranks exact cosine
+    * inside them. Unlike LSH's data-oblivious hyperplanes, the
+    * quantizer adapts to the data distribution (centroids are corpus
+    * vectors), which is why IVF is the workhorse for real embedding
+    * corpora (IVF-Flat of Jégou et al., "Product quantization for
+    * nearest neighbor search", PAMI 2011 — flat variant, no PQ
+    * compression).
+    *
+    * 100 TB shape: centroids are a deterministic O(nlist) sample
+    * (hash-ranked — no kmeans iterations, the standard "random subset"
+    * quantizer), broadcast to both assignment joins; corpus assignment
+    * is one broadcast join + max_by partial-aggregate (no shuffle of
+    * vectors beyond the groupBy's combine), and the probe join is an
+    * equality join on centroid id. Expected candidates per query ≈
+    * N·nprobe/nlist — size nlist ≈ √N and nprobe for the recall target.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(queries.sparkSession)
+    // Deterministic pseudo-random centroid sample: nlist lowest
+    // xxhash64(vec_id) — TakeOrderedAndProject, no full sort.
+    val centroids = broadcast(
+      candidates.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        .orderBy(xxhash64(col("cent_id")), col("cent_id")).limit(nlist))
+    // Assign every corpus vector to its nearest centroid (posting list).
+    val assigned = candidates.crossJoin(centroids)
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(max(struct(cosine(col("embedding"), col("cvec")).as("c"),
+        col("cent_id"))).getField("cent_id").as("cid"))
+    // Each query probes its nprobe nearest lists.
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("pc").desc, col("cent_id"))
+    val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .crossJoin(centroids)
+      .select(col("q_id"), col("qv"), col("cent_id"),
+        cosine(col("qv"), col("cvec")).as("pc"))
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cid"))
+    // Exact cosine inside the probed lists, rank per query.
+    val scored = probes.join(assigned, "cid")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id").as("qid"), col("vec_id").as("cid"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: queries join candidates sharing any
     * of `tables` random-hyperplane bucket signatures, then exact cosine
     * + rank within the (much smaller) candidate set — the scale path:

@@ -42,6 +42,18 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** IVF-Flat approximate top-5 (centroid sample is Spark-side — rows
+    * only check; recall vs q40 and clustered-corpus recall asserted in
+    * the test suite).
+    */
+  def q77AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    VF.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        nlist = 16, nprobe = 4)
+      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Vector norms + per-label stats, exact sequential folds. */
   def q45EmbeddingNorms(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
@@ -55,6 +67,7 @@ object VectorQueries {
     "q40_cosine_topk"    -> (q40CosineTopk _),
     "q41_ann_lsh"        -> (q41AnnLsh _),
     "q45_embedding_norm" -> (q45EmbeddingNorms _),
+    "q77_ann_ivf"        -> (q77AnnIvf _),
   )
 
   val sql: Map[String, String] = Map(

@@ -129,6 +129,44 @@ class DedupSpec extends SparkSpec {
     assert(planted.subsetOf(found), s"missed ${(planted -- found).size} planted pairs")
   }
 
+  test("IVF top-k: exact inside probed lists; recall 1 on a clustered corpus") {
+    // 8 well-separated clusters of 40 vectors each: the regime IVF is
+    // built for — a query's true neighbors share its cluster, and the
+    // nearest centroid IS from that cluster, so recall should be 1.
+    val rnd = new scala.util.Random(23)
+    val dim = 32
+    val rows = (0 until 8).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian().toFloat * 5f)
+      (0 until 40).map { i =>
+        ((c * 40 + i).toLong, center.map(x => x + 0.3f * rnd.nextGaussian().toFloat).toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id").isin(0L, 45L, 90L, 135L, 200L))
+    val ivf = VectorFunctions.ivfTopK(q, df, k = 5, nlist = 16, nprobe = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = VectorFunctions.bruteForceTopK(q, df, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall == 1.0, s"clustered IVF recall=$recall")
+    // results are exact cosines of real pairs: every hit is in brute's id space
+    assert(ivf.forall { case (a, b) => a != b })
+  }
+
+  test("IVF top-k keeps a recall floor on near-random vectors (the hard case)") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val ivf = VectorFunctions.ivfTopK(q, emb, k = 5, nlist = 16, nprobe = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = VectorFunctions.bruteForceTopK(q, emb, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    // i.i.d. gaussian fixture: neighbors are barely above noise, but
+    // probing 4/16 lists must still beat the 25% random-partition floor
+    assert(recall >= 0.25, s"IVF recall=$recall on near-random vectors")
+    assert(ivf.size == brute.size)
+  }
+
   test("hot-bucket cap bounds candidate pairs on a clustered corpus (VERDICT r2 #6)") {
     // Degenerate cluster: 300 copies of one vector (tiny noise) — every
     // copy lands in the same bucket of every table, the regime where a
