@@ -70,6 +70,22 @@ object TextFunctions {
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenization (the GPT-2 pretokenizer family,
+    * restricted to the RE2-compatible subset so the same pattern runs
+    * in DuckDB for the oracle): contractions, letter runs, digit runs
+    * and punctuation runs, each with an optional leading space. Real
+    * BPE then merges within these pieces — for token-count ESTIMATION
+    * (the training-data budgeting use) the pre-token count is the
+    * standard proxy.
+    */
+  val BpePattern: String =
+    "'(?:s|d|m|t|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Mean token length assuming single-space separation. */
   def avgTokenLen(text: Column): Column =
     (length(text) - (tokenCount(text) - 1)).cast("double") / tokenCount(text)

@@ -51,6 +51,20 @@ object TextQueries {
         TF.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** BPE-ish token counting per document (training-data budgeting):
+    * whitespace tokens vs GPT-2-style pre-tokens, plus the pre-token /
+    * whitespace inflation ratio. Oracle-checked — the pattern is
+    * RE2-compatible so DuckDB runs the identical regex.
+    */
+  def q78BpeTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        TF.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+      .withColumn("inflation",
+        col("bpe_tokens").cast("double") / col("ws_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Exact n-gram (word-trigram) Jaccard near-dup pairs via inverted
     * index — the verification-grade dedup.
     */
@@ -135,9 +149,18 @@ object TextQueries {
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_events_hourly"   -> (q43EventsHourly _),
     "q44_sessionize"      -> (q44Sessionize _),
+    "q78_bpe_tokens"      -> (q78BpeTokens _),
   )
 
   val sql: Map[String, String] = Map(
+    "q78_bpe_tokens" -> """
+      SELECT doc_id,
+        LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+        LEN(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS bpe_tokens,
+        CAST(LEN(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS DOUBLE)
+          / LEN(STRING_SPLIT(text, ' ')) AS inflation
+      FROM documents ORDER BY doc_id""",
+
     "q30_dedup_exact" -> """
       SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
       FROM documents GROUP BY text ORDER BY doc_id""",

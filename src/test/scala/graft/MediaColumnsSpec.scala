@@ -33,6 +33,55 @@ class MediaColumnsSpec extends SparkSpec {
     assert(out(2L)._3 == false)           // deterministic stub fallback
   }
 
+  private def realPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      img.setRGB(x, y, ((x * 7 + y * 13) % 256) * 0x010101)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("resizeImages: real bounded-box resize for decodable payloads, stub for the rest") {
+    val df = Seq((1L, realPng(64, 32)), (2L, realPng(8, 4)), (3L, "junk".getBytes))
+      .toDF("id", "payload")
+    val out = MediaColumns.resizeImages(df, "payload", maxW = 16, maxH = 16)
+      .select(col("id"), col("resized"), col("resize_meta.width"),
+        col("resize_meta.height"), col("resize_meta.real_resize"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    // 64x32 scaled into a 16x16 box preserving aspect -> 16x8, re-decodable
+    assert(out(1L)._2 == 16 && out(1L)._3 == 8 && out(1L)._4)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(1L)._1))
+    assert(back.getWidth == 16 && back.getHeight == 8)
+    // already inside the box: never upscaled
+    assert(out(2L)._2 == 8 && out(2L)._3 == 4 && out(2L)._4)
+    // junk: stub fallback, flagged, deterministic
+    assert(!out(3L)._4 && out(3L)._1.sameElements("junk".getBytes))
+  }
+
+  test("intensityHistogram: normalized features, real for images, byte-hist for junk") {
+    val df = Seq((1L, realPng(40, 40)), (2L, "abcabc".getBytes)).toDF("id", "payload")
+    val out = MediaColumns.intensityHistogram(df, "payload", bins = 8)
+      .select(col("id"), col("features"), col("real_features"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Float](1), r.getBoolean(2)))).toMap
+    assert(out(1L)._2 && !out(2L)._2)
+    out.values.foreach { case (h, _) =>
+      assert(h.length == 8)
+      assert(math.abs(h.sum - 1.0f) < 1e-5, s"not normalized: $h")
+    }
+    // deterministic across runs
+    val again = MediaColumns.intensityHistogram(df, "payload", bins = 8)
+      .select("features").collect().map(_.getSeq[Float](0))
+    assert(again.toSeq.map(_.mkString(",")).sorted ==
+      out.values.map(_._1.mkString(",")).toSeq.sorted)
+    // features feed the vector ops directly
+    val withF = MediaColumns.intensityHistogram(df, "payload", bins = 8)
+      .select(col("id").as("vec_id"), col("features").as("embedding"))
+    val sim = graft.functions.VectorFunctions.bruteForceTopK(withF, withF, k = 1).count()
+    assert(sim == 2)
+  }
+
   test("approx_count_distinct sketch lands within 5% of exact") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_orderkey"))).head.getLong(0)
