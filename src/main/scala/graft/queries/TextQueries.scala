@@ -65,6 +65,33 @@ object TextQueries {
         col("bpe_tokens").cast("double") / col("ws_tokens"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF: top-3 terms per document (doc_id < 50) by smoothed
+    * tf·ln((N+1)/(df+1)). The emitted columns are exact integers
+    * (tf, df, rank) — the transcendental ln only decides the RANKING,
+    * which is stable across engines' last-ulp libm differences unless
+    * two scores collide (ties break on term). One shuffle for tf, one
+    * for df, df re-joined on the term key; at scale df is the small
+    * side (vocabulary) and broadcasts.
+    */
+  def q79Tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val n = docs.select(count(lit(1)).as("n"))
+    val toks = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+    // df must come from the FULL corpus, not the doc_id<50 slice
+    val allToks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = allToks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** Exact n-gram (word-trigram) Jaccard near-dup pairs via inverted
     * index — the verification-grade dedup.
     */
@@ -150,6 +177,7 @@ object TextQueries {
     "q43_events_hourly"   -> (q43EventsHourly _),
     "q44_sessionize"      -> (q44Sessionize _),
     "q78_bpe_tokens"      -> (q78BpeTokens _),
+    "q79_tfidf"           -> (q79Tfidf _),
   )
 
   val sql: Map[String, String] = Map(
@@ -160,6 +188,27 @@ object TextQueries {
         CAST(LEN(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS DOUBLE)
           / LEN(STRING_SPLIT(text, ' ')) AS inflation
       FROM documents ORDER BY doc_id""",
+
+    "q79_tfidf" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE doc_id < 50 GROUP BY doc_id, term),
+      df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tf, df,
+          row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored)
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        CAST(rn AS INT) AS rn
+      FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""",
 
     "q30_dedup_exact" -> """
       SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -36,6 +36,19 @@ object Sources {
     if (sampleLines > 0L) df.limit(sampleLines.toInt) else df
   }
 
+  /** Directory of raw media files as a DataFrame of opaque binary
+    * payloads (path, modificationTime, length, content) — the input
+    * shape for the multimodal operators ([[graft.operators.MediaColumns]]).
+    * Spark's binaryFile source splits by file, so decode parallelism is
+    * per-file; `pathGlobFilter` bounds the scan (e.g. "*.png").
+    */
+  def loadBinary(spark: SparkSession, dir: String,
+                 glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.foreach(g => r.option("pathGlobFilter", g))
+    r.load(dir)
+  }
+
   /** CSV sink with delimiter + header — reference COPY TO
     * (filefilter.py:374-379). `singleFile` coalesces to one partition for
     * byte-level parity with the reference's single output file; leave it

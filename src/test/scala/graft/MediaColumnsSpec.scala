@@ -82,6 +82,19 @@ class MediaColumnsSpec extends SparkSpec {
     assert(sim == 2)
   }
 
+  test("binaryFile source feeds the media pipeline end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.png").toPath, realPng(20, 10))
+    java.nio.file.Files.write(new java.io.File(dir, "b.png").toPath, realPng(6, 6))
+    java.nio.file.Files.write(new java.io.File(dir, "notes.txt").toPath, "hi".getBytes)
+    val df = graft.sources.Sources.loadBinary(spark, dir.getAbsolutePath, Some("*.png"))
+    assert(df.count() == 2) // glob filters the txt out
+    val out = MediaColumns.decodeImageMeta(df.select(col("path"), col("content")), "content")
+      .select(col("decoded.width"), col("decoded.height"), col("decoded.real_decode"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(out == Set((20, 10, true), (6, 6, true)))
+  }
+
   test("approx_count_distinct sketch lands within 5% of exact") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_orderkey"))).head.getLong(0)
