@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   *  - `value` / `wall_runs`: wall-clock of the whole suite under
   *    `GRAFT_BENCH_STREAMS` (default 10) concurrent query streams
   *    draining a shared queue, TPC-DS-throughput-test style, under a
-  *    FAIR scheduler; best of `GRAFT_BENCH_RUNS` (default 5) passes,
+  *    FAIR scheduler; best of `GRAFT_BENCH_RUNS` (default 6) passes,
   *    every pass's wall listed in `wall_runs`. Concurrent streams are
   *    the honest shape for Spark: the per-query driver floor (planning
   *    + job launch + stage barriers, ~0.1-0.5 s at this tiny SF)
@@ -36,7 +36,8 @@ object Bench {
     */
   private val heavyFirst = Seq(
     "q34_jaccard_pairs", "q35_minhash_lsh", "q46_embed_neardup",
-    "q37_embed_neardup_lsh", "q41_ann_lsh", "q03_join_revenue_nation",
+    "q37_embed_neardup_lsh", "q41_ann_lsh", "q77_ann_ivf", "q79_tfidf",
+    "q03_join_revenue_nation",
     "q64_multiset_ops", "q70_correlated_subq", "q07_window_topk_group",
     "q13_set_ops", "q02_agg_pricing", "q05_anti_join")
 
