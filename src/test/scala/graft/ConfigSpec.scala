@@ -66,6 +66,16 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.filters.head.filterThreads == 1)
   }
 
+  test("reloadConfigEvery (the key the reference examples use) aliases reloadConfigEverySeconds") {
+    val cfg = graft.model.ConfigLoader.fromYaml(
+      "reloadConfigEvery: 7\nfilters: []\n")
+    assert(cfg.reloadConfigEverySeconds == 7)
+    // canonical key wins when both are present
+    val both = graft.model.ConfigLoader.fromYaml(
+      "reloadConfigEvery: 7\nreloadConfigEverySeconds: 3\nfilters: []\n")
+    assert(both.reloadConfigEverySeconds == 3)
+  }
+
   test("defaults match the reference") {
     val cfg = ConfigLoader.fromYaml("filters:\n  - {name: x, actionType: sql, code: s}\n")
     assert(cfg.inDelimiter == ",")

@@ -90,6 +90,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q77 IVF: centroids broadcast, top-k via WindowGroupLimit, no unbounded cartesian") {
+    val p = planOf(graft.queries.VectorQueries.q77AnnIvf(spark, sf))
+    // the only nested-loop joins are against the broadcast nlist-row centroid set
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // centroid sample, not a full sort
+    assert(p.contains("WindowGroupLimit"), p)      // rank<=k prunes before the window
+  }
+
+  test("q79 TF-IDF: partial+final aggregation, count(1) scalar broadcast") {
+    val p = planOf(graft.queries.TextQueries.q79Tfidf(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q78 BPE tokens: pure projection — no shuffle at all") {
+    val p = planOf(graft.queries.TextQueries.q78BpeTokens(spark, sf)
+      .limit(1)) // orderBy under limit -> TakeOrdered, still exchange-free pre-sort
+    assert(!p.contains("Exchange") || p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("cosine_sim returns null on ragged vectors instead of a truncated score") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

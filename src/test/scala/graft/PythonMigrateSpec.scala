@@ -122,6 +122,39 @@ class PythonMigrateSpec extends SparkSpec {
     assert(r.getAs[Int]("n") == 1)
   }
 
+  test("randomized arithmetic round-trip: translated SQL == direct evaluation") {
+    // Random (+,-,*) expression trees with parens, ternaries and
+    // comparisons over row['a'] and small int literals: the translation
+    // must agree with a direct Scala evaluation on every sample.
+    val rnd = new scala.util.Random(99)
+    def gen(depth: Int): (String, Long => Long) =
+      if (depth == 0) {
+        if (rnd.nextBoolean()) { val k = rnd.nextInt(10); (k.toString, _ => k.toLong) }
+        else ("row['a']", a => a)
+      } else rnd.nextInt(4) match {
+        case 0 => val (l, lf) = gen(depth - 1); val (r, rf) = gen(depth - 1)
+          (s"($l + $r)", a => lf(a) + rf(a))
+        case 1 => val (l, lf) = gen(depth - 1); val (r, rf) = gen(depth - 1)
+          (s"($l - $r)", a => lf(a) - rf(a))
+        case 2 => val (l, lf) = gen(depth - 1); val (r, rf) = gen(depth - 1)
+          (s"($l * $r)", a => lf(a) * rf(a))
+        case 3 => val (l, lf) = gen(depth - 1); val (r, rf) = gen(depth - 1)
+          val (c1, c1f) = gen(0); val (c2, c2f) = gen(0)
+          (s"($l if $c1 > $c2 else $r)", a => if (c1f(a) > c2f(a)) lf(a) else rf(a))
+      }
+    val samples = (1 to 60).map { i => (s"e$i", gen(3)) }
+    val code = samples.map { case (n, (py, _)) => s"row['$n'] = $py" }.mkString("\n")
+    val cols = PythonMigrate.toDeriveColumns(code)
+    import org.apache.spark.sql.functions._
+    val aVal = 7L
+    var df = spark.sql(s"SELECT CAST($aVal AS BIGINT) AS a")
+    cols.foreach { case (c, e) => df = df.withColumn(c, expr(e).cast("long")) }
+    val row = df.head()
+    samples.foreach { case (n, (py, f)) =>
+      assert(row.getAs[Long](n) == f(aVal), s"$n: $py")
+    }
+  }
+
   test("unsupported constructs fail with actionable line-numbered messages") {
     val cases = Seq(
       "import requests\nrow['x'] = 1" -> "module 'requests'",
