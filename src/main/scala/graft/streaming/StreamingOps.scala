@@ -77,6 +77,24 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming text dedup by normalized fingerprint — the streaming
+    * face of the batch fingerprint dedup (q38): each document is
+    * fingerprinted ROW-LOCALLY by the native `norm_fingerprint`
+    * expression (lowercase/whitespace-normalized md5, codegen'd), then
+    * duplicates within the watermark are dropped. State per unique doc
+    * = one 16-byte key, evicted past the watermark — the shape that
+    * holds on an unbounded 100 TB ingest stream.
+    */
+  def dedupDocsByFingerprint(docs: DataFrame, textCol: String,
+                             tsCol: String = "ts",
+                             watermark: String = "2 hours"): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("fp", call_function("norm_fingerprint", col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+  }
+
   /** Session windows per user (30-min gap) — Spark's native session
     * window keeps per-key state bounded by the watermark, the streaming
     * counterpart of batch q44_sessionize.

@@ -78,6 +78,33 @@ class StreamingSpec extends SparkSpec {
     assert(kept < total && kept >= users)
   }
 
+  test("streaming fingerprint dedup equals batch exact dedup on normalized text") {
+    import org.apache.spark.sql.functions._
+    // docs whose texts differ only in case/whitespace → same fingerprint
+    val dir = Files.createTempDirectory("graft-stream5")
+    val docs = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'Hello  World', timestamp'2024-01-01 10:00:00'),
+        |  (2L, 'hello world',  timestamp'2024-01-01 10:01:00'),
+        |  (3L, 'Other Doc',    timestamp'2024-01-01 10:02:00'),
+        |  (4L, '  HELLO   world ', timestamp'2024-01-01 10:03:00'),
+        |  (5L, 'other doc',    timestamp'2024-01-01 10:04:00')
+        |AS t(doc_id, text, ts)""".stripMargin)
+    docs.write.parquet(dir.resolve("docs.parquet").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("docs.parquet").toString)
+    val q = StreamingOps.dedupDocsByFingerprint(stream, "text")
+      .writeStream.format("memory").queryName("dedup_fp")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.sql("SELECT COUNT(*) FROM dedup_fp").head().getLong(0)
+    // batch twin: exact dedup on the same normalized fingerprint
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val batch = graft.functions.Dedup.exact(
+      docs, call_function("norm_fingerprint", col("text")), col("doc_id")).count()
+    assert(kept == batch && kept == 2L)
+  }
+
   test("streaming session windows produce bounded sessions per user") {
     val dir = Files.createTempDirectory("graft-stream2")
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
