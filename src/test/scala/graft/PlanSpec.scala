@@ -112,6 +112,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange") || p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("blanket sweep: no query in the inventory plans an unbounded CartesianProduct") {
+    SparkEntry.queries.foreach { case (n, fn) =>
+      val p = planOf(fn(spark, sf))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a CartesianProduct:\n$p")
+    }
+  }
+
   test("cosine_sim returns null on ragged vectors instead of a truncated score") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
