@@ -34,6 +34,22 @@ class PythonMigrateSpec extends SparkSpec {
     assert(got("698765432") == "movil")
   }
 
+  test("reference fullExample.yml + fullExample.txt run VERBATIM through graft.Main") {
+    val yml = "/root/reference/examples/fullExample/fullExample.yml"
+    val txt = "/root/reference/examples/fullExample/fullExample.txt"
+    assert(new java.io.File(yml).isFile && new java.io.File(txt).isFile)
+    val out = Files.createTempDirectory("graft-fe-out").toString + "/result"
+    Main.main(Array(txt, yml, out))
+    val back = spark.read.option("header", "true").option("delimiter", ";").csv(out)
+    // final sql stage EXCLUDEs lat, lon, geocode; python stages added
+    // address + state from the simulated json
+    assert(back.columns.toSeq == Seq("id", "address", "state"))
+    assert(back.count() == 5)
+    val r = back.collect().head
+    assert(r.getString(1) == "Calle de la Princesa, 1, 28008 Madrid, Spain")
+    assert(r.getString(2) == "Madrid")
+  }
+
   test("regex-classify def with if/elif/else compiles to one CASE expression") {
     val cols = PythonMigrate.toDeriveColumns(
       """import re
