@@ -17,6 +17,12 @@ object Sources {
     * `sampleLines > 0` limits rows exactly once at the source (the
     * reference leaks its LIMIT into later cursors — SURVEY §2 O5).
     */
+  /** `TAB`/`tab` mean a tab character (reference loaders.py:10-13,
+    * "use TAB or tab por tabs" in the example YAML comments).
+    */
+  private def normDelim(d: String): String =
+    if (d.equalsIgnoreCase("TAB")) "\t" else d
+
   def load(spark: SparkSession, path: String, inDelimiter: String = ",",
            sampleLines: Long = 0L): DataFrame = {
     val p = if (path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://") else path
@@ -24,7 +30,8 @@ object Sources {
     val df =
       if (lower.endsWith(".parquet")) spark.read.parquet(p)
       else if (lower.endsWith(".csv") || lower.endsWith(".txt") || lower.endsWith(".tsv")) {
-        val delim = if (lower.endsWith(".tsv") && inDelimiter == ",") "\t" else inDelimiter
+        val delim = if (lower.endsWith(".tsv") && inDelimiter == ",") "\t"
+                    else normDelim(inDelimiter)
         spark.read
           .option("header", "true")
           .option("inferSchema", "true")
@@ -59,7 +66,7 @@ object Sources {
     val out = if (singleFile) df.coalesce(1) else df
     out.write
       .option("header", "true")
-      .option("delimiter", outDelimiter)
+      .option("delimiter", normDelim(outDelimiter))
       .mode("overwrite")
       .csv(path)
   }

@@ -51,6 +51,22 @@ class PipelineSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("telefono", "tipo_telefono"))
   }
 
+  test("inDelimiter/outDelimiter 'TAB' means a tab character (loaders.py:10-13)") {
+    val in = tmpCsv("t.txt", "a\tb", Seq("1\tx", "2\ty"), delim = "\t")
+    val yaml =
+      """
+        |inDelimiter: "TAB"
+        |outDelimiter: "TAB"
+        |filters: []
+        |""".stripMargin
+    val out = Files.createTempDirectory("graft-tab").toString + "/o"
+    val res = Pipeline.runYaml(spark, yaml, in, Some(out))
+    assert(res.output.columns.toSeq == Seq("a", "b"))
+    assert(res.output.count() == 2)
+    val back = spark.read.option("header", "true").option("delimiter", "\t").csv(out)
+    assert(back.columns.toSeq == Seq("a", "b") && back.count() == 2)
+  }
+
   test("fullExample shape: derive json col → extract fields → EXCLUDE projection (FIXTURES.md §1)") {
     val in = tmpCsv("ids.csv", "id", (1 to 5).map(_.toString))
     val yaml =
