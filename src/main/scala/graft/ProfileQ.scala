@@ -48,7 +48,27 @@ object ProfileQ {
         .filter(org.apache.spark.sql.functions.col("l_quantity") > 25)),
       "m_scan_groupby" -> ((s, d) => s.read.parquet(s"$d/lineitem.parquet")
         .groupBy("l_returnflag").count()),
-      "m_scan_orders" -> ((s, d) => s.read.parquet(s"$d/orders.parquet"))
+      "m_scan_orders" -> ((s, d) => s.read.parquet(s"$d/orders.parquet")),
+      // q34 stage breakdown
+      "m_j_shingles" -> ((s, d) => graft.functions.Dedup.shingleSet(
+        graft.Tables.documents(s, d), "doc_id", "text", 3)),
+      "m_j_index" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.functions.Dedup.shingleSet(graft.Tables.documents(s, d), "doc_id", "text", 3)
+          .groupBy(col("sh"))
+          .agg(sort_array(collect_list(struct(col("doc"), col("n")))).as("ds"))
+          .where(size(col("ds")) > 1)
+      }),
+      "m_j_pairs" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val idx = graft.functions.Dedup.shingleSet(graft.Tables.documents(s, d), "doc_id", "text", 3)
+          .groupBy(col("sh"))
+          .agg(sort_array(collect_list(struct(col("doc"), col("n")))).as("ds"))
+          .where(size(col("ds")) > 1)
+        idx.select(col("ds"), posexplode(col("ds")).as(Seq("p", "a")))
+          .select(col("a"), explode(
+            slice(col("ds"), col("p") + lit(2), size(col("ds")) - col("p") - lit(1))).as("b"))
+      })
     )
     val warmDir = sys.env.get("GRAFT_PROF_WARMDIR")
     for (name <- names) {
