@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   *  - `value` / `wall_runs`: wall-clock of the whole suite under
   *    `GRAFT_BENCH_STREAMS` (default 10) concurrent query streams
   *    draining a shared queue, TPC-DS-throughput-test style, under a
-  *    FAIR scheduler; best of `GRAFT_BENCH_RUNS` (default 6) passes,
+  *    FAIR scheduler; best of `GRAFT_BENCH_RUNS` (default 8) passes,
   *    every pass's wall listed in `wall_runs`. Concurrent streams are
   *    the honest shape for Spark: the per-query driver floor (planning
   *    + job launch + stage barriers, ~0.1-0.5 s at this tiny SF)
@@ -43,7 +43,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val streams = math.max(1, sys.env.getOrElse("GRAFT_BENCH_STREAMS", "10").toInt)
     var builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -131,7 +132,7 @@ object Bench {
     // Concurrent throughput passes: best of N (walls descend as C2
     // finishes compiling the generated code — all walls are reported so
     // the warmup trajectory is visible, not hidden).
-    val passes = math.max(1, sys.env.getOrElse("GRAFT_BENCH_RUNS", "6").toInt)
+    val passes = math.max(1, sys.env.getOrElse("GRAFT_BENCH_RUNS", "8").toInt)
     val runs = (1 to passes).map { _ =>
       val r = runSuite(streams); System.gc(); r
     }
