@@ -69,6 +69,29 @@ object ExtraQueries {
            max(col("o_totalprice")).as("hi"))
       .orderBy(col("o_orderpriority"))
 
+  /** Approximate quantiles with the accuracy bound IN the harness (the
+    * q69 pattern for sketches): percentile_approx is Greenwald-Khanna
+    * with guaranteed rank error ≤ 1/accuracy; we emit the EXACT
+    * interpolated median (hash-matches DuckDB quantile_cont, proven by
+    * q49) plus a boolean asserting the sketch value's realized rank sits
+    * within 1.5× the theoretical bound. The oracle emits the exact
+    * median with a literal TRUE — the gate fails iff the sketch drifts.
+    */
+  def q80ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice").as("p"))
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(percentile(col("p"), lit(0.5)).as("exact_median"),
+           percentile_approx(col("p"), lit(0.5), lit(100)).as("ap"),
+           count(lit(1)).as("n"))
+    li.join(agg, "l_returnflag")
+      .groupBy(col("l_returnflag"), col("exact_median"), col("n"))
+      .agg(sum(when(col("p") <= col("ap"), 1L).otherwise(0L)).as("le"))
+      .select(col("l_returnflag"), col("exact_median"),
+        (abs(col("le").cast("double") / col("n") - 0.5) <= 0.015)
+          .as("rank_within_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Array function battery over tokenized documents. */
   def q50ArrayOps(s: SparkSession, d: String): DataFrame = {
     val tok = split(col("text"), " ")
@@ -320,10 +343,17 @@ object ExtraQueries {
     "q48_range_frame"   -> (q48RangeFrame _),
     "q49_median"        -> (q49Median _),
     "q50_array_ops"     -> (q50ArrayOps _),
+    "q80_approx_quantiles" -> (q80ApproxQuantiles _),
     "q60_pipeline_sql"  -> (q60PipelineSql _),
   )
 
   val sql: Map[String, String] = Map(
+    "q80_approx_quantiles" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_extendedprice, 0.5) AS exact_median,
+        TRUE AS rank_within_bound
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q69_approx_distinct" -> """
       SELECT l_returnflag,
         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
