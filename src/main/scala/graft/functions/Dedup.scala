@@ -115,11 +115,13 @@ object Dedup {
       .select(col("ds"), posexplode(col("ds")).as(Seq("p", "a")))
       .select(col("a"), explode(
         slice(col("ds"), col("p") + lit(2), size(col("ds")) - col("p") - lit(1))).as("b"))
+    // n is functionally determined by doc, so keep the shuffle key to
+    // the 16-byte pair and carry the sizes as max() aggregates
     val inter = pairs
       .where(lengthRatioOk(col("a.n"), col("b.n"), threshold))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("i"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("i"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
     val jac = col("i").cast("double") /
       (col("na") + col("nb") - col("i"))
     inter
