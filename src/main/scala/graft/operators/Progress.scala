@@ -19,15 +19,18 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, S
   * Scale note: listener events arrive on the driver's listener bus —
   * constant work per task, no executor-side cost, safe at any SF.
   */
-final class ProgressListener(
-    out: String => Unit = s => Console.err.print(s + "\r"),
-    cores: Int = Runtime.getRuntime.availableProcessors(),
-    intervalMs: Long = 100L) extends SparkListener {
-
+object ProgressListener {
   private final case class StageState(
       name: String, numTasks: Int,
       done: AtomicLong = new AtomicLong, records: AtomicLong = new AtomicLong,
       taskMillis: AtomicLong = new AtomicLong, t0: Long = System.nanoTime())
+}
+
+final class ProgressListener(
+    out: String => Unit = s => Console.err.print(s + "\r"),
+    cores: Int = Runtime.getRuntime.availableProcessors(),
+    intervalMs: Long = 100L) extends SparkListener {
+  import ProgressListener.StageState
 
   private val stages = new ConcurrentHashMap[Int, StageState]()
   private val lastPrint = new AtomicLong(0L)
