@@ -60,4 +60,33 @@ class UtilOpsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
     assert(salted.length == 1000)
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true in plan)") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16k")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key holding 75% of the left side → its shuffle partition
+      // dwarfs the median and AQE must split it
+      val left = spark.range(200000)
+        .select(when(col("id") < 150000, 1L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      // collect() executes THIS queryExecution, so the adaptive plan we
+      // inspect below is the final one (count() would plan separately)
+      assert(j.collect().length == 150000) // only the hot key (1) matches the right side
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the join skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
