@@ -92,6 +92,24 @@ object ExtraQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Unkeyed interval join via bin quantization ([[graft.operators.RangeJoin]]):
+    * 360 fixed 45-minute windows (every 2 h across the event month)
+    * joined to events by containment — an equality join on the hour bin
+    * instead of the nested-loop a bare range predicate plans. Oracle is
+    * DuckDB's native inequality join over the same generated windows.
+    */
+  def q81RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val iv = s.range(0, 360).select(col("id").as("interval_id"),
+      expr("timestamp_seconds(1704067200 + id * 7200)").as("w_start"),
+      expr("timestamp_seconds(1704067200 + id * 7200 + 2700)").as("w_end"))
+    graft.operators.RangeJoin.byTime(ev, "ts", iv, "w_start", "w_end", binSeconds = 3600)
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(dec6(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("interval_id"))
+  }
+
   /** Array function battery over tokenized documents. */
   def q50ArrayOps(s: SparkSession, d: String): DataFrame = {
     val tok = split(col("text"), " ")
@@ -344,10 +362,23 @@ object ExtraQueries {
     "q49_median"        -> (q49Median _),
     "q50_array_ops"     -> (q50ArrayOps _),
     "q80_approx_quantiles" -> (q80ApproxQuantiles _),
+    "q81_range_join"    -> (q81RangeJoin _),
     "q60_pipeline_sql"  -> (q60PipelineSql _),
   )
 
   val sql: Map[String, String] = Map(
+    "q81_range_join" -> """
+      WITH iv AS (
+        SELECT i AS interval_id, 1704067200 + i * 7200 AS s_sec
+        FROM generate_series(0, 359) t(i))
+      SELECT interval_id,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events, iv
+      WHERE epoch_us(ts) >= s_sec * 1000000
+        AND epoch_us(ts) < (s_sec + 2700) * 1000000
+      GROUP BY interval_id ORDER BY interval_id""",
+
     "q80_approx_quantiles" -> """
       SELECT l_returnflag,
         quantile_cont(l_extendedprice, 0.5) AS exact_median,

@@ -61,6 +61,27 @@ class UtilOpsSpec extends SparkSpec {
     assert(salted.length == 1000)
   }
 
+  test("binned range join == naive non-equi join, and plans an equality join not a BNLJ") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val iv = spark.range(0, 100).select(col("id").as("interval_id"),
+      expr("timestamp_seconds(1704067200 + id * 7200)").as("w_start"),
+      expr("timestamp_seconds(1704067200 + id * 7200 + 2700)").as("w_end"))
+    val binned = graft.operators.RangeJoin.byTime(ev, "ts", iv, "w_start", "w_end", 3600L)
+      .select(col("event_id"), col("interval_id"))
+    val naive = ev.join(iv, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select(col("event_id"), col("interval_id"))
+    val b = binned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b == n, s"missing=${(n -- b).size} extra=${(b -- n).size}")
+    assert(b.nonEmpty)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned range join fell back to a nested loop:\n$plan")
+    // while the naive formulation IS the nested loop the operator avoids
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true in plan)") {
     import org.apache.spark.sql.functions._
     val confs = Seq(
