@@ -92,6 +92,17 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Training-mix rebalancing ([[graft.functions.Mix]]): deterministic
+    * per-language down-sampling — keep 12/16 of en, 8/16 of es, 4/16 of
+    * de, all of everything else. Row membership is the md5-prefix trick,
+    * so DuckDB keeps the IDENTICAL rows and the gate hash-matches.
+    */
+  def q82LangRebalance(s: SparkSession, d: String): DataFrame =
+    graft.functions.Mix.stratifiedSample(documents(s, d),
+        col("lang"), col("doc_id"), Map("en" -> 12, "es" -> 8, "de" -> 4))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Exact n-gram (word-trigram) Jaccard near-dup pairs via inverted
     * index — the verification-grade dedup.
     */
@@ -178,9 +189,17 @@ object TextQueries {
     "q44_sessionize"      -> (q44Sessionize _),
     "q78_bpe_tokens"      -> (q78BpeTokens _),
     "q79_tfidf"           -> (q79Tfidf _),
+    "q82_lang_rebalance"  -> (q82LangRebalance _),
   )
 
   val sql: Map[String, String] = Map(
+    "q82_lang_rebalance" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        CASE lang WHEN 'en' THEN 'c' WHEN 'es' THEN '8' WHEN 'de' THEN '4'
+          ELSE 'g' END
+      ORDER BY doc_id""",
+
     "q78_bpe_tokens" -> """
       SELECT doc_id,
         LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,

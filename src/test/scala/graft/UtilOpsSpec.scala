@@ -61,6 +61,37 @@ class UtilOpsSpec extends SparkSpec {
     assert(salted.length == 1000)
   }
 
+  test("stratified mix sampling: deterministic, rate-accurate, untouched strata kept whole") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val sampled = graft.functions.Mix.stratifiedSample(
+      docs, col("lang"), col("doc_id"), Map("en" -> 12, "es" -> 8, "de" -> 4))
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // untouched strata identical; sampled strata near their rate
+    assert(after("fr") == before("fr") && after("zh") == before("zh"))
+    def rate(l: String) = after(l).toDouble / before(l)
+    assert(math.abs(rate("en") - 12.0 / 16) < 0.15, s"en ${rate("en")}")
+    assert(math.abs(rate("es") - 8.0 / 16) < 0.2, s"es ${rate("es")}")
+    assert(math.abs(rate("de") - 4.0 / 16) < 0.2, s"de ${rate("de")}")
+    // deterministic: the same ids every time
+    val a = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.functions.Mix.stratifiedSample(
+      docs, col("lang"), col("doc_id"), Map("en" -> 12, "es" -> 8, "de" -> 4))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // membership is monotone in the rate: 4/16 of a stratum ⊂ 8/16
+    val deQuarter = graft.functions.Mix.stratifiedSample(
+      docs.filter(col("lang") === "de"), col("lang"), col("doc_id"), Map("de" -> 4))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deHalf = graft.functions.Mix.stratifiedSample(
+      docs.filter(col("lang") === "de"), col("lang"), col("doc_id"), Map("de" -> 8))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deQuarter.subsetOf(deHalf))
+  }
+
   test("binned range join == naive non-equi join, and plans an equality join not a BNLJ") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
