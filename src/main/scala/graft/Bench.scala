@@ -63,6 +63,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("GRAFT_CODEGEN", "true"))
+      // window/SMJ buffers spill past 4096 rows by default; sf0.1
+      // partitions fit comfortably in memory, so keep them on-heap
+      // (cluster-scale sizing belongs to the deployment, not the lib)
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
+      .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "1048576")
       .config("spark.ui.enabled", "false")
     sys.env.get("GRAFT_BENCH_CONF").foreach { conf =>
       conf.split(";").filter(_.contains("=")).foreach { kv =>
