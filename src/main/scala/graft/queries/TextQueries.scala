@@ -110,9 +110,12 @@ object TextQueries {
     Dedup.jaccardPairs(documents(s, d), "doc_id", "text", k = 3, threshold = 0.6)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** MinHash+LSH near-dup pairs (the 100 TB path) — Spark-only hashes,
-    * rows-only check; correctness asserted against q34 in the test
-    * suite.
+  /** MinHash+LSH near-dup pairs (the 100 TB path). Oracle-checked
+    * against the EXACT Jaccard computation (same SQL as q34): the final
+    * verification stage emits exact jaccard values, and 32 hashes × 8
+    * bands find every J ≥ 0.6 pair on this corpus (asserted in
+    * DedupSpec) — so the gate doubles as a banding-recall sentinel: if
+    * LSH ever drops a true pair, the hash compare fails.
     */
   def q35MinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
@@ -265,6 +268,22 @@ object TextQueries {
                 WHEN LEN(STRING_SPLIT(text, ' ')) >= 5 THEN 0.25
                 ELSE 0.0 END) AS quality
       FROM documents ORDER BY doc_id""",
+
+    "q35_minhash_lsh" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+                                     i -> array_to_string(l[i:i+2], ' '))) s
+             FROM tok),
+      cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+      FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+      ORDER BY doc_a, doc_b""",
 
     "q34_jaccard_pairs" -> """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
