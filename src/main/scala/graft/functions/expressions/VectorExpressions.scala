@@ -196,6 +196,64 @@ object VectorNorm {
   }
 }
 
+/** dot_product(a, b): a·b with the same sequential fold as
+  * [[CosineSimilarity]]'s dot accumulator, so
+  * `dot_product(a,b) / (vec_norm(a) * vec_norm(b))` is BIT-IDENTICAL to
+  * `cosine_sim(a,b)` — which lets all-pairs scans hoist the two norms
+  * out of the O(n²) loop (computed once per vector instead of per pair)
+  * without perturbing the oracle hash. Null on length mismatch, like
+  * cosine_sim.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs array<float|double> args, got ${left.dataType}, ${right.dataType}")
+  }
+  private lazy val lFloat = VecUtil.isFloatArray(left.dataType)
+  private lazy val rFloat = VecUtil.isFloatArray(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    DotProduct.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      lFloat, rFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dot")
+      s"""
+         java.lang.Double $boxed = graft.functions.expressions.DotProduct.compute(
+           $a, $b, $lFloat, $rFloat);
+         if ($boxed == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object DotProduct {
+  def compute(a: ArrayData, b: ArrayData, lFloat: Boolean, rFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += VecUtil.get(a, i, lFloat) * VecUtil.get(b, i, rFloat)
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+}
+
 /** Registration: both as a SparkSessionExtensions injector (for
   * `.withExtensions(new GraftExtensions)`) and an idempotent per-session
   * registry call for sessions we didn't build.
@@ -203,6 +261,7 @@ object VectorNorm {
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
     "lsh_signature" -> (es => LshSignatures(es(0), es(1), es(2))),
     "vec_norm" -> (es => VectorNorm(es.head)),
     "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
@@ -240,6 +299,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       es => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      es => DotProduct(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("lsh_signature"),
       new ExpressionInfo(classOf[LshSignatures].getName, "lsh_signature"),
       es => LshSignatures(es(0), es(1), es(2))))

@@ -25,10 +25,16 @@ object ExtraQueries {
     */
   def q46EmbedNearDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // norms hoisted out of the O(n²) loop: dot/(‖a‖·‖b‖) with the same
+    // sequential folds is bit-identical to cosine_sim (DotProduct
+    // scaladoc), so the oracle hash is unchanged while each pair costs
+    // one fold instead of three
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      call_function("vec_norm", col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        VF.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        (call_function("dot_product", col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= 0.45)
       .orderBy(col("id_a"), col("id_b"))
   }

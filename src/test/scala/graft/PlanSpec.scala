@@ -76,14 +76,16 @@ class PlanSpec extends SparkSpec {
         call_function("shingle_hashes", split(col("text"), " "), lit(3)).as("sh"),
         call_function("minhash_signature", split(col("text"), " "), lit(3), lit(8)).as("mh"),
         call_function("cosine_sim", col("va"), col("vb")).as("cos"),
+        call_function("dot_product", col("va"), col("vb")).as("dot"),
         call_function("lsh_signature", col("va"), lit(4), lit(2)).as("lsh"),
         call_function("vec_norm", col("va")).as("nrm")).collect().head
       assert(out.getString(0).length == 32)
       assert(out.getSeq[Long](1).length == 3)
       assert(out.getSeq[Long](2).length == 8)
       assert(math.abs(out.getDouble(3) - 1.0) < 1e-12)
-      assert(out.getSeq[Long](4).length == 2)
-      assert(out.getDouble(5) > 2.0)
+      assert(math.abs(out.getDouble(4) - 5.0) < 1e-12) // 1*1 + 2*2
+      assert(out.getSeq[Long](5).length == 2)
+      assert(out.getDouble(6) > 2.0)
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
