@@ -109,6 +109,7 @@ object PythonMigrate {
     */
   private sealed trait V
   private case class Sql(sql: String, isString: Boolean = false) extends V
+  private case class Tup(items: Seq[V]) extends V
   private case class Dict(fields: Seq[(String, V)]) extends V
   private case class Json(src: V) extends V
   private case class Func(params: Seq[String], body: Seq[Stmt], defLine: Int) extends V
@@ -118,6 +119,8 @@ object PythonMigrate {
   private def sqlOf(v: V, line: Int): Sql = v match {
     case s: Sql => s
     case Json(src) => sqlOf(src, line)
+    case Tup(_) => throw new MigrationError(line, "a tuple used as a scalar value",
+      "Tuples are only valid on the right of 'in'.")
     case Dict(_) => throw new MigrationError(line, "a dict used as a scalar value",
       "Subscript it with a constant key.")
     case Func(_, _, l) => throw new MigrationError(line, s"function value (defined at line $l) used as a scalar", "")
@@ -328,12 +331,24 @@ object PythonMigrate {
 
     private def comparison(): V = {
       val l = additive()
+      def inList(negate: Boolean): V = {
+        val r = additive()
+        val items = r match {
+          case Tup(is) => is.map(sqlOf(_, line).sql)
+          case single => Seq(sqlOf(single, line).sql)
+        }
+        val not = if (negate) "NOT " else ""
+        Sql(s"(${sqlOf(l, line).sql} ${not}IN (${items.mkString(", ")}))")
+      }
       peek match {
         case Some(TOp(op)) if Set("==", "!=", "<", ">", "<=", ">=").contains(op) =>
           next()
           val r = additive()
           val sqlOp = op match { case "==" => "="; case "!=" => "<>"; case o => o }
           Sql(s"(${sqlOf(l, line).sql} $sqlOp ${sqlOf(r, line).sql})")
+        case Some(TName("in")) => next(); inList(negate = false)
+        case Some(TName("not")) if pos + 1 < toks.length && toks(pos + 1) == TName("in") =>
+          next(); next(); inList(negate = true)
         case _ => l
       }
     }
@@ -390,7 +405,8 @@ object PythonMigrate {
           }
           v = peek match {
             case Some(TOp("(")) => call(v, Some(name))
-            case _ => err(s"attribute access '.$name' without a call", "Only method calls like .get(...) are supported.")
+            case _ => err(s"attribute access '.$name' without a call",
+              "Only method calls like .get(...)/.lower()/.strip() are supported.")
           }
         case _ => cont = false
       }
@@ -416,7 +432,19 @@ object PythonMigrate {
         env.getOrElse(n, err(s"undefined name '$n'",
           "Bind it earlier in the block or pass it as a function argument."))
       case TOp("(") =>
-        val v = ternary(); expect(")"); v
+        val v = ternary()
+        peek match {
+          case Some(TOp(",")) => // tuple literal (for the right of 'in')
+            val items = Seq.newBuilder[V]
+            items += v
+            while (peek.contains(TOp(","))) {
+              next()
+              if (!peek.contains(TOp(")"))) items += ternary()
+            }
+            expect(")")
+            Tup(items.result())
+          case _ => expect(")"); v
+        }
       case TOp("{") =>
         val fields = Seq.newBuilder[(String, V)]
         if (!peek.contains(TOp("}"))) {
@@ -481,6 +509,20 @@ object PythonMigrate {
           if (a.length != 1) err("json.loads expects one argument")
           Json(a.head)
         case (Module(m), Some(other)) => err(s"$m.$other", "")
+        // python string methods on any scalar expression
+        case (v, Some("lower")) if a.isEmpty && v.isInstanceOf[Sql] =>
+          Sql(s"lower(${sqlOf(v, line).sql})", isString = true)
+        case (v, Some("upper")) if a.isEmpty && v.isInstanceOf[Sql] =>
+          Sql(s"upper(${sqlOf(v, line).sql})", isString = true)
+        case (v, Some("strip")) if a.isEmpty && v.isInstanceOf[Sql] =>
+          Sql(s"trim(${sqlOf(v, line).sql})", isString = true)
+        case (v, Some("startswith")) if a.length == 1 && v.isInstanceOf[Sql] =>
+          Sql(s"startswith(${sqlOf(v, line).sql}, ${sqlOf(a.head, line).sql})")
+        case (v, Some("endswith")) if a.length == 1 && v.isInstanceOf[Sql] =>
+          Sql(s"endswith(${sqlOf(v, line).sql}, ${sqlOf(a.head, line).sql})")
+        case (v, Some("replace")) if a.length == 2 && v.isInstanceOf[Sql] =>
+          Sql(s"replace(${sqlOf(v, line).sql}, ${sqlOf(a.head, line).sql}, ${sqlOf(a(1), line).sql})",
+            isString = true)
         case (Json(src), Some("get")) =>
           if (a.isEmpty) err(".get() needs a key")
           val key = a.head match {

@@ -171,6 +171,34 @@ class PythonMigrateSpec extends SparkSpec {
     }
   }
 
+  test("string methods and membership: lower/strip/startswith/replace, in/not in") {
+    val cols = PythonMigrate.toDeriveColumns(
+      """def classify(lang):
+        |    if lang in ('en', 'es'):
+        |        return 'latin'
+        |    elif lang not in ('zh',):
+        |        return 'other'
+        |    else:
+        |        return 'cjk'
+        |
+        |row['norm'] = str(row['name']).strip().lower()
+        |row['shout'] = str(row['name']).upper()
+        |row['is_a'] = 'yes' if str(row['name']).startswith('a') else 'no'
+        |row['fixed'] = str(row['name']).replace('x', 'y')
+        |row['family'] = classify(str(row['lang']))
+        |""".stripMargin)
+    import org.apache.spark.sql.functions._
+    var df = spark.sql(
+      "SELECT * FROM VALUES ('  Axx  ', 'en'), ('beta', 'zh'), ('ax', 'fr') AS t(name, lang)")
+    cols.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+    val rows = df.collect().map(r =>
+      r.getAs[String]("name") -> ((r.getAs[String]("norm"), r.getAs[String]("shout"),
+        r.getAs[String]("is_a"), r.getAs[String]("fixed"), r.getAs[String]("family")))).toMap
+    assert(rows("  Axx  ") == (("axx", "  AXX  ", "no", "  Ayy  ", "latin")))
+    assert(rows("beta") == (("beta", "BETA", "no", "beta", "cjk")))
+    assert(rows("ax") == (("ax", "AX", "yes", "ay", "other")))
+  }
+
   test("unsupported constructs fail with actionable line-numbered messages") {
     val cases = Seq(
       "import requests\nrow['x'] = 1" -> "module 'requests'",
