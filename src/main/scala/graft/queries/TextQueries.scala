@@ -128,6 +128,29 @@ object TextQueries {
       .select(col("doc").as("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
+  /** SimHash invariant IN the gate (the q69/q80 pattern for hash-based
+    * ops whose raw values are engine-internal): identical text must
+    * collide to the same 64-bit simhash wherever it appears. The corpus
+    * has no natural exact duplicates, so each document is cloned under a
+    * shifted id inside the query — one invariant row per document,
+    * signatures computed independently for original and clone across
+    * different partitions. The oracle emits every (doc_id, doc_id +
+    * 100000) pair with a literal TRUE; any nondeterminism or
+    * row-position dependence in the signature fails the hash compare.
+    */
+  def q83SimhashInvariant(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val doubled = docs.unionAll(
+      docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val sig = Dedup.simhash(doubled, "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("simhash"))
+    sig.as("sa")
+      .join(sig.as("sb"), col("sa.doc_id") + 100000L === col("sb.doc_id"))
+      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"),
+        (col("sa.simhash") === col("sb.simhash")).as("simhash_collides"))
+      .orderBy(col("doc_a"))
+  }
+
   /** Portable fingerprint dedup: md5 over normalized text (native
     * single-pass norm_fingerprint expression; output identical to the
     * DuckDB md5 ∘ regexp_replace ∘ trim ∘ lower oracle spelling).
@@ -193,9 +216,15 @@ object TextQueries {
     "q78_bpe_tokens"      -> (q78BpeTokens _),
     "q79_tfidf"           -> (q79Tfidf _),
     "q82_lang_rebalance"  -> (q82LangRebalance _),
+    "q83_simhash_invariant" -> (q83SimhashInvariant _),
   )
 
   val sql: Map[String, String] = Map(
+    "q83_simhash_invariant" -> """
+      SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b,
+        TRUE AS simhash_collides
+      FROM documents ORDER BY doc_a""",
+
     "q82_lang_rebalance" -> """
       SELECT doc_id, lang FROM documents
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
