@@ -196,10 +196,17 @@ object CoreQueries {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  /** Running sum per partition (rows frame) with deterministic order. */
+  /** Running sum per partition (rows frame) with deterministic order.
+    * (l_orderkey, l_linenumber) is NOT unique in the generated data (118k
+    * duplicate pairs at sf0.1, one full-tuple tie), so the ROWS-frame
+    * order needs l_partkey + l_quantity tiebreaks: with l_quantity in
+    * the order, rows that still tie contribute equal increments and the
+    * output multiset is engine-independent.
+    */
   def q08WindowRunning(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem(s, d)
       .withColumn("running_qty", sum(dec2(col("l_quantity"))).over(w).cast("double"))
@@ -397,7 +404,7 @@ object CoreQueries {
       SELECT l_suppkey, l_orderkey, l_linenumber,
         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
           PARTITION BY l_suppkey
-          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       FROM lineitem
       ORDER BY l_suppkey, l_orderkey, l_linenumber""",

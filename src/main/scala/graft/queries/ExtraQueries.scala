@@ -300,7 +300,12 @@ object ExtraQueries {
 
   /** Deterministic variance/stddev: built-in var_samp is a streaming
     * (order-dependent) fold in both engines, so compute from exact
-    * decimal Σx and Σx² instead — identical doubles on any partitioning.
+    * decimal Σx and Σx² instead — identical on any partitioning. The
+    * emitted statistics are rounded (var to 2, stddev to 4 decimals)
+    * because DuckDB's wide-decimal→double cast can land one ulp away
+    * from the correctly-rounded conversion once Σx² outgrows 2⁵³
+    * significant bits (seen at sf0.1); rounding quantums sit orders of
+    * magnitude above one ulp, so both engines agree.
     */
   def q73Variance(s: SparkSession, d: String): DataFrame = {
     val x = dec2(col("o_totalprice"))
@@ -310,8 +315,10 @@ object ExtraQueries {
            sum(x).cast("double").as("sx"),
            sum(x * x).cast("double").as("sxx"))
       .select(col("o_orderstatus"), col("n"),
-        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_samp"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_samp"))
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 2)
+          .as("var_samp"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4)
+          .as("stddev_samp"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -453,8 +460,8 @@ object ExtraQueries {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
         FROM orders GROUP BY o_orderstatus)
       SELECT o_orderstatus, n,
-        (sxx - sx * sx / n) / (n - 1) AS var_samp,
-        sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp
+        round((sxx - sx * sx / n) / (n - 1), 2) AS var_samp,
+        round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_samp
       FROM a ORDER BY o_orderstatus""",
 
     "q70_correlated_subq" -> """
