@@ -25,7 +25,13 @@ import scala.jdk.CollectionConverters._
   *    (filters.py:31-33,46-48);
   *  - 2xx appends the response body as string column `newField` (default
   *    `response`, filters.py:78); non-2xx/exception drops the row
-  *    (filefilter.py:110-113); status-class accumulators 20X/30X/40X/50X;
+  *    (filefilter.py:110-113); status-class accumulators 20X/30X/40X/50X.
+  *    Two deliberate softenings of filters.py:73-89: the reference keeps
+  *    only status == 200 exactly (201/204 would drop) and re-serializes
+  *    the body through json.dumps(response.json()) (crashing on non-JSON
+  *    200s); we accept the whole 2xx class and append the body verbatim;
+  *  - `rest` stages under `reloadConfigEverySeconds` re-read the config
+  *    between waves and resize their pool (O18, filefilter.py:144-171);
   *  - POST sends a JSON body with Content-Type: application/json — always
   *    (the reference only POSTs when logHttpRequests is on,
   *    filters.py:63-71; that's the documented bug we fix);
