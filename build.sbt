@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver line-parses the LAST 2000 chars of `sbt -batch
+// "runMain graft.Bench"` stdout for one JSON line. sbt's default
+// LoggedOutput prefixes every forked-stdout line with "[info] " (which
+// breaks json parsing — BENCH_r01..r03 all recorded "parsed": null) and
+// appends a "[success] Total time…" trailer. Relay the forked JVM's
+// stdout verbatim and drop the trailer so the bench JSON line is both
+// unprefixed and last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -157,15 +157,46 @@ object Bench {
     val seqRuns = (1 to 2).map { _ => val r = runSuite(1); System.gc(); r }
     val (seqWall, seqRes) = seqRuns.minBy(_._1)
 
+    // The driver captures only the LAST 2000 chars of stdout and parses
+    // the JSON line out of that window (round 3's full-precision,
+    // full-name line was ~2.5k chars → truncated start → parse failure,
+    // BENCH_r03.json "parsed": null). Keep the line compact: short qNN
+    // keys, 3-decimal values. Full detail goes to bench_detail.json.
+    def f3(v: Double): String = f"$v%.3f"
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
     val qs = seqRes.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val walls = runs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val walls = runs.map(r => f3(r._1)).mkString("[", ",", "]")
     val failedJson = {
       import scala.jdk.CollectionConverters._
       failed.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
-    val seqWalls = seqRuns.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","streams":$streams,"passes":$passes,"wall_runs":$walls,"seq_wall_sec":$seqWall,"seq_runs":$seqWalls,"sum_query_sec":${seqRes.values.sum},"warmed":${warmDir.nonEmpty},"failed":$failedJson}""")
+    val seqWalls = seqRuns.map(r => f3(r._1)).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(wall)},"unit":"sec","queries":$qs,"sf":"$sfDir","streams":$streams,"passes":$passes,"wall_runs":$walls,"seq_wall_sec":${f3(seqWall)},"seq_runs":$seqWalls,"sum_query_sec":${f3(seqRes.values.sum)},"warmed":${warmDir.nonEmpty},"failed":$failedJson}"""
+    // Full-name, full-precision record for local diffing.
+    val detail = seqRes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json")
+      w.println(s"""{"wall":$wall,"wall_runs":$walls,"seq_wall":$seqWall,"seq_runs":$seqWalls,"queries":$detail,"failed":$failedJson,"streams":$streams,"passes":$passes,"sf":"$sfDir"}""")
+      w.close()
+    } catch { case scala.util.control.NonFatal(_) => }
+    // The driver line-parses the tail for this JSON, so it must reach
+    // stdout unprefixed and ideally be the LAST line (r01-r03 all
+    // recorded "parsed": null — sbt's default LoggedOutput prefixed
+    // every line with "[info] "). build.sbt now relays forked stdout
+    // verbatim (outputStrategy := StdoutOutput) and drops the
+    // "[success]" trailer (showSuccess := false); the shutdown hook
+    // re-prints the line at JVM exit so it stays last even if
+    // spark.stop() logs something.
+    val rawOut = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    println(line)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      rawOut.println(line); rawOut.flush()
+    }))
+    Console.out.flush()
     spark.stop()
   }
 }
