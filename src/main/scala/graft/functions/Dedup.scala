@@ -222,6 +222,30 @@ object Dedup {
     agg.select(col("doc"), sig.as("simhash"))
   }
 
+  /** Engine-portable 60-bit SimHash: identical construction to
+    * [[simhash]] but the per-token hash is the low 60 bits of md5
+    * instead of xxhash64, so ANY engine with md5 reproduces the exact
+    * signature (the correctness gate recomputes it in DuckDB SQL —
+    * see TextQueries.q36 oracle). 60 bits (15 hex chars) sidesteps
+    * signed-64 overflow in both engines; the 4-bit loss is irrelevant
+    * for a similarity fingerprint. Use [[simhash]] (xxhash64, one hash
+    * per token instead of md5's full digest) when cross-engine
+    * reproducibility isn't needed.
+    */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60).map { b =>
+      shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("doc"), sig.as("simhash"))
+  }
+
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     * chunks (hamming ≤ 3 ⇒ at least one identical chunk), join on
     * chunks, verify with bit_count(xor) ≤ maxHamming.

@@ -109,6 +109,68 @@ object VectorFunctions {
       .distinct()
   }
 
+  /** Exact pairwise near-dup join, brute force O(n²)/2 — the
+    * VERIFICATION ORACLE for the LSH scale path ([[lshNearDupPairs]]);
+    * plans as a BroadcastNestedLoopJoin and must never run at scale.
+    * Norms are hoisted out of the pair loop: dot/(‖a‖·‖b‖) with the
+    * same sequential folds is bit-identical to cosine_sim, so scores
+    * hash-match DuckDB's list_cosine_similarity.
+    */
+  def exactNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+      call_function("vec_norm", col(vecCol)).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (call_function("dot_product", col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** One-row recall/precision audit of an approximate pairwise dedup
+    * against the exact pair set (the q69/q80 in-gate-bound pattern for
+    * sketch operators): `n_exact` matches an exact SQL oracle count,
+    * `recall_ok` asserts |approx ∩ exact| / n_exact ≥ `bound`, and
+    * `precision_ok` asserts approx ⊆ exact (no false positives — the
+    * verify stage of the LSH pipeline guarantees this by construction,
+    * and the audit proves it rather than assuming it).
+    */
+  def pairRecallAudit(approx: DataFrame, exact: DataFrame,
+                      bound: Double): DataFrame = {
+    val e = exact.select(col("id_a"), col("id_b"))
+    val a = approx.select(col("id_a"), col("id_b"))
+    val nE = e.select(count(lit(1)).as("n_exact"))
+    val nH = a.join(e, Seq("id_a", "id_b")).select(count(lit(1)).as("n_hit"))
+    val nA = a.select(count(lit(1)).as("n_approx"))
+    nE.crossJoin(nH).crossJoin(nA).select(
+      col("n_exact"),
+      (col("n_exact") === 0 ||
+        col("n_hit").cast("double") / col("n_exact") >= bound).as("recall_ok"),
+      (col("n_approx") === col("n_hit")).as("precision_ok"))
+  }
+
+  /** One-row recall audit of an approximate top-k against the exact
+    * brute-force top-k over the same (queries, candidates): `n_queries`
+    * matches the oracle's count of query vectors, `full_k` asserts the
+    * ANN returned exactly k results per query, `recall_ok` asserts
+    * overall recall@k (|approx ∩ exact| over all queries / k·n) ≥
+    * `bound`. Deterministic: signatures/centroids are seed-fixed, so
+    * the realized recall is a property of the dataset, not of the run.
+    */
+  def topKRecallAudit(approx: DataFrame, queries: DataFrame,
+                      candidates: DataFrame, k: Int, bound: Double): DataFrame = {
+    val exact = bruteForceTopK(queries, candidates, k).select(col("qid"), col("cid"))
+    val a = approx.select(col("qid"), col("cid"))
+    val nQ = queries.select(count_distinct(col("vec_id")).as("n_queries"))
+    val nH = a.join(exact, Seq("qid", "cid")).select(count(lit(1)).as("n_hit"))
+    val nA = a.select(count(lit(1)).as("n_approx"))
+    nQ.crossJoin(nH).crossJoin(nA).select(
+      col("n_queries"),
+      (col("n_approx") === col("n_queries") * k).as("full_k"),
+      (col("n_hit").cast("double") / (col("n_queries") * k) >= bound).as("recall_ok"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other standard ANN
     * scale path next to sign-LSH ([[annTopK]]): a coarse quantizer of
     * `nlist` centroids partitions the corpus into posting lists; each

@@ -194,6 +194,91 @@ case class MinhashSignature(child: Expression, kExpr: Expression, numExpr: Expre
     copy(child = cs(0), kExpr = cs(1), numExpr = cs(2))
 }
 
+/** simhash_sig(tokens, mode): 'md5' → the engine-portable 60-bit
+  * SimHash (per distinct token, low 60 bits of md5 = first 15 hex
+  * chars; bit b of the signature is the sign of Σ±1 over tokens'
+  * bit b) — bit-for-bit equal to the DuckDB SQL recomputation in
+  * TextQueries.simhashOracle. 'xx' → the fast 64-bit variant hashing
+  * tokens with xxhash64(seed 42), identical values to
+  * xxhash64(token) in Spark SQL. One tight loop per row replaces the
+  * 64-conditional-sum groupBy formulation (explode + wide aggregate →
+  * row-local projection, no shuffle at all).
+  */
+case class SimHashSig(child: Expression, modeExpr: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child, modeExpr)
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = LongType
+  private lazy val md5Mode: Boolean =
+    modeExpr.eval().asInstanceOf[UTF8String].toString == "md5"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    SimHashSig.compute(v.asInstanceOf[ArrayData], md5Mode)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      boolean ${ev.isNull} = ${c.isNull};
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.expressions.SimHashSig.compute(${c.value}, $md5Mode);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0), modeExpr = cs(1))
+}
+
+object SimHashSig {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Low 60 bits of md5(token) — the value of the first 15 hex chars of
+    * the digest, i.e. big-endian first-8-bytes >>> 4 (matches DuckDB's
+    * CAST('0x' || substr(md5(t),1,15) AS UBIGINT) and Spark SQL's
+    * conv(substring(md5(t),1,15),16,10) exactly).
+    */
+  private def md5Low60(t: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(t.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  def compute(tok: ArrayData, md5Mode: Boolean): Long = {
+    val n = tok.numElements()
+    val bits = if (md5Mode) 60 else 64
+    val counts = new Array[Int](bits)
+    // distinct by token VALUE (matches array_distinct ∘ split and the
+    // oracle's SELECT DISTINCT), not by hash
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = tok.getUTF8String(i)
+      if (seen.add(t)) {
+        val h =
+          if (md5Mode) md5Low60(t)
+          else XxHash64Function.hash(t, StringType, 42L)
+        var b = 0
+        while (b < bits) {
+          counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+}
+
 object MinhashSignature {
   def compute(tok: ArrayData, k: Int, num: Int): ArrayData = {
     val n = tok.numElements()

@@ -23,21 +23,9 @@ object ExtraQueries {
     * (VectorQueries.q37EmbedNearDupLsh), whose precision is exact and
     * whose recall is asserted against this query's pass-set in DedupSpec.
     */
-  def q46EmbedNearDup(s: SparkSession, d: String): DataFrame = {
-    graft.functions.expressions.GraftFunctions.register(s)
-    // norms hoisted out of the O(n²) loop: dot/(‖a‖·‖b‖) with the same
-    // sequential folds is bit-identical to cosine_sim (DotProduct
-    // scaladoc), so the oracle hash is unchanged while each pair costs
-    // one fold instead of three
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      call_function("vec_norm", col("embedding")).as("nrm"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        (call_function("dot_product", col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .filter(col("cos") >= 0.45)
+  def q46EmbedNearDup(s: SparkSession, d: String): DataFrame =
+    VF.exactNearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.45)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** Native pivot (count per status × priority), nulls filled to 0. */
   def q47Pivot(s: SparkSession, d: String): DataFrame =

@@ -122,9 +122,15 @@ object TextQueries {
         k = 3, numHashes = 32, bands = 8, threshold = 0.6)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash signatures per document (Spark-only hashes, rows-only). */
+  /** SimHash signatures per document — the PORTABLE 60-bit md5 variant
+    * ([[graft.functions.Dedup.simhashPortable]]), so the oracle
+    * recomputes the exact signature in DuckDB SQL (per-bit ±1 majority
+    * over distinct-token md5 hashes) and the gate hash-matches every
+    * signature bit-for-bit. The xxhash64 fast path keeps its own gate
+    * sentinel in q83.
+    */
   def q36Simhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(documents(s, d), "doc_id", "text")
+    Dedup.simhashPortable(documents(s, d), "doc_id", "text")
       .select(col("doc").as("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
@@ -219,7 +225,31 @@ object TextQueries {
     "q83_simhash_invariant" -> (q83SimhashInvariant _),
   )
 
+  /** DuckDB recomputation of the portable simhash (q36): distinct
+    * tokens → low-60-bit md5 → per-bit ±1 majority → sign bits. The 60
+    * SUM(CASE) columns and the reconstruction sum are generated here so
+    * both engines share one bit-layout definition by construction.
+    */
+  private val simhashOracle: String = {
+    val bitSums = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val recon = (0 until 60).map(b =>
+      s"(CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+      WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      h AS (SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+            FROM tok),
+      b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST($recon AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
+  }
+
   val sql: Map[String, String] = Map(
+    "q36_simhash" -> simhashOracle,
+
     "q83_simhash_invariant" -> """
       SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b,
         TRUE AS simhash_collides

@@ -14,14 +14,23 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   /** Banded sign-LSH embedding near-dup pairs — the scale path for
-    * pairwise embedding dedup (Spark-only planes, rows-only check;
-    * precision is exact by construction, recall vs the q46 all-pairs
-    * oracle asserted in DedupSpec).
+    * pairwise embedding dedup — audited IN the gate against the exact
+    * all-pairs join (the q69/q80 pattern): one row whose `n_exact`
+    * must equal DuckDB's exact pair count and whose recall/precision
+    * bounds are computed from the LSH pipeline's output. The corpus
+    * here sits at the near-random cos ≈ 0.45–0.6 band (the hardest
+    * case for sign-LSH — recall at cos ≥ 0.9 would be ≥ 0.99 with
+    * these parameters); the bound is calibrated to the realized
+    * deterministic recall across all three SFs with margin.
     */
-  def q37EmbedNearDupLsh(s: SparkSession, d: String): DataFrame =
-    VF.lshNearDupPairs(embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.45, bits = 8, tables = 16)
-      .orderBy(col("id_a"), col("id_b"))
+  def q37EmbedNearDupLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val lsh = VF.lshNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, bits = 8, tables = 16)
+    val exact = VF.exactNearDupPairs(emb, "vec_id", "embedding", 0.45)
+    // realized recall (RecallProbe): 2/7, 7/14, 59/144 at the three SFs
+    VF.pairRecallAudit(lsh, exact, bound = 0.25)
+  }
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def q40CosineTopk(s: SparkSession, d: String): DataFrame = {
@@ -31,27 +40,28 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** LSH-bucketed approximate top-5 (Spark-only planes — rows-only
-    * check; recall vs q40 asserted in the test suite).
+  /** LSH-bucketed approximate top-5, audited IN the gate against the
+    * exact brute-force top-5 (recall@5 bound + full-k check — the
+    * q69/q80 pattern; raw ANN rows stay covered by VectorSpec).
     */
   def q41AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    VF.annTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-        bits = 4, tables = 8)
-      .select(col("qid"), col("cid"), col("cos"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
+    val q = emb.filter(col("vec_id") < 10)
+    val ann = VF.annTopK(q, emb, k = 5, bits = 4, tables = 8)
+    // realized recall@5 (RecallProbe): 0.74 / 0.66 / 0.62 at the three SFs
+    VF.topKRecallAudit(ann, q, emb, k = 5, bound = 0.50)
   }
 
-  /** IVF-Flat approximate top-5 (centroid sample is Spark-side — rows
-    * only check; recall vs q40 and clustered-corpus recall asserted in
-    * the test suite).
+  /** IVF-Flat approximate top-5, audited IN the gate against the exact
+    * brute-force top-5 (recall@5 bound + full-k check; clustered-corpus
+    * recall stays asserted in the test suite).
     */
   def q77AnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    VF.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-        nlist = 16, nprobe = 4)
-      .select(col("qid"), col("cid"), col("cos"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
+    val q = emb.filter(col("vec_id") < 10)
+    val ivf = VF.ivfTopK(q, emb, k = 5, nlist = 16, nprobe = 4)
+    // realized recall@5 (RecallProbe): 0.42 / 0.56 / 0.48 at the three SFs
+    VF.topKRecallAudit(ivf, q, emb, k = 5, bound = 0.40)
   }
 
   /** Vector norms + per-label stats, exact sequential folds. */
@@ -71,6 +81,21 @@ object VectorQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q37_embed_neardup_lsh" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      p AS (SELECT 1 FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.45)
+      SELECT COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS precision_ok
+      FROM p""",
+
+    "q41_ann_lsh" -> """
+      SELECT COUNT(*) AS n_queries, TRUE AS full_k, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10""",
+
+    "q77_ann_ivf" -> """
+      SELECT COUNT(*) AS n_queries, TRUE AS full_k, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10""",
+
     "q40_cosine_topk" -> """
       WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
                  FROM embeddings WHERE vec_id < 10),
