@@ -205,21 +205,16 @@ object Dedup {
 
   /** 64-bit SimHash over the document's distinct token hashes: bit b of
     * the signature is the sign of Σ±1 over tokens (bit b of
-    * xxhash64(token)). Built as 64 conditional-sum aggregates in a
-    * single groupBy pass.
+    * xxhash64(token)). Row-local native expression — one tight loop per
+    * document, no explode, no shuffle (values identical to the previous
+    * 64-conditional-sum groupBy formulation, which cost a full exchange
+    * + wide aggregate).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"),
-        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val agg = tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
-      shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b)
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col("doc"), sig.as("simhash"))
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc"),
+      call_function("simhash_sig",
+        TextFunctions.tokens(col(textCol)), lit("xx")).as("simhash"))
   }
 
   /** Engine-portable 60-bit SimHash: identical construction to
@@ -233,17 +228,10 @@ object Dedup {
     * reproducibility isn't needed.
     */
   def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"),
-        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("t"))
-      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
-    val bitSums = (0 until 60).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val agg = tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 60).map { b =>
-      shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b)
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col("doc"), sig.as("simhash"))
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc"),
+      call_function("simhash_sig",
+        TextFunctions.tokens(col(textCol)), lit("md5")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit

@@ -266,6 +266,7 @@ object GraftFunctions {
     "vec_norm" -> (es => VectorNorm(es.head)),
     "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
     "minhash_signature" -> (es => MinhashSignature(es(0), es(1), es(2))),
+    "simhash_sig" -> (es => SimHashSig(es(0), es(1))),
     "norm_fingerprint" -> (es => NormFingerprint(es.head)))
 
   /** Sessions already registered (weak so stopped sessions collect).

@@ -77,12 +77,18 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
     val n = docs.select(count(lit(1)).as("n"))
-    val toks = docs.filter(col("doc_id") < 50)
+    // ONE explode + one (doc, term) shuffle feed both aggregates: tf is
+    // the doc_id<50 slice of the pair counts, and df — which must come
+    // from the FULL corpus, not the slice — is a plain count over the
+    // already-distinct (doc, term) pairs (equivalent to the previous
+    // countDistinct formulation, minus its extra explode pass and
+    // two-phase distinct aggregation; the pair exchange is reused by
+    // both consumers).
+    val pairCnt = docs
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
-    // df must come from the FULL corpus, not the doc_id<50 slice
-    val allToks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = allToks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = pairCnt.filter(col("doc_id") < 50)
+    val df = pairCnt.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))

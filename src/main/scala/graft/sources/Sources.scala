@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** File sources/sinks — reference O1-O6 (/root/reference/Database.py:64-92,
   * /root/reference/filefilter.py:374-379), re-expressed as Spark readers
@@ -37,10 +38,46 @@ object Sources {
           .option("inferSchema", "true")
           .option("delimiter", delim)
           .csv(p)
-      } else
+      } else if (lower.endsWith(".jsonl") || lower.endsWith(".json"))
+        loadJsonl(spark, p)
+      else
         throw new IllegalArgumentException(
-          s"Unsupported file format: $path (supported: .csv .txt .tsv .parquet)")
+          s"Unsupported file format: $path (supported: .csv .txt .tsv .parquet .jsonl .json)")
     if (sampleLines > 0L) df.limit(sampleLines.toInt) else df
+  }
+
+  /** JSON-Lines source (one JSON object per line — the interchange
+    * format of LLM training-data pipelines; an extension over the
+    * reference's csv/tsv/txt/parquet set). `multiLine` stays false so
+    * every line parses independently and the scan is SPLITTABLE — a
+    * 100 TB corpus reads with full parallelism even inside single huge
+    * files (gzip members excepted: .gz is stream-compressed and
+    * per-file parallel only — prefer zstd/uncompressed at scale).
+    * Supply `schema` in production: without it Spark runs a full
+    * inference pass over the data (twice the I/O) and a drifting field
+    * silently widens the type.
+    */
+  def loadJsonl(spark: SparkSession, path: String,
+                schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** JSONL sink; `compression` ∈ none/gzip/bzip2/deflate. */
+  def writeJsonl(df: DataFrame, path: String,
+                 compression: String = "none"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
+  /** Parquet sink with hive-style partitioning and codec — the
+    * production sink for pipeline stages at scale: downstream scans of
+    * a `partitionBy` column prune whole directories (PartitionFilters,
+    * no file I/O at all), and zstd is the modern size/speed tradeoff.
+    */
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil,
+                   compression: String = "zstd"): Unit = {
+    val w = df.write.mode("overwrite").option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
   /** Directory of raw media files as a DataFrame of opaque binary

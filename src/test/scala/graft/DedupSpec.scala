@@ -41,6 +41,27 @@ class DedupSpec extends SparkSpec {
     assert(nearAvg < randAvg, s"near=$nearAvg rand=$randAvg")
   }
 
+  test("portable md5 simhash: native expression equals the SQL 60-bit construction") {
+    // pins the bit layout: low-60-bit md5 per distinct token, ±1 majority
+    // per bit — the same definition the q36 DuckDB oracle regenerates
+    val tok = docs.limit(50)
+      .select(col("doc_id").as("doc"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+    val sqlSig = (0 until 60).map { b =>
+      shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b)
+    }.reduce(_.bitwiseOR(_))
+    val expected = agg.select(col("doc"), sqlSig.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.simhashPortable(docs.limit(50), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("prefix-filtered jaccard equals the full inverted-index join") {
     def pairs(d: org.apache.spark.sql.DataFrame) =
       d.select("doc_a", "doc_b", "jaccard").collect()

@@ -78,7 +78,9 @@ class PlanSpec extends SparkSpec {
         call_function("cosine_sim", col("va"), col("vb")).as("cos"),
         call_function("dot_product", col("va"), col("vb")).as("dot"),
         call_function("lsh_signature", col("va"), lit(4), lit(2)).as("lsh"),
-        call_function("vec_norm", col("va")).as("nrm")).collect().head
+        call_function("vec_norm", col("va")).as("nrm"),
+        call_function("simhash_sig", split(col("text"), " "), lit("md5")).as("sim"),
+        call_function("simhash_sig", split(col("text"), " "), lit("xx")).as("simx")).collect().head
       assert(out.getString(0).length == 32)
       assert(out.getSeq[Long](1).length == 3)
       assert(out.getSeq[Long](2).length == 8)
@@ -86,6 +88,8 @@ class PlanSpec extends SparkSpec {
       assert(math.abs(out.getDouble(4) - 5.0) < 1e-12) // 1*1 + 2*2
       assert(out.getSeq[Long](5).length == 2)
       assert(out.getDouble(6) > 2.0)
+      assert(out.getLong(7) >= 0L && out.getLong(7) < (1L << 60)) // md5 mode: 60 bits
+      assert(out.getLong(8) != out.getLong(7))                    // xx mode differs
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
