@@ -35,8 +35,9 @@ object Bench {
     * round-3 sequential timings). Everything else runs alphabetically.
     */
   private val heavyFirst = Seq(
-    "q34_jaccard_pairs", "q35_minhash_lsh", "q46_embed_neardup",
-    "q37_embed_neardup_lsh", "q41_ann_lsh", "q77_ann_ivf", "q79_tfidf",
+    "q34_jaccard_pairs", "q37_embed_neardup_lsh", "q80_approx_quantiles",
+    "q77_ann_ivf", "q46_embed_neardup", "q35_minhash_lsh",
+    "q86_contamination", "q41_ann_lsh", "q79_tfidf",
     "q03_join_revenue_nation",
     "q64_multiset_ops", "q70_correlated_subq", "q07_window_topk_group",
     "q13_set_ops", "q02_agg_pricing", "q05_anti_join")

@@ -86,6 +86,39 @@ object TextFunctions {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** PII scrubbing patterns — RE2-compatible (character classes and
+    * bounded repetition only, no lookaround) so the identical pattern
+    * runs in DuckDB for the oracle and in any RE2-based scrubber.
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe: String = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  /** Redact emails then phone-shaped digit runs (order matters: the
+    * digit pattern must not eat email local parts, so emails go first).
+    * Row-local, codegen'd — at 100 TB this is a pure map stage with no
+    * shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Overlapping token-window chunks for sequence packing: windows of
+    * `size` tokens every `stride` tokens, tail kept (the standard
+    * training-data chunking shape). Returns array<struct<chunk:string,
+    * n_tokens:int>>; row-local (posexplode it for one row per chunk),
+    * so chunking is shuffle-free at any scale.
+    */
+  def chunkWindows(text: Column, size: Int, stride: Int): Column = {
+    val tok = tokens(text)
+    val nChunks = floor((org.apache.spark.sql.functions.size(tok) - 1) / stride).cast("int") + 1
+    transform(sequence(lit(0), nChunks - 1), s =>
+      struct(
+        array_join(slice(tok, s * stride + 1, lit(size)), " ").as("chunk"),
+        least(org.apache.spark.sql.functions.size(tok) - s * stride, lit(size))
+          .cast("int").as("n_tokens")))
+  }
+
   /** Mean token length assuming single-space separation. */
   def avgTokenLen(text: Column): Column =
     (length(text) - (tokenCount(text) - 1)).cast("double") / tokenCount(text)

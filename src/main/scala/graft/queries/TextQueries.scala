@@ -176,6 +176,59 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrubbing ([[graft.functions.TextFunctions.redactPii]]): the
+    * corpus has no natural PII, so each document gets a deterministic
+    * synthetic email + phone appended IN the query (the q83 clone
+    * trick), redaction runs on that, and the oracle recomputes the
+    * identical concat + RE2 regexes in DuckDB — redacted text
+    * hash-matches character-for-character, and both engines re-scan the
+    * output to prove nothing PII-shaped survived.
+    */
+  def q84PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val synth = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@mail.example.com or +1 555 010 "), col("doc_id"), lit("9"))
+    documents(s, d)
+      .select(col("doc_id"), TF.redactPii(synth).as("redacted"))
+      .withColumn("clean",
+        !col("redacted").rlike(TF.EmailRe) && !col("redacted").rlike(TF.PhoneRe))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing ([[graft.functions.TextFunctions.chunkWindows]]):
+    * overlapping 40-token windows every 30 tokens, one row per chunk,
+    * tail kept. Chunking is row-local (no shuffle at any scale); the
+    * oracle regenerates the identical windows with DuckDB list slicing.
+    */
+  def q85Chunk(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TF.chunkWindows(col("text"), size = 40, stride = 30))
+          .as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id"),
+        col("c.chunk").as("chunk"), col("c.n_tokens").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Benchmark-contamination screening: fraction of each document's
+    * distinct word-trigram shingles that appear in a "benchmark" set
+    * (docs 0-9 stand in for a held-out eval set). String shingles here
+    * so the oracle replays the construction verbatim; the 100 TB path
+    * swaps in `shingle_hashes` + a broadcast of the (small) benchmark
+    * shingle set — same plan shape, 8-byte keys.
+    */
+  def q86Contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d).select(col("doc_id"),
+      explode(array_distinct(TF.shingles(col("text"), 3))).as("s"))
+    val bench = sh.filter(col("doc_id") < 10).select(col("s")).distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val hit = sh.join(broadcast(bench), "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    cnt.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n")).as("containment"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: opaque binary payload + byte length + magic
     * prefix (hex of the first 4 bytes) — the metadata path an
     * image/audio column takes, demonstrated on text→binary.
@@ -226,6 +279,9 @@ object TextQueries {
     "q43_events_hourly"   -> (q43EventsHourly _),
     "q44_sessionize"      -> (q44Sessionize _),
     "q78_bpe_tokens"      -> (q78BpeTokens _),
+    "q84_pii_redact"      -> (q84PiiRedact _),
+    "q85_chunk"           -> (q85Chunk _),
+    "q86_contamination"   -> (q86Contamination _),
     "q79_tfidf"           -> (q79Tfidf _),
     "q82_lang_rebalance"  -> (q82LangRebalance _),
     "q83_simhash_invariant" -> (q83SimhashInvariant _),
@@ -255,6 +311,45 @@ object TextQueries {
 
   val sql: Map[String, String] = Map(
     "q36_simhash" -> simhashOracle,
+
+    "q84_pii_redact" -> s"""
+      WITH synth AS (
+        SELECT doc_id,
+          text || ' contact user' || doc_id || '@mail.example.com or +1 555 010 '
+               || doc_id || '9' AS t
+        FROM documents),
+      r AS (SELECT doc_id,
+        regexp_replace(regexp_replace(t, '${TF.EmailRe}', '<EMAIL>', 'g'),
+                       '${TF.PhoneRe}', '<PHONE>', 'g') AS redacted
+        FROM synth)
+      SELECT doc_id, redacted,
+        (NOT regexp_matches(redacted, '${TF.EmailRe}'))
+          AND (NOT regexp_matches(redacted, '${TF.PhoneRe}')) AS clean
+      FROM r ORDER BY doc_id""",
+
+    "q85_chunk" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+      c AS (SELECT doc_id, len(l) n, l,
+              unnest(generate_series(0, CAST((len(l) - 1) // 30 AS INT))) s
+            FROM tok)
+      SELECT doc_id, CAST(s AS INT) AS chunk_id,
+        array_to_string(l[s*30+1 : least(s*30+40, n)], ' ') AS chunk,
+        CAST(least(n - s*30, 40) AS INT) AS n_tokens
+      FROM c ORDER BY doc_id, chunk_id""",
+
+    "q86_contamination" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+                                     i -> array_to_string(l[i:i+2], ' '))) s
+             FROM tok),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+      cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      hit AS (SELECT sh.doc_id, COUNT(*) h FROM sh JOIN bench USING (s)
+              GROUP BY sh.doc_id)
+      SELECT c.doc_id, c.n, COALESCE(h.h, 0) AS n_hit,
+        CAST(COALESCE(h.h, 0) AS DOUBLE) / c.n AS containment
+      FROM cnt c LEFT JOIN hit h USING (doc_id) ORDER BY doc_id""",
 
     "q83_simhash_invariant" -> """
       SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b,

@@ -95,6 +95,31 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("fp"))
   }
 
+  /** Watermarked stream-stream join: every purchase joined to the same
+    * user's views in the preceding hour (attribution). The time-range
+    * predicate is what makes BOTH sides' state finite on an unbounded
+    * stream: a view older than watermark + 1 h can never match a future
+    * purchase, so the state store evicts it; purchases are held at most
+    * their own watermark. Without the range condition Spark would
+    * (correctly) refuse to run the join in append mode — unbounded
+    * state is a plan error, not a runtime surprise.
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("v_ts"), col("value"))
+  }
+
   /** Session windows per user (30-min gap) — Spark's native session
     * window keeps per-key state bounded by the watermark, the streaming
     * counterpart of batch q44_sessionize.

@@ -105,6 +105,28 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batch && kept == 2L)
   }
 
+  test("watermarked stream-stream join matches the batch time-range join") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-stream6")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = StreamingOps.readEventStream(spark, dir.toString)
+    val q = StreamingOps.purchaseAttribution(stream)
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT COUNT(*) FROM attr").head().getLong(0)
+    val ev = Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val want = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")).count()
+    assert(got == want && got > 0)
+  }
+
   test("streaming session windows produce bounded sessions per user") {
     val dir = Files.createTempDirectory("graft-stream2")
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
