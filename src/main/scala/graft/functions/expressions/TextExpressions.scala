@@ -82,6 +82,66 @@ object ShingleHashes {
   }
 }
 
+/** shingle_strings(tokens, k): distinct k-token shingle STRINGS
+  * (space-joined) in one pass per row — the oracle-comparable sibling
+  * of [[ShingleHashes]] for operators whose output must be
+  * reproducible in SQL (e.g. contamination screening, q86). The
+  * declarative transform/concat_ws formulation re-evaluates the
+  * token-split subtree per element when interpreted (measured 4+ s on
+  * the sf0.1 corpus vs ~0.3 s here).
+  */
+case class ShingleStrings(child: Expression, kExpr: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private lazy val k = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    ShingleStrings.compute(v.asInstanceOf[ArrayData], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code + code"""
+      boolean ${ev.isNull} = ${c.isNull};
+      $javaType ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.expressions.ShingleStrings.compute(${c.value}, $k);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0), kExpr = cs(1))
+}
+
+object ShingleStrings {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(tok: ArrayData, k: Int): ArrayData = {
+    val n = tok.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // first-occurrence order, distinct by value — identical to
+    // array_distinct(shingles) in the declarative form
+    val seen = new java.util.LinkedHashSet[UTF8String]((n - k + 1) * 2)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { parts(j) = tok.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** norm_fingerprint(text): md5 hex of the canonical document form —
   * lowercase, strip leading/trailing spaces, collapse whitespace runs to
   * a single space. Exactly equivalent to

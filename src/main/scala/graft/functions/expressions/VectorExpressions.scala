@@ -265,6 +265,7 @@ object GraftFunctions {
     "lsh_signature" -> (es => LshSignatures(es(0), es(1), es(2))),
     "vec_norm" -> (es => VectorNorm(es.head)),
     "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
+    "shingle_strings" -> (es => ShingleStrings(es(0), es(1))),
     "minhash_signature" -> (es => MinhashSignature(es(0), es(1), es(2))),
     "simhash_sig" -> (es => SimHashSig(es(0), es(1))),
     "norm_fingerprint" -> (es => NormFingerprint(es.head)))

@@ -27,6 +27,21 @@ object ExtraQueries {
     VF.exactNearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** CDC-style upsert ([[graft.operators.Upsert]]): every 100th order
+    * arrives as an update with doubled total price; same-key rows are
+    * replaced, the rest pass through (left-anti + union — the MERGE
+    * shape without a table format).
+    */
+  def q87Upsert(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val updates = base.filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    graft.operators.Upsert.byKey(base, updates, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Native pivot (count per status × priority), nulls filled to 0. */
   def q47Pivot(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -383,6 +398,7 @@ object ExtraQueries {
     "q49_median"        -> (q49Median _),
     "q50_array_ops"     -> (q50ArrayOps _),
     "q80_approx_quantiles" -> (q80ApproxQuantiles _),
+    "q87_upsert"        -> (q87Upsert _),
     "q81_range_join"    -> (q81RangeJoin _),
     "q60_pipeline_sql"  -> (q60PipelineSql _),
   )
@@ -399,6 +415,15 @@ object ExtraQueries {
       WHERE epoch_us(ts) >= s_sec * 1000000
         AND epoch_us(ts) < (s_sec + 2700) * 1000000
       GROUP BY interval_id ORDER BY interval_id""",
+
+    "q87_upsert" -> """
+      WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      u AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+            FROM b WHERE o_orderkey % 100 = 0)
+      SELECT * FROM u
+      UNION ALL
+      SELECT * FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      ORDER BY o_orderkey""",
 
     "q80_approx_quantiles" -> """
       SELECT l_returnflag,

@@ -216,16 +216,25 @@ object TextQueries {
     * shingle set — same plan shape, 8-byte keys.
     */
   def q86Contamination(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d).select(col("doc_id"),
-      explode(array_distinct(TF.shingles(col("text"), 3))).as("s"))
-    val bench = sh.filter(col("doc_id") < 10).select(col("s")).distinct()
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val hit = sh.join(broadcast(bench), "s")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    cnt.join(hit, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n")).as("containment"))
+    graft.functions.expressions.GraftFunctions.register(s)
+    val docs = documents(s, d)
+    def shingled(df: DataFrame) = df.select(col("doc_id"),
+      explode(call_function("shingle_strings",
+        TF.tokens(col("text")), lit(3))).as("s"))
+    // ONE pass over the corpus with the native distinct-shingle-string
+    // expression (the declarative transform/concat_ws form re-evaluates
+    // the token split per element when interpreted); the benchmark side
+    // explodes only its 10 docs (filter pushed before the explode),
+    // broadcasts, and a single left join + aggregate produces both the
+    // shingle count and the hit count (count(m) skips nulls).
+    val bench = shingled(docs.filter(col("doc_id") < 10))
+      .select(col("s")).distinct().withColumn("m", lit(1))
+    shingled(docs)
+      .join(broadcast(bench), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), count(col("m")).as("n_hit"))
+      .select(col("doc_id"), col("n"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n")).as("containment"))
       .orderBy(col("doc_id"))
   }
 

@@ -62,6 +62,16 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("native shingle_strings equals array_distinct of the declarative shingles") {
+    val got = docs.limit(50).select(col("doc_id"),
+        call_function("shingle_strings", split(col("text"), " "), lit(3)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val want = docs.limit(50).select(col("doc_id"),
+        array_distinct(TextFunctions.shingles(col("text"), 3)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got == want)
+  }
+
   test("prefix-filtered jaccard equals the full inverted-index join") {
     def pairs(d: org.apache.spark.sql.DataFrame) =
       d.select("doc_a", "doc_b", "jaccard").collect()

@@ -80,7 +80,8 @@ class PlanSpec extends SparkSpec {
         call_function("lsh_signature", col("va"), lit(4), lit(2)).as("lsh"),
         call_function("vec_norm", col("va")).as("nrm"),
         call_function("simhash_sig", split(col("text"), " "), lit("md5")).as("sim"),
-        call_function("simhash_sig", split(col("text"), " "), lit("xx")).as("simx")).collect().head
+        call_function("simhash_sig", split(col("text"), " "), lit("xx")).as("simx"),
+        call_function("shingle_strings", split(col("text"), " "), lit(3)).as("shs")).collect().head
       assert(out.getString(0).length == 32)
       assert(out.getSeq[Long](1).length == 3)
       assert(out.getSeq[Long](2).length == 8)
@@ -90,6 +91,7 @@ class PlanSpec extends SparkSpec {
       assert(out.getDouble(6) > 2.0)
       assert(out.getLong(7) >= 0L && out.getLong(7) < (1L << 60)) // md5 mode: 60 bits
       assert(out.getLong(8) != out.getLong(7))                    // xx mode differs
+      assert(out.getSeq[String](9) == Seq("a b c", "b c d", "c d e"))
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")

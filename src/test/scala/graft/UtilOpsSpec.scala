@@ -9,6 +9,14 @@ case class Li(l_returnflag: String, l_quantity: Double)
 class UtilOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Upsert.byKey replaces matched keys, keeps the rest, appends new keys") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (9L, "NEW")).toDF("k", "v")
+    val got = graft.operators.Upsert.byKey(base, updates, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "NEW")))
+  }
+
   test("flattenJson expands sampled schema incl. nested structs") {
     val df = Seq(
       (1L, """{"a": 1, "b": {"c": "x"}}"""),
