@@ -268,7 +268,18 @@ object GraftFunctions {
     "shingle_strings" -> (es => ShingleStrings(es(0), es(1))),
     "minhash_signature" -> (es => MinhashSignature(es(0), es(1), es(2))),
     "simhash_sig" -> (es => SimHashSig(es(0), es(1))),
-    "norm_fingerprint" -> (es => NormFingerprint(es.head)))
+    "norm_fingerprint" -> (es => NormFingerprint(es.head)),
+    // SQL-callable PII scrubber (TextFunctions.redactPii as one call):
+    // composing Catalyst's own RegExpReplace here spares YAML/SQL
+    // authors the three-level backslash-escape labyrinth the raw
+    // patterns would need in a quoted `sql` stage
+    "redact_pii" -> (es => {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+      RegExpReplace(
+        RegExpReplace(es.head,
+          Literal(graft.functions.TextFunctions.EmailRe), Literal("<EMAIL>")),
+        Literal(graft.functions.TextFunctions.PhoneRe), Literal("<PHONE>"))
+    }))
 
   /** Sessions already registered (weak so stopped sessions collect).
     * Keyed on the session itself rather than name-existence checks: a

@@ -51,6 +51,10 @@ object Pipeline {
           outputPath: Option[String], countStages: Boolean = false,
           checkpointDir: Option[String] = None,
           configPath: Option[String] = None): RunResult = {
+    // native functions (norm_fingerprint, simhash_sig, cosine_sim, …)
+    // are part of the engine's SQL surface — a YAML `sql` stage can use
+    // them without any setup
+    graft.functions.expressions.GraftFunctions.register(spark)
     var df = Sources.load(spark, inputPath, cfg.inDelimiter, cfg.sampleLines)
     val reports = Seq.newBuilder[StageReport]
     compile(spark, cfg, configPath).zipWithIndex.foreach { case ((sc, stage), i) =>

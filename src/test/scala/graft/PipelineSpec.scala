@@ -51,6 +51,35 @@ class PipelineSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("telefono", "tipo_telefono"))
   }
 
+  test("training-data pipeline in YAML: quality filter → PII redact → fingerprint dedup → simhash, all via sql stages") {
+    // the extended engine surface (native functions, dedup, scrubbing)
+    // composes through the SAME YAML pipeline a reference user writes
+    val out = Files.createTempDirectory("graft-tdp").toString + "/result"
+    val yaml =
+      s"""
+        |filters:
+        |  - name: quality_filter
+        |    actionType: sql
+        |    code: "SELECT doc_id, lang, text FROM df WHERE size(split(text, ' ')) >= 5"
+        |  - name: pii_redact
+        |    actionType: sql
+        |    code: "SELECT doc_id, lang, redact_pii(text) AS text FROM df"
+        |  - name: dedup_fingerprint
+        |    actionType: sql
+        |    code: "SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang, MIN(text) AS text FROM df GROUP BY norm_fingerprint(text)"
+        |  - name: signatures
+        |    actionType: sql
+        |    code: "SELECT doc_id, lang, text, simhash_sig(split(text, ' '), 'xx') AS simhash FROM df"
+        |""".stripMargin
+    val res = Pipeline.runYaml(spark, yaml, s"$sf/documents.parquet", Some(out))
+    val rows = res.output.count()
+    // every stage ran: dedup count equals the batch fingerprint dedup
+    val expected = graft.queries.TextQueries.q38Fingerprint(spark, sf).count()
+    assert(rows == expected && rows > 0)
+    assert(res.output.columns.toSeq == Seq("doc_id", "lang", "text", "simhash"))
+    assert(res.output.filter(col("simhash") =!= 0L).count() == rows)
+  }
+
   test("inDelimiter/outDelimiter 'TAB' means a tab character (loaders.py:10-13)") {
     val in = tmpCsv("t.txt", "a\tb", Seq("1\tx", "2\ty"), delim = "\t")
     val yaml =

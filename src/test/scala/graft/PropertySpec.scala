@@ -35,6 +35,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkWindows: full coverage, stride overlap, exact reconstruction for random docs") {
+    import org.apache.spark.sql.functions._
+    val word = Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty)
+    for (_ <- 1 to 8) {
+      val n = sample(Gen.choose(1, 120))
+      val words = List.fill(n)(sample(word))
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = df.select(posexplode(
+          graft.functions.TextFunctions.chunkWindows(col("text"), 40, 30))
+          .as(Seq("i", "c")))
+        .select(col("i"), col("c.chunk"), col("c.n_tokens"))
+        .orderBy(col("i")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+      // chunk i starts at token i*30 (0-based) and holds min(40, n-i*30)
+      val expectedCount = (n - 1) / 30 + 1
+      assert(chunks.length == expectedCount)
+      chunks.foreach { case (i, chunk, nt) =>
+        val want = words.slice(i * 30, i * 30 + 40)
+        assert(chunk == want.mkString(" ") && nt == want.length)
+      }
+      // coverage: stride < size means every token appears in some chunk
+      assert(chunks.map(_._3).sum >= n)
+    }
+  }
+
+  test("Upsert.byKey is idempotent and key-complete for random updates") {
+    for (_ <- 1 to 6) {
+      val baseKeys = sample(Gen.pick(8, 1L to 20L)).toList
+      val updKeys = sample(Gen.someOf(1L to 25L)).toList
+      val base = baseKeys.map(k => (k, s"b$k")).toDF("k", "v")
+      val upd = updKeys.map(k => (k, s"u$k")).toDF("k", "v")
+      val once = graft.operators.Upsert.byKey(base, upd, Seq("k"))
+      val twice = graft.operators.Upsert.byKey(once, upd, Seq("k"))
+      val o = once.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val t = twice.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(o == t) // idempotent
+      assert(o.map(_._1) == (baseKeys ++ updKeys).toSet) // key-complete
+      // updated keys carry the update value, untouched keys the base value
+      o.foreach { case (k, v) =>
+        assert(v == (if (updKeys.contains(k)) s"u$k" else s"b$k"))
+      }
+    }
+  }
+
+  test("redactPii: idempotent and PII-free for synthesized contacts") {
+    import org.apache.spark.sql.functions._
+    val word = Gen.alphaLowerStr.map(_.take(8)).suchThat(_.nonEmpty)
+    for (_ <- 1 to 8) {
+      val user = sample(word); val host = sample(word)
+      val digits = sample(Gen.listOfN(9, Gen.numChar)).mkString
+      val text = s"${sample(word)} $user@$host.com call +$digits now"
+      val df = Seq(Tuple1(text)).toDF("text")
+        .select(graft.functions.TextFunctions.redactPii(col("text")).as("r"))
+      val r = df.collect().head.getString(0)
+      assert(r.contains("<EMAIL>") && r.contains("<PHONE>"))
+      assert(!r.contains(s"$user@") && !r.contains(digits))
+      // idempotent: redacting the redacted text changes nothing
+      val rr = Seq(Tuple1(r)).toDF("text")
+        .select(graft.functions.TextFunctions.redactPii(col("text")).as("r"))
+        .collect().head.getString(0)
+      assert(rr == r)
+    }
+  }
+
   test("template substitution: filled iff every placeholder resolves") {
     for (_ <- 1 to 20) {
       val v = sample(Gen.alphaLowerStr.map(_.take(8)).suchThat(_.nonEmpty))
