@@ -120,6 +120,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange") || p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q36 portable simhash is shuffle-free (row-local native expression)") {
+    val p = planOf(graft.queries.TextQueries.q36Simhash(spark, sf).limit(1))
+    // only the top-k sort machinery may appear — no hash-partition exchange
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("q85 chunking is exchange-free before the output sort") {
+    val p = planOf(graft.queries.TextQueries.q85Chunk(spark, sf).limit(1))
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("Generate"), p) // posexplode of the row-local windows
+  }
+
+  test("q86 contamination broadcasts the benchmark shingle set") {
+    val p = planOf(graft.queries.TextQueries.q86Contamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q87 upsert plans the anti join + union without a cartesian") {
+    val p = planOf(graft.queries.ExtraQueries.q87Upsert(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("blanket sweep: no query in the inventory plans an unbounded CartesianProduct") {
     SparkEntry.queries.foreach { case (n, fn) =>
       val p = planOf(fn(spark, sf))
