@@ -238,6 +238,30 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher/C4-style repetition + shape filter: fraction of duplicated
+    * word trigrams (high → boilerplate/spam) and uppercase-character
+    * ratio, with the keep decision inline. Entirely row-local (native
+    * `shingle_strings` supplies the distinct count — no shuffle at any
+    * scale); the oracle recomputes both signals with identical
+    * formulas.
+    */
+  def q88RepetitionFilter(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    val tok = TF.tokens(col("text"))
+    val total = greatest(size(tok) - 2, lit(0))
+    val distinctN = size(call_function("shingle_strings", tok, lit(3)))
+    val dupFrac = when(total > 0,
+      lit(1.0) - distinctN.cast("double") / total).otherwise(lit(0.0))
+    val upperRatio = when(length(col("text")) > 0,
+      (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", "")))
+        .cast("double") / length(col("text"))).otherwise(lit(0.0))
+    documents(s, d).select(col("doc_id"),
+        total.as("n_trigrams"), distinctN.as("n_distinct"),
+        dupFrac.as("dup_frac"), upperRatio.as("upper_ratio"),
+        (dupFrac <= 0.3 && upperRatio <= 0.3).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: opaque binary payload + byte length + magic
     * prefix (hex of the first 4 bytes) — the metadata path an
     * image/audio column takes, demonstrated on text→binary.
@@ -291,6 +315,7 @@ object TextQueries {
     "q84_pii_redact"      -> (q84PiiRedact _),
     "q85_chunk"           -> (q85Chunk _),
     "q86_contamination"   -> (q86Contamination _),
+    "q88_repetition"      -> (q88RepetitionFilter _),
     "q79_tfidf"           -> (q79Tfidf _),
     "q82_lang_rebalance"  -> (q82LangRebalance _),
     "q83_simhash_invariant" -> (q83SimhashInvariant _),
@@ -345,6 +370,24 @@ object TextQueries {
         array_to_string(l[s*30+1 : least(s*30+40, n)], ' ') AS chunk,
         CAST(least(n - s*30, 40) AS INT) AS n_tokens
       FROM c ORDER BY doc_id, chunk_id""",
+
+    "q88_repetition" -> """
+      WITH tok AS (SELECT doc_id, text, string_split(text, ' ') l FROM documents),
+      x AS (SELECT doc_id, text,
+              greatest(len(l) - 2, 0) AS nt,
+              len(list_distinct(list_transform(range(1, greatest(len(l) - 1, 1)),
+                                               i -> array_to_string(l[i:i+2], ' ')))) AS nd
+            FROM tok),
+      y AS (SELECT doc_id, CAST(nt AS INT) AS n_trigrams, CAST(nd AS INT) AS n_distinct,
+              CASE WHEN nt > 0 THEN 1.0 - CAST(nd AS DOUBLE) / nt ELSE 0.0 END AS dup_frac,
+              CASE WHEN LENGTH(text) > 0
+                   THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                        / LENGTH(text)
+                   ELSE 0.0 END AS upper_ratio
+            FROM x)
+      SELECT doc_id, n_trigrams, n_distinct, dup_frac, upper_ratio,
+        (dup_frac <= 0.3 AND upper_ratio <= 0.3) AS keep
+      FROM y ORDER BY doc_id""",
 
     "q86_contamination" -> """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
