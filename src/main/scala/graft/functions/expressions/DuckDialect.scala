@@ -1,0 +1,317 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Raised when a user `sql` stage uses a DuckDB construct graft cannot
+  * rewrite — the message names the construct and its nearest Spark
+  * equivalent (the PythonMigrate error pattern, reference O12:
+  * filefilter.py:340-342 hands user SQL to DuckDB verbatim, so a
+  * migrating user's config may carry any DuckDB-ism).
+  */
+final class DuckDialectException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+/** DuckDB `len()` is polymorphic (strings AND lists); Spark's builtin
+  * `len` aliases `length` (strings/binary only). This expression
+  * dispatches on the resolved child type so `len(arr)` works like
+  * DuckDB's: arrays/maps → element count, else character/byte length.
+  * Codegen'd both ways (dispatch happens at plan time, not per row).
+  */
+case class DuckLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private lazy val isContainer: Boolean = child.dataType match {
+    case _: ArrayType | _: MapType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType | _: MapType | StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"len needs string, binary, array or map, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case _: ArrayType => v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements()
+    case _: MapType => v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].numElements()
+    case StringType => v.asInstanceOf[UTF8String].numChars()
+    case BinaryType => v.asInstanceOf[Array[Byte]].length
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => child.dataType match {
+      case _: ArrayType | _: MapType => s"${ev.value} = $c.numElements();"
+      case StringType => s"${ev.value} = $c.numChars();"
+      case BinaryType => s"${ev.value} = $c.length;"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** DuckDB-dialect compatibility for user `sql` stages (VERDICT r4 #1).
+  *
+  * Three layers, in order of preference:
+  *  1. [[aliases]] — DuckDB function names Spark lacks, built directly as
+  *     Catalyst expressions (codegen'd, work in subqueries/CTEs, no
+  *     string munging). Registered by [[GraftFunctions.register]] and
+  *     [[GraftExtensions]].
+  *  2. `* EXCLUDE(...)` → `* EXCEPT(...)` — a parser rewrite
+  *     ([[graft.operators.GraftSqlParser]]).
+  *  3. [[fnHints]]/[[constructHints]] — DuckDB-isms with no faithful
+  *     Spark rewrite raise [[DuckDialectException]] naming the construct
+  *     and the nearest Spark equivalent instead of a raw Catalyst error.
+  *
+  * The alias set is the function-pair mapping the repo's own oracle
+  * corpus proves out (every `oracleSql` entry is the DuckDB spelling of
+  * a Spark query — see Verify.scala).
+  */
+object DuckDialect {
+
+  private def lit(s: String): Literal = Literal(UTF8String.fromString(s), StringType)
+
+  /** Regex-quote a separator expression: literal separators are quoted
+    * at build time, dynamic ones via \Q...\E wrapping (DuckDB's
+    * string_split takes a LITERAL separator; Spark's split takes a
+    * regex).
+    */
+  private def quotedSep(sep: Expression): Expression = sep match {
+    case Literal(s: UTF8String, StringType) if s != null =>
+      lit(java.util.regex.Pattern.quote(s.toString))
+    case e => Concat(Seq(lit("\\Q"), e, lit("\\E")))
+  }
+
+  private def nArgs(name: String, es: Seq[Expression], n: Int): Unit =
+    if (es.length != n)
+      throw new DuckDialectException(
+        s"$name expects $n argument(s), got ${es.length}")
+
+  private def literalFormat(name: String, e: Expression): String = e match {
+    case Literal(s: UTF8String, StringType) if s != null => s.toString
+    case _ => throw new DuckDialectException(
+      s"$name: the format must be a string literal (graft translates the " +
+        "%-codes to a java.time pattern at plan time)")
+  }
+
+  /** DuckDB/C strftime %-codes → java.time DateTimeFormatter pattern.
+    * Unknown codes raise with the java.time pointer rather than passing
+    * through silently wrong.
+    */
+  def cFormatToJava(fmt: String): String = {
+    val out = new StringBuilder
+    val text = new StringBuilder
+    def flush(): Unit = if (text.nonEmpty) {
+      out.append('\'').append(text.toString.replace("'", "''")).append('\'')
+      text.clear()
+    }
+    def mapped(code: Char, padded: Boolean): String = code match {
+      case 'Y' => "yyyy"
+      case 'y' => "yy"
+      case 'm' => if (padded) "MM" else "M"
+      case 'd' => if (padded) "dd" else "d"
+      case 'H' => if (padded) "HH" else "H"
+      case 'I' => if (padded) "hh" else "h"
+      case 'M' => if (padded) "mm" else "m"
+      case 'S' => if (padded) "ss" else "s"
+      case 'g' => "SSS"    // DuckDB: millisecond, zero-padded
+      case 'f' => "SSSSSS" // DuckDB: microsecond, zero-padded
+      case 'p' => "a"
+      case 'j' => "DDD"
+      case 'a' => "EEE"
+      case 'A' => "EEEE"
+      case 'b' | 'h' => "MMM"
+      case 'B' => "MMMM"
+      case 'Z' => "zzz"
+      case 'z' => "xx"
+      case other => throw new DuckDialectException(
+        s"strftime/strptime code %$other has no Spark equivalent — use a " +
+          "java.time DateTimeFormatter pattern with date_format/to_timestamp")
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val (code, skip) =
+          if (fmt.charAt(i + 1) == '-' && i + 2 < fmt.length) (fmt.charAt(i + 2), 3)
+          else (fmt.charAt(i + 1), 2)
+        if (code == '%') text.append('%')
+        else { flush(); out.append(mapped(code, padded = skip == 2)) }
+        i += skip
+      } else {
+        text.append(c)
+        i += 1
+      }
+    }
+    flush()
+    out.toString
+  }
+
+  /** DuckDB function names Spark lacks, as direct Catalyst builders.
+    * Registered alongside the graft natives by GraftFunctions/
+    * GraftExtensions, so they resolve in any `sql` stage, subquery or
+    * CTE with zero text rewriting.
+    */
+  val aliases: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // --- string splitting (DuckDB separator is literal; Spark's is regex)
+    "string_split" -> (es => { nArgs("string_split", es, 2); StringSplit(es(0), quotedSep(es(1)), Literal(-1)) }),
+    "str_split" -> (es => { nArgs("str_split", es, 2); StringSplit(es(0), quotedSep(es(1)), Literal(-1)) }),
+    "string_to_array" -> (es => { nArgs("string_to_array", es, 2); StringSplit(es(0), quotedSep(es(1)), Literal(-1)) }),
+    "string_split_regex" -> (es => { nArgs("string_split_regex", es, 2); StringSplit(es(0), es(1), Literal(-1)) }),
+    "str_split_regex" -> (es => { nArgs("str_split_regex", es, 2); StringSplit(es(0), es(1), Literal(-1)) }),
+    // --- list_* family → array_* equivalents
+    "list_transform" -> (es => { nArgs("list_transform", es, 2); ArrayTransform(es(0), es(1)) }),
+    "list_filter" -> (es => { nArgs("list_filter", es, 2); ArrayFilter(es(0), es(1)) }),
+    "list_contains" -> (es => { nArgs("list_contains", es, 2); ArrayContains(es(0), es(1)) }),
+    "list_has" -> (es => { nArgs("list_has", es, 2); ArrayContains(es(0), es(1)) }),
+    "list_distinct" -> (es => { nArgs("list_distinct", es, 1); ArrayDistinct(es(0)) }),
+    "list_sort" -> (es => { nArgs("list_sort", es, 1); SortArray(es(0), Literal(true)) }),
+    "list_reverse_sort" -> (es => { nArgs("list_reverse_sort", es, 1); SortArray(es(0), Literal(false)) }),
+    "list_reverse" -> (es => { nArgs("list_reverse", es, 1); Reverse(es(0)) }),
+    "list_concat" -> (es => Concat(es)),
+    "list_append" -> (es => { nArgs("list_append", es, 2); ArrayAppend(es(0), es(1)) }),
+    "list_prepend" -> (es => { nArgs("list_prepend", es, 2); ArrayPrepend(es(1), es(0)) }),
+    "list_position" -> (es => { nArgs("list_position", es, 2); ArrayPosition(es(0), es(1)) }),
+    "list_indexof" -> (es => { nArgs("list_indexof", es, 2); ArrayPosition(es(0), es(1)) }),
+    "list_extract" -> (es => { nArgs("list_extract", es, 2); ElementAt(es(0), es(1)) }),
+    "array_extract" -> (es => { nArgs("array_extract", es, 2); ElementAt(es(0), es(1)) }),
+    "list_min" -> (es => { nArgs("list_min", es, 1); ArrayMin(es(0)) }),
+    "list_max" -> (es => { nArgs("list_max", es, 1); ArrayMax(es(0)) }),
+    "list_unique" -> (es => { nArgs("list_unique", es, 1); Size(ArrayDistinct(es(0))) }),
+    // 1-based inclusive [begin, end] → Spark slice(x, start, length)
+    "list_slice" -> (es => { nArgs("list_slice", es, 3); Slice(es(0), es(1), Add(Subtract(es(2), es(1)), Literal(1))) }),
+    "array_slice" -> (es => { nArgs("array_slice", es, 3); Slice(es(0), es(1), Add(Subtract(es(2), es(1)), Literal(1))) }),
+    // --- vector ops → graft natives (codegen'd; see VectorExpressions)
+    "list_cosine_similarity" -> (es => { nArgs("list_cosine_similarity", es, 2); CosineSimilarity(es(0), es(1)) }),
+    "list_dot_product" -> (es => { nArgs("list_dot_product", es, 2); DotProduct(es(0), es(1)) }),
+    "list_inner_product" -> (es => { nArgs("list_inner_product", es, 2); DotProduct(es(0), es(1)) }),
+    // --- regex
+    "regexp_matches" -> (es => {
+      if (es.length == 3) throw new DuckDialectException(
+        "regexp_matches with an options argument isn't supported — inline " +
+          "the flag into the pattern, e.g. (?i) for case-insensitive")
+      nArgs("regexp_matches", es, 2); RLike(es(0), es(1))
+    }),
+    "regexp_full_match" -> (es => {
+      nArgs("regexp_full_match", es, 2)
+      es(1) match {
+        case Literal(p: UTF8String, StringType) if p != null => RLike(es(0), lit(s"^(?:${p.toString})$$"))
+        case p => RLike(es(0), Concat(Seq(lit("^(?:"), p, lit(")$"))))
+      }
+    }),
+    // --- polymorphic len (string AND list, like DuckDB)
+    "len" -> (es => { nArgs("len", es, 1); DuckLen(es(0)) }),
+    // --- string predicates
+    "starts_with" -> (es => { nArgs("starts_with", es, 2); StartsWith(es(0), es(1)) }),
+    "ends_with" -> (es => { nArgs("ends_with", es, 2); EndsWith(es(0), es(1)) }),
+    "prefix" -> (es => { nArgs("prefix", es, 2); StartsWith(es(0), es(1)) }),
+    "suffix" -> (es => { nArgs("suffix", es, 2); EndsWith(es(0), es(1)) }),
+    "editdist3" -> (es => { nArgs("editdist3", es, 2); Levenshtein(es(0), es(1)) }),
+    // --- time (literal formats converted %-code → java.time at plan time)
+    "strftime" -> (es => {
+      nArgs("strftime", es, 2)
+      DateFormatClass(es(0), lit(cFormatToJava(literalFormat("strftime", es(1)))))
+    }),
+    "strptime" -> (es => {
+      nArgs("strptime", es, 2)
+      ParseToTimestamp(es(0), Some(lit(cFormatToJava(literalFormat("strptime", es(1))))), TimestampType)
+    }),
+    "epoch" -> (es => { nArgs("epoch", es, 1); UnixTimestamp(es(0), lit("yyyy-MM-dd HH:mm:ss")) }),
+    "epoch_ms" -> (es => { nArgs("epoch_ms", es, 1); UnixMillis(es(0)) }),
+    "epoch_us" -> (es => { nArgs("epoch_us", es, 1); UnixMicros(es(0)) }),
+    // --- table-in-select
+    "unnest" -> (es => { nArgs("unnest", es, 1); Explode(es(0)) })
+  )
+
+  /** DuckDB functions with no faithful expression rewrite → the hint a
+    * raised error carries. Checked when a `sql` stage fails analysis
+    * with an unresolved function.
+    */
+  val fnHints: Map[String, String] = Map(
+    "read_csv_auto" -> "table functions aren't SQL-callable here — declare the file as a pipeline `input` (reference O1) or read it with spark.read.csv and register a view",
+    "read_csv" -> "table functions aren't SQL-callable here — declare the file as a pipeline `input` or use spark.read.csv",
+    "read_parquet" -> "table functions aren't SQL-callable here — declare the file as a pipeline `input` or use spark.read.parquet",
+    "read_json_auto" -> "table functions aren't SQL-callable here — declare the file as a pipeline `input` or use spark.read.json",
+    "struct_pack" -> "use named_struct('a', expr1, 'b', expr2)",
+    "list_aggregate" -> "use aggregate(list, init, (acc, x) -> ...) or explode + groupBy",
+    "list_sum" -> "use aggregate(list, 0D, (acc, x) -> acc + x)",
+    "list_avg" -> "use aggregate(list, 0D, (acc, x) -> acc + x) / size(list)",
+    "group_concat" -> "use string_agg(expr, sep) (both engines support it)",
+    "date_diff" -> "use timestampdiff(unit, start, end) — note DuckDB's date_diff('day', a, b) argument order",
+    "date_add" -> "Spark's date_add(date, days) takes days only — for other units use dateadd(unit, n, ts)",
+    "histogram" -> "use groupBy + count, or width_bucket for binning",
+    "regexp_split_to_array" -> "use split(str, regex)",
+    "to_base" -> "use conv(num, 10, base)",
+    "md5_number" -> "use the graft fingerprint natives (norm_fingerprint) or hash/xxhash64",
+    "gen_random_uuid" -> "use uuid() (non-deterministic; forbidden in oracle-checked queries)"
+  )
+
+  /** Syntax-level DuckDB-isms Spark's parser rejects — scanned (on a
+    * string-literal-masked copy) when a `sql` stage fails to PARSE, so
+    * the user sees the construct named with its Spark equivalent instead
+    * of a bare ANTLR error. Order matters: first hit wins.
+    */
+  /** DuckDB joins Spark's parser ACCEPTS with different semantics —
+    * `t ASOF JOIN u` parses as table t aliased "ASOF", silently becoming
+    * an inner join. These must be rejected up front, not on parse
+    * failure (there is none).
+    */
+  val silentTrapHints: Seq[(scala.util.matching.Regex, String)] = Seq(
+    raw"(?i)\bASOF\s+(LEFT\s+)?JOIN\b".r ->
+      "ASOF JOIN isn't Spark SQL (it would silently parse as a table alias + inner join) — use graft's as-of join operator (graft.queries.CoreQueries.asOfJoin) or a windowed last_value join",
+    raw"(?i)\bPOSITIONAL\s+JOIN\b".r ->
+      "POSITIONAL JOIN isn't Spark SQL (it would silently parse as a table alias + inner join) — add an explicit index with row_number() OVER (ORDER BY <deterministic key>) on both sides and equi-join on it"
+  )
+
+  val constructHints: Seq[(scala.util.matching.Regex, String)] = silentTrapHints ++ Seq(
+    raw"(?i)\bQUALIFY\b".r ->
+      "QUALIFY isn't Spark SQL — compute the window column in a subquery and filter it outside: SELECT * FROM (SELECT ..., row_number() OVER (...) AS rn FROM t) WHERE rn = 1",
+    raw"(?i)\bUSING\s+SAMPLE\b".r ->
+      "USING SAMPLE → TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
+    raw"(?i)\bCOLUMNS\s*\(".r ->
+      "the COLUMNS(...) star pattern isn't supported — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract",
+    raw":=".r ->
+      "named-argument syntax (a := 1) isn't Spark SQL — struct_pack(a := 1) becomes named_struct('a', 1)",
+    raw"(?i)\[\s*[\w.]+\s+for\s+\w+\s+in\b".r ->
+      "list comprehensions aren't Spark SQL — use transform(list, x -> expr) and filter(list, x -> pred)",
+    raw"->>".r ->
+      "the ->> JSON operator isn't Spark SQL — use get_json_object(col, '$.path') or from_json with a schema",
+    raw"(?i)(?<![\w.])\d+\s*//\s*\d+".r ->
+      "// integer division isn't Spark SQL — use a div b",
+    raw"\*\*".r ->
+      "** exponentiation isn't Spark SQL — use power(a, b) (note: ^ is bitwise XOR in Spark, not exponent)"
+  )
+
+  /** Enrich a failed `sql`-stage error with the dialect hint, if one of
+    * the known DuckDB-isms is present. `masked` must be the
+    * string-literal-masked SQL (GraftSqlParser.maskQuotes) so literals
+    * can't false-positive.
+    */
+  def hintFor(masked: String): Option[String] =
+    constructHints.collectFirst { case (re, hint) if re.findFirstIn(masked).isDefined => hint }
+
+  /** Raise on constructs Spark would silently misparse (ASOF/POSITIONAL
+    * joins). Run on the masked SQL BEFORE handing it to spark.sql.
+    */
+  def rejectSilentTraps(masked: String): Unit =
+    silentTrapHints.foreach { case (re, hint) =>
+      if (re.findFirstIn(masked).isDefined)
+        throw new DuckDialectException(s"DuckDB-dialect construct in sql stage: $hint")
+    }
+
+  /** Unresolved-function hint: Spark 4 reports UNRESOLVED_ROUTINE with
+    * the name backtick-quoted in the message.
+    */
+  def fnHintFor(errorMessage: String): Option[String] = {
+    val lower = errorMessage.toLowerCase
+    fnHints.collectFirst {
+      case (fn, hint) if lower.contains(s"`$fn`") => s"DuckDB's $fn: $hint"
+    }
+  }
+}

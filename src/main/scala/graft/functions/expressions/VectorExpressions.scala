@@ -259,7 +259,7 @@ object DotProduct {
   * registry call for sessions we didn't build.
   */
 object GraftFunctions {
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private val base: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "lsh_signature" -> (es => LshSignatures(es(0), es(1), es(2))),
@@ -280,6 +280,13 @@ object GraftFunctions {
           Literal(graft.functions.TextFunctions.EmailRe), Literal("<EMAIL>")),
         Literal(graft.functions.TextFunctions.PhoneRe), Literal("<PHONE>"))
     }))
+
+  /** graft natives + the DuckDB-dialect aliases (VERDICT r4 #1) — one
+    * list so every registration path (per-session register, extensions
+    * injector) carries the full surface.
+    */
+  private val fns: Seq[(String, Seq[Expression] => Expression)] =
+    base ++ DuckDialect.aliases
 
   /** Sessions already registered (weak so stopped sessions collect).
     * Keyed on the session itself rather than name-existence checks: a
@@ -324,5 +331,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("norm_fingerprint"),
       new ExpressionInfo(classOf[NormFingerprint].getName, "norm_fingerprint"),
       es => NormFingerprint(es.head)))
+    // DuckDB-dialect aliases (string_split, list_transform, strftime, …)
+    // so extension-built sessions resolve them without a register() call
+    DuckDialect.aliases.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(DuckDialect.getClass.getName, name), builder))
+    }
   }
 }

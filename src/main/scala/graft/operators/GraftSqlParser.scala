@@ -17,8 +17,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def rewrite(sql: String): String = GraftSqlParser.rewriteExclude(sql)
 
-  override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(rewrite(sqlText))
-  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rewrite(sqlText))
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.withDialectHint(sqlText)(delegate.parsePlan(rewrite(sqlText)))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    GraftSqlParser.withDialectHint(sqlText)(delegate.parseQuery(rewrite(sqlText)))
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
   override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
@@ -53,10 +55,27 @@ object GraftSqlParser {
     }
   }
 
+  /** Run a parse, converting a bare ANTLR failure on a known DuckDB-ism
+    * into a [[graft.functions.expressions.DuckDialectException]] that
+    * names the construct and its Spark equivalent (VERDICT r4 #1 —
+    * reference O12 hands user SQL to DuckDB verbatim, so migrating
+    * configs may carry any DuckDB syntax).
+    */
+  def withDialectHint[A](sql: String)(parse: => A): A =
+    try parse
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        graft.functions.expressions.DuckDialect.hintFor(maskQuotes(sql)) match {
+          case Some(hint) => throw new graft.functions.expressions.DuckDialectException(
+            s"DuckDB-dialect construct in sql stage: $hint", e)
+          case None => throw e
+        }
+    }
+
   /** Replace the contents of single-quoted literals with '_' in place
     * (positions preserved; '' escapes handled).
     */
-  private def maskQuotes(s: String): String = {
+  private[graft] def maskQuotes(s: String): String = {
     val a = s.toCharArray
     var i = 0
     var inQ = false

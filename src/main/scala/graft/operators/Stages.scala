@@ -27,7 +27,24 @@ trait Stage extends Serializable {
 final case class SqlStage(name: String, code: String) extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = {
     df.createOrReplaceTempView("df")
-    spark.sql(GraftSqlParser.rewriteExclude(code))
+    // dialect functions (string_split, strftime, …) for sessions built
+    // without GraftExtensions; idempotent per session
+    graft.functions.expressions.GraftFunctions.register(spark)
+    // ASOF/POSITIONAL JOIN would silently parse as a table alias +
+    // inner join — reject with the Spark equivalent named
+    graft.functions.expressions.DuckDialect.rejectSilentTraps(
+      GraftSqlParser.maskQuotes(code))
+    try GraftSqlParser.withDialectHint(code)(spark.sql(GraftSqlParser.rewriteExclude(code)))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        // unresolved DuckDB function / table function → name the Spark
+        // equivalent instead of surfacing a bare UNRESOLVED_ROUTINE
+        graft.functions.expressions.DuckDialect.fnHintFor(e.getMessage) match {
+          case Some(hint) => throw new graft.functions.expressions.DuckDialectException(
+            s"sql stage '$name': $hint", e)
+          case None => throw e
+        }
+    }
   }
 }
 

@@ -1,0 +1,188 @@
+package graft
+
+import graft.functions.expressions.{DuckDialect, DuckDialectException}
+import graft.operators.{GraftSqlParser, Pipeline, SqlStage}
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+
+/** DuckDB-dialect compatibility layer (VERDICT r4 next-round #1): the
+  * reference hands user `sql` stages to DuckDB verbatim
+  * (filefilter.py:340-342), so a migrating config may use any
+  * DuckDB-ism. Aliases must produce DuckDB's semantics; constructs with
+  * no rewrite must raise an error naming the Spark equivalent.
+  */
+class DialectSpec extends SparkSpec {
+
+  private def one(sql: String): Row = spark.sql(sql).collect().head
+
+  // ---- string splitting: DuckDB separator is LITERAL, Spark's is regex
+  test("string_split treats the separator literally (regex metachars inert)") {
+    assert(one("SELECT string_split('a.b.c', '.') AS r").getSeq[String](0) == Seq("a", "b", "c"))
+    assert(one("SELECT string_split('a||b', '||') AS r").getSeq[String](0) == Seq("a", "b"))
+    // empties kept, like DuckDB
+    assert(one("SELECT string_split('a,,b', ',') AS r").getSeq[String](0) == Seq("a", "", "b"))
+    // non-literal separator still quoted (\Q..\E path)
+    assert(one("SELECT string_split('a.b', substr('.x', 1, 1)) AS r").getSeq[String](0) == Seq("a", "b"))
+  }
+
+  test("string_split_regex keeps regex semantics; aliases resolve") {
+    assert(one("SELECT string_split_regex('a1b22c', '[0-9]+') AS r").getSeq[String](0) == Seq("a", "b", "c"))
+    assert(one("SELECT str_split('x-y', '-') AS r").getSeq[String](0) == Seq("x", "y"))
+    assert(one("SELECT string_to_array('x-y', '-') AS r").getSeq[String](0) == Seq("x", "y"))
+  }
+
+  // ---- list_* family
+  test("list_* aliases match DuckDB semantics") {
+    assert(one("SELECT list_transform(array(1,2,3), x -> x * 10) AS r").getSeq[Int](0) == Seq(10, 20, 30))
+    assert(one("SELECT list_filter(array(1,2,3,4), x -> x % 2 = 0) AS r").getSeq[Int](0) == Seq(2, 4))
+    assert(one("SELECT list_contains(array(1,2), 2) AS r").getBoolean(0))
+    assert(one("SELECT list_distinct(array(1,1,2)) AS r").getSeq[Int](0).sorted == Seq(1, 2))
+    assert(one("SELECT list_sort(array(3,1,2)) AS r").getSeq[Int](0) == Seq(1, 2, 3))
+    assert(one("SELECT list_reverse_sort(array(3,1,2)) AS r").getSeq[Int](0) == Seq(3, 2, 1))
+    assert(one("SELECT list_reverse(array(1,2,3)) AS r").getSeq[Int](0) == Seq(3, 2, 1))
+    assert(one("SELECT list_concat(array(1), array(2,3)) AS r").getSeq[Int](0) == Seq(1, 2, 3))
+    assert(one("SELECT list_append(array(1), 2) AS r").getSeq[Int](0) == Seq(1, 2))
+    assert(one("SELECT list_prepend(0, array(1)) AS r").getSeq[Int](0) == Seq(0, 1))
+    assert(one("SELECT list_position(array('a','b'), 'b') AS r").getLong(0) == 2L)
+    assert(one("SELECT list_extract(array(10,20,30), 2) AS r").getInt(0) == 20)
+    assert(one("SELECT list_min(array(3,1,2)) AS r").getInt(0) == 1)
+    assert(one("SELECT list_max(array(3,1,2)) AS r").getInt(0) == 3)
+    assert(one("SELECT list_unique(array(1,1,2,3,3)) AS r").getInt(0) == 3)
+    // 1-based INCLUSIVE slice, like DuckDB list_slice(l, 2, 3)
+    assert(one("SELECT list_slice(array(10,20,30,40), 2, 3) AS r").getSeq[Int](0) == Seq(20, 30))
+  }
+
+  test("list vector functions route to graft natives") {
+    val r = one(
+      "SELECT list_cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+        "list_dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "list_inner_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS i")
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(r.getDouble(1) == 11.0 && r.getDouble(2) == 11.0)
+  }
+
+  // ---- len: polymorphic like DuckDB (builtin Spark len is string-only)
+  test("len dispatches on type: string chars, array/map elements, binary bytes") {
+    val r = one("SELECT len('héllo') AS s, len(array(1,2,3)) AS a, " +
+      "len(map('k', 1)) AS m, len(CAST('ab' AS BINARY)) AS b")
+    assert(r.getInt(0) == 5 && r.getInt(1) == 3 && r.getInt(2) == 1 && r.getInt(3) == 2)
+    assert(one("SELECT len(CAST(NULL AS STRING)) AS n").isNullAt(0))
+  }
+
+  // ---- regex
+  test("regexp_matches is partial-match; regexp_full_match anchors") {
+    assert(one("SELECT regexp_matches('abc123', '[0-9]+') AS r").getBoolean(0))
+    assert(!one("SELECT regexp_full_match('abc123', '[0-9]+') AS r").getBoolean(0))
+    assert(one("SELECT regexp_full_match('123', '[0-9]+') AS r").getBoolean(0))
+    // alternation stays inside the non-capturing anchor group
+    assert(!one("SELECT regexp_full_match('xab', 'x|ab') AS r").getBoolean(0))
+    val e = intercept[DuckDialectException](spark.sql("SELECT regexp_matches('a', 'a', 'i')").collect())
+    assert(e.getMessage.contains("(?i)"))
+  }
+
+  // ---- string predicates
+  test("starts_with/ends_with/prefix/suffix/editdist3") {
+    val r = one("SELECT starts_with('spark', 'sp') AS a, ends_with('spark', 'rk') AS b, " +
+      "prefix('spark', 'sp') AS c, suffix('spark', 'rk') AS d, editdist3('kitten', 'sitting') AS e")
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getInt(4) == 3)
+  }
+
+  // ---- time: %-format conversion
+  test("cFormatToJava converts the C codes DuckDB documents") {
+    assert(DuckDialect.cFormatToJava("%Y-%m-%d") == "yyyy'-'MM'-'dd")
+    assert(DuckDialect.cFormatToJava("%H:%M:%S.%f") == "HH':'mm':'ss'.'SSSSSS")
+    assert(DuckDialect.cFormatToJava("%-d/%-m/%y") == "d'/'M'/'yy")
+    assert(DuckDialect.cFormatToJava("%d %B %Y") == "dd' 'MMMM' 'yyyy")
+    assert(DuckDialect.cFormatToJava("100%%") == "'100%'")
+    val e = intercept[DuckDialectException](DuckDialect.cFormatToJava("%V"))
+    assert(e.getMessage.contains("%V"))
+  }
+
+  test("strftime/strptime/epoch round-trip") {
+    val r = one("SELECT strftime(TIMESTAMP '2024-03-05 07:08:09', '%Y-%m-%d %H:%M:%S') AS s, " +
+      "strftime(DATE '2024-03-05', '%d %B %Y') AS t, " +
+      "epoch(TIMESTAMP '1970-01-01 00:01:40') AS e, " +
+      "epoch_ms(TIMESTAMP '1970-01-01 00:00:01.5') AS ms")
+    assert(r.getString(0) == "2024-03-05 07:08:09")
+    assert(r.getString(1) == "05 March 2024")
+    assert(r.getLong(2) == 100L && r.getLong(3) == 1500L)
+    val p = one("SELECT strptime('05/03/2024 07:08', '%d/%m/%Y %H:%M') AS ts")
+    assert(p.getTimestamp(0).toInstant.toString == "2024-03-05T07:08:00Z")
+    // non-literal format: plan-time translation impossible → guided error
+    val e = intercept[DuckDialectException](
+      spark.sql("SELECT strftime(current_timestamp(), concat('%Y', '%m'))").collect())
+    assert(e.getMessage.contains("literal"))
+  }
+
+  test("unnest in select position explodes") {
+    val rows = spark.sql("SELECT unnest(array(1,2,3)) AS v").collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(1, 2, 3))
+  }
+
+  // ---- guided errors for constructs with no rewrite
+  test("QUALIFY / ASOF JOIN / USING SAMPLE / := / -> > / ** raise named hints") {
+    def hintOf(sql: String): String =
+      intercept[DuckDialectException](
+        SqlStage("s", sql).apply(spark, spark.range(1).toDF("id"))).getMessage
+    assert(hintOf("SELECT id, row_number() OVER (ORDER BY id) AS rn FROM df QUALIFY rn = 1")
+      .contains("row_number() OVER"))
+    assert(hintOf("SELECT * FROM df ASOF JOIN df2 ON df.id >= df2.id").contains("as-of"))
+    assert(hintOf("SELECT * FROM df USING SAMPLE 10%").contains("TABLESAMPLE"))
+    assert(hintOf("SELECT struct_pack(a := 1) FROM df").contains("named_struct"))
+    assert(hintOf("SELECT [x for x in ids] FROM df").contains("transform("))
+    assert(hintOf("SELECT j->>'a' FROM df").contains("get_json_object"))
+    assert(hintOf("SELECT 5 ** 2 FROM df").contains("power"))
+  }
+
+  test("string literals never false-positive a construct hint") {
+    // a literal containing 'QUALIFY' must parse straight through
+    val df = SqlStage("s", "SELECT 'use QUALIFY rn = 1' AS note FROM df")
+      .apply(spark, spark.range(1).toDF("id"))
+    assert(df.collect().head.getString(0).contains("QUALIFY"))
+  }
+
+  test("unresolved DuckDB functions name the Spark equivalent") {
+    def hintOf(sql: String): String =
+      intercept[DuckDialectException](
+        SqlStage("s", sql).apply(spark, spark.range(1).toDF("id"))).getMessage
+    assert(hintOf("SELECT list_sum(array(1,2)) FROM df").contains("aggregate("))
+    assert(hintOf("SELECT date_diff('day', d1, d2) FROM df").contains("timestampdiff"))
+    assert(hintOf("SELECT * FROM read_csv_auto('/tmp/x.csv')").contains("spark.read"))
+  }
+
+  // ---- e2e: a migrated DuckDB config runs through the YAML pipeline
+  test("e2e: sql stages written in DuckDB dialect run verbatim (fixture per rewrite family)") {
+    val out = Files.createTempDirectory("graft-dialect").toString + "/result"
+    val yaml =
+      """
+        |filters:
+        |  - name: tokens
+        |    actionType: sql
+        |    code: "SELECT doc_id, text, string_split(text, ' ') AS words FROM df"
+        |  - name: shape
+        |    actionType: sql
+        |    code: "SELECT doc_id, text, len(words) AS n_words, list_transform(words, w -> lower(w)) AS lw FROM df"
+        |  - name: flag
+        |    actionType: sql
+        |    code: "SELECT * EXCLUDE(lw) FROM df WHERE regexp_matches(text, '[A-Za-z]') AND len(text) > 0"
+        |  - name: stamp
+        |    actionType: sql
+        |    code: "SELECT doc_id, n_words, strftime(TIMESTAMP '2024-01-02 03:04:05', '%Y-%m-%d') AS day FROM df"
+        |""".stripMargin
+    val res = Pipeline.runYaml(spark, yaml, s"$sf/documents.parquet", Some(out))
+    val rows = res.output.collect()
+    assert(rows.nonEmpty)
+    assert(res.output.columns.toSeq == Seq("doc_id", "n_words", "day"))
+    assert(rows.forall(_.getString(2) == "2024-01-02"))
+    assert(rows.forall(_.getInt(1) > 0))
+  }
+
+  test("parser-level hint path (GraftSqlParser.withDialectHint) wraps parse failures") {
+    val e = intercept[DuckDialectException](
+      GraftSqlParser.withDialectHint("SELECT 1 QUALIFY rn = 1")(
+        spark.sessionState.sqlParser.parsePlan("SELECT 1 QUALIFY rn = 1")))
+    assert(e.getMessage.contains("QUALIFY"))
+    assert(e.getCause != null)
+  }
+}
