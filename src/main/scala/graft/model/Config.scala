@@ -56,7 +56,10 @@ object ConfigLoader {
       case _ => Nil
     }
     PipelineConfig(
-      inDelimiter = str(root.toMap, "inDelimiter", ","),
+      // "" = not declared → Sources.load sniffs the delimiter, matching
+      // the reference's read_csv_auto path (countries.yml declares none
+      // but ships a ';' CSV)
+      inDelimiter = str(root.toMap, "inDelimiter", ""),
       outDelimiter = str(root.toMap, "outDelimiter", ","),
       sampleLines = num(root.toMap, "sampleLines", 0L),
       reloadConfigEverySeconds = num(root.toMap, "reloadConfigEverySeconds",

@@ -478,7 +478,14 @@ object PythonMigrate {
       }
       expect(")")
       val a = args.result()
-      (target, method) match {
+      // a JSON-subscript result used with string methods behaves as its
+      // extracted string (get_json_object returns STRING); .get() keeps
+      // the Json view for nested access
+      val tgt = target match {
+        case j: Json if !method.contains("get") => sqlOf(j, line)
+        case t => t
+      }
+      (tgt, method) match {
         case (Module("__builtin__"), Some(fn)) => builtinCall(fn, a)
         case (Module("re"), Some("match")) =>
           if (a.length != 2) err("re.match expects (pattern, string)")
@@ -550,6 +557,10 @@ object PythonMigrate {
         else Sql(s"round(${sqlOf(a.head, line).sql})")
     }
 
+    /** A bare row-column reference (atom emits them as `` `col` ``). */
+    private def isColumnRef(s: String): Boolean =
+      s.length > 2 && s.head == '`' && s.last == '`' && !s.substring(1, s.length - 1).contains('`')
+
     private def subscript(v: V, key: V): V = (v, key) match {
       case (Dict(fields), Sql(lit, true)) =>
         val k = lit.stripPrefix("'").stripSuffix("'")
@@ -557,9 +568,23 @@ object PythonMigrate {
           .getOrElse(err(s"dict has no key '$k'"))
       case (Json(src), Sql(lit, true)) =>
         val k = lit.stripPrefix("'").stripSuffix("'")
-        Sql(s"get_json_object(${sqlOf(src, line).sql}, '$$.$k')", isString = true)
+        Json(Sql(s"get_json_object(${sqlOf(src, line).sql}, '$$.$k')", isString = true))
+      case (Json(src), Sql(lit, false)) if lit.forall(_.isDigit) =>
+        Json(Sql(s"get_json_object(${sqlOf(src, line).sql}, '$$[$lit]')", isString = true))
+      // row['col']['key'] — a row field subscripted by a string/index key
+      // is a JSON-string column (what a rest stage writes, countries.yml:
+      // row['response']['region']). The reference raises a per-row
+      // TypeError here and keeps the row unchanged (filefilter.py:38-50);
+      // graft compiles to get_json_object, which extracts the value when
+      // the column IS JSON and yields NULL when it isn't — documented
+      // divergence (the column appears, NULL-filled, instead of a
+      // silently-counted error).
+      case (Sql(col, _), k @ Sql(_, true)) if isColumnRef(col) =>
+        subscript(Json(Sql(col, isString = true)), k)
+      case (Sql(col, _), k @ Sql(lit, false)) if isColumnRef(col) && lit.forall(_.isDigit) =>
+        subscript(Json(Sql(col, isString = true)), k)
       case _ => err("subscript on a non-dict value",
-        "Only dict-literal and json.loads(...) values can be subscripted.")
+        "Only dict-literal, json.loads(...) and row['col'] JSON-string values can be subscripted.")
     }
 
     def boolOf(v: V): String = v match {

@@ -115,6 +115,18 @@ final case class RestStage(name: String, cfg: RestConfig, counters: RestCounters
 object RestStage {
   private val Placeholder = raw"\{([A-Za-z0-9_]+)\}".r
 
+  /** Driver-side host remapping, applied when a config is LOADED (so it
+    * works on a real cluster — nothing executor-side consults it).
+    * Lets a harness replay a shipped config verbatim against a stub:
+    * `RestStage.hostOverrides = Map("https://restcountries.com" ->
+    * s"http://localhost:$port")` — countries.yml e2e, RestStageSpec.
+    * Empty in production.
+    */
+  @volatile var hostOverrides: Map[String, String] = Map.empty
+
+  private[operators] def overrideHost(host: String): String =
+    hostOverrides.getOrElse(host, host)
+
   /** str.format(**row) parity: substitute {col}; None if any placeholder
     * has no matching column / null value.
     */
@@ -328,10 +340,14 @@ object RestStage {
       case Some(s: String) if s.equalsIgnoreCase("true") => qp.keySet
       case _ => slist("urlencodeParams")
     }
+    // reference joins host and path with '/' (filters.py:52
+    // url = f"{host}/{path}"), so configs write path without a leading
+    // slash (countries.yml:13) — normalize to our host+path concat
+    val rawPath = sopt("path").getOrElse("")
     val rc = RestConfig(
-      host = sopt("host").getOrElse(
-        throw new IllegalArgumentException(s"${cfg.name}: rest stage needs host")),
-      path = sopt("path").getOrElse(""),
+      host = RestStage.overrideHost(sopt("host").getOrElse(
+        throw new IllegalArgumentException(s"${cfg.name}: rest stage needs host"))),
+      path = if (rawPath.isEmpty || rawPath.startsWith("/")) rawPath else "/" + rawPath,
       method = sopt("method").getOrElse("GET"),
       queryParams = qp,
       postBody = smap("postBody"),

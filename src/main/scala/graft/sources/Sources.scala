@@ -24,6 +24,33 @@ object Sources {
   private def normDelim(d: String): String =
     if (d.equalsIgnoreCase("TAB")) "\t" else d
 
+  /** Delimiter sniff for configs that declare none — the reference loads
+    * those with DuckDB's `read_csv_auto`, which autodetects (Database.py
+    * loadTable; examples/countries ships a ';' CSV with no inDelimiter).
+    * One driver-side header-line read through the Hadoop FS (works for
+    * local and s3a), then the candidate splitting the header into the
+    * most fields wins; ties fall back to ','.
+    */
+  def sniffDelimiter(spark: SparkSession, path: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(hp).isDirectory)
+        fs.listStatus(hp).filter(_.isFile).map(_.getPath)
+          .find(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+          .getOrElse(hp)
+      else hp
+    val in = fs.open(file)
+    val header =
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        Option(br.readLine()).getOrElse("")
+      } finally in.close()
+    Seq(",", ";", "\t", "|").maxBy(d =>
+      header.split(java.util.regex.Pattern.quote(d), -1).length)
+  }
+
   def load(spark: SparkSession, path: String, inDelimiter: String = ",",
            sampleLines: Long = 0L): DataFrame = {
     val p = if (path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://") else path
@@ -31,8 +58,9 @@ object Sources {
     val df =
       if (lower.endsWith(".parquet")) spark.read.parquet(p)
       else if (lower.endsWith(".csv") || lower.endsWith(".txt") || lower.endsWith(".tsv")) {
-        val delim = if (lower.endsWith(".tsv") && inDelimiter == ",") "\t"
-                    else normDelim(inDelimiter)
+        val eff = if (inDelimiter.isEmpty) sniffDelimiter(spark, p) else inDelimiter
+        val delim = if (lower.endsWith(".tsv") && eff == ",") "\t"
+                    else normDelim(eff)
         spark.read
           .option("header", "true")
           .option("inferSchema", "true")

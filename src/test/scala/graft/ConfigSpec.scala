@@ -60,7 +60,7 @@ class ConfigSpec extends AnyFunSuite {
         |    code:
         |    filterThreads:
         |""".stripMargin)
-    assert(cfg.inDelimiter == ",")
+    assert(cfg.inDelimiter == "") // absent → delimiter sniff (read_csv_auto parity)
     assert(cfg.sampleLines == 0)
     assert(cfg.filters.head.code.isEmpty)
     assert(cfg.filters.head.filterThreads == 1)
@@ -78,7 +78,9 @@ class ConfigSpec extends AnyFunSuite {
 
   test("defaults match the reference") {
     val cfg = ConfigLoader.fromYaml("filters:\n  - {name: x, actionType: sql, code: s}\n")
-    assert(cfg.inDelimiter == ",")
+    // undeclared inDelimiter → "" = sniff, the reference's read_csv_auto
+    // autodetect (countries.yml ships a ';' CSV and declares nothing)
+    assert(cfg.inDelimiter == "")
     assert(cfg.outDelimiter == ",")
     assert(cfg.sampleLines == 0)
     assert(cfg.filters.head.filterThreads == 1)   // filefilter.py:198
