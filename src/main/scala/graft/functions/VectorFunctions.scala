@@ -116,9 +116,29 @@ object VectorFunctions {
     * same sequential folds is bit-identical to cosine_sim, so scores
     * hash-match DuckDB's list_cosine_similarity.
     */
+  /** Hard input bound for [[exactNearDupPairs]] — above this the O(n²)
+    * BNLJ is refused outright (a library user who skipped the scaladoc
+    * must not be able to point the oracle at an unbounded corpus;
+    * VERDICT r4 #4). 100k rows ≈ 5·10⁹ pairs, already ~minutes — far
+    * past any sane verification corpus. Raise `maxRows` explicitly to
+    * opt out; the scale path is [[lshNearDupPairs]].
+    */
+  val ExactPairsMaxRows: Long = 100000L
+
   def exactNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double,
+                        maxRows: Long = ExactPairsMaxRows): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    // eager guard: one count of the input (trivial next to the n² join
+    // it authorizes). Failing loudly beats auto-degrading — an "exact"
+    // operator silently becoming approximate would corrupt every audit
+    // built on it.
+    val n = df.count()
+    if (n > maxRows) throw new IllegalArgumentException(
+      s"exactNearDupPairs: input has $n rows > max $maxRows — this is the O(n²) " +
+        "verification oracle (BroadcastNestedLoopJoin over all pairs), not a scale " +
+        "operator. Use lshNearDupPairs (bucketed LSH + exact verify on candidates) " +
+        "for unbounded corpora, or pass maxRows explicitly for a bounded larger audit.")
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       call_function("vec_norm", col(vecCol)).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))

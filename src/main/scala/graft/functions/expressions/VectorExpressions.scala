@@ -268,6 +268,7 @@ object GraftFunctions {
     "shingle_strings" -> (es => ShingleStrings(es(0), es(1))),
     "minhash_signature" -> (es => MinhashSignature(es(0), es(1), es(2))),
     "simhash_sig" -> (es => SimHashSig(es(0), es(1))),
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "norm_fingerprint" -> (es => NormFingerprint(es.head)),
     // SQL-callable PII scrubber (TextFunctions.redactPii as one call):
     // composing Catalyst's own RegExpReplace here spares YAML/SQL

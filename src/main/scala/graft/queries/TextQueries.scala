@@ -109,11 +109,14 @@ object TextQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
-  /** Exact n-gram (word-trigram) Jaccard near-dup pairs via inverted
-    * index — the verification-grade dedup.
+  /** Exact n-gram (word-trigram) Jaccard near-dup pairs via the
+    * PPJoin-filtered prefix index (prefix + length + positional
+    * filters, row-local sorted-merge verification) — exact results,
+    * scale-path plan. [[Dedup.jaccardPairs]] (inverted index) computes
+    * the identical answer and remains the cross-check (DedupSpec).
     */
   def q34JaccardPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(documents(s, d), "doc_id", "text", k = 3, threshold = 0.6)
+    Dedup.jaccardPairsPrefix(documents(s, d), "doc_id", "text", k = 3, threshold = 0.6)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** MinHash+LSH near-dup pairs (the 100 TB path). Oracle-checked
