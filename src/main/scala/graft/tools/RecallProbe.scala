@@ -44,8 +44,11 @@ object RecallProbe {
           .agg(min(col("h"))).collect()(0).getLong(0)
         println(f"$sf $name: n=$n hit=$hit recall=${hit / 50.0}%.3f minPerQueryHits=$perQ")
       }
-      topStats("q41 ann", VF.annTopK(q, emb, 5, bits = 4, tables = 8))
-      topStats("q77 ivf", VF.ivfTopK(q, emb, 5, nlist = 16, nprobe = 4))
+      // the shipped q41/q77 configurations (VectorQueries)
+      topStats("q41 ann bits=4 tables=8 probes=4",
+        VF.annTopK(q, emb, 5, bits = 4, tables = 8, probes = 4))
+      topStats("q77 ivf nlist=16 nprobe=6 refine=1",
+        VF.ivfTopK(q, emb, 5, nlist = 16, nprobe = 6, refine = 1))
     }
     spark.stop()
   }
