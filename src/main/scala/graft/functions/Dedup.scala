@@ -210,15 +210,30 @@ object Dedup {
 
   /** LSH banding: b bands of r rows; docs sharing any band signature
     * become candidate pairs. Equality join ⇒ shuffle-parallel, no O(n²).
+    *
+    * `maxBucketSize` caps each (band, sig) bucket ([[Buckets.capHot]] —
+    * the same defense as the embedding-LSH path): a band signature
+    * shared by m docs otherwise yields m²/2 candidates, and real
+    * corpora produce such buckets (boilerplate pages, near-empty docs —
+    * an all-identical cluster of 1M docs is 5·10¹¹ pairs from ONE
+    * bucket). A hot band bucket is by construction a cluster of
+    * near-identical docs; capped members still pair among themselves,
+    * so duplicate GROUPS survive — only the quadratic intra-cluster
+    * pair enumeration is bounded. `maxBucketSize <= 0` disables;
+    * `bucketObs` surfaces eviction telemetry.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int,
+                    maxBucketSize: Int = 4096,
+                    bucketObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val banded = sigs.select(col("doc"),
       posexplode(array((0 until bands).map { b =>
         xxhash64((lit(b) +: (0 until rows).map(r =>
           element_at(col("mh"), b * rows + r + 1))): _*)
       }: _*)).as(Seq("band", "sig")))
-    banded.as("x")
-      .join(banded.as("y"),
+    val capped = Buckets.capHot(banded, Seq(col("band"), col("sig")), col("doc"),
+      maxBucketSize, bucketObs)
+    capped.as("x")
+      .join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
@@ -232,10 +247,11 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5, maxBucketSize: Int = 4096,
+                      bucketObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, k)
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
-    val cand = lshCandidates(sigs, bands, numHashes / bands)
+    val cand = lshCandidates(sigs, bands, numHashes / bands, maxBucketSize, bucketObs)
     verifyJaccard(cand, sh, threshold)
   }
 

@@ -103,23 +103,11 @@ object VectorFunctions {
     val raw = df.select(col(idCol).as("vid"),
       posexplode(call_function("lsh_signature", col(vecCol), lit(bits), lit(tables)))
         .as(Seq("tbl", "bucket")))
-    val sig =
-      if (maxBucketSize <= 0) raw
-      else {
-        // Deterministic down-sample of hot buckets: one extra shuffle of
-        // the id-triples (same key as the join below), O(m log m) per
-        // bucket instead of the join's O(m²).
-        val w = Window.partitionBy(col("tbl"), col("bucket")).orderBy(xxhash64(col("vid")), col("vid"))
-        val ranked = raw.withColumn("rn", row_number().over(w))
-        val audited = bucketObs match {
-          case Some(obs) => ranked.observe(obs,
-            sum(when(col("rn") > maxBucketSize, 1L).otherwise(0L)).as("rows_evicted"),
-            count(when(col("rn") === maxBucketSize + 1, 1)).as("hot_buckets"),
-            max(col("rn")).as("max_bucket_size"))
-          case None => ranked
-        }
-        audited.filter(col("rn") <= maxBucketSize).drop("rn")
-      }
+    // Deterministic down-sample of hot buckets ([[Buckets.capHot]]): one
+    // extra shuffle of the id-triples (same key as the join below),
+    // O(m log m) per bucket instead of the join's O(m²).
+    val sig = Buckets.capHot(raw, Seq(col("tbl"), col("bucket")), col("vid"),
+      maxBucketSize, bucketObs)
     sig.as("x")
       .join(sig.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&

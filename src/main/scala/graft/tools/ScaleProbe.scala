@@ -1,0 +1,106 @@
+package graft.tools
+
+import graft.Tables._
+import graft.functions.{Dedup, VectorFunctions => VF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-slope measurement (VERDICT r4 #7): time the scale-path
+  * operators at sf0.1 (driver testdata) and at locally generated 5×/10×
+  * corpora (`tools/gen_scaledata.py` → `scaledata/sf0.5`, `scaledata/
+  * sf1`), and print per-operator scaling exponents
+  * slope = ln(t_big/t_small) / ln(n_big/n_small) — turning the "this
+  * plan survives 100×" argument from plan-shape reasoning into a
+  * measured number. Results land in SCALE.md.
+  *
+  * Operators are timed WITHOUT their in-gate exact audits (the audits
+  * are deliberately quadratic verification oracles; the slope claim is
+  * about the scale path). ANN index parameters follow their documented
+  * scaling rules (bits ≈ log₂n, nlist ≈ √N) — a fixed-parameter sketch
+  * measured at 10× the corpus it was sized for would mis-measure the
+  * design, not the implementation.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [dir1 dir2 ...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/root/repo/scaledata/sf0.5", "/root/repo/scaledata/sf1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "48g"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.expressions.GraftFunctions.register(spark)
+
+    def time(f: => Long): (Double, Long) = {
+      f // warm: plan + code cache + page cache
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    // (name, dir => row count of the materialized result)
+    def probes(d: String): Seq[(String, () => Long)] = {
+      val docs = documents(spark, d)
+      val emb = embeddings(spark, d)
+      val nEmb = emb.count()
+      // documented sizing rules, applied per corpus size
+      val bits = math.max(8, (math.log(nEmb.toDouble) / math.log(2)).round.toInt - 3)
+      val nlist = math.max(16, math.sqrt(nEmb.toDouble).round.toInt / 3)
+      Seq(
+        "q30_dedup_exact" -> (() =>
+          graft.queries.TextQueries.q30DedupExact(spark, d).count()),
+        "q35_minhash_lsh" -> (() =>
+          Dedup.minhashNearDups(docs, "doc_id", "text", 3, 32, 8, 0.6).count()),
+        "q37_lsh_neardup" -> (() =>
+          VF.lshNearDupPairs(emb, "vec_id", "embedding", 0.45,
+            bits = bits, tables = 16).count()),
+        "q77_ivf_topk" -> (() =>
+          VF.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+            nlist = nlist, nprobe = math.max(6, nlist * 3 / 8), refine = 1).count()),
+        "q41_ann_multiprobe" -> (() =>
+          VF.annTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+            bits = 4, tables = 8, probes = 4).count()),
+        "q79_tfidf" -> (() =>
+          graft.queries.TextQueries.q79Tfidf(spark, d).count()),
+        "q80_approx_quantiles" -> (() =>
+          graft.queries.ExtraQueries.q80ApproxQuantiles(spark, d).count()),
+        "q86_contamination" -> (() =>
+          graft.queries.TextQueries.q86Contamination(spark, d).count()),
+        "q88_repetition" -> (() =>
+          graft.queries.TextQueries.q88RepetitionFilter(spark, d).count()),
+      )
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.LinkedHashMap[String, (Double, Long, Long)]]()
+    for (d <- dirs) {
+      val nDocs = documents(spark, d).count()
+      for ((name, f) <- probes(d)) {
+        val (sec, rows) = time(f())
+        results.getOrElseUpdate(name, scala.collection.mutable.LinkedHashMap())
+          .put(d, (sec, rows, nDocs))
+        println(f"[scale] $d $name: $sec%.3f s ($rows rows)")
+      }
+    }
+    println("\n[scale] slopes (t ~ n^slope), base = first dir:")
+    val base = dirs.head
+    for ((name, byDir) <- results) {
+      val (t0, _, _) = byDir(base)
+      val slopes = dirs.tail.map { d =>
+        val (t, _, _) = byDir(d)
+        val mult = d match {
+          case x if x.endsWith("sf0.5") => 5.0
+          case x if x.endsWith("sf1") => 10.0
+          case _ => 1.0
+        }
+        f"${math.log(t / t0) / math.log(mult)}%.2f@${mult.toInt}x"
+      }
+      println(s"[scale] $name: t0=${f"$t0%.3f"}s ${slopes.mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

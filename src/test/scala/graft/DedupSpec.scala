@@ -254,6 +254,34 @@ class DedupSpec extends SparkSpec {
     assert(defaultCap == uncapped)
   }
 
+  test("minhash band buckets get the same hot-bucket cap: groups survive, pairs bounded") {
+    // 120 identical docs + 2 planted near-dup pairs: uncapped, the
+    // identical cluster alone is 120·119/2 = 7140 candidate pairs from
+    // every band; cap=10 bounds it while the planted pairs (distinct
+    // signatures) are untouched.
+    val boiler = (0 until 120).map(i => (i.toLong, "the same boilerplate text repeated verbatim across pages"))
+    val planted = Seq(
+      (200L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (201L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (300L, "one two three four five six seven eight nine ten"),
+      (301L, "one two three four five six seven eight nine eleven"))
+    val df = (boiler ++ planted).toDF("doc_id", "text")
+    val obs = new org.apache.spark.sql.Observation("mh_buckets")
+    val out = Dedup.minhashNearDups(df, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.6,
+        maxBucketSize = 10, bucketObs = Some(obs))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // telemetry fires: the boilerplate cluster is over the cap in every band
+    assert(obs.get("hot_buckets").asInstanceOf[Long] >= 8L)
+    assert(obs.get("max_bucket_size") == 120)
+    // planted near-dup pairs survive the cap
+    assert(out.contains((200L, 201L)) && out.contains((300L, 301L)))
+    // the boilerplate GROUP survives (capped members still pair among
+    // themselves) but its pair count is bounded by cap²/2, not m²/2
+    val boilerPairs = out.count { case (a, b) => a < 120 && b < 120 }
+    assert(boilerPairs > 0 && boilerPairs <= 45, s"boilerPairs=$boilerPairs")
+  }
+
   test("hot-bucket cap surfaces eviction telemetry via Observation (VERDICT r4 #6)") {
     // Same degenerate cluster as above: 300 near-copies, cap=10. All 300
     // signatures share one bucket per table, so each of the 16 tables
