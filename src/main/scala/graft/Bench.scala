@@ -44,7 +44,8 @@ object Bench {
     * latency is a scale claim.
     */
   private val heavyFirst = Seq(
-    "q34_jaccard_pairs", "q37_embed_neardup_lsh", "q80_approx_quantiles",
+    "q34_jaccard_pairs", "q37_embed_neardup_lsh", "q89_dedup_clusters",
+    "q80_approx_quantiles",
     "q77_ann_ivf", "q46_embed_neardup", "q35_minhash_lsh",
     "q86_contamination", "q41_ann_lsh", "q79_tfidf",
     "q03_join_revenue_nation",

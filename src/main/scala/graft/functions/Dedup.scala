@@ -255,6 +255,69 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Connected components over an undirected pair set (the end-step of
+    * every near-dup pipeline: pairs → clusters → one representative per
+    * cluster). Iterative min-label propagation: every node's label
+    * starts as its own id and each round becomes the min over its
+    * neighborhood; at fixpoint the label is the minimum id reachable in
+    * the component — a deterministic canonical cluster id. Converges in
+    * O(component diameter) rounds; near-dup graphs are
+    * clique-of-near-dups shaped (diameter 1-3), so 2-4 rounds in
+    * practice, with `maxIter` as the pathological-chain backstop. For
+    * graphs with genuinely long chains at 100 TB, the
+    * alternating large-star/small-star rewrite (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014)
+    * converges in O(log n) rounds with the same per-round join shape —
+    * the per-round plan here (edge ⋈ label equality join + min
+    * aggregate, both shuffle-parallel) is the building block either
+    * way.
+    *
+    * The driver loop is CONTROL only: per round, one equality join, one
+    * partial+final min aggregate, one changed-count action; labels are
+    * `localCheckpoint`ed each round to truncate lineage (the standard
+    * iterative-Spark pattern — without it the plan doubles per round).
+    *
+    * Returns (node, cluster): every node appearing in `pairs`, labeled
+    * with its component's minimum id. Singletons (docs in no pair) are
+    * absent by construction — callers keep them all.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val half = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+    val edges = half.union(half.select(col("y").as("x"), col("x").as("y")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels.select(col("node").as("y"), col("comp").as("yc")), "y")
+        .groupBy(col("x")).agg(min(col("yc")).as("nc"))
+      val next = labels.join(nbrMin.select(col("x").as("node"), col("nc")), "node")
+        .select(col("node"), least(col("comp"), col("nc")).as("comp"),
+          col("comp").as("prev"))
+        .localCheckpoint(true)
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select(col("node"), col("comp"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup removal end-to-end: MinHash+LSH pairs → connected
+    * components → drop every member that is not its cluster's minimum
+    * id. Keeps all singletons. The anti join ships only (id) keys.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                         threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, k, numHashes, bands, threshold)
+    val losers = connectedComponents(pairs)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("__graft_drop_id"))
+    df.join(losers, col(idCol) === col("__graft_drop_id"), "left_anti")
+  }
+
   /** 64-bit SimHash over the document's distinct token hashes: bit b of
     * the signature is the sign of Σ±1 over tokens (bit b of
     * xxhash64(token)). Row-local native expression — one tight loop per

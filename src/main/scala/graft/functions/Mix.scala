@@ -34,4 +34,32 @@ object Mix {
     }
     df.filter(substring(md5(idCol.cast("string")), 1, 1) < threshold)
   }
+
+  /** Deterministic train/val/test (or any n-way) split: assigns each
+    * row a split label from the same md5 first-hex-digit bucket its
+    * sampling uses, with weights in sixteenths summing to 16 — e.g.
+    * `Seq("train" -> 14, "val" -> 1, "test" -> 1)`. Membership is a
+    * pure function of the id: stable across runs, engines, and pipeline
+    * versions (a doc can never silently migrate from test into train
+    * when the corpus grows — the leakage mode seeded RNG splits have),
+    * and portable (DuckDB reproduces the identical assignment from the
+    * same expression). Row-local; no shuffle.
+    */
+  def split(df: DataFrame, idCol: Column,
+            weights: Seq[(String, Int)], outCol: String = "split"): DataFrame = {
+    require(weights.map(_._2).sum == 16 && weights.forall(_._2 > 0),
+      "weights are positive sixteenths summing to 16")
+    val digit = substring(md5(idCol.cast("string")), 1, 1)
+    val hex = "0123456789abcdefg"
+    // first-match-wins when-chain over cumulative upper bounds: label i
+    // covers digits [cum_{i-1}, cum_i)
+    val bounds = weights.scanLeft(0) { case (cum, (_, w)) => cum + w }.tail
+    val assigned = weights.zip(bounds).init
+      .foldLeft(Option.empty[Column]) { case (acc, ((label, _), hi)) =>
+        val cond = digit < lit(hex.charAt(hi).toString)
+        Some(acc.fold(when(cond, label))(_.when(cond, label)))
+      }
+      .fold(lit(weights.last._1))(_.otherwise(weights.last._1))
+    df.withColumn(outCol, assigned)
+  }
 }

@@ -109,6 +109,19 @@ object TextQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic train/val/test split ([[graft.functions.Mix.split]]):
+    * 14/1/1 sixteenths by md5 first-hex-digit of the doc id — membership
+    * is a pure function of the id, so the oracle reproduces the exact
+    * per-row assignment (hash compare covers every row's label) and a
+    * given document can never migrate between splits across runs or
+    * corpus versions.
+    */
+  def q90Split(s: SparkSession, d: String): DataFrame =
+    graft.functions.Mix.split(documents(s, d), col("doc_id"),
+        Seq("train" -> 14, "val" -> 1, "test" -> 1))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** Exact n-gram (word-trigram) Jaccard near-dup pairs via the
     * PPJoin-filtered prefix index (prefix + length + positional
     * filters, row-local sorted-merge verification) — exact results,
@@ -130,6 +143,24 @@ object TextQueries {
     Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
         k = 3, numHashes = 32, bands = 8, threshold = 0.6)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Near-dup cluster summary: MinHash+LSH pairs (q35's operator) →
+    * connected components ([[Dedup.connectedComponents]], min-label
+    * propagation) → one row per cluster with its canonical id (minimum
+    * member), size, and maximum member. The DuckDB oracle recomputes
+    * the EXACT Jaccard pair set (q34/q35's SQL) and resolves components
+    * independently with a recursive transitive-closure CTE — so the
+    * gate proves banding recall (pairs match exact) AND the clustering
+    * fixpoint (labels match min-reachable) in one hash compare.
+    */
+  def q89DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.6)
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("comp").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+      .orderBy(col("cluster"))
+  }
 
   /** SimHash signatures per document — the PORTABLE 60-bit md5 variant
     * ([[graft.functions.Dedup.simhashPortable]]), so the oracle
@@ -309,6 +340,8 @@ object TextQueries {
     "q33_quality_score"   -> (q33Quality _),
     "q34_jaccard_pairs"   -> (q34JaccardPairs _),
     "q35_minhash_lsh"     -> (q35MinhashLsh _),
+    "q89_dedup_clusters"  -> (q89DedupClusters _),
+    "q90_split"           -> (q90Split _),
     "q36_simhash"         -> (q36Simhash _),
     "q38_fingerprint"     -> (q38Fingerprint _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
@@ -515,6 +548,35 @@ object TextQueries {
       FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
       WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
       ORDER BY doc_a, doc_b""",
+
+    "q89_dedup_clusters" -> """
+      WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+                                     i -> array_to_string(l[i:i+2], ' '))) s
+             FROM tok),
+      cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+      p AS (SELECT da, db
+            FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6),
+      e AS (SELECT da x, db y FROM p UNION SELECT db, da FROM p),
+      reach(node, r) AS (
+        SELECT DISTINCT x, x FROM e
+        UNION
+        SELECT reach.node, e.y FROM reach JOIN e ON reach.r = e.x),
+      comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+      SELECT cluster, COUNT(*) AS n_members, MAX(node) AS max_member
+      FROM comp GROUP BY cluster ORDER BY cluster""",
+
+    "q90_split" -> """
+      SELECT doc_id, lang,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""",
 
     "q38_fingerprint" -> """
       SELECT MIN(doc_id) AS doc_id,

@@ -370,6 +370,50 @@ class DedupSpec extends SparkSpec {
     assert(ok.count() == 45L) // identical vectors: all 10·9/2 pairs at cos 1.0
   }
 
+  test("connected components match a driver-side union-find on randomized graphs") {
+    val rnd = new scala.util.Random(17)
+    (1 to 3).foreach { round =>
+      val n = 60
+      // sparse random graph + a long planted chain (worst case for
+      // min-label propagation's diameter bound)
+      val chain = (40 until 55).map(i => (i.toLong, (i + 1).toLong))
+      val random = (0 until 25).map { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter { case (a, b) => a != b }
+      val pairs = (chain ++ random).distinct
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = nodes.map { v =>
+        // canonical label = min member of the component
+        val root = find(v.toInt)
+        val members = nodes.filter(u => find(u.toInt) == root)
+        v -> members.min
+      }.toMap
+      val got = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"round $round")
+    }
+  }
+
+  test("dropNearDuplicates keeps one representative per planted cluster and all singletons") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (0L, base), (1L, base + " nu"), (2L, base + " xi"),      // one near-dup cluster
+      (10L, "one two three four five six seven eight nine ten"),
+      (20L, "totally different words that resemble nothing else written here today"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 10L, 20L), s"kept=$kept")
+  }
+
   test("cosine is exact: self-similarity 1.0, range bounded") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     val cos = emb.select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))

@@ -100,6 +100,30 @@ class UtilOpsSpec extends SparkSpec {
     assert(deQuarter.subsetOf(deHalf))
   }
 
+  test("n-way split: total partition, rate-accurate, stable, grow-proof membership") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val w = Seq("train" -> 14, "val" -> 1, "test" -> 1)
+    val split = graft.functions.Mix.split(docs, col("doc_id"), w)
+    val n = docs.count()
+    val byLabel = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total partition: every row gets exactly one of the three labels
+    assert(byLabel.values.sum == n && byLabel.keySet == Set("train", "val", "test"))
+    assert(math.abs(byLabel("train").toDouble / n - 14.0 / 16) < 0.05)
+    // membership is a pure function of the id: the corpus growing (here:
+    // shrinking to a prefix) never reassigns an existing row
+    val first = split.filter(col("doc_id") < 100)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val again = graft.functions.Mix.split(docs.filter(col("doc_id") < 100), col("doc_id"), w)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+    // weights must sum to 16
+    intercept[IllegalArgumentException] {
+      graft.functions.Mix.split(docs, col("doc_id"), Seq("a" -> 8, "b" -> 4))
+    }
+  }
+
   test("binned range join == naive non-equi join, and plans an equality join not a BNLJ") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
