@@ -47,6 +47,7 @@ object Bench {
     "q34_jaccard_pairs", "q37_embed_neardup_lsh", "q89_dedup_clusters",
     "q80_approx_quantiles",
     "q77_ann_ivf", "q46_embed_neardup", "q35_minhash_lsh",
+    "q91_cross_dedup",
     "q86_contamination", "q41_ann_lsh", "q79_tfidf",
     "q03_join_revenue_nation",
     "q64_multiset_ops", "q70_correlated_subq", "q07_window_topk_group",

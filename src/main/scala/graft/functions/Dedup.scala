@@ -57,16 +57,18 @@ object Dedup {
   /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs:
     * intersection counts via a join restricted to the candidates, then
     * the |A∩B| / (|A|+|B|-|A∩B|) ratio. Shared by the prefix-filtered
-    * exact join and the MinHash-LSH pipeline.
+    * exact join and the MinHash-LSH pipelines; `shA`/`shB` are the
+    * shingle tables the two pair sides resolve against (the same table
+    * for a self-join, two corpora for the cross-corpus variant).
     */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+  private def verifyJaccard(cand: DataFrame, shA: DataFrame, shB: DataFrame,
                             threshold: Double): DataFrame = {
     // doc sizes ride along on every shingle row (computed row-locally in
     // shingleSet), so verification needs no separate count-join and the
     // length-ratio prune drops candidates before the intersection count.
     val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc") && col("sa.sh") === col("sb.sh") &&
+      .join(shA.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(shB.as("sb"), col("doc_b") === col("sb.doc") && col("sa.sh") === col("sb.sh") &&
         lengthRatioOk(col("sa.n"), col("sb.n"), threshold))
       .groupBy(col("doc_a"), col("doc_b"), col("sa.n").as("na"), col("sb.n").as("nb"))
       .agg(count(lit(1)).as("i"))
@@ -252,7 +254,44 @@ object Dedup {
     val sh = shingleSet(df, idCol, textCol, k)
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
     val cand = lshCandidates(sigs, bands, numHashes / bands, maxBucketSize, bucketObs)
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(cand, sh, sh, threshold)
+  }
+
+  /** Cross-corpus near-dup join: (left doc, right doc) pairs with
+    * J ≥ threshold — the document-level decontamination operator (drop
+    * training docs that near-duplicate an eval/benchmark doc; the
+    * shingle-containment screen in q86 is the span-level complement).
+    * Same plan as [[minhashNearDups]] but the band join is left×right
+    * instead of a self-join: signatures row-local on both sides,
+    * candidates from the (band, sig) equality join, exact Jaccard
+    * verified on candidates only. With a benchmark-sized `right`, its
+    * banded side broadcasts and the left corpus streams through — no
+    * shuffle of the big side beyond its own signature pass. Ids may
+    * overlap across corpora; sides are never conflated.
+    */
+  def minhashNearDupsBetween(left: DataFrame, right: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                             threshold: Double = 0.5,
+                             maxBucketSize: Int = 4096): DataFrame = {
+    val rows = numHashes / bands
+    def banded(df: DataFrame) = {
+      val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
+      val b = sigs.select(col("doc"),
+        posexplode(array((0 until bands).map { bb =>
+          xxhash64((lit(bb) +: (0 until rows).map(r =>
+            element_at(col("mh"), bb * rows + r + 1))): _*)
+        }: _*)).as(Seq("band", "sig")))
+      Buckets.capHot(b, Seq(col("band"), col("sig")), col("doc"), maxBucketSize)
+    }
+    val cand = banded(left).as("x")
+      .join(banded(right).as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand,
+      shingleSet(left, idCol, textCol, k),
+      shingleSet(right, idCol, textCol, k), threshold)
   }
 
   /** Connected components over an undirected pair set (the end-step of

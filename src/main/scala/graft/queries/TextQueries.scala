@@ -162,6 +162,22 @@ object TextQueries {
       .orderBy(col("cluster"))
   }
 
+  /** Cross-corpus near-dup decontamination
+    * ([[Dedup.minhashNearDupsBetween]]): docs 0-49 stand in for a
+    * held-out benchmark, the rest is the training corpus; emit every
+    * (corpus doc, benchmark doc) pair with J ≥ 0.6 — the rows a
+    * decontamination pass would drop from training. Oracle is the exact
+    * cross-restricted Jaccard join, so the gate doubles as a
+    * cross-banding recall sentinel (same argument as q35).
+    */
+  def q91CrossDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.minhashNearDupsBetween(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** SimHash signatures per document — the PORTABLE 60-bit md5 variant
     * ([[graft.functions.Dedup.simhashPortable]]), so the oracle
     * recomputes the exact signature in DuckDB SQL (per-bit ±1 majority
@@ -342,6 +358,7 @@ object TextQueries {
     "q35_minhash_lsh"     -> (q35MinhashLsh _),
     "q89_dedup_clusters"  -> (q89DedupClusters _),
     "q90_split"           -> (q90Split _),
+    "q91_cross_dedup"     -> (q91CrossDedup _),
     "q36_simhash"         -> (q36Simhash _),
     "q38_fingerprint"     -> (q38Fingerprint _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
@@ -577,6 +594,23 @@ object TextQueries {
              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
              ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+
+    "q91_cross_dedup" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+                                     i -> array_to_string(l[i:i+2], ' '))) s
+             FROM tok),
+      cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+                FROM sh a JOIN sh b ON a.s = b.s
+                WHERE a.doc_id >= 50 AND b.doc_id < 50
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+      FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+      ORDER BY doc_a, doc_b""",
 
     "q38_fingerprint" -> """
       SELECT MIN(doc_id) AS doc_id,

@@ -370,6 +370,30 @@ class DedupSpec extends SparkSpec {
     assert(ok.count() == 45L) // identical vectors: all 10·9/2 pairs at cos 1.0
   }
 
+  test("cross-corpus near-dup join finds planted cross pairs only, never side-internal pairs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val train = Seq(
+      (0L, base + " nu"),                                        // near-dup of bench 100
+      (1L, base + " nu"),                                        // exact dup of train 0 — must NOT pair
+      (2L, "one two three four five six seven eight nine ten"))  // clean
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, base + " xi"),
+      (101L, "completely unrelated benchmark prompt with its own words entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsBetween(train, bench, "doc_id", "text",
+        threshold = 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 100L), (1L, 100L)), s"pairs=$pairs")
+
+    // cross-corpus equals the exact cross-restricted Jaccard join
+    val all = train.union(bench)
+    val exactCross = Dedup.jaccardPairs(all, "doc_id", "text", 3, 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 100 && b >= 100 }.toSet
+    assert(pairs == exactCross)
+  }
+
   test("connected components match a driver-side union-find on randomized graphs") {
     val rnd = new scala.util.Random(17)
     (1 to 3).foreach { round =>
