@@ -116,6 +116,39 @@ object VectorFunctions {
       .distinct()
   }
 
+  /** Cross-corpus embedding near-dup join: (left id, right id, cos)
+    * pairs with cosine ≥ threshold — the embedding-level counterpart of
+    * [[graft.functions.Dedup.minhashNearDupsBetween]] (drop training
+    * vectors that near-duplicate an eval/benchmark vector). Same shape
+    * as [[lshNearDupPairs]] with the self-join replaced by a
+    * left×right (table, bucket) equality join; when the benchmark side
+    * is small its bucketed form broadcasts and the corpus side streams
+    * through one signature pass.
+    */
+  def lshNearDupPairsBetween(left: DataFrame, right: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double, bits: Int = 8, tables: Int = 16,
+                             maxBucketSize: Int = 4096): DataFrame = {
+    GraftFunctions.register(left.sparkSession)
+    def buckets(df: DataFrame) = {
+      val raw = df.select(col(idCol).as("vid"),
+        posexplode(call_function("lsh_signature", col(vecCol), lit(bits), lit(tables)))
+          .as(Seq("tbl", "bucket")))
+      Buckets.capHot(raw, Seq(col("tbl"), col("bucket")), col("vid"), maxBucketSize)
+    }
+    val cand = buckets(left).as("x")
+      .join(buckets(right).as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
+      .distinct()
+    val eL = left.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val eR = right.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    cand.join(eL.as("ea"), col("id_a") === col("ea.vid"))
+      .join(eR.as("eb"), col("id_b") === col("eb.vid"))
+      .select(col("id_a"), col("id_b"), cosine(col("ea.vec"), col("eb.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact pairwise near-dup join, brute force O(n²)/2 — the
     * VERIFICATION ORACLE for the LSH scale path ([[lshNearDupPairs]]);
     * plans as a BroadcastNestedLoopJoin and must never run at scale.

@@ -394,6 +394,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs == exactCross)
   }
 
+  test("cross-corpus embedding near-dup finds planted cross dups, never side-internal ones") {
+    val rnd = new scala.util.Random(31)
+    val dim = 64
+    val bases = (0 until 20).map(_ => Array.fill(dim)(rnd.nextGaussian().toFloat))
+    // corpus: bases 0-19 plus an internal dup of base 0 (ids 0..20);
+    // benchmark: perturbed copies of bases 3 and 7 (ids 100, 101)
+    val corpus = (bases.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } :+
+      (20L, bases(0).map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, bases(3).map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq),
+      (101L, bases(7).map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = VectorFunctions.lshNearDupPairsBetween(corpus, bench,
+        "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the two planted cross pairs — the internal (0, 20) dup must NOT appear
+    assert(pairs == Set((3L, 100L), (7L, 101L)), s"pairs=$pairs")
+  }
+
   test("connected components match a driver-side union-find on randomized graphs") {
     val rnd = new scala.util.Random(17)
     (1 to 3).foreach { round =>
