@@ -145,6 +145,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q90 split is a pure projection — no shuffle at all") {
+    val p = planOf(graft.queries.TextQueries.q90Split(spark, sf).limit(1))
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("q91 cross-dedup: banded equality join, no cartesian, no nested loop") {
+    val p = planOf(graft.queries.TextQueries.q91CrossDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate generation is a hash-based equality join on (band, sig)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("blanket sweep: no query in the inventory plans an unbounded CartesianProduct") {
     SparkEntry.queries.foreach { case (n, fn) =>
       val p = planOf(fn(spark, sf))
