@@ -41,7 +41,8 @@ final case class PipelineConfig(
     filters: List[StageConfig])
 
 object ConfigLoader {
-  private val KnownActionTypes = Set("sql", "python", "rest", "pandas", "udf", "derive", "transform")
+  private val KnownActionTypes =
+    Set("sql", "python", "rest", "pandas", "udf", "derive", "transform", "dedup", "split")
 
   def fromYaml(yaml: String): PipelineConfig = {
     val root = Option(new Yaml().load[ju.Map[String, Any]](yaml))

@@ -38,6 +38,8 @@ object Pipeline {
         case "pandas" | "udf" | "transform" =>
           TransformStage(sc.name, sc.code.getOrElse(
             throw new IllegalArgumentException(s"${sc.name}: transform stage needs a registered fn name in code")))
+        case "dedup" => DedupStage.fromConfig(sc)
+        case "split" => SplitStage.fromConfig(sc)
         case other => throw new IllegalArgumentException(s"unsupported actionType '$other'")
       }
       (sc, stage)

@@ -124,6 +124,84 @@ object TransformRegistry {
   def get(name: String): Option[DataFrame => DataFrame] = fns.get(name)
 }
 
+/** `dedup` stage: first-class YAML access to the dedup family —
+  * training-pipeline users shouldn't need Scala to deduplicate. Methods:
+  *
+  *  - `exact`: drop rows whose key column exactly repeats (keep lowest id);
+  *  - `fingerprint`: same, on the whitespace/case-normalized md5
+  *    fingerprint ([[graft.functions.TextFunctions.fingerprintFast]]);
+  *  - `minhash` (default): MinHash+LSH near-dup clusters, keep the
+  *    lowest-id representative per cluster
+  *    ([[graft.functions.Dedup.dropNearDuplicates]]).
+  *
+  * {{{
+  * actionConfig: {method: minhash, id: doc_id, text: text, threshold: 0.6}
+  * }}}
+  */
+final case class DedupStage(name: String, method: String, idCol: String,
+                            textCol: String, threshold: Double,
+                            k: Int, numHashes: Int, bands: Int) extends Stage {
+  override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
+    case "exact" | "fingerprint" =>
+      val key = if (method == "exact") col(textCol)
+        else graft.functions.TextFunctions.fingerprintFast(col(textCol))
+      val keep = df.groupBy(key.as("__graft_key"))
+        .agg(min(col(idCol)).as("__graft_keep"))
+        .select(col("__graft_keep"))
+      df.join(keep, col(idCol) === col("__graft_keep"), "left_semi")
+    case "minhash" =>
+      graft.functions.Dedup.dropNearDuplicates(df, idCol, textCol,
+        k, numHashes, bands, threshold)
+    case other => throw new IllegalArgumentException(
+      s"dedup stage '$name': unknown method '$other' (exact | fingerprint | minhash)")
+  }
+}
+
+object DedupStage {
+  def fromConfig(cfg: StageConfig): DedupStage = {
+    val ac = cfg.actionConfig
+    def s(k: String, d: String) = ac.get(k).flatMap(Option(_)).map(_.toString).getOrElse(d)
+    def n(k: String, d: Int) = ac.get(k).flatMap(Option(_)) match {
+      case Some(x: Number) => x.intValue(); case Some(x) => x.toString.toInt; case None => d
+    }
+    def dbl(k: String, d: Double) = ac.get(k).flatMap(Option(_)) match {
+      case Some(x: Number) => x.doubleValue(); case Some(x) => x.toString.toDouble; case None => d
+    }
+    DedupStage(cfg.name, s("method", "minhash"), s("id", "doc_id"), s("text", "text"),
+      dbl("threshold", 0.6), n("k", 3), n("numHashes", 32), n("bands", 8))
+  }
+}
+
+/** `split` stage: deterministic n-way split labels from YAML
+  * ([[graft.functions.Mix.split]] — md5 hex-digit buckets, weights in
+  * sixteenths summing to 16, membership a pure function of the id).
+  *
+  * {{{
+  * actionConfig: {id: doc_id, column: split, weights: {train: 14, val: 1, test: 1}}
+  * }}}
+  */
+final case class SplitStage(name: String, idCol: String, outCol: String,
+                            weights: Seq[(String, Int)]) extends Stage {
+  override def apply(spark: SparkSession, df: DataFrame): DataFrame =
+    graft.functions.Mix.split(df, col(idCol), weights, outCol)
+}
+
+object SplitStage {
+  def fromConfig(cfg: StageConfig): SplitStage = {
+    val ac = cfg.actionConfig
+    val weights = ac.get("weights") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Any]].asScala.toSeq
+          .map { case (k, v) => (k, v.toString.toInt) }
+      case _ => throw new IllegalArgumentException(
+        s"split stage '${cfg.name}': actionConfig.weights {label: sixteenths} required")
+    }
+    SplitStage(cfg.name,
+      ac.get("id").map(_.toString).getOrElse("doc_id"),
+      ac.get("column").map(_.toString).getOrElse("split"), weights)
+  }
+}
+
 /** Typed per-row transform with the reference's exact python-stage error
   * semantics (§2c, filefilter.py:55-65): on exception the ORIGINAL row
   * passes through unchanged and an error accumulator increments. For

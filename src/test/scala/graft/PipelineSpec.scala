@@ -80,6 +80,44 @@ class PipelineSpec extends SparkSpec {
     assert(res.output.filter(col("simhash") =!= 0L).count() == rows)
   }
 
+  test("dedup + split as first-class YAML stages: near-dup removal then n-way labels") {
+    val yaml =
+      s"""
+        |filters:
+        |  - name: near_dedup
+        |    actionType: dedup
+        |    actionConfig: {method: minhash, id: doc_id, text: text, threshold: 0.6}
+        |  - name: assign_split
+        |    actionType: split
+        |    actionConfig:
+        |      id: doc_id
+        |      column: split
+        |      weights: {train: 14, val: 1, test: 1}
+        |""".stripMargin
+    val res = Pipeline.runYaml(spark, yaml, s"$sf/documents.parquet", None)
+    val out = res.output
+    // near-dup removal matches the library operator exactly
+    val expected = graft.functions.Dedup.dropNearDuplicates(
+      Tables.documents(spark, sf), "doc_id", "text", threshold = 0.6).count()
+    assert(out.count() == expected && expected > 0)
+    // split labels are a total partition with the right rough shares
+    val byLabel = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel.values.sum == expected)
+
+    // exact-method dedup through YAML equals the sql-stage fingerprint twin
+    val yamlExact =
+      s"""
+        |filters:
+        |  - name: fp_dedup
+        |    actionType: dedup
+        |    actionConfig: {method: fingerprint, id: doc_id, text: text}
+        |""".stripMargin
+    val exactRows = Pipeline.runYaml(spark, yamlExact, s"$sf/documents.parquet", None).output.count()
+    assert(exactRows == graft.queries.TextQueries.q38Fingerprint(spark, sf).count())
+  }
+
   test("inDelimiter/outDelimiter 'TAB' means a tab character (loaders.py:10-13)") {
     val in = tmpCsv("t.txt", "a\tb", Seq("1\tx", "2\ty"), delim = "\t")
     val yaml =
