@@ -294,6 +294,52 @@ object Dedup {
       shingleSet(right, idCol, textCol, k), threshold)
   }
 
+  /** Span-level exact dedup (the practical Spark form of ExactSubstr
+    * from Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — their suffix array finds arbitrary
+    * repeated substrings; fixed non-overlapping token windows trade
+    * boundary precision for a shuffle-parallel plan): split each doc
+    * into `width`-token spans, keep only each distinct span's FIRST
+    * global occurrence (min (doc, pos)), and reassemble documents from
+    * their surviving spans. Catches the cross-document boilerplate that
+    * document-level dedup misses (two different pages sharing a huge
+    * copied block) and the intra-document repetition q88 only scores.
+    *
+    * Returns (doc, clean_text, n_spans, n_kept) for EVERY input doc
+    * (clean_text is '' when all spans were duplicates of earlier docs).
+    * Deterministic: first-occurrence is a total order over (doc, pos).
+    *
+    * 100 TB shape: one explode + one shuffle on the span key for the
+    * min-aggregate, one join back on the same key, one per-doc
+    * reassembly aggregate. Spans travel as strings here so an external
+    * SQL engine can replay the construction verbatim (the q92 oracle);
+    * at scale swap the key to xxhash64(span) — 8-byte keys, collision
+    * odds 2⁻⁶⁴, same plan (the shingle-hash argument at [[shingleSet]]).
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 width: Int = 20): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"), split(col(textCol), " ").as("l"))
+    val nChunks = ceil(size(col("l")) / lit(width.toDouble)).cast("int")
+    val spans = toks.select(col("doc"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(col("l"), i * width + 1, lit(width))))).as(Seq("pos", "span")))
+    val firstSeen = spans.groupBy(col("span"))
+      .agg(min(struct(col("doc"), col("pos"))).as("f"))
+      .select(col("span"), col("f.doc").as("fdoc"), col("f.pos").as("fpos"))
+    val kept = spans.as("s").join(firstSeen.as("f"),
+      col("s.span") === col("f.span") &&
+        col("s.doc") === col("f.fdoc") && col("s.pos") === col("f.fpos"))
+      .select(col("s.doc").as("doc"), col("s.pos").as("pos"), col("s.span").as("span"))
+    val rebuilt = kept.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          x => x.getField("span"))).as("clean_text"))
+    toks.select(col("doc"), nChunks.cast("long").as("n_spans"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Connected components over an undirected pair set (the end-step of
     * every near-dup pipeline: pairs → clusters → one representative per
     * cluster). Iterative min-label propagation: every node's label

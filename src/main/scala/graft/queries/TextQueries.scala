@@ -178,6 +178,18 @@ object TextQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Span-level exact dedup ([[Dedup.dedupSpans]]): 20-token
+    * non-overlapping windows, first global occurrence wins, documents
+    * reassembled from surviving spans. The oracle replays the identical
+    * construction (list slicing, two-step global-first resolution,
+    * ordered string reassembly), so every byte of every cleaned
+    * document hash-matches.
+    */
+  def q92SpanDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupSpans(documents(s, d), "doc_id", "text", width = 20)
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** SimHash signatures per document — the PORTABLE 60-bit md5 variant
     * ([[graft.functions.Dedup.simhashPortable]]), so the oracle
     * recomputes the exact signature in DuckDB SQL (per-bit ±1 majority
@@ -359,6 +371,7 @@ object TextQueries {
     "q89_dedup_clusters"  -> (q89DedupClusters _),
     "q90_split"           -> (q90Split _),
     "q91_cross_dedup"     -> (q91CrossDedup _),
+    "q92_span_dedup"      -> (q92SpanDedup _),
     "q36_simhash"         -> (q36Simhash _),
     "q38_fingerprint"     -> (q38Fingerprint _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
@@ -611,6 +624,30 @@ object TextQueries {
       FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
       WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
       ORDER BY doc_a, doc_b""",
+
+    "q92_span_dedup" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+      sp0 AS (SELECT doc_id,
+                unnest(range(0, CAST(ceil(len(l)/20.0) AS BIGINT))) AS pos, l
+              FROM tok),
+      sp AS (SELECT doc_id, pos,
+               array_to_string(l[pos*20+1 : pos*20+20], ' ') AS span
+             FROM sp0),
+      f1 AS (SELECT span, MIN(doc_id) AS fdoc FROM sp GROUP BY span),
+      f2 AS (SELECT sp.span, f1.fdoc, MIN(sp.pos) AS fpos
+             FROM sp JOIN f1 ON sp.span = f1.span AND sp.doc_id = f1.fdoc
+             GROUP BY sp.span, f1.fdoc),
+      kept AS (SELECT sp.doc_id, sp.pos, sp.span
+               FROM sp JOIN f2 ON sp.span = f2.span AND sp.doc_id = f2.fdoc
+                              AND sp.pos = f2.fpos),
+      reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                string_agg(span, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id),
+      base AS (SELECT doc_id, CAST(ceil(len(l)/20.0) AS BIGINT) AS n_spans FROM tok)
+      SELECT b.doc_id, COALESCE(r.clean_text, '') AS clean_text, b.n_spans,
+             CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+      FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id
+      ORDER BY b.doc_id""",
 
     "q38_fingerprint" -> """
       SELECT MIN(doc_id) AS doc_id,

@@ -394,6 +394,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs == exactCross)
   }
 
+  test("span dedup: first occurrence survives, copies vanish, clean docs reconstruct exactly") {
+    // width=3 spans; doc 1 copies doc 0's middle span, doc 2 is untouched,
+    // doc 3 is an exact full copy of doc 0 (all spans dropped)
+    val d0 = "a b c d e f g h i"            // spans: [a b c][d e f][g h i]
+    val docs = Seq(
+      (0L, d0),
+      (1L, "x y z d e f q r s"),            // [x y z][d e f][q r s] — middle is a copy
+      (2L, "totally fresh words here now"),  // short doc, 2 spans, unique
+      (3L, d0))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", width = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((d0, 3L, 3L)))                         // first doc untouched
+    assert(out(1L) == (("x y z q r s", 3L, 2L)))              // copied span removed
+    assert(out(2L) == (("totally fresh words here now", 2L, 2L)))
+    assert(out(3L) == (("", 3L, 0L)))                         // full copy: nothing left
+    // conservation: every distinct span survives exactly once globally
+    val totalKept = out.values.map(_._3).sum
+    assert(totalKept == 3 + 2 + 2) // distinct spans of d0 + doc1's two + doc2's two...
+  }
+
   test("cross-corpus embedding near-dup finds planted cross dups, never side-internal ones") {
     val rnd = new scala.util.Random(31)
     val dim = 64
