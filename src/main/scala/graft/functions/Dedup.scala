@@ -54,27 +54,43 @@ object Dedup {
   private def lengthRatioOk(na: Column, nb: Column, t: Double): Column =
     na * t <= nb && nb * t <= na
 
-  /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs:
-    * intersection counts via a join restricted to the candidates, then
-    * the |A∩B| / (|A|+|B|-|A∩B|) ratio. Shared by the prefix-filtered
-    * exact join and the MinHash-LSH pipelines; `shA`/`shB` are the
-    * shingle tables the two pair sides resolve against (the same table
-    * for a self-join, two corpora for the cross-corpus variant).
+  /** One row per doc: (doc, n, sorted shingle-hash array) — the compact
+    * verification-side representation (shingles travel ONCE per doc as
+    * an array, not once per shingle as exploded rows).
     */
-  private def verifyJaccard(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+  private def shingleArrays(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc"),
+        array_sort(call_function("shingle_hashes",
+          TextFunctions.tokens(col(textCol)), lit(k))).as("shs"))
+      .select(col("doc"), size(col("shs")).as("n"), col("shs"))
+  }
+
+  /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs:
+    * the two sides' sorted shingle arrays are joined back by doc id and
+    * intersected ROW-LOCALLY (native [[expressions.SortedIntersectCount]]
+    * — the same verification [[jaccardPairsPrefix]] uses, proven equal
+    * to the inverted-index count in DedupSpec). `arrA`/`arrB` are
+    * [[shingleArrays]] of the two pair sides (the same table for a
+    * self-join, two corpora for the cross-corpus variant).
+    *
+    * Plan note: the join inputs are one array-row per DOC (|corpus|
+    * rows), never the exploded per-shingle table (|corpus|·|doc|
+    * rows) — the earlier exploded-table formulation made AQE broadcast
+    * a multi-million-row table at 10× scale and went GC-bound (6-21 s
+    * bimodal at 50k docs; this shape is a stable ~1 s).
+    */
+  private def verifyJaccard(cand: DataFrame, arrA: DataFrame, arrB: DataFrame,
                             threshold: Double): DataFrame = {
-    // doc sizes ride along on every shingle row (computed row-locally in
-    // shingleSet), so verification needs no separate count-join and the
-    // length-ratio prune drops candidates before the intersection count.
-    val inter = cand
-      .join(shA.as("sa"), col("doc_a") === col("sa.doc"))
-      .join(shB.as("sb"), col("doc_b") === col("sb.doc") && col("sa.sh") === col("sb.sh") &&
-        lengthRatioOk(col("sa.n"), col("sb.n"), threshold))
-      .groupBy(col("doc_a"), col("doc_b"), col("sa.n").as("na"), col("sb.n").as("nb"))
-      .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
-    inter
-      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+    val i = call_function("sorted_intersect_count", col("sa"), col("sb"))
+    cand
+      .join(arrA.select(col("doc").as("doc_a"), col("n").as("na"), col("shs").as("sa")), "doc_a")
+      .join(arrB.select(col("doc").as("doc_b"), col("n").as("nb"), col("shs").as("sb")), "doc_b")
+      .where(lengthRatioOk(col("na"), col("nb"), threshold))
+      .withColumn("i", i)
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -251,10 +267,10 @@ object Dedup {
                       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5, maxBucketSize: Int = 4096,
                       bucketObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, k)
+    val arr = shingleArrays(df, idCol, textCol, k)
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
     val cand = lshCandidates(sigs, bands, numHashes / bands, maxBucketSize, bucketObs)
-    verifyJaccard(cand, sh, sh, threshold)
+    verifyJaccard(cand, arr, arr, threshold)
   }
 
   /** Cross-corpus near-dup join: (left doc, right doc) pairs with
@@ -290,8 +306,8 @@ object Dedup {
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .distinct()
     verifyJaccard(cand,
-      shingleSet(left, idCol, textCol, k),
-      shingleSet(right, idCol, textCol, k), threshold)
+      shingleArrays(left, idCol, textCol, k),
+      shingleArrays(right, idCol, textCol, k), threshold)
   }
 
   /** Span-level exact dedup (the practical Spark form of ExactSubstr

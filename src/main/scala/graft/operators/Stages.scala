@@ -132,7 +132,11 @@ object TransformRegistry {
   *    fingerprint ([[graft.functions.TextFunctions.fingerprintFast]]);
   *  - `minhash` (default): MinHash+LSH near-dup clusters, keep the
   *    lowest-id representative per cluster
-  *    ([[graft.functions.Dedup.dropNearDuplicates]]).
+  *    ([[graft.functions.Dedup.dropNearDuplicates]]);
+  *  - `spans`: span-level exact dedup ([[graft.functions.Dedup.dedupSpans]],
+  *    window size from `width`, default 20): the text column is REPLACED
+  *    by the document rebuilt from first-occurrence spans, and rows
+  *    whose text was entirely duplicated elsewhere are dropped.
   *
   * {{{
   * actionConfig: {method: minhash, id: doc_id, text: text, threshold: 0.6}
@@ -140,7 +144,8 @@ object TransformRegistry {
   */
 final case class DedupStage(name: String, method: String, idCol: String,
                             textCol: String, threshold: Double,
-                            k: Int, numHashes: Int, bands: Int) extends Stage {
+                            k: Int, numHashes: Int, bands: Int,
+                            width: Int = 20) extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "exact" | "fingerprint" =>
       val key = if (method == "exact") col(textCol)
@@ -152,8 +157,15 @@ final case class DedupStage(name: String, method: String, idCol: String,
     case "minhash" =>
       graft.functions.Dedup.dropNearDuplicates(df, idCol, textCol,
         k, numHashes, bands, threshold)
+    case "spans" =>
+      val cleaned = graft.functions.Dedup.dedupSpans(df, idCol, textCol, width)
+        .select(col("doc").as("__graft_doc"), col("clean_text"))
+        .filter(length(col("clean_text")) > 0)
+      df.join(cleaned, col(idCol) === col("__graft_doc"))
+        .drop(textCol, "__graft_doc")
+        .withColumnRenamed("clean_text", textCol)
     case other => throw new IllegalArgumentException(
-      s"dedup stage '$name': unknown method '$other' (exact | fingerprint | minhash)")
+      s"dedup stage '$name': unknown method '$other' (exact | fingerprint | minhash | spans)")
   }
 }
 
@@ -168,7 +180,8 @@ object DedupStage {
       case Some(x: Number) => x.doubleValue(); case Some(x) => x.toString.toDouble; case None => d
     }
     DedupStage(cfg.name, s("method", "minhash"), s("id", "doc_id"), s("text", "text"),
-      dbl("threshold", 0.6), n("k", 3), n("numHashes", 32), n("bands", 8))
+      dbl("threshold", 0.6), n("k", 3), n("numHashes", 32), n("bands", 8),
+      n("width", 20))
   }
 }
 

@@ -37,9 +37,16 @@ object ScaleProbe {
 
     def time(f: => Long): (Double, Long) = {
       f // warm: plan + code cache + page cache
-      val t0 = System.nanoTime()
-      val rows = f
-      ((System.nanoTime() - t0) / 1e9, rows)
+      // median of 3 timed runs: the box exhibits multi-second stalls
+      // (CPU steal / GC walls) that land on whichever query is running —
+      // a single-sample slope is hostage to one stall
+      var rows = 0L
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        rows = f
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (runs(1), rows)
     }
 
     // (name, dir => row count of the materialized result)
@@ -72,6 +79,16 @@ object ScaleProbe {
           graft.queries.TextQueries.q86Contamination(spark, d).count()),
         "q88_repetition" -> (() =>
           graft.queries.TextQueries.q88RepetitionFilter(spark, d).count()),
+        "q89_dedup_clusters" -> (() =>
+          graft.queries.TextQueries.q89DedupClusters(spark, d).count()),
+        "q91_cross_dedup" -> (() =>
+          graft.queries.TextQueries.q91CrossDedup(spark, d).count()),
+        // sum(length) forces the reassembly: under a bare count() Catalyst
+        // ELIMINATES the left join entirely (the rebuilt side is provably
+        // unique on doc), which is nice for consumers but measures nothing
+        "q92_span_dedup" -> (() =>
+          graft.queries.TextQueries.q92SpanDedup(spark, d)
+            .agg(sum(length(col("clean_text")))).collect()(0).getLong(0)),
       )
     }
 

@@ -116,6 +116,22 @@ class PipelineSpec extends SparkSpec {
         |""".stripMargin
     val exactRows = Pipeline.runYaml(spark, yamlExact, s"$sf/documents.parquet", None).output.count()
     assert(exactRows == graft.queries.TextQueries.q38Fingerprint(spark, sf).count())
+
+    // spans method: text column replaced in place, schema otherwise intact,
+    // fully-duplicated docs dropped
+    val yamlSpans =
+      s"""
+        |filters:
+        |  - name: span_dedup
+        |    actionType: dedup
+        |    actionConfig: {method: spans, id: doc_id, text: text, width: 20}
+        |""".stripMargin
+    val spansOut = Pipeline.runYaml(spark, yamlSpans, s"$sf/documents.parquet", None).output
+    assert(spansOut.columns.contains("text") && spansOut.columns.contains("lang"))
+    val twin = graft.functions.Dedup.dedupSpans(
+      Tables.documents(spark, sf), "doc_id", "text", 20)
+      .filter(length(col("clean_text")) > 0)
+    assert(spansOut.count() == twin.count())
   }
 
   test("inDelimiter/outDelimiter 'TAB' means a tab character (loaders.py:10-13)") {

@@ -60,6 +60,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupSpans: all-unique corpora reconstruct byte-identically; span counts conserve") {
+    import org.apache.spark.sql.functions._
+    val word = Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty)
+    for (trial <- 1 to 5) {
+      val width = sample(Gen.choose(2, 7))
+      // per-doc unique vocabulary (prefix with the doc id) → no span can
+      // repeat anywhere → output must reconstruct every doc exactly
+      val docs = (0 until 8).map { i =>
+        val n = sample(Gen.choose(1, 40))
+        (i.toLong, List.fill(n)(s"d$i${sample(word)}").mkString(" "))
+      }
+      val out = graft.functions.Dedup.dedupSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", width)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      docs.foreach { case (id, text) =>
+        val (clean, nSpans, nKept) = out(id)
+        assert(clean == text, s"trial $trial width $width doc $id")
+        assert(nSpans == nKept)
+        assert(nSpans == (text.split(" ").length - 1) / width + 1)
+      }
+    }
+  }
+
   test("Upsert.byKey is idempotent and key-complete for random updates") {
     for (_ <- 1 to 6) {
       val baseKeys = sample(Gen.pick(8, 1L to 20L)).toList
