@@ -35,6 +35,34 @@ object Mix {
     df.filter(substring(md5(idCol.cast("string")), 1, 1) < threshold)
   }
 
+  /** Token-budget mix sampling: real training mixes are specified in
+    * TOKENS per source/language, not documents — keep each stratum's
+    * documents, in a deterministic pseudo-random order (md5(id), id),
+    * until the stratum's token budget is exhausted; strata absent from
+    * the map are kept whole. The document that would cross the budget
+    * is dropped (cum > budget), so kept strata never exceed their
+    * budget. Membership is stable per corpus snapshot (the hash order
+    * is id-derived); unlike [[split]], growing the corpus CAN displace
+    * later-ordered documents — inherent to any fixed-budget selection.
+    *
+    * One window sum per stratum partition — a single shuffle on the
+    * stratum key; cumulative state is one long per row. Skewed strata
+    * (one language = 90% of the corpus) are the partitionBy's problem:
+    * at 100 TB pre-aggregate per (stratum, hash-prefix) or budget per
+    * finer stratum instead.
+    */
+  def tokenBudget(df: DataFrame, stratumCol: Column, idCol: Column,
+                  tokenCount: Column, budgets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(idCol.cast("string")), idCol)
+    val cum = sum(tokenCount).over(w)
+    val limit = budgets.toSeq.sortBy(_._1).foldLeft(lit(Long.MaxValue)) {
+      case (acc, (stratum, b)) => when(stratumCol === stratum, lit(b)).otherwise(acc)
+    }
+    df.withColumn("cum_tokens", cum).filter(col("cum_tokens") <= limit)
+  }
+
   /** Deterministic train/val/test (or any n-way) split: assigns each
     * row a split label from the same md5 first-hex-digit bucket its
     * sampling uses, with weights in sixteenths summing to 16 — e.g.

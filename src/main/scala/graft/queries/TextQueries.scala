@@ -162,6 +162,25 @@ object TextQueries {
       .orderBy(col("cluster"))
   }
 
+  /** Token-budget mix ([[graft.functions.Mix.tokenBudget]]): keep en
+    * docs up to 6k tokens and fr docs up to 2k tokens (hash-ordered,
+    * deterministic), every other language whole. The oracle replays the
+    * identical window cumsum over the identical md5 ordering, so the
+    * kept set and every cumulative count hash-match.
+    */
+  def q93TokenBudget(s: SparkSession, d: String): DataFrame =
+    graft.functions.Mix.tokenBudget(
+        documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        col("lang"), col("doc_id"), col("n_tokens"),
+        // budgets sized to BIND at every SF (en/fr corpus tokens exceed
+        // them even at sf0.001), so the gate exercises the selection
+        // boundary, not just the cumsum arithmetic
+        Map("en" -> 6000L, "fr" -> 2000L))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Cross-corpus near-dup decontamination
     * ([[Dedup.minhashNearDupsBetween]]): docs 0-49 stand in for a
     * held-out benchmark, the rest is the training corpus; emit every
@@ -372,6 +391,7 @@ object TextQueries {
     "q90_split"           -> (q90Split _),
     "q91_cross_dedup"     -> (q91CrossDedup _),
     "q92_span_dedup"      -> (q92SpanDedup _),
+    "q93_token_budget"    -> (q93TokenBudget _),
     "q36_simhash"         -> (q36Simhash _),
     "q38_fingerprint"     -> (q38Fingerprint _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
@@ -607,6 +627,21 @@ object TextQueries {
              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
              ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+
+    "q93_token_budget" -> """
+      WITH t AS (SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, lang, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_tokens
+        FROM t)
+      SELECT doc_id, lang, n_tokens, cum_tokens
+      FROM c
+      WHERE cum_tokens <= (CASE lang WHEN 'en' THEN 6000
+                                     WHEN 'fr' THEN 2000
+                                     ELSE 9223372036854775807 END)
+      ORDER BY doc_id""",
 
     "q91_cross_dedup" -> """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),

@@ -124,6 +124,33 @@ class UtilOpsSpec extends SparkSpec {
     }
   }
 
+  test("token-budget mix: budgets never exceeded, untouched strata whole, deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val budgets = Map("en" -> 5000L, "de" -> 2000L)
+    val kept = graft.functions.Mix.tokenBudget(
+      docs, col("lang"), col("doc_id"), col("n_tokens"), budgets)
+    val byLang = kept.groupBy("lang")
+      .agg(sum(col("n_tokens")).as("tok"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // budgets are hard ceilings
+    assert(byLang("en")._1 <= 5000L && byLang("de")._1 <= 2000L)
+    // and are actually used (not trivially empty): at least 60% filled
+    assert(byLang("en")._1 > 3000L && byLang("de")._1 > 1200L,
+      s"en=${byLang("en")} de=${byLang("de")}")
+    // unbudgeted strata pass through whole
+    val frAll = docs.filter(col("lang") === "fr").count()
+    assert(byLang("fr")._2 == frAll)
+    // deterministic: identical kept set on a second run
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.functions.Mix.tokenBudget(
+        docs, col("lang"), col("doc_id"), col("n_tokens"), budgets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("binned range join == naive non-equi join, and plans an equality join not a BNLJ") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
