@@ -63,6 +63,38 @@ object Mix {
     df.withColumn("cum_tokens", cum).filter(col("cum_tokens") <= limit)
   }
 
+  /** Greedy concat-order sequence packing: assign every document the
+    * training sequence ("pack") in which its FIRST token falls when the
+    * corpus is concatenated in a deterministic pseudo-random order
+    * (md5(id), id) and cut into fixed `seqLen`-token sequences — the
+    * concat-and-chunk packing GPT-style training uses. Documents
+    * crossing a pack boundary are attributed to the pack they start in;
+    * splitting across the boundary is the downstream chunk step's job
+    * ([[graft.functions.TextFunctions.chunkWindows]] / q85), kept out
+    * of this operator so the assignment stays a pure per-row function
+    * of the cumulative stream.
+    *
+    * Packing runs WITHIN `shards` hash-shards (md5 first hex digit →
+    * 16), not one global stream: a global cumsum would be a
+    * single-partition total-order sort — the one window shape this repo
+    * bans at scale. Shard-local pack ids are globally unique as
+    * (pack_shard, pack_id); each shard's stream is independently
+    * deterministic. Returns the input plus `pack_shard`, `pack_offset`
+    * (token offset of the doc in its shard's stream), `pack_id`
+    * (= pack_offset / seqLen).
+    */
+  def packSequences(df: DataFrame, idCol: Column, tokenCount: Column,
+                    seqLen: Long, shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards == 16, "sharding uses the md5 first hex digit; 16 shards")
+    val shard = conv(substring(md5(idCol.cast("string")), 1, 1), 16, 10).cast("int")
+    val w = Window.partitionBy(col("pack_shard"))
+      .orderBy(md5(idCol.cast("string")), idCol)
+    df.withColumn("pack_shard", shard)
+      .withColumn("pack_offset", sum(tokenCount).over(w) - tokenCount)
+      .withColumn("pack_id", floor(col("pack_offset") / seqLen).cast("long"))
+  }
+
   /** Deterministic train/val/test (or any n-way) split: assigns each
     * row a split label from the same md5 first-hex-digit bucket its
     * sampling uses, with weights in sixteenths summing to 16 — e.g.

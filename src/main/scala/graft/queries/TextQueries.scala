@@ -181,6 +181,21 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Sequence packing ([[graft.functions.Mix.packSequences]]): 512-token
+    * packs over 16 hash-shard streams. The oracle replays the identical
+    * shard assignment, stream order, cumulative offsets, and pack ids,
+    * so every document's (shard, offset, pack) hash-matches.
+    */
+  def q94SequencePack(s: SparkSession, d: String): DataFrame =
+    graft.functions.Mix.packSequences(
+        documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        col("doc_id"), col("n_tokens"), seqLen = 512L)
+      .select(col("doc_id"), col("n_tokens"), col("pack_shard"),
+        col("pack_offset"), col("pack_id"))
+      .orderBy(col("doc_id"))
+
   /** Cross-corpus near-dup decontamination
     * ([[Dedup.minhashNearDupsBetween]]): docs 0-49 stand in for a
     * held-out benchmark, the rest is the training corpus; emit every
@@ -392,6 +407,7 @@ object TextQueries {
     "q91_cross_dedup"     -> (q91CrossDedup _),
     "q92_span_dedup"      -> (q92SpanDedup _),
     "q93_token_budget"    -> (q93TokenBudget _),
+    "q94_sequence_pack"   -> (q94SequencePack _),
     "q36_simhash"         -> (q36Simhash _),
     "q38_fingerprint"     -> (q38Fingerprint _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
@@ -642,6 +658,21 @@ object TextQueries {
                                      WHEN 'fr' THEN 2000
                                      ELSE 9223372036854775807 END)
       ORDER BY doc_id""",
+
+    "q94_sequence_pack" -> """
+      WITH t AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS UBIGINT) AS INT)
+            AS pack_shard,
+          md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens, pack_shard,
+          CAST(SUM(n_tokens) OVER (PARTITION BY pack_shard ORDER BY h, doc_id)
+               - n_tokens AS BIGINT) AS pack_offset
+        FROM t)
+      SELECT doc_id, n_tokens, pack_shard, pack_offset,
+             CAST(floor(pack_offset / 512.0) AS BIGINT) AS pack_id
+      FROM c ORDER BY doc_id""",
 
     "q91_cross_dedup" -> """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),

@@ -151,6 +151,31 @@ class UtilOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("sequence packing: offsets are a gapless per-shard stream, pack ids consistent") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packed = graft.functions.Mix.packSequences(
+        docs, col("doc_id"), col("n_tokens"), seqLen = 128L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(packed.length == docs.count())
+    packed.groupBy(_._3).foreach { case (_, rows) =>
+      // within a shard, sorted offsets tile the stream exactly: each doc
+      // starts where the previous one ended
+      val sorted = rows.sortBy(_._4)
+      sorted.foldLeft(0L) { case (expectedOffset, (_, n, _, off, pid)) =>
+        assert(off == expectedOffset, s"gap at offset $off")
+        assert(pid == off / 128L)
+        expectedOffset + n
+      }
+    }
+    // deterministic across runs
+    val again = graft.functions.Mix.packSequences(
+        docs, col("doc_id"), col("n_tokens"), seqLen = 128L)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(packed.forall { case (id, _, _, _, pid) => again(id) == pid })
+  }
+
   test("binned range join == naive non-equi join, and plans an equality join not a BNLJ") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
