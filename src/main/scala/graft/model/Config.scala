@@ -42,7 +42,8 @@ final case class PipelineConfig(
 
 object ConfigLoader {
   private val KnownActionTypes =
-    Set("sql", "python", "rest", "pandas", "udf", "derive", "transform", "dedup", "split")
+    Set("sql", "python", "rest", "pandas", "udf", "derive", "transform",
+      "dedup", "split", "mix")
 
   def fromYaml(yaml: String): PipelineConfig = {
     val root = Option(new Yaml().load[ju.Map[String, Any]](yaml))

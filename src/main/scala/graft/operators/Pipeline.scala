@@ -40,6 +40,7 @@ object Pipeline {
             throw new IllegalArgumentException(s"${sc.name}: transform stage needs a registered fn name in code")))
         case "dedup" => DedupStage.fromConfig(sc)
         case "split" => SplitStage.fromConfig(sc)
+        case "mix" => MixStage.fromConfig(sc)
         case other => throw new IllegalArgumentException(s"unsupported actionType '$other'")
       }
       (sc, stage)

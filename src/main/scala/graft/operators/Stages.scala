@@ -215,6 +215,53 @@ object SplitStage {
   }
 }
 
+/** `mix` stage: token-denominated corpus shaping from YAML —
+  * `budget` caps each stratum at a token budget
+  * ([[graft.functions.Mix.tokenBudget]]); `pack` assigns concat-order
+  * training-sequence ids ([[graft.functions.Mix.packSequences]]).
+  * `tokens` is any Spark SQL expression producing the per-row token
+  * count (default whitespace count over `text`).
+  *
+  * {{{
+  * actionConfig: {method: budget, stratum: lang, id: doc_id, budgets: {en: 4000}}
+  * actionConfig: {method: pack, id: doc_id, seqLen: 512}
+  * }}}
+  */
+final case class MixStage(name: String, method: String, idCol: String,
+                          stratumCol: String, tokensExpr: String,
+                          budgets: Map[String, Long], seqLen: Long) extends Stage {
+  override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
+    case "budget" =>
+      graft.functions.Mix.tokenBudget(df, col(stratumCol), col(idCol),
+        expr(tokensExpr).cast("long"), budgets)
+    case "pack" =>
+      graft.functions.Mix.packSequences(df, col(idCol),
+        expr(tokensExpr).cast("long"), seqLen)
+    case other => throw new IllegalArgumentException(
+      s"mix stage '$name': unknown method '$other' (budget | pack)")
+  }
+}
+
+object MixStage {
+  def fromConfig(cfg: StageConfig): MixStage = {
+    val ac = cfg.actionConfig
+    def s(k: String, d: String) = ac.get(k).flatMap(Option(_)).map(_.toString).getOrElse(d)
+    val budgets = ac.get("budgets") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
+          .map { case (k, v) => (k, v.toString.toLong) }
+      case _ => Map.empty[String, Long]
+    }
+    val method = s("method", "budget")
+    if (method == "budget" && budgets.isEmpty)
+      throw new IllegalArgumentException(
+        s"mix stage '${cfg.name}': actionConfig.budgets {stratum: tokens} required")
+    MixStage(cfg.name, method, s("id", "doc_id"), s("stratum", "lang"),
+      s("tokens", "size(split(text, ' '))"), budgets,
+      s("seqLen", "512").toLong)
+  }
+}
+
 /** Typed per-row transform with the reference's exact python-stage error
   * semantics (§2c, filefilter.py:55-65): on exception the ORIGINAL row
   * passes through unchanged and an error accumulator increments. For

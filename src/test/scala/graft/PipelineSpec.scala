@@ -132,6 +132,24 @@ class PipelineSpec extends SparkSpec {
       Tables.documents(spark, sf), "doc_id", "text", 20)
       .filter(length(col("clean_text")) > 0)
     assert(spansOut.count() == twin.count())
+
+    // mix stages: token budget then sequence packing, chained
+    val yamlMix =
+      s"""
+        |filters:
+        |  - name: en_budget
+        |    actionType: mix
+        |    actionConfig: {method: budget, stratum: lang, id: doc_id, budgets: {en: 5000}}
+        |  - name: pack
+        |    actionType: mix
+        |    actionConfig: {method: pack, id: doc_id, seqLen: 256}
+        |""".stripMargin
+    val mixOut = Pipeline.runYaml(spark, yamlMix, s"$sf/documents.parquet", None).output
+    assert(mixOut.columns.contains("pack_id") && mixOut.columns.contains("cum_tokens"))
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val enTokens = mixOut.filter(col("lang") === "en")
+      .agg(fsum(expr("size(split(text, ' '))"))).collect()(0).getLong(0)
+    assert(enTokens <= 5000L && enTokens > 3000L, s"enTokens=$enTokens")
   }
 
   test("inDelimiter/outDelimiter 'TAB' means a tab character (loaders.py:10-13)") {
