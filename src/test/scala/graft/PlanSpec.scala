@@ -158,6 +158,16 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q93/q94 window cumsums partition by stratum/shard — never a single global sort") {
+    val p93 = planOf(graft.queries.TextQueries.q93TokenBudget(spark, sf).limit(1))
+    assert(p93.contains("hashpartitioning(lang"), p93)
+    val p94 = planOf(graft.queries.TextQueries.q94SequencePack(spark, sf).limit(1))
+    assert(p94.contains("hashpartitioning(pack_shard"), p94)
+    // SinglePartition exchanges would mean the cumsum serialized on one core
+    assert(!p93.contains("SinglePartition") && !p94.contains("SinglePartition"),
+      s"$p93\n$p94")
+  }
+
   test("blanket sweep: no query in the inventory plans an unbounded CartesianProduct") {
     SparkEntry.queries.foreach { case (n, fn) =>
       val p = planOf(fn(spark, sf))

@@ -105,6 +105,34 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batch && kept == 2L)
   }
 
+  test("Mix.split and redact_pii run unchanged on a stream (stateless row-local stages)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-stream-split")
+    val docs = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'mail me me@x.example.org please'),
+        |  (2L, 'plain text'), (3L, 'more text'), (4L, 'and more'),
+        |  (5L, 'fifth doc')
+        |AS t(doc_id, text)""".stripMargin)
+    docs.write.parquet(dir.resolve("docs.parquet").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("docs.parquet").toString)
+    val q = graft.functions.Mix.split(
+        stream.withColumn("text", graft.functions.TextFunctions.redactPii(col("text"))),
+        col("doc_id"), Seq("train" -> 14, "val" -> 1, "test" -> 1))
+      .writeStream.format("memory").queryName("stream_split")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT doc_id, text, split FROM stream_split").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // identical labels to the batch run — membership is a pure id function
+    val batch = graft.functions.Mix.split(docs, col("doc_id"),
+        Seq("train" -> 14, "val" -> 1, "test" -> 1))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 5 && got.forall { case (id, (_, s)) => batch(id) == s })
+    assert(got(1L)._1.contains("<EMAIL>") && !got(1L)._1.contains("@"))
+  }
+
   test("watermarked stream-stream join matches the batch time-range join") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-stream6")
