@@ -198,16 +198,22 @@ object VectorFunctions {
     */
   def pairRecallAudit(approx: DataFrame, exact: DataFrame,
                       bound: Double): DataFrame = {
-    val e = exact.select(col("id_a"), col("id_b"))
-    val a = approx.select(col("id_a"), col("id_b"))
-    val nE = e.select(count(lit(1)).as("n_exact"))
-    val nH = a.join(e, Seq("id_a", "id_b")).select(count(lit(1)).as("n_hit"))
-    val nA = a.select(count(lit(1)).as("n_approx"))
-    nE.crossJoin(nH).crossJoin(nA).select(
-      col("n_exact"),
-      (col("n_exact") === 0 ||
-        col("n_hit").cast("double") / col("n_exact") >= bound).as("recall_ok"),
-      (col("n_approx") === col("n_hit")).as("precision_ok"))
+    // ONE full-outer join on the (distinct) pair keys + ONE aggregate
+    // produce all three counts — non-null side markers classify each
+    // pair as exact-only / hit / approx-only (the previous three
+    // independent count-aggregates + two crossJoins cost four extra
+    // stages per audit; output identical, so gate hashes are unchanged)
+    val e = exact.select(col("id_a"), col("id_b")).withColumn("in_e", lit(1))
+    val a = approx.select(col("id_a"), col("id_b")).withColumn("in_a", lit(1))
+    e.join(a, Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("in_e")).as("n_exact"),
+        count(when(col("in_e").isNotNull && col("in_a").isNotNull, 1)).as("n_hit"),
+        count(col("in_a")).as("n_approx"))
+      .select(
+        col("n_exact"),
+        (col("n_exact") === 0 ||
+          col("n_hit").cast("double") / col("n_exact") >= bound).as("recall_ok"),
+        (col("n_approx") === col("n_hit")).as("precision_ok"))
   }
 
   /** One-row recall audit of an approximate top-k against the exact
@@ -221,11 +227,14 @@ object VectorFunctions {
   def topKRecallAudit(approx: DataFrame, queries: DataFrame,
                       candidates: DataFrame, k: Int, bound: Double): DataFrame = {
     val exact = bruteForceTopK(queries, candidates, k).select(col("qid"), col("cid"))
+    // one left join + one aggregate for hit/approx counts (see
+    // pairRecallAudit); n_queries comes from a different table, so its
+    // 1-row aggregate + crossJoin remains
     val a = approx.select(col("qid"), col("cid"))
     val nQ = queries.select(count_distinct(col("vec_id")).as("n_queries"))
-    val nH = a.join(exact, Seq("qid", "cid")).select(count(lit(1)).as("n_hit"))
-    val nA = a.select(count(lit(1)).as("n_approx"))
-    nQ.crossJoin(nH).crossJoin(nA).select(
+    val stats = a.join(exact.withColumn("m", lit(1)), Seq("qid", "cid"), "left")
+      .agg(count(lit(1)).as("n_approx"), count(col("m")).as("n_hit"))
+    nQ.crossJoin(stats).select(
       col("n_queries"),
       (col("n_approx") === col("n_queries") * k).as("full_k"),
       (col("n_hit").cast("double") / (col("n_queries") * k) >= bound).as("recall_ok"))
