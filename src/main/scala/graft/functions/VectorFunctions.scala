@@ -149,6 +149,22 @@ object VectorFunctions {
       .filter(col("cos") >= threshold)
   }
 
+  /** Embedding near-dup removal end-to-end (the vector-side parallel of
+    * [[graft.functions.Dedup.dropNearDuplicates]], i.e. SemDeDup-style
+    * semantic dedup with LSH candidate generation): LSH pairs →
+    * connected components → drop every member that is not its cluster's
+    * minimum id. Keeps all singletons.
+    */
+  def dropNearDupVectors(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int = 8, tables: Int = 16,
+                         maxBucketSize: Int = 4096): DataFrame = {
+    val pairs = lshNearDupPairs(df, idCol, vecCol, threshold, bits, tables, maxBucketSize)
+    val losers = graft.functions.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("__graft_drop_id"))
+    df.join(losers, col(idCol) === col("__graft_drop_id"), "left_anti")
+  }
+
   /** Exact pairwise near-dup join, brute force O(n²)/2 — the
     * VERIFICATION ORACLE for the LSH scale path ([[lshNearDupPairs]]);
     * plans as a BroadcastNestedLoopJoin and must never run at scale.

@@ -479,6 +479,36 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(0L, 10L, 20L), s"kept=$kept")
   }
 
+  test("dropNearDupVectors keeps one vector per planted duplicate group") {
+    val rnd = new scala.util.Random(47)
+    val dim = 48
+    // 10 base vectors; bases 2 and 5 get two extra near-copies each
+    val bases = (0 until 10).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val copies = Seq(2, 5).flatMap { b =>
+      (1 to 2).map(j => ((100 + b * 10 + j).toLong,
+        bases(b)._2.map(x => x + 0.005f * rnd.nextGaussian().toFloat)))
+    }
+    val df = (bases ++ copies).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val kept = VectorFunctions.dropNearDupVectors(df, "vec_id", "embedding", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every base survives (lowest id in its group), every copy is dropped
+    assert(kept == (0L until 10L).toSet, s"kept=$kept")
+  }
+
+  test("dedup family is total on empty and singleton inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.connectedComponents(empty.toDF("doc_a", "doc_b")).count() == 0)
+    assert(Dedup.dropNearDuplicates(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.dedupSpans(empty, "doc_id", "text").count() == 0)
+    val one = Seq((1L, "just one document here")).toDF("doc_id", "text")
+    assert(Dedup.dropNearDuplicates(one, "doc_id", "text").count() == 1)
+    val oneOut = Dedup.dedupSpans(one, "doc_id", "text", 3).collect()(0)
+    assert(oneOut.getString(1) == "just one document here")
+    val emptyVec = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(VectorFunctions.dropNearDupVectors(emptyVec, "vec_id", "embedding", 0.9).count() == 0)
+  }
+
   test("cosine is exact: self-similarity 1.0, range bounded") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     val cos = emb.select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
