@@ -89,6 +89,12 @@ object ScaleProbe {
         "q92_span_dedup" -> (() =>
           graft.queries.TextQueries.q92SpanDedup(spark, d)
             .agg(sum(length(col("clean_text")))).collect()(0).getLong(0)),
+        "q93_token_budget" -> (() =>
+          graft.queries.TextQueries.q93TokenBudget(spark, d).count()),
+        "q94_sequence_pack" -> (() =>
+          // max forces the window evaluation (count alone could prune)
+          graft.queries.TextQueries.q94SequencePack(spark, d)
+            .agg(max(col("pack_id"))).collect()(0).getLong(0)),
       )
     }
 
