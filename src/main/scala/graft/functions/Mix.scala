@@ -45,22 +45,57 @@ object Mix {
     * is id-derived); unlike [[split]], growing the corpus CAN displace
     * later-ordered documents — inherent to any fixed-budget selection.
     *
-    * One window sum per stratum partition — a single shuffle on the
-    * stratum key; cumulative state is one long per row. Skewed strata
-    * (one language = 90% of the corpus) are the partitionBy's problem:
-    * at 100 TB pre-aggregate per (stratum, hash-prefix) or budget per
-    * finer stratum instead.
+    * ADDS a `cum_tokens` column (the stratum-cumulative token count in
+    * hash order — the selection boundary evidence); the input must not
+    * already have one (fail-fast rather than silent overwrite).
+    *
+    * Skew-proof two-level cumsum: a single window over the stratum key
+    * would serialize a dominant stratum (one language = 90% of the
+    * corpus) through one partition. Instead the cumsum decomposes along
+    * the md5-prefix blocks of the hash order itself: md5 strings sort
+    * as (first `digits` hex chars, rest), so the stratum-global running
+    * sum = (total of all earlier prefix blocks) + (running sum inside
+    * this row's block). Level 1 computes the block-local cumsum with a
+    * window over (stratum, prefix) — `fanout`× the parallelism; level 2
+    * computes per-(stratum, prefix) totals (strata × fanout rows — tiny)
+    * and their exclusive running sum, broadcast-joined back. Identical
+    * values to the single-window form, one extra (small) shuffle.
+    * `fanout` is a power of 16 (hex-prefix blocks): 16 per hex digit,
+    * up to 16^7 — size it so corpus_tokens / (strata_min_share · fanout)
+    * fits a single task's sort budget.
     */
   def tokenBudget(df: DataFrame, stratumCol: Column, idCol: Column,
-                  tokenCount: Column, budgets: Map[String, Long]): DataFrame = {
+                  tokenCount: Column, budgets: Map[String, Long],
+                  fanout: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(stratumCol)
-      .orderBy(md5(idCol.cast("string")), idCol)
-    val cum = sum(tokenCount).over(w)
+    val digits = hexPrefixDigits(fanout, "fanout")
+    require(!df.columns.contains("cum_tokens"),
+      "tokenBudget adds a cum_tokens column; the input already has one — rename it first")
+    val work = df
+      .withColumn("__graft_stratum", stratumCol)
+      .withColumn("__graft_h", md5(idCol.cast("string")))
+      .withColumn("__graft_pfx", substring(col("__graft_h"), 1, digits))
+    val wLocal = Window.partitionBy(col("__graft_stratum"), col("__graft_pfx"))
+      .orderBy(col("__graft_h"), idCol)
+    val local = work.withColumn("__graft_cum_local", sum(tokenCount).over(wLocal))
+    val wPfx = Window.partitionBy(col("__graft_bs")).orderBy(col("__graft_bp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = work.groupBy(
+        col("__graft_stratum").as("__graft_bs"), col("__graft_pfx").as("__graft_bp"))
+      .agg(sum(tokenCount).as("__graft_tot"))
+      .select(col("__graft_bs"), col("__graft_bp"),
+        coalesce(sum(col("__graft_tot")).over(wPfx), lit(0L)).as("__graft_base"))
     val limit = budgets.toSeq.sortBy(_._1).foldLeft(lit(Long.MaxValue)) {
       case (acc, (stratum, b)) => when(stratumCol === stratum, lit(b)).otherwise(acc)
     }
-    df.withColumn("cum_tokens", cum).filter(col("cum_tokens") <= limit)
+    local
+      .join(broadcast(bases),
+        col("__graft_stratum") <=> col("__graft_bs") &&
+          col("__graft_pfx") <=> col("__graft_bp"))
+      .withColumn("cum_tokens", col("__graft_base") + col("__graft_cum_local"))
+      .filter(col("cum_tokens") <= limit)
+      .drop("__graft_stratum", "__graft_h", "__graft_pfx", "__graft_cum_local",
+        "__graft_bs", "__graft_bp", "__graft_base")
   }
 
   /** Greedy concat-order sequence packing: assign every document the
@@ -74,25 +109,45 @@ object Mix {
     * of this operator so the assignment stays a pure per-row function
     * of the cumulative stream.
     *
-    * Packing runs WITHIN `shards` hash-shards (md5 first hex digit →
-    * 16), not one global stream: a global cumsum would be a
-    * single-partition total-order sort — the one window shape this repo
-    * bans at scale. Shard-local pack ids are globally unique as
-    * (pack_shard, pack_id); each shard's stream is independently
-    * deterministic. Returns the input plus `pack_shard`, `pack_offset`
-    * (token offset of the doc in its shard's stream), `pack_id`
-    * (= pack_offset / seqLen).
+    * Packing runs WITHIN `shards` hash-shards (the first N hex digits
+    * of md5(id) → 16^N shards), not one global stream: a global cumsum
+    * would be a single-partition total-order sort — the one window
+    * shape this repo bans at scale. Shard count IS the parallelism
+    * knob: each shard is one window partition sorting ~1/shards of the
+    * corpus, so at 100 TB pick shards ≈ corpus_tokens / task_budget
+    * rounded up to a power of 16 (e.g. 4096 shards → ~25 GB/task).
+    * Shard-local pack ids are globally unique as (pack_shard,
+    * pack_id); each shard's stream is independently deterministic, and
+    * any engine replays the assignment from `substr(md5(id), 1, N)`.
+    * ADDS `pack_shard`, `pack_offset` (token offset of the doc in its
+    * shard's stream) and `pack_id` (= pack_offset / seqLen); the input
+    * must not already have them (fail-fast, no silent overwrite).
     */
   def packSequences(df: DataFrame, idCol: Column, tokenCount: Column,
                     seqLen: Long, shards: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(shards == 16, "sharding uses the md5 first hex digit; 16 shards")
-    val shard = conv(substring(md5(idCol.cast("string")), 1, 1), 16, 10).cast("int")
+    val digits = hexPrefixDigits(shards, "shards")
+    Seq("pack_shard", "pack_offset", "pack_id").foreach(c =>
+      require(!df.columns.contains(c),
+        s"packSequences adds a $c column; the input already has one — rename it first"))
+    val shard = conv(substring(md5(idCol.cast("string")), 1, digits), 16, 10).cast("int")
     val w = Window.partitionBy(col("pack_shard"))
       .orderBy(md5(idCol.cast("string")), idCol)
     df.withColumn("pack_shard", shard)
       .withColumn("pack_offset", sum(tokenCount).over(w) - tokenCount)
       .withColumn("pack_id", floor(col("pack_offset") / seqLen).cast("long"))
+  }
+
+  /** `n` must be 16^digits for digits in [1, 7] (hex-prefix sharding of
+    * md5; 16^7 still fits an int shard id). Returns `digits`.
+    */
+  private def hexPrefixDigits(n: Int, param: String): Int = {
+    var d = 0
+    var v = 1L
+    while (v < n) { v *= 16; d += 1 }
+    require(v == n && d >= 1 && d <= 7,
+      s"$param must be a power of 16 in [16, 16^7] (hex-prefix sharding), got $n")
+    d
   }
 
   /** Deterministic train/val/test (or any n-way) split: assigns each

@@ -224,19 +224,23 @@ object SplitStage {
   *
   * {{{
   * actionConfig: {method: budget, stratum: lang, id: doc_id, budgets: {en: 4000}}
-  * actionConfig: {method: pack, id: doc_id, seqLen: 512}
+  * actionConfig: {method: pack, id: doc_id, seqLen: 512, shards: 256}
   * }}}
+  *
+  * `shards` (pack) / `fanout` (budget) are the parallelism knobs — a
+  * power of 16 (hex-prefix sharding), default 16.
   */
 final case class MixStage(name: String, method: String, idCol: String,
                           stratumCol: String, tokensExpr: String,
-                          budgets: Map[String, Long], seqLen: Long) extends Stage {
+                          budgets: Map[String, Long], seqLen: Long,
+                          shards: Int = 16) extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "budget" =>
       graft.functions.Mix.tokenBudget(df, col(stratumCol), col(idCol),
-        expr(tokensExpr).cast("long"), budgets)
+        expr(tokensExpr).cast("long"), budgets, fanout = shards)
     case "pack" =>
       graft.functions.Mix.packSequences(df, col(idCol),
-        expr(tokensExpr).cast("long"), seqLen)
+        expr(tokensExpr).cast("long"), seqLen, shards)
     case other => throw new IllegalArgumentException(
       s"mix stage '$name': unknown method '$other' (budget | pack)")
   }
@@ -258,7 +262,8 @@ object MixStage {
         s"mix stage '${cfg.name}': actionConfig.budgets {stratum: tokens} required")
     MixStage(cfg.name, method, s("id", "doc_id"), s("stratum", "lang"),
       s("tokens", "size(split(text, ' '))"), budgets,
-      s("seqLen", "512").toLong)
+      s("seqLen", "512").toLong,
+      s("shards", s("fanout", "16")).toInt)
   }
 }
 

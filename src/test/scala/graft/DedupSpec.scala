@@ -467,6 +467,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents converges on a 200-node path (diameter ≫ maxIter) via path doubling") {
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(path.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 200 && got.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents throws instead of returning un-converged labels") {
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path.toDF("doc_a", "doc_b"), maxIter = 3).count()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
+  test("connectedComponents handles string ids natively (no silent null cast)") {
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // and the end-to-end drop keeps the lexicographic-min representative
+    val docs = Seq(
+      ("docA", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("docB", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      ("docZ", "completely unrelated content that matches nothing else at all"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(kept == Set("docA", "docZ"), s"kept=$kept")
+  }
+
+  test("connectedComponents rejects mismatched id column types") {
+    val pairs = Seq((1L, "x")).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] { Dedup.connectedComponents(pairs) }
+  }
+
   test("dropNearDuplicates keeps one representative per planted cluster and all singletons") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = Seq(
@@ -498,7 +534,8 @@ class DedupSpec extends SparkSpec {
   test("dedup family is total on empty and singleton inputs") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.minhashNearDups(empty, "doc_id", "text").count() == 0)
-    assert(Dedup.connectedComponents(empty.toDF("doc_a", "doc_b")).count() == 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
     assert(Dedup.dropNearDuplicates(empty, "doc_id", "text").count() == 0)
     assert(Dedup.dedupSpans(empty, "doc_id", "text").count() == 0)
     val one = Seq((1L, "just one document here")).toDF("doc_id", "text")

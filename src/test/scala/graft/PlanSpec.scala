@@ -159,13 +159,27 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q93/q94 window cumsums partition by stratum/shard — never a single global sort") {
+    // the heavy (per-row) window fans out over (stratum, hash-prefix),
+    // not the raw stratum — the two-level skew decomposition
     val p93 = planOf(graft.queries.TextQueries.q93TokenBudget(spark, sf).limit(1))
-    assert(p93.contains("hashpartitioning(lang"), p93)
+    assert(p93.contains("hashpartitioning(__graft_stratum") &&
+      p93.contains("__graft_pfx"), p93)
     val p94 = planOf(graft.queries.TextQueries.q94SequencePack(spark, sf).limit(1))
     assert(p94.contains("hashpartitioning(pack_shard"), p94)
     // SinglePartition exchanges would mean the cumsum serialized on one core
     assert(!p93.contains("SinglePartition") && !p94.contains("SinglePartition"),
       s"$p93\n$p94")
+  }
+
+  test("packSequences window partitions by the parameterized shard count's prefix") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val p = planOf(graft.functions.Mix.packSequences(
+      docs, col("doc_id"), col("n_tokens"), seqLen = 512L, shards = 256).limit(1))
+    assert(p.contains("hashpartitioning(pack_shard"), p)
+    // 2-hex-digit prefix → 256-way shard expression reaches the plan
+    assert(p.contains(", 1, 2)") && !p.contains("SinglePartition"), p)
   }
 
   test("blanket sweep: no query in the inventory plans an unbounded CartesianProduct") {

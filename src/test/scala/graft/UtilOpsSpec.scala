@@ -176,6 +176,63 @@ class UtilOpsSpec extends SparkSpec {
     assert(packed.forall { case (id, _, _, _, pid) => again(id) == pid })
   }
 
+  test("token-budget fan-out is value-invariant: fanout 256 == fanout 16 == 4096") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val budgets = Map("en" -> 5000L, "de" -> 2000L)
+    def run(fanout: Int) = graft.functions.Mix.tokenBudget(
+        docs, col("lang"), col("doc_id"), col("n_tokens"), budgets, fanout)
+      .select("doc_id", "cum_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f16 = run(16)
+    assert(f16 == run(256) && f16 == run(4096))
+  }
+
+  test("sequence packing at 256 shards: 2-hex-digit shard, still a gapless stream") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packed = graft.functions.Mix.packSequences(
+        docs, col("doc_id"), col("n_tokens"), seqLen = 128L, shards = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(packed.length == docs.count())
+    packed.foreach { case (id, _, shard, _) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expect = Integer.parseInt(hex.take(2), 16)
+      assert(shard == expect, s"doc $id shard $shard != md5-prefix $expect")
+    }
+    packed.groupBy(_._3).foreach { case (_, rows) =>
+      rows.sortBy(_._4).foldLeft(0L) { case (expected, (_, n, _, off)) =>
+        assert(off == expected, s"gap at offset $off"); expected + n
+      }
+    }
+  }
+
+  test("mix operators fail fast: bad shard counts and pre-existing output columns") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    intercept[IllegalArgumentException] {
+      graft.functions.Mix.packSequences(docs, col("doc_id"), col("n_tokens"), 128L, shards = 10)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Mix.tokenBudget(docs, col("lang"), col("doc_id"),
+        col("n_tokens"), Map("en" -> 1L), fanout = 17)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Mix.tokenBudget(docs.withColumn("cum_tokens", lit(0L)),
+        col("lang"), col("doc_id"), col("n_tokens"), Map("en" -> 1L))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Mix.packSequences(docs.withColumn("pack_id", lit(0L)),
+        col("doc_id"), col("n_tokens"), 128L)
+    }
+  }
+
   test("binned range join == naive non-equi join, and plans an equality join not a BNLJ") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
