@@ -216,6 +216,32 @@ class DedupSpec extends SparkSpec {
     assert(ivf.forall { case (a, b) => a != b })
   }
 
+  test("IVF index builds once and serves multiple query sets (amortization split)") {
+    val emb = Tables.embeddings(spark, sf)
+    val index = VectorFunctions.buildIvf(emb, nlist = 16, refine = 1)
+    val qA = emb.filter(col("vec_id") < 5)
+    val qB = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaProbe = ids(VectorFunctions.ivfProbe(qA, index, k = 5, nprobe = 6)) ++
+      ids(VectorFunctions.ivfProbe(qB, index, k = 5, nprobe = 6))
+    val viaTopK = ids(VectorFunctions.ivfTopK(
+      emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 16, nprobe = 6, refine = 1))
+    // probing a prebuilt index per half == building once for the union
+    assert(viaProbe == viaTopK, s"diff=${(viaProbe diff viaTopK) ++ (viaTopK diff viaProbe)}")
+  }
+
+  test("topK recall sentinel can fire: an unreachable bound flips recall_ok") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val ann = VectorFunctions.annTopK(q, emb, k = 5, bits = 4, tables = 8, probes = 4)
+    val row = VectorFunctions.topKRecallAudit(ann, q, emb, k = 5, bound = 1.01)
+      .collect()(0)
+    assert(!row.getAs[Boolean]("recall_ok"))
+    assert(row.getAs[Long]("n_exact") == row.getAs[Long]("n_queries") * 5)
+    assert(row.getAs[Double]("min_kth_cos") <= row.getAs[Double]("max_kth_cos"))
+  }
+
   test("IVF top-k keeps a recall floor on near-random vectors (the hard case)") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 10)

@@ -98,13 +98,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q77 IVF: centroids broadcast, top-k via WindowGroupLimit, no unbounded cartesian") {
+  test("q77 IVF: prebuilt index, top-k via WindowGroupLimit, no unbounded cartesian") {
     val p = planOf(graft.queries.VectorQueries.q77AnnIvf(spark, sf))
-    // the only nested-loop joins are against the broadcast nlist-row centroid set
+    // the only nested-loop joins are against broadcast nlist/1-row sides
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("TakeOrderedAndProject"), p) // centroid sample, not a full sort
     assert(p.contains("WindowGroupLimit"), p)      // rank<=k prunes before the window
+    // the quantizer is a prebuilt checkpointed scan inside the probe
+    // plan — NOT recomputed per reference (build/probe split)
+    assert(p.contains("ExistingRDD"), p)
+    // the centroid sample itself plans as TakeOrderedAndProject (hash
+    // rank + limit, no full sort) — asserted on the build side
+    val sample = planOf(
+      graft.Tables.embeddings(spark, sf)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("cent_id"),
+          org.apache.spark.sql.functions.col("embedding").as("cvec"))
+        .orderBy(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("cent_id")),
+          org.apache.spark.sql.functions.col("cent_id")).limit(16))
+    assert(sample.contains("TakeOrderedAndProject"), sample)
   }
 
   test("q79 TF-IDF: partial+final aggregation, count(1) scalar broadcast") {
