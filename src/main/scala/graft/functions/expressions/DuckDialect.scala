@@ -63,8 +63,10 @@ case class DuckLen(child: Expression) extends UnaryExpression {
   *     Catalyst expressions (codegen'd, work in subqueries/CTEs, no
   *     string munging). Registered by [[GraftFunctions.register]] and
   *     [[GraftExtensions]].
-  *  2. `* EXCLUDE(...)` → `* EXCEPT(...)` — a parser rewrite
-  *     ([[graft.operators.GraftSqlParser]]).
+  *  2. parser rewrites ([[graft.operators.GraftSqlParser]]):
+  *     `* EXCLUDE(...)` → `* EXCEPT(...)`, and `QUALIFY <pred>` → a
+  *     ranked subquery (wrap for alias predicates, helper-column
+  *     injection for inline windows).
   *  3. [[fnHints]]/[[constructHints]] — DuckDB-isms with no faithful
   *     Spark rewrite raise [[DuckDialectException]] naming the construct
   *     and the nearest Spark equivalent instead of a raw Catalyst error.
@@ -270,8 +272,11 @@ object DuckDialect {
   )
 
   val constructHints: Seq[(scala.util.matching.Regex, String)] = silentTrapHints ++ Seq(
+    // QUALIFY is normally rewritten automatically (GraftSqlParser.
+    // rewriteQualify) — this hint is the fallback for shapes the rewrite
+    // could not handle (e.g. a parse failure after rewriting).
     raw"(?i)\bQUALIFY\b".r ->
-      "QUALIFY isn't Spark SQL — compute the window column in a subquery and filter it outside: SELECT * FROM (SELECT ..., row_number() OVER (...) AS rn FROM t) WHERE rn = 1",
+      "this QUALIFY shape couldn't be auto-rewritten — compute the window column in a subquery and filter it outside: SELECT * FROM (SELECT ..., row_number() OVER (...) AS rn FROM t) WHERE rn = 1",
     raw"(?i)\bUSING\s+SAMPLE\b".r ->
       "USING SAMPLE → TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
     raw"(?i)\bCOLUMNS\s*\(".r ->

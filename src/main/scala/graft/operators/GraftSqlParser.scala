@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * via injectParser.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  private def rewrite(sql: String): String = GraftSqlParser.rewriteExclude(sql)
+  private def rewrite(sql: String): String =
+    GraftSqlParser.rewriteQualify(GraftSqlParser.rewriteExclude(sql))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.withDialectHint(sqlText)(delegate.parsePlan(rewrite(sqlText)))
@@ -53,6 +54,147 @@ object GraftSqlParser {
       sb.append(sql.substring(last))
       sb.toString
     }
+  }
+
+  private val QualifyRe = raw"(?i)\bQUALIFY\b".r
+
+  /** Rewrite DuckDB/Snowflake `QUALIFY <pred>` (VERDICT r5 #6) into the
+    * ranked-subquery form Spark understands. Two shapes:
+    *
+    *  - window-free predicate (the common `QUALIFY rn = 1` over a
+    *    SELECT-list alias): the block wraps —
+    *    `SELECT * FROM (<block sans QUALIFY>) WHERE (<pred>)`;
+    *  - inline window (`QUALIFY row_number() OVER (...) = 1`): the
+    *    predicate is computed as a `__graft_qualify` column inside the
+    *    block (where window functions are legal), filtered outside, and
+    *    dropped via `* EXCEPT` — window evaluation order (after
+    *    WHERE/GROUP/HAVING, over the block's input rows) is preserved.
+    *
+    * Scanning runs on the string-literal-masked copy at the QUALIFY's
+    * own paren depth, so subqueries, CTEs and a trailing ORDER BY/LIMIT
+    * (which stays outside the wrap) are handled; a bare identifier
+    * spelled `qualify` (column/alias position) is left alone via a
+    * neighbor-token heuristic. Documented edges: QUALIFY + DISTINCT
+    * with an inline window raises (the rewrite would change DISTINCT's
+    * input), and a predicate referencing columns the SELECT list drops
+    * fails analysis as unresolved.
+    */
+  def rewriteQualify(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val m = QualifyRe.findAllMatchIn(masked).find(m => isQualifyClause(masked, m.start, m.end))
+    m match {
+      case None => sql
+      case Some(q) => rewriteQualify(rewriteOneQualify(sql, masked, q.start, q.end))
+    }
+  }
+
+  /** Heuristic: a QUALIFY token in identifier position (right after
+    * SELECT/comma/operator, or followed by an operator/comma/close)
+    * is a column named "qualify", not the clause.
+    */
+  private def isQualifyClause(masked: String, start: Int, end: Int): Boolean = {
+    val opChars = ",(.=<>+-*/|&".toSet
+    val prevIdx = (start - 1 to 0 by -1).find(i => !masked.charAt(i).isWhitespace)
+    val prevOk = prevIdx match {
+      case None => false // query can't start with QUALIFY
+      case Some(i) if opChars.contains(masked.charAt(i)) => false
+      case Some(i) =>
+        val w = wordEndingAt(masked, i)
+        !Set("SELECT", "DISTINCT", "ALL", "BY", "AS", "ON", "AND", "OR", "NOT",
+          "WHERE", "WHEN", "THEN", "ELSE", "CASE", "FROM", "JOIN").contains(w)
+    }
+    val nextIdx = (end until masked.length).find(i => !masked.charAt(i).isWhitespace)
+    val nextOk = nextIdx match {
+      case None => false // trailing identifier
+      case Some(i) => !",.)=<>+-*/|&".toSet.contains(masked.charAt(i))
+    }
+    prevOk && nextOk
+  }
+
+  private def wordEndingAt(s: String, last: Int): String = {
+    if (!s.charAt(last).isLetter) return ""
+    var b = last
+    while (b > 0 && (s.charAt(b - 1).isLetterOrDigit || s.charAt(b - 1) == '_')) b -= 1
+    s.substring(b, last + 1).toUpperCase
+  }
+
+  private def wordStartingAt(s: String, first: Int): String = {
+    var e = first
+    while (e < s.length && (s.charAt(e).isLetterOrDigit || s.charAt(e) == '_')) e += 1
+    s.substring(first, e).toUpperCase
+  }
+
+  private def rewriteOneQualify(sql: String, masked: String, qStart: Int, qEnd: Int): String = {
+    // block start = position after the '(' enclosing the QUALIFY (or 0)
+    val stack = scala.collection.mutable.Stack[Int]()
+    var i = 0
+    while (i < qStart) {
+      masked.charAt(i) match {
+        case '(' => stack.push(i + 1)
+        case ')' => if (stack.nonEmpty) stack.pop()
+        case _ =>
+      }
+      i += 1
+    }
+    val blockStart = if (stack.isEmpty) 0 else stack.top
+    // predicate runs to the next same-depth clause terminator / ')'
+    val terminators = Set("ORDER", "LIMIT", "OFFSET", "WINDOW", "UNION", "INTERSECT", "EXCEPT", "MINUS")
+    var predEnd = masked.length
+    var dd = 0
+    i = qEnd
+    var scanning = true
+    while (i < masked.length && scanning) {
+      val c = masked.charAt(i)
+      if (c == '(') { dd += 1; i += 1 }
+      else if (c == ')') {
+        if (dd == 0) { predEnd = i; scanning = false } else { dd -= 1; i += 1 }
+      } else if (dd == 0 && c.isLetter &&
+        (i == 0 || (!masked.charAt(i - 1).isLetterOrDigit && masked.charAt(i - 1) != '_'))) {
+        val w = wordStartingAt(masked, i)
+        if (terminators.contains(w)) { predEnd = i; scanning = false }
+        else i += math.max(w.length, 1)
+      } else i += 1
+    }
+    val pred = sql.substring(qEnd, predEnd).trim
+    val head = sql.substring(blockStart, qStart).trim
+    if (pred.isEmpty)
+      throw new graft.functions.expressions.DuckDialectException(
+        "QUALIFY with an empty predicate")
+    val maskedPred = masked.substring(qEnd, predEnd)
+    val hasWindow = raw"(?i)\bOVER\b".r.findFirstIn(maskedPred).isDefined
+    val replacement =
+      if (!hasWindow) s"SELECT * FROM ( $head ) WHERE ( $pred ) "
+      else {
+        if (raw"(?is)^\s*SELECT\s+DISTINCT\b".r
+            .findFirstIn(masked.substring(blockStart, qStart)).isDefined)
+          throw new graft.functions.expressions.DuckDialectException(
+            "QUALIFY with an inline window over SELECT DISTINCT has no mechanical " +
+              "rewrite (the window must run before DISTINCT) — compute the window " +
+              "column in a subquery, filter, then SELECT DISTINCT outside")
+        // inject the predicate as a column before the block's own FROM
+        var j = blockStart
+        var df = 0
+        var fromPos = -1
+        while (j < qStart && fromPos < 0) {
+          val c = masked.charAt(j)
+          if (c == '(') df += 1
+          else if (c == ')') df -= 1
+          else if (df == 0 && c.isLetter &&
+            (j == 0 || (!masked.charAt(j - 1).isLetterOrDigit && masked.charAt(j - 1) != '_'))) {
+            val w = wordStartingAt(masked, j)
+            if (w == "FROM") fromPos = j
+            else j += math.max(w.length, 1) - 1
+          }
+          j += 1
+        }
+        if (fromPos < 0)
+          throw new graft.functions.expressions.DuckDialectException(
+            "QUALIFY: could not locate the block's FROM clause for the window rewrite")
+        val head2 = sql.substring(blockStart, fromPos) +
+          s", ( $pred ) AS __graft_qualify " + sql.substring(fromPos, qStart)
+        s"SELECT * EXCEPT (__graft_qualify) FROM ( $head2 ) WHERE __graft_qualify "
+      }
+    sql.substring(0, blockStart) + replacement + sql.substring(predEnd)
   }
 
   /** Run a parse, converting a bare ANTLR failure on a known DuckDB-ism

@@ -121,12 +121,14 @@ class DialectSpec extends SparkSpec {
   }
 
   // ---- guided errors for constructs with no rewrite
-  test("QUALIFY / ASOF JOIN / USING SAMPLE / := / -> > / ** raise named hints") {
+  test("ASOF JOIN / USING SAMPLE / := / -> > / ** raise named hints; QUALIFY now rewrites") {
     def hintOf(sql: String): String =
       intercept[DuckDialectException](
         SqlStage("s", sql).apply(spark, spark.range(1).toDF("id"))).getMessage
-    assert(hintOf("SELECT id, row_number() OVER (ORDER BY id) AS rn FROM df QUALIFY rn = 1")
-      .contains("row_number() OVER"))
+    // QUALIFY left the guided-error list: it runs (VERDICT r5 #6)
+    assert(SqlStage("s",
+      "SELECT id, row_number() OVER (ORDER BY id) AS rn FROM df QUALIFY rn = 1")
+      .apply(spark, spark.range(5).toDF("id")).collect().map(_.getLong(0)).toSeq == Seq(0L))
     assert(hintOf("SELECT * FROM df ASOF JOIN df2 ON df.id >= df2.id").contains("as-of"))
     assert(hintOf("SELECT * FROM df USING SAMPLE 10%").contains("TABLESAMPLE"))
     assert(hintOf("SELECT struct_pack(a := 1) FROM df").contains("named_struct"))
@@ -179,10 +181,75 @@ class DialectSpec extends SparkSpec {
   }
 
   test("parser-level hint path (GraftSqlParser.withDialectHint) wraps parse failures") {
+    val sql = "SELECT * FROM t USING SAMPLE 10%"
     val e = intercept[DuckDialectException](
-      GraftSqlParser.withDialectHint("SELECT 1 QUALIFY rn = 1")(
-        spark.sessionState.sqlParser.parsePlan("SELECT 1 QUALIFY rn = 1")))
-    assert(e.getMessage.contains("QUALIFY"))
+      GraftSqlParser.withDialectHint(sql)(
+        spark.sessionState.sqlParser.parsePlan(sql)))
+    assert(e.getMessage.contains("TABLESAMPLE"))
     assert(e.getCause != null)
+  }
+
+  // ---- QUALIFY rewrite (VERDICT r5 #6). The shared test session has no
+  // parser extension, so tests exercise the textual rewrite the same way
+  // SqlStage does (extension sessions get it inside parsePlan).
+  private def qsql(sql: String) = spark.sql(GraftSqlParser.rewriteQualify(sql))
+
+  test("QUALIFY over a select-list alias rewrites to a ranked subquery") {
+    spark.range(10).selectExpr("id", "id % 3 AS g").createOrReplaceTempView("qt")
+    val got = qsql(
+      """SELECT id, g, row_number() OVER (PARTITION BY g ORDER BY id DESC) AS rn
+        |FROM qt QUALIFY rn = 1 ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((9L, 0L), (7L, 1L), (8L, 2L)))
+  }
+
+  test("QUALIFY with an inline window filters without keeping the helper column") {
+    spark.range(10).selectExpr("id", "id % 3 AS g").createOrReplaceTempView("qt")
+    val df = qsql(
+      "SELECT id, g FROM qt QUALIFY row_number() OVER (PARTITION BY g ORDER BY id) = 1")
+    assert(df.columns.toSeq == Seq("id", "g"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("QUALIFY composes with WHERE, subqueries, and a trailing LIMIT") {
+    spark.range(100).selectExpr("id", "id % 5 AS g").createOrReplaceTempView("qt")
+    val df = qsql(
+      """SELECT * FROM (
+        |  SELECT g, id, rank() OVER (PARTITION BY g ORDER BY id DESC) AS rk
+        |  FROM qt WHERE id < 50 QUALIFY rk <= 2
+        |) ORDER BY g, id LIMIT 4""".stripMargin)
+    assert(df.count() == 4)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 40L), (0L, 45L), (1L, 41L), (1L, 46L)))
+  }
+
+  test("a column actually named qualify is left alone") {
+    spark.range(3).selectExpr("id AS qualify").createOrReplaceTempView("qcol")
+    assert(qsql("SELECT qualify FROM qcol WHERE qualify > 1").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // and inside a string literal
+    assert(GraftSqlParser.rewriteQualify("SELECT 'use QUALIFY rn' AS s FROM t")
+      == "SELECT 'use QUALIFY rn' AS s FROM t")
+  }
+
+  test("QUALIFY + DISTINCT with an inline window raises a guided error") {
+    val e = intercept[DuckDialectException](GraftSqlParser.rewriteQualify(
+      "SELECT DISTINCT g FROM t QUALIFY row_number() OVER (ORDER BY g) = 1"))
+    assert(e.getMessage.contains("DISTINCT"))
+  }
+
+  test("QUALIFY e2e through a YAML sql stage") {
+    val yaml =
+      """
+        |filters:
+        |  - name: latest_per_lang
+        |    actionType: sql
+        |    code: "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY doc_id DESC) AS rn FROM df QUALIFY rn = 1"
+        |""".stripMargin
+    val res = Pipeline.runYaml(spark, yaml, s"$sf/documents.parquet", None)
+    val rows = res.output.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(2) == 1))
+    // one row per language
+    assert(rows.map(_.getString(1)).distinct.length == rows.length)
   }
 }
