@@ -17,12 +17,14 @@ import org.apache.spark.sql.SparkSession
   *    + job launch + stage barriers, ~0.1-0.5 s at this tiny SF)
   *    overlaps across queries exactly as on a shared production
   *    cluster, while the data path keeps all cores busy.
-  *  - `seq_wall_sec` / `queries`: ONE strictly sequential pass, run
-  *    last (fully JIT-warmed — steady state), with per-query
-  *    UNCONTENDED latencies in `queries`. This is the like-for-like
-  *    number against a sequential single-process baseline; per-query
-  *    latencies from concurrent passes are queueing-inflated and are
-  *    deliberately not reported.
+  *  - `seq_wall_sec` / `queries`: strictly sequential passes
+  *    (GRAFT_SEQ_RUNS, default 3), run last (fully JIT-warmed — steady
+  *    state). `seq_wall_sec` is the best pass wall (all listed in
+  *    `seq_runs`); `queries` holds per-query MEDIAN latency across the
+  *    passes, so a single microVM stall cannot masquerade as a query
+  *    regression. This is the like-for-like number against a sequential
+  *    single-process baseline; per-query latencies from concurrent
+  *    passes are queueing-inflated and are deliberately not reported.
   *  - Warmup: two passes at the smallest SF (sf0.001) compile+JIT the
   *    generated code; the first concurrent passes at the target SF
   *    finish C2 compilation (pass walls visibly descend — that is why
@@ -164,10 +166,19 @@ object Bench {
       sys.env.getOrElse("GRAFT_SEQ_PARTITIONS", "8"))
     spark.conf.set("spark.sql.files.minPartitionNum",
       sys.env.getOrElse("GRAFT_SEQ_SCAN_PARTITIONS", "8"))
-    // two passes, best kept (both reported): this box is a microVM with
-    // visible host steal — single-shot walls can be 2x off
-    val seqRuns = (1 to 2).map { _ => val r = runSuite(1); System.gc(); r }
-    val (seqWall, seqRes) = seqRuns.minBy(_._1)
+    // GRAFT_SEQ_RUNS passes (default 3): wall = best pass (both
+    // reported), per-query latency = MEDIAN across passes — this box is
+    // a microVM with visible host steal, and a single-shot (or even
+    // best-wall-pass) latency lets one multi-second stall land on one
+    // query and read as a 4x regression (VERDICT r5 #7: q47/q48).
+    // Median-of-3 per query is the same estimator ScaleProbe uses.
+    val seqPasses = math.max(1, sys.env.getOrElse("GRAFT_SEQ_RUNS", "3").toInt)
+    val seqRuns = (1 to seqPasses).map { _ => val r = runSuite(1); System.gc(); r }
+    val seqWall = seqRuns.map(_._1).min
+    val seqRes: Map[String, Double] = names.flatMap { q =>
+      val vs = seqRuns.flatMap(_._2.get(q)).sorted
+      if (vs.isEmpty) None else Some(q -> vs(vs.size / 2))
+    }.toMap
 
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line out of that window (round 3's full-precision,

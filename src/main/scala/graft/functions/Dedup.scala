@@ -412,9 +412,12 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels.select(col("node").as("y"), col("comp").as("yc")), "y")
         .groupBy(col("x")).agg(min(col("yc")).as("nc"))
+      // checkpointed BEFORE the self-join below — otherwise the edge
+      // join + aggregate above would compute twice per round
       val prop = labels.join(nbrMin.select(col("x").as("node"), col("nc")), "node")
         .select(col("node"), least(col("comp"), col("nc")).as("comp"),
           col("comp").as("prev"))
+        .localCheckpoint(true)
       // Pointer jump (path doubling): comp := min(comp, comp(comp)).
       // Labels always point at graph nodes, so one self-join per round
       // halves the remaining pointer depth — O(log diameter) rounds

@@ -253,8 +253,12 @@ object VectorFunctions {
     */
   def topKRecallAudit(approx: DataFrame, queries: DataFrame,
                       candidates: DataFrame, k: Int, bound: Double): DataFrame = {
+    // lazily checkpointed: the exact top-k (n_queries·k rows) feeds BOTH
+    // the kth-score stats and the hit join — without it the corpus-wide
+    // brute force runs twice in one action
     val exact = bruteForceTopK(queries, candidates, k)
       .select(col("qid"), col("cid"), col("cos"), col("rn"))
+      .localCheckpoint(false)
     // one left join + one aggregate for hit/approx counts (see
     // pairRecallAudit); the exact-side stats and n_queries are 1-row
     // aggregates crossJoined in

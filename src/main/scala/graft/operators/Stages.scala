@@ -159,12 +159,21 @@ final case class DedupStage(name: String, method: String, idCol: String,
       graft.functions.Dedup.dropNearDuplicates(df, idCol, textCol,
         k, numHashes, bands, threshold)
     case "spans" =>
+      // keep docs that retained at least one span OR were empty to begin
+      // with — n_kept == 0 on a non-empty doc means "entirely duplicated
+      // elsewhere", but an originally-empty doc is not a duplicate
+      // (ADVICE r5: length(clean_text) > 0 conflated the two)
       val cleaned = graft.functions.Dedup.dedupSpans(df, idCol, textCol, width)
-        .select(col("doc").as("__graft_doc"), col("clean_text"))
-        .filter(length(col("clean_text")) > 0)
-      df.join(cleaned, col(idCol) === col("__graft_doc"))
-        .drop(textCol, "__graft_doc")
+        .select(col("doc").as("__graft_doc"), col("clean_text"), col("n_kept"))
+      val joined = df.join(cleaned, col(idCol) === col("__graft_doc"))
+        .filter(col("n_kept") > 0 || length(col(textCol)) === 0)
+        .drop(textCol, "__graft_doc", "n_kept")
         .withColumnRenamed("clean_text", textCol)
+      // span removal changed the text — derived length columns follow
+      if (joined.columns.contains("n_chars"))
+        joined.withColumn("n_chars",
+          length(col(textCol)).cast(joined.schema("n_chars").dataType))
+      else joined
     case other => throw new IllegalArgumentException(
       s"dedup stage '$name': unknown method '$other' (exact | fingerprint | minhash | spans)")
   }

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
 /** Training-data pipeline operators over `documents` and `events`:
   * dedup (exact / fingerprint / n-gram Jaccard / MinHash-LSH / SimHash),
   * text analysis (token stats, language ID, quality score), event-stream
-  * batch analytics (tumbling windows, sessionization). SQL-expressible
-  * ones carry a DuckDB oracle; hash-based ones (xxhash64) are Spark-only
-  * and get the driver's rows-only check.
+  * batch analytics (tumbling windows, sessionization). EVERY gate query
+  * here carries a DuckDB oracle and is hash-checked (rows + schema +
+  * values); operators whose internals aren't portable SQL (xxhash64
+  * sketches) are gated through portable md5 twins or exact-oracle
+  * audits instead of weaker rows-only checks.
   */
 object TextQueries {
 

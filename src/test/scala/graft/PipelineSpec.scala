@@ -130,8 +130,31 @@ class PipelineSpec extends SparkSpec {
     assert(spansOut.columns.contains("text") && spansOut.columns.contains("lang"))
     val twin = graft.functions.Dedup.dedupSpans(
       Tables.documents(spark, sf), "doc_id", "text", 20)
-      .filter(length(col("clean_text")) > 0)
+      .filter(col("n_kept") > 0)
     assert(spansOut.count() == twin.count())
+    // n_chars follows the rewritten text, not the original
+    if (spansOut.columns.contains("n_chars"))
+      assert(spansOut.filter(col("n_chars") =!= length(col("text"))).count() == 0)
+
+    // spans stage keeps originally-empty docs (not duplicates of anything)
+    // and drops only entirely-duplicated non-empty docs (ADVICE r5)
+    {
+      import spark.implicits._
+      val fixture = Seq(
+        (1L, "alpha beta gamma", 16L),
+        (2L, "alpha beta gamma", 16L), // full duplicate of doc 1 → dropped
+        (3L, "", 0L),                  // originally empty → kept
+        (4L, "", 0L))                  // second empty doc → also kept
+        .toDF("doc_id", "text", "n_chars")
+      val cleaned = graft.operators.DedupStage(
+        "s", "spans", "doc_id", "text", 0.6, 3, 32, 8, width = 3)
+        .apply(spark, fixture)
+      val byId = cleaned.collect().map(r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[String]("text"), r.getAs[Long]("n_chars")))).toMap
+      assert(byId.keySet == Set(1L, 3L, 4L), s"kept=${byId.keySet}")
+      assert(byId(1L) == ("alpha beta gamma", 16L))
+      assert(byId(3L) == ("", 0L) && byId(4L) == ("", 0L))
+    }
 
     // mix stages: token budget then sequence packing, chained
     val yamlMix =
