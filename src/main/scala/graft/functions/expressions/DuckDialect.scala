@@ -64,9 +64,11 @@ case class DuckLen(child: Expression) extends UnaryExpression {
   *     string munging). Registered by [[GraftFunctions.register]] and
   *     [[GraftExtensions]].
   *  2. parser rewrites ([[graft.operators.GraftSqlParser]]):
-  *     `* EXCLUDE(...)` → `* EXCEPT(...)`, and `QUALIFY <pred>` → a
-  *     ranked subquery (wrap for alias predicates, helper-column
-  *     injection for inline windows).
+  *     `* EXCLUDE(...)` → `* EXCEPT(...)`, `QUALIFY <pred>` → a ranked
+  *     subquery (wrap for alias predicates, helper-column injection for
+  *     inline windows), `struct_pack(a := x)` → `named_struct('a', x)`,
+  *     and `USING SAMPLE n%/n ROWS` → a TABLESAMPLE over the block
+  *     (method specs like reservoir(...) keep the guided error).
   *  3. [[fnHints]]/[[constructHints]] — DuckDB-isms with no faithful
   *     Spark rewrite raise [[DuckDialectException]] naming the construct
   *     and the nearest Spark equivalent instead of a raw Catalyst error.
@@ -277,8 +279,11 @@ object DuckDialect {
     // could not handle (e.g. a parse failure after rewriting).
     raw"(?i)\bQUALIFY\b".r ->
       "this QUALIFY shape couldn't be auto-rewritten — compute the window column in a subquery and filter it outside: SELECT * FROM (SELECT ..., row_number() OVER (...) AS rn FROM t) WHERE rn = 1",
+    // plain n% / n ROWS forms are auto-rewritten; this hint fires for
+    // method specs (reservoir/system/bernoulli) which Spark's Bernoulli
+    // sampler must not silently impersonate
     raw"(?i)\bUSING\s+SAMPLE\b".r ->
-      "USING SAMPLE → TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
+      "this USING SAMPLE form couldn't be auto-rewritten (sampling-method specs change statistics) — use TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
     raw"(?i)\bCOLUMNS\s*\(".r ->
       "the COLUMNS(...) star pattern isn't supported — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract",
     raw":=".r ->

@@ -15,8 +15,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * via injectParser.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  private def rewrite(sql: String): String =
-    GraftSqlParser.rewriteQualify(GraftSqlParser.rewriteExclude(sql))
+  private def rewrite(sql: String): String = GraftSqlParser.rewriteAll(sql)
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.withDialectHint(sqlText)(delegate.parsePlan(rewrite(sqlText)))
@@ -32,6 +31,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
+
+  /** All DuckDB-dialect text rewrites in one call, the order chosen so
+    * later rewrites see earlier output: EXCLUDE → EXCEPT, struct_pack
+    * named args, QUALIFY → ranked subquery, USING SAMPLE → TABLESAMPLE.
+    */
+  def rewriteAll(sql: String): String =
+    rewriteSample(rewriteQualify(rewriteStructPack(rewriteExclude(sql))))
+
   private val ExcludeRe = raw"(?is)\*\s+EXCLUDE\s*\(([^)]*)\)".r
 
   /** Rewrite every `* EXCLUDE(a, b)` into native `* EXCEPT (a, b)` —
@@ -195,6 +202,101 @@ object GraftSqlParser {
         s"SELECT * EXCEPT (__graft_qualify) FROM ( $head2 ) WHERE __graft_qualify "
       }
     sql.substring(0, blockStart) + replacement + sql.substring(predEnd)
+  }
+
+  private val StructPackRe = raw"(?i)\bstruct_pack\s*\(".r
+
+  /** Rewrite DuckDB `struct_pack(a := 1, b := x)` into Spark
+    * `named_struct('a', 1, 'b', x)`: the function name maps directly and
+    * each named argument `ident :=` becomes the quoted-name element
+    * `'ident',`. Scoped to the struct_pack(...) span (paren-matched on
+    * the literal-masked copy), so `:=` anywhere else still raises the
+    * guided named-argument error instead of being silently mangled.
+    */
+  def rewriteStructPack(sql: String): String = {
+    val masked = maskQuotes(sql)
+    StructPackRe.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) =>
+        // matching close paren of the argument list
+        var i = m.end
+        var d = 1
+        while (i < masked.length && d > 0) {
+          masked.charAt(i) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (d != 0) sql // unbalanced — leave for the parser to report
+        else {
+          val inner = sql.substring(m.end, i - 1)
+          val innerMasked = masked.substring(m.end, i - 1)
+          // replace ident := at THIS call's top level only (depth 0 in
+          // the span) — a nested struct_pack is handled by recursion
+          val argRe = raw"(?s)([A-Za-z_][A-Za-z_0-9]*)\s*:=".r
+          val sb = new StringBuilder
+          var last = 0
+          for (am <- argRe.findAllMatchIn(innerMasked)) {
+            val depth = innerMasked.substring(0, am.start)
+              .count(_ == '(') - innerMasked.substring(0, am.start).count(_ == ')')
+            if (depth == 0) {
+              sb.append(inner.substring(last, am.start))
+              sb.append("'").append(am.group(1)).append("',")
+              last = am.end
+            }
+          }
+          sb.append(inner.substring(last))
+          val rewritten = sql.substring(0, m.start) + "named_struct(" +
+            sb.toString + sql.substring(i - 1)
+          rewriteStructPack(rewritten)
+        }
+    }
+  }
+
+  private val SampleRe =
+    raw"(?i)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?".r
+
+  /** Rewrite DuckDB `USING SAMPLE n% / n PERCENT / n [ROWS]` into Spark
+    * `TABLESAMPLE`, wrapping the block so the sample applies AFTER the
+    * block's WHERE — DuckDB's documented semantics, and the opposite of
+    * raw TABLESAMPLE (which samples the table before filters):
+    * `SELECT * FROM ( <block sans sample> ) TABLESAMPLE (spec)`.
+    * Method forms (`reservoir(...)`, `(bernoulli)`) keep the guided
+    * error — Spark's sampler is Bernoulli and pretending otherwise
+    * would silently change statistics.
+    */
+  def rewriteSample(sql: String): String = {
+    val masked = maskQuotes(sql)
+    SampleRe.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) =>
+        // a method suffix like 'reservoir(' or '(system)' → not rewritten
+        val after = masked.substring(m.end).dropWhile(_.isWhitespace)
+        if (after.startsWith("(") || raw"(?i)^[a-z_]+\s*\(".r.findFirstIn(after).isDefined)
+          return sql
+        val spec = m.group(2) match {
+          case s if s != null && (s == "%" || s.equalsIgnoreCase("percent")) =>
+            s"${m.group(1)} PERCENT"
+          case _ => s"${m.group(1)} ROWS"
+        }
+        // block start (same scan as QUALIFY)
+        val stack = scala.collection.mutable.Stack[Int]()
+        var i = 0
+        while (i < m.start) {
+          masked.charAt(i) match {
+            case '(' => stack.push(i + 1)
+            case ')' => if (stack.nonEmpty) stack.pop()
+            case _ =>
+          }
+          i += 1
+        }
+        val blockStart = if (stack.isEmpty) 0 else stack.top
+        val head = sql.substring(blockStart, m.start).trim
+        rewriteSample(sql.substring(0, blockStart) +
+          s"SELECT * FROM ( $head ) TABLESAMPLE ($spec) " + sql.substring(m.end))
+    }
   }
 
   /** Run a parse, converting a bare ANTLR failure on a known DuckDB-ism

@@ -13,17 +13,26 @@ import scala.collection.mutable
   *
   * Supported subset (anything else fails with an actionable message
   * naming the construct and line):
-  *  - `import re/json/random/pandas` (with aliases); other imports error
+  *  - `import re/json/random/pandas/math` (with aliases); other imports
+  *    error
   *  - module-level constant bindings `name = <expr>`
   *  - `def f(a, b):` whose body is bindings + an if/elif/else chain of
   *    single `return <expr>` branches (compiled to CASE WHEN), or a
   *    plain `return <expr>` — including `return {dict literal}`
   *  - `row['x'] = <expr>` assignments (the output derive columns)
-  *  - expressions: literals, `row['y']`, str/int/float/len/abs/round,
-  *    `re.match(pat, e)` (→ `e RLIKE '^(?:pat)'`), `rand.uniform(a,b)`
-  *    (→ `a + rand()*(b-a)`), `json.dumps({...})` (→ to_json(
-  *    named_struct(...))), `json.loads(e)` + `.get('k', d)` / `['k']`
-  *    (→ get_json_object), arithmetic, comparisons, and/or/not,
+  *  - module-level `if/elif/else` whose branches assign row columns —
+  *    each column becomes one CASE over the branch conditions; a branch
+  *    that skips the column keeps its prior value (NULL when new)
+  *  - expressions: literals, f-strings (`f"a {row['x']}"` → concat;
+  *    format specs error), `row['y']`, str/int/float/len/abs/round and
+  *    min/max (→ least/greatest), `re.match(pat, e)` (→ `e RLIKE
+  *    '^(?:pat)'`), `rand.uniform(a,b)` (→ `a + rand()*(b-a)`),
+  *    `math.sqrt/floor/ceil/exp/log/log2/log10/pow/fabs` + `math.pi/e`,
+  *    `json.dumps({...})` (→ to_json(named_struct(...))),
+  *    `json.loads(e)` + `.get('k', d)` / `['k']` (→ get_json_object),
+  *    string methods lower/upper/strip/lstrip/rstrip/title/capitalize/
+  *    startswith/endswith/replace, arithmetic incl. `**` (→ power) and
+  *    `//` (→ floor division), comparisons, and/or/not/in,
   *    `a if cond else b`, dict-returning function results
   *
   * Documented divergences (same spirit as the `derive` stage, SURVEY
@@ -48,6 +57,10 @@ object PythonMigrate {
   private case class TNum(s: String) extends Tok
   private case class TStr(s: String) extends Tok
   private case class TOp(s: String) extends Tok
+  /** f-string: alternating literal (Left) / embedded-expression source
+    * (Right) parts.
+    */
+  private case class TFStr(parts: Vector[Either[String, String]]) extends Tok
 
   private def lex(src: String, lineNo: Int): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -61,9 +74,11 @@ object PythonMigrate {
         val j0 = i
         while (i < src.length && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_')) i += 1
         val w = src.substring(j0, i)
-        // r'...' raw string prefix
+        // r'...' raw / f'...' formatted string prefixes
         if ((w == "r" || w == "R") && i < src.length && (src.charAt(i) == '\'' || src.charAt(i) == '"')) {
           val (s, ni) = lexString(src, i, lineNo, raw = true); out += TStr(s); i = ni
+        } else if ((w == "f" || w == "F") && i < src.length && (src.charAt(i) == '\'' || src.charAt(i) == '"')) {
+          val (parts, ni) = lexFString(src, i, lineNo); out += TFStr(parts); i = ni
         } else out += TName(w)
       } else if (c.isDigit || (c == '.' && i + 1 < src.length && src.charAt(i + 1).isDigit)) {
         val j0 = i
@@ -100,6 +115,55 @@ object PythonMigrate {
     if (i >= src.length)
       throw new MigrationError(lineNo, "unterminated string literal", "")
     (sb.toString, i + 1)
+  }
+
+  /** f-string body: literal text with `{expr}` holes ({{ }} escapes).
+    * Format specs (`{x:.2f}`, `{x!r}`) have no SQL equivalent → error.
+    */
+  private def lexFString(src: String, start: Int, lineNo: Int): (Vector[Either[String, String]], Int) = {
+    val quote = src.charAt(start)
+    val parts = Vector.newBuilder[Either[String, String]]
+    val lit = new StringBuilder
+    var i = start + 1
+    while (i < src.length && src.charAt(i) != quote) {
+      val c = src.charAt(i)
+      if (c == '{') {
+        if (i + 1 < src.length && src.charAt(i + 1) == '{') { lit += '{'; i += 2 }
+        else {
+          if (lit.nonEmpty) { parts += Left(lit.toString); lit.clear() }
+          val e = new StringBuilder
+          var depth = 1
+          i += 1
+          while (i < src.length && depth > 0) {
+            val ec = src.charAt(i)
+            if (ec == '{') { depth += 1; e += ec }
+            else if (ec == '}') { depth -= 1; if (depth > 0) e += ec }
+            else e += ec
+            i += 1
+          }
+          if (depth > 0) throw new MigrationError(lineNo, "unterminated f-string expression", "")
+          val es = e.toString
+          if (raw"[!:](?![=])".r.findFirstIn(
+              es.replaceAll("'[^']*'", "").replaceAll("\"[^\"]*\"", "")).isDefined)
+            throw new MigrationError(lineNo, s"f-string format spec in '{$es}'",
+              "Format specs have no SQL equivalent — use round/format_number in a 'derive' stage.")
+          parts += Right(es)
+        }
+      } else if (c == '}') {
+        if (i + 1 < src.length && src.charAt(i + 1) == '}') { lit += '}'; i += 2 }
+        else throw new MigrationError(lineNo, "single '}' in f-string", "Escape it as '}}'.")
+      } else if (c == '\\' && i + 1 < src.length) {
+        val n = src.charAt(i + 1)
+        lit += (n match {
+          case 'n' => '\n'; case 't' => '\t'; case '\\' => '\\'
+          case '\'' => '\''; case '"' => '"'; case other => other
+        })
+        i += 2
+      } else { lit += c; i += 1 }
+    }
+    if (i >= src.length) throw new MigrationError(lineNo, "unterminated f-string", "")
+    if (lit.nonEmpty) parts += Left(lit.toString)
+    (parts.result(), i + 1)
   }
 
   // ------------------------------------------------------------ value IR
@@ -377,6 +441,9 @@ object PythonMigrate {
       while (cont) peek match {
         case Some(TOp(op)) if Set("*", "/", "%").contains(op) =>
           next(); v = Sql(s"(${sqlOf(v, line).sql} $op ${sqlOf(unary(), line).sql})")
+        case Some(TOp("//")) =>
+          // python floor division (rounds toward -inf, unlike SQL int div)
+          next(); v = Sql(s"floor(${sqlOf(v, line).sql} / ${sqlOf(unary(), line).sql})")
         case _ => cont = false
       }
       v
@@ -384,7 +451,19 @@ object PythonMigrate {
 
     private def unary(): V = peek match {
       case Some(TOp("-")) => next(); Sql(s"(- ${sqlOf(unary(), line).sql})")
-      case _ => postfix()
+      case _ => power()
+    }
+
+    // python ** binds tighter than unary minus and is right-associative:
+    // -2**2 = -(2**2), 2**3**2 = 2**(3**2) — both fall out of unary()
+    // on the right side
+    private def power(): V = {
+      val base = postfix()
+      peek match {
+        case Some(TOp("**")) =>
+          next(); Sql(s"power(${sqlOf(base, line).sql}, ${sqlOf(unary(), line).sql})")
+        case _ => base
+      }
     }
 
     private def postfix(): V = {
@@ -405,8 +484,12 @@ object PythonMigrate {
           }
           v = peek match {
             case Some(TOp("(")) => call(v, Some(name))
-            case _ => err(s"attribute access '.$name' without a call",
-              "Only method calls like .get(...)/.lower()/.strip() are supported.")
+            case _ => (v, name) match {
+              case (Module("math"), "pi") => Sql("pi()")
+              case (Module("math"), "e") => Sql("e()")
+              case _ => err(s"attribute access '.$name' without a call",
+                "Only method calls like .get(...)/.lower()/.strip() are supported.")
+            }
           }
         case _ => cont = false
       }
@@ -415,6 +498,19 @@ object PythonMigrate {
 
     private def atom(): V = next() match {
       case TStr(s) => Sql(sqlStr(s), isString = true)
+      case TFStr(parts) =>
+        if (parts.isEmpty) Sql(sqlStr(""), isString = true)
+        else {
+          val pieces = parts.map {
+            case Left(lit) => sqlStr(lit)
+            case Right(src) =>
+              val inner = new ExprParser(lex(src, line), env, line).parseFull()
+              val s = sqlOf(inner, line)
+              if (s.isString) s.sql else s"CAST(${s.sql} AS STRING)"
+          }
+          if (pieces.length == 1) Sql(pieces.head, isString = true)
+          else Sql(s"concat(${pieces.mkString(", ")})", isString = true)
+        }
       case TNum(n) => Sql(n)
       case TName("True") => Sql("true")
       case TName("False") => Sql("false")
@@ -464,7 +560,7 @@ object PythonMigrate {
       case other => err(s"unexpected token '$other'")
     }
 
-    private val builtins = Set("str", "int", "float", "len", "abs", "round")
+    private val builtins = Set("str", "int", "float", "len", "abs", "round", "min", "max")
 
     private def call(target: V, method: Option[String]): V = {
       expect("(")
@@ -505,6 +601,26 @@ object PythonMigrate {
         case (Module("random"), Some("random")) => Sql("rand()")
         case (Module("random"), Some(other)) =>
           err(s"random.$other", "Only uniform/random are translated.")
+        case (Module("math"), Some(fn)) =>
+          def one = sqlOf(a.head, line).sql
+          fn match {
+            case "sqrt" => Sql(s"sqrt($one)")
+            case "floor" => Sql(s"floor($one)")
+            case "ceil" => Sql(s"ceil($one)")
+            case "exp" => Sql(s"exp($one)")
+            case "log" =>
+              // python math.log(x[, base]); SQL log(base, x) flips args
+              if (a.length == 2) Sql(s"log(${sqlOf(a(1), line).sql}, $one)")
+              else Sql(s"ln($one)")
+            case "log2" => Sql(s"log2($one)")
+            case "log10" => Sql(s"log10($one)")
+            case "pow" =>
+              if (a.length != 2) err("math.pow expects (x, y)")
+              Sql(s"power($one, ${sqlOf(a(1), line).sql})")
+            case "fabs" => Sql(s"abs(CAST($one AS DOUBLE))")
+            case other => err(s"math.$other",
+              "Translated: sqrt/floor/ceil/exp/log/log2/log10/pow/fabs and the pi/e constants.")
+          }
         case (Module("json"), Some("dumps")) => a.head match {
           case Dict(fields) =>
             val parts = fields.map { case (k, v) => s"${sqlStr(k)}, ${sqlOf(v, line).sql}" }
@@ -523,6 +639,16 @@ object PythonMigrate {
           Sql(s"upper(${sqlOf(v, line).sql})", isString = true)
         case (v, Some("strip")) if a.isEmpty && v.isInstanceOf[Sql] =>
           Sql(s"trim(${sqlOf(v, line).sql})", isString = true)
+        case (v, Some("lstrip")) if a.isEmpty && v.isInstanceOf[Sql] =>
+          Sql(s"ltrim(${sqlOf(v, line).sql})", isString = true)
+        case (v, Some("rstrip")) if a.isEmpty && v.isInstanceOf[Sql] =>
+          Sql(s"rtrim(${sqlOf(v, line).sql})", isString = true)
+        case (v, Some("title")) if a.isEmpty && v.isInstanceOf[Sql] =>
+          Sql(s"initcap(${sqlOf(v, line).sql})", isString = true)
+        case (v, Some("capitalize")) if a.isEmpty && v.isInstanceOf[Sql] =>
+          // python: first char upper, REST lower (initcap would touch every word)
+          val s = sqlOf(v, line).sql
+          Sql(s"concat(upper(substring($s, 1, 1)), lower(substring($s, 2)))", isString = true)
         case (v, Some("startswith")) if a.length == 1 && v.isInstanceOf[Sql] =>
           Sql(s"startswith(${sqlOf(v, line).sql}, ${sqlOf(a.head, line).sql})")
         case (v, Some("endswith")) if a.length == 1 && v.isInstanceOf[Sql] =>
@@ -555,6 +681,11 @@ object PythonMigrate {
       case "round" =>
         if (a.length == 2) Sql(s"round(${sqlOf(a.head, line).sql}, ${sqlOf(a(1), line).sql})")
         else Sql(s"round(${sqlOf(a.head, line).sql})")
+      case "min" | "max" =>
+        if (a.length < 2) err(s"$fn() needs 2+ scalar arguments",
+          "min/max over a list has no row-local SQL form — use a groupBy aggregate.")
+        val f = if (fn == "min") "least" else "greatest"
+        Sql(s"$f(${a.map(sqlOf(_, line).sql).mkString(", ")})")
     }
 
     /** A bare row-column reference (atom emits them as `` `col` ``). */
@@ -653,8 +784,38 @@ object PythonMigrate {
         out += ((colName, sql))
         // later statements can read the new column
         env.put(colName, Sql(s"`$colName`"))
-      case SIf(_, line) => throw new MigrationError(line, "module-level if/elif",
-        "Wrap the logic in a function, or use a conditional expression.")
+      case SIf(branches, line) =>
+        // module-level if/elif/else whose branches assign row columns:
+        // each column assigned in ANY branch becomes one CASE over the
+        // branch conditions; a branch that does not assign the column
+        // keeps its prior value (the existing column if bound earlier in
+        // this block, else NULL — python's missing-key-on-that-path).
+        val evaluated = branches.map { case (condToks, stmts) =>
+          val cond = condToks.map { ct =>
+            val p = new ExprParser(ct, env, line); p.boolOf(p.parseFull())
+          }
+          val assigns = stmts.map {
+            case SRow(c, toks, l) => (c, new ExprParser(toks, env, l).parseFull())
+            case other => throw new MigrationError(other.line,
+              "statement other than row['...'] = ... inside a module-level if branch",
+              "Branches of a module-level if may only assign row columns.")
+          }
+          (cond, assigns)
+        }
+        val assignedCols = evaluated.flatMap(_._2.map(_._1)).distinct
+        assignedCols.foreach { colName =>
+          val fallback = if (env.contains(colName)) s"`$colName`" else "NULL"
+          def valueIn(assigns: Seq[(String, V)]): String =
+            assigns.reverse.collectFirst { case (`colName`, vv) => sqlOf(vv, line).sql }
+              .getOrElse(fallback)
+          val whens = evaluated.collect { case (Some(c), assigns) =>
+            s"WHEN $c THEN ${valueIn(assigns)}"
+          }
+          val elseVal = evaluated.collectFirst { case (None, assigns) => valueIn(assigns) }
+            .getOrElse(fallback)
+          out += ((colName, s"CASE ${whens.mkString(" ")} ELSE $elseVal END"))
+          env.put(colName, Sql(s"`$colName`"))
+        }
       case SReturn(_, line) => throw new MigrationError(line, "module-level return", "")
     }
     val cols = out.result()

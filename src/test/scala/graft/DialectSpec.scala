@@ -130,11 +130,33 @@ class DialectSpec extends SparkSpec {
       "SELECT id, row_number() OVER (ORDER BY id) AS rn FROM df QUALIFY rn = 1")
       .apply(spark, spark.range(5).toDF("id")).collect().map(_.getLong(0)).toSeq == Seq(0L))
     assert(hintOf("SELECT * FROM df ASOF JOIN df2 ON df.id >= df2.id").contains("as-of"))
-    assert(hintOf("SELECT * FROM df USING SAMPLE 10%").contains("TABLESAMPLE"))
-    assert(hintOf("SELECT struct_pack(a := 1) FROM df").contains("named_struct"))
+    // USING SAMPLE with a method spec is NOT silently approximated
+    assert(hintOf("SELECT * FROM df USING SAMPLE reservoir(10%)").contains("TABLESAMPLE"))
     assert(hintOf("SELECT [x for x in ids] FROM df").contains("transform("))
     assert(hintOf("SELECT j->>'a' FROM df").contains("get_json_object"))
     assert(hintOf("SELECT 5 ** 2 FROM df").contains("power"))
+    // := outside struct_pack still raises the named-argument hint
+    assert(hintOf("SELECT f(a := 1) FROM df").contains("named_struct"))
+  }
+
+  test("struct_pack named args rewrite to named_struct") {
+    val r = SqlStage("s",
+      "SELECT struct_pack(a := id + 1, b := 'x', c := struct_pack(d := 2)) AS s FROM df")
+      .apply(spark, spark.range(1).toDF("id")).collect().head.getStruct(0)
+    assert(r.getLong(0) == 1L && r.getString(1) == "x")
+    assert(r.getStruct(2).getInt(0) == 2)
+    // literal text is never touched
+    assert(GraftSqlParser.rewriteStructPack("SELECT 'struct_pack(a := 1)' AS s")
+      == "SELECT 'struct_pack(a := 1)' AS s")
+  }
+
+  test("USING SAMPLE rewrites to TABLESAMPLE after the block's WHERE") {
+    val out = SqlStage("s", "SELECT * FROM df WHERE id < 40 USING SAMPLE 10 ROWS")
+      .apply(spark, spark.range(100).toDF("id")).collect().map(_.getLong(0))
+    assert(out.length == 10 && out.forall(_ < 40))
+    val pct = SqlStage("s", "SELECT * FROM df USING SAMPLE 50%")
+      .apply(spark, spark.range(200).toDF("id")).count()
+    assert(pct > 20 && pct < 180) // Bernoulli; loose bounds
   }
 
   test("string literals never false-positive a construct hint") {

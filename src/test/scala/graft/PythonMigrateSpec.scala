@@ -199,6 +199,76 @@ class PythonMigrateSpec extends SparkSpec {
     assert(rows("ax") == (("ax", "AX", "yes", "ay", "other")))
   }
 
+  test("module-level if/elif/else assigning row columns compiles to CASE per column") {
+    val cols = PythonMigrate.toDeriveColumns(
+      """if int(row['a']) > 6:
+        |    row['size'] = 'big'
+        |    row['extra'] = 1
+        |elif int(row['a']) > 3:
+        |    row['size'] = 'mid'
+        |else:
+        |    row['size'] = 'small'
+        |row['after'] = row['size']
+        |""".stripMargin)
+    import org.apache.spark.sql.functions._
+    var df = spark.range(10).toDF("a")
+    cols.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+    val rows = df.collect().map(r => r.getAs[Long]("a") ->
+      ((r.getAs[String]("size"), Option(r.get(r.fieldIndex("extra"))), r.getAs[String]("after")))).toMap
+    assert(rows(8L) == (("big", Some(1), "big")))
+    assert(rows(5L) == (("mid", None, "mid")))   // 'extra' only set on one path → NULL
+    assert(rows(1L) == (("small", None, "small")))
+  }
+
+  test("module-level if without else keeps the column's prior value") {
+    val cols = PythonMigrate.toDeriveColumns(
+      """row['flag'] = 'base'
+        |if int(row['a']) > 5:
+        |    row['flag'] = 'high'
+        |""".stripMargin)
+    import org.apache.spark.sql.functions._
+    var df = spark.range(10).toDF("a")
+    cols.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+    val m = df.collect().map(r => r.getAs[Long]("a") -> r.getAs[String]("flag")).toMap
+    assert(m(7L) == "high" && m(3L) == "base")
+  }
+
+  test("f-strings, math module, min/max, ** and // translate") {
+    val cols = PythonMigrate.toDeriveColumns(
+      """import math
+        |row['msg'] = f"id={row['a']} sq={row['a'] ** 2}"
+        |row['rt'] = math.sqrt(float(row['a']))
+        |row['half'] = row['a'] // 2
+        |row['neg'] = -7 // 2
+        |row['lo'] = min(row['a'], 5)
+        |row['hi'] = max(row['a'], 5, 7)
+        |row['circ'] = math.pi * 2
+        |row['cap'] = str(row['name']).capitalize()
+        |row['t'] = str(row['name']).title()
+        |""".stripMargin)
+    import org.apache.spark.sql.functions._
+    var df = spark.sql("SELECT CAST(9 AS BIGINT) AS a, 'hello world' AS name")
+    cols.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+    val r = df.head()
+    assert(r.getAs[String]("msg") == "id=9 sq=81.0")
+    assert(math.abs(r.getAs[Double]("rt") - 3.0) < 1e-12)
+    assert(r.getAs[Long]("half") == 4L)
+    assert(r.getAs[Long]("neg") == -4L)  // python floor division semantics
+    assert(r.getAs[Long]("lo") == 5L && r.getAs[Long]("hi") == 9L)
+    assert(math.abs(r.getAs[Double]("circ") - 2 * math.Pi) < 1e-12)
+    assert(r.getAs[String]("cap") == "Hello world")
+    assert(r.getAs[String]("t") == "Hello World")
+  }
+
+  test("f-string format specs and list-min raise guided errors") {
+    val e1 = intercept[IllegalArgumentException](
+      PythonMigrate.toDeriveColumns("row['x'] = f\"{row['a']:.2f}\""))
+    assert(e1.getMessage.contains("format spec"))
+    val e2 = intercept[IllegalArgumentException](
+      PythonMigrate.toDeriveColumns("row['x'] = min(row['a'])"))
+    assert(e2.getMessage.contains("2+ scalar"))
+  }
+
   test("unsupported constructs fail with actionable line-numbered messages") {
     val cases = Seq(
       "import requests\nrow['x'] = 1" -> "module 'requests'",
