@@ -150,6 +150,86 @@ object Mix {
     d
   }
 
+  /** Temperature-based stratum rebalancing — the multinomial mix
+    * flattening multilingual LM training uses (Lample & Conneau,
+    * "Cross-lingual Language Model Pretraining", 2019: sample language
+    * i with probability ∝ p_i^alpha): each stratum's share moves from
+    * p_i to p_i^alpha (renormalized, total row count preserved up to
+    * quantization), realized DETERMINISTICALLY — every row is emitted
+    * `floor(f)` times plus one more when its md5 first hex digit is
+    * below the factor's fractional sixteenths, where
+    * f = N·n_i^alpha / (Z·n_i), Z = Σ n_j^alpha, quantized to
+    * sixteenths. Low-resource strata upsample (repeat copies, `copy` =
+    * 0..k-1), dominant strata downsample (some rows drop) — no RNG, no
+    * seed, identical output in any engine with md5 (the q95 oracle
+    * replays it in SQL).
+    *
+    * Determinism discipline: alpha = 0.5 uses sqrt (correctly rounded
+    * per IEEE 754 everywhere); Z sums DECIMAL(38,10)-cast terms so the
+    * total is addition-order-independent (the [[graft.Tables]] dsum
+    * argument); everything after is arithmetic on identical doubles.
+    * Other alphas use pow, whose last-ulp behavior is libm-specific —
+    * fine for production mixing, excluded from the hash gate.
+    *
+    * 100 TB shape: two tiny aggregates over stratum counts + one
+    * broadcast join + a row-local explode — no corpus shuffle at all.
+    */
+  def temperatureResample(df: DataFrame, stratumCol: Column, idCol: Column,
+                          alpha: Double = 0.5, copyCol: String = "copy"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    require(!df.columns.contains(copyCol),
+      s"temperatureResample adds a $copyCol column; the input already has one — rename it first")
+    val nPow: Column => Column =
+      if (alpha == 0.5) n => sqrt(n.cast("double"))
+      else n => pow(n.cast("double"), lit(alpha))
+    val counts = df.groupBy(stratumCol.as("__graft_s")).agg(count(lit(1)).as("__graft_n"))
+    val tot = counts.agg(
+      sum(col("__graft_n")).cast("double").as("__graft_bigN"),
+      sum(nPow(col("__graft_n")).cast("decimal(38,10)")).cast("double").as("__graft_z"))
+    val factors = counts.crossJoin(broadcast(tot))
+      .select(col("__graft_s"),
+        round(col("__graft_bigN") / (col("__graft_z") / nPow(col("__graft_n")))
+          / col("__graft_n") * 16).cast("long").as("__graft_f16"))
+    df.join(broadcast(factors), stratumCol <=> col("__graft_s"))
+      .withColumn("__graft_dig",
+        conv(substring(md5(idCol.cast("string")), 1, 1), 16, 10).cast("long"))
+      .withColumn("__graft_copies",
+        (floor(col("__graft_f16") / 16.0) +
+          when(col("__graft_dig") < pmod(col("__graft_f16"), lit(16)), 1L).otherwise(0L))
+          .cast("long"))
+      .withColumn(copyCol, explode(when(col("__graft_copies") > 0,
+        sequence(lit(0L), col("__graft_copies") - 1)).otherwise(array().cast("array<long>"))))
+      .drop("__graft_s", "__graft_n", "__graft_f16", "__graft_dig", "__graft_copies")
+  }
+
+  /** Per-stratum quality-percentile filter: keep each stratum's top
+    * `keepFraction` of rows by `scoreCol` (ties broken by (md5(id), id)
+    * so the kept set is a pure deterministic function of the data —
+    * replayable in any engine). Keeps ceil(keepFraction·n) rows per
+    * stratum, so no stratum is emptied by rounding. The standard
+    * quality-gate step of a training pipeline (score with q33-style
+    * heuristics or a model, then keep the best X% per language).
+    *
+    * Shape: one window (rank + count) per stratum partition. A dominant
+    * stratum serializes through one partition — at 100 TB compute the
+    * per-stratum score THRESHOLD instead (percentile_approx over an
+    * aggregate, broadcast back, row-local filter ≥ threshold): one
+    * scan + one tiny broadcast, approximate at the boundary only.
+    * This exact-rank form is the verification-oracle twin of that path.
+    */
+  def topFractionByScore(df: DataFrame, stratumCol: Column, scoreCol: Column,
+                         idCol: Column, keepFraction: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0, 1]")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(scoreCol.desc, md5(idCol.cast("string")), idCol)
+    val wAll = Window.partitionBy(stratumCol)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .withColumn("__graft_cnt", count(lit(1)).over(wAll))
+      .filter(col("__graft_rn") <= ceil(col("__graft_cnt") * keepFraction))
+      .drop("__graft_rn", "__graft_cnt")
+  }
+
   /** Deterministic train/val/test (or any n-way) split: assigns each
     * row a split label from the same md5 first-hex-digit bucket its
     * sampling uses, with weights in sixteenths summing to 16 — e.g.

@@ -224,16 +224,22 @@ object SplitStage {
   }
 }
 
-/** `mix` stage: token-denominated corpus shaping from YAML —
+/** `mix` stage: corpus shaping from YAML —
   * `budget` caps each stratum at a token budget
   * ([[graft.functions.Mix.tokenBudget]]); `pack` assigns concat-order
-  * training-sequence ids ([[graft.functions.Mix.packSequences]]).
-  * `tokens` is any Spark SQL expression producing the per-row token
-  * count (default whitespace count over `text`).
+  * training-sequence ids ([[graft.functions.Mix.packSequences]]);
+  * `temperature` rebalances stratum shares to p^alpha
+  * ([[graft.functions.Mix.temperatureResample]]); `quality` keeps each
+  * stratum's top `fraction` by a score expression
+  * ([[graft.functions.Mix.topFractionByScore]]). `tokens`/`score` are
+  * any Spark SQL expression (token default: whitespace count over
+  * `text`).
   *
   * {{{
   * actionConfig: {method: budget, stratum: lang, id: doc_id, budgets: {en: 4000}}
   * actionConfig: {method: pack, id: doc_id, seqLen: 512, shards: 256}
+  * actionConfig: {method: temperature, stratum: lang, id: doc_id, alpha: 0.5}
+  * actionConfig: {method: quality, stratum: lang, id: doc_id, score: "length(text)", fraction: 0.5}
   * }}}
   *
   * `shards` (pack) / `fanout` (budget) are the parallelism knobs — a
@@ -242,7 +248,9 @@ object SplitStage {
 final case class MixStage(name: String, method: String, idCol: String,
                           stratumCol: String, tokensExpr: String,
                           budgets: Map[String, Long], seqLen: Long,
-                          shards: Int = 16) extends Stage {
+                          shards: Int = 16, alpha: Double = 0.5,
+                          fraction: Double = 0.5,
+                          scoreExpr: String = "") extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "budget" =>
       graft.functions.Mix.tokenBudget(df, col(stratumCol), col(idCol),
@@ -250,8 +258,13 @@ final case class MixStage(name: String, method: String, idCol: String,
     case "pack" =>
       graft.functions.Mix.packSequences(df, col(idCol),
         expr(tokensExpr).cast("long"), seqLen, shards)
+    case "temperature" =>
+      graft.functions.Mix.temperatureResample(df, col(stratumCol), col(idCol), alpha)
+    case "quality" =>
+      graft.functions.Mix.topFractionByScore(df, col(stratumCol),
+        expr(if (scoreExpr.nonEmpty) scoreExpr else tokensExpr), col(idCol), fraction)
     case other => throw new IllegalArgumentException(
-      s"mix stage '$name': unknown method '$other' (budget | pack)")
+      s"mix stage '$name': unknown method '$other' (budget | pack | temperature | quality)")
   }
 }
 
@@ -272,7 +285,10 @@ object MixStage {
     MixStage(cfg.name, method, s("id", "doc_id"), s("stratum", "lang"),
       s("tokens", "size(split(text, ' '))"), budgets,
       s("seqLen", "512").toLong,
-      s("shards", s("fanout", "16")).toInt)
+      s("shards", s("fanout", "16")).toInt,
+      s("alpha", "0.5").toDouble,
+      s("fraction", "0.5").toDouble,
+      s("score", ""))
   }
 }
 

@@ -198,6 +198,31 @@ object TextQueries {
         col("pack_offset"), col("pack_id"))
       .orderBy(col("doc_id"))
 
+  /** Temperature resampling ([[graft.functions.Mix.temperatureResample]],
+    * alpha = 0.5): language shares move from p_i to √p_i (renormalized),
+    * realized as deterministic md5-sixteenth repeats/drops. The oracle
+    * replays the whole construction — counts, the decimal-exact Z sum,
+    * the identical double-op-order factor, the md5 digit, the copy
+    * explosion — so every (doc, copy) row hash-matches.
+    */
+  def q95Temperature(s: SparkSession, d: String): DataFrame =
+    graft.functions.Mix.temperatureResample(
+        documents(s, d).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), alpha = 0.5, copyCol = "copy_id")
+      .orderBy(col("doc_id"), col("copy_id"))
+
+  /** Per-language quality-percentile gate
+    * ([[graft.functions.Mix.topFractionByScore]]): keep each language's
+    * top half by token count, ties broken by (md5(id), id). The oracle
+    * replays the identical rank-and-ceil construction.
+    */
+  def q96QualityFilter(s: SparkSession, d: String): DataFrame =
+    graft.functions.Mix.topFractionByScore(
+        documents(s, d).select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("score")),
+        col("lang"), col("score"), col("doc_id"), keepFraction = 0.5)
+      .orderBy(col("doc_id"))
+
   /** Cross-corpus near-dup decontamination
     * ([[Dedup.minhashNearDupsBetween]]): docs 0-49 stand in for a
     * held-out benchmark, the rest is the training corpus; emit every
@@ -410,6 +435,8 @@ object TextQueries {
     "q92_span_dedup"      -> (q92SpanDedup _),
     "q93_token_budget"    -> (q93TokenBudget _),
     "q94_sequence_pack"   -> (q94SequencePack _),
+    "q95_temperature"     -> (q95Temperature _),
+    "q96_quality_filter"  -> (q96QualityFilter _),
     "q36_simhash"         -> (q36Simhash _),
     "q38_fingerprint"     -> (q38Fingerprint _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
@@ -660,6 +687,34 @@ object TextQueries {
                                      WHEN 'fr' THEN 2000
                                      ELSE 9223372036854775807 END)
       ORDER BY doc_id""",
+
+    "q95_temperature" -> """
+      WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(n) AS DOUBLE) AS bign,
+              CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,10))) AS DOUBLE) AS z
+            FROM c),
+      f AS (SELECT c.lang AS s,
+              CAST(round(t.bign / (t.z / sqrt(CAST(c.n AS DOUBLE))) / c.n * 16) AS BIGINT) AS f16
+            FROM c, t),
+      d AS (SELECT doc_id, documents.lang AS lang, f16,
+              CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS UBIGINT) AS BIGINT) AS dig
+            FROM documents JOIN f ON documents.lang = f.s),
+      r AS (SELECT doc_id, lang,
+              (f16 // 16) + (CASE WHEN dig < (f16 % 16) THEN 1 ELSE 0 END) AS n_copies
+            FROM d)
+      SELECT doc_id, lang, UNNEST(range(n_copies)) AS copy_id
+      FROM r ORDER BY doc_id, copy_id""",
+
+    "q96_quality_filter" -> """
+      WITH t AS (SELECT doc_id, lang,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS score FROM documents),
+      r AS (SELECT doc_id, lang, score,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY score DESC, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+              COUNT(*) OVER (PARTITION BY lang) AS cnt
+            FROM t)
+      SELECT doc_id, lang, score FROM r
+      WHERE rn <= CEIL(cnt * 0.5) ORDER BY doc_id""",
 
     "q94_sequence_pack" -> """
       WITH t AS (SELECT doc_id,

@@ -211,6 +211,61 @@ class UtilOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature resample flattens shares toward uniform, conserves total, deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = graft.functions.Mix.temperatureResample(docs, col("lang"), col("doc_id"))
+    val after = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = before.values.sum.toDouble
+    // total conserved up to sixteenth-quantization
+    assert(math.abs(after.values.sum - n) / n < 0.1, s"total ${after.values.sum} vs $n")
+    // the dominant stratum shrinks, the smallest grows
+    val top = before.maxBy(_._2)._1
+    val bottom = before.minBy(_._2)._1
+    assert(after(top) < before(top), s"$top ${before(top)} -> ${after(top)}")
+    assert(after(bottom) > before(bottom), s"$bottom ${before(bottom)} -> ${after(bottom)}")
+    // flattening: share distance to uniform strictly decreases
+    def dist(m: Map[String, Long]) = {
+      val tot = m.values.sum.toDouble
+      m.values.map(v => math.abs(v / tot - 1.0 / m.size)).sum
+    }
+    assert(dist(after) < dist(before))
+    // deterministic: identical (doc, copy) multiset on a second run
+    val a = out.select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = graft.functions.Mix.temperatureResample(docs, col("lang"), col("doc_id"))
+      .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("quality-percentile filter keeps ceil(frac*n) best-scored rows per stratum") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("score"))
+    val kept = graft.functions.Mix.topFractionByScore(
+      docs, col("lang"), col("score"), col("doc_id"), keepFraction = 0.3)
+    val keptByLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allByLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    allByLang.foreach { case (l, n) =>
+      assert(keptByLang(l) == math.ceil(n * 0.3).toLong, s"$l: ${keptByLang.get(l)} of $n")
+    }
+    // kept floor >= dropped ceiling per stratum (ties may straddle only at equal score)
+    val dropped = docs.join(kept.select(col("doc_id").as("k")), col("doc_id") === col("k"), "left_anti")
+    val minKept = kept.groupBy("lang").agg(min(col("score")).as("mn")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxDropped = dropped.groupBy("lang").agg(max(col("score")).as("mx")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    maxDropped.foreach { case (l, mx) => assert(minKept(l) >= mx, s"$l kept=${minKept(l)} dropped=$mx") }
+    // keepFraction = 1 is the identity
+    assert(graft.functions.Mix.topFractionByScore(
+      docs, col("lang"), col("score"), col("doc_id"), 1.0).count() == docs.count())
+  }
+
   test("mix operators fail fast: bad shard counts and pre-existing output columns") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
