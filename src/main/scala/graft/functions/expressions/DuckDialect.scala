@@ -253,7 +253,10 @@ object DuckDialect {
     "regexp_split_to_array" -> "use split(str, regex)",
     "to_base" -> "use conv(num, 10, base)",
     "md5_number" -> "use the graft fingerprint natives (norm_fingerprint) or hash/xxhash64",
-    "gen_random_uuid" -> "use uuid() (non-deterministic; forbidden in oracle-checked queries)"
+    "gen_random_uuid" -> "use uuid() (non-deterministic; forbidden in oracle-checked queries)",
+    // lambda/computed COLUMNS() forms parse as a normal call and fail
+    // ANALYSIS (the expandable shapes were already rewritten in SqlStage)
+    "columns" -> "this COLUMNS(...) shape isn't expandable (lambdas/arithmetic over the expansion) — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract"
   )
 
   /** Syntax-level DuckDB-isms Spark's parser rejects — scanned (on a
@@ -284,8 +287,11 @@ object DuckDialect {
     // sampler must not silently impersonate
     raw"(?i)\bUSING\s+SAMPLE\b".r ->
       "this USING SAMPLE form couldn't be auto-rewritten (sampling-method specs change statistics) — use TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
+    // bare COLUMNS('regex')/COLUMNS(*) and one-function wraps are
+    // expanded in sql stages (schema in hand); this hint fires for
+    // lambda/arithmetic forms or COLUMNS outside a sql stage
     raw"(?i)\bCOLUMNS\s*\(".r ->
-      "the COLUMNS(...) star pattern isn't supported — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract",
+      "this COLUMNS(...) shape isn't expandable (lambdas/arithmetic over the expansion) — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract",
     raw":=".r ->
       "named-argument syntax (a := 1) isn't Spark SQL — struct_pack(a := 1) becomes named_struct('a', 1)",
     raw"(?i)\[\s*[\w.]+\s+for\s+\w+\s+in\b".r ->

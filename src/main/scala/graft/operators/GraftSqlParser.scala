@@ -299,6 +299,81 @@ object GraftSqlParser {
     }
   }
 
+  private val ColumnsRe = raw"(?i)\bCOLUMNS\s*\(".r
+
+  /** Expand DuckDB's `COLUMNS(...)` star pattern against a KNOWN schema
+    * — callable only where the input columns are at hand (SqlStage; the
+    * parser extension has no schema and leaves the construct to the
+    * guided error). Supported shapes:
+    *
+    *  - bare `COLUMNS('regex')` / `COLUMNS(*)` in a select list → the
+    *    matching columns, original names (regex is RE2-style SEARCH
+    *    over the column name, like DuckDB's);
+    *  - one wrapping call `fn(COLUMNS(...))` → `fn(c) AS `fn(c)`` per
+    *    matching column (DuckDB names these `fn(t.c)`; the table
+    *    prefix is dropped here).
+    *
+    * Lambda forms (`COLUMNS(c -> ...)`) and arithmetic over the
+    * expansion keep the guided error. A pattern matching zero columns
+    * raises, naming the available columns.
+    */
+  def rewriteColumns(sql: String, cols: Seq[String]): String = {
+    val masked = maskQuotes(sql)
+    ColumnsRe.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) =>
+        // close paren of COLUMNS(...)
+        var i = m.end
+        var d = 1
+        while (i < masked.length && d > 0) {
+          masked.charAt(i) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (d > 0) return sql // unbalanced — let the parser report it
+        val argRaw = sql.substring(m.end, i - 1).trim
+        val matched: Seq[String] =
+          if (argRaw == "*") cols
+          else if (argRaw.length >= 2 && (argRaw.head == '\'' || argRaw.head == '"')
+            && argRaw.last == argRaw.head) {
+            val re = argRaw.substring(1, argRaw.length - 1).r
+            cols.filter(c => re.findFirstIn(c).isDefined)
+          } else return sql // lambda / computed arg → guided error path
+        if (matched.isEmpty)
+          throw new graft.functions.expressions.DuckDialectException(
+            s"COLUMNS($argRaw) matches no column of [${cols.mkString(", ")}]")
+        // wrapping single function call? fn ( COLUMNS(...) )
+        val beforeIdx = (m.start - 1 to 0 by -1).find(j => !masked.charAt(j).isWhitespace)
+        val wrap = beforeIdx.filter(j => masked.charAt(j) == '(').flatMap { open =>
+          val fnEnd = (open - 1 to 0 by -1).find(j => !masked.charAt(j).isWhitespace)
+          fnEnd.flatMap { fe =>
+            val fn = wordEndingAt(masked, fe)
+            val afterIdx = (i until masked.length).find(j => !masked.charAt(j).isWhitespace)
+            (fn, afterIdx) match {
+              case (f, Some(close)) if f.nonEmpty && masked.charAt(close) == ')' &&
+                !Set("AND", "OR", "NOT", "WHERE", "ON", "IN", "SELECT", "FROM").contains(f) =>
+                Some((fe - f.length + 1, close, f))
+              case _ => None
+            }
+          }
+        }
+        val rewritten = wrap match {
+          case Some((fnStart, close, _)) =>
+            val fnName = sql.substring(fnStart, sql.indexOf('(', fnStart)).trim
+            val expansion = matched
+              .map(c => s"$fnName(`$c`) AS `$fnName($c)`").mkString(", ")
+            sql.substring(0, fnStart) + expansion + sql.substring(close + 1)
+          case None =>
+            val expansion = matched.map(c => s"`$c`").mkString(", ")
+            sql.substring(0, m.start) + expansion + sql.substring(i)
+        }
+        rewriteColumns(rewritten, cols)
+    }
+  }
+
   /** Run a parse, converting a bare ANTLR failure on a known DuckDB-ism
     * into a [[graft.functions.expressions.DuckDialectException]] that
     * names the construct and its Spark equivalent (VERDICT r4 #1 —

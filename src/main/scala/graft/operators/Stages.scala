@@ -34,7 +34,8 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // inner join — reject with the Spark equivalent named
     graft.functions.expressions.DuckDialect.rejectSilentTraps(
       GraftSqlParser.maskQuotes(code))
-    try GraftSqlParser.withDialectHint(code)(spark.sql(GraftSqlParser.rewriteAll(code)))
+    try GraftSqlParser.withDialectHint(code)(spark.sql(
+      GraftSqlParser.rewriteAll(GraftSqlParser.rewriteColumns(code, df.columns.toSeq))))
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
         // unresolved DuckDB function / table function → name the Spark

@@ -95,6 +95,12 @@ object ScaleProbe {
           // max forces the window evaluation (count alone could prune)
           graft.queries.TextQueries.q94SequencePack(spark, d)
             .agg(max(col("pack_id"))).collect()(0).getLong(0)),
+        "q95_temperature" -> (() =>
+          graft.queries.TextQueries.q95Temperature(spark, d).count()),
+        "q96_quality_filter" -> (() =>
+          // sum forces the rank windows (count alone could prune columns)
+          graft.queries.TextQueries.q96QualityFilter(spark, d)
+            .agg(sum(col("score"))).collect()(0).getLong(0)),
       )
     }
 

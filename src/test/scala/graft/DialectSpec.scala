@@ -260,6 +260,27 @@ class DialectSpec extends SparkSpec {
     assert(e.getMessage.contains("DISTINCT"))
   }
 
+  test("COLUMNS star patterns expand against the stage schema") {
+    val df = spark.range(3).selectExpr("id", "id * 2 AS n_a", "id * 3 AS n_b", "'x' AS tag")
+    // bare regex form keeps original names
+    val bare = SqlStage("s", "SELECT COLUMNS('^n_') FROM df").apply(spark, df)
+    assert(bare.columns.toSeq == Seq("n_a", "n_b"))
+    // one-function wrap: per-column aggregate with fn(col) names
+    val agg = SqlStage("s", "SELECT max(COLUMNS('^n_')) FROM df").apply(spark, df)
+    assert(agg.columns.toSeq == Seq("max(n_a)", "max(n_b)"))
+    assert(agg.collect().head.getLong(0) == 4L && agg.collect().head.getLong(1) == 6L)
+    // COLUMNS(*) expands to everything
+    assert(SqlStage("s", "SELECT COLUMNS(*) FROM df").apply(spark, df)
+      .columns.toSeq == Seq("id", "n_a", "n_b", "tag"))
+    // zero matches / lambda forms raise guided errors
+    val e1 = intercept[DuckDialectException](
+      SqlStage("s", "SELECT COLUMNS('^zz') FROM df").apply(spark, df))
+    assert(e1.getMessage.contains("matches no column"))
+    val e2 = intercept[DuckDialectException](
+      SqlStage("s", "SELECT COLUMNS(c -> c LIKE 'n%') FROM df").apply(spark, df))
+    assert(e2.getMessage.contains("COLUMNS"))
+  }
+
   test("QUALIFY e2e through a YAML sql stage") {
     val yaml =
       """

@@ -238,6 +238,11 @@ class UtilOpsSpec extends SparkSpec {
     val b = graft.functions.Mix.temperatureResample(docs, col("lang"), col("doc_id"))
       .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
+    // alpha = 1 is the identity mix: factor 1 for every stratum, each
+    // row exactly once with copy = 0
+    val id = graft.functions.Mix.temperatureResample(docs, col("lang"), col("doc_id"), alpha = 1.0)
+    assert(id.count() == docs.count())
+    assert(id.filter(col("copy") =!= 0L).count() == 0)
   }
 
   test("quality-percentile filter keeps ceil(frac*n) best-scored rows per stratum") {
