@@ -281,6 +281,30 @@ class DialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("COLUMNS"))
   }
 
+  test("randomized QUALIFY round-trip: rewrite == hand-written ranked subquery") {
+    // random (partition key, rank fn, threshold, direction, filter)
+    // combinations over one view: the rewrite must agree with the
+    // manually-nested form on every sample
+    spark.range(200).selectExpr("id", "id % 7 AS g", "id % 3 AS h")
+      .createOrReplaceTempView("pq")
+    val rnd = new scala.util.Random(41)
+    (1 to 25).foreach { i =>
+      val part = if (rnd.nextBoolean()) "g" else "h"
+      val fn = Seq("row_number()", "rank()", "dense_rank()")(rnd.nextInt(3))
+      val dir = if (rnd.nextBoolean()) "ASC" else "DESC"
+      val k = 1 + rnd.nextInt(4)
+      val where = if (rnd.nextBoolean()) s"WHERE id < ${50 + rnd.nextInt(100)}" else ""
+      val win = s"$fn OVER (PARTITION BY $part ORDER BY id $dir)"
+      val qualified = spark.sql(GraftSqlParser.rewriteQualify(
+        s"SELECT id, $part AS p, $win AS rn FROM pq $where QUALIFY rn <= $k"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val manual = spark.sql(
+        s"SELECT id, p, rn FROM (SELECT id, $part AS p, $win AS rn FROM pq $where) WHERE rn <= $k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(qualified == manual, s"sample $i: $fn $part $dir k=$k $where")
+    }
+  }
+
   test("QUALIFY e2e through a YAML sql stage") {
     val yaml =
       """
