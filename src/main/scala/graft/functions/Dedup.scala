@@ -410,25 +410,24 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges.join(labels.select(col("node").as("y"), col("comp").as("yc")), "y")
+      // Star augmentation (path doubling in the SAME join): propagate
+      // over the graph edges UNION the current label pointers in both
+      // directions, so x additionally learns comp(comp(x)) (via its
+      // star edge x→comp(x)) and roots learn from their trees — the
+      // remaining pointer depth halves per round, O(log diameter)
+      // rounds total (the practical effect of the large-star rewrite of
+      // Kiveris et al. 2014) at the cost of 2|V| extra join-input rows
+      // instead of a second join, keeping one join + one aggregate +
+      // one checkpoint + one count action per round.
+      val ptrs = labels.filter(col("node") =!= col("comp"))
+      val star = edges
+        .union(ptrs.select(col("node").as("x"), col("comp").as("y")))
+        .union(ptrs.select(col("comp").as("x"), col("node").as("y")))
+      val nbrMin = star.join(labels.select(col("node").as("y"), col("comp").as("yc")), "y")
         .groupBy(col("x")).agg(min(col("yc")).as("nc"))
-      // checkpointed BEFORE the self-join below — otherwise the edge
-      // join + aggregate above would compute twice per round
-      val prop = labels.join(nbrMin.select(col("x").as("node"), col("nc")), "node")
+      val next = labels.join(nbrMin.select(col("x").as("node"), col("nc")), "node")
         .select(col("node"), least(col("comp"), col("nc")).as("comp"),
           col("comp").as("prev"))
-        .localCheckpoint(true)
-      // Pointer jump (path doubling): comp := min(comp, comp(comp)).
-      // Labels always point at graph nodes, so one self-join per round
-      // halves the remaining pointer depth — O(log diameter) rounds
-      // total (the practical effect of the large-star rewrite of
-      // Kiveris et al. 2014, at one extra labels-sized equality join
-      // per round), instead of O(diameter) for pure neighbor-min.
-      val j = prop.select(col("node").as("jn"), col("comp").as("jc"))
-      val next = prop.join(j, col("comp") === col("jn"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp"),
-          col("prev"))
         .localCheckpoint(true)
       changed = next.filter(col("comp") =!= col("prev")).count()
       labels = next.select(col("node"), col("comp"))
