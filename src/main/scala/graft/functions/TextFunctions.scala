@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -46,6 +46,38 @@ object TextFunctions {
     */
   def fingerprintFast(text: Column): Column =
     call_function("norm_fingerprint", text)
+
+  /** Corpus-frequency document scoring — the cheap stand-in for the LM
+    * quality filtering of CCNet (Wenzek et al., "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data", 2020: score
+    * docs by a language-model cross-entropy, keep/bucket by score).
+    * Two scores per document from one unigram count table:
+    *
+    *  - `rarity` — Σ_token (scale div corpus_count(token)): INTEGER
+    *    harmonic rarity, hash-exact in any engine (the q97 gate);
+    *  - `cross_entropy` — Σ_token −ln(count/N) / n_tokens: the
+    *    production per-token surprisal in nats. Transcendental, so
+    *    last-ulp libm differences make it unfit for a byte-exact
+    *    oracle; its RANKING agrees with rarity's on dominated pairs
+    *    (asserted in tests), which is what filtering consumes.
+    *
+    * 100 TB shape (same as TF-IDF's): one explode, one token-key count
+    * (partial-aggregated, vocabulary-bounded), one join back on the
+    * token key (the count side broadcasts when the vocabulary fits),
+    * one per-doc aggregate. Nothing driver-side.
+    */
+  def corpusFrequencyScores(df: DataFrame, idCol: String, textCol: String,
+                            scale: Long = 1000000L): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("t"))
+    val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val n = tok.select(count(lit(1)).as("n_corpus"))
+    tok.join(counts, "t").crossJoin(broadcast(n))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr(s"$scale div cnt")).as("rarity"),
+        (sum(-log(col("cnt").cast("double") / col("n_corpus"))) /
+          count(lit(1))).as("cross_entropy"))
+  }
 
   /** Number of matches of a word-alternation marker pattern — the
     * n-gram heuristic behind language ID.

@@ -100,6 +100,18 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Corpus-frequency rarity scoring
+    * ([[graft.functions.TextFunctions.corpusFrequencyScores]], the
+    * CCNet-style LM-quality proxy): the gate checks the INTEGER
+    * columns (token count + harmonic rarity — exact div arithmetic both
+    * engines); the transcendental cross_entropy companion stays out of
+    * the hash (tests assert its ranking agrees).
+    */
+  def q97Rarity(s: SparkSession, d: String): DataFrame =
+    TF.corpusFrequencyScores(documents(s, d), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("n_tokens"), col("rarity"))
+      .orderBy(col("doc_id"))
+
   /** Training-mix rebalancing ([[graft.functions.Mix]]): deterministic
     * per-language down-sampling — keep 12/16 of en, 8/16 of es, 4/16 of
     * de, all of everything else. Row membership is the md5-prefix trick,
@@ -437,6 +449,7 @@ object TextQueries {
     "q94_sequence_pack"   -> (q94SequencePack _),
     "q95_temperature"     -> (q95Temperature _),
     "q96_quality_filter"  -> (q96QualityFilter _),
+    "q97_rarity"          -> (q97Rarity _),
     "q36_simhash"         -> (q36Simhash _),
     "q38_fingerprint"     -> (q38Fingerprint _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
@@ -687,6 +700,15 @@ object TextQueries {
                                      WHEN 'fr' THEN 2000
                                      ELSE 9223372036854775807 END)
       ORDER BY doc_id""",
+
+    "q97_rarity" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      c AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(1000000 // cnt) AS BIGINT) AS rarity
+      FROM tok JOIN c USING (t)
+      GROUP BY doc_id ORDER BY doc_id""",
 
     "q95_temperature" -> """
       WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),

@@ -271,6 +271,29 @@ class UtilOpsSpec extends SparkSpec {
       docs, col("lang"), col("score"), col("doc_id"), 1.0).count() == docs.count())
   }
 
+  test("corpus-frequency scores: rare tokens raise both rarity and cross-entropy") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the"),            // only common tokens
+      (2L, "the the the zyzzyva"),        // one rare token
+      (3L, "zyzzyva quetzal xylophone q") // mostly rare tokens
+    ).toDF("doc_id", "text")
+    val scored = graft.functions.TextFunctions
+      .corpusFrequencyScores(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("rarity"), r.getAs[Double]("cross_entropy"))))
+      .toMap
+    assert(scored(1L)._1 == 4 && scored(2L)._1 == 4 && scored(3L)._1 == 4)
+    // rarity and cross-entropy rank the docs identically: 3 > 2 > 1
+    assert(scored(3L)._2 > scored(2L)._2 && scored(2L)._2 > scored(1L)._2)
+    assert(scored(3L)._3 > scored(2L)._3 && scored(2L)._3 > scored(1L)._3)
+    // integer rarity is exactly reproducible arithmetic: 'the' appears
+    // 7 times in the corpus, 'zyzzyva' twice (docs 2 and 3)
+    assert(scored(1L)._2 == 4 * (1000000L / 7))
+    assert(scored(2L)._2 == 3 * (1000000L / 7) + 1000000L / 2)
+  }
+
   test("mix operators fail fast: bad shard counts and pre-existing output columns") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
