@@ -206,27 +206,35 @@ object VectorFunctions {
 
   /** One-row recall/precision audit of an approximate pairwise dedup
     * against the exact pair set (the q69/q80 in-gate-bound pattern for
-    * sketch operators): `n_exact` matches an exact SQL oracle count,
-    * `recall_ok` asserts |approx ∩ exact| / n_exact ≥ `bound`, and
-    * `precision_ok` asserts approx ⊆ exact (no false positives — the
-    * verify stage of the LSH pipeline guarantees this by construction,
-    * and the audit proves it rather than assuming it).
+    * sketch operators). Column roles in the gate (the q41/q77 split —
+    * VERDICT r5 #1): `n_exact` plus the exact pair set's cosine
+    * extremes `min_exact_cos`/`max_exact_cos` are pure functions of the
+    * exact all-pairs join, which DuckDB recomputes independently
+    * (bit-exact sequential folds) — they pin Spark's exact reference
+    * side. `recall_ok` (|approx ∩ exact| / n_exact ≥ `bound`) and
+    * `precision_ok` (approx ⊆ exact — the verify stage guarantees it
+    * by construction and the audit proves it) depend on the
+    * non-portable LSH output and are Spark-computed sentinels pinned as
+    * oracle constants: a regression flips them against the oracle.
+    * `exact` must carry the pair cosine as `cos`.
     */
   def pairRecallAudit(approx: DataFrame, exact: DataFrame,
                       bound: Double): DataFrame = {
     // ONE full-outer join on the (distinct) pair keys + ONE aggregate
-    // produce all three counts — non-null side markers classify each
+    // produce all the counts — non-null side markers classify each
     // pair as exact-only / hit / approx-only (the previous three
     // independent count-aggregates + two crossJoins cost four extra
-    // stages per audit; output identical, so gate hashes are unchanged)
-    val e = exact.select(col("id_a"), col("id_b")).withColumn("in_e", lit(1))
+    // stages per audit)
+    val e = exact.select(col("id_a"), col("id_b"), col("cos")).withColumn("in_e", lit(1))
     val a = approx.select(col("id_a"), col("id_b")).withColumn("in_a", lit(1))
     e.join(a, Seq("id_a", "id_b"), "full_outer")
       .agg(count(col("in_e")).as("n_exact"),
+        min(when(col("in_e").isNotNull, col("cos"))).as("min_exact_cos"),
+        max(when(col("in_e").isNotNull, col("cos"))).as("max_exact_cos"),
         count(when(col("in_e").isNotNull && col("in_a").isNotNull, 1)).as("n_hit"),
         count(col("in_a")).as("n_approx"))
       .select(
-        col("n_exact"),
+        col("n_exact"), col("min_exact_cos"), col("max_exact_cos"),
         (col("n_exact") === 0 ||
           col("n_hit").cast("double") / col("n_exact") >= bound).as("recall_ok"),
         (col("n_approx") === col("n_hit")).as("precision_ok"))

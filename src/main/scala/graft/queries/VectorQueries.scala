@@ -114,11 +114,18 @@ object VectorQueries {
       FROM t"""
 
   val sql: Map[String, String] = Map(
+    // DuckDB recomputes the exact pair set AND its cosine extremes
+    // (bit-exact) — the reference side of the audit is verified, not
+    // trusted; recall_ok/precision_ok are the pinned Spark sentinels
+    // (see pairRecallAudit's scaladoc for the per-column roles)
     "q37_embed_neardup_lsh" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-      p AS (SELECT 1 FROM e a JOIN e b ON a.vec_id < b.vec_id
+      p AS (SELECT list_cosine_similarity(a.v, b.v) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.45)
-      SELECT COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS precision_ok
+      SELECT COUNT(*) AS n_exact, MIN(cos) AS min_exact_cos,
+             MAX(cos) AS max_exact_cos, TRUE AS recall_ok,
+             TRUE AS precision_ok
       FROM p""",
 
     // q41/q77: DuckDB independently recomputes the EXACT side of the
