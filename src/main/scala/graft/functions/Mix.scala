@@ -230,6 +230,28 @@ object Mix {
       .drop("__graft_rn", "__graft_cnt")
   }
 
+  /** The 100 TB form of [[topFractionByScore]]: compute each stratum's
+    * (1−keepFraction) score quantile with `percentile_approx`
+    * (GK-sketch aggregate, map-side combinable), broadcast the tiny
+    * threshold table back, and filter row-locally — one scan + one
+    * small aggregate, NO per-stratum window, skew-immune. Approximate
+    * only at the boundary: rows within the sketch's rank error of the
+    * threshold may land on either side (kept fraction ≈ keepFraction ±
+    * 1/accuracy), and ties AT the threshold are all kept. Use the exact
+    * window form when the cut must be reproducible row-for-row.
+    */
+  def topFractionByScoreApprox(df: DataFrame, stratumCol: Column, scoreCol: Column,
+                               keepFraction: Double, accuracy: Int = 10000): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0, 1]")
+    if (keepFraction == 1.0) return df
+    val thr = df.groupBy(stratumCol.as("__graft_s"))
+      .agg(percentile_approx(scoreCol, lit(1 - keepFraction), lit(accuracy))
+        .as("__graft_thr"))
+    df.join(broadcast(thr), stratumCol <=> col("__graft_s"))
+      .filter(scoreCol >= col("__graft_thr"))
+      .drop("__graft_s", "__graft_thr")
+  }
+
   /** Deterministic train/val/test (or any n-way) split: assigns each
     * row a split label from the same md5 first-hex-digit bucket its
     * sampling uses, with weights in sixteenths summing to 16 — e.g.

@@ -41,6 +41,7 @@ object Pipeline {
         case "dedup" => DedupStage.fromConfig(sc)
         case "split" => SplitStage.fromConfig(sc)
         case "mix" => MixStage.fromConfig(sc)
+        case "score" => ScoreStage.fromConfig(sc)
         case other => throw new IllegalArgumentException(s"unsupported actionType '$other'")
       }
       (sc, stage)

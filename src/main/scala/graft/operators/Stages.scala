@@ -293,6 +293,38 @@ object MixStage {
   }
 }
 
+/** `score` stage: corpus-frequency quality scores as new columns
+  * ([[graft.functions.TextFunctions.corpusFrequencyScores]] — the
+  * CCNet-style LM proxy): joins `n_tokens`, `rarity` and
+  * `cross_entropy` back onto the pipeline rows by id. Compose with a
+  * `mix` quality stage to gate on the score.
+  *
+  * {{{
+  * actionConfig: {id: doc_id, text: text}
+  * }}}
+  */
+final case class ScoreStage(name: String, idCol: String,
+                            textCol: String) extends Stage {
+  override def apply(spark: SparkSession, df: DataFrame): DataFrame = {
+    Seq("n_tokens", "rarity", "cross_entropy").foreach(c =>
+      require(!df.columns.contains(c),
+        s"score stage '$name' adds a $c column; the input already has one — rename it first"))
+    val scores = graft.functions.TextFunctions
+      .corpusFrequencyScores(df, idCol, textCol)
+      .withColumnRenamed("doc", "__graft_doc")
+    df.join(scores, col(idCol) === col("__graft_doc"), "left")
+      .drop("__graft_doc")
+  }
+}
+
+object ScoreStage {
+  def fromConfig(cfg: StageConfig): ScoreStage = {
+    val ac = cfg.actionConfig
+    def s(k: String, d: String) = ac.get(k).flatMap(Option(_)).map(_.toString).getOrElse(d)
+    ScoreStage(cfg.name, s("id", "doc_id"), s("text", "text"))
+  }
+}
+
 /** Typed per-row transform with the reference's exact python-stage error
   * semantics (§2c, filefilter.py:55-65): on exception the ORIGINAL row
   * passes through unchanged and an error accumulator increments. For

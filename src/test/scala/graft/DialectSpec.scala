@@ -281,6 +281,15 @@ class DialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("COLUMNS"))
   }
 
+  test("dialect rewrites are identity on the repo's whole oracle-SQL corpus") {
+    // 81 hand-written DuckDB queries with CTEs, windows, recursive CTEs,
+    // integer //, md5 tricks — none contains a rewrite trigger, so the
+    // rewriters must pass every byte through untouched (no false fires)
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
+    }
+  }
+
   test("randomized QUALIFY round-trip: rewrite == hand-written ranked subquery") {
     // random (partition key, rank fn, threshold, direction, filter)
     // combinations over one view: the rewrite must agree with the

@@ -156,6 +156,30 @@ class PipelineSpec extends SparkSpec {
       assert(byId(3L) == ("", 0L) && byId(4L) == ("", 0L))
     }
 
+    // score stage + quality mix chained from YAML: rarity columns added,
+    // then each language gated to its top half by that score
+    {
+      val yamlScore =
+        s"""
+          |filters:
+          |  - name: score
+          |    actionType: score
+          |    actionConfig: {id: doc_id, text: text}
+          |  - name: keep_best
+          |    actionType: mix
+          |    actionConfig: {method: quality, stratum: lang, id: doc_id, score: rarity, fraction: 0.5}
+          |""".stripMargin
+      val scored = Pipeline.runYaml(spark, yamlScore, s"$sf/documents.parquet", None).output
+      assert(Seq("rarity", "cross_entropy", "n_tokens").forall(scored.columns.contains))
+      val keptPerLang = scored.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val allPerLang = Tables.documents(spark, sf).groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      allPerLang.foreach { case (l, n) =>
+        assert(keptPerLang(l) == math.ceil(n * 0.5).toLong, s"$l: ${keptPerLang.get(l)} of $n")
+      }
+    }
+
     // mix stages: token budget then sequence packing, chained
     val yamlMix =
       s"""

@@ -269,6 +269,25 @@ class UtilOpsSpec extends SparkSpec {
     // keepFraction = 1 is the identity
     assert(graft.functions.Mix.topFractionByScore(
       docs, col("lang"), col("score"), col("doc_id"), 1.0).count() == docs.count())
+    // the broadcast-threshold scale path agrees with the exact cut up
+    // to boundary ties (same score straddling the threshold)
+    val approx = graft.functions.Mix.topFractionByScoreApprox(
+      docs, col("lang"), col("score"), keepFraction = 0.3)
+    val approxByLang = approx.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    allByLang.foreach { case (l, n) =>
+      val exact = math.ceil(n * 0.3)
+      assert(math.abs(approxByLang(l) - exact) <= math.max(2, n * 0.05),
+        s"$l: approx ${approxByLang(l)} vs exact $exact of $n")
+    }
+    // the approx cut is score-downward-closed: its floor differs from
+    // the exact cut's floor by at most one distinct score step
+    val minApprox = approx.groupBy("lang").agg(min(col("score"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    minKept.foreach { case (l, mk) =>
+      assert(math.abs(minApprox(l) - mk) <= 3,
+        s"$l approx floor ${minApprox(l)} vs exact floor $mk")
+    }
   }
 
   test("corpus-frequency scores: rare tokens raise both rarity and cross-entropy") {
