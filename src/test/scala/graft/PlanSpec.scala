@@ -183,6 +183,25 @@ class PlanSpec extends SparkSpec {
       s"$p93\n$p94")
   }
 
+  test("q95 temperature: broadcast factor join, no corpus-keyed exchange on the row path") {
+    val p = planOf(graft.queries.TextQueries.q95Temperature(spark, sf).limit(1))
+    // the factor table joins back via broadcast — the document rows are
+    // never hash-exchanged (only the tiny count aggregates shuffle)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), p) // the copy explode
+    assert(!p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("q96/q97: stratum window + vocabulary-bounded partial aggregation") {
+    val p96 = planOf(graft.queries.TextQueries.q96QualityFilter(spark, sf).limit(1))
+    assert(p96.contains("hashpartitioning(lang"), p96)
+    assert(!p96.contains("SinglePartition"), p96)
+    val p97 = planOf(graft.queries.TextQueries.q97Rarity(spark, sf).limit(1))
+    // token counts partial-aggregate map-side before the token exchange
+    assert("HashAggregate".r.findAllIn(p97).length >= 2, p97)
+    assert(!p97.contains("CartesianProduct"), p97)
+  }
+
   test("packSequences window partitions by the parameterized shard count's prefix") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)

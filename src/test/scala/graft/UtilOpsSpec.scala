@@ -313,6 +313,30 @@ class UtilOpsSpec extends SparkSpec {
     assert(scored(2L)._2 == 3 * (1000000L / 7) + 1000000L / 2)
   }
 
+  test("new mix/score operators are total on empty inputs, and alpha tunes flattening") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "n_tokens")
+    assert(graft.functions.Mix.temperatureResample(
+      empty, col("lang"), col("doc_id")).count() == 0)
+    assert(graft.functions.Mix.topFractionByScore(
+      empty, col("lang"), col("n_tokens"), col("doc_id"), 0.5).count() == 0)
+    assert(graft.functions.Mix.topFractionByScoreApprox(
+      empty, col("lang"), col("n_tokens"), 0.5).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.functions.TextFunctions.corpusFrequencyScores(
+      emptyDocs, "doc_id", "text").count() == 0)
+    // smaller alpha flattens harder (pow path, alpha != 0.5)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    def distToUniform(alpha: Double): Double = {
+      val m = graft.functions.Mix.temperatureResample(docs, col("lang"), col("doc_id"), alpha)
+        .groupBy("lang").count().collect().map(r => r.getLong(1)).toSeq
+      val tot = m.sum.toDouble
+      m.map(v => math.abs(v / tot - 1.0 / m.size)).sum
+    }
+    assert(distToUniform(0.3) < distToUniform(0.8))
+  }
+
   test("mix operators fail fast: bad shard counts and pre-existing output columns") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
