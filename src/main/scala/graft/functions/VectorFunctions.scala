@@ -369,6 +369,22 @@ object VectorFunctions {
     IvfIndex(cents, assignTo(broadcast(cents)).localCheckpoint(false))
   }
 
+  /** Persist a built [[IvfIndex]] as parquet (centroids + posting-list
+    * assignment) so the O(N·nlist) quantizer cost is paid once per
+    * corpus snapshot and probed by any number of later jobs — the
+    * cross-job half of the build/probe amortization (the in-job half is
+    * the checkpointed index [[buildIvf]] returns).
+    */
+  def saveIvf(index: IvfIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+  }
+
+  /** Load a persisted IVF index ([[saveIvf]]). */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"))
+
   /** Probe a prebuilt [[IvfIndex]]: rank each query's `nprobe` nearest
     * centroids (broadcast nlist-row join), equality-join into the
     * probed posting lists, exact cosine + top-k inside them.

@@ -231,6 +231,19 @@ class DedupSpec extends SparkSpec {
     assert(viaProbe == viaTopK, s"diff=${(viaProbe diff viaTopK) ++ (viaTopK diff viaProbe)}")
   }
 
+  test("IVF index round-trips through parquet: probe(load(save(build))) == probe(build)") {
+    val emb = Tables.embeddings(spark, sf)
+    val built = VectorFunctions.buildIvf(emb, nlist = 16, refine = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    VectorFunctions.saveIvf(built, dir)
+    val loaded = VectorFunctions.loadIvf(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    def ids(ix: VectorFunctions.IvfIndex) =
+      VectorFunctions.ivfProbe(q, ix, k = 5, nprobe = 6)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids(loaded) == ids(built))
+  }
+
   test("topK recall sentinel can fire: an unreachable bound flips recall_ok") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 10)
