@@ -314,6 +314,23 @@ class DialectSpec extends SparkSpec {
     }
   }
 
+  test("QUALIFY and USING SAMPLE rewrite inside CTEs and subqueries") {
+    spark.range(60).selectExpr("id", "id % 4 AS g").createOrReplaceTempView("ct")
+    val viaCte = qsql(
+      """WITH best AS (
+        |  SELECT g, id, row_number() OVER (PARTITION BY g ORDER BY id DESC) AS rn
+        |  FROM ct QUALIFY rn = 1
+        |)
+        |SELECT g, id FROM best ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaCte == Seq((0L, 56L), (1L, 57L), (2L, 58L), (3L, 59L)))
+    // sample inside a subquery: the wrap stays inside the inner block
+    val n = spark.sql(GraftSqlParser.rewriteSample(
+      "SELECT count(*) AS n FROM (SELECT * FROM ct WHERE id < 40 USING SAMPLE 10 ROWS)"))
+      .collect().head.getLong(0)
+    assert(n == 10L)
+  }
+
   test("QUALIFY e2e through a YAML sql stage") {
     val yaml =
       """

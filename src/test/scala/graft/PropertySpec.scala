@@ -135,6 +135,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenBudget invariants hold for random budgets/fanouts: caps, prefix-freedom, totality") {
+    import org.apache.spark.sql.functions._
+    val langs = Seq("en", "fr", "de", "zh")
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 600L).map(i => (i, langs(rnd.nextInt(langs.size)), 5L + rnd.nextInt(60)))
+    val df = rows.toDF("doc_id", "lang", "n_tokens")
+    val tokensByLang = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    for (trial <- 1 to 5) {
+      val budgets = langs.take(1 + rnd.nextInt(3))
+        .map(l => l -> rnd.between(1L, tokensByLang(l) + 1)).toMap
+      val fanout = Seq(16, 256, 4096)(rnd.nextInt(3))
+      val kept = graft.functions.Mix.tokenBudget(
+          df, col("lang"), col("doc_id"), col("n_tokens"), budgets, fanout)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens")))
+      val byLang = kept.groupBy(_._2)
+      // hard caps on budgeted strata; unbudgeted strata intact
+      byLang.foreach { case (l, rs) =>
+        budgets.get(l) match {
+          case Some(b) => assert(rs.map(_._3).sum <= b, s"trial $trial $l over budget")
+          case None => assert(rs.length == rows.count(_._2 == l), s"trial $trial $l dropped rows")
+        }
+      }
+      // cum_tokens is a valid per-stratum cumulative: sorted cums are
+      // the running sums of their own token counts
+      byLang.foreach { case (l, rs) =>
+        val sorted = rs.sortBy(_._4)
+        sorted.foldLeft(0L) { case (acc, (_, _, n, cum)) =>
+          assert(cum == acc + n, s"trial $trial $l cum gap at $cum"); cum
+        }
+      }
+      // fanout never changes the result
+      val other = graft.functions.Mix.tokenBudget(
+          df, col("lang"), col("doc_id"), col("n_tokens"), budgets,
+          if (fanout == 16) 256 else 16)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"))).toMap
+      assert(kept.forall { case (id, _, _, cum) => other(id) == cum }
+        && other.size == kept.length, s"trial $trial fanout variance")
+    }
+  }
+
   test("RowTransformStage: failing rows pass through unchanged with error count (§2c)") {
     val acc = spark.sparkContext.longAccumulator("errs")
     val df = Seq((1L, "ok"), (2L, "boom"), (3L, "ok")).toDF("id", "v")
