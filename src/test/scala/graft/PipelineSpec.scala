@@ -180,6 +180,61 @@ class PipelineSpec extends SparkSpec {
       }
     }
 
+    // the full pretraining data-prep story composed from ONE config:
+    // near-dup dedup → quality scoring → per-lang quality gate →
+    // temperature rebalance → token budget → split labels → packing
+    {
+      // temperature emits (doc_id, copy) multiplicities, so a sql stage
+      // derives the unique downstream row key for the id-keyed stages
+      val yaml =
+        s"""
+          |filters:
+          |  - name: near_dedup
+          |    actionType: dedup
+          |    actionConfig: {method: minhash, id: doc_id, text: text, threshold: 0.6}
+          |  - name: score
+          |    actionType: score
+          |    actionConfig: {id: doc_id, text: text}
+          |  - name: quality_gate
+          |    actionType: mix
+          |    actionConfig: {method: quality, stratum: lang, id: doc_id, score: rarity, fraction: 0.8}
+          |  - name: flatten
+          |    actionType: mix
+          |    actionConfig: {method: temperature, stratum: lang, id: doc_id, alpha: 0.5}
+          |  - name: copy_key
+          |    actionType: sql
+          |    code: "SELECT *, doc_id * 1000 + copy AS copy_key FROM df"
+          |  - name: en_cap
+          |    actionType: mix
+          |    actionConfig: {method: budget, stratum: lang, id: copy_key, budgets: {en: 4000}, tokens: n_tokens, fanout: 256}
+          |  - name: splits
+          |    actionType: split
+          |    actionConfig: {id: copy_key, weights: {train: 14, val: 1, test: 1}}
+          |  - name: pack
+          |    actionType: mix
+          |    actionConfig: {method: pack, id: copy_key, seqLen: 256, tokens: n_tokens, shards: 256}
+          |""".stripMargin
+      val out = Pipeline.runYaml(spark, yaml, s"$sf/documents.parquet", None).output
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      // all stage outputs present
+      Seq("rarity", "cross_entropy", "split", "pack_shard", "pack_offset", "pack_id", "cum_tokens")
+        .foreach(c => assert(out.columns.contains(c), s"missing $c"))
+      // the en token budget held through the whole chain
+      val enTokens = rows.filter(_.getAs[String]("lang") == "en")
+        .map(_.getAs[Long]("n_tokens")).sum
+      assert(enTokens <= 4000L && enTokens > 0)
+      // split labels are a total partition
+      assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+      // per-shard packing is gapless over the surviving rows
+      rows.groupBy(_.getAs[Int]("pack_shard")).foreach { case (_, rs) =>
+        rs.sortBy(_.getAs[Long]("pack_offset")).foldLeft(0L) { case (expect, r) =>
+          assert(r.getAs[Long]("pack_offset") == expect)
+          expect + r.getAs[Long]("n_tokens")
+        }
+      }
+    }
+
     // mix stages: token budget then sequence packing, chained
     val yamlMix =
       s"""
