@@ -97,6 +97,26 @@ object DuckDialect {
       throw new DuckDialectException(
         s"$name expects $n argument(s), got ${es.length}")
 
+  /** Σ over a list as a higher-order aggregate (codegen'd by Catalyst;
+    * the analyzer binds the unresolved lambda variables exactly as it
+    * does for parsed `aggregate(l, 0D, (acc, x) -> acc + x)`).
+    */
+  private def listSum(l: Expression): Expression = {
+    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    val accF = UnresolvedNamedLambdaVariable(Seq("acc"))
+    ArrayAggregate(l, Literal(0.0d),
+      LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)),
+      LambdaFunction(accF, Seq(accF)))
+  }
+
+  /** NULL on an empty list (DuckDB's list_avg), not an ANSI
+    * divide-by-zero error.
+    */
+  private def listAvg(l: Expression): Expression =
+    If(EqualTo(Size(l), Literal(0)), Literal.create(null, DoubleType),
+      Divide(listSum(l), Cast(Size(l), DoubleType)))
+
   private def literalFormat(name: String, e: Expression): String = e match {
     case Literal(s: UTF8String, StringType) if s != null => s.toString
     case _ => throw new DuckDialectException(
@@ -191,6 +211,27 @@ object DuckDialect {
     // 1-based inclusive [begin, end] → Spark slice(x, start, length)
     "list_slice" -> (es => { nArgs("list_slice", es, 3); Slice(es(0), es(1), Add(Subtract(es(2), es(1)), Literal(1))) }),
     "array_slice" -> (es => { nArgs("array_slice", es, 3); Slice(es(0), es(1), Add(Subtract(es(2), es(1)), Literal(1))) }),
+    // list folds (elements cast to double — DuckDB's integer list_sum
+    // returns HUGEINT; documented dialect divergence)
+    "list_sum" -> (es => { nArgs("list_sum", es, 1); listSum(es(0)) }),
+    "list_avg" -> (es => { nArgs("list_avg", es, 1); listAvg(es(0)) }),
+    "list_aggregate" -> (es => {
+      nArgs("list_aggregate", es, 2)
+      es(1) match {
+        case Literal(s: UTF8String, StringType) if s != null => s.toString.toLowerCase match {
+          case "sum" => listSum(es(0))
+          case "avg" | "mean" => listAvg(es(0))
+          case "min" => ArrayMin(es(0))
+          case "max" => ArrayMax(es(0))
+          case "count" => Size(es(0))
+          case other => throw new DuckDialectException(
+            s"list_aggregate('$other') isn't translated — sum/avg/min/max/count are; " +
+              "use aggregate(list, init, (acc, x) -> ...) for anything else")
+        }
+        case _ => throw new DuckDialectException(
+          "list_aggregate needs a literal aggregate name ('sum'/'avg'/'min'/'max'/'count')")
+      }
+    }),
     // --- vector ops → graft natives (codegen'd; see VectorExpressions)
     "list_cosine_similarity" -> (es => { nArgs("list_cosine_similarity", es, 2); CosineSimilarity(es(0), es(1)) }),
     "list_dot_product" -> (es => { nArgs("list_dot_product", es, 2); DotProduct(es(0), es(1)) }),
@@ -243,9 +284,6 @@ object DuckDialect {
     "read_parquet" -> "table functions aren't SQL-callable here — declare the file as a pipeline `input` or use spark.read.parquet",
     "read_json_auto" -> "table functions aren't SQL-callable here — declare the file as a pipeline `input` or use spark.read.json",
     "struct_pack" -> "use named_struct('a', expr1, 'b', expr2)",
-    "list_aggregate" -> "use aggregate(list, init, (acc, x) -> ...) or explode + groupBy",
-    "list_sum" -> "use aggregate(list, 0D, (acc, x) -> acc + x)",
-    "list_avg" -> "use aggregate(list, 0D, (acc, x) -> acc + x) / size(list)",
     "group_concat" -> "use string_agg(expr, sep) (both engines support it)",
     "date_diff" -> "use timestampdiff(unit, start, end) — note DuckDB's date_diff('day', a, b) argument order",
     "date_add" -> "Spark's date_add(date, days) takes days only — for other units use dateadd(unit, n, ts)",

@@ -170,9 +170,26 @@ class DialectSpec extends SparkSpec {
     def hintOf(sql: String): String =
       intercept[DuckDialectException](
         SqlStage("s", sql).apply(spark, spark.range(1).toDF("id"))).getMessage
-    assert(hintOf("SELECT list_sum(array(1,2)) FROM df").contains("aggregate("))
+    assert(hintOf("SELECT histogram(id) FROM df").contains("width_bucket"))
     assert(hintOf("SELECT date_diff('day', d1, d2) FROM df").contains("timestampdiff"))
     assert(hintOf("SELECT * FROM read_csv_auto('/tmp/x.csv')").contains("spark.read"))
+  }
+
+  test("list folds: list_sum / list_avg / list_aggregate") {
+    val r = one("SELECT list_sum(array(1, 2, 3)) AS s, " +
+      "list_avg(array(2.0D, 4.0D)) AS a, " +
+      "list_aggregate(array(5, 1, 9), 'min') AS mn, " +
+      "list_aggregate(array(5, 1, 9), 'max') AS mx, " +
+      "list_aggregate(array(5, 1, 9), 'count') AS c, " +
+      "list_aggregate(array(1.5D, 2.5D), 'sum') AS s2")
+    assert(r.getDouble(0) == 6.0 && r.getDouble(1) == 3.0)
+    assert(r.getInt(2) == 1 && r.getInt(3) == 9 && r.getInt(4) == 3)
+    assert(r.getDouble(5) == 4.0)
+    // empty-list avg is NULL (0/0), like DuckDB's
+    assert(one("SELECT list_avg(array()) AS a").isNullAt(0))
+    val e = intercept[DuckDialectException](
+      spark.sql("SELECT list_aggregate(array(1), 'median')").collect())
+    assert(e.getMessage.contains("sum/avg/min/max/count"))
   }
 
   // ---- e2e: a migrated DuckDB config runs through the YAML pipeline
