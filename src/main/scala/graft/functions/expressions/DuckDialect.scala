@@ -189,6 +189,8 @@ object DuckDialect {
     "string_to_array" -> (es => { nArgs("string_to_array", es, 2); StringSplit(es(0), quotedSep(es(1)), Literal(-1)) }),
     "string_split_regex" -> (es => { nArgs("string_split_regex", es, 2); StringSplit(es(0), es(1), Literal(-1)) }),
     "str_split_regex" -> (es => { nArgs("str_split_regex", es, 2); StringSplit(es(0), es(1), Literal(-1)) }),
+    "regexp_split_to_array" -> (es => { nArgs("regexp_split_to_array", es, 2); StringSplit(es(0), es(1), Literal(-1)) }),
+    "to_base" -> (es => { nArgs("to_base", es, 2); Conv(es(0), Literal(10), es(1)) }),
     // --- list_* family → array_* equivalents
     "list_transform" -> (es => { nArgs("list_transform", es, 2); ArrayTransform(es(0), es(1)) }),
     "list_filter" -> (es => { nArgs("list_filter", es, 2); ArrayFilter(es(0), es(1)) }),
@@ -288,8 +290,6 @@ object DuckDialect {
     "date_diff" -> "use timestampdiff(unit, start, end) — note DuckDB's date_diff('day', a, b) argument order",
     "date_add" -> "Spark's date_add(date, days) takes days only — for other units use dateadd(unit, n, ts)",
     "histogram" -> "use groupBy + count, or width_bucket for binning",
-    "regexp_split_to_array" -> "use split(str, regex)",
-    "to_base" -> "use conv(num, 10, base)",
     "md5_number" -> "use the graft fingerprint natives (norm_fingerprint) or hash/xxhash64",
     "gen_random_uuid" -> "use uuid() (non-deterministic; forbidden in oracle-checked queries)",
     // lambda/computed COLUMNS() forms parse as a normal call and fail

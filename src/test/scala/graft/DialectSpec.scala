@@ -29,6 +29,8 @@ class DialectSpec extends SparkSpec {
     assert(one("SELECT string_split_regex('a1b22c', '[0-9]+') AS r").getSeq[String](0) == Seq("a", "b", "c"))
     assert(one("SELECT str_split('x-y', '-') AS r").getSeq[String](0) == Seq("x", "y"))
     assert(one("SELECT string_to_array('x-y', '-') AS r").getSeq[String](0) == Seq("x", "y"))
+    assert(one("SELECT regexp_split_to_array('a, b,c', ',\\\\s*') AS r").getSeq[String](0) == Seq("a", "b", "c"))
+    assert(one("SELECT to_base(255, 16) AS r").getString(0) == "FF")
   }
 
   // ---- list_* family
