@@ -68,9 +68,10 @@ object Sources {
           .csv(p)
       } else if (lower.endsWith(".jsonl") || lower.endsWith(".json"))
         loadJsonl(spark, p)
+      else if (lower.endsWith(".orc")) spark.read.orc(p)
       else
         throw new IllegalArgumentException(
-          s"Unsupported file format: $path (supported: .csv .txt .tsv .parquet .jsonl .json)")
+          s"Unsupported file format: $path (supported: .csv .txt .tsv .parquet .orc .jsonl .json)")
     if (sampleLines > 0L) df.limit(sampleLines.toInt) else df
   }
 
@@ -95,6 +96,16 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String,
                  compression: String = "none"): Unit =
     df.write.mode("overwrite").option("compression", compression).json(path)
+
+  /** ORC sink (same partition/codec shape as the parquet sink — some
+    * lakehouse deployments standardize on ORC).
+    */
+  def writeOrc(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Nil,
+               compression: String = "zstd"): Unit = {
+    val w = df.write.mode("overwrite").option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 
   /** Parquet sink with hive-style partitioning and codec — the
     * production sink for pipeline stages at scale: downstream scans of

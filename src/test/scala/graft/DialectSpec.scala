@@ -300,6 +300,25 @@ class DialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("COLUMNS"))
   }
 
+  test("rewrite chain survives garbage: returns or raises DuckDialectException, never hangs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("SELECT", "FROM", "WHERE", "QUALIFY", "EXCLUDE", "struct_pack",
+      "USING", "SAMPLE", "COLUMNS", ":=", "OVER", "(", ")", "*", ",", "'lit'",
+      "a", "b", "t", "10", "%", "ROWS", "ORDER", "BY", "''", "rn", "=", "1")
+    for (trial <- 1 to 300) {
+      val sql = Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      try {
+        val out = GraftSqlParser.rewriteAll(sql)
+        assert(out != null)
+        // a second application must also terminate (idempotence not
+        // required — QUALIFY-free garbage stays fixed, others converge)
+        GraftSqlParser.rewriteAll(out)
+      } catch {
+        case _: DuckDialectException => // guided error is a valid outcome
+      }
+    }
+  }
+
   test("dialect rewrites are identity on the repo's whole oracle-SQL corpus") {
     // 81 hand-written DuckDB queries with CTEs, windows, recursive CTEs,
     // integer //, md5 tricks — none contains a rewrite trigger, so the

@@ -44,6 +44,19 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("Unsupported"))
   }
 
+  test("orc sink → source round-trips with partitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, "en", "alpha"), (2L, "fr", "beta"), (3L, "en", "gamma"))
+      .toDF("id", "lang", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/data.orc"
+    graft.sources.Sources.writeOrc(df, out, partitionBy = Seq("lang"))
+    val back = graft.sources.Sources.load(spark, out)
+    assert(back.count() == 3)
+    assert(back.filter(col("lang") === "en").select("text")
+      .collect().map(_.getString(0)).toSet == Set("alpha", "gamma"))
+  }
+
   test("partitioned parquet write prunes partitions on read (plan-asserted)") {
     val path = tmp("part_parquet")
     Sources.writeParquet(Tables.documents(spark, sf).select("doc_id", "lang", "text"),
