@@ -137,16 +137,22 @@ object TransformRegistry {
   *  - `spans`: span-level exact dedup ([[graft.functions.Dedup.dedupSpans]],
   *    window size from `width`, default 20): the text column is REPLACED
   *    by the document rebuilt from first-occurrence spans, and rows
-  *    whose text was entirely duplicated elsewhere are dropped.
+  *    whose text was entirely duplicated elsewhere are dropped;
+  *  - `vectors`: SemDeDup-style embedding near-dup removal
+  *    ([[graft.functions.VectorFunctions.dropNearDupVectors]]) over the
+  *    `vec` column (default `embedding`) at cosine ≥ `threshold`
+  *    (`bits`/`tables` size the LSH index — bits ≈ log2(corpus)).
   *
   * {{{
   * actionConfig: {method: minhash, id: doc_id, text: text, threshold: 0.6}
+  * actionConfig: {method: vectors, id: vec_id, vec: embedding, threshold: 0.95}
   * }}}
   */
 final case class DedupStage(name: String, method: String, idCol: String,
                             textCol: String, threshold: Double,
                             k: Int, numHashes: Int, bands: Int,
-                            width: Int = 20) extends Stage {
+                            width: Int = 20, vecCol: String = "embedding",
+                            bits: Int = 8, tables: Int = 16) extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "exact" | "fingerprint" =>
       val key = if (method == "exact") col(textCol)
@@ -174,8 +180,11 @@ final case class DedupStage(name: String, method: String, idCol: String,
         joined.withColumn("n_chars",
           length(col(textCol)).cast(joined.schema("n_chars").dataType))
       else joined
+    case "vectors" =>
+      graft.functions.VectorFunctions.dropNearDupVectors(
+        df, idCol, vecCol, threshold, bits, tables)
     case other => throw new IllegalArgumentException(
-      s"dedup stage '$name': unknown method '$other' (exact | fingerprint | minhash | spans)")
+      s"dedup stage '$name': unknown method '$other' (exact | fingerprint | minhash | spans | vectors)")
   }
 }
 
@@ -191,7 +200,7 @@ object DedupStage {
     }
     DedupStage(cfg.name, s("method", "minhash"), s("id", "doc_id"), s("text", "text"),
       dbl("threshold", 0.6), n("k", 3), n("numHashes", 32), n("bands", 8),
-      n("width", 20))
+      n("width", 20), s("vec", "embedding"), n("bits", 8), n("tables", 16))
   }
 }
 

@@ -156,6 +156,23 @@ class PipelineSpec extends SparkSpec {
       assert(byId(3L) == ("", 0L) && byId(4L) == ("", 0L))
     }
 
+    // vectors method: SemDeDup-style embedding dedup from YAML over the
+    // embeddings table — the duplicate-free corpus keeps one rep per
+    // near-identical group, matching the Scala operator exactly
+    {
+      val yamlVec =
+        s"""
+          |filters:
+          |  - name: semantic_dedup
+          |    actionType: dedup
+          |    actionConfig: {method: vectors, id: vec_id, vec: embedding, threshold: 0.95}
+          |""".stripMargin
+      val vecOut = Pipeline.runYaml(spark, yamlVec, s"$sf/embeddings.parquet", None).output
+      val twin = graft.functions.VectorFunctions.dropNearDupVectors(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", 0.95)
+      assert(vecOut.count() == twin.count() && vecOut.count() > 0)
+    }
+
     // score stage + quality mix chained from YAML: rarity columns added,
     // then each language gated to its top half by that score
     {
