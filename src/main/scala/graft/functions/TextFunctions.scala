@@ -79,6 +79,28 @@ object TextFunctions {
           count(lit(1))).as("cross_entropy"))
   }
 
+  /** HTML boilerplate stripping — the C4-style web-crawl cleaning step
+    * (Raffel et al. 2020 strip markup before the text filters): drop
+    * script/style blocks wholesale, drop remaining tags, unescape the
+    * common entities (&amp; LAST, so double-escaped text unescapes one
+    * level only — the standard ordering), collapse whitespace runs,
+    * trim. Row-local, codegen'd, RE2-SAFE (no backreferences or
+    * lookarounds), so an external RE2 engine replays it verbatim — the
+    * q98 oracle runs the identical chain in DuckDB with the 'g' flag.
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val unescaped = replace(replace(replace(replace(replace(replace(
+      noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Number of matches of a word-alternation marker pattern — the
     * n-gram heuristic behind language ID.
     */

@@ -112,6 +112,22 @@ object TextQueries {
       .select(col("doc").as("doc_id"), col("n_tokens"), col("rarity"))
       .orderBy(col("doc_id"))
 
+  /** HTML stripping ([[graft.functions.TextFunctions.stripHtml]]):
+    * both engines wrap every document in the same synthetic markup
+    * (tags + a script block + escaped entities), strip it, and must
+    * produce byte-identical clean text — so the whole
+    * strip/unescape/collapse chain is verified, not just its behavior
+    * on tag-free input.
+    */
+  def q98HtmlStrip(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        TF.stripHtml(concat(
+          lit("<div class=\"doc\"><p>"), col("text"),
+          lit("</p><script>var a = 1 < 2;</script><!-- note --> " +
+            "&amp;amp; &lt;b&gt; &nbsp;tail</div>"))).as("clean"))
+      .orderBy(col("doc_id"))
+
   /** Training-mix rebalancing ([[graft.functions.Mix]]): deterministic
     * per-language down-sampling — keep 12/16 of en, 8/16 of es, 4/16 of
     * de, all of everything else. Row membership is the md5-prefix trick,
@@ -450,6 +466,7 @@ object TextQueries {
     "q95_temperature"     -> (q95Temperature _),
     "q96_quality_filter"  -> (q96QualityFilter _),
     "q97_rarity"          -> (q97Rarity _),
+    "q98_html_strip"      -> (q98HtmlStrip _),
     "q36_simhash"         -> (q36Simhash _),
     "q38_fingerprint"     -> (q38Fingerprint _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
@@ -700,6 +717,23 @@ object TextQueries {
                                      WHEN 'fr' THEN 2000
                                      ELSE 9223372036854775807 END)
       ORDER BY doc_id""",
+
+    "q98_html_strip" -> """
+      WITH raw AS (SELECT doc_id,
+          '<div class="doc"><p>' || text ||
+          '</p><script>var a = 1 < 2;</script><!-- note --> &amp;amp; &lt;b&gt; &nbsp;tail</div>' AS h
+        FROM documents),
+      s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM raw),
+      s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
+      s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+      s4 AS (SELECT doc_id, regexp_replace(h, '<[^>]+>', ' ', 'g') AS h FROM s3),
+      s5 AS (SELECT doc_id,
+          replace(replace(replace(replace(replace(replace(h,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&') AS h
+        FROM s4)
+      SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean
+      FROM s5 ORDER BY doc_id""",
 
     "q97_rarity" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t

@@ -290,6 +290,24 @@ class UtilOpsSpec extends SparkSpec {
     }
   }
 
+  test("stripHtml: scripts/styles/comments/tags go, entities unescape one level, spaces collapse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cases = Seq(
+      ("<p>hello <b>world</b></p>", "hello world"),
+      ("a<script>if (1 < 2) { x(); }</script>b", "a b"),
+      ("x<style type=\"text/css\">p { color: red }</style>y", "x y"),
+      ("keep <!-- drop this -->rest", "keep rest"),
+      ("&lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39;", "<tag> &amp; \"q\" 's'"),
+      ("   lots \n\t of\r\nspace   ", "lots of space"),
+      ("", ""),
+      ("no markup at all", "no markup at all"))
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.functions.TextFunctions.stripHtml(col("t")).as("c"))
+      .collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"'$g' != '$want'") }
+  }
+
   test("corpus-frequency scores: rare tokens raise both rarity and cross-entropy") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
