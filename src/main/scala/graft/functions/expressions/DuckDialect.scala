@@ -308,8 +308,12 @@ object DuckDialect {
     * failure (there is none).
     */
   val silentTrapHints: Seq[(scala.util.matching.Regex, String)] = Seq(
+    // ASOF JOIN is normally auto-rewritten (GraftSqlParser.rewriteAsof)
+    // — this trap only fires if a shape slipped past the rewrite, since
+    // bare Spark would silently parse `t ASOF JOIN u` as table t aliased
+    // "ASOF" + inner join.
     raw"(?i)\bASOF\s+(LEFT\s+)?JOIN\b".r ->
-      "ASOF JOIN isn't Spark SQL (it would silently parse as a table alias + inner join) — use graft's as-of join operator (graft.queries.CoreQueries.asOfJoin) or a windowed last_value join",
+      "this ASOF JOIN shape couldn't be auto-rewritten — use graft's as-of join operator (graft.queries.CoreQueries.asOfJoin) or a windowed validity-interval join (lead/lag of the timestamp over the equality keys)",
     raw"(?i)\bPOSITIONAL\s+JOIN\b".r ->
       "POSITIONAL JOIN isn't Spark SQL (it would silently parse as a table alias + inner join) — add an explicit index with row_number() OVER (ORDER BY <deterministic key>) on both sides and equi-join on it"
   )

@@ -33,11 +33,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
 
   /** All DuckDB-dialect text rewrites in one call, the order chosen so
-    * later rewrites see earlier output: EXCLUDE → EXCEPT, struct_pack
-    * named args, QUALIFY → ranked subquery, USING SAMPLE → TABLESAMPLE.
+    * later rewrites see earlier output: ASOF JOIN → validity-interval
+    * join, EXCLUDE → EXCEPT, struct_pack named args, QUALIFY → ranked
+    * subquery, USING SAMPLE → TABLESAMPLE.
     */
   def rewriteAll(sql: String): String =
-    rewriteSample(rewriteQualify(rewriteStructPack(rewriteExclude(sql))))
+    rewriteSample(rewriteQualify(rewriteStructPack(rewriteExclude(rewriteAsof(sql)))))
 
   private val ExcludeRe = raw"(?is)\*\s+EXCLUDE\s*\(([^)]*)\)".r
 
@@ -297,6 +298,333 @@ object GraftSqlParser {
         rewriteSample(sql.substring(0, blockStart) +
           s"SELECT * FROM ( $head ) TABLESAMPLE ($spec) " + sql.substring(m.end))
     }
+  }
+
+  private val AsofRe = raw"(?i)\bASOF\s+(LEFT\s+)?JOIN\b".r
+
+  /** Rewrite DuckDB `ASOF [LEFT] JOIN` (the last silently-trapped join
+    * form, VERDICT r5 "What's missing #2") into the validity-interval
+    * join Spark understands. DuckDB's ASOF semantics: for each left row,
+    * join the single right row with the extremal timestamp satisfying
+    * the one inequality, among rows matching the equality conditions.
+    * The mechanical equivalent: give each right row a validity interval
+    * ending at the NEXT timestamp for the same keys —
+    *
+    * {{{
+    * FROM e ASOF JOIN p ON e.k = p.k AND e.ts >= p.ts
+    * -- becomes
+    * FROM e JOIN ( SELECT *, lead(ts) OVER (PARTITION BY k ORDER BY ts)
+    *               AS __graft_asof_end_0 FROM p ) p
+    *   ON e.k = p.k AND e.ts >= p.ts
+    *   AND (p.__graft_asof_end_0 IS NULL OR e.ts < p.__graft_asof_end_0)
+    * }}}
+    *
+    * so each left row matches exactly one right row (ties on the right
+    * timestamp collapse to one survivor — the interval of every earlier
+    * duplicate is empty), `ASOF LEFT JOIN` keeps unmatched left rows,
+    * and the plan is a plain equi-join + one extra range predicate — no
+    * O(n·m) blow-up, the window is one shuffle on the join keys. The
+    * four inequality directions map to lead (`>=`, `>`: match latest
+    * earlier) or lag (`<=`, `<`: match earliest later) with the matching
+    * interval bound. A right timestamp of NULL never matches (comparison
+    * yields NULL), and a NULL lead/lag means the interval is open-ended
+    * — both exactly DuckDB's behavior.
+    *
+    * If the select list projects a star, the block is wrapped in
+    * `SELECT * EXCEPT (helper) FROM (...)` (trailing ORDER BY / LIMIT /
+    * set-ops stay outside the wrap) so the helper column never leaks.
+    * Shapes outside the rewrite — USING, a non-equality side condition
+    * referencing the right table, zero or several inequalities, OR /
+    * BETWEEN at the top level — raise a guided [[graft.functions.expressions.DuckDialectException]]
+    * naming the fix rather than silently misparsing (bare Spark would
+    * read `t ASOF JOIN u` as table t aliased "ASOF" + inner join).
+    */
+  def rewriteAsof(sql: String): String = {
+    val masked = maskQuotes(sql)
+    AsofRe.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) => rewriteAsof(rewriteOneAsof(sql, masked, m))
+    }
+  }
+
+  private def rewriteOneAsof(sql: String, masked: String,
+                             m: scala.util.matching.Regex.Match): String = {
+    def fail(why: String): Nothing =
+      throw new graft.functions.expressions.DuckDialectException(
+        s"ASOF JOIN couldn't be auto-rewritten ($why) — use " +
+          "graft.queries.CoreQueries.asOfJoin, or rewrite by hand as a " +
+          "windowed validity-interval join (lead/lag of the timestamp " +
+          "over the equality keys, then an equi-join bounded by it)")
+    val isLeft = m.group(1) != null
+    // ---- right-side relation: subquery or (dotted) table name
+    var i = m.end
+    def skipWs(): Unit =
+      while (i < masked.length && masked.charAt(i).isWhitespace) i += 1
+    skipWs()
+    if (i >= masked.length) fail("no right-side relation")
+    val relStart = i
+    val isSubquery = masked.charAt(i) == '('
+    if (isSubquery) {
+      var d = 1; i += 1
+      while (i < masked.length && d > 0) {
+        masked.charAt(i) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (d != 0) fail("unbalanced parens in the right-side subquery")
+    } else {
+      while (i < masked.length && (masked.charAt(i).isLetterOrDigit ||
+        masked.charAt(i) == '_' || masked.charAt(i) == '.')) i += 1
+      if (i == relStart) fail("unrecognized right-side relation")
+    }
+    val relText = sql.substring(relStart, i)
+    // ---- optional [AS] alias, then ON
+    skipWs()
+    var alias: String = null
+    if (i < masked.length && (masked.charAt(i).isLetter || masked.charAt(i) == '_')) {
+      val w = wordStartingAt(masked, i)
+      if (w == "AS") {
+        i += 2; skipWs()
+        val a = wordStartingAt(masked, i)
+        if (a.isEmpty || a == "ON") fail("missing alias after AS")
+        alias = sql.substring(i, i + a.length); i += a.length; skipWs()
+      } else if (w != "ON") {
+        alias = sql.substring(i, i + w.length); i += w.length; skipWs()
+      }
+    }
+    if (alias == null) {
+      if (isSubquery) fail("a right-side subquery needs an alias")
+      alias = relText.substring(relText.lastIndexOf('.') + 1)
+    }
+    if (i >= masked.length || wordStartingAt(masked, i) != "ON")
+      fail("ASOF JOIN requires an ON clause (USING has no column names to window over)")
+    i += 2
+    val condStart = i
+    // ---- ON condition runs to the next same-depth clause keyword / ')'
+    val condTerminators = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+      "OFFSET", "WINDOW", "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "MINUS",
+      "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ASOF", "SEMI",
+      "ANTI", "NATURAL", "LATERAL")
+    var condEnd = masked.length
+    var dd = 0
+    var scanning = true
+    while (i < masked.length && scanning) {
+      val c = masked.charAt(i)
+      if (c == '(') { dd += 1; i += 1 }
+      else if (c == ')') {
+        if (dd == 0) { condEnd = i; scanning = false } else { dd -= 1; i += 1 }
+      } else if (dd == 0 && c.isLetter &&
+        (i == 0 || (!masked.charAt(i - 1).isLetterOrDigit && masked.charAt(i - 1) != '_'))) {
+        val w = wordStartingAt(masked, i)
+        if (condTerminators.contains(w)) { condEnd = i; scanning = false }
+        else i += math.max(w.length, 1)
+      } else i += 1
+    }
+    val condText = sql.substring(condStart, condEnd).trim
+    val condMasked = masked.substring(condStart, condEnd)
+    // ---- split the condition at top-level AND; reject OR/NOT/BETWEEN/IN
+    val splits = scala.collection.mutable.ArrayBuffer[Int]()
+    var j = 0
+    var d2 = 0
+    while (j < condMasked.length) {
+      val c = condMasked.charAt(j)
+      if (c == '(') { d2 += 1; j += 1 }
+      else if (c == ')') { d2 -= 1; j += 1 }
+      else if (d2 == 0 && c.isLetter &&
+        (j == 0 || (!condMasked.charAt(j - 1).isLetterOrDigit && condMasked.charAt(j - 1) != '_'))) {
+        val w = wordStartingAt(condMasked, j)
+        if (w == "AND") { splits += j; j += 3 }
+        else if (Set("OR", "NOT", "BETWEEN", "IN", "CASE").contains(w))
+          fail(s"$w at the top level of the ON condition")
+        else j += math.max(w.length, 1)
+      } else j += 1
+    }
+    val ranges = {
+      val starts = 0 +: splits.map(_ + 3)
+      val ends = splits.toSeq :+ condMasked.length
+      starts.zip(ends)
+    }
+    // ---- classify each conjunct by its single top-level comparison
+    def topCmp(s: String): Option[(String, Int)] = {
+      var k = 0; var d3 = 0; var found: Option[(String, Int)] = None; var n = 0
+      while (k < s.length) {
+        val c = s.charAt(k)
+        if (c == '(') d3 += 1
+        else if (c == ')') d3 -= 1
+        else if (d3 == 0 && (c == '<' || c == '>' || c == '=' || c == '!')) {
+          val two = s.substring(k, math.min(k + 2, s.length))
+          val op = two match {
+            case "<=" | ">=" | "<>" | "!=" | "==" => two
+            case _ if c == '!' => "" // lone '!': not a comparison
+            case _ => c.toString
+          }
+          if (op.nonEmpty) {
+            n += 1
+            if (found.isEmpty) found = Some((op, k))
+            k += op.length - 1
+          }
+        }
+        k += 1
+      }
+      if (n == 1) found else None
+    }
+    val rightColRe =
+      ("(?i)^" + java.util.regex.Pattern.quote(alias) + raw"\.([A-Za-z_][A-Za-z_0-9]*)$$").r
+    val rightRefRe = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\.").r
+    var ineq: Option[(String, String, String)] = None // (normalized op, leftExpr, right ts col)
+    var nIneq = 0
+    val partCols = scala.collection.mutable.ArrayBuffer[String]()
+    for ((cs, ce) <- ranges) {
+      val cm = condMasked.substring(cs, ce)
+      val rawConj = sql.substring(condStart + cs, condStart + ce)
+      topCmp(cm) match {
+        case None => fail(s"no single comparison in ON conjunct '${rawConj.trim}'")
+        case Some((op, pos)) =>
+          val lhs = rawConj.substring(0, pos).trim
+          val rhs = rawConj.substring(pos + op.length).trim
+          val lhsM = cm.substring(0, pos)
+          val rhsM = cm.substring(pos + op.length)
+          val lhsIsRCol = rightColRe.findFirstIn(lhs.trim).isDefined
+          val rhsIsRCol = rightColRe.findFirstIn(rhs.trim).isDefined
+          op match {
+            case "=" | "==" =>
+              if (rhsIsRCol && rightRefRe.findFirstIn(lhsM).isEmpty)
+                partCols += rhs.substring(rhs.lastIndexOf('.') + 1)
+              else if (lhsIsRCol && rightRefRe.findFirstIn(rhsM).isEmpty)
+                partCols += lhs.substring(lhs.lastIndexOf('.') + 1)
+              else if (rightRefRe.findFirstIn(cm).isEmpty) ()
+              // ^ a left-only (or literal) filter: legal, just no partition key
+              else fail(s"equality '${rawConj.trim}' mixes the right table into an expression")
+            case "<>" | "!=" => fail(s"non-equality '${rawConj.trim}' in the ON condition")
+            case cmp =>
+              nIneq += 1
+              if (nIneq > 1) fail("more than one inequality in the ON condition (ASOF takes exactly one)")
+              if (rhsIsRCol && rightRefRe.findFirstIn(lhsM).isEmpty)
+                ineq = Some((cmp, lhs, rhs.substring(rhs.lastIndexOf('.') + 1)))
+              else if (lhsIsRCol && rightRefRe.findFirstIn(rhsM).isEmpty) {
+                val flipped = cmp match {
+                  case ">=" => "<="
+                  case "<=" => ">="
+                  case ">" => "<"
+                  case "<" => ">"
+                }
+                ineq = Some((flipped, rhs, lhs.substring(lhs.lastIndexOf('.') + 1)))
+              } else fail(s"the inequality '${rawConj.trim}' must compare a plain right-side " +
+                "column against a left-side expression")
+          }
+      }
+    }
+    val (op, leftExpr, rtsCol) = ineq.getOrElse(
+      fail("no inequality in the ON condition (ASOF takes exactly one)"))
+    val (wfn, boundOp) = op match {
+      case ">=" => ("lead", "<")
+      case ">" => ("lead", "<=")
+      case "<=" => ("lag", ">")
+      case "<" => ("lag", ">=")
+    }
+    // unique helper name (several ASOF joins + star select wraps nest)
+    val helper = "__graft_asof_end_" +
+      raw"__graft_asof_end_".r.findAllIn(masked).size
+    val partition =
+      if (partCols.isEmpty) "" else s"PARTITION BY ${partCols.mkString(", ")} "
+    val innerFrom = if (isSubquery) s"$relText __graft_asof_src" else relText
+    val newRel = s"( SELECT *, $wfn($rtsCol) OVER (${partition}ORDER BY $rtsCol) " +
+      s"AS $helper FROM $innerFrom ) $alias"
+    val joinKw = if (isLeft) "LEFT JOIN" else "JOIN"
+    val newCond = s"$condText AND ( $alias.$helper IS NULL OR " +
+      s"( $leftExpr ) $boundOp $alias.$helper )"
+    val replacement = s"$joinKw $newRel ON $newCond "
+    // ---- block bounds, for the star-leak wrap
+    val stack = scala.collection.mutable.Stack[Int]()
+    var p = 0
+    while (p < m.start) {
+      masked.charAt(p) match {
+        case '(' => stack.push(p + 1)
+        case ')' => if (stack.nonEmpty) stack.pop()
+        case _ =>
+      }
+      p += 1
+    }
+    val blockStart = if (stack.isEmpty) 0 else stack.top
+    val needsWrap = {
+      // FROM position at block depth 0 bounds the select list
+      var k = blockStart; var d4 = 0; var fromPos = m.start
+      var looking = true
+      while (k < m.start && looking) {
+        val c = masked.charAt(k)
+        if (c == '(') d4 += 1
+        else if (c == ')') d4 -= 1
+        else if (d4 == 0 && c.isLetter &&
+          (k == 0 || (!masked.charAt(k - 1).isLetterOrDigit && masked.charAt(k - 1) != '_'))) {
+          val w = wordStartingAt(masked, k)
+          if (w == "FROM") { fromPos = k; looking = false }
+          else k += math.max(w.length, 1) - 1
+        }
+        k += 1
+      }
+      selectListHasStar(masked, blockStart, fromPos)
+    }
+    if (!needsWrap)
+      sql.substring(0, m.start) + replacement + sql.substring(condEnd)
+    else {
+      // block end: the wrap swallows trailing ORDER BY / LIMIT too (they
+      // may reference table aliases invisible outside the subquery; an
+      // inner Sort under a bare Project survives and Project preserves
+      // order) — only a set-op branch boundary or ')' ends the block
+      val tailTerminators = Set("UNION", "INTERSECT", "EXCEPT", "MINUS")
+      var q = condEnd
+      var d5 = 0
+      var blockEnd = masked.length
+      var scan2 = true
+      while (q < masked.length && scan2) {
+        val c = masked.charAt(q)
+        if (c == '(') { d5 += 1; q += 1 }
+        else if (c == ')') {
+          if (d5 == 0) { blockEnd = q; scan2 = false } else { d5 -= 1; q += 1 }
+        } else if (d5 == 0 && c.isLetter &&
+          (q == 0 || (!masked.charAt(q - 1).isLetterOrDigit && masked.charAt(q - 1) != '_'))) {
+          val w = wordStartingAt(masked, q)
+          if (tailTerminators.contains(w)) { blockEnd = q; scan2 = false }
+          else q += math.max(w.length, 1)
+        } else q += 1
+      }
+      val block = sql.substring(blockStart, m.start) + replacement +
+        sql.substring(condEnd, blockEnd)
+      sql.substring(0, blockStart) +
+        s"SELECT * EXCEPT ($helper) FROM ( $block ) " + sql.substring(blockEnd)
+    }
+  }
+
+  /** Is there a projection star (`*`, `t.*`) at depth 0 of the select
+    * list? Distinguished from multiplication by the preceding token:
+    * a comma, a dot, or the SELECT/DISTINCT/ALL keyword means star.
+    */
+  private def selectListHasStar(masked: String, blockStart: Int, fromPos: Int): Boolean = {
+    var k = blockStart
+    var d = 0
+    while (k < fromPos) {
+      val c = masked.charAt(k)
+      if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (d == 0 && c == '*') {
+        val prevIdx = (k - 1 to blockStart by -1).find(x => !masked.charAt(x).isWhitespace)
+        val isProj = prevIdx match {
+          case None => true
+          case Some(x) =>
+            val pc = masked.charAt(x)
+            if (pc == ',' || pc == '.') true
+            else if (pc.isLetterOrDigit || pc == '_')
+              Set("SELECT", "DISTINCT", "ALL").contains(wordEndingAt(masked, x))
+            else false
+        }
+        if (isProj) return true
+      }
+      k += 1
+    }
+    false
   }
 
   private val ColumnsRe = raw"(?i)\bCOLUMNS\s*\(".r

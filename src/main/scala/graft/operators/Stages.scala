@@ -30,12 +30,15 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // dialect functions (string_split, strftime, …) for sessions built
     // without GraftExtensions; idempotent per session
     graft.functions.expressions.GraftFunctions.register(spark)
-    // ASOF/POSITIONAL JOIN would silently parse as a table alias +
-    // inner join — reject with the Spark equivalent named
+    // ASOF JOIN is auto-rewritten by rewriteAll; POSITIONAL JOIN (and
+    // any ASOF shape the rewrite threw on never reaches here) would
+    // silently parse as a table alias + inner join — reject what's left
+    // AFTER the rewrites, naming the Spark equivalent
+    val rewritten = GraftSqlParser.rewriteAll(
+      GraftSqlParser.rewriteColumns(code, df.columns.toSeq))
     graft.functions.expressions.DuckDialect.rejectSilentTraps(
-      GraftSqlParser.maskQuotes(code))
-    try GraftSqlParser.withDialectHint(code)(spark.sql(
-      GraftSqlParser.rewriteAll(GraftSqlParser.rewriteColumns(code, df.columns.toSeq))))
+      GraftSqlParser.maskQuotes(rewritten))
+    try GraftSqlParser.withDialectHint(code)(spark.sql(rewritten))
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
         // unresolved DuckDB function / table function → name the Spark

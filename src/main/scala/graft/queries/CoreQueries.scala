@@ -183,6 +183,30 @@ object CoreQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The SAME DuckDB `ASOF LEFT JOIN` text as q20's oracle, executed by
+    * SPARK through the dialect layer's validity-interval rewrite
+    * ([[graft.operators.GraftSqlParser.rewriteAsof]]) — a reference
+    * user's `sql` stage containing ASOF JOIN now runs verbatim instead
+    * of raising the guided error. The oracle is the byte-identical SQL
+    * run natively by DuckDB, so the rewrite's semantics (inclusive
+    * bound, exactly-one-match cardinality, LEFT rows kept) are
+    * hash-checked against the native operator, and q20 pins the same
+    * answer via the hand-built union+window plan.
+    */
+  def q99AsofSql(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("events")
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(graft.operators.GraftSqlParser.rewriteAll(asofSqlText))
+  }
+
+  private[graft] val asofSqlText = """
+      SELECT e.event_id, e.user_id,
+             CAST(o.o_orderdate AS DATE) AS last_order_date
+      FROM events e
+      ASOF LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      ORDER BY e.event_id"""
+
   // --------------------------------------------------------------- windows
 
   /** Top-3 orders per customer: row_number window + filter. */
@@ -336,6 +360,7 @@ object CoreQueries {
     "q18_scalar_subquery"   -> (q18ScalarSubquery _),
     "q19_grouping_sets"     -> (q19GroupingSets _),
     "q20_asof_join"         -> (q20AsofJoin _),
+    "q99_asof_sql"          -> (q99AsofSql _),
     "q21_math_case"         -> (q21MathCase _),
     "q22_window_lag_lead"   -> (q22WindowLagLead _),
     "q23_pivot_conditional" -> (q23PivotConditional _),
@@ -513,6 +538,10 @@ object CoreQueries {
       ASOF LEFT JOIN orders o
         ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
       ORDER BY e.event_id""",
+
+    // byte-identical to the Spark side's input text: DuckDB runs the
+    // native ASOF operator, Spark runs the rewriteAsof output
+    "q99_asof_sql" -> asofSqlText,
 
     "q21_math_case" -> """
       SELECT c_custkey,

@@ -131,7 +131,10 @@ class DialectSpec extends SparkSpec {
     assert(SqlStage("s",
       "SELECT id, row_number() OVER (ORDER BY id) AS rn FROM df QUALIFY rn = 1")
       .apply(spark, spark.range(5).toDF("id")).collect().map(_.getLong(0)).toSeq == Seq(0L))
-    assert(hintOf("SELECT * FROM df ASOF JOIN df2 ON df.id >= df2.id").contains("as-of"))
+    // ASOF JOIN left the guided-error list too (auto-rewritten since r6);
+    // a shape the rewrite can't express still raises the named hint
+    assert(hintOf("SELECT * FROM df a ASOF JOIN df b ON a.id = b.id")
+      .contains("no inequality"))
     // USING SAMPLE with a method spec is NOT silently approximated
     assert(hintOf("SELECT * FROM df USING SAMPLE reservoir(10%)").contains("TABLESAMPLE"))
     assert(hintOf("SELECT [x for x in ids] FROM df").contains("transform("))
@@ -320,11 +323,17 @@ class DialectSpec extends SparkSpec {
   }
 
   test("dialect rewrites are identity on the repo's whole oracle-SQL corpus") {
-    // 81 hand-written DuckDB queries with CTEs, windows, recursive CTEs,
-    // integer //, md5 tricks — none contains a rewrite trigger, so the
-    // rewriters must pass every byte through untouched (no false fires)
+    // hand-written DuckDB queries with CTEs, windows, recursive CTEs,
+    // integer //, md5 tricks — outside the ASOF JOIN oracles (which are
+    // DuckDB-native on purpose and legitimately rewrite), none contains
+    // a rewrite trigger, so the rewriters must pass every byte through
+    // untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
+      if (raw"(?i)\bASOF\b".r.findFirstIn(sql).isEmpty)
+        assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
+      else // the ASOF rewrite output must itself be stable
+        assert(GraftSqlParser.rewriteAll(GraftSqlParser.rewriteAll(sql))
+          == GraftSqlParser.rewriteAll(sql), s"$name rewrite not idempotent")
     }
   }
 
@@ -382,5 +391,137 @@ class DialectSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getInt(2) == 1))
     // one row per language
     assert(rows.map(_.getString(1)).distinct.length == rows.length)
+  }
+
+  // ---- ASOF JOIN: auto-rewritten to a validity-interval join (r6)
+
+  private def asofFixture(): Unit = {
+    import spark.implicits._
+    Seq(("A", 10, 1.0), ("A", 20, 2.0), ("A", 30, 3.0), ("B", 15, 9.0))
+      .toDF("sym", "pts", "price").createOrReplaceTempView("prices")
+    Seq(("A", 5, 1), ("A", 10, 2), ("A", 25, 3), ("A", 30, 4), ("B", 14, 5), ("B", 99, 6))
+      .toDF("sym", "tts", "tid").createOrReplaceTempView("trades")
+  }
+
+  test("ASOF JOIN (backward, >=): latest right row at-or-before, exactly one match") {
+    asofFixture()
+    val rows = SqlStage("s",
+      """SELECT t.tid, p.pts, p.price FROM trades t
+         ASOF JOIN prices p ON t.sym = p.sym AND t.tts >= p.pts
+         ORDER BY t.tid""")
+      .apply(spark, spark.range(1).toDF("id")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    // tid 1 (A,5): no price yet → dropped; tid 5 (B,14): none → dropped
+    assert(rows.toSeq == Seq((2, 10, 1.0), (3, 20, 2.0), (4, 30, 3.0), (6, 15, 9.0)))
+  }
+
+  test("ASOF LEFT JOIN keeps unmatched left rows with NULLs") {
+    asofFixture()
+    val rows = SqlStage("s",
+      """SELECT t.tid, p.price FROM trades t
+         ASOF LEFT JOIN prices p ON t.sym = p.sym AND t.tts >= p.pts
+         ORDER BY t.tid""")
+      .apply(spark, spark.range(1).toDF("id")).collect()
+    assert(rows.length == 6)
+    assert(rows.filter(_.isNullAt(1)).map(_.getInt(0)).toSeq == Seq(1, 5))
+  }
+
+  test("ASOF JOIN with the inequality written right-side-first flips correctly") {
+    asofFixture()
+    val rows = SqlStage("s",
+      """SELECT t.tid, p.pts FROM trades t
+         ASOF JOIN prices p ON t.sym = p.sym AND p.pts <= t.tts
+         ORDER BY t.tid""")
+      .apply(spark, spark.range(1).toDF("id")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((2, 10), (3, 20), (4, 30), (6, 15)))
+  }
+
+  test("ASOF JOIN forward (<=) matches the earliest at-or-after; strict ops exclude equal") {
+    asofFixture()
+    val fwd = SqlStage("s",
+      """SELECT t.tid, p.pts FROM trades t
+         ASOF JOIN prices p ON t.sym = p.sym AND t.tts <= p.pts
+         ORDER BY t.tid""")
+      .apply(spark, spark.range(1).toDF("id")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    // (A,5)→10, (A,10)→10, (A,25)→30, (A,30)→30, (B,14)→15, (B,99)→none
+    assert(fwd.toSeq == Seq((1, 10), (2, 10), (3, 30), (4, 30), (5, 15)))
+    val strict = SqlStage("s",
+      """SELECT t.tid, p.pts FROM trades t
+         ASOF JOIN prices p ON t.sym = p.sym AND t.tts > p.pts
+         ORDER BY t.tid""")
+      .apply(spark, spark.range(1).toDF("id")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    // strict backward: (A,10) now has no earlier price; (A,30)→20
+    assert(strict.toSeq == Seq((3, 20), (4, 20), (6, 15)))
+  }
+
+  test("ASOF JOIN: duplicate right timestamps collapse to one match per left row") {
+    import spark.implicits._
+    Seq(("A", 20, 2.0), ("A", 20, 2.5), ("A", 10, 1.0))
+      .toDF("sym", "pts", "price").createOrReplaceTempView("prices")
+    Seq(("A", 25, 1)).toDF("sym", "tts", "tid").createOrReplaceTempView("trades")
+    val rows = SqlStage("s",
+      """SELECT t.tid, p.pts, p.price FROM trades t
+         ASOF JOIN prices p ON t.sym = p.sym AND t.tts >= p.pts""")
+      .apply(spark, spark.range(1).toDF("id")).collect()
+    assert(rows.length == 1 && rows.head.getInt(1) == 20)
+    assert(Set(2.0, 2.5).contains(rows.head.getDouble(2))) // tie winner arbitrary, like DuckDB
+  }
+
+  test("ASOF JOIN star select never leaks the helper column; wrap keeps ORDER BY outside") {
+    asofFixture()
+    val df = SqlStage("s",
+      """SELECT * FROM trades t
+         ASOF JOIN prices p ON t.sym = p.sym AND t.tts >= p.pts
+         ORDER BY t.tid LIMIT 3""")
+      .apply(spark, spark.range(1).toDF("id"))
+    assert(!df.columns.exists(_.contains("__graft_asof")))
+    assert(df.collect().map(_.getInt(2)).toSeq == Seq(2, 3, 4)) // tid order kept
+  }
+
+  test("ASOF JOIN in a CTE and against a subquery right side") {
+    asofFixture()
+    val rows = SqlStage("s",
+      """WITH j AS (
+           SELECT t.tid, p.price FROM trades t
+           ASOF JOIN (SELECT sym, pts, price FROM prices WHERE price < 9.0) AS p
+             ON t.sym = p.sym AND t.tts >= p.pts
+         )
+         SELECT tid, price FROM j ORDER BY tid""")
+      .apply(spark, spark.range(1).toDF("id")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((2, 1.0), (3, 2.0), (4, 3.0))) // B prices filtered away
+  }
+
+  test("ASOF JOIN unsupported shapes raise guided errors, not silent misparses") {
+    asofFixture()
+    def hintOf(sql: String): String =
+      intercept[DuckDialectException](
+        SqlStage("s", sql).apply(spark, spark.range(1).toDF("id"))).getMessage
+    assert(hintOf("SELECT * FROM trades t ASOF JOIN prices p ON t.sym = p.sym")
+      .contains("no inequality"))
+    assert(hintOf(
+      "SELECT * FROM trades t ASOF JOIN prices p ON t.tts >= p.pts AND t.tid > p.price")
+      .contains("more than one inequality"))
+    assert(hintOf(
+      "SELECT * FROM trades t ASOF JOIN prices p ON t.sym = p.sym OR t.tts >= p.pts")
+      .contains("OR at the top level"))
+    // the rewritten text parses even with no equality key (global window)
+    val global = SqlStage("s",
+      """SELECT t.tid, p.pts FROM trades t
+         ASOF JOIN prices p ON t.tts >= p.pts ORDER BY t.tid""")
+      .apply(spark, spark.range(1).toDF("id")).collect()
+    assert(global.nonEmpty)
+  }
+
+  test("rewriteAsof is textual and idempotent; literals never trigger it") {
+    val sql = "SELECT 'ASOF JOIN is a string' AS s"
+    assert(GraftSqlParser.rewriteAsof(sql) == sql)
+    val once = GraftSqlParser.rewriteAsof(
+      "SELECT t.a FROM t ASOF JOIN u ON t.k = u.k AND t.ts >= u.ts")
+    assert(once.contains("lead(ts) OVER (PARTITION BY k ORDER BY ts)"))
+    assert(GraftSqlParser.rewriteAsof(once) == once)
   }
 }
