@@ -310,6 +310,56 @@ object Dedup {
       shingleArrays(right, idCol, textCol, k), threshold)
   }
 
+  /** Cross-corpus EXACT decontamination with a Bloom-filter prefilter —
+    * the shape for a benchmark/holdout set too large to broadcast as
+    * exact keys (a broadcast hash join of a 10⁹-row benchmark is dead on
+    * arrival; a Bloom filter at 1% false positives is ~1.2 bytes/key, so
+    * the same 10⁹ keys travel as ~1.2 GB of bits). Drops every corpus
+    * row whose NORMALIZED text (lower/trim/whitespace-collapse, the
+    * [[TextFunctions.fingerprint]] key) appears verbatim in `bench`.
+    *
+    * Plan, and why it is exact despite the sketch:
+    *  1. build one merged Bloom filter over xxhash64(fingerprint) of the
+    *     benchmark (distributed partial filters, OR-merged — one pass);
+    *  2. probe it ROW-LOCALLY in the corpus scan with Spark's own
+    *     codegen'd `BloomFilterMightContain` — misses are definitive
+    *     (no false negatives) and pass through with ZERO shuffle;
+    *  3. only the hits — true contaminations plus the fpp sliver — are
+    *     exact-verified by an anti-join against the benchmark
+    *     fingerprints, so every false positive is put back.
+    * The result equals the plain exact anti-join for ANY fpp; the knob
+    * trades filter size against how many rows reach the verify join.
+    * The corpus is scanned twice (miss branch + hit branch) with the
+    * probe pushed into both scans — at 100 TB persist the fingerprint
+    * column or accept the rescan; nothing but the hit sliver shuffles
+    * either way. The filter bits ride the broadcast task binary once
+    * per stage, not per task.
+    */
+  def decontaminateExactBloom(corpus: DataFrame, bench: DataFrame,
+                              textCol: String,
+                              expectedItems: Long = 1L << 20,
+                              fpp: Double = 0.01): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    def fp(c: Column) = call_function("norm_fingerprint", c)
+    val key = xxhash64(fp(col(textCol)))
+    val benchKeys = bench.select(key.as("k"))
+    // an empty benchmark can't contaminate anything (and Spark's
+    // bloomFilter aggregate NPEs on zero rows)
+    if (benchKeys.isEmpty) return corpus
+    val bf = benchKeys.stat.bloomFilter("k", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val hit = call_function("bloom_might_contain", lit(bytes), key)
+    val misses = corpus.filter(!hit)
+    val survivors = corpus.filter(hit)
+      .join(bench.select(fp(col(textCol)).as("__graft_bench_fp")).distinct(),
+        fp(col(textCol)) === col("__graft_bench_fp"), "left_anti")
+    misses.unionByName(survivors)
+  }
+
   /** Span-level exact dedup (the practical Spark form of ExactSubstr
     * from Lee et al., "Deduplicating Training Data Makes Language
     * Models Better", ACL 2022 — their suffix array finds arbitrary

@@ -270,6 +270,12 @@ object GraftFunctions {
     "simhash_sig" -> (es => SimHashSig(es(0), es(1))),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "norm_fingerprint" -> (es => NormFingerprint(es.head)),
+    // Spark's own codegen'd Bloom-filter membership probe (the engine
+    // only wires it for AQE runtime filters; registering it makes the
+    // sketch usable as a broadcast-free decontamination prefilter —
+    // see graft.functions.Dedup.decontaminateExactBloom)
+    "bloom_might_contain" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))),
     // SQL-callable PII scrubber (TextFunctions.redactPii as one call):
     // composing Catalyst's own RegExpReplace here spares YAML/SQL
     // authors the three-level backslash-escape labyrinth the raw

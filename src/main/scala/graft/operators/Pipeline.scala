@@ -39,6 +39,7 @@ object Pipeline {
           TransformStage(sc.name, sc.code.getOrElse(
             throw new IllegalArgumentException(s"${sc.name}: transform stage needs a registered fn name in code")))
         case "dedup" => DedupStage.fromConfig(sc)
+        case "decontaminate" => DecontaminateStage.fromConfig(sc)
         case "split" => SplitStage.fromConfig(sc)
         case "mix" => MixStage.fromConfig(sc)
         case "score" => ScoreStage.fromConfig(sc)

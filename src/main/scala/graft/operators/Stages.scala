@@ -207,6 +207,90 @@ object DedupStage {
   }
 }
 
+/** `decontaminate` stage: drop corpus rows that appear in a held-out
+  * benchmark/eval set read from `benchmark` (any [[graft.sources.Sources]]
+  * format — parquet/csv/tsv/orc/s3a). Three methods, by benchmark size
+  * and match strictness:
+  *
+  *  - `bloom` (default): EXACT normalized-text matching behind a
+  *    Bloom-filter prefilter ([[graft.functions.Dedup.decontaminateExactBloom]])
+  *    — the benchmark is never broadcast as strings, misses never
+  *    shuffle, false positives are exact-verified away; fits benchmarks
+  *    far too large for a broadcast join;
+  *  - `exact`: plain fingerprint anti-join (small benchmarks — one
+  *    broadcast-able distinct set);
+  *  - `minhash`: NEAR-duplicate decontamination at Jaccard ≥ `threshold`
+  *    ([[graft.functions.Dedup.minhashNearDupsBetween]]) — catches
+  *    paraphrased/partially-copied eval rows exact matching misses.
+  *
+  * `benchText` names the benchmark's text column when it differs from
+  * the corpus `text` column.
+  *
+  * {{{
+  * actionConfig: {benchmark: /data/eval.parquet, method: bloom, id: doc_id, text: text}
+  * actionConfig: {benchmark: /data/eval.parquet, method: minhash, threshold: 0.8}
+  * }}}
+  */
+final case class DecontaminateStage(name: String, method: String,
+                                    benchmarkPath: String, idCol: String,
+                                    textCol: String, benchTextCol: String,
+                                    threshold: Double, k: Int, numHashes: Int,
+                                    bands: Int, expectedItems: Long,
+                                    fpp: Double) extends Stage {
+  override def apply(spark: SparkSession, df: DataFrame): DataFrame = {
+    val benchRaw = graft.sources.Sources.load(spark, benchmarkPath)
+    if (!benchRaw.columns.contains(benchTextCol))
+      throw new IllegalArgumentException(
+        s"decontaminate stage '$name': benchmark $benchmarkPath has no column " +
+          s"'$benchTextCol' (columns: ${benchRaw.columns.mkString(", ")})")
+    val bench =
+      if (benchTextCol == textCol) benchRaw
+      else benchRaw.withColumnRenamed(benchTextCol, textCol)
+    method match {
+      case "bloom" =>
+        graft.functions.Dedup.decontaminateExactBloom(
+          df, bench, textCol, expectedItems, fpp)
+      case "exact" =>
+        val fp = graft.functions.TextFunctions.fingerprintFast(col(textCol))
+        df.join(bench.select(fp.as("__graft_bench_fp")).distinct(),
+          fp === col("__graft_bench_fp"), "left_anti")
+      case "minhash" =>
+        // bench ids only label the right side of candidate pairs — when
+        // the benchmark has no such column, any distinct value works
+        val benchIdd =
+          if (bench.columns.contains(idCol)) bench
+          else bench.withColumn(idCol, xxhash64(col(textCol)))
+        val contaminated = graft.functions.Dedup.minhashNearDupsBetween(
+            df, benchIdd, idCol, textCol, k, numHashes, bands, threshold)
+          .select(col("doc_a").as("__graft_drop")).distinct()
+        df.join(contaminated, col(idCol) === col("__graft_drop"), "left_anti")
+      case other => throw new IllegalArgumentException(
+        s"decontaminate stage '$name': unknown method '$other' (bloom | exact | minhash)")
+    }
+  }
+}
+
+object DecontaminateStage {
+  def fromConfig(cfg: StageConfig): DecontaminateStage = {
+    val ac = cfg.actionConfig
+    def s(k: String, d: String) = ac.get(k).flatMap(Option(_)).map(_.toString).getOrElse(d)
+    def n(k: String, d: Int) = ac.get(k).flatMap(Option(_)) match {
+      case Some(x: Number) => x.intValue(); case Some(x) => x.toString.toInt; case None => d
+    }
+    def dbl(k: String, d: Double) = ac.get(k).flatMap(Option(_)) match {
+      case Some(x: Number) => x.doubleValue(); case Some(x) => x.toString.toDouble; case None => d
+    }
+    val path = ac.get("benchmark").flatMap(Option(_)).map(_.toString).getOrElse(
+      throw new IllegalArgumentException(
+        s"decontaminate stage '${cfg.name}': actionConfig.benchmark (path) required"))
+    val text = s("text", "text")
+    DecontaminateStage(cfg.name, s("method", "bloom"), path,
+      s("id", "doc_id"), text, s("benchText", text),
+      dbl("threshold", 0.8), n("k", 3), n("numHashes", 32), n("bands", 8),
+      n("expectedItems", 1 << 20).toLong, dbl("fpp", 0.01))
+  }
+}
+
 /** `split` stage: deterministic n-way split labels from YAML
   * ([[graft.functions.Mix.split]] — md5 hex-digit buckets, weights in
   * sixteenths summing to 16, membership a pure function of the id).

@@ -267,6 +267,27 @@ object TextQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Exact decontamination behind a Bloom prefilter
+    * ([[Dedup.decontaminateExactBloom]]): benchmark = docs 0-49 plus
+    * every 17th doc (a deterministic "benchmark leaked into training"
+    * overlap, so drops are guaranteed at every SF); corpus = docs ≥ 50.
+    * The Bloom filter is only a prefilter — misses skip the verify join
+    * entirely, hits are exact-verified — so the result equals the plain
+    * exact anti-join and the oracle IS that anti-join on the same
+    * normalized-text fingerprint, independent of fpp. fpp is set
+    * aggressively high (0.2, a deliberately tiny filter) so the
+    * false-positive path provably exercises and still hash-matches.
+    */
+  def q100BloomDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 50 || col("doc_id") % 17 === 0)
+    val corpus = docs.filter(col("doc_id") >= 50)
+    Dedup.decontaminateExactBloom(corpus, bench, "text",
+        expectedItems = 1 << 14, fpp = 0.2)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Span-level exact dedup ([[Dedup.dedupSpans]]): 20-token
     * non-overlapping windows, first global occurrence wins, documents
     * reassembled from surviving spans. The oracle replays the identical
@@ -460,6 +481,7 @@ object TextQueries {
     "q89_dedup_clusters"  -> (q89DedupClusters _),
     "q90_split"           -> (q90Split _),
     "q91_cross_dedup"     -> (q91CrossDedup _),
+    "q100_bloom_decontam" -> (q100BloomDecontam _),
     "q92_span_dedup"      -> (q92SpanDedup _),
     "q93_token_budget"    -> (q93TokenBudget _),
     "q94_sequence_pack"   -> (q94SequencePack _),
@@ -786,6 +808,20 @@ object TextQueries {
       SELECT doc_id, n_tokens, pack_shard, pack_offset,
              CAST(floor(pack_offset / 512.0) AS BIGINT) AS pack_id
       FROM c ORDER BY doc_id""",
+
+    // the Bloom prefilter is invisible to the result by construction,
+    // so the oracle is the plain exact anti-join on the same
+    // normalized-text fingerprint
+    "q100_bloom_decontam" -> """
+      WITH nf AS (SELECT doc_id,
+          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      bench AS (SELECT DISTINCT fp FROM nf WHERE doc_id < 50 OR doc_id % 17 = 0)
+      SELECT c.doc_id
+      FROM nf c
+      WHERE c.doc_id >= 50
+        AND NOT EXISTS (SELECT 1 FROM bench b WHERE b.fp = c.fp)
+      ORDER BY c.doc_id""",
 
     "q91_cross_dedup" -> """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),

@@ -591,4 +591,46 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(cos.forall(c => math.abs(c - 1.0) < 1e-12))
   }
+
+  test("decontaminateExactBloom: exact anti-join semantics through the prefilter") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "  The QUICK   brown fox "), // normalizes equal to a bench row
+      (3L, "unique document three"),
+      (4L, "shared exact text"),
+      (5L, "another unique one")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox"),
+      (101L, "shared exact text"),
+      (102L, "benchmark-only text")).toDF("doc_id", "text")
+    val kept = graft.functions.Dedup
+      .decontaminateExactBloom(corpus, bench, "text",
+        expectedItems = 16, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(3L, 5L)) // 1,2 normalize into bench; 4 exact
+  }
+
+  test("decontaminateExactBloom stays exact at an absurd fpp (false positives re-verified)") {
+    import spark.implicits._
+    val corpus = (0 until 400).map(i => (i.toLong, s"corpus doc number $i")).toDF("doc_id", "text")
+    val bench = (0 until 400 by 7).map(i => (i.toLong, s"corpus doc number $i")).toDF("doc_id", "text")
+    // 4 expected items for 58 keys at fpp 0.5 → the filter is saturated
+    // and nearly everything hits; the verify join must put back every FP
+    val kept = graft.functions.Dedup
+      .decontaminateExactBloom(corpus, bench, "text", expectedItems = 4, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = (0 until 400).filter(_ % 7 != 0).map(_.toLong).toSet
+    assert(kept == expected)
+  }
+
+  test("decontaminateExactBloom is total on empty benchmark and empty corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.functions.Dedup.decontaminateExactBloom(corpus, empty, "text",
+      expectedItems = 4).count() == 2)
+    assert(graft.functions.Dedup.decontaminateExactBloom(empty, corpus, "text",
+      expectedItems = 4).count() == 0)
+  }
 }

@@ -408,4 +408,39 @@ class PipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("Unsupported"))
   }
+
+  test("decontaminate stage: bloom/exact drop benchmark texts, minhash drops near-dups") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-decon").toString
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, benchText),
+        (2L, "totally unrelated content right here okay then"),
+        (3L, "ALPHA beta gamma delta epsilon zeta eta theta iota kappa"), // normalizes to bench row
+        (4L, benchText + " novel")) // near-dup of bench row (J = 8/9)
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus.parquet")
+    Seq((100L, benchText))
+      .toDF("bench_id", "eval_text").write.parquet(s"$dir/bench.parquet")
+    def run(method: String, extra: String = ""): Seq[Long] =
+      Pipeline.runYaml(spark,
+        s"""filters:
+           |  - name: d
+           |    actionType: decontaminate
+           |    actionConfig: {benchmark: $dir/bench.parquet, method: $method,
+           |                   id: doc_id, text: text, benchText: eval_text$extra}
+           |""".stripMargin, s"$dir/corpus.parquet", None)
+        .output.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(run("bloom") == Seq(2L, 4L))  // exact-normalized matches 1,3 dropped
+    assert(run("exact") == Seq(2L, 4L))
+    assert(run("minhash", ", threshold: 0.5") == Seq(2L)) // 4 is a near-dup too
+    // a benchmark missing the named text column fails fast with the columns listed
+    val err = intercept[IllegalArgumentException] {
+      Pipeline.runYaml(spark,
+        s"""filters:
+           |  - name: d
+           |    actionType: decontaminate
+           |    actionConfig: {benchmark: $dir/bench.parquet, benchText: nope}
+           |""".stripMargin, s"$dir/corpus.parquet", None).output.count()
+    }
+    assert(err.getMessage.contains("no column 'nope'"))
+  }
 }
