@@ -54,6 +54,7 @@ object ScaleProbe {
       val docs = documents(spark, d)
       val emb = embeddings(spark, d)
       val nEmb = emb.count()
+      val nDocs = docs.count()
       // documented sizing rules, applied per corpus size
       val bits = math.max(8, (math.log(nEmb.toDouble) / math.log(2)).round.toInt - 3)
       val nlist = math.max(16, math.sqrt(nEmb.toDouble).round.toInt / 3)
@@ -97,6 +98,14 @@ object ScaleProbe {
             .agg(max(col("pack_id"))).collect()(0).getLong(0)),
         "q95_temperature" -> (() =>
           graft.queries.TextQueries.q95Temperature(spark, d).count()),
+        // scale-default fpp (the gate runs 0.2 to force the FP path);
+        // expectedItems sized to the benchmark like a real run would
+        "q100_bloom_decontam" -> (() => {
+          val bench = docs.filter(col("doc_id") < 50 || col("doc_id") % 17 === 0)
+          Dedup.decontaminateExactBloom(
+            docs.filter(col("doc_id") >= 50), bench, "text",
+            expectedItems = math.max(1L << 14, nDocs / 17 + 50), fpp = 0.01).count()
+        }),
         "q96_quality_filter" -> (() =>
           // sum forces the rank windows (count alone could prune columns)
           graft.queries.TextQueries.q96QualityFilter(spark, d)
@@ -106,9 +115,15 @@ object ScaleProbe {
 
     val results = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.LinkedHashMap[String, (Double, Long, Long)]]()
+    // GRAFT_PROBE_OPS=q100,q35 limits the run to the named probes
+    // (prefix match) — re-measuring one new operator shouldn't cost a
+    // full-suite pass
+    val only = sys.env.get("GRAFT_PROBE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     for (d <- dirs) {
       val nDocs = documents(spark, d).count()
-      for ((name, f) <- probes(d)) {
+      for ((name, f) <- probes(d)
+           if only.forall(_.exists(name.startsWith))) {
         val (sec, rows) = time(f())
         results.getOrElseUpdate(name, scala.collection.mutable.LinkedHashMap())
           .put(d, (sec, rows, nDocs))
