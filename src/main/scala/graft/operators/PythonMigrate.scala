@@ -25,13 +25,18 @@ import scala.collection.mutable
   *    that skips the column keeps its prior value (NULL when new)
   *  - expressions: literals, f-strings (`f"a {row['x']}"` → concat;
   *    format specs error), `row['y']`, str/int/float/len/abs/round and
-  *    min/max (→ least/greatest), `re.match(pat, e)` (→ `e RLIKE
-  *    '^(?:pat)'`), `rand.uniform(a,b)` (→ `a + rand()*(b-a)`),
+  *    min/max (→ least/greatest), `re.match/search/fullmatch(pat, e)`
+  *    (→ RLIKE, anchored per python semantics), `re.sub(pat, repl, e)`
+  *    (→ regexp_replace; `\1`/`\g<1>` backrefs become `$1`),
+  *    `rand.uniform(a,b)` (→ `a + rand()*(b-a)`),
   *    `math.sqrt/floor/ceil/exp/log/log2/log10/pow/fabs` + `math.pi/e`,
   *    `json.dumps({...})` (→ to_json(named_struct(...))),
   *    `json.loads(e)` + `.get('k', d)` / `['k']` (→ get_json_object),
   *    string methods lower/upper/strip/lstrip/rstrip/title/capitalize/
-  *    startswith/endswith/replace, arithmetic incl. `**` (→ power) and
+  *    startswith/endswith/replace/find/count/zfill/ljust/rjust and
+  *    `.split(sep)` / `.split()` with python list indexing
+  *    (`s.split(',')[0]`, negatives from the end) and `len()`,
+  *    arithmetic incl. `**` (→ power) and
   *    `//` (→ floor division), comparisons, and/or/not/in,
   *    `a if cond else b`, dict-returning function results
   *
@@ -176,6 +181,11 @@ object PythonMigrate {
   private case class Tup(items: Seq[V]) extends V
   private case class Dict(fields: Seq[(String, V)]) extends V
   private case class Json(src: V) extends V
+  /** A string-array value (`.split(...)` result): subscriptable with an
+    * integer (python indexing, negatives from the end) and measurable
+    * with len(); anything else errors.
+    */
+  private case class Arr(sql: String) extends V
   private case class Func(params: Seq[String], body: Seq[Stmt], defLine: Int) extends V
   /** Bound python module alias, e.g. `rand` -> random. */
   private case class Module(name: String) extends V
@@ -187,12 +197,30 @@ object PythonMigrate {
       "Tuples are only valid on the right of 'in'.")
     case Dict(_) => throw new MigrationError(line, "a dict used as a scalar value",
       "Subscript it with a constant key.")
+    case Arr(_) => throw new MigrationError(line, "a list used as a scalar value",
+      "Subscript the .split(...) result with a constant index, or take len() of it.")
     case Func(_, _, l) => throw new MigrationError(line, s"function value (defined at line $l) used as a scalar", "")
     case Module(m) => throw new MigrationError(line, s"module '$m' used as a value", "")
   }
 
   private def sqlStr(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Undo [[sqlStr]]: recover the raw string from its SQL-literal form —
+    * needed when a python method wants the literal's VALUE at translate
+    * time (regex-quoting a split separator, converting re.sub backrefs).
+    */
+  private def rawStr(sqlLit: String): String = {
+    val inner = sqlLit.stripPrefix("'").stripSuffix("'")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < inner.length) {
+      if (inner.charAt(i) == '\\' && i + 1 < inner.length) {
+        sb.append(inner.charAt(i + 1)); i += 2
+      } else { sb.append(inner.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
 
   // ----------------------------------------------------------- statements
 
@@ -592,8 +620,38 @@ object PythonMigrate {
           // RLIKE is an unanchored search; re.match anchors at the start
           val anchored = "'^(?:" + pat.stripPrefix("'").stripSuffix("'") + ")'"
           Sql(s"(${sqlOf(a(1), line).sql} RLIKE $anchored)")
+        case (Module("re"), Some("search")) =>
+          if (a.length != 2) err("re.search expects (pattern, string)")
+          a.head match {
+            case Sql(pat, true) => Sql(s"(${sqlOf(a(1), line).sql} RLIKE $pat)")
+            case _ => err("re.search pattern must be a string literal")
+          }
+        case (Module("re"), Some("fullmatch")) =>
+          if (a.length != 2) err("re.fullmatch expects (pattern, string)")
+          a.head match {
+            case Sql(pat, true) =>
+              val anchored = "'^(?:" + pat.stripPrefix("'").stripSuffix("'") + ")$'"
+              Sql(s"(${sqlOf(a(1), line).sql} RLIKE $anchored)")
+            case _ => err("re.fullmatch pattern must be a string literal")
+          }
+        case (Module("re"), Some("sub")) =>
+          if (a.length != 3) err("re.sub expects (pattern, repl, string)")
+          val pat = a.head match {
+            case Sql(lit, true) => lit
+            case _ => err("re.sub pattern must be a string literal")
+          }
+          val repl = a(1) match {
+            case Sql(lit, true) =>
+              // python backrefs \1 / \g<1> → Java $1; literal '$' escaped
+              val java = rawStr(lit).replace("$", "\\$")
+                .replaceAll("""\\g<(\d+)>""", "\\$$1")
+                .replaceAll("""\\(\d)""", "\\$$1")
+              sqlStr(java)
+            case _ => err("re.sub replacement must be a string literal")
+          }
+          Sql(s"regexp_replace(${sqlOf(a(2), line).sql}, $pat, $repl)", isString = true)
         case (Module("re"), Some(other)) =>
-          err(s"re.$other", "Only re.match is translated; use regexp_replace/regexp_extract in a 'derive' stage.")
+          err(s"re.$other", "re.match/search/fullmatch/sub are translated; use regexp_extract in a 'derive' stage for group capture.")
         case (Module("random"), Some("uniform")) =>
           if (a.length != 2) err("uniform expects (a, b)")
           val (lo, hi) = (sqlOf(a.head, line).sql, sqlOf(a(1), line).sql)
@@ -656,6 +714,35 @@ object PythonMigrate {
         case (v, Some("replace")) if a.length == 2 && v.isInstanceOf[Sql] =>
           Sql(s"replace(${sqlOf(v, line).sql}, ${sqlOf(a.head, line).sql}, ${sqlOf(a(1), line).sql})",
             isString = true)
+        case (v, Some("split")) if v.isInstanceOf[Sql] =>
+          a match {
+            // no-arg split: whitespace runs, outer whitespace dropped
+            case Seq() => Arr(s"split(trim(${sqlOf(v, line).sql}), ${sqlStr("\\s+")})")
+            case Seq(Sql(sep, true)) =>
+              // python separators are LITERAL — regex-quote at translate time
+              val quoted = sqlStr(java.util.regex.Pattern.quote(rawStr(sep)))
+              Arr(s"split(${sqlOf(v, line).sql}, $quoted, -1)")
+            case _ => err(".split separator must be a string literal (or absent)")
+          }
+        case (v, Some("find")) if a.length == 1 && v.isInstanceOf[Sql] =>
+          // python find: -1 when absent; instr: 0 when absent — the -1 aligns both
+          Sql(s"(instr(${sqlOf(v, line).sql}, ${sqlOf(a.head, line).sql}) - 1)")
+        case (v, Some("count")) if a.length == 1 && v.isInstanceOf[Sql] =>
+          a.head match {
+            case Sql(sub, true) =>
+              val quoted = sqlStr(java.util.regex.Pattern.quote(rawStr(sub)))
+              Sql(s"(size(split(${sqlOf(v, line).sql}, $quoted, -1)) - 1)")
+            case _ => err(".count argument must be a string literal")
+          }
+        case (v, Some("zfill")) if a.length == 1 && v.isInstanceOf[Sql] =>
+          // lpad TRUNCATES a longer string; python zfill never does
+          val (s, n) = (sqlOf(v, line).sql, sqlOf(a.head, line).sql)
+          Sql(s"if(length($s) >= $n, $s, lpad($s, $n, '0'))", isString = true)
+        case (v, Some("rjust" | "ljust")) if a.nonEmpty && a.length <= 2 && v.isInstanceOf[Sql] =>
+          val (s, n) = (sqlOf(v, line).sql, sqlOf(a.head, line).sql)
+          val pad = a.lift(1).map(p => sqlOf(p, line).sql).getOrElse("' '")
+          val f = if (method.contains("rjust")) "lpad" else "rpad"
+          Sql(s"if(length($s) >= $n, $s, $f($s, $n, $pad))", isString = true)
         case (Json(src), Some("get")) =>
           if (a.isEmpty) err(".get() needs a key")
           val key = a.head match {
@@ -676,7 +763,10 @@ object PythonMigrate {
       case "str" => Sql(s"CAST(${sqlOf(a.head, line).sql} AS STRING)", isString = true)
       case "int" => Sql(s"CAST(${sqlOf(a.head, line).sql} AS BIGINT)")
       case "float" => Sql(s"CAST(${sqlOf(a.head, line).sql} AS DOUBLE)")
-      case "len" => Sql(s"length(${sqlOf(a.head, line).sql})")
+      case "len" => a.head match {
+        case Arr(arr) => Sql(s"size($arr)")
+        case v => Sql(s"length(${sqlOf(v, line).sql})")
+      }
       case "abs" => Sql(s"abs(${sqlOf(a.head, line).sql})")
       case "round" =>
         if (a.length == 2) Sql(s"round(${sqlOf(a.head, line).sql}, ${sqlOf(a(1), line).sql})")
@@ -714,8 +804,17 @@ object PythonMigrate {
         subscript(Json(Sql(col, isString = true)), k)
       case (Sql(col, _), k @ Sql(lit, false)) if isColumnRef(col) && lit.forall(_.isDigit) =>
         subscript(Json(Sql(col, isString = true)), k)
+      // python list indexing on a .split(...) result: 0-based from the
+      // front, negatives from the end — element_at is 1-based front,
+      // negative-from-end, so only non-negative indexes shift
+      case (Arr(arr), Sql(lit, false))
+          if lit.replaceAll("[()\\s]", "").matches("-?\\d+") =>
+        val i = lit.replaceAll("[()\\s]", "").toLong
+        Sql(s"element_at($arr, ${if (i >= 0) i + 1 else i})", isString = true)
+      case (Arr(_), _) => err("list index must be an integer literal",
+        "Python-side dynamic indexes have no bounds semantics in SQL (element_at throws past the end).")
       case _ => err("subscript on a non-dict value",
-        "Only dict-literal, json.loads(...) and row['col'] JSON-string values can be subscripted.")
+        "Only dict-literal, json.loads(...), row['col'] JSON-string and .split(...) list values can be subscripted.")
     }
 
     def boolOf(v: V): String = v match {

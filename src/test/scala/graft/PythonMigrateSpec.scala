@@ -199,6 +199,59 @@ class PythonMigrateSpec extends SparkSpec {
     assert(rows("ax") == (("ax", "AX", "yes", "ay", "other")))
   }
 
+  test("re.sub/search/fullmatch and split/find/count/zfill/rjust translate (r6 widening)") {
+    val cols = PythonMigrate.toDeriveColumns(
+      """import re
+        |row['digits'] = re.sub('[^0-9]', '', row['s'])
+        |row['swapped'] = re.sub('(a+)(b+)', r'\2-\1', row['s'])
+        |row['has_num'] = re.search('[0-9]', row['s'])
+        |row['all_num'] = re.fullmatch('[0-9]+', row['s'])
+        |row['first'] = row['csv'].split(',')[0]
+        |row['last'] = row['csv'].split(',')[-1]
+        |row['n_parts'] = len(row['csv'].split(','))
+        |row['word2'] = row['s'].split()[1] if len(row['s'].split()) > 1 else ''
+        |row['pos'] = row['s'].find('b')
+        |row['commas'] = row['csv'].count(',')
+        |row['padded'] = str(row['pos']).zfill(4)
+        |row['right'] = row['s'].rjust(8, '.')
+        |""".stripMargin)
+    import org.apache.spark.sql.functions._
+    var df = spark.sql(
+      "SELECT * FROM VALUES ('aabbb x1', 'p,q,r'), ('42', 'single') AS t(s, csv)")
+    cols.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+    val rows = df.collect().map(r => r.getAs[String]("s") -> r).toMap
+    val a = rows("aabbb x1")
+    assert(a.getAs[String]("digits") == "1")
+    assert(a.getAs[String]("swapped") == "bbb-aa x1")
+    assert(a.getAs[Boolean]("has_num") && !a.getAs[Boolean]("all_num"))
+    assert(a.getAs[String]("first") == "p" && a.getAs[String]("last") == "r")
+    assert(a.getAs[Int]("n_parts") == 3)
+    assert(a.getAs[String]("word2") == "x1")
+    assert(a.getAs[Int]("pos") == 2) // python: 'aabbb'.find('b') == 2
+    assert(a.getAs[Int]("commas") == 2)
+    assert(a.getAs[String]("padded") == "0002")
+    assert(a.getAs[String]("right") == "aabbb x1") // already 8 chars: untouched
+    val b = rows("42")
+    assert(b.getAs[Boolean]("all_num"))
+    assert(b.getAs[String]("first") == "single" && b.getAs[String]("last") == "single")
+    assert(b.getAs[String]("word2") == "")
+    assert(b.getAs[Int]("pos") == -1) // absent → python -1
+    assert(b.getAs[String]("right") == "......42")
+  }
+
+  test("split separators are literal; dynamic list indexes raise a guided error") {
+    val cols = PythonMigrate.toDeriveColumns(
+      "row['p'] = row['s'].split('.')[1]\n")
+    import org.apache.spark.sql.functions._
+    val df = spark.sql("SELECT 'a.b.c' AS s")
+      .withColumn("p", expr(cols.head._2))
+    assert(df.collect().head.getAs[String]("p") == "b") // '.' not a regex-any
+    val e = intercept[IllegalArgumentException] {
+      PythonMigrate.toDeriveColumns("row['p'] = row['s'].split(',')[row['i']]\n")
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("module-level if/elif/else assigning row columns compiles to CASE per column") {
     val cols = PythonMigrate.toDeriveColumns(
       """if int(row['a']) > 6:
