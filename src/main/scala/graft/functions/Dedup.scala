@@ -342,16 +342,9 @@ object Dedup {
     GraftFunctions.register(corpus.sparkSession)
     def fp(c: Column) = call_function("norm_fingerprint", c)
     val key = xxhash64(fp(col(textCol)))
-    val benchKeys = bench.select(key.as("k"))
-    // an empty benchmark can't contaminate anything (and Spark's
-    // bloomFilter aggregate NPEs on zero rows)
-    if (benchKeys.isEmpty) return corpus
-    val bf = benchKeys.stat.bloomFilter("k", expectedItems, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
+    // an empty benchmark can't contaminate anything
+    val bytes = benchBloomBytes(bench.select(key.as("k")), expectedItems, fpp)
+      .getOrElse(return corpus)
     val hit = call_function("bloom_might_contain", lit(bytes), key)
     val misses = corpus.filter(!hit)
     val survivors = corpus.filter(hit)
@@ -359,6 +352,21 @@ object Dedup {
         fp(col(textCol)) === col("__graft_bench_fp"), "left_anti")
     misses.unionByName(survivors)
   }
+
+  /** Serialized OR-merged Bloom filter over a one-column ("k") LONG
+    * frame, None when it's empty (an empty set can't contain anything,
+    * and Spark's bloomFilter aggregate NPEs on zero rows). Shared by the
+    * batch and streaming decontamination paths.
+    */
+  private[graft] def benchBloomBytes(benchKeys: DataFrame, expectedItems: Long,
+                                     fpp: Double): Option[Array[Byte]] =
+    if (benchKeys.isEmpty) None
+    else {
+      val bf = benchKeys.stat.bloomFilter("k", expectedItems, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      Some(bos.toByteArray)
+    }
 
   /** Span-level exact dedup (the practical Spark form of ExactSubstr
     * from Lee et al., "Deduplicating Training Data Makes Language

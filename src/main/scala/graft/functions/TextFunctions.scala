@@ -101,6 +101,35 @@ object TextFunctions {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /** URL extraction — scheme-anchored, whitespace/bracket/quote
+    * terminated, case-insensitive scheme (RE2-safe, so the q101 oracle
+    * replays it verbatim).
+    */
+  val UrlRe = "(?i)https?://[^\\s<>\"']+"
+
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** URL normalization (the C4-style web-cleaning step before URL-level
+    * dedup/blocklists): lowercase, strip the #fragment, drop utm_*
+    * tracking params (two passes — a global regex pass does not rescan
+    * the text it just spliced, so adjacent utm params need a second
+    * sweep; more than two adjacent is vanishingly rare and merely
+    * leaves a param), trim trailing punctuation a sentence donated,
+    * then dangling `?`/`&`, then a trailing slash. Every step is one
+    * RE2-safe regexp_replace, so an external engine replays the chain
+    * byte-for-byte (q101). Row-local — zero shuffle at any scale.
+    */
+  def normalizeUrl(url: Column): Column = {
+    def dropUtm(c: Column) =
+      regexp_replace(c, "([?&])utm_[a-z_]+=[^&]*&?", "$1")
+    val noFrag = regexp_replace(lower(url), "#.*$", "")
+    val noUtm = dropUtm(dropUtm(noFrag))
+    val noPunct = regexp_replace(noUtm, "[.,;:)\\]]+$", "")
+    val noDangle = regexp_replace(noPunct, "[?&]+$", "")
+    regexp_replace(noDangle, "/$", "")
+  }
+
   /** Number of matches of a word-alternation marker pattern — the
     * n-gram heuristic behind language ID.
     */

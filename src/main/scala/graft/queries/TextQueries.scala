@@ -128,6 +128,28 @@ object TextQueries {
             "&amp;amp; &lt;b&gt; &nbsp;tail</div>"))).as("clean"))
       .orderBy(col("doc_id"))
 
+  /** URL extraction + normalization
+    * ([[graft.functions.TextFunctions.extractUrls]] /
+    * [[TextFunctions.normalizeUrl]]): both engines append the same
+    * synthetic URL tail to every document (mixed-case scheme/host, utm_*
+    * tracking params, a #fragment, a trailing slash — every
+    * normalization step provably fires), extract, normalize, and must
+    * produce byte-identical URLs.
+    */
+  def q101UrlNormalize(s: SparkSession, d: String): DataFrame = {
+    val wrapped = documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" see HTTPS://Example"), col("doc_id") % 7,
+        lit(".COM/Path/?utm_source=feed&utm_id="), col("doc_id") % 5,
+        lit("&ref="), col("doc_id") % 3,
+        lit("#frag and http://plain.org/x"), col("doc_id") % 4,
+        lit("/")).as("t"))
+    wrapped
+      .select(col("doc_id"), explode(TF.extractUrls(col("t"))).as("u"))
+      .select(col("doc_id"), TF.normalizeUrl(col("u")).as("url"))
+      .orderBy(col("doc_id"), col("url"))
+  }
+
   /** Training-mix rebalancing ([[graft.functions.Mix]]): deterministic
     * per-language down-sampling — keep 12/16 of en, 8/16 of es, 4/16 of
     * de, all of everything else. Row membership is the md5-prefix trick,
@@ -489,6 +511,7 @@ object TextQueries {
     "q96_quality_filter"  -> (q96QualityFilter _),
     "q97_rarity"          -> (q97Rarity _),
     "q98_html_strip"      -> (q98HtmlStrip _),
+    "q101_url_normalize"  -> (q101UrlNormalize _),
     "q36_simhash"         -> (q36Simhash _),
     "q38_fingerprint"     -> (q38Fingerprint _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
@@ -756,6 +779,34 @@ object TextQueries {
         FROM s4)
       SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean
       FROM s5 ORDER BY doc_id""",
+
+    // the normalization chain must run in the SAME order as
+    // TextFunctions.normalizeUrl: lower, #fragment, utm x2, trailing
+    // punctuation, dangling ?/&, trailing slash (RE2 backrefs are \1 in
+    // DuckDB, $1 in Java — same semantics)
+    "q101_url_normalize" -> """
+      WITH wrapped AS (SELECT doc_id,
+          text || ' see HTTPS://Example' || (doc_id % 7) ||
+          '.COM/Path/?utm_source=feed&utm_id=' || (doc_id % 5) ||
+          '&ref=' || (doc_id % 3) ||
+          '#frag and http://plain.org/x' || (doc_id % 4) || '/' AS t
+        FROM documents),
+      urls AS (SELECT doc_id,
+          unnest(regexp_extract_all(t, '(?i)https?://[^\s<>"'']+')) AS u
+        FROM wrapped)
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(lower(u), '#.*$', ''),
+                  '([?&])utm_[a-z_]+=[^&]*&?', '\1', 'g'),
+                '([?&])utm_[a-z_]+=[^&]*&?', '\1', 'g'),
+              '[.,;:)\]]+$', ''),
+            '[?&]+$', ''),
+          '/$', '') AS url
+      FROM urls ORDER BY doc_id, url""",
 
     "q97_rarity" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t

@@ -95,6 +95,35 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("fp"))
   }
 
+  /** Decontaminate an UNBOUNDED document stream against a STATIC
+    * benchmark with zero stream-side state: the Bloom probe
+    * ([[graft.functions.Dedup.benchBloomBytes]], built once from the
+    * static side at stream start) is a row-local codegen'd predicate, so
+    * misses — the overwhelming bulk — pass through with no join and no
+    * state; the hit sliver exact-verifies through a stream-static LEFT
+    * OUTER join against the benchmark's distinct fingerprints (the
+    * static side is a lookup, nothing is buffered per the stream).
+    * Result rows equal the batch [[graft.functions.Dedup.decontaminateExactBloom]]
+    * over the same data — StreamingSpec proves the equality.
+    */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame, textCol: String,
+                          expectedItems: Long = 1L << 20,
+                          fpp: Double = 0.01): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(docs.sparkSession)
+    def fp(c: org.apache.spark.sql.Column) = call_function("norm_fingerprint", c)
+    val key = xxhash64(fp(col(textCol)))
+    val bytes = graft.functions.Dedup
+      .benchBloomBytes(bench.select(key.as("k")), expectedItems, fpp)
+      .getOrElse(return docs)
+    val hit = call_function("bloom_might_contain", lit(bytes), key)
+    val benchFps = bench.select(fp(col(textCol)).as("__graft_bench_fp")).distinct()
+    val survivors = docs.filter(hit)
+      .join(benchFps, fp(col(textCol)) === col("__graft_bench_fp"), "left_outer")
+      .filter(col("__graft_bench_fp").isNull)
+      .drop("__graft_bench_fp")
+    docs.filter(!hit).unionByName(survivors)
+  }
+
   /** Watermarked stream-stream join: every purchase joined to the same
     * user's views in the preceding hour (attribution). The time-range
     * predicate is what makes BOTH sides' state finite on an unbounded

@@ -516,6 +516,45 @@ class DialectSpec extends SparkSpec {
     assert(global.nonEmpty)
   }
 
+  test("randomized ASOF round-trip: rewrite == direct extremal-match semantics, all 4 ops") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 5) {
+      val keys = Seq("a", "b", "c")
+      val right = (1 to 30).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(25), i)) // (sym, pts, rid) — ts ties likely
+      val left = (1 to 40).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(25), i))
+      right.toDF("sym", "pts", "rid").createOrReplaceTempView("prices")
+      left.toDF("sym", "tts", "tid").createOrReplaceTempView("trades")
+      for (op <- Seq(">=", ">", "<=", "<")) {
+        val got = SqlStage("s",
+          s"""SELECT t.tid, p.pts FROM trades t
+              ASOF JOIN prices p ON t.sym = p.sym AND t.tts $op p.pts""")
+          .apply(spark, spark.range(1).toDF("id")).collect()
+          .map(r => r.getInt(0) -> r.getInt(1)).toMap
+        val expect = left.flatMap { case (k, lt, tid) =>
+          val cand = right.collect { case (rk, rt, _) if rk == k &&
+            (op match {
+              case ">=" => lt >= rt
+              case ">" => lt > rt
+              case "<=" => lt <= rt
+              case "<" => lt < rt
+            }) => rt }
+          if (cand.isEmpty) None
+          else Some(tid -> (if (op.startsWith(">")) cand.max else cand.min))
+        }.toMap
+        assert(got == expect, s"trial $trial op $op: $got != $expect")
+        // cardinality: exactly one row per matched left row, even with ts ties
+        val n = SqlStage("s",
+          s"""SELECT t.tid FROM trades t
+              ASOF JOIN prices p ON t.sym = p.sym AND t.tts $op p.pts""")
+          .apply(spark, spark.range(1).toDF("id")).count()
+        assert(n == expect.size)
+      }
+    }
+  }
+
   test("rewriteAsof is textual and idempotent; literals never trigger it") {
     val sql = "SELECT 'ASOF JOIN is a string' AS s"
     assert(GraftSqlParser.rewriteAsof(sql) == sql)

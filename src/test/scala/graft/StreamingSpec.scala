@@ -105,6 +105,36 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batch && kept == 2L)
   }
 
+  test("streaming bloom decontamination equals the batch operator (zero stream-side state)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-stream-decon")
+    val docs = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'held out question one'),
+        |  (2L, 'ordinary training text'),
+        |  (3L, 'HELD  OUT question one'),
+        |  (4L, 'another ordinary document'),
+        |  (5L, 'held out question two')
+        |AS t(doc_id, text)""".stripMargin)
+    docs.write.parquet(dir.resolve("docs.parquet").toString)
+    val bench = spark.sql(
+      "SELECT * FROM VALUES ('held out question one'), ('held out question two') AS b(text)")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("docs.parquet").toString)
+    // absurd fpp so the false-positive verify path provably exercises
+    val q = StreamingOps.decontaminateStream(stream, bench, "text",
+        expectedItems = 4, fpp = 0.5)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.sql("SELECT doc_id FROM decon_stream")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batch = graft.functions.Dedup
+      .decontaminateExactBloom(docs, bench, "text", expectedItems = 4, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == batch && kept == Seq(2L, 4L))
+  }
+
   test("Mix.split and redact_pii run unchanged on a stream (stateless row-local stages)") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-stream-split")

@@ -308,6 +308,24 @@ class UtilOpsSpec extends SparkSpec {
     cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"'$g' != '$want'") }
   }
 
+  test("extractUrls + normalizeUrl: every cleaning step fires") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cases = Seq(
+      ("go to HTTPS://A.COM/P?utm_source=x&utm_id=2&q=1#top now",
+        Seq("https://a.com/p?q=1")),
+      ("(see http://b.org/path/).", Seq("http://b.org/path")),
+      ("bare http://c.net/?utm_a=1 end", Seq("http://c.net")),
+      ("two http://x.io/1 and https://y.io/2/", Seq("http://x.io/1", "https://y.io/2")),
+      ("no urls at all", Seq()))
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.functions.TextFunctions.extractUrls(col("t")).as("us"))
+      .select(transform(col("us"),
+        u => graft.functions.TextFunctions.normalizeUrl(u)).as("n"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"$g != $want") }
+  }
+
   test("corpus-frequency scores: rare tokens raise both rarity and cross-entropy") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
