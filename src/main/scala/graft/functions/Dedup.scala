@@ -414,6 +414,50 @@ object Dedup {
         col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Line-level frequency dedup (the RefinedWeb / CCNet line-dedup
+    * pass; reference's dedup is document-level — `/root/reference/
+    * filters.py` has no line pass, this is the web-corpus extension):
+    * drop every line whose DOCUMENT FREQUENCY across the corpus exceeds
+    * `maxDf`. Navigation bars, cookie banners and "subscribe" footers
+    * repeat across thousands of pages while real content lines are
+    * near-unique — frequency separates them with no markup knowledge.
+    * Complementary to [[dedupSpans]]: span dedup keeps a duplicated
+    * block's FIRST occurrence (it is somebody's content), line dedup
+    * drops EVERY occurrence of a frequent line (it is nobody's).
+    *
+    * Returns (doc, clean_text, n_lines, n_kept) for every input doc
+    * (clean_text is '' when every line was boilerplate).
+    *
+    * 100 TB shape: one explode + one line-key shuffle for the
+    * distinct-doc count; by pigeonhole the frequent set is at most
+    * total_lines / maxDf distinct lines — a sliver, so it comes BACK as
+    * a broadcast anti-join and the corpus lines never reshuffle; the
+    * per-doc reassembly aggregate shuffles doc ids, not line text.
+    * Lines travel as strings here so an external SQL engine replays the
+    * construction verbatim (the q102 oracle); at scale key the count
+    * and anti-join by xxhash64(line) — 8-byte keys, same plan.
+    */
+  def dropFrequentLines(df: DataFrame, idCol: String, textCol: String,
+                        maxDf: Long = 4, sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol).as("doc"),
+      posexplode(split(col(textCol), sepRe)).as(Seq("pos", "line")))
+    val frequent = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc")).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("line"))
+    val kept = lines.join(broadcast(frequent), Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("clean_text"))
+    df.select(col(idCol).as("doc"),
+        size(split(col(textCol), sepRe)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Connected components over an undirected pair set (the end-step of
     * every near-dup pipeline: pairs → clusters → one representative per
     * cluster). Iterative min-label propagation: every node's label

@@ -141,6 +141,12 @@ object TransformRegistry {
   *    window size from `width`, default 20): the text column is REPLACED
   *    by the document rebuilt from first-occurrence spans, and rows
   *    whose text was entirely duplicated elsewhere are dropped;
+  *  - `lines`: line-level frequency dedup
+  *    ([[graft.functions.Dedup.dropFrequentLines]], threshold from
+  *    `maxDf`, default 4): every line appearing in more than `maxDf`
+  *    documents is boilerplate and is dropped from ALL of them; the text
+  *    column is REPLACED by the reassembled survivors, and rows whose
+  *    every line was boilerplate are dropped;
   *  - `vectors`: SemDeDup-style embedding near-dup removal
   *    ([[graft.functions.VectorFunctions.dropNearDupVectors]]) over the
   *    `vec` column (default `embedding`) at cosine ≥ `threshold`
@@ -149,13 +155,15 @@ object TransformRegistry {
   * {{{
   * actionConfig: {method: minhash, id: doc_id, text: text, threshold: 0.6}
   * actionConfig: {method: vectors, id: vec_id, vec: embedding, threshold: 0.95}
+  * actionConfig: {method: lines, id: doc_id, text: text, maxDf: 4}
   * }}}
   */
 final case class DedupStage(name: String, method: String, idCol: String,
                             textCol: String, threshold: Double,
                             k: Int, numHashes: Int, bands: Int,
                             width: Int = 20, vecCol: String = "embedding",
-                            bits: Int = 8, tables: Int = 16) extends Stage {
+                            bits: Int = 8, tables: Int = 16,
+                            maxDf: Long = 4) extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "exact" | "fingerprint" =>
       val key = if (method == "exact") col(textCol)
@@ -168,26 +176,35 @@ final case class DedupStage(name: String, method: String, idCol: String,
       graft.functions.Dedup.dropNearDuplicates(df, idCol, textCol,
         k, numHashes, bands, threshold)
     case "spans" =>
-      // keep docs that retained at least one span OR were empty to begin
-      // with — n_kept == 0 on a non-empty doc means "entirely duplicated
-      // elsewhere", but an originally-empty doc is not a duplicate
-      // (ADVICE r5: length(clean_text) > 0 conflated the two)
-      val cleaned = graft.functions.Dedup.dedupSpans(df, idCol, textCol, width)
-        .select(col("doc").as("__graft_doc"), col("clean_text"), col("n_kept"))
-      val joined = df.join(cleaned, col(idCol) === col("__graft_doc"))
-        .filter(col("n_kept") > 0 || length(col(textCol)) === 0)
-        .drop(textCol, "__graft_doc", "n_kept")
-        .withColumnRenamed("clean_text", textCol)
-      // span removal changed the text — derived length columns follow
-      if (joined.columns.contains("n_chars"))
-        joined.withColumn("n_chars",
-          length(col(textCol)).cast(joined.schema("n_chars").dataType))
-      else joined
+      replaceText(df, graft.functions.Dedup.dedupSpans(df, idCol, textCol, width))
+    case "lines" =>
+      replaceText(df, graft.functions.Dedup.dropFrequentLines(df, idCol, textCol, maxDf))
     case "vectors" =>
       graft.functions.VectorFunctions.dropNearDupVectors(
         df, idCol, vecCol, threshold, bits, tables)
     case other => throw new IllegalArgumentException(
-      s"dedup stage '$name': unknown method '$other' (exact | fingerprint | minhash | spans | vectors)")
+      s"dedup stage '$name': unknown method '$other' (exact | fingerprint | minhash | spans | lines | vectors)")
+  }
+
+  /** Swap the text column for the rebuilt survivors of a
+    * (doc, clean_text, n_kept) cleaning result. Keep docs that retained
+    * at least one piece OR were empty to begin with — n_kept == 0 on a
+    * non-empty doc means "entirely duplicated/boilerplate elsewhere",
+    * but an originally-empty doc is not a duplicate (ADVICE r5:
+    * length(clean_text) > 0 conflated the two).
+    */
+  private def replaceText(df: DataFrame, cleanedRaw: DataFrame): DataFrame = {
+    val cleaned = cleanedRaw
+      .select(col("doc").as("__graft_doc"), col("clean_text"), col("n_kept"))
+    val joined = df.join(cleaned, col(idCol) === col("__graft_doc"))
+      .filter(col("n_kept") > 0 || length(col(textCol)) === 0)
+      .drop(textCol, "__graft_doc", "n_kept")
+      .withColumnRenamed("clean_text", textCol)
+    // the cleaning changed the text — derived length columns follow
+    if (joined.columns.contains("n_chars"))
+      joined.withColumn("n_chars",
+        length(col(textCol)).cast(joined.schema("n_chars").dataType))
+    else joined
   }
 }
 
@@ -203,7 +220,8 @@ object DedupStage {
     }
     DedupStage(cfg.name, s("method", "minhash"), s("id", "doc_id"), s("text", "text"),
       dbl("threshold", 0.6), n("k", 3), n("numHashes", 32), n("bands", 8),
-      n("width", 20), s("vec", "embedding"), n("bits", 8), n("tables", 16))
+      n("width", 20), s("vec", "embedding"), n("bits", 8), n("tables", 16),
+      n("maxDf", 4).toLong)
   }
 }
 

@@ -150,6 +150,29 @@ object TextQueries {
       .orderBy(col("doc_id"), col("url"))
   }
 
+  /** Line-level frequency dedup
+    * ([[graft.functions.Dedup.dropFrequentLines]]): both engines wrap
+    * every document in synthetic boilerplate — a universal header
+    * (df = |corpus|), an every-other-doc footer (df = |corpus|/2), and a
+    * `promo code N` line whose df is |corpus|/97 (UNDER the maxDf = 4
+    * threshold at sf0.001, OVER it at sf0.01/sf0.1 — the cutoff provably
+    * binds on real frequencies, both sides of it) — then drop lines with
+    * document frequency > 4 and reassemble. Body lines survive,
+    * boilerplate vanishes, byte-identically on both engines.
+    */
+  def q102LineDedup(s: SparkSession, d: String): DataFrame = {
+    val wrapped = documents(s, d).select(col("doc_id"),
+      concat_ws("\n",
+        lit("home | about | contact"),
+        when(col("doc_id") % 2 === 0, lit("subscribe to the newsletter")),
+        concat(lit("promo code "), col("doc_id") % 97),
+        col("text")).as("t"))
+    Dedup.dropFrequentLines(wrapped, "doc_id", "t", maxDf = 4)
+      .select(col("doc").as("doc_id"), col("clean_text"),
+        col("n_lines"), col("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-mix rebalancing ([[graft.functions.Mix]]): deterministic
     * per-language down-sampling — keep 12/16 of en, 8/16 of es, 4/16 of
     * de, all of everything else. Row membership is the md5-prefix trick,
@@ -512,6 +535,7 @@ object TextQueries {
     "q97_rarity"          -> (q97Rarity _),
     "q98_html_strip"      -> (q98HtmlStrip _),
     "q101_url_normalize"  -> (q101UrlNormalize _),
+    "q102_line_dedup"     -> (q102LineDedup _),
     "q36_simhash"         -> (q36Simhash _),
     "q38_fingerprint"     -> (q38Fingerprint _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
@@ -807,6 +831,33 @@ object TextQueries {
             '[?&]+$', ''),
           '/$', '') AS url
       FROM urls ORDER BY doc_id, url""",
+
+    // same wrap, same maxDf = 4, same reassembly order as
+    // Dedup.dropFrequentLines (concat_ws skips the NULL footer branch in
+    // both engines; positions replay via unnest(range) + list indexing)
+    "q102_line_dedup" -> """
+      WITH wrapped AS (SELECT doc_id,
+          concat_ws(chr(10), 'home | about | contact',
+            CASE WHEN doc_id % 2 = 0 THEN 'subscribe to the newsletter' END,
+            'promo code ' || (doc_id % 97),
+            text) AS t
+        FROM documents),
+      tok AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM wrapped),
+      lines AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l
+                FROM tok),
+      lin AS (SELECT doc_id, pos, l[pos] AS line FROM lines),
+      freq AS (SELECT line FROM lin GROUP BY line
+               HAVING COUNT(DISTINCT doc_id) > 4),
+      kept AS (SELECT doc_id, pos, line FROM lin
+               WHERE line NOT IN (SELECT line FROM freq)),
+      reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id),
+      base AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines FROM tok)
+      SELECT b.doc_id, COALESCE(r.clean_text, '') AS clean_text, b.n_lines,
+             CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+      FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id
+      ORDER BY b.doc_id""",
 
     "q97_rarity" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t

@@ -570,6 +570,42 @@ class DedupSpec extends SparkSpec {
     assert(kept == (0L until 10L).toSet, s"kept=$kept")
   }
 
+  test("line dedup: frequent lines vanish everywhere, rare lines keep their order") {
+    // boilerplate in 3 docs (> maxDf=2), body lines unique; doc 3 is
+    // pure boilerplate; doc 4 repeats a NON-frequent line within itself
+    // (within-doc repetition is not corpus frequency — both copies stay)
+    val nav = "home | about"
+    val docs = Seq(
+      (0L, s"$nav\nzero body one\nzero body two"),
+      (1L, s"$nav\none body\n$nav"),   // boilerplate twice in ONE doc: df counts it once
+      (2L, s"two body\n$nav\ntwo tail"),
+      (3L, nav),
+      (4L, "echo line\necho line\nfour tail"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropFrequentLines(docs, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == (("zero body one\nzero body two", 3L, 2L)))
+    assert(out(1L) == (("one body", 3L, 1L)))
+    assert(out(2L) == (("two body\ntwo tail", 3L, 2L)))
+    assert(out(3L) == (("", 1L, 0L)))                  // pure boilerplate
+    assert(out(4L) == (("echo line\necho line\nfour tail", 3L, 3L)))
+  }
+
+  test("line dedup: df threshold binds exactly at maxDf (df == maxDf survives, df == maxDf+1 dies)") {
+    val docs = (0L until 6L).map { i =>
+      val atCap = "seen three times"       // docs 0,1,2 → df = 3 = maxDf
+      val overCap = "seen four times"      // docs 0,1,2,3 → df = 4 > maxDf
+      val lines = Seq(s"unique body $i") ++
+        (if (i < 3) Seq(atCap) else Nil) ++ (if (i < 4) Seq(overCap) else Nil)
+      (i, lines.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val out = Dedup.dropFrequentLines(docs, "doc_id", "text", maxDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "unique body 0\nseen three times")
+    assert(out(3L) == "unique body 3")                 // over-cap line gone
+    assert(out(5L) == "unique body 5")
+  }
+
   test("dedup family is total on empty and singleton inputs") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.minhashNearDups(empty, "doc_id", "text").count() == 0)
@@ -577,6 +613,7 @@ class DedupSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
     assert(Dedup.dropNearDuplicates(empty, "doc_id", "text").count() == 0)
     assert(Dedup.dedupSpans(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.dropFrequentLines(empty, "doc_id", "text").count() == 0)
     val one = Seq((1L, "just one document here")).toDF("doc_id", "text")
     assert(Dedup.dropNearDuplicates(one, "doc_id", "text").count() == 1)
     val oneOut = Dedup.dedupSpans(one, "doc_id", "text", 3).collect()(0)

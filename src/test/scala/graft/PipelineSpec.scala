@@ -156,6 +156,35 @@ class PipelineSpec extends SparkSpec {
       assert(byId(3L) == ("", 0L) && byId(4L) == ("", 0L))
     }
 
+    // lines method: boilerplate lines stripped from every doc, pure-
+    // boilerplate docs dropped, empty docs kept (same keep rule as spans)
+    {
+      import spark.implicits._
+      val fixture = Seq(
+        (1L, "cookie banner\nreal content one"),
+        (2L, "cookie banner\nreal content two"),
+        (3L, "cookie banner\nreal content three"),
+        (4L, "cookie banner"),          // nothing but boilerplate → dropped
+        (5L, ""))                        // originally empty → kept
+        .toDF("doc_id", "text")
+      val cleaned = graft.operators.DedupStage(
+        "l", "lines", "doc_id", "text", 0.6, 3, 32, 8, maxDf = 2)
+        .apply(spark, fixture)
+      val byId = cleaned.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(byId.keySet == Set(1L, 2L, 3L, 5L), s"kept=${byId.keySet}")
+      assert(byId(1L) == "real content one" && byId(5L) == "")
+      val yamlLines =
+        s"""
+          |filters:
+          |  - name: line_dedup
+          |    actionType: dedup
+          |    actionConfig: {method: lines, id: doc_id, text: text, maxDf: 4}
+          |""".stripMargin
+      val linesOut = Pipeline.runYaml(spark, yamlLines, s"$sf/documents.parquet", None).output
+      assert(linesOut.columns.contains("text") && linesOut.count() > 0)
+    }
+
     // vectors method: SemDeDup-style embedding dedup from YAML over the
     // embeddings table — the duplicate-free corpus keeps one rep per
     // near-identical group, matching the Scala operator exactly

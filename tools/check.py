@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's t2 correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [nameSubstr,...]
+
+The optional third arg restricts the compare to queries whose name
+contains any of the comma-separated substrings (pairs with Verify's
+SPARK_GRAFT_ONLY for fast single-query iteration).
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs
 the matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
@@ -31,6 +35,10 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:
+        subs = [s for s in sys.argv[3].split(",") if s]
+        oracle = {k: v for k, v in oracle.items()
+                  if any(s in k for s in subs)}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
