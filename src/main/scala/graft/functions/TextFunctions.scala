@@ -130,6 +130,59 @@ object TextFunctions {
     regexp_replace(noDangle, "/$", "")
   }
 
+  /** Hostname of a URL — the text between `scheme://` and the first
+    * `/ : ? #`, lowercased ('' when the input isn't a URL). Same RE2
+    * class in both engines, so the q103 oracle replays it verbatim.
+    */
+  def extractHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+
+  /** All dot-suffixes of a hostname with at least two labels, plus the
+    * host itself — `cdn.img.bad.com` → [cdn.img.bad.com, img.bad.com,
+    * bad.com]. Turns "block this domain AND its subdomains" into plain
+    * EQUALITY against a blocklist — an equi-join any engine shuffles or
+    * broadcasts, instead of an un-indexable endswith theta-join. The
+    * bare TLD is deliberately excluded (blocking `com` is never meant);
+    * a single-label host (localhost) keeps itself.
+    */
+  def hostSuffixes(host: Column): Column = {
+    val l = split(host, "\\.")
+    val n = size(l)
+    val all = transform(sequence(lit(1), n), i => array_join(slice(l, i, n), "."))
+    slice(all, lit(1), greatest(lit(1), n - 1))
+  }
+
+  /** Ids of documents containing a URL whose host is a blocked domain
+    * or any subdomain of one (the C4/RefinedWeb domain-blocklist pass).
+    * Output: one `doc` column.
+    *
+    * 100 TB shape: hosts explode row-locally, suffix expansion is ≤
+    * label-count per host, and the blocklist (even a million domains is
+    * ~20 MB) BROADCASTS into a semi-join — the corpus never shuffles;
+    * the distinct on doc ids ships ids only. For a blocklist too big to
+    * broadcast, drop the hint and the same plan shuffles on `domain`.
+    */
+  def blockedByDomain(df: DataFrame, idCol: String, textCol: String,
+                      blocklist: DataFrame): DataFrame = {
+    val hosts = df.select(col(idCol).as("doc"),
+        explode(extractUrls(col(textCol))).as("u"))
+      .select(col("doc"), extractHost(col("u")).as("host"))
+      .filter(col("host") =!= "")
+    val suffixes = hosts.select(col("doc"),
+      explode(hostSuffixes(col("host"))).as("domain"))
+    val bl = blocklist.select(lower(col("domain")).as("domain")).distinct()
+    suffixes.join(broadcast(bl), Seq("domain"), "left_semi")
+      .select(col("doc")).distinct()
+  }
+
+  /** Drop every document that links to a blocked domain (subdomains
+    * included) — anti-join on the id sliver from [[blockedByDomain]].
+    */
+  def dropBlockedDomains(df: DataFrame, idCol: String, textCol: String,
+                         blocklist: DataFrame): DataFrame =
+    df.join(blockedByDomain(df, idCol, textCol, blocklist),
+      col(idCol) === col("doc"), "left_anti")
+
   /** Number of matches of a word-alternation marker pattern — the
     * n-gram heuristic behind language ID.
     */

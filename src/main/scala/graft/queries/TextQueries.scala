@@ -150,6 +150,31 @@ object TextQueries {
       .orderBy(col("doc_id"), col("url"))
   }
 
+  /** Domain blocklist filtering
+    * ([[graft.functions.TextFunctions.blockedByDomain]]): both engines
+    * give every document two synthetic links — `exampleN.com` (exact
+    * blocklist hit for N = 3) and `cdn.mirrorM.net` (SUBDOMAIN of the
+    * blocked `mirror1.net` for M = 1, proving the suffix expansion) —
+    * and must agree on every doc's blocked verdict. The blocklist entry
+    * `MIRROR1.net` is deliberately mixed-case: both sides lowercase it.
+    */
+  def q103DomainBlock(s: SparkSession, d: String): DataFrame = {
+    val wrapped = documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" http://Example"), col("doc_id") % 7, lit(".COM/a"),
+        lit(" https://cdn.mirror"), col("doc_id") % 4, lit(".net/x")).as("t"))
+    val blocklist = s.sql(
+      "SELECT * FROM VALUES ('example3.com'), ('MIRROR1.net') AS b(domain)")
+    val blocked = TF.blockedByDomain(wrapped, "doc_id", "t", blocklist)
+      .withColumnRenamed("doc", "doc_id").withColumn("b", lit(true))
+    wrapped.select(col("doc_id"),
+        size(TF.extractUrls(col("t"))).cast("long").as("n_urls"))
+      .join(blocked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_urls"),
+        coalesce(col("b"), lit(false)).as("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Line-level frequency dedup
     * ([[graft.functions.Dedup.dropFrequentLines]]): both engines wrap
     * every document in synthetic boilerplate — a universal header
@@ -536,6 +561,7 @@ object TextQueries {
     "q98_html_strip"      -> (q98HtmlStrip _),
     "q101_url_normalize"  -> (q101UrlNormalize _),
     "q102_line_dedup"     -> (q102LineDedup _),
+    "q103_domain_block"   -> (q103DomainBlock _),
     "q36_simhash"         -> (q36Simhash _),
     "q38_fingerprint"     -> (q38Fingerprint _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
@@ -831,6 +857,36 @@ object TextQueries {
             '[?&]+$', ''),
           '/$', '') AS url
       FROM urls ORDER BY doc_id, url""",
+
+    // same wrap, same host regex, same suffix expansion (all suffixes
+    // with >= 2 labels; single-label hosts keep themselves) as
+    // TextFunctions.blockedByDomain
+    "q103_domain_block" -> """
+      WITH wrapped AS (SELECT doc_id,
+          text || ' http://Example' || (doc_id % 7) || '.COM/a' ||
+          ' https://cdn.mirror' || (doc_id % 4) || '.net/x' AS t
+        FROM documents),
+      urls AS (SELECT doc_id,
+          unnest(regexp_extract_all(t, '(?i)https?://[^\s<>"'']+')) AS u
+        FROM wrapped),
+      hosts AS (SELECT doc_id,
+          lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+        FROM urls),
+      hs AS (SELECT doc_id, string_split(host, '.') AS l
+             FROM hosts WHERE host <> ''),
+      suf AS (SELECT doc_id,
+          unnest(list_transform(range(1, greatest(1, len(l) - 1) + 1),
+                                i -> array_to_string(l[i:], '.'))) AS domain
+        FROM hs),
+      bl AS (SELECT lower(domain) AS domain
+             FROM (VALUES ('example3.com'), ('MIRROR1.net')) b(domain)),
+      blocked AS (SELECT DISTINCT doc_id FROM suf JOIN bl USING (domain)),
+      base AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '(?i)https?://[^\s<>"'']+')) AS BIGINT) AS n_urls
+        FROM wrapped)
+      SELECT b.doc_id, b.n_urls, (bk.doc_id IS NOT NULL) AS blocked
+      FROM base b LEFT JOIN blocked bk ON b.doc_id = bk.doc_id
+      ORDER BY b.doc_id""",
 
     // same wrap, same maxDf = 4, same reassembly order as
     // Dedup.dropFrequentLines (concat_ws skips the NULL footer branch in

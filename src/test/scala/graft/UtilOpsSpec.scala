@@ -326,6 +326,30 @@ class UtilOpsSpec extends SparkSpec {
     cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"$g != $want") }
   }
 
+  test("extractHost + hostSuffixes + domain blocklist: subdomains block, TLDs never do") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hosts = Seq("cdn.img.bad.com", "localhost", "good.org")
+      .toDF("h")
+      .select(graft.functions.TextFunctions.hostSuffixes(col("h")).as("s"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(hosts(0) == Seq("cdn.img.bad.com", "img.bad.com", "bad.com")) // no bare "com"
+    assert(hosts(1) == Seq("localhost"))
+    assert(hosts(2) == Seq("good.org"))
+    val docs = Seq(
+      (1L, "see https://cdn.bad.com/x ok"),     // subdomain of blocked bad.com
+      (2L, "see https://bad.com/x ok"),          // exact hit
+      (3L, "see https://notbad.com/x ok"),       // NOT a suffix match (label boundary)
+      (4L, "see https://good.org/x and http://also.fine.net/y"),
+      (5L, "no links here"))
+      .toDF("doc_id", "text")
+    val bl = Seq("bad.com").toDF("domain")
+    val kept = graft.functions.TextFunctions
+      .dropBlockedDomains(docs, "doc_id", "text", bl)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 4L, 5L))
+  }
+
   test("corpus-frequency scores: rare tokens raise both rarity and cross-entropy") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
