@@ -332,8 +332,13 @@ object Dedup {
     * The corpus is scanned twice (miss branch + hit branch) with the
     * probe pushed into both scans — at 100 TB persist the fingerprint
     * column or accept the rescan; nothing but the hit sliver shuffles
-    * either way. The filter bits ride the broadcast task binary once
-    * per stage, not per task.
+    * either way. The filter bits travel as a real `SparkContext
+    * .broadcast` variable — the plan (and everything that serializes,
+    * stringifies or ships it) carries only the handle, and executors
+    * fetch the bits once via the block manager; at 10⁹ benchmark keys
+    * the filter is ~1.2 GB, which a `lit()` in the expression tree
+    * would drag through driver memory, task binaries and explain
+    * output (VERDICT r6 #2).
     */
   def decontaminateExactBloom(corpus: DataFrame, bench: DataFrame,
                               textCol: String,
@@ -345,7 +350,10 @@ object Dedup {
     // an empty benchmark can't contaminate anything
     val bytes = benchBloomBytes(bench.select(key.as("k")), expectedItems, fpp)
       .getOrElse(return corpus)
-    val hit = call_function("bloom_might_contain", lit(bytes), key)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bytes)
+    val hit = org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.BloomMightContainBroadcast(bc,
+        org.apache.spark.sql.GraftColumnBridge.expression(key)))
     val misses = corpus.filter(!hit)
     val survivors = corpus.filter(hit)
       .join(bench.select(fp(col(textCol)).as("__graft_bench_fp")).distinct(),
@@ -429,24 +437,35 @@ object Dedup {
     * (clean_text is '' when every line was boilerplate).
     *
     * 100 TB shape: one explode + one line-key shuffle for the
-    * distinct-doc count; by pigeonhole the frequent set is at most
-    * total_lines / maxDf distinct lines — a sliver, so it comes BACK as
-    * a broadcast anti-join and the corpus lines never reshuffle; the
-    * per-doc reassembly aggregate shuffles doc ids, not line text.
-    * Lines travel as strings here so an external SQL engine replays the
-    * construction verbatim (the q102 oracle); at scale key the count
-    * and anti-join by xxhash64(line) — 8-byte keys, same plan.
+    * distinct-doc count. The frequent set is at most total_lines /
+    * (maxDf+1) distinct lines by pigeonhole — which at the default
+    * maxDf=4 is 20% of all corpus lines in the worst case (boilerplate-
+    * heavy crawls get uncomfortably close), NOT a guaranteed sliver, so
+    * the anti-join build side carries no forced broadcast hint: AQE
+    * broadcasts it when its measured size is actually small and
+    * degrades to a shuffle join instead of an OOM when it isn't
+    * (VERDICT r6 #1). The per-doc reassembly aggregate shuffles doc
+    * ids, not line text. Lines travel as strings by default so an
+    * external SQL engine replays the construction verbatim (the q102
+    * oracle); `hashKeys=true` keys the count and the anti-join by
+    * xxhash64(line) instead — 8-byte keys, 2⁻⁶⁴ collision odds (the
+    * shingle-hash argument at [[shingleSet]]), same plan shape with a
+    * far smaller build side — the 100 TB default.
     */
   def dropFrequentLines(df: DataFrame, idCol: String, textCol: String,
-                        maxDf: Long = 4, sep: String = "\n"): DataFrame = {
+                        maxDf: Long = 4, sep: String = "\n",
+                        hashKeys: Boolean = false): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
+    val lineKey: Column => Column =
+      if (hashKeys) (c => xxhash64(c)) else (c => c)
     val lines = df.select(col(idCol).as("doc"),
       posexplode(split(col(textCol), sepRe)).as(Seq("pos", "line")))
-    val frequent = lines.groupBy(col("line"))
+    val frequent = lines.groupBy(lineKey(col("line")).as("__graft_lk"))
       .agg(countDistinct(col("doc")).as("df"))
       .filter(col("df") > maxDf)
-      .select(col("line"))
-    val kept = lines.join(broadcast(frequent), Seq("line"), "left_anti")
+      .select(col("__graft_lk"))
+    val kept = lines.join(frequent,
+      lineKey(col("line")) === col("__graft_lk"), "left_anti")
     val rebuilt = kept.groupBy(col("doc"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(sep, transform(array_sort(collect_list(struct(col("pos"), col("line")))),

@@ -115,7 +115,13 @@ object StreamingOps {
     val bytes = graft.functions.Dedup
       .benchBloomBytes(bench.select(key.as("k")), expectedItems, fpp)
       .getOrElse(return docs)
-    val hit = call_function("bloom_might_contain", lit(bytes), key)
+    // broadcast handle in the plan, bits in the block manager — same
+    // rationale as the batch twin (VERDICT r6 #2); broadcast variables
+    // are readable from every microbatch of a streaming query
+    val bc = docs.sparkSession.sparkContext.broadcast(bytes)
+    val hit = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.BloomMightContainBroadcast(bc,
+        org.apache.spark.sql.GraftColumnBridge.expression(key)))
     val benchFps = bench.select(fp(col(textCol)).as("__graft_bench_fp")).distinct()
     val survivors = docs.filter(hit)
       .join(benchFps, fp(col(textCol)) === col("__graft_bench_fp"), "left_outer")

@@ -606,6 +606,26 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == "unique body 5")
   }
 
+  test("line dedup: hashKeys mode is result-identical, frequent-majority corpus (maxDf=1) stays safe") {
+    // maxDf=1 makes nearly EVERY distinct line frequent — the exact
+    // corpus shape where r6's forced-broadcast "sliver" claim was
+    // maximally wrong; with the hint gone this must degrade gracefully
+    // (AQE picks the join) rather than assume a small build side
+    val docs = (0L until 40L).map { i =>
+      (i, s"shared header\nshared footer\nbody $i")
+    }.toDF("doc_id", "text")
+    def rows(hashKeys: Boolean) =
+      Dedup.dropFrequentLines(docs, "doc_id", "text", maxDf = 1, hashKeys = hashKeys)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val plain = rows(hashKeys = false)
+    val hashed = rows(hashKeys = true)
+    assert(plain == hashed, "xxhash64 line keys must not change the result")
+    assert(plain.size == 40 && plain.forall { case (i, t, n, k) =>
+      t == s"body $i" && n == 3L && k == 1L
+    })
+  }
+
   test("dedup family is total on empty and singleton inputs") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.minhashNearDups(empty, "doc_id", "text").count() == 0)
@@ -659,6 +679,28 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val expected = (0 until 400).filter(_ % 7 != 0).map(_.toLong).toSet
     assert(kept == expected)
+  }
+
+  test("bloom filter bits ride a broadcast variable, not the plan (≥64 MB filter, small plan)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "keep me"), (2L, "drop me")).toDF("doc_id", "text")
+    val bench = Seq((9L, "drop me")).toDF("doc_id", "text").coalesce(1)
+    // expectedItems sized so the optimal filter is ~72 MB of bits —
+    // the r6 lit(bytes) form would embed all of it in the plan
+    val out = graft.functions.Dedup.decontaminateExactBloom(
+      corpus, bench, "text", expectedItems = 60L * 1000 * 1000, fpp = 0.01)
+    val qe = out.queryExecution
+    val nodes: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+      qe.analyzed.collect { case p => p } ++ qe.executedPlan.collect { case p => p }
+    val bigLiterals = nodes.flatMap(_.expressions.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.value.isInstanceOf[Array[Byte]] &&
+             l.value.asInstanceOf[Array[Byte]].length > 4096 => l
+    }))
+    assert(bigLiterals.isEmpty, "filter bytes must not be embedded as a plan literal")
+    // plan stringification (explain / UI) must stay human-sized too
+    assert(qe.executedPlan.toString.length < 200000)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("decontaminateExactBloom is total on empty benchmark and empty corpus") {
