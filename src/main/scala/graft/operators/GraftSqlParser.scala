@@ -695,6 +695,29 @@ object GraftSqlParser {
               .map(c => s"$fnName(`$c`) AS `$fnName($c)`").mkString(", ")
             sql.substring(0, fnStart) + expansion + sql.substring(close + 1)
           case None =>
+            // ADVICE r6: DuckDB applies a surrounding expression PER
+            // expanded column; splicing `a, b` into `COLUMNS(...) * 2`
+            // would attach the `* 2` to the last column only and run —
+            // silent divergence. An adjacent operator at depth 0 (either
+            // side) keeps the guided error instead of expanding.
+            val opChars = "+-*/%=<>!|&^~"
+            val wordOps = Set("AND", "OR", "IS", "NOT", "LIKE", "ILIKE",
+              "BETWEEN", "IN", "DIV", "MOD")
+            val afterBad = (i until masked.length)
+              .find(j => !masked.charAt(j).isWhitespace).exists { j =>
+                opChars.contains(masked.charAt(j)) ||
+                  wordOps.contains(wordStartingAt(masked, j).toUpperCase)
+              }
+            val beforeBad = (m.start - 1 to 0 by -1)
+              .find(j => !masked.charAt(j).isWhitespace).exists { j =>
+                opChars.contains(masked.charAt(j)) ||
+                  wordOps.contains(wordEndingAt(masked, j).toUpperCase)
+              }
+            if (afterBad || beforeBad)
+              throw new graft.functions.expressions.DuckDialectException(
+                s"COLUMNS($argRaw) inside a larger expression isn't expandable " +
+                  "(DuckDB applies the expression per matched column) — write the " +
+                  "per-column expressions out, or use * EXCEPT(...) to subtract")
             val expansion = matched.map(c => s"`$c`").mkString(", ")
             sql.substring(0, m.start) + expansion + sql.substring(i)
         }

@@ -107,12 +107,35 @@ object PythonMigrate {
     while (i < src.length && src.charAt(i) != quote) {
       val c = src.charAt(i)
       if (c == '\\' && !raw && i + 1 < src.length) {
+        def hex(ch: Char) = ch.isDigit || ('a' to 'f').contains(ch.toLower)
         val n = src.charAt(i + 1)
-        sb += (n match {
-          case 'n' => '\n'; case 't' => '\t'; case '\\' => '\\'
-          case '\'' => '\''; case '"' => '"'; case other => other
-        })
-        i += 2
+        n match {
+          case 'n' => sb += '\n'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 'a' => sb += 7.toChar; i += 2
+          case 'b' => sb += '\b'; i += 2
+          case 'f' => sb += '\f'; i += 2
+          case 'v' => sb += 11.toChar; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case '\'' => sb += '\''; i += 2
+          case '"' => sb += '"'; i += 2
+          case 'x' if i + 3 < src.length && hex(src.charAt(i + 2)) && hex(src.charAt(i + 3)) =>
+            sb += Integer.parseInt(src.substring(i + 2, i + 4), 16).toChar; i += 4
+          case o if o >= '0' && o <= '7' =>
+            var j = i + 1
+            var v = 0
+            while (j < src.length && j < i + 4 &&
+              src.charAt(j) >= '0' && src.charAt(j) <= '7') {
+              v = v * 8 + (src.charAt(j) - '0'); j += 1
+            }
+            sb += v.toChar; i = j
+          case other =>
+            // Python PRESERVES unrecognized escapes ('\d' stays "\d") —
+            // dropping the backslash turned un-raw regex literals like
+            // re.match('\d+', s) into literal-text matches (ADVICE r6)
+            sb += '\\'; sb += other; i += 2
+        }
       } else if (c == '\\' && raw && i + 1 < src.length) {
         sb += '\\'; sb += src.charAt(i + 1); i += 2
       } else { sb += c; i += 1 }
@@ -550,7 +573,10 @@ object PythonMigrate {
           case o => err(s"row subscript must be a string literal, found '$o'")
         }
         expect("]")
-        Sql(s"`$col`")
+        // a module-level if branch shadows row['c'] with the branch's
+        // own assigned value (keys of this shape can't collide with
+        // bare-name bindings — '[' never lexes into a TName)
+        env.getOrElse(s"row['$col']", Sql(s"`$col`"))
       case TName(n) if peek.contains(TOp("(")) && builtins.contains(n) => call(Module("__builtin__"), Some(n))
       case TName(n) =>
         env.getOrElse(n, err(s"undefined name '$n'",
@@ -893,8 +919,17 @@ object PythonMigrate {
           val cond = condToks.map { ct =>
             val p = new ExprParser(ct, env, line); p.boolOf(p.parseFull())
           }
+          // per-branch env: an assignment binds its INLINED value, so a
+          // later read in the same branch sees this branch's value no
+          // matter which order the per-column CASEs are emitted in —
+          // python's sequential dataflow even when two branches assign
+          // the same columns in opposite def-use order (ADVICE r6)
+          val branchEnv = env.clone()
           val assigns = stmts.map {
-            case SRow(c, toks, l) => (c, new ExprParser(toks, env, l).parseFull())
+            case SRow(c, toks, l) =>
+              val v = new ExprParser(toks, branchEnv, l).parseFull()
+              branchEnv.put(s"row['$c']", v)
+              (c, v)
             case other => throw new MigrationError(other.line,
               "statement other than row['...'] = ... inside a module-level if branch",
               "Branches of a module-level if may only assign row columns.")

@@ -298,6 +298,12 @@ object DecontaminateStage {
     def dbl(k: String, d: Double) = ac.get(k).flatMap(Option(_)) match {
       case Some(x: Number) => x.doubleValue(); case Some(x) => x.toString.toDouble; case None => d
     }
+    // expectedItems is the one knob documented against 10⁹-row
+    // benchmarks — routing it through the Int helper would silently cap
+    // it at 2³¹-1 (ADVICE r6)
+    def lng(k: String, d: Long) = ac.get(k).flatMap(Option(_)) match {
+      case Some(x: Number) => x.longValue(); case Some(x) => x.toString.toLong; case None => d
+    }
     val path = ac.get("benchmark").flatMap(Option(_)).map(_.toString).getOrElse(
       throw new IllegalArgumentException(
         s"decontaminate stage '${cfg.name}': actionConfig.benchmark (path) required"))
@@ -305,7 +311,7 @@ object DecontaminateStage {
     DecontaminateStage(cfg.name, s("method", "bloom"), path,
       s("id", "doc_id"), text, s("benchText", text),
       dbl("threshold", 0.8), n("k", 3), n("numHashes", 32), n("bands", 8),
-      n("expectedItems", 1 << 20).toLong, dbl("fpp", 0.01))
+      lng("expectedItems", 1L << 20), dbl("fpp", 0.01))
   }
 }
 

@@ -301,6 +301,21 @@ class DialectSpec extends SparkSpec {
     val e2 = intercept[DuckDialectException](
       SqlStage("s", "SELECT COLUMNS(c -> c LIKE 'n%') FROM df").apply(spark, df))
     assert(e2.getMessage.contains("COLUMNS"))
+    // arithmetic over the expansion (either side) must NOT silently
+    // expand — DuckDB applies the operator per column, a bare inline
+    // splice would attach it to one column only (ADVICE r6)
+    val e3 = intercept[DuckDialectException](
+      SqlStage("s", "SELECT COLUMNS('^n_') * 2 FROM df").apply(spark, df))
+    assert(e3.getMessage.contains("per matched column"))
+    val e4 = intercept[DuckDialectException](
+      SqlStage("s", "SELECT 2 + COLUMNS('^n_') FROM df").apply(spark, df))
+    assert(e4.getMessage.contains("per matched column"))
+    val e5 = intercept[DuckDialectException](
+      SqlStage("s", "SELECT COLUMNS('^n_') IS NULL FROM df").apply(spark, df))
+    assert(e5.getMessage.contains("per matched column"))
+    // a trailing comma / FROM / alias is NOT an operator context
+    val ok = SqlStage("s", "SELECT COLUMNS('^n_'), tag FROM df").apply(spark, df)
+    assert(ok.columns.toSeq == Seq("n_a", "n_b", "tag"))
   }
 
   test("rewrite chain survives garbage: returns or raises DuckDialectException, never hangs") {

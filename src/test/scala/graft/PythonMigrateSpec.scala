@@ -286,6 +286,50 @@ class PythonMigrateSpec extends SparkSpec {
     assert(m(7L) == "high" && m(3L) == "base")
   }
 
+  test("un-raw regex escapes keep their backslash (python preserves unknown escapes)") {
+    // '\d+' without an r-prefix: python keeps the backslash, so this is
+    // a digit match — r6's lexer dropped it and matched literal "d+"
+    val cols = PythonMigrate.toDeriveColumns(
+      """import re
+        |row['is_num'] = 1 if re.match('\d+', row['s']) else 0
+        |row['mixed'] = '\ttab\d'
+        |""".stripMargin)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    var df = Seq("123", "abc", "d+").toDF("s")
+    cols.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+    val m = df.collect().map(r => r.getString(0) ->
+      ((r.getAs[Int]("is_num"), r.getAs[String]("mixed")))).toMap
+    assert(m("123")._1 == 1)
+    assert(m("abc")._1 == 0)
+    assert(m("d+")._1 == 0)  // the r6 bug matched exactly this row
+    // recognized escapes still translate, unknown ones survive verbatim
+    assert(m("123")._2 == "\ttab\\d")
+  }
+
+  test("opposite def-use order across if branches follows python dataflow per branch") {
+    // branch A assigns b then a (a reads b); branch B assigns a then b
+    // (b reads a) — emission order can't satisfy both as column refs, so
+    // same-branch reads must inline that branch's value (ADVICE r6)
+    val cols = PythonMigrate.toDeriveColumns(
+      """row['b'] = 100
+        |row['a'] = 200
+        |if int(row['x']) > 5:
+        |    row['b'] = 1
+        |    row['a'] = int(row['b']) * 2
+        |else:
+        |    row['a'] = 0
+        |    row['b'] = int(row['a']) + 1
+        |""".stripMargin)
+    import org.apache.spark.sql.functions._
+    var df = spark.range(10).toDF("x")
+    cols.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+    val m = df.collect().map(r => r.getAs[Long]("x") ->
+      ((r.getAs[Number]("a").intValue(), r.getAs[Number]("b").intValue()))).toMap
+    assert(m(8L) == ((2, 1)))   // python: b=1, a=b*2=2
+    assert(m(2L) == ((0, 1)))   // python: a=0, b=a+1=1 — NOT 101/201
+  }
+
   test("f-strings, math module, min/max, ** and // translate") {
     val cols = PythonMigrate.toDeriveColumns(
       """import math
