@@ -75,6 +75,34 @@ object VectorQueries {
     VF.topKRecallAudit(ivf, q, emb, k = 5, bound = 0.60)
   }
 
+  /** Persisted-index ANN (VERDICT r6 #4): build + [[graft.functions
+    * .VectorFunctions.saveIvf]] the IVF index ONCE per corpus snapshot
+    * (first run at a given SF dir), then [[graft.functions
+    * .VectorFunctions.loadIvf]] + probe on this and every later run —
+    * the gate now proves parquet persistence end-to-end AND shows the
+    * amortized probe-side cost the q77 build/probe split bought (q77
+    * keeps paying a fresh O(N·nlist)-flop build per run; this query's
+    * steady state is centroid-ranking + one posting-list equality
+    * join). Same quantizer parameters and audit as q77, so the same
+    * DuckDB oracle recomputes the exact side; the build is
+    * deterministic (hash-ranked seed sample + Lloyd passes), so a
+    * rebuilt and a reloaded index probe identically and the gate hash
+    * is stable no matter which run populated the index.
+    */
+  def q104IvfPersisted(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    // keyed by SF dir so sf0.001/sf0.01/sf0.1 (and scaledata) indexes
+    // never collide; under tmpdir — never inside the repo or testdata
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$tag"
+    if (!new java.io.File(s"$path/assigned/_SUCCESS").exists())
+      VF.saveIvf(VF.buildIvf(emb, nlist = 16, refine = 1), path)
+    val probed = VF.ivfProbe(q, VF.loadIvf(s, path), k = 5, nprobe = 6)
+    VF.topKRecallAudit(probed, q, emb, k = 5, bound = 0.60)
+  }
+
   /** Vector norms + per-label stats, exact sequential folds. */
   def q45EmbeddingNorms(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
@@ -89,6 +117,7 @@ object VectorQueries {
     "q41_ann_lsh"        -> (q41AnnLsh _),
     "q45_embedding_norm" -> (q45EmbeddingNorms _),
     "q77_ann_ivf"        -> (q77AnnIvf _),
+    "q104_ivf_persisted" -> (q104IvfPersisted _),
   )
 
   /** Shared q41/q77 oracle: the exact-top-5 reference side of
@@ -138,6 +167,9 @@ object VectorQueries {
     // against them.
     "q41_ann_lsh" -> annAuditOracle,
     "q77_ann_ivf" -> annAuditOracle,
+    // q104 probes the PERSISTED index with q77's parameters; the exact
+    // reference side is the same, so the same oracle verifies it
+    "q104_ivf_persisted" -> annAuditOracle,
 
     "q40_cosine_topk" -> """
       WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv

@@ -244,6 +244,13 @@ class DedupSpec extends SparkSpec {
     assert(ids(loaded) == ids(built))
   }
 
+  test("q104 persisted-index gate query: build-if-absent then load, run-to-run identical") {
+    val r1 = graft.queries.VectorQueries.q104IvfPersisted(spark, sf).collect()
+    val r2 = graft.queries.VectorQueries.q104IvfPersisted(spark, sf).collect()
+    assert(r1.length == 1 && r1.toSeq == r2.toSeq)
+    assert(r1.head.getAs[Boolean]("recall_ok") && r1.head.getAs[Boolean]("full_k"))
+  }
+
   test("topK recall sentinel can fire: an unreachable bound flips recall_ok") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 10)
