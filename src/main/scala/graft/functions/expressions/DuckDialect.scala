@@ -314,8 +314,12 @@ object DuckDialect {
     // "ASOF" + inner join.
     raw"(?i)\bASOF\s+(LEFT\s+)?JOIN\b".r ->
       "this ASOF JOIN shape couldn't be auto-rewritten — use graft's as-of join operator (graft.queries.CoreQueries.asOfJoin) or a windowed validity-interval join (lead/lag of the timestamp over the equality keys)",
+    // POSITIONAL JOIN between subqueries with explicit ORDER BYs is
+    // auto-rewritten (GraftSqlParser.rewritePositional); this trap fires
+    // only for shapes that slipped past it — bare Spark would silently
+    // parse `t POSITIONAL JOIN u` as table t aliased "POSITIONAL".
     raw"(?i)\bPOSITIONAL\s+JOIN\b".r ->
-      "POSITIONAL JOIN isn't Spark SQL (it would silently parse as a table alias + inner join) — add an explicit index with row_number() OVER (ORDER BY <deterministic key>) on both sides and equi-join on it"
+      "this POSITIONAL JOIN shape couldn't be auto-rewritten (each side must be a subquery with a top-level ORDER BY — a distributed scan has no deterministic row order) — or add an explicit index with row_number() OVER (ORDER BY <deterministic key>) on both sides and equi-join on it"
   )
 
   val constructHints: Seq[(scala.util.matching.Regex, String)] = silentTrapHints ++ Seq(
@@ -334,6 +338,14 @@ object DuckDialect {
     // lambda/arithmetic forms or COLUMNS outside a sql stage
     raw"(?i)\bCOLUMNS\s*\(".r ->
       "this COLUMNS(...) shape isn't expandable (lambdas/arithmetic over the expansion) — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract",
+    // DuckDB's top-level PIVOT/UNPIVOT STATEMENTS (`PIVOT t ON col`) —
+    // keyword followed by a relation name; Spark's own clause forms
+    // (`FROM t PIVOT (agg FOR col IN (...))`, keyword followed by '(')
+    // parse fine and never reach these hints (q47 uses one)
+    raw"(?i)\bPIVOT\s+[A-Za-z_`]".r ->
+      "DuckDB's PIVOT statement (PIVOT t ON col [USING agg]) isn't Spark SQL — use Spark's pivot clause with the values listed explicitly: SELECT * FROM t PIVOT (agg(expr) FOR col IN ('v1', 'v2'))",
+    raw"(?i)\bUNPIVOT\s+[A-Za-z_`]".r ->
+      "DuckDB's UNPIVOT statement (UNPIVOT t ON cols INTO NAME n VALUE v) isn't Spark SQL — use Spark's unpivot clause: SELECT * FROM t UNPIVOT (v FOR n IN (c1, c2)), or stack(): SELECT stack(2, 'c1', c1, 'c2', c2) AS (n, v) FROM t",
     raw":=".r ->
       "named-argument syntax (a := 1) isn't Spark SQL — struct_pack(a := 1) becomes named_struct('a', 1)",
     raw"(?i)\[\s*[\w.]+\s+for\s+\w+\s+in\b".r ->

@@ -33,12 +33,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
 
   /** All DuckDB-dialect text rewrites in one call, the order chosen so
-    * later rewrites see earlier output: ASOF JOIN → validity-interval
-    * join, EXCLUDE → EXCEPT, struct_pack named args, QUALIFY → ranked
-    * subquery, USING SAMPLE → TABLESAMPLE.
+    * later rewrites see earlier output: POSITIONAL JOIN → indexed full
+    * outer join, ASOF JOIN → validity-interval join, EXCLUDE → EXCEPT,
+    * struct_pack named args, QUALIFY → ranked subquery, USING SAMPLE →
+    * TABLESAMPLE.
     */
   def rewriteAll(sql: String): String =
-    rewriteSample(rewriteQualify(rewriteStructPack(rewriteExclude(rewriteAsof(sql)))))
+    rewriteSample(rewriteQualify(rewriteStructPack(rewriteExclude(rewriteAsof(
+      rewritePositional(sql))))))
 
   private val ExcludeRe = raw"(?is)\*\s+EXCLUDE\s*\(([^)]*)\)".r
 
@@ -595,6 +597,225 @@ object GraftSqlParser {
         sql.substring(condEnd, blockEnd)
       sql.substring(0, blockStart) +
         s"SELECT * EXCEPT ($helper) FROM ( $block ) " + sql.substring(blockEnd)
+    }
+  }
+
+  private val PositionalRe = raw"(?i)\bPOSITIONAL\s+JOIN\b".r
+
+  /** DuckDB `POSITIONAL JOIN`: pair rows of two relations BY POSITION,
+    * NULL-padding the shorter side — i.e. a FULL OUTER equi-join on row
+    * index. A distributed scan has no deterministic row order (file
+    * order is a single-node notion), so the rewrite fires ONLY when
+    * both sides are parenthesized subqueries with a top-level trailing
+    * ORDER BY — the user-supplied total order that makes "position"
+    * well-defined and run-stable. Each side gains
+    * `row_number() OVER (ORDER BY <its own keys>)` and the join becomes
+    * FULL OUTER on the two indexes; with a star select list the block
+    * is wrapped in `SELECT * EXCEPT (helpers)` like the ASOF rewrite.
+    * Bare table names (and ordinal ORDER BYs, which would be constants
+    * inside a window frame) keep the guided error (VERDICT r6 #5).
+    *
+    * Scale note: a global row_number is a single-partition window —
+    * this is a dialect-compat/verification path; at scale express the
+    * pairing through real join keys.
+    */
+  def rewritePositional(sql: String): String = {
+    val masked = maskQuotes(sql)
+    PositionalRe.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) => rewritePositional(rewriteOnePositional(sql, masked, m))
+    }
+  }
+
+  private def rewriteOnePositional(sql: String, masked: String,
+                                   m: scala.util.matching.Regex.Match): String = {
+    def fail(why: String): Nothing =
+      throw new graft.functions.expressions.DuckDialectException(
+        s"POSITIONAL JOIN couldn't be auto-rewritten ($why) — a distributed " +
+          "scan has no deterministic row order, so each side must be a " +
+          "subquery with an explicit ORDER BY: FROM (SELECT ... ORDER BY k1) a " +
+          "POSITIONAL JOIN (SELECT ... ORDER BY k2) b; or add row_number() " +
+          "indexes over a deterministic key on both sides and equi-join them")
+    // ---- left side (backward): ( subquery ) [AS] [alias]
+    var i = m.start - 1
+    def skipWsBack(): Unit = while (i >= 0 && masked.charAt(i).isWhitespace) i -= 1
+    skipWsBack()
+    if (i < 0) fail("no left-side relation")
+    var leftAlias: String = null
+    if (masked.charAt(i) != ')' &&
+      (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_')) {
+      val w = wordEndingAt(masked, i)
+      if (w.isEmpty || w.equalsIgnoreCase("AS")) fail("unrecognized left side")
+      leftAlias = sql.substring(i - w.length + 1, i + 1)
+      i -= w.length
+      skipWsBack()
+      // optional AS before the alias
+      if (i >= 0 && (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_') &&
+        wordEndingAt(masked, i).equalsIgnoreCase("AS")) {
+        i -= 2; skipWsBack()
+      }
+    }
+    if (i < 0 || masked.charAt(i) != ')')
+      fail("the left side is not a parenthesized subquery")
+    val lEnd = i
+    var d = 1
+    i -= 1
+    while (i >= 0 && d > 0) {
+      masked.charAt(i) match {
+        case ')' => d += 1
+        case '(' => d -= 1
+        case _ =>
+      }
+      if (d > 0) i -= 1
+    }
+    if (d != 0) fail("unbalanced parens on the left side")
+    val lStart = i
+    // ---- right side (forward): ( subquery ) [AS] [alias]
+    var j = m.end
+    def skipWs(): Unit = while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+    skipWs()
+    if (j >= masked.length || masked.charAt(j) != '(')
+      fail("the right side is not a parenthesized subquery")
+    val rStart = j
+    var d2 = 1
+    j += 1
+    while (j < masked.length && d2 > 0) {
+      masked.charAt(j) match {
+        case '(' => d2 += 1
+        case ')' => d2 -= 1
+        case _ =>
+      }
+      j += 1
+    }
+    if (d2 != 0) fail("unbalanced parens on the right side")
+    val rEnd = j - 1
+    skipWs()
+    var rightAlias: String = null
+    var tailEnd = j
+    if (j < masked.length && (masked.charAt(j).isLetter || masked.charAt(j) == '_')) {
+      var w = wordStartingAt(masked, j)
+      if (w.equalsIgnoreCase("AS")) {
+        j += 2; skipWs(); w = wordStartingAt(masked, j)
+        if (w.isEmpty) fail("missing alias after AS")
+      }
+      // a clause keyword is NOT an alias
+      if (!Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "WINDOW",
+        "UNION", "INTERSECT", "EXCEPT", "MINUS", "JOIN", "INNER", "LEFT",
+        "RIGHT", "FULL", "CROSS", "ON", "USING", "POSITIONAL").contains(w.toUpperCase)) {
+        rightAlias = sql.substring(j, j + w.length)
+        tailEnd = j + w.length
+      }
+    }
+    // ---- each side's top-level trailing ORDER BY supplies the keys
+    def orderKeys(start: Int, end: Int, side: String): String = {
+      val inner = masked.substring(start + 1, end)
+      var k = 0
+      var dd = 0
+      var obPos = -1
+      while (k < inner.length) {
+        val c = inner.charAt(k)
+        if (c == '(') { dd += 1; k += 1 }
+        else if (c == ')') { dd -= 1; k += 1 }
+        else if (dd == 0 && c.isLetter &&
+          (k == 0 || (!inner.charAt(k - 1).isLetterOrDigit && inner.charAt(k - 1) != '_'))) {
+          val w = wordStartingAt(inner, k)
+          if (w.equalsIgnoreCase("ORDER")) obPos = k
+          k += math.max(w.length, 1)
+        } else k += 1
+      }
+      if (obPos < 0) fail(s"the $side side has no top-level ORDER BY")
+      var p = obPos + 5
+      while (p < inner.length && inner.charAt(p).isWhitespace) p += 1
+      if (!wordStartingAt(inner, p).equalsIgnoreCase("BY")) fail(s"the $side side has no top-level ORDER BY")
+      p += 2
+      // keys run to a depth-0 LIMIT/OFFSET or the subquery end
+      var q = p
+      var d3 = 0
+      var keysEnd = inner.length
+      var scan = true
+      while (q < inner.length && scan) {
+        val c = inner.charAt(q)
+        if (c == '(') { d3 += 1; q += 1 }
+        else if (c == ')') { d3 -= 1; q += 1 }
+        else if (d3 == 0 && c.isLetter &&
+          (!inner.charAt(q - 1).isLetterOrDigit && inner.charAt(q - 1) != '_')) {
+          val w = wordStartingAt(inner, q)
+          if (w.equalsIgnoreCase("LIMIT") || w.equalsIgnoreCase("OFFSET")) {
+            keysEnd = q; scan = false
+          } else q += math.max(w.length, 1)
+        } else q += 1
+      }
+      val keys = sql.substring(start + 1 + p, start + 1 + keysEnd).trim
+      if (keys.isEmpty) fail(s"the $side side's ORDER BY lists no keys")
+      // ordinals (ORDER BY 1) would be CONSTANTS inside a window frame
+      if (keys.split(",").exists(_.trim.matches(raw"\d+(\s+(?i:ASC|DESC))?")))
+        fail(s"the $side side orders by column ordinal — name the column")
+      keys
+    }
+    val lKeys = orderKeys(lStart, lEnd, "left")
+    val rKeys = orderKeys(rStart, rEnd, "right")
+    val n = raw"__graft_pos_l".r.findAllIn(masked).size
+    val lh = s"__graft_pos_l$n"
+    val rh = s"__graft_pos_r$n"
+    val la = if (leftAlias != null) leftAlias else s"__graft_posa$n"
+    val ra = if (rightAlias != null) rightAlias else s"__graft_posb$n"
+    val newLeft = s"( SELECT *, row_number() OVER (ORDER BY $lKeys) AS $lh " +
+      s"FROM ${sql.substring(lStart, lEnd + 1)} __graft_pls$n ) $la"
+    val newRight = s"( SELECT *, row_number() OVER (ORDER BY $rKeys) AS $rh " +
+      s"FROM ${sql.substring(rStart, rEnd + 1)} __graft_prs$n ) $ra"
+    val replacement = s"$newLeft FULL OUTER JOIN $newRight ON $la.$lh = $ra.$rh "
+    // ---- star-leak wrap, as in the ASOF rewrite
+    val stack = scala.collection.mutable.Stack[Int]()
+    var p = 0
+    while (p < lStart) {
+      masked.charAt(p) match {
+        case '(' => stack.push(p + 1)
+        case ')' => if (stack.nonEmpty) stack.pop()
+        case _ =>
+      }
+      p += 1
+    }
+    val blockStart = if (stack.isEmpty) 0 else stack.top
+    val needsWrap = {
+      var k = blockStart; var d4 = 0; var fromPos = lStart; var looking = true
+      while (k < lStart && looking) {
+        val c = masked.charAt(k)
+        if (c == '(') d4 += 1
+        else if (c == ')') d4 -= 1
+        else if (d4 == 0 && c.isLetter &&
+          (k == 0 || (!masked.charAt(k - 1).isLetterOrDigit && masked.charAt(k - 1) != '_'))) {
+          val w = wordStartingAt(masked, k)
+          if (w == "FROM") { fromPos = k; looking = false }
+          else k += math.max(w.length, 1) - 1
+        }
+        k += 1
+      }
+      selectListHasStar(masked, blockStart, fromPos)
+    }
+    if (!needsWrap)
+      sql.substring(0, lStart) + replacement + sql.substring(tailEnd)
+    else {
+      val tailTerminators = Set("UNION", "INTERSECT", "EXCEPT", "MINUS")
+      var q = tailEnd
+      var d5 = 0
+      var blockEnd = masked.length
+      var scan2 = true
+      while (q < masked.length && scan2) {
+        val c = masked.charAt(q)
+        if (c == '(') { d5 += 1; q += 1 }
+        else if (c == ')') {
+          if (d5 == 0) { blockEnd = q; scan2 = false } else { d5 -= 1; q += 1 }
+        } else if (d5 == 0 && c.isLetter &&
+          (q == 0 || (!masked.charAt(q - 1).isLetterOrDigit && masked.charAt(q - 1) != '_'))) {
+          val w = wordStartingAt(masked, q)
+          if (tailTerminators.contains(w)) { blockEnd = q; scan2 = false }
+          else q += math.max(w.length, 1)
+        } else q += 1
+      }
+      val block = sql.substring(blockStart, lStart) + replacement +
+        sql.substring(tailEnd, blockEnd)
+      sql.substring(0, blockStart) +
+        s"SELECT * EXCEPT ($lh, $rh) FROM ( $block ) " + sql.substring(blockEnd)
     }
   }
 

@@ -282,6 +282,51 @@ class DialectSpec extends SparkSpec {
     assert(e.getMessage.contains("DISTINCT"))
   }
 
+  test("POSITIONAL JOIN between ordered subqueries rewrites to an indexed full-outer join") {
+    val df = spark.range(5).toDF("id")
+    // left ordered asc: 0,1,2,3; right ordered desc: 4,3,2 — DuckDB
+    // pairs by position and NULL-pads the shorter side
+    val out = SqlStage("s",
+      """SELECT * FROM
+        |  (SELECT id AS a FROM df WHERE id < 4 ORDER BY a)
+        |  POSITIONAL JOIN
+        |  (SELECT id AS b FROM df WHERE id >= 2 ORDER BY b DESC) r
+        |""".stripMargin).apply(spark, df)
+    assert(out.columns.toSeq == Seq("a", "b")) // helper indexes wrapped away
+    val rows = out.collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(rows == Set(
+      (Some(0L), Some(4L)), (Some(1L), Some(3L)),
+      (Some(2L), Some(2L)), (Some(3L), None)))
+    // explicit projection (no star) skips the wrap and still runs
+    val proj = SqlStage("s",
+      """SELECT l.a + r.b AS s FROM
+        |  (SELECT id AS a FROM df ORDER BY a) l
+        |  POSITIONAL JOIN
+        |  (SELECT id AS b FROM df ORDER BY b DESC) AS r
+        |""".stripMargin).apply(spark, df)
+    assert(proj.collect().map(_.getLong(0)).toSeq == Seq(4L, 4L, 4L, 4L, 4L))
+  }
+
+  test("POSITIONAL JOIN / PIVOT statement shapes without a rewrite raise named hints") {
+    def hintOf(sql: String): String =
+      intercept[DuckDialectException](
+        SqlStage("s", sql).apply(spark, spark.range(4).toDF("id"))).getMessage
+    // bare tables: file order is not deterministic in a distributed scan
+    assert(hintOf("SELECT * FROM df POSITIONAL JOIN df")
+      .contains("deterministic row order"))
+    // subquery without ORDER BY
+    assert(hintOf(
+      "SELECT * FROM (SELECT id FROM df) POSITIONAL JOIN (SELECT id FROM df ORDER BY id) r")
+      .contains("no top-level ORDER BY"))
+    // ordinal keys would be constants inside the window frame
+    assert(hintOf(
+      "SELECT * FROM (SELECT id FROM df ORDER BY 1) POSITIONAL JOIN (SELECT id FROM df ORDER BY id) r")
+      .contains("ordinal"))
+    // DuckDB's top-level PIVOT/UNPIVOT statements name Spark's clause form
+    assert(hintOf("PIVOT df ON id USING sum(id)").contains("PIVOT (agg(expr) FOR"))
+    assert(hintOf("UNPIVOT df ON a, b INTO NAME n VALUE v").contains("UNPIVOT (v FOR n IN"))
+  }
+
   test("COLUMNS star patterns expand against the stage schema") {
     val df = spark.range(3).selectExpr("id", "id * 2 AS n_a", "id * 3 AS n_b", "'x' AS tag")
     // bare regex form keeps original names
