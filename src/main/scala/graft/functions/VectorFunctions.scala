@@ -14,6 +14,43 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** Sentinel default for the ANN index parameters below: compute the
+    * value from the corpus size at call time (one column-pruned count —
+    * parquet answers it from footer metadata). The documented sizing
+    * rules stop depending on the caller having read the scaladoc
+    * (VERDICT r6 #7); every gate query pins its parameters explicitly,
+    * so auto-sizing never moves a verified hash.
+    */
+  val Auto: Int = -1
+
+  /** Pair-finding LSH bits: expected bucket population is n/2^bits, so
+    * bits ≈ log₂ n − 3 targets ~8-row buckets (candidate pairs per
+    * bucket stay O(64) while per-pair recall falls slowly with bits);
+    * floor 8 keeps tiny corpora from degenerating into one bucket.
+    */
+  def autoLshBits(n: Long): Int =
+    math.max(8, (math.log(math.max(n, 2).toDouble) / math.log(2)).round.toInt - 3)
+
+  /** Top-k LSH bits: a query examines ≈ N·tables/2^bits candidates, so
+    * bits ≈ log₂ n − 10 keeps that near 1k per table as the corpus
+    * grows; floor 4 matches the small-corpus default the recall bounds
+    * were calibrated on.
+    */
+  def autoAnnBits(n: Long): Int =
+    math.max(4, (math.log(math.max(n, 2).toDouble) / math.log(2)).round.toInt - 10)
+
+  /** IVF centroid count ≈ √N/3: balances the build's N·nlist
+    * assignment flops against the probe's N·nprobe/nlist candidates
+    * (both ∝ N^1.5 at the balance point — see [[ivfTopK]]).
+    */
+  def autoNlist(n: Long): Int =
+    math.max(16, math.round(math.sqrt(math.max(n, 1).toDouble)).toInt / 3)
+
+  /** nprobe for an auto-sized index: 3/8 of nlist floor 6 — the probed
+    * fraction the q77 recall bound was measured at.
+    */
+  def autoNprobe(nlist: Int): Int = math.max(6, nlist * 3 / 8)
+
   /** cos(a,b); requires GraftFunctions registered on the session (done
     * automatically by the DataFrame entry points below).
     */
@@ -68,11 +105,12 @@ object VectorFunctions {
     * `maxBucketSize = 0` to disable.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, bits: Int = 8, tables: Int = 16,
+                      threshold: Double, bits: Int = Auto, tables: Int = 16,
                       maxBucketSize: Int = 4096,
                       bucketObs: Option[Observation] = None): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val cand = lshPairCandidates(df, idCol, vecCol, bits, tables, maxBucketSize, bucketObs)
+    val b = if (bits == Auto) autoLshBits(df.count()) else bits
+    val cand = lshPairCandidates(df, idCol, vecCol, b, tables, maxBucketSize, bucketObs)
     val e = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     cand.join(e.as("ea"), col("id_a") === col("ea.vid"))
       .join(e.as("eb"), col("id_b") === col("eb.vid"))
@@ -127,12 +165,15 @@ object VectorFunctions {
     */
   def lshNearDupPairsBetween(left: DataFrame, right: DataFrame,
                              idCol: String, vecCol: String,
-                             threshold: Double, bits: Int = 8, tables: Int = 16,
+                             threshold: Double, bits: Int = Auto, tables: Int = 16,
                              maxBucketSize: Int = 4096): DataFrame = {
     GraftFunctions.register(left.sparkSession)
+    // sized by the corpus (left) side — the benchmark side is small by
+    // construction and shares whatever bucket width the corpus needs
+    val b = if (bits == Auto) autoLshBits(left.count()) else bits
     def buckets(df: DataFrame) = {
       val raw = df.select(col(idCol).as("vid"),
-        posexplode(call_function("lsh_signature", col(vecCol), lit(bits), lit(tables)))
+        posexplode(call_function("lsh_signature", col(vecCol), lit(b), lit(tables)))
           .as(Seq("tbl", "bucket")))
       Buckets.capHot(raw, Seq(col("tbl"), col("bucket")), col("vid"), maxBucketSize)
     }
@@ -156,7 +197,7 @@ object VectorFunctions {
     * minimum id. Keeps all singletons.
     */
   def dropNearDupVectors(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, bits: Int = 8, tables: Int = 16,
+                         threshold: Double, bits: Int = Auto, tables: Int = 16,
                          maxBucketSize: Int = 4096): DataFrame = {
     val pairs = lshNearDupPairs(df, idCol, vecCol, threshold, bits, tables, maxBucketSize)
     val losers = graft.functions.Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -318,8 +359,11 @@ object VectorFunctions {
     * recall target.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, refine: Int = 0): DataFrame =
-    ivfProbe(queries, buildIvf(candidates, nlist, refine), k, nprobe)
+              nlist: Int = Auto, nprobe: Int = Auto, refine: Int = 0): DataFrame = {
+    val nl = if (nlist == Auto) autoNlist(candidates.count()) else nlist
+    val np = if (nprobe == Auto) autoNprobe(nl) else nprobe
+    ivfProbe(queries, buildIvf(candidates, nl, refine), k, np)
+  }
 
   /** A built IVF index: `centroids` (cent_id, cvec) — nlist rows,
     * broadcast-sized — and `assigned` (vec_id, embedding, cid), the
@@ -341,8 +385,9 @@ object VectorFunctions {
     * first probe, reused by every probe after (callers who want the
     * build cost paid up front can trigger it with `assigned.count()`).
     */
-  def buildIvf(candidates: DataFrame, nlist: Int = 16, refine: Int = 0): IvfIndex = {
+  def buildIvf(candidates: DataFrame, nlist: Int = Auto, refine: Int = 0): IvfIndex = {
     GraftFunctions.register(candidates.sparkSession)
+    val nl = if (nlist == Auto) autoNlist(candidates.count()) else nlist
     def assignTo(cents: DataFrame): DataFrame =
       candidates.crossJoin(cents)
         .groupBy(col("vec_id"), col("embedding"))
@@ -352,7 +397,7 @@ object VectorFunctions {
     // xxhash64(vec_id) — TakeOrderedAndProject, no full sort.
     var centroids =
       candidates.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-        .orderBy(xxhash64(col("cent_id")), col("cent_id")).limit(nlist)
+        .orderBy(xxhash64(col("cent_id")), col("cent_id")).limit(nl)
     for (_ <- 1 to refine)
       centroids = assignTo(broadcast(centroids))
         .select(col("cid").as("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -389,15 +434,19 @@ object VectorFunctions {
     * centroids (broadcast nlist-row join), equality-join into the
     * probed posting lists, exact cosine + top-k inside them.
     */
-  def ivfProbe(queries: DataFrame, index: IvfIndex, k: Int, nprobe: Int): DataFrame = {
+  def ivfProbe(queries: DataFrame, index: IvfIndex, k: Int,
+               nprobe: Int = Auto): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(queries.sparkSession)
+    // auto: 3/8 of the index's own nlist (a count over the tiny
+    // checkpointed/persisted centroid table)
+    val np = if (nprobe == Auto) autoNprobe(index.centroids.count().toInt) else nprobe
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("pc").desc, col("cent_id"))
     val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(index.centroids))
       .select(col("q_id"), col("qv"), col("cent_id"),
         cosine(col("qv"), col("cvec")).as("pc"))
-      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= np)
       .select(col("q_id"), col("qv"), col("cent_id").as("cid"))
     // Exact cosine inside the probed lists, rank per query.
     val scored = probes.join(index.assigned, "cid")
@@ -426,19 +475,20 @@ object VectorFunctions {
     * grows, and |Q| ≪ N makes that free at scale.
     */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              bits: Int = 4, tables: Int = 8, probes: Int = 0): DataFrame = {
+              bits: Int = Auto, tables: Int = 8, probes: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(queries.sparkSession)
+    val nBits = if (bits == Auto) autoAnnBits(candidates.count()) else bits
     def withBuckets(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("embedding"),
-        posexplode(call_function("lsh_signature", col("embedding"), lit(bits), lit(tables)))
+        posexplode(call_function("lsh_signature", col("embedding"), lit(nBits), lit(tables)))
           .as(Seq("tbl", "bucket")))
     val qb0 = withBuckets(queries)
     val qb =
       if (probes <= 0) qb0
       else qb0.select(col("vec_id"), col("embedding"), col("tbl"),
         explode(array(col("bucket") +:
-          (0 until math.min(probes, bits)).map(b =>
+          (0 until math.min(probes, nBits)).map(b =>
             col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
     val cb = withBuckets(candidates)
     val cand = qb.as("q")

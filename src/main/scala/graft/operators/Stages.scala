@@ -150,7 +150,8 @@ object TransformRegistry {
   *  - `vectors`: SemDeDup-style embedding near-dup removal
   *    ([[graft.functions.VectorFunctions.dropNearDupVectors]]) over the
   *    `vec` column (default `embedding`) at cosine ≥ `threshold`
-  *    (`bits`/`tables` size the LSH index — bits ≈ log2(corpus)).
+  *    (`bits`/`tables` size the LSH index; omitted `bits` auto-sizes
+  *    from the corpus count — bits ≈ log2(corpus), the r7 default).
   *
   * {{{
   * actionConfig: {method: minhash, id: doc_id, text: text, threshold: 0.6}
@@ -162,7 +163,8 @@ final case class DedupStage(name: String, method: String, idCol: String,
                             textCol: String, threshold: Double,
                             k: Int, numHashes: Int, bands: Int,
                             width: Int = 20, vecCol: String = "embedding",
-                            bits: Int = 8, tables: Int = 16,
+                            bits: Int = graft.functions.VectorFunctions.Auto,
+                            tables: Int = 16,
                             maxDf: Long = 4) extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "exact" | "fingerprint" =>
@@ -220,7 +222,9 @@ object DedupStage {
     }
     DedupStage(cfg.name, s("method", "minhash"), s("id", "doc_id"), s("text", "text"),
       dbl("threshold", 0.6), n("k", 3), n("numHashes", 32), n("bands", 8),
-      n("width", 20), s("vec", "embedding"), n("bits", 8), n("tables", 16),
+      n("width", 20), s("vec", "embedding"),
+      // bits omitted in YAML → auto-sized from the corpus (bits ≈ log2 n)
+      n("bits", graft.functions.VectorFunctions.Auto), n("tables", 16),
       n("maxDf", 4).toLong)
   }
 }

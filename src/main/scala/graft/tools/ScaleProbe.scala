@@ -55,9 +55,11 @@ object ScaleProbe {
       val emb = embeddings(spark, d)
       val nEmb = emb.count()
       val nDocs = docs.count()
-      // documented sizing rules, applied per corpus size
-      val bits = math.max(8, (math.log(nEmb.toDouble) / math.log(2)).round.toInt - 3)
-      val nlist = math.max(16, math.sqrt(nEmb.toDouble).round.toInt / 3)
+      // the documented sizing rules are the library defaults since r7
+      // (VectorFunctions.Auto) — the probe exercises the same code path
+      // a caller gets by omitting the parameters
+      val bits = VF.autoLshBits(nEmb)
+      val nlist = VF.autoNlist(nEmb)
       Seq(
         "q30_dedup_exact" -> (() =>
           graft.queries.TextQueries.q30DedupExact(spark, d).count()),
@@ -68,7 +70,7 @@ object ScaleProbe {
             bits = bits, tables = 16).count()),
         "q77_ivf_topk" -> (() =>
           VF.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-            nlist = nlist, nprobe = math.max(6, nlist * 3 / 8), refine = 1).count()),
+            nlist = nlist, nprobe = VF.autoNprobe(nlist), refine = 1).count()),
         "q41_ann_multiprobe" -> (() =>
           VF.annTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
             bits = 4, tables = 8, probes = 4).count()),

@@ -244,6 +244,24 @@ class DedupSpec extends SparkSpec {
     assert(ids(loaded) == ids(built))
   }
 
+  test("ANN parameters auto-size from the corpus (bits ≈ log2 n, nlist ≈ √N defaults)") {
+    assert(VectorFunctions.autoLshBits(1000) == 8)         // floor binds
+    assert(VectorFunctions.autoLshBits(1L << 30) == 27)    // log2 n − 3
+    assert(VectorFunctions.autoAnnBits(10000) == 4)        // floor binds
+    assert(VectorFunctions.autoAnnBits(1L << 30) == 20)    // log2 n − 10
+    assert(VectorFunctions.autoNlist(1000000) == 333)      // √N / 3
+    assert(VectorFunctions.autoNprobe(333) == 124)         // 3/8 nlist
+    // default-path e2e: omitted parameters resolve from a cheap count
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 3)
+    val ann = VectorFunctions.annTopK(q, emb, k = 5)
+    assert(ann.groupBy("qid").count().collect().forall(_.getLong(1) <= 5))
+    val ivf = VectorFunctions.ivfTopK(q, emb, k = 5, refine = 1)
+    assert(ivf.select("qid").distinct().count() == 3)
+    assert(VectorFunctions.lshNearDupPairs(emb.limit(200), "vec_id", "embedding", 0.2)
+      .columns.toSeq == Seq("id_a", "id_b", "cos"))
+  }
+
   test("q104 persisted-index gate query: build-if-absent then load, run-to-run identical") {
     val r1 = graft.queries.VectorQueries.q104IvfPersisted(spark, sf).collect()
     val r2 = graft.queries.VectorQueries.q104IvfPersisted(spark, sf).collect()
