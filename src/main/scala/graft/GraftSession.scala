@@ -19,6 +19,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // janino's compiled-class cache defaults to 100 entries; a suite of
+      // ~90 queries x several codegen units each thrashes it, recompiling
+      // every generated class on every pass (r7: sequential Bench wall
+      // 24.4 s -> 16.3 s from this one setting)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .withExtensions(new GraftExtensions)
   }
 

@@ -38,6 +38,25 @@ object Tables {
       p => spark.read.parquet(p))
   }
 
+  /** Memoized loader for an arbitrary parquet path (same cache as
+    * [[t]]): for relations outside the testdata layout whose contents
+    * are immutable for the life of the session — e.g. the q104
+    * persisted IVF index, whose deterministic build writes once and is
+    * probed every run after. Re-listing files + re-reading footers per
+    * run is pure driver overhead.
+    */
+  def raw(spark: SparkSession, path: String): DataFrame = {
+    val perSession = relCache.synchronized {
+      var m = relCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        relCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(path, p => spark.read.parquet(p))
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")

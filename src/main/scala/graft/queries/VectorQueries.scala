@@ -99,7 +99,11 @@ object VectorQueries {
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$tag"
     if (!new java.io.File(s"$path/assigned/_SUCCESS").exists())
       VF.saveIvf(VF.buildIvf(emb, nlist = 16, refine = 1), path)
-    val probed = VF.ivfProbe(q, VF.loadIvf(s, path), k = 5, nprobe = 6)
+    // memoized relations: the index is written once (deterministic
+    // build), so re-listing + footer-reading it every run is overhead
+    val idx = VF.IvfIndex(graft.Tables.raw(s, s"$path/centroids"),
+      graft.Tables.raw(s, s"$path/assigned"))
+    val probed = VF.ivfProbe(q, idx, k = 5, nprobe = 6)
     VF.topKRecallAudit(probed, q, emb, k = 5, bound = 0.60)
   }
 

@@ -29,6 +29,7 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "48g"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()

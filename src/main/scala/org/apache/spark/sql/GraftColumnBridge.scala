@@ -14,4 +14,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `Observation.getOrEmpty` (non-blocking-ish: waits briefly, returns
+    * empty instead of hanging when the completed action did not report
+    * metrics) is `private[sql]` — surfaced for the iterative operators
+    * that piggyback convergence counters on checkpoint actions.
+    */
+  def observedOrEmpty(o: Observation): Map[String, Any] = o.getOrEmpty
 }
