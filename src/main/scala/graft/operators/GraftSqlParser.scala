@@ -600,6 +600,281 @@ object GraftSqlParser {
     }
   }
 
+  private val PivotStmtRe = raw"(?is)^\s*PIVOT\s".r
+  private val UnpivotStmtRe = raw"(?is)^\s*UNPIVOT\s".r
+
+  /** Split `s` on depth-0 commas (parens tracked; `s` must already be
+    * quote-masked-aligned with the raw text it indexes into).
+    */
+  private def splitTopLevel(raw: String, masked: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var d = 0
+    var last = 0
+    var k = 0
+    while (k < masked.length) {
+      masked.charAt(k) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case ',' if d == 0 => out += raw.substring(last, k); last = k + 1
+        case _ =>
+      }
+      k += 1
+    }
+    out += raw.substring(last)
+    out.result()
+  }
+
+  /** DuckDB's top-level `PIVOT` STATEMENT (`PIVOT rel ON col [IN (...)]
+    * [USING agg(expr)] [GROUP BY ...] [ORDER BY ...] [LIMIT ...]`),
+    * rewritten to Spark's pivot CLAUSE. The statement's defining
+    * convenience — pivot values discovered from the data when `IN` is
+    * omitted — needs a live session: one `SELECT DISTINCT col` (sorted,
+    * capped at 1000 — a pivot wider than that is a mistake, not a
+    * query) supplies the IN list Spark requires. Semantics parity with
+    * DuckDB: single-agg columns are named by the value's text; an
+    * omitted USING means count(*); an omitted GROUP BY groups on every
+    * remaining column (Spark's pivot clause does exactly that, so no
+    * projection is needed); an explicit GROUP BY narrows the implicit
+    * grouping via an inner projection. Multi-column ON, multiple USING
+    * aggregates and USING aliases keep a guided error (their naming
+    * scheme is a cartesian-product naming DuckDB users rarely need).
+    * q105 runs the SAME statement text on both engines.
+    */
+  def rewritePivotStatement(spark: org.apache.spark.sql.SparkSession,
+                            sql: String): String = {
+    val masked = maskQuotes(sql)
+    val m = PivotStmtRe.findFirstMatchIn(masked).getOrElse(return sql)
+    def fail(why: String): Nothing =
+      throw new graft.functions.expressions.DuckDialectException(
+        s"PIVOT statement couldn't be auto-rewritten ($why) — use Spark's " +
+          "pivot clause with explicit values: SELECT * FROM t PIVOT " +
+          "(agg(expr) FOR col IN ('v1', 'v2'))")
+    var i = m.end - 1
+    def skipWs(): Unit = while (i < masked.length && masked.charAt(i).isWhitespace) i += 1
+    def balanced(open: Int): Int = { // index after the matching ')'
+      var d = 1
+      var k = open + 1
+      while (k < masked.length && d > 0) {
+        masked.charAt(k) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+        }
+        k += 1
+      }
+      if (d != 0) fail("unbalanced parens")
+      k
+    }
+    skipWs()
+    val relStart = i
+    if (i < masked.length && masked.charAt(i) == '(') i = balanced(i)
+    else {
+      while (i < masked.length && (masked.charAt(i).isLetterOrDigit ||
+        masked.charAt(i) == '.' || masked.charAt(i) == '_')) i += 1
+      if (i == relStart) fail("missing relation")
+    }
+    val relIsSub = masked.charAt(relStart) == '('
+    val relForSql =
+      if (relIsSub) s"${sql.substring(relStart, i)} __graft_pvsrc"
+      else sql.substring(relStart, i)
+    skipWs()
+    if (!wordStartingAt(masked, i).equalsIgnoreCase("ON")) fail("missing ON <column>")
+    i += 2; skipWs()
+    val colStart = i
+    while (i < masked.length && (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_')) i += 1
+    if (i == colStart) fail("ON must name a single plain column")
+    val pcol = sql.substring(colStart, i)
+    skipWs()
+    if (i < masked.length && masked.charAt(i) == ',') fail("multiple ON columns")
+    var inBody: Option[(String, String)] = None // (raw, masked)
+    if (wordStartingAt(masked, i).equalsIgnoreCase("IN")) {
+      i += 2; skipWs()
+      if (i >= masked.length || masked.charAt(i) != '(') fail("IN without a value list")
+      val e = balanced(i)
+      inBody = Some((sql.substring(i + 1, e - 1), masked.substring(i + 1, e - 1)))
+      i = e; skipWs()
+    }
+    var aggFn = "count"
+    var aggArg = "1"
+    if (wordStartingAt(masked, i).equalsIgnoreCase("USING")) {
+      i += 5; skipWs()
+      val f0 = i
+      while (i < masked.length && (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_')) i += 1
+      if (i == f0) fail("USING needs an aggregate call")
+      aggFn = sql.substring(f0, i)
+      skipWs()
+      if (i >= masked.length || masked.charAt(i) != '(') fail("USING needs an aggregate call")
+      val e = balanced(i)
+      aggArg = sql.substring(i + 1, e - 1).trim
+      if (aggArg == "*") aggArg = "1"
+      i = e; skipWs()
+      if (wordStartingAt(masked, i).equalsIgnoreCase("AS")) fail("USING ... AS alias")
+      if (i < masked.length && masked.charAt(i) == ',') fail("multiple USING aggregates")
+    }
+    var groupCols: Option[String] = None
+    if (wordStartingAt(masked, i).equalsIgnoreCase("GROUP")) {
+      i += 5; skipWs()
+      if (!wordStartingAt(masked, i).equalsIgnoreCase("BY")) fail("GROUP without BY")
+      i += 2
+      val g0 = i
+      var d = 0
+      var scanning = true
+      while (i < masked.length && scanning) {
+        val c = masked.charAt(i)
+        if (c == '(') { d += 1; i += 1 }
+        else if (c == ')') { d -= 1; i += 1 }
+        else if (d == 0 && c.isLetter &&
+          (!masked.charAt(i - 1).isLetterOrDigit && masked.charAt(i - 1) != '_')) {
+          val w = wordStartingAt(masked, i)
+          if (Set("ORDER", "LIMIT", "OFFSET").contains(w.toUpperCase)) scanning = false
+          else i += math.max(w.length, 1)
+        } else i += 1
+      }
+      groupCols = Some(sql.substring(g0, i).trim)
+    }
+    val tail = sql.substring(i)
+    // value list: IN-pinned, else discovered (sorted, capped)
+    val vals: Seq[(String, String)] = inBody match { // (literal, columnName)
+      case Some((raw, rawMasked)) =>
+        splitTopLevel(raw, rawMasked).map(_.trim).filter(_.nonEmpty).map { t =>
+          val nm =
+            if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+              t.substring(1, t.length - 1).replace("''", "'")
+            else t
+          (t, nm)
+        }
+      case None =>
+        val rows = spark.sql(
+          s"SELECT DISTINCT $pcol AS v FROM $relForSql WHERE $pcol IS NOT NULL " +
+            "ORDER BY v LIMIT 1001").collect()
+        if (rows.length > 1000) fail("over 1000 distinct pivot values — pin them with IN (...)")
+        if (rows.isEmpty) fail("no non-null pivot values to discover")
+        val isStr = rows.head.schema("v").dataType ==
+          org.apache.spark.sql.types.StringType
+        rows.toSeq.map { r =>
+          val s0 = r.get(0).toString
+          (if (isStr) "'" + s0.replace("'", "''") + "'" else s0, s0)
+        }
+    }
+    val inList = vals.map { case (lit, nm) =>
+      s"$lit AS `${nm.replace("`", "``")}`"
+    }.mkString(", ")
+    // DuckDB's count over an empty pivot cell is 0; Spark's pivot cell
+    // is NULL — a count agg needs a coalescing outer projection over
+    // the known grouping columns (GROUP BY list, or every non-pivot
+    // column from the relation's schema when grouping is implicit)
+    val isCount = aggFn.equalsIgnoreCase("count")
+    def coalesced(grpList: String): String = {
+      val grp = grpList.trim
+      val cells = vals.map { case (_, nm) =>
+        val q = s"`${nm.replace("`", "``")}`"
+        s"coalesce($q, 0) AS $q"
+      }.mkString(", ")
+      (if (grp.isEmpty) cells else s"$grp, $cells")
+    }
+    groupCols match {
+      case Some(g) =>
+        val inner = s"(SELECT $g, $pcol, $aggArg AS __graft_pv FROM $relForSql) " +
+          s"PIVOT ($aggFn(__graft_pv) FOR $pcol IN ($inList))"
+        if (isCount) s"SELECT ${coalesced(g)} FROM $inner$tail"
+        else s"SELECT * FROM $inner$tail"
+      case None =>
+        val inner = s"$relForSql PIVOT ($aggFn($aggArg) FOR $pcol IN ($inList))"
+        if (isCount) {
+          val others = spark.sql(s"SELECT * FROM $relForSql WHERE 1=0")
+            .columns.filterNot(_ == pcol)
+            .map(c => s"`${c.replace("`", "``")}`").mkString(", ")
+          s"SELECT ${coalesced(others)} FROM $inner$tail"
+        } else s"SELECT * FROM $inner$tail"
+    }
+  }
+
+  /** DuckDB's top-level `UNPIVOT` STATEMENT (`UNPIVOT rel ON c1, c2
+    * [INTO NAME n VALUE v] [tail]`) → Spark's unpivot clause
+    * (`SELECT * FROM rel UNPIVOT (v FOR n IN (c1, c2))`). Pure text —
+    * the column list is explicit, so no session is needed. NULL cells
+    * are dropped by both engines' defaults. Multiple VALUE columns
+    * (DuckDB's paired unpivot) keep a guided error. q106 runs the SAME
+    * statement text on both engines.
+    */
+  def rewriteUnpivotStatement(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val m = UnpivotStmtRe.findFirstMatchIn(masked).getOrElse(return sql)
+    def fail(why: String): Nothing =
+      throw new graft.functions.expressions.DuckDialectException(
+        s"UNPIVOT statement couldn't be auto-rewritten ($why) — use Spark's " +
+          "unpivot clause: SELECT * FROM t UNPIVOT (v FOR n IN (c1, c2)), " +
+          "or stack(): SELECT stack(2, 'c1', c1, 'c2', c2) AS (n, v) FROM t")
+    var i = m.end - 1
+    def skipWs(): Unit = while (i < masked.length && masked.charAt(i).isWhitespace) i += 1
+    skipWs()
+    val relStart = i
+    if (i < masked.length && masked.charAt(i) == '(') {
+      var d = 1; i += 1
+      while (i < masked.length && d > 0) {
+        masked.charAt(i) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (d != 0) fail("unbalanced parens in the relation")
+    } else {
+      while (i < masked.length && (masked.charAt(i).isLetterOrDigit ||
+        masked.charAt(i) == '.' || masked.charAt(i) == '_')) i += 1
+      if (i == relStart) fail("missing relation")
+    }
+    val relIsSub = masked.charAt(relStart) == '('
+    val relForSql =
+      if (relIsSub) s"${sql.substring(relStart, i)} __graft_upsrc"
+      else sql.substring(relStart, i)
+    skipWs()
+    if (!wordStartingAt(masked, i).equalsIgnoreCase("ON")) fail("missing ON <columns>")
+    i += 2
+    // column list runs to INTO / ORDER / LIMIT / end at depth 0
+    val c0 = i
+    var d = 0
+    var scanning = true
+    while (i < masked.length && scanning) {
+      val c = masked.charAt(i)
+      if (c == '(') { d += 1; i += 1 }
+      else if (c == ')') { d -= 1; i += 1 }
+      else if (d == 0 && c.isLetter &&
+        (!masked.charAt(i - 1).isLetterOrDigit && masked.charAt(i - 1) != '_')) {
+        val w = wordStartingAt(masked, i)
+        if (Set("INTO", "ORDER", "LIMIT", "OFFSET").contains(w.toUpperCase)) scanning = false
+        else i += math.max(w.length, 1)
+      } else i += 1
+    }
+    val colList = sql.substring(c0, i).trim
+    if (colList.isEmpty) fail("ON lists no columns")
+    var nameCol = "name"
+    var valCol = "value"
+    if (wordStartingAt(masked, i).equalsIgnoreCase("INTO")) {
+      i += 4; skipWs()
+      if (!wordStartingAt(masked, i).equalsIgnoreCase("NAME")) fail("INTO without NAME")
+      i += 4; skipWs()
+      val n0 = i
+      while (i < masked.length && (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_')) i += 1
+      if (i == n0) fail("NAME without an identifier")
+      nameCol = sql.substring(n0, i)
+      skipWs()
+      if (!wordStartingAt(masked, i).equalsIgnoreCase("VALUE")) fail("NAME without VALUE")
+      i += 5; skipWs()
+      val v0 = i
+      while (i < masked.length && (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_')) i += 1
+      if (i == v0) fail("VALUE without an identifier")
+      valCol = sql.substring(v0, i)
+      skipWs()
+      val nextW = wordStartingAt(masked, math.min(i, masked.length - 1)).toUpperCase
+      if (i < masked.length && !Set("ORDER", "LIMIT", "OFFSET", "").contains(nextW))
+        fail("multiple VALUE columns (paired unpivot)")
+    }
+    val tail = sql.substring(i)
+    s"SELECT * FROM $relForSql UNPIVOT (`$valCol` FOR `$nameCol` IN ($colList))$tail"
+  }
+
   private val PositionalRe = raw"(?i)\bPOSITIONAL\s+JOIN\b".r
 
   /** DuckDB `POSITIONAL JOIN`: pair rows of two relations BY POSITION,

@@ -34,8 +34,12 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // any ASOF shape the rewrite threw on never reaches here) would
     // silently parse as a table alias + inner join — reject what's left
     // AFTER the rewrites, naming the Spark equivalent
+    // PIVOT/UNPIVOT statement forms first: they need the session (pivot
+    // value discovery) and produce plain SELECTs for the text rewrites
+    val stmt = GraftSqlParser.rewritePivotStatement(spark,
+      GraftSqlParser.rewriteUnpivotStatement(code))
     val rewritten = GraftSqlParser.rewriteAll(
-      GraftSqlParser.rewriteColumns(code, df.columns.toSeq))
+      GraftSqlParser.rewriteColumns(stmt, df.columns.toSeq))
     graft.functions.expressions.DuckDialect.rejectSilentTraps(
       GraftSqlParser.maskQuotes(rewritten))
     try GraftSqlParser.withDialectHint(code)(spark.sql(rewritten))

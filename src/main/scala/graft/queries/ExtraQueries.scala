@@ -171,6 +171,41 @@ object ExtraQueries {
     Pipeline.runYaml(s, yaml, s"$d/documents.parquet", None).output
   }
 
+  /** DuckDB's PIVOT STATEMENT through the dialect layer (r6
+    * what's-missing #1, the q99-for-ASOF pattern): the exact statement
+    * text a reference user writes in a `sql` stage runs on BOTH
+    * engines — graft auto-rewrites it to Spark's pivot clause,
+    * DISCOVERING the pivot values from the data (the statement form's
+    * defining convenience; Spark's clause requires them pinned), and
+    * DuckDB executes it natively. count(*) keeps every cell integral →
+    * hash-exact across engines.
+    */
+  private[graft] val pivotSqlText =
+    "PIVOT (SELECT source, lang FROM documents) ON lang USING count(*) " +
+      "GROUP BY source ORDER BY source"
+
+  def q105PivotSql(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("documents")
+    s.sql(graft.operators.GraftSqlParser.rewritePivotStatement(s, pivotSqlText))
+  }
+
+  /** DuckDB's UNPIVOT STATEMENT, same both-engines treatment as q105:
+    * columns to rows with INTO NAME/VALUE naming; NULL cells dropped by
+    * both engines' defaults; BIGINT casts keep the shared value column
+    * type exact.
+    */
+  private[graft] val unpivotSqlText =
+    // FLOOR before the BIGINT cast: DuckDB's double→bigint cast rounds,
+    // Spark's truncates — floor makes both exact on 2-decimal prices
+    "UNPIVOT (SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice) AS BIGINT) AS tp, " +
+      "CAST(o_custkey AS BIGINT) AS ck FROM orders) ON tp, ck " +
+      "INTO NAME metric VALUE v ORDER BY k, metric"
+
+  def q106UnpivotSql(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(graft.operators.GraftSqlParser.rewriteUnpivotStatement(unpivotSqlText))
+  }
+
   /** Flatten-all over a JSON-string column (pd.json_normalize analog,
     * fullExample.yml.old:75-91): schema inferred by sampling, then
     * from_json + star-expand.
@@ -401,9 +436,15 @@ object ExtraQueries {
     "q87_upsert"        -> (q87Upsert _),
     "q81_range_join"    -> (q81RangeJoin _),
     "q60_pipeline_sql"  -> (q60PipelineSql _),
+    "q105_pivot_sql"    -> (q105PivotSql _),
+    "q106_unpivot_sql"  -> (q106UnpivotSql _),
   )
 
   val sql: Map[String, String] = Map(
+    // q105/q106: DuckDB executes the IDENTICAL statement text graft
+    // auto-rewrites — the dialect layer itself is what's under test
+    "q105_pivot_sql" -> pivotSqlText,
+    "q106_unpivot_sql" -> unpivotSqlText,
     "q81_range_join" -> """
       WITH iv AS (
         SELECT i AS interval_id, 1704067200 + i * 7200 AS s_sec

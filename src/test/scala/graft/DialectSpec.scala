@@ -322,9 +322,48 @@ class DialectSpec extends SparkSpec {
     assert(hintOf(
       "SELECT * FROM (SELECT id FROM df ORDER BY 1) POSITIONAL JOIN (SELECT id FROM df ORDER BY id) r")
       .contains("ordinal"))
-    // DuckDB's top-level PIVOT/UNPIVOT statements name Spark's clause form
-    assert(hintOf("PIVOT df ON id USING sum(id)").contains("PIVOT (agg(expr) FOR"))
-    assert(hintOf("UNPIVOT df ON a, b INTO NAME n VALUE v").contains("UNPIVOT (v FOR n IN"))
+    // PIVOT/UNPIVOT statements normally rewrite (see the statement
+    // test); shapes past the rewrite still name Spark's clause form
+    assert(hintOf("PIVOT df ON id USING sum(id), count(*)")
+      .contains("PIVOT (agg(expr) FOR"))
+    assert(hintOf("UNPIVOT df ON q INTO NAME n VALUE v VALUE w")
+      .contains("UNPIVOT (v FOR n IN"))
+  }
+
+  test("PIVOT statement rewrites with discovered values; UNPIVOT statement rewrites textually") {
+    import spark.implicits._
+    val df = Seq(("a", "en", 1L), ("a", "zh", 2L), ("b", "en", 3L))
+      .toDF("src", "lang", "n")
+    // discovery: no IN list — values come from the data, sorted; count
+    // cells coalesce to 0 like DuckDB (NULL would silently diverge)
+    val p = SqlStage("s",
+      "PIVOT df ON lang USING count(*) GROUP BY src ORDER BY src").apply(spark, df)
+    assert(p.columns.toSeq == Seq("src", "en", "zh"))
+    assert(p.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 1L, 1L), ("b", 1L, 0L)))
+    // IN-pinned values skip discovery; sum keeps DuckDB's NULL-cell
+    val p2 = SqlStage("s",
+      "PIVOT df ON lang IN ('en') USING sum(n) GROUP BY src ORDER BY src").apply(spark, df)
+    assert(p2.columns.toSeq == Seq("src", "en"))
+    assert(p2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 3L)))
+    // implicit grouping (no GROUP BY): every non-pivot column groups
+    val p3 = SqlStage("s", "PIVOT (SELECT src, lang FROM df) ON lang USING count(*)")
+      .apply(spark, df)
+    assert(p3.columns.toSet == Set("src", "en", "zh"))
+    // UNPIVOT statement with INTO naming
+    val u = SqlStage("s",
+      "UNPIVOT (SELECT src, n AS a, n + 1 AS b FROM df) ON a, b INTO NAME m VALUE v ORDER BY src, m")
+      .apply(spark, df)
+    assert(u.columns.toSeq == Seq("src", "m", "v"))
+    assert(u.count() == 6)
+    // unsupported shapes keep guided errors
+    val e1 = intercept[DuckDialectException](SqlStage("s",
+      "PIVOT df ON lang, src USING count(*)").apply(spark, df))
+    assert(e1.getMessage.contains("multiple ON columns"))
+    val e2 = intercept[DuckDialectException](SqlStage("s",
+      "UNPIVOT df ON a, b INTO NAME m VALUE v VALUE w").apply(spark, df))
+    assert(e2.getMessage.contains("paired unpivot"))
   }
 
   test("COLUMNS star patterns expand against the stage schema") {
