@@ -1137,9 +1137,11 @@ object GraftSqlParser {
     *    matching column (DuckDB names these `fn(t.c)`; the table
     *    prefix is dropped here).
     *
-    * Lambda forms (`COLUMNS(c -> ...)`) and arithmetic over the
-    * expansion keep the guided error. A pattern matching zero columns
-    * raises, naming the available columns.
+    * Name-lambdas `c -> c [NOT] [I]LIKE 'pat'` evaluate here too (the
+    * schema is in hand). Complex lambdas (functions of the variable)
+    * and arithmetic over the expansion keep the guided error. A
+    * pattern matching zero columns raises, naming the available
+    * columns.
     */
   def rewriteColumns(sql: String, cols: Seq[String]): String = {
     val masked = maskQuotes(sql)
@@ -1165,7 +1167,38 @@ object GraftSqlParser {
             && argRaw.last == argRaw.head) {
             val re = argRaw.substring(1, argRaw.length - 1).r
             cols.filter(c => re.findFirstIn(c).isDefined)
-          } else return sql // lambda / computed arg → guided error path
+          } else {
+            // lambda over the column NAME: the common DuckDB forms
+            // `c -> c [NOT] [I]LIKE 'pat'` evaluate here at rewrite
+            // time (the schema is in hand); anything beyond a single
+            // LIKE predicate on the bare variable keeps the guided
+            // error (r6 what's-missing #2)
+            val lam = raw"(?is)^([A-Za-z_]\w*)\s*->\s*(.*)$$".r
+            argRaw match {
+              case lam(v, body) =>
+                val pred = raw"(?is)^${java.util.regex.Pattern.quote(v)}\s+(NOT\s+)?(I?LIKE)\s+'((?:[^']|'')*)'$$".r
+                body.trim match {
+                  case pred(neg, op, pat) =>
+                    val rx = ("^" + pat.replace("''", "'")
+                      .flatMap {
+                        case '%' => ".*"
+                        case '_' => "."
+                        case c if "\\.[]{}()*+-?^$|".contains(c) => "\\" + c
+                        case c => c.toString
+                      } + "$").r
+                    def hit(c: String): Boolean = {
+                      val target = if (op.equalsIgnoreCase("ILIKE")) c.toLowerCase else c
+                      val rx2 = if (op.equalsIgnoreCase("ILIKE"))
+                        ("(?i)" + rx.pattern.pattern).r else rx
+                      rx2.findFirstIn(target).isDefined
+                    }
+                    val base = cols.filter(hit)
+                    if (neg == null) base else cols.diff(base)
+                  case _ => return sql // complex lambda → guided error
+                }
+              case _ => return sql // computed arg → guided error path
+            }
+          }
         if (matched.isEmpty)
           throw new graft.functions.expressions.DuckDialectException(
             s"COLUMNS($argRaw) matches no column of [${cols.mkString(", ")}]")

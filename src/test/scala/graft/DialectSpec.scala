@@ -378,12 +378,20 @@ class DialectSpec extends SparkSpec {
     // COLUMNS(*) expands to everything
     assert(SqlStage("s", "SELECT COLUMNS(*) FROM df").apply(spark, df)
       .columns.toSeq == Seq("id", "n_a", "n_b", "tag"))
-    // zero matches / lambda forms raise guided errors
+    // zero matches raise guided errors
     val e1 = intercept[DuckDialectException](
       SqlStage("s", "SELECT COLUMNS('^zz') FROM df").apply(spark, df))
     assert(e1.getMessage.contains("matches no column"))
+    // LIKE-form lambdas over the column name expand (r7; was a guided
+    // error); NOT LIKE complements; complex lambdas still error
+    assert(SqlStage("s", "SELECT COLUMNS(c -> c LIKE 'n%') FROM df").apply(spark, df)
+      .columns.toSeq == Seq("n_a", "n_b"))
+    assert(SqlStage("s", "SELECT COLUMNS(c -> c NOT LIKE 'n%') FROM df").apply(spark, df)
+      .columns.toSeq == Seq("id", "tag"))
+    assert(SqlStage("s", "SELECT COLUMNS(c -> c ILIKE 'TAG') FROM df").apply(spark, df)
+      .columns.toSeq == Seq("tag"))
     val e2 = intercept[DuckDialectException](
-      SqlStage("s", "SELECT COLUMNS(c -> c LIKE 'n%') FROM df").apply(spark, df))
+      SqlStage("s", "SELECT COLUMNS(c -> lower(c) LIKE 'n%') FROM df").apply(spark, df))
     assert(e2.getMessage.contains("COLUMNS"))
     // arithmetic over the expansion (either side) must NOT silently
     // expand — DuckDB applies the operator per column, a bare inline
