@@ -51,6 +51,7 @@ object Bench {
     "q77_ann_ivf", "q46_embed_neardup", "q35_minhash_lsh",
     "q91_cross_dedup",
     "q86_contamination", "q41_ann_lsh", "q79_tfidf",
+    "q104_ivf_persisted", "q99_asof_sql",
     "q03_join_revenue_nation",
     "q64_multiset_ops", "q70_correlated_subq", "q07_window_topk_group",
     "q13_set_ops", "q02_agg_pricing", "q05_anti_join")
