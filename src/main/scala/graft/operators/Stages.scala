@@ -150,7 +150,8 @@ object TransformRegistry {
   *    `maxDf`, default 4): every line appearing in more than `maxDf`
   *    documents is boilerplate and is dropped from ALL of them; the text
   *    column is REPLACED by the reassembled survivors, and rows whose
-  *    every line was boilerplate are dropped;
+  *    every line was boilerplate are dropped; `hashKeys: true` keys the
+  *    frequency count by xxhash64(line) — the 100 TB build side;
   *  - `vectors`: SemDeDup-style embedding near-dup removal
   *    ([[graft.functions.VectorFunctions.dropNearDupVectors]]) over the
   *    `vec` column (default `embedding`) at cosine ≥ `threshold`
@@ -169,7 +170,8 @@ final case class DedupStage(name: String, method: String, idCol: String,
                             width: Int = 20, vecCol: String = "embedding",
                             bits: Int = graft.functions.VectorFunctions.Auto,
                             tables: Int = 16,
-                            maxDf: Long = 4) extends Stage {
+                            maxDf: Long = 4,
+                            hashKeys: Boolean = false) extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "exact" | "fingerprint" =>
       val key = if (method == "exact") col(textCol)
@@ -184,7 +186,8 @@ final case class DedupStage(name: String, method: String, idCol: String,
     case "spans" =>
       replaceText(df, graft.functions.Dedup.dedupSpans(df, idCol, textCol, width))
     case "lines" =>
-      replaceText(df, graft.functions.Dedup.dropFrequentLines(df, idCol, textCol, maxDf))
+      replaceText(df, graft.functions.Dedup.dropFrequentLines(
+        df, idCol, textCol, maxDf, hashKeys = hashKeys))
     case "vectors" =>
       graft.functions.VectorFunctions.dropNearDupVectors(
         df, idCol, vecCol, threshold, bits, tables)
@@ -229,7 +232,8 @@ object DedupStage {
       n("width", 20), s("vec", "embedding"),
       // bits omitted in YAML → auto-sized from the corpus (bits ≈ log2 n)
       n("bits", graft.functions.VectorFunctions.Auto), n("tables", 16),
-      n("maxDf", 4).toLong)
+      n("maxDf", 4).toLong,
+      ac.get("hashKeys").flatMap(Option(_)).exists(_.toString.toBoolean))
   }
 }
 

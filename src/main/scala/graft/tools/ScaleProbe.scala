@@ -109,6 +109,22 @@ object ScaleProbe {
             docs.filter(col("doc_id") >= 50), bench, "text",
             expectedItems = math.max(1L << 14, nDocs / 17 + 50), fpp = 0.01).count()
         }),
+        // hashKeys=true IS the 100 TB shape (8-byte count/anti-join keys)
+        "q102_line_dedup" -> (() =>
+          Dedup.dropFrequentLines(docs, "doc_id", "text", maxDf = 4,
+            hashKeys = true)
+            .agg(sum(length(col("clean_text")))).collect()(0).getLong(0)),
+        // persisted-index probe (q104's steady state): build+save once
+        // per corpus dir, load+probe timed
+        "q104_ivf_probe" -> (() => {
+          val tag = java.security.MessageDigest.getInstance("MD5")
+            .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+          val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$tag"
+          if (!new java.io.File(s"$path/assigned/_SUCCESS").exists())
+            VF.saveIvf(VF.buildIvf(emb, nlist = nlist, refine = 1), path)
+          VF.ivfProbe(emb.filter(col("vec_id") < 10),
+            VF.loadIvf(spark, path), k = 5, nprobe = VF.autoNprobe(nlist)).count()
+        }),
         "q96_quality_filter" -> (() =>
           // sum forces the rank windows (count alone could prune columns)
           graft.queries.TextQueries.q96QualityFilter(spark, d)
