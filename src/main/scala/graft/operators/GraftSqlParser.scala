@@ -919,10 +919,15 @@ object GraftSqlParser {
     var leftAlias: String = null
     if (masked.charAt(i) != ')' &&
       (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_')) {
-      val w = wordEndingAt(masked, i)
-      if (w.isEmpty || w.equalsIgnoreCase("AS")) fail("unrecognized left side")
-      leftAlias = sql.substring(i - w.length + 1, i + 1)
-      i -= w.length
+      // backward identifier scan (wordEndingAt rejects trailing digits —
+      // it targets keywords — but `t1` is a fine alias)
+      var b = i
+      while (b >= 0 && (masked.charAt(b).isLetterOrDigit || masked.charAt(b) == '_')) b -= 1
+      val w = sql.substring(b + 1, i + 1)
+      if (w.isEmpty || !((w.head.isLetter || w.head == '_')) ||
+        w.equalsIgnoreCase("AS")) fail("unrecognized left side")
+      leftAlias = w
+      i = b
       skipWsBack()
       // optional AS before the alias
       if (i >= 0 && (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_') &&

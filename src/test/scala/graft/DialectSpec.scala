@@ -297,12 +297,13 @@ class DialectSpec extends SparkSpec {
     assert(rows == Set(
       (Some(0L), Some(4L)), (Some(1L), Some(3L)),
       (Some(2L), Some(2L)), (Some(3L), None)))
-    // explicit projection (no star) skips the wrap and still runs
+    // explicit projection (no star) skips the wrap; digit-suffixed
+    // aliases (t1-style) must parse
     val proj = SqlStage("s",
-      """SELECT l.a + r.b AS s FROM
-        |  (SELECT id AS a FROM df ORDER BY a) l
+      """SELECT t1.a + r2.b AS s FROM
+        |  (SELECT id AS a FROM df ORDER BY a) t1
         |  POSITIONAL JOIN
-        |  (SELECT id AS b FROM df ORDER BY b DESC) AS r
+        |  (SELECT id AS b FROM df ORDER BY b DESC) AS r2
         |""".stripMargin).apply(spark, df)
     assert(proj.collect().map(_.getLong(0)).toSeq == Seq(4L, 4L, 4L, 4L, 4L))
   }
