@@ -16,10 +16,14 @@ object VectorFunctions {
 
   /** Sentinel default for the ANN index parameters below: compute the
     * value from the corpus size at call time (one column-pruned count —
-    * parquet answers it from footer metadata). The documented sizing
-    * rules stop depending on the caller having read the scaladoc
+    * for a raw parquet scan that is footer metadata). The documented
+    * sizing rules stop depending on the caller having read the scaladoc
     * (VERDICT r6 #7); every gate query pins its parameters explicitly,
-    * so auto-sizing never moves a verified hash.
+    * so auto-sizing never moves a verified hash. Caveat for DERIVED
+    * inputs: the count executes the upstream plan — if the input is an
+    * expensive unpersisted pipeline, persist it first or pass the
+    * parameter explicitly (the count is column-pruned, so it is the
+    * cheapest possible pass, but it is a pass).
     */
   val Auto: Int = -1
 

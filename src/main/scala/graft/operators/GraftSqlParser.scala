@@ -641,7 +641,8 @@ object GraftSqlParser {
     * q105 runs the SAME statement text on both engines.
     */
   def rewritePivotStatement(spark: org.apache.spark.sql.SparkSession,
-                            sql: String): String = {
+                            sql: String,
+                            prepare: String => String = identity): String = {
     val masked = maskQuotes(sql)
     val m = PivotStmtRe.findFirstMatchIn(masked).getOrElse(return sql)
     def fail(why: String): Nothing =
@@ -744,16 +745,33 @@ object GraftSqlParser {
           (t, nm)
         }
       case None =>
-        val rows = spark.sql(
+        // the pivot source may itself carry DuckDB dialect (EXCLUDE,
+        // QUALIFY, …): `prepare` (SqlStage passes the full rewrite
+        // chain) runs over the discovery SQL before Spark parses it
+        val rows = spark.sql(prepare(
           s"SELECT DISTINCT $pcol AS v FROM $relForSql WHERE $pcol IS NOT NULL " +
-            "ORDER BY v LIMIT 1001").collect()
+            "ORDER BY v LIMIT 1001")).collect()
         if (rows.length > 1000) fail("over 1000 distinct pivot values — pin them with IN (...)")
         if (rows.isEmpty) fail("no non-null pivot values to discover")
-        val isStr = rows.head.schema("v").dataType ==
-          org.apache.spark.sql.types.StringType
-        rows.toSeq.map { r =>
-          val s0 = r.get(0).toString
-          (if (isStr) "'" + s0.replace("'", "''") + "'" else s0, s0)
+        import org.apache.spark.sql.types._
+        rows.head.schema("v").dataType match {
+          case StringType => rows.toSeq.map { r =>
+            val s0 = r.get(0).toString
+            ("'" + s0.replace("'", "''") + "'", s0)
+          }
+          case _: NumericType | BooleanType => rows.toSeq.map { r =>
+            val s0 = r.get(0).toString
+            (s0, s0)
+          }
+          case DateType => rows.toSeq.map { r =>
+            val s0 = r.get(0).toString
+            (s"DATE '$s0'", s0)
+          }
+          case _: TimestampType => rows.toSeq.map { r =>
+            val s0 = r.get(0).toString
+            (s"TIMESTAMP '$s0'", s0)
+          }
+          case t => fail(s"pivot values of type ${t.simpleString} — pin them with IN (...)")
         }
     }
     val inList = vals.map { case (lit, nm) =>
@@ -781,8 +799,15 @@ object GraftSqlParser {
       case None =>
         val inner = s"$relForSql PIVOT ($aggFn($aggArg) FOR $pcol IN ($inList))"
         if (isCount) {
-          val others = spark.sql(s"SELECT * FROM $relForSql WHERE 1=0")
-            .columns.filterNot(_ == pcol)
+          // implicit grouping = every column the pivot doesn't consume:
+          // exclude the pivot column AND any column the aggregate
+          // argument references (Spark's clause drops those too)
+          val schemaCols = spark.sql(prepare(s"SELECT * FROM $relForSql WHERE 1=0")).columns
+          val others = schemaCols
+            .filterNot(_ == pcol)
+            .filterNot(c => ("(?i)(?<![\\w`])" +
+              java.util.regex.Pattern.quote(c) + "(?![\\w`])").r
+              .findFirstIn(aggArg).isDefined)
             .map(c => s"`${c.replace("`", "``")}`").mkString(", ")
           s"SELECT ${coalesced(others)} FROM $inner$tail"
         } else s"SELECT * FROM $inner$tail"
@@ -1056,7 +1081,10 @@ object GraftSqlParser {
       p += 1
     }
     val blockStart = if (stack.isEmpty) 0 else stack.top
-    val needsWrap = {
+    // which helper indexes leak into the output? a bare `*` leaks both;
+    // a one-sided `alias.*` leaks only that side's (wrapping EXCEPT with
+    // a helper the projection doesn't carry would be an analysis error)
+    val leakedHelpers: Seq[String] = {
       var k = blockStart; var d4 = 0; var fromPos = lStart; var looking = true
       while (k < lStart && looking) {
         val c = masked.charAt(k)
@@ -1070,9 +1098,14 @@ object GraftSqlParser {
         }
         k += 1
       }
-      selectListHasStar(masked, blockStart, fromPos)
+      starQualifiers(masked, sql, blockStart, fromPos).flatMap {
+        case None => Seq(lh, rh)
+        case Some(q) if q.equalsIgnoreCase(la) => Seq(lh)
+        case Some(q) if q.equalsIgnoreCase(ra) => Seq(rh)
+        case _ => Nil
+      }.distinct
     }
-    if (!needsWrap)
+    if (leakedHelpers.isEmpty)
       sql.substring(0, lStart) + replacement + sql.substring(tailEnd)
     else {
       val tailTerminators = Set("UNION", "INTERSECT", "EXCEPT", "MINUS")
@@ -1095,8 +1128,45 @@ object GraftSqlParser {
       val block = sql.substring(blockStart, lStart) + replacement +
         sql.substring(tailEnd, blockEnd)
       sql.substring(0, blockStart) +
-        s"SELECT * EXCEPT ($lh, $rh) FROM ( $block ) " + sql.substring(blockEnd)
+        s"SELECT * EXCEPT (${leakedHelpers.mkString(", ")}) FROM ( $block ) " +
+        sql.substring(blockEnd)
     }
+  }
+
+  /** Star qualifiers at depth 0 of the select list: `None` for a bare
+    * `*`, `Some(t)` for `t.*`. (The boolean [[selectListHasStar]] stays
+    * for rewrites whose wrap is side-agnostic.)
+    */
+  private def starQualifiers(masked: String, sql: String, blockStart: Int,
+                             fromPos: Int): Seq[Option[String]] = {
+    val out = Seq.newBuilder[Option[String]]
+    var k = blockStart
+    var d = 0
+    while (k < fromPos) {
+      val c = masked.charAt(k)
+      if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (d == 0 && c == '*') {
+        val prevIdx = (k - 1 to blockStart by -1).find(x => !masked.charAt(x).isWhitespace)
+        prevIdx match {
+          case None => out += None
+          case Some(x) =>
+            val pc = masked.charAt(x)
+            if (pc == ',') out += None
+            else if (pc == '.') {
+              var b = x - 1
+              while (b >= blockStart && (masked.charAt(b).isLetterOrDigit ||
+                masked.charAt(b) == '_')) b -= 1
+              val q = sql.substring(b + 1, x)
+              if (q.nonEmpty) out += Some(q)
+            } else if ((pc.isLetterOrDigit || pc == '_') &&
+              Set("SELECT", "DISTINCT", "ALL").contains(wordEndingAt(masked, x)))
+              out += None
+        }
+      }
+      k += 1
+    }
+    out.result()
   }
 
   /** Is there a projection star (`*`, `t.*`) at depth 0 of the select

@@ -122,6 +122,16 @@ object PythonMigrate {
           case '"' => sb += '"'; i += 2
           case 'x' if i + 3 < src.length && hex(src.charAt(i + 2)) && hex(src.charAt(i + 3)) =>
             sb += Integer.parseInt(src.substring(i + 2, i + 4), 16).toChar; i += 4
+          case 'u' if i + 5 < src.length && (2 to 5).forall(k => hex(src.charAt(i + k))) =>
+            sb += Integer.parseInt(src.substring(i + 2, i + 6), 16).toChar; i += 6
+          case 'U' if i + 9 < src.length && (2 to 9).forall(k => hex(src.charAt(i + k))) =>
+            sb.appendAll(Character.toChars(
+              Integer.parseInt(src.substring(i + 2, i + 10), 16))); i += 10
+          case 'N' =>
+            // \N{UNICODE NAME}: python resolves via the unicode database;
+            // preserving the backslash would silently diverge — error
+            throw new MigrationError(lineNo, "\\N{...} named unicode escape",
+              "Write the character directly or as \\uXXXX.")
           case o if o >= '0' && o <= '7' =>
             var j = i + 1
             var v = 0
@@ -937,7 +947,21 @@ object PythonMigrate {
           (cond, assigns)
         }
         val assignedCols = evaluated.flatMap(_._2.map(_._1)).distinct
-        assignedCols.foreach { colName =>
+        // Python evaluates the branch conditions ONCE, before any branch
+        // body runs; our per-column CASEs re-evaluate them inside every
+        // withColumn, so a column the conditions READ must be
+        // overwritten LAST — after every other CASE has read its pre-if
+        // value. Two such columns cannot both be ordered last →
+        // actionable error instead of a silent one-branch divergence.
+        val condSqls = evaluated.flatMap(_._1)
+        val condRead = assignedCols.filter(c => condSqls.exists(_.contains(s"`$c`")))
+        if (condRead.size > 1)
+          throw new MigrationError(line,
+            s"if branches assign columns their conditions read (${condRead.mkString(", ")})",
+            "At most one condition-read column may be assigned in a module-level " +
+              "if; bind the condition inputs to fresh names first.")
+        val ordered = assignedCols.filterNot(condRead.contains) ++ condRead
+        ordered.foreach { colName =>
           val fallback = if (env.contains(colName)) s"`$colName`" else "NULL"
           def valueIn(assigns: Seq[(String, V)]): String =
             assigns.reverse.collectFirst { case (`colName`, vv) => sqlOf(vv, line).sql }

@@ -35,9 +35,13 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // silently parse as a table alias + inner join — reject what's left
     // AFTER the rewrites, naming the Spark equivalent
     // PIVOT/UNPIVOT statement forms first: they need the session (pivot
-    // value discovery) and produce plain SELECTs for the text rewrites
+    // value discovery) and produce plain SELECTs for the text rewrites;
+    // the discovery/schema-probe SQL goes through the same rewrite
+    // chain so a dialect-bearing pivot source still works
     val stmt = GraftSqlParser.rewritePivotStatement(spark,
-      GraftSqlParser.rewriteUnpivotStatement(code))
+      GraftSqlParser.rewriteUnpivotStatement(code),
+      s => GraftSqlParser.rewriteAll(
+        GraftSqlParser.rewriteColumns(s, df.columns.toSeq)))
     val rewritten = GraftSqlParser.rewriteAll(
       GraftSqlParser.rewriteColumns(stmt, df.columns.toSeq))
     graft.functions.expressions.DuckDialect.rejectSilentTraps(

@@ -92,10 +92,13 @@ object VectorQueries {
   def q104IvfPersisted(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
-    // keyed by SF dir so sf0.001/sf0.01/sf0.1 (and scaledata) indexes
-    // never collide; under tmpdir — never inside the repo or testdata
+    // keyed by SF dir + corpus row count + BUILD PARAMETERS, so
+    // different SFs, regenerated corpora and differently-parameterized
+    // builders (ScaleProbe auto-sizes nlist) never probe each other's
+    // index; under tmpdir — never inside the repo or testdata
+    val key = s"$d|n=${emb.count()}|nlist=16|refine=1"
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$tag"
     if (!new java.io.File(s"$path/assigned/_SUCCESS").exists())
       VF.saveIvf(VF.buildIvf(emb, nlist = 16, refine = 1), path)

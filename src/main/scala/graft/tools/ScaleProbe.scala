@@ -117,8 +117,11 @@ object ScaleProbe {
         // persisted-index probe (q104's steady state): build+save once
         // per corpus dir, load+probe timed
         "q104_ivf_probe" -> (() => {
+          // same tag scheme as the q104 gate query: dir + corpus count +
+          // build parameters, so differently-sized builds never collide
+          val key = s"$d|n=$nEmb|nlist=$nlist|refine=1"
           val tag = java.security.MessageDigest.getInstance("MD5")
-            .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+            .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
           val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$tag"
           if (!new java.io.File(s"$path/assigned/_SUCCESS").exists())
             VF.saveIvf(VF.buildIvf(emb, nlist = nlist, refine = 1), path)

@@ -358,6 +358,17 @@ class DialectSpec extends SparkSpec {
       .apply(spark, df)
     assert(u.columns.toSeq == Seq("src", "m", "v"))
     assert(u.count() == 6)
+    // count(<column>) with implicit grouping: the agg argument is
+    // consumed by the pivot, so it must not appear in the coalescing
+    // outer projection (review r7)
+    val p4 = SqlStage("s", "PIVOT df ON lang USING count(n)").apply(spark, df)
+    assert(p4.columns.toSet == Set("src", "en", "zh"))
+    // a dialect-bearing pivot SOURCE goes through the rewrite chain
+    // before value discovery (review r7)
+    val p5 = SqlStage("s",
+      "PIVOT (SELECT * EXCLUDE (n) FROM df) ON lang USING count(*) GROUP BY src ORDER BY src")
+      .apply(spark, df)
+    assert(p5.columns.toSeq == Seq("src", "en", "zh"))
     // unsupported shapes keep guided errors
     val e1 = intercept[DuckDialectException](SqlStage("s",
       "PIVOT df ON lang, src USING count(*)").apply(spark, df))
@@ -365,6 +376,17 @@ class DialectSpec extends SparkSpec {
     val e2 = intercept[DuckDialectException](SqlStage("s",
       "UNPIVOT df ON a, b INTO NAME m VALUE v VALUE w").apply(spark, df))
     assert(e2.getMessage.contains("paired unpivot"))
+  }
+
+  test("PIVOT statement discovers DATE values with typed literals") {
+    import spark.implicits._
+    val df = Seq(("a", "2024-01-01"), ("a", "2024-01-02"), ("b", "2024-01-01"))
+      .toDF("src", "ds").selectExpr("src", "CAST(ds AS DATE) AS d")
+    val p = SqlStage("s", "PIVOT df ON d USING count(*) GROUP BY src ORDER BY src")
+      .apply(spark, df)
+    assert(p.columns.toSeq == Seq("src", "2024-01-01", "2024-01-02"))
+    assert(p.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 1L, 1L), ("b", 1L, 0L)))
   }
 
   test("COLUMNS star patterns expand against the stage schema") {
@@ -411,15 +433,32 @@ class DialectSpec extends SparkSpec {
     assert(ok.columns.toSeq == Seq("n_a", "n_b", "tag"))
   }
 
+  test("POSITIONAL JOIN one-sided star wraps only that side's helper index") {
+    val df = spark.range(3).toDF("id")
+    // a.* carries only the left helper — an EXCEPT naming both would be
+    // an analysis error (review r7)
+    val out = SqlStage("s",
+      """SELECT a.* FROM
+        |  (SELECT id AS x FROM df ORDER BY x) a
+        |  POSITIONAL JOIN
+        |  (SELECT id AS y FROM df ORDER BY y DESC) b
+        |""".stripMargin).apply(spark, df)
+    assert(out.columns.toSeq == Seq("x"))
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("rewrite chain survives garbage: returns or raises DuckDialectException, never hangs") {
     val rnd = new scala.util.Random(7)
     val vocab = Seq("SELECT", "FROM", "WHERE", "QUALIFY", "EXCLUDE", "struct_pack",
       "USING", "SAMPLE", "COLUMNS", ":=", "OVER", "(", ")", "*", ",", "'lit'",
-      "a", "b", "t", "10", "%", "ROWS", "ORDER", "BY", "''", "rn", "=", "1")
-    for (trial <- 1 to 300) {
+      "a", "b", "t", "10", "%", "ROWS", "ORDER", "BY", "''", "rn", "=", "1",
+      "POSITIONAL", "JOIN", "UNPIVOT", "INTO", "NAME", "VALUE", "ON", "->",
+      "LIKE", "GROUP")
+    for (trial <- 1 to 400) {
       val sql = Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
       try {
-        val out = GraftSqlParser.rewriteAll(sql)
+        val out = GraftSqlParser.rewriteAll(
+          GraftSqlParser.rewriteUnpivotStatement(sql))
         assert(out != null)
         // a second application must also terminate (idempotence not
         // required — QUALIFY-free garbage stays fixed, others converge)

@@ -330,6 +330,49 @@ class PythonMigrateSpec extends SparkSpec {
     assert(m(2L) == ((0, 1)))   // python: a=0, b=a+1=1 — NOT 101/201
   }
 
+  test("if-condition reading an assigned column sees the PRE-if value (emit-last ordering)") {
+    // python evaluates the condition once, before the branch body; the
+    // per-column CASEs must not let x's overwrite leak into y's CASE
+    val cols = PythonMigrate.toDeriveColumns(
+      """row['x'] = int(row['raw'])
+        |if int(row['x']) > 5:
+        |    row['x'] = 0
+        |    row['y'] = 1
+        |else:
+        |    row['y'] = 2
+        |""".stripMargin)
+    import org.apache.spark.sql.functions._
+    var df = spark.range(10).toDF("raw")
+    cols.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+    val m = df.collect().map(r => r.getAs[Long]("raw") ->
+      ((r.getAs[Number]("x").intValue(), r.getAs[Number]("y").intValue()))).toMap
+    assert(m(8L) == ((0, 1)))  // python: cond true -> x=0, y=1 (r7 review: y read NEW x=0 and got 2)
+    assert(m(3L) == ((3, 2)))
+    // TWO condition-read assigned columns cannot both be ordered last
+    val e = intercept[PythonMigrate.MigrationError](PythonMigrate.toDeriveColumns(
+      """row['a'] = 1
+        |row['b'] = 2
+        |if int(row['a']) + int(row['b']) > 2:
+        |    row['a'] = 0
+        |    row['b'] = 0
+        |""".stripMargin))
+    assert(e.getMessage.contains("conditions read"))
+  }
+
+  test("unicode escapes translate; named escapes error") {
+    // backslash built by concatenation: scalac itself interprets \uXXXX
+    // in source (even triple-quoted), so a literal one can't be typed
+    val code = "row['s'] = '" + "\\" + "u00e9" + "\\" + "U0001F600x'\n"
+    val cols = PythonMigrate.toDeriveColumns(code)
+    import org.apache.spark.sql.functions._
+    val v = spark.range(1).toDF("id")
+      .withColumn("s", expr(cols.head._2)).collect().head.getString(1)
+    assert(v == "\u00e9" + new String(Character.toChars(0x1F600)) + "x")
+    val e = intercept[PythonMigrate.MigrationError](
+      PythonMigrate.toDeriveColumns("row['s'] = '\\N{BULLET}'\n"))
+    assert(e.getMessage.contains("unicode"))
+  }
+
   test("f-strings, math module, min/max, ** and // translate") {
     val cols = PythonMigrate.toDeriveColumns(
       """import math
