@@ -333,6 +333,17 @@ object DuckDialect {
     // sampler must not silently impersonate
     raw"(?i)\bUSING\s+SAMPLE\b".r ->
       "this USING SAMPLE form couldn't be auto-rewritten (sampling-method specs change statistics) — use TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
+    // DISTINCT ON is normally rewritten automatically (GraftSqlParser.
+    // rewriteDistinctOn → QUALIFY); this hint fires if a shape slipped
+    // past the rewrite and Spark's parser rejected it
+    raw"(?i)\bDISTINCT\s+ON\s*\(".r ->
+      "this DISTINCT ON shape couldn't be auto-rewritten — use row_number(): SELECT ... FROM (SELECT *, row_number() OVER (PARTITION BY keys ORDER BY ord) AS rn FROM t) WHERE rn = 1",
+    // `* REPLACE (...)` is expanded in sql stages (schema in hand); this
+    // hint fires outside a sql stage, where no schema is available. The
+    // select-item context guard keeps multiplication by the string
+    // function replace() (`a * replace(b, 'x', 'y')`) from matching.
+    raw"(?i)(?:\bSELECT\s+|[,(]\s*)\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(".r ->
+      "DuckDB's * REPLACE (expr AS col) isn't Spark SQL — in a graft sql stage it expands against the stage schema; elsewhere list the columns, substituting the replaced expressions",
     // bare COLUMNS('regex')/COLUMNS(*) and one-function wraps are
     // expanded in sql stages (schema in hand); this hint fires for
     // lambda/arithmetic forms or COLUMNS outside a sql stage

@@ -35,12 +35,13 @@ object GraftSqlParser {
   /** All DuckDB-dialect text rewrites in one call, the order chosen so
     * later rewrites see earlier output: POSITIONAL JOIN → indexed full
     * outer join, ASOF JOIN → validity-interval join, EXCLUDE → EXCEPT,
-    * struct_pack named args, QUALIFY → ranked subquery, USING SAMPLE →
+    * struct_pack named args, DISTINCT ON → QUALIFY (which the next
+    * rewrite then lowers), QUALIFY → ranked subquery, USING SAMPLE →
     * TABLESAMPLE.
     */
   def rewriteAll(sql: String): String =
-    rewriteSample(rewriteQualify(rewriteStructPack(rewriteExclude(rewriteAsof(
-      rewritePositional(sql))))))
+    rewriteSample(rewriteQualify(rewriteDistinctOn(rewriteStructPack(
+      rewriteExclude(rewriteAsof(rewritePositional(sql)))))))
 
   private val ExcludeRe = raw"(?is)\*\s+EXCLUDE\s*\(([^)]*)\)".r
 
@@ -205,6 +206,119 @@ object GraftSqlParser {
         s"SELECT * EXCEPT (__graft_qualify) FROM ( $head2 ) WHERE __graft_qualify "
       }
     sql.substring(0, blockStart) + replacement + sql.substring(predEnd)
+  }
+
+  private val DistinctOnRe = raw"(?is)\bSELECT\s+DISTINCT\s+ON\s*\(".r
+
+  /** Rewrite DuckDB/Postgres `SELECT DISTINCT ON (keys) sel FROM …
+    * ORDER BY o` into the QUALIFY form `SELECT sel FROM … QUALIFY
+    * row_number() OVER (PARTITION BY keys ORDER BY o) = 1 ORDER BY o`,
+    * which [[rewriteQualify]] (running next in [[rewriteAll]]) lowers to
+    * a ranked subquery. DuckDB keeps, per distinct key, the first row in
+    * the query's ORDER BY — exactly row_number() = 1 over that ordering
+    * (duckdb docs: SELECT clause, DISTINCT ON; reference users get the
+    * construct via the verbatim passthrough, filefilter.py:340-342).
+    *
+    * Guided errors for the shapes with no deterministic mechanical
+    * rewrite: no ORDER BY (DuckDB picks an arbitrary row — irreproducible
+    * on a cluster), ordinal ORDER BY items (`ORDER BY 1` means a constant
+    * inside an OVER clause, not the first column), and a top-level set
+    * operation before the ORDER BY (the ORDER BY belongs to the combined
+    * result, not this SELECT). ORDER BY items must also be visible in the
+    * select list (Spark resolves the outer sort against the rewritten
+    * subquery's output).
+    */
+  def rewriteDistinctOn(sql: String): String = {
+    val masked = maskQuotes(sql)
+    DistinctOnRe.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) =>
+        val keysOpen = m.end - 1
+        var i = m.end
+        var d = 1
+        while (i < masked.length && d > 0) {
+          masked.charAt(i) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (d > 0) return sql // unbalanced — let the parser report it
+        val keysClose = i - 1
+        val keys = sql.substring(keysOpen + 1, keysClose).trim
+        if (keys.isEmpty)
+          throw new graft.functions.expressions.DuckDialectException(
+            "DISTINCT ON with an empty key list")
+        // scan this block for its top-level ORDER BY; stop at the
+        // enclosing ')' or a same-depth set operation
+        val setOps = Set("UNION", "INTERSECT", "EXCEPT", "MINUS")
+        var j = keysClose + 1
+        var depth = 0
+        var orderPos = -1
+        var scanning = true
+        while (j < masked.length && scanning) {
+          val c = masked.charAt(j)
+          if (c == '(') { depth += 1; j += 1 }
+          else if (c == ')') {
+            if (depth == 0) scanning = false else { depth -= 1; j += 1 }
+          } else if (depth == 0 && c.isLetter &&
+            (j == 0 || (!masked.charAt(j - 1).isLetterOrDigit && masked.charAt(j - 1) != '_'))) {
+            val w = wordStartingAt(masked, j)
+            if (w == "ORDER") { orderPos = j; scanning = false }
+            else if (setOps.contains(w))
+              throw new graft.functions.expressions.DuckDialectException(
+                "DISTINCT ON combined with a set operation has no mechanical " +
+                  "rewrite (the ORDER BY orders the combined result, not the " +
+                  "DISTINCT ON pick) — wrap the DISTINCT ON SELECT in a subquery " +
+                  "with its own ORDER BY")
+            else j += math.max(w.length, 1)
+          } else j += 1
+        }
+        if (orderPos < 0)
+          throw new graft.functions.expressions.DuckDialectException(
+            "DISTINCT ON without ORDER BY picks an arbitrary row per key — " +
+              "not reproducible on a distributed engine. Add ORDER BY <keys>, " +
+              "<tiebreak> to pin which row survives")
+        // ORDER BY list extent: to the next same-depth LIMIT/OFFSET, the
+        // enclosing ')', or end of text
+        val byM = raw"(?is)\AORDER\s+BY\b".r.findFirstMatchIn(masked.substring(orderPos))
+          .getOrElse(throw new graft.functions.expressions.DuckDialectException(
+            "DISTINCT ON: malformed ORDER BY clause"))
+        val listStart = orderPos + byM.end
+        var k = listStart
+        depth = 0
+        var listEnd = masked.length
+        var scanning2 = true
+        while (k < masked.length && scanning2) {
+          val c = masked.charAt(k)
+          if (c == '(') { depth += 1; k += 1 }
+          else if (c == ')') {
+            if (depth == 0) { listEnd = k; scanning2 = false } else { depth -= 1; k += 1 }
+          } else if (depth == 0 && c.isLetter &&
+            (!masked.charAt(k - 1).isLetterOrDigit && masked.charAt(k - 1) != '_')) {
+            val w = wordStartingAt(masked, k)
+            if (w == "LIMIT" || w == "OFFSET") { listEnd = k; scanning2 = false }
+            else k += math.max(w.length, 1)
+          } else k += 1
+        }
+        val orderList = sql.substring(listStart, listEnd).trim
+        if (orderList.isEmpty)
+          throw new graft.functions.expressions.DuckDialectException(
+            "DISTINCT ON: empty ORDER BY list")
+        val ordinal = raw"(?is)^\d+(\s+(ASC|DESC))?(\s+NULLS\s+(FIRST|LAST))?$$".r
+        if (splitTopLevel(orderList, maskQuotes(orderList))
+            .exists(item => ordinal.findFirstIn(item.trim).isDefined))
+          throw new graft.functions.expressions.DuckDialectException(
+            "DISTINCT ON with ordinal ORDER BY items (ORDER BY 1) isn't " +
+              "rewritable — inside the generated OVER clause an integer is a " +
+              "constant, not a column position. Name the columns")
+        val qualify = s" QUALIFY row_number() OVER (PARTITION BY $keys " +
+          s"ORDER BY $orderList) = 1 "
+        val rewritten = sql.substring(0, m.start) + "SELECT " +
+          sql.substring(keysClose + 1, orderPos) + qualify + sql.substring(orderPos)
+        rewriteDistinctOn(rewritten)
+    }
   }
 
   private val StructPackRe = raw"(?i)\bstruct_pack\s*\(".r
@@ -1364,5 +1478,102 @@ object GraftSqlParser {
       i += 1
     }
     new String(a)
+  }
+
+  private val StarReplaceRe =
+    raw"(?is)\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\(([^)]*)\)\s*)?REPLACE\s*\(".r
+
+  /** Expand DuckDB `* [EXCLUDE (a, …)] REPLACE (expr AS col, …)` against
+    * the stage schema (same contract as [[rewriteColumns]]: `cols` is the
+    * `df` view's column list, so a star sourced from some other relation
+    * in the query is expanded against the wrong schema — documented
+    * dialect edge, consistent with COLUMNS()). Each star column comes out
+    * verbatim except the replaced ones, which become `expr AS col` in the
+    * star's position — DuckDB's exact semantics (select clause docs;
+    * reference users get the construct via the verbatim passthrough,
+    * filefilter.py:340-342). An EXCLUDE/EXCEPT list between the star and
+    * REPLACE is folded into the same expansion. Guided errors: a
+    * qualified star (`t.* REPLACE`), a REPLACE item without `AS`, and a
+    * REPLACE target that is not a schema column (DuckDB errors there
+    * too).
+    */
+  def rewriteReplace(sql: String, cols: Seq[String]): String = {
+    val masked = maskQuotes(sql)
+    // `replace(...)` is also the string function and `*` is also
+    // multiplication (`a * replace(b, 'x', 'y')`), so a match only counts
+    // when the star sits in select-item position: start of text, after
+    // `,`/`(`, after SELECT/DISTINCT/ALL, or after `.` (qualified star —
+    // star context, but guided-error below).
+    val m0 = StarReplaceRe.findAllMatchIn(masked).find { m =>
+      (m.start - 1 to 0 by -1).find(j => !masked.charAt(j).isWhitespace) match {
+        case None => true
+        case Some(j) =>
+          val c = masked.charAt(j)
+          c == ',' || c == '(' || c == '.' ||
+            Set("SELECT", "DISTINCT", "ALL").contains(wordEndingAt(masked, j))
+      }
+    }
+    m0 match {
+      case None => sql
+      case Some(m) =>
+        (m.start - 1 to 0 by -1).find(j => !masked.charAt(j).isWhitespace)
+          .foreach { j =>
+            if (masked.charAt(j) == '.')
+              throw new graft.functions.expressions.DuckDialectException(
+                "qualified-star REPLACE (t.* REPLACE (...)) isn't expandable — " +
+                  "graft expands a bare * REPLACE against the stage schema; " +
+                  "list the columns explicitly")
+          }
+        var i = m.end
+        var d = 1
+        while (i < masked.length && d > 0) {
+          masked.charAt(i) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (d > 0) return sql // unbalanced — let the parser report it
+        val close = i - 1
+        val byLower = cols.map(c => c.toLowerCase -> c).toMap
+        val itemRe = raw"(?is)^(.*\S)\s+AS\s+(`[^`]+`|\x22[^\x22]+\x22|[A-Za-z_]\w*)\s*$$".r
+        val repl: Map[String, String] =
+          splitTopLevel(sql.substring(m.end, close), masked.substring(m.end, close))
+            .map { item =>
+              item.trim match {
+                case itemRe(expr, name0) =>
+                  val name = name0.stripPrefix("`").stripSuffix("`")
+                    .stripPrefix("\"").stripSuffix("\"").toLowerCase
+                  if (!byLower.contains(name))
+                    throw new graft.functions.expressions.DuckDialectException(
+                      s"* REPLACE targets `$name`, not a column of " +
+                        s"[${cols.mkString(", ")}]")
+                  name -> expr.trim
+                case other =>
+                  throw new graft.functions.expressions.DuckDialectException(
+                    s"* REPLACE item `$other` — each item must be `expr AS column`")
+              }
+            }.toMap
+        val excluded: Set[String] = Option(m.group(1)) match {
+          case None => Set.empty
+          case Some(list) => list.split(',').iterator.map(_.trim)
+            .filter(_.nonEmpty)
+            .map(_.stripPrefix("`").stripSuffix("`")
+              .stripPrefix("\"").stripSuffix("\"").toLowerCase).toSet
+        }
+        val expansion = cols
+          .filterNot(c => excluded.contains(c.toLowerCase))
+          .map { c =>
+            repl.get(c.toLowerCase) match {
+              case Some(expr) => s"$expr AS `$c`"
+              case None => s"`$c`"
+            }
+          }.mkString(", ")
+        if (expansion.isEmpty)
+          throw new graft.functions.expressions.DuckDialectException(
+            "* EXCLUDE ... REPLACE excluded every column of the stage schema")
+        rewriteReplace(sql.substring(0, m.start) + expansion + sql.substring(i), cols)
+    }
   }
 }

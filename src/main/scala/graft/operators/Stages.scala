@@ -41,9 +41,11 @@ final case class SqlStage(name: String, code: String) extends Stage {
     val stmt = GraftSqlParser.rewritePivotStatement(spark,
       GraftSqlParser.rewriteUnpivotStatement(code),
       s => GraftSqlParser.rewriteAll(
-        GraftSqlParser.rewriteColumns(s, df.columns.toSeq)))
+        GraftSqlParser.rewriteColumns(
+          GraftSqlParser.rewriteReplace(s, df.columns.toSeq), df.columns.toSeq)))
     val rewritten = GraftSqlParser.rewriteAll(
-      GraftSqlParser.rewriteColumns(stmt, df.columns.toSeq))
+      GraftSqlParser.rewriteColumns(
+        GraftSqlParser.rewriteReplace(stmt, df.columns.toSeq), df.columns.toSeq))
     graft.functions.expressions.DuckDialect.rejectSilentTraps(
       GraftSqlParser.maskQuotes(rewritten))
     try GraftSqlParser.withDialectHint(code)(spark.sql(rewritten))

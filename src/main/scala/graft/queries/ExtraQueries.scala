@@ -206,6 +206,40 @@ object ExtraQueries {
     s.sql(graft.operators.GraftSqlParser.rewriteUnpivotStatement(unpivotSqlText))
   }
 
+  /** DuckDB/Postgres `SELECT DISTINCT ON` through the dialect layer
+    * (q105 pattern): the identical statement text runs on both engines —
+    * graft lowers it to QUALIFY row_number() = 1 over the query's ORDER
+    * BY ([[graft.operators.GraftSqlParser.rewriteDistinctOn]]), DuckDB
+    * executes it natively. The ORDER BY pins a unique row per key
+    * (c_custkey tie-break), so both engines keep the same one.
+    */
+  private[graft] val distinctOnSqlText =
+    "SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal " +
+      "FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey"
+
+  def q107DistinctOnSql(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer")
+    s.sql(graft.operators.GraftSqlParser.rewriteAll(distinctOnSqlText))
+  }
+
+  /** DuckDB `* EXCLUDE (...) REPLACE (expr AS col)` through the dialect
+    * layer, same both-engines treatment: graft expands the star against
+    * the relation schema ([[graft.operators.GraftSqlParser
+    * .rewriteReplace]] — in a YAML `sql` stage the stage schema is used),
+    * DuckDB executes the identical text natively.
+    */
+  private[graft] val starReplaceSqlText =
+    "SELECT * EXCLUDE (n_regionkey) REPLACE (lower(n_name) AS n_name) " +
+      "FROM nation ORDER BY n_nationkey"
+
+  def q108StarReplaceSql(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d)
+    n.createOrReplaceTempView("nation")
+    s.sql(graft.operators.GraftSqlParser.rewriteAll(
+      graft.operators.GraftSqlParser.rewriteReplace(
+        starReplaceSqlText, n.columns.toSeq)))
+  }
+
   /** Flatten-all over a JSON-string column (pd.json_normalize analog,
     * fullExample.yml.old:75-91): schema inferred by sampling, then
     * from_json + star-expand.
@@ -438,6 +472,8 @@ object ExtraQueries {
     "q60_pipeline_sql"  -> (q60PipelineSql _),
     "q105_pivot_sql"    -> (q105PivotSql _),
     "q106_unpivot_sql"  -> (q106UnpivotSql _),
+    "q107_distinct_on_sql" -> (q107DistinctOnSql _),
+    "q108_star_replace_sql" -> (q108StarReplaceSql _),
   )
 
   val sql: Map[String, String] = Map(
@@ -445,6 +481,8 @@ object ExtraQueries {
     // auto-rewrites — the dialect layer itself is what's under test
     "q105_pivot_sql" -> pivotSqlText,
     "q106_unpivot_sql" -> unpivotSqlText,
+    "q107_distinct_on_sql" -> distinctOnSqlText,
+    "q108_star_replace_sql" -> starReplaceSqlText,
     "q81_range_join" -> """
       WITH iv AS (
         SELECT i AS interval_id, 1704067200 + i * 7200 AS s_sec

@@ -471,12 +471,13 @@ class DialectSpec extends SparkSpec {
 
   test("dialect rewrites are identity on the repo's whole oracle-SQL corpus") {
     // hand-written DuckDB queries with CTEs, windows, recursive CTEs,
-    // integer //, md5 tricks — outside the ASOF JOIN oracles (which are
-    // DuckDB-native on purpose and legitimately rewrite), none contains
-    // a rewrite trigger, so the rewriters must pass every byte through
-    // untouched (no false fires)
+    // integer //, md5 tricks — outside the ASOF JOIN / DISTINCT ON
+    // oracles (which are DuckDB-native on purpose and legitimately
+    // rewrite), none contains a rewrite trigger, so the rewriters must
+    // pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b".r.findFirstIn(sql).isEmpty)
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(".r
+          .findFirstIn(sql).isEmpty)
         assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
       else // the ASOF rewrite output must itself be stable
         assert(GraftSqlParser.rewriteAll(GraftSqlParser.rewriteAll(sql))
@@ -709,5 +710,114 @@ class DialectSpec extends SparkSpec {
       "SELECT t.a FROM t ASOF JOIN u ON t.k = u.k AND t.ts >= u.ts")
     assert(once.contains("lead(ts) OVER (PARTITION BY k ORDER BY ts)"))
     assert(GraftSqlParser.rewriteAsof(once) == once)
+  }
+
+  // ---- DISTINCT ON: lowered to QUALIFY row_number() = 1 (r7)
+
+  test("DISTINCT ON keeps the first row per key in the query's ORDER BY") {
+    spark.range(40).selectExpr("id", "id % 4 AS g", "cast(id * 7 % 13 AS double) AS v")
+      .createOrReplaceTempView("don")
+    val got = spark.sql(GraftSqlParser.rewriteAll(
+      "SELECT DISTINCT ON (g) g, id, v FROM don ORDER BY g, v DESC, id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = spark.sql(
+      """SELECT g, id FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY g ORDER BY v DESC, id) AS rn FROM don) WHERE rn = 1
+        |ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.length == 4)
+  }
+
+  test("DISTINCT ON composes with WHERE and LIMIT; works inside a CTE") {
+    spark.range(40).selectExpr("id", "id % 4 AS g")
+      .createOrReplaceTempView("don2")
+    val lim = spark.sql(GraftSqlParser.rewriteAll(
+      "SELECT DISTINCT ON (g) g, id FROM don2 WHERE id < 30 ORDER BY g, id DESC LIMIT 2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lim == Seq((0L, 28L), (1L, 29L)))
+    val cte = spark.sql(GraftSqlParser.rewriteAll(
+      """WITH best AS (SELECT DISTINCT ON (g) g, id FROM don2 ORDER BY g, id)
+        |SELECT count(*) AS n FROM best""".stripMargin))
+      .collect().head.getLong(0)
+    assert(cte == 4L)
+  }
+
+  test("DISTINCT ON shapes without a deterministic rewrite raise guided errors") {
+    val noOrder = intercept[DuckDialectException] {
+      GraftSqlParser.rewriteAll("SELECT DISTINCT ON (g) g, id FROM t")
+    }
+    assert(noOrder.getMessage.contains("arbitrary row"))
+    val ordinal = intercept[DuckDialectException] {
+      GraftSqlParser.rewriteAll("SELECT DISTINCT ON (g) g, id FROM t ORDER BY 1, 2")
+    }
+    assert(ordinal.getMessage.contains("ordinal"))
+    val setOp = intercept[DuckDialectException] {
+      GraftSqlParser.rewriteAll(
+        "SELECT DISTINCT ON (g) g FROM t UNION SELECT g FROM u ORDER BY g")
+    }
+    assert(setOp.getMessage.contains("set operation"))
+    // plain DISTINCT (no ON) and string literals are untouched
+    val plain = "SELECT DISTINCT g FROM t ORDER BY g"
+    assert(GraftSqlParser.rewriteDistinctOn(plain) == plain)
+    val lit = "SELECT 'SELECT DISTINCT ON (x)' AS s FROM t ORDER BY s"
+    assert(GraftSqlParser.rewriteDistinctOn(lit) == lit)
+  }
+
+  // ---- * REPLACE: expanded against the stage schema (r7)
+
+  test("* REPLACE expands against the schema; EXCLUDE folds in") {
+    val cols = Seq("a", "b", "c")
+    assert(GraftSqlParser.rewriteReplace(
+      "SELECT * REPLACE (x + 1 AS b) FROM t", cols) ==
+      "SELECT `a`, x + 1 AS `b`, `c` FROM t")
+    assert(GraftSqlParser.rewriteReplace(
+      "SELECT * EXCLUDE (c) REPLACE (lower(a) AS a) FROM t", cols) ==
+      "SELECT lower(a) AS `a`, `b` FROM t")
+    // nested parens + two replacements, order of list irrelevant
+    assert(GraftSqlParser.rewriteReplace(
+      "SELECT * REPLACE (round(c, (1 + 1)) AS c, upper(a) AS a) FROM t", cols) ==
+      "SELECT upper(a) AS `a`, `b`, round(c, (1 + 1)) AS `c` FROM t")
+  }
+
+  test("* REPLACE never fires on multiplication by the replace() function") {
+    val cols = Seq("a", "b")
+    val mul = "SELECT a * replace(b, 'x', 'y') AS r FROM t"
+    assert(GraftSqlParser.rewriteReplace(mul, cols) == mul)
+    val lit = "SELECT '* REPLACE (q AS a)' AS s FROM t"
+    assert(GraftSqlParser.rewriteReplace(lit, cols) == lit)
+  }
+
+  test("* REPLACE bad shapes raise guided errors") {
+    val cols = Seq("a", "b")
+    val qualified = intercept[DuckDialectException] {
+      GraftSqlParser.rewriteReplace("SELECT t.* REPLACE (x AS a) FROM t", cols)
+    }
+    assert(qualified.getMessage.contains("qualified-star"))
+    val notCol = intercept[DuckDialectException] {
+      GraftSqlParser.rewriteReplace("SELECT * REPLACE (x AS zz) FROM t", cols)
+    }
+    assert(notCol.getMessage.contains("not a column"))
+    val noAs = intercept[DuckDialectException] {
+      GraftSqlParser.rewriteReplace("SELECT * REPLACE (x + 1) FROM t", cols)
+    }
+    assert(noAs.getMessage.contains("expr AS column"))
+  }
+
+  test("DISTINCT ON and * REPLACE e2e through a YAML sql stage") {
+    val yaml =
+      """
+        |filters:
+        |  - name: norm
+        |    actionType: sql
+        |    code: "SELECT * REPLACE (upper(lang) AS lang) FROM df"
+        |  - name: latest_per_lang
+        |    actionType: sql
+        |    code: "SELECT DISTINCT ON (lang) lang, doc_id FROM df ORDER BY lang, doc_id DESC"
+        |""".stripMargin
+    val res = Pipeline.runYaml(spark, yaml, s"$sf/documents.parquet", None)
+    val rows = res.output.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    assert(rows.forall(r => r.getString(0) == r.getString(0).toUpperCase))
   }
 }
