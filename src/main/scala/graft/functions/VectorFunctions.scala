@@ -389,21 +389,57 @@ object VectorFunctions {
     * first probe, reused by every probe after (callers who want the
     * build cost paid up front can trigger it with `assigned.count()`).
     */
+  /** Assign every corpus vector to its nearest centroid — the IVF
+    * quantizer pass. Row-local: the nlist×dim centroid matrix ships as
+    * a broadcast VARIABLE consumed by the codegen'd
+    * [[graft.functions.expressions.NearestCentroidsBroadcast]] argmax,
+    * and the index → cent_id map joins back as an nlist-row broadcast
+    * join — the corpus never shuffles (the previous
+    * `crossJoin + groupBy(vec_id, embedding)` shape materialized and
+    * SHUFFLED N·nlist rows to pick the same argmax; at 10⁹×√N that
+    * shuffle, not the flops, is the wall). Ties and NaNs reproduce the
+    * old `max(struct(cos, cent_id))` exactly — see the expression's
+    * scaladoc. Null embeddings (none in any corpus this library feeds)
+    * would drop here rather than landing in an arbitrary list.
+    */
+  private def assignToCentroids(candidates: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = candidates.sparkSession
+    val ordered = cents.select(col("cent_id"), col("cvec"))
+      .orderBy(col("cent_id")).collect()
+    val mat: Array[Array[Double]] = ordered.map { r =>
+      r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.doubleValue()
+        case d: java.lang.Double => d.doubleValue()
+        case other => other.asInstanceOf[Number].doubleValue()
+      }.toArray
+    }
+    val bc = spark.sparkContext.broadcast(mat)
+    val nearest = org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.NearestCentroidsBroadcast(bc,
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+        k = 1, tieHigh = true))
+    // index → cent_id map: same ordering engine as the collect above
+    // (one nlist-row window; the join back is an nlist-row broadcast)
+    val centIdx = cents.select(col("cent_id"))
+      .withColumn("__graft_cidx",
+        row_number().over(Window.orderBy(col("cent_id"))) - 1)
+    candidates
+      .withColumn("__graft_cidx", get(nearest, lit(0)))
+      .join(broadcast(centIdx), "__graft_cidx")
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cid"))
+  }
+
   def buildIvf(candidates: DataFrame, nlist: Int = Auto, refine: Int = 0): IvfIndex = {
     GraftFunctions.register(candidates.sparkSession)
     val nl = if (nlist == Auto) autoNlist(candidates.count()) else nlist
-    def assignTo(cents: DataFrame): DataFrame =
-      candidates.crossJoin(cents)
-        .groupBy(col("vec_id"), col("embedding"))
-        .agg(max(struct(cosine(col("embedding"), col("cvec")).as("c"),
-          col("cent_id"))).getField("cent_id").as("cid"))
     // Deterministic pseudo-random centroid sample: nlist lowest
     // xxhash64(vec_id) — TakeOrderedAndProject, no full sort.
     var centroids =
       candidates.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
         .orderBy(xxhash64(col("cent_id")), col("cent_id")).limit(nl)
     for (_ <- 1 to refine)
-      centroids = assignTo(broadcast(centroids))
+      centroids = assignToCentroids(candidates, centroids)
         .select(col("cid").as("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cent_id"), col("pos"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -411,11 +447,10 @@ object VectorFunctions {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
           x => x.getField("m")).as("cvec"))
-    // nlist rows: checkpoint eagerly so each Lloyd corpus pass runs once
-    // even though the centroid table is referenced by both the final
-    // assignment and every probe's centroid ranking.
+    // nlist rows: checkpoint eagerly so the final assignment and every
+    // probe's centroid ranking read a materialized centroid table.
     val cents = centroids.localCheckpoint(true)
-    IvfIndex(cents, assignTo(broadcast(cents)).localCheckpoint(false))
+    IvfIndex(cents, assignToCentroids(candidates, cents).localCheckpoint(false))
   }
 
   /** Persist a built [[IvfIndex]] as parquet (centroids + posting-list
@@ -442,15 +477,33 @@ object VectorFunctions {
                nprobe: Int = Auto): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(queries.sparkSession)
-    // auto: 3/8 of the index's own nlist (a count over the tiny
-    // checkpointed/persisted centroid table)
-    val np = if (nprobe == Auto) autoNprobe(index.centroids.count().toInt) else nprobe
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("pc").desc, col("cent_id"))
+    val spark = queries.sparkSession
+    // Centroid ranking is row-local, like the build's assignment: each
+    // query scores the broadcast centroid matrix and explodes its top
+    // nprobe indices — the old crossJoin + per-query window shuffled
+    // Q·nlist rows to pick the same probe set. tieHigh=false reproduces
+    // the window's `ORDER BY pc DESC, cent_id` (ties → lowest cent_id).
+    val ordered = index.centroids.select(col("cent_id"), col("cvec"))
+      .orderBy(col("cent_id")).collect()
+    val np = if (nprobe == Auto) autoNprobe(ordered.length) else nprobe
+    val mat: Array[Array[Double]] = ordered.map { r =>
+      r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.doubleValue()
+        case d: java.lang.Double => d.doubleValue()
+        case other => other.asInstanceOf[Number].doubleValue()
+      }.toArray
+    }
+    val bc = spark.sparkContext.broadcast(mat)
+    val nearestNp = org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.NearestCentroidsBroadcast(bc,
+        org.apache.spark.sql.GraftColumnBridge.expression(col("qv")),
+        k = np, tieHigh = false))
+    val centIdx = index.centroids.select(col("cent_id"))
+      .withColumn("__graft_cidx",
+        row_number().over(Window.orderBy(col("cent_id"))) - 1)
     val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      .crossJoin(broadcast(index.centroids))
-      .select(col("q_id"), col("qv"), col("cent_id"),
-        cosine(col("qv"), col("cvec")).as("pc"))
-      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= np)
+      .withColumn("__graft_cidx", explode(nearestNp))
+      .join(broadcast(centIdx), "__graft_cidx")
       .select(col("q_id"), col("qv"), col("cent_id").as("cid"))
     // Exact cosine inside the probed lists, rank per query.
     val scored = probes.join(index.assigned, "cid")

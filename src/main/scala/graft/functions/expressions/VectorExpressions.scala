@@ -318,6 +318,118 @@ object GraftFunctions {
     }
 }
 
+/** Top-k nearest centroids by cosine, the centroid matrix living in a
+  * Spark BROADCAST VARIABLE (the BloomMightContainBroadcast pattern —
+  * the plan carries only the handle). Returns the winning centroids'
+  * INDICES into the broadcast array (the caller maps index → cent_id
+  * with an nlist-row broadcast join), ranked by cosine descending.
+  *
+  * This is the row-local replacement for the IVF build/probe
+  * `crossJoin(centroids) + groupBy/window` shape: the old plan
+  * materialized AND SHUFFLED N·nlist rows to take a per-vector argmax;
+  * this computes the same argmax inside WholeStageCodegen while the
+  * corpus stays put — the flops are identical (every vector must score
+  * every centroid; that is what an IVF quantizer IS), but nothing
+  * moves. Parity with the old shape is exact, including ties:
+  *
+  *  - cosine: the same sequential double fold as [[CosineSimilarity]]
+  *    (bit-identical scores; a length-mismatched centroid never wins,
+  *    like the old NULL-cosine rows);
+  *  - tie order: `tieHigh = true` reproduces `max(struct(cos, cent_id))`
+  *    (equal cosine → HIGHEST cent_id, i.e. the highest index when the
+  *    broadcast array is sorted by cent_id ascending — build side);
+  *    `tieHigh = false` reproduces the probe window's
+  *    `ORDER BY cos DESC, cent_id` (equal cosine → LOWEST cent_id);
+  *  - NaN: ranked via java.lang.Double.compare, NaN greatest — Spark's
+  *    own double ordering.
+  *
+  * Selection is an insertion pass over a k-slot buffer — O(nlist·k)
+  * per row worst case, fine for the k = 1 assignment and the
+  * nprobe ≤ O(√nlist)-ish probe fans the auto-sizing produces; a heap
+  * would win only for adversarially large nprobe.
+  */
+case class NearestCentroidsBroadcast(
+    cents: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    child: Expression,
+    k: Int,
+    tieHigh: Boolean)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroids needs array<float|double>, got $t")
+    }
+
+  private lazy val isFloat = VecUtil.isFloatArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroidsBroadcast.topK(
+      v.asInstanceOf[ArrayData], isFloat, cents.value, k, tieHigh)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bcRef = ctx.addReferenceObj("graftCentsBc", cents, bcCls)
+    // resolve the broadcast once per generated-class instance
+    val mVar = ctx.addMutableState("double[][]", "graftCentsMat",
+      v => s"$v = (double[][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.NearestCentroidsBroadcast.topK(
+         |  $c, $isFloat, $mVar, $k, $tieHigh);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroidsBroadcast {
+  def topK(v: ArrayData, isFloat: Boolean, cents: Array[Array[Double]],
+           k: Int, tieHigh: Boolean): ArrayData = {
+    val n = v.numElements()
+    val cap = math.min(k, cents.length)
+    val idxs = new Array[Int](cap)
+    val coss = new Array[Double](cap)
+    var size = 0
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      if (c.length == n) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = VecUtil.get(v, i, isFloat)
+          val y = c(i)
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+        // rank: cos desc; equal cos → the scan is index-ascending, so a
+        // new entry outranks an equal one iff tieHigh
+        var p = size
+        while (p > 0 && {
+          val cmp = java.lang.Double.compare(coss(p - 1), cos)
+          cmp < 0 || (cmp == 0 && tieHigh)
+        }) p -= 1
+        if (p < cap) {
+          val last = math.min(size, cap - 1)
+          var j = last
+          while (j > p) { idxs(j) = idxs(j - 1); coss(j) = coss(j - 1); j -= 1 }
+          idxs(p) = ci; coss(p) = cos
+          if (size < cap) size += 1
+        }
+      }
+      ci += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(idxs, size))
+  }
+}
+
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
