@@ -430,6 +430,34 @@ object VectorFunctions {
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cid"))
   }
 
+  /** Assign every corpus vector to its nearest centroid by cosine —
+    * centroid-conditioned bucketing as a first-class operator (the
+    * topic-bucketing half of SemDeDup, Abbas et al. 2023: cluster the
+    * corpus, then dedup/select within clusters; also the IVF quantizer
+    * pass, which is the same computation). `corpus` must carry
+    * (vec_id, embedding), `centroids` (cent_id, cvec); returns
+    * (vec_id, embedding, cid). Row-local and shuffle-free — see
+    * [[graft.functions.expressions.NearestCentroidsBroadcast]].
+    * Ties break toward the HIGHEST cent_id, NaN ranks greatest
+    * (Spark's own double ordering) — q109 pins both against DuckDB.
+    */
+  def clusterAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(corpus, centroids)
+
+  /** Lloyd k-means over an embedding column: `k` centroids seeded from
+    * a deterministic hash-ranked corpus sample, `iters` refinement
+    * passes, returning the final centroid table and the corpus
+    * assignment. This IS the IVF build ([[buildIvf]]) under its other
+    * name — an IVF index is k-means centroids plus posting lists — so
+    * the clustering operator inherits the row-local assignment plan
+    * and its measured ~flat scale slope. Each Lloyd pass costs one
+    * corpus scan (broadcast-argmax assignment) plus a dimension-key
+    * aggregation of the winning sums; centroids stay driver/broadcast
+    * sized (k·dim doubles).
+    */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int = 2): IvfIndex =
+    buildIvf(corpus, nlist = k, refine = iters)
+
   def buildIvf(candidates: DataFrame, nlist: Int = Auto, refine: Int = 0): IvfIndex = {
     GraftFunctions.register(candidates.sparkSession)
     val nl = if (nlist == Auto) autoNlist(candidates.count()) else nlist

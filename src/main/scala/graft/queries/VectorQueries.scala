@@ -125,7 +125,33 @@ object VectorQueries {
     "q45_embedding_norm" -> (q45EmbeddingNorms _),
     "q77_ann_ivf"        -> (q77AnnIvf _),
     "q104_ivf_persisted" -> (q104IvfPersisted _),
+    "q109_cluster_assign" -> (q109ClusterAssign _),
   )
+
+  /** Centroid assignment ([[graft.functions.VectorFunctions
+    * .clusterAssign]]) with PINNED seed centroids (vec_id < 8), so the
+    * full per-vector argmax — scores, the max-cent_id tie order, the
+    * codegen'd broadcast-matrix expression itself — is oracle-checked
+    * cell-for-cell: DuckDB recomputes every assignment by brute force
+    * over DOUBLE[] casts (bit-identical cosine folds, the q40
+    * precedent). The kmeans/IVF refinement loop reuses exactly this
+    * assignment, so the gate covers the clustering operator's moving
+    * part; the Lloyd iteration on top is DedupSpec-asserted.
+    */
+  def q109ClusterAssign(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    // non-seed vectors only: a seed's self-cosine is the one value where
+    // the two engines' algebraically-equal cosine formulations round one
+    // ulp apart (dot/(√na·√nb) vs dot/√(na·nb) at dot = na = nb) — the
+    // q40 oracle excludes self-pairs for the same reason
+    VF.clusterAssign(emb.filter(col("vec_id") >= 8), seeds)
+      .join(broadcast(seeds), col("cid") === col("cent_id"))
+      .select(col("vec_id"), col("cid"),
+        VF.cosine(col("embedding"), col("cvec")).as("cos"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Shared q41/q77 oracle: the exact-top-5 reference side of
     * [[graft.functions.VectorFunctions.topKRecallAudit]], recomputed
@@ -194,5 +220,21 @@ object VectorQueries {
         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                               CAST(embedding AS DOUBLE[]))) AS norm
       FROM embeddings ORDER BY vec_id""",
+
+    // q109: brute-force recomputation of EVERY vector's nearest seed
+    // centroid; ties → highest cent_id (cid DESC) matches the
+    // assignment expression's max-cent_id order
+    "q109_cluster_assign" -> """
+      WITH c AS (SELECT vec_id cid, CAST(embedding AS DOUBLE[]) cv
+                 FROM embeddings WHERE vec_id < 8),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings
+            WHERE vec_id >= 8),
+      s AS (SELECT vec_id, cid, list_cosine_similarity(ev, cv) cos
+            FROM v, c),
+      r AS (SELECT vec_id, cid, cos,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid DESC) rn
+            FROM s)
+      SELECT vec_id, cid, cos FROM r WHERE rn = 1 ORDER BY vec_id""",
   )
 }

@@ -423,6 +423,44 @@ class DedupSpec extends SparkSpec {
     assert(r2 >= 0.6, s"shipped q77 config recall=$r2")
   }
 
+  test("kmeans improves the Lloyd objective; clusterAssign is the quantizer pass") {
+    // 8 well-separated Gaussian blobs of 40 vectors each — the SemDeDup
+    // topic-bucketing regime
+    val rnd = new scala.util.Random(41)
+    val dim = 32
+    val rows = (0 until 8).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian().toFloat * 5f)
+      (0 until 40).map { i =>
+        ((c * 40 + i).toLong, center.map(x => x + 0.3f * rnd.nextGaussian().toFloat).toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // Lloyd objective: mean cosine of each vector to its assigned
+    // centroid. Hash seeding can land two seeds in one blob (it does
+    // here — k-means' classic init pathology, refinement only locally
+    // fixes it), so blob purity is NOT a k-means guarantee; objective
+    // improvement and assignment reproducibility are.
+    def objective(iters: Int): Double = {
+      val km = VectorFunctions.kmeans(df, k = 8, iters = iters)
+      km.assigned.join(km.centroids, col("cid") === col("cent_id"))
+        .select(avg(VectorFunctions.cosine(col("embedding"), col("cvec"))))
+        .collect().head.getDouble(0)
+    }
+    val o0 = objective(0)
+    val o2 = objective(2)
+    assert(o2 > o0, s"Lloyd did not improve the objective: $o0 -> $o2")
+    assert(o2 > 0.8, s"refined objective too weak: $o2")
+    val km = VectorFunctions.kmeans(df, k = 8, iters = 2)
+    assert(km.assigned.count() == 320)
+    // clusterAssign against the learned centroids reproduces the
+    // index's own posting lists (it IS the same computation)
+    val re = VectorFunctions.clusterAssign(df, km.centroids)
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val orig = km.assigned.select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.get(1))).toSet
+    assert(re == orig)
+  }
+
   test("exactNearDupPairs refuses unbounded input (VERDICT r4 #4 guard)") {
     val big = spark.range(200).select(col("id").as("vec_id"),
       array(lit(1.0f), lit(0.0f)).as("embedding"))
