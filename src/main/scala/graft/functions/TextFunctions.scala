@@ -212,7 +212,8 @@ object TextFunctions {
     * and punctuation runs, each with an optional leading space. Real
     * BPE then merges within these pieces — for token-count ESTIMATION
     * (the training-data budgeting use) the pre-token count is the
-    * standard proxy.
+    * standard proxy; [[graft.functions.Bpe]] runs REAL merges over a
+    * learned table when exact subword tokens are wanted (q110).
     */
   val BpePattern: String =
     "'(?:s|d|m|t|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"

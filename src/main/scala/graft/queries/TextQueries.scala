@@ -67,6 +67,43 @@ object TextQueries {
         col("bpe_tokens").cast("double") / col("ws_tokens"))
       .orderBy(col("doc_id"))
 
+  /** REAL BPE over a merge table learned from this corpus
+    * ([[graft.functions.Bpe]] — one distributed word-count pass, a
+    * driver-side Sennrich merge loop over the vocabulary-bounded
+    * counts, then the broadcast encode expression). The iterative
+    * merge application is not SQL-expressible, so the gate follows the
+    * q37/q41 audit-sentinel pattern: DuckDB recomputes every exactly
+    * recomputable component (doc count, character total, pre-token
+    * total via the identical RE2 regex) and the BPE-specific numbers
+    * enter as PINNED-TRUE invariant booleans — each proven as an exact
+    * inequality over the real token totals on the Spark side
+    * (pre ≤ tokens ≤ chars: merges act within pieces; compression:
+    * 200 learned merges must shave ≥ 10% off the char count;
+    * reconstruction: token concat must equal piece concat for every
+    * document). The BpeSpec suite holds the hand-computed merge
+    * fixture and the per-row reference parity.
+    */
+  def q110BpeReal(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val merges = graft.functions.Bpe.learnFromCorpus(docs, "text", numMerges = 200)
+    val enc = docs.select(
+      graft.functions.Bpe.bpeEncode(docs, col("text"), merges).as("toks"),
+      TF.bpeTokenCount(col("text")).cast("long").as("pre"),
+      length(col("text")).cast("long").as("chars"),
+      concat_ws("", TF.bpeTokens(col("text"))).as("pjoined"))
+    enc.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("pre")).as("total_pretokens"),
+        sum(size(col("toks"))).as("t"),
+        min((size(col("toks")) >= col("pre")) &&
+            (size(col("toks")) <= col("chars"))).as("bounds_ok"),
+        min(concat_ws("", col("toks")) === col("pjoined")).as("roundtrip_ok"))
+      .select(col("n_docs"), col("total_chars"), col("total_pretokens"),
+        col("bounds_ok"), col("roundtrip_ok"),
+        (col("t") < col("total_chars") * lit(0.9)).as("compress_ok"))
+  }
+
   /** TF-IDF: top-3 terms per document (doc_id < 50) by smoothed
     * tf·ln((N+1)/(df+1)). The emitted columns are exact integers
     * (tf, df, rank) — the transcendental ln only decides the RANKING,
@@ -568,6 +605,7 @@ object TextQueries {
     "q43_events_hourly"   -> (q43EventsHourly _),
     "q44_sessionize"      -> (q44Sessionize _),
     "q78_bpe_tokens"      -> (q78BpeTokens _),
+    "q110_bpe_real"       -> (q110BpeReal _),
     "q84_pii_redact"      -> (q84PiiRedact _),
     "q85_chunk"           -> (q85Chunk _),
     "q86_contamination"   -> (q86Contamination _),
@@ -678,6 +716,18 @@ object TextQueries {
         CAST(LEN(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS DOUBLE)
           / LEN(STRING_SPLIT(text, ' ')) AS inflation
       FROM documents ORDER BY doc_id""",
+
+    // q110: the exactly-recomputable components are brute-forced
+    // (identical RE2 pre-tokenizer); the learned-merge token totals are
+    // not SQL-expressible, so their invariants enter as pinned-TRUE
+    // booleans proven as real inequalities on the Spark side (the
+    // q37/q41 recall-sentinel pattern)
+    "q110_bpe_real" -> """
+      SELECT count(*) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        CAST(sum(LEN(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS total_pretokens,
+        TRUE AS bounds_ok, TRUE AS roundtrip_ok, TRUE AS compress_ok
+      FROM documents""",
 
     "q79_tfidf" -> """
       WITH toks AS (
