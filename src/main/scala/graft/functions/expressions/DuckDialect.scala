@@ -333,6 +333,11 @@ object DuckDialect {
     // sampler must not silently impersonate
     raw"(?i)\bUSING\s+SAMPLE\b".r ->
       "this USING SAMPLE form couldn't be auto-rewritten (sampling-method specs change statistics) — use TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
+    // DuckDB's SUMMARIZE statement (per-column stats of a relation) —
+    // statement-level keyword, nothing mechanical to rewrite it to
+    // (its output schema depends on DuckDB's type-directed stat set)
+    raw"(?is)^\s*SUMMARIZE\b".r ->
+      "DuckDB's SUMMARIZE statement isn't Spark SQL — use DESCRIBE table for schema, or per-column aggregates: SELECT count(*), min(c), max(c), approx_count_distinct(c), avg(c), percentile_approx(c, array(0.25, 0.5, 0.75)) FROM t (Dataset API: df.summary())",
     // DISTINCT ON is normally rewritten automatically (GraftSqlParser.
     // rewriteDistinctOn → QUALIFY); this hint fires if a shape slipped
     // past the rewrite and Spark's parser rejected it

@@ -803,6 +803,20 @@ class DialectSpec extends SparkSpec {
     assert(noAs.getMessage.contains("expr AS column"))
   }
 
+  test("GROUP BY ALL / ORDER BY ALL pass through natively; SUMMARIZE raises a guided hint") {
+    spark.range(30).selectExpr("id % 3 AS g", "id").createOrReplaceTempView("gba")
+    // Spark 4 supports DuckDB's GROUP BY ALL / ORDER BY ALL natively —
+    // document the parity (no rewrite involved)
+    val rows = SqlStage("s", "SELECT g, count(*) AS n FROM gba GROUP BY ALL ORDER BY ALL")
+      .apply(spark, spark.range(1).toDF("id")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 10L), (1L, 10L), (2L, 10L)))
+    val hinted = intercept[DuckDialectException] {
+      SqlStage("s", "SUMMARIZE gba").apply(spark, spark.range(1).toDF("id"))
+    }
+    assert(hinted.getMessage.contains("SUMMARIZE"))
+    assert(hinted.getMessage.contains("summary"))
+  }
+
   test("DISTINCT ON and * REPLACE e2e through a YAML sql stage") {
     val yaml =
       """
