@@ -64,17 +64,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects; with
-    * spark.sql.legacy.parquet.nanosAsLong=true (set by our sessions) it
-    * arrives as LongType nanos — normalize to a microsecond timestamp
-    * (truncation, matching DuckDB's ns→µs cast).
+  /** events.ts has varied by generator vintage: TIMESTAMP(NANOS) parquet
+    * (Spark 4 rejects it; with spark.sql.legacy.parquet.nanosAsLong=true,
+    * set by our sessions, it arrives as LongType nanos) and, more
+    * recently, TIMESTAMP_NTZ(µs) (isAdjustedToUTC=false). Normalize both
+    * to session-tz TIMESTAMP so every events query sees one type:
+    * LongType nanos → timestamp_micros (truncation, matching DuckDB's
+    * ns→µs cast); TIMESTAMP_NTZ → cast to TIMESTAMP (session tz is UTC
+    * everywhere in this engine, so the instant is unchanged — and
+    * functions like unix_micros() only accept TIMESTAMP).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(t(s, d, "events"))
+
+  /** Shared by the batch loader above and the streaming file source
+    * ([[graft.streaming.StreamingOps.readEventStream]]) so both see the
+    * identical TIMESTAMP regardless of parquet vintage.
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

@@ -17,23 +17,21 @@ case class UserUpdate(user_id: Long, n_events: Long)
   */
 object StreamingOps {
 
-  /** events schema as the stream sees it (ts arrives as raw nanos since
-    * the parquet column is TIMESTAMP(NANOS) — see graft.Tables.events).
+  /** File-source stream over a directory of events parquet.
+    *
+    * The ts physical type has varied by generator vintage (TIMESTAMP
+    * (NANOS)-as-LongType under nanosAsLong; TIMESTAMP_NTZ(µs) today), so
+    * the stream schema is inferred from a one-off batch read of the same
+    * directory (driver-side footer read, no data scan) and ts is then
+    * normalized by the SAME rule as the batch loader
+    * ([[graft.Tables.normalizeEventsTs]]) — guaranteeing streaming and
+    * batch twins agree on the instant, whatever the file vintage.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over a directory of events parquet. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(dir))
+  }
 
   /** Tumbling 1-hour windows per event type with a 2-hour watermark:
     * late events beyond the watermark are dropped, state is bounded —
