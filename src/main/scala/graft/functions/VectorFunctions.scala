@@ -444,6 +444,44 @@ object VectorFunctions {
   def clusterAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     assignToCentroids(corpus, centroids)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of
+    * an embedding corpus by cluster-then-prune — assign every vector to
+    * its nearest centroid ([[clusterAssign]], row-local broadcast
+    * argmax), then WITHIN each cluster drop every vector that has an
+    * earlier near-twin: v is dropped iff some u in the same cluster has
+    * cosine(u, v) ≥ `tau` and u.id < v.id (keep-lowest-id — a pure
+    * function of the input, no iteration order anywhere). Survivors are
+    * pairwise < tau within every cluster: if cos(u,w) ≥ tau with
+    * u.id < w.id then w is dropped by u whether or not u itself
+    * survived. Returns (vec_id, cid) survivors.
+    *
+    * The reference engine has no embedding operators at all (SURVEY §2
+    * — `/root/reference/filters.py` is text-only); this is the
+    * training-data extension that makes the paper's recipe a
+    * first-class operator over the `embeddings` table.
+    *
+    * 100 TB shape: ONE corpus shuffle (hash on cid for the
+    * self-join); the quadratic is cluster-LOCAL — expected pair count
+    * is N²/nlist at uniform cluster sizes, so nlist is the knob that
+    * trades assignment flops against pair flops exactly as in
+    * [[ivfTopK]] (nlist ≈ √N keeps both sides ~N^1.5 flops, all
+    * map-side). Skewed clusters are the same hot-bucket problem as LSH
+    * — cap or re-split an over-dense cluster by raising nlist; the
+    * centroids themselves stay broadcast-sized. No driver-side
+    * collection anywhere.
+    */
+  def semDedup(corpus: DataFrame, centroids: DataFrame,
+               tau: Double): DataFrame = {
+    val assigned = clusterAssign(corpus, centroids)
+    val slim = assigned.select(col("cid"), col("vec_id"), col("embedding"))
+    val dropped = slim.as("a").join(slim.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"))
+  }
+
   /** Lloyd k-means over an embedding column: `k` centroids seeded from
     * a deterministic hash-ranked corpus sample, `iters` refinement
     * passes, returning the final centroid table and the corpus

@@ -126,7 +126,26 @@ object VectorQueries {
     "q77_ann_ivf"        -> (q77AnnIvf _),
     "q104_ivf_persisted" -> (q104IvfPersisted _),
     "q109_cluster_assign" -> (q109ClusterAssign _),
+    "q111_semdedup"      -> (q111SemDedup _),
   )
+
+  /** SemDeDup ([[graft.functions.VectorFunctions.semDedup]]) with the
+    * q109 pinned seeds (vec_id < 8 as centroids, corpus vec_id ≥ 8), so
+    * DuckDB recomputes the ENTIRE recipe by brute force — every
+    * assignment argmax AND every within-cluster pair prune — and the
+    * survivor set is checked id-for-id. tau = 0.42 drops 6 / 11 / 116
+    * vectors at the three SFs (measured), so the prune path provably
+    * fires at every scale the gate runs. Cosines never reach the
+    * output; they only gate comparisons, where both engines' sequential
+    * folds are bit-identical (q37/q40 precedent).
+    */
+  def q111SemDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    VF.semDedup(emb.filter(col("vec_id") >= 8), seeds, tau = 0.42)
+      .orderBy(col("vec_id"))
+  }
 
   /** Centroid assignment ([[graft.functions.VectorFunctions
     * .clusterAssign]]) with PINNED seed centroids (vec_id < 8), so the
@@ -220,6 +239,29 @@ object VectorQueries {
         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                               CAST(embedding AS DOUBLE[]))) AS norm
       FROM embeddings ORDER BY vec_id""",
+
+    // q111: full brute-force SemDeDup — q109's assignment CTE, then the
+    // within-cluster keep-lowest-id prune at tau = 0.42; survivor ids
+    // compared exactly
+    "q111_semdedup" -> """
+      WITH c AS (SELECT vec_id cid, CAST(embedding AS DOUBLE[]) cv
+                 FROM embeddings WHERE vec_id < 8),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings
+            WHERE vec_id >= 8),
+      s AS (SELECT vec_id, cid, list_cosine_similarity(ev, cv) cos
+            FROM v, c),
+      r AS (SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid DESC) rn
+            FROM s),
+      a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+      e AS (SELECT a.vec_id, a.cid, CAST(embedding AS DOUBLE[]) ev
+            FROM a JOIN embeddings USING (vec_id)),
+      d AS (SELECT DISTINCT b.vec_id FROM e x JOIN e b
+              ON x.cid = b.cid AND x.vec_id < b.vec_id
+            WHERE list_cosine_similarity(x.ev, b.ev) >= 0.42)
+      SELECT vec_id, cid FROM a
+      WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id""",
 
     // q109: brute-force recomputation of EVERY vector's nearest seed
     // centroid; ties → highest cent_id (cid DESC) matches the

@@ -775,4 +775,40 @@ class DedupSpec extends SparkSpec {
     assert(graft.functions.Dedup.decontaminateExactBloom(empty, corpus, "text",
       expectedItems = 4).count() == 0)
   }
+
+  test("semDedup: survivors are pairwise dissimilar within a cluster; every drop has an earlier twin") {
+    val emb = Tables.embeddings(spark, sf)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val tau = 0.42
+    val survivors = VectorFunctions.semDedup(corpus, seeds, tau)
+    val assigned = VectorFunctions.clusterAssign(corpus, seeds)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+
+    val nCorpus = corpus.count()
+    val nSurv = survivors.count()
+    assert(nSurv > 0 && nSurv < nCorpus,
+      s"prune path must fire on the fixture ($nSurv of $nCorpus survived)")
+
+    // survivors carry their clusterAssign cid, nothing invented
+    assert(survivors.join(assigned, Seq("vec_id", "cid")).count() == nSurv)
+
+    // no surviving within-cluster pair at or above tau (the paper's
+    // post-condition — holds because u drops w via u.id < w.id whether
+    // or not u itself survived)
+    val sv = survivors.join(assigned, Seq("vec_id", "cid"))
+    val survPairs = sv.as("a").join(sv.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) >= tau)
+    assert(survPairs.count() == 0)
+
+    // every dropped id has a LOWER-id within-cluster twin at >= tau
+    val dropped = assigned.join(survivors.select("vec_id"), Seq("vec_id"), "left_anti")
+    val unexplained = dropped.as("b").join(assigned.as("a"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id") &&
+          VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) >= tau,
+        "left_anti")
+    assert(unexplained.count() == 0)
+  }
 }
