@@ -279,4 +279,96 @@ object Mix {
       .fold(lit(weights.last._1))(_.otherwise(weights.last._1))
     df.withColumn(outCol, assigned)
   }
+
+  /** DSIR hashed n-gram doc features + importance scores (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling", arXiv:2302.03169): represent every document as a bag
+    * of hashed word uni+bigrams, fit bucket unigram distributions on a
+    * TARGET corpus (the distribution you want more of — e.g. curated
+    * English) and on the raw SOURCE corpus, and score each source doc
+    * by its log importance weight
+    * `logw = Σ_grams [ln((t_b+1)/(T+B)) − ln((s_b+1)/(S+B))]`
+    * (add-one smoothed; t_b/s_b the bucket's target/source gram counts,
+    * T/S the totals, B the bucket count). High logw ⇔ the doc's n-gram
+    * profile looks more target- than source-like.
+    *
+    * Buckets are PORTABLE md5 prefixes (`conv(substr(md5(gram),1,8),
+    * 16,10) % buckets` — the [[stratifiedSample]] trick at 8 hex
+    * digits), so an external engine replays the featurization
+    * bit-for-bit: the q112 gate checks the INTEGER columns (n_grams +
+    * the doc's Σ t_b / Σ s_b — every moving part: tokenization, bigram
+    * construction, hashing, both count tables, the join back) while the
+    * transcendental logw stays out of the hash (tests assert its
+    * behavior, the q97 cross_entropy precedent).
+    *
+    * Returns (doc, n_grams, sum_t, sum_s, logw).
+    *
+    * 100 TB shape: two explodes (source + target featurization), two
+    * bucket-key counts — both partial-aggregated and BOUNDED at
+    * `buckets` rows — then one broadcast join back (the bucket table is
+    * ≤ buckets rows by construction, never corpus-sized) and one
+    * per-doc aggregate. The only corpus-sized shuffle is the per-doc
+    * groupBy on the doc id.
+    */
+  def dsirScores(corpus: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def grams(df: DataFrame) =
+      df.select(col(idCol).as("doc"),
+          explode(concat(TextFunctions.tokens(col(textCol)),
+            TextFunctions.shingles(col(textCol), 2))).as("g"))
+        .select(col("doc"),
+          (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+            % buckets).as("b"))
+    val srcGrams = grams(corpus)
+    val srcCnt = srcGrams.groupBy(col("b")).agg(count(lit(1)).as("s_cnt"))
+    val tgtCnt = grams(target).groupBy(col("b")).agg(count(lit(1)).as("t_cnt"))
+    val table = srcCnt.join(tgtCnt, Seq("b"), "left").na.fill(0L, Seq("t_cnt"))
+    val totals = table.agg(sum(col("t_cnt")).as("t_total"),
+      sum(col("s_cnt")).as("s_total"))
+    val enriched = table.crossJoin(broadcast(totals))
+      .withColumn("log_ratio",
+        log((col("t_cnt") + 1).cast("double") /
+            (col("t_total") + buckets).cast("double")) -
+        log((col("s_cnt") + 1).cast("double") /
+            (col("s_total") + buckets).cast("double")))
+    srcGrams.join(broadcast(enriched), "b")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("t_cnt")).as("sum_t"),
+        sum(col("s_cnt")).as("sum_s"),
+        sum(col("log_ratio")).as("logw"))
+  }
+
+  /** DSIR selection: Gumbel top-fraction resampling on [[dsirScores]]'
+    * log weights — `key = logw + Gumbel(md5(doc))` implements sampling
+    * WITHOUT replacement ∝ exp(logw) (the Gumbel-top-k identity), with
+    * the noise a pure function of the doc id (portable md5-uniform →
+    * −ln(−ln u)): the same docs are selected by any engine on any run.
+    * Selection is a broadcast percentile_approx threshold on the key —
+    * the skew-immune one-pass form ([[topFractionByScoreApprox]]'s
+    * rationale); `exact = true` switches to a global
+    * TakeOrderedAndProject for oracle-sized corpora.
+    */
+  def dsirResample(corpus: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, keepFraction: Double,
+                   buckets: Int = 8192, exact: Boolean = false): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0, 1]")
+    val u = (conv(substring(md5(concat(col("doc").cast("string"),
+      lit(":gumbel"))), 1, 8), 16, 10).cast("double") + 1.0) / 4294967297.0
+    val keyed = dsirScores(corpus, target, idCol, textCol, buckets)
+      .withColumn("key", col("logw") - log(-log(u)))
+    if (exact) {
+      val k = math.ceil(keyed.count() * keepFraction).toLong
+      keyed.orderBy(col("key").desc, col("doc")).limit(k.toInt)
+        .drop("key")
+    } else {
+      val thr = keyed.agg(
+        percentile_approx(col("key"), lit(1 - keepFraction), lit(10000))
+          .as("__graft_thr"))
+      keyed.crossJoin(broadcast(thr))
+        .filter(col("key") >= col("__graft_thr"))
+        .drop("key", "__graft_thr")
+    }
+  }
 }

@@ -379,7 +379,13 @@ object SplitStage {
   * actionConfig: {method: pack, id: doc_id, seqLen: 512, shards: 256}
   * actionConfig: {method: temperature, stratum: lang, id: doc_id, alpha: 0.5}
   * actionConfig: {method: quality, stratum: lang, id: doc_id, score: "length(text)", fraction: 0.5}
+  * actionConfig: {method: dsir, id: doc_id, text: text, target: "lang = 'en'", fraction: 0.3}
   * }}}
+  *
+  * `dsir` keeps the `fraction` of rows whose hashed-n-gram profile is
+  * most target-like ([[graft.functions.Mix.dsirResample]], Gumbel
+  * importance resampling; `target` is any SQL predicate selecting the
+  * in-frame exemplar rows, `buckets` the feature-hash width).
   *
   * `shards` (pack) / `fanout` (budget) are the parallelism knobs — a
   * power of 16 (hex-prefix sharding), default 16.
@@ -389,7 +395,10 @@ final case class MixStage(name: String, method: String, idCol: String,
                           budgets: Map[String, Long], seqLen: Long,
                           shards: Int = 16, alpha: Double = 0.5,
                           fraction: Double = 0.5,
-                          scoreExpr: String = "") extends Stage {
+                          scoreExpr: String = "",
+                          targetExpr: String = "",
+                          textCol: String = "text",
+                          buckets: Int = 8192) extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "budget" =>
       graft.functions.Mix.tokenBudget(df, col(stratumCol), col(idCol),
@@ -402,8 +411,16 @@ final case class MixStage(name: String, method: String, idCol: String,
     case "quality" =>
       graft.functions.Mix.topFractionByScore(df, col(stratumCol),
         expr(if (scoreExpr.nonEmpty) scoreExpr else tokensExpr), col(idCol), fraction)
+    case "dsir" =>
+      if (targetExpr.trim.isEmpty) throw new IllegalArgumentException(
+        s"mix stage '$name': method dsir needs actionConfig.target (a SQL " +
+          "predicate selecting the exemplar rows, e.g. \"lang = 'en'\")")
+      val selected = graft.functions.Mix.dsirResample(df,
+        df.filter(expr(targetExpr)), idCol, textCol, fraction, buckets)
+      df.join(selected.select(col("doc").as("__graft_keep")),
+        col(idCol) === col("__graft_keep"), "left_semi")
     case other => throw new IllegalArgumentException(
-      s"mix stage '$name': unknown method '$other' (budget | pack | temperature | quality)")
+      s"mix stage '$name': unknown method '$other' (budget | pack | temperature | quality | dsir)")
   }
 }
 
@@ -427,7 +444,10 @@ object MixStage {
       s("shards", s("fanout", "16")).toInt,
       s("alpha", "0.5").toDouble,
       s("fraction", "0.5").toDouble,
-      s("score", ""))
+      s("score", ""),
+      s("target", ""),
+      s("text", "text"),
+      s("buckets", "8192").toInt)
   }
 }
 

@@ -578,7 +578,26 @@ object TextQueries {
       .orderBy(col("user_id"))
   }
 
+  /** DSIR hashed n-gram importance features ([[graft.functions.Mix
+    * .dsirScores]]): target = the corpus' English slice, source = the
+    * whole corpus. The gate checks the INTEGER columns — n_grams plus
+    * each doc's Σ target / Σ source bucket counts, which exercise the
+    * full featurization (whitespace uni+bigrams, portable md5 bucket
+    * hash, both count tables, the broadcast join back, the per-doc
+    * aggregate); the transcendental logw stays out of the hash (q97's
+    * cross_entropy precedent) and is covered by the resampling spec.
+    */
+  def q112DsirScores(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.functions.Mix.dsirScores(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("n_grams"), col("sum_t"),
+        col("sum_s"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_dsir_scores"    -> (q112DsirScores _),
     "q30_dedup_exact"     -> (q30DedupExact _),
     "q31_token_stats"     -> (q31TokenStats _),
     "q32_lang_id"         -> (q32LangId _),
@@ -972,6 +991,29 @@ object TextQueries {
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
              CAST(SUM(1000000 // cnt) AS BIGINT) AS rarity
       FROM tok JOIN c USING (t)
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    // q112: full brute-force DSIR featurization — whitespace uni+bigrams,
+    // the portable md5-prefix bucket hash at 8192 buckets, target (en) and
+    // source (all) bucket counts, per-doc integer sums
+    "q112_dsir_scores" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      uni AS (SELECT doc_id, unnest(l) AS g FROM tok),
+      big AS (SELECT doc_id, l[gi] || ' ' || l[gi + 1] AS g
+              FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS gi FROM tok)),
+      grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+      gb AS (SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) AS BIGINT)
+                 % 8192 AS b
+             FROM grams),
+      tgt AS (SELECT b, COUNT(*) AS t_cnt
+              FROM gb JOIN documents USING (doc_id)
+              WHERE lang = 'en' GROUP BY b),
+      src AS (SELECT b, COUNT(*) AS s_cnt FROM gb GROUP BY b)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(COALESCE(t_cnt, 0)) AS BIGINT) AS sum_t,
+             CAST(SUM(s_cnt) AS BIGINT) AS sum_s
+      FROM gb JOIN src USING (b) LEFT JOIN tgt USING (b)
       GROUP BY doc_id ORDER BY doc_id""",
 
     "q95_temperature" -> """

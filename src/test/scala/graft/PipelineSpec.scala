@@ -202,6 +202,24 @@ class PipelineSpec extends SparkSpec {
       assert(vecOut.count() == twin.count() && vecOut.count() > 0)
     }
 
+    // dsir mix stage from YAML: importance-resample toward the English
+    // slice; the kept rows match the operator called directly
+    {
+      val yamlDsir =
+        s"""
+          |filters:
+          |  - name: toward_en
+          |    actionType: mix
+          |    actionConfig: {method: dsir, id: doc_id, text: text, target: "lang = 'en'", fraction: 0.3}
+          |""".stripMargin
+      val out = Pipeline.runYaml(spark, yamlDsir, s"$sf/documents.parquet", None).output
+      val docs = Tables.documents(spark, sf)
+      val twin = graft.functions.Mix.dsirResample(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text", 0.3)
+      assert(out.count() == twin.count() && out.count() > 0)
+      assert(out.columns.toSeq == docs.columns.toSeq) // original row shape kept
+    }
+
     // score stage + quality mix chained from YAML: rarity columns added,
     // then each language gated to its top half by that score
     {

@@ -468,4 +468,47 @@ class UtilOpsSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("DSIR: en-target importance weights rank English docs above the rest") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val scores = graft.functions.Mix.dsirScores(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+    assert(scores.count() == docs.count()) // every source doc scored
+    val byLang = scores.join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
+      .groupBy("lang").agg(avg(col("logw")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val others = byLang.filter(_._1 != "en").values
+    assert(others.forall(_ < byLang("en")),
+      s"mean logw must peak on the target language: $byLang")
+    // weights are a pure function of the input — two runs agree exactly
+    val again = graft.functions.Mix.dsirScores(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+    assert(scores.exceptAll(again).isEmpty && again.exceptAll(scores).isEmpty)
+  }
+
+  test("DSIR Gumbel resample: deterministic, sized, and target-enriched") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val target = docs.filter(col("lang") === "en")
+    val n = docs.count()
+    val sel = graft.functions.Mix.dsirResample(
+      docs, target, "doc_id", "text", keepFraction = 0.3, exact = true)
+    assert(sel.count() == math.ceil(n * 0.3).toLong)
+    // enrichment: the selected slice is more English than the corpus
+    val enFrac = target.count().toDouble / n
+    val selEn = sel.join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
+      .filter(col("lang") === "en").count().toDouble / sel.count()
+    assert(selEn > enFrac,
+      f"selected en fraction $selEn%.3f must exceed corpus $enFrac%.3f")
+    // Gumbel keys are md5-deterministic: same selection on a re-run
+    val again = graft.functions.Mix.dsirResample(
+      docs, target, "doc_id", "text", keepFraction = 0.3, exact = true)
+    assert(sel.select("doc").exceptAll(again.select("doc")).isEmpty)
+    // the percentile-threshold scale path approximates the exact cut
+    val approx = graft.functions.Mix.dsirResample(
+      docs, target, "doc_id", "text", keepFraction = 0.3)
+    val k = math.ceil(n * 0.3)
+    assert(math.abs(approx.count() - k) <= math.max(2, n * 0.05))
+  }
 }
