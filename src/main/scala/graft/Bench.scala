@@ -48,9 +48,9 @@ object Bench {
   private val heavyFirst = Seq(
     "q34_jaccard_pairs", "q37_embed_neardup_lsh", "q89_dedup_clusters",
     "q80_approx_quantiles",
-    "q77_ann_ivf", "q46_embed_neardup", "q35_minhash_lsh",
-    "q91_cross_dedup",
-    "q86_contamination", "q41_ann_lsh", "q79_tfidf",
+    "q77_ann_ivf", "q46_embed_neardup", "q111_semdedup", "q35_minhash_lsh",
+    "q41_ann_lsh", "q112_dsir_scores", "q91_cross_dedup",
+    "q86_contamination", "q79_tfidf",
     "q104_ivf_persisted", "q99_asof_sql",
     "q03_join_revenue_nation",
     "q64_multiset_ops", "q70_correlated_subq", "q07_window_topk_group",
@@ -162,6 +162,11 @@ object Bench {
       val r = runSuite(streams); System.gc(); r
     }
     val (wall, _) = runs.minBy(_._1)
+    // Median wall alongside best-of (ADVICE r7): the microVM's
+    // multi-second stalls land on whole passes, so best-of is the
+    // honest steady-state estimate — but the median exposes the
+    // pass-to-pass variance best-of hides.
+    val wallMedian = runs.map(_._1).sorted.apply(runs.size / 2)
     // Sequential pass, fully warmed: the like-for-like wall vs a
     // sequential baseline, and the only honest source of per-query
     // latencies (concurrent latencies include queueing). A lone query
@@ -202,7 +207,7 @@ object Bench {
       failed.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
     val seqWalls = seqRuns.map(r => f3(r._1)).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(wall)},"unit":"sec","queries":$qs,"sf":"$sfDir","streams":$streams,"passes":$passes,"wall_runs":$walls,"seq_wall_sec":${f3(seqWall)},"seq_runs":$seqWalls,"sum_query_sec":${f3(seqRes.values.sum)},"warmed":${warmDir.nonEmpty},"failed":$failedJson}"""
+    val line = s"""{"metric":"total","value":${f3(wall)},"unit":"sec","queries":$qs,"sf":"$sfDir","streams":$streams,"passes":$passes,"wall_runs":$walls,"wall_median_sec":${f3(wallMedian)},"seq_wall_sec":${f3(seqWall)},"seq_runs":$seqWalls,"sum_query_sec":${f3(seqRes.values.sum)},"warmed":${warmDir.nonEmpty},"failed":$failedJson}"""
     // Full-name, full-precision record for local diffing.
     val detail = seqRes.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

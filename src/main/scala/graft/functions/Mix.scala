@@ -310,19 +310,41 @@ object Mix {
     * per-doc aggregate. The only corpus-sized shuffle is the per-doc
     * groupBy on the doc id.
     */
+  /** Declarative reference twin of the native `dsir_buckets`
+    * expression: uni+bigram bag of a whitespace-tokenized text column,
+    * md5-prefix-bucketed. Bigrams are zip_with over two pre-sliced
+    * token arrays so the split is evaluated ONCE per row — the
+    * transform/element_at formulation re-evaluates the split subtree
+    * per element when interpreted (the ShingleStrings lesson: 4+ s vs
+    * ~0.3 s on the sf0.1 corpus). Tests assert bucket-for-bucket
+    * equality with the native expression; the operators below run the
+    * native one (another ~5× on the featurization scan, and zero gram
+    * strings materialized).
+    */
+  def uniBigramBucketsReference(text: Column, buckets: Int): Column = {
+    val tok = TextFunctions.tokens(text)
+    val bigrams = when(size(tok) >= 2,
+      zip_with(slice(tok, lit(1), size(tok) - 1), slice(tok, lit(2), size(tok) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(tok, bigrams),
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets)
+  }
+
   def dsirScores(corpus: DataFrame, target: DataFrame, idCol: String,
                  textCol: String, buckets: Int = 8192): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def grams(df: DataFrame) =
+    graft.functions.expressions.GraftFunctions.register(corpus.sparkSession)
+    def docFeats(df: DataFrame) =
       df.select(col(idCol).as("doc"),
-          explode(concat(TextFunctions.tokens(col(textCol)),
-            TextFunctions.shingles(col(textCol), 2))).as("g"))
-        .select(col("doc"),
-          (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
-            % buckets).as("b"))
-    val srcGrams = grams(corpus)
-    val srcCnt = srcGrams.groupBy(col("b")).agg(count(lit(1)).as("s_cnt"))
-    val tgtCnt = grams(target).groupBy(col("b")).agg(count(lit(1)).as("t_cnt"))
+          explode(call_function("dsir_buckets", col(textCol), lit(buckets)))
+            .as("b"))
+        .groupBy(col("doc"), col("b")).agg(count(lit(1)).as("c"))
+    // the corpus is featurized ONCE: the sparse per-doc bucket vectors
+    // feed the source count table AND the final join back
+    val src = docFeats(corpus)
+    val srcCnt = src.groupBy(col("b")).agg(sum(col("c")).as("s_cnt"))
+    val tgtCnt = docFeats(target).groupBy(col("b")).agg(sum(col("c")).as("t_cnt"))
     val table = srcCnt.join(tgtCnt, Seq("b"), "left").na.fill(0L, Seq("t_cnt"))
     val totals = table.agg(sum(col("t_cnt")).as("t_total"),
       sum(col("s_cnt")).as("s_total"))
@@ -332,12 +354,12 @@ object Mix {
             (col("t_total") + buckets).cast("double")) -
         log((col("s_cnt") + 1).cast("double") /
             (col("s_total") + buckets).cast("double")))
-    srcGrams.join(broadcast(enriched), "b")
+    src.join(broadcast(enriched), "b")
       .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(col("t_cnt")).as("sum_t"),
-        sum(col("s_cnt")).as("sum_s"),
-        sum(col("log_ratio")).as("logw"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(col("c") * col("t_cnt")).as("sum_t"),
+        sum(col("c") * col("s_cnt")).as("sum_s"),
+        sum(col("c") * col("log_ratio")).as("logw"))
   }
 
   /** DSIR selection: Gumbel top-fraction resampling on [[dsirScores]]'

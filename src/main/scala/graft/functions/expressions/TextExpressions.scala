@@ -416,3 +416,95 @@ object SortedIntersectCount {
     c
   }
 }
+
+/** dsir_buckets(text, buckets): the DSIR hashed uni+bigram feature bag
+  * (Xie et al. 2023) in one pass per row — bucket ids (with
+  * multiplicity) of every whitespace token and every adjacent token
+  * pair, where bucket = first-8-hex-chars of md5(gram) mod `buckets`,
+  * bit-for-bit the portable construction
+  * `conv(substr(md5(g),1,8),16,10) % buckets` that the q112 DuckDB
+  * oracle replays. Tokenization matches `split(text, ' ')` exactly
+  * (every single space splits; empty tokens kept). Because the
+  * separator IS the single space, a bigram's md5 input is exactly the
+  * original text's byte range spanning the two tokens — the loop
+  * digests slices of the row's backing bytes and never materializes a
+  * gram string. Unigram buckets first, then bigrams, matching
+  * `concat(tokens, zip_with-bigrams)` order for the equality spec.
+  */
+case class DsirBuckets(child: Expression, bucketsExpr: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child, bucketsExpr)
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val buckets = bucketsExpr.eval().asInstanceOf[Number].intValue()
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    DsirBuckets.compute(v.asInstanceOf[UTF8String], buckets)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code + code"""
+      boolean ${ev.isNull} = ${c.isNull};
+      $javaType ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.expressions.DsirBuckets.compute(${c.value}, $buckets);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0), bucketsExpr = cs(1))
+}
+
+object DsirBuckets {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 4 md5 bytes as an unsigned 32-bit value (= the first 8 hex
+    * chars), mod buckets.
+    */
+  private def bucketOf(md: java.security.MessageDigest, bytes: Array[Byte],
+                       off: Int, len: Int, buckets: Int): Long = {
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    v % buckets
+  }
+
+  def compute(text: UTF8String, buckets: Int): ArrayData = {
+    val bytes = text.getBytes
+    // token ranges under split-on-every-space, empties kept: n spaces →
+    // n+1 tokens
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = bytes.length
+    val md = digests.get()
+    val out = new Array[Long](nTok + (if (nTok >= 2) nTok - 1 else 0))
+    i = 0
+    while (i < nTok) {
+      out(i) = bucketOf(md, bytes, starts(i), ends(i) - starts(i), buckets)
+      i += 1
+    }
+    // bigram "tok_i tok_{i+1}" == the original bytes [starts(i), ends(i+1))
+    i = 0
+    while (i < nTok - 1) {
+      out(nTok + i) = bucketOf(md, bytes, starts(i), ends(i + 1) - starts(i), buckets)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -469,6 +469,24 @@ class UtilOpsSpec extends SparkSpec {
     }
   }
 
+  test("native dsir_buckets equals the declarative md5 uni+bigram construction") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf)
+    val both = docs.select(
+      call_function("dsir_buckets", col("text"), lit(8192)).as("native"),
+      graft.functions.Mix.uniBigramBucketsReference(col("text"), 8192).as("ref"))
+    assert(both.filter(col("native") =!= col("ref")).count() == 0)
+    // edge shapes: empty text (one empty token), single token, runs of
+    // spaces (empty tokens kept — split(' ') semantics)
+    import spark.implicits._
+    val edges = Seq("", "one", "a b", "a  b", " lead", "trail ").toDF("text")
+      .select(
+        call_function("dsir_buckets", col("text"), lit(64)).as("native"),
+        graft.functions.Mix.uniBigramBucketsReference(col("text"), 64).as("ref"))
+    assert(edges.filter(col("native") =!= col("ref")).count() == 0)
+  }
+
   test("DSIR: en-target importance weights rank English docs above the rest") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
