@@ -1317,130 +1317,195 @@ object GraftSqlParser {
   /** Expand DuckDB's `COLUMNS(...)` star pattern against a KNOWN schema
     * — callable only where the input columns are at hand (SqlStage; the
     * parser extension has no schema and leaves the construct to the
-    * guided error). Supported shapes:
+    * guided error). DuckDB (1.x, verified against 1.0.0) semantics: the
+    * whole SELECT-LIST ITEM containing COLUMNS(...) is replicated per
+    * matched column — any surrounding expression applies per column
+    * (`COLUMNS('^n_') * 2`, `max(COLUMNS(*)) + 1`, and
+    * `COLUMNS(p) <op> COLUMNS(p)` zips the equal expansions) — and each
+    * output keeps the MATCHED COLUMN's name (an explicit `AS alias`
+    * names every expansion `alias`, exactly as DuckDB does, duplicates
+    * and all).
     *
-    *  - bare `COLUMNS('regex')` / `COLUMNS(*)` in a select list → the
-    *    matching columns, original names (regex is RE2-style SEARCH
-    *    over the column name, like DuckDB's);
-    *  - one wrapping call `fn(COLUMNS(...))` → `fn(c) AS `fn(c)`` per
-    *    matching column (DuckDB names these `fn(t.c)`; the table
-    *    prefix is dropped here).
-    *
-    * Name-lambdas `c -> c [NOT] [I]LIKE 'pat'` evaluate here too (the
-    * schema is in hand). Complex lambdas (functions of the variable)
-    * and arithmetic over the expansion keep the guided error. A
-    * pattern matching zero columns raises, naming the available
-    * columns.
+    * Matchers: bare `*`; `'regex'` (RE2-style SEARCH over the name);
+    * `['a','b']` explicit lists (a missing name raises); name-lambdas
+    * `c -> c [NOT] [I]LIKE 'pat'` and `c -> c [NOT] SIMILAR TO 'regex'`
+    * (full-match, DuckDB's SIMILAR TO). Complex lambdas (functions of
+    * the variable) and COLUMNS outside a select list (e.g. in WHERE)
+    * keep the guided error. A pattern matching zero columns raises,
+    * naming the available columns; so do two COLUMNS with DIFFERENT
+    * patterns in one item (no sound splice — DuckDB zips identical
+    * expansions only).
     */
   def rewriteColumns(sql: String, cols: Seq[String]): String = {
     val masked = maskQuotes(sql)
     ColumnsRe.findFirstMatchIn(masked) match {
       case None => sql
       case Some(m) =>
-        // close paren of COLUMNS(...)
-        var i = m.end
-        var d = 1
-        while (i < masked.length && d > 0) {
-          masked.charAt(i) match {
-            case '(' => d += 1
-            case ')' => d -= 1
-            case _ =>
-          }
-          i += 1
+        val i = closeOf(masked, m.end) match {
+          case Some(e) => e
+          case None => return sql // unbalanced — let the parser report it
         }
-        if (d > 0) return sql // unbalanced — let the parser report it
         val argRaw = sql.substring(m.end, i - 1).trim
-        val matched: Seq[String] =
-          if (argRaw == "*") cols
-          else if (argRaw.length >= 2 && (argRaw.head == '\'' || argRaw.head == '"')
-            && argRaw.last == argRaw.head) {
-            val re = argRaw.substring(1, argRaw.length - 1).r
-            cols.filter(c => re.findFirstIn(c).isDefined)
-          } else {
-            // lambda over the column NAME: the common DuckDB forms
-            // `c -> c [NOT] [I]LIKE 'pat'` evaluate here at rewrite
-            // time (the schema is in hand); anything beyond a single
-            // LIKE predicate on the bare variable keeps the guided
-            // error (r6 what's-missing #2)
-            val lam = raw"(?is)^([A-Za-z_]\w*)\s*->\s*(.*)$$".r
-            argRaw match {
-              case lam(v, body) =>
-                val pred = raw"(?is)^${java.util.regex.Pattern.quote(v)}\s+(NOT\s+)?(I?LIKE)\s+'((?:[^']|'')*)'$$".r
-                body.trim match {
-                  case pred(neg, op, pat) =>
-                    val rx = ("^" + pat.replace("''", "'")
-                      .flatMap {
-                        case '%' => ".*"
-                        case '_' => "."
-                        case c if "\\.[]{}()*+-?^$|".contains(c) => "\\" + c
-                        case c => c.toString
-                      } + "$").r
-                    def hit(c: String): Boolean = {
-                      val target = if (op.equalsIgnoreCase("ILIKE")) c.toLowerCase else c
-                      val rx2 = if (op.equalsIgnoreCase("ILIKE"))
-                        ("(?i)" + rx.pattern.pattern).r else rx
-                      rx2.findFirstIn(target).isDefined
-                    }
-                    val base = cols.filter(hit)
-                    if (neg == null) base else cols.diff(base)
-                  case _ => return sql // complex lambda → guided error
-                }
-              case _ => return sql // computed arg → guided error path
-            }
-          }
+        val matched = matchedColumns(argRaw, cols) match {
+          case Some(ms) => ms
+          case None => return sql // unsupported arg form → guided error
+        }
         if (matched.isEmpty)
           throw new graft.functions.expressions.DuckDialectException(
             s"COLUMNS($argRaw) matches no column of [${cols.mkString(", ")}]")
-        // wrapping single function call? fn ( COLUMNS(...) )
-        val beforeIdx = (m.start - 1 to 0 by -1).find(j => !masked.charAt(j).isWhitespace)
-        val wrap = beforeIdx.filter(j => masked.charAt(j) == '(').flatMap { open =>
-          val fnEnd = (open - 1 to 0 by -1).find(j => !masked.charAt(j).isWhitespace)
-          fnEnd.flatMap { fe =>
-            val fn = wordEndingAt(masked, fe)
-            val afterIdx = (i until masked.length).find(j => !masked.charAt(j).isWhitespace)
-            (fn, afterIdx) match {
-              case (f, Some(close)) if f.nonEmpty && masked.charAt(close) == ')' &&
-                !Set("AND", "OR", "NOT", "WHERE", "ON", "IN", "SELECT", "FROM").contains(f) =>
-                Some((fe - f.length + 1, close, f))
-              case _ => None
-            }
+        val (itemStart, itemEnd) = itemSpanContaining(masked, m.start) match {
+          case Some(s) => s
+          case None => return sql // not in a select list → guided error
+        }
+        // every COLUMNS inside the item must carry the SAME pattern
+        val occs = ColumnsRe.findAllMatchIn(masked)
+          .filter(o => o.start >= itemStart && o.start < itemEnd).toList
+          .flatMap(o => closeOf(masked, o.end)
+            .map(e => (o.start, e, sql.substring(o.end, e - 1).trim)))
+        if (occs.exists(_._3 != argRaw))
+          throw new graft.functions.expressions.DuckDialectException(
+            "two COLUMNS(...) with different patterns in one select-list item " +
+              "have no sound expansion — DuckDB zips IDENTICAL expansions only")
+        // optional top-level trailing `AS alias` — DuckDB applies it to
+        // EVERY expansion (CAST(x AS t) never matches: its AS sits
+        // inside parens)
+        val itemMasked = masked.substring(itemStart, itemEnd)
+        val aliasM = raw"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
+          .findFirstMatchIn(itemMasked)
+          .filter { a =>
+            val prefix = itemMasked.substring(0, a.start)
+            prefix.count(_ == '(') == prefix.count(_ == ')')
           }
-        }
-        val rewritten = wrap match {
-          case Some((fnStart, close, _)) =>
-            val fnName = sql.substring(fnStart, sql.indexOf('(', fnStart)).trim
-            val expansion = matched
-              .map(c => s"$fnName(`$c`) AS `$fnName($c)`").mkString(", ")
-            sql.substring(0, fnStart) + expansion + sql.substring(close + 1)
-          case None =>
-            // ADVICE r6: DuckDB applies a surrounding expression PER
-            // expanded column; splicing `a, b` into `COLUMNS(...) * 2`
-            // would attach the `* 2` to the last column only and run —
-            // silent divergence. An adjacent operator at depth 0 (either
-            // side) keeps the guided error instead of expanding.
-            val opChars = "+-*/%=<>!|&^~"
-            val wordOps = Set("AND", "OR", "IS", "NOT", "LIKE", "ILIKE",
-              "BETWEEN", "IN", "DIV", "MOD")
-            val afterBad = (i until masked.length)
-              .find(j => !masked.charAt(j).isWhitespace).exists { j =>
-                opChars.contains(masked.charAt(j)) ||
-                  wordOps.contains(wordStartingAt(masked, j).toUpperCase)
-              }
-            val beforeBad = (m.start - 1 to 0 by -1)
-              .find(j => !masked.charAt(j).isWhitespace).exists { j =>
-                opChars.contains(masked.charAt(j)) ||
-                  wordOps.contains(wordEndingAt(masked, j).toUpperCase)
-              }
-            if (afterBad || beforeBad)
-              throw new graft.functions.expressions.DuckDialectException(
-                s"COLUMNS($argRaw) inside a larger expression isn't expandable " +
-                  "(DuckDB applies the expression per matched column) — write the " +
-                  "per-column expressions out, or use * EXCEPT(...) to subtract")
-            val expansion = matched.map(c => s"`$c`").mkString(", ")
-            sql.substring(0, m.start) + expansion + sql.substring(i)
-        }
-        rewriteColumns(rewritten, cols)
+        val exprLen = aliasM.map(_.start).getOrElse(itemMasked.length)
+        val alias = aliasM.map(a =>
+          sql.substring(itemStart + a.start(1), itemStart + a.end(1)))
+        val exprSql = sql.substring(itemStart, itemStart + exprLen)
+        val relOccs = occs.map { case (s, e, _) => (s - itemStart, e - itemStart) }
+          .sortBy(-_._1)
+        val expansion = matched.map { c =>
+          val rep = relOccs.foldLeft(exprSql) { case (acc, (s, e)) =>
+            acc.substring(0, s) + s"`$c`" + acc.substring(e)
+          }.trim
+          alias match {
+            case Some(a) => s"$rep AS `$a`"
+            case None if rep == s"`$c`" => rep // bare form keeps the name
+            case None => s"$rep AS `$c`"
+          }
+        }.mkString(", ")
+        // the item span swallows its surrounding whitespace (itemStart
+        // abuts SELECT/',', itemEnd abuts FROM/','): re-pad
+        rewriteColumns(
+          sql.substring(0, itemStart) + " " + expansion + " " +
+            sql.substring(itemEnd), cols)
     }
+  }
+
+  /** Index just past the ')' matching the '(' that `afterOpen` follows;
+    * None when unbalanced.
+    */
+  private def closeOf(masked: String, afterOpen: Int): Option[Int] = {
+    var i = afterOpen
+    var d = 1
+    while (i < masked.length && d > 0) {
+      masked.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (d == 0) Some(i) else None
+  }
+
+  /** Column set matched by a COLUMNS(...) argument; None when the form
+    * isn't supported (→ guided error).
+    */
+  private def matchedColumns(argRaw: String, cols: Seq[String]): Option[Seq[String]] = {
+    if (argRaw == "*") return Some(cols)
+    if (argRaw.length >= 2 && (argRaw.head == '\'' || argRaw.head == '"')
+        && argRaw.last == argRaw.head)
+      return {
+        val re = argRaw.substring(1, argRaw.length - 1).r
+        Some(cols.filter(c => re.findFirstIn(c).isDefined))
+      }
+    if (argRaw.startsWith("[") && argRaw.endsWith("]")) {
+      val elems = argRaw.substring(1, argRaw.length - 1).split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      if (!elems.forall(e => e.length >= 2 &&
+          (e.head == '\'' || e.head == '"') && e.last == e.head)) return None
+      val names = elems.map(e => e.substring(1, e.length - 1))
+      names.find(n => !cols.contains(n)).foreach { missing =>
+        throw new graft.functions.expressions.DuckDialectException(
+          s"COLUMNS list names '$missing', not a column of [${cols.mkString(", ")}]")
+      }
+      return Some(names)
+    }
+    val lam = raw"(?is)^([A-Za-z_]\w*)\s*->\s*(.*)$$".r
+    argRaw match {
+      case lam(v, body) =>
+        val q = java.util.regex.Pattern.quote(v)
+        val like = raw"(?is)^$q\s+(NOT\s+)?(I?LIKE)\s+'((?:[^']|'')*)'$$".r
+        val sim = raw"(?is)^$q\s+(NOT\s+)?SIMILAR\s+TO\s+'((?:[^']|'')*)'$$".r
+        body.trim match {
+          case like(neg, op, pat) =>
+            val rx = "^" + pat.replace("''", "'").flatMap {
+              case '%' => ".*"
+              case '_' => "."
+              case c if "\\.[]{}()*+-?^$|".contains(c) => "\\" + c
+              case c => c.toString
+            } + "$"
+            val rx2 = (if (op.equalsIgnoreCase("ILIKE")) "(?i)" + rx else rx).r
+            val base = cols.filter(c => rx2.findFirstIn(c).isDefined)
+            Some(if (neg == null) base else cols.diff(base))
+          case sim(neg, pat) =>
+            // DuckDB's SIMILAR TO is a FULL regex match
+            val rx = ("^(?:" + pat.replace("''", "'") + ")$").r
+            val base = cols.filter(c => rx.findFirstIn(c).isDefined)
+            Some(if (neg == null) base else cols.diff(base))
+          case _ => None // complex lambda → guided error
+        }
+      case _ => None // computed arg → guided error
+    }
+  }
+
+  /** The [start, end) span of the select-list item containing position
+    * `p`, resolved against the INNERMOST enclosing SELECT; None when
+    * `p` sits in no select list (WHERE/ON/... → guided error).
+    */
+  private def itemSpanContaining(masked: String, p: Int): Option[(Int, Int)] = {
+    val SelectRe = raw"(?i)\bSELECT\b".r
+    var best: Option[(Int, Int)] = None
+    for (sm <- SelectRe.findAllMatchIn(masked) if sm.end <= p) {
+      var j = sm.end
+      var depth = 0
+      var itemStart = j
+      var scanning = true
+      while (scanning && j < masked.length) {
+        val c = masked.charAt(j)
+        if (c == '(') { depth += 1; j += 1 }
+        else if (c == ')') {
+          if (depth == 0) { // the paren enclosing this SELECT closes
+            if (itemStart <= p && p < j) best = Some((itemStart, j))
+            scanning = false
+          } else { depth -= 1; j += 1 }
+        } else if (c == ',' && depth == 0) {
+          if (itemStart <= p && p < j) { best = Some((itemStart, j)); scanning = false }
+          else { j += 1; itemStart = j }
+        } else if (depth == 0 && (c.isLetter || c == '_')) {
+          val w = wordStartingAt(masked, j)
+          if (w == "FROM") {
+            if (itemStart <= p && p < j) best = Some((itemStart, j))
+            scanning = false
+          } else if ((w == "DISTINCT" || w == "ALL") &&
+              masked.substring(itemStart, j).trim.isEmpty) {
+            j += w.length; itemStart = j
+          } else j += math.max(1, w.length)
+        } else j += 1
+      }
+      if (scanning && itemStart <= p && p <= j) // list ran to string end
+        best = Some((itemStart, j))
+    }
+    best
   }
 
   /** Run a parse, converting a bare ANTLR failure on a known DuckDB-ism

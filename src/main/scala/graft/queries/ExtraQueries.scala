@@ -444,7 +444,28 @@ object ExtraQueries {
         coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_or_neg"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** COLUMNS(...) star-pattern expansion through the dialect layer —
+    * DuckDB executes the IDENTICAL statement text natively (the
+    * q105-q108 pattern), covering the r8 item-replication semantics:
+    * an aggregate + arithmetic applied per matched column, outputs
+    * named after the matched columns (DuckDB 1.x naming, verified
+    * against duckdb 1.0.0). max and doubling keep every value exact in
+    * doubles, so the gate hash compares bit-for-bit.
+    */
+  private[graft] val columnsSqlText =
+    "SELECT l_returnflag, max(COLUMNS('^l_(quantity|extendedprice)')) * 2 " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+
+  def q113ColumnsSql(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    l.createOrReplaceTempView("lineitem")
+    s.sql(graft.operators.GraftSqlParser.rewriteAll(
+      graft.operators.GraftSqlParser.rewriteColumns(
+        columnsSqlText, l.columns.toSeq)))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_columns_sql"    -> (q113ColumnsSql _),
     "q69_approx_distinct" -> (q69ApproxDistinct _),
     "q74_bit_aggs"        -> (q74BitAggs _),
     "q75_string_shape"    -> (q75StringShape _),
@@ -483,6 +504,7 @@ object ExtraQueries {
     "q106_unpivot_sql" -> unpivotSqlText,
     "q107_distinct_on_sql" -> distinctOnSqlText,
     "q108_star_replace_sql" -> starReplaceSqlText,
+    "q113_columns_sql" -> columnsSqlText,
     "q81_range_join" -> """
       WITH iv AS (
         SELECT i AS interval_id, 1704067200 + i * 7200 AS s_sec

@@ -394,9 +394,11 @@ class DialectSpec extends SparkSpec {
     // bare regex form keeps original names
     val bare = SqlStage("s", "SELECT COLUMNS('^n_') FROM df").apply(spark, df)
     assert(bare.columns.toSeq == Seq("n_a", "n_b"))
-    // one-function wrap: per-column aggregate with fn(col) names
+    // function wrap: per-column aggregate; DuckDB 1.x names each output
+    // after the MATCHED COLUMN (verified against duckdb 1.0.0), not
+    // `fn(col)`
     val agg = SqlStage("s", "SELECT max(COLUMNS('^n_')) FROM df").apply(spark, df)
-    assert(agg.columns.toSeq == Seq("max(n_a)", "max(n_b)"))
+    assert(agg.columns.toSeq == Seq("n_a", "n_b"))
     assert(agg.collect().head.getLong(0) == 4L && agg.collect().head.getLong(1) == 6L)
     // COLUMNS(*) expands to everything
     assert(SqlStage("s", "SELECT COLUMNS(*) FROM df").apply(spark, df)
@@ -416,21 +418,50 @@ class DialectSpec extends SparkSpec {
     val e2 = intercept[DuckDialectException](
       SqlStage("s", "SELECT COLUMNS(c -> lower(c) LIKE 'n%') FROM df").apply(spark, df))
     assert(e2.getMessage.contains("COLUMNS"))
-    // arithmetic over the expansion (either side) must NOT silently
-    // expand — DuckDB applies the operator per column, a bare inline
-    // splice would attach it to one column only (ADVICE r6)
-    val e3 = intercept[DuckDialectException](
-      SqlStage("s", "SELECT COLUMNS('^n_') * 2 FROM df").apply(spark, df))
-    assert(e3.getMessage.contains("per matched column"))
-    val e4 = intercept[DuckDialectException](
-      SqlStage("s", "SELECT 2 + COLUMNS('^n_') FROM df").apply(spark, df))
-    assert(e4.getMessage.contains("per matched column"))
-    val e5 = intercept[DuckDialectException](
-      SqlStage("s", "SELECT COLUMNS('^n_') IS NULL FROM df").apply(spark, df))
-    assert(e5.getMessage.contains("per matched column"))
+    // expressions over the expansion apply PER MATCHED COLUMN and keep
+    // the matched column's name — DuckDB 1.x item-replication semantics
+    // (was a guided error through r7)
+    val dbl = SqlStage("s", "SELECT COLUMNS('^n_') * 2 FROM df").apply(spark, df)
+    assert(dbl.columns.toSeq == Seq("n_a", "n_b"))
+    assert(dbl.orderBy("n_a").collect().map(_.getLong(0)).toSeq == Seq(0L, 4L, 8L))
+    val lhs = SqlStage("s", "SELECT 2 + COLUMNS('^n_') FROM df").apply(spark, df)
+    assert(lhs.columns.toSeq == Seq("n_a", "n_b"))
+    val isn = SqlStage("s", "SELECT COLUMNS('^n_') IS NULL FROM df").apply(spark, df)
+    assert(isn.columns.toSeq == Seq("n_a", "n_b") &&
+      isn.collect().forall(r => !r.getBoolean(0)))
+    // aggregate + arithmetic; an explicit alias names EVERY expansion
+    // (duplicates and all, as DuckDB does)
+    val aggp = SqlStage("s", "SELECT min(COLUMNS('^n_')) + 1 FROM df").apply(spark, df)
+    assert(aggp.columns.toSeq == Seq("n_a", "n_b") &&
+      aggp.collect().head.getLong(0) == 1L)
+    val ali = SqlStage("s", "SELECT COLUMNS('^n_') * 2 AS dbl FROM df").apply(spark, df)
+    assert(ali.columns.toSeq == Seq("dbl", "dbl"))
+    // identical COLUMNS zip per matched column; different patterns raise
+    val zip = SqlStage("s",
+      "SELECT COLUMNS('^n_') + COLUMNS('^n_') FROM df").apply(spark, df)
+    assert(zip.columns.toSeq == Seq("n_a", "n_b") &&
+      zip.orderBy("n_a").collect().map(_.getLong(0)).toSeq == Seq(0L, 4L, 8L))
+    val e6 = intercept[DuckDialectException](SqlStage("s",
+      "SELECT COLUMNS('^n_a') + COLUMNS('^n_b') FROM df").apply(spark, df))
+    assert(e6.getMessage.contains("IDENTICAL"))
+    // explicit list form; a missing name raises
+    assert(SqlStage("s", "SELECT COLUMNS(['n_b', 'tag']) FROM df").apply(spark, df)
+      .columns.toSeq == Seq("n_b", "tag"))
+    val e7 = intercept[DuckDialectException](SqlStage("s",
+      "SELECT COLUMNS(['n_b', 'zz']) FROM df").apply(spark, df))
+    assert(e7.getMessage.contains("'zz'"))
+    // SIMILAR TO lambda is a FULL regex match
+    assert(SqlStage("s", "SELECT COLUMNS(c -> c SIMILAR TO 'n_.') FROM df")
+      .apply(spark, df).columns.toSeq == Seq("n_a", "n_b"))
+    assert(SqlStage("s", "SELECT COLUMNS(c -> c NOT SIMILAR TO 'n_.') FROM df")
+      .apply(spark, df).columns.toSeq == Seq("id", "tag"))
     // a trailing comma / FROM / alias is NOT an operator context
     val ok = SqlStage("s", "SELECT COLUMNS('^n_'), tag FROM df").apply(spark, df)
     assert(ok.columns.toSeq == Seq("n_a", "n_b", "tag"))
+    // expansion inside a subquery resolves against the inner select list
+    val sub = SqlStage("s",
+      "SELECT * FROM (SELECT COLUMNS('^n_') * 10 FROM df) WHERE n_a > 0").apply(spark, df)
+    assert(sub.columns.toSeq == Seq("n_a", "n_b") && sub.count() == 2)
   }
 
   test("POSITIONAL JOIN one-sided star wraps only that side's helper index") {
