@@ -132,6 +132,17 @@ object ScaleProbe {
           // sum forces the rank windows (count alone could prune columns)
           graft.queries.TextQueries.q96QualityFilter(spark, d)
             .agg(sum(col("score"))).collect()(0).getLong(0)),
+        // auto-sized centroid count (the 100 TB knob: nlist ≈ √N keeps
+        // the cluster-local pair quadratic at ~N^1.5 map-side flops)
+        "q111_semdedup" -> (() => {
+          val seeds = emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+            .limit(nlist)
+            .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+          VF.semDedup(emb, seeds, tau = 0.42).count()
+        }),
+        "q112_dsir_scores" -> (() =>
+          graft.functions.Mix.dsirScores(docs,
+            docs.filter(col("lang") === "en"), "doc_id", "text").count()),
       )
     }
 
