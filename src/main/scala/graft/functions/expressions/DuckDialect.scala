@@ -334,10 +334,12 @@ object DuckDialect {
     raw"(?i)\bUSING\s+SAMPLE\b".r ->
       "this USING SAMPLE form couldn't be auto-rewritten (sampling-method specs change statistics) — use TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
     // DuckDB's SUMMARIZE statement (per-column stats of a relation) —
-    // statement-level keyword, nothing mechanical to rewrite it to
-    // (its output schema depends on DuckDB's type-directed stat set)
+    // graft `sql` stages execute it (GraftSqlParser.summarize, one
+    // single-pass aggregate with DuckDB's exact output shape); this
+    // hint fires only OUTSIDE a sql stage, where plain spark.sql can't
+    // return the custom relation
     raw"(?is)^\s*SUMMARIZE\b".r ->
-      "DuckDB's SUMMARIZE statement isn't Spark SQL — use DESCRIBE table for schema, or per-column aggregates: SELECT count(*), min(c), max(c), approx_count_distinct(c), avg(c), percentile_approx(c, array(0.25, 0.5, 0.75)) FROM t (Dataset API: df.summary())",
+      "DuckDB's SUMMARIZE runs inside graft sql stages (per-column stats, DuckDB's output shape); in plain Spark SQL use DESCRIBE table for schema, per-column aggregates, or the Dataset API df.summary()",
     // DISTINCT ON is normally rewritten automatically (GraftSqlParser.
     // rewriteDistinctOn → QUALIFY); this hint fires if a shape slipped
     // past the rewrite and Spark's parser rejected it

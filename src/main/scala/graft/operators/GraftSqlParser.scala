@@ -1641,4 +1641,92 @@ object GraftSqlParser {
         rewriteReplace(sql.substring(0, m.start) + expansion + sql.substring(i), cols)
     }
   }
+
+  /** `SUMMARIZE <target>` statement detection: Some(target text) when
+    * the statement is DuckDB's SUMMARIZE (target = a table name, `df`,
+    * or a full SELECT), None otherwise.
+    */
+  def summarizeTarget(sql: String): Option[String] =
+    raw"(?is)^\s*SUMMARIZE\b(.*)$$".r.findFirstMatchIn(sql)
+      .map(_.group(1).trim.stripSuffix(";").trim)
+
+  /** DuckDB's `SUMMARIZE` relation: one row per input column with
+    * (column_name, column_type, min, max, approx_unique, avg, std,
+    * q25, q50, q75, count, null_percentage) — same columns, same
+    * DuckDB type names (STRING→VARCHAR etc.), numeric-only stats NULL
+    * elsewhere, exactly DuckDB's shape. Values: min/max/count/
+    * null_percentage are exact; approx_unique is Spark's HLL and
+    * q25/q50/q75 Spark's GK quantiles, which can differ from DuckDB's
+    * own approximations in the last places — faithful to SUMMARIZE's
+    * contract (DuckDB documents approx_unique/q* as approximate), so
+    * this relation has no byte-exact oracle and is spec-asserted
+    * instead.
+    *
+    * Plan shape: ONE aggregate pass over the input (every stat for
+    * every column in a single scan — ~7·ncols partial-aggregated
+    * expressions), then a stack() of the 1-row result into ncols rows.
+    * No collect, no per-column scans: at 100 TB SUMMARIZE costs one
+    * read of the table.
+    */
+  def summarize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.toSeq
+    def duckType(t: DataType): String = t match {
+      case StringType => "VARCHAR"
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case BooleanType => "BOOLEAN"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case TimestampType => "TIMESTAMP WITH TIME ZONE"
+      case TimestampNTZType => "TIMESTAMP"
+      case DateType => "DATE"
+      case BinaryType => "BLOB"
+      case ArrayType(e, _) => s"${duckType(e)}[]"
+      case other => other.sql
+    }
+    def qn(n: String) = s"`${n.replace("`", "``")}`"
+    val aggs: Seq[org.apache.spark.sql.Column] = fields.zipWithIndex.flatMap { case (f, ix) =>
+      val c = col(qn(f.name))
+      val numeric = f.dataType.isInstanceOf[NumericType]
+      val ordered = numeric || (f.dataType match {
+        case StringType | DateType | TimestampType | TimestampNTZType |
+             BooleanType => true
+        case _ => false
+      })
+      def nul = lit(null).cast("string")
+      Seq(
+        (if (ordered) min(c).cast("string") else nul).as(s"__g${ix}_min"),
+        (if (ordered) max(c).cast("string") else nul).as(s"__g${ix}_max"),
+        approx_count_distinct(c).as(s"__g${ix}_au"),
+        (if (numeric) avg(c.cast("double")).cast("string") else nul).as(s"__g${ix}_avg"),
+        (if (numeric) stddev(c.cast("double")).cast("string") else nul).as(s"__g${ix}_std"),
+        (if (numeric)
+          percentile_approx(c.cast("double"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+        else lit(null).cast("array<double>")).as(s"__g${ix}_q"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__g${ix}_nn"))
+    } :+ count(lit(1)).as("__total")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.zipWithIndex.map { case (f, ix) =>
+      struct(
+        lit(f.name).as("column_name"),
+        lit(duckType(f.dataType)).as("column_type"),
+        col(s"__g${ix}_min").as("min"),
+        col(s"__g${ix}_max").as("max"),
+        col(s"__g${ix}_au").as("approx_unique"),
+        col(s"__g${ix}_avg").as("avg"),
+        col(s"__g${ix}_std").as("std"),
+        element_at(col(s"__g${ix}_q"), 1).cast("string").as("q25"),
+        element_at(col(s"__g${ix}_q"), 2).cast("string").as("q50"),
+        element_at(col(s"__g${ix}_q"), 3).cast("string").as("q75"),
+        col("__total").as("count"),
+        (col(s"__g${ix}_nn") * 100.0 / greatest(col("__total"), lit(1L)))
+          .cast("decimal(5,2)").as("null_percentage"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+  }
 }

@@ -38,6 +38,18 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // value discovery) and produce plain SELECTs for the text rewrites;
     // the discovery/schema-probe SQL goes through the same rewrite
     // chain so a dialect-bearing pivot source still works
+    // SUMMARIZE statement: produce the per-column stats relation
+    // directly (one single-pass aggregate over the target — no SQL
+    // equivalent to splice). `SUMMARIZE SELECT ...` recurses through
+    // this stage so the inner query keeps the full dialect layer.
+    GraftSqlParser.summarizeTarget(code).foreach { target =>
+      val inner =
+        if (target.isEmpty || target.equalsIgnoreCase("df")) df
+        else if (raw"(?is)^\s*(SELECT|WITH|FROM)\b".r.findFirstIn(target).isDefined)
+          SqlStage(name, target).apply(spark, df)
+        else spark.table(target)
+      return GraftSqlParser.summarize(inner)
+    }
     val stmt = GraftSqlParser.rewritePivotStatement(spark,
       GraftSqlParser.rewriteUnpivotStatement(code),
       s => GraftSqlParser.rewriteAll(

@@ -834,18 +834,52 @@ class DialectSpec extends SparkSpec {
     assert(noAs.getMessage.contains("expr AS column"))
   }
 
-  test("GROUP BY ALL / ORDER BY ALL pass through natively; SUMMARIZE raises a guided hint") {
+  test("GROUP BY ALL / ORDER BY ALL pass through natively; SUMMARIZE executes") {
     spark.range(30).selectExpr("id % 3 AS g", "id").createOrReplaceTempView("gba")
     // Spark 4 supports DuckDB's GROUP BY ALL / ORDER BY ALL natively —
     // document the parity (no rewrite involved)
     val rows = SqlStage("s", "SELECT g, count(*) AS n FROM gba GROUP BY ALL ORDER BY ALL")
       .apply(spark, spark.range(1).toDF("id")).collect()
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 10L), (1L, 10L), (2L, 10L)))
-    val hinted = intercept[DuckDialectException] {
-      SqlStage("s", "SUMMARIZE gba").apply(spark, spark.range(1).toDF("id"))
-    }
-    assert(hinted.getMessage.contains("SUMMARIZE"))
-    assert(hinted.getMessage.contains("summary"))
+  }
+
+  test("SUMMARIZE statement: DuckDB output shape, exact stats exact, one-scan plan") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.5), "x", true), (3L, None, "yy", false),
+      (5L, Some(4.5), "x", true)).toDF("a", "b", "c", "f")
+    val out = SqlStage("s", "SUMMARIZE df").apply(spark, df)
+    // DuckDB's exact column set, in its order
+    assert(out.columns.toSeq == Seq("column_name", "column_type", "min", "max",
+      "approx_unique", "avg", "std", "q25", "q50", "q75", "count",
+      "null_percentage"))
+    assert(out.count() == 4) // one row per input column
+    val byName = out.collect().map(r => r.getString(0) -> r).toMap
+    // exact stats are exact: min/max/count/null_percentage
+    val a = byName("a")
+    assert(a.getString(1) == "BIGINT" && a.getString(2) == "1" &&
+      a.getString(3) == "5" && a.getLong(10) == 3L &&
+      a.getDecimal(11).doubleValue() == 0.0)
+    val b = byName("b")
+    assert(b.getString(1) == "DOUBLE" &&
+      math.abs(b.getDecimal(11).doubleValue() - 33.33) < 0.01) // 1 of 3 null
+    assert(b.getString(5).toDouble == 3.5) // avg over non-nulls
+    val c = byName("c")
+    // non-numeric: min/max ordered, numeric stats NULL (DuckDB's shape)
+    assert(c.getString(1) == "VARCHAR" && c.getString(2) == "x" &&
+      c.getString(3) == "yy" && c.isNullAt(5) && c.isNullAt(7))
+    // approx_unique is within HLL tolerance of the exact 2
+    assert(math.abs(c.getLong(4) - 2L) <= 1)
+    // SUMMARIZE SELECT ... recurses through the dialect layer
+    val sel = SqlStage("s", "SUMMARIZE SELECT a FROM df WHERE a > 1").apply(spark, df)
+    assert(sel.count() == 1 && sel.collect().head.getLong(10) == 2L)
+    // named view target
+    df.createOrReplaceTempView("sumt")
+    assert(SqlStage("s", "SUMMARIZE sumt").apply(spark, df).count() == 4)
+    // one-scan plan: a single aggregate over the input, not per-column
+    // scans — the relation appears exactly once in the physical plan
+    val plan = SqlStage("s", "SUMMARIZE df").apply(spark, df)
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan ExistingRDD".r.findAllIn(plan).size <= 1, plan)
   }
 
   test("DISTINCT ON and * REPLACE e2e through a YAML sql stage") {
