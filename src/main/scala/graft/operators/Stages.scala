@@ -170,15 +170,21 @@ object TransformRegistry {
   *    column is REPLACED by the reassembled survivors, and rows whose
   *    every line was boilerplate are dropped; `hashKeys: true` keys the
   *    frequency count by xxhash64(line) — the 100 TB build side;
-  *  - `vectors`: SemDeDup-style embedding near-dup removal
+  *  - `vectors`: LSH embedding near-dup removal
   *    ([[graft.functions.VectorFunctions.dropNearDupVectors]]) over the
   *    `vec` column (default `embedding`) at cosine ≥ `threshold`
   *    (`bits`/`tables` size the LSH index; omitted `bits` auto-sizes
-  *    from the corpus count — bits ≈ log2(corpus), the r7 default).
+  *    from the corpus count — bits ≈ log2(corpus), the r7 default);
+  *  - `semdedup`: SemDeDup proper (Abbas et al. 2023,
+  *    [[graft.functions.VectorFunctions.semDedup]]) — k-means cluster
+  *    then cluster-local keep-lowest-id prune at cosine ≥ `threshold`;
+  *    `clusters` sets the centroid count (omitted → √N/3 auto-sizing,
+  *    which bounds the cluster-local quadratic at ~N^1.5 flops).
   *
   * {{{
   * actionConfig: {method: minhash, id: doc_id, text: text, threshold: 0.6}
   * actionConfig: {method: vectors, id: vec_id, vec: embedding, threshold: 0.95}
+  * actionConfig: {method: semdedup, id: vec_id, vec: embedding, threshold: 0.9}
   * actionConfig: {method: lines, id: doc_id, text: text, maxDf: 4}
   * }}}
   */
@@ -189,7 +195,9 @@ final case class DedupStage(name: String, method: String, idCol: String,
                             bits: Int = graft.functions.VectorFunctions.Auto,
                             tables: Int = 16,
                             maxDf: Long = 4,
-                            hashKeys: Boolean = false) extends Stage {
+                            hashKeys: Boolean = false,
+                            clusters: Int = graft.functions.VectorFunctions.Auto)
+    extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "exact" | "fingerprint" =>
       val key = if (method == "exact") col(textCol)
@@ -209,8 +217,19 @@ final case class DedupStage(name: String, method: String, idCol: String,
     case "vectors" =>
       graft.functions.VectorFunctions.dropNearDupVectors(
         df, idCol, vecCol, threshold, bits, tables)
+    case "semdedup" =>
+      // SemDeDup proper (Abbas 2023): Lloyd-refined quantizer (nlist
+      // auto-sizes to √N/3 when `clusters` is omitted), cluster-local
+      // keep-lowest-id prune at cosine ≥ threshold
+      val corpus = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      val idx = graft.functions.VectorFunctions.buildIvf(
+        corpus, nlist = clusters, refine = 1)
+      val survivors = graft.functions.VectorFunctions.semDedup(
+        corpus, idx.centroids, threshold)
+      df.join(survivors.select(col("vec_id").as("__graft_keep")),
+        col(idCol) === col("__graft_keep"), "left_semi")
     case other => throw new IllegalArgumentException(
-      s"dedup stage '$name': unknown method '$other' (exact | fingerprint | minhash | spans | lines | vectors)")
+      s"dedup stage '$name': unknown method '$other' (exact | fingerprint | minhash | spans | lines | vectors | semdedup)")
   }
 
   /** Swap the text column for the rebuilt survivors of a
@@ -251,7 +270,8 @@ object DedupStage {
       // bits omitted in YAML → auto-sized from the corpus (bits ≈ log2 n)
       n("bits", graft.functions.VectorFunctions.Auto), n("tables", 16),
       n("maxDf", 4).toLong,
-      ac.get("hashKeys").flatMap(Option(_)).exists(_.toString.toBoolean))
+      ac.get("hashKeys").flatMap(Option(_)).exists(_.toString.toBoolean),
+      n("clusters", graft.functions.VectorFunctions.Auto))
   }
 }
 

@@ -202,6 +202,27 @@ class PipelineSpec extends SparkSpec {
       assert(vecOut.count() == twin.count() && vecOut.count() > 0)
     }
 
+    // semdedup dedup stage from YAML: kmeans cluster-then-prune over the
+    // embedding column; kept rows match the operator chain called
+    // directly (the build is deterministic, so counts agree exactly)
+    {
+      val yamlSem =
+        s"""
+          |filters:
+          |  - name: sem
+          |    actionType: dedup
+          |    actionConfig: {method: semdedup, id: vec_id, vec: embedding, threshold: 0.42, clusters: 8}
+          |""".stripMargin
+      val out = Pipeline.runYaml(spark, yamlSem, s"$sf/embeddings.parquet", None).output
+      val emb = Tables.embeddings(spark, sf)
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val idx = graft.functions.VectorFunctions.buildIvf(corpus, nlist = 8, refine = 1)
+      val twin = graft.functions.VectorFunctions.semDedup(corpus, idx.centroids, 0.42)
+      assert(out.count() == twin.count() && out.count() > 0 &&
+        out.count() < emb.count())
+      assert(out.columns.toSeq == emb.columns.toSeq)
+    }
+
     // dsir mix stage from YAML: importance-resample toward the English
     // slice; the kept rows match the operator called directly
     {
@@ -245,8 +266,9 @@ class PipelineSpec extends SparkSpec {
     }
 
     // the full pretraining data-prep story composed from ONE config:
-    // near-dup dedup → quality scoring → per-lang quality gate →
-    // temperature rebalance → token budget → split labels → packing
+    // near-dup dedup → DSIR selection toward English → quality scoring →
+    // per-lang quality gate → temperature rebalance → token budget →
+    // split labels → packing
     {
       // temperature emits (doc_id, copy) multiplicities, so a sql stage
       // derives the unique downstream row key for the id-keyed stages
@@ -256,6 +278,9 @@ class PipelineSpec extends SparkSpec {
           |  - name: near_dedup
           |    actionType: dedup
           |    actionConfig: {method: minhash, id: doc_id, text: text, threshold: 0.6}
+          |  - name: toward_en
+          |    actionType: mix
+          |    actionConfig: {method: dsir, id: doc_id, text: text, target: "lang = 'en'", fraction: 0.9}
           |  - name: score
           |    actionType: score
           |    actionConfig: {id: doc_id, text: text}
