@@ -294,7 +294,7 @@ object DuckDialect {
     "gen_random_uuid" -> "use uuid() (non-deterministic; forbidden in oracle-checked queries)",
     // lambda/computed COLUMNS() forms parse as a normal call and fail
     // ANALYSIS (the expandable shapes were already rewritten in SqlStage)
-    "columns" -> "this COLUMNS(...) shape isn't expandable (complex lambdas — functions of the variable — and COLUMNS outside a select list; *, 'regex', ['list'], LIKE/SIMILAR TO name-lambdas and whole-item expressions over the expansion DO expand) — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract"
+    "columns" -> "this COLUMNS(...) shape isn't expandable (complex lambdas — functions of the variable — and COLUMNS outside a select list or WHERE clause; *, 'regex', ['list'], LIKE/SIMILAR TO name-lambdas, whole-item expressions and AND-replicated WHERE predicates DO expand) — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract"
   )
 
   /** Syntax-level DuckDB-isms Spark's parser rejects — scanned (on a

@@ -1355,7 +1355,34 @@ object GraftSqlParser {
             s"COLUMNS($argRaw) matches no column of [${cols.mkString(", ")}]")
         val (itemStart, itemEnd) = itemSpanContaining(masked, m.start) match {
           case Some(s) => s
-          case None => return sql // not in a select list → guided error
+          case None =>
+            // WHERE-clause COLUMNS: DuckDB replicates the ENTIRE
+            // predicate per matched column and ANDs the replicas
+            // (`WHERE COLUMNS('a.*') > 0 OR b = 'y'` keeps rows where
+            // every column satisfies the full disjunction — verified
+            // against duckdb 1.0.0)
+            whereSpanContaining(masked, m.start) match {
+              case None => return sql // other clause → guided error
+              case Some((ws, we)) =>
+                val occs = ColumnsRe.findAllMatchIn(masked)
+                  .filter(o => o.start >= ws && o.start < we).toList
+                  .flatMap(o => closeOf(masked, o.end)
+                    .map(e => (o.start, e, sql.substring(o.end, e - 1).trim)))
+                if (occs.exists(_._3 != argRaw))
+                  throw new graft.functions.expressions.DuckDialectException(
+                    "two COLUMNS(...) with different patterns in one predicate " +
+                      "have no sound expansion — DuckDB zips IDENTICAL expansions only")
+                val clause = sql.substring(ws, we)
+                val rel = occs.map { case (s, e, _) => (s - ws, e - ws) }
+                  .sortBy(-_._1)
+                val expansion = matched.map { c =>
+                  "(" + rel.foldLeft(clause) { case (acc, (s, e)) =>
+                    acc.substring(0, s) + s"`$c`" + acc.substring(e)
+                  }.trim + ")"
+                }.mkString(" AND ")
+                return rewriteColumns(sql.substring(0, ws) + " " + expansion +
+                  " " + sql.substring(we), cols)
+            }
         }
         // every COLUMNS inside the item must carry the SAME pattern
         val occs = ColumnsRe.findAllMatchIn(masked)
@@ -1468,9 +1495,38 @@ object GraftSqlParser {
     }
   }
 
+  /** The [start, end) span of the WHERE clause body containing position
+    * `p` (innermost WHERE wins); None when `p` is in no WHERE clause.
+    */
+  private def whereSpanContaining(masked: String, p: Int): Option[(Int, Int)] = {
+    val WhereRe = raw"(?i)\bWHERE\b".r
+    val enders = Set("GROUP", "ORDER", "HAVING", "LIMIT", "QUALIFY",
+      "WINDOW", "UNION", "INTERSECT", "EXCEPT")
+    var best: Option[(Int, Int)] = None
+    for (wm <- WhereRe.findAllMatchIn(masked) if wm.end <= p) {
+      var j = wm.end
+      var depth = 0
+      var scanning = true
+      while (scanning && j < masked.length) {
+        val c = masked.charAt(j)
+        if (c == '(') { depth += 1; j += 1 }
+        else if (c == ')') {
+          if (depth == 0) scanning = false else { depth -= 1; j += 1 }
+        } else if (depth == 0 && (c.isLetter || c == '_')) {
+          val w = wordStartingAt(masked, j)
+          if (enders.contains(w)) scanning = false
+          else j += math.max(1, w.length)
+        } else j += 1
+      }
+      if (wm.end <= p && p < j) best = Some((wm.end, j))
+    }
+    best
+  }
+
   /** The [start, end) span of the select-list item containing position
     * `p`, resolved against the INNERMOST enclosing SELECT; None when
-    * `p` sits in no select list (WHERE/ON/... → guided error).
+    * `p` sits in no select list (WHERE handled separately; ON/... →
+    * guided error).
     */
   private def itemSpanContaining(masked: String, p: Int): Option[(Int, Int)] = {
     val SelectRe = raw"(?i)\bSELECT\b".r

@@ -462,6 +462,21 @@ class DialectSpec extends SparkSpec {
     val sub = SqlStage("s",
       "SELECT * FROM (SELECT COLUMNS('^n_') * 10 FROM df) WHERE n_a > 0").apply(spark, df)
     assert(sub.columns.toSeq == Seq("n_a", "n_b") && sub.count() == 2)
+    // WHERE-clause COLUMNS: the ENTIRE predicate replicates per matched
+    // column, replicas AND-ed (duckdb 1.0.0 semantics — the OR case is
+    // what distinguishes whole-predicate from conjunct-level expansion)
+    // df rows: (id, n_a=2id, n_b=3id, tag='x') for id 0..2
+    val wh = SqlStage("s",
+      "SELECT id FROM df WHERE COLUMNS('^n_') > 0").apply(spark, df)
+    assert(wh.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val whOr = SqlStage("s",
+      "SELECT id FROM df WHERE COLUMNS('^n_') > 2 OR id = 1").apply(spark, df)
+    // id=1: (2>2 OR true) AND (3>2 OR true) → kept; id=2: (4>2) AND (6>2)
+    // → kept; id=0: false
+    assert(whOr.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val whMix = SqlStage("s",
+      "SELECT id FROM df WHERE tag = 'x' AND COLUMNS('^n_') >= 2").apply(spark, df)
+    assert(whMix.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
   test("POSITIONAL JOIN one-sided star wraps only that side's helper index") {

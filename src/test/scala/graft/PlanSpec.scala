@@ -213,6 +213,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains(", 1, 2)") && !p.contains("SinglePartition"), p)
   }
 
+  test("q111 semDedup: row-local assignment, no cartesian; drop-set anti join") {
+    val p = planOf(graft.queries.VectorQueries.q111SemDedup(spark, sf))
+    // assignment is the broadcast-argmax expression — no crossJoin of
+    // corpus x centroids; the cluster-local pair join is an equality
+    // join on cid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("LeftAnti"), p) // dropped-id sliver anti-joins back
+  }
+
+  test("q112 DSIR: native featurization, bucket table broadcasts back") {
+    val df = graft.queries.TextQueries.q112DsirScores(spark, sf)
+    val p = planOf(df)
+    // the enriched bucket table (<= buckets rows) joins back by
+    // broadcast — the corpus-sized side never shuffles for the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // featurization is the native one-pass expression, not a gram-string
+    // explode + md5 chain
+    assert(p.contains("dsirbuckets") || p.toLowerCase.contains("dsir"), p)
+  }
+
   test("blanket sweep: no query in the inventory plans an unbounded CartesianProduct") {
     SparkEntry.queries.foreach { case (n, fn) =>
       val p = planOf(fn(spark, sf))
