@@ -119,6 +119,30 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed parquet table — the co-located-join knob SCALE.md
+    * documents for the q03 shape: two fact tables bucketed (and
+    * sort-bucketed) on their join key the SAME way join with NO
+    * exchange on either side (Spark trusts the bucketing's
+    * hash-partitioning; PartitionSpec proves the exchange disappears).
+    * At 100 TB this converts every repeated lineitem⋈orders-style join
+    * from two full shuffles into a zero-shuffle sort-merge — paid once
+    * at write time, amortized over every downstream join on that key.
+    *
+    * Bucketing requires a catalog table (`saveAsTable` + `path`
+    * option) — plain `.parquet(path)` files carry no bucketing
+    * metadata Spark will trust.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCols: Seq[String], buckets: Int,
+                    sorted: Boolean = true): Unit = {
+    require(bucketCols.nonEmpty && buckets > 0, "bucketCols + positive buckets")
+    val w = df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sorted) w.sortBy(bucketCols.head, bucketCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Directory of raw media files as a DataFrame of opaque binary
     * payloads (path, modificationTime, length, content) — the input
     * shape for the multimodal operators ([[graft.operators.MediaColumns]]).

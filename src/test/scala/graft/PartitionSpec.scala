@@ -27,6 +27,45 @@ class PartitionSpec extends SparkSpec {
     assert(pruned.count() == nEn)
   }
 
+  test("bucketed tables join with NO exchange on either side (the SCALE.md q03 knob)") {
+    val root = Files.createTempDirectory("graft-bucket").toString
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    // at test SF both sides fit the broadcast threshold, which would
+    // sidestep the shuffle question entirely — disable it so the plan
+    // is the sort-merge a 100 TB fact⋈fact join gets
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.Sources.writeBucketed(li, "li_b", s"$root/li",
+        Seq("l_orderkey"), buckets = 8)
+      graft.sources.Sources.writeBucketed(ord, "ord_b", s"$root/ord",
+        Seq("o_orderkey"), buckets = 8)
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the bucketing IS the hash partitioning: sort-merge with no
+      // shuffle on either side, scans marked bucketed
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // same rows as the shuffled join of the raw frames
+      assert(joined.count() == li.join(ord,
+        col("l_orderkey") === col("o_orderkey")).count())
+      // the unbucketed baseline DOES shuffle — the knob is what removes it
+      val baseline = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(baseline.contains("Exchange hashpartitioning"), baseline)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("scalar UDF registry: spark.udf.register usable from sql stages") {
     spark.udf.register("luhn_ish", (s: String) => s.length % 10)
     val df = graft.operators.SqlStage("t", "SELECT luhn_ish('12345') AS x")

@@ -29,6 +29,16 @@ def norm(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Verify records thrown queries here (and exits non-zero) — surface
+    # them as failures up front so a broken query can never read as a
+    # green run by omission (ADVICE r7)
+    import os
+    failed_path = f"{out_dir}/failed.json"
+    pre_failed = 0
+    if os.path.exists(failed_path):
+        for name, err in sorted(json.load(open(failed_path)).items()):
+            print(f"FAIL {name}: threw in Verify: {err}")
+            pre_failed += 1
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -75,6 +85,7 @@ def main():
         else:
             print(f"OK   {name} ({len(g)} rows)")
             n_ok += 1
+    n_bad += pre_failed
     print(f"\n{n_ok} ok, {n_bad} failed")
     sys.exit(1 if n_bad else 0)
 
