@@ -323,6 +323,13 @@ object DuckDialect {
   )
 
   val constructHints: Seq[(scala.util.matching.Regex, String)] = silentTrapHints ++ Seq(
+    // DuckDB bracket slicing `l[begin:end]` (1-based inclusive, open
+    // ends and negatives allowed) — no Spark syntax; the registered
+    // list_slice/array_slice aliases are the working spelling. Scanned
+    // on the quote-MASKED text, so a ':' inside a map key string never
+    // matches.
+    raw"\[[^\]']*:[^\]]*\]".r ->
+      "DuckDB's list[begin:end] slicing isn't Spark SQL — use the registered list_slice(l, begin, end) (1-based inclusive, DuckDB semantics) or Spark's slice(l, start, length); open ends: 1 / size(l), negatives: size(l)+1+n",
     // QUALIFY is normally rewritten automatically (GraftSqlParser.
     // rewriteQualify) — this hint is the fallback for shapes the rewrite
     // could not handle (e.g. a parse failure after rewriting).

@@ -479,6 +479,22 @@ class DialectSpec extends SparkSpec {
     assert(whMix.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("list[begin:end] bracket slicing raises a guided hint naming list_slice") {
+    import spark.implicits._
+    val df = Seq(Seq(1, 2, 3)).toDF("l")
+    val e = intercept[DuckDialectException](
+      SqlStage("s", "SELECT l[1:2] FROM df").apply(spark, df))
+    assert(e.getMessage.contains("list_slice"))
+    // the registered alias IS the working spelling (DuckDB 1-based
+    // inclusive semantics)
+    val ok = SqlStage("s", "SELECT list_slice(l, 1, 2) AS s FROM df").apply(spark, df)
+    assert(ok.collect().head.getSeq[Int](0) == Seq(1, 2))
+    // a ':' inside a quoted string must NOT trigger the hint
+    val str = SqlStage("s", "SELECT element_at(map('a:b', l), 'a:b')[1] AS v FROM df")
+      .apply(spark, df)
+    assert(str.collect().head.getInt(0) == 2) // Spark [] is 0-based
+  }
+
   test("POSITIONAL JOIN one-sided star wraps only that side's helper index") {
     val df = spark.range(3).toDF("id")
     // a.* carries only the left helper — an EXCEPT naming both would be
