@@ -268,4 +268,70 @@ object TextFunctions {
       when(tokenCount(text) >= 20, 0.5)
         .when(tokenCount(text) >= 5, 0.25)
         .otherwise(0.0)
+
+  /** Misra-Gries pass over one partition's tokens: the ≤ `capacity`
+    * surviving counters. Guarantee (Misra & Gries 1982): every token
+    * with partition frequency > n_partition/capacity survives. Bounded
+    * memory (capacity entries) however large the vocabulary; the
+    * decrement-all step is amortized O(1) per input token (each
+    * decrement cancels one prior increment).
+    */
+  private[graft] def misraGries(it: Iterator[String], capacity: Int): Iterator[String] = {
+    // boxed values: with a primitive scala.Long value type, get() on an
+    // absent key unboxes null to 0 and the null check can never fire —
+    // the map then grows with the vocabulary (caught by the capacity
+    // assertion in UtilOpsSpec)
+    val m = new java.util.HashMap[String, java.lang.Long](capacity * 2)
+    while (it.hasNext) {
+      val t = it.next()
+      val cur = m.get(t)
+      if (cur != null) m.put(t, cur + 1L)
+      else if (m.size < capacity) m.put(t, 1L)
+      else {
+        val entries = m.entrySet().iterator()
+        while (entries.hasNext) {
+          val e = entries.next()
+          if (e.getValue == 1L) entries.remove()
+          else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    scala.jdk.CollectionConverters.IteratorHasAsScala(m.keySet().iterator()).asScala
+  }
+
+  /** EXACT top-k tokens by corpus frequency in two bounded passes — the
+    * heavy-hitters pattern for vocabularies too large to shuffle (web
+    * tokens: URLs, typos, hashes — distinct counts grow with the corpus,
+    * so the naive groupBy's map-side combine stops helping):
+    *
+    *  1. candidates: per-partition Misra-Gries with `capacity` counters
+    *     (mapPartitions, bounded memory). Pigeonhole lifts the local
+    *     guarantee global: F_global > N/capacity ⟹ some partition has
+    *     F_p > n_p/capacity (else summing contradicts) ⟹ the token
+    *     survives somewhere. Candidate count ≤ capacity × partitions.
+    *  2. exact recount of candidates only: broadcast semi-join, then a
+    *     partial-aggregated count whose shuffle carries ≤ candidates
+    *     rows per mapper — bounded by `capacity`, NOT by vocabulary —
+    *     and a TakeOrdered top-k.
+    *
+    * The result is provably EXACT (not approximate) whenever the true
+    * k-th frequency exceeds N/capacity — size capacity ≥ k/φ for the
+    * smallest heavy-hitter share φ you care about; the q114 gate
+    * hash-matches DuckDB's exact top-k. Ties break by token ascending,
+    * so the output is total-ordered and engine-portable.
+    */
+  def topTokensExact(df: DataFrame, textCol: String, k: Int,
+                     capacity: Int = 4096): DataFrame = {
+    require(k > 0 && capacity >= k, "need k > 0 and capacity >= k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(tokens(col(textCol))).as("t")).as[String]
+    val candidates = toks.mapPartitions(it => misraGries(it, capacity))
+      .toDF("t").distinct()
+    toks.toDF("t")
+      .join(broadcast(candidates), Seq("t"), "left_semi")
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t"))
+      .limit(k)
+  }
 }

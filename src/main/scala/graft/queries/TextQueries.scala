@@ -596,8 +596,19 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact heavy hitters ([[graft.functions.TextFunctions
+    * .topTokensExact]]): top-20 corpus tokens via per-partition
+    * Misra-Gries candidates + an exact bounded recount. The oracle is
+    * DuckDB's EXACT top-20 — hash-matching proves the two-pass sketch
+    * path loses nothing (the MG guarantee holds: every gate corpus's
+    * 20th frequency far exceeds N/4096).
+    */
+  def q114HeavyHitters(s: SparkSession, d: String): DataFrame =
+    TF.topTokensExact(documents(s, d), "text", k = 20)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_dsir_scores"    -> (q112DsirScores _),
+    "q114_heavy_hitters"  -> (q114HeavyHitters _),
     "q30_dedup_exact"     -> (q30DedupExact _),
     "q31_token_stats"     -> (q31TokenStats _),
     "q32_lang_id"         -> (q32LangId _),
@@ -992,6 +1003,13 @@ object TextQueries {
              CAST(SUM(1000000 // cnt) AS BIGINT) AS rarity
       FROM tok JOIN c USING (t)
       GROUP BY doc_id ORDER BY doc_id""",
+
+    // q114: DuckDB computes the EXACT top-20 directly; Spark's two-pass
+    // MG-candidates + recount must lose nothing
+    "q114_heavy_hitters" -> """
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY t)
+      SELECT t, cnt FROM c ORDER BY cnt DESC, t LIMIT 20""",
 
     // q112: full brute-force DSIR featurization — whitespace uni+bigrams,
     // the portable md5-prefix bucket hash at 8192 buckets, target (en) and

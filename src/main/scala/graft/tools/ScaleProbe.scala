@@ -143,6 +143,8 @@ object ScaleProbe {
         "q112_dsir_scores" -> (() =>
           graft.functions.Mix.dsirScores(docs,
             docs.filter(col("lang") === "en"), "doc_id", "text").count()),
+        "q114_heavy_hitters" -> (() =>
+          graft.queries.TextQueries.q114HeavyHitters(spark, d).count()),
       )
     }
 

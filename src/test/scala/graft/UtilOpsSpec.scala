@@ -487,6 +487,48 @@ class UtilOpsSpec extends SparkSpec {
     assert(edges.filter(col("native") =!= col("ref")).count() == 0)
   }
 
+  test("heavy hitters: exact vs naive top-k on a vocabulary larger than capacity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Zipf-ish synthetic corpus: 20 heavy tokens + 5000 singletons, far
+    // more distinct tokens than the MG capacity
+    val heavy = (0 until 20).flatMap(i => Seq.fill(200 - i)(s"h$i"))
+    val noise = (0 until 5000).map(i => s"n$i")
+    val words = scala.util.Random.shuffle(heavy ++ noise)
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+      .repartition(8)
+    val got = graft.functions.TextFunctions
+      .topTokensExact(docs, "text", k = 10, capacity = 64)
+    val naive = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(10)
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      naive.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // plan shape: bounded-candidate broadcast + TakeOrdered top-k, never
+    // a full-vocabulary shuffle sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("Misra-Gries candidates keep every token above the n/capacity bar") {
+    val n = 10000
+    val rng = new scala.util.Random(7)
+    // one dominant token (12%), a mid tier, and a long noise tail
+    val stream = (0 until n).map { _ =>
+      val r = rng.nextDouble()
+      if (r < 0.12) "dom" else if (r < 0.3) s"mid${rng.nextInt(5)}"
+      else s"noise${rng.nextInt(3000)}"
+    }
+    val c = 32
+    val out = graft.functions.TextFunctions.misraGries(stream.iterator, c).toSet
+    val exact = stream.groupBy(identity).view.mapValues(_.size)
+    exact.filter(_._2 > n / c).keys.foreach { t =>
+      assert(out.contains(t), s"$t (freq ${exact(t)}) must survive MG at capacity $c")
+    }
+    assert(out.size <= c)
+  }
+
   test("DSIR: en-target importance weights rank English docs above the rest") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
