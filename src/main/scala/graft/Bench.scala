@@ -166,7 +166,11 @@ object Bench {
     // multi-second stalls land on whole passes, so best-of is the
     // honest steady-state estimate — but the median exposes the
     // pass-to-pass variance best-of hides.
-    val wallMedian = runs.map(_._1).sorted.apply(runs.size / 2)
+    val wallMedian = {
+      val s = runs.map(_._1).sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2 // even passes: mid-pair mean
+    }
     // Sequential pass, fully warmed: the like-for-like wall vs a
     // sequential baseline, and the only honest source of per-query
     // latencies (concurrent latencies include queueing). A lone query

@@ -25,6 +25,9 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String) = only.forall(_.exists(name.contains))
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // a stale marker from a previous run into the same outDir must not
+    // outlive the failure it recorded (check.py trusts this file)
+    Files.deleteIfExists(Paths.get(s"$outDir/failed.json"))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

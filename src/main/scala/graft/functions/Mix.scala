@@ -345,10 +345,17 @@ object Mix {
     val src = docFeats(corpus)
     val srcCnt = src.groupBy(col("b")).agg(sum(col("c")).as("s_cnt"))
     val tgtCnt = docFeats(target).groupBy(col("b")).agg(sum(col("c")).as("t_cnt"))
-    val table = srcCnt.join(tgtCnt, Seq("b"), "left").na.fill(0L, Seq("t_cnt"))
+    // FULL outer: an external target's grams can land in buckets no
+    // source doc touches — a left join would drop them from t_total,
+    // underestimating T and inflating every per-gram log-ratio by a
+    // constant that scales with doc length (review r8 #5). Target-only
+    // rows contribute to the totals and then drop out of the join back
+    // (no source gram carries their bucket).
+    val table = srcCnt.join(tgtCnt, Seq("b"), "full")
+      .na.fill(0L, Seq("t_cnt", "s_cnt"))
     val totals = table.agg(sum(col("t_cnt")).as("t_total"),
       sum(col("s_cnt")).as("s_total"))
-    val enriched = table.crossJoin(broadcast(totals))
+    val enriched = table.filter(col("s_cnt") > 0).crossJoin(broadcast(totals))
       .withColumn("log_ratio",
         log((col("t_cnt") + 1).cast("double") /
             (col("t_total") + buckets).cast("double")) -
@@ -381,7 +388,15 @@ object Mix {
     val keyed = dsirScores(corpus, target, idCol, textCol, buckets)
       .withColumn("key", col("logw") - log(-log(u)))
     if (exact) {
-      val k = math.ceil(keyed.count() * keepFraction).toLong
+      // size k from a bare corpus count (scan only — one row per doc
+      // in dsirScores), NOT keyed.count(), which would execute the full
+      // two-pass featurization once for the count and again for the
+      // selection (review r8 #6)
+      val k = math.ceil(corpus.select(col(idCol)).count() * keepFraction).toLong
+      require(k <= Int.MaxValue,
+        s"dsirResample(exact=true) is the oracle-sized path (global " +
+          s"TakeOrdered of $k rows) — use the percentile-threshold " +
+          "default for corpora this large")
       keyed.orderBy(col("key").desc, col("doc")).limit(k.toInt)
         .drop("key")
     } else {

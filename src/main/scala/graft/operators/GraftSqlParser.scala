@@ -1393,19 +1393,53 @@ object GraftSqlParser {
           throw new graft.functions.expressions.DuckDialectException(
             "two COLUMNS(...) with different patterns in one select-list item " +
               "have no sound expansion — DuckDB zips IDENTICAL expansions only")
-        // optional top-level trailing `AS alias` — DuckDB applies it to
-        // EVERY expansion (CAST(x AS t) never matches: its AS sits
-        // inside parens)
+        // optional top-level trailing alias — DuckDB applies it to
+        // EVERY expansion. Forms: `AS ident`, `AS "quoted"`/`` `q` ``,
+        // and the IMPLICIT `expr ident` (no AS) — the last is detected
+        // only for a bare trailing identifier that can't be part of an
+        // expression (not a literal/keyword/interval unit; CAST(x AS t)
+        // never matches: its AS sits inside parens).
         val itemMasked = masked.substring(itemStart, itemEnd)
-        val aliasM = raw"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
-          .findFirstMatchIn(itemMasked)
-          .filter { a =>
-            val prefix = itemMasked.substring(0, a.start)
-            prefix.count(_ == '(') == prefix.count(_ == ')')
-          }
-        val exprLen = aliasM.map(_.start).getOrElse(itemMasked.length)
-        val alias = aliasM.map(a =>
-          sql.substring(itemStart + a.start(1), itemStart + a.end(1)))
+        def topLevel(end: Int): Boolean = {
+          val prefix = itemMasked.substring(0, end)
+          prefix.count(_ == '(') == prefix.count(_ == ')')
+        }
+        val asM = raw"""(?is)\s+AS\s+(?:([A-Za-z_]\w*)|"([^"]+)"|`([^`]+)`)\s*$$""".r
+          .findFirstMatchIn(itemMasked).filter(a => topLevel(a.start))
+        val implicitM =
+          if (asM.isDefined) None
+          else raw"(?is)(\S)\s+([A-Za-z_]\w*)\s*$$".r
+            .findFirstMatchIn(itemMasked)
+            .filter { a =>
+              val w = a.group(2).toUpperCase
+              val nonAlias = Set("NULL", "TRUE", "FALSE", "END", "UNKNOWN",
+                "YEAR", "YEARS", "MONTH", "MONTHS", "WEEK", "WEEKS",
+                "DAY", "DAYS", "HOUR", "HOURS", "MINUTE", "MINUTES",
+                "SECOND", "SECONDS", "MILLISECOND", "MILLISECONDS",
+                "MICROSECOND", "MICROSECONDS")
+              // the token BEFORE the candidate alias must END an
+              // expression: ')', quote/backtick, or a word that is not
+              // a word-operator (AND flag / THEN x are expressions)
+              val prevEnd = a.end(1) - 1
+              val prevOk = {
+                val c = itemMasked.charAt(prevEnd)
+                if (c.isLetterOrDigit || c == '_') {
+                  val pw = wordEndingAt(itemMasked, prevEnd)
+                  !Set("AND", "OR", "NOT", "IN", "IS", "LIKE", "ILIKE",
+                    "RLIKE", "DIV", "MOD", "BETWEEN", "THEN", "WHEN",
+                    "ELSE", "ESCAPE", "DISTINCT", "ALL").contains(pw)
+                } else ")'`\"".contains(c)
+              }
+              topLevel(a.start(2)) && !nonAlias.contains(w) && prevOk
+            }
+        val exprLen = asM.map(_.start)
+          .orElse(implicitM.map(_.start(2) - 1))
+          .getOrElse(itemMasked.length)
+        val alias = asM.map { a =>
+          val g = (1 to 3).find(i => a.group(i) != null).get
+          sql.substring(itemStart + a.start(g), itemStart + a.end(g))
+        }.orElse(implicitM.map(a =>
+          sql.substring(itemStart + a.start(2), itemStart + a.end(2))))
         val exprSql = sql.substring(itemStart, itemStart + exprLen)
         val relOccs = occs.map { case (s, e, _) => (s - itemStart, e - itemStart) }
           .sortBy(-_._1)

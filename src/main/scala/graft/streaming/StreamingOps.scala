@@ -28,7 +28,21 @@ object StreamingOps {
     * batch twins agree on the instant, whatever the file vintage.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
+    // start-stream-then-files-arrive is the standard file-source
+    // pattern: an empty directory has no footer to infer from, so fall
+    // back to the current generator vintage's schema (TIMESTAMP_NTZ µs)
+    // — normalizeEventsTs maps it to the same TIMESTAMP either way
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampNTZType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+      }
     graft.Tables.normalizeEventsTs(
       spark.readStream.schema(schema).parquet(dir))
   }

@@ -436,6 +436,17 @@ class DialectSpec extends SparkSpec {
       aggp.collect().head.getLong(0) == 1L)
     val ali = SqlStage("s", "SELECT COLUMNS('^n_') * 2 AS dbl FROM df").apply(spark, df)
     assert(ali.columns.toSeq == Seq("dbl", "dbl"))
+    // implicit (no AS) and quoted aliases name every expansion too
+    // (duckdb 1.0.0-verified forms — review r8 #2)
+    assert(SqlStage("s", "SELECT COLUMNS('^n_') * 2 dbl FROM df").apply(spark, df)
+      .columns.toSeq == Seq("dbl", "dbl"))
+    assert(SqlStage("s", "SELECT COLUMNS('^n_') * 2 AS `dbl` FROM df").apply(spark, df)
+      .columns.toSeq == Seq("dbl", "dbl"))
+    // trailing keywords/operator operands are NOT aliases
+    assert(SqlStage("s", "SELECT COLUMNS('^n_') IS NOT NULL FROM df").apply(spark, df)
+      .columns.toSeq == Seq("n_a", "n_b"))
+    assert(SqlStage("s", "SELECT COLUMNS('^n_') > 0 AND tag = 'x' FROM df")
+      .apply(spark, df).columns.toSeq == Seq("n_a", "n_b"))
     // identical COLUMNS zip per matched column; different patterns raise
     val zip = SqlStage("s",
       "SELECT COLUMNS('^n_') + COLUMNS('^n_') FROM df").apply(spark, df)

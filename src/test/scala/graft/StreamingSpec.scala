@@ -6,6 +6,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 class StreamingSpec extends SparkSpec {
 
   test("streaming hourly agg equals the batch q43 result (memory sink, processAllAvailable)") {
+    // start-stream-then-files-arrive: an EMPTY source directory must
+    // still yield a stream (schema falls back to the current vintage;
+    // review r8 #3) with the normalized TIMESTAMP ts
+    {
+      val empty = Files.createTempDirectory("graft-empty-events").toString
+      val s = StreamingOps.readEventStream(spark, empty)
+      assert(s.isStreaming)
+      assert(s.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+    }
     // stage the events parquet in a stream-source directory
     val dir = Files.createTempDirectory("graft-stream")
     Files.list(Paths.get(s"$sf")).filter(_.getFileName.toString == "events.parquet")

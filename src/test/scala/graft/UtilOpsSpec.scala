@@ -547,6 +547,27 @@ class UtilOpsSpec extends SparkSpec {
     assert(scores.exceptAll(again).isEmpty && again.exceptAll(scores).isEmpty)
   }
 
+  test("DSIR totals count target-only buckets (external, non-subset targets)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val target = docs.filter(col("lang") === "en").select("doc_id", "text")
+    // an external exemplar whose tokens never occur in the corpus: its
+    // grams land (almost surely) in buckets no source doc touches. The
+    // only correct effect is through T — every doc's logw must shift
+    // strictly DOWN; with the old left-join totals the external grams
+    // vanished and logw was unchanged (review r8 #5)
+    val external = Seq((999999L,
+      Seq.fill(60)("zzqx9v7k3m1 qqy8w2j4r6t").mkString(" "))).toDF("doc_id", "text")
+    val base = graft.functions.Mix.dsirScores(docs, target, "doc_id", "text")
+      .select(col("doc"), col("logw").as("lw0"))
+    val aug = graft.functions.Mix.dsirScores(docs, target.union(external),
+      "doc_id", "text").select(col("doc"), col("logw").as("lw1"))
+    val joined = base.join(aug, "doc")
+    assert(joined.filter(col("lw1") >= col("lw0")).count() == 0,
+      "external target mass must lower every doc's logw through T")
+  }
+
   test("DSIR Gumbel resample: deterministic, sized, and target-enriched") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)

@@ -35,9 +35,11 @@ def main():
     import os
     failed_path = f"{out_dir}/failed.json"
     pre_failed = 0
+    threw = set()
     if os.path.exists(failed_path):
         for name, err in sorted(json.load(open(failed_path)).items()):
             print(f"FAIL {name}: threw in Verify: {err}")
+            threw.add(name)
             pre_failed += 1
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -51,6 +53,8 @@ def main():
                   if any(s in k for s in subs)}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if name in threw:
+            continue  # already FAILed above; stale parquet must not read OK
         try:
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
