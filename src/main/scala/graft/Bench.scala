@@ -48,7 +48,8 @@ object Bench {
   private val heavyFirst = Seq(
     "q34_jaccard_pairs", "q37_embed_neardup_lsh", "q89_dedup_clusters",
     "q80_approx_quantiles",
-    "q77_ann_ivf", "q46_embed_neardup", "q111_semdedup", "q35_minhash_lsh",
+    "q77_ann_ivf", "q115_bigram_hitters", "q46_embed_neardup",
+    "q111_semdedup", "q35_minhash_lsh",
     "q41_ann_lsh", "q112_dsir_scores", "q114_heavy_hitters", "q91_cross_dedup",
     "q86_contamination", "q79_tfidf",
     "q104_ivf_persisted", "q99_asof_sql",

@@ -321,11 +321,24 @@ object TextFunctions {
     * so the output is total-ordered and engine-portable.
     */
   def topTokensExact(df: DataFrame, textCol: String, k: Int,
-                     capacity: Int = 4096): DataFrame = {
+                     capacity: Int = 4096, ngram: Int = 1): DataFrame = {
     require(k > 0 && capacity >= k, "need k > 0 and capacity >= k")
+    require(ngram == 1 || ngram == 2, "ngram 1 (tokens) or 2 (bigrams)")
     val spark = df.sparkSession
     import spark.implicits._
-    val toks = df.select(explode(tokens(col(textCol))).as("t")).as[String]
+    val gram =
+      if (ngram == 1) explode(tokens(col(textCol)))
+      else {
+        // zip_with over pre-sliced arrays — the split evaluates once
+        // per row (the dsir_buckets reference-twin construction)
+        val tok = tokens(col(textCol))
+        explode(when(size(tok) >= 2,
+          zip_with(slice(tok, lit(1), size(tok) - 1),
+            slice(tok, lit(2), size(tok) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>")))
+      }
+    val toks = df.select(gram.as("t")).as[String]
     val candidates = toks.mapPartitions(it => misraGries(it, capacity))
       .toDF("t").distinct()
     toks.toDF("t")

@@ -606,9 +606,18 @@ object TextQueries {
   def q114HeavyHitters(s: SparkSession, d: String): DataFrame =
     TF.topTokensExact(documents(s, d), "text", k = 20)
 
+  /** Bigram heavy hitters — same two-pass machinery over adjacent token
+    * pairs (the collocation/boilerplate-phrase view of the corpus); the
+    * bigram space is quadratically larger than the vocabulary, which is
+    * exactly the regime the bounded-candidate path exists for.
+    */
+  def q115BigramHitters(s: SparkSession, d: String): DataFrame =
+    TF.topTokensExact(documents(s, d), "text", k = 20, ngram = 2)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q114_heavy_hitters"  -> (q114HeavyHitters _),
+    "q115_bigram_hitters" -> (q115BigramHitters _),
     "q30_dedup_exact"     -> (q30DedupExact _),
     "q31_token_stats"     -> (q31TokenStats _),
     "q32_lang_id"         -> (q32LangId _),
@@ -1009,6 +1018,15 @@ object TextQueries {
     "q114_heavy_hitters" -> """
       WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
       c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY t)
+      SELECT t, cnt FROM c ORDER BY cnt DESC, t LIMIT 20""",
+
+    // q115: exact top-20 bigrams, brute-forced in DuckDB (the q112
+    // bigram construction)
+    "q115_bigram_hitters" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      big AS (SELECT l[gi] || ' ' || l[gi + 1] AS t
+              FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS gi FROM tok)),
+      c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM big GROUP BY t)
       SELECT t, cnt FROM c ORDER BY cnt DESC, t LIMIT 20""",
 
     // q112: full brute-force DSIR featurization — whitespace uni+bigrams,
