@@ -145,6 +145,8 @@ object ScaleProbe {
             docs.filter(col("lang") === "en"), "doc_id", "text").count()),
         "q114_heavy_hitters" -> (() =>
           graft.queries.TextQueries.q114HeavyHitters(spark, d).count()),
+        "q115_bigram_hitters" -> (() =>
+          graft.queries.TextQueries.q115BigramHitters(spark, d).count()),
       )
     }
 
