@@ -326,18 +326,11 @@ object TextFunctions {
     require(ngram == 1 || ngram == 2, "ngram 1 (tokens) or 2 (bigrams)")
     val spark = df.sparkSession
     import spark.implicits._
-    val gram =
-      if (ngram == 1) explode(tokens(col(textCol)))
-      else {
-        // zip_with over pre-sliced arrays — the split evaluates once
-        // per row (the dsir_buckets reference-twin construction)
-        val tok = tokens(col(textCol))
-        explode(when(size(tok) >= 2,
-          zip_with(slice(tok, lit(1), size(tok) - 1),
-            slice(tok, lit(2), size(tok) - 1),
-            (a, b) => concat(a, lit(" "), b)))
-          .otherwise(array().cast("array<string>")))
-      }
+    graft.functions.expressions.GraftFunctions.register(spark)
+    // native one-pass gram expression: every gram is a contiguous byte
+    // range of the text, built without regex split or per-gram concat
+    // (UtilOpsSpec asserts equality with the declarative twin)
+    val gram = explode(call_function("token_grams", col(textCol), lit(ngram)))
     val toks = df.select(gram.as("t")).as[String]
     val candidates = toks.mapPartitions(it => misraGries(it, capacity))
       .toDF("t").distinct()

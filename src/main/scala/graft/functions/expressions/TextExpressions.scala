@@ -508,3 +508,83 @@ object DsirBuckets {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** token_grams(text, n): the whitespace n-gram bag (n = 1 tokens,
+  * n = 2 adjacent pairs) as STRINGS in one pass per row — the
+  * string-returning sibling of [[DsirBuckets]] for operators that must
+  * surface the grams themselves (heavy hitters). Tokenization matches
+  * `split(text, ' ')` exactly (every single space splits, empties
+  * kept); because the separator IS the split character, every gram —
+  * unigram or bigram — is a contiguous byte range of the original
+  * text, so the output strings are built with UTF8String.fromBytes
+  * over those ranges: no regex scan, no per-gram concat, one byte-copy
+  * per gram. The declarative twin (split / zip_with-over-slices) is
+  * asserted equal in UtilOpsSpec.
+  */
+case class TokenGrams(child: Expression, nExpr: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child, nExpr)
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private lazy val n = nExpr.eval().asInstanceOf[Number].intValue()
+  require(n == 1 || n == 2, "token_grams supports n = 1 or 2")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    TokenGrams.compute(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code + code"""
+      boolean ${ev.isNull} = ${c.isNull};
+      $javaType ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.expressions.TokenGrams.compute(${c.value}, $n);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0), nExpr = cs(1))
+}
+
+object TokenGrams {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = bytes.length
+    val out: Array[Any] =
+      if (n == 1) {
+        val a = new Array[Any](nTok)
+        i = 0
+        while (i < nTok) {
+          a(i) = UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i))
+          i += 1
+        }
+        a
+      } else {
+        val m = if (nTok >= 2) nTok - 1 else 0
+        val a = new Array[Any](m)
+        i = 0
+        while (i < m) {
+          // bigram "tok_i tok_{i+1}" == original bytes [starts(i), ends(i+1))
+          a(i) = UTF8String.fromBytes(bytes, starts(i), ends(i + 1) - starts(i))
+          i += 1
+        }
+        a
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

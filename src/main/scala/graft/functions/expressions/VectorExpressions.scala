@@ -269,6 +269,7 @@ object GraftFunctions {
     "minhash_signature" -> (es => MinhashSignature(es(0), es(1), es(2))),
     "simhash_sig" -> (es => SimHashSig(es(0), es(1))),
     "dsir_buckets" -> (es => DsirBuckets(es(0), es(1))),
+    "token_grams" -> (es => TokenGrams(es(0), es(1))),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "norm_fingerprint" -> (es => NormFingerprint(es.head)),
     // Spark's own codegen'd Bloom-filter membership probe (the engine

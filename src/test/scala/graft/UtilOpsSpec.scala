@@ -511,6 +511,26 @@ class UtilOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("native token_grams equals the declarative split / zip_with constructions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf).select("text")
+      .union(Seq("", "one", "a b", "a  b", " lead", "trail ").toDF("text"))
+    val tok = split(col("text"), " ")
+    val declBigrams = when(size(tok) >= 2,
+      zip_with(slice(tok, lit(1), size(tok) - 1), slice(tok, lit(2), size(tok) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val both = docs.select(
+      call_function("token_grams", col("text"), lit(1)).as("n1"),
+      tok.as("d1"),
+      call_function("token_grams", col("text"), lit(2)).as("n2"),
+      declBigrams.as("d2"))
+    assert(both.filter(col("n1") =!= col("d1") || col("n2") =!= col("d2"))
+      .count() == 0)
+  }
+
   test("Misra-Gries candidates keep every token above the n/capacity bar") {
     val n = 10000
     val rng = new scala.util.Random(7)
