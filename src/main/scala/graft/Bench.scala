@@ -193,7 +193,9 @@ object Bench {
     val seqWall = seqRuns.map(_._1).min
     val seqRes: Map[String, Double] = names.flatMap { q =>
       val vs = seqRuns.flatMap(_._2.get(q)).sorted
-      if (vs.isEmpty) None else Some(q -> vs(vs.size / 2))
+      if (vs.isEmpty) None
+      else if (vs.size % 2 == 1) Some(q -> vs(vs.size / 2))
+      else Some(q -> (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2)
     }.toMap
 
     // The driver captures only the LAST 2000 chars of stdout and parses

@@ -24,17 +24,32 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String) = only.forall(_.exists(name.contains))
-    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    // a stale marker from a previous run into the same outDir must not
-    // outlive the failure it recorded (check.py trusts this file)
-    Files.deleteIfExists(Paths.get(s"$outDir/failed.json"))
+    // Failure markers are PER-QUERY files under _failed/, and
+    // failed.json is rebuilt from the directory at the end of every
+    // run. A fixed query's marker is cleared when (and only when) that
+    // query actually re-runs — an unconditional delete would let a
+    // SPARK_GRAFT_ONLY subset run (or a crash between delete and
+    // rewrite) erase ANOTHER query's recorded failure while its stale
+    // parquet still reads green (review r8 #2).
+    val failedDir = Paths.get(s"$outDir/_failed")
+    Files.createDirectories(failedDir)
+    def marker(name: String) = failedDir.resolve(name)
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        Files.deleteIfExists(marker(name))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        Files.writeString(marker(name),
+          Option(e.getMessage).getOrElse(e.getClass.getName))
       }
+    }
+    val failed = {
+      import scala.jdk.CollectionConverters._
+      Files.list(failedDir).iterator().asScala.toSeq
+        .sortBy(_.getFileName.toString)
+        .map(p => p.getFileName.toString -> Files.readString(p))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -54,15 +69,18 @@ object Verify {
     // A thrown query must never become a silent omission from the
     // correctness report: record it as an explicit artifact AND exit
     // non-zero so the driver treats the round as failed, not green.
+    // `failed` includes markers left by PREVIOUS runs whose queries this
+    // run didn't re-execute — their stale parquet must not read green.
     if (failed.nonEmpty) {
       val fj = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/failed.json"), fj)
       System.err.println(s"[verify] ${failed.size} queries FAILED: " +
-        failed.keys.mkString(", "))
+        failed.map(_._1).mkString(", "))
       spark.stop()
       sys.exit(1)
     }
+    Files.deleteIfExists(Paths.get(s"$outDir/failed.json"))
     spark.stop()
   }
 }

@@ -388,11 +388,14 @@ object Mix {
     val keyed = dsirScores(corpus, target, idCol, textCol, buckets)
       .withColumn("key", col("logw") - log(-log(u)))
     if (exact) {
-      // size k from a bare corpus count (scan only — one row per doc
-      // in dsirScores), NOT keyed.count(), which would execute the full
-      // two-pass featurization once for the count and again for the
-      // selection (review r8 #6)
-      val k = math.ceil(corpus.select(col(idCol)).count() * keepFraction).toLong
+      // size k from the SELECTABLE population (distinct scored docs):
+      // null-text rows produce no score row (explode of a null gram
+      // array) and duplicate ids collapse in the per-doc aggregate, so
+      // a bare row count would overshoot and limit(k) would silently
+      // under-deliver. Still a scan + a key-only distinct — never the
+      // two-pass featurization keyed.count() would re-execute.
+      val k = math.ceil(corpus.filter(col(textCol).isNotNull)
+        .select(col(idCol)).distinct().count() * keepFraction).toLong
       require(k <= Int.MaxValue,
         s"dsirResample(exact=true) is the oracle-sized path (global " +
           s"TakeOrdered of $k rows) — use the percentile-threshold " +

@@ -525,8 +525,22 @@ case class TokenGrams(child: Expression, nExpr: Expression) extends Expression {
   override def children: Seq[Expression] = Seq(child, nExpr)
   override def nullable: Boolean = child.nullable
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != StringType)
+      TypeCheckFailure(s"token_grams needs a string text column, got ${child.dataType}")
+    else if (!nExpr.foldable ||
+        !(nExpr.dataType == IntegerType || nExpr.dataType == LongType ||
+          nExpr.dataType == ShortType || nExpr.dataType == ByteType))
+      TypeCheckFailure("token_grams needs a literal integer n (1 = tokens, 2 = bigrams)")
+    else nExpr.eval() match {
+      case i: Number if i.intValue() == 1 || i.intValue() == 2 => TypeCheckSuccess
+      case other => TypeCheckFailure(s"token_grams supports n = 1 or 2, got $other")
+    }
+  }
+
   private lazy val n = nExpr.eval().asInstanceOf[Number].intValue()
-  require(n == 1 || n == 2, "token_grams supports n = 1 or 2")
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)

@@ -1408,18 +1408,24 @@ object GraftSqlParser {
           .findFirstMatchIn(itemMasked).filter(a => topLevel(a.start))
         val implicitM =
           if (asM.isDefined) None
-          else raw"(?is)(\S)\s+([A-Za-z_]\w*)\s*$$".r
+          else raw"""(?is)(\S)\s+(?:([A-Za-z_]\w*)|"([^"]+)"|`([^`]+)`)\s*$$""".r
             .findFirstMatchIn(itemMasked)
             .filter { a =>
-              val w = a.group(2).toUpperCase
-              val nonAlias = Set("NULL", "TRUE", "FALSE", "END", "UNKNOWN",
+              val bare = a.group(2) != null
+              val w = if (bare) a.group(2).toUpperCase else ""
+              // words that legally END a select item without being an
+              // alias (literals, CASE END, interval units, null-order
+              // modifiers)
+              val nonAlias = Set("NULL", "NULLS", "TRUE", "FALSE", "END",
+                "UNKNOWN",
                 "YEAR", "YEARS", "MONTH", "MONTHS", "WEEK", "WEEKS",
                 "DAY", "DAYS", "HOUR", "HOURS", "MINUTE", "MINUTES",
                 "SECOND", "SECONDS", "MILLISECOND", "MILLISECONDS",
                 "MICROSECOND", "MICROSECONDS")
               // the token BEFORE the candidate alias must END an
               // expression: ')', quote/backtick, or a word that is not
-              // a word-operator (AND flag / THEN x are expressions)
+              // a word-operator / clause keyword (AND flag, THEN x,
+              // OVER w, AT TIME ZONE tz, x COLLATE c are expressions)
               val prevEnd = a.end(1) - 1
               val prevOk = {
                 val c = itemMasked.charAt(prevEnd)
@@ -1427,19 +1433,28 @@ object GraftSqlParser {
                   val pw = wordEndingAt(itemMasked, prevEnd)
                   !Set("AND", "OR", "NOT", "IN", "IS", "LIKE", "ILIKE",
                     "RLIKE", "DIV", "MOD", "BETWEEN", "THEN", "WHEN",
-                    "ELSE", "ESCAPE", "DISTINCT", "ALL").contains(pw)
+                    "ELSE", "ESCAPE", "DISTINCT", "ALL", "OVER",
+                    "COLLATE", "ZONE", "TIME", "AT", "INTERVAL",
+                    "IGNORE", "RESPECT").contains(pw)
                 } else ")'`\"".contains(c)
               }
-              topLevel(a.start(2)) && !nonAlias.contains(w) && prevOk
+              val gi = if (bare) 2 else if (a.group(3) != null) 3 else 4
+              topLevel(a.start(gi)) && (!bare || !nonAlias.contains(w)) && prevOk
             }
+        def implicitGroup(a: scala.util.matching.Regex.Match): Int =
+          if (a.group(2) != null) 2 else if (a.group(3) != null) 3 else 4
+        // implicit-alias expr ends right after the last expression char
+        // (group 1) — works for bare and quoted alias tails alike
         val exprLen = asM.map(_.start)
-          .orElse(implicitM.map(_.start(2) - 1))
+          .orElse(implicitM.map(_.end(1)))
           .getOrElse(itemMasked.length)
         val alias = asM.map { a =>
           val g = (1 to 3).find(i => a.group(i) != null).get
           sql.substring(itemStart + a.start(g), itemStart + a.end(g))
-        }.orElse(implicitM.map(a =>
-          sql.substring(itemStart + a.start(2), itemStart + a.end(2))))
+        }.orElse(implicitM.map { a =>
+          val g = implicitGroup(a)
+          sql.substring(itemStart + a.start(g), itemStart + a.end(g))
+        })
         val exprSql = sql.substring(itemStart, itemStart + exprLen)
         val relOccs = occs.map { case (s, e, _) => (s - itemStart, e - itemStart) }
           .sortBy(-_._1)

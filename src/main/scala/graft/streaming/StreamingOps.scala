@@ -30,8 +30,13 @@ object StreamingOps {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     // start-stream-then-files-arrive is the standard file-source
     // pattern: an empty directory has no footer to infer from, so fall
-    // back to the current generator vintage's schema (TIMESTAMP_NTZ µs)
-    // — normalizeEventsTs maps it to the same TIMESTAMP either way
+    // back to the CURRENT generator vintage's schema (TIMESTAMP_NTZ µs)
+    // — normalizeEventsTs maps it to the same TIMESTAMP either way.
+    // Known residual: a stream started on an empty dir that later
+    // receives the HISTORICAL nanos-vintage files is pinned to the NTZ
+    // schema (a stream's schema is fixed at start); with mixed-vintage
+    // sources, stage at least one current-vintage file before start, or
+    // pass the schema explicitly via readStream yourself.
     val schema =
       try spark.read.parquet(dir).schema
       catch { case _: org.apache.spark.sql.AnalysisException =>

@@ -442,11 +442,20 @@ class DialectSpec extends SparkSpec {
       .columns.toSeq == Seq("dbl", "dbl"))
     assert(SqlStage("s", "SELECT COLUMNS('^n_') * 2 AS `dbl` FROM df").apply(spark, df)
       .columns.toSeq == Seq("dbl", "dbl"))
+    // quoted implicit alias (no AS) names every expansion too
+    assert(SqlStage("s", "SELECT COLUMNS('^n_') * 2 `dbl` FROM df").apply(spark, df)
+      .columns.toSeq == Seq("dbl", "dbl"))
     // trailing keywords/operator operands are NOT aliases
     assert(SqlStage("s", "SELECT COLUMNS('^n_') IS NOT NULL FROM df").apply(spark, df)
       .columns.toSeq == Seq("n_a", "n_b"))
     assert(SqlStage("s", "SELECT COLUMNS('^n_') > 0 AND tag = 'x' FROM df")
       .apply(spark, df).columns.toSeq == Seq("n_a", "n_b"))
+    // a named-window reference is an expression tail, not an alias
+    // (review r8-2 #1: OVER w must not truncate into `OVER AS w`)
+    val win = SqlStage("s",
+      "SELECT sum(COLUMNS('^n_')) OVER w FROM df WINDOW w AS (ORDER BY id)")
+      .apply(spark, df)
+    assert(win.columns.toSeq == Seq("n_a", "n_b") && win.count() == 3)
     // identical COLUMNS zip per matched column; different patterns raise
     val zip = SqlStage("s",
       "SELECT COLUMNS('^n_') + COLUMNS('^n_') FROM df").apply(spark, df)
