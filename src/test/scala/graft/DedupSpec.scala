@@ -811,4 +811,30 @@ class DedupSpec extends SparkSpec {
         "left_anti")
     assert(unexplained.count() == 0)
   }
+
+  test("semDedup: hot-cluster cap bounds the pair join; evicted vectors survive; telemetry fires") {
+    import org.apache.spark.sql.Observation
+    // adversarial mega-cluster: 200 near-identical vectors all landing on
+    // one centroid — uncapped this is 200·199/2 pairs through one task;
+    // with cap=16 only 16 members enter the prune (VERDICT r8 #1)
+    val n = 200
+    val corpus = (0 until n).map { i =>
+      (i.toLong, Array(1.0f, 1e-6f * i, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val seeds = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("cent_id", "cvec")
+    val obs = new Observation("semdedup_cap")
+    val capped = VectorFunctions.semDedup(corpus, seeds, tau = 0.9,
+      maxClusterSize = 16, clusterObs = Some(obs))
+    // 16 prune participants → 1 keep-lowest-id survivor among them; the
+    // 184 evicted vectors SURVIVE unpruned (conservative direction)
+    assert(capped.count() == n - 16 + 1)
+    val m = obs.get
+    assert(m("rows_evicted") == (n - 16).toLong)
+    assert(m("hot_buckets") == 1L)
+    assert(m("max_bucket_size") == n)
+    // uncapped (cap=0 disables): the whole cluster dedups to 1 survivor
+    assert(VectorFunctions.semDedup(corpus, seeds, tau = 0.9,
+      maxClusterSize = 0).count() == 1)
+  }
 }

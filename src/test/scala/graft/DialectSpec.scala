@@ -499,20 +499,81 @@ class DialectSpec extends SparkSpec {
     assert(whMix.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
-  test("list[begin:end] bracket slicing raises a guided hint naming list_slice") {
+  test("list[begin:end] bracket slicing auto-rewrites with DuckDB semantics") {
     import spark.implicits._
-    val df = Seq(Seq(1, 2, 3)).toDF("l")
-    val e = intercept[DuckDialectException](
-      SqlStage("s", "SELECT l[1:2] FROM df").apply(spark, df))
-    assert(e.getMessage.contains("list_slice"))
-    // the registered alias IS the working spelling (DuckDB 1-based
-    // inclusive semantics)
-    val ok = SqlStage("s", "SELECT list_slice(l, 1, 2) AS s FROM df").apply(spark, df)
-    assert(ok.collect().head.getSeq[Int](0) == Seq(1, 2))
-    // a ':' inside a quoted string must NOT trigger the hint
+    val df = Seq((Seq(1, 2, 3, 4, 5), "abcdef")).toDF("l", "s")
+    def run(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // every shape below verified against duckdb 1.0.0 (round-9 probe):
+    // closed, 0-begin clamp, open ends, negatives, mixed signs,
+    // over-range → clamp/empty, begin > end → empty
+    assert(run("SELECT l[2:4] AS r FROM df").getSeq[Int](0) == Seq(2, 3, 4))
+    assert(run("SELECT l[0:2] AS r FROM df").getSeq[Int](0) == Seq(1, 2))
+    assert(run("SELECT l[:3] AS r FROM df").getSeq[Int](0) == Seq(1, 2, 3))
+    assert(run("SELECT l[3:] AS r FROM df").getSeq[Int](0) == Seq(3, 4, 5))
+    assert(run("SELECT l[:] AS r FROM df").getSeq[Int](0) == Seq(1, 2, 3, 4, 5))
+    assert(run("SELECT l[-2:] AS r FROM df").getSeq[Int](0) == Seq(4, 5))
+    assert(run("SELECT l[:-2] AS r FROM df").getSeq[Int](0) == Seq(1, 2, 3, 4))
+    assert(run("SELECT l[2:-2] AS r FROM df").getSeq[Int](0) == Seq(2, 3, 4))
+    assert(run("SELECT l[-4:-2] AS r FROM df").getSeq[Int](0) == Seq(2, 3, 4))
+    assert(run("SELECT l[7:9] AS r FROM df").getSeq[Int](0) == Seq())
+    assert(run("SELECT l[4:2] AS r FROM df").getSeq[Int](0) == Seq())
+    assert(run("SELECT l[-9:-7] AS r FROM df").getSeq[Int](0) == Seq())
+    // strings slice by character, same conventions
+    assert(run("SELECT s[2:4] AS r FROM df").getString(0) == "bcd")
+    assert(run("SELECT s[2:-2] AS r FROM df").getString(0) == "bcde")
+    assert(run("SELECT 'abcdef'[-2:] AS r FROM df").getString(0) == "ef")
+    // function-call and chained bases; qualified column
+    assert(run("SELECT list_sort(l)[2:3] AS r FROM df").getSeq[Int](0) == Seq(2, 3))
+    assert(run("SELECT l[2:][2:] AS r FROM df").getSeq[Int](0) == Seq(3, 4, 5))
+    assert(run("SELECT df.l[2:3] AS r FROM df").getSeq[Int](0) == Seq(2, 3))
+    // plain subscripts and quoted colons stay untouched
     val str = SqlStage("s", "SELECT element_at(map('a:b', l), 'a:b')[1] AS v FROM df")
       .apply(spark, df)
     assert(str.collect().head.getInt(0) == 2) // Spark [] is 0-based
+    // the function aliases share the semantics; a NULL bound nulls the
+    // result (DuckDB's function form), unlike an OPEN bracket bound
+    assert(run("SELECT list_slice(l, 2, 3) AS r FROM df").getSeq[Int](0) == Seq(2, 3))
+    assert(run("SELECT list_slice(l, -2, -1) AS r FROM df").getSeq[Int](0) == Seq(4, 5))
+    assert(run("SELECT array_slice(s, 2, 4) AS r FROM df").getString(0) == "bcd")
+    assert(run("SELECT list_slice(l, 2, NULL) AS r FROM df").isNullAt(0))
+    assert(run("SELECT list_slice(CAST(NULL AS ARRAY<INT>), 1, 2) AS r FROM df").isNullAt(0))
+  }
+
+  test("WITH RECURSIVE: standard linear recursion executes natively (Spark 4.x)") {
+    import spark.implicits._
+    // 1→2→3 edge chain: closure adds (1,3); a DuckDB user's recursive
+    // CTE runs UNCHANGED (q117 runs identical text on both engines)
+    val df = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = SqlStage("s",
+      """WITH RECURSIVE r AS (
+        |  SELECT src, dst FROM df
+        |  UNION ALL
+        |  SELECT r.src, e.dst FROM r JOIN df e ON r.dst = e.src)
+        |SELECT * FROM r ORDER BY src, dst""".stripMargin).apply(spark, df)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the dialect hint stays as a FALLBACK for unparseable recursive
+    // shapes, pointing at the iterative operator
+    val hint = DuckDialect.hintFor("WITH RECURSIVE x AS (whatever)")
+    assert(hint.exists(_.contains("connectedComponents")))
+  }
+
+  test("COLUMNS inside a nested subquery clause keeps the guided error (no outer-item expansion)") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L)).toDF("id", "n_a", "n_b")
+    // COLUMNS sits in a scalar subquery's WHERE: DuckDB binds it against
+    // the INNER query's schema; replicating the outer select item against
+    // the stage schema would silently diverge (ADVICE r8 #3)
+    val e = intercept[Exception](
+      SqlStage("s",
+        "SELECT id, (SELECT max(id) FROM df WHERE COLUMNS('^n_') > 0) AS m FROM df")
+        .apply(spark, df))
+    assert(e.getMessage.contains("COLUMNS"))
+    // sanity: a subquery whose OWN select list carries COLUMNS still expands
+    val ok = SqlStage("s",
+      "SELECT * FROM (SELECT COLUMNS('^n_') * 10 FROM df) WHERE n_a > 0")
+      .apply(spark, df)
+    assert(ok.columns.toSeq == Seq("n_a", "n_b"))
   }
 
   test("POSITIONAL JOIN one-sided star wraps only that side's helper index") {
@@ -553,13 +614,13 @@ class DialectSpec extends SparkSpec {
 
   test("dialect rewrites are identity on the repo's whole oracle-SQL corpus") {
     // hand-written DuckDB queries with CTEs, windows, recursive CTEs,
-    // integer //, md5 tricks — outside the ASOF JOIN / DISTINCT ON
-    // oracles (which are DuckDB-native on purpose and legitimately
-    // rewrite), none contains a rewrite trigger, so the rewriters must
-    // pass every byte through untouched (no false fires)
+    // integer //, md5 tricks — outside the ASOF JOIN / DISTINCT ON /
+    // bracket-slice oracles (which are DuckDB-native on purpose and
+    // legitimately rewrite), none contains a rewrite trigger, so the
+    // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(".r
-          .findFirstIn(sql).isEmpty)
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]".r
+          .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
       else // the ASOF rewrite output must itself be stable
         assert(GraftSqlParser.rewriteAll(GraftSqlParser.rewriteAll(sql))
