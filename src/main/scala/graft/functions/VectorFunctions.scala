@@ -513,16 +513,24 @@ object VectorFunctions {
   def kmeans(corpus: DataFrame, k: Int, iters: Int = 2): IvfIndex =
     buildIvf(corpus, nlist = k, refine = iters)
 
-  def buildIvf(candidates: DataFrame, nlist: Int = Auto, refine: Int = 0): IvfIndex = {
-    GraftFunctions.register(candidates.sparkSession)
-    val nl = if (nlist == Auto) autoNlist(candidates.count()) else nlist
-    // Deterministic pseudo-random centroid sample: nlist lowest
-    // xxhash64(vec_id) — TakeOrderedAndProject, no full sort.
-    var centroids =
-      candidates.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-        .orderBy(xxhash64(col("cent_id")), col("cent_id")).limit(nl)
-    for (_ <- 1 to refine)
-      centroids = assignToCentroids(candidates, centroids)
+  /** `iters` Lloyd refinement passes from EXPLICIT seed centroids —
+    * the refinement loop [[buildIvf]]/[[kmeans]] run after their
+    * hash-ranked seed sample, exposed so a caller can supply its own
+    * initialization (warm-starting from a previous snapshot's
+    * centroids, or replayable seeds a SQL oracle can recompute — the
+    * hash-ranked sample orders by Spark's xxhash64, which no other
+    * engine reproduces). Each pass: one corpus scan (row-local
+    * broadcast-argmax assignment, zero corpus shuffle) + a
+    * (cent_id, dimension)-key aggregation of the winning sums —
+    * k·dim cells, broadcast-sized. `seeds` carries (cent_id, cvec);
+    * returns the refined (cent_id, cvec) table (clusters that win no
+    * vectors drop out, as in any Lloyd step).
+    */
+  def lloydRefine(corpus: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    var centroids = seeds.select(col("cent_id"), col("cvec"))
+    for (_ <- 1 to iters)
+      centroids = assignToCentroids(corpus, centroids)
         .select(col("cid").as("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cent_id"), col("pos"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -530,9 +538,20 @@ object VectorFunctions {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
           x => x.getField("m")).as("cvec"))
+    centroids
+  }
+
+  def buildIvf(candidates: DataFrame, nlist: Int = Auto, refine: Int = 0): IvfIndex = {
+    GraftFunctions.register(candidates.sparkSession)
+    val nl = if (nlist == Auto) autoNlist(candidates.count()) else nlist
+    // Deterministic pseudo-random centroid sample: nlist lowest
+    // xxhash64(vec_id) — TakeOrderedAndProject, no full sort.
+    val seeds =
+      candidates.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        .orderBy(xxhash64(col("cent_id")), col("cent_id")).limit(nl)
     // nlist rows: checkpoint eagerly so the final assignment and every
     // probe's centroid ranking read a materialized centroid table.
-    val cents = centroids.localCheckpoint(true)
+    val cents = lloydRefine(candidates, seeds, refine).localCheckpoint(true)
     IvfIndex(cents, assignToCentroids(candidates, cents).localCheckpoint(false))
   }
 

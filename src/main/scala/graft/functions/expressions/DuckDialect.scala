@@ -120,8 +120,20 @@ case class DuckSlice(child: Expression, beginE: Expression, endE: Expression,
       .javaType(dataType)
     val etRef = ctx.addReferenceObj("elemType", elemType,
       classOf[DataType].getName)
-    val bBox = s"${b.isNull} ? null : (Object) ${b.value}"
-    val eBox = s"${e.isNull} ? null : (Object) ${e.value}"
+    // Janino has no boxing conversion on casts — `(Object) intExpr`
+    // fails to compile ("binary numeric promotion not possible"), which
+    // silently dropped every bracket-slice projection to the
+    // interpreted fallback. Box through the wrapper's valueOf instead.
+    def box(bound: Expression,
+            code: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String =
+      bound.dataType match {
+        case NullType => "null"
+        case dt =>
+          val bt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(dt)
+          s"(${code.isNull} ? null : (Object) $bt.valueOf(${code.value}))"
+      }
+    val bBox = box(beginE, b)
+    val eBox = box(endE, e)
     val nullBound =
       if (nullBoundIsOpen) "false" else s"(${b.isNull} || ${e.isNull})"
     val call = child.dataType match {
@@ -503,6 +515,11 @@ object DuckDialect {
       "DuckDB's PIVOT statement (PIVOT t ON col [USING agg]) isn't Spark SQL — use Spark's pivot clause with the values listed explicitly: SELECT * FROM t PIVOT (agg(expr) FOR col IN ('v1', 'v2'))",
     raw"(?i)\bUNPIVOT\s+[A-Za-z_`]".r ->
       "DuckDB's UNPIVOT statement (UNPIVOT t ON cols INTO NAME n VALUE v) isn't Spark SQL — use Spark's unpivot clause: SELECT * FROM t UNPIVOT (v FOR n IN (c1, c2)), or stack(): SELECT stack(2, 'c1', c1, 'c2', c2) AS (n, v) FROM t",
+    // DuckDB CREATE MACRO through the passthrough (VERDICT r8 missing
+    // #4) — must precede the `:=` hint: macros commonly carry default
+    // parameters (a := 1), and the macro-level message is the useful one
+    raw"(?i)\bCREATE\s+(OR\s+REPLACE\s+)?(TEMP(ORARY)?\s+)?MACRO\b".r ->
+      "DuckDB CREATE MACRO isn't Spark SQL — scalar macros become Spark 4 SQL UDFs (CREATE TEMPORARY FUNCTION f(x INT) RETURNS INT RETURN x + 1), table macros become parameterless TEMP VIEWs or Dataset-returning Scala functions; graft-side, register a native expression via GraftFunctions",
     raw":=".r ->
       "named-argument syntax (a := 1) isn't Spark SQL — struct_pack(a := 1) becomes named_struct('a', 1)",
     raw"(?i)\[\s*[\w.]+\s+for\s+\w+\s+in\b".r ->

@@ -127,7 +127,36 @@ object VectorQueries {
     "q104_ivf_persisted" -> (q104IvfPersisted _),
     "q109_cluster_assign" -> (q109ClusterAssign _),
     "q111_semdedup"      -> (q111SemDedup _),
+    "q116_semdedup_learned" -> (q116SemDedupLearned _),
   )
+
+  /** SemDeDup with LEARNED centroids (VERDICT r8 next #7) — the
+    * paper's actual pipeline, cluster THEN prune, composed end-to-end
+    * in the gate: one Lloyd refinement pass ([[graft.functions
+    * .VectorFunctions.lloydRefine]], the production [[graft.functions
+    * .VectorFunctions.buildIvf]]/kmeans refinement loop) from
+    * replayable seeds (vec_id < 8 — the hash-ranked sample orders by
+    * Spark's xxhash64, which DuckDB can't reproduce), then
+    * [[graft.functions.VectorFunctions.semDedup]] against the learned
+    * means. DuckDB replays EVERYTHING by brute force: the seed
+    * assignment argmax, the per-cluster per-dimension mean, the
+    * reassignment argmax, and every within-cluster prune decision.
+    * The two engines' cluster means differ in the last ulp (parallel
+    * vs sequential sum order — the one non-row-local float in the
+    * recipe), so floats never reach the output; they only gate
+    * comparisons, whose margins are measured ≥ 1.4e-5 at all three
+    * SFs (min argmax gap 1.3e-4 / 7.5e-5 / 1.5e-5, min |cos−tau|
+    * 7.6e-4 / 1.7e-3 / 7.3e-5 — ten orders above ulp noise). The
+    * prune drops 9 / 14 / 137 vectors at the three SFs, so the drop
+    * path provably fires at every scale the gate runs.
+    */
+  def q116SemDedupLearned(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val learned = VF.lloydRefine(emb, seeds, iters = 1)
+    VF.semDedup(emb, learned, tau = 0.42).orderBy(col("vec_id"))
+  }
 
   /** SemDeDup ([[graft.functions.VectorFunctions.semDedup]]) with the
     * q109 pinned seeds (vec_id < 8 as centroids, corpus vec_id ≥ 8), so
@@ -262,6 +291,42 @@ object VectorQueries {
             WHERE list_cosine_similarity(x.ev, b.ev) >= 0.42)
       SELECT vec_id, cid FROM a
       WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id""",
+
+    // q116: full brute-force replay of the LEARNED-centroid SemDeDup —
+    // seed assignment, per-cluster per-dimension Lloyd mean
+    // (generate_subscripts/unnest zip positionally), reassignment, and
+    // the keep-lowest-id prune at tau = 0.42; survivor ids compared
+    // exactly (no floats in the output — see q116's scaladoc for the
+    // measured decision margins)
+    "q116_semdedup_learned" -> """
+      WITH c0 AS (SELECT vec_id cid, CAST(embedding AS DOUBLE[]) cv
+                  FROM embeddings WHERE vec_id < 8),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
+      s0 AS (SELECT vec_id, cid, list_cosine_similarity(ev, cv) cos
+             FROM v, c0),
+      a0 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid DESC) rn
+               FROM s0) WHERE rn = 1),
+      m AS (SELECT a0.cid, generate_subscripts(ev, 1) pos, unnest(ev) val
+            FROM a0 JOIN v USING (vec_id)),
+      c1 AS (SELECT cid, list(avgv ORDER BY pos) cv FROM (
+               SELECT cid, pos, AVG(val) avgv FROM m GROUP BY cid, pos)
+             GROUP BY cid),
+      s1 AS (SELECT vec_id, cid, list_cosine_similarity(ev, cv) cos
+             FROM v, c1),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid DESC) rn
+               FROM s1) WHERE rn = 1),
+      e AS (SELECT a1.vec_id, a1.cid, ev FROM a1 JOIN v USING (vec_id)),
+      dp AS (SELECT DISTINCT b.vec_id FROM e x JOIN e b
+               ON x.cid = b.cid AND x.vec_id < b.vec_id
+             WHERE list_cosine_similarity(x.ev, b.ev) >= 0.42)
+      SELECT vec_id, cid FROM a1
+      WHERE vec_id NOT IN (SELECT vec_id FROM dp) ORDER BY vec_id""",
 
     // q109: brute-force recomputation of EVERY vector's nearest seed
     // centroid; ties → highest cent_id (cid DESC) matches the

@@ -502,7 +502,15 @@ class DialectSpec extends SparkSpec {
   test("list[begin:end] bracket slicing auto-rewrites with DuckDB semantics") {
     import spark.implicits._
     val df = Seq((Seq(1, 2, 3, 4, 5), "abcdef")).toDF("l", "s")
-    def run(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // CODEGEN_ONLY: a DuckSlice doGenCode failure must FAIL here, not
+    // silently drop every slice projection to the interpreted fallback
+    // (r9: Janino rejects `(Object) intExpr` boxing casts — the open
+    // -bound NullType path compiled, the common two-bound path didn't)
+    def run(sql: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      try SqlStage("s", sql).apply(spark, df).collect().head
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
     // every shape below verified against duckdb 1.0.0 (round-9 probe):
     // closed, 0-begin clamp, open ends, negatives, mixed signs,
     // over-range → clamp/empty, begin > end → empty
@@ -556,6 +564,19 @@ class DialectSpec extends SparkSpec {
     // shapes, pointing at the iterative operator
     val hint = DuckDialect.hintFor("WITH RECURSIVE x AS (whatever)")
     assert(hint.exists(_.contains("connectedComponents")))
+  }
+
+  test("CREATE MACRO: guided error names the Spark 4 SQL UDF path") {
+    // the hint must win over the `:=` hint for macros with defaults
+    for (m <- Seq("CREATE MACRO add1(x) AS x + 1",
+                  "CREATE OR REPLACE TEMP MACRO f(a, b := 5) AS a + b")) {
+      val hint = DuckDialect.hintFor(m)
+      assert(hint.exists(_.contains("CREATE TEMPORARY FUNCTION")), m)
+    }
+    // and the suggested replacement actually runs on Spark 4
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_t_add1(x INT) " +
+      "RETURNS INT RETURN x + 1")
+    assert(spark.sql("SELECT graft_t_add1(41)").collect().head.getInt(0) == 42)
   }
 
   test("COLUMNS inside a nested subquery clause keeps the guided error (no outer-item expansion)") {
