@@ -48,6 +48,7 @@ object Bench {
   private val heavyFirst = Seq(
     "q34_jaccard_pairs", "q37_embed_neardup_lsh", "q89_dedup_clusters",
     "q80_approx_quantiles",
+    "q116_semdedup_learned",
     "q77_ann_ivf", "q115_bigram_hitters", "q46_embed_neardup",
     "q111_semdedup", "q35_minhash_lsh",
     "q41_ann_lsh", "q112_dsir_scores", "q114_heavy_hitters", "q91_cross_dedup",
@@ -119,7 +120,17 @@ object Bench {
     System.gc()
 
     val names = {
-      val all = SparkEntry.queries.keys.toSeq.sorted
+      // GRAFT_BENCH_ONLY=sub1,sub2: restrict the suite to matching
+      // query names — for isolating one query's latency in Bench's
+      // exact session/config (vs a full-suite pass, whose GC/JIT
+      // context is part of every in-suite number)
+      val all0 = SparkEntry.queries.keys.toSeq.sorted
+      val all = sys.env.get("GRAFT_BENCH_ONLY") match {
+        case Some(subs) =>
+          val ss = subs.split(",").map(_.trim).filter(_.nonEmpty)
+          all0.filter(n => ss.exists(n.contains))
+        case None => all0
+      }
       heavyFirst.filter(all.contains) ++ all.filterNot(heavyFirst.contains)
     }
     val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

@@ -195,7 +195,18 @@ object CoreQueries {
     */
   def q99AsofSql(s: SparkSession, d: String): DataFrame = {
     events(s, d).createOrReplaceTempView("events")
-    orders(s, d).createOrReplaceTempView("orders")
+    // Normalize the order-side event-time to session-tz ONCE at the
+    // scan (the Tables.events policy, applied to the other join side).
+    // Without it the ASOF join compares TIMESTAMP_NTZ o_orderdate with
+    // the normalized TIMESTAMP e.ts, and Catalyst re-casts the BUILD
+    // side inside the join condition — per candidate PAIR, ~15 evals
+    // per probe row here (r8 bench q99 0.36→0.52 s was exactly this,
+    // introduced by the r8 events normalization; measured back to
+    // 0.41 s with the one-per-row cast). UTC session ⇒ bit-identical
+    // dates out.
+    orders(s, d)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .createOrReplaceTempView("orders")
     s.sql(graft.operators.GraftSqlParser.rewriteAll(asofSqlText))
   }
 

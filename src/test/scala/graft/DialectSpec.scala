@@ -560,6 +560,13 @@ class DialectSpec extends SparkSpec {
         |SELECT * FROM r ORDER BY src, dst""".stripMargin).apply(spark, df)
     assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // depth 25 (the gate query q117 stays shallow — Spark pays one job
+    // per recursion level, so deep semantics are pinned here instead)
+    val series = SqlStage("s",
+      "WITH RECURSIVE t AS (SELECT 0 AS n UNION ALL SELECT n + 1 FROM t " +
+        "WHERE n < 24) SELECT SUM(n) AS s, COUNT(*) AS c FROM t")
+      .apply(spark, df).collect().head
+    assert((series.getLong(0), series.getLong(1)) == (300L, 25L))
     // the dialect hint stays as a FALLBACK for unparseable recursive
     // shapes, pointing at the iterative operator
     val hint = DuckDialect.hintFor("WITH RECURSIVE x AS (whatever)")
