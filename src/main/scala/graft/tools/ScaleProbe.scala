@@ -140,6 +140,17 @@ object ScaleProbe {
             .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
           VF.semDedup(emb, seeds, tau = 0.42).count()
         }),
+        // learned-centroid SemDeDup (q116): one Lloyd pass from an
+        // auto-sized hash-ranked seed sample, then cluster-then-prune —
+        // adds one corpus argmax scan + one (cent_id, dim) aggregation
+        // on top of the q111 shape
+        "q116_semdedup_learned" -> (() => {
+          val seeds = emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+            .limit(nlist)
+            .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+          val learned = VF.lloydRefine(emb, seeds, iters = 1)
+          VF.semDedup(emb, learned, tau = 0.42).count()
+        }),
         "q112_dsir_scores" -> (() =>
           graft.functions.Mix.dsirScores(docs,
             docs.filter(col("lang") === "en"), "doc_id", "text").count()),
