@@ -1451,10 +1451,13 @@ object GraftSqlParser {
     *
     * Matchers: bare `*`; `'regex'` (RE2-style SEARCH over the name);
     * `['a','b']` explicit lists (a missing name raises); name-lambdas
-    * `c -> c [NOT] [I]LIKE 'pat'` and `c -> c [NOT] SIMILAR TO 'regex'`
-    * (full-match, DuckDB's SIMILAR TO). Complex lambdas (functions of
-    * the variable) and COLUMNS outside a select list (e.g. in WHERE)
-    * keep the guided error. A pattern matching zero columns raises,
+    * over any boolean combination (AND/OR/NOT, parens) of
+    * `[NOT] [I]LIKE 'pat'` (full match), `[NOT] SIMILAR TO 'regex'`
+    * (full regex, DuckDB's SIMILAR TO), `[NOT] IN ('a', ...)`, and
+    * `= / <> / != 'lit'` predicates on the variable
+    * ([[lambdaPredicate]], r9). Lambdas computing FUNCTIONS of the
+    * variable (len(c), substrings) and COLUMNS outside a select list
+    * or WHERE clause keep the guided error. A pattern matching zero columns raises,
     * naming the available columns; so do two COLUMNS with DIFFERENT
     * patterns in one item (no sound splice — DuckDB zips identical
     * expansions only).
@@ -1652,29 +1655,159 @@ object GraftSqlParser {
     val lam = raw"(?is)^([A-Za-z_]\w*)\s*->\s*(.*)$$".r
     argRaw match {
       case lam(v, body) =>
-        val q = java.util.regex.Pattern.quote(v)
-        val like = raw"(?is)^$q\s+(NOT\s+)?(I?LIKE)\s+'((?:[^']|'')*)'$$".r
-        val sim = raw"(?is)^$q\s+(NOT\s+)?SIMILAR\s+TO\s+'((?:[^']|'')*)'$$".r
-        body.trim match {
-          case like(neg, op, pat) =>
-            val rx = "^" + pat.replace("''", "'").flatMap {
-              case '%' => ".*"
-              case '_' => "."
-              case c if "\\.[]{}()*+-?^$|".contains(c) => "\\" + c
-              case c => c.toString
-            } + "$"
-            val rx2 = (if (op.equalsIgnoreCase("ILIKE")) "(?i)" + rx else rx).r
-            val base = cols.filter(c => rx2.findFirstIn(c).isDefined)
-            Some(if (neg == null) base else cols.diff(base))
-          case sim(neg, pat) =>
-            // DuckDB's SIMILAR TO is a FULL regex match
-            val rx = ("^(?:" + pat.replace("''", "'") + ")$").r
-            val base = cols.filter(c => rx.findFirstIn(c).isDefined)
-            Some(if (neg == null) base else cols.diff(base))
-          case _ => None // complex lambda → guided error
-        }
+        // name-lambda: any boolean combination (AND/OR/NOT, parens) of
+        // [NOT] [I]LIKE / [NOT] SIMILAR TO / [NOT] IN (...) / = / <> /
+        // != predicates over the variable — evaluated per column name
+        // (r9, DuckDB 1.x-probed). Lambdas computing FUNCTIONS of the
+        // name (len(c) > 3, substrings) stay guided errors.
+        lambdaPredicate(v, body.trim).map(f => cols.filter(f))
       case _ => None // computed arg → guided error
     }
+  }
+
+  /** Parse a COLUMNS name-lambda body into a per-column-name boolean
+    * evaluator; None when the body falls outside the supported grammar
+    * (→ guided error). Grammar (precedence NOT > AND > OR):
+    * {{{
+    *   expr := term (OR term)* ; term := factor (AND factor)*
+    *   factor := NOT factor | ( expr ) | pred
+    *   pred := v [NOT] [I]LIKE 'pat' | v [NOT] SIMILAR TO 'rx'
+    *         | v [NOT] IN ('a', ...) | v = 'lit' | v <> 'lit' | v != 'lit'
+    * }}}
+    * LIKE is a full match with %/_ wildcards; SIMILAR TO a full regex
+    * (both as elsewhere in the dialect layer).
+    */
+  private def lambdaPredicate(v: String, body: String): Option[String => Boolean] = {
+    sealed trait Tok
+    final case class Word(w: String) extends Tok
+    final case class Str(s: String) extends Tok
+    final case class Sym(s: String) extends Tok
+    val toks = scala.collection.mutable.ArrayBuffer[Tok]()
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val sb = new StringBuilder; i += 1
+        var open = true
+        while (open) {
+          if (i >= body.length) return None // unterminated literal
+          val ch = body.charAt(i)
+          if (ch == '\'')
+            if (i + 1 < body.length && body.charAt(i + 1) == '\'') {
+              sb.append('\''); i += 2
+            } else { open = false; i += 1 }
+          else { sb.append(ch); i += 1 }
+        }
+        toks += Str(sb.toString)
+      } else if (c.isLetter || c == '_') {
+        val j0 = i
+        while (i < body.length &&
+          (body.charAt(i).isLetterOrDigit || body.charAt(i) == '_')) i += 1
+        toks += Word(body.substring(j0, i))
+      } else if (c == '(' || c == ')' || c == ',') { toks += Sym(c.toString); i += 1 }
+      else if (c == '=') { toks += Sym("="); i += 1 }
+      else if ((c == '!' || c == '<') && i + 1 < body.length &&
+        (body.substring(i, i + 2) == "!=" || body.substring(i, i + 2) == "<>")) {
+        toks += Sym("<>"); i += 2
+      } else return None
+    }
+    var p = 0
+    def peek: Option[Tok] = if (p < toks.length) Some(toks(p)) else None
+    def isKw(t: Tok, k: String): Boolean = t match {
+      case Word(w) => w.equalsIgnoreCase(k); case _ => false
+    }
+    def takeStr(): Option[String] = peek match {
+      case Some(Str(s)) => p += 1; Some(s); case _ => None
+    }
+    def likeRegex(pat: String, ci: Boolean): scala.util.matching.Regex = {
+      val rx = "^" + pat.flatMap {
+        case '%' => ".*"
+        case '_' => "."
+        case ch if "\\.[]{}()*+-?^$|".contains(ch) => "\\" + ch
+        case ch => ch.toString
+      } + "$"
+      (if (ci) "(?i)" + rx else rx).r
+    }
+    def parsePred(): Option[String => Boolean] = {
+      peek match {
+        case Some(Word(w)) if w == v => p += 1
+        case _ => return None
+      }
+      val neg = peek.exists(isKw(_, "NOT"))
+      if (neg) p += 1
+      def negate(f: String => Boolean): String => Boolean =
+        if (neg) c => !f(c) else f
+      peek match {
+        case Some(Word(op)) if op.equalsIgnoreCase("LIKE") || op.equalsIgnoreCase("ILIKE") =>
+          p += 1
+          val rx = likeRegex(takeStr().getOrElse(return None),
+            op.equalsIgnoreCase("ILIKE"))
+          Some(negate(c => rx.findFirstIn(c).isDefined))
+        case Some(t) if isKw(t, "SIMILAR") =>
+          p += 1
+          if (!peek.exists(isKw(_, "TO"))) return None
+          p += 1
+          // DuckDB's SIMILAR TO is a FULL regex match
+          val rx = ("^(?:" + takeStr().getOrElse(return None) + ")$").r
+          Some(negate(c => rx.findFirstIn(c).isDefined))
+        case Some(t) if isKw(t, "IN") =>
+          p += 1
+          if (!peek.contains(Sym("("))) return None
+          p += 1
+          val elems = scala.collection.mutable.Set[String]()
+          elems += takeStr().getOrElse(return None)
+          while (peek.contains(Sym(","))) {
+            p += 1
+            elems += takeStr().getOrElse(return None)
+          }
+          if (!peek.contains(Sym(")"))) return None
+          p += 1
+          Some(negate(elems.contains))
+        case Some(Sym("=")) if !neg =>
+          p += 1
+          val lit = takeStr().getOrElse(return None)
+          Some(c => c == lit)
+        case Some(Sym("<>")) if !neg =>
+          p += 1
+          val lit = takeStr().getOrElse(return None)
+          Some(c => c != lit)
+        case _ => None
+      }
+    }
+    def parseFactor(): Option[String => Boolean] = peek match {
+      case Some(t) if isKw(t, "NOT") =>
+        p += 1
+        parseFactor().map(f => (c: String) => !f(c))
+      case Some(Sym("(")) =>
+        p += 1
+        val e = parseExpr().getOrElse(return None)
+        if (!peek.contains(Sym(")"))) return None
+        p += 1
+        Some(e)
+      case _ => parsePred()
+    }
+    def parseTerm(): Option[String => Boolean] = {
+      var left = parseFactor().getOrElse(return None)
+      while (peek.exists(isKw(_, "AND"))) {
+        p += 1
+        val r = parseFactor().getOrElse(return None)
+        val l = left
+        left = c => l(c) && r(c)
+      }
+      Some(left)
+    }
+    def parseExpr(): Option[String => Boolean] = {
+      var left = parseTerm().getOrElse(return None)
+      while (peek.exists(isKw(_, "OR"))) {
+        p += 1
+        val r = parseTerm().getOrElse(return None)
+        val l = left
+        left = c => l(c) || r(c)
+      }
+      Some(left)
+    }
+    parseExpr().filter(_ => p == toks.length)
   }
 
   /** The [start, end) span of the WHERE clause body containing position

@@ -450,10 +450,14 @@ object ExtraQueries {
     * an aggregate + arithmetic applied per matched column, outputs
     * named after the matched columns (DuckDB 1.x naming, verified
     * against duckdb 1.0.0). max and doubling keep every value exact in
-    * doubles, so the gate hash compares bit-for-bit.
+    * doubles, so the gate hash compares bit-for-bit. The matcher is a
+    * BOOLEAN name-lambda (r9: LIKE/=/OR through
+    * [[graft.operators.GraftSqlParser]]'s lambda grammar) so the
+    * general predicate evaluator — not just the regex matcher — sits
+    * in the gate; DialectSpec covers the rest of the grammar.
     */
   private[graft] val columnsSqlText =
-    "SELECT l_returnflag, max(COLUMNS('^l_(quantity|extendedprice)')) * 2 " +
+    "SELECT l_returnflag, max(COLUMNS(c -> c LIKE 'l_q%' OR c = 'l_extendedprice')) * 2 " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
 
   def q113ColumnsSql(s: SparkSession, d: String): DataFrame = {

@@ -475,6 +475,26 @@ class DialectSpec extends SparkSpec {
       .apply(spark, df).columns.toSeq == Seq("n_a", "n_b"))
     assert(SqlStage("s", "SELECT COLUMNS(c -> c NOT SIMILAR TO 'n_.') FROM df")
       .apply(spark, df).columns.toSeq == Seq("id", "tag"))
+    // boolean name-lambdas (r9): AND/OR/NOT/parens over LIKE, SIMILAR
+    // TO, IN, =, <> — every expansion below probed against duckdb 1.0.0
+    def colsOf(sql: String): Seq[String] =
+      SqlStage("s", sql).apply(spark, df).columns.toSeq
+    assert(colsOf("SELECT COLUMNS(c -> c LIKE 'n%' OR c = 'tag') FROM df")
+      == Seq("n_a", "n_b", "tag"))
+    assert(colsOf("SELECT COLUMNS(c -> c LIKE 'n%' AND c NOT LIKE '%b') FROM df")
+      == Seq("n_a"))
+    assert(colsOf("SELECT COLUMNS(c -> NOT (c LIKE 'n%')) FROM df")
+      == Seq("id", "tag"))
+    assert(colsOf("SELECT COLUMNS(c -> c IN ('n_a', 'tag')) FROM df")
+      == Seq("n_a", "tag"))
+    assert(colsOf("SELECT COLUMNS(c -> c NOT IN ('n_a', 'tag')) FROM df")
+      == Seq("id", "n_b"))
+    assert(colsOf("SELECT COLUMNS(c -> c != 'id' AND (c SIMILAR TO 'n_.' OR c = 'tag')) FROM df")
+      == Seq("n_a", "n_b", "tag"))
+    // functions of the variable stay guided errors
+    val eLam = intercept[DuckDialectException](SqlStage("s",
+      "SELECT COLUMNS(c -> len(c) > 3) FROM df").apply(spark, df))
+    assert(eLam.getMessage.contains("COLUMNS"))
     // a trailing comma / FROM / alias is NOT an operator context
     val ok = SqlStage("s", "SELECT COLUMNS('^n_'), tag FROM df").apply(spark, df)
     assert(ok.columns.toSeq == Seq("n_a", "n_b", "tag"))
