@@ -1,8 +1,9 @@
 package graft.functions
 
 import graft.functions.expressions.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
 
 /** Vector / embedding operators, backed by the native Catalyst
   * expressions in [[graft.functions.expressions]] (tight JVM loops over
@@ -308,7 +309,11 @@ object VectorFunctions {
                       candidates: DataFrame, k: Int, bound: Double): DataFrame = {
     // lazily checkpointed: the exact top-k (n_queries·k rows) feeds BOTH
     // the kth-score stats and the hit join — without it the corpus-wide
-    // brute force runs twice in one action
+    // brute force runs twice in one action. (A driver-assembled variant
+    // — collect the exact side, compute stats locally, one distributed
+    // hit join — was tried in r9 and REVERTED: splitting the one AQE
+    // DAG into three sequential actions added result-stage jobs and
+    // measured SLOWER, q41 1.04 → 1.31 s.)
     val exact = bruteForceTopK(queries, candidates, k)
       .select(col("qid"), col("cid"), col("cos"), col("rn"))
       .localCheckpoint(false)
@@ -403,7 +408,6 @@ object VectorFunctions {
     * would drop here rather than landing in an arbitrary list.
     */
   private def assignToCentroids(candidates: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = candidates.sparkSession
     val ordered = cents.select(col("cent_id"), col("cvec"))
       .orderBy(col("cent_id")).collect()
@@ -419,16 +423,29 @@ object VectorFunctions {
       expressions.NearestCentroidsBroadcast(bc,
         org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
         k = 1, tieHigh = true))
-    // index → cent_id map: same ordering engine as the collect above
-    // (one nlist-row window; the join back is an nlist-row broadcast)
-    val centIdx = cents.select(col("cent_id"))
-      .withColumn("__graft_cidx",
-        row_number().over(Window.orderBy(col("cent_id"))) - 1)
+    // index → cent_id map straight from the already-collected ordering
+    // (a LocalRelation — the previous nlist-row window re-planned a
+    // sort+exchange job per call, r9 JobCount)
+    val centIdx = localCentIdx(spark, ordered, cents.schema("cent_id").dataType)
     candidates
       .withColumn("__graft_cidx", get(nearest, lit(0)))
       .join(broadcast(centIdx), "__graft_cidx")
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cid"))
   }
+
+  /** (cent_id, __graft_cidx) LocalRelation from centroid rows already
+    * collected in cent_id order — zipWithIndex reproduces the previous
+    * `row_number() OVER (ORDER BY cent_id) - 1` exactly.
+    */
+  private def localCentIdx(spark: org.apache.spark.sql.SparkSession,
+                           ordered: Array[Row],
+                           centIdType: org.apache.spark.sql.types.DataType): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(ordered.zipWithIndex.map {
+        case (r, i) => Row(r.get(0), i)
+      }: _*),
+      StructType(Seq(StructField("cent_id", centIdType),
+        StructField("__graft_cidx", org.apache.spark.sql.types.IntegerType))))
 
   /** Assign every corpus vector to its nearest centroid by cosine —
     * centroid-conditioned bucketing as a first-class operator (the
@@ -549,9 +566,16 @@ object VectorFunctions {
     val seeds =
       candidates.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
         .orderBy(xxhash64(col("cent_id")), col("cent_id")).limit(nl)
-    // nlist rows: checkpoint eagerly so the final assignment and every
-    // probe's centroid ranking read a materialized centroid table.
-    val cents = lloydRefine(candidates, seeds, refine).localCheckpoint(true)
+    // nlist rows: materialize as a LocalRelation so the final
+    // assignment and every probe's centroid ranking read local rows —
+    // an eager localCheckpoint did the same materialization but left
+    // downstream consumers re-planning checkpoint scans (one extra job
+    // each, r9 JobCount); collecting in cent_id order means the
+    // consumers' own orderBy(cent_id).collect() re-sorts identically.
+    val refined = lloydRefine(candidates, seeds, refine)
+    val centRows = refined.orderBy(col("cent_id")).collect()
+    val cents = candidates.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), refined.schema)
     IvfIndex(cents, assignToCentroids(candidates, cents).localCheckpoint(false))
   }
 
@@ -600,9 +624,8 @@ object VectorFunctions {
       expressions.NearestCentroidsBroadcast(bc,
         org.apache.spark.sql.GraftColumnBridge.expression(col("qv")),
         k = np, tieHigh = false))
-    val centIdx = index.centroids.select(col("cent_id"))
-      .withColumn("__graft_cidx",
-        row_number().over(Window.orderBy(col("cent_id"))) - 1)
+    val centIdx = localCentIdx(spark, ordered,
+      index.centroids.schema("cent_id").dataType)
     val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       .withColumn("__graft_cidx", explode(nearestNp))
       .join(broadcast(centIdx), "__graft_cidx")
