@@ -370,6 +370,21 @@ object DuckDialect {
           "list_aggregate needs a literal aggregate name ('sum'/'avg'/'min'/'max'/'count')")
       }
     }),
+    // --- argmax family (DuckDB arg_max(arg, val) == Spark max_by —
+    // same argument order; the analyzer wraps the raw AggregateFunction)
+    "arg_max" -> (es => { nArgs("arg_max", es, 2); aggregate.MaxBy(es(0), es(1)) }),
+    "arg_min" -> (es => { nArgs("arg_min", es, 2); aggregate.MinBy(es(0), es(1)) }),
+    "argmax" -> (es => { nArgs("argmax", es, 2); aggregate.MaxBy(es(0), es(1)) }),
+    "argmin" -> (es => { nArgs("argmin", es, 2); aggregate.MinBy(es(0), es(1)) }),
+    // --- list set predicates (probed against duckdb 1.0.0:
+    // has_all(l, []) = true — array_except([] , l) is empty → size 0)
+    "list_has_any" -> (es => { nArgs("list_has_any", es, 2); ArraysOverlap(es(0), es(1)) }),
+    "array_has_any" -> (es => { nArgs("array_has_any", es, 2); ArraysOverlap(es(0), es(1)) }),
+    "list_has_all" -> (es => { nArgs("list_has_all", es, 2); EqualTo(Size(ArrayExcept(es(1), es(0))), Literal(0)) }),
+    "array_has_all" -> (es => { nArgs("array_has_all", es, 2); EqualTo(Size(ArrayExcept(es(1), es(0))), Literal(0)) }),
+    // --- list constructors
+    "list_value" -> (es => CreateArray(es)),
+    "list_pack" -> (es => CreateArray(es)),
     // --- vector ops → graft natives (codegen'd; see VectorExpressions)
     "list_cosine_similarity" -> (es => { nArgs("list_cosine_similarity", es, 2); CosineSimilarity(es(0), es(1)) }),
     "list_dot_product" -> (es => { nArgs("list_dot_product", es, 2); DotProduct(es(0), es(1)) }),

@@ -52,6 +52,29 @@ class DialectSpec extends SparkSpec {
     assert(one("SELECT list_unique(array(1,1,2,3,3)) AS r").getInt(0) == 3)
     // 1-based INCLUSIVE slice, like DuckDB list_slice(l, 2, 3)
     assert(one("SELECT list_slice(array(10,20,30,40), 2, 3) AS r").getSeq[Int](0) == Seq(20, 30))
+    // set predicates + constructors (r9, probed against duckdb 1.0.0)
+    assert(one("SELECT list_has_any(array(1,2), array(2,3)) AS r").getBoolean(0))
+    assert(!one("SELECT list_has_any(array(1,2), array(3,4)) AS r").getBoolean(0))
+    assert(one("SELECT list_has_all(array(1,2,3), array(2,3)) AS r").getBoolean(0))
+    assert(!one("SELECT list_has_all(array(1,2), array(2,3)) AS r").getBoolean(0))
+    assert(one("SELECT list_has_all(array(1,2), array()) AS r").getBoolean(0))
+    assert(one("SELECT array_has_all(array(1,2,3), array(2,3)) AS r").getBoolean(0))
+    assert(one("SELECT list_value(1, 2, 3) AS r").getSeq[Int](0) == Seq(1, 2, 3))
+    assert(one("SELECT list_pack(4, 5) AS r").getSeq[Int](0) == Seq(4, 5))
+  }
+
+  test("arg_max/arg_min aggregate aliases (DuckDB argument order)") {
+    import spark.implicits._
+    Seq(("a", 10), ("b", 20), ("c", 5)).toDF("s", "v").createOrReplaceTempView("am")
+    val r = spark.sql(
+      "SELECT arg_max(s, v) AS amax, arg_min(s, v) AS amin, " +
+        "argmax(s, v) AS amax2, argmin(s, v) AS amin2 FROM am").collect().head
+    assert((r.getString(0), r.getString(1), r.getString(2), r.getString(3)) ==
+      (("b", "c", "b", "c")))
+    // and GROUP BY ALL / ORDER BY ALL run natively on Spark 4
+    val g = spark.sql("SELECT s, sum(v) AS t FROM am GROUP BY ALL ORDER BY ALL")
+      .collect().map(r0 => (r0.getString(0), r0.getLong(1))).toSeq
+    assert(g == Seq(("a", 10L), ("b", 20L), ("c", 5L)))
   }
 
   test("list vector functions route to graft natives") {
