@@ -115,6 +115,37 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batch && kept == 2L)
   }
 
+  test("streaming centroid assignment: the batch clusterAssign runs on a stream unchanged") {
+    import org.apache.spark.sql.functions._
+    // row-local broadcast-argmax + broadcast LocalRelation id map =
+    // stateless projection + stream-static join — the topic-bucketing
+    // half of SemDeDup (q109/q111) needs NO streaming variant; the
+    // within-cluster prune is cross-row and stays batch
+    val dir = Files.createTempDirectory("graft-stream-assign")
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.2f, 0.8f)), (4L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    emb.write.parquet(dir.resolve("emb.parquet").toString)
+    val seeds = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val stream = spark.readStream.schema(emb.schema)
+      .parquet(dir.resolve("emb.parquet").toString)
+    val q = graft.functions.VectorFunctions.clusterAssign(stream, seeds)
+      .select("vec_id", "cid")
+      .writeStream.format("memory").queryName("assign_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql("SELECT vec_id, cid FROM assign_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = graft.functions.VectorFunctions.clusterAssign(emb, seeds)
+      .select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L)))
+  }
+
   test("streaming bloom decontamination equals the batch operator (zero stream-side state)") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-stream-decon")
