@@ -35,6 +35,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("DuckSlice: codegen and interpreted paths agree on random lists/strings/bounds") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.GraftFunctions.register(spark)
+    // the r9 Janino boxing bug FAILED codegen (now a hard error in
+    // DialectSpec's CODEGEN_ONLY runs); this property pins the other
+    // failure mode — a codegen path that runs but DIVERGES from eval
+    val lst = Gen.listOfN(8, Gen.chooseNum(-99, 99)).map(_.take(sample(Gen.chooseNum(0, 8))))
+    val bound = Gen.oneOf(Gen.chooseNum(-10, 10).map(_.toString), Gen.const("NULL"))
+    def run(mode: String, sql: String): Seq[Row] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try spark.sql(sql).collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    for (_ <- 1 to 25) {
+      val l = sample(lst)
+      val (b, e) = (sample(bound), sample(bound))
+      val arr = if (l.isEmpty) "CAST(array() AS ARRAY<INT>)" else s"array(${l.mkString(",")})"
+      val s = "'" + sample(Gen.alphaNumStr.map(_.take(8))) + "'"
+      for (expr <- Seq(
+        s"list_slice($arr, $b, $e)", s"graft_bracket_slice($arr, $b, $e)",
+        s"array_slice($s, $b, $e)", s"graft_bracket_slice($s, $b, $e)")) {
+        val sql = s"SELECT $expr AS r"
+        val cg = run("CODEGEN_ONLY", sql)
+        val in = run("NO_CODEGEN", sql)
+        assert(cg.map(_.toString) == in.map(_.toString), sql)
+      }
+    }
+  }
+
   test("chunkWindows: full coverage, stride overlap, exact reconstruction for random docs") {
     import org.apache.spark.sql.functions._
     val word = Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty)
