@@ -516,10 +516,30 @@ object ExtraQueries {
     s.sql(graft.operators.GraftSqlParser.rewriteAll(sliceSqlText))
   }
 
+  /** `arg_max`/`arg_min` + `GROUP BY ALL` + `ORDER BY ALL` through the
+    * passthrough, identical text on both engines (the q105-q108
+    * pattern): the argmax aliases route to Spark's max_by/min_by
+    * Catalyst aggregates (same argument order as DuckDB, r9), and the
+    * ALL forms run natively on Spark 4. The `arg_max` ORDER value is
+    * the UNIQUE o_orderkey, so neither engine's tie behavior is
+    * exercised and the result is deterministic.
+    */
+  private[graft] val argmaxSqlText = """
+      SELECT o_custkey, arg_max(CAST(o_orderdate AS DATE), o_orderkey) AS last_key_date,
+             arg_min(CAST(o_orderdate AS DATE), o_orderkey) AS first_key_date
+      FROM orders GROUP BY ALL ORDER BY ALL"""
+
+  def q119ArgmaxSql(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(graft.operators.GraftSqlParser.rewriteAll(argmaxSqlText))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_columns_sql"    -> (q113ColumnsSql _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
     "q118_slice_sql"      -> (q118SliceSql _),
+    "q119_argmax_sql"     -> (q119ArgmaxSql _),
     "q69_approx_distinct" -> (q69ApproxDistinct _),
     "q74_bit_aggs"        -> (q74BitAggs _),
     "q75_string_shape"    -> (q75StringShape _),
@@ -561,6 +581,7 @@ object ExtraQueries {
     "q113_columns_sql" -> columnsSqlText,
     "q117_recursive_sql" -> recursiveSqlText,
     "q118_slice_sql" -> sliceSqlText,
+    "q119_argmax_sql" -> argmaxSqlText,
     "q81_range_join" -> """
       WITH iv AS (
         SELECT i AS interval_id, 1704067200 + i * 7200 AS s_sec
