@@ -530,11 +530,15 @@ object DuckDialect {
       "DuckDB's PIVOT statement (PIVOT t ON col [USING agg]) isn't Spark SQL — use Spark's pivot clause with the values listed explicitly: SELECT * FROM t PIVOT (agg(expr) FOR col IN ('v1', 'v2'))",
     raw"(?i)\bUNPIVOT\s+[A-Za-z_`]".r ->
       "DuckDB's UNPIVOT statement (UNPIVOT t ON cols INTO NAME n VALUE v) isn't Spark SQL — use Spark's unpivot clause: SELECT * FROM t UNPIVOT (v FOR n IN (c1, c2)), or stack(): SELECT stack(2, 'c1', c1, 'c2', c2) AS (n, v) FROM t",
-    // DuckDB CREATE MACRO through the passthrough (VERDICT r8 missing
-    // #4) — must precede the `:=` hint: macros commonly carry default
-    // parameters (a := 1), and the macro-level message is the useful one
+    // DuckDB CREATE MACRO runs inside graft sql stages (VERDICT r8
+    // missing #4: GraftSqlParser.registerMacro/expandMacros — scalar
+    // and AS TABLE forms, default params, multi-statement batches);
+    // this hint fires only OUTSIDE a sql stage, where plain spark.sql
+    // has no macro registry. Must precede the `:=` hint: macros
+    // commonly carry default parameters (a := 1), and the macro-level
+    // message is the useful one.
     raw"(?i)\bCREATE\s+(OR\s+REPLACE\s+)?(TEMP(ORARY)?\s+)?MACRO\b".r ->
-      "DuckDB CREATE MACRO isn't Spark SQL — scalar macros become Spark 4 SQL UDFs (CREATE TEMPORARY FUNCTION f(x INT) RETURNS INT RETURN x + 1), table macros become parameterless TEMP VIEWs or Dataset-returning Scala functions; graft-side, register a native expression via GraftFunctions",
+      "DuckDB CREATE MACRO runs inside graft sql stages (CREATE MACRO f(a, n := 1) AS expr | AS TABLE query; registered per session, expanded at later call sites); in plain Spark SQL use SQL UDFs (CREATE TEMPORARY FUNCTION f(x INT) RETURNS INT RETURN x + 1) or TEMP VIEWs for table macros",
     raw":=".r ->
       "named-argument syntax (a := 1) isn't Spark SQL — struct_pack(a := 1) becomes named_struct('a', 1)",
     raw"(?i)\[\s*[\w.]+\s+for\s+\w+\s+in\b".r ->

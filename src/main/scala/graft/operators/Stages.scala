@@ -30,6 +30,29 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // dialect functions (string_split, strftime, …) for sessions built
     // without GraftExtensions; idempotent per session
     graft.functions.expressions.GraftFunctions.register(spark)
+    // Multi-statement batches (DuckDB sql stages carry `CREATE MACRO
+    // ...; SELECT ...` through the verbatim passthrough): CREATE MACRO
+    // statements register into the session macro registry and leave the
+    // pipeline state untouched (DDL returns no relation); every other
+    // statement runs as its own stage over the previous result — the
+    // stage's output is the LAST statement's, DuckDB's batch rule.
+    val stmts = GraftSqlParser.splitStatements(code)
+    if (stmts.lengthCompare(1) > 0) {
+      var cur = df
+      stmts.foreach { st =>
+        if (GraftSqlParser.isCreateMacroStatement(st))
+          GraftSqlParser.registerMacro(spark, st)
+        else cur = SqlStage(name, st).apply(spark, cur)
+      }
+      return cur
+    }
+    if (GraftSqlParser.isCreateMacroStatement(code)) {
+      GraftSqlParser.registerMacro(spark, code)
+      return df
+    }
+    // Macro call sites expand FIRST, so a macro body carrying its own
+    // DuckDB-isms still meets the full rewrite chain below.
+    val code2 = GraftSqlParser.expandMacros(spark, code)
     // ASOF JOIN is auto-rewritten by rewriteAll; POSITIONAL JOIN (and
     // any ASOF shape the rewrite threw on never reaches here) would
     // silently parse as a table alias + inner join — reject what's left
@@ -42,7 +65,7 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // directly (one single-pass aggregate over the target — no SQL
     // equivalent to splice). `SUMMARIZE SELECT ...` recurses through
     // this stage so the inner query keeps the full dialect layer.
-    GraftSqlParser.summarizeTarget(code).foreach { target =>
+    GraftSqlParser.summarizeTarget(code2).foreach { target =>
       val inner =
         if (target.isEmpty || target.equalsIgnoreCase("df")) df
         else if (raw"(?is)^\s*(SELECT|WITH|FROM)\b".r.findFirstIn(target).isDefined)
@@ -50,8 +73,21 @@ final case class SqlStage(name: String, code: String) extends Stage {
         else spark.table(target)
       return GraftSqlParser.summarize(inner)
     }
+    // DESCRIBE/SHOW statement: DuckDB's six-column schema relation
+    // (pure driver-side metadata — zero jobs). `DESCRIBE SELECT ...`
+    // recurses through this stage so the inner query keeps the full
+    // dialect layer; Spark's own DESCRIBE TABLE / SHOW TABLES forms
+    // never match (describeTarget) and keep their native shape.
+    GraftSqlParser.describeTarget(code2).foreach { target =>
+      val inner =
+        if (target.isEmpty || target.equalsIgnoreCase("df")) df
+        else if (raw"(?is)^\s*(SELECT|WITH|FROM)\b".r.findFirstIn(target).isDefined)
+          SqlStage(name, target).apply(spark, df)
+        else spark.table(target)
+      return GraftSqlParser.describe(inner)
+    }
     val stmt = GraftSqlParser.rewritePivotStatement(spark,
-      GraftSqlParser.rewriteUnpivotStatement(code),
+      GraftSqlParser.rewriteUnpivotStatement(code2),
       s => GraftSqlParser.rewriteAll(
         GraftSqlParser.rewriteColumns(
           GraftSqlParser.rewriteReplace(s, df.columns.toSeq), df.columns.toSeq)))

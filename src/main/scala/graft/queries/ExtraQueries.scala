@@ -535,8 +535,60 @@ object ExtraQueries {
     s.sql(graft.operators.GraftSqlParser.rewriteAll(argmaxSqlText))
   }
 
+  /** DuckDB `CREATE MACRO` through the passthrough — identical
+    * MULTI-STATEMENT text on both engines (the q105-q108 pattern, one
+    * step further: the whole `CREATE MACRO ...; CREATE MACRO ...;
+    * SELECT ...` batch a reference user hands a `sql` stage verbatim,
+    * filefilter.py:340-342). Graft registers both macros in the session
+    * registry ([[graft.operators.GraftSqlParser.registerMacro]]) and
+    * expands the call sites textually ([[graft.operators.GraftSqlParser
+    * .expandMacros]]) — a scalar macro inside an aggregate AND a table
+    * macro as an IN-subquery source; DuckDB executes the same batch
+    * natively. The DECIMAL(18,4) cast inside the macro body keeps the
+    * summed revenue exact on both engines (q117's DECIMAL→DOUBLE
+    * precedent), and both engines see the identical IEEE double product
+    * before the cast.
+    */
+  private[graft] val macroSqlText = """
+      CREATE OR REPLACE MACRO disc_price(p, d) AS CAST(p * (1 - d) AS DECIMAL(18,4));
+      CREATE OR REPLACE MACRO pricey_orders(lim) AS TABLE
+        SELECT o_orderkey FROM orders WHERE o_totalprice > lim;
+      SELECT l_returnflag, COUNT(*) AS n_items,
+             CAST(SUM(disc_price(l_extendedprice, l_discount)) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM pricey_orders(150000))
+      GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  def q120MacroSql(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    orders(s, d).createOrReplaceTempView("orders")
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    graft.operators.SqlStage("q120", macroSqlText).apply(s, orders(s, d))
+  }
+
+  /** DuckDB's `DESCRIBE` statement through the passthrough — identical
+    * text on both engines (the SUMMARIZE treatment, but byte-exact:
+    * DESCRIBE is pure metadata, so DuckDB's six-column relation —
+    * column_name/column_type/null/key/default/extra, DuckDB type
+    * names, YES/NO nullability, NULL key/default/extra — hash-matches
+    * exactly). Costs zero Spark jobs: the schema is already on the
+    * driver. `DESCRIBE SELECT` keeps the inner query in the dialect
+    * layer; Spark's own DESCRIBE TABLE / SHOW TABLES forms are never
+    * claimed ([[graft.operators.GraftSqlParser.describeTarget]]).
+    */
+  private[graft] val describeSqlText =
+    "DESCRIBE SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+  def q121DescribeSql(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    nation(s, d).createOrReplaceTempView("nation")
+    graft.operators.SqlStage("q121", describeSqlText).apply(s, nation(s, d))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_columns_sql"    -> (q113ColumnsSql _),
+    "q120_macro_sql"      -> (q120MacroSql _),
+    "q121_describe_sql"   -> (q121DescribeSql _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
     "q118_slice_sql"      -> (q118SliceSql _),
     "q119_argmax_sql"     -> (q119ArgmaxSql _),
@@ -582,6 +634,11 @@ object ExtraQueries {
     "q117_recursive_sql" -> recursiveSqlText,
     "q118_slice_sql" -> sliceSqlText,
     "q119_argmax_sql" -> argmaxSqlText,
+    // q120: DuckDB executes the IDENTICAL multi-statement batch —
+    // CREATE MACROs then the SELECT; the driver's duckdb.sql() returns
+    // the last statement's relation (DuckDB's batch rule)
+    "q120_macro_sql" -> macroSqlText,
+    "q121_describe_sql" -> describeSqlText,
     "q81_range_join" -> """
       WITH iv AS (
         SELECT i AS interval_id, 1704067200 + i * 7200 AS s_sec

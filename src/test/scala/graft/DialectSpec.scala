@@ -1082,4 +1082,112 @@ class DialectSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).distinct.length == rows.length)
     assert(rows.forall(r => r.getString(0) == r.getString(0).toUpperCase))
   }
+
+  // ---- CREATE MACRO (r9: registerMacro/expandMacros, VERDICT r8 missing #4)
+  test("CREATE MACRO: scalar body expands with parenthesized args, precedence-safe") {
+    val df = spark.range(1, 5).toDF("id")
+    // multi-statement batch in ONE sql stage, DuckDB's batch rule:
+    // the stage's result is the last statement's
+    val out = SqlStage("s",
+      """CREATE OR REPLACE MACRO twice_plus(a, b) AS a * 2 + b;
+         SELECT id, twice_plus(id + 1, 10) AS v FROM df ORDER BY id""")
+      .apply(spark, df).collect()
+    // (id + 1) * 2 + 10 — the parens around the arg keep `+` outside `*`
+    assert(out.map(_.getLong(1)).toSeq == Seq(14L, 16L, 18L, 20L))
+    // registered for the session: a LATER stage still sees it
+    val later = SqlStage("s2", "SELECT twice_plus(1, 0) AS v FROM df LIMIT 1")
+      .apply(spark, df).collect()
+    assert(later.head.getAs[Number](0).longValue == 2L)
+  }
+
+  test("CREATE MACRO: default parameters bind by name only, DuckDB's rule") {
+    val df = spark.range(1).toDF("id")
+    SqlStage("s", "CREATE OR REPLACE MACRO addn(a, n := 10) AS a + n").apply(spark, df)
+    assert(SqlStage("s", "SELECT addn(1) AS v FROM df").apply(spark, df)
+      .collect().head.getAs[Number](0).longValue == 11L)
+    assert(SqlStage("s", "SELECT addn(1, n := 5) AS v FROM df").apply(spark, df)
+      .collect().head.getAs[Number](0).longValue == 6L)
+    // a positional arg can NOT fill the default slot
+    val e = intercept[DuckDialectException](
+      SqlStage("s", "SELECT addn(1, 5) AS v FROM df").apply(spark, df))
+    assert(e.getMessage.contains("positional"))
+    // missing required arg
+    val e2 = intercept[DuckDialectException](
+      SqlStage("s", "SELECT addn() AS v FROM df").apply(spark, df))
+    assert(e2.getMessage.contains("missing argument"))
+  }
+
+  test("CREATE MACRO: AS TABLE expands to a subquery usable in FROM and IN") {
+    val df = spark.range(1, 10).toDF("id")
+    val out = SqlStage("s",
+      """CREATE OR REPLACE MACRO bigids(lo) AS TABLE SELECT id FROM df WHERE id >= lo;
+         SELECT COUNT(*) AS n FROM bigids(7)""").apply(spark, df).collect()
+    assert(out.head.getLong(0) == 3L)
+    val in = SqlStage("s",
+      "SELECT COUNT(*) AS n FROM df WHERE id IN (SELECT id FROM bigids(8))")
+      .apply(spark, df).collect()
+    assert(in.head.getLong(0) == 2L)
+  }
+
+  test("CREATE MACRO: macros compose, quotes are inert, duplicate name guarded") {
+    val df = spark.range(1).toDF("id")
+    SqlStage("s", "CREATE OR REPLACE MACRO inner1(x) AS x + 1").apply(spark, df)
+    SqlStage("s", "CREATE OR REPLACE MACRO outer1(x) AS inner1(x) * 10").apply(spark, df)
+    assert(SqlStage("s", "SELECT outer1(2) AS v FROM df").apply(spark, df)
+      .collect().head.getAs[Number](0).longValue == 30L)
+    // a call-shaped string literal is NOT expanded
+    val lit = SqlStage("s", "SELECT 'inner1(9)' AS v FROM df").apply(spark, df)
+    assert(lit.collect().head.getString(0) == "inner1(9)")
+    // nested args with top-level-comma safety: f(g(a,b), c)
+    SqlStage("s", "CREATE OR REPLACE MACRO pair2(a, b) AS a * 100 + b").apply(spark, df)
+    assert(SqlStage("s", "SELECT pair2(inner1(1), 3) AS v FROM df").apply(spark, df)
+      .collect().head.getAs[Number](0).longValue == 203L)
+    // plain CREATE on an existing name raises DuckDB's catalog error
+    SqlStage("s", "CREATE OR REPLACE MACRO dup1(x) AS x").apply(spark, df)
+    val e = intercept[DuckDialectException](
+      SqlStage("s", "CREATE MACRO dup1(x) AS x + 1").apply(spark, df))
+    assert(e.getMessage.contains("already exists"))
+    // recursion stops with a guided error, not a hang
+    SqlStage("s", "CREATE OR REPLACE MACRO rec1(x) AS rec1(x)").apply(spark, df)
+    val r = intercept[DuckDialectException](
+      SqlStage("s", "SELECT rec1(1) AS v FROM df").apply(spark, df))
+    assert(r.getMessage.contains("depth"))
+  }
+
+  // ---- DESCRIBE statement (r9: DuckDB's six-column metadata relation)
+  test("DESCRIBE executes with DuckDB's exact shape; Spark forms pass through") {
+    import org.apache.spark.sql.functions.{when, col}
+    val df = spark.range(3).toDF("id")
+      .withColumn("s", when(col("id") > 0, "x")) // nullable → null YES
+    val out = SqlStage("s", "DESCRIBE df").apply(spark, df).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("id", "s"))
+    assert(out.map(_.getString(1)).toSeq == Seq("BIGINT", "VARCHAR"))
+    assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
+    // non-nullable range() id → NO, like DuckDB on a NOT NULL column
+    assert(out.head.getString(2) == "NO" && out(1).getString(2) == "YES")
+    // DESCRIBE SELECT recurses through the dialect layer
+    val sel = SqlStage("s", "DESCRIBE SELECT id FROM df WHERE id > 0")
+      .apply(spark, df).collect()
+    assert(sel.map(_.getString(0)).toSeq == Seq("id"))
+    // SHOW <relation> is DuckDB's alias for DESCRIBE
+    df.createOrReplaceTempView("desct")
+    val sh = SqlStage("s", "SHOW desct").apply(spark, df).collect()
+    assert(sh.map(_.getString(0)).toSeq == Seq("id", "s"))
+    // Spark's own forms keep their NATIVE output shape
+    assert(graft.operators.GraftSqlParser.describeTarget("SHOW TABLES").isEmpty)
+    assert(graft.operators.GraftSqlParser.describeTarget("DESCRIBE TABLE t").isEmpty)
+    assert(graft.operators.GraftSqlParser.describeTarget("DESCRIBE QUERY SELECT 1").isEmpty)
+    assert(graft.operators.GraftSqlParser.describeTarget("SHOW FUNCTIONS").isEmpty)
+    val sparkShape = SqlStage("s", "SHOW TABLES").apply(spark, df)
+    assert(sparkShape.columns.contains("tableName"))
+  }
+
+  test("CREATE MACRO: body DuckDB-isms still meet the rewrite chain at the call site") {
+    val df = spark.range(1).toDF("id")
+    // bracket slice inside the macro body — expandMacros runs BEFORE
+    // rewriteSlice, so the expansion picks up the DuckSlice rewrite
+    SqlStage("s", "CREATE OR REPLACE MACRO mid3(s) AS s[2:4]").apply(spark, df)
+    assert(SqlStage("s", "SELECT mid3('abcdef') AS v FROM df").apply(spark, df)
+      .collect().head.getString(0) == "bcd")
+  }
 }
