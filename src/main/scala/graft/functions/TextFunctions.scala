@@ -269,6 +269,65 @@ object TextFunctions {
         .when(tokenCount(text) >= 5, 0.25)
         .otherwise(0.0)
 
+  /** Gopher quality-rule bundle (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1 — the MassiveText heuristics; the reference engine has no
+    * quality operators, `/root/reference/filters.py` is generic
+    * per-row transforms). Seven per-document rules as a struct of
+    * booleans plus the conjunction `keep`:
+    *
+    *  - `r_word_count`: word count in [minWords, maxWords];
+    *  - `r_mean_word_len`: mean word length in [3, 10] characters;
+    *  - `r_symbol_ratio`: (# '#' + # '...') to word ratio ≤ 0.1;
+    *  - `r_bullet`: ≤ 90% of lines start with a bullet ('-', '*', '•');
+    *  - `r_ellipsis`: ≤ 30% of lines end with '...';
+    *  - `r_alpha`: ≥ 80% of words contain ≥ 1 alphabetic character;
+    *  - `r_stopwords`: ≥ minStopTypes of Gopher's 8 stop words
+    *    (the, be, to, of, and, that, have, with) present.
+    *
+    * Every threshold is compared CROSS-MULTIPLIED in integers (e.g.
+    * mean length in [3,10] is `3·n_words ≤ n_chars ≤ 10·n_words`) —
+    * no float division anywhere, so the flags hash identically across
+    * engines and a DuckDB oracle can replay the rules exactly.
+    *
+    * 100 TB shape: strictly row-local (one pass over the text column,
+    * all whole-stage-codegen'd `functions._` — no UDFs, no shuffle, no
+    * state); composes with a filter pushed to the scan.
+    */
+  def gopherRules(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+                  minStopTypes: Int = 2): Column = {
+    val words = filter(split(text, " "), w => w =!= "")
+    val nWords = size(words).cast("long")
+    val nChars = aggregate(words, lit(0L), (a, w) => a + length(w))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("long")
+    val nEllEnd = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val nEll = ((length(text) - length(regexp_replace(text, raw"\.\.\.", ""))) / lit(3))
+      .cast("long")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = stops.map(s => when(array_contains(words, s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    struct(
+      nWords.as("n_words"),
+      (nWords >= minWords && nWords <= maxWords).as("r_word_count"),
+      (lit(3) * nWords <= nChars && nChars <= lit(10) * nWords).as("r_mean_word_len"),
+      (lit(10) * (nHash + nEll) <= nWords).as("r_symbol_ratio"),
+      (lit(10) * nBullet <= lit(9) * nLines).as("r_bullet"),
+      (lit(10) * nEllEnd <= lit(3) * nLines).as("r_ellipsis"),
+      (lit(5) * nAlpha >= lit(4) * nWords).as("r_alpha"),
+      (nStop >= minStopTypes).as("r_stopwords"),
+      (nWords >= minWords && nWords <= maxWords &&
+        lit(3) * nWords <= nChars && nChars <= lit(10) * nWords &&
+        lit(10) * (nHash + nEll) <= nWords &&
+        lit(10) * nBullet <= lit(9) * nLines &&
+        lit(10) * nEllEnd <= lit(3) * nLines &&
+        lit(5) * nAlpha >= lit(4) * nWords &&
+        nStop >= minStopTypes).as("keep"))
+  }
+
   /** Misra-Gries pass over one partition's tokens: the ≤ `capacity`
     * surviving counters. Guarantee (Misra & Gries 1982): every token
     * with partition frequency > n_partition/capacity survives. Bounded

@@ -614,8 +614,24 @@ object TextQueries {
   def q115BigramHitters(s: SparkSession, d: String): DataFrame =
     TF.topTokensExact(documents(s, d), "text", k = 20, ngram = 2)
 
+  /** Gopher quality-rule bundle ([[graft.functions.TextFunctions
+    * .gopherRules]], Rae et al. 2021): the seven MassiveText heuristics
+    * as per-rule boolean columns plus the conjunction. Thresholds
+    * calibrated to SPLIT this corpus (minWords=30 keeps ~80%,
+    * minStopTypes=1 exercises the stop-word membership test on the
+    * synthetic vocabulary); every flag is integer cross-multiplied
+    * arithmetic, so DuckDB replays all seven rules bit-exactly.
+    */
+  def q122GopherRules(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        TF.gopherRules(col("text"), minWords = 30, minStopTypes = 1).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_dsir_scores"    -> (q112DsirScores _),
+    "q122_gopher_rules"   -> (q122GopherRules _),
     "q114_heavy_hitters"  -> (q114HeavyHitters _),
     "q115_bigram_hitters" -> (q115BigramHitters _),
     "q30_dedup_exact"     -> (q30DedupExact _),
@@ -678,6 +694,47 @@ object TextQueries {
 
   val sql: Map[String, String] = Map(
     "q36_simhash" -> simhashOracle,
+
+    // DuckDB replay of all seven Gopher rules — same integer
+    // cross-multiplied comparisons, same word/line splitting; COALESCE
+    // covers list_sum's NULL-on-empty-list (Spark's aggregate inits 0)
+    "q122_gopher_rules" -> """
+      WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS words,
+          string_split(text, chr(10)) AS lines,
+          CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+          CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell
+        FROM documents),
+      f AS (
+        SELECT doc_id, n_hash, n_ell,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS n_chars,
+          CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ell_end,
+          (CAST(list_contains(words, 'the') AS INT) + CAST(list_contains(words, 'be') AS INT) +
+           CAST(list_contains(words, 'to') AS INT) + CAST(list_contains(words, 'of') AS INT) +
+           CAST(list_contains(words, 'and') AS INT) + CAST(list_contains(words, 'that') AS INT) +
+           CAST(list_contains(words, 'have') AS INT) + CAST(list_contains(words, 'with') AS INT)) AS n_stop
+        FROM w)
+      SELECT doc_id, n_words,
+        (n_words >= 30 AND n_words <= 100000) AS r_word_count,
+        (3 * n_words <= n_chars AND n_chars <= 10 * n_words) AS r_mean_word_len,
+        (10 * (n_hash + n_ell) <= n_words) AS r_symbol_ratio,
+        (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+        (10 * n_ell_end <= 3 * n_lines) AS r_ellipsis,
+        (5 * n_alpha >= 4 * n_words) AS r_alpha,
+        (n_stop >= 1) AS r_stopwords,
+        (n_words >= 30 AND n_words <= 100000
+          AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+          AND 10 * (n_hash + n_ell) <= n_words
+          AND 10 * n_bullet <= 9 * n_lines
+          AND 10 * n_ell_end <= 3 * n_lines
+          AND 5 * n_alpha >= 4 * n_words
+          AND n_stop >= 1) AS keep
+      FROM f ORDER BY doc_id""",
 
     "q84_pii_redact" -> s"""
       WITH synth AS (

@@ -657,4 +657,39 @@ class UtilOpsSpec extends SparkSpec {
     val k = math.ceil(n * 0.3)
     assert(math.abs(approx.count() - k) <= math.max(2, n * 0.05))
   }
+
+  test("gopherRules: each rule fires on its adversarial document") {
+    import org.apache.spark.sql.functions._
+    // 68 words, mean len 3.5, stop types {the, and, of, that, to} — clean
+    val good = "the quick brown fox jumps over the lazy dog and all of that was fine to see " * 4
+    val cases = Seq(
+      ("good", good),
+      ("short", "the cat"),                                    // word count < 50
+      ("longwords", Seq.fill(60)("Pneumonoultramicroscopics").mkString(" ")), // mean len > 10
+      ("symbols", good + " " + Seq.fill(20)("#").mkString(" ")),      // hash ratio > 0.1
+      ("bullets", Seq.fill(10)("- the item here now").mkString("\n")),  // all lines bulleted
+      ("ellipsis", Seq.fill(10)("the line trails off...").mkString("\n")), // all lines ...
+      ("numeric", Seq.fill(60)("12345").mkString(" ") + " the"),   // alpha fraction < 0.8
+      ("nostop", "potato carrot turnip radish " * 15))           // no Gopher stopword
+    val df = spark.createDataFrame(cases).toDF("name", "text")
+      .select(col("name"),
+        graft.functions.TextFunctions.gopherRules(col("text")).as("g"))
+      .select(col("name"), col("g.*"))
+    val byName = df.collect().map(r => r.getString(0) -> r).toMap
+    val keepIdx = df.columns.indexOf("keep")
+    assert(byName("good").getBoolean(keepIdx), "clean doc must keep")
+    def failsOn(name: String, flag: String): Unit = {
+      val r = byName(name)
+      val idx = df.columns.indexOf(flag)
+      assert(!r.getBoolean(idx), s"$name must fail $flag")
+      assert(!r.getBoolean(keepIdx), s"$name must not keep")
+    }
+    failsOn("short", "r_word_count")
+    failsOn("longwords", "r_mean_word_len")
+    failsOn("symbols", "r_symbol_ratio")
+    failsOn("bullets", "r_bullet")
+    failsOn("ellipsis", "r_ellipsis")
+    failsOn("numeric", "r_alpha")
+    failsOn("nostop", "r_stopwords")
+  }
 }
