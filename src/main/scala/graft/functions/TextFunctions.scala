@@ -328,6 +328,43 @@ object TextFunctions {
         nStop >= minStopTypes).as("keep"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the C4 heuristics; line-level complement of the page-level
+    * [[gopherRules]]). Keeps only lines that END in terminal
+    * punctuation ('.', '!', '?', '"') AND carry ≥ `minLineWords` words;
+    * rebuilds the document from the survivors; and raises the paper's
+    * page-level red flags — "lorem ipsum" placeholder text, a '{'
+    * (code), the word "javascript" (cookie/JS warnings). `keep` is
+    * `n_lines_kept ≥ minLines` (the paper's ≥-3-sentence floor on the
+    * cleaned page) AND no flag raised. The paper's remaining steps are
+    * separate first-class operators: three-sentence-span dedup is
+    * [[graft.functions.Dedup.dedupSpans]] (q92), bad-word lists are
+    * [[markerHits]]/[[blockedByDomain]], language ID is [[langId]].
+    *
+    * Returns a struct (clean_text, n_lines_kept, has_lorem, has_brace,
+    * has_js, keep). Strictly row-local single-pass `functions._` — no
+    * UDFs, no shuffle; a DuckDB oracle replays every rule bit-exactly
+    * (q123).
+    */
+  def c4Clean(text: Column, minLineWords: Int = 5, minLines: Int = 3): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+        size(filter(split(l, " "), w => w =!= "")) >= minLineWords)
+    val low = lower(text)
+    val hasLorem = low.contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    val hasJs = low.contains("javascript")
+    val nKept = size(kept).cast("long")
+    struct(
+      array_join(kept, "\n").as("clean_text"),
+      nKept.as("n_lines_kept"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      hasJs.as("has_js"),
+      (nKept >= minLines && !hasLorem && !hasBrace && !hasJs).as("keep"))
+  }
+
   /** Misra-Gries pass over one partition's tokens: the ≤ `capacity`
     * surviving counters. Guarantee (Misra & Gries 1982): every token
     * with partition frequency > n_partition/capacity survives. Bounded

@@ -629,9 +629,32 @@ object TextQueries {
       .select(col("doc_id"), col("g.*"))
       .orderBy(col("doc_id"))
 
+  /** C4 line-level cleaning ([[graft.functions.TextFunctions.c4Clean]],
+    * Raffel et al. 2020). The synthetic corpus is single-line, so the
+    * gate builds a MULTI-LINE page per document in both engines (the
+    * q84 synth pattern): the original text punctuated, a too-short
+    * line, a kept second sentence, and doc_id-conditional "lorem
+    * ipsum" / code-brace lines — every C4 rule fires somewhere in the
+    * corpus, and the rebuilt clean_text + flags hash-match DuckDB.
+    */
+  def q123C4Clean(s: SparkSession, d: String): DataFrame = {
+    val synth = concat(col("text"), lit(".\n"),
+      when(col("doc_id") % 3 === 0,
+        lit("lorem ipsum dolor sit amet placeholder text.\n")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("function f() { return javascript; }\n")).otherwise(lit("")),
+      lit("too short\n"),
+      lit("this second sentence carries enough words to survive!"))
+    documents(s, d)
+      .select(col("doc_id"), TF.c4Clean(synth).as("c"))
+      .select(col("doc_id"), col("c.*"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
+    "q123_c4_clean"       -> (q123C4Clean _),
     "q114_heavy_hitters"  -> (q114HeavyHitters _),
     "q115_bigram_hitters" -> (q115BigramHitters _),
     "q30_dedup_exact"     -> (q30DedupExact _),
@@ -694,6 +717,37 @@ object TextQueries {
 
   val sql: Map[String, String] = Map(
     "q36_simhash" -> simhashOracle,
+
+    // DuckDB replay of the C4 line filters over the same synthetic
+    // multi-line pages: terminal-punctuation + min-word line keep,
+    // rebuilt clean_text, page-level red flags
+    "q123_c4_clean" -> """
+      WITH synth AS (
+        SELECT doc_id,
+          text || '.' || chr(10) ||
+          (CASE WHEN doc_id % 3 = 0
+            THEN 'lorem ipsum dolor sit amet placeholder text.' || chr(10) ELSE '' END) ||
+          (CASE WHEN doc_id % 5 = 0
+            THEN 'function f() { return javascript; }' || chr(10) ELSE '' END) ||
+          'too short' || chr(10) ||
+          'this second sentence carries enough words to survive!' AS page
+        FROM documents),
+      k AS (
+        SELECT doc_id, page,
+          list_filter(string_split(page, chr(10)),
+            l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+              AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5) AS kept
+        FROM synth)
+      SELECT doc_id,
+        array_to_string(kept, chr(10)) AS clean_text,
+        CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        contains(lower(page), 'lorem ipsum') AS has_lorem,
+        contains(page, '{') AS has_brace,
+        contains(lower(page), 'javascript') AS has_js,
+        (len(kept) >= 3 AND NOT contains(lower(page), 'lorem ipsum')
+          AND NOT contains(page, '{')
+          AND NOT contains(lower(page), 'javascript')) AS keep
+      FROM k ORDER BY doc_id""",
 
     // DuckDB replay of all seven Gopher rules — same integer
     // cross-multiplied comparisons, same word/line splitting; COALESCE

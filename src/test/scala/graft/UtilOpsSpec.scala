@@ -692,4 +692,26 @@ class UtilOpsSpec extends SparkSpec {
     failsOn("numeric", "r_alpha")
     failsOn("nostop", "r_stopwords")
   }
+
+  test("c4Clean: punctuation+length line filter, page flags, rebuild") {
+    import org.apache.spark.sql.functions._
+    val page = Seq(
+      "the first good sentence sits here.",
+      "short one.",                        // < 5 words → dropped
+      "no terminal punctuation on this line",
+      "a second surviving sentence lives right here!",
+      "and a third keeps the page over the floor?").mkString("\n")
+    val df = spark.createDataFrame(Seq((1L, page),
+        (2L, "lorem ipsum dolor.\n" + page),
+        (3L, "var x = { a: 1 };\n" + page)))
+      .toDF("id", "t")
+      .select(col("id"), graft.functions.TextFunctions.c4Clean(col("t")).as("c"))
+      .select(col("id"), col("c.*")).orderBy(col("id"))
+    val rows = df.collect()
+    val clean = rows(0).getString(1)
+    assert(clean.split("\n").length == 3 && !clean.contains("short one"))
+    assert(rows(0).getBoolean(6), "clean page keeps")          // keep
+    assert(rows(1).getBoolean(3) && !rows(1).getBoolean(6))    // lorem flag kills
+    assert(rows(2).getBoolean(4) && !rows(2).getBoolean(6))    // brace flag kills
+  }
 }
