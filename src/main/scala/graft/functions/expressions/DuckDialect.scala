@@ -445,7 +445,7 @@ object DuckDialect {
     "gen_random_uuid" -> "use uuid() (non-deterministic; forbidden in oracle-checked queries)",
     // lambda/computed COLUMNS() forms parse as a normal call and fail
     // ANALYSIS (the expandable shapes were already rewritten in SqlStage)
-    "columns" -> "this COLUMNS(...) shape isn't expandable (lambdas computing FUNCTIONS of the variable — len(c), substrings — and COLUMNS outside a select list or WHERE clause; *, 'regex', ['list'], boolean name-lambdas of LIKE/SIMILAR TO/IN/=/<> with AND/OR/NOT, whole-item expressions and AND-replicated WHERE predicates DO expand) — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract"
+    "columns" -> "this COLUMNS(...) shape isn't expandable (unsupported name functions — substring, replace — and COLUMNS outside a select list or WHERE clause; *, 'regex', ['list'], boolean name-lambdas of LIKE/SIMILAR TO/IN/=/<> with AND/OR/NOT plus len()/lower()/upper() of the variable, whole-item expressions and AND-replicated WHERE predicates DO expand) — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract"
   )
 
   /** Syntax-level DuckDB-isms Spark's parser rejects — scanned (on a
@@ -521,7 +521,7 @@ object DuckDialect {
     // expanded in sql stages (schema in hand); this hint fires for
     // lambda/arithmetic forms or COLUMNS outside a sql stage
     raw"(?i)\bCOLUMNS\s*\(".r ->
-      "this COLUMNS(...) shape isn't expandable (lambdas computing functions of the variable; bare regex, *, fn() wraps and boolean name-lambdas — LIKE/SIMILAR TO/IN/=/<> with AND/OR/NOT — do expand) — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract",
+      "this COLUMNS(...) shape isn't expandable (bare regex, *, fn() wraps and boolean name-lambdas — LIKE/SIMILAR TO/IN/=/<> with AND/OR/NOT, len()/lower()/upper() of the variable — do expand) — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract",
     // DuckDB's top-level PIVOT/UNPIVOT STATEMENTS (`PIVOT t ON col`) —
     // keyword followed by a relation name; Spark's own clause forms
     // (`FROM t PIVOT (agg FOR col IN (...))`, keyword followed by '(')

@@ -457,7 +457,8 @@ object ExtraQueries {
     * in the gate; DialectSpec covers the rest of the grammar.
     */
   private[graft] val columnsSqlText =
-    "SELECT l_returnflag, max(COLUMNS(c -> c LIKE 'l_q%' OR c = 'l_extendedprice')) * 2 " +
+    "SELECT l_returnflag, max(COLUMNS(c -> (c LIKE 'l_q%' OR c = 'l_extendedprice') " +
+      "AND len(lower(c)) >= 10)) * 2 " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
 
   def q113ColumnsSql(s: SparkSession, d: String): DataFrame = {

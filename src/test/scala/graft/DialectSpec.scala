@@ -438,9 +438,9 @@ class DialectSpec extends SparkSpec {
       .columns.toSeq == Seq("id", "tag"))
     assert(SqlStage("s", "SELECT COLUMNS(c -> c ILIKE 'TAG') FROM df").apply(spark, df)
       .columns.toSeq == Seq("tag"))
-    val e2 = intercept[DuckDialectException](
-      SqlStage("s", "SELECT COLUMNS(c -> lower(c) LIKE 'n%') FROM df").apply(spark, df))
-    assert(e2.getMessage.contains("COLUMNS"))
+    // lower()/upper() of the variable expand too (r9; was a guided error)
+    assert(SqlStage("s", "SELECT COLUMNS(c -> lower(c) LIKE 'n%') FROM df")
+      .apply(spark, df).columns.toSeq == Seq("n_a", "n_b"))
     // expressions over the expansion apply PER MATCHED COLUMN and keep
     // the matched column's name — DuckDB 1.x item-replication semantics
     // (was a guided error through r7)
@@ -514,9 +514,23 @@ class DialectSpec extends SparkSpec {
       == Seq("id", "n_b"))
     assert(colsOf("SELECT COLUMNS(c -> c != 'id' AND (c SIMILAR TO 'n_.' OR c = 'tag')) FROM df")
       == Seq("n_a", "n_b", "tag"))
-    // functions of the variable stay guided errors
+    // name-function lambdas (r9, VERDICT r8 missing #3 residual): len /
+    // length / strlen numeric compares and lower/upper transforms of
+    // the variable — every expansion probed against duckdb 1.0.0
+    assert(colsOf("SELECT COLUMNS(c -> len(c) = 3) FROM df")
+      == Seq("n_a", "n_b", "tag"))
+    assert(colsOf("SELECT COLUMNS(c -> len(c) < 3) FROM df") == Seq("id"))
+    assert(colsOf("SELECT COLUMNS(c -> 3 <= len(c)) FROM df")
+      == Seq("n_a", "n_b", "tag"))
+    assert(colsOf("SELECT COLUMNS(c -> length(c) >= 3 AND c LIKE 'n%') FROM df")
+      == Seq("n_a", "n_b"))
+    assert(colsOf("SELECT COLUMNS(c -> upper(c) LIKE 'N%' OR lower(c) = 'tag') FROM df")
+      == Seq("n_a", "n_b", "tag"))
+    assert(colsOf("SELECT COLUMNS(c -> len(lower(c)) <> 2) FROM df")
+      == Seq("n_a", "n_b", "tag"))
+    // unsupported name functions stay guided errors
     val eLam = intercept[DuckDialectException](SqlStage("s",
-      "SELECT COLUMNS(c -> len(c) > 3) FROM df").apply(spark, df))
+      "SELECT COLUMNS(c -> substring(c, 1, 2) = 'n_') FROM df").apply(spark, df))
     assert(eLam.getMessage.contains("COLUMNS"))
     // a trailing comma / FROM / alias is NOT an operator context
     val ok = SqlStage("s", "SELECT COLUMNS('^n_'), tag FROM df").apply(spark, df)

@@ -241,4 +241,35 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(sessions == batch)
   }
+
+  test("gopherRules and c4Clean run on streams unchanged (stateless projections)") {
+    import org.apache.spark.sql.functions._
+    // both r9 quality operators are row-local Column functions — a
+    // streaming corpus filters through them with zero state, the
+    // 100 TB continuous-ingest shape
+    val dir = Files.createTempDirectory("graft-stream-quality")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.gopherRules(
+          col("text"), minWords = 30, minStopTypes = 1).getField("keep").as("g_keep"),
+        graft.functions.TextFunctions.c4Clean(col("text")).getField("keep").as("c_keep"))
+    val q = stream.writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+        "SELECT doc_id, g_keep, c_keep FROM quality_stream ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    val batch = spark.read.parquet(dir.toString)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.gopherRules(
+          col("text"), minWords = 30, minStopTypes = 1).getField("keep"),
+        graft.functions.TextFunctions.c4Clean(col("text")).getField("keep"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._2) && streamed.exists(!_._2)) // both outcomes live
+  }
 }
