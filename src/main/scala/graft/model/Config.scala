@@ -43,7 +43,7 @@ final case class PipelineConfig(
 object ConfigLoader {
   private val KnownActionTypes =
     Set("sql", "python", "rest", "pandas", "udf", "derive", "transform",
-      "dedup", "decontaminate", "split", "mix", "score")
+      "dedup", "decontaminate", "split", "mix", "score", "clean")
 
   def fromYaml(yaml: String): PipelineConfig = {
     val root = Option(new Yaml().load[ju.Map[String, Any]](yaml))

@@ -43,6 +43,7 @@ object Pipeline {
         case "split" => SplitStage.fromConfig(sc)
         case "mix" => MixStage.fromConfig(sc)
         case "score" => ScoreStage.fromConfig(sc)
+        case "clean" => CleanStage.fromConfig(sc)
         case other => throw new IllegalArgumentException(s"unsupported actionType '$other'")
       }
       (sc, stage)

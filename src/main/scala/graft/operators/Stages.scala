@@ -519,6 +519,65 @@ object MixStage {
   }
 }
 
+/** `clean` stage: the r9 quality-rule bundles from YAML —
+  *
+  *  - `gopher` (default): drop rows failing the Gopher heuristics
+  *    ([[graft.functions.TextFunctions.gopherRules]], Rae et al. 2021);
+  *    `minWords`/`maxWords`/`minStopTypes` tune the thresholds;
+  *  - `c4`: C4 line-level cleaning ([[graft.functions.TextFunctions
+  *    .c4Clean]], Raffel et al. 2020) — the text column is REPLACED by
+  *    the page rebuilt from surviving lines and rows failing the page
+  *    floor/flags are dropped; `minLineWords`/`minLines` tune it.
+  *
+  * `flags: true` keeps every row and appends the per-rule boolean
+  * columns instead of filtering (audit mode). Both methods are
+  * row-local single passes — the YAML surface adds zero cost over the
+  * raw operators.
+  *
+  * {{{
+  * actionConfig: {method: gopher, text: text, minWords: 50}
+  * actionConfig: {method: c4, text: text, flags: true}
+  * }}}
+  */
+final case class CleanStage(name: String, method: String, textCol: String,
+                            minWords: Int = 50, maxWords: Int = 100000,
+                            minStopTypes: Int = 2, minLineWords: Int = 5,
+                            minLines: Int = 3,
+                            flags: Boolean = false) extends Stage {
+  override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
+    case "gopher" =>
+      val g = graft.functions.TextFunctions.gopherRules(
+        col(textCol), minWords, maxWords, minStopTypes)
+      if (flags) df.withColumn("__graft_g", g)
+        .select(col("*"), col("__graft_g.*")).drop("__graft_g", "n_words")
+      else df.filter(g.getField("keep"))
+    case "c4" =>
+      val c = graft.functions.TextFunctions.c4Clean(col(textCol), minLineWords, minLines)
+      if (flags) df.withColumn("__graft_c", c)
+        .select(col("*"), col("__graft_c.*")).drop("__graft_c", "clean_text")
+      else df.withColumn("__graft_c", c)
+        .filter(col("__graft_c.keep"))
+        .withColumn(textCol, col("__graft_c.clean_text"))
+        .drop("__graft_c")
+    case other => throw new IllegalArgumentException(
+      s"clean stage '$name': unknown method '$other' (gopher | c4)")
+  }
+}
+
+object CleanStage {
+  def fromConfig(cfg: StageConfig): CleanStage = {
+    val ac = cfg.actionConfig
+    def s(k: String, d: String) = ac.get(k).flatMap(Option(_)).map(_.toString).getOrElse(d)
+    def n(k: String, d: Int) = ac.get(k).flatMap(Option(_)) match {
+      case Some(x: Number) => x.intValue(); case Some(x) => x.toString.toInt; case None => d
+    }
+    CleanStage(cfg.name, s("method", "gopher"), s("text", "text"),
+      n("minWords", 50), n("maxWords", 100000), n("minStopTypes", 2),
+      n("minLineWords", 5), n("minLines", 3),
+      ac.get("flags").flatMap(Option(_)).exists(_.toString.toBoolean))
+  }
+}
+
 /** `score` stage: corpus-frequency quality scores as new columns
   * ([[graft.functions.TextFunctions.corpusFrequencyScores]] — the
   * CCNet-style LM proxy): joins `n_tokens`, `rarity` and

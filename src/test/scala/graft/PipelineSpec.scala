@@ -80,6 +80,38 @@ class PipelineSpec extends SparkSpec {
     assert(res.output.filter(col("simhash") =!= 0L).count() == rows)
   }
 
+  test("clean stage in YAML: gopher filter and c4 rebuild match the raw operators") {
+    val yaml =
+      s"""
+        |filters:
+        |  - name: gopher_gate
+        |    actionType: clean
+        |    actionConfig: {method: gopher, text: text, minWords: 30, minStopTypes: 1}
+        |  - name: c4_flags
+        |    actionType: clean
+        |    actionConfig: {method: c4, text: text, flags: true}
+        |""".stripMargin
+    val res = Pipeline.runYaml(spark, yaml, s"$sf/documents.parquet", None)
+    val out = res.output
+    val docs = Tables.documents(spark, sf)
+    val expected = docs.filter(graft.functions.TextFunctions.gopherRules(
+      col("text"), minWords = 30, minStopTypes = 1).getField("keep")).count()
+    assert(out.count() == expected && expected > 0 && expected < docs.count())
+    // audit mode appended the c4 flag columns without dropping rows
+    assert(Seq("n_lines_kept", "has_lorem", "keep").forall(out.columns.contains))
+    // filtering c4 mode replaces the text with the rebuilt page
+    val c4 = Pipeline.runYaml(spark,
+      s"""
+        |filters:
+        |  - name: c4_rebuild
+        |    actionType: clean
+        |    actionConfig: {method: c4, text: text, minLineWords: 3, minLines: 1}
+        |""".stripMargin, s"$sf/documents.parquet", None).output
+    // the synthetic corpus is one unpunctuated line per doc → no line
+    // survives the terminal-punctuation rule → every row drops
+    assert(c4.count() == 0)
+  }
+
   test("dedup + split as first-class YAML stages: near-dup removal then n-way labels") {
     val yaml =
       s"""
