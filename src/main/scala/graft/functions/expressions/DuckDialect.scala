@@ -432,10 +432,14 @@ object DuckDialect {
     * with an unresolved function.
     */
   val fnHints: Map[String, String] = Map(
-    "read_csv_auto" -> "table functions aren't SQL-callable here — declare the file as a pipeline `input` (reference O1) or read it with spark.read.csv and register a view",
-    "read_csv" -> "table functions aren't SQL-callable here — declare the file as a pipeline `input` or use spark.read.csv",
-    "read_parquet" -> "table functions aren't SQL-callable here — declare the file as a pipeline `input` or use spark.read.parquet",
-    "read_json_auto" -> "table functions aren't SQL-callable here — declare the file as a pipeline `input` or use spark.read.json",
+    // the single-literal forms read_csv_auto('p') / read_parquet('p') /
+    // read_json_auto('p') EXECUTE inside sql stages (r9, rewriteReadFns:
+    // session temp views over the Spark readers); these hints fire only
+    // outside a sql stage, where no session rewrite runs
+    "read_csv_auto" -> "read_csv_auto('path') runs inside graft sql stages; here declare the file as a pipeline `input` (reference O1) or read it with spark.read.csv and register a view",
+    "read_csv" -> "read_csv('path') runs inside graft sql stages; here declare the file as a pipeline `input` or use spark.read.csv",
+    "read_parquet" -> "read_parquet('path') runs inside graft sql stages; here declare the file as a pipeline `input` or use spark.read.parquet",
+    "read_json_auto" -> "read_json_auto('path') runs inside graft sql stages; here declare the file as a pipeline `input` or use spark.read.json",
     "struct_pack" -> "use named_struct('a', expr1, 'b', expr2)",
     "group_concat" -> "use string_agg(expr, sep) (both engines support it)",
     "date_diff" -> "use timestampdiff(unit, start, end) — note DuckDB's date_diff('day', a, b) argument order",

@@ -2416,6 +2416,173 @@ object GraftSqlParser {
     "(" + sb.toString + ")"
   }
 
+  // ── DuckDB file I/O through sql stages (r9): read_* + COPY TO ──────
+
+  private val ReadFnRe =
+    raw"(?i)(?<![\w.])(read_csv_auto|read_csv|read_parquet|read_json_auto|read_json)\s*\(".r
+
+  /** Rewrite DuckDB's `read_csv_auto('p') / read_csv / read_parquet /
+    * read_json_auto / read_json` TABLE functions (FROM-position file
+    * readers, previously guided errors) into session temp views backed
+    * by the matching Spark reader — csv with header+schema inference
+    * (read_csv_auto's contract), parquet, json lines.
+    * Only the single-string-literal form rewrites; option-bearing calls
+    * (delim=..., columns=...) keep a guided error naming the pipeline
+    * `input` route. Spark handles glob paths (`*.parquet` under a dir)
+    * natively. View names are content-addressed by reader+path and
+    * registered idempotently — repeated stages cost one registration.
+    */
+  def rewriteReadFns(spark: org.apache.spark.sql.SparkSession, sql: String): String = {
+    val masked = maskQuotes(sql)
+    val sb = new StringBuilder
+    var pos = 0
+    ReadFnRe.findAllMatchIn(masked).foreach { mm =>
+      if (mm.start >= pos) closeOf(masked, mm.end).foreach { close =>
+        val fn = mm.group(1).toLowerCase
+        val argRaw = sql.substring(mm.end, close - 1).trim
+        // exactly one string literal: 'path' (with '' escapes)
+        if (!(argRaw.length >= 2 && argRaw.head == '\'' && argRaw.last == '\'' &&
+          !maskQuotes(argRaw).drop(1).dropRight(1).contains('\'')))
+          throw new graft.functions.expressions.DuckDialectException(
+            s"$fn with options isn't supported in sql stages — only $fn('path'); " +
+              "declare the file as a pipeline `input` (reference O1) for " +
+              "delimiter/column options, or read it with the Dataset API")
+        val path = argRaw.substring(1, argRaw.length - 1).replace("''", "'")
+        val view = "graft_rf_" + java.security.MessageDigest.getInstance("MD5")
+          .digest((fn + " " + path).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        if (!spark.catalog.tableExists(view)) {
+          val df = fn match {
+            case "read_parquet" => spark.read.parquet(path)
+            case "read_json_auto" | "read_json" => spark.read.json(path)
+            case _ => spark.read.option("header", "true")
+              .option("inferSchema", "true").csv(path)
+          }
+          df.createOrReplaceTempView(view)
+        }
+        sb.append(sql.substring(pos, mm.start)).append(view)
+        pos = close
+      }
+    }
+    if (pos == 0) sql else { sb.append(sql.substring(pos)); sb.toString }
+  }
+
+  /** Parsed `COPY <source> TO '<path>' [(options)]` statement. */
+  final case class CopySpec(sourceSql: Option[String], sourceTable: Option[String],
+                            path: String, format: String, header: Boolean,
+                            delimiter: String)
+
+  private val CopyHeadRe = raw"(?is)^\s*COPY\s+".r
+
+  /** Detect DuckDB's `COPY (query) TO 'path' (opts)` / `COPY tbl TO
+    * 'path' (opts)` statement — the reference's own export shape
+    * (filefilter.py:374-379 hands `COPY ... TO ... (FORMAT CSV)` to
+    * DuckDB). Returns None for non-COPY statements; raises a guided
+    * error for COPY shapes outside the supported grammar (COPY FROM,
+    * unsupported options). Supported options: FORMAT CSV|PARQUET|JSON,
+    * HEADER [true|false], DELIMITER|SEP 'c'. Format defaults from the
+    * path extension (.parquet/.json/else csv), DuckDB's rule.
+    */
+  def copyTarget(sql: String): Option[CopySpec] = {
+    val masked = maskQuotes(sql)
+    val m = CopyHeadRe.findFirstMatchIn(masked).getOrElse(return None)
+    def fail(why: String): Nothing =
+      throw new graft.functions.expressions.DuckDialectException(
+        s"COPY statement couldn't be executed ($why) — supported: COPY (query) TO " +
+          "'path' (FORMAT CSV|PARQUET|JSON, HEADER, DELIMITER 'c') and COPY table " +
+          "TO 'path' (...); COPY FROM (loading) is the pipeline `input` route")
+    var i = m.end
+    var srcSql: Option[String] = None
+    var srcTable: Option[String] = None
+    if (masked.charAt(i) == '(') {
+      val close = closeOf(masked, i + 1).getOrElse(fail("unbalanced source subquery"))
+      srcSql = Some(sql.substring(i + 1, close - 1))
+      i = close
+    } else {
+      val t = raw"(?s)^([A-Za-z_][\w.]*)".r.findFirstMatchIn(masked.substring(i))
+        .getOrElse(fail("missing source"))
+      if (t.group(1).equalsIgnoreCase("FROM")) fail("COPY FROM loads data")
+      srcTable = Some(t.group(1))
+      i += t.end
+    }
+    val toM = raw"(?is)^\s*TO\s*".r.findFirstMatchIn(masked.substring(i))
+      .getOrElse(fail("missing TO"))
+    i += toM.end
+    if (i >= masked.length || masked.charAt(i) != '\'') fail("TO needs a quoted path")
+    var j = i + 1
+    while (j < masked.length && masked.charAt(j) != '\'') j += 1
+    if (j >= masked.length) fail("unterminated path literal")
+    val path = sql.substring(i + 1, j).replace("''", "'")
+    i = j + 1
+    var format = path.toLowerCase match {
+      case p if p.endsWith(".parquet") => "parquet"
+      case p if p.endsWith(".json") || p.endsWith(".jsonl") || p.endsWith(".ndjson") => "json"
+      case _ => "csv"
+    }
+    var header = true // duckdb 1.0 writes the header by default
+    var delim = ","
+    val rest0 = sql.substring(i).trim
+    if (rest0.nonEmpty) {
+      val restMasked = masked.substring(i).trim
+      if (!(restMasked.startsWith("(") && restMasked.stripSuffix(";").trim.endsWith(")")))
+        fail(s"unexpected trailing text '${rest0.take(30)}'")
+      val inner = rest0.stripSuffix(";").trim.stripPrefix("(").stripSuffix(")").trim
+      val innerMasked = maskQuotes(inner)
+      splitTopLevel(inner, innerMasked).map(_.trim).filter(_.nonEmpty).foreach { opt =>
+        val parts = opt.split(raw"\s+", 2)
+        parts(0).toUpperCase match {
+          case "FORMAT" =>
+            val f = parts.lift(1).getOrElse(fail("FORMAT needs a value")).trim.toLowerCase
+            if (!Set("csv", "parquet", "json").contains(f)) fail(s"unsupported FORMAT $f")
+            format = f
+          case "HEADER" =>
+            header = parts.lift(1).map(_.trim.toLowerCase).forall(
+              v => v == "true" || v == "1" || v == "on")
+          case "DELIMITER" | "SEP" | "SEPARATOR" =>
+            val d = parts.lift(1).getOrElse(fail("DELIMITER needs a value")).trim
+            if (d.length < 2 || d.head != '\'' || d.last != '\'')
+              fail("DELIMITER needs a quoted value")
+            delim = d.substring(1, d.length - 1).replace("''", "'")
+          case other => fail(s"unsupported COPY option $other")
+        }
+      }
+    }
+    Some(CopySpec(srcSql, srcTable, path, format, header, delim))
+  }
+
+  /** Execute a parsed COPY: write the source relation to ONE file at
+    * exactly `path` (DuckDB writes a single file; the Spark writer's
+    * part-file directory is renamed over it — use the engine's
+    * [[graft.sources.Sources]] sinks for scale-parallel multi-file
+    * output), overwriting like DuckDB, and return DuckDB's one-row
+    * `Count` relation (rows written).
+    */
+  def executeCopy(spark: org.apache.spark.sql.SparkSession,
+                  src: org.apache.spark.sql.DataFrame, spec: CopySpec):
+      org.apache.spark.sql.DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val n = src.count()
+    val tmp = Files.createTempDirectory("graft_copy").toString + "/out"
+    val w = src.coalesce(1).write.mode("overwrite")
+    spec.format match {
+      case "parquet" => w.parquet(tmp)
+      case "json" => w.json(tmp)
+      case _ => w.option("header", spec.header.toString)
+        .option("delimiter", spec.delimiter).csv(tmp)
+    }
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .getOrElse(throw new IllegalStateException(s"no part file written under $tmp"))
+    val target = Paths.get(spec.path)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Count",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(n)), schema)
+  }
+
   /** Split multi-statement sql-stage code on top-level (quote-masked)
     * semicolons, dropping empty statements — DuckDB sql stages carry
     * `CREATE MACRO ...; SELECT ...` batches through the reference's

@@ -51,8 +51,23 @@ final case class SqlStage(name: String, code: String) extends Stage {
       return df
     }
     // Macro call sites expand FIRST, so a macro body carrying its own
-    // DuckDB-isms still meets the full rewrite chain below.
-    val code2 = GraftSqlParser.expandMacros(spark, code)
+    // DuckDB-isms still meets the full rewrite chain below; then
+    // read_* table functions become session temp views (file readers
+    // need the session, so they rewrite here, not in rewriteAll).
+    val code2 = GraftSqlParser.rewriteReadFns(spark,
+      GraftSqlParser.expandMacros(spark, code))
+    // COPY ... TO statement: write one file at the target path and
+    // return DuckDB's `Count` relation; a (query) source recurses
+    // through this stage so it keeps the full dialect layer.
+    GraftSqlParser.copyTarget(code2).foreach { spec =>
+      val src = spec.sourceSql match {
+        case Some(q) => SqlStage(name, q).apply(spark, df)
+        case None =>
+          val t = spec.sourceTable.get
+          if (t.equalsIgnoreCase("df")) df else spark.table(t)
+      }
+      return GraftSqlParser.executeCopy(spark, src, spec)
+    }
     // ASOF JOIN is auto-rewritten by rewriteAll; POSITIONAL JOIN (and
     // any ASOF shape the rewrite threw on never reaches here) would
     // silently parse as a table alias + inner join — reject what's left

@@ -586,10 +586,42 @@ object ExtraQueries {
     graft.operators.SqlStage("q121", describeSqlText).apply(s, nation(s, d))
   }
 
+  /** DuckDB file-I/O through the passthrough — identical multi-statement
+    * text on both engines: `COPY (query) TO` writes ONE csv file at the
+    * exact path (graft: coalesced part renamed over it; DuckDB:
+    * natively), then `read_csv_auto` reads it back (graft: the r9
+    * table-function rewrite to a session temp view; DuckDB: natively) —
+    * the whole write→read round-trip is what hash-matches, so the
+    * writer's quoting/header and the reader's inference are BOTH under
+    * test. Each engine overwrites the shared /tmp path before reading,
+    * so each compares its own round-trip (DuckDB overwrites files in
+    * place, same as executeCopy). BIGINT casts pin the inferred int
+    * width on both sides.
+    */
+  private[graft] val copySqlText = """
+      COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation)
+        TO '/tmp/graft_q124_roundtrip.csv' (FORMAT CSV, HEADER);
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
+             CAST(n_regionkey AS BIGINT) AS rk
+      FROM read_csv_auto('/tmp/graft_q124_roundtrip.csv') ORDER BY k"""
+
+  def q124CopyRoundtrip(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    nation(s, d).createOrReplaceTempView("nation")
+    // the read-back view is content-addressed by PATH, which is shared
+    // across SF dirs — drop it so each run re-reads its own write
+    s.catalog.dropTempView(
+      "graft_rf_" + java.security.MessageDigest.getInstance("MD5")
+        .digest("read_csv_auto /tmp/graft_q124_roundtrip.csv".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16))
+    graft.operators.SqlStage("q124", copySqlText).apply(s, nation(s, d))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_columns_sql"    -> (q113ColumnsSql _),
     "q120_macro_sql"      -> (q120MacroSql _),
     "q121_describe_sql"   -> (q121DescribeSql _),
+    "q124_copy_roundtrip" -> (q124CopyRoundtrip _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
     "q118_slice_sql"      -> (q118SliceSql _),
     "q119_argmax_sql"     -> (q119ArgmaxSql _),
@@ -640,6 +672,9 @@ object ExtraQueries {
     // the last statement's relation (DuckDB's batch rule)
     "q120_macro_sql" -> macroSqlText,
     "q121_describe_sql" -> describeSqlText,
+    // q124: DuckDB executes the identical COPY+read_csv_auto batch —
+    // its own write→read round-trip over the same /tmp path
+    "q124_copy_roundtrip" -> copySqlText,
     "q81_range_join" -> """
       WITH iv AS (
         SELECT i AS interval_id, 1704067200 + i * 7200 AS s_sec

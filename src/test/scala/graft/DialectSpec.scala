@@ -1196,6 +1196,48 @@ class DialectSpec extends SparkSpec {
     assert(sparkShape.columns.contains("tableName"))
   }
 
+  // ---- COPY TO + read_* table functions (r9: the file-I/O passthrough)
+  test("COPY (query) TO writes ONE file, returns DuckDB's Count; read_csv_auto round-trips") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1, 6).toDF("id")
+      .withColumn("v", col("id") * 10)
+    val dir = Files.createTempDirectory("graft-copy").toString
+    val out = SqlStage("s",
+      s"COPY (SELECT id, v FROM df WHERE id <= 3) TO '$dir/three.csv' (FORMAT CSV, HEADER)")
+      .apply(spark, df).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 3L)
+    assert(out.head.schema.fieldNames.toSeq == Seq("Count"))
+    val f = new java.io.File(s"$dir/three.csv")
+    assert(f.isFile, "must be a single FILE at the exact path, like DuckDB")
+    // read back through the read_csv_auto table-function rewrite
+    val rt = SqlStage("s",
+      s"SELECT * FROM read_csv_auto('$dir/three.csv') ORDER BY id")
+      .apply(spark, df).collect()
+    assert(rt.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 10), (2, 20), (3, 30)))
+    // format from extension; bare-table source; parquet round-trip
+    df.createOrReplaceTempView("cptbl")
+    val pq = SqlStage("s", s"COPY cptbl TO '$dir/all.parquet'")
+      .apply(spark, df).collect()
+    assert(pq.head.getLong(0) == 5L)
+    val rtp = SqlStage("s",
+      s"SELECT COUNT(*) AS n FROM read_parquet('$dir/all.parquet')")
+      .apply(spark, df).collect()
+    assert(rtp.head.getLong(0) == 5L)
+    // overwrite like DuckDB: second COPY to the same path succeeds
+    val again = SqlStage("s",
+      s"COPY (SELECT id, v FROM df) TO '$dir/three.csv' (FORMAT CSV, HEADER)")
+      .apply(spark, df).collect()
+    assert(again.head.getLong(0) == 5L)
+    // guided errors: unsupported option, COPY FROM, option-bearing read_*
+    val e1 = intercept[DuckDialectException](SqlStage("s",
+      s"COPY (SELECT id FROM df) TO '$dir/x.csv' (PARTITION_BY id)").apply(spark, df))
+    assert(e1.getMessage.contains("PARTITION_BY"))
+    val e2 = intercept[DuckDialectException](SqlStage("s",
+      s"SELECT * FROM read_csv_auto('$dir/three.csv', delim = ';')").apply(spark, df))
+    assert(e2.getMessage.contains("input"))
+  }
+
   test("CREATE MACRO: body DuckDB-isms still meet the rewrite chain at the call site") {
     val df = spark.range(1).toDF("id")
     // bracket slice inside the macro body — expandMacros runs BEFORE
