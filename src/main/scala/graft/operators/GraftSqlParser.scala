@@ -2583,6 +2583,24 @@ object GraftSqlParser {
       java.util.Arrays.asList(org.apache.spark.sql.Row(n)), schema)
   }
 
+  private val CtasRe =
+    raw"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+(.*)$$".r
+
+  /** DuckDB `CREATE [OR REPLACE] [TEMP] TABLE name AS query` (CTAS)
+    * inside sql stages: Some((orReplace, ifNotExists, name, query)).
+    * The Spark re-expression registers the query as a session temp
+    * view — lazy where DuckDB materializes, which is result-identical
+    * for the deterministic queries a pipeline carries (and free when
+    * the name is never read). Column-list and non-AS forms (CREATE
+    * TABLE t (x INT)) are left to Spark → parse error with the catalog
+    * route named.
+    */
+  def ctasTarget(sql: String): Option[(Boolean, Boolean, String, String)] =
+    CtasRe.findFirstMatchIn(sql).map { m =>
+      (m.group(1) != null, m.group(2) != null, m.group(3),
+        m.group(4).trim.stripSuffix(";"))
+    }
+
   /** Split multi-statement sql-stage code on top-level (quote-masked)
     * semicolons, dropping empty statements — DuckDB sql stages carry
     * `CREATE MACRO ...; SELECT ...` batches through the reference's

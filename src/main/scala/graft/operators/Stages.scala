@@ -68,6 +68,21 @@ final case class SqlStage(name: String, code: String) extends Stage {
       }
       return GraftSqlParser.executeCopy(spark, src, spec)
     }
+    // CREATE [TEMP] TABLE ... AS query (CTAS): register the query as a
+    // session temp view (lazy where DuckDB materializes —
+    // result-identical for deterministic pipeline queries); the
+    // pipeline state passes through unchanged, DDL-style, so a
+    // `CREATE TABLE t AS ...; SELECT ... FROM t` batch works.
+    GraftSqlParser.ctasTarget(code2).foreach { case (orReplace, ifNotExists, tname, q) =>
+      val exists = spark.catalog.tableExists(tname)
+      if (!orReplace && !ifNotExists && exists)
+        throw new graft.functions.expressions.DuckDialectException(
+          s"sql stage '$name': table '$tname' already exists in this session — " +
+            "use CREATE OR REPLACE TABLE, or CREATE TABLE IF NOT EXISTS")
+      if (!(ifNotExists && exists))
+        SqlStage(name, q).apply(spark, df).createOrReplaceTempView(tname)
+      return df
+    }
     // ASOF JOIN is auto-rewritten by rewriteAll; POSITIONAL JOIN (and
     // any ASOF shape the rewrite threw on never reaches here) would
     // silently parse as a table alias + inner join — reject what's left

@@ -200,7 +200,13 @@ class DialectSpec extends SparkSpec {
         SqlStage("s", sql).apply(spark, spark.range(1).toDF("id"))).getMessage
     assert(hintOf("SELECT histogram(id) FROM df").contains("width_bucket"))
     assert(hintOf("SELECT date_diff('day', d1, d2) FROM df").contains("timestampdiff"))
-    assert(hintOf("SELECT * FROM read_csv_auto('/tmp/x.csv')").contains("spark.read"))
+    // read_csv_auto('path') EXECUTES in sql stages since r9 — a missing
+    // file surfaces as the reader's path error, not a dialect hint; the
+    // hint remains for option-bearing calls (asserted in the COPY test)
+    val e = intercept[Exception](SqlStage("s",
+      "SELECT * FROM read_csv_auto('/tmp/graft_no_such_file.csv')")
+      .apply(spark, spark.range(1).toDF("id")))
+    assert(e.getMessage.toLowerCase.contains("path"))
   }
 
   test("list folds: list_sum / list_avg / list_aggregate") {
@@ -1236,6 +1242,32 @@ class DialectSpec extends SparkSpec {
     val e2 = intercept[DuckDialectException](SqlStage("s",
       s"SELECT * FROM read_csv_auto('$dir/three.csv', delim = ';')").apply(spark, df))
     assert(e2.getMessage.contains("input"))
+  }
+
+  test("CREATE TABLE AS registers a session view; batches read it; duplicate guarded") {
+    val df = spark.range(1, 6).toDF("id")
+    // batch: CTAS then read — DuckDB's last-statement rule
+    val out = SqlStage("s",
+      """CREATE OR REPLACE TEMP TABLE big3 AS SELECT id FROM df WHERE id >= 3;
+         SELECT COUNT(*) AS n FROM big3""").apply(spark, df).collect()
+    assert(out.head.getLong(0) == 3L)
+    // a LATER stage still sees the table (session-scoped, like DuckDB's
+    // per-connection temp catalog)
+    assert(SqlStage("s2", "SELECT MAX(id) AS m FROM big3").apply(spark, df)
+      .collect().head.getLong(0) == 5L)
+    // plain CREATE on an existing name raises; IF NOT EXISTS is silent
+    val e = intercept[DuckDialectException](
+      SqlStage("s", "CREATE TABLE big3 AS SELECT 1 AS x").apply(spark, df))
+    assert(e.getMessage.contains("already exists"))
+    SqlStage("s", "CREATE TABLE IF NOT EXISTS big3 AS SELECT 1 AS x").apply(spark, df)
+    assert(SqlStage("s", "SELECT MAX(id) AS m FROM big3").apply(spark, df)
+      .collect().head.getLong(0) == 5L) // untouched
+    // CTAS query keeps the full dialect layer (macro + slice compose)
+    SqlStage("s", "CREATE OR REPLACE MACRO first2(s) AS s[1:2]").apply(spark, df)
+    assert(SqlStage("s",
+      """CREATE OR REPLACE TEMP TABLE sliced AS SELECT first2('hello') AS h;
+         SELECT h FROM sliced""").apply(spark, df)
+      .collect().head.getString(0) == "he")
   }
 
   test("CREATE MACRO: body DuckDB-isms still meet the rewrite chain at the call site") {
