@@ -2583,6 +2583,40 @@ object GraftSqlParser {
       java.util.Arrays.asList(org.apache.spark.sql.Row(n)), schema)
   }
 
+  private val DuckSetRe =
+    raw"(?is)^\s*SET\s+(GLOBAL\s+|SESSION\s+)?([A-Za-z_]\w*)\s*=\s*(.+?)\s*;?\s*$$".r
+
+  /** DuckDB `SET setting = value` statements in sql stages. Spark's own
+    * SET syntax happens to parse these, which makes them a SILENT trap:
+    * `SET TimeZone='America/New_York'` would set a meaningless conf key
+    * named "TimeZone" and leave the session timezone — and every
+    * timestamp result — unchanged. Settings with a Spark equivalent map
+    * to it (TimeZone → spark.sql.session.timeZone); known operational
+    * DuckDB settings (memory_limit, threads, …) are acknowledged with a
+    * warning and skipped — they tune the engine, not the results; the
+    * cluster deployment owns those knobs here. Unknown names fall
+    * through to Spark's native SET untouched. Returns true when the
+    * statement was consumed.
+    */
+  def applyDuckSet(spark: org.apache.spark.sql.SparkSession, sql: String): Boolean = {
+    val m = DuckSetRe.findFirstMatchIn(sql).getOrElse(return false)
+    val key = m.group(2)
+    val value = m.group(3).trim.stripPrefix("'").stripSuffix("'")
+    key.toLowerCase match {
+      case "timezone" =>
+        spark.conf.set("spark.sql.session.timeZone", value)
+        true
+      case "memory_limit" | "max_memory" | "threads" | "worker_threads" |
+           "temp_directory" | "preserve_insertion_order" | "enable_progress_bar" |
+           "enable_object_cache" | "checkpoint_threshold" =>
+        System.err.println(s"[graft] DuckDB setting '$key' acknowledged and " +
+          "skipped — engine tuning belongs to the Spark deployment " +
+          "(spark.executor.memory, spark.sql.shuffle.partitions, ...)")
+        true
+      case _ => false // Spark's own SET handles sparky keys natively
+    }
+  }
+
   private val CtasRe =
     raw"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+(.*)$$".r
 

@@ -50,6 +50,10 @@ final case class SqlStage(name: String, code: String) extends Stage {
       GraftSqlParser.registerMacro(spark, code)
       return df
     }
+    // DuckDB SET statements: map/acknowledge before Spark's own SET can
+    // silently swallow them (TimeZone would otherwise set a meaningless
+    // conf key and change nothing)
+    if (GraftSqlParser.applyDuckSet(spark, code)) return df
     // Macro call sites expand FIRST, so a macro body carrying its own
     // DuckDB-isms still meets the full rewrite chain below; then
     // read_* table functions become session temp views (file readers

@@ -651,10 +651,32 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The YAML `clean` stage INSIDE the correctness gate (the q60
+    * engine-in-gate pattern): the engine parses a YAML config with a
+    * gopher clean stage and a sql aggregation stage, runs the pipeline
+    * end-to-end, and DuckDB replays the same Gopher keep-filter +
+    * aggregate by brute force — so the stage wiring (Config → CleanStage
+    * → filter), not just the raw operator, is oracle-anchored.
+    */
+  def q125CleanPipeline(s: SparkSession, d: String): DataFrame = {
+    val yaml =
+      """
+        |filters:
+        |  - name: gopher_gate
+        |    actionType: clean
+        |    actionConfig: {method: gopher, text: text, minWords: 30, minStopTypes: 1}
+        |  - name: per_lang
+        |    actionType: sql
+        |    code: "SELECT lang, COUNT(*) AS n_docs FROM df GROUP BY lang ORDER BY lang"
+        |""".stripMargin
+    graft.operators.Pipeline.runYaml(s, yaml, s"$d/documents.parquet", None).output
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
     "q123_c4_clean"       -> (q123C4Clean _),
+    "q125_clean_pipeline" -> (q125CleanPipeline _),
     "q114_heavy_hitters"  -> (q114HeavyHitters _),
     "q115_bigram_hitters" -> (q115BigramHitters _),
     "q30_dedup_exact"     -> (q30DedupExact _),
@@ -717,6 +739,40 @@ object TextQueries {
 
   val sql: Map[String, String] = Map(
     "q36_simhash" -> simhashOracle,
+
+    // DuckDB brute-force replay of the YAML clean pipeline: the q122
+    // Gopher rules as a keep-filter, then the aggregate stage
+    "q125_clean_pipeline" -> """
+      WITH w AS (
+        SELECT doc_id, lang,
+          list_filter(string_split(text, ' '), x -> x <> '') AS words,
+          string_split(text, chr(10)) AS lines,
+          CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+          CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell
+        FROM documents),
+      f AS (
+        SELECT doc_id, lang, n_hash, n_ell,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS n_chars,
+          CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ell_end,
+          (CAST(list_contains(words, 'the') AS INT) + CAST(list_contains(words, 'be') AS INT) +
+           CAST(list_contains(words, 'to') AS INT) + CAST(list_contains(words, 'of') AS INT) +
+           CAST(list_contains(words, 'and') AS INT) + CAST(list_contains(words, 'that') AS INT) +
+           CAST(list_contains(words, 'have') AS INT) + CAST(list_contains(words, 'with') AS INT)) AS n_stop
+        FROM w)
+      SELECT lang, COUNT(*) AS n_docs
+      FROM f
+      WHERE n_words >= 30 AND n_words <= 100000
+        AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+        AND 10 * (n_hash + n_ell) <= n_words
+        AND 10 * n_bullet <= 9 * n_lines
+        AND 10 * n_ell_end <= 3 * n_lines
+        AND 5 * n_alpha >= 4 * n_words
+        AND n_stop >= 1
+      GROUP BY lang ORDER BY lang""",
 
     // DuckDB replay of the C4 line filters over the same synthetic
     // multi-line pages: terminal-punctuation + min-word line keep,

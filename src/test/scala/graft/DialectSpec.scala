@@ -1244,6 +1244,25 @@ class DialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("input"))
   }
 
+  test("SET TimeZone maps to the session timezone; operational settings skip; Spark keys pass") {
+    val df = spark.range(1).toDF("id")
+    val beforeTz = spark.conf.get("spark.sql.session.timeZone")
+    val beforeSp = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      SqlStage("s", "SET TimeZone='America/New_York'").apply(spark, df)
+      assert(spark.conf.get("spark.sql.session.timeZone") == "America/New_York")
+      // DuckDB operational knobs are acknowledged, not errors
+      SqlStage("s", "SET memory_limit='4GB'").apply(spark, df)
+      SqlStage("s", "SET threads = 8").apply(spark, df)
+      // Spark's own SET still works (not consumed by the DuckDB mapping)
+      SqlStage("s", "SET spark.sql.shuffle.partitions=7").apply(spark, df)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", beforeTz)
+      spark.conf.set("spark.sql.shuffle.partitions", beforeSp)
+    }
+  }
+
   test("CREATE TABLE AS registers a session view; batches read it; duplicate guarded") {
     val df = spark.range(1, 6).toDF("id")
     // batch: CTAS then read — DuckDB's last-statement rule
