@@ -2635,6 +2635,23 @@ object GraftSqlParser {
         m.group(4).trim.stripSuffix(";"))
     }
 
+  private val InsertRe =
+    raw"(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(BY\s+NAME\s+)?(.*)$$".r
+
+  /** DuckDB `INSERT INTO name [BY NAME] query` against a SESSION table
+    * (one created by a CTAS stage or a temp view): Some((name, byName,
+    * query)). The Spark re-expression re-registers the view as the
+    * union of its current relation and the query — positional with
+    * DuckDB's column-count check, or BY NAME. Appends compose lazily
+    * (each INSERT stacks one union node; a pipeline's handful of
+    * appends is plan-trivial). VALUES lists are queries in both
+    * engines, so `INSERT INTO t VALUES (...)` works unchanged.
+    */
+  def insertTarget(sql: String): Option[(String, Boolean, String)] =
+    InsertRe.findFirstMatchIn(sql).map { m =>
+      (m.group(1), m.group(2) != null, m.group(3).trim.stripSuffix(";"))
+    }
+
   /** Split multi-statement sql-stage code on top-level (quote-masked)
     * semicolons, dropping empty statements — DuckDB sql stages carry
     * `CREATE MACRO ...; SELECT ...` batches through the reference's

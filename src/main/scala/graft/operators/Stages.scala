@@ -77,6 +77,30 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // result-identical for deterministic pipeline queries); the
     // pipeline state passes through unchanged, DDL-style, so a
     // `CREATE TABLE t AS ...; SELECT ... FROM t` batch works.
+    // INSERT INTO session-table: re-register the view as the union of
+    // its current relation and the query (positional, count-checked,
+    // or BY NAME) — the append half of the CTAS surface.
+    GraftSqlParser.insertTarget(code2).foreach { case (tname, byName, q) =>
+      if (!spark.catalog.tableExists(tname))
+        throw new graft.functions.expressions.DuckDialectException(
+          s"sql stage '$name': INSERT INTO unknown table '$tname' — create it " +
+            "first with CREATE [TEMP] TABLE ... AS in an earlier statement/stage " +
+            "(catalog tables are the Sources.writeBucketed route)")
+      val cur = spark.table(tname)
+      val add = SqlStage(name, q).apply(spark, df)
+      val merged =
+        if (byName) cur.unionByName(add)
+        else {
+          if (add.columns.length != cur.columns.length)
+            throw new graft.functions.expressions.DuckDialectException(
+              s"sql stage '$name': INSERT INTO $tname has ${cur.columns.length} " +
+                s"columns but the query produces ${add.columns.length} — match " +
+                "them or use INSERT INTO ... BY NAME")
+          cur.union(add)
+        }
+      merged.createOrReplaceTempView(tname)
+      return df
+    }
     GraftSqlParser.ctasTarget(code2).foreach { case (orReplace, ifNotExists, tname, q) =>
       val exists = spark.catalog.tableExists(tname)
       if (!orReplace && !ifNotExists && exists)

@@ -1287,6 +1287,22 @@ class DialectSpec extends SparkSpec {
       """CREATE OR REPLACE TEMP TABLE sliced AS SELECT first2('hello') AS h;
          SELECT h FROM sliced""").apply(spark, df)
       .collect().head.getString(0) == "he")
+    // INSERT INTO appends: positional, VALUES, and BY NAME
+    val ins = SqlStage("s",
+      """CREATE OR REPLACE TEMP TABLE acc AS SELECT id, id * 2 AS v FROM df WHERE id = 1;
+         INSERT INTO acc SELECT id, id * 2 AS v FROM df WHERE id = 2;
+         INSERT INTO acc VALUES (9, 90);
+         INSERT INTO acc BY NAME SELECT id * 2 AS v, id FROM df WHERE id = 3;
+         SELECT id, v FROM acc ORDER BY id""").apply(spark, df).collect()
+    assert(ins.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 4L), (3L, 6L), (9L, 90L)))
+    // unknown target and column-count mismatch raise guided errors
+    val ei = intercept[DuckDialectException](
+      SqlStage("s", "INSERT INTO nosuch SELECT 1").apply(spark, df))
+    assert(ei.getMessage.contains("unknown table"))
+    val ec = intercept[DuckDialectException](
+      SqlStage("s", "INSERT INTO acc SELECT 1").apply(spark, df))
+    assert(ec.getMessage.contains("BY NAME"))
   }
 
   test("CREATE MACRO: body DuckDB-isms still meet the rewrite chain at the call site") {
