@@ -41,7 +41,52 @@ object GraftSqlParser {
     */
   def rewriteAll(sql: String): String =
     rewriteSample(rewriteQualify(rewriteDistinctOn(rewriteStructPack(
-      rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(sql))))))))
+      rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(
+        rewriteFromFirst(sql)))))))))
+
+  private val ClauseKwRe =
+    raw"(?i)\b(WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT)\b".r
+
+  /** DuckDB's FROM-first statement syntax: `FROM t` (implicit
+    * `SELECT *`), `FROM t WHERE ...` and `FROM t SELECT cols ...` all
+    * rewrite to standard clause order. Statement-anchored (a FROM-first
+    * subquery is rare enough to stay a parse error); the table
+    * expression runs to the depth-0 SELECT, whose select list then runs
+    * to the next depth-0 clause keyword. Purely textual — joins,
+    * sampling and every later rewrite see ordinary SQL.
+    */
+  def rewriteFromFirst(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val head = raw"(?is)^\s*FROM\s".r.findFirstMatchIn(masked).getOrElse(return sql)
+    // depth-0 SELECT ends the table expression (if present)
+    var selPos = -1
+    var d = 0
+    val SelectRe = raw"(?i)\bSELECT\b".r
+    SelectRe.findAllMatchIn(masked).foreach { m =>
+      if (selPos < 0) {
+        d = masked.substring(0, m.start).count(_ == '(') -
+          masked.substring(0, m.start).count(_ == ')')
+        if (d == 0) selPos = m.start
+      }
+    }
+    if (selPos < 0) return "SELECT * " + sql.substring(head.start)
+    val tableExpr = sql.substring(head.end - 1, selPos).trim
+    val after = sql.substring(selPos + "SELECT".length)
+    val afterMasked = masked.substring(selPos + "SELECT".length)
+    // select list ends at the first depth-0 clause keyword
+    var cut = -1
+    ClauseKwRe.findAllMatchIn(afterMasked).foreach { m =>
+      if (cut < 0) {
+        val dd = afterMasked.substring(0, m.start).count(_ == '(') -
+          afterMasked.substring(0, m.start).count(_ == ')')
+        if (dd == 0) cut = m.start
+      }
+    }
+    val (selectList, tail) =
+      if (cut < 0) (after.trim, "")
+      else (after.substring(0, cut).trim, after.substring(cut).trim)
+    s"SELECT $selectList FROM $tableExpr" + (if (tail.nonEmpty) s" $tail" else "")
+  }
 
   /** Rewrite DuckDB's bracket slicing `expr[begin:end]` (1-based
     * inclusive, open ends, negatives, strings too — exact semantics in

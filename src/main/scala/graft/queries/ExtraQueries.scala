@@ -617,11 +617,28 @@ object ExtraQueries {
     graft.operators.SqlStage("q124", copySqlText).apply(s, nation(s, d))
   }
 
+  /** DuckDB's FROM-first statement syntax through the passthrough —
+    * identical text on both engines ([[graft.operators.GraftSqlParser
+    * .rewriteFromFirst]] restores standard clause order; DuckDB parses
+    * it natively). DECIMAL→DOUBLE keeps the quantity sum exact.
+    */
+  private[graft] val fromFirstSqlText = """
+      FROM lineitem SELECT l_returnflag, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  def q126FromFirst(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(graft.operators.GraftSqlParser.rewriteAll(fromFirstSqlText))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_columns_sql"    -> (q113ColumnsSql _),
     "q120_macro_sql"      -> (q120MacroSql _),
     "q121_describe_sql"   -> (q121DescribeSql _),
     "q124_copy_roundtrip" -> (q124CopyRoundtrip _),
+    "q126_from_first"     -> (q126FromFirst _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
     "q118_slice_sql"      -> (q118SliceSql _),
     "q119_argmax_sql"     -> (q119ArgmaxSql _),
@@ -675,6 +692,7 @@ object ExtraQueries {
     // q124: DuckDB executes the identical COPY+read_csv_auto batch —
     // its own write→read round-trip over the same /tmp path
     "q124_copy_roundtrip" -> copySqlText,
+    "q126_from_first" -> fromFirstSqlText,
     "q81_range_join" -> """
       WITH iv AS (
         SELECT i AS interval_id, 1704067200 + i * 7200 AS s_sec

@@ -710,7 +710,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|^\s*FROM\b".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
       else // the ASOF rewrite output must itself be stable
@@ -1242,6 +1242,28 @@ class DialectSpec extends SparkSpec {
     val e2 = intercept[DuckDialectException](SqlStage("s",
       s"SELECT * FROM read_csv_auto('$dir/three.csv', delim = ';')").apply(spark, df))
     assert(e2.getMessage.contains("input"))
+  }
+
+  test("FROM-first statements rewrite to standard clause order") {
+    import graft.operators.GraftSqlParser.rewriteFromFirst
+    assert(rewriteFromFirst("FROM t") == "SELECT * FROM t")
+    assert(rewriteFromFirst("FROM t WHERE x > 1") == "SELECT * FROM t WHERE x > 1")
+    assert(rewriteFromFirst("FROM t SELECT a, b") == "SELECT a, b FROM t")
+    assert(rewriteFromFirst("FROM t SELECT a GROUP BY a ORDER BY a")
+      == "SELECT a FROM t GROUP BY a ORDER BY a")
+    assert(rewriteFromFirst("FROM t JOIN u ON t.k = u.k SELECT t.a WHERE u.v > 0")
+      == "SELECT t.a FROM t JOIN u ON t.k = u.k WHERE u.v > 0")
+    // subquery SELECTs are depth>0 — bare form wraps the whole thing
+    assert(rewriteFromFirst("FROM (SELECT 1 AS x)") == "SELECT * FROM (SELECT 1 AS x)")
+    // non-FROM-first statements are untouched
+    assert(rewriteFromFirst("SELECT * FROM t") == "SELECT * FROM t")
+    // e2e through a sql stage
+    val df = spark.range(1, 5).toDF("id")
+    val out = SqlStage("s", "FROM df SELECT COUNT(*) AS n WHERE id >= 2")
+      .apply(spark, df).collect()
+    assert(out.head.getLong(0) == 3L)
+    val bare = SqlStage("s", "FROM df ORDER BY id LIMIT 2").apply(spark, df).collect()
+    assert(bare.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
   test("SET TimeZone maps to the session timezone; operational settings skip; Spark keys pass") {
