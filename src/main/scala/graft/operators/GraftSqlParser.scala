@@ -2512,10 +2512,15 @@ object GraftSqlParser {
     if (pos == 0) sql else { sb.append(sql.substring(pos)); sb.toString }
   }
 
-  /** Parsed `COPY <source> TO '<path>' [(options)]` statement. */
+  /** Parsed `COPY <source> TO '<path>' [(options)]` statement.
+    * `partitionBy` nonEmpty switches the write from DuckDB's
+    * single-file shape to a Spark partitioned DIRECTORY (hive-style
+    * `col=value` subdirs — DuckDB's PARTITION_BY writes the identical
+    * layout), the scale-parallel form.
+    */
   final case class CopySpec(sourceSql: Option[String], sourceTable: Option[String],
                             path: String, format: String, header: Boolean,
-                            delimiter: String)
+                            delimiter: String, partitionBy: Seq[String] = Nil)
 
   private val CopyHeadRe = raw"(?is)^\s*COPY\s+".r
 
@@ -2566,6 +2571,7 @@ object GraftSqlParser {
     }
     var header = true // duckdb 1.0 writes the header by default
     var delim = ","
+    var partitionBy: Seq[String] = Nil
     val rest0 = sql.substring(i).trim
     if (rest0.nonEmpty) {
       val restMasked = masked.substring(i).trim
@@ -2588,11 +2594,17 @@ object GraftSqlParser {
             if (d.length < 2 || d.head != '\'' || d.last != '\'')
               fail("DELIMITER needs a quoted value")
             delim = d.substring(1, d.length - 1).replace("''", "'")
+          case "PARTITION_BY" =>
+            val v = parts.lift(1).getOrElse(fail("PARTITION_BY needs columns")).trim
+            val inner2 = if (v.startsWith("(") && v.endsWith(")"))
+              v.substring(1, v.length - 1) else v
+            partitionBy = inner2.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            if (partitionBy.isEmpty) fail("PARTITION_BY needs columns")
           case other => fail(s"unsupported COPY option $other")
         }
       }
     }
-    Some(CopySpec(srcSql, srcTable, path, format, header, delim))
+    Some(CopySpec(srcSql, srcTable, path, format, header, delim, partitionBy))
   }
 
   /** Execute a parsed COPY: write the source relation to ONE file at
@@ -2607,20 +2619,32 @@ object GraftSqlParser {
       org.apache.spark.sql.DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val n = src.count()
-    val tmp = Files.createTempDirectory("graft_copy").toString + "/out"
-    val w = src.coalesce(1).write.mode("overwrite")
-    spec.format match {
-      case "parquet" => w.parquet(tmp)
-      case "json" => w.json(tmp)
-      case _ => w.option("header", spec.header.toString)
-        .option("delimiter", spec.delimiter).csv(tmp)
+    if (spec.partitionBy.nonEmpty) {
+      // PARTITION_BY: hive-style col=value directory tree (DuckDB's
+      // exact layout) — the parallel write path, no coalesce, no move
+      val w = src.write.mode("overwrite").partitionBy(spec.partitionBy: _*)
+      spec.format match {
+        case "parquet" => w.parquet(spec.path)
+        case "json" => w.json(spec.path)
+        case _ => w.option("header", spec.header.toString)
+          .option("delimiter", spec.delimiter).csv(spec.path)
+      }
+    } else {
+      val tmp = Files.createTempDirectory("graft_copy").toString + "/out"
+      val w = src.coalesce(1).write.mode("overwrite")
+      spec.format match {
+        case "parquet" => w.parquet(tmp)
+        case "json" => w.json(tmp)
+        case _ => w.option("header", spec.header.toString)
+          .option("delimiter", spec.delimiter).csv(tmp)
+      }
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+        .getOrElse(throw new IllegalStateException(s"no part file written under $tmp"))
+      val target = Paths.get(spec.path)
+      Option(target.getParent).foreach(Files.createDirectories(_))
+      Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
     }
-    val part = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
-      .getOrElse(throw new IllegalStateException(s"no part file written under $tmp"))
-    val target = Paths.get(spec.path)
-    Option(target.getParent).foreach(Files.createDirectories(_))
-    Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("Count",
         org.apache.spark.sql.types.LongType, nullable = false)))

@@ -1235,10 +1235,21 @@ class DialectSpec extends SparkSpec {
       s"COPY (SELECT id, v FROM df) TO '$dir/three.csv' (FORMAT CSV, HEADER)")
       .apply(spark, df).collect()
     assert(again.head.getLong(0) == 5L)
+    // PARTITION_BY → hive-style col=value directory tree (r9)
+    val part = SqlStage("s",
+      s"COPY (SELECT id, v, id % 2 AS par FROM df) TO '$dir/bypar' " +
+        "(FORMAT PARQUET, PARTITION_BY (par))").apply(spark, df).collect()
+    assert(part.head.getLong(0) == 5L)
+    assert(new java.io.File(s"$dir/bypar/par=0").isDirectory &&
+      new java.io.File(s"$dir/bypar/par=1").isDirectory)
+    val rtpart = SqlStage("s",
+      s"SELECT COUNT(*) AS n FROM read_parquet('$dir/bypar')")
+      .apply(spark, df).collect()
+    assert(rtpart.head.getLong(0) == 5L)
     // guided errors: unsupported option, COPY FROM, option-bearing read_*
     val e1 = intercept[DuckDialectException](SqlStage("s",
-      s"COPY (SELECT id FROM df) TO '$dir/x.csv' (PARTITION_BY id)").apply(spark, df))
-    assert(e1.getMessage.contains("PARTITION_BY"))
+      s"COPY (SELECT id FROM df) TO '$dir/x.csv' (USE_TMP_FILE true)").apply(spark, df))
+    assert(e1.getMessage.contains("USE_TMP_FILE"))
     val e2 = intercept[DuckDialectException](SqlStage("s",
       s"SELECT * FROM read_csv_auto('$dir/three.csv', delim = ';')").apply(spark, df))
     assert(e2.getMessage.contains("input"))
