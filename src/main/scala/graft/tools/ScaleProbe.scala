@@ -158,6 +158,14 @@ object ScaleProbe {
           graft.queries.TextQueries.q114HeavyHitters(spark, d).count()),
         "q115_bigram_hitters" -> (() =>
           graft.queries.TextQueries.q115BigramHitters(spark, d).count()),
+        // r9 quality bundles: row-local single passes — slope should
+        // sit at ~1.0 (pure data volume), the measured proof of the
+        // zero-shuffle claim
+        "q122_gopher_rules" -> (() => docs.select(col("doc_id"),
+          graft.functions.TextFunctions.gopherRules(col("text"),
+            minWords = 30, minStopTypes = 1).as("g")).count()),
+        "q123_c4_clean" -> (() => docs.select(col("doc_id"),
+          graft.functions.TextFunctions.c4Clean(col("text")).as("c")).count()),
       )
     }
 

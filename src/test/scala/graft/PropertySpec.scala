@@ -216,4 +216,38 @@ class PropertySpec extends SparkSpec {
     assert(out == Set((10L, "ok"), (2L, "boom"), (30L, "ok"))) // original row kept
     assert(acc.value == 1L)
   }
+
+  test("macro expansion == direct substitution for random arithmetic bodies/args") {
+    // registerMacro + expandMacros must be semantics-preserving: for a
+    // random arithmetic body over params (a, b) and random integer
+    // argument EXPRESSIONS, evaluating the macro call equals evaluating
+    // the body with the args textually substituted by hand (both via
+    // spark.sql, so only the expansion machinery is under test —
+    // precedence safety included, since args are sums and bodies
+    // multiply)
+    val df = spark.range(1).toDF("id")
+    val atom = Gen.oneOf(Gen.const("a"), Gen.const("b"), Gen.chooseNum(1, 9).map(_.toString))
+    val op = Gen.oneOf(" + ", " - ", " * ")
+    def body(depth: Int): Gen[String] =
+      if (depth == 0) atom
+      else Gen.oneOf(
+        atom,
+        for { l <- body(depth - 1); o <- op; r <- body(depth - 1) } yield s"$l$o$r")
+    val argExpr = for {
+      x <- Gen.chooseNum(-9, 9); y <- Gen.chooseNum(1, 9)
+    } yield s"$x + $y"
+    (1 to 25).foreach { i =>
+      val b = sample(body(3))
+      val (aArg, bArg) = (sample(argExpr), sample(argExpr))
+      graft.operators.SqlStage("p",
+        s"CREATE OR REPLACE MACRO prop_m(a, b) AS $b").apply(spark, df)
+      val viaMacro = graft.operators.SqlStage("p",
+        s"SELECT prop_m($aArg, $bArg) AS v FROM df").apply(spark, df)
+        .collect().head.getAs[Number](0).longValue
+      val byHand = spark.sql(
+        s"SELECT ${b.replace("a", s"($aArg)").replace("b", s"($bArg)")} AS v")
+        .collect().head.getAs[Number](0).longValue
+      assert(viaMacro == byHand, s"body=$b a=$aArg b=$bArg")
+    }
+  }
 }
