@@ -181,10 +181,17 @@ object Dedup {
                          k: Int, threshold: Double): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val t = threshold
+    // localCheckpoint: the sorted shingle arrays feed THREE consumers
+    // (the prefix index and both verification sides) — without it the
+    // tokenize+hash+sort subtree recomputes per consumer (measured
+    // ~25% of the operator wall at sf0.1); checkpointing stores
+    // executor-local blocks sized ~8 bytes/shingle and truncates the
+    // lineage, the q89 pattern. Storage is freed with the RDD on GC.
     val docs = df.select(col(idCol).as("doc"),
         array_sort(call_function("shingle_hashes",
           TextFunctions.tokens(col(textCol)), lit(k))).as("shs"))
       .select(col("doc"), size(col("shs")).as("n"), col("shs"))
+      .localCheckpoint()
     val prefixLen = greatest(
       col("n") - ceil(col("n") * t - lit(1e-9)).cast("int") + 1, lit(0))
     val prefix = docs.select(col("doc"), col("n"),
