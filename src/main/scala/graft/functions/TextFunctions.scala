@@ -328,6 +328,39 @@ object TextFunctions {
         nStop >= minStopTypes).as("keep"))
   }
 
+  /** Unicode-script profile — the multilingual complement to the
+    * n-gram [[langId]]: per-document counts of characters in the five
+    * major script blocks (Latin, Cyrillic, Han, Arabic, Hangul) plus a
+    * deterministic dominant-script label (fixed priority CASE chain —
+    * ties break toward the earlier script, so the label is a pure
+    * function of the counts and both engines replay it identically;
+    * RE2 and java.util.regex agree on script character classes).
+    * Script ID is the standard first stage of a multilingual pipeline:
+    * it routes documents to per-script language models / tokenizers
+    * and catches mislabeled-language rows cheaply. Row-local single
+    * pass, zero shuffles at any scale.
+    */
+  def scriptProfile(text: Column, javaRegex: Boolean = true): Column = {
+    def cnt(java: String, re2: String) =
+      (length(text) - length(regexp_replace(text,
+        if (javaRegex) java else re2, ""))).cast("long")
+    val latin = cnt("\\p{IsLatin}", "\\p{Latin}")
+    val cyr = cnt("\\p{IsCyrillic}", "\\p{Cyrillic}")
+    val han = cnt("\\p{IsHan}", "\\p{Han}")
+    val ar = cnt("\\p{IsArabic}", "\\p{Arabic}")
+    val hang = cnt("\\p{IsHangul}", "\\p{Hangul}")
+    val dominant =
+      when(latin >= cyr && latin >= han && latin >= ar && latin >= hang &&
+        latin > 0, "latin")
+        .when(cyr >= han && cyr >= ar && cyr >= hang && cyr > 0, "cyrillic")
+        .when(han >= ar && han >= hang && han > 0, "han")
+        .when(ar >= hang && ar > 0, "arabic")
+        .when(hang > 0, "hangul")
+        .otherwise("none")
+    struct(latin.as("n_latin"), cyr.as("n_cyrillic"), han.as("n_han"),
+      ar.as("n_arabic"), hang.as("n_hangul"), dominant.as("script"))
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
     * §2.2 — the C4 heuristics; line-level complement of the page-level
     * [[gopherRules]]). Keeps only lines that END in terminal

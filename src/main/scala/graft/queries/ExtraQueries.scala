@@ -633,12 +633,34 @@ object ExtraQueries {
     s.sql(graft.operators.GraftSqlParser.rewriteAll(fromFirstSqlText))
   }
 
+  /** Sorted-layout sink round-trip ([[graft.sources.Sources
+    * .writeSorted]]): range-partition documents by (lang, doc_id), sort
+    * within partitions, write parquet, read BACK and aggregate — the
+    * gate proves the layout op loses/duplicates nothing (the aggregate
+    * is layout-independent, so DuckDB replays it straight off the
+    * original table), while PartitionSpec proves the pruning property
+    * the layout exists for (pairwise-disjoint per-file key ranges).
+    */
+  def q127SortedLayout(s: SparkSession, d: String): DataFrame = {
+    val dir = "/tmp/graft_q127_layout"
+    graft.sources.Sources.writeSorted(
+      documents(s, d), dir, Seq("lang", "doc_id"), files = 8)
+    s.read.parquet(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_columns_sql"    -> (q113ColumnsSql _),
     "q120_macro_sql"      -> (q120MacroSql _),
     "q121_describe_sql"   -> (q121DescribeSql _),
     "q124_copy_roundtrip" -> (q124CopyRoundtrip _),
     "q126_from_first"     -> (q126FromFirst _),
+    "q127_sorted_layout"  -> (q127SortedLayout _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
     "q118_slice_sql"      -> (q118SliceSql _),
     "q119_argmax_sql"     -> (q119ArgmaxSql _),
@@ -693,6 +715,14 @@ object ExtraQueries {
     // its own write→read round-trip over the same /tmp path
     "q124_copy_roundtrip" -> copySqlText,
     "q126_from_first" -> fromFirstSqlText,
+    // q127: the aggregate is layout-independent — DuckDB reads the
+    // ORIGINAL table; any loss/dup/corruption in the sorted layout
+    // round-trip breaks the hash
+    "q127_sorted_layout" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM documents GROUP BY lang ORDER BY lang""",
     "q81_range_join" -> """
       WITH iv AS (
         SELECT i AS interval_id, 1704067200 + i * 7200 AS s_sec

@@ -672,11 +672,31 @@ object TextQueries {
     graft.operators.Pipeline.runYaml(s, yaml, s"$d/documents.parquet", None).output
   }
 
+  /** Unicode-script profile ([[graft.functions.TextFunctions
+    * .scriptProfile]]) over synthetically multilingual pages (the q84
+    * pattern: the ASCII corpus gains doc_id-conditional Cyrillic / Han /
+    * Arabic / Hangul passages in BOTH engines) — integer per-script
+    * counts and the deterministic dominant label hash-match; RE2 and
+    * java.util.regex agree on \\p script classes (probed).
+    */
+  def q128ScriptProfile(s: SparkSession, d: String): DataFrame = {
+    val synth = concat(col("text"),
+      when(col("doc_id") % 4 === 0, lit(" Привет мир это тест")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 1, lit(" 你好世界这是一个测试和更多的字符在这里继续")).otherwise(lit("")),
+      when(col("doc_id") % 8 === 2, lit(" مرحبا بالعالم")).otherwise(lit("")),
+      when(col("doc_id") % 8 === 6, lit(" 안녕하세요 세계")).otherwise(lit("")))
+    documents(s, d)
+      .select(col("doc_id"), TF.scriptProfile(synth).as("p"))
+      .select(col("doc_id"), col("p.*"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
     "q123_c4_clean"       -> (q123C4Clean _),
     "q125_clean_pipeline" -> (q125CleanPipeline _),
+    "q128_script_profile" -> (q128ScriptProfile _),
     "q114_heavy_hitters"  -> (q114HeavyHitters _),
     "q115_bigram_hitters" -> (q115BigramHitters _),
     "q30_dedup_exact"     -> (q30DedupExact _),
@@ -739,6 +759,39 @@ object TextQueries {
 
   val sql: Map[String, String] = Map(
     "q36_simhash" -> simhashOracle,
+
+    // DuckDB replay of the script profile over the same synthetic
+    // multilingual pages — RE2 \p{Script} classes, 'g' flag (DuckDB
+    // regexp_replace is first-match by default; Spark's is global)
+    "q128_script_profile" -> """
+      WITH synth AS (
+        SELECT doc_id,
+          text ||
+          (CASE WHEN doc_id % 4 = 0 THEN ' Привет мир это тест' ELSE '' END) ||
+          (CASE WHEN doc_id % 4 = 1 THEN ' 你好世界这是一个测试和更多的字符在这里继续' ELSE '' END) ||
+          (CASE WHEN doc_id % 8 = 2 THEN ' مرحبا بالعالم' ELSE '' END) ||
+          (CASE WHEN doc_id % 8 = 6 THEN ' 안녕하세요 세계' ELSE '' END) AS x
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(length(x) - length(regexp_replace(x, '\p{Latin}', '', 'g')) AS BIGINT) AS n_latin,
+          CAST(length(x) - length(regexp_replace(x, '\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic,
+          CAST(length(x) - length(regexp_replace(x, '\p{Han}', '', 'g')) AS BIGINT) AS n_han,
+          CAST(length(x) - length(regexp_replace(x, '\p{Arabic}', '', 'g')) AS BIGINT) AS n_arabic,
+          CAST(length(x) - length(regexp_replace(x, '\p{Hangul}', '', 'g')) AS BIGINT) AS n_hangul
+        FROM synth)
+      SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_hangul,
+        CASE
+          WHEN n_latin >= n_cyrillic AND n_latin >= n_han AND n_latin >= n_arabic
+               AND n_latin >= n_hangul AND n_latin > 0 THEN 'latin'
+          WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic
+               AND n_cyrillic >= n_hangul AND n_cyrillic > 0 THEN 'cyrillic'
+          WHEN n_han >= n_arabic AND n_han >= n_hangul AND n_han > 0 THEN 'han'
+          WHEN n_arabic >= n_hangul AND n_arabic > 0 THEN 'arabic'
+          WHEN n_hangul > 0 THEN 'hangul'
+          ELSE 'none'
+        END AS script
+      FROM c ORDER BY doc_id""",
 
     // DuckDB brute-force replay of the YAML clean pipeline: the q122
     // Gopher rules as a keep-filter, then the aggregate stage

@@ -119,6 +119,34 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Sorted-layout parquet — the SCAN-PRUNING knob, complementing
+    * [[writeBucketed]]'s join knob: range-partition by the sort
+    * columns, sort within each partition, and write with a per-file
+    * row cap. Every parquet file (and row group) then carries a TIGHT,
+    * non-overlapping min/max range on the sort columns, so a selective
+    * filter on them skips whole files/row groups at the footer — the
+    * Z-order-lite data-clustering move for predicate-heavy 100 TB
+    * scans (a time- or key-ordered layout turns `WHERE ts BETWEEN ...`
+    * from a full scan into a handful of files). `files` sizes the
+    * range partitioning (≈ target file count); `maxRecordsPerFile`
+    * additionally bounds any one file. PartitionSpec proves the
+    * written files' per-file key ranges are pairwise DISJOINT, the
+    * property footer pruning keys on.
+    */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  files: Int = 0, maxRecordsPerFile: Long = 0,
+                  compression: String = "zstd"): Unit = {
+    require(sortCols.nonEmpty, "sortCols required")
+    val cols = sortCols.map(df.col)
+    val ranged =
+      if (files > 0) df.repartitionByRange(files, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    val w = ranged.sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").option("compression", compression)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(path)
+  }
+
   /** Bucketed parquet table — the co-located-join knob SCALE.md
     * documents for the q03 shape: two fact tables bucketed (and
     * sort-bucketed) on their join key the SAME way join with NO

@@ -66,6 +66,34 @@ class PartitionSpec extends SparkSpec {
     }
   }
 
+  test("writeSorted: per-file key ranges are pairwise disjoint (footer-pruning property)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString + "/orders"
+    graft.sources.Sources.writeSorted(
+      Tables.orders(spark, sf), dir, Seq("o_orderkey"), files = 8)
+    // one row per written FILE with its min/max of the sort key — the
+    // exact stats parquet footers expose to the scan's row-group filter
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 4, s"expected several files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file ranges overlap: hi=$hi1 vs next lo=$lo2")
+      case _ =>
+    }
+    // rows and content survive the layout unchanged
+    assert(spark.read.parquet(dir).count() == Tables.orders(spark, sf).count())
+    // a selective range filter now touches a bounded slice of files:
+    // the matching files' ranges cover the predicate, others can't
+    val n = Tables.orders(spark, sf).count()
+    val probe = ranges(ranges.length / 2)._1
+    val hits = ranges.count { case (lo, hi) => lo <= probe + 10 && probe <= hi }
+    assert(hits <= 2, s"a 10-key range should sit in at most 2 files, hit $hits of ${ranges.length}")
+    assert(n > 0)
+  }
+
   test("scalar UDF registry: spark.udf.register usable from sql stages") {
     spark.udf.register("luhn_ish", (s: String) => s.length % 10)
     val df = graft.operators.SqlStage("t", "SELECT luhn_ish('12345') AS x")

@@ -693,6 +693,22 @@ class UtilOpsSpec extends SparkSpec {
     failsOn("nostop", "r_stopwords")
   }
 
+  test("scriptProfile: counts per script, dominant label across all branches") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      (1L, "hello world plain latin text"),
+      (2L, "Привет мир Привет мир hi"),     // cyrillic dominates
+      (3L, "你好世界你好世界你好 ok"),          // han dominates
+      (4L, "مرحبا بالعالم مرحبا بالعالم ok"), // arabic dominates
+      (5L, "안녕하세요 세계 안녕하세요 ok"),     // hangul dominates
+      (6L, "12345 !!!"))                     // none
+    val out = spark.createDataFrame(cases).toDF("id", "t")
+      .select(col("id"), graft.functions.TextFunctions.scriptProfile(col("t")).as("p"))
+      .select(col("id"), col("p.script")).orderBy(col("id"))
+      .collect().map(_.getString(1)).toSeq
+    assert(out == Seq("latin", "cyrillic", "han", "arabic", "hangul", "none"))
+  }
+
   test("c4Clean: punctuation+length line filter, page flags, rebuild") {
     import org.apache.spark.sql.functions._
     val page = Seq(
