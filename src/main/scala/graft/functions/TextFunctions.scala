@@ -328,6 +328,68 @@ object TextFunctions {
         nStop >= minStopTypes).as("keep"))
   }
 
+  /** Gopher repetition profile (Rae et al. 2021 §A1.2 — the
+    * duplicate-text half of the quality rules; [[gopherRules]] covers
+    * §A1.1 and q88 the duplicated-trigram screen): per-document
+    *
+    *  - duplicate LINE count and duplicate-line CHARACTER count (chars
+    *    in every occurrence beyond a line's first — Gopher's
+    *    char-weighted form);
+    *  - duplicate PARAGRAPH count (blank-line-separated);
+    *  - the most frequent word BIGRAM's character mass, count ×
+    *    gram length (Gopher's top-n-gram coverage signal), computed by
+    *    a run-length scan over the SORTED gram array — one
+    *    `functions.aggregate` fold, no per-doc group-by; ties on
+    *    (count, length) break to the lexicographically smallest gram,
+    *    so both engines replay the argmax identically;
+    *
+    * plus boolean flags at the paper's thresholds (dup lines ≤ 30%,
+    * dup line chars ≤ 20%, dup paragraphs ≤ 30%, top-bigram chars ≤
+    * 20% of the document) compared cross-multiplied in integers, and
+    * their conjunction `keep`. Row-local single pass — the gram scan
+    * is the native [[graft.functions.expressions.TokenGrams]] plus one
+    * codegen'd fold; zero shuffles at any scale.
+    */
+  def repetitionProfile(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => l =!= "")
+    val nLines = size(lines).cast("long")
+    val distLines = array_distinct(lines)
+    val nDupLines = nLines - size(distLines).cast("long")
+    val lineChars = aggregate(lines, lit(0L), (a, l) => a + length(l))
+    val dupLineChars = lineChars - aggregate(distLines, lit(0L), (a, l) => a + length(l))
+    val paras = filter(split(text, "\n\n"), p => p =!= "")
+    val nParas = size(paras).cast("long")
+    val nDupParas = nParas - size(array_distinct(paras)).cast("long")
+    val grams = array_sort(call_function("token_grams", text, lit(2)))
+    val init = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit(0L).as("bestlen"))
+    val scanned = aggregate(grams, init, (acc, g) => {
+      val run = when(acc.getField("prev") === g, acc.getField("run") + lit(1L))
+        .otherwise(lit(1L))
+      val better = run > acc.getField("best") ||
+        (run === acc.getField("best") &&
+          length(g).cast("long") > acc.getField("bestlen"))
+      struct(g.as("prev"), run.as("run"),
+        when(better, run).otherwise(acc.getField("best")).as("best"),
+        when(better, length(g).cast("long"))
+          .otherwise(acc.getField("bestlen")).as("bestlen"))
+    })
+    val top2Chars = scanned.getField("best") * scanned.getField("bestlen")
+    val nChars = length(text).cast("long")
+    val rLines = lit(10L) * nDupLines <= lit(3L) * nLines
+    val rLineChars = lit(5L) * dupLineChars <= lineChars
+    val rParas = lit(10L) * nDupParas <= lit(3L) * nParas
+    val rTop2 = lit(5L) * top2Chars <= nChars
+    struct(
+      nLines.as("n_lines"), nDupLines.as("n_dup_lines"),
+      dupLineChars.as("dup_line_chars"),
+      nDupParas.as("n_dup_paras"),
+      top2Chars.as("top2_chars"),
+      rLines.as("r_dup_lines"), rLineChars.as("r_dup_line_chars"),
+      rParas.as("r_dup_paras"), rTop2.as("r_top_bigram"),
+      (rLines && rLineChars && rParas && rTop2).as("keep"))
+  }
+
   /** Unicode-script profile — the multilingual complement to the
     * n-gram [[langId]]: per-document counts of characters in the five
     * major script blocks (Latin, Cyrillic, Han, Arabic, Hangul) plus a

@@ -691,12 +691,36 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher repetition profile ([[graft.functions.TextFunctions
+    * .repetitionProfile]]) over synthetically repetitive pages (the
+    * q123 pattern): doc_id-conditional duplicate lines, duplicate
+    * paragraphs and a spam-bigram run are appended in BOTH engines, so
+    * every signal and flag varies across the corpus; DuckDB replays
+    * the line/paragraph dup counts with list functions and the
+    * top-bigram argmax with a window over the exploded grams —
+    * integer columns and cross-multiplied flags hash-exact.
+    */
+  def q129RepetitionProfile(s: SparkSession, d: String): DataFrame = {
+    val synth = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit("\nalpha beta gamma delta\nalpha beta gamma delta")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("\n\nthe paragraph repeats here\n\nthe paragraph repeats here")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit(" spam spam spam spam spam spam spam spam")).otherwise(lit("")))
+    documents(s, d)
+      .select(col("doc_id"), TF.repetitionProfile(synth).as("r"))
+      .select(col("doc_id"), col("r.*"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
     "q123_c4_clean"       -> (q123C4Clean _),
     "q125_clean_pipeline" -> (q125CleanPipeline _),
     "q128_script_profile" -> (q128ScriptProfile _),
+    "q129_repetition_profile" -> (q129RepetitionProfile _),
     "q114_heavy_hitters"  -> (q114HeavyHitters _),
     "q115_bigram_hitters" -> (q115BigramHitters _),
     "q30_dedup_exact"     -> (q30DedupExact _),
@@ -759,6 +783,62 @@ object TextQueries {
 
   val sql: Map[String, String] = Map(
     "q36_simhash" -> simhashOracle,
+
+    // DuckDB replay of the repetition profile: list-function dup
+    // counts, window argmax for the top bigram ((cnt, len) DESC, gram
+    // ASC — the same tiebreak the Spark run-scan keeps), Gopher
+    // thresholds cross-multiplied in integers
+    "q129_repetition_profile" -> """
+      WITH synth AS (
+        SELECT doc_id,
+          text ||
+          (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'alpha beta gamma delta' ||
+            chr(10) || 'alpha beta gamma delta' ELSE '' END) ||
+          (CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) ||
+            'the paragraph repeats here' || chr(10) || chr(10) ||
+            'the paragraph repeats here' ELSE '' END) ||
+          (CASE WHEN doc_id % 7 = 0
+            THEN ' spam spam spam spam spam spam spam spam' ELSE '' END) AS x
+        FROM documents),
+      lin AS (
+        SELECT doc_id, x,
+          list_filter(string_split(x, chr(10)), l -> l <> '') AS lines,
+          list_filter(string_split(x, chr(10) || chr(10)), p -> p <> '') AS paras
+        FROM synth),
+      base AS (
+        SELECT doc_id, x,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+          CAST(COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) -
+               COALESCE(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0)
+            AS BIGINT) AS dup_line_chars,
+          CAST(COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) AS BIGINT) AS line_chars,
+          CAST(len(paras) - len(list_distinct(paras)) AS BIGINT) AS n_dup_paras,
+          CAST(len(paras) AS BIGINT) AS n_paras,
+          CAST(length(x) AS BIGINT) AS n_chars
+        FROM lin),
+      tok AS (SELECT doc_id, string_split(x, ' ') AS l FROM synth),
+      big AS (SELECT doc_id, l[gi] || ' ' || l[gi + 1] AS g
+              FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS gi FROM tok)),
+      cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g),
+      top AS (
+        SELECT doc_id, CAST(c * length(g) AS BIGINT) AS top2_chars
+        FROM (SELECT doc_id, g, c, row_number() OVER (
+                PARTITION BY doc_id ORDER BY c DESC, length(g) DESC, g) AS rn
+              FROM cnt)
+        WHERE rn = 1)
+      SELECT b.doc_id, b.n_lines, b.n_dup_lines, b.dup_line_chars,
+        b.n_dup_paras, COALESCE(t.top2_chars, 0) AS top2_chars,
+        (10 * b.n_dup_lines <= 3 * b.n_lines) AS r_dup_lines,
+        (5 * b.dup_line_chars <= b.line_chars) AS r_dup_line_chars,
+        (10 * b.n_dup_paras <= 3 * b.n_paras) AS r_dup_paras,
+        (5 * COALESCE(t.top2_chars, 0) <= b.n_chars) AS r_top_bigram,
+        (10 * b.n_dup_lines <= 3 * b.n_lines
+          AND 5 * b.dup_line_chars <= b.line_chars
+          AND 10 * b.n_dup_paras <= 3 * b.n_paras
+          AND 5 * COALESCE(t.top2_chars, 0) <= b.n_chars) AS keep
+      FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+      ORDER BY b.doc_id""",
 
     // DuckDB replay of the script profile over the same synthetic
     // multilingual pages — RE2 \p{Script} classes, 'g' flag (DuckDB
