@@ -617,8 +617,13 @@ final case class CleanStage(name: String, method: String, textCol: String,
         .filter(col("__graft_c.keep"))
         .withColumn(textCol, col("__graft_c.clean_text"))
         .drop("__graft_c")
+    case "repetition" =>
+      val r = graft.functions.TextFunctions.repetitionProfile(col(textCol))
+      if (flags) df.withColumn("__graft_r", r)
+        .select(col("*"), col("__graft_r.*")).drop("__graft_r")
+      else df.filter(r.getField("keep"))
     case other => throw new IllegalArgumentException(
-      s"clean stage '$name': unknown method '$other' (gopher | c4)")
+      s"clean stage '$name': unknown method '$other' (gopher | c4 | repetition)")
   }
 }
 

@@ -110,6 +110,17 @@ class PipelineSpec extends SparkSpec {
     // the synthetic corpus is one unpunctuated line per doc → no line
     // survives the terminal-punctuation rule → every row drops
     assert(c4.count() == 0)
+    // repetition method filters on the Gopher §A1.2 keep conjunction
+    val rep = Pipeline.runYaml(spark,
+      s"""
+        |filters:
+        |  - name: rep_gate
+        |    actionType: clean
+        |    actionConfig: {method: repetition, text: text}
+        |""".stripMargin, s"$sf/documents.parquet", None).output
+    val expectedRep = docs.filter(graft.functions.TextFunctions
+      .repetitionProfile(col("text")).getField("keep")).count()
+    assert(rep.count() == expectedRep && expectedRep > 0)
   }
 
   test("dedup + split as first-class YAML stages: near-dup removal then n-way labels") {
