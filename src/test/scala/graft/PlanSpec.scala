@@ -250,4 +250,23 @@ class PlanSpec extends SparkSpec {
       .select(call_function("cosine_sim", col("a"), col("b")).as("cos"))
     assert(df.collect().head.isNullAt(0))
   }
+
+  test("r9 quality bundles plan as single-stage scans: zero exchanges") {
+    import org.apache.spark.sql.functions._
+    // gopherRules / c4Clean / repetitionProfile / scriptProfile are
+    // row-local projections — the physical plan must carry NO Exchange
+    // (the literal form of the zero-shuffle 100 TB claim; the final
+    // orderBy belongs to the gate's determinism, so assert the
+    // un-ordered projection)
+    val docs = Tables.documents(spark, sf)
+    Seq(
+      graft.functions.TextFunctions.gopherRules(col("text")),
+      graft.functions.TextFunctions.c4Clean(col("text")),
+      graft.functions.TextFunctions.repetitionProfile(col("text")),
+      graft.functions.TextFunctions.scriptProfile(col("text"))
+    ).foreach { c =>
+      val p = planOf(docs.select(col("doc_id"), c.as("x")))
+      assert(!p.contains("Exchange"), p)
+    }
+  }
 }
