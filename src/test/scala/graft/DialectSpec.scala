@@ -1255,6 +1255,16 @@ class DialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("input"))
   }
 
+  test("database-file statements raise guided errors naming the graft routes") {
+    def hintOf(sql: String): String =
+      intercept[DuckDialectException](
+        SqlStage("s", sql).apply(spark, spark.range(1).toDF("id"))).getMessage
+    assert(hintOf("EXPORT DATABASE '/tmp/x'").contains("COPY"))
+    assert(hintOf("IMPORT DATABASE '/tmp/x'").contains("read_parquet"))
+    assert(hintOf("ATTACH '/tmp/other.db' AS other").contains("read the data files"))
+    assert(hintOf("CHECKPOINT").contains("localCheckpoint"))
+  }
+
   test("FROM-first statements rewrite to standard clause order") {
     import graft.operators.GraftSqlParser.rewriteFromFirst
     assert(rewriteFromFirst("FROM t") == "SELECT * FROM t")
