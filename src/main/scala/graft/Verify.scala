@@ -35,14 +35,20 @@ object Verify {
     // rewrite) erase ANOTHER query's recorded failure while its stale
     // parquet still reads green (review r8 #2).
     val failedDir = Paths.get(s"$outDir/.failed")
-    // one-time migration: drop a stale marker dir from a pre-r9 run so
-    // it can't resurface as a query-output lookalike
+    Files.createDirectories(failedDir)
+    // one-time migration: MOVE any pre-r9 markers into the dot dir
+    // (deleting them would erase another query's recorded failure while
+    // its stale parquet still reads green — the exact hazard the policy
+    // above forbids; review r9), then drop the legacy dir so it can't
+    // resurface as a query-output lookalike
     val legacy = new java.io.File(s"$outDir/_failed")
     if (legacy.isDirectory) {
-      Option(legacy.listFiles()).foreach(_.foreach(_.delete()))
+      Option(legacy.listFiles()).foreach(_.foreach { f =>
+        Files.move(f.toPath, failedDir.resolve(f.getName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      })
       legacy.delete()
     }
-    Files.createDirectories(failedDir)
     def marker(name: String) = failedDir.resolve(name)
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try {

@@ -249,6 +249,20 @@ object VectorFunctions {
     // auto-degrading — an "exact" operator silently becoming
     // approximate would corrupt every audit built on it.
     val spark = df.sparkSession
+    // the broadcast-matrix scan keys on LONG ids (binary search over a
+    // sorted long array). Widening integral casts are lossless; a
+    // string or fractional id would cast to null / truncate and
+    // SILENTLY drop pairs — refuse loudly instead (review r9; the old
+    // BNLJ accepted any orderable id type, so this is a documented
+    // narrowing, not a silent one)
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+      case other => throw new IllegalArgumentException(
+        s"exactNearDupPairs: id column '$idCol' must be integral (is $other) — " +
+          "the broadcast-matrix oracle orders ids as longs; map your ids to a " +
+          "dense integral key first (e.g. xxhash64 or zipWithIndex)")
+    }
     val collected = df.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
       .limit(if (maxRows >= Int.MaxValue) Int.MaxValue else maxRows.toInt + 1).collect()
     if (collected.length > maxRows) throw new IllegalArgumentException(

@@ -199,6 +199,14 @@ object GraftSqlParser {
           b -= 1
         }
         if (d > 0) return None
+        // a ']' group is only claimable when its '[' is a SUBSCRIPT on
+        // a preceding expression — a bare `[1,2,3]` is a DuckDB list
+        // LITERAL, which has no Spark rewrite: leave it unclaimed so
+        // the guided construct hint fires instead of a raw parse error
+        // on the mangled literal (review r9)
+        if (c == ']' && (b < 0 || { val p = masked.charAt(b)
+          !(p.isLetterOrDigit || p == '_' || p == '$' || p == '`' ||
+            p == ')' || p == ']' || p == '\'') })) return None
         bareIdentOnly = false
         j = b + 1; any = true // keep scanning: fn name / chain before the group
       } else scanning = false
@@ -2496,15 +2504,19 @@ object GraftSqlParser {
         val view = "graft_rf_" + java.security.MessageDigest.getInstance("MD5")
           .digest((fn + " " + path).getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16)
-        if (!spark.catalog.tableExists(view)) {
-          val df = fn match {
-            case "read_parquet" => spark.read.parquet(path)
-            case "read_json_auto" | "read_json" => spark.read.json(path)
-            case _ => spark.read.option("header", "true")
-              .option("inferSchema", "true").csv(path)
-          }
-          df.createOrReplaceTempView(view)
+        // ALWAYS re-register: a cached view would pin the schema/file
+        // listing from the FIRST read of this path — a COPY-overwrite
+        // then re-read (the round-trip workflow this feature exists
+        // for) must see the file's CURRENT contents (review r9). The
+        // re-registration costs a footer read (parquet) or one
+        // inference pass (csv) per stage, not per row.
+        val rdf = fn match {
+          case "read_parquet" => spark.read.parquet(path)
+          case "read_json_auto" | "read_json" => spark.read.json(path)
+          case _ => spark.read.option("header", "true")
+            .option("inferSchema", "true").csv(path)
         }
+        rdf.createOrReplaceTempView(view)
         sb.append(sql.substring(pos, mm.start)).append(view)
         pos = close
       }
@@ -2618,11 +2630,17 @@ object GraftSqlParser {
                   src: org.apache.spark.sql.DataFrame, spec: CopySpec):
       org.apache.spark.sql.DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val n = src.count()
+    // pin ONE materialization: count and write both read the
+    // checkpointed blocks, so the returned Count always equals the
+    // rows written — a nondeterministic source (USING SAMPLE) would
+    // otherwise produce a different row set per execution, and a
+    // deterministic one would pay the query twice (review r9)
+    val pinned = src.localCheckpoint()
+    val n = pinned.count()
     if (spec.partitionBy.nonEmpty) {
       // PARTITION_BY: hive-style col=value directory tree (DuckDB's
       // exact layout) — the parallel write path, no coalesce, no move
-      val w = src.write.mode("overwrite").partitionBy(spec.partitionBy: _*)
+      val w = pinned.write.mode("overwrite").partitionBy(spec.partitionBy: _*)
       spec.format match {
         case "parquet" => w.parquet(spec.path)
         case "json" => w.json(spec.path)
@@ -2631,7 +2649,7 @@ object GraftSqlParser {
       }
     } else {
       val tmp = Files.createTempDirectory("graft_copy").toString + "/out"
-      val w = src.coalesce(1).write.mode("overwrite")
+      val w = pinned.coalesce(1).write.mode("overwrite")
       spec.format match {
         case "parquet" => w.parquet(tmp)
         case "json" => w.json(tmp)
@@ -2687,16 +2705,18 @@ object GraftSqlParser {
   }
 
   private val CtasRe =
-    raw"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+(.*)$$".r
+    raw"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+(.*)$$".r
 
-  /** DuckDB `CREATE [OR REPLACE] [TEMP] TABLE name AS query` (CTAS)
+  /** DuckDB `CREATE [OR REPLACE] TEMP TABLE name AS query` (CTAS)
     * inside sql stages: Some((orReplace, ifNotExists, name, query)).
     * The Spark re-expression registers the query as a session temp
     * view — lazy where DuckDB materializes, which is result-identical
     * for the deterministic queries a pipeline carries (and free when
-    * the name is never read). Column-list and non-AS forms (CREATE
-    * TABLE t (x INT)) are left to Spark → parse error with the catalog
-    * route named.
+    * the name is never read). ONLY the TEMP forms are claimed: a plain
+    * `CREATE TABLE ... AS` is Spark's own CTAS and passes through to
+    * the catalog untouched (intercepting it would silently downgrade a
+    * durable table to a session view — review r9). Column-list and
+    * non-AS forms are likewise left to Spark.
     */
   def ctasTarget(sql: String): Option[(Boolean, Boolean, String, String)] =
     CtasRe.findFirstMatchIn(sql).map { m =>

@@ -72,41 +72,59 @@ final case class SqlStage(name: String, code: String) extends Stage {
       }
       return GraftSqlParser.executeCopy(spark, src, spec)
     }
-    // CREATE [TEMP] TABLE ... AS query (CTAS): register the query as a
-    // session temp view (lazy where DuckDB materializes —
+    // CREATE [OR REPLACE] TEMP TABLE ... AS query (CTAS): register the
+    // query as a session temp view (lazy where DuckDB materializes —
     // result-identical for deterministic pipeline queries); the
     // pipeline state passes through unchanged, DDL-style, so a
-    // `CREATE TABLE t AS ...; SELECT ... FROM t` batch works.
-    // INSERT INTO session-table: re-register the view as the union of
-    // its current relation and the query (positional, count-checked,
-    // or BY NAME) — the append half of the CTAS surface.
+    // `CREATE TEMP TABLE t AS ...; SELECT ... FROM t` batch works.
+    // Plain CREATE TABLE AS is Spark's own durable CTAS and is NEVER
+    // claimed (review r9: interception silently downgraded it).
+    // INSERT INTO a session TEMP view: re-register the view as the
+    // union of its current relation and the query (positional,
+    // count-checked, or BY NAME) — the append half of the CTAS
+    // surface. A REAL catalog table falls through to Spark's native
+    // INSERT INTO, which actually writes it (review r9: the union
+    // flow would shadow the table with a temp view and lose the
+    // write).
+    def isTempView(t: String): Boolean =
+      spark.catalog.tableExists(t) &&
+        scala.util.Try(spark.catalog.getTable(t)).toOption
+          .exists(_.tableType == "TEMPORARY")
     GraftSqlParser.insertTarget(code2).foreach { case (tname, byName, q) =>
-      if (!spark.catalog.tableExists(tname))
-        throw new graft.functions.expressions.DuckDialectException(
-          s"sql stage '$name': INSERT INTO unknown table '$tname' — create it " +
-            "first with CREATE [TEMP] TABLE ... AS in an earlier statement/stage " +
-            "(catalog tables are the Sources.writeBucketed route)")
-      val cur = spark.table(tname)
-      val add = SqlStage(name, q).apply(spark, df)
-      val merged =
-        if (byName) cur.unionByName(add)
-        else {
-          if (add.columns.length != cur.columns.length)
-            throw new graft.functions.expressions.DuckDialectException(
-              s"sql stage '$name': INSERT INTO $tname has ${cur.columns.length} " +
-                s"columns but the query produces ${add.columns.length} — match " +
-                "them or use INSERT INTO ... BY NAME")
-          cur.union(add)
-        }
-      merged.createOrReplaceTempView(tname)
-      return df
+      val exists = spark.catalog.tableExists(tname)
+      if (!exists || isTempView(tname)) {
+        if (!exists)
+          throw new graft.functions.expressions.DuckDialectException(
+            s"sql stage '$name': INSERT INTO unknown table '$tname' — create it " +
+              "first with CREATE TEMP TABLE ... AS in an earlier statement/stage " +
+              "(catalog tables are the Sources.writeBucketed route)")
+        val cur = spark.table(tname)
+        val add = SqlStage(name, q).apply(spark, df)
+        val merged =
+          if (byName) cur.unionByName(add)
+          else {
+            if (add.columns.length != cur.columns.length)
+              throw new graft.functions.expressions.DuckDialectException(
+                s"sql stage '$name': INSERT INTO $tname has ${cur.columns.length} " +
+                  s"columns but the query produces ${add.columns.length} — match " +
+                  "them or use INSERT INTO ... BY NAME")
+            cur.union(add)
+          }
+        merged.createOrReplaceTempView(tname)
+        return df
+      } // else: real table — Spark's native INSERT INTO handles it below
     }
     GraftSqlParser.ctasTarget(code2).foreach { case (orReplace, ifNotExists, tname, q) =>
+      if (spark.catalog.tableExists(tname) && !isTempView(tname))
+        throw new graft.functions.expressions.DuckDialectException(
+          s"sql stage '$name': CREATE TEMP TABLE '$tname' collides with a REAL " +
+            "catalog table of that name — a temp view would shadow it; pick " +
+            "another name or drop the table")
       val exists = spark.catalog.tableExists(tname)
       if (!orReplace && !ifNotExists && exists)
         throw new graft.functions.expressions.DuckDialectException(
-          s"sql stage '$name': table '$tname' already exists in this session — " +
-            "use CREATE OR REPLACE TABLE, or CREATE TABLE IF NOT EXISTS")
+          s"sql stage '$name': temp table '$tname' already exists in this session " +
+            "— use CREATE OR REPLACE TEMP TABLE, or CREATE TEMP TABLE IF NOT EXISTS")
       if (!(ifNotExists && exists))
         SqlStage(name, q).apply(spark, df).createOrReplaceTempView(tname)
       return df

@@ -608,12 +608,8 @@ object ExtraQueries {
   def q124CopyRoundtrip(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
     nation(s, d).createOrReplaceTempView("nation")
-    // the read-back view is content-addressed by PATH, which is shared
-    // across SF dirs — drop it so each run re-reads its own write
-    s.catalog.dropTempView(
-      "graft_rf_" + java.security.MessageDigest.getInstance("MD5")
-        .digest("read_csv_auto /tmp/graft_q124_roundtrip.csv".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16))
+    // the read-back view re-registers on every rewrite (r9 review fix),
+    // so each run reads its own freshly written file — no manual drop
     graft.operators.SqlStage("q124", copySqlText).apply(s, nation(s, d))
   }
 

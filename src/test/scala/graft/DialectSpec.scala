@@ -608,6 +608,12 @@ class DialectSpec extends SparkSpec {
     assert(run("SELECT array_slice(s, 2, 4) AS r FROM df").getString(0) == "bcd")
     assert(run("SELECT list_slice(l, 2, NULL) AS r FROM df").isNullAt(0))
     assert(run("SELECT list_slice(CAST(NULL AS ARRAY<INT>), 1, 2) AS r FROM df").isNullAt(0))
+    // a slice on a bare LIST LITERAL is unclaimable (the literal itself
+    // has no Spark rewrite): the guided hint must fire, not a raw
+    // ANTLR error on the mangled literal (review r9)
+    val litSlice = intercept[DuckDialectException](
+      SqlStage("s", "SELECT [1,2,3][2:3] AS r FROM df").apply(spark, df))
+    assert(litSlice.getMessage.contains("list_slice"))
   }
 
   test("WITH RECURSIVE: standard linear recursion executes natively (Spark 4.x)") {
@@ -1317,13 +1323,34 @@ class DialectSpec extends SparkSpec {
     // per-connection temp catalog)
     assert(SqlStage("s2", "SELECT MAX(id) AS m FROM big3").apply(spark, df)
       .collect().head.getLong(0) == 5L)
-    // plain CREATE on an existing name raises; IF NOT EXISTS is silent
+    // plain TEMP CREATE on an existing name raises; IF NOT EXISTS is silent
     val e = intercept[DuckDialectException](
-      SqlStage("s", "CREATE TABLE big3 AS SELECT 1 AS x").apply(spark, df))
+      SqlStage("s", "CREATE TEMP TABLE big3 AS SELECT 1 AS x").apply(spark, df))
     assert(e.getMessage.contains("already exists"))
-    SqlStage("s", "CREATE TABLE IF NOT EXISTS big3 AS SELECT 1 AS x").apply(spark, df)
+    SqlStage("s", "CREATE TEMP TABLE IF NOT EXISTS big3 AS SELECT 1 AS x").apply(spark, df)
     assert(SqlStage("s", "SELECT MAX(id) AS m FROM big3").apply(spark, df)
       .collect().head.getLong(0) == 5L) // untouched
+    // plain (non-TEMP) CREATE TABLE AS is NEVER claimed — Spark's own
+    // durable CTAS handles it, and INSERT INTO a REAL catalog table
+    // falls through to Spark's native write instead of being shadowed
+    // by a temp view (review r9)
+    spark.sql("DROP TABLE IF EXISTS real_ctas")
+    SqlStage("s", "CREATE TABLE real_ctas AS SELECT id FROM df WHERE id <= 2")
+      .apply(spark, df)
+    assert(spark.catalog.tableExists("real_ctas") &&
+      spark.catalog.getTable("real_ctas").tableType != "TEMPORARY")
+    SqlStage("s", "INSERT INTO real_ctas SELECT id FROM df WHERE id = 5")
+      .apply(spark, df)
+    assert(SqlStage("s", "SELECT COUNT(*) AS n FROM real_ctas").apply(spark, df)
+      .collect().head.getLong(0) == 3L) // the native write really landed
+    assert(spark.catalog.getTable("real_ctas").tableType != "TEMPORARY")
+    spark.sql("DROP TABLE real_ctas")
+    // TEMP CREATE colliding with a REAL table name is refused
+    spark.sql("CREATE TABLE real_clash AS SELECT 1 AS x")
+    val clash = intercept[DuckDialectException](
+      SqlStage("s", "CREATE TEMP TABLE real_clash AS SELECT 2 AS y").apply(spark, df))
+    assert(clash.getMessage.contains("REAL catalog table"))
+    spark.sql("DROP TABLE real_clash")
     // CTAS query keeps the full dialect layer (macro + slice compose)
     SqlStage("s", "CREATE OR REPLACE MACRO first2(s) AS s[1:2]").apply(spark, df)
     assert(SqlStage("s",
