@@ -230,6 +230,30 @@ object Mix {
       .drop("__graft_rn", "__graft_cnt")
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020, arXiv:1911.00359
+    * — the head/middle/tail corpus split that feeds mixture weights and
+    * curriculum schedules downstream): divide each stratum into `n`
+    * equal-count buckets by a quality score, bucket 1 = best. Ordering
+    * is (score asc, id) — CCNet ranks by LM perplexity ascending, and
+    * the id tiebreak makes membership a PURE function of the input, so
+    * any engine replays the ntile assignment bit-exactly (q130 pairs it
+    * with the integer `rarity` score from [[graft.functions
+    * .TextFunctions.corpusFrequencyScores]] — hash-exact, unlike the
+    * float cross-entropy twin). One window per stratum (the
+    * [[topFractionByScore]] shape); at 100 TB swap in the
+    * broadcast-threshold variant of the same idea: per-stratum
+    * percentile_approx cut points, then a row-local CASE — one scan,
+    * no window.
+    */
+  def qualityBuckets(df: DataFrame, stratumCol: Column, scoreCol: Column,
+                     idCol: Column, n: Int = 3,
+                     bucketCol: String = "bucket"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, "need at least 2 buckets")
+    val w = Window.partitionBy(stratumCol).orderBy(scoreCol.asc, idCol.asc)
+    df.withColumn(bucketCol, ntile(n).over(w))
+  }
+
   /** The 100 TB form of [[topFractionByScore]]: compute each stratum's
     * (1−keepFraction) score quantile with `percentile_approx`
     * (GK-sketch aggregate, map-side combinable), broadcast the tiny

@@ -714,6 +714,25 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet head/middle/tail split ([[graft.functions.Mix
+    * .qualityBuckets]]) composed with the corpus-frequency scorer: each
+    * language's documents rank by the INTEGER rarity score (the
+    * hash-exact twin of the cross-entropy LM proxy, q97) and split into
+    * three equal-count buckets; the gate aggregates per (lang, bucket).
+    * DuckDB replays the token counts, the rarity sum, and the ntile
+    * over the identical (rarity, doc_id) order.
+    */
+  def q130QualityBuckets(s: SparkSession, d: String): DataFrame = {
+    val scores = TF.corpusFrequencyScores(documents(s, d), "doc_id", "text")
+      .join(documents(s, d).select(col("doc_id").as("doc"), col("lang")), "doc")
+    graft.functions.Mix.qualityBuckets(
+        scores, col("lang"), col("rarity"), col("doc"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rarity")).cast("long").as("sum_rarity"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
@@ -721,6 +740,7 @@ object TextQueries {
     "q125_clean_pipeline" -> (q125CleanPipeline _),
     "q128_script_profile" -> (q128ScriptProfile _),
     "q129_repetition_profile" -> (q129RepetitionProfile _),
+    "q130_quality_buckets"  -> (q130QualityBuckets _),
     "q114_heavy_hitters"  -> (q114HeavyHitters _),
     "q115_bigram_hitters" -> (q115BigramHitters _),
     "q30_dedup_exact"     -> (q30DedupExact _),
@@ -1303,6 +1323,22 @@ object TextQueries {
              CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
       FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id
       ORDER BY b.doc_id""",
+
+    // q130: the q97 rarity replay + DuckDB's own ntile over the same
+    // deterministic (rarity, doc_id) order, aggregated per bucket
+    "q130_quality_buckets" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      c AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+      r AS (SELECT doc_id, CAST(SUM(1000000 // cnt) AS BIGINT) AS rarity
+            FROM tok JOIN c USING (t) GROUP BY doc_id),
+      b AS (SELECT d.lang, r.rarity,
+              ntile(3) OVER (PARTITION BY d.lang
+                             ORDER BY r.rarity, r.doc_id) AS bucket
+            FROM r JOIN documents d USING (doc_id))
+      SELECT lang, bucket, COUNT(*) AS n_docs,
+             CAST(SUM(rarity) AS BIGINT) AS sum_rarity
+      FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
 
     "q97_rarity" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
