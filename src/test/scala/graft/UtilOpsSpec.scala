@@ -693,6 +693,33 @@ class UtilOpsSpec extends SparkSpec {
     failsOn("nostop", "r_stopwords")
   }
 
+  test("qualityBuckets: equal counts, deterministic, score-ordered") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("score"))
+    val b = graft.functions.Mix.qualityBuckets(
+      docs, col("lang"), col("score"), col("doc_id"))
+    // equal-count split per stratum (ntile: sizes differ by at most 1)
+    val sizes = b.groupBy("lang", "bucket").count().collect()
+      .groupBy(_.getString(0)).values
+    sizes.foreach { g =>
+      val ns = g.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, ns.mkString(","))
+    }
+    // bucket 1 holds the lowest scores: per lang, max(score@1) <= min(score@3)
+    val ext = b.groupBy("lang")
+      .agg(max(when(col("bucket") === 1, col("score"))).as("hi1"),
+           min(when(col("bucket") === 3, col("score"))).as("lo3"))
+      .collect()
+    ext.foreach(r => assert(r.getInt(1) <= r.getInt(2), r.toString))
+    // deterministic: identical assignment on a re-run
+    val a1 = b.select("doc_id", "bucket").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val a2 = graft.functions.Mix.qualityBuckets(
+        docs, col("lang"), col("score"), col("doc_id"))
+      .select("doc_id", "bucket").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a1 == a2)
+  }
+
   test("scriptProfile: counts per script, dominant label across all branches") {
     import org.apache.spark.sql.functions._
     val cases = Seq(
