@@ -709,6 +709,34 @@ class DialectSpec extends SparkSpec {
     }
   }
 
+  test("statement-level parsers survive garbage: return or raise, never hang") {
+    // the r9 statement layer (macros, COPY, CTAS, INSERT, DESCRIBE,
+    // SET, FROM-first, batch split) fuzzes over mangled statement text:
+    // every parser must either return a parse, return None, or raise a
+    // guided error — pure functions, no side effects from a parse
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("CREATE", "OR", "REPLACE", "TEMP", "MACRO", "TABLE", "AS",
+      "COPY", "TO", "INSERT", "INTO", "BY", "NAME", "DESCRIBE", "SHOW", "SET",
+      "FROM", "SELECT", "WHERE", "(", ")", ",", ";", ":=", "'p'", "''",
+      "a", "b", "t", "1", "=", "VALUES", "IF", "NOT", "EXISTS", "FORMAT",
+      "CSV", "HEADER", "read_csv_auto", "PARTITION_BY")
+    for (trial <- 1 to 400) {
+      val sql = Seq.fill(2 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      def ok(f: => Any): Unit =
+        try { f; () } catch { case _: DuckDialectException => }
+      ok(GraftSqlParser.splitStatements(sql))
+      ok(GraftSqlParser.isCreateMacroStatement(sql))
+      if (GraftSqlParser.isCreateMacroStatement(sql))
+        ok(GraftSqlParser.registerMacro(spark, sql))
+      ok(GraftSqlParser.expandMacros(spark, sql))
+      ok(GraftSqlParser.copyTarget(sql))
+      ok(GraftSqlParser.ctasTarget(sql))
+      ok(GraftSqlParser.insertTarget(sql))
+      ok(GraftSqlParser.describeTarget(sql))
+      ok(GraftSqlParser.rewriteFromFirst(sql))
+    }
+  }
+
   test("dialect rewrites are identity on the repo's whole oracle-SQL corpus") {
     // hand-written DuckDB queries with CTEs, windows, recursive CTEs,
     // integer //, md5 tricks — outside the ASOF JOIN / DISTINCT ON /
