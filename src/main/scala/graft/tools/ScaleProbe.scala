@@ -166,6 +166,17 @@ object ScaleProbe {
             minWords = 30, minStopTypes = 1).as("g")).count()),
         "q123_c4_clean" -> (() => docs.select(col("doc_id"),
           graft.functions.TextFunctions.c4Clean(col("text")).as("c")).count()),
+        "q129_repetition" -> (() => docs.select(col("doc_id"),
+          graft.functions.TextFunctions.repetitionProfile(col("text")).as("r")).count()),
+        // the window path (one rank pass per stratum, the q96 shape);
+        // rarity scoring is the q97 two-shuffle pipeline underneath
+        "q130_quality_buckets" -> (() => {
+          val scores = graft.functions.TextFunctions
+            .corpusFrequencyScores(docs, "doc_id", "text")
+            .join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
+          graft.functions.Mix.qualityBuckets(
+            scores, col("lang"), col("rarity"), col("doc")).count()
+        }),
       )
     }
 
