@@ -552,12 +552,12 @@ object ExtraQueries {
     */
   private[graft] val macroSqlText = """
       CREATE OR REPLACE MACRO disc_price(p, d) AS CAST(p * (1 - d) AS DECIMAL(18,4));
-      CREATE OR REPLACE MACRO pricey_orders(lim) AS TABLE
+      CREATE OR REPLACE MACRO pricey_orders(lim := 150000) AS TABLE
         SELECT o_orderkey FROM orders WHERE o_totalprice > lim;
       SELECT l_returnflag, COUNT(*) AS n_items,
              CAST(SUM(disc_price(l_extendedprice, l_discount)) AS DOUBLE) AS revenue
       FROM lineitem
-      WHERE l_orderkey IN (SELECT o_orderkey FROM pricey_orders(150000))
+      WHERE l_orderkey IN (SELECT o_orderkey FROM pricey_orders())
       GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   def q120MacroSql(s: SparkSession, d: String): DataFrame = {
