@@ -837,4 +837,15 @@ class DedupSpec extends SparkSpec {
     assert(VectorFunctions.semDedup(corpus, seeds, tau = 0.9,
       maxClusterSize = 0).count() == 1)
   }
+  test("exactNearDupPairs refuses non-integral id columns loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val strIds = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      graft.functions.VectorFunctions.exactNearDupPairs(
+        strIds, "vec_id", "embedding", 0.5))
+    assert(e.getMessage.contains("integral"))
+  }
+
 }

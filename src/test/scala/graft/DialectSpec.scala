@@ -1403,6 +1403,21 @@ class DialectSpec extends SparkSpec {
     assert(ec.getMessage.contains("BY NAME"))
   }
 
+  test("the statement layer composes: macros + CTAS + FROM-first + COPY in ONE batch") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1, 21).toDF("id")
+    val dir = Files.createTempDirectory("graft-compose").toString
+    val out = SqlStage("s",
+      s"""CREATE OR REPLACE MACRO sq(x) AS x * x;
+          CREATE OR REPLACE TEMP TABLE squares AS FROM df SELECT id, sq(id) AS s WHERE id <= 10;
+          COPY (FROM squares SELECT id, s WHERE s >= 25) TO '$dir/big.csv' (FORMAT CSV, HEADER);
+          FROM read_csv_auto('$dir/big.csv') SELECT COUNT(*) AS n, SUM(s) AS total""")
+      .apply(spark, df).collect()
+    // ids 5..10 → squares 25..100: 6 rows, sum 25+36+49+64+81+100 = 355
+    assert(out.head.getLong(0) == 6L)
+    assert(out.head.getAs[Number](1).longValue == 355L)
+  }
+
   test("CREATE MACRO: body DuckDB-isms still meet the rewrite chain at the call site") {
     val df = spark.range(1).toDF("id")
     // bracket slice inside the macro body — expandMacros runs BEFORE
