@@ -240,9 +240,8 @@ object Mix {
     * with the integer `rarity` score from [[graft.functions
     * .TextFunctions.corpusFrequencyScores]] — hash-exact, unlike the
     * float cross-entropy twin). One window per stratum (the
-    * [[topFractionByScore]] shape); at 100 TB swap in the
-    * broadcast-threshold variant of the same idea: per-stratum
-    * percentile_approx cut points, then a row-local CASE — one scan,
+    * [[topFractionByScore]] shape); at 100 TB swap in
+    * [[qualityBucketsApprox]] — same bucketing, broadcast cut points,
     * no window.
     */
   def qualityBuckets(df: DataFrame, stratumCol: Column, scoreCol: Column,
@@ -252,6 +251,42 @@ object Mix {
     require(n >= 2, "need at least 2 buckets")
     val w = Window.partitionBy(stratumCol).orderBy(scoreCol.asc, idCol.asc)
     df.withColumn(bucketCol, ntile(n).over(w))
+  }
+
+  /** The 100 TB form of [[qualityBuckets]] (the [[topFractionByScoreApprox]]
+    * pattern applied to bucketing): compute each stratum's n−1 bucket
+    * boundaries as the k/n score quantiles with ONE `percentile_approx`
+    * aggregate (GK sketch, map-side combinable — a few KB per stratum
+    * regardless of row count), broadcast the tiny stratum→cut-points
+    * table back, and assign the bucket with a row-local first-match
+    * CASE (`score ≤ cut_k → bucket k`, else n). One scan + one small
+    * aggregate + one broadcast — NO per-stratum sort, NO window, so a
+    * dominant stratum never serializes through a single partition and
+    * the op is skew-immune at any scale.
+    *
+    * Approximate only at the boundaries: a row whose score sits within
+    * the sketch's rank error (±1/accuracy of the stratum's row count)
+    * of a cut point may land in the adjacent bucket, and ties AT a cut
+    * all take the lower bucket (where ntile splits a tie run by the id
+    * ordering). Away from the cut points assignments agree with
+    * [[qualityBuckets]] exactly. Use the exact window form when
+    * membership must be reproducible row-for-row (it is the
+    * verification oracle of this path, q130).
+    */
+  def qualityBucketsApprox(df: DataFrame, stratumCol: Column, scoreCol: Column,
+                           n: Int = 3, bucketCol: String = "bucket",
+                           accuracy: Int = 10000): DataFrame = {
+    require(n >= 2, "need at least 2 buckets")
+    val pcts = array((1 until n).map(k => lit(k.toDouble / n)): _*)
+    val cuts = df.groupBy(stratumCol.as("__graft_s"))
+      .agg(percentile_approx(scoreCol, pcts, lit(accuracy)).as("__graft_cuts"))
+    val assigned = (1 until n).foldLeft(Option.empty[Column]) { case (acc, k) =>
+      val cond = scoreCol <= element_at(col("__graft_cuts"), k)
+      Some(acc.fold(when(cond, k))(_.when(cond, k)))
+    }.fold(lit(n).cast("int"))(_.otherwise(n))
+    df.join(broadcast(cuts), stratumCol <=> col("__graft_s"))
+      .withColumn(bucketCol, assigned)
+      .drop("__graft_s", "__graft_cuts")
   }
 
   /** The 100 TB form of [[topFractionByScore]]: compute each stratum's

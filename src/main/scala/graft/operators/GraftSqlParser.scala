@@ -2026,13 +2026,22 @@ object GraftSqlParser {
         }
     }
 
-  /** Replace the contents of single-quoted literals with '_' in place
-    * (positions preserved; '' escapes handled).
+  /** Replace the contents of single-quoted literals with '_' and SQL
+    * comments (`--` to end-of-line, `/* */`) with spaces, in place
+    * (positions preserved; '' escapes and newlines kept). Comment
+    * MARKERS are blanked too, so a ';' — or any dialect marker — inside
+    * a comment is invisible to every masked-text rewrite, and
+    * [[splitStatements]] can't split a batch mid-comment (r9 review).
+    * One state machine so quotes and comments shadow each other the way
+    * the parser sees them: `--` inside a literal is text, `'` inside a
+    * comment is not a quote.
     */
   private[graft] def maskQuotes(s: String): String = {
     val a = s.toCharArray
     var i = 0
     var inQ = false
+    var inLine = false
+    var inBlock = false
     while (i < a.length) {
       val c = a(i)
       if (inQ) {
@@ -2040,7 +2049,18 @@ object GraftSqlParser {
           if (i + 1 < a.length && a(i + 1) == '\'') { a(i) = '_'; a(i + 1) = '_'; i += 1 }
           else inQ = false
         } else a(i) = '_'
+      } else if (inLine) {
+        if (c == '\n' || c == '\r') inLine = false else a(i) = ' '
+      } else if (inBlock) {
+        if (c == '*' && i + 1 < a.length && a(i + 1) == '/') {
+          a(i) = ' '; a(i + 1) = ' '; i += 1; inBlock = false
+        } else if (c != '\n' && c != '\r') a(i) = ' '
       } else if (c == '\'') inQ = true
+      else if (c == '-' && i + 1 < a.length && a(i + 1) == '-') {
+        a(i) = ' '; a(i + 1) = ' '; i += 1; inLine = true
+      } else if (c == '/' && i + 1 < a.length && a(i + 1) == '*') {
+        a(i) = ' '; a(i + 1) = ' '; i += 1; inBlock = true
+      }
       i += 1
     }
     new String(a)
@@ -2295,19 +2315,38 @@ object GraftSqlParser {
   /** Session-scoped macro registry — DuckDB macros live in the catalog
     * of one connection (`/root/reference` pipelines share one DuckDB
     * `.db` per run, Database.py:19-29); the Spark re-expression is one
-    * SparkSession. Keyed by sessionUUID so concurrent sessions (tests,
-    * streams) never see each other's macros. Values are tiny parsed
-    * text — no plan state, safe to keep for the session's life.
+    * SparkSession. Weak-KEYED by the session OBJECT (SparkSession keeps
+    * Object identity equals/hashCode), so entries are unique per live
+    * session — no identityHashCode collisions — and the whole namespace
+    * is GC'd with its session instead of accumulating in long-lived
+    * JVMs (r9 review). Values are tiny parsed text — no plan state.
+    * All access goes through the synchronized helpers below (WeakHashMap
+    * itself is not thread-safe); the inner TrieMap makes per-session
+    * reads/writes lock-free once fetched.
     */
   private val macroReg =
-    scala.collection.concurrent.TrieMap[(String, String), DuckMacro]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, DuckMacro]]()
 
-  /** Stable per-SparkSession registry key: Spark 4 hides sessionUUID,
-    * and identity is exactly the scoping DuckDB's connection-level
-    * catalog has — one SparkSession object, one macro namespace.
+  /** The session's macro namespace, created on first registration. */
+  private def macrosOf(spark: org.apache.spark.sql.SparkSession)
+      : scala.collection.concurrent.TrieMap[String, DuckMacro] =
+    macroReg.synchronized {
+      var m = macroReg.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DuckMacro]
+        macroReg.put(spark, m)
+      }
+      m
+    }
+
+  /** Read-only peek: None when the session never registered a macro —
+    * keeps [[expandMacros]] zero-cost for macro-free sessions without
+    * allocating an empty namespace per lookup.
     */
-  private def sessionKey(spark: org.apache.spark.sql.SparkSession): String =
-    java.lang.System.identityHashCode(spark).toString
+  private def macrosIfAny(spark: org.apache.spark.sql.SparkSession)
+      : Option[scala.collection.concurrent.TrieMap[String, DuckMacro]] =
+    macroReg.synchronized(Option(macroReg.get(spark))).filter(_.nonEmpty)
 
   private val CreateMacroHeadRe =
     raw"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+([A-Za-z_]\w*)\s*\(".r
@@ -2354,11 +2393,12 @@ object GraftSqlParser {
     val isTable = asM.group(1) != null
     val body = sql.substring(close + asM.end).trim.stripSuffix(";").trim
     if (body.isEmpty) macroFail("empty body")
-    val key = (sessionKey(spark), name.toLowerCase)
-    if (!orReplace && macroReg.contains(key))
+    val reg = macrosOf(spark)
+    val key = name.toLowerCase
+    if (!orReplace && reg.contains(key))
       throw new graft.functions.expressions.DuckDialectException(
         s"macro '$name' already exists in this session — use CREATE OR REPLACE MACRO")
-    macroReg.put(key, DuckMacro(name, parsed.map(_._1),
+    reg.put(key, DuckMacro(name, parsed.map(_._1),
       parsed.collect { case (p, Some(d)) => p.toLowerCase -> d }.toMap, body, isTable))
     name
   }
@@ -2376,8 +2416,7 @@ object GraftSqlParser {
     * 10 with a guided error. Zero-cost when the session has no macros.
     */
   def expandMacros(spark: org.apache.spark.sql.SparkSession, sql: String): String = {
-    val uuid = sessionKey(spark)
-    if (!macroReg.keysIterator.exists(_._1 == uuid)) return sql
+    val reg = macrosIfAny(spark).getOrElse(return sql)
     val CallRe = raw"(?i)(?<![\w.`])([A-Za-z_]\w*)\s*\(".r
     var cur = sql
     var depth = 0
@@ -2392,7 +2431,7 @@ object GraftSqlParser {
       val sb = new StringBuilder
       var pos = 0
       CallRe.findAllMatchIn(masked).foreach { mm =>
-        if (mm.start >= pos) macroReg.get((uuid, mm.group(1).toLowerCase)).foreach { mac =>
+        if (mm.start >= pos) reg.get(mm.group(1).toLowerCase).foreach { mac =>
           closeOf(masked, mm.end).foreach { close =>
             val argsRaw = cur.substring(mm.end, close - 1)
             val argsMasked = masked.substring(mm.end, close - 1)
@@ -2648,20 +2687,30 @@ object GraftSqlParser {
           .option("delimiter", spec.delimiter).csv(spec.path)
       }
     } else {
-      val tmp = Files.createTempDirectory("graft_copy").toString + "/out"
-      val w = pinned.coalesce(1).write.mode("overwrite")
-      spec.format match {
-        case "parquet" => w.parquet(tmp)
-        case "json" => w.json(tmp)
-        case _ => w.option("header", spec.header.toString)
-          .option("delimiter", spec.delimiter).csv(tmp)
+      val tmpRoot = Files.createTempDirectory("graft_copy")
+      try {
+        val tmp = tmpRoot.toString + "/out"
+        val w = pinned.coalesce(1).write.mode("overwrite")
+        spec.format match {
+          case "parquet" => w.parquet(tmp)
+          case "json" => w.json(tmp)
+          case _ => w.option("header", spec.header.toString)
+            .option("delimiter", spec.delimiter).csv(tmp)
+        }
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+          .getOrElse(throw new IllegalStateException(s"no part file written under $tmp"))
+        val target = Paths.get(spec.path)
+        Option(target.getParent).foreach(Files.createDirectories(_))
+        Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+      } finally {
+        // the moved part file is all that survives — _SUCCESS/.crc and
+        // the temp dir itself would otherwise accumulate per COPY (r9
+        // review)
+        import scala.jdk.CollectionConverters._
+        Files.walk(tmpRoot).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
       }
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
-        .getOrElse(throw new IllegalStateException(s"no part file written under $tmp"))
-      val target = Paths.get(spec.path)
-      Option(target.getParent).foreach(Files.createDirectories(_))
-      Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("Count",

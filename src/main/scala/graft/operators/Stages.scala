@@ -34,17 +34,21 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // ...; SELECT ...` through the verbatim passthrough): CREATE MACRO
     // statements register into the session macro registry and leave the
     // pipeline state untouched (DDL returns no relation); every other
-    // statement runs as its own stage over the previous result — the
-    // stage's output is the LAST statement's, DuckDB's batch rule.
+    // statement runs as its own stage over the ORIGINAL stage input —
+    // `df` names the stage input in EVERY statement (DuckDB's view of
+    // the batch: the `df` relation doesn't mutate between statements;
+    // share intermediate results via CREATE TEMP TABLE AS instead) —
+    // and the stage's output is the LAST such statement's result,
+    // DuckDB's last-statement rule.
     val stmts = GraftSqlParser.splitStatements(code)
     if (stmts.lengthCompare(1) > 0) {
-      var cur = df
+      var out = df
       stmts.foreach { st =>
         if (GraftSqlParser.isCreateMacroStatement(st))
           GraftSqlParser.registerMacro(spark, st)
-        else cur = SqlStage(name, st).apply(spark, cur)
+        else out = SqlStage(name, st).apply(spark, df)
       }
-      return cur
+      return out
     }
     if (GraftSqlParser.isCreateMacroStatement(code)) {
       GraftSqlParser.registerMacro(spark, code)
@@ -606,9 +610,12 @@ object MixStage {
   *    floor/flags are dropped; `minLineWords`/`minLines` tune it.
   *
   * `flags: true` keeps every row and appends the per-rule boolean
-  * columns instead of filtering (audit mode). Both methods are
-  * row-local single passes — the YAML surface adds zero cost over the
-  * raw operators.
+  * columns instead of filtering (audit mode). Audit columns are
+  * PREFIXED with the method (`gopher_keep`, `c4_keep`, `rep_keep`, …)
+  * so they can never silently collide with — or drop — a user column
+  * of the same name (r9 review); a prefixed name that STILL collides
+  * fails fast. Both methods are row-local single passes — the YAML
+  * surface adds zero cost over the raw operators.
   *
   * {{{
   * actionConfig: {method: gopher, text: text, minWords: 50}
@@ -620,25 +627,44 @@ final case class CleanStage(name: String, method: String, textCol: String,
                             minStopTypes: Int = 2, minLineWords: Int = 5,
                             minLines: Int = 3,
                             flags: Boolean = false) extends Stage {
+
+  /** Audit mode: append the rule struct's fields (minus `exclude`) as
+    * `<prefix>_<field>` columns — a pure rename, still one row-local
+    * projection. Fails fast if a prefixed name collides with an input
+    * column (the unprefixed form silently dropped the user's column).
+    */
+  private def appendFlags(df: DataFrame, rule: Column, prefix: String,
+                          exclude: Set[String]): DataFrame = {
+    val tmp = "__graft_flags"
+    val withS = df.withColumn(tmp, rule)
+    val fields = withS.schema(tmp).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq.filterNot(exclude)
+    val renamed = fields.map(f => f -> s"${prefix}_$f")
+    val clash = renamed.map(_._2).intersect(df.columns.toSeq)
+    if (clash.nonEmpty) throw new IllegalArgumentException(
+      s"clean stage '$name': audit column(s) ${clash.mkString(", ")} collide " +
+        "with input columns — rename the input columns or run without flags")
+    withS.select(col("*") +: renamed.map { case (f, o) => col(s"$tmp.$f").as(o) }: _*)
+      .drop(tmp)
+  }
+
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "gopher" =>
       val g = graft.functions.TextFunctions.gopherRules(
         col(textCol), minWords, maxWords, minStopTypes)
-      if (flags) df.withColumn("__graft_g", g)
-        .select(col("*"), col("__graft_g.*")).drop("__graft_g", "n_words")
+      if (flags) appendFlags(df, g, "gopher", Set("n_words"))
       else df.filter(g.getField("keep"))
     case "c4" =>
       val c = graft.functions.TextFunctions.c4Clean(col(textCol), minLineWords, minLines)
-      if (flags) df.withColumn("__graft_c", c)
-        .select(col("*"), col("__graft_c.*")).drop("__graft_c", "clean_text")
+      if (flags) appendFlags(df, c, "c4", Set("clean_text"))
       else df.withColumn("__graft_c", c)
         .filter(col("__graft_c.keep"))
         .withColumn(textCol, col("__graft_c.clean_text"))
         .drop("__graft_c")
     case "repetition" =>
       val r = graft.functions.TextFunctions.repetitionProfile(col(textCol))
-      if (flags) df.withColumn("__graft_r", r)
-        .select(col("*"), col("__graft_r.*")).drop("__graft_r")
+      if (flags) appendFlags(df, r, "rep", Set.empty)
       else df.filter(r.getField("keep"))
     case other => throw new IllegalArgumentException(
       s"clean stage '$name': unknown method '$other' (gopher | c4 | repetition)")

@@ -737,6 +737,55 @@ class DialectSpec extends SparkSpec {
     }
   }
 
+  test("maskQuotes blanks SQL comments: ';' inside -- or /* */ never splits a batch") {
+    // r9 review: splitStatements only masked quoted strings, so a ';'
+    // inside a comment split the batch mid-comment into garbage
+    val lineSql = "SELECT 1 AS a -- trailing; not a split; really\nFROM df;\nSELECT 2 AS b FROM df"
+    assert(GraftSqlParser.splitStatements(lineSql).size == 2)
+    val blockSql = "SELECT /* c1; c2; */ 1 AS a FROM df; SELECT /* tail */ 2 AS b FROM df"
+    val stmts = GraftSqlParser.splitStatements(blockSql)
+    assert(stmts.size == 2 && stmts.head.contains("/* c1; c2; */"))
+    // markers inside string literals stay literal text, quotes inside
+    // comments are not quotes — the two states shadow each other
+    assert(GraftSqlParser.splitStatements(
+      "SELECT '--;' AS a FROM df; SELECT 2 AS b FROM df").size == 2)
+    assert(GraftSqlParser.splitStatements(
+      "SELECT 1 -- it's fine; honest\n, 2 FROM df").size == 1)
+    val masked = GraftSqlParser.maskQuotes("a 'x;y' -- c;\n/* d;'e */ b")
+    assert(!masked.substring(masked.indexOf("a") + 1).takeWhile(_ != 'b').contains(';'))
+    assert(masked.length == "a 'x;y' -- c;\n/* d;'e */ b".length) // positions preserved
+    // end-to-end: a commented batch runs, comments intact per statement
+    val df = spark.range(1, 4).toDF("id")
+    val out = SqlStage("s",
+      """-- header comment; with a semicolon
+        |SELECT COUNT(*) AS n FROM df; /* between; statements */
+        |SELECT SUM(id) AS s -- sum; of ids
+        |FROM df""".stripMargin).apply(spark, df).collect()
+    assert(out.head.getLong(0) == 6L)
+  }
+
+  test("batch statements all see the STAGE INPUT as df, last result wins") {
+    // r9 review: chaining rebound `df` to each prior statement's output,
+    // so `COPY ...; SELECT * FROM df` saw the COPY Count relation —
+    // DuckDB batch semantics keep `df` naming the stage input throughout
+    val df = spark.range(1, 11).toDF("id")
+    val dir = Files.createTempDirectory("graft-batchsem").toString
+    val out = SqlStage("s",
+      s"""COPY (SELECT id FROM df WHERE id <= 3) TO '$dir/c.csv' (FORMAT CSV, HEADER);
+          SELECT COUNT(*) AS n FROM df""").apply(spark, df).collect()
+    assert(out.head.getLong(0) == 10L) // the input, NOT the Count relation
+    // an intermediate SELECT does not mutate what df names either
+    val out2 = SqlStage("s",
+      """SELECT id FROM df WHERE id = 1;
+         SELECT MAX(id) AS m FROM df""").apply(spark, df).collect()
+    assert(out2.head.getLong(0) == 10L)
+    // sharing an intermediate result is CREATE TEMP TABLE's job
+    val out3 = SqlStage("s",
+      """CREATE OR REPLACE TEMP TABLE small_batchsem AS SELECT id FROM df WHERE id <= 3;
+         SELECT COUNT(*) AS n FROM small_batchsem""").apply(spark, df).collect()
+    assert(out3.head.getLong(0) == 3L)
+  }
+
   test("dialect rewrites are identity on the repo's whole oracle-SQL corpus") {
     // hand-written DuckDB queries with CTEs, windows, recursive CTEs,
     // integer //, md5 tricks — outside the ASOF JOIN / DISTINCT ON /

@@ -97,8 +97,9 @@ class PipelineSpec extends SparkSpec {
     val expected = docs.filter(graft.functions.TextFunctions.gopherRules(
       col("text"), minWords = 30, minStopTypes = 1).getField("keep")).count()
     assert(out.count() == expected && expected > 0 && expected < docs.count())
-    // audit mode appended the c4 flag columns without dropping rows
-    assert(Seq("n_lines_kept", "has_lorem", "keep").forall(out.columns.contains))
+    // audit mode appended the c4 flag columns without dropping rows —
+    // method-prefixed so they can never shadow a user column (r9 review)
+    assert(Seq("c4_n_lines_kept", "c4_has_lorem", "c4_keep").forall(out.columns.contains))
     // filtering c4 mode replaces the text with the rebuilt page
     val c4 = Pipeline.runYaml(spark,
       s"""

@@ -720,6 +720,52 @@ class UtilOpsSpec extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("qualityBucketsApprox: windowless scale twin agrees with exact away from cuts") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("score"))
+    val exact = graft.functions.Mix.qualityBuckets(
+      docs, col("lang"), col("score"), col("doc_id"))
+    val approx = graft.functions.Mix.qualityBucketsApprox(
+      docs, col("lang"), col("score"))
+    // the point of the op: ZERO window/sort in the physical plan — one
+    // scan, one percentile_approx aggregate, one broadcast join back
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "approx path must not window")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      "cut-point table must broadcast")
+    // ≈-equal bucket counts per stratum (GK rank error only)
+    val nByLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.groupBy("lang", "bucket").count().collect().foreach { r =>
+      val n = nByLang(r.getString(0))
+      assert(math.abs(r.getLong(2) - n / 3.0) <= math.max(2, n * 0.05),
+        s"${r.getString(0)} bucket ${r.getInt(1)}: ${r.getLong(2)} of $n")
+    }
+    // row-level agreement with the exact ntile away from the cut
+    // points: disagreements are rare, only ever one bucket apart, and
+    // sit exactly at a boundary score (a score value that the exact
+    // form splits across two buckets, or the sketch's rank-error zone)
+    val joined = exact.select(col("doc_id"), col("lang"),
+        col("score"), col("bucket").as("be"))
+      .join(approx.select(col("doc_id").as("d2"), col("bucket").as("ba")),
+        col("doc_id") === col("d2"))
+    val n = joined.count()
+    val dis = joined.filter(col("be") =!= col("ba"))
+    assert(dis.count() <= math.max(2, n * 0.05), s"${dis.count()} of $n disagree")
+    assert(dis.filter(abs(col("be") - col("ba")) > 1).count() == 0,
+      "disagreements must be adjacent-bucket only")
+    // within each (lang, score) the approx bucket is CONSTANT (a pure
+    // function of the broadcast cuts), and across scores monotone
+    val viol = approx.groupBy("lang", "score")
+      .agg(countDistinct(col("bucket")).as("k")).filter(col("k") > 1)
+    assert(viol.count() == 0, "same (stratum, score) must map to one bucket")
+    // n = 2 and a skew-free single-stratum frame also bucket sanely
+    val two = graft.functions.Mix.qualityBucketsApprox(
+      docs, lit(1), col("score"), n = 2)
+    assert(two.select("bucket").distinct().collect().map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
   test("scriptProfile: counts per script, dominant label across all branches") {
     import org.apache.spark.sql.functions._
     val cases = Seq(
