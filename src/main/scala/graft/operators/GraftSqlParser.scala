@@ -1726,11 +1726,16 @@ object GraftSqlParser {
     *   factor := NOT factor | ( expr ) | pred
     *   pred := s [NOT] [I]LIKE 'pat' | s [NOT] SIMILAR TO 'rx'
     *         | s [NOT] IN ('a', ...) | s = 'lit' | s <> 'lit' | s != 'lit'
-    *         | n cmp NUM | NUM cmp n
+    *         | n cmp n
     *   s    := v | lower(s) | upper(s)          -- name transforms (r9)
-    *   n    := len(s) | length(s) | strlen(s)   -- name length (r9)
+    *   n    := n (+|-) n | n (*|/|//|%) n | - n | ( n ) | NUM
+    *         | len(s) | length(s) | strlen(s)   -- arithmetic (r10)
     *   cmp  := = | <> | != | < | <= | > | >=
     * }}}
+    * Numeric arithmetic follows DuckDB's rules (`/` double division,
+    * `//` floor division, `%` modulo; usual precedence, unary minus),
+    * so `c -> len(c) % 2 = 0` or `c -> len(c) * 2 >= 10 + 4` match the
+    * columns DuckDB matches.
     * LIKE is a full match with %/_ wildcards; SIMILAR TO a full regex
     * (both as elsewhere in the dialect layer). The lambda variable is a
     * column NAME (VARCHAR) in DuckDB, so `len(c)` is the name's length
@@ -1771,7 +1776,11 @@ object GraftSqlParser {
         while (i < body.length && body.charAt(i).isDigit) i += 1
         toks += Num(body.substring(j0, i).toLong)
       } else if (c == '(' || c == ')' || c == ',') { toks += Sym(c.toString); i += 1 }
-      else if ((c == '!' || c == '<') && i + 1 < body.length &&
+      else if (c == '/' && i + 1 < body.length && body.charAt(i + 1) == '/') {
+        toks += Sym("//"); i += 2
+      } else if (c == '+' || c == '-' || c == '*' || c == '/' || c == '%') {
+        toks += Sym(c.toString); i += 1
+      } else if ((c == '!' || c == '<') && i + 1 < body.length &&
         (body.substring(i, i + 2) == "!=" || body.substring(i, i + 2) == "<>")) {
         toks += Sym("<>"); i += 2
       } else if ((c == '<' || c == '>') && i + 1 < body.length &&
@@ -1819,8 +1828,24 @@ object GraftSqlParser {
         else Some(c => inner(c).toUpperCase)
       case _ => None
     }
-    // n := len(s) | length(s) | strlen(s) — the NAME's length
-    def parseNumExpr(): Option[String => Long] = peek match {
+    // numeric expressions over the NAME (r10 — VERDICT r9 #5's
+    // arithmetic-on-the-variable forms): full + - * / // % arithmetic
+    // with DuckDB's numeric rules (`/` is double division, `//` floor
+    // division, `%` modulo), atoms are integer literals, unary minus,
+    // parenthesized sub-expressions, and len/length/strlen of a string
+    // expression. Values are doubles internally — the only name-derived
+    // number is a small length, well inside exact double range.
+    def parseNumAtom(): Option[String => Double] = peek match {
+      case Some(Num(k)) => p += 1; Some(_ => k.toDouble)
+      case Some(Sym("-")) =>
+        p += 1
+        parseNumAtom().map(f => (c: String) => -f(c))
+      case Some(Sym("(")) =>
+        p += 1
+        val e = parseNumAdd().getOrElse(return None)
+        if (!peek.contains(Sym(")"))) return None
+        p += 1
+        Some(e)
       case Some(Word(w)) if Seq("len", "length", "strlen").exists(w.equalsIgnoreCase) =>
         p += 1
         if (!peek.contains(Sym("("))) return None
@@ -1828,11 +1853,43 @@ object GraftSqlParser {
         val inner = parseStrExpr().getOrElse(return None)
         if (!peek.contains(Sym(")"))) return None
         p += 1
-        Some(c => inner(c).length.toLong)
+        Some(c => inner(c).length.toDouble)
       case _ => None
     }
+    def parseNumMul(): Option[String => Double] = {
+      var left = parseNumAtom().getOrElse(return None)
+      var scanning = true
+      while (scanning) peek match {
+        case Some(Sym(op @ ("*" | "/" | "//" | "%"))) =>
+          p += 1
+          val r = parseNumAtom().getOrElse(return None)
+          val l = left
+          left = op match {
+            case "*" => c => l(c) * r(c)
+            case "/" => c => l(c) / r(c)
+            case "//" => c => math.floor(l(c) / r(c))
+            case _ => c => l(c) % r(c)
+          }
+        case _ => scanning = false
+      }
+      Some(left)
+    }
+    def parseNumAdd(): Option[String => Double] = {
+      var left = parseNumMul().getOrElse(return None)
+      var scanning = true
+      while (scanning) peek match {
+        case Some(Sym(op @ ("+" | "-"))) =>
+          p += 1
+          val r = parseNumMul().getOrElse(return None)
+          val l = left
+          left = if (op == "+") (c: String) => l(c) + r(c)
+                 else (c: String) => l(c) - r(c)
+        case _ => scanning = false
+      }
+      Some(left)
+    }
     val cmpOps = Set("=", "<>", "<", "<=", ">", ">=")
-    def cmp(op: String, a: Long, b: Long): Boolean = op match {
+    def cmp(op: String, a: Double, b: Double): Boolean = op match {
       case "=" => a == b
       case "<>" => a != b
       case "<" => a < b
@@ -1840,26 +1897,14 @@ object GraftSqlParser {
       case ">" => a > b
       case ">=" => a >= b
     }
-    def parseNumPred(): Option[String => Boolean] = peek match {
-      // NUM cmp n
-      case Some(Num(k)) =>
-        p += 1
-        val op = peek match {
-          case Some(Sym(s)) if cmpOps(s) => p += 1; s
-          case _ => return None
-        }
-        parseNumExpr().map(n => (c: String) => cmp(op, k, n(c)))
-      // n cmp NUM
-      case _ =>
-        val n = parseNumExpr().getOrElse(return None)
-        val op = peek match {
-          case Some(Sym(s)) if cmpOps(s) => p += 1; s
-          case _ => return None
-        }
-        peek match {
-          case Some(Num(k)) => p += 1; Some((c: String) => cmp(op, n(c), k))
-          case _ => None
-        }
+    // nexpr cmp nexpr — arithmetic allowed on BOTH sides
+    def parseNumPred(): Option[String => Boolean] = {
+      val l = parseNumAdd().getOrElse(return None)
+      val op = peek match {
+        case Some(Sym(s)) if cmpOps(s) => p += 1; s
+        case _ => return None
+      }
+      parseNumAdd().map(r => (c: String) => cmp(op, l(c), r(c)))
     }
     def parsePred(): Option[String => Boolean] = {
       attempt(() => parseNumPred()).foreach(f => return Some(f))
@@ -2513,16 +2558,71 @@ object GraftSqlParser {
   private val ReadFnRe =
     raw"(?i)(?<![\w.])(read_csv_auto|read_csv|read_parquet|read_json_auto|read_json)\s*\(".r
 
+  /** Map a DuckDB column type name (read_csv `columns={'a':'INTEGER'}`)
+    * to the Spark DDL type for an explicit reader schema. Unknown names
+    * raise a guided error rather than silently reading strings.
+    */
+  private def duckTypeToSpark(t: String): String = t.trim.toUpperCase match {
+    case "VARCHAR" | "TEXT" | "STRING" | "CHAR" | "BPCHAR" => "STRING"
+    case "INTEGER" | "INT" | "INT4" | "SIGNED" => "INT"
+    case "BIGINT" | "INT8" | "LONG" => "BIGINT"
+    case "SMALLINT" | "INT2" | "SHORT" => "SMALLINT"
+    case "TINYINT" | "INT1" => "TINYINT"
+    case "UBIGINT" | "HUGEINT" => "DECIMAL(38,0)"
+    case "DOUBLE" | "FLOAT8" => "DOUBLE"
+    case "FLOAT" | "REAL" | "FLOAT4" => "FLOAT"
+    case "BOOLEAN" | "BOOL" | "LOGICAL" => "BOOLEAN"
+    case "DATE" => "DATE"
+    case "TIMESTAMP" | "DATETIME" => "TIMESTAMP"
+    case "BLOB" | "BYTEA" | "BINARY" => "BINARY"
+    case d if d.startsWith("DECIMAL") || d.startsWith("NUMERIC") =>
+      d.replace("NUMERIC", "DECIMAL")
+    case other => throw new graft.functions.expressions.DuckDialectException(
+      s"read_csv columns type '$other' has no Spark mapping " +
+        "- use VARCHAR/INTEGER/BIGINT/DOUBLE/FLOAT/BOOLEAN/DATE/TIMESTAMP/DECIMAL(p,s)")
+  }
+
+  /** Split read-fn arguments on top-level commas, tracking () AND {}/[]
+    * (the `columns={'a':'T','b':'U'}` struct literal carries commas
+    * that [[splitTopLevel]]'s paren-only depth would split on).
+    */
+  private def splitReadArgs(raw: String, masked: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var d = 0
+    var last = 0
+    var k = 0
+    while (k < masked.length) {
+      masked.charAt(k) match {
+        case '(' | '{' | '[' => d += 1
+        case ')' | '}' | ']' => d -= 1
+        case ',' if d == 0 => out += raw.substring(last, k); last = k + 1
+        case _ =>
+      }
+      k += 1
+    }
+    out += raw.substring(last)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Rewrite DuckDB's `read_csv_auto('p') / read_csv / read_parquet /
     * read_json_auto / read_json` TABLE functions (FROM-position file
     * readers, previously guided errors) into session temp views backed
-    * by the matching Spark reader — csv with header+schema inference
+    * by the matching Spark reader - csv with header+schema inference
     * (read_csv_auto's contract), parquet, json lines.
-    * Only the single-string-literal form rewrites; option-bearing calls
-    * (delim=..., columns=...) keep a guided error naming the pipeline
-    * `input` route. Spark handles glob paths (`*.parquet` under a dir)
-    * natively. View names are content-addressed by reader+path and
-    * registered idempotently — repeated stages cost one registration.
+    *
+    * read_csv/read_csv_auto OPTION arguments (r10; previously a guided
+    * error) map onto the Spark csv reader: `delim`/`sep` -> delimiter,
+    * `header` -> header, `columns = {'name': 'TYPE', ...}` -> an
+    * explicit DDL schema (inference off - DuckDB's contract: columns IS
+    * the schema), `names = ['a', ...]` -> renamed inferred columns,
+    * plus pass-throughs `quote`, `escape`, `nullstr` -> nullValue,
+    * `skip` -> skipLines, `compression`, `dateformat` /
+    * `timestampformat`. Unsupported option keys keep a guided error
+    * naming the pipeline `input` route - never a silent misread. Spark
+    * handles glob paths (`*.parquet` under a dir) natively. View names
+    * are content-addressed by reader+path+options so two
+    * differently-optioned reads of one path in a statement get distinct
+    * views; always re-registered (see below).
     */
   def rewriteReadFns(spark: org.apache.spark.sql.SparkSession, sql: String): String = {
     val masked = maskQuotes(sql)
@@ -2531,20 +2631,93 @@ object GraftSqlParser {
     ReadFnRe.findAllMatchIn(masked).foreach { mm =>
       if (mm.start >= pos) closeOf(masked, mm.end).foreach { close =>
         val fn = mm.group(1).toLowerCase
-        val argRaw = sql.substring(mm.end, close - 1).trim
-        // exactly one string literal: 'path' (with '' escapes)
-        if (!(argRaw.length >= 2 && argRaw.head == '\'' && argRaw.last == '\'' &&
-          !maskQuotes(argRaw).drop(1).dropRight(1).contains('\'')))
+        def fail(why: String): Nothing =
           throw new graft.functions.expressions.DuckDialectException(
-            s"$fn with options isn't supported in sql stages — only $fn('path'); " +
-              "declare the file as a pipeline `input` (reference O1) for " +
-              "delimiter/column options, or read it with the Dataset API")
-        val path = argRaw.substring(1, argRaw.length - 1).replace("''", "'")
+            s"$fn $why - supported: $fn('path' [, delim/sep, header, columns, " +
+              "names, quote, escape, nullstr, skip, compression, dateformat, " +
+              "timestampformat]); declare the file as a pipeline `input` " +
+              "(reference O1) for anything else, or read it with the Dataset API")
+        val argsRaw = sql.substring(mm.end, close - 1)
+        val args = splitReadArgs(argsRaw, masked.substring(mm.end, close - 1))
+        if (args.isEmpty) fail("needs a path argument")
+        def strLit(s: String): Option[String] = {
+          val t = s.trim
+          if (t.length >= 2 && t.head == '\'' && t.last == '\'' &&
+            !maskQuotes(t).drop(1).dropRight(1).contains('\''))
+            Some(t.substring(1, t.length - 1).replace("''", "'"))
+          else None
+        }
+        val path = strLit(args.head).getOrElse(fail("path must be a string literal"))
+        val OptRe = raw"(?s)^([A-Za-z_]\w*)\s*(?::?=)\s*(.+)$$".r
+        val opts = args.tail.map { a =>
+          OptRe.findFirstMatchIn(a) match {
+            case Some(om) => om.group(1).toLowerCase -> om.group(2).trim
+            case None => fail(s"option '$a' isn't name=value")
+          }
+        }
+        if (opts.nonEmpty && fn != "read_csv" && fn != "read_csv_auto")
+          fail("options are only supported on read_csv/read_csv_auto")
+        def boolOf(v: String): String = v.trim.toLowerCase match {
+          case "true" | "1" => "true"
+          case "false" | "0" => "false"
+          case other => fail(s"expected true/false, got '$other'")
+        }
+        var schemaDdl: Option[String] = None
+        var names: Seq[String] = Nil
+        var readerOpts = Map("header" -> "true", "inferSchema" -> "true")
+        opts.foreach { case (k, v) =>
+          k match {
+            case "delim" | "sep" | "delimiter" =>
+              readerOpts += "delimiter" -> strLit(v).getOrElse(fail(s"$k needs a string"))
+            case "header" => readerOpts += "header" -> boolOf(v)
+            case "quote" =>
+              readerOpts += "quote" -> strLit(v).getOrElse(fail("quote needs a string"))
+            case "escape" =>
+              readerOpts += "escape" -> strLit(v).getOrElse(fail("escape needs a string"))
+            case "nullstr" =>
+              readerOpts += "nullValue" -> strLit(v).getOrElse(fail("nullstr needs a string"))
+            case "skip" => readerOpts += "skipLines" -> v.trim
+            case "compression" =>
+              readerOpts += "compression" -> strLit(v).getOrElse(fail("compression needs a string"))
+            case "dateformat" | "date_format" =>
+              readerOpts += "dateFormat" -> strLit(v).getOrElse(fail(s"$k needs a string"))
+            case "timestampformat" | "timestamp_format" =>
+              readerOpts += "timestampFormat" -> strLit(v).getOrElse(fail(s"$k needs a string"))
+            case "columns" =>
+              val body = v.trim
+              if (!(body.startsWith("{") && body.endsWith("}")))
+                fail("columns needs a {'name': 'TYPE', ...} struct")
+              val inner = body.substring(1, body.length - 1)
+              val pairs = splitReadArgs(inner, maskQuotes(inner)).map { p =>
+                val kv = p.split(":", 2)
+                if (kv.length != 2) fail(s"columns entry '$p' isn't 'name': 'TYPE'")
+                val cn = strLit(kv(0)).getOrElse(fail(s"columns name '${kv(0)}' must be a string"))
+                val ct = strLit(kv(1)).getOrElse(fail(s"columns type '${kv(1)}' must be a string"))
+                s"`$cn` ${duckTypeToSpark(ct)}"
+              }
+              if (pairs.isEmpty) fail("columns struct is empty")
+              schemaDdl = Some(pairs.mkString(", "))
+            case "names" | "column_names" =>
+              val body = v.trim
+              if (!(body.startsWith("[") && body.endsWith("]")))
+                fail(s"$k needs a ['a', 'b', ...] list")
+              val innerN = body.substring(1, body.length - 1)
+              names = splitReadArgs(innerN, maskQuotes(innerN))
+                .map(s => strLit(s).getOrElse(fail(s"$k entry '$s' must be a string")))
+            case "auto_detect" => boolOf(v) // inference is Spark's default; accept
+            case other => fail(s"option '$other' isn't supported")
+          }
+        }
+        // DuckDB: an explicit columns= IS the schema - no inference, and
+        // the header flag only decides whether line 1 is skipped
+        if (schemaDdl.isDefined) readerOpts -= "inferSchema"
+        val optKey = readerOpts.toSeq.sorted.mkString(",") +
+          schemaDdl.getOrElse("") + names.mkString(",")
         val view = "graft_rf_" + java.security.MessageDigest.getInstance("MD5")
-          .digest((fn + " " + path).getBytes("UTF-8"))
+          .digest((fn + " " + path + " " + optKey).getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16)
         // ALWAYS re-register: a cached view would pin the schema/file
-        // listing from the FIRST read of this path — a COPY-overwrite
+        // listing from the FIRST read of this path - a COPY-overwrite
         // then re-read (the round-trip workflow this feature exists
         // for) must see the file's CURRENT contents (review r9). The
         // re-registration costs a footer read (parquet) or one
@@ -2552,8 +2725,18 @@ object GraftSqlParser {
         val rdf = fn match {
           case "read_parquet" => spark.read.parquet(path)
           case "read_json_auto" | "read_json" => spark.read.json(path)
-          case _ => spark.read.option("header", "true")
-            .option("inferSchema", "true").csv(path)
+          case _ =>
+            val base = spark.read.options(readerOpts)
+            val read = schemaDdl.fold(base)(d => base.schema(d)).csv(path)
+            if (names.nonEmpty) {
+              if (names.length != read.columns.length)
+                fail(s"names has ${names.length} entries but the file has " +
+                  s"${read.columns.length} columns")
+              read.toDF(names: _*)
+            } else if (readerOpts("header") == "false" && schemaDdl.isEmpty)
+              // DuckDB names headerless columns column0.. (Spark: _c0..)
+              read.toDF(read.columns.indices.map(i => s"column$i"): _*)
+            else read
         }
         rdf.createOrReplaceTempView(view)
         sb.append(sql.substring(pos, mm.start)).append(view)
@@ -2795,6 +2978,51 @@ object GraftSqlParser {
     * `CREATE MACRO ...; SELECT ...` batches through the reference's
     * verbatim passthrough (filefilter.py:340-342).
     */
+  private val slf = org.slf4j.LoggerFactory.getLogger("graft.sql")
+
+  /** Pre-exec cost heuristic for `WITH RECURSIVE` (VERDICT r9 #3):
+    * Spark executes linear recursion natively but pays ONE JOB PER
+    * LEVEL (UnionLoop's iterative model — depth × driver floor, ~0.1 s
+    * per level at local[32]), so deep or unbounded recursion that
+    * DuckDB would grind through in-process becomes a driver-bound loop.
+    * Returns a guided warning when the statement carries recursion with
+    * NO visible level bound (no `n < K`-style comparison literal and no
+    * LIMIT — the transitive-closure / reachability shape) or with every
+    * visible bound above 100 levels. A heuristic by design: the bound
+    * literal is identified textually, so a bounded recursion whose
+    * bound lives in a variable still warns — the warning names the
+    * scale operators, it never blocks execution.
+    */
+  def deepRecursionWarning(sql: String): Option[String] = {
+    val masked = maskQuotes(sql)
+    if (raw"(?i)\bWITH\s+RECURSIVE\b".r.findFirstIn(masked).isEmpty) return None
+    val cmp = raw"[<>]=?\s*(\d+)".r.findAllMatchIn(masked).map(_.group(1).toLong) ++
+      raw"(\d+)\s*[<>]=?".r.findAllMatchIn(masked).map(_.group(1).toLong) ++
+      raw"(?i)\bLIMIT\s+(\d+)".r.findAllMatchIn(masked).map(_.group(1).toLong)
+    val bounds = cmp.toSeq
+    val diag =
+      if (bounds.isEmpty)
+        Some("no visible level bound (reachability/transitive-closure shape)")
+      else if (bounds.min > 100)
+        Some(s"its smallest visible bound is ${bounds.min} levels")
+      else None
+    diag.map { why =>
+      s"WITH RECURSIVE runs one Spark job per recursion level — $why, so this " +
+        "statement may be driver-bound at depth (cost ≈ depth × job floor). For " +
+        "transitive closure / reachability use graft.functions.Dedup" +
+        ".connectedComponents (path doubling, O(log diameter) rounds); for a " +
+        "known shallow depth, bound the recursion (WHERE lvl < K / LIMIT) or " +
+        "unroll with UNION ALL."
+    }
+  }
+
+  /** Log [[deepRecursionWarning]] if it applies; returns it for tests. */
+  def warnDeepRecursion(sql: String): Option[String] = {
+    val w = deepRecursionWarning(sql)
+    w.foreach(slf.warn)
+    w
+  }
+
   def splitStatements(sql: String): Seq[String] = {
     val masked = maskQuotes(sql)
     val out = Seq.newBuilder[String]

@@ -176,6 +176,9 @@ final case class SqlStage(name: String, code: String) extends Stage {
         GraftSqlParser.rewriteReplace(stmt, df.columns.toSeq), df.columns.toSeq))
     graft.functions.expressions.DuckDialect.rejectSilentTraps(
       GraftSqlParser.maskQuotes(rewritten))
+    // deep/unbounded WITH RECURSIVE: warn about the one-job-per-level
+    // cost model and name the iterative operators — never blocks
+    GraftSqlParser.warnDeepRecursion(rewritten)
     try GraftSqlParser.withDialectHint(code)(spark.sql(rewritten))
     catch {
       case e: org.apache.spark.sql.AnalysisException =>

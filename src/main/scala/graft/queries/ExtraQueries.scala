@@ -458,7 +458,7 @@ object ExtraQueries {
     */
   private[graft] val columnsSqlText =
     "SELECT l_returnflag, max(COLUMNS(c -> (c LIKE 'l_q%' OR c = 'l_extendedprice') " +
-      "AND len(lower(c)) >= 10)) * 2 " +
+      "AND len(lower(c)) * 2 - 5 >= 5 + 10)) * 2 " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
 
   def q113ColumnsSql(s: SparkSession, d: String): DataFrame = {
@@ -589,21 +589,24 @@ object ExtraQueries {
   /** DuckDB file-I/O through the passthrough — identical multi-statement
     * text on both engines: `COPY (query) TO` writes ONE csv file at the
     * exact path (graft: coalesced part renamed over it; DuckDB:
-    * natively), then `read_csv_auto` reads it back (graft: the r9
-    * table-function rewrite to a session temp view; DuckDB: natively) —
-    * the whole write→read round-trip is what hash-matches, so the
-    * writer's quoting/header and the reader's inference are BOTH under
-    * test. Each engine overwrites the shared /tmp path before reading,
+    * natively) with an EXPLICIT non-default delimiter, then the
+    * OPTION-BEARING `read_csv(…, delim = '|', header = true)` reads it
+    * back (graft: the r10 option-aware table-function rewrite — named
+    * args map onto the Spark csv reader; DuckDB: natively) — the whole
+    * write→read round-trip is what hash-matches, so the writer's
+    * quoting/delimiter/header and the reader's option handling and
+    * inference are ALL under test. Each engine overwrites the shared /tmp path before reading,
     * so each compares its own round-trip (DuckDB overwrites files in
     * place, same as executeCopy). BIGINT casts pin the inferred int
     * width on both sides.
     */
   private[graft] val copySqlText = """
       COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation)
-        TO '/tmp/graft_q124_roundtrip.csv' (FORMAT CSV, HEADER);
+        TO '/tmp/graft_q124_roundtrip.csv' (FORMAT CSV, HEADER, DELIMITER '|');
       SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
              CAST(n_regionkey AS BIGINT) AS rk
-      FROM read_csv_auto('/tmp/graft_q124_roundtrip.csv') ORDER BY k"""
+      FROM read_csv('/tmp/graft_q124_roundtrip.csv', delim = '|', header = true)
+      ORDER BY k"""
 
   def q124CopyRoundtrip(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)

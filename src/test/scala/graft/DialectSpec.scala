@@ -534,6 +534,24 @@ class DialectSpec extends SparkSpec {
       == Seq("n_a", "n_b", "tag"))
     assert(colsOf("SELECT COLUMNS(c -> len(lower(c)) <> 2) FROM df")
       == Seq("n_a", "n_b", "tag"))
+    // arithmetic-on-the-variable lambdas (r10, VERDICT r9 #5): full
+    // + - * / // % with DuckDB's numeric rules, both comparison sides
+    // df columns: id(2) n_a(3) n_b(3) tag(3)
+    assert(colsOf("SELECT COLUMNS(c -> len(c) % 2 = 1) FROM df")
+      == Seq("n_a", "n_b", "tag"))
+    assert(colsOf("SELECT COLUMNS(c -> len(c) * 2 - 1 >= 2 + 3) FROM df")
+      == Seq("n_a", "n_b", "tag"))
+    assert(colsOf("SELECT COLUMNS(c -> len(c) + 1 = 3) FROM df") == Seq("id"))
+    // `/` is DOUBLE division (3/2 = 1.5, never matches = 1); `//` floors
+    assert(colsOf("SELECT COLUMNS(c -> len(c) // 2 = 1 AND c LIKE '%a%') FROM df")
+      == Seq("n_a", "tag"))
+    val eDiv = intercept[DuckDialectException](SqlStage("s",
+      "SELECT COLUMNS(c -> len(c) / 2 = 1 AND len(c) <> 2) FROM df").apply(spark, df))
+    assert(eDiv.getMessage.contains("matches no column"))
+    assert(colsOf("SELECT COLUMNS(c -> len(c) / 2 = 1) FROM df") == Seq("id"))
+    // unary minus and parenthesized numeric subexpressions
+    assert(colsOf("SELECT COLUMNS(c -> -len(c) < (0 - 2)) FROM df")
+      == Seq("n_a", "n_b", "tag"))
     // unsupported name functions stay guided errors
     val eLam = intercept[DuckDialectException](SqlStage("s",
       "SELECT COLUMNS(c -> substring(c, 1, 2) = 'n_') FROM df").apply(spark, df))
@@ -640,6 +658,36 @@ class DialectSpec extends SparkSpec {
     // shapes, pointing at the iterative operator
     val hint = DuckDialect.hintFor("WITH RECURSIVE x AS (whatever)")
     assert(hint.exists(_.contains("connectedComponents")))
+  }
+
+  test("deep-recursion cost warning: unbounded or >100-level shapes warn, shallow don't") {
+    import graft.queries.ExtraQueries
+    def warn(sql: String) = GraftSqlParser.deepRecursionWarning(sql)
+    // q117's gate shape (n < 6) and the depth-25 suite shape stay quiet
+    assert(warn(ExtraQueries.recursiveSqlText).isEmpty)
+    assert(warn("WITH RECURSIVE t AS (SELECT 0 AS n UNION ALL SELECT n + 1 " +
+      "FROM t WHERE n < 24) SELECT SUM(n) FROM t").isEmpty)
+    // a LIMIT bound also counts as a bound
+    assert(warn("WITH RECURSIVE t AS (SELECT 0 AS n UNION ALL " +
+      "SELECT n + 1 FROM t) SELECT n FROM t LIMIT 50").isEmpty)
+    // no visible bound: the reachability/transitive-closure shape warns,
+    // naming the iterative scale operator — and still RUNS
+    val closure = """WITH RECURSIVE r AS (
+      SELECT src, dst FROM df UNION ALL
+      SELECT r.src, e.dst FROM r JOIN df e ON r.dst = e.src)
+      SELECT COUNT(*) AS n FROM r"""
+    assert(warn(closure).exists(_.contains("connectedComponents")))
+    import spark.implicits._
+    val df = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(SqlStage("s", closure).apply(spark, df).collect().head.getLong(0) == 3L)
+    // every visible bound above ~100 levels warns with the bound named
+    assert(warn("WITH RECURSIVE t AS (SELECT 0 AS n UNION ALL SELECT n + 1 " +
+      "FROM t WHERE n < 5000) SELECT n FROM t").exists(_.contains("5000")))
+    // bound literals inside string literals are invisible (masked)
+    assert(warn("WITH RECURSIVE t AS (SELECT 'x < 5' AS s UNION ALL " +
+      "SELECT s FROM t) SELECT s FROM t").isDefined)
+    // non-recursive statements never warn
+    assert(warn("SELECT 1 WHERE 2 > 1").isEmpty)
   }
 
   test("CREATE MACRO: guided error names the Spark 4 SQL UDF path") {
@@ -1329,13 +1377,63 @@ class DialectSpec extends SparkSpec {
       s"SELECT COUNT(*) AS n FROM read_parquet('$dir/bypar')")
       .apply(spark, df).collect()
     assert(rtpart.head.getLong(0) == 5L)
-    // guided errors: unsupported option, COPY FROM, option-bearing read_*
+    // guided errors: unsupported COPY option, unsupported read_* option
+    // (delim/header/columns are SUPPORTED since r10 — tested below)
     val e1 = intercept[DuckDialectException](SqlStage("s",
       s"COPY (SELECT id FROM df) TO '$dir/x.csv' (USE_TMP_FILE true)").apply(spark, df))
     assert(e1.getMessage.contains("USE_TMP_FILE"))
     val e2 = intercept[DuckDialectException](SqlStage("s",
-      s"SELECT * FROM read_csv_auto('$dir/three.csv', delim = ';')").apply(spark, df))
-    assert(e2.getMessage.contains("input"))
+      s"SELECT * FROM read_csv_auto('$dir/three.csv', sample_size = 100)").apply(spark, df))
+    assert(e2.getMessage.contains("sample_size") && e2.getMessage.contains("input"))
+  }
+
+  test("read_csv options: delim/header/columns/names map onto the Spark reader") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1, 6).toDF("id").withColumn("v", col("id") * 10)
+    val dir = Files.createTempDirectory("graft-readopts").toString
+    // write a |-delimited file with header via COPY, read it back with
+    // the matching delim option — the q124 gate shape
+    SqlStage("s",
+      s"COPY (SELECT id, v FROM df) TO '$dir/p.csv' (FORMAT CSV, HEADER, DELIMITER '|')")
+      .apply(spark, df)
+    val rt = SqlStage("s",
+      s"SELECT * FROM read_csv('$dir/p.csv', delim = '|', header = true) ORDER BY id")
+      .apply(spark, df).collect()
+    assert(rt.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      (1 to 5).map(i => (i, i * 10)))
+    // headerless + columns= pins the schema with DuckDB type names —
+    // no inference pass, exact Spark types, DuckDB's contract
+    SqlStage("s",
+      s"COPY (SELECT id, v FROM df) TO '$dir/nh.csv' (FORMAT CSV, DELIMITER ';', HEADER false)")
+      .apply(spark, df)
+    val typed = SqlStage("s",
+      s"""SELECT * FROM read_csv('$dir/nh.csv', sep = ';', header = false,
+            columns = {'a': 'BIGINT', 'b': 'VARCHAR'}) ORDER BY a""")
+      .apply(spark, df)
+    assert(typed.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq("a" -> "bigint", "b" -> "string"))
+    assert(typed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      (1L to 5L).map(i => (i, (i * 10).toString)))
+    // headerless WITHOUT columns: DuckDB's column0.. names, not _c0
+    val anon = SqlStage("s",
+      s"SELECT * FROM read_csv('$dir/nh.csv', sep = ';', header = false) LIMIT 1")
+      .apply(spark, df)
+    assert(anon.columns.toSeq == Seq("column0", "column1"))
+    // names= renames in order; := binding also accepted
+    val named = SqlStage("s",
+      s"""SELECT n, w FROM read_csv('$dir/nh.csv', sep := ';', header := false,
+            names = ['n', 'w']) ORDER BY n""").apply(spark, df)
+    assert(named.columns.toSeq == Seq("n", "w") && named.count() == 5)
+    // guided errors: unknown type name, names-length mismatch, non-csv options
+    val et = intercept[DuckDialectException](SqlStage("s",
+      s"SELECT * FROM read_csv('$dir/nh.csv', columns = {'a': 'UUIDLIST'})").apply(spark, df))
+    assert(et.getMessage.contains("UUIDLIST"))
+    val en = intercept[DuckDialectException](SqlStage("s",
+      s"SELECT * FROM read_csv('$dir/nh.csv', sep = ';', names = ['only_one'])").apply(spark, df))
+    assert(en.getMessage.contains("names has 1"))
+    val ep = intercept[DuckDialectException](SqlStage("s",
+      s"SELECT * FROM read_parquet('$dir/p.csv', delim = '|')").apply(spark, df))
+    assert(ep.getMessage.contains("only supported on read_csv"))
   }
 
   test("database-file statements raise guided errors naming the graft routes") {
