@@ -599,13 +599,32 @@ object VectorFunctions {
     centroids
   }
 
-  def buildIvf(candidates: DataFrame, nlist: Int = Auto, refine: Int = 0): IvfIndex = {
+  /** `trainFraction` < 1 trains the quantizer on a deterministic
+    * hash-sample of the corpus (seed selection AND every Lloyd pass run
+    * over the sample), then assigns the FULL corpus once — the standard
+    * sampled-training trade (FAISS's train-on-a-sample default): the
+    * refine-pass cost drops from refine·N·nlist to refine·fN·nlist
+    * flops while the one mandatory full-corpus pass (the posting-list
+    * assignment every probe needs) is unchanged, and k-means centroids
+    * estimated on a uniform sample converge to the same density modes,
+    * so recall holds (DedupSpec pins the clustered-corpus recall floor
+    * at the full build's). The sample is a pure xxhash64(vec_id)
+    * function — replayable, no RNG state.
+    */
+  def buildIvf(candidates: DataFrame, nlist: Int = Auto, refine: Int = 0,
+               trainFraction: Double = 1.0): IvfIndex = {
+    require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0, 1]")
     GraftFunctions.register(candidates.sparkSession)
     val nl = if (nlist == Auto) autoNlist(candidates.count()) else nlist
+    val train =
+      if (trainFraction >= 1.0) candidates
+      else candidates.filter(
+        pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+          math.round(trainFraction * 1000000L))
     // Deterministic pseudo-random centroid sample: nlist lowest
     // xxhash64(vec_id) — TakeOrderedAndProject, no full sort.
     val seeds =
-      candidates.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      train.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
         .orderBy(xxhash64(col("cent_id")), col("cent_id")).limit(nl)
     // nlist rows: materialize as a LocalRelation so the final
     // assignment and every probe's centroid ranking read local rows —
@@ -613,7 +632,7 @@ object VectorFunctions {
     // downstream consumers re-planning checkpoint scans (one extra job
     // each, r9 JobCount); collecting in cent_id order means the
     // consumers' own orderBy(cent_id).collect() re-sorts identically.
-    val refined = lloydRefine(candidates, seeds, refine)
+    val refined = lloydRefine(train, seeds, refine)
     val centRows = refined.orderBy(col("cent_id")).collect()
     val cents = candidates.sparkSession.createDataFrame(
       java.util.Arrays.asList(centRows: _*), refined.schema)

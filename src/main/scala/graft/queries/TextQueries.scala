@@ -733,7 +733,64 @@ object TextQueries {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** The `rest` stage INSIDE the correctness gate (VERDICT r9 #6 — the
+    * q125 engine-in-gate pattern applied to O14): a stub HTTP server in
+    * this JVM answers `GET /score/<doc_id>` deterministically — 404
+    * when doc_id ≡ 0 (mod 7), else a 200 whose body is the literal
+    * integer `doc_id * 3 + 1` — and the engine runs a YAML pipeline of
+    * derive (bound the call count) → rest (enrich, drop non-2xx) → sql
+    * (aggregate the appended response column). DuckDB replays the whole
+    * thing in closed form, so O14's ROW-COUNT semantics (drop on
+    * non-2xx — the thing the oracle's count checks) AND the appended
+    * body's content are both oracle-anchored, not just suite-asserted.
+    * The aggregate is collected and re-wrapped so the server can stop
+    * before the DataFrame leaves this function.
+    */
+  def q131RestPipeline(s: SparkSession, d: String): DataFrame = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/score/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val id = ex.getRequestURI.getPath.stripPrefix("/score/").toLong
+        if (id % 7 == 0) ex.sendResponseHeaders(404, -1)
+        else {
+          val bytes = String.valueOf(id * 3 + 1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+      r => { val t = new Thread(r, "graft-q131-stub"); t.setDaemon(true); t })
+    server.setExecutor(pool)
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val yaml =
+        s"""
+           |filters:
+           |  - name: bound
+           |    actionType: derive
+           |    actionConfig: {filter: "doc_id < 2000"}
+           |  - name: enrich
+           |    actionType: rest
+           |    filterThreads: 8
+           |    actionConfig: {host: "http://localhost:$port", path: "/score/{doc_id}"}
+           |  - name: agg
+           |    actionType: sql
+           |    code: "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(CAST(response AS BIGINT)) AS BIGINT) AS total FROM df GROUP BY lang ORDER BY lang"
+           |""".stripMargin
+      val out = graft.operators.Pipeline
+        .runYaml(s, yaml, s"$d/documents.parquet", None).output
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally { server.stop(0); pool.shutdownNow() }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_rest_pipeline"  -> (q131RestPipeline _),
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
     "q123_c4_clean"       -> (q123C4Clean _),
@@ -803,6 +860,17 @@ object TextQueries {
 
   val sql: Map[String, String] = Map(
     "q36_simhash" -> simhashOracle,
+
+    // Closed-form DuckDB replay of the rest-stage pipeline: the stub
+    // server 404s doc_id ≡ 0 (mod 7) (→ the stage DROPS the row, O14's
+    // row-count semantics) and answers doc_id*3+1 for the rest — both
+    // are pure functions of doc_id, so the oracle needs no HTTP at all
+    "q131_rest_pipeline" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(doc_id * 3 + 1) AS BIGINT) AS total
+      FROM documents
+      WHERE doc_id < 2000 AND doc_id % 7 <> 0
+      GROUP BY lang ORDER BY lang""",
 
     // DuckDB replay of the repetition profile: list-function dup
     // counts, window argmax for the top bigram ((cnt, len) DESC, gram

@@ -214,6 +214,20 @@ class DedupSpec extends SparkSpec {
     assert(recall == 1.0, s"clustered IVF recall=$recall")
     // results are exact cosines of real pairs: every hit is in brute's id space
     assert(ivf.forall { case (a, b) => a != b })
+    // sampled-build (r10): training the quantizer on a hash-half of the
+    // corpus must hold the full build's recall floor in IVF's design
+    // regime — same clusters found from the sample, full corpus
+    // assigned once (the refine-pass cost is what the sample cuts)
+    val sampledIdx = VectorFunctions.buildIvf(df, nlist = 16, refine = 1,
+      trainFraction = 0.5)
+    val sampled = VectorFunctions.ivfProbe(q, sampledIdx, k = 5, nprobe = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sRecall = (sampled intersect brute).size.toDouble / brute.size
+    assert(sRecall >= recall, s"sampled-build recall=$sRecall < full=$recall")
+    // the sample really is a strict subset of the corpus
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
+    val trainN = df.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < 500000L).count()
+    assert(trainN > 0 && trainN < df.count())
   }
 
   test("IVF index builds once and serves multiple query sets (amortization split)") {

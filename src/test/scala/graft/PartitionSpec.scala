@@ -94,6 +94,41 @@ class PartitionSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("writeSorted read side: a selective sort-key filter SKIPS data (scan metrics)") {
+    import org.apache.spark.sql.functions._
+    // the complementary half of the disjoint-ranges proof above: the
+    // pruning the layout EXISTS for actually fires at read time — the
+    // scan's own metrics show it read a bounded slice, not the table
+    val dir = java.nio.file.Files.createTempDirectory("graft-sortread").toString + "/orders"
+    graft.sources.Sources.writeSorted(
+      Tables.orders(spark, sf), dir, Seq("o_orderkey"), files = 8)
+    val total = spark.read.parquet(dir).count()
+    val keys = spark.read.parquet(dir).agg(
+      min(col("o_orderkey")), max(col("o_orderkey"))).collect().head
+    val mid = (keys.getLong(0) + keys.getLong(1)) / 2
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.read.parquet(dir)
+        .filter(col("o_orderkey").between(mid, mid + 10))
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      // the range predicate reached the parquet scan...
+      assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual"),
+        scan.metadata("PushedFilters"))
+      // ...and footer stats pruned row groups: the scan OUTPUT a small
+      // slice of the table (disjoint per-file ranges → the 10-key range
+      // lives in ~1 of 8 files; an unsorted layout outputs ~everything
+      // because every row group spans the whole key range)
+      val scanned = scan.metrics("numOutputRows").value
+      assert(scanned <= total / 4,
+        s"scan output $scanned of $total rows — footer pruning didn't fire")
+      assert(scanned > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("scalar UDF registry: spark.udf.register usable from sql stages") {
     spark.udf.register("luhn_ish", (s: String) => s.length % 10)
     val df = graft.operators.SqlStage("t", "SELECT luhn_ish('12345') AS x")
