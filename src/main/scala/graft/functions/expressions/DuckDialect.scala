@@ -556,7 +556,7 @@ object DuckDialect {
     raw":=".r ->
       "named-argument syntax (a := 1) isn't Spark SQL — struct_pack(a := 1) becomes named_struct('a', 1)",
     raw"(?i)\[\s*[\w.]+\s+for\s+\w+\s+in\b".r ->
-      "list comprehensions aren't Spark SQL — use transform(list, x -> expr) and filter(list, x -> pred)",
+      "this list-comprehension shape couldn't be rewritten — [expr FOR x IN list [IF cond]] auto-rewrites to list_transform/list_filter (r10); for anything fancier use transform(list, x -> expr) and filter(list, x -> pred) directly",
     raw"->>".r ->
       "the ->> JSON operator isn't Spark SQL — use get_json_object(col, '$.path') or from_json with a schema",
     raw"(?i)(?<![\w.])\d+\s*//\s*\d+".r ->

@@ -42,7 +42,90 @@ object GraftSqlParser {
   def rewriteAll(sql: String): String =
     rewriteSample(rewriteQualify(rewriteDistinctOn(rewriteStructPack(
       rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(
-        rewriteFromFirst(sql)))))))))
+        rewriteComprehension(rewriteFromFirst(sql))))))))))
+
+  /** Rewrite DuckDB list comprehensions (r10 — previously a guided
+    * error): `[expr FOR v IN list]` → `list_transform(list, v -> expr)`
+    * and `[expr FOR v IN list IF cond]` →
+    * `list_transform(list_filter(list, v -> cond), v -> expr)` —
+    * DuckDB's own desugaring (filter first, then transform), expressed
+    * in the list_* aliases the dialect layer already maps to Spark's
+    * codegen'd higher-order functions. Pieces are rewritten recursively
+    * so nested comprehensions and comprehensions inside the source list
+    * compose; scanning is masked-text (brackets in strings are inert)
+    * and the FOR/IN/IF keywords must sit at TOP level of the bracket
+    * body (a nested `[... FOR ...]` inside a plain list literal doesn't
+    * claim the outer bracket). Plain list literals `[1, 2]`, indexing
+    * `l[i]` and slices `l[a:b]` never match — no top-level FOR.
+    */
+  def rewriteComprehension(sql: String): String = {
+    val masked = maskQuotes(sql)
+    // find the FIRST '[' whose body carries a top-level FOR
+    var i = 0
+    while (i < masked.length) {
+      if (masked.charAt(i) == '[') {
+        // matching ']' by bracket depth ('(' depth tracked so a bracket
+        // inside a nested call still counts — both are balanced)
+        var j = i + 1
+        var depth = 1
+        while (j < masked.length && depth > 0) {
+          masked.charAt(j) match {
+            case '[' => depth += 1
+            case ']' => depth -= 1
+            case _ =>
+          }
+          if (depth > 0) j += 1
+        }
+        if (depth == 0) {
+          val body = masked.substring(i + 1, j)
+          // top-level keyword positions inside the body
+          def topLevel(re: scala.util.matching.Regex): List[Int] =
+            re.findAllMatchIn(body).filter { m =>
+              val pre = body.substring(0, m.start)
+              pre.count(_ == '(') == pre.count(_ == ')') &&
+                pre.count(_ == '[') == pre.count(_ == ']')
+            }.map(_.start).toList
+          topLevel(raw"(?i)\bFOR\b".r) match {
+            case forPos :: _ =>
+              val exprRaw = sql.substring(i + 1, i + 1 + forPos).trim
+              val afterFor = body.substring(forPos + 3)
+              val inM = raw"(?is)^\s*([A-Za-z_]\w*)\s+IN\b".r
+                .findFirstMatchIn(afterFor).getOrElse(
+                  throw new graft.functions.expressions.DuckDialectException(
+                    "list comprehension couldn't be parsed — expected " +
+                      "[expr FOR var IN list [IF cond]]"))
+              val v = inM.group(1)
+              val restStart = forPos + 3 + inM.end
+              val rest = body.substring(restStart) // masked
+              val restRaw = sql.substring(i + 1 + restStart, j)
+              val ifPos = raw"(?i)\bIF\b".r.findAllMatchIn(rest).find { m =>
+                val pre = rest.substring(0, m.start)
+                pre.count(_ == '(') == pre.count(_ == ')') &&
+                  pre.count(_ == '[') == pre.count(_ == ']')
+              }.map(_.start)
+              val (listRaw, condRaw) = ifPos match {
+                case Some(pos) =>
+                  (restRaw.substring(0, pos).trim, Some(restRaw.substring(pos + 2).trim))
+                case None => (restRaw.trim, None)
+              }
+              val expr = rewriteComprehension(exprRaw)
+              val lst = rewriteComprehension(listRaw)
+              val src = condRaw match {
+                case Some(c) =>
+                  s"list_filter($lst, $v -> ${rewriteComprehension(c)})"
+                case None => lst
+              }
+              val replacement = s"list_transform($src, $v -> $expr)"
+              return rewriteComprehension(
+                sql.substring(0, i) + replacement + sql.substring(j + 1))
+            case Nil =>
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
 
   private val ClauseKwRe =
     raw"(?i)\b(WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT)\b".r

@@ -632,6 +632,28 @@ object ExtraQueries {
     s.sql(graft.operators.GraftSqlParser.rewriteAll(fromFirstSqlText))
   }
 
+  /** DuckDB list comprehensions through the passthrough — IDENTICAL
+    * text on both engines (the q118 slicing pattern): `[expr FOR w IN
+    * list IF cond]` auto-rewrites to `list_transform(list_filter(...))`
+    * ([[graft.operators.GraftSqlParser.rewriteComprehension]], DuckDB's
+    * own desugaring order — filter first), DuckDB executes the
+    * comprehension natively. COALESCE pins the empty-list sum (DuckDB:
+    * NULL) and BIGINT casts pin the widths.
+    */
+  private[graft] val comprehensionSqlText = """
+      SELECT doc_id,
+             CAST(COALESCE(list_sum([length(w) FOR w IN string_split(text, ' ')
+                                     IF length(w) >= 4]), 0) AS BIGINT) AS long_chars,
+             CAST(len([upper(w) FOR w IN string_split(text, ' ')
+                       IF w LIKE 't%']) AS BIGINT) AS n_t_words
+      FROM documents ORDER BY doc_id"""
+
+  def q133Comprehension(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    documents(s, d).createOrReplaceTempView("documents")
+    s.sql(graft.operators.GraftSqlParser.rewriteAll(comprehensionSqlText))
+  }
+
   /** Sorted-layout sink round-trip ([[graft.sources.Sources
     * .writeSorted]]): range-partition documents by (lang, doc_id), sort
     * within partitions, write parquet, read BACK and aggregate — the
@@ -655,6 +677,7 @@ object ExtraQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_columns_sql"    -> (q113ColumnsSql _),
+    "q133_comprehension"  -> (q133Comprehension _),
     "q120_macro_sql"      -> (q120MacroSql _),
     "q121_describe_sql"   -> (q121DescribeSql _),
     "q124_copy_roundtrip" -> (q124CopyRoundtrip _),
@@ -704,6 +727,8 @@ object ExtraQueries {
     "q113_columns_sql" -> columnsSqlText,
     "q117_recursive_sql" -> recursiveSqlText,
     "q118_slice_sql" -> sliceSqlText,
+    // q133: DuckDB executes the IDENTICAL comprehension text natively
+    "q133_comprehension" -> comprehensionSqlText,
     "q119_argmax_sql" -> argmaxSqlText,
     // q120: DuckDB executes the IDENTICAL multi-statement batch —
     // CREATE MACROs then the SELECT; the driver's duckdb.sql() returns

@@ -733,6 +733,44 @@ object TextQueries {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** The windowless 100 TB bucket path ([[graft.functions.Mix
+    * .qualityBucketsApprox]]) audited IN the gate against the exact
+    * ntile (the q77/q41 audit pattern): DuckDB recomputes the exact
+    * side bit-exact — row count and the Σ bucket·rarity checksum over
+    * the exact assignment — while the Spark-only agreement booleans
+    * (disagreement fraction ≤ 5%, disagreements adjacent-bucket only,
+    * per-stratum approx bucket counts balanced, and the PLAN itself
+    * window-free) are pinned TRUE sentinels. A broken approx path
+    * (wrong cuts, wrong CASE direction, a window sneaking back in)
+    * flips a boolean and fails the hash.
+    */
+  def q132BucketsApproxAudit(s: SparkSession, d: String): DataFrame = {
+    val scores = TF.corpusFrequencyScores(documents(s, d), "doc_id", "text")
+      .join(documents(s, d).select(col("doc_id").as("doc"), col("lang")), "doc")
+    val exact = graft.functions.Mix.qualityBuckets(
+        scores, col("lang"), col("rarity"), col("doc"))
+      .select(col("doc"), col("lang"), col("rarity"), col("bucket").as("be"))
+    val approx = graft.functions.Mix.qualityBucketsApprox(
+      scores, col("lang"), col("rarity"))
+    val windowless = !approx.queryExecution.executedPlan.toString.contains("Window")
+    val j = exact.join(
+      approx.select(col("doc").as("doc2"), col("bucket").as("ba")),
+      col("doc") === col("doc2"))
+    val byBucket = j.groupBy(col("lang"), col("ba")).agg(count(lit(1)).as("nb"))
+    val byLang = j.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val balanceViolations = byBucket.join(byLang, "lang")
+      .filter(abs(col("nb") - col("nl") / 3.0) >
+        greatest(lit(2.0), col("nl") * 0.05)).count()
+    j.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("be") * col("rarity")).cast("long").as("exact_checksum"),
+      (sum(when(col("be") =!= col("ba"), 1L).otherwise(0L)) <=
+        greatest(lit(2).cast("double"), count(lit(1)) * 0.05)).as("disagree_ok"),
+      (max(abs(col("be") - col("ba"))) <= 1).as("adjacent_ok"))
+      .withColumn("balance_ok", lit(balanceViolations == 0))
+      .withColumn("windowless", lit(windowless))
+  }
+
   /** The `rest` stage INSIDE the correctness gate (VERDICT r9 #6 — the
     * q125 engine-in-gate pattern applied to O14): a stub HTTP server in
     * this JVM answers `GET /score/<doc_id>` deterministically — 404
@@ -791,6 +829,7 @@ object TextQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_rest_pipeline"  -> (q131RestPipeline _),
+    "q132_buckets_approx" -> (q132BucketsApproxAudit _),
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
     "q123_c4_clean"       -> (q123C4Clean _),
@@ -871,6 +910,26 @@ object TextQueries {
       FROM documents
       WHERE doc_id < 2000 AND doc_id % 7 <> 0
       GROUP BY lang ORDER BY lang""",
+
+    // DuckDB recomputes the EXACT bucket side of the approx audit
+    // bit-exact (q130's ntile replay + a bucket-weighted checksum);
+    // the Spark-only agreement/plan booleans are pinned TRUE sentinels
+    // (the q77 audit convention)
+    "q132_buckets_approx" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      c AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+      r AS (SELECT doc_id, CAST(SUM(1000000 // cnt) AS BIGINT) AS rarity
+            FROM tok JOIN c USING (t) GROUP BY doc_id),
+      b AS (SELECT d.lang, r.rarity,
+              ntile(3) OVER (PARTITION BY d.lang
+                             ORDER BY r.rarity, r.doc_id) AS bucket
+            FROM r JOIN documents d USING (doc_id))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(bucket * rarity) AS BIGINT) AS exact_checksum,
+             TRUE AS disagree_ok, TRUE AS adjacent_ok,
+             TRUE AS balance_ok, TRUE AS windowless
+      FROM b""",
 
     // DuckDB replay of the repetition profile: list-function dup
     // counts, window argmax for the top bigram ((cnt, len) DESC, gram

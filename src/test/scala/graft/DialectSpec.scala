@@ -160,7 +160,10 @@ class DialectSpec extends SparkSpec {
       .contains("no inequality"))
     // USING SAMPLE with a method spec is NOT silently approximated
     assert(hintOf("SELECT * FROM df USING SAMPLE reservoir(10%)").contains("TABLESAMPLE"))
-    assert(hintOf("SELECT [x for x in ids] FROM df").contains("transform("))
+    // list comprehensions left the guided-error list (auto-rewritten
+    // since r10, own test below); a malformed shape still raises a
+    // comprehension-naming error
+    assert(hintOf("SELECT [x for 1 in ids] FROM df").contains("comprehension"))
     assert(hintOf("SELECT j->>'a' FROM df").contains("get_json_object"))
     assert(hintOf("SELECT 5 ** 2 FROM df").contains("power"))
     // := outside struct_pack still raises the named-argument hint
@@ -660,6 +663,43 @@ class DialectSpec extends SparkSpec {
     assert(hint.exists(_.contains("connectedComponents")))
   }
 
+  test("list comprehensions rewrite to list_transform/list_filter (DuckDB desugaring)") {
+    val df = spark.range(1).toDF("id")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // plain transform (list_value is the engine-portable list literal —
+    // bare [1,2,3] literals stay the documented guided error)
+    assert(one("SELECT [x * 2 FOR x IN list_value(1, 2, 3)] AS r FROM df")
+      .getSeq[Int](0) == Seq(2, 4, 6))
+    // IF filters FIRST, then transforms — DuckDB's order
+    assert(one("SELECT [x * 10 FOR x IN list_value(1, 2, 3, 4) IF x % 2 = 0] AS r FROM df")
+      .getSeq[Int](0) == Seq(20, 40))
+    // nested comprehension in the source list; string bodies
+    assert(one("SELECT [y + 1 FOR y IN [x * 2 FOR x IN list_value(1, 2)]] AS r FROM df")
+      .getSeq[Int](0) == Seq(3, 5))
+    assert(one("SELECT [upper(s) FOR s IN list_value('a', 'bc') IF length(s) = 1] AS r FROM df")
+      .getSeq[String](0) == Seq("A"))
+    // composes with the slice rewrite (comprehension output sliced)
+    assert(one("SELECT [x FOR x IN list_value(1, 2, 3, 4)][2:3] AS r FROM df")
+      .getSeq[Int](0) == Seq(2, 3))
+    // comprehension over a column, inside an aggregate-bearing query
+    val docs = spark.range(1, 4).selectExpr("id", "array(id, id * 2, id * 3) AS xs")
+    docs.createOrReplaceTempView("cdocs")
+    val agg = SqlStage("s",
+      "SELECT CAST(SUM(list_sum([x * x FOR x IN xs IF x > 1])) AS BIGINT) AS s FROM cdocs")
+      .apply(spark, docs).collect().head
+    // id=1: xs=[1,2,3] → [4,9]=13; id=2: [2,4,6] → 4+16+36=56; id=3: [3,6,9] → 9+36+81=126
+    assert(agg.getLong(0) == 195L)
+    // brackets in string literals are inert; plain literals/index/slice untouched
+    assert(GraftSqlParser.rewriteComprehension("SELECT '[x FOR x IN y]' AS s") ==
+      "SELECT '[x FOR x IN y]' AS s")
+    assert(GraftSqlParser.rewriteComprehension("SELECT l[1], l[1:2], [1, 2] FROM t") ==
+      "SELECT l[1], l[1:2], [1, 2] FROM t")
+    // mangled comprehension raises a guided error, not a misparse
+    val e = intercept[DuckDialectException](
+      GraftSqlParser.rewriteComprehension("SELECT [x FOR 1 IN y] FROM t"))
+    assert(e.getMessage.contains("comprehension"))
+  }
+
   test("deep-recursion cost warning: unbounded or >100-level shapes warn, shallow don't") {
     import graft.queries.ExtraQueries
     def warn(sql: String) = GraftSqlParser.deepRecursionWarning(sql)
@@ -841,7 +881,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|^\s*FROM\b".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|^\s*FROM\b".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
       else // the ASOF rewrite output must itself be stable
