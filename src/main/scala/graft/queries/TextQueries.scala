@@ -745,8 +745,12 @@ object TextQueries {
     * flips a boolean and fails the hash.
     */
   def q132BucketsApproxAudit(s: SparkSession, d: String): DataFrame = {
+    // the rarity scoring (two token shuffles) feeds the exact side, the
+    // approx side AND the audit joins — pin it once instead of paying
+    // the lineage per consumer (the audit runs 3 actions)
     val scores = TF.corpusFrequencyScores(documents(s, d), "doc_id", "text")
       .join(documents(s, d).select(col("doc_id").as("doc"), col("lang")), "doc")
+      .localCheckpoint()
     val exact = graft.functions.Mix.qualityBuckets(
         scores, col("lang"), col("rarity"), col("doc"))
       .select(col("doc"), col("lang"), col("rarity"), col("bucket").as("be"))
@@ -786,6 +790,11 @@ object TextQueries {
     */
   def q131RestPipeline(s: SparkSession, d: String): DataFrame = {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // TCP_NODELAY on the stub's sockets: without it the tiny two-write
+    // responses (headers, then body) hit Nagle + delayed-ACK and every
+    // keep-alive request stalls ~40 ms — 2000 calls took 10 s instead
+    // of under 1 (measured; the flag is the JDK server's only knob)
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
     server.createContext("/score/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {

@@ -177,6 +177,16 @@ object ScaleProbe {
           graft.functions.Mix.qualityBuckets(
             scores, col("lang"), col("rarity"), col("doc")).count()
         }),
+        // r10: the windowless broadcast-cut-point twin (q132's scale
+        // path) over the same rarity scoring — the slope DELTA vs
+        // q130_quality_buckets is the per-stratum window's cost
+        "q132_buckets_approx" -> (() => {
+          val scores = graft.functions.TextFunctions
+            .corpusFrequencyScores(docs, "doc_id", "text")
+            .join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
+          graft.functions.Mix.qualityBucketsApprox(
+            scores, col("lang"), col("rarity")).count()
+        }),
       )
     }
 
