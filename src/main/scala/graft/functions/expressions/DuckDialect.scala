@@ -57,6 +57,81 @@ case class DuckLen(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** DuckDB `//` division semantics (backs [[graft.operators
+  * .GraftSqlParser.rewriteIntDiv]]), probed on duckdb 1.0.0: when BOTH
+  * inputs are integral, integer division truncating toward zero
+  * (`7 // 2` = 3, `-7 // 2` = −3, result BIGINT); when either side is
+  * fractional (double/float/decimal), plain DOUBLE division
+  * (`7.5 // 2` = 3.75 — DuckDB does NOT floor there). Type dispatch
+  * happens at plan time ([[DuckLen]] pattern); divide-by-zero yields
+  * NULL — probed: DuckDB's `7 // 0` is NULL too, so the paths agree.
+  *
+  */
+case class DuckDiv(left: Expression, right: Expression) extends BinaryExpression {
+  private lazy val integral: Boolean = Seq(left.dataType, right.dataType).forall {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  override def dataType: DataType = if (integral) LongType else DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(left.dataType, right.dataType).forall(_.isInstanceOf[NumericType]))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_ddiv needs numeric inputs, got ${left.dataType} and ${right.dataType}")
+
+  private def toD(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case n: Number => n.doubleValue()
+  }
+  private def toL(v: Any): Long = v.asInstanceOf[Number].longValue()
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    if (integral) {
+      val rl = toL(r)
+      if (rl == 0L) null else toL(l) / rl
+    } else toD(l) / toD(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    def cast(src: Expression, v: String): String = src.dataType match {
+      case _: DecimalType => s"$v.toDouble()"
+      case _ if integral => s"(long)($v)"
+      case _ => s"(double)($v)"
+    }
+    val rTmp = ctx.freshName("ddivR")
+    val divExpr =
+      if (integral)
+        s"long $rTmp = ${cast(right, rg.value)}; " +
+          s"if ($rTmp == 0L) { ${ev.isNull} = true; } " +
+          s"else { ${ev.value} = ${cast(left, lg.value)} / $rTmp; }"
+      else s"${ev.value} = ${cast(left, lg.value)} / ${cast(right, rg.value)};"
+    ev.copy(code = lg.code + rg.code + code"""
+      boolean ${ev.isNull} = true;
+      $jt ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      if (!${lg.isNull} && !${rg.isNull}) {
+        ${ev.isNull} = false;
+        $divExpr
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** DuckDB slice semantics for lists AND strings — 1-based INCLUSIVE
   * `[begin, end]`, begin clamped up to 1 (0 and over-negative indices
   * included), end clamped down to the length, negative index i counting
@@ -405,6 +480,8 @@ object DuckDialect {
     }),
     // --- polymorphic len (string AND list, like DuckDB)
     "len" -> (es => { nArgs("len", es, 1); DuckLen(es(0)) }),
+    // backs the `a // b` rewrite (GraftSqlParser.rewriteIntDiv)
+    "graft_ddiv" -> (es => { nArgs("graft_ddiv", es, 2); DuckDiv(es(0), es(1)) }),
     // --- string predicates
     "starts_with" -> (es => { nArgs("starts_with", es, 2); StartsWith(es(0), es(1)) }),
     "ends_with" -> (es => { nArgs("ends_with", es, 2); EndsWith(es(0), es(1)) }),
@@ -560,9 +637,9 @@ object DuckDialect {
     raw"->>".r ->
       "the ->> JSON operator isn't Spark SQL — use get_json_object(col, '$.path') or from_json with a schema",
     raw"(?i)(?<![\w.])\d+\s*//\s*\d+".r ->
-      "// integer division isn't Spark SQL — use a div b",
+      "this // division shape couldn't be rewritten — a // b auto-rewrites to graft's native DuckDiv (r10: integer truncating division, double division on fractional inputs); write a div b or floor(a / b) directly for anything fancier",
     raw"\*\*".r ->
-      "** exponentiation isn't Spark SQL — use power(a, b) (note: ^ is bitwise XOR in Spark, not exponent)"
+      "this ** exponent shape couldn't be rewritten — a ** b auto-rewrites to power(a, b) (r10); note ^ is bitwise XOR in Spark, not exponent"
   )
 
   /** Enrich a failed `sql`-stage error with the dialect hint, if one of

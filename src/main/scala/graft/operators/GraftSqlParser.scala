@@ -42,7 +42,180 @@ object GraftSqlParser {
   def rewriteAll(sql: String): String =
     rewriteSample(rewriteQualify(rewriteDistinctOn(rewriteStructPack(
       rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(
-        rewriteComprehension(rewriteFromFirst(sql))))))))))
+        rewriteIntDiv(rewritePow(rewriteComprehension(
+          rewriteFromFirst(sql))))))))))))
+
+  /** End (exclusive) of the primary expression starting at/after `from`
+    * in masked text: optional unary +/-, then a literal / (possibly
+    * dotted or backticked) identifier / parenthesized group, plus
+    * adjacent postfix call-parens, subscripts and dot-chains. None when
+    * nothing parseable starts there.
+    */
+  private def primaryEnd(masked: String, from: Int): Option[Int] = {
+    var i = from
+    def ws(): Unit = while (i < masked.length && masked.charAt(i).isWhitespace) i += 1
+    ws()
+    if (i < masked.length && (masked.charAt(i) == '-' || masked.charAt(i) == '+')) {
+      i += 1; ws()
+    }
+    if (i >= masked.length) return None
+    def wordEnd(b: Int): Int = {
+      var k = b
+      while (k < masked.length && { val c = masked.charAt(k)
+        c.isLetterOrDigit || c == '_' || c == '$' }) k += 1
+      k
+    }
+    val c = masked.charAt(i)
+    if (c == '(') i = closeOf(masked, i + 1).getOrElse(return None)
+    else if (c == '\'') {
+      var b = i + 1
+      while (b < masked.length && masked.charAt(b) != '\'') b += 1
+      if (b >= masked.length) return None
+      i = b + 1
+    } else if (c == '`') {
+      var b = i + 1
+      while (b < masked.length && masked.charAt(b) != '`') b += 1
+      if (b >= masked.length) return None
+      i = b + 1
+    } else if (c.isLetterOrDigit || c == '_' || c == '$') {
+      i = wordEnd(i)
+      // decimal / scientific tail of a number literal
+      if (i < masked.length && masked.charAt(i) == '.' &&
+        i + 1 < masked.length && masked.charAt(i + 1).isDigit)
+        i = wordEnd(i + 1)
+    } else return None
+    // postfix chain: adjacent '(' call, '[' subscript, '.' member
+    var scanning = true
+    while (scanning && i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => i = closeOf(masked, i + 1).getOrElse(return None)
+        case '[' =>
+          var d = 1
+          var b = i + 1
+          while (b < masked.length && d > 0) {
+            masked.charAt(b) match {
+              case '[' => d += 1
+              case ']' => d -= 1
+              case _ =>
+            }
+            b += 1
+          }
+          if (d > 0) return None
+          i = b
+        case '.' if i + 1 < masked.length && {
+          val n = masked.charAt(i + 1)
+          n.isLetter || n == '_' || n == '`'
+        } =>
+          if (masked.charAt(i + 1) == '`') {
+            var b = i + 2
+            while (b < masked.length && masked.charAt(b) != '`') b += 1
+            if (b >= masked.length) return None
+            i = b + 1
+          } else i = wordEnd(i + 1)
+        case _ => scanning = false
+      }
+    }
+    Some(i)
+  }
+
+  /** Start of the primary ENDING at `pos` (exclusive), unary +/- sign
+    * included when the sign sits in unary position (start of text, or
+    * after an operator / '(' / ',' / a clause keyword). Builds on
+    * [[sliceBaseStart]]'s backwards primary scan.
+    */
+  private def primaryStartWithSign(masked: String, pos: Int): Option[Int] = {
+    val j = sliceBaseStart(masked, pos).getOrElse(return None)
+    var k = j
+    while (k > 0 && masked.charAt(k - 1).isWhitespace) k -= 1
+    if (k > 0 && (masked.charAt(k - 1) == '-' || masked.charAt(k - 1) == '+')) {
+      var p = k - 1
+      while (p > 0 && masked.charAt(p - 1).isWhitespace) p -= 1
+      val unary = p == 0 || {
+        val prev = masked.charAt(p - 1)
+        "(,*/%+-<>=|&".contains(prev) || {
+          // a word before the sign: unary iff it is a KEYWORD, not an
+          // identifier (SELECT -2 vs a - 2)
+          prev.isLetterOrDigit && {
+            var w = p - 1
+            while (w > 0 && { val x = masked.charAt(w - 1)
+              x.isLetterOrDigit || x == '_' }) w -= 1
+            Set("SELECT", "WHEN", "THEN", "ELSE", "CASE", "AND", "OR",
+              "NOT", "IN", "ON", "BY", "WHERE", "HAVING", "RETURN",
+              "BETWEEN", "LIMIT", "OFFSET", "AS")
+              .contains(masked.substring(w, p).toUpperCase)
+          }
+        }
+      }
+      if (unary) return Some(k - 1)
+    }
+    Some(j)
+  }
+
+  /** DuckDB `**` exponentiation (r10 — previously a guided error):
+    * rewrites each occurrence to Spark's `power(l, r)` (DOUBLE, exactly
+    * DuckDB's `**` result type). Semantics probed on duckdb 1.0.0:
+    * LEFT-associative (`2 ** 3 ** 2` = 64), binds tighter than `*`/`/`
+    * (`3 * 2 ** 2` = 12) and looser than unary minus (`-2 ** 2` = 4 —
+    * the sign is part of the left operand). Leftmost-first rescan gives
+    * the left associativity; operands are single primaries with the
+    * sign attached. An occurrence whose operands can't be claimed
+    * raises a guided error rather than mangling the statement.
+    */
+  def rewritePow(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val m = raw"\*\*".r.findFirstMatchIn(masked).getOrElse(return sql)
+    def fail(): Nothing = throw new graft.functions.expressions.DuckDialectException(
+      "a ** exponent operand couldn't be claimed — write power(a, b) directly " +
+        "(Spark's ^ is bitwise XOR, not exponent)")
+    var lpos = m.start
+    while (lpos > 0 && masked.charAt(lpos - 1).isWhitespace) lpos -= 1
+    val ls = primaryStartWithSign(masked, lpos).getOrElse(fail())
+    val re = primaryEnd(masked, m.end).getOrElse(fail())
+    val l = sql.substring(ls, lpos).trim
+    val r = sql.substring(m.end, re).trim
+    rewritePow(sql.substring(0, ls) + s"power($l, $r)" + sql.substring(re))
+  }
+
+  /** DuckDB `//` division (r10 — previously a guided error): rewrites
+    * each occurrence to the native [[graft.functions.expressions
+    * .DuckDiv]] via `graft_ddiv(l, r)`. Semantics probed on duckdb
+    * 1.0.0: INTEGER inputs → integer division truncating toward zero
+    * (`7 // 2` = 3, `-7 // 2` = −3); any fractional input → plain
+    * double division (`7.5 // 2` = 3.75 — DuckDB's actual behavior,
+    * not a floor). Same precedence tier as `*`/`/`/`%`, left-assoc
+    * (`3 * 5 // 2` = 7 — the LEFT operand is the whole preceding
+    * multiplicative chain; `7 // 2 * 3` = 9 — the right operand is one
+    * primary). Divide-by-zero is NULL on both engines (probed).
+    */
+  def rewriteIntDiv(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val m = raw"//".r.findFirstMatchIn(masked).getOrElse(return sql)
+    def fail(): Nothing = throw new graft.functions.expressions.DuckDialectException(
+      "a // division operand couldn't be claimed — write a div b (integer " +
+        "truncating division) or floor(a / b) directly")
+    var lpos = m.start
+    while (lpos > 0 && masked.charAt(lpos - 1).isWhitespace) lpos -= 1
+    // left operand: the whole preceding multiplicative chain
+    var ls = primaryStartWithSign(masked, lpos).getOrElse(fail())
+    var chaining = true
+    while (chaining) {
+      var k = ls
+      while (k > 0 && masked.charAt(k - 1).isWhitespace) k -= 1
+      if (k > 0 && "*/%".contains(masked.charAt(k - 1)) &&
+        !(k > 1 && masked.charAt(k - 2) == '/')) {
+        var q = k - 1
+        while (q > 0 && masked.charAt(q - 1).isWhitespace) q -= 1
+        primaryStartWithSign(masked, q) match {
+          case Some(s) => ls = s
+          case None => chaining = false
+        }
+      } else chaining = false
+    }
+    val re = primaryEnd(masked, m.end).getOrElse(fail())
+    val l = sql.substring(ls, lpos).trim
+    val r = sql.substring(m.end, re).trim
+    rewriteIntDiv(sql.substring(0, ls) + s"graft_ddiv($l, $r)" + sql.substring(re))
+  }
 
   /** Rewrite DuckDB list comprehensions (r10 — previously a guided
     * error): `[expr FOR v IN list]` → `list_transform(list, v -> expr)`

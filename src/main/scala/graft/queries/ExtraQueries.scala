@@ -654,6 +654,29 @@ object ExtraQueries {
     s.sql(graft.operators.GraftSqlParser.rewriteAll(comprehensionSqlText))
   }
 
+  /** DuckDB `//` and `**` operators through the passthrough — IDENTICAL
+    * text on both engines (the q118/q133 pattern): `a // b` rewrites to
+    * the native [[graft.functions.expressions.DuckDiv]] (integer
+    * truncation / double division, probed semantics), `a ** b` to
+    * `power`; DuckDB runs both natively. The BIGINT casts make the `//`
+    * operands integral on both engines (the hash-exact path), while the
+    * `// 2.5` term exercises the fractional double-division path under
+    * a MAX (order-independent, so the double is bit-stable).
+    */
+  private[graft] val opsSqlText = """
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS BIGINT) // 7) AS BIGINT) AS q7,
+             CAST(SUM(CAST(l_quantity AS BIGINT) % 7) AS BIGINT) AS m7,
+             CAST(MAX(2 ** (CAST(l_quantity AS BIGINT) // 13)) AS DOUBLE) AS p13,
+             CAST(MAX(CAST(l_quantity AS BIGINT) // 2.5) AS DOUBLE) AS f25
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  def q134DivPow(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(graft.operators.GraftSqlParser.rewriteAll(opsSqlText))
+  }
+
   /** Sorted-layout sink round-trip ([[graft.sources.Sources
     * .writeSorted]]): range-partition documents by (lang, doc_id), sort
     * within partitions, write parquet, read BACK and aggregate — the
@@ -678,6 +701,7 @@ object ExtraQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_columns_sql"    -> (q113ColumnsSql _),
     "q133_comprehension"  -> (q133Comprehension _),
+    "q134_div_pow"        -> (q134DivPow _),
     "q120_macro_sql"      -> (q120MacroSql _),
     "q121_describe_sql"   -> (q121DescribeSql _),
     "q124_copy_roundtrip" -> (q124CopyRoundtrip _),
@@ -729,6 +753,8 @@ object ExtraQueries {
     "q118_slice_sql" -> sliceSqlText,
     // q133: DuckDB executes the IDENTICAL comprehension text natively
     "q133_comprehension" -> comprehensionSqlText,
+    // q134: DuckDB executes the IDENTICAL // and ** text natively
+    "q134_div_pow" -> opsSqlText,
     "q119_argmax_sql" -> argmaxSqlText,
     // q120: DuckDB executes the IDENTICAL multi-statement batch —
     // CREATE MACROs then the SELECT; the driver's duckdb.sql() returns

@@ -165,7 +165,9 @@ class DialectSpec extends SparkSpec {
     // comprehension-naming error
     assert(hintOf("SELECT [x for 1 in ids] FROM df").contains("comprehension"))
     assert(hintOf("SELECT j->>'a' FROM df").contains("get_json_object"))
-    assert(hintOf("SELECT 5 ** 2 FROM df").contains("power"))
+    // ** left the guided-error list too (auto-rewritten since r10, own
+    // test above); an operand-less shape still raises the power hint
+    assert(hintOf("SELECT ** 2 FROM df").contains("power"))
     // := outside struct_pack still raises the named-argument hint
     assert(hintOf("SELECT f(a := 1) FROM df").contains("named_struct"))
   }
@@ -700,6 +702,40 @@ class DialectSpec extends SparkSpec {
     assert(e.getMessage.contains("comprehension"))
   }
 
+  test("// and ** operators rewrite with DuckDB's probed semantics") {
+    val df = spark.range(1).toDF("id")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // every value below probed on duckdb 1.0.0 this round
+    // `//`: integer inputs truncate toward zero, BIGINT result
+    assert(one("SELECT 7 // 2 AS r FROM df").getLong(0) == 3L)
+    assert(one("SELECT -7 // 2 AS r FROM df").getLong(0) == -3L)
+    // fractional input → plain DOUBLE division (DuckDB does NOT floor)
+    assert(one("SELECT 7.5 // 2 AS r FROM df").getDouble(0) == 3.75)
+    // same precedence tier as * (left-assoc): 3*5//2 = 7, 7//2*3 = 9
+    assert(one("SELECT 3 * 5 // 2 AS r FROM df").getLong(0) == 7L)
+    assert(one("SELECT 7 // 2 * 3 AS r FROM df").getLong(0) == 9L)
+    assert(one("SELECT 1 + 7 // 2 AS r FROM df").getLong(0) == 4L)
+    // chains, function operands, column operands
+    assert(one("SELECT 100 // 7 // 2 AS r FROM df").getLong(0) == 7L)
+    assert(one("SELECT len('abcdefg') // 2 AS r FROM df").getLong(0) == 3L)
+    assert(one("SELECT (id + 7) // 2 AS r FROM df").getLong(0) == 3L)
+    // divide-by-zero → NULL on both engines (probed)
+    assert(one("SELECT 7 // 0 AS r FROM df").isNullAt(0))
+    // `**`: DOUBLE result, LEFT-assoc (2**3**2 = 64, not 512), tighter
+    // than * (3*2**2 = 12), looser than unary minus (-2**2 = 4)
+    assert(one("SELECT 2 ** 3 AS r FROM df").getDouble(0) == 8.0)
+    assert(one("SELECT 2 ** 3 ** 2 AS r FROM df").getDouble(0) == 64.0)
+    assert(one("SELECT 3 * 2 ** 2 AS r FROM df").getDouble(0) == 12.0)
+    assert(one("SELECT -2 ** 2 AS r FROM df").getDouble(0) == 4.0)
+    assert(one("SELECT 2 ** -1 AS r FROM df").getDouble(0) == 0.5)
+    assert(one("SELECT 3 - 2 ** 2 AS r FROM df").getDouble(0) == -1.0)
+    // operators compose: ** binds tighter than //
+    assert(one("SELECT 100 // 3 ** 2 AS r FROM df").getDouble(0) == 100.0 / 9.0)
+    // strings and comments are inert
+    assert(GraftSqlParser.rewriteIntDiv("SELECT 'a // b' AS s") == "SELECT 'a // b' AS s")
+    assert(GraftSqlParser.rewritePow("SELECT 'a ** b' AS s") == "SELECT 'a ** b' AS s")
+  }
+
   test("deep-recursion cost warning: unbounded or >100-level shapes warn, shallow don't") {
     import graft.queries.ExtraQueries
     def warn(sql: String) = GraftSqlParser.deepRecursionWarning(sql)
@@ -881,7 +917,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|^\s*FROM\b".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
       else // the ASOF rewrite output must itself be stable
