@@ -42,8 +42,78 @@ object GraftSqlParser {
   def rewriteAll(sql: String): String =
     rewriteSample(rewriteQualify(rewriteDistinctOn(rewriteStructPack(
       rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(
-        rewriteIntDiv(rewritePow(rewriteComprehension(
-          rewriteFromFirst(sql))))))))))))
+        rewriteIntDiv(rewritePow(rewriteListLiteral(rewriteComprehension(
+          rewriteFromFirst(sql)))))))))))))
+
+  /** Words that can legally precede a LITERAL-position bracket — i.e.
+    * the bracket after them is a DuckDB list literal, not a subscript
+    * on the word (shared discrimination with [[sliceBaseStart]]).
+    */
+  private val PreLiteralKeywords = Set("SELECT", "WHERE", "WHEN", "THEN",
+    "ELSE", "END", "AND", "OR", "NOT", "IN", "ON", "BY", "AS", "UNION",
+    "ALL", "DISTINCT", "FROM", "HAVING", "LIMIT", "RETURN", "VALUES",
+    "CASE", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "TRUE", "FALSE")
+
+  /** Rewrite DuckDB bare list LITERALS `[e1, e2, …]` (r10 — previously
+    * a guided error) to Spark's `array(e1, e2, …)`. A bracket counts as
+    * a literal only in literal POSITION — at the start of an
+    * expression: after an operator / '(' / ',' / a clause keyword —
+    * never as a subscript or slice on a preceding expression (those
+    * keep [[rewriteSlice]]'s treatment), and only when its body carries
+    * no top-level ':' (a struct-ish shape with no faithful rewrite) and
+    * no FOR (comprehensions rewrite FIRST in the chain). Empty `[]`
+    * becomes `array()`; nesting handles by rescan.
+    */
+  def rewriteListLiteral(sql: String): String = {
+    val masked = maskQuotes(sql)
+    var i = 0
+    while (i < masked.length) {
+      if (masked.charAt(i) == '[') {
+        // literal position?
+        var p = i
+        while (p > 0 && masked.charAt(p - 1).isWhitespace) p -= 1
+        val literalPos =
+          if (p == 0) true
+          else {
+            val c = masked.charAt(p - 1)
+            if (c == ')' || c == ']' || c == '\'' || c == '`' || c == '.') false
+            else if (c.isLetterOrDigit || c == '_' || c == '$') {
+              var w = p - 1
+              while (w > 0 && { val x = masked.charAt(w - 1)
+                x.isLetterOrDigit || x == '_' || x == '$' }) w -= 1
+              PreLiteralKeywords.contains(masked.substring(w, p).toUpperCase)
+            } else true // operator / '(' / ',' / etc.
+          }
+        if (literalPos) {
+          // matching ']' by bracket depth
+          var j = i + 1
+          var depth = 1
+          while (j < masked.length && depth > 0) {
+            masked.charAt(j) match {
+              case '[' => depth += 1
+              case ']' => depth -= 1
+              case _ =>
+            }
+            if (depth > 0) j += 1
+          }
+          if (depth == 0) {
+            val body = masked.substring(i + 1, j)
+            def topLevelHas(re: scala.util.matching.Regex): Boolean =
+              re.findAllMatchIn(body).exists { m =>
+                val pre = body.substring(0, m.start)
+                pre.count(_ == '(') == pre.count(_ == ')') &&
+                  pre.count(_ == '[') == pre.count(_ == ']')
+              }
+            if (!topLevelHas(raw":".r) && !topLevelHas(raw"(?i)\bFOR\b".r))
+              return rewriteListLiteral(sql.substring(0, i) +
+                "array(" + sql.substring(i + 1, j) + ")" + sql.substring(j + 1))
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
 
   /** End (exclusive) of the primary expression starting at/after `from`
     * in masked text: optional unary +/-, then a literal / (possibly

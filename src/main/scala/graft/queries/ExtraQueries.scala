@@ -636,8 +636,9 @@ object ExtraQueries {
     * text on both engines (the q118 slicing pattern): `[expr FOR w IN
     * list IF cond]` auto-rewrites to `list_transform(list_filter(...))`
     * ([[graft.operators.GraftSqlParser.rewriteComprehension]], DuckDB's
-    * own desugaring order — filter first), DuckDB executes the
-    * comprehension natively. COALESCE pins the empty-list sum (DuckDB:
+    * own desugaring order — filter first) and the bare `['the','and']`
+    * list literal to `array(...)` ([[graft.operators.GraftSqlParser
+    * .rewriteListLiteral]], r10); DuckDB executes both natively. COALESCE pins the empty-list sum (DuckDB:
     * NULL) and BIGINT casts pin the widths.
     */
   private[graft] val comprehensionSqlText = """
@@ -645,7 +646,8 @@ object ExtraQueries {
              CAST(COALESCE(list_sum([length(w) FOR w IN string_split(text, ' ')
                                      IF length(w) >= 4]), 0) AS BIGINT) AS long_chars,
              CAST(len([upper(w) FOR w IN string_split(text, ' ')
-                       IF w LIKE 't%']) AS BIGINT) AS n_t_words
+                       IF w LIKE 't%']) AS BIGINT) AS n_t_words,
+             list_has_any(string_split(text, ' '), ['the', 'and']) AS has_stop
       FROM documents ORDER BY doc_id"""
 
   def q133Comprehension(s: SparkSession, d: String): DataFrame = {

@@ -631,12 +631,38 @@ class DialectSpec extends SparkSpec {
     assert(run("SELECT array_slice(s, 2, 4) AS r FROM df").getString(0) == "bcd")
     assert(run("SELECT list_slice(l, 2, NULL) AS r FROM df").isNullAt(0))
     assert(run("SELECT list_slice(CAST(NULL AS ARRAY<INT>), 1, 2) AS r FROM df").isNullAt(0))
-    // a slice on a bare LIST LITERAL is unclaimable (the literal itself
-    // has no Spark rewrite): the guided hint must fire, not a raw
-    // ANTLR error on the mangled literal (review r9)
-    val litSlice = intercept[DuckDialectException](
-      SqlStage("s", "SELECT [1,2,3][2:3] AS r FROM df").apply(spark, df))
-    assert(litSlice.getMessage.contains("list_slice"))
+    // a slice on a bare LIST LITERAL composes since r10: the literal
+    // rewrites to array(...) first, then the slice claims the call
+    // (this exact shape was the r9 guided error)
+    assert(run("SELECT [1,2,3][2:3] AS r FROM df").getSeq[Int](0) == Seq(2, 3))
+  }
+
+  test("bare list literals rewrite to array() in literal position only") {
+    import spark.implicits._
+    val df = Seq((Seq(9, 8), "x")).toDF("l", "s")
+    def run(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    assert(run("SELECT [1, 2, 3] AS r FROM df").getSeq[Int](0) == Seq(1, 2, 3))
+    assert(run("SELECT [] AS r FROM df").getSeq[Any](0) == Seq())
+    // nested literals, literals in function args, after operators
+    assert(run("SELECT [[1, 2], [3]] AS r FROM df")
+      .getSeq[Seq[Int]](0) == Seq(Seq(1, 2), Seq(3)))
+    assert(run("SELECT list_has_all([1, 2, 3], [2, 3]) AS r FROM df").getBoolean(0))
+    assert(run("SELECT l = [9, 8] AS r FROM df").getBoolean(0))
+    // comprehension + literal + slice compose (each rewrite feeds the next)
+    assert(run("SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1][2:2] AS r FROM df")
+      .getSeq[Int](0) == Seq(6))
+    // subscripts on expressions are NOT literals — l[1] keeps Spark's
+    // native 0-BASED subscript (the documented divergence; DuckDB's
+    // 1-based forms are the [a:b] slices and list_slice aliases)
+    assert(run("SELECT l[1] AS r FROM df").getInt(0) == 8)
+    // CASE branches are literal position
+    assert(run("SELECT CASE WHEN s = 'x' THEN [1] ELSE [2] END AS r FROM df")
+      .getSeq[Int](0) == Seq(1))
+    // strings are inert; struct-ish bodies with a top-level ':' unclaimed
+    assert(GraftSqlParser.rewriteListLiteral("SELECT '[1,2]' AS s") ==
+      "SELECT '[1,2]' AS s")
+    assert(GraftSqlParser.rewriteListLiteral("SELECT ['a': 1] AS s") ==
+      "SELECT ['a': 1] AS s")
   }
 
   test("WITH RECURSIVE: standard linear recursion executes natively (Spark 4.x)") {
@@ -668,8 +694,7 @@ class DialectSpec extends SparkSpec {
   test("list comprehensions rewrite to list_transform/list_filter (DuckDB desugaring)") {
     val df = spark.range(1).toDF("id")
     def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
-    // plain transform (list_value is the engine-portable list literal —
-    // bare [1,2,3] literals stay the documented guided error)
+    // plain transform
     assert(one("SELECT [x * 2 FOR x IN list_value(1, 2, 3)] AS r FROM df")
       .getSeq[Int](0) == Seq(2, 4, 6))
     // IF filters FIRST, then transforms — DuckDB's order
