@@ -635,7 +635,7 @@ object DuckDialect {
     raw"(?i)\[\s*[\w.]+\s+for\s+\w+\s+in\b".r ->
       "this list-comprehension shape couldn't be rewritten — [expr FOR x IN list [IF cond]] auto-rewrites to list_transform/list_filter (r10); for anything fancier use transform(list, x -> expr) and filter(list, x -> pred) directly",
     raw"->>".r ->
-      "the ->> JSON operator isn't Spark SQL — use get_json_object(col, '$.path') or from_json with a schema",
+      "this ->> JSON chain couldn't be rewritten — j [-> 'k']* ->> 'k' auto-rewrites to get_json_object (r10); for quoted/complex keys or JSON-typed intermediate results use get_json_object(col, '$.path') or from_json with a schema",
     raw"(?i)(?<![\w.])\d+\s*//\s*\d+".r ->
       "this // division shape couldn't be rewritten — a // b auto-rewrites to graft's native DuckDiv (r10: integer truncating division, double division on fractional inputs); write a div b or floor(a / b) directly for anything fancier",
     raw"\*\*".r ->

@@ -42,8 +42,8 @@ object GraftSqlParser {
   def rewriteAll(sql: String): String =
     rewriteSample(rewriteQualify(rewriteDistinctOn(rewriteStructPack(
       rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(
-        rewriteIntDiv(rewritePow(rewriteListLiteral(rewriteComprehension(
-          rewriteFromFirst(sql)))))))))))))
+        rewriteIntDiv(rewritePow(rewriteJsonOps(rewriteListLiteral(
+          rewriteComprehension(rewriteFromFirst(sql))))))))))))))
 
   /** Words that can legally precede a LITERAL-position bracket — i.e.
     * the bracket after them is a DuckDB list literal, not a subscript
@@ -219,6 +219,86 @@ object GraftSqlParser {
       if (unary) return Some(k - 1)
     }
     Some(j)
+  }
+
+  /** DuckDB `->` / `->>` JSON extraction (r10 — previously a guided
+    * error): chains like `j -> 'a' ->> 'b'` or `j ->> 'k'` rewrite to
+    * `get_json_object(j, '$.a.b')`, whose output matches DuckDB's `->>`
+    * exactly (probed on duckdb 1.0.0: VARCHAR, strings unquoted,
+    * object/array values re-serialized COMPACT — the same normal form
+    * Spark's get_json_object emits — missing path → NULL). Integer
+    * arguments index arrays (`-> 0` → `$[0]`).
+    *
+    * Only chains containing a `->>` rewrite: a bare `->` is also
+    * Spark's LAMBDA arrow (`transform(l, x -> x + 1)` — and DuckDB
+    * itself disambiguates lambdas from JSON `->` by context), so plain
+    * `->` chains keep the guided error naming get_json_object rather
+    * than risking a silent lambda mangle. A `->>` chain whose argument
+    * isn't a string literal / integer, carries a non-word key, or ends
+    * in `->` raises a guided error.
+    */
+  def rewriteJsonOps(sql: String): String = {
+    val masked = maskQuotes(sql)
+    def fail(why: String): Nothing =
+      throw new graft.functions.expressions.DuckDialectException(
+        s"a ->> JSON chain couldn't be rewritten ($why) — use " +
+          "get_json_object(col, '$.path') directly (Spark's JSON path form)")
+    val ArrowRe = raw"->>?".r
+    var searchFrom = 0
+    while (searchFrom < masked.length) {
+      val m = ArrowRe.findFirstMatchIn(masked.substring(searchFrom))
+        .getOrElse(return sql)
+      val first = searchFrom + m.start
+      // base primary ends just before the first arrow
+      var be = first
+      while (be > 0 && masked.charAt(be - 1).isWhitespace) be -= 1
+      val bs = primaryStartWithSign(masked, be)
+      // walk the whole chain: (arrow, arg)*
+      var pos = first
+      var ops = List.empty[(String, Int, Int)] // (op, argStart, argEnd)
+      var chaining = true
+      while (chaining) {
+        val op = if (masked.startsWith("->>", pos)) "->>" else "->"
+        val argStart = pos + op.length
+        primaryEnd(masked, argStart) match {
+          case Some(ae) =>
+            ops :+= ((op, argStart, ae))
+            var k = ae
+            while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+            if (k < masked.length - 1 && masked.charAt(k) == '-' &&
+              masked.charAt(k + 1) == '>') pos = k
+            else chaining = false
+          case None =>
+            // no parseable right operand (e.g. `x -> (expr)` lambda
+            // bodies DO parse — but `->` with nothing after is garbage)
+            chaining = false
+            if (ops.isEmpty) ops :+= ((op, argStart, argStart))
+        }
+      }
+      if (ops.exists(_._1 == "->>")) {
+        if (ops.last._1 != "->>")
+          fail("the chain must END in ->> (a trailing -> returns DuckDB's " +
+            "JSON type, which has no faithful text form here)")
+        val base = bs.getOrElse(fail("the left operand couldn't be claimed"))
+        val path = ops.map { case (_, s0, e0) =>
+          val raw0 = sql.substring(s0, e0).trim
+          if (raw0.matches("\\d+")) s"[$raw0]"
+          else if (raw0.length >= 2 && raw0.head == '\'' && raw0.last == '\'') {
+            val key = raw0.substring(1, raw0.length - 1)
+            if (!key.matches("\\w+"))
+              fail(s"key '$key' isn't a plain word — Spark JSON paths " +
+                "can't quote arbitrary keys")
+            s".$key"
+          } else fail(s"argument '$raw0' isn't a string literal or integer")
+        }.mkString
+        val baseTxt = sql.substring(base, be).trim
+        return rewriteJsonOps(sql.substring(0, base) +
+          s"get_json_object($baseTxt, '$$$path')" + sql.substring(ops.last._3))
+      }
+      // a pure `->` chain (lambda or unsupported JSON form): skip past it
+      searchFrom = ops.lastOption.map(_._2).getOrElse(first + 2)
+    }
+    sql
   }
 
   /** DuckDB `**` exponentiation (r10 — previously a guided error):

@@ -679,6 +679,30 @@ object ExtraQueries {
     s.sql(graft.operators.GraftSqlParser.rewriteAll(opsSqlText))
   }
 
+  /** DuckDB `->`/`->>` JSON extraction through the passthrough —
+    * IDENTICAL text on both engines: the JSON column is synthesized
+    * in-query from documents (`||` concat + `//`, both portable), then
+    * a nested `-> 'm' ->> 'half'` chain and a scalar `->> 'lang'`
+    * extract from it — graft rewrites the chain to `get_json_object`
+    * ([[graft.operators.GraftSqlParser.rewriteJsonOps]]), DuckDB runs
+    * the operators natively; ->> output forms agree (probed: VARCHAR,
+    * unquoted strings, NULL on missing).
+    */
+  private[graft] val jsonOpsSqlText = """
+      WITH p AS (
+        SELECT doc_id,
+               '{"lang": "' || lang || '", "m": {"half": ' || (n_chars // 2) || '}}' AS j
+        FROM documents)
+      SELECT doc_id, j ->> 'lang' AS jl,
+             CAST(j -> 'm' ->> 'half' AS BIGINT) AS jh
+      FROM p ORDER BY doc_id"""
+
+  def q135JsonOps(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    documents(s, d).createOrReplaceTempView("documents")
+    s.sql(graft.operators.GraftSqlParser.rewriteAll(jsonOpsSqlText))
+  }
+
   /** Sorted-layout sink round-trip ([[graft.sources.Sources
     * .writeSorted]]): range-partition documents by (lang, doc_id), sort
     * within partitions, write parquet, read BACK and aggregate — the
@@ -704,6 +728,7 @@ object ExtraQueries {
     "q113_columns_sql"    -> (q113ColumnsSql _),
     "q133_comprehension"  -> (q133Comprehension _),
     "q134_div_pow"        -> (q134DivPow _),
+    "q135_json_ops"       -> (q135JsonOps _),
     "q120_macro_sql"      -> (q120MacroSql _),
     "q121_describe_sql"   -> (q121DescribeSql _),
     "q124_copy_roundtrip" -> (q124CopyRoundtrip _),
@@ -757,6 +782,8 @@ object ExtraQueries {
     "q133_comprehension" -> comprehensionSqlText,
     // q134: DuckDB executes the IDENTICAL // and ** text natively
     "q134_div_pow" -> opsSqlText,
+    // q135: DuckDB executes the IDENTICAL ->/->>  text natively
+    "q135_json_ops" -> jsonOpsSqlText,
     "q119_argmax_sql" -> argmaxSqlText,
     // q120: DuckDB executes the IDENTICAL multi-statement batch —
     // CREATE MACROs then the SELECT; the driver's duckdb.sql() returns

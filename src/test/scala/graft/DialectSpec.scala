@@ -164,7 +164,9 @@ class DialectSpec extends SparkSpec {
     // since r10, own test below); a malformed shape still raises a
     // comprehension-naming error
     assert(hintOf("SELECT [x for 1 in ids] FROM df").contains("comprehension"))
-    assert(hintOf("SELECT j->>'a' FROM df").contains("get_json_object"))
+    // ->> left the guided-error list (auto-rewritten since r10, own
+    // test below); a chain ENDING in -> still raises the JSON hint
+    assert(hintOf("SELECT j ->> 'a' -> 'b' FROM df").contains("get_json_object"))
     // ** left the guided-error list too (auto-rewritten since r10, own
     // test above); an operand-less shape still raises the power hint
     assert(hintOf("SELECT ** 2 FROM df").contains("power"))
@@ -635,6 +637,35 @@ class DialectSpec extends SparkSpec {
     // rewrites to array(...) first, then the slice claims the call
     // (this exact shape was the r9 guided error)
     assert(run("SELECT [1,2,3][2:3] AS r FROM df").getSeq[Int](0) == Seq(2, 3))
+  }
+
+  test("->> JSON chains rewrite to get_json_object; lambda arrows never false-fire") {
+    import spark.implicits._
+    val df = Seq((1L, """{"a": {"b": 5, "s": "hi"}, "l": [1, 2]}"""))
+      .toDF("id", "j")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // values probed on duckdb 1.0.0: ->> is VARCHAR, strings unquoted,
+    // missing path NULL, object values re-serialized compact
+    assert(one("SELECT j ->> 'a' AS r FROM df").getString(0) == """{"b":5,"s":"hi"}""")
+    assert(one("SELECT j -> 'a' ->> 'b' AS r FROM df").getString(0) == "5")
+    assert(one("SELECT j -> 'a' ->> 's' AS r FROM df").getString(0) == "hi")
+    assert(one("SELECT j -> 'l' ->> 0 AS r FROM df").getString(0) == "1")
+    assert(one("SELECT j ->> 'zz' AS r FROM df").isNullAt(0))
+    // tight spacing and use inside expressions
+    assert(one("SELECT CAST(j->'a'->>'b' AS BIGINT) + id AS r FROM df").getLong(0) == 6L)
+    // lambda arrows are NOT JSON chains: transform still works after
+    // the full rewrite chain, even with a literal-bodied lambda
+    assert(one("SELECT transform(array(1, 2), x -> x + 1) AS r FROM df")
+      .getSeq[Int](0) == Seq(2, 3))
+    assert(one("SELECT list_transform([1, 2], x -> 'k') AS r FROM df")
+      .getSeq[String](0) == Seq("k", "k"))
+    // guided errors: trailing ->, non-word key
+    val e1 = intercept[DuckDialectException](
+      SqlStage("s", "SELECT j ->> 'a' -> 'b' AS r FROM df").apply(spark, df))
+    assert(e1.getMessage.contains("END in ->>"))
+    val e2 = intercept[DuckDialectException](
+      SqlStage("s", "SELECT j ->> 'a-b' AS r FROM df").apply(spark, df))
+    assert(e2.getMessage.contains("plain word"))
   }
 
   test("bare list literals rewrite to array() in literal position only") {
