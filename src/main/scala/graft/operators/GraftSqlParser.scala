@@ -43,7 +43,8 @@ object GraftSqlParser {
     rewriteSample(rewriteQualify(rewriteDistinctOn(rewriteStructPack(
       rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(
         rewriteIntDiv(rewritePow(rewriteJsonOps(rewriteListLiteral(
-          rewriteComprehension(rewriteFromFirst(sql))))))))))))))
+          rewriteStructLiteral(rewriteComprehension(
+            rewriteFromFirst(sql)))))))))))))))
 
   /** Words that can legally precede a LITERAL-position bracket — i.e.
     * the bracket after them is a DuckDB list literal, not a subscript
@@ -53,6 +54,58 @@ object GraftSqlParser {
     "ELSE", "END", "AND", "OR", "NOT", "IN", "ON", "BY", "AS", "UNION",
     "ALL", "DISTINCT", "FROM", "HAVING", "LIMIT", "RETURN", "VALUES",
     "CASE", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "TRUE", "FALSE")
+
+  /** Rewrite DuckDB struct LITERALS `{'k1': e1, 'k2': e2, …}` (r10 —
+    * previously a guided error) to Spark's `named_struct('k1', e1, …)`.
+    * `{` is not valid Spark SQL anywhere else, so a brace group whose
+    * top-level items ALL match `'key': value` is safely claimable at
+    * any nesting depth; anything else (map literals `MAP {...}` keep
+    * DuckDB-specific key typing, empty `{}`) is left for the guided
+    * error. Values rewrite recursively via the rescan, so nested
+    * structs/lists/comprehensions compose.
+    */
+  def rewriteStructLiteral(sql: String): String = {
+    val masked = maskQuotes(sql)
+    var i = 0
+    while (i < masked.length) {
+      if (masked.charAt(i) == '{') {
+        // MAP {...} literals keep DuckDB semantics — skip the group
+        var p = i
+        while (p > 0 && masked.charAt(p - 1).isWhitespace) p -= 1
+        val isMap = p >= 3 && masked.substring(0, p).toUpperCase.endsWith("MAP")
+        var j = i + 1
+        var depth = 1
+        while (j < masked.length && depth > 0) {
+          masked.charAt(j) match {
+            case '{' => depth += 1
+            case '}' => depth -= 1
+            case _ =>
+          }
+          if (depth > 0) j += 1
+        }
+        if (depth == 0 && !isMap) {
+          val bodyRaw = sql.substring(i + 1, j)
+          val bodyMasked = masked.substring(i + 1, j)
+          val items = splitReadArgs(bodyRaw, bodyMasked)
+          val ItemRe = raw"(?s)^\s*'((?:[^']|'')*)'\s*:\s*(\S.*)$$".r
+          val pairs = items.map { it =>
+            ItemRe.findFirstMatchIn(it).map(im =>
+              (im.group(1).replace("''", "'"), im.group(2).trim))
+          }
+          if (items.nonEmpty && pairs.forall(_.isDefined)) {
+            val args = pairs.flatten
+              .map { case (k, v) => s"'${k.replace("'", "''")}', $v" }
+              .mkString(", ")
+            return rewriteStructLiteral(sql.substring(0, i) +
+              s"named_struct($args)" + sql.substring(j + 1))
+          }
+        }
+        if (depth == 0) i = j // skip the unclaimed group
+      }
+      i += 1
+    }
+    sql
+  }
 
   /** Rewrite DuckDB bare list LITERALS `[e1, e2, …]` (r10 — previously
     * a guided error) to Spark's `array(e1, e2, …)`. A bracket counts as

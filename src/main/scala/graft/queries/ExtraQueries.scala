@@ -683,18 +683,20 @@ object ExtraQueries {
     * IDENTICAL text on both engines: the JSON column is synthesized
     * in-query from documents (`||` concat + `//`, both portable), then
     * a nested `-> 'm' ->> 'half'` chain and a scalar `->> 'lang'`
-    * extract from it — graft rewrites the chain to `get_json_object`
+    * extract from it, and a struct LITERAL field access (`({'q': …}).q` →
+    * `named_struct`) rides along — graft rewrites the chain to `get_json_object`
     * ([[graft.operators.GraftSqlParser.rewriteJsonOps]]), DuckDB runs
     * the operators natively; ->> output forms agree (probed: VARCHAR,
     * unquoted strings, NULL on missing).
     */
   private[graft] val jsonOpsSqlText = """
       WITH p AS (
-        SELECT doc_id,
+        SELECT doc_id, lang, n_chars,
                '{"lang": "' || lang || '", "m": {"half": ' || (n_chars // 2) || '}}' AS j
         FROM documents)
       SELECT doc_id, j ->> 'lang' AS jl,
-             CAST(j -> 'm' ->> 'half' AS BIGINT) AS jh
+             CAST(j -> 'm' ->> 'half' AS BIGINT) AS jh,
+             ({'q': n_chars // 4, 'l': lang}).q AS sq
       FROM p ORDER BY doc_id"""
 
   def q135JsonOps(s: SparkSession, d: String): DataFrame = {

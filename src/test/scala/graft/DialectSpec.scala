@@ -668,6 +668,30 @@ class DialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("plain word"))
   }
 
+  test("struct literals rewrite to named_struct; MAP literals stay guided") {
+    import spark.implicits._
+    val df = Seq((1L, "en")).toDF("id", "lang")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    val s0 = one("SELECT {'x': id + 1, 'y': lang} AS s FROM df").getStruct(0)
+    assert(s0.getLong(0) == 2L && s0.getString(1) == "en")
+    // field access on a parenthesized literal; nested structs and lists
+    assert(one("SELECT ({'x': 41}).x + 1 AS r FROM df").getInt(0) == 42)
+    val nested = one("SELECT {'a': {'b': 7}, 'l': [1, 2]} AS s FROM df").getStruct(0)
+    assert(nested.getStruct(0).getInt(0) == 7)
+    assert(nested.getSeq[Int](1) == Seq(1, 2))
+    // keys with spaces / escaped quotes work (named_struct takes any name)
+    assert(one("SELECT {'two words': 5} AS s FROM df").getStruct(0).getInt(0) == 5)
+    // strings are inert; MAP {...} and empty {} are not claimed
+    assert(GraftSqlParser.rewriteStructLiteral("SELECT '{1: 2}' AS s") ==
+      "SELECT '{1: 2}' AS s")
+    assert(GraftSqlParser.rewriteStructLiteral("SELECT MAP {'a': 1} AS s") ==
+      "SELECT MAP {'a': 1} AS s")
+    assert(GraftSqlParser.rewriteStructLiteral("SELECT {} AS s") == "SELECT {} AS s")
+    // non-string keys (a DuckDB MAP-ish shape) stay unclaimed
+    assert(GraftSqlParser.rewriteStructLiteral("SELECT {1: 2} AS s") ==
+      "SELECT {1: 2} AS s")
+  }
+
   test("bare list literals rewrite to array() in literal position only") {
     import spark.implicits._
     val df = Seq((Seq(9, 8), "x")).toDF("l", "s")
