@@ -65,6 +65,20 @@ object MixSkewProbe {
         results(k) = results.getOrElse(k, Seq()) :+ t
         println(f"[skew] n=$n $k: $t%.3f s")
       }
+      // r10: exact ntile buckets (one rank window per stratum — the 85%
+      // stratum serializes through ONE task) vs the windowless
+      // broadcast-cut-point twin — the skew-immunity claim, measured
+      for ((k, f) <- Seq(
+        "qualityBuckets (ntile window)" -> (() =>
+          Mix.qualityBuckets(df, col("lang"), col("n_tokens"), col("doc_id"))
+            .agg(max(col("bucket"))).collect()(0).getInt(0).toLong),
+        "qualityBucketsApprox (cut points)" -> (() =>
+          Mix.qualityBucketsApprox(df, col("lang"), col("n_tokens"))
+            .agg(max(col("bucket"))).collect()(0).getInt(0).toLong))) {
+        val t = median3(f())
+        results(k) = results.getOrElse(k, Seq()) :+ t
+        println(f"[skew] n=$n $k: $t%.3f s")
+      }
       df.unpersist()
     }
     for ((name, ts) <- results if ts.size == sizes.size) {
