@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata, decode / feature-extract / frame-sample
   * as distributed transforms.
   *
-  * The Spark-side plumbing (schema, partitioning, batch shape) is real;
-  * the codec step is a clearly-marked DETERMINISTIC STUB because no
-  * image/audio libraries ship in this container — swap `stubDecodeMeta`
-  * for a real decoder (e.g. a JNI codec or an Arrow-batched Python
-  * worker) without touching the surrounding plan.
+  * The Spark-side plumbing (schema, partitioning, batch shape) is real,
+  * and so are the decoders the JDK ships: images decode via ImageIO
+  * (PNG/JPEG/GIF/BMP — [[decodeImageMeta]], [[resizeImages]],
+  * [[intensityHistogram]]) and audio via javax.sound.sampled (WAV/AIFF/
+  * AU — [[decodeAudioMeta]], r10). Formats with no in-container codec
+  * (video, MP3, HEIC, …) fall back to a clearly-marked DETERMINISTIC
+  * STUB with a `real_decode = false` flag — swap the stub for a real
+  * codec (JNI, Arrow-batched worker) without touching the surrounding
+  * plan.
   */
 object MediaColumns {
 
@@ -181,6 +185,91 @@ object MediaColumns {
         }
         val total = math.max(1L, hist.sum).toFloat
         Row.fromSeq(row.toSeq ++ Seq(hist.map(c => c / total).toSeq, real))
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode for formats the JDK ships codecs for (WAV/AIFF/
+    * AU via `javax.sound.sampled` — r10: the audio half of the media
+    * surface no longer stubs), deterministic stub fallback otherwise —
+    * the same honest split as [[decodeImageMeta]]. Per payload:
+    * container metadata (sample rate, channels, frame count, duration)
+    * plus two PCM features computed from the decoded samples — RMS and
+    * peak amplitude, normalized to [0, 1] — over at most `maxFrames`
+    * frames so a long file costs the same as a clip. One streamed
+    * decoder probe per row inside mapPartitions; no shuffle; the
+    * feature doubles are exact functions of the payload bytes
+    * (deterministic across runs and executors).
+    */
+  def decodeAudioMeta(df: DataFrame, payloadCol: String,
+                      maxFrames: Int = 1 << 20): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("audio", StructType(Seq(
+        StructField("sample_rate", IntegerType),
+        StructField("channels", IntegerType),
+        StructField("n_frames", LongType),
+        StructField("duration_sec", DoubleType),
+        StructField("rms", DoubleType),
+        StructField("peak", DoubleType),
+        StructField("real_decode", BooleanType))), nullable = true))
+    val idx = inSchema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val decoded =
+          try {
+            import javax.sound.sampled.{AudioFormat, AudioSystem}
+            val in = AudioSystem.getAudioInputStream(
+              new java.io.BufferedInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+            try {
+              val fmt = in.getFormat
+              // normalize to 16-bit signed PCM so sample math is uniform
+              val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+                fmt.getSampleRate, 16, fmt.getChannels,
+                fmt.getChannels * 2, fmt.getSampleRate, false)
+              val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+              val nFrames = in.getFrameLength
+              val dur =
+                if (nFrames >= 0) nFrames.toDouble / fmt.getSampleRate else -1.0
+              val take = math.min(
+                if (nFrames >= 0) nFrames else maxFrames.toLong, maxFrames.toLong)
+              val buf = new Array[Byte](4096)
+              var sumSq = 0.0
+              var peak = 0.0
+              var samples = 0L
+              val wanted = take * fmt.getChannels
+              var reading = true
+              while (reading && samples < wanted) {
+                val n = pcm.read(buf)
+                if (n <= 0) reading = false
+                else {
+                  var i = 0
+                  while (i + 1 < n && samples < wanted) {
+                    // little-endian 16-bit signed
+                    val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort / 32768.0
+                    sumSq += s * s
+                    val a = math.abs(s)
+                    if (a > peak) peak = a
+                    samples += 1
+                    i += 2
+                  }
+                }
+              }
+              val rms = if (samples > 0) math.sqrt(sumSq / samples) else 0.0
+              Row(fmt.getSampleRate.toInt, fmt.getChannels, nFrames, dur,
+                rms, peak, true)
+            } finally in.close()
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              // deterministic stub fallback, flagged (the image pattern)
+              val h = java.lang.Math.abs(java.util.Arrays.hashCode(bytes).toLong)
+              Row((h % 48000 + 1).toInt, (h % 2 + 1).toInt, -1L, -1.0,
+                0.0, 0.0, false)
+          }
+        Row.fromSeq(row.toSeq :+ decoded)
       }
     }(enc)
   }

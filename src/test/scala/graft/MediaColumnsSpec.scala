@@ -108,6 +108,51 @@ class MediaColumnsSpec extends SparkSpec {
       s"approx=$global exact=$exact")
   }
 
+  test("decodeAudioMeta REALLY decodes WAV via the JDK codec; garbage falls back flagged") {
+    // synthesize a genuine 16-bit mono WAV: 0.25 s of a 440 Hz sine at
+    // amplitude 0.5 — RMS must land at amp/sqrt(2), peak at amp
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioSystem, AudioInputStream}
+    val rate = 8000f
+    val n = 2000
+    val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2, 3, 4, 5))).toDF("id", "payload")
+    val out = MediaColumns.decodeAudioMeta(df, "payload")
+      .select(col("id"), col("audio.*")).orderBy(col("id")).collect()
+    val real = out(0)
+    assert(real.getBoolean(real.fieldIndex("real_decode")))
+    assert(real.getInt(real.fieldIndex("sample_rate")) == 8000)
+    assert(real.getInt(real.fieldIndex("channels")) == 1)
+    assert(real.getLong(real.fieldIndex("n_frames")) == n)
+    assert(math.abs(real.getDouble(real.fieldIndex("duration_sec")) - n / rate) < 1e-9)
+    val rms = real.getDouble(real.fieldIndex("rms"))
+    val peak = real.getDouble(real.fieldIndex("peak"))
+    assert(math.abs(rms - amp / math.sqrt(2)) < 0.01, s"rms=$rms")
+    assert(math.abs(peak - amp) < 0.01, s"peak=$peak")
+    // garbage payload: flagged stub, never a task failure
+    val stub = out(1)
+    assert(!stub.getBoolean(stub.fieldIndex("real_decode")))
+    // deterministic across runs
+    val again = MediaColumns.decodeAudioMeta(df, "payload")
+      .select(col("id"), col("audio.*")).orderBy(col("id")).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // narrow plan — decode never shuffles
+    val plan = MediaColumns.decodeAudioMeta(df, "payload")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("enrich attaches typed metadata struct + frame samples, deterministic, no shuffle") {
     val df = Seq((1L, jpegMagic), (2L, pngMagic)).toDF("id", "payload")
     val out = MediaColumns.enrich(df, "payload", sampleFrames = 4)
