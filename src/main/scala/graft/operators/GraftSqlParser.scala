@@ -42,9 +42,9 @@ object GraftSqlParser {
   def rewriteAll(sql: String): String =
     rewriteSample(rewriteQualify(rewriteDistinctOn(rewriteStructPack(
       rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(
-        rewriteIntDiv(rewritePow(rewriteJsonOps(rewriteListLiteral(
-          rewriteStructLiteral(rewriteComprehension(
-            rewriteFromFirst(sql)))))))))))))))
+        rewriteGlob(rewriteIntDiv(rewritePow(rewriteJsonOps(
+          rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
+            rewriteFromFirst(sql))))))))))))))))
 
   /** Words that can legally precede a LITERAL-position bracket — i.e.
     * the bracket after them is a DuckDB list literal, not a subscript
@@ -352,6 +352,69 @@ object GraftSqlParser {
       searchFrom = ops.lastOption.map(_._2).getOrElse(first + 2)
     }
     sql
+  }
+
+  /** Convert a glob pattern to an anchored Java/RE2 regex — `*` → `.*`,
+    * `?` → `.`, `[...]` classes verbatim (`[!` negation → `[^`), all
+    * other regex metacharacters escaped.
+    */
+  private def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    var inClass = false
+    while (i < glob.length) {
+      val c = glob.charAt(i)
+      if (inClass) {
+        if (c == ']') inClass = false
+        sb.append(c)
+      } else c match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          inClass = true
+          sb.append('[')
+          if (i + 1 < glob.length && glob.charAt(i + 1) == '!') {
+            sb.append('^'); i += 1
+          }
+        case ch if "\\.^$+{}()|".contains(ch) => sb.append('\\').append(ch)
+        case ch => sb.append(ch)
+      }
+      i += 1
+    }
+    sb.append('$').toString
+  }
+
+  /** DuckDB `expr [NOT] GLOB 'pattern'` (r10 — previously a raw parse
+    * error): rewrites to an anchored `[NOT] RLIKE` — case-sensitive
+    * FULL match, probed on duckdb 1.0.0 (`'foo.csv' GLOB '*.csv'` true,
+    * `'a.b' GLOB 'a.b'` true with the dot literal, `'FOO' GLOB 'foo'`
+    * false, NULL input → NULL — all RLIKE's semantics after the
+    * conversion). The pattern must be a string LITERAL (DuckDB's
+    * overwhelmingly common form; a computed pattern raises a guided
+    * error naming the conversion).
+    */
+  def rewriteGlob(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val m = raw"(?i)\b(NOT\s+)?GLOB\b".r.findFirstMatchIn(masked).getOrElse(return sql)
+    def fail(why: String): Nothing =
+      throw new graft.functions.expressions.DuckDialectException(
+        s"a GLOB couldn't be rewritten ($why) — convert the glob to a regex " +
+          "and use RLIKE '^...$' (star → .*, ? → ., [...] classes verbatim)")
+    var lpos = m.start
+    while (lpos > 0 && masked.charAt(lpos - 1).isWhitespace) lpos -= 1
+    val ls = primaryStartWithSign(masked, lpos).getOrElse(fail("left operand unclaimed"))
+    val re = primaryEnd(masked, m.end).getOrElse(fail("no pattern operand"))
+    val patRaw = sql.substring(m.end, re).trim
+    if (!(patRaw.length >= 2 && patRaw.head == '\'' && patRaw.last == '\'' &&
+      !maskQuotes(patRaw).drop(1).dropRight(1).contains('\'')))
+      fail("the pattern must be a string literal")
+    val pat = patRaw.substring(1, patRaw.length - 1).replace("''", "'")
+    // double the regex backslashes: Spark's string literals unescape
+    // \x sequences, so '\.' would reach RLIKE as a bare '.'
+    val rx = globToRegex(pat).replace("\\", "\\\\").replace("'", "''")
+    val neg = if (m.group(1) != null) "NOT " else ""
+    val left = sql.substring(ls, lpos).trim
+    rewriteGlob(sql.substring(0, ls) + s"$left ${neg}RLIKE '$rx'" + sql.substring(re))
   }
 
   /** DuckDB `**` exponentiation (r10 — previously a guided error):

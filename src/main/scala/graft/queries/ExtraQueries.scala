@@ -638,7 +638,9 @@ object ExtraQueries {
     * ([[graft.operators.GraftSqlParser.rewriteComprehension]], DuckDB's
     * own desugaring order — filter first) and the bare `['the','and']`
     * list literal to `array(...)` ([[graft.operators.GraftSqlParser
-    * .rewriteListLiteral]], r10); DuckDB executes both natively. COALESCE pins the empty-list sum (DuckDB:
+    * .rewriteListLiteral]], r10) and `GLOB` to an anchored RLIKE
+    * ([[graft.operators.GraftSqlParser.rewriteGlob]], r10); DuckDB
+    * executes all three natively. COALESCE pins the empty-list sum (DuckDB:
     * NULL) and BIGINT casts pin the widths.
     */
   private[graft] val comprehensionSqlText = """
@@ -647,7 +649,8 @@ object ExtraQueries {
                                      IF length(w) >= 4]), 0) AS BIGINT) AS long_chars,
              CAST(len([upper(w) FOR w IN string_split(text, ' ')
                        IF w LIKE 't%']) AS BIGINT) AS n_t_words,
-             list_has_any(string_split(text, ' '), ['the', 'and']) AS has_stop
+             list_has_any(string_split(text, ' '), ['the', 'and']) AS has_stop,
+             text GLOB '*data*' AS mentions_data
       FROM documents ORDER BY doc_id"""
 
   def q133Comprehension(s: SparkSession, d: String): DataFrame = {

@@ -668,6 +668,28 @@ class DialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("plain word"))
   }
 
+  test("GLOB rewrites to anchored RLIKE with DuckDB's probed matching") {
+    import spark.implicits._
+    val df = Seq(("foo.csv", 1L)).toDF("f", "id")
+    def b(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // every value probed on duckdb 1.0.0
+    assert(b("SELECT f GLOB '*.csv' AS r FROM df").getBoolean(0))
+    assert(!b("SELECT 'foo.csvx' GLOB '*.csv' AS r FROM df").getBoolean(0))
+    assert(b("SELECT 'a7b' GLOB 'a?b' AS r FROM df").getBoolean(0))
+    assert(b("SELECT 'a7b' GLOB 'a[0-9]b' AS r FROM df").getBoolean(0))
+    assert(!b("SELECT 'aXb' GLOB 'a[0-9]b' AS r FROM df").getBoolean(0))
+    assert(b("SELECT 'aXb' GLOB 'a[!0-9]b' AS r FROM df").getBoolean(0))
+    assert(!b("SELECT 'FOO' GLOB 'foo' AS r FROM df").getBoolean(0)) // case-sensitive
+    assert(b("SELECT 'a.b' GLOB 'a.b' AS r FROM df").getBoolean(0))  // dot is literal
+    assert(!b("SELECT 'axb' GLOB 'a.b' AS r FROM df").getBoolean(0))
+    assert(b("SELECT 'x' NOT GLOB 'y*' AS r FROM df").getBoolean(0))
+    assert(b("SELECT CAST(NULL AS STRING) GLOB 'a' AS r FROM df").isNullAt(0))
+    // computed pattern → guided error, never a silent misparse
+    val e = intercept[DuckDialectException](
+      SqlStage("s", "SELECT f GLOB f AS r FROM df").apply(spark, df))
+    assert(e.getMessage.contains("string literal"))
+  }
+
   test("struct literals rewrite to named_struct; MAP literals stay guided") {
     import spark.implicits._
     val df = Seq((1L, "en")).toDF("id", "lang")
@@ -1719,6 +1741,20 @@ class DialectSpec extends SparkSpec {
     // ids 5..10 → squares 25..100: 6 rows, sum 25+36+49+64+81+100 = 355
     assert(out.head.getLong(0) == 6L)
     assert(out.head.getAs[Number](1).longValue == 355L)
+    // ...and the r10 expression surface composes in one statement:
+    // comprehension over a list literal, //, **, a struct literal
+    // field, a ->> chain and GLOB, all inside one macro-using SELECT
+    val r10 = SqlStage("s",
+      """CREATE OR REPLACE MACRO half(x) AS x // 2;
+         SELECT list_sum([half(v) FOR v IN [10, 20, 31] IF v > 10]) AS hsum,
+                2 ** ({'e': 3}).e AS cube,
+                '{"k": {"v": 9}}' -> 'k' ->> 'v' AS jv,
+                'report.csv' GLOB '*.csv' AS is_csv
+         FROM df LIMIT 1""").apply(spark, df).collect().head
+    assert(r10.getAs[Number](0).longValue == 25L) // 20//2 + 31//2 = 10 + 15
+    assert(r10.getDouble(1) == 8.0)
+    assert(r10.getString(2) == "9")
+    assert(r10.getBoolean(3))
   }
 
   test("CREATE MACRO: body DuckDB-isms still meet the rewrite chain at the call site") {
