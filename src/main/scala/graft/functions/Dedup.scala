@@ -598,6 +598,36 @@ object Dedup {
     df.join(losers, col(idCol) === col("__graft_drop_id"), "left_anti")
   }
 
+  /** Near-dup removal with a QUALITY-AWARE representative policy (r10):
+    * where [[dropNearDuplicates]] keeps each duplicate cluster's
+    * lowest-id member (an arbitrary survivor), this keeps the member
+    * maximizing `scoreCol` — the production policy when a quality score
+    * exists (keep the longest / cleanest / best-LM-scored copy of a
+    * near-dup family, per Gopher/CCNet practice). Ties break to the
+    * LARGEST id (deterministic — membership is a pure function of the
+    * input). Docs in no cluster pass through untouched.
+    *
+    * Shape: the LSH pair join + O(log diameter) connected components of
+    * the default path, then ONE comp-key aggregate (`max_by`, partial
+    * map-side) to elect representatives and one anti-join shipping only
+    * ids — no new scale surface beyond [[dropNearDuplicates]].
+    */
+  def dropNearDuplicatesByScore(df: DataFrame, idCol: String, textCol: String,
+                                scoreCol: Column,
+                                k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                                threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, k, numHashes, bands, threshold)
+    val comp = connectedComponents(pairs)
+    val scored = df.select(col(idCol).as("node"), scoreCol.cast("double").as("__graft_s"))
+    val reps = comp.join(scored, "node")
+      .groupBy(col("comp"))
+      .agg(max_by(col("node"), struct(col("__graft_s"), col("node"))).as("__graft_rep"))
+    val losers = comp.join(reps, "comp")
+      .filter(col("node") =!= col("__graft_rep"))
+      .select(col("node").as("__graft_drop_id"))
+    df.join(losers, col(idCol) === col("__graft_drop_id"), "left_anti")
+  }
+
   /** 64-bit SimHash over the document's distinct token hashes: bit b of
     * the signature is the sign of Σ±1 over tokens (bit b of
     * xxhash64(token)). Row-local native expression — one tight loop per

@@ -304,6 +304,7 @@ object TransformRegistry {
   * actionConfig: {method: minhash, id: doc_id, text: text, threshold: 0.6}
   * actionConfig: {method: vectors, id: vec_id, vec: embedding, threshold: 0.95}
   * actionConfig: {method: semdedup, id: vec_id, vec: embedding, threshold: 0.9}
+  * actionConfig: {method: minhash, id: doc_id, text: text, score: "length(text)"}
   * actionConfig: {method: lines, id: doc_id, text: text, maxDf: 4}
   * }}}
   */
@@ -315,7 +316,8 @@ final case class DedupStage(name: String, method: String, idCol: String,
                             tables: Int = 16,
                             maxDf: Long = 4,
                             hashKeys: Boolean = false,
-                            clusters: Int = graft.functions.VectorFunctions.Auto)
+                            clusters: Int = graft.functions.VectorFunctions.Auto,
+                            score: Option[String] = None)
     extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "exact" | "fingerprint" =>
@@ -326,8 +328,14 @@ final case class DedupStage(name: String, method: String, idCol: String,
         .select(col("__graft_keep"))
       df.join(keep, col(idCol) === col("__graft_keep"), "left_semi")
     case "minhash" =>
-      graft.functions.Dedup.dropNearDuplicates(df, idCol, textCol,
-        k, numHashes, bands, threshold)
+      // `score` elects each duplicate cluster's best-scored member as
+      // the survivor (r10) instead of the default lowest-id policy
+      score match {
+        case Some(sc) => graft.functions.Dedup.dropNearDuplicatesByScore(
+          df, idCol, textCol, expr(sc), k, numHashes, bands, threshold)
+        case None => graft.functions.Dedup.dropNearDuplicates(df, idCol, textCol,
+          k, numHashes, bands, threshold)
+      }
     case "spans" =>
       replaceText(df, graft.functions.Dedup.dedupSpans(df, idCol, textCol, width))
     case "lines" =>
@@ -390,7 +398,8 @@ object DedupStage {
       n("bits", graft.functions.VectorFunctions.Auto), n("tables", 16),
       n("maxDf", 4).toLong,
       ac.get("hashKeys").flatMap(Option(_)).exists(_.toString.toBoolean),
-      n("clusters", graft.functions.VectorFunctions.Auto))
+      n("clusters", graft.functions.VectorFunctions.Auto),
+      ac.get("score").flatMap(Option(_)).map(_.toString).filter(_.nonEmpty))
   }
 }
 

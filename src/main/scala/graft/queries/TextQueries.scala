@@ -836,8 +836,25 @@ object TextQueries {
     } finally { server.stop(0); pool.shutdownNow() }
   }
 
+  /** Quality-aware near-dup survivor selection ([[graft.functions.Dedup
+    * .dropNearDuplicatesByScore]], r10): each duplicate cluster keeps
+    * its LONGEST member (score = length(text), ties to the larger id)
+    * instead of the default lowest-id policy. The oracle replays the
+    * q89 pipeline — exact-Jaccard pairs, recursive-CTE components —
+    * then elects the same representative with a two-step (max score,
+    * then max id) and anti-joins the losers; the kept doc set
+    * hash-matches row for row.
+    */
+  def q136DedupByScore(s: SparkSession, d: String): DataFrame =
+    Dedup.dropNearDuplicatesByScore(documents(s, d), "doc_id", "text",
+        length(col("text")), threshold = 0.6)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_kept"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_rest_pipeline"  -> (q131RestPipeline _),
+    "q136_dedup_by_score" -> (q136DedupByScore _),
     "q132_buckets_approx" -> (q132BucketsApproxAudit _),
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
@@ -1335,6 +1352,41 @@ object TextQueries {
       comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
       SELECT cluster, COUNT(*) AS n_members, MAX(node) AS max_member
       FROM comp GROUP BY cluster ORDER BY cluster""",
+
+    // DuckDB replay of score-elected near-dup survivors: q89's exact
+    // pair + recursive-component chain, then (max score, max id)
+    // representative election and a loser anti-join
+    "q136_dedup_by_score" -> """
+      WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+                                     i -> array_to_string(l[i:i+2], ' '))) s
+             FROM tok),
+      cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+      p AS (SELECT da, db
+            FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6),
+      e AS (SELECT da x, db y FROM p UNION SELECT db, da FROM p),
+      reach(node, r) AS (
+        SELECT DISTINCT x, x FROM e
+        UNION
+        SELECT reach.node, e.y FROM reach JOIN e ON reach.r = e.x),
+      comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+      scomp AS (SELECT c.node, c.cluster, CAST(length(d.text) AS DOUBLE) AS sc
+                FROM comp c JOIN documents d ON c.node = d.doc_id),
+      mx AS (SELECT cluster, MAX(sc) AS msc FROM scomp GROUP BY cluster),
+      rep AS (SELECT s.cluster, MAX(s.node) AS keep
+              FROM scomp s JOIN mx ON s.cluster = mx.cluster AND s.sc = mx.msc
+              GROUP BY s.cluster),
+      losers AS (SELECT s.node FROM scomp s JOIN rep r ON s.cluster = r.cluster
+                 WHERE s.node <> r.keep)
+      SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars_kept
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT node FROM losers)
+      ORDER BY d.doc_id""",
 
     "q90_split" -> """
       SELECT doc_id, lang,

@@ -622,13 +622,31 @@ class DedupSpec extends SparkSpec {
   test("dropNearDuplicates keeps one representative per planted cluster and all singletons") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = Seq(
-      (0L, base), (1L, base + " nu"), (2L, base + " xi"),      // one near-dup cluster
+      (0L, base), (1L, base + " nu omega"), (2L, base + " xi"), // one near-dup cluster
       (10L, "one two three four five six seven eight nine ten"),
       (20L, "totally different words that resemble nothing else written here today"))
       .toDF("doc_id", "text")
     val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.6)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L, 10L, 20L), s"kept=$kept")
+    // quality-aware policy (r10): the cluster's BEST-SCORED member
+    // survives instead of the lowest id — here doc 1 (longest text),
+    // singletons untouched
+    val keptBest = Dedup.dropNearDuplicatesByScore(docs, "doc_id", "text",
+        length(col("text")), threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBest == Set(1L, 10L, 20L), s"keptBest=$keptBest")
+    // equal scores: deterministic tie-break to the LARGEST id
+    val keptTie = Dedup.dropNearDuplicatesByScore(docs, "doc_id", "text",
+        lit(1.0), threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTie == Set(2L, 10L, 20L), s"keptTie=$keptTie")
+    // the YAML surface: dedup stage with score elects the same survivor
+    val viaYaml = graft.operators.DedupStage("d", "minhash", "doc_id", "text",
+      threshold = 0.6, k = 3, numHashes = 32, bands = 8,
+      score = Some("length(text)")).apply(spark, docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaYaml == Set(1L, 10L, 20L), s"viaYaml=$viaYaml")
   }
 
   test("dropNearDupVectors keeps one vector per planted duplicate group") {
