@@ -3500,6 +3500,65 @@ object GraftSqlParser {
     * `CREATE MACRO ...; SELECT ...` batches through the reference's
     * verbatim passthrough (filefilter.py:340-342).
     */
+  /** Parsed top-level `UNION [ALL] BY NAME` statement: query sides (a
+    * leading CTE prefix is replicated onto every side so its scope
+    * matches DuckDB's whole-statement binding), per-boundary ALL flags,
+    * and the trailing ORDER BY/LIMIT/OFFSET clauses (which DuckDB
+    * applies to the WHOLE union).
+    */
+  final case class UnionByNameSpec(sides: Seq[String], alls: Seq[Boolean],
+                                   tail: String)
+
+  /** Detect `q1 UNION [ALL] BY NAME q2 [...] [ORDER BY ...] [LIMIT n]`
+    * (r10 — previously a raw parse error: Spark has no BY NAME union).
+    * Executed in [[graft.operators.SqlStage]] via
+    * `Dataset.unionByName(allowMissingColumns = true)` — probed DuckDB
+    * semantics: columns match by NAME in any order, a column missing on
+    * one side becomes NULL there, plain UNION dedups the accumulated
+    * result, ALL keeps everything.
+    */
+  def unionByNameTarget(sql: String): Option[UnionByNameSpec] = {
+    val masked = maskQuotes(sql)
+    def depth0(p: Int): Boolean = {
+      val pre = masked.substring(0, p)
+      pre.count(_ == '(') == pre.count(_ == ')')
+    }
+    val bounds = raw"(?i)\bUNION\s+(ALL\s+)?BY\s+NAME\b".r
+      .findAllMatchIn(masked).filter(m => depth0(m.start)).toList
+    if (bounds.isEmpty) return None
+    // leading CTE prefix: everything before the first depth-0 SELECT
+    // (or FROM-first FROM) — replicated onto every side
+    // CTE bodies live inside parens, so the first depth-0 SELECT (or
+    // FROM-first FROM) marks where the union's first side begins
+    val bodyStart =
+      if (raw"(?is)^\s*WITH\b".r.findFirstIn(masked).isDefined)
+        raw"(?i)\bSELECT\b|\bFROM\b".r.findAllMatchIn(masked)
+          .find(m => depth0(m.start)).map(_.start).getOrElse(0)
+      else 0
+    val prefix = sql.substring(0, bodyStart)
+    val cuts = bounds.map(m => (m.start, m.end, m.group(1) != null))
+    val sides = Seq.newBuilder[String]
+    var last = bodyStart
+    cuts.foreach { case (s0, e0, _) =>
+      sides += (prefix + sql.substring(last, s0)).trim
+      last = e0
+    }
+    // the LAST side may carry whole-union ORDER BY / LIMIT / OFFSET
+    val lastMasked = masked.substring(last)
+    val tailPos = raw"(?i)\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b".r
+      .findAllMatchIn(lastMasked)
+      .find(m => {
+        val pre = lastMasked.substring(0, m.start)
+        pre.count(_ == '(') == pre.count(_ == ')')
+      }).map(_.start)
+    val (lastSide, tail) = tailPos match {
+      case Some(tp) => (sql.substring(last, last + tp), sql.substring(last + tp))
+      case None => (sql.substring(last), "")
+    }
+    sides += (prefix + lastSide).trim
+    Some(UnionByNameSpec(sides.result(), cuts.map(_._3), tail.trim.stripSuffix(";")))
+  }
+
   private val slf = org.slf4j.LoggerFactory.getLogger("graft.sql")
 
   /** Pre-exec cost heuristic for `WITH RECURSIVE` (VERDICT r9 #3):

@@ -133,6 +133,25 @@ final case class SqlStage(name: String, code: String) extends Stage {
         SqlStage(name, q).apply(spark, df).createOrReplaceTempView(tname)
       return df
     }
+    // UNION [ALL] BY NAME (r10): run each side through this stage (full
+    // dialect layer, `df` = the stage input), merge with Dataset
+    // .unionByName(allowMissingColumns = true) — DuckDB's name-matched
+    // union with NULL fill — dedup after non-ALL boundaries, then apply
+    // the whole-union ORDER BY/LIMIT tail
+    GraftSqlParser.unionByNameTarget(code2).foreach { u =>
+      var cur = SqlStage(name, u.sides.head).apply(spark, df)
+      u.sides.tail.zip(u.alls).foreach { case (side, all) =>
+        cur = cur.unionByName(SqlStage(name, side).apply(spark, df),
+          allowMissingColumns = true)
+        if (!all) cur = cur.dropDuplicates()
+      }
+      if (u.tail.nonEmpty) {
+        cur.createOrReplaceTempView("graft_ubn")
+        cur = spark.sql(GraftSqlParser.rewriteAll(
+          "SELECT * FROM graft_ubn " + u.tail))
+      }
+      return cur
+    }
     // ASOF JOIN is auto-rewritten by rewriteAll; POSITIONAL JOIN (and
     // any ASOF shape the rewrite threw on never reaches here) would
     // silently parse as a table alias + inner join — reject what's left

@@ -708,6 +708,27 @@ object ExtraQueries {
     s.sql(graft.operators.GraftSqlParser.rewriteAll(jsonOpsSqlText))
   }
 
+  /** DuckDB `UNION ALL BY NAME` through the passthrough — IDENTICAL
+    * text on both engines: two per-language aggregates with PARTIALLY
+    * OVERLAPPING schemas merge by column name, each side's missing
+    * column NULL-filled (probed DuckDB semantics = Spark's
+    * `unionByName(allowMissingColumns = true)`); explicit NULLS FIRST
+    * pins the one default the engines disagree on (Spark sorts nulls
+    * first ascending, DuckDB last).
+    */
+  private[graft] val unionByNameSqlText = """
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+      UNION ALL BY NAME
+      SELECT lang, CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang
+      ORDER BY lang, n_docs NULLS FIRST, n_chars NULLS FIRST"""
+
+  def q137UnionByName(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    documents(s, d).createOrReplaceTempView("documents")
+    graft.operators.SqlStage("q137", unionByNameSqlText).apply(s, documents(s, d))
+  }
+
   /** Sorted-layout sink round-trip ([[graft.sources.Sources
     * .writeSorted]]): range-partition documents by (lang, doc_id), sort
     * within partitions, write parquet, read BACK and aggregate — the
@@ -734,6 +755,7 @@ object ExtraQueries {
     "q133_comprehension"  -> (q133Comprehension _),
     "q134_div_pow"        -> (q134DivPow _),
     "q135_json_ops"       -> (q135JsonOps _),
+    "q137_union_by_name"  -> (q137UnionByName _),
     "q120_macro_sql"      -> (q120MacroSql _),
     "q121_describe_sql"   -> (q121DescribeSql _),
     "q124_copy_roundtrip" -> (q124CopyRoundtrip _),
@@ -789,6 +811,8 @@ object ExtraQueries {
     "q134_div_pow" -> opsSqlText,
     // q135: DuckDB executes the IDENTICAL ->/->>  text natively
     "q135_json_ops" -> jsonOpsSqlText,
+    // q137: DuckDB executes the IDENTICAL UNION ALL BY NAME natively
+    "q137_union_by_name" -> unionByNameSqlText,
     "q119_argmax_sql" -> argmaxSqlText,
     // q120: DuckDB executes the IDENTICAL multi-statement batch —
     // CREATE MACROs then the SELECT; the driver's duckdb.sql() returns

@@ -668,6 +668,35 @@ class DialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("plain word"))
   }
 
+  test("UNION [ALL] BY NAME merges by column name with NULL fill (probed)") {
+    import spark.implicits._
+    val df = spark.range(1).toDF("id")
+    def rows(sql: String) = SqlStage("s", sql).apply(spark, df).collect()
+    // columns match by NAME in any order (probed on duckdb 1.0.0)
+    val r1 = rows("SELECT 1 AS a, 'x' AS b UNION ALL BY NAME SELECT 'y' AS b, 2 AS a")
+    assert(r1.map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "x"), (2, "y")))
+    // a side missing a column contributes NULL there
+    val r2 = rows("SELECT 1 AS a UNION ALL BY NAME SELECT 'y' AS b")
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+                 Option(r.getString(1)))).toSet
+    assert(r2 == Set((Some(1), None), (None, Some("y"))))
+    // plain UNION BY NAME dedups; ORDER BY applies to the WHOLE union
+    assert(rows("SELECT 1 AS a UNION BY NAME SELECT 1 AS a").length == 1)
+    assert(rows("SELECT 2 AS a UNION ALL BY NAME SELECT 1 AS a ORDER BY a")
+      .map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows("SELECT 2 AS a UNION ALL BY NAME SELECT 1 AS a " +
+      "UNION ALL BY NAME SELECT 3 AS a ORDER BY a DESC LIMIT 2")
+      .map(_.getInt(0)).toSeq == Seq(3, 2))
+    // a leading CTE scopes over EVERY side (DuckDB's binding)
+    val r3 = rows("""WITH c AS (SELECT id + 10 AS v FROM df)
+      SELECT v AS a FROM c UNION ALL BY NAME SELECT v + 1 AS b FROM c""")
+    assert(r3.length == 2)
+    // sides keep the full dialect layer (comprehension + // in a side)
+    val r4 = rows("SELECT list_sum([x FOR x IN [4, 6]]) // 2 AS a " +
+      "UNION ALL BY NAME SELECT 99 AS a ORDER BY a")
+    assert(r4.map(_.getAs[Number](0).longValue).toSeq == Seq(5L, 99L))
+  }
+
   test("GLOB rewrites to anchored RLIKE with DuckDB's probed matching") {
     import spark.implicits._
     val df = Seq(("foo.csv", 1L)).toDF("f", "id")
