@@ -948,7 +948,11 @@ class DialectSpec extends SparkSpec {
       "USING", "SAMPLE", "COLUMNS", ":=", "OVER", "(", ")", "*", ",", "'lit'",
       "a", "b", "t", "10", "%", "ROWS", "ORDER", "BY", "''", "rn", "=", "1",
       "POSITIONAL", "JOIN", "UNPIVOT", "INTO", "NAME", "VALUE", "ON", "->",
-      "LIKE", "GROUP")
+      "LIKE", "GROUP",
+      // r10 rewrite triggers: comprehensions, literals, operators,
+      // JSON chains, GLOB, BY-NAME unions
+      "[", "]", "{", "}", ":", "FOR", "IN", "IF", "//", "**", "->>",
+      "GLOB", "UNION", "ALL", "-")
     for (trial <- 1 to 400) {
       val sql = Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
       try {
@@ -989,6 +993,8 @@ class DialectSpec extends SparkSpec {
       ok(GraftSqlParser.insertTarget(sql))
       ok(GraftSqlParser.describeTarget(sql))
       ok(GraftSqlParser.rewriteFromFirst(sql))
+      ok(GraftSqlParser.unionByNameTarget(sql))
+      ok(GraftSqlParser.deepRecursionWarning(sql))
     }
   }
 
