@@ -240,6 +240,19 @@ object TextFunctions {
       regexp_replace(text, EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
+  /** Compression-ratio quality signal (r10): DEFLATE-compressed bytes
+    * over raw UTF-8 bytes via the native [[graft.functions.expressions
+    * .DeflateRatio]] — the gzip-ratio heuristic of modern pretraining
+    * pipelines (Dolma, Soldaini et al. 2024; RefinedWeb): templated /
+    * repetitive pages compress far below natural prose, random or
+    * binary-ish content sits near 1. Deterministic (fixed deflate
+    * level), row-local, zero shuffles — a pure map at any scale. The
+    * usual gate drops BOTH tails: ratio < minRatio (boilerplate spam)
+    * and ratio > maxRatio (high-entropy junk).
+    */
+  def compressionRatio(text: Column): Column =
+    call_function("deflate_ratio", text)
+
   /** Overlapping token-window chunks for sequence packing: windows of
     * `size` tokens every `stride` tokens, tail kept (the standard
     * training-data chunking shape). Returns array<struct<chunk:string,

@@ -220,6 +220,53 @@ object NormFingerprint {
   }
 }
 
+/** deflate_ratio(text): DEFLATE-compressed size over raw UTF-8 size —
+  * the gzip-compression-ratio quality signal of modern pretraining
+  * pipelines (Dolma, Soldaini et al. 2024 §C; RefinedWeb): highly
+  * repetitive or templated pages compress far below natural prose
+  * (~0.3–0.6), while random/binary-ish content sits near (or just
+  * above) 1. Deterministic (java.util.zip.Deflater, fixed level 6,
+  * no header variance), row-local, codegen'd via one static call;
+  * per-thread Deflater reuse — expression instances are shared across
+  * local-mode tasks. Empty text → 1.0 (nothing to compress).
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"deflate_ratio needs a string arg, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    DeflateRatio.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.expressions.DeflateRatio.compute($s)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object DeflateRatio {
+  private val deflaters = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(6, false))
+  private val bufs = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+
+  def compute(v: UTF8String): Double = {
+    val bytes = v.getBytes
+    if (bytes.isEmpty) return 1.0
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = bufs.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
+}
+
 /** minhash_signature(tokens, k, numHashes): the full MinHash signature
   * in one pass — for each seed s, min over distinct shingles of
   * hash(shingle, seed=s). No explode, no shuffle, no per-element

@@ -272,6 +272,8 @@ object GraftFunctions {
     "token_grams" -> (es => TokenGrams(es(0), es(1))),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "norm_fingerprint" -> (es => NormFingerprint(es.head)),
+    // gzip-compression-ratio quality signal (Dolma/RefinedWeb practice)
+    "deflate_ratio" -> (es => DeflateRatio(es.head)),
     // Spark's own codegen'd Bloom-filter membership probe (the engine
     // only wires it for AQE runtime filters; registering it makes the
     // sketch usable as a broadcast-free decontamination prefilter —

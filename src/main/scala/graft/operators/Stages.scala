@@ -657,7 +657,9 @@ final case class CleanStage(name: String, method: String, textCol: String,
                             minWords: Int = 50, maxWords: Int = 100000,
                             minStopTypes: Int = 2, minLineWords: Int = 5,
                             minLines: Int = 3,
-                            flags: Boolean = false) extends Stage {
+                            flags: Boolean = false,
+                            minRatio: Double = 0.25,
+                            maxRatio: Double = 1.2) extends Stage {
 
   /** Audit mode: append the rule struct's fields (minus `exclude`) as
     * `<prefix>_<field>` columns — a pure rename, still one row-local
@@ -697,8 +699,17 @@ final case class CleanStage(name: String, method: String, textCol: String,
       val r = graft.functions.TextFunctions.repetitionProfile(col(textCol))
       if (flags) appendFlags(df, r, "rep", Set.empty)
       else df.filter(r.getField("keep"))
+    case "compression" =>
+      // gzip-ratio gate (r10, Dolma/RefinedWeb practice): drop BOTH
+      // tails — over-compressible boilerplate and high-entropy junk
+      graft.functions.expressions.GraftFunctions.register(spark)
+      val ratio = graft.functions.TextFunctions.compressionRatio(col(textCol))
+      val keep = struct(ratio.as("ratio"),
+        (ratio >= minRatio && ratio <= maxRatio).as("keep"))
+      if (flags) appendFlags(df, keep, "comp", Set.empty)
+      else df.filter(keep.getField("keep"))
     case other => throw new IllegalArgumentException(
-      s"clean stage '$name': unknown method '$other' (gopher | c4 | repetition)")
+      s"clean stage '$name': unknown method '$other' (gopher | c4 | repetition | compression)")
   }
 }
 
@@ -709,10 +720,14 @@ object CleanStage {
     def n(k: String, d: Int) = ac.get(k).flatMap(Option(_)) match {
       case Some(x: Number) => x.intValue(); case Some(x) => x.toString.toInt; case None => d
     }
+    def dbl(k: String, d: Double) = ac.get(k).flatMap(Option(_)) match {
+      case Some(x: Number) => x.doubleValue(); case Some(x) => x.toString.toDouble; case None => d
+    }
     CleanStage(cfg.name, s("method", "gopher"), s("text", "text"),
       n("minWords", 50), n("maxWords", 100000), n("minStopTypes", 2),
       n("minLineWords", 5), n("minLines", 3),
-      ac.get("flags").flatMap(Option(_)).exists(_.toString.toBoolean))
+      ac.get("flags").flatMap(Option(_)).exists(_.toString.toBoolean),
+      dbl("minRatio", 0.25), dbl("maxRatio", 1.2))
   }
 }
 

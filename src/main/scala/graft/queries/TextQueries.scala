@@ -852,9 +852,37 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars_kept"))
       .orderBy(col("doc_id"))
 
+  /** Compression-ratio quality signal ([[graft.functions.TextFunctions
+    * .compressionRatio]], r10 — Dolma/RefinedWeb's gzip heuristic),
+    * gated with the q69 bounds-in-harness pattern (DEFLATE output is
+    * not replayable in DuckDB, so the oracle pins TRUE sentinels + the
+    * exact row count): every document's text gains a highly
+    * compressible spam suffix in a second column, and the gate asserts
+    * per-doc that the spammed version compresses strictly better, that
+    * every ratio is positive and bounded, and that two independent
+    * evaluations agree bit-for-bit (the determinism claim).
+    */
+  def q138CompressionRatio(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    val spammed = concat(col("text"), lit(" "),
+      expr("repeat('spam ham jam ', 40)"))
+    val rPlain = TF.compressionRatio(col("text"))
+    val rPlain2 = TF.compressionRatio(concat(col("text"), lit("")))
+    val rRep = TF.compressionRatio(spammed)
+    documents(s, d)
+      .select(col("doc_id"), rPlain.as("rp"), rPlain2.as("rp2"), rRep.as("rr"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(when(col("rr") < col("rp"), 1L).otherwise(0L)) === count(lit(1)))
+          .as("rep_compresses_smaller"),
+        (min(least(col("rp"), col("rr"))) > 0.0 &&
+          max(greatest(col("rp"), col("rr"))) <= 1.25).as("ratios_bounded"),
+        (max(abs(col("rp") - col("rp2"))) === 0.0).as("deterministic"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_rest_pipeline"  -> (q131RestPipeline _),
     "q136_dedup_by_score" -> (q136DedupByScore _),
+    "q138_compression_ratio" -> (q138CompressionRatio _),
     "q132_buckets_approx" -> (q132BucketsApproxAudit _),
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
@@ -925,6 +953,15 @@ object TextQueries {
 
   val sql: Map[String, String] = Map(
     "q36_simhash" -> simhashOracle,
+
+    // DEFLATE isn't replayable in DuckDB — exact row count + pinned
+    // TRUE sentinels (the q69 sketch-bound convention)
+    "q138_compression_ratio" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             TRUE AS rep_compresses_smaller,
+             TRUE AS ratios_bounded,
+             TRUE AS deterministic
+      FROM documents""",
 
     // Closed-form DuckDB replay of the rest-stage pipeline: the stub
     // server 404s doc_id ≡ 0 (mod 7) (→ the stage DROPS the row, O14's

@@ -720,6 +720,39 @@ class UtilOpsSpec extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("compressionRatio: repetitive text compresses below prose, junk near 1") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val prose = "the quick brown fox jumps over a lazy dog while seven curious " +
+      "magpies inspect bright copper kettles beside the quiet harbour wall and " +
+      "children trade stories about distant mountains rivers gardens and the " +
+      "peculiar habits of travelling merchants who arrive each autumn evening"
+    val junk = new scala.util.Random(99).alphanumeric.take(300).mkString
+    val cases = Seq(
+      (1L, prose),
+      (2L, "spam " * 100), // boilerplate
+      (3L, junk),          // high-entropy
+      (4L, ""))
+    val out = cases.toDF("id", "t")
+      .select(col("id"), graft.functions.TextFunctions.compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) < 0.1, s"boilerplate ratio ${out(2L)}")     // compresses hard
+    assert(out(1L) > out(2L), "prose compresses less than spam")
+    assert(out(3L) > out(1L), "high-entropy junk compresses worse than prose")
+    assert(out(4L) == 1.0)                                    // empty → 1.0
+    // clean stage: compression method drops both tails; flags audit
+    val docs = Seq((1L, "a normal readable sentence with usual words in it here"),
+      (2L, "spam " * 200)).toDF("doc_id", "text")
+    val kept = graft.operators.CleanStage("c", "compression", "text",
+      minRatio = 0.25, maxRatio = 1.2).apply(spark, docs)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val flagged = graft.operators.CleanStage("c", "compression", "text",
+      flags = true).apply(spark, docs)
+    assert(flagged.count() == 2 &&
+      Seq("comp_ratio", "comp_keep").forall(flagged.columns.contains))
+  }
+
   test("qualityBucketsApprox: windowless scale twin agrees with exact away from cuts") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
