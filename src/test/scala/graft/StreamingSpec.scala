@@ -259,24 +259,26 @@ class StreamingSpec extends SparkSpec {
         graft.functions.TextFunctions.repetitionProfile(col("text"))
           .getField("keep").as("r_keep"),
         graft.functions.TextFunctions.scriptProfile(col("text"))
-          .getField("script").as("script"))
+          .getField("script").as("script"),
+        graft.functions.TextFunctions.compressionRatio(col("text")).as("ratio"))
     val q = stream.writeStream.format("memory").queryName("quality_stream")
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.sql(
-        "SELECT doc_id, g_keep, c_keep, r_keep, script FROM quality_stream ORDER BY doc_id")
+        "SELECT doc_id, g_keep, c_keep, r_keep, script, ratio FROM quality_stream ORDER BY doc_id")
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
-        r.getBoolean(3), r.getString(4))).toSeq
+        r.getBoolean(3), r.getString(4), r.getDouble(5))).toSeq
     val batch = spark.read.parquet(dir.toString)
       .select(col("doc_id"),
         graft.functions.TextFunctions.gopherRules(
           col("text"), minWords = 30, minStopTypes = 1).getField("keep"),
         graft.functions.TextFunctions.c4Clean(col("text")).getField("keep"),
         graft.functions.TextFunctions.repetitionProfile(col("text")).getField("keep"),
-        graft.functions.TextFunctions.scriptProfile(col("text")).getField("script"))
+        graft.functions.TextFunctions.scriptProfile(col("text")).getField("script"),
+        graft.functions.TextFunctions.compressionRatio(col("text")))
       .orderBy(col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
-        r.getBoolean(3), r.getString(4))).toSeq
+        r.getBoolean(3), r.getString(4), r.getDouble(5))).toSeq
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.exists(_._2) && streamed.exists(!_._2)) // both outcomes live
   }
