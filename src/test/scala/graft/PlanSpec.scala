@@ -60,6 +60,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("r10 gate queries plan clean: no cartesian products, codegen'd natives") {
+    // q136 (LSH pairs + CC + representative election): the heaviest r10
+    // query must never degenerate into an unbounded nested loop
+    val p136 = planOf(graft.queries.TextQueries.q136DedupByScore(spark, sf))
+    assert(!p136.contains("CartesianProduct"), p136)
+    // q137 (UNION BY NAME): a plain Union node over the two aggregates,
+    // no join smuggled in by the name alignment
+    val p137 = planOf(graft.queries.ExtraQueries.q137UnionByName(spark, sf))
+    assert(p137.contains("Union") && !p137.contains("Join"), p137)
+    // q133: the comprehension rewrite stays in higher-order functions —
+    // ONE scan + project, no Generate/explode blow-up, and the only
+    // exchange is the final ORDER BY's range partitioning
+    val p133f = formatted(graft.queries.ExtraQueries.q133Comprehension(spark, sf))
+    assert(p133f.contains("transform(") && !p133f.contains("Generate"), p133f)
+    val p133 = planOf(graft.queries.ExtraQueries.q133Comprehension(spark, sf))
+    assert("Exchange".r.findAllIn(p133).length <= 1, p133)
+    // q134: // and ** land in a partial+final aggregate (map-side
+    // combine present), no expand, no extra shuffle
+    val p134 = planOf(graft.queries.ExtraQueries.q134DivPow(spark, sf))
+    assert("HashAggregate".r.findAllIn(p134).length >= 2, p134)
+    assert(!p134.contains("Expand"), p134)
+    // q138's deflate signal is one projection over the scan — no
+    // exchange before the final single-row aggregate's
+    val p138 = planOf(graft.queries.TextQueries.q138CompressionRatio(spark, sf))
+    assert("Exchange".r.findAllIn(p138).length <= 1, p138)
+  }
+
   test("native expressions codegen for real — no silent interpreted fallback") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
