@@ -97,7 +97,12 @@ case class DuckDiv(left: Expression, right: Expression) extends BinaryExpression
     if (integral) {
       val rl = toL(r)
       if (rl == 0L) null else toL(l) / rl
-    } else toD(l) / toD(r)
+    } else {
+      val rd = toD(r)
+      // DuckDB probe: 7.5 // 0 (and 7.5::DOUBLE // 0) is NULL, same as
+      // the integral path — never Infinity/NaN (ADVICE r10).
+      if (rd == 0.0d) null else toD(l) / rd
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -117,7 +122,10 @@ case class DuckDiv(left: Expression, right: Expression) extends BinaryExpression
         s"long $rTmp = ${cast(right, rg.value)}; " +
           s"if ($rTmp == 0L) { ${ev.isNull} = true; } " +
           s"else { ${ev.value} = ${cast(left, lg.value)} / $rTmp; }"
-      else s"${ev.value} = ${cast(left, lg.value)} / ${cast(right, rg.value)};"
+      else
+        s"double $rTmp = ${cast(right, rg.value)}; " +
+          s"if ($rTmp == 0.0d) { ${ev.isNull} = true; } " +
+          s"else { ${ev.value} = ${cast(left, lg.value)} / $rTmp; }"
     ev.copy(code = lg.code + rg.code + code"""
       boolean ${ev.isNull} = true;
       $jt ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
@@ -526,7 +534,7 @@ object DuckDialect {
     "gen_random_uuid" -> "use uuid() (non-deterministic; forbidden in oracle-checked queries)",
     // lambda/computed COLUMNS() forms parse as a normal call and fail
     // ANALYSIS (the expandable shapes were already rewritten in SqlStage)
-    "columns" -> "this COLUMNS(...) shape isn't expandable (unsupported name functions — substring, replace — and COLUMNS outside a select list or WHERE clause; *, 'regex', ['list'], boolean name-lambdas of LIKE/SIMILAR TO/IN/=/<> with AND/OR/NOT plus len()/lower()/upper() of the variable, whole-item expressions and AND-replicated WHERE predicates DO expand) — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract"
+    "columns" -> "this COLUMNS(...) shape isn't expandable (COLUMNS outside a select list or WHERE clause, or a name function beyond len/lower/upper/substring/substr/replace; *, 'regex', ['list'], boolean name-lambdas of LIKE/SIMILAR TO/IN/=/<> with AND/OR/NOT plus those name transforms, whole-item expressions and AND-replicated WHERE predicates DO expand) — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract"
   )
 
   /** Syntax-level DuckDB-isms Spark's parser rejects — scanned (on a

@@ -389,13 +389,23 @@ object GraftSqlParser {
     * FULL match, probed on duckdb 1.0.0 (`'foo.csv' GLOB '*.csv'` true,
     * `'a.b' GLOB 'a.b'` true with the dot literal, `'FOO' GLOB 'foo'`
     * false, NULL input → NULL — all RLIKE's semantics after the
-    * conversion). The pattern must be a string LITERAL (DuckDB's
-    * overwhelmingly common form; a computed pattern raises a guided
-    * error naming the conversion).
+    * conversion). Only a GLOB followed by a string LITERAL is claimed
+    * (DuckDB's overwhelmingly common form) — `glob` isn't reserved in
+    * Spark, so an identifier use (`SELECT glob FROM files`) or a
+    * computed pattern is left untouched for Spark to parse (r11,
+    * ADVICE: previously any bare GLOB token was claimed and a
+    * non-literal pattern failed valid identifier SQL).
     */
   def rewriteGlob(sql: String): String = {
     val masked = maskQuotes(sql)
-    val m = raw"(?i)\b(NOT\s+)?GLOB\b".r.findFirstMatchIn(masked).getOrElse(return sql)
+    // only claim GLOB when a string literal follows: `glob` is NOT a
+    // reserved word in Spark, so `SELECT glob FROM files` must keep
+    // parsing as an identifier (ADVICE r10)
+    val m = raw"(?i)\b(NOT\s+)?GLOB\b".r.findAllMatchIn(masked).find { cand =>
+      var j = cand.end
+      while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+      j < masked.length && masked.charAt(j) == '\''
+    }.getOrElse(return sql)
     def fail(why: String): Nothing =
       throw new graft.functions.expressions.DuckDialectException(
         s"a GLOB couldn't be rewritten ($why) — convert the glob to a regex " +
@@ -2334,9 +2344,22 @@ object GraftSqlParser {
       if (r.isEmpty) p = p0
       r
     }
-    // s := v | lower(s) | upper(s) — name transforms (the variable is a
+    // integer literal with optional unary minus (substring arguments)
+    def parseIntLit(): Option[Long] = peek match {
+      case Some(Num(n)) => p += 1; Some(n)
+      case Some(Sym("-")) =>
+        p += 1
+        peek match { case Some(Num(n)) => p += 1; Some(-n); case _ => None }
+      case _ => None
+    }
+    // s := v | lower(s) | upper(s) | substring/substr(s, start [, len])
+    // | replace(s, 'from', 'to') — name transforms (the variable is a
     // column NAME; the lambda-variable match stays case-SENSITIVE as in
-    // the boolean grammar, function names are case-insensitive)
+    // the boolean grammar, function names are case-insensitive).
+    // substring follows DuckDB 1.0.0 (probed): a negative start counts
+    // from the END (start' = len + start + 1), start 0 eats into the
+    // length, the window [max(start',1), start'+len-1] clamps to the
+    // string, empty when inverted; replace('', ...) is identity.
     def parseStrExpr(): Option[String => String] = peek match {
       case Some(Word(w)) if w == v => p += 1; Some(identity[String])
       case Some(Word(w)) if w.equalsIgnoreCase("lower") || w.equalsIgnoreCase("upper") =>
@@ -2348,12 +2371,50 @@ object GraftSqlParser {
         p += 1
         if (w.equalsIgnoreCase("lower")) Some(c => inner(c).toLowerCase)
         else Some(c => inner(c).toUpperCase)
+      case Some(Word(w)) if w.equalsIgnoreCase("substring") || w.equalsIgnoreCase("substr") =>
+        p += 1
+        if (!peek.contains(Sym("("))) return None
+        p += 1
+        val inner = parseStrExpr().getOrElse(return None)
+        if (!peek.contains(Sym(","))) return None
+        p += 1
+        val start = parseIntLit().getOrElse(return None)
+        val lenOpt =
+          if (peek.contains(Sym(","))) {
+            p += 1
+            Some(parseIntLit().getOrElse(return None))
+          } else None
+        if (!peek.contains(Sym(")"))) return None
+        p += 1
+        Some { c =>
+          val s = inner(c)
+          val n = s.length.toLong
+          val st = if (start < 0) n + start + 1 else start
+          val lo = math.max(st, 1L)
+          val hi = math.min(lenOpt.fold(n)(l => st + l - 1), n)
+          if (hi < lo) "" else s.substring(lo.toInt - 1, hi.toInt)
+        }
+      case Some(Word(w)) if w.equalsIgnoreCase("replace") =>
+        p += 1
+        if (!peek.contains(Sym("("))) return None
+        p += 1
+        val inner = parseStrExpr().getOrElse(return None)
+        if (!peek.contains(Sym(","))) return None
+        p += 1
+        val from = takeStr().getOrElse(return None)
+        if (!peek.contains(Sym(","))) return None
+        p += 1
+        val to = takeStr().getOrElse(return None)
+        if (!peek.contains(Sym(")"))) return None
+        p += 1
+        Some(c => if (from.isEmpty) inner(c) else inner(c).replace(from, to))
       case _ => None
     }
     // numeric expressions over the NAME (r10 — VERDICT r9 #5's
     // arithmetic-on-the-variable forms): full + - * / // % arithmetic
-    // with DuckDB's numeric rules (`/` is double division, `//` floor
-    // division, `%` modulo), atoms are integer literals, unary minus,
+    // with DuckDB's numeric rules (`/` is double division, `//` is
+    // DuckDiv's trunc-toward-zero on integral inputs / plain division
+    // on fractional ones, `%` modulo), atoms are integer literals, unary minus,
     // parenthesized sub-expressions, and len/length/strlen of a string
     // expression. Values are doubles internally — the only name-derived
     // number is a small length, well inside exact double range.
@@ -2389,7 +2450,16 @@ object GraftSqlParser {
           left = op match {
             case "*" => c => l(c) * r(c)
             case "/" => c => l(c) / r(c)
-            case "//" => c => math.floor(l(c) / r(c))
+            case "//" => c => {
+              // DuckDiv semantics, not floor (ADVICE r10): integral
+              // inputs truncate toward zero (-7 // 2 = -3), fractional
+              // inputs divide plainly; /0 is NULL -> NaN here (every
+              // comparison on NaN is false, matching NULL predicates)
+              val (lv, rv) = (l(c), r(c))
+              if (rv == 0.0d) Double.NaN
+              else if (lv.isWhole && rv.isWhole) (lv.toLong / rv.toLong).toDouble
+              else lv / rv
+            }
             case _ => c => l(c) % r(c)
           }
         case _ => scanning = false
@@ -3138,9 +3208,17 @@ object GraftSqlParser {
     * explicit DDL schema (inference off - DuckDB's contract: columns IS
     * the schema), `names = ['a', ...]` -> renamed inferred columns,
     * plus pass-throughs `quote`, `escape`, `nullstr` -> nullValue,
-    * `skip` -> skipLines, `compression`, `dateformat` /
-    * `timestampformat`. Unsupported option keys keep a guided error
-    * naming the pipeline `input` route - never a silent misread. Spark
+    * `dateformat` / `timestampformat`. `skip = N` is implemented
+    * genuinely (r11): text read, drop the first N lines by file order,
+    * parse the rest - single file only (DuckDB's skip is per file, so a
+    * glob would misread -> guided error). `compression` on the READ
+    * path only accepts values that agree with Spark's extension-based
+    * decode. read_json takes `columns` (DDL schema), `format`
+    * ('array' -> multiLine), `records` (false refused); read_parquet
+    * takes `hive_partitioning` (false -> recursiveFileLookup, which
+    * disables partition discovery). Unsupported option keys keep a
+    * guided error naming the pipeline `input` route - never a silent
+    * misread. Spark
     * handles glob paths (`*.parquet` under a dir) natively. View names
     * are content-addressed by reader+path+options so two
     * differently-optioned reads of one path in a statement get distinct
@@ -3177,8 +3255,6 @@ object GraftSqlParser {
             case None => fail(s"option '$a' isn't name=value")
           }
         }
-        if (opts.nonEmpty && fn != "read_csv" && fn != "read_csv_auto")
-          fail("options are only supported on read_csv/read_csv_auto")
         def boolOf(v: String): String = v.trim.toLowerCase match {
           case "true" | "1" => "true"
           case "false" | "0" => "false"
@@ -3186,9 +3262,57 @@ object GraftSqlParser {
         }
         var schemaDdl: Option[String] = None
         var names: Seq[String] = Nil
+        var skipLines = 0
+        var jsonMultiline = false
+        var noHivePartitioning = false
         var readerOpts = Map("header" -> "true", "inferSchema" -> "true")
+        // columns = {'name': 'TYPE', ...} -> an explicit Spark DDL schema
+        // (shared by read_csv and read_json - DuckDB's contract on both:
+        // an explicit columns IS the schema, inference off)
+        def parseColumns(v: String): Unit = {
+          val body = v.trim
+          if (!(body.startsWith("{") && body.endsWith("}")))
+            fail("columns needs a {'name': 'TYPE', ...} struct")
+          val inner = body.substring(1, body.length - 1)
+          val pairs = splitReadArgs(inner, maskQuotes(inner)).map { p =>
+            val kv = p.split(":", 2)
+            if (kv.length != 2) fail(s"columns entry '$p' isn't 'name': 'TYPE'")
+            val cn = strLit(kv(0)).getOrElse(fail(s"columns name '${kv(0)}' must be a string"))
+            val ct = strLit(kv(1)).getOrElse(fail(s"columns type '${kv(1)}' must be a string"))
+            s"`$cn` ${duckTypeToSpark(ct)}"
+          }
+          if (pairs.isEmpty) fail("columns struct is empty")
+          schemaDdl = Some(pairs.mkString(", "))
+        }
+        val isCsv = fn == "read_csv" || fn == "read_csv_auto"
+        val isJson = fn == "read_json" || fn == "read_json_auto"
         opts.foreach { case (k, v) =>
-          k match {
+          // non-csv readers take their own (small) option vocabularies
+          // (r11; previously "options are only supported on read_csv")
+          if (fn == "read_parquet") k match {
+            case "hive_partitioning" =>
+              // true is Spark's native directory behavior; false maps to
+              // recursiveFileLookup (which disables partition discovery)
+              noHivePartitioning = boolOf(v) == "false"
+            case other => fail(s"option '$other' isn't supported on read_parquet " +
+              "(supported: hive_partitioning)")
+          }
+          else if (isJson) k match {
+            case "columns" => parseColumns(v)
+            case "format" => strLit(v).map(_.toLowerCase) match {
+              case Some("newline_delimited") | Some("nd") | Some("auto") => () // lines mode = Spark default
+              case Some("array") => jsonMultiline = true
+              case other => fail(s"format must be 'newline_delimited'/'nd'/'auto'/'array', got '${other.getOrElse(v)}'")
+            }
+            case "records" =>
+              // records=false reads whole top-level values into one
+              // column - a different shape; refuse rather than misread
+              if (v.trim.toLowerCase != "auto" && boolOf(v) == "false")
+                fail("records=false (value-per-row mode) isn't supported - read as text and parse")
+            case other => fail(s"option '$other' isn't supported on $fn " +
+              "(supported: columns, format, records)")
+          }
+          else k match {
             case "delim" | "sep" | "delimiter" =>
               readerOpts += "delimiter" -> strLit(v).getOrElse(fail(s"$k needs a string"))
             case "header" => readerOpts += "header" -> boolOf(v)
@@ -3198,27 +3322,35 @@ object GraftSqlParser {
               readerOpts += "escape" -> strLit(v).getOrElse(fail("escape needs a string"))
             case "nullstr" =>
               readerOpts += "nullValue" -> strLit(v).getOrElse(fail("nullstr needs a string"))
-            case "skip" => readerOpts += "skipLines" -> v.trim
+            case "skip" =>
+              // Spark's CSV reader has no skip-lines option (r10 mapped
+              // this to a nonexistent `skipLines` key — silently ignored,
+              // ADVICE r10). Genuinely implemented below: read as text,
+              // drop the first N lines by file order, parse the rest.
+              skipLines = try { v.trim.toInt } catch {
+                case _: NumberFormatException => fail(s"skip needs an integer, got '$v'")
+              }
+              if (skipLines < 0) fail("skip must be >= 0")
             case "compression" =>
-              readerOpts += "compression" -> strLit(v).getOrElse(fail("compression needs a string"))
+              // On the READ path Spark decodes by file extension only
+              // (`compression` is a write option). Accept values that
+              // agree with extension-based decode; anything else would
+              // silently misread, so it stays a guided error (ADVICE r10).
+              val cv = strLit(v).getOrElse(fail("compression needs a string")).toLowerCase
+              val extOk = cv match {
+                case "none" | "auto" | "uncompressed" => true
+                case "gzip" => path.endsWith(".gz") || path.endsWith(".gzip")
+                case "zstd" => path.endsWith(".zst") || path.endsWith(".zstd")
+                case _ => false
+              }
+              if (!extOk) fail(s"compression='$cv' can't be forced on the read path " +
+                s"(Spark decodes by file extension; '$path' doesn't carry the " +
+                "matching extension) - rename the file or decompress it first")
             case "dateformat" | "date_format" =>
               readerOpts += "dateFormat" -> strLit(v).getOrElse(fail(s"$k needs a string"))
             case "timestampformat" | "timestamp_format" =>
               readerOpts += "timestampFormat" -> strLit(v).getOrElse(fail(s"$k needs a string"))
-            case "columns" =>
-              val body = v.trim
-              if (!(body.startsWith("{") && body.endsWith("}")))
-                fail("columns needs a {'name': 'TYPE', ...} struct")
-              val inner = body.substring(1, body.length - 1)
-              val pairs = splitReadArgs(inner, maskQuotes(inner)).map { p =>
-                val kv = p.split(":", 2)
-                if (kv.length != 2) fail(s"columns entry '$p' isn't 'name': 'TYPE'")
-                val cn = strLit(kv(0)).getOrElse(fail(s"columns name '${kv(0)}' must be a string"))
-                val ct = strLit(kv(1)).getOrElse(fail(s"columns type '${kv(1)}' must be a string"))
-                s"`$cn` ${duckTypeToSpark(ct)}"
-              }
-              if (pairs.isEmpty) fail("columns struct is empty")
-              schemaDdl = Some(pairs.mkString(", "))
+            case "columns" => parseColumns(v)
             case "names" | "column_names" =>
               val body = v.trim
               if (!(body.startsWith("[") && body.endsWith("]")))
@@ -3234,7 +3366,10 @@ object GraftSqlParser {
         // the header flag only decides whether line 1 is skipped
         if (schemaDdl.isDefined) readerOpts -= "inferSchema"
         val optKey = readerOpts.toSeq.sorted.mkString(",") +
-          schemaDdl.getOrElse("") + names.mkString(",")
+          schemaDdl.getOrElse("") + names.mkString(",") +
+          (if (skipLines > 0) s",skip=$skipLines" else "") +
+          (if (jsonMultiline) ",ml" else "") +
+          (if (noHivePartitioning) ",nohive" else "")
         val view = "graft_rf_" + java.security.MessageDigest.getInstance("MD5")
           .digest((fn + " " + path + " " + optKey).getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16)
@@ -3245,11 +3380,32 @@ object GraftSqlParser {
         // re-registration costs a footer read (parquet) or one
         // inference pass (csv) per stage, not per row.
         val rdf = fn match {
-          case "read_parquet" => spark.read.parquet(path)
-          case "read_json_auto" | "read_json" => spark.read.json(path)
+          case "read_parquet" =>
+            val r = spark.read
+            (if (noHivePartitioning) r.option("recursiveFileLookup", "true") else r).parquet(path)
+          case "read_json_auto" | "read_json" =>
+            val r = if (jsonMultiline) spark.read.option("multiLine", "true") else spark.read
+            schemaDdl.fold(r)(d => r.schema(d)).json(path)
           case _ =>
             val base = spark.read.options(readerOpts)
-            val read = schemaDdl.fold(base)(d => base.schema(d)).csv(path)
+            val read =
+              if (skipLines > 0) {
+                // genuine skip: no Spark CSV option exists, so read the
+                // file as text, drop the first N lines BY FILE ORDER
+                // (zipWithIndex indexes partitions by byte offset, so
+                // indices are exact line numbers for a single file), and
+                // parse the remainder. DuckDB's skip is per FILE, so a
+                // glob/multi-file path would misread - refuse it.
+                if (path.exists(c => c == '*' || c == '?' || c == '['))
+                  fail("skip with a glob path isn't supported (DuckDB's skip " +
+                    "applies per file) - read the files separately")
+                val n = skipLines
+                val body = spark.createDataset(
+                  spark.read.textFile(path).rdd.zipWithIndex()
+                    .collect { case (ln, i) if i >= n => ln }
+                )(org.apache.spark.sql.Encoders.STRING)
+                schemaDdl.fold(base)(d => base.schema(d)).csv(body)
+              } else schemaDdl.fold(base)(d => base.schema(d)).csv(path)
             if (names.nonEmpty) {
               if (names.length != read.columns.length)
                 fail(s"names has ${names.length} entries but the file has " +

@@ -549,9 +549,16 @@ class DialectSpec extends SparkSpec {
     assert(colsOf("SELECT COLUMNS(c -> len(c) * 2 - 1 >= 2 + 3) FROM df")
       == Seq("n_a", "n_b", "tag"))
     assert(colsOf("SELECT COLUMNS(c -> len(c) + 1 = 3) FROM df") == Seq("id"))
-    // `/` is DOUBLE division (3/2 = 1.5, never matches = 1); `//` floors
+    // `/` is DOUBLE division (3/2 = 1.5, never matches = 1); `//` is
+    // DuckDiv's TRUNC toward zero on integral inputs (ADVICE r10: floor
+    // gave -8//3 = -3; DuckDB gives -2), NULL-ish on /0
     assert(colsOf("SELECT COLUMNS(c -> len(c) // 2 = 1 AND c LIKE '%a%') FROM df")
       == Seq("n_a", "tag"))
+    assert(colsOf("SELECT COLUMNS(c -> (len(c) - 10) // 3 = -2) FROM df")
+      == Seq("id", "n_a", "n_b", "tag"))
+    val eZero = intercept[DuckDialectException](SqlStage("s",
+      "SELECT COLUMNS(c -> len(c) // 0 = 0) FROM df").apply(spark, df))
+    assert(eZero.getMessage.contains("matches no column"))
     val eDiv = intercept[DuckDialectException](SqlStage("s",
       "SELECT COLUMNS(c -> len(c) / 2 = 1 AND len(c) <> 2) FROM df").apply(spark, df))
     assert(eDiv.getMessage.contains("matches no column"))
@@ -559,9 +566,25 @@ class DialectSpec extends SparkSpec {
     // unary minus and parenthesized numeric subexpressions
     assert(colsOf("SELECT COLUMNS(c -> -len(c) < (0 - 2)) FROM df")
       == Seq("n_a", "n_b", "tag"))
+    // substring/substr/replace name transforms (r11, VERDICT r10 #5) —
+    // every expansion AND substring edge probed on duckdb 1.0.0
+    // (negative start counts from the END: substring('abcdef', -2) = 'ef')
+    assert(colsOf("SELECT COLUMNS(c -> substring(c, 1, 2) = 'n_') FROM df")
+      == Seq("n_a", "n_b"))
+    assert(colsOf("SELECT COLUMNS(c -> substr(c, 2) = 'ag') FROM df") == Seq("tag"))
+    assert(colsOf("SELECT COLUMNS(c -> substring(c, -1) = 'a') FROM df") == Seq("n_a"))
+    assert(colsOf("SELECT COLUMNS(c -> substring(c, 0, 2) = 'n') FROM df")
+      == Seq("n_a", "n_b"))
+    assert(colsOf("SELECT COLUMNS(c -> replace(c, '_', '') = 'na') FROM df")
+      == Seq("n_a"))
+    // transforms compose with each other and with len()
+    assert(colsOf("SELECT COLUMNS(c -> upper(substring(c, 1, 1)) = 'N') FROM df")
+      == Seq("n_a", "n_b"))
+    assert(colsOf("SELECT COLUMNS(c -> len(replace(c, '_', '')) = 2) FROM df")
+      == Seq("id", "n_a", "n_b"))
     // unsupported name functions stay guided errors
     val eLam = intercept[DuckDialectException](SqlStage("s",
-      "SELECT COLUMNS(c -> substring(c, 1, 2) = 'n_') FROM df").apply(spark, df))
+      "SELECT COLUMNS(c -> reverse(c) = 'di') FROM df").apply(spark, df))
     assert(eLam.getMessage.contains("COLUMNS"))
     // a trailing comma / FROM / alias is NOT an operator context
     val ok = SqlStage("s", "SELECT COLUMNS('^n_'), tag FROM df").apply(spark, df)
@@ -713,10 +736,21 @@ class DialectSpec extends SparkSpec {
     assert(!b("SELECT 'axb' GLOB 'a.b' AS r FROM df").getBoolean(0))
     assert(b("SELECT 'x' NOT GLOB 'y*' AS r FROM df").getBoolean(0))
     assert(b("SELECT CAST(NULL AS STRING) GLOB 'a' AS r FROM df").isNullAt(0))
-    // computed pattern → guided error, never a silent misparse
-    val e = intercept[DuckDialectException](
-      SqlStage("s", "SELECT f GLOB f AS r FROM df").apply(spark, df))
-    assert(e.getMessage.contains("string literal"))
+    // `glob` is NOT reserved in Spark: identifier uses must keep
+    // parsing (ADVICE r10 — previously claimed + failed). Also SELECT
+    // aliases and qualified refs.
+    val files = Seq(("a.csv", "x")).toDF("glob", "other")
+    files.createOrReplaceTempView("glob_files")
+    assert(SqlStage("s", "SELECT glob FROM glob_files").apply(spark, df)
+      .collect().head.getString(0) == "a.csv")
+    assert(SqlStage("s", "SELECT g.glob, other FROM glob_files g WHERE glob = 'a.csv'")
+      .apply(spark, df).count() == 1)
+    // ...while operator uses in the same statement still rewrite
+    assert(b("SELECT glob GLOB '*.csv' AS r FROM glob_files").getBoolean(0))
+    // a computed pattern is no longer claimed: it reaches Spark's own
+    // parser (and fails there as non-SQL) instead of a dialect error
+    intercept[Exception](
+      SqlStage("s", "SELECT f GLOB f AS r FROM df").apply(spark, df).collect())
   }
 
   test("struct literals rewrite to named_struct; MAP literals stay guided") {
@@ -850,8 +884,12 @@ class DialectSpec extends SparkSpec {
     assert(one("SELECT 100 // 7 // 2 AS r FROM df").getLong(0) == 7L)
     assert(one("SELECT len('abcdefg') // 2 AS r FROM df").getLong(0) == 3L)
     assert(one("SELECT (id + 7) // 2 AS r FROM df").getLong(0) == 3L)
-    // divide-by-zero → NULL on both engines (probed)
+    // divide-by-zero → NULL on both engines (probed) — the FRACTIONAL
+    // path too (ADVICE r10: was Infinity/NaN; DuckDB: 7.5 // 0 is NULL)
     assert(one("SELECT 7 // 0 AS r FROM df").isNullAt(0))
+    assert(one("SELECT 7.5 // 0 AS r FROM df").isNullAt(0))
+    assert(one("SELECT 7.5 // 0.0 AS r FROM df").isNullAt(0))
+    assert(one("SELECT CAST(7.5 AS DOUBLE) // 0 AS r FROM df").isNullAt(0))
     // `**`: DOUBLE result, LEFT-assoc (2**3**2 = 64, not 512), tighter
     // than * (3*2**2 = 12), looser than unary minus (-2**2 = 4)
     assert(one("SELECT 2 ** 3 AS r FROM df").getDouble(0) == 8.0)
@@ -1646,7 +1684,84 @@ class DialectSpec extends SparkSpec {
     assert(en.getMessage.contains("names has 1"))
     val ep = intercept[DuckDialectException](SqlStage("s",
       s"SELECT * FROM read_parquet('$dir/p.csv', delim = '|')").apply(spark, df))
-    assert(ep.getMessage.contains("only supported on read_csv"))
+    assert(ep.getMessage.contains("isn't supported on read_parquet"))
+  }
+
+  test("read_csv skip genuinely drops leading lines; compression is honest on reads") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1, 4).toDF("id").withColumn("v", col("id") * 2)
+    val dir = Files.createTempDirectory("graft-skip").toString
+    // two junk preamble lines, then header, then data — DuckDB's
+    // skip=2 + header=true shape
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/pre.csv"),
+      "# generated by tool\n# do not edit\nid,v\n1,2\n2,4\n3,6\n".getBytes("UTF-8"))
+    val rt = SqlStage("s",
+      s"SELECT * FROM read_csv('$dir/pre.csv', skip = 2, header = true) ORDER BY id")
+      .apply(spark, df).collect()
+    assert(rt.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 2), (2, 4), (3, 6)))
+    // skip with explicit columns (no inference), headerless body
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/nohdr.csv"),
+      "junk\n10,a\n20,b\n".getBytes("UTF-8"))
+    val nh = SqlStage("s",
+      s"""SELECT * FROM read_csv('$dir/nohdr.csv', skip = 1, header = false,
+            columns = {'n': 'BIGINT', 's': 'VARCHAR'}) ORDER BY n""")
+      .apply(spark, df).collect()
+    assert(nh.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((10L, "a"), (20L, "b")))
+    // skip over a glob path would misread per-file semantics → guided
+    val eg = intercept[DuckDialectException](SqlStage("s",
+      s"SELECT * FROM read_csv('$dir/*.csv', skip = 1)").apply(spark, df))
+    assert(eg.getMessage.contains("per file"))
+    // compression: values agreeing with extension-based decode pass...
+    assert(SqlStage("s",
+      s"SELECT count(*) AS n FROM read_csv('$dir/pre.csv', skip = 2, compression = 'none')")
+      .apply(spark, df).collect().head.getLong(0) == 3L)
+    val gz = s"$dir/data.csv.gz"
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    out.write("id,v\n5,50\n".getBytes("UTF-8")); out.close()
+    assert(SqlStage("s",
+      s"SELECT * FROM read_csv('$gz', compression = 'gzip')")
+      .apply(spark, df).collect().head.getInt(1) == 50)
+    // ...a codec the read path can't force is a guided error, not a misread
+    val ec = intercept[DuckDialectException](SqlStage("s",
+      s"SELECT * FROM read_csv('$dir/pre.csv', compression = 'gzip')").apply(spark, df))
+    assert(ec.getMessage.contains("extension"))
+  }
+
+  test("read_json columns/format and read_parquet hive_partitioning options") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1, 4).toDF("id")
+    val dir = Files.createTempDirectory("graft-jsonopts").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"b\": \"y\"}\n".getBytes("UTF-8"))
+    // columns= pins the schema (DuckDB: columns IS the schema)
+    val typed = SqlStage("s",
+      s"""SELECT * FROM read_json('$dir/d.jsonl',
+            columns = {'a': 'BIGINT', 'b': 'VARCHAR'}) ORDER BY a""").apply(spark, df)
+    assert(typed.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq("a" -> "bigint", "b" -> "string"))
+    assert(typed.count() == 2)
+    // format='array' reads a single top-level JSON array (multiLine)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/arr.json"),
+      "[{\"a\": 1}, {\"a\": 2}, {\"a\": 3}]".getBytes("UTF-8"))
+    assert(SqlStage("s",
+      s"SELECT count(*) AS n FROM read_json('$dir/arr.json', format = 'array')")
+      .apply(spark, df).collect().head.getLong(0) == 3L)
+    // records=false (value-per-row) refused, unknown json option guided
+    val er = intercept[DuckDialectException](SqlStage("s",
+      s"SELECT * FROM read_json('$dir/d.jsonl', records = false)").apply(spark, df))
+    assert(er.getMessage.contains("records"))
+    val eu = intercept[DuckDialectException](SqlStage("s",
+      s"SELECT * FROM read_json('$dir/d.jsonl', maximum_depth = 3)").apply(spark, df))
+    assert(eu.getMessage.contains("maximum_depth"))
+    // read_parquet hive_partitioning: true discovers k=..., false doesn't
+    spark.range(1, 5).toDF("id").withColumn("k", col("id") % 2)
+      .write.partitionBy("k").parquet(s"$dir/part")
+    val hp = SqlStage("s",
+      s"SELECT * FROM read_parquet('$dir/part', hive_partitioning = true)").apply(spark, df)
+    assert(hp.columns.contains("k") && hp.count() == 4)
+    val nhp = SqlStage("s",
+      s"SELECT * FROM read_parquet('$dir/part', hive_partitioning = false)").apply(spark, df)
+    assert(!nhp.columns.contains("k") && nhp.count() == 4)
   }
 
   test("database-file statements raise guided errors naming the graft routes") {
