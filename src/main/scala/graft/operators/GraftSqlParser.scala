@@ -2359,7 +2359,11 @@ object GraftSqlParser {
     // substring follows DuckDB 1.0.0 (probed): a negative start counts
     // from the END (start' = len + start + 1), start 0 eats into the
     // length, the window [max(start',1), start'+len-1] clamps to the
-    // string, empty when inverted; replace('', ...) is identity.
+    // string, empty when inverted; a NEGATIVE length selects |len|
+    // chars ENDING just before start — substring('hello', 3, -2) =
+    // 'he', i.e. the window [start+len, start-1] (probed r12, ADVICE
+    // r11 expected an error but duckdb 1.0.0 returns the backward
+    // window); replace('', ...) is identity.
     def parseStrExpr(): Option[String => String] = peek match {
       case Some(Word(w)) if w == v => p += 1; Some(identity[String])
       case Some(Word(w)) if w.equalsIgnoreCase("lower") || w.equalsIgnoreCase("upper") =>
@@ -2390,8 +2394,13 @@ object GraftSqlParser {
           val s = inner(c)
           val n = s.length.toLong
           val st = if (start < 0) n + start + 1 else start
-          val lo = math.max(st, 1L)
-          val hi = math.min(lenOpt.fold(n)(l => st + l - 1), n)
+          val (lo0, hi0) = lenOpt match {
+            case None => (st, n)
+            case Some(l) if l >= 0 => (st, st + l - 1)
+            case Some(l) => (st + l, st - 1) // negative len: backward window
+          }
+          val lo = math.max(lo0, 1L)
+          val hi = math.min(hi0, n)
           if (hi < lo) "" else s.substring(lo.toInt - 1, hi.toInt)
         }
       case Some(Word(w)) if w.equalsIgnoreCase("replace") =>
@@ -2412,17 +2421,21 @@ object GraftSqlParser {
     }
     // numeric expressions over the NAME (r10 — VERDICT r9 #5's
     // arithmetic-on-the-variable forms): full + - * / // % arithmetic
-    // with DuckDB's numeric rules (`/` is double division, `//` is
-    // DuckDiv's trunc-toward-zero on integral inputs / plain division
-    // on fractional ones, `%` modulo), atoms are integer literals, unary minus,
-    // parenthesized sub-expressions, and len/length/strlen of a string
-    // expression. Values are doubles internally — the only name-derived
-    // number is a small length, well inside exact double range.
-    def parseNumAtom(): Option[String => Double] = peek match {
-      case Some(Num(k)) => p += 1; Some(_ => k.toDouble)
+    // with DuckDB's numeric rules, atoms are integer literals, unary
+    // minus, parenthesized sub-expressions, and len/length/strlen of a
+    // string expression. Values are doubles internally (NaN encodes
+    // SQL NULL — the only NULL producer is /0); each subexpression
+    // also carries its STATIC integral-typedness because DuckDB
+    // dispatches `//` on the declared type, not the runtime value
+    // (ADVICE r11, probed on duckdb 1.0.0): INTEGER // INTEGER
+    // truncates toward zero (-7 // 2 = -3), but any DOUBLE operand
+    // makes `//` PLAIN division — (7/1) // 2 = 3.5, 7.5 // 2 = 3.75.
+    case class NumE(eval: String => Double, integral: Boolean)
+    def parseNumAtom(): Option[NumE] = peek match {
+      case Some(Num(k)) => p += 1; Some(NumE(_ => k.toDouble, integral = true))
       case Some(Sym("-")) =>
         p += 1
-        parseNumAtom().map(f => (c: String) => -f(c))
+        parseNumAtom().map(e => NumE(c => -e.eval(c), e.integral))
       case Some(Sym("(")) =>
         p += 1
         val e = parseNumAdd().getOrElse(return None)
@@ -2436,10 +2449,10 @@ object GraftSqlParser {
         val inner = parseStrExpr().getOrElse(return None)
         if (!peek.contains(Sym(")"))) return None
         p += 1
-        Some(c => inner(c).length.toDouble)
+        Some(NumE(c => inner(c).length.toDouble, integral = true))
       case _ => None
     }
-    def parseNumMul(): Option[String => Double] = {
+    def parseNumMul(): Option[NumE] = {
       var left = parseNumAtom().getOrElse(return None)
       var scanning = true
       while (scanning) peek match {
@@ -2448,25 +2461,31 @@ object GraftSqlParser {
           val r = parseNumAtom().getOrElse(return None)
           val l = left
           left = op match {
-            case "*" => c => l(c) * r(c)
-            case "/" => c => l(c) / r(c)
-            case "//" => c => {
-              // DuckDiv semantics, not floor (ADVICE r10): integral
-              // inputs truncate toward zero (-7 // 2 = -3), fractional
-              // inputs divide plainly; /0 is NULL -> NaN here (every
-              // comparison on NaN is false, matching NULL predicates)
-              val (lv, rv) = (l(c), r(c))
-              if (rv == 0.0d) Double.NaN
-              else if (lv.isWhole && rv.isWhole) (lv.toLong / rv.toLong).toDouble
-              else lv / rv
-            }
-            case _ => c => l(c) % r(c)
+            case "*" => NumE(c => l.eval(c) * r.eval(c), l.integral && r.integral)
+            case "/" =>
+              // `/` is always DOUBLE division; x / 0 is NULL (probed —
+              // Infinity would wrongly satisfy <>/>/>= predicates)
+              NumE(c => {
+                val rv = r.eval(c)
+                if (rv == 0.0d) Double.NaN else l.eval(c) / rv
+              }, integral = false)
+            case "//" =>
+              val integralDiv = l.integral && r.integral
+              NumE(c => {
+                val (lv, rv) = (l.eval(c), r.eval(c))
+                if (rv == 0.0d || lv.isNaN || rv.isNaN) Double.NaN
+                else if (integralDiv) (lv.toLong / rv.toLong).toDouble
+                else lv / rv
+              }, integralDiv)
+            case _ =>
+              // %: JVM fmod matches DuckDB's sign rules; % 0 is NaN natively
+              NumE(c => l.eval(c) % r.eval(c), l.integral && r.integral)
           }
         case _ => scanning = false
       }
       Some(left)
     }
-    def parseNumAdd(): Option[String => Double] = {
+    def parseNumAdd(): Option[NumE] = {
       var left = parseNumMul().getOrElse(return None)
       var scanning = true
       while (scanning) peek match {
@@ -2474,37 +2493,44 @@ object GraftSqlParser {
           p += 1
           val r = parseNumMul().getOrElse(return None)
           val l = left
-          left = if (op == "+") (c: String) => l(c) + r(c)
-                 else (c: String) => l(c) - r(c)
+          left = if (op == "+") NumE(c => l.eval(c) + r.eval(c), l.integral && r.integral)
+                 else NumE(c => l.eval(c) - r.eval(c), l.integral && r.integral)
         case _ => scanning = false
       }
       Some(left)
     }
     val cmpOps = Set("=", "<>", "<", "<=", ">", ">=")
-    def cmp(op: String, a: Double, b: Double): Boolean = op match {
-      case "=" => a == b
-      case "<>" => a != b
-      case "<" => a < b
-      case "<=" => a <= b
-      case ">" => a > b
-      case ">=" => a >= b
-    }
+    // NULL-aware comparison (ADVICE r11): a NaN operand means SQL NULL,
+    // and NULL cmp x is NULL for EVERY operator — `a != b` on NaN is
+    // true in the JVM, which inverted <> and NOT (len(c) // 0 <> 0
+    // matched ALL columns where DuckDB matches none).
+    def cmpN(op: String, a: Double, b: Double): Option[Boolean] =
+      if (a.isNaN || b.isNaN) None
+      else Some(op match {
+        case "=" => a == b
+        case "<>" => a != b
+        case "<" => a < b
+        case "<=" => a <= b
+        case ">" => a > b
+        case ">=" => a >= b
+      })
     // nexpr cmp nexpr — arithmetic allowed on BOTH sides
-    def parseNumPred(): Option[String => Boolean] = {
+    def parseNumPred(): Option[String => Option[Boolean]] = {
       val l = parseNumAdd().getOrElse(return None)
       val op = peek match {
         case Some(Sym(s)) if cmpOps(s) => p += 1; s
         case _ => return None
       }
-      parseNumAdd().map(r => (c: String) => cmp(op, l(c), r(c)))
+      parseNumAdd().map(r => (c: String) => cmpN(op, l.eval(c), r.eval(c)))
     }
-    def parsePred(): Option[String => Boolean] = {
+    def parsePred(): Option[String => Option[Boolean]] = {
       attempt(() => parseNumPred()).foreach(f => return Some(f))
       val s = attempt(() => parseStrExpr()).getOrElse(return None)
       val neg = peek.exists(isKw(_, "NOT"))
       if (neg) p += 1
-      def negate(f: String => Boolean): String => Boolean =
-        if (neg) c => !f(c) else f
+      // string predicates never see NULL (the operand is a column NAME)
+      def negate(f: String => Boolean): String => Option[Boolean] =
+        if (neg) c => Some(!f(c)) else c => Some(f(c))
       peek match {
         case Some(Word(op)) if op.equalsIgnoreCase("LIKE") || op.equalsIgnoreCase("ILIKE") =>
           p += 1
@@ -2534,47 +2560,73 @@ object GraftSqlParser {
         case Some(Sym("=")) if !neg =>
           p += 1
           val lit = takeStr().getOrElse(return None)
-          Some(c => s(c) == lit)
+          Some(c => Some(s(c) == lit))
         case Some(Sym("<>")) if !neg =>
           p += 1
           val lit = takeStr().getOrElse(return None)
-          Some(c => s(c) != lit)
+          Some(c => Some(s(c) != lit))
         case _ => None
       }
     }
-    def parseFactor(): Option[String => Boolean] = peek match {
+    // Kleene three-valued AND/OR (ADVICE r11): NULL (None) propagates
+    // unless the other side decides — false AND NULL = false,
+    // true OR NULL = true; NOT NULL = NULL.
+    def kAnd(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
+      (a, b) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+    def kOr(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
+      (a, b) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    def parseFactor(): Option[String => Option[Boolean]] = peek match {
       case Some(t) if isKw(t, "NOT") =>
         p += 1
-        parseFactor().map(f => (c: String) => !f(c))
+        parseFactor().map(f => (c: String) => f(c).map(!_))
       case Some(Sym("(")) =>
-        p += 1
-        val e = parseExpr().getOrElse(return None)
-        if (!peek.contains(Sym(")"))) return None
-        p += 1
-        Some(e)
+        // A leading paren is ambiguous: a boolean group `(a AND b)` or
+        // a parenthesized NUMERIC subexpression starting a predicate,
+        // `(len(c) - 10) // 3 = -2` (VERDICT r11 #1 — the grammar used
+        // to hard-commit to the boolean group and fail-closed on the
+        // latter). Attempt the group, backtrack to the predicate
+        // grammar, whose numeric atoms consume the paren themselves.
+        val grouped = attempt { () =>
+          p += 1
+          parseExpr() match {
+            case Some(e) if peek.contains(Sym(")")) => p += 1; Some(e)
+            case _ => None
+          }
+        }
+        grouped.orElse(attempt(() => parsePred()))
       case _ => parsePred()
     }
-    def parseTerm(): Option[String => Boolean] = {
+    def parseTerm(): Option[String => Option[Boolean]] = {
       var left = parseFactor().getOrElse(return None)
       while (peek.exists(isKw(_, "AND"))) {
         p += 1
         val r = parseFactor().getOrElse(return None)
         val l = left
-        left = c => l(c) && r(c)
+        left = c => kAnd(l(c), r(c))
       }
       Some(left)
     }
-    def parseExpr(): Option[String => Boolean] = {
+    def parseExpr(): Option[String => Option[Boolean]] = {
       var left = parseTerm().getOrElse(return None)
       while (peek.exists(isKw(_, "OR"))) {
         p += 1
         val r = parseTerm().getOrElse(return None)
         val l = left
-        left = c => l(c) || r(c)
+        left = c => kOr(l(c), r(c))
       }
       Some(left)
     }
+    // a NULL predicate matches no column — NULL is falsy in a filter
     parseExpr().filter(_ => p == toks.length)
+      .map(f => (c: String) => f(c).getOrElse(false))
   }
 
   /** The [start, end) span of the WHERE clause body containing position

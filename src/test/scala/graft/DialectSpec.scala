@@ -556,9 +556,34 @@ class DialectSpec extends SparkSpec {
       == Seq("n_a", "tag"))
     assert(colsOf("SELECT COLUMNS(c -> (len(c) - 10) // 3 = -2) FROM df")
       == Seq("id", "n_a", "n_b", "tag"))
+    // a lambda body STARTING with a parenthesized numeric subexpression
+    // (VERDICT r11 #1 — the grammar used to hard-commit the paren to a
+    // boolean group and fail); every expansion probed on duckdb 1.0.0
+    assert(colsOf("SELECT COLUMNS(c -> (len(c)) // 3 = 1) FROM df")
+      == Seq("n_a", "n_b", "tag"))
+    assert(colsOf("SELECT COLUMNS(c -> (len(c) - 10) / 3 < 0) FROM df")
+      == Seq("id", "n_a", "n_b", "tag"))
+    // `//` dispatches on STATIC type (ADVICE r11): a `/` result is
+    // DOUBLE-typed, so (len(c)/1) // 2 is PLAIN division in DuckDB —
+    // (2/1)//2 = 1.0 matches, (3/1)//2 = 1.5 does not
+    assert(colsOf("SELECT COLUMNS(c -> (len(c) / 1) // 2 = 1) FROM df")
+      == Seq("id"))
     val eZero = intercept[DuckDialectException](SqlStage("s",
       "SELECT COLUMNS(c -> len(c) // 0 = 0) FROM df").apply(spark, df))
     assert(eZero.getMessage.contains("matches no column"))
+    // NULL-aware <> and NOT (ADVICE r11): NULL cmp x is NULL for EVERY
+    // operator, and NOT NULL = NULL — both match no columns in DuckDB
+    // (probed: Binder Error, empty set); a NaN-as-NULL shortcut made
+    // these match ALL columns
+    val eNeq = intercept[DuckDialectException](SqlStage("s",
+      "SELECT COLUMNS(c -> len(c) // 0 <> 0) FROM df").apply(spark, df))
+    assert(eNeq.getMessage.contains("matches no column"))
+    val eNot = intercept[DuckDialectException](SqlStage("s",
+      "SELECT COLUMNS(c -> NOT (len(c) // 0 = 0)) FROM df").apply(spark, df))
+    assert(eNot.getMessage.contains("matches no column"))
+    // Kleene OR: NULL OR true = true (probed: matches n_a, n_b)
+    assert(colsOf("SELECT COLUMNS(c -> len(c) // 0 = 0 OR c LIKE 'n%') FROM df")
+      == Seq("n_a", "n_b"))
     val eDiv = intercept[DuckDialectException](SqlStage("s",
       "SELECT COLUMNS(c -> len(c) / 2 = 1 AND len(c) <> 2) FROM df").apply(spark, df))
     assert(eDiv.getMessage.contains("matches no column"))
@@ -577,6 +602,13 @@ class DialectSpec extends SparkSpec {
       == Seq("n_a", "n_b"))
     assert(colsOf("SELECT COLUMNS(c -> replace(c, '_', '') = 'na') FROM df")
       == Seq("n_a"))
+    // NEGATIVE substring length selects |len| chars ENDING just before
+    // start (probed r12 on duckdb 1.0.0: substring('hello', 3, -2) =
+    // 'he' — NOT an error, contra ADVICE r11, and not always '')
+    assert(colsOf("SELECT COLUMNS(c -> substring(c, 3, -2) = 'n_') FROM df")
+      == Seq("n_a", "n_b"))
+    assert(colsOf("SELECT COLUMNS(c -> substring(c, 1, -1) = '') FROM df")
+      == Seq("id", "n_a", "n_b", "tag"))
     // transforms compose with each other and with len()
     assert(colsOf("SELECT COLUMNS(c -> upper(substring(c, 1, 1)) = 'N') FROM df")
       == Seq("n_a", "n_b"))
