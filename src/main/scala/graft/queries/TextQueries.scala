@@ -785,55 +785,81 @@ object TextQueries {
     * thing in closed form, so O14's ROW-COUNT semantics (drop on
     * non-2xx — the thing the oracle's count checks) AND the appended
     * body's content are both oracle-anchored, not just suite-asserted.
-    * The aggregate is collected and re-wrapped so the server can stop
-    * before the DataFrame leaves this function.
+    * The stub lives for the whole JVM ([[RestStubServer]]), so the
+    * returned DataFrame stays lazily evaluable.
     */
-  def q131RestPipeline(s: SparkSession, d: String): DataFrame = {
+  /** Lazily-initialized per-JVM stub server (VERDICT r11 #2: booting a
+    * fresh `HttpServer` + pool per invocation flaked under the bench's
+    * 10 concurrent streams × 8 passes). Started ONCE on first use and
+    * never torn down; the handler is deterministic and stateless, so
+    * every invocation — concurrent or repeated — sees identical
+    * behavior. The boot happens on a short-lived DAEMON thread because
+    * the JDK server's dispatcher thread inherits daemon status from
+    * the thread calling `start()` — a non-daemon dispatcher would hold
+    * the forked Verify/Bench JVM open at exit (its internal timers are
+    * already daemon, and the worker pool below is daemon by
+    * construction).
+    */
+  private object RestStubServer {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
-    // TCP_NODELAY on the stub's sockets: without it the tiny two-write
-    // responses (headers, then body) hit Nagle + delayed-ACK and every
-    // keep-alive request stalls ~40 ms — 2000 calls took 10 s instead
-    // of under 1 (measured; the flag is the JDK server's only knob)
-    System.setProperty("sun.net.httpserver.nodelay", "true")
-    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
-    server.createContext("/score/", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
-        val id = ex.getRequestURI.getPath.stripPrefix("/score/").toLong
-        if (id % 7 == 0) ex.sendResponseHeaders(404, -1)
-        else {
-          val bytes = String.valueOf(id * 3 + 1)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          ex.sendResponseHeaders(200, bytes.length)
-          ex.getResponseBody.write(bytes)
-        }
-        ex.close()
-      }
-    })
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
-      r => { val t = new Thread(r, "graft-q131-stub"); t.setDaemon(true); t })
-    server.setExecutor(pool)
-    server.start()
-    try {
-      val port = server.getAddress.getPort
-      val yaml =
-        s"""
-           |filters:
-           |  - name: bound
-           |    actionType: derive
-           |    actionConfig: {filter: "doc_id < 2000"}
-           |  - name: enrich
-           |    actionType: rest
-           |    filterThreads: 8
-           |    actionConfig: {host: "http://localhost:$port", path: "/score/{doc_id}"}
-           |  - name: agg
-           |    actionType: sql
-           |    code: "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(CAST(response AS BIGINT)) AS BIGINT) AS total FROM df GROUP BY lang ORDER BY lang"
-           |""".stripMargin
-      val out = graft.operators.Pipeline
-        .runYaml(s, yaml, s"$d/documents.parquet", None).output
-      val rows = out.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    } finally { server.stop(0); pool.shutdownNow() }
+    lazy val port: Int = {
+      // TCP_NODELAY on the stub's sockets: without it the tiny
+      // two-write responses (headers, then body) hit Nagle +
+      // delayed-ACK and every keep-alive request stalls ~40 ms — 2000
+      // calls took 10 s instead of under 1 (measured; the flag is the
+      // JDK server's only knob)
+      System.setProperty("sun.net.httpserver.nodelay", "true")
+      @volatile var bound = -1
+      @volatile var err: Throwable = null
+      val boot = new Thread(() => {
+        try {
+          val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+          server.createContext("/score/", new HttpHandler {
+            override def handle(ex: HttpExchange): Unit = {
+              val id = ex.getRequestURI.getPath.stripPrefix("/score/").toLong
+              if (id % 7 == 0) ex.sendResponseHeaders(404, -1)
+              else {
+                val bytes = String.valueOf(id * 3 + 1)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                ex.sendResponseHeaders(200, bytes.length)
+                ex.getResponseBody.write(bytes)
+              }
+              ex.close()
+            }
+          })
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+            r => { val t = new Thread(r, "graft-q131-stub"); t.setDaemon(true); t })
+          server.setExecutor(pool)
+          server.start()
+          bound = server.getAddress.getPort
+        } catch { case t: Throwable => err = t }
+      }, "graft-q131-stub-boot")
+      boot.setDaemon(true)
+      boot.start()
+      boot.join()
+      if (err != null) throw err
+      bound
+    }
+  }
+
+  def q131RestPipeline(s: SparkSession, d: String): DataFrame = {
+    val port = RestStubServer.port
+    val yaml =
+      s"""
+         |filters:
+         |  - name: bound
+         |    actionType: derive
+         |    actionConfig: {filter: "doc_id < 2000"}
+         |  - name: enrich
+         |    actionType: rest
+         |    filterThreads: 8
+         |    actionConfig: {host: "http://localhost:$port", path: "/score/{doc_id}"}
+         |  - name: agg
+         |    actionType: sql
+         |    code: "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(CAST(response AS BIGINT)) AS BIGINT) AS total FROM df GROUP BY lang ORDER BY lang"
+         |""".stripMargin
+    graft.operators.Pipeline
+      .runYaml(s, yaml, s"$d/documents.parquet", None).output
   }
 
   /** Quality-aware near-dup survivor selection ([[graft.functions.Dedup
