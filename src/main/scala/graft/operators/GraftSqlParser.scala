@@ -274,22 +274,43 @@ object GraftSqlParser {
     Some(j)
   }
 
-  /** DuckDB `->` / `->>` JSON extraction (r10 — previously a guided
-    * error): chains like `j -> 'a' ->> 'b'` or `j ->> 'k'` rewrite to
-    * `get_json_object(j, '$.a.b')`, whose output matches DuckDB's `->>`
-    * exactly (probed on duckdb 1.0.0: VARCHAR, strings unquoted,
-    * object/array values re-serialized COMPACT — the same normal form
-    * Spark's get_json_object emits — missing path → NULL). Integer
-    * arguments index arrays (`-> 0` → `$[0]`).
+  /** DuckDB `->` / `->>` JSON extraction (r10; terminal `->` r12 —
+    * VERDICT r11 #3): chains like `j -> 'a' ->> 'b'` or `j ->> 'k'`
+    * rewrite to `get_json_object(j, '$.a.b')`, whose output matches
+    * DuckDB's `->>` exactly (probed on duckdb 1.0.0: VARCHAR, strings
+    * unquoted, object/array values re-serialized COMPACT — the same
+    * normal form Spark's get_json_object emits — missing path → NULL).
+    * Integer arguments index arrays (`-> 0` → `$[0]`).
     *
-    * Only chains containing a `->>` rewrite: a bare `->` is also
-    * Spark's LAMBDA arrow (`transform(l, x -> x + 1)` — and DuckDB
-    * itself disambiguates lambdas from JSON `->` by context), so plain
-    * `->` chains keep the guided error naming get_json_object rather
-    * than risking a silent lambda mangle. A `->>` chain whose argument
-    * isn't a string literal / integer, carries a non-word key, or ends
-    * in `->` raises a guided error.
+    * A chain ENDING in `->` returns DuckDB's JSON type, whose text
+    * form differs from `->>` on scalars: strings KEEP their quotes,
+    * numbers canonicalize (1.50 → 1.5), a JSON `null` value is SQL
+    * NULL. The rewrite reproduces it exactly (all probed r12):
+    * objects/arrays go through `get_json_object` (Jackson's compact
+    * re-serialization is byte-identical to yyjson's — source key order
+    * kept, numbers canonicalized), scalars through
+    * `to_json(variant_get(parse_json(b), path))` (variant re-quotes
+    * strings; variant's SORTED object keys are why objects must NOT
+    * take this branch), and `nullif(…, 'null')` maps the JSON-null
+    * rendering to SQL NULL — a genuine string "null" renders quoted,
+    * so nullif can't touch it. The branch dispatch reads the VARIANT
+    * text's first char ({ or [), never the raw value, so a string
+    * value that merely starts with '{' stays a quoted scalar.
+    *
+    * A bare `->` is also Spark's LAMBDA arrow (`transform(l, x -> x +
+    * 1)` — DuckDB itself disambiguates by binder context). A bare
+    * chain rewrites only when every chain argument is a string literal
+    * or integer AND the base does not sit at an argument boundary of a
+    * known higher-order function (the lambda position); otherwise it
+    * is left untouched for Spark's lambda parser. A `->>` chain keeps
+    * the fail-loud guided error on unsupported argument shapes.
     */
+  private val lambdaHofs = Set(
+    "transform", "filter", "exists", "forall", "aggregate", "reduce",
+    "zip_with", "map_filter", "map_zip_with", "transform_keys",
+    "transform_values", "array_sort", "list_transform", "list_filter",
+    "list_reduce", "list_aggregate", "list_sort", "list_apply")
+
   def rewriteJsonOps(sql: String): String = {
     val masked = maskQuotes(sql)
     def fail(why: String): Nothing =
@@ -328,10 +349,47 @@ object GraftSqlParser {
             if (ops.isEmpty) ops :+= ((op, argStart, argStart))
         }
       }
-      if (ops.exists(_._1 == "->>")) {
-        if (ops.last._1 != "->>")
-          fail("the chain must END in ->> (a trailing -> returns DuckDB's " +
-            "JSON type, which has no faithful text form here)")
+      val hasShovel = ops.exists(_._1 == "->>")
+      // every chain argument a string literal / integer? (bare-`->`
+      // chains rewrite only then — a lambda body is an expression)
+      val argsLiteral = ops.forall { case (_, s0, e0) =>
+        val raw0 = sql.substring(s0, e0).trim
+        raw0.matches("\\d+") ||
+          (raw0.length >= 2 && raw0.head == '\'' && raw0.last == '\'')
+      }
+      // is the word ending just before '(' at index `paren` a known HOF?
+      def hofOwns(paren: Int): Boolean = {
+        var k = paren - 1
+        while (k >= 0 && masked.charAt(k).isWhitespace) k -= 1
+        val e0 = k + 1
+        while (k >= 0 && (masked.charAt(k).isLetterOrDigit || masked.charAt(k) == '_')) k -= 1
+        k + 1 < e0 && lambdaHofs.contains(masked.substring(k + 1, e0).toLowerCase)
+      }
+      // lambda position: base starts an argument of a HOF call —
+      // `transform(l, x -> 'a')` is a constant-valued lambda, not JSON
+      val lambdaContext = bs.exists { b0 =>
+        var k = b0 - 1
+        while (k >= 0 && masked.charAt(k).isWhitespace) k -= 1
+        if (k < 0) false
+        else masked.charAt(k) match {
+          case '(' => hofOwns(k)
+          case ',' =>
+            var depth = 0
+            var q = k - 1
+            var open = -1
+            while (open < 0 && q >= 0) {
+              masked.charAt(q) match {
+                case ')' => depth += 1
+                case '(' => if (depth == 0) open = q else depth -= 1
+                case _ =>
+              }
+              q -= 1
+            }
+            open >= 0 && hofOwns(open)
+          case _ => false
+        }
+      }
+      if (hasShovel || (argsLiteral && !lambdaContext)) {
         val base = bs.getOrElse(fail("the left operand couldn't be claimed"))
         val path = ops.map { case (_, s0, e0) =>
           val raw0 = sql.substring(s0, e0).trim
@@ -345,10 +403,19 @@ object GraftSqlParser {
           } else fail(s"argument '$raw0' isn't a string literal or integer")
         }.mkString
         val baseTxt = sql.substring(base, be).trim
-        return rewriteJsonOps(sql.substring(0, base) +
-          s"get_json_object($baseTxt, '$$$path')" + sql.substring(ops.last._3))
+        val repl =
+          if (ops.last._1 == "->>") s"get_json_object($baseTxt, '$$$path')"
+          else {
+            // terminal `->`: JSON-typed result (see scaladoc)
+            val p = s"'$$$path'"
+            s"nullif(CASE WHEN left(to_json(variant_get(parse_json($baseTxt), $p)), 1) IN ('{', '[') " +
+              s"THEN get_json_object($baseTxt, $p) " +
+              s"ELSE to_json(variant_get(parse_json($baseTxt), $p)) END, 'null')"
+          }
+        return rewriteJsonOps(sql.substring(0, base) + repl +
+          sql.substring(ops.last._3))
       }
-      // a pure `->` chain (lambda or unsupported JSON form): skip past it
+      // a bare `->` lambda (or non-literal args): leave it for Spark
       searchFrom = ops.lastOption.map(_._2).getOrElse(first + 2)
     }
     sql

@@ -708,6 +708,46 @@ object ExtraQueries {
     s.sql(graft.operators.GraftSqlParser.rewriteAll(jsonOpsSqlText))
   }
 
+  /** Terminal-`->` JSON chains through the passthrough (r12, VERDICT
+    * r11 #3) — IDENTICAL text on both engines: the synthesized JSON
+    * exercises every rendering rule of DuckDB's JSON-typed `->` result
+    * (all probed on duckdb 1.0.0): a string value keeps its QUOTES
+    * (`->>`'s is unquoted — both in the same row for contrast), a
+    * number canonicalizes, an OBJECT re-serializes compact with source
+    * key order (the 'z' key before 'a' pins order preservation — the
+    * rewrite's get_json_object branch, [[graft.operators.GraftSqlParser
+    * .rewriteJsonOps]]), chained and array-indexed terminal `->`s
+    * extract through, a JSON `null` value becomes SQL NULL, and a
+    * missing key is NULL. A `transform` lambda with a constant string
+    * body rides along to pin the lambda/JSON-arrow disambiguation.
+    */
+  private[graft] val jsonArrowSqlText = """
+      WITH p AS (
+        SELECT doc_id, lang, n_chars,
+               '{"lang": "' || lang || '", "len": ' || n_chars ||
+               ', "m": {"z": ' || (n_chars // 2) || ', "a": "' || lang || '"}' ||
+               ', "tags": ["t0", "t1"]' ||
+               ', "opt": ' || CASE WHEN n_chars % 3 = 0 THEN 'null'
+                                   ELSE '"v' || (n_chars % 3) || '"' END || '}' AS j
+        FROM documents)
+      SELECT doc_id,
+             j -> 'lang' AS j_quoted,
+             j ->> 'lang' AS j_unquoted,
+             j -> 'len' AS j_num,
+             j -> 'm' AS j_obj,
+             j -> 'm' -> 'z' AS j_chain,
+             j -> 'tags' -> 1 AS j_idx,
+             j -> 'opt' AS j_opt,
+             j -> 'missing' AS j_miss,
+             list_extract(list_transform([lang], x -> 'k'), 1) AS j_lambda
+      FROM p ORDER BY doc_id"""
+
+  def q139JsonArrow(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    documents(s, d).createOrReplaceTempView("documents")
+    s.sql(graft.operators.GraftSqlParser.rewriteAll(jsonArrowSqlText))
+  }
+
   /** DuckDB `UNION ALL BY NAME` through the passthrough — IDENTICAL
     * text on both engines: two per-language aggregates with PARTIALLY
     * OVERLAPPING schemas merge by column name, each side's missing
@@ -755,6 +795,7 @@ object ExtraQueries {
     "q133_comprehension"  -> (q133Comprehension _),
     "q134_div_pow"        -> (q134DivPow _),
     "q135_json_ops"       -> (q135JsonOps _),
+    "q139_json_arrow"     -> (q139JsonArrow _),
     "q137_union_by_name"  -> (q137UnionByName _),
     "q120_macro_sql"      -> (q120MacroSql _),
     "q121_describe_sql"   -> (q121DescribeSql _),
@@ -811,6 +852,8 @@ object ExtraQueries {
     "q134_div_pow" -> opsSqlText,
     // q135: DuckDB executes the IDENTICAL ->/->>  text natively
     "q135_json_ops" -> jsonOpsSqlText,
+    // q139: DuckDB executes the IDENTICAL terminal-> chain text natively
+    "q139_json_arrow" -> jsonArrowSqlText,
     // q137: DuckDB executes the IDENTICAL UNION ALL BY NAME natively
     "q137_union_by_name" -> unionByNameSqlText,
     "q119_argmax_sql" -> argmaxSqlText,

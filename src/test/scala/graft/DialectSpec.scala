@@ -165,8 +165,9 @@ class DialectSpec extends SparkSpec {
     // comprehension-naming error
     assert(hintOf("SELECT [x for 1 in ids] FROM df").contains("comprehension"))
     // ->> left the guided-error list (auto-rewritten since r10, own
-    // test below); a chain ENDING in -> still raises the JSON hint
-    assert(hintOf("SELECT j ->> 'a' -> 'b' FROM df").contains("get_json_object"))
+    // test below), and terminal -> executes since r12; a chain with a
+    // missing right operand still raises the JSON hint
+    assert(hintOf("SELECT j ->> 'a' -> FROM df").contains("get_json_object"))
     // ** left the guided-error list too (auto-rewritten since r10, own
     // test above); an operand-less shape still raises the power hint
     assert(hintOf("SELECT ** 2 FROM df").contains("power"))
@@ -714,13 +715,41 @@ class DialectSpec extends SparkSpec {
       .getSeq[Int](0) == Seq(2, 3))
     assert(one("SELECT list_transform([1, 2], x -> 'k') AS r FROM df")
       .getSeq[String](0) == Seq("k", "k"))
-    // guided errors: trailing ->, non-word key
-    val e1 = intercept[DuckDialectException](
-      SqlStage("s", "SELECT j ->> 'a' -> 'b' AS r FROM df").apply(spark, df))
-    assert(e1.getMessage.contains("END in ->>"))
+    // guided error: non-word key
     val e2 = intercept[DuckDialectException](
       SqlStage("s", "SELECT j ->> 'a-b' AS r FROM df").apply(spark, df))
     assert(e2.getMessage.contains("plain word"))
+  }
+
+  test("terminal -> chains render DuckDB's JSON type (r12)") {
+    import spark.implicits._
+    val df = Seq((1L,
+      """{"a": {"b": 5, "s": "hi"}, "l": [1, 2], "z": null, "n": 1.50, "q": "null"}"""))
+      .toDF("id", "j")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // every rendering rule probed on duckdb 1.0.0: strings KEEP quotes,
+    // numbers canonicalize (1.50 -> 1.5), objects re-serialize compact
+    // in SOURCE key order, JSON null -> SQL NULL, missing -> NULL
+    assert(one("SELECT j -> 'a' -> 's' AS r FROM df").getString(0) == "\"hi\"")
+    assert(one("SELECT j -> 'a' -> 'b' AS r FROM df").getString(0) == "5")
+    assert(one("SELECT j -> 'n' AS r FROM df").getString(0) == "1.5")
+    assert(one("SELECT j -> 'a' AS r FROM df").getString(0) == """{"b":5,"s":"hi"}""")
+    assert(one("SELECT j -> 'l' AS r FROM df").getString(0) == "[1,2]")
+    assert(one("SELECT j -> 'l' -> 0 AS r FROM df").getString(0) == "1")
+    assert(one("SELECT j -> 'z' AS r FROM df").isNullAt(0))
+    assert(one("SELECT j -> 'zz' AS r FROM df").isNullAt(0))
+    // a STRING value "null" stays a quoted scalar (nullif can't touch it)
+    assert(one("SELECT j -> 'q' AS r FROM df").getString(0) == "\"null\"")
+    // mixed chains: ->> mid-chain, terminal ->
+    assert(one("SELECT j ->> 'a' -> 'b' AS r FROM df").getString(0) == "5")
+    // bare-arrow chains never claim lambdas, even constant-bodied ones
+    assert(one("SELECT transform(array(1, 2), x -> 'c') AS r FROM df")
+      .getSeq[String](0) == Seq("c", "c"))
+    assert(one("SELECT filter(array('a', 'b'), x -> x = 'a') AS r FROM df")
+      .getSeq[String](0) == Seq("a"))
+    // ...but a JSON arrow in a NON-lambda argument position rewrites
+    assert(one("SELECT coalesce(j -> 'a' -> 'b', 'x') AS r FROM df")
+      .getString(0) == "5")
   }
 
   test("UNION [ALL] BY NAME merges by column name with NULL fill (probed)") {
