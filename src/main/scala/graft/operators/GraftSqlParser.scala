@@ -62,13 +62,19 @@ object GraftSqlParser {
     * any nesting depth; anything else (map literals `MAP {...}` keep
     * DuckDB-specific key typing, empty `{}`) is left for the guided
     * error. Values rewrite recursively via the rescan, so nested
-    * structs/lists/comprehensions compose.
+    * structs/lists/comprehensions compose. Braces inside a `read_*`
+    * call's argument list are NEVER claimed — `columns = {'k':
+    * 'TYPE'}` belongs to [[rewriteReadFns]]' option grammar (which
+    * runs before this in a sql stage; skipping here keeps the rewrite
+    * an identity on that text in any call order).
     */
   def rewriteStructLiteral(sql: String): String = {
     val masked = maskQuotes(sql)
+    val readSpans = ReadFnRe.findAllMatchIn(masked)
+      .flatMap(mm => closeOf(masked, mm.end).map(c => (mm.start, c))).toSeq
     var i = 0
     while (i < masked.length) {
-      if (masked.charAt(i) == '{') {
+      if (masked.charAt(i) == '{' && !readSpans.exists(s => i > s._1 && i < s._2)) {
         // MAP {...} literals keep DuckDB semantics — skip the group
         var p = i
         while (p > 0 && masked.charAt(p - 1).isWhitespace) p -= 1
@@ -3518,6 +3524,12 @@ object GraftSqlParser {
                 if (path.exists(c => c == '*' || c == '?' || c == '['))
                   fail("skip with a glob path isn't supported (DuckDB's skip " +
                     "applies per file) - read the files separately")
+                // a DIRECTORY also reads as multiple files in Spark, and
+                // drop-N-by-partition-order would cut lines from whichever
+                // file sorts first (ADVICE r11) - skip needs ONE regular file
+                if (new java.io.File(path).isDirectory)
+                  fail("skip with a directory path isn't supported (DuckDB's " +
+                    "skip applies per file) - point at a single file")
                 val n = skipLines
                 val body = spark.createDataset(
                   spark.read.textFile(path).rdd.zipWithIndex()
@@ -3543,26 +3555,29 @@ object GraftSqlParser {
     if (pos == 0) sql else { sb.append(sql.substring(pos)); sb.toString }
   }
 
-  /** Parsed `COPY <source> TO '<path>' [(options)]` statement.
-    * `partitionBy` nonEmpty switches the write from DuckDB's
-    * single-file shape to a Spark partitioned DIRECTORY (hive-style
-    * `col=value` subdirs — DuckDB's PARTITION_BY writes the identical
-    * layout), the scale-parallel form.
+  /** Parsed `COPY <source> TO '<path>' [(options)]` or `COPY <table>
+    * FROM '<path>' [(options)]` statement (`from = true` for the
+    * latter — r12, VERDICT r10 #4). `partitionBy` nonEmpty switches
+    * the write from DuckDB's single-file shape to a Spark partitioned
+    * DIRECTORY (hive-style `col=value` subdirs — DuckDB's PARTITION_BY
+    * writes the identical layout), the scale-parallel form.
     */
   final case class CopySpec(sourceSql: Option[String], sourceTable: Option[String],
                             path: String, format: String, header: Boolean,
-                            delimiter: String, partitionBy: Seq[String] = Nil)
+                            delimiter: String, partitionBy: Seq[String] = Nil,
+                            from: Boolean = false)
 
   private val CopyHeadRe = raw"(?is)^\s*COPY\s+".r
 
   /** Detect DuckDB's `COPY (query) TO 'path' (opts)` / `COPY tbl TO
-    * 'path' (opts)` statement — the reference's own export shape
-    * (filefilter.py:374-379 hands `COPY ... TO ... (FORMAT CSV)` to
-    * DuckDB). Returns None for non-COPY statements; raises a guided
-    * error for COPY shapes outside the supported grammar (COPY FROM,
-    * unsupported options). Supported options: FORMAT CSV|PARQUET|JSON,
-    * HEADER [true|false], DELIMITER|SEP 'c'. Format defaults from the
-    * path extension (.parquet/.json/else csv), DuckDB's rule.
+    * 'path' (opts)` / `COPY tbl FROM 'path' (opts)` statement — the
+    * reference's own export shape (filefilter.py:374-379 hands
+    * `COPY ... TO ... (FORMAT CSV)` to DuckDB). Returns None for
+    * non-COPY statements; raises a guided error for COPY shapes
+    * outside the supported grammar. Supported options: FORMAT
+    * CSV|PARQUET|JSON, HEADER [true|false], DELIMITER|SEP 'c',
+    * PARTITION_BY (TO only). Format defaults from the path extension
+    * (.parquet/.json/else csv), DuckDB's rule.
     */
   def copyTarget(sql: String): Option[CopySpec] = {
     val masked = maskQuotes(sql)
@@ -3570,8 +3585,8 @@ object GraftSqlParser {
     def fail(why: String): Nothing =
       throw new graft.functions.expressions.DuckDialectException(
         s"COPY statement couldn't be executed ($why) — supported: COPY (query) TO " +
-          "'path' (FORMAT CSV|PARQUET|JSON, HEADER, DELIMITER 'c') and COPY table " +
-          "TO 'path' (...); COPY FROM (loading) is the pipeline `input` route")
+          "'path' (FORMAT CSV|PARQUET|JSON, HEADER, DELIMITER 'c'), COPY table " +
+          "TO 'path' (...), and COPY table FROM 'path' (...)")
     var i = m.end
     var srcSql: Option[String] = None
     var srcTable: Option[String] = None
@@ -3582,12 +3597,14 @@ object GraftSqlParser {
     } else {
       val t = raw"(?s)^([A-Za-z_][\w.]*)".r.findFirstMatchIn(masked.substring(i))
         .getOrElse(fail("missing source"))
-      if (t.group(1).equalsIgnoreCase("FROM")) fail("COPY FROM loads data")
+      if (t.group(1).equalsIgnoreCase("FROM")) fail("COPY FROM needs a table name first")
       srcTable = Some(t.group(1))
       i += t.end
     }
-    val toM = raw"(?is)^\s*TO\s*".r.findFirstMatchIn(masked.substring(i))
-      .getOrElse(fail("missing TO"))
+    val toM = raw"(?is)^\s*(TO|FROM)\s*".r.findFirstMatchIn(masked.substring(i))
+      .getOrElse(fail("missing TO/FROM"))
+    val isFrom = toM.group(1).equalsIgnoreCase("FROM")
+    if (isFrom && srcSql.isDefined) fail("COPY (query) FROM isn't meaningful")
     i += toM.end
     if (i >= masked.length || masked.charAt(i) != '\'') fail("TO needs a quoted path")
     var j = i + 1
@@ -3626,6 +3643,8 @@ object GraftSqlParser {
               fail("DELIMITER needs a quoted value")
             delim = d.substring(1, d.length - 1).replace("''", "'")
           case "PARTITION_BY" =>
+            if (isFrom) fail("PARTITION_BY applies to COPY TO (reads discover " +
+              "hive partitions natively)")
             val v = parts.lift(1).getOrElse(fail("PARTITION_BY needs columns")).trim
             val inner2 = if (v.startsWith("(") && v.endsWith(")"))
               v.substring(1, v.length - 1) else v
@@ -3635,7 +3654,55 @@ object GraftSqlParser {
         }
       }
     }
-    Some(CopySpec(srcSql, srcTable, path, format, header, delim, partitionBy))
+    Some(CopySpec(srcSql, srcTable, path, format, header, delim, partitionBy, isFrom))
+  }
+
+  /** Execute a parsed `COPY table FROM 'path' (opts)` (r12, VERDICT
+    * r10 #4): read the file with the target's SCHEMA applied
+    * positionally (DuckDB's contract — file columns map to table
+    * columns in order, values cast to the table's types; csv/json get
+    * the schema on the reader, parquet keeps its own types and casts
+    * per position), append to the session temp view (the INSERT INTO
+    * union flow) or a real catalog table (native insertInto), and
+    * return DuckDB's one-row `Count` relation. The localCheckpoint
+    * pins one file read so Count always equals the rows appended.
+    */
+  def executeCopyFrom(spark: org.apache.spark.sql.SparkSession,
+                      spec: CopySpec): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = spec.sourceTable.get
+    if (!spark.catalog.tableExists(t))
+      throw new graft.functions.expressions.DuckDialectException(
+        s"COPY $t FROM: unknown table '$t' — create it first with " +
+          "CREATE TEMP TABLE ... AS in an earlier statement/stage")
+    val cur = spark.table(t)
+    val loaded = spec.format match {
+      case "parquet" =>
+        val raws = spark.read.parquet(spec.path)
+        if (raws.columns.length != cur.columns.length)
+          throw new graft.functions.expressions.DuckDialectException(
+            s"COPY $t FROM: the file has ${raws.columns.length} columns but " +
+              s"'$t' has ${cur.columns.length}")
+        raws.select(raws.columns.zip(cur.schema.fields).map { case (c, f) =>
+          col(c).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      case "json" => spark.read.schema(cur.schema).json(spec.path)
+      case _ => spark.read
+        .option("header", spec.header.toString)
+        .option("delimiter", spec.delimiter)
+        .schema(cur.schema).csv(spec.path)
+    }
+    val pinned = loaded.localCheckpoint()
+    val n = pinned.count()
+    val isTemp = scala.util.Try(spark.catalog.getTable(t)).toOption
+      .exists(_.tableType == "TEMPORARY")
+    if (isTemp) cur.union(pinned).createOrReplaceTempView(t)
+    else pinned.write.insertInto(t)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Count",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(n)), schema)
   }
 
   /** Execute a parsed COPY: write the source relation to ONE file at

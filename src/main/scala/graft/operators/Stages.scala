@@ -66,8 +66,10 @@ final case class SqlStage(name: String, code: String) extends Stage {
       GraftSqlParser.expandMacros(spark, code))
     // COPY ... TO statement: write one file at the target path and
     // return DuckDB's `Count` relation; a (query) source recurses
-    // through this stage so it keeps the full dialect layer.
+    // through this stage so it keeps the full dialect layer. COPY ...
+    // FROM (r12) appends the file into the named temp view / table.
     GraftSqlParser.copyTarget(code2).foreach { spec =>
+      if (spec.from) return GraftSqlParser.executeCopyFrom(spark, spec)
       val src = spec.sourceSql match {
         case Some(q) => SqlStage(name, q).apply(spark, df)
         case None =>

@@ -458,7 +458,12 @@ object ExtraQueries {
     */
   private[graft] val columnsSqlText =
     "SELECT l_returnflag, max(COLUMNS(c -> (c LIKE 'l_q%' OR c = 'l_extendedprice') " +
-      "AND len(lower(c)) * 2 - 5 >= 5 + 10)) * 2 " +
+      "AND len(lower(c)) * 2 - 5 >= 5 + 10)) * 2, " +
+      // r12 (VERDICT r11 #4): substring/replace NAME transforms and a
+      // parenthesized numeric lambda body in-gate — matches l_discount
+      // only (probed duckdb 1.0.0; output named after the matched column)
+      "min(COLUMNS(c -> substring(replace(c, 'l_', ''), 1, 4) = 'disc' " +
+      "AND (len(c) - 2) // 2 = 4)) " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
 
   def q113ColumnsSql(s: SparkSession, d: String): DataFrame = {
@@ -587,25 +592,46 @@ object ExtraQueries {
   }
 
   /** DuckDB file-I/O through the passthrough — identical multi-statement
-    * text on both engines: `COPY (query) TO` writes ONE csv file at the
-    * exact path (graft: coalesced part renamed over it; DuckDB:
-    * natively) with an EXPLICIT non-default delimiter, then the
-    * OPTION-BEARING `read_csv(…, delim = '|', header = true)` reads it
-    * back (graft: the r10 option-aware table-function rewrite — named
-    * args map onto the Spark csv reader; DuckDB: natively) — the whole
-    * write→read round-trip is what hash-matches, so the writer's
-    * quoting/delimiter/header and the reader's option handling and
-    * inference are ALL under test. Each engine overwrites the shared /tmp path before reading,
-    * so each compares its own round-trip (DuckDB overwrites files in
-    * place, same as executeCopy). BIGINT casts pin the inferred int
-    * width on both sides.
+    * text on both engines: `COPY (query) TO` writes csv (one with an
+    * EXPLICIT non-default delimiter, one headerless ordered) and
+    * JSONL files at exact paths (graft: coalesced part renamed over
+    * them; DuckDB: natively), a `CREATE TEMP TABLE` seeds an empty
+    * table whose schema comes from the OPTION-BEARING `read_csv(…,
+    * delim = '|', header = true)`, `COPY … FROM` (r12, VERDICT r10 #4)
+    * loads the csv back into it, and the final SELECT joins three
+    * read-back legs: the loaded table, a `read_csv(…, header = false,
+    * skip = 2, columns = {...})` leg (r12 gate anchor for the r11
+    * genuine-skip implementation — the first two DATA rows of the
+    * ordered headerless file drop, so skip_k is NULL for k 0-1), and a
+    * `read_json(…, format = 'newline_delimited', columns = {...})` leg
+    * (r12 anchor for the read_json option vocabulary). The whole
+    * write→load→read round-trip is what hash-matches, so the writer's
+    * quoting/delimiter/header, COPY FROM's positional typed append,
+    * and every reader option are ALL under test. Each engine
+    * overwrites the shared /tmp paths before reading, so each compares
+    * its own round-trip. BIGINT casts pin the inferred int widths.
     */
   private[graft] val copySqlText = """
       COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation)
         TO '/tmp/graft_q124_roundtrip.csv' (FORMAT CSV, HEADER, DELIMITER '|');
-      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
-             CAST(n_regionkey AS BIGINT) AS rk
-      FROM read_csv('/tmp/graft_q124_roundtrip.csv', delim = '|', header = true)
+      COPY (SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY n_nationkey)
+        TO '/tmp/graft_q124_skip.csv' (FORMAT CSV, HEADER false);
+      COPY (SELECT n_nationkey AS k, n_name AS name FROM nation)
+        TO '/tmp/graft_q124_rt.json' (FORMAT JSON);
+      CREATE OR REPLACE TEMP TABLE q124_loaded AS
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM read_csv('/tmp/graft_q124_roundtrip.csv', delim = '|', header = true)
+        WHERE n_nationkey < 0;
+      COPY q124_loaded FROM '/tmp/graft_q124_roundtrip.csv' (FORMAT CSV, HEADER, DELIMITER '|');
+      SELECT CAST(t.n_nationkey AS BIGINT) AS k, t.n_name,
+             CAST(t.n_regionkey AS BIGINT) AS rk,
+             CAST(s.k AS BIGINT) AS skip_k,
+             CAST(j.k AS BIGINT) AS json_k, j.name AS json_name
+      FROM q124_loaded t
+      LEFT JOIN read_csv('/tmp/graft_q124_skip.csv', header = false, skip = 2,
+                         columns = {'k': 'BIGINT', 'name': 'VARCHAR'}) s ON s.k = t.n_nationkey
+      LEFT JOIN read_json('/tmp/graft_q124_rt.json', format = 'newline_delimited',
+                          columns = {'k': 'BIGINT', 'name': 'VARCHAR'}) j ON j.k = t.n_nationkey
       ORDER BY k"""
 
   def q124CopyRoundtrip(s: SparkSession, d: String): DataFrame = {

@@ -1699,6 +1699,55 @@ class DialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("sample_size") && e2.getMessage.contains("input"))
   }
 
+  test("COPY table FROM appends the file with the table's types (r12)") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1, 6).toDF("id").withColumn("v", col("id") * 10)
+    val dir = Files.createTempDirectory("graft-copyfrom").toString
+    SqlStage("s",
+      s"COPY (SELECT id, v FROM df) TO '$dir/src.csv' (FORMAT CSV, HEADER, DELIMITER '|')")
+      .apply(spark, df)
+    // seed an empty temp table, load into it, check count + types + rows
+    val loaded = SqlStage("s",
+      s"""CREATE OR REPLACE TEMP TABLE cf AS
+            SELECT CAST(id AS BIGINT) AS id, CAST(v AS BIGINT) AS v FROM df WHERE id < 0;
+          COPY cf FROM '$dir/src.csv' (FORMAT CSV, HEADER, DELIMITER '|');
+          SELECT * FROM cf ORDER BY id""").apply(spark, df)
+    assert(loaded.schema.map(_.dataType.simpleString).toSeq == Seq("bigint", "bigint"))
+    assert(loaded.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (1L to 5L).map(i => (i, i * 10)))
+    // COPY FROM itself returns DuckDB's Count relation
+    val cnt = SqlStage("s",
+      s"COPY cf FROM '$dir/src.csv' (FORMAT CSV, HEADER, DELIMITER '|')")
+      .apply(spark, df).collect()
+    assert(cnt.head.schema.fieldNames.toSeq == Seq("Count") && cnt.head.getLong(0) == 5L)
+    // ...and actually appended (5 seed-load + 5 more)
+    assert(SqlStage("s", "SELECT COUNT(*) AS n FROM cf").apply(spark, df)
+      .collect().head.getLong(0) == 10L)
+    // guided errors: unknown table, (query) FROM
+    val e1 = intercept[DuckDialectException](SqlStage("s",
+      s"COPY nosuch FROM '$dir/src.csv' (FORMAT CSV)").apply(spark, df))
+    assert(e1.getMessage.contains("unknown table"))
+    val e2 = intercept[DuckDialectException](SqlStage("s",
+      s"COPY (SELECT 1) FROM '$dir/src.csv'").apply(spark, df))
+    assert(e2.getMessage.contains("isn't meaningful"))
+  }
+
+  test("read_csv skip refuses a directory path (ADVICE r11)") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1, 4).toDF("id").withColumn("v", col("id"))
+    val dir = Files.createTempDirectory("graft-skipdir").toString
+    // a directory of csvs reads fine WITHOUT skip...
+    df.write.option("header", "true").csv(s"$dir/many")
+    val n = SqlStage("s",
+      s"SELECT COUNT(*) AS n FROM read_csv('$dir/many', header = true)")
+      .apply(spark, df).collect().head.getLong(0)
+    assert(n == 3L)
+    // ...but skip would drop lines from whichever file sorts first
+    val e = intercept[DuckDialectException](SqlStage("s",
+      s"SELECT * FROM read_csv('$dir/many', header = true, skip = 1)").apply(spark, df))
+    assert(e.getMessage.contains("directory"))
+  }
+
   test("read_csv options: delim/header/columns/names map onto the Spark reader") {
     import org.apache.spark.sql.functions.col
     val df = spark.range(1, 6).toDF("id").withColumn("v", col("id") * 10)
