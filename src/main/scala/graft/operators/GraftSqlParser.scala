@@ -3956,6 +3956,32 @@ object GraftSqlParser {
       i += 1
     }
     out += sql.substring(last)
-    out.result().filter(_.trim.nonEmpty)
+    // leading comments carry no semantics but defeat every
+    // head-anchored statement detector (CREATE MACRO / COPY / CTAS /
+    // INSERT / SET / DESCRIBE anchor at ^\s* — the r12 composed-macro
+    // fuzz caught `-- note\nCREATE MACRO ...` falling through to
+    // Spark's parser); strip them per statement
+    out.result().map(stripLeadingComments).filter(_.trim.nonEmpty)
+  }
+
+  /** Strip leading whitespace, `--` line comments and closed `/* */`
+    * block comments from a statement head (see [[splitStatements]]).
+    */
+  def stripLeadingComments(sql: String): String = {
+    var i = 0
+    var moved = true
+    while (moved) {
+      moved = false
+      while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+      if (sql.startsWith("--", i)) {
+        val nl = sql.indexOf('\n', i)
+        i = if (nl < 0) sql.length else nl + 1
+        moved = true
+      } else if (sql.startsWith("/*", i)) {
+        val end = sql.indexOf("*/", i + 2)
+        if (end >= 0) { i = end + 2; moved = true }
+      }
+    }
+    if (i == 0) sql else sql.substring(i)
   }
 }

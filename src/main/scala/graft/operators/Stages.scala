@@ -50,20 +50,25 @@ final case class SqlStage(name: String, code: String) extends Stage {
       }
       return out
     }
-    if (GraftSqlParser.isCreateMacroStatement(code)) {
-      GraftSqlParser.registerMacro(spark, code)
+    // single statement: use the comment-stripped form splitStatements
+    // produced, so a leading `--`/`/* */` comment can't defeat the
+    // head-anchored detectors below (r12 fuzz; Spark itself accepts
+    // leading comments, but the regexes anchor at ^\s*)
+    val code1 = stmts.headOption.getOrElse(code)
+    if (GraftSqlParser.isCreateMacroStatement(code1)) {
+      GraftSqlParser.registerMacro(spark, code1)
       return df
     }
     // DuckDB SET statements: map/acknowledge before Spark's own SET can
     // silently swallow them (TimeZone would otherwise set a meaningless
     // conf key and change nothing)
-    if (GraftSqlParser.applyDuckSet(spark, code)) return df
+    if (GraftSqlParser.applyDuckSet(spark, code1)) return df
     // Macro call sites expand FIRST, so a macro body carrying its own
     // DuckDB-isms still meets the full rewrite chain below; then
     // read_* table functions become session temp views (file readers
     // need the session, so they rewrite here, not in rewriteAll).
     val code2 = GraftSqlParser.rewriteReadFns(spark,
-      GraftSqlParser.expandMacros(spark, code))
+      GraftSqlParser.expandMacros(spark, code1))
     // COPY ... TO statement: write one file at the target path and
     // return DuckDB's `Count` relation; a (query) source recurses
     // through this stage so it keeps the full dialect layer. COPY ...

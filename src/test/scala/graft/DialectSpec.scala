@@ -2025,4 +2025,51 @@ class DialectSpec extends SparkSpec {
     assert(SqlStage("s", "SELECT mid3('abcdef') AS v FROM df").apply(spark, df)
       .collect().head.getString(0) == "bcd")
   }
+
+  test("composed macro fuzz: 400 random macro+dialect batches inline identically (r12)") {
+    import spark.implicits._
+    // the r11 paren-lambda bug was exactly a grammar hole behind an
+    // INTERACTION (VERDICT r11 #7): fuzz compositions of macro
+    // definitions whose bodies carry comprehensions, JSON arrows, GLOB,
+    // `//`/`**`, slices and nested lambdas, split across batches with
+    // semicolon-bearing comments, and assert every batch produces
+    // EXACTLY what the hand-inlined SQL produces — a mangle anywhere in
+    // maskQuotes / splitStatements / expandMacros / the rewrite chain
+    // breaks the equality, not just the no-crash property.
+    val df = Seq(
+      (1L, "the tiny transform", """{"a": {"b": 3}, "l": [10, 20]}"""),
+      (2L, "table scan totals", """{"a": {"b": 7}, "l": [40, 50]}"""),
+      (3L, "x", """{"a": {"b": -1}, "l": [0]}"""))
+      .toDF("id", "v", "j")
+    // (macro body over parameter x, column it applies to)
+    val bodies = Seq(
+      ("list_sum([length(w) FOR w IN string_split(x, ' ') IF length(w) >= 4])", "v"),
+      ("len([upper(w) FOR w IN string_split(x, ' ') IF w LIKE 't%'])", "v"),
+      ("CASE WHEN x GLOB '*t*' THEN 1 ELSE 0 END", "v"),
+      ("length(x) // 3 + 2 ** 2", "v"),
+      ("x[2:4]", "v"),
+      ("list_extract(list_transform([x], y -> upper(y)), 1)", "v"),
+      ("x -> 'a' ->> 'b'", "j"),
+      ("x -> 'l' -> 1", "j"),
+      ("x ->> 'a'", "j"),
+      ("length(coalesce(x -> 'a' -> 'b', '?')) * 10", "j"))
+    val comments = Seq("-- c; with semicolon\n", "/* block; ; */ ", "")
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 400) {
+      val chosen = Seq.fill(1 + rnd.nextInt(3))(bodies(rnd.nextInt(bodies.size)))
+      val defs = chosen.zipWithIndex.map { case ((b, _), i) =>
+        s"${comments(rnd.nextInt(3))}CREATE OR REPLACE MACRO fz$i(x) AS ($b)"
+      }
+      val sel = "SELECT id" + chosen.zipWithIndex.map { case ((_, c), i) =>
+        s", fz$i($c) AS o$i"
+      }.mkString + " FROM df ORDER BY id"
+      val batch = defs.mkString(";\n") + ";\n" + comments(rnd.nextInt(3)) + sel
+      val inline = "SELECT id" + chosen.zipWithIndex.map { case ((b, c), i) =>
+        s", (${b.replaceAll("\\bx\\b", c)}) AS o$i"
+      }.mkString + " FROM df ORDER BY id"
+      val got = SqlStage("s", batch).apply(spark, df).collect().map(_.toSeq).toSeq
+      val want = SqlStage("s", inline).apply(spark, df).collect().map(_.toSeq).toSeq
+      assert(got == want, s"trial $trial mangled:\n$batch\nvs\n$inline")
+    }
+  }
 }
