@@ -135,10 +135,38 @@ object Bench {
     }
     val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+    /** One session PER STREAM INDEX, created once and reused across
+      * every pass — the r12 fix for q131's recurring bench failure:
+      * every SqlStage registers the stage input as the session temp
+      * view `df` (the reference's contract), so two streams on ONE
+      * session race on that name and a pipeline's `SELECT ... FROM df`
+      * can resolve another query's relation. `spark.newSession()`
+      * shares the SparkContext but isolates the temp-view catalog —
+      * the idiomatic multi-tenant Spark shape (one session per
+      * concurrent user). Sessions are REUSED across passes, not
+      * created per pass: each live SparkSession attaches an execution
+      * listener to the shared context bus and holds its own relation
+      * caches, so a session-per-pass variant (83 sessions over a full
+      * run) uniformly inflated every sequential per-query latency
+      * ~1.5× (measured; 10 reused sessions match the old
+      * single-session walls).
+      */
+    val streamSessions = new java.util.concurrent.ConcurrentHashMap[Int, SparkSession]()
+    def sessionFor(i: Int): SparkSession =
+      streamSessions.computeIfAbsent(i, _ => {
+        val s = spark.newSession()
+        graft.functions.expressions.GraftFunctions.register(s)
+        s
+      })
+
     /** One pass over the suite with `n` worker streams; returns
       * (wall, per-query latency of the queries that succeeded).
+      * `newSession` does NOT inherit runtime conf changes, so the
+      * per-pass parallelism knobs are set explicitly on each stream
+      * session at pass start.
       */
-    def runSuite(n: Int): (Double, Map[String, Double]) = {
+    def runSuite(n: Int, shufflePartitions: String, scanPartitions: String):
+        (Double, Map[String, Double]) = {
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       names.foreach(queue.add)
       val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
@@ -146,11 +174,14 @@ object Bench {
       val workers = (1 to n).map { i =>
         val th = new Thread(() => {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"stream$i")
+          val sess = sessionFor(i)
+          sess.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+          sess.conf.set("spark.sql.files.minPartitionNum", scanPartitions)
           var q = queue.poll()
           while (q != null) {
             val q0 = System.nanoTime()
             try {
-              SparkEntry.queries(q)(spark, sfDir).count()
+              SparkEntry.queries(q)(sess, sfDir).count()
               results.put(q, (System.nanoTime() - q0) / 1e9)
             } catch { case scala.util.control.NonFatal(e) =>
               failed.add(q)
@@ -165,13 +196,15 @@ object Bench {
       import scala.jdk.CollectionConverters._
       ((System.nanoTime() - t0) / 1e9, results.asScala.toMap)
     }
+    val concShuffle = sys.env.getOrElse("GRAFT_BENCH_PARTITIONS", "4")
+    val concScan = sys.env.getOrElse("GRAFT_BENCH_SCAN_PARTITIONS", "2")
 
     // Concurrent throughput passes: best of N (walls descend as C2
     // finishes compiling the generated code — all walls are reported so
     // the warmup trajectory is visible, not hidden).
     val passes = math.max(1, sys.env.getOrElse("GRAFT_BENCH_RUNS", "8").toInt)
     val runs = (1 to passes).map { _ =>
-      val r = runSuite(streams); System.gc(); r
+      val r = runSuite(streams, concShuffle, concScan); System.gc(); r
     }
     val (wall, _) = runs.minBy(_._1)
     // Median wall alongside best-of (ADVICE r7): the microVM's
@@ -189,10 +222,8 @@ object Bench {
     // needs MORE tasks per stage than a contended one to use the box
     // (the concurrent defaults deliberately starve single queries), so
     // re-raise the per-stage parallelism for this pass only.
-    spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("GRAFT_SEQ_PARTITIONS", "8"))
-    spark.conf.set("spark.sql.files.minPartitionNum",
-      sys.env.getOrElse("GRAFT_SEQ_SCAN_PARTITIONS", "8"))
+    val seqShuffle = sys.env.getOrElse("GRAFT_SEQ_PARTITIONS", "8")
+    val seqScan = sys.env.getOrElse("GRAFT_SEQ_SCAN_PARTITIONS", "8")
     // GRAFT_SEQ_RUNS passes (default 3): wall = best pass (both
     // reported), per-query latency = MEDIAN across passes — this box is
     // a microVM with visible host steal, and a single-shot (or even
@@ -200,7 +231,9 @@ object Bench {
     // query and read as a 4x regression (VERDICT r5 #7: q47/q48).
     // Median-of-3 per query is the same estimator ScaleProbe uses.
     val seqPasses = math.max(1, sys.env.getOrElse("GRAFT_SEQ_RUNS", "3").toInt)
-    val seqRuns = (1 to seqPasses).map { _ => val r = runSuite(1); System.gc(); r }
+    val seqRuns = (1 to seqPasses).map { _ =>
+      val r = runSuite(1, seqShuffle, seqScan); System.gc(); r
+    }
     val seqWall = seqRuns.map(_._1).min
     val seqRes: Map[String, Double] = names.flatMap { q =>
       val vs = seqRuns.flatMap(_._2.get(q)).sorted

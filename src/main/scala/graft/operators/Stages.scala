@@ -23,6 +23,14 @@ trait Stage extends Serializable {
   * without extensions, and in [[GraftSqlParser]] (injectParser) for
   * sessions with [[graft.functions.expressions.GraftExtensions]], where
   * it also covers subqueries/CTEs.
+  *
+  * Concurrency: `df` (and the read-function / CTAS views this stage
+  * registers) live in the SESSION temp-view catalog, so concurrent pipelines must
+  * run in separate sessions (`spark.newSession()` — shared
+  * SparkContext, isolated catalogs, the standard multi-tenant Spark
+  * shape; graft.Bench streams do exactly this). Two pipelines sharing
+  * one session race on the `df` name and can resolve each other's
+  * relations.
   */
 final case class SqlStage(name: String, code: String) extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = {
