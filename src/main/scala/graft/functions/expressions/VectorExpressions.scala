@@ -319,6 +319,13 @@ object GraftFunctions {
       fns.foreach { case (name, b) =>
         reg.createOrReplaceTempFunction(name, b, "scala_udf")
       }
+      // Merge-shaped ASOF JOIN execution (VERDICT r12 #1): planner
+      // strategy recognizing the dialect rewrite's fingerprint. Session-
+      // scoped (ExperimentalMethods is per-SessionState), so cloned /
+      // newSession() sessions pick it up through their own register call.
+      if (!spark.experimental.extraStrategies.contains(graft.plans.AsofMergeStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsofMergeStrategy
     }
 }
 

@@ -194,6 +194,8 @@ object CoreQueries {
     * answer via the hand-built union+window plan.
     */
   def q99AsofSql(s: SparkSession, d: String): DataFrame = {
+    // registers the AsofMergeStrategy planner rule (and dialect fns)
+    graft.functions.expressions.GraftFunctions.register(s)
     events(s, d).createOrReplaceTempView("events")
     // Normalize the order-side event-time to session-tz ONCE at the
     // scan (the Tables.events policy, applied to the other join side).
