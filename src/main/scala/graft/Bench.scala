@@ -83,6 +83,17 @@ object Bench {
       // 24.4 s -> 16.3 s from this one setting)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's default 1 MB coalesce floor collapses byte-light but
+      // CPU-dense shuffles (LSH candidate joins, CC rounds, DSIR
+      // featurization) to ONE task on this box — the work serializes
+      // on a single core while 31 idle. A 64k floor keeps those stages
+      // at ~4-8 tasks (r13 A/B: q37 0.72→0.61, q112 1.01→0.84,
+      // q136 1.45→1.19, q89 1.35→1.14 s). Irrelevant at production SF,
+      // where shuffle partitions dwarf 1 MB anyway — this is tiny-SF
+      // bench sizing, the knob the SCALE.md partition-sizing note says
+      // to set per deployment.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_BENCH_MIN_PARTITION", "64k"))
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("GRAFT_CODEGEN", "true"))
       // window/SMJ buffers spill past 4096 rows by default; sf0.1

@@ -291,6 +291,51 @@ object VectorFunctions {
       .select(col("id_a"), col("p.id_b").as("id_b"), col("p.cos").as("cos"))
   }
 
+  /** Disk-memoized [[exactNearDupPairs]] — the q104 persisted-index
+    * pattern applied to the exact verification side (VERDICT r12 #2):
+    * the exact pair set is a deterministic pure function of (corpus,
+    * threshold), so the O(n²) broadcast-matrix scan is paid ONCE per
+    * corpus snapshot and every later audit (q37's in-gate recall audit
+    * AND q46's oracle listing share one cache) reads the parquet back.
+    * The cache key includes the corpus row count and a content
+    * fingerprint (sum of id hashes + sum of leading components), so a
+    * REGENERATED corpus at the same path/count changes the key and can
+    * never be served a stale pair set — the audit would rather rebuild
+    * than silently verify against yesterday's corpus. Single-JVM
+    * writers serialize on this object (the bench's concurrent streams);
+    * `_SUCCESS` double-check makes the write once-only.
+    */
+  /** Fingerprints are memoized per (corpusTag, cols) for the JVM's
+    * lifetime — one scan per corpus per process, not one per audit call
+    * (the [[graft.Tables.raw]] relation-memo precedent: testdata does
+    * not change under a running process).
+    */
+  private val fingerprints =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Double)]()
+
+  def exactNearDupPairsCached(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, corpusTag: String): DataFrame = {
+    val spark = df.sparkSession
+    val (fpN, fpH, fpS) = fingerprints.computeIfAbsent(
+      s"$corpusTag|$idCol|$vecCol", _ => {
+        val fp = df.select(xxhash64(col(idCol)).as("__h"),
+            element_at(col(vecCol), 1).cast("double").as("__v"))
+          .agg(count(lit(1)).cast("long"), expr("bit_xor(__h)"), avg(col("__v"))).head()
+        (fp.getLong(0), fp.getLong(1), fp.getDouble(2))
+      })
+    val key = s"$corpusTag|n=$fpN|h=$fpH|" +
+      f"s=$fpS%.9f|t=$threshold|exactpairs"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_exact_pairs_$tag"
+    VectorFunctions.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        exactNearDupPairs(df, idCol, vecCol, threshold)
+          .write.mode("overwrite").parquet(path)
+    }
+    graft.Tables.raw(spark, path)
+  }
+
   /** One-row recall/precision audit of an approximate pairwise dedup
     * against the exact pair set (the q69/q80 in-gate-bound pattern for
     * sketch operators). Column roles in the gate (the q41/q77 split —
@@ -307,19 +352,23 @@ object VectorFunctions {
     */
   def pairRecallAudit(approx: DataFrame, exact: DataFrame,
                       bound: Double): DataFrame = {
-    // ONE full-outer join on the (distinct) pair keys + ONE aggregate
-    // produce all the counts — non-null side markers classify each
-    // pair as exact-only / hit / approx-only (the previous three
-    // independent count-aggregates + two crossJoins cost four extra
-    // stages per audit)
-    val e = exact.select(col("id_a"), col("id_b"), col("cos")).withColumn("in_e", lit(1))
-    val a = approx.select(col("id_a"), col("id_b")).withColumn("in_a", lit(1))
-    e.join(a, Seq("id_a", "id_b"), "full_outer")
-      .agg(count(col("in_e")).as("n_exact"),
-        min(when(col("in_e").isNotNull, col("cos"))).as("min_exact_cos"),
-        max(when(col("in_e").isNotNull, col("cos"))).as("max_exact_cos"),
-        count(when(col("in_e").isNotNull && col("in_a").isNotNull, 1)).as("n_hit"),
-        count(col("in_a")).as("n_approx"))
+    // The exact side is small BY CONSTRUCTION (it passed the exact
+    // oracle's maxRows fence), so it broadcasts: the approx stream
+    // takes one broadcast left join + one aggregate — it is never
+    // shuffled — and the exact side's own stats are a second tiny
+    // aggregate crossJoined in. (The previous full_outer shape
+    // exchanged BOTH sides on the pair key; at 100 TB the approx pair
+    // stream is the big one.) Intersection counting is unchanged:
+    // n_hit counts approx pairs present in exact, n_approx all approx
+    // pairs — both sides are distinct pair sets by construction.
+    val e = exact.select(col("id_a"), col("id_b"), col("cos"))
+    val eStats = e.agg(count(lit(1)).as("n_exact"),
+      min(col("cos")).as("min_exact_cos"), max(col("cos")).as("max_exact_cos"))
+    val aStats = approx.select(col("id_a"), col("id_b"))
+      .join(broadcast(e.select(col("id_a"), col("id_b")).withColumn("in_e", lit(1))),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_approx"), count(col("in_e")).as("n_hit"))
+    aStats.crossJoin(broadcast(eStats))
       .select(
         col("n_exact"), col("min_exact_cos"), col("max_exact_cos"),
         (col("n_exact") === 0 ||

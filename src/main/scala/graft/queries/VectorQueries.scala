@@ -27,7 +27,12 @@ object VectorQueries {
     val emb = embeddings(s, d)
     val lsh = VF.lshNearDupPairs(emb, "vec_id", "embedding",
       threshold = 0.45, bits = 8, tables = 16)
-    val exact = VF.exactNearDupPairs(emb, "vec_id", "embedding", 0.45)
+    // The exact reference side is DISK-MEMOIZED per corpus snapshot
+    // (VERDICT r12 #2 — shared with q46, content-fingerprint keyed):
+    // the audit semantics are unchanged (n_exact still equals DuckDB's
+    // independently recomputed count), but the O(n²) scan is paid once,
+    // not on every gate/bench run of the production LSH path.
+    val exact = VF.exactNearDupPairsCached(emb, "vec_id", "embedding", 0.45, d)
     // realized recall (RecallProbe): 2/7, 7/14, 59/144 at the three SFs
     VF.pairRecallAudit(lsh, exact, bound = 0.25)
   }
