@@ -412,9 +412,87 @@ object Mix {
     // (no source gram carries their bucket).
     val table = srcCnt.join(tgtCnt, Seq("b"), "full")
       .na.fill(0L, Seq("t_cnt", "s_cnt"))
-    val totals = table.agg(sum(col("t_cnt")).as("t_total"),
-      sum(col("s_cnt")).as("s_total"))
-    val enriched = table.filter(col("s_cnt") > 0).crossJoin(broadcast(totals))
+    dsirTail(src, table, buckets)
+  }
+
+  /** [[dsirScores]] for the self-target case — the target corpus is a
+    * PREDICATE over the source corpus (a curated slice: language, a
+    * quality flag), the common practical DSIR setup and q112's shape.
+    * The generic entry featurizes source and target in two text scans
+    * (they are different tables in general); here ONE featurization
+    * pass carries a per-doc target flag and both count tables reduce
+    * from the same sparse (doc, bucket) exchange — the r12-verdict #4
+    * fusion. Filtering the doc-level predicate before or after the
+    * explode is equivalent, so results are identical to
+    * `dsirScores(corpus, corpus.filter(isTarget), ...)`.
+    */
+  def dsirScoresSelf(corpus: DataFrame, isTarget: Column, idCol: String,
+                     textCol: String, buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    graft.functions.expressions.GraftFunctions.register(corpus.sparkSession)
+    // Fusion mechanics (measured, r13): the flag must ride as a
+    // GROUPING key (doc-constant, so groups are unchanged) — as an
+    // aggregate expression it was column-pruned from the source-count
+    // branch, splitting the consumers into non-identical subtrees that
+    // each re-scanned the corpus. And the target count must come from
+    // CONDITIONAL aggregation, not `filter(__is_t)` — Catalyst pushes
+    // that filter through the explode into a second scan branch,
+    // silently re-deriving the two-scan plan this method exists to
+    // avoid. With both in place the final plan holds ONE featurization
+    // exchange, reused by the count table and the join back.
+    // narrow-input guard: featurization costs ~100× the text bytes, so
+    // when the corpus arrives in fewer splits than the cluster has
+    // cores (single-file extracts; a one-row-group parquet cannot be
+    // split by files.minPartitionNum), one cheap shuffle of the raw
+    // text unlocks full parallelism for the md5 gram hashing. Corpora
+    // already wider than the cluster skip it — at production SF this
+    // branch never fires and no text is reshuffled.
+    val spark = corpus.sparkSession
+    val wide =
+      if (corpus.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        corpus.repartition(spark.sessionState.conf.numShufflePartitions)
+      else corpus
+    val feats = wide.select(col(idCol).as("doc"),
+        coalesce(isTarget, lit(false)).as("__is_t"),
+        explode(call_function("dsir_buckets", col(textCol), lit(buckets)))
+          .as("b"))
+      .groupBy(col("doc"), col("b"), col("__is_t"))
+      .agg(count(lit(1)).as("c"))
+    // target ⊆ source here, so the generic path's full-outer count
+    // join degenerates to one conditional aggregate: t_cnt sums only
+    // target docs' counts, and no target-only bucket can exist
+    val table = feats.groupBy(col("b")).agg(
+      sum(col("c")).as("s_cnt"),
+      sum(when(col("__is_t"), col("c")).otherwise(0L)).as("t_cnt"))
+    // c > 0 is vacuously true (c = count(1) ≥ 1) but unprovable to the
+    // optimizer, so it PINS c in the join-back branch: under an
+    // aggregate-only action (bench's count()) column pruning would
+    // otherwise drop c from this branch while the count-table branch
+    // keeps it, splitting the two consumers into non-identical
+    // featurization subtrees and re-running the corpus scan (measured)
+    dsirTail(feats.drop("__is_t").filter(col("c") > 0), table, buckets)
+  }
+
+  /** Joined (b, s_cnt, t_cnt) count table → smoothed log-ratio table →
+    * per-doc scores (shared by [[dsirScores]] and [[dsirScoresSelf]]).
+    */
+  private def dsirTail(src: DataFrame, table: DataFrame,
+                       buckets: Int): DataFrame = {
+    // totals as a single-partition WINDOW over the count table, not an
+    // aggregate: an agg-over-agg merges back into a second raw-corpus
+    // scan (Catalyst collapses sum-of-group-sums into one pass over the
+    // ungrouped data, killing the featurization-exchange reuse —
+    // measured as a full duplicate explode stage, r13), while a window
+    // must consume the table's exchange as-is. The frame is bounded at
+    // `buckets` rows by construction, so the unpartitioned window is a
+    // ≤8192-row single-task sort, not a scale hazard. Totals run over
+    // ALL buckets (before the s_cnt filter), as before.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val enriched = table
+      .withColumn("t_total", sum(col("t_cnt")).over(w))
+      .withColumn("s_total", sum(col("s_cnt")).over(w))
+      .filter(col("s_cnt") > 0)
       .withColumn("log_ratio",
         log((col("t_cnt") + 1).cast("double") /
             (col("t_total") + buckets).cast("double")) -

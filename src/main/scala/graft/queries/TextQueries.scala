@@ -589,7 +589,11 @@ object TextQueries {
     */
   def q112DsirScores(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    graft.functions.Mix.dsirScores(docs, docs.filter(col("lang") === "en"),
+    // self-target fusion (VERDICT r12 #4): target = the corpus' en
+    // slice is a predicate over the source, so ONE featurization scan
+    // feeds both count tables — identical results to the generic
+    // two-scan dsirScores(docs, docs.filter(...)) by construction
+    graft.functions.Mix.dsirScoresSelf(docs, col("lang") === "en",
         "doc_id", "text")
       .select(col("doc").as("doc_id"), col("n_grams"), col("sum_t"),
         col("sum_s"))

@@ -17,6 +17,9 @@ object StageProbe {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("GRAFT_PROBE_SCAN_PARTITIONS", "1"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -35,7 +38,8 @@ object StageProbe {
         val m = si.taskMetrics
         stages.add(f"stage${si.stageId}%-4d tasks=${si.numTasks} " +
           f"wall=${dur.getOrElse(-1L)}%4dms run=${m.executorRunTime}%4dms " +
-          f"cpu=${m.executorCpuTime / 1000000}%4dms")
+          f"cpu=${m.executorCpuTime / 1000000}%4dms " +
+          si.rddInfos.map(r => s"${r.id}:${r.name}").mkString(" "))
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -46,6 +50,12 @@ object StageProbe {
     spark.sparkContext.removeSparkListener(listener)
     println(f"[stageprobe] $name wall=$wall%.3f jobs=${jobs.get()}")
     stages.forEach(s => println("[stageprobe] " + s))
+    if (sys.env.contains("GRAFT_PROBE_PLAN")) {
+      val df = fn(spark, sfDir)
+      df.collect()
+      println("[stageprobe] === final plan (executed) ===")
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }
