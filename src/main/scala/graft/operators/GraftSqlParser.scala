@@ -311,11 +311,30 @@ object GraftSqlParser {
     * is left untouched for Spark's lambda parser. A `->>` chain keeps
     * the fail-loud guided error on unsupported argument shapes.
     */
+  /** Functions whose argument positions are LAMBDA context for the
+    * bare-`->` disambiguation above (ADVICE r12 #1). This set must
+    * cover every name a lambda can legally follow in either dialect:
+    * Spark's higher-order builtins AND DuckDB's list-lambda family
+    * including ALL its documented aliases (apply and the array_ /
+    * list_ prefixed names each alias the same three core HOFs) —
+    * DuckDialect.aliases maps several
+    * of these names to Spark equivalents, so when a lambda-capable
+    * alias is added THERE it must be added HERE, or a constant-bodied
+    * lambda under the new name would be mis-claimed as a JSON chain.
+    * An unknown function never silently corrupts: Spark fails loudly
+    * on the unresolved name either way — the set only decides which
+    * error (or rewrite) the user gets.
+    */
   private val lambdaHofs = Set(
     "transform", "filter", "exists", "forall", "aggregate", "reduce",
     "zip_with", "map_filter", "map_zip_with", "transform_keys",
     "transform_values", "array_sort", "list_transform", "list_filter",
-    "list_reduce", "list_aggregate", "list_sort", "list_apply")
+    "list_reduce", "list_aggregate", "list_sort", "list_apply",
+    // DuckDB's lambda aliases (apply == list_apply == array_apply ==
+    // list_transform; list_aggr == array_aggregate == list_aggregate;
+    // array_filter == list_filter; array_reduce == list_reduce)
+    "apply", "array_apply", "array_transform", "array_filter",
+    "array_aggregate", "array_reduce", "list_aggr")
 
   def rewriteJsonOps(sql: String): String = {
     val masked = maskQuotes(sql)
@@ -3686,17 +3705,32 @@ object GraftSqlParser {
         raws.select(raws.columns.zip(cur.schema.fields).map { case (c, f) =>
           col(c).cast(f.dataType).as(f.name)
         }.toIndexedSeq: _*)
-      case "json" => spark.read.schema(cur.schema).json(spec.path)
+      // FAILFAST (ADVICE r12 #2): DuckDB's COPY FROM errors on a
+      // malformed / wrong-width row; Spark's default PERMISSIVE mode
+      // would silently null-pad it and Count would report rows that
+      // are actually garbage
+      case "json" => spark.read.option("mode", "FAILFAST")
+        .schema(cur.schema).json(spec.path)
       case _ => spark.read
         .option("header", spec.header.toString)
         .option("delimiter", spec.delimiter)
+        .option("mode", "FAILFAST")
         .schema(cur.schema).csv(spec.path)
     }
     val pinned = loaded.localCheckpoint()
     val n = pinned.count()
     val isTemp = scala.util.Try(spark.catalog.getTable(t)).toOption
       .exists(_.tableType == "TEMPORARY")
-    if (isTemp) cur.union(pinned).createOrReplaceTempView(t)
+    // The re-registered view is the CHECKPOINT of the union, not the
+    // union plan itself (ADVICE r12 #3): repeated COPY FROM into one
+    // view would otherwise layer one union + one pinned RDD per load
+    // for the session's lifetime. Checkpointing keeps the view's plan
+    // at constant depth and orphans the previous load's blocks for the
+    // ContextCleaner; the price is rewriting the table's blocks per
+    // load — fine for the view flow (loads are hand-written statements;
+    // a bulk load LOOP belongs on a real table, which appends files via
+    // insertInto below).
+    if (isTemp) cur.union(pinned).localCheckpoint().createOrReplaceTempView(t)
     else pinned.write.insertInto(t)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("Count",

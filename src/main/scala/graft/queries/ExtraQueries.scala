@@ -615,6 +615,16 @@ object ExtraQueries {
     * and every reader option are ALL under test. Each engine
     * overwrites the shared /tmp paths before reading, so each compares
     * its own round-trip. BIGINT casts pin the inferred int widths.
+    *
+    * SINGLE-RUNNER ASSUMPTION (ADVICE r12 #4): the fixture paths are
+    * fixed literals because the gate's contract is byte-identical SQL
+    * text on both engines — a per-session suffix would diverge from
+    * the static oracle text. Two q124 executions racing in one process
+    * would interleave on the shared paths and the COPY FROM append
+    * count; every harness here serializes it (Bench's queue dequeues
+    * each query once per pass, Verify/tests run it once), and a user
+    * embedding this text runs it as a config statement batch, which is
+    * sequential by construction.
     */
   private[graft] val copySqlText = """
       COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation)

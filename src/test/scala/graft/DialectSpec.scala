@@ -1732,6 +1732,29 @@ class DialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("isn't meaningful"))
   }
 
+  test("COPY table FROM fails loudly on malformed rows like DuckDB (ADVICE r12)") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1, 4).toDF("id").withColumn("v", col("id"))
+    val dir = Files.createTempDirectory("graft-copyfailfast").toString
+    // a csv whose second data row can't cast to the table's BIGINT
+    Files.write(java.nio.file.Paths.get(s"$dir/bad.csv"),
+      "id|v\n1|10\n2|oops\n3|30\n".getBytes("UTF-8"))
+    SqlStage("s",
+      """CREATE OR REPLACE TEMP TABLE cff AS
+         SELECT CAST(id AS BIGINT) AS id, CAST(v AS BIGINT) AS v FROM df WHERE id < 0""")
+      .apply(spark, df)
+    // PERMISSIVE would null-pad 'oops' and report Count=3; DuckDB errors
+    val e = intercept[Exception](SqlStage("s",
+      s"COPY cff FROM '$dir/bad.csv' (FORMAT CSV, HEADER, DELIMITER '|')")
+      .apply(spark, df).collect())
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+    assert(chain(e).exists(m => m.contains("FAILFAST") || m.contains("Malformed")), e.toString)
+    // ...and nothing was appended
+    assert(SqlStage("s", "SELECT COUNT(*) AS n FROM cff").apply(spark, df)
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("read_csv skip refuses a directory path (ADVICE r11)") {
     import org.apache.spark.sql.functions.col
     val df = spark.range(1, 4).toDF("id").withColumn("v", col("id"))
