@@ -3393,7 +3393,9 @@ object GraftSqlParser {
         }
         val path = strLit(args.head).getOrElse(fail("path must be a string literal"))
         val OptRe = raw"(?s)^([A-Za-z_]\w*)\s*(?::?=)\s*(.+)$$".r
-        val opts = args.tail.map { a =>
+        // arguments may carry leading comments (`read_csv(p, /* n; */
+        // header = false)`) — strip like statement heads (r13 fuzz)
+        val opts = args.tail.map(stripLeadingComments).map { a =>
           OptRe.findFirstMatchIn(a) match {
             case Some(om) => om.group(1).toLowerCase -> om.group(2).trim
             case None => fail(s"option '$a' isn't name=value")
@@ -3646,7 +3648,11 @@ object GraftSqlParser {
         fail(s"unexpected trailing text '${rest0.take(30)}'")
       val inner = rest0.stripSuffix(";").trim.stripPrefix("(").stripSuffix(")").trim
       val innerMasked = maskQuotes(inner)
-      splitTopLevel(inner, innerMasked).map(_.trim).filter(_.nonEmpty).foreach { opt =>
+      // options may carry leading comments (`(FORMAT CSV, /* note; */
+      // HEADER, ...)`) — strip them per option like statement heads
+      // (r13 option-fuzz finding)
+      splitTopLevel(inner, innerMasked).map(o => stripLeadingComments(o).trim)
+        .filter(_.nonEmpty).foreach { opt =>
         val parts = opt.split(raw"\s+", 2)
         parts(0).toUpperCase match {
           case "FORMAT" =>

@@ -2075,7 +2075,18 @@ class DialectSpec extends SparkSpec {
       ("x -> 'a' ->> 'b'", "j"),
       ("x -> 'l' -> 1", "j"),
       ("x ->> 'a'", "j"),
-      ("length(coalesce(x -> 'a' -> 'b', '?')) * 10", "j"))
+      ("length(coalesce(x -> 'a' -> 'b', '?')) * 10", "j"),
+      // r13 (VERDICT r12 #6): terminal-`->` chains in lambda-ADJACENT
+      // positions — a chain as a non-HOF call argument must rewrite
+      // (coalesce is not lambda context)...
+      ("coalesce(x -> 'a', '{}') ->> 'b'", "j"),
+      ("length(coalesce(x -> 'l', '[]')) + (x -> 'a' ->> 'b')::INT", "j"),
+      // ...a JSON chain INSIDE a lambda body must rewrite while the
+      // lambda arrow itself stays untouched...
+      ("list_extract(list_transform([x ->> 'a'], y -> length(y)), 1)", "j"),
+      // ...and a CONSTANT-bodied lambda in a known HOF must NOT be
+      // claimed as a JSON extraction (the r12 disambiguation)
+      ("list_extract(list_transform([x], y -> 'k'), 1)", "v"))
     val comments = Seq("-- c; with semicolon\n", "/* block; ; */ ", "")
     val rnd = new scala.util.Random(20260814)
     for (trial <- 1 to 400) {
@@ -2093,6 +2104,60 @@ class DialectSpec extends SparkSpec {
       val got = SqlStage("s", batch).apply(spark, df).collect().map(_.toSeq).toSeq
       val want = SqlStage("s", inline).apply(spark, df).collect().map(_.toSeq).toSeq
       assert(got == want, s"trial $trial mangled:\n$batch\nvs\n$inline")
+    }
+  }
+
+  test("COPY/read_* option fuzz: comments, quoted delimiters and brace literals (r13)") {
+    import org.apache.spark.sql.functions.col
+    // VERDICT r12 #6: the r12 statement surface's interaction classes —
+    // COPY TO/FROM option lists carrying embedded comments (with
+    // semicolons) and QUOTED delimiter characters that double as
+    // statement/argument separators (';', ','), composed with read_csv
+    // brace-literal column specs and skip — fuzzed as full write→load→
+    // read round-trips whose value equality is the assertion.
+    val df = spark.range(1, 9).toDF("id")
+      .withColumn("v", col("id") * 7)
+      .withColumn("s", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("r"), col("id")))
+    val want = (1L to 8L).map(i => (i, i * 7, s"r$i"))
+    val delims = Seq("|", ";", ",", "\t", "^")
+    val comments = Seq("/* c; with ; semis */ ", "-- line; comment\n", "")
+    val rnd = new scala.util.Random(20260814)
+    val base = Files.createTempDirectory("graft-copyfuzz").toString
+    for (trial <- 1 to 60) {
+      val d = delims(rnd.nextInt(delims.size))
+      val c1 = comments(rnd.nextInt(3))
+      val c2 = comments(rnd.nextInt(3))
+      val header = rnd.nextBoolean()
+      val p = s"$base/t$trial.csv"
+      val dq = if (d == "\t") "\\t" else d
+      // write with a quoted delimiter + comment inside the option list
+      SqlStage("s",
+        s"""COPY (SELECT id, v, s FROM df) TO '$p'
+            (FORMAT CSV, ${c1}HEADER $header, DELIMITER '$dq')""").apply(spark, df)
+      // load back two ways: COPY FROM into a seeded temp table, and a
+      // read_csv leg with a brace-literal columns spec (+ skip when the
+      // file has a header row to drop as data)
+      val viaCopy = SqlStage("s",
+        s"""CREATE OR REPLACE TEMP TABLE fz_t$trial AS
+              SELECT CAST(id AS BIGINT) AS id, CAST(v AS BIGINT) AS v,
+                     CAST(s AS STRING) AS s FROM df WHERE id < 0;
+            ${c2}COPY fz_t$trial FROM '$p' (FORMAT CSV, HEADER $header, DELIMITER '$dq');
+            SELECT id, v, s FROM fz_t$trial ORDER BY id""").apply(spark, df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(viaCopy == want, s"trial $trial COPY FROM (delim '$d' header $header)")
+      val readLeg =
+        if (header)
+          s"""SELECT id, v, s FROM read_csv('$p', delim = '$dq', ${c1}header = false,
+                skip = 1, columns = {'id': 'BIGINT', 'v': 'BIGINT', 's': 'VARCHAR'})
+              ORDER BY id"""
+        else
+          s"""SELECT id, v, s FROM read_csv('$p', ${c2}delim = '$dq', header = false,
+                columns = {'id': 'BIGINT', 'v': 'BIGINT', 's': 'VARCHAR'})
+              ORDER BY id"""
+      val viaRead = SqlStage("s", readLeg).apply(spark, df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(viaRead == want, s"trial $trial read_csv (delim '$d' header $header)")
     }
   }
 }
