@@ -220,6 +220,36 @@ object CoreQueries {
         ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
       ORDER BY e.event_id"""
 
+  /** FORWARD, STRICT, MULTI-KEY ASOF through the dialect layer — the
+    * other half of the native as-of exec's surface, gate-anchored
+    * (r13): for each event, the day of the NEXT event of the same
+    * (user, type) strictly after it (the next-occurrence /
+    * time-to-next-event shape). q99 pins backward/inclusive/single-key
+    * through the primitive fast path; this text pins forward/strict
+    * with a two-column equality (string second key), which routes the
+    * GENERIC [[graft.plans.AsofHashJoinExec]] build/probe. The oracle
+    * is the byte-identical SQL run natively by DuckDB (probed: 1.0.0
+    * supports all four inequality directions and multi-key equality).
+    * Output is the next event's DAY, not its id — duplicate (user,
+    * type, ts) rows make the surviving ROW engine-arbitrary on both
+    * sides, but its `ts` is tie-invariant (the q20 CAST-to-DATE
+    * treatment).
+    */
+  def q141AsofForward(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    events(s, d).createOrReplaceTempView("events")
+    s.sql(graft.operators.GraftSqlParser.rewriteAll(asofForwardSqlText))
+  }
+
+  private[graft] val asofForwardSqlText = """
+      SELECT a.event_id, a.user_id,
+             CAST(b.ts AS DATE) AS next_same_type_day,
+             (b.ts IS NOT NULL) AS has_next
+      FROM events a
+      ASOF LEFT JOIN events b
+        ON a.user_id = b.user_id AND a.event_type = b.event_type AND a.ts < b.ts
+      ORDER BY a.event_id"""
+
   // --------------------------------------------------------------- windows
 
   /** Top-3 orders per customer: row_number window + filter. */
@@ -374,6 +404,7 @@ object CoreQueries {
     "q19_grouping_sets"     -> (q19GroupingSets _),
     "q20_asof_join"         -> (q20AsofJoin _),
     "q99_asof_sql"          -> (q99AsofSql _),
+    "q141_asof_forward"     -> (q141AsofForward _),
     "q21_math_case"         -> (q21MathCase _),
     "q22_window_lag_lead"   -> (q22WindowLagLead _),
     "q23_pivot_conditional" -> (q23PivotConditional _),
@@ -555,6 +586,7 @@ object CoreQueries {
     // byte-identical to the Spark side's input text: DuckDB runs the
     // native ASOF operator, Spark runs the rewriteAsof output
     "q99_asof_sql" -> asofSqlText,
+    "q141_asof_forward" -> asofForwardSqlText,
 
     "q21_math_case" -> """
       SELECT c_custkey,

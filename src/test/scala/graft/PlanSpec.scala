@@ -56,6 +56,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q141 forward multi-key ASOF plans the native exec (generic hash path)") {
+    val p = planOf(CoreQueries.q141AsofForward(spark, sf))
+    assert(p.contains("AsofHashJoin") || p.contains("AsofMergeJoin"), p)
+    assert(!p.contains("Window") && !p.contains("Union"), p)
+  }
+
   test("q02: aggregation is partial+final (map-side combine present)") {
     val p = planOf(CoreQueries.q02AggPricing(spark, sf))
     // two HashAggregate nodes around the exchange = partial + final
