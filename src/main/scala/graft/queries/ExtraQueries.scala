@@ -93,34 +93,28 @@ object ExtraQueries {
     */
   def q80ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice").as("p"))
-    // Exact interpolated median via window sort instead of the
-    // `percentile` aggregate: Percentile builds a per-group
-    // OpenHashMap of every distinct value (3× slower here); the
-    // sort-based formulation is one exchange + sort, and the
-    // interpolation replicates Percentile's exact formula
-    // (hi-pos)*lo + (pos-lo)*hi — at p=0.5 both weights are exactly
-    // 0.5, so the result is bit-identical to percentile()/DuckDB
-    // quantile_cont.
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("p"))
-    val cw = Window.partitionBy(col("l_returnflag"))
-    val pos = (col("n") - 1) * lit(0.5)
     val ap = li.groupBy(col("l_returnflag"))
       .agg(percentile_approx(col("p"), lit(0.5), lit(100)).as("ap"))
-    // One window pass produces rank + group size; the same (already
-    // flag-partitioned) rows then aggregate median endpoints AND the
-    // sketch's realized rank in a single groupBy — no third scan, no
-    // re-shuffle (the aggregate reuses the window's partitioning).
-    val ranked = li.join(broadcast(ap), "l_returnflag")
-      .select(col("l_returnflag"), col("p"), col("ap"),
-        row_number().over(w).as("rn"), count(lit(1)).over(cw).as("n"))
-    val agg = ranked.groupBy(col("l_returnflag"), col("n"))
-      .agg(min(when(col("rn") === floor(pos) + 1, col("p"))).as("pl"),
-           max(when(col("rn") === ceil(pos) + 1, col("p"))).as("ph"),
+    // Exact interpolated median via the `percentile` AGGREGATE plus the
+    // sketch's realized rank in the SAME single groupBy — no window.
+    // The previous shape (window row_number + interpolation) was the
+    // r4 single-core winner, but a window PARTITIONED BY a 3-value
+    // flag is at most 3 tasks: one core sorts ~200k rows while 31
+    // idle here, and at 100 TB those 3 partitions are the textbook
+    // hot-partition sort. Percentile partial-aggregates on every scan
+    // split (map-side value→count maps, mergeable), so the heavy pass
+    // parallelizes with the input; its memory is bounded by DISTINCT
+    // values per group — the honest scale limit of any EXACT
+    // percentile, and this query's whole point is certifying the
+    // UNBOUNDED-scale path (percentile_approx) against it. Both
+    // formulations interpolate identically (q49 precedent:
+    // percentile() hash-matches DuckDB quantile_cont bit-for-bit).
+    li.join(broadcast(ap), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("p"), lit(0.5)).as("exact_median"),
+           count(lit(1)).as("n"),
            sum(when(col("p") <= col("ap"), 1L).otherwise(0L)).as("le"))
-    agg.select(col("l_returnflag"),
-        when(floor(pos) === ceil(pos), col("pl"))
-          .otherwise((ceil(pos) - pos) * col("pl") + (pos - floor(pos)) * col("ph"))
-          .as("exact_median"),
+      .select(col("l_returnflag"), col("exact_median"),
         (abs(col("le").cast("double") / col("n") - 0.5) <= 0.015)
           .as("rank_within_bound"))
       .orderBy(col("l_returnflag"))
