@@ -313,27 +313,42 @@ object VectorFunctions {
   private val fingerprints =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Double)]()
 
+  /** Content fingerprint (row count, xor of id hashes, mean leading
+    * component), memoized per cache key for the JVM's lifetime.
+    */
+  private def contentFp(df: DataFrame, idCol: String, vecCol: String,
+                        key: String): (Long, Long, Double) =
+    fingerprints.computeIfAbsent(key, _ => {
+      val fp = df.select(xxhash64(col(idCol)).as("__h"),
+          element_at(col(vecCol), 1).cast("double").as("__v"))
+        .agg(count(lit(1)).cast("long"), expr("bit_xor(__h)"), avg(col("__v"))).head()
+      (fp.getLong(0), fp.getLong(1), fp.getDouble(2))
+    })
+
+  /** Write `df` once under a content-keyed tmp path and return the
+    * parquet-backed relation (the q104 persisted-index pattern shared
+    * by every memoized verification side).
+    */
+  private def diskMemo(spark: org.apache.spark.sql.SparkSession, key: String,
+                       prefix: String, build: () => DataFrame): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"${sys.props("java.io.tmpdir")}/$prefix$tag"
+    VectorFunctions.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        build().write.mode("overwrite").parquet(path)
+    }
+    graft.Tables.raw(spark, path)
+  }
+
   def exactNearDupPairsCached(df: DataFrame, idCol: String, vecCol: String,
                               threshold: Double, corpusTag: String): DataFrame = {
     val spark = df.sparkSession
-    val (fpN, fpH, fpS) = fingerprints.computeIfAbsent(
-      s"$corpusTag|$idCol|$vecCol", _ => {
-        val fp = df.select(xxhash64(col(idCol)).as("__h"),
-            element_at(col(vecCol), 1).cast("double").as("__v"))
-          .agg(count(lit(1)).cast("long"), expr("bit_xor(__h)"), avg(col("__v"))).head()
-        (fp.getLong(0), fp.getLong(1), fp.getDouble(2))
-      })
+    val (fpN, fpH, fpS) = contentFp(df, idCol, vecCol, s"$corpusTag|$idCol|$vecCol")
     val key = s"$corpusTag|n=$fpN|h=$fpH|" +
       f"s=$fpS%.9f|t=$threshold|exactpairs"
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_exact_pairs_$tag"
-    VectorFunctions.synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
-        exactNearDupPairs(df, idCol, vecCol, threshold)
-          .write.mode("overwrite").parquet(path)
-    }
-    graft.Tables.raw(spark, path)
+    diskMemo(spark, key, "graft_exact_pairs_",
+      () => exactNearDupPairs(df, idCol, vecCol, threshold))
   }
 
   /** One-row recall/precision audit of an approximate pairwise dedup
@@ -407,6 +422,37 @@ object VectorFunctions {
     val exact = bruteForceTopK(queries, candidates, k)
       .select(col("qid"), col("cid"), col("cos"), col("rn"))
       .localCheckpoint(false)
+    topKAuditTail(exact, approx, queries, k, bound)
+  }
+
+  /** [[topKRecallAudit]] with the exact brute-force reference side
+    * DISK-MEMOIZED per corpus snapshot (the q37/q46 exact-pairs
+    * treatment, r13): the exact top-k is a deterministic pure function
+    * of (queries, candidates, k), and FOUR gates (q41 LSH, q77 fresh
+    * IVF, q104 persisted IVF, q140 sampled IVF) audit against the SAME
+    * reference — each previously re-ran the corpus-wide brute force on
+    * every execution. Both sides are content-fingerprint keyed, so a
+    * regenerated corpus or a changed query set rebuilds instead of
+    * serving stale ranks. Audit semantics unchanged: n_exact /
+    * min_kth_cos / max_kth_cos still pin the (memoized) exact side
+    * against DuckDB's independent recomputation.
+    */
+  def topKRecallAuditCached(approx: DataFrame, queries: DataFrame,
+                            candidates: DataFrame, k: Int, bound: Double,
+                            corpusTag: String): DataFrame = {
+    val spark = candidates.sparkSession
+    val (qn, qh, qs) = contentFp(queries, "vec_id", "embedding", s"$corpusTag|topk|queries")
+    val (cn, ch, cs) = contentFp(candidates, "vec_id", "embedding", s"$corpusTag|vec_id|embedding")
+    val key = f"$corpusTag|q=$qn:$qh:$qs%.9f|c=$cn:$ch:$cs%.9f|k=$k|exacttopk"
+    val exact = diskMemo(spark, key, "graft_exact_topk_",
+      () => bruteForceTopK(queries, candidates, k)
+        .select(col("qid"), col("cid"), col("cos"), col("rn")))
+    topKAuditTail(exact, approx, queries, k, bound)
+  }
+
+  /** Exact reference + ANN output → the one-row audit (shared tail). */
+  private def topKAuditTail(exact: DataFrame, approx: DataFrame,
+                            queries: DataFrame, k: Int, bound: Double): DataFrame = {
     // one left join + one aggregate for hit/approx counts (see
     // pairRecallAudit); the exact-side stats and n_queries are 1-row
     // aggregates crossJoined in

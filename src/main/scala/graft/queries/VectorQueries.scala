@@ -59,7 +59,7 @@ object VectorQueries {
     val ann = VF.annTopK(q, emb, k = 5, bits = 4, tables = 8, probes = 4)
     // realized recall@5 (RecallProbe): 0.98 / 1.00 / 0.98 at the three
     // SFs (was 0.74 / 0.66 / 0.62 single-probe)
-    VF.topKRecallAudit(ann, q, emb, k = 5, bound = 0.90)
+    VF.topKRecallAuditCached(ann, q, emb, k = 5, bound = 0.90, corpusTag = d)
   }
 
   /** IVF-Flat approximate top-5 with one Lloyd refinement on the
@@ -85,7 +85,7 @@ object VectorQueries {
     val ivf = VF.ivfTopK(q, emb, k = 5, nlist = 16, nprobe = 6, refine = 1)
     // realized recall@5 (RecallProbe): 0.72 / 0.74 / 0.70 at the three
     // SFs (was 0.42 / 0.56 / 0.48 at nprobe=4 unrefined)
-    VF.topKRecallAudit(ivf, q, emb, k = 5, bound = 0.60)
+    VF.topKRecallAuditCached(ivf, q, emb, k = 5, bound = 0.60, corpusTag = d)
   }
 
   /** Persisted-index ANN (VERDICT r6 #4): build + [[graft.functions
@@ -120,7 +120,7 @@ object VectorQueries {
     val idx = VF.IvfIndex(graft.Tables.raw(s, s"$path/centroids"),
       graft.Tables.raw(s, s"$path/assigned"))
     val probed = VF.ivfProbe(q, idx, k = 5, nprobe = 6)
-    VF.topKRecallAudit(probed, q, emb, k = 5, bound = 0.60)
+    VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.60, corpusTag = d)
   }
 
   /** SAMPLED-training IVF build (r12, VERDICT r11 #5 / r10 #3 — the
@@ -144,7 +144,7 @@ object VectorQueries {
     val q = emb.filter(col("vec_id") < 10)
     val idx = VF.buildIvf(emb, nlist = 16, refine = 1, trainFraction = 0.5)
     val probed = VF.ivfProbe(q, idx, k = 5, nprobe = 6)
-    val audit = VF.topKRecallAudit(probed, q, emb, k = 5, bound = 0.50)
+    val audit = VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.50, corpusTag = d)
     val conserve = idx.assigned.agg(count(lit(1)).as("n_assigned"))
       .crossJoin(idx.centroids.agg(count(lit(1)).as("n_centroids")))
       .crossJoin(emb.agg(
