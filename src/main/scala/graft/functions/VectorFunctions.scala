@@ -794,6 +794,198 @@ object VectorFunctions {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** A built Product Quantization index (Jégou, Douze, Schmid, "Product
+    * quantization for nearest neighbor search", PAMI 2011):
+    * `codebooks` (subspace, code, subvec) — m·ksub rows,
+    * broadcast-sized — and `encoded` (vec_id, codes), the corpus
+    * compressed to m small ints per vector. At ksub = 256 that is m
+    * BYTES of payload per vector against 4·d bytes of float32 — a
+    * 64-dim corpus compresses 32× at m = 8 — which is the difference
+    * between a 100 TB embedding corpus's candidate scan living on disk
+    * and living in executor memory. Build ONCE, probe many times
+    * ([[pqProbe]]), exactly like [[IvfIndex]].
+    */
+  final case class PqIndex(codebooks: DataFrame, encoded: DataFrame)
+
+  private def vecToDoubles(s: Seq[Any]): Array[Double] = s.map {
+    case f: java.lang.Float => f.doubleValue()
+    case d: java.lang.Double => d.doubleValue()
+    case other => other.asInstanceOf[Number].doubleValue()
+  }.toArray
+
+  /** Train per-subspace codebooks and encode the corpus — the PQ build.
+    * The d-dim space splits into `m` contiguous subspaces of d/m dims;
+    * each gets its own ksub-codeword k-means (L2, the paper's
+    * objective), trained jointly in one pass per Lloyd iteration:
+    *
+    *  - seeds: the subvectors of the `ksub` hash-lowest corpus vectors
+    *    (one TakeOrderedAndProject, the [[buildIvf]] seeding recipe);
+    *  - each iteration: one corpus scan assigns every vector's m codes
+    *    row-locally against the BROADCAST codebooks
+    *    ([[graft.functions.expressions.PqEncodeBroadcast]], codegen'd
+    *    argmin — no shuffle), then one (subspace, code, dim)-key
+    *    aggregation of the winning subvector sums — m·ksub·(d/m) =
+    *    ksub·d cells, partial-aggregated map-side and collected
+    *    driver-side (bounded by the codebook size, not the corpus).
+    *    A codeword that wins no vectors keeps its previous position
+    *    (the standard empty-cell rule, same as [[lloydRefine]]'s
+    *    drop-out handled conservatively).
+    *
+    * `trainFraction` < 1 trains on the deterministic xxhash sample and
+    * encodes the FULL corpus once — the same FAISS train-on-a-sample
+    * trade [[buildIvf]] gate-pins via q140. The returned `encoded`
+    * relation is lazily checkpointed: materialized on first probe,
+    * reused after.
+    */
+  def buildPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+              iters: Int = 1, trainFraction: Double = 1.0): PqIndex = {
+    require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0, 1]")
+    require(m >= 1 && ksub >= 2, s"need m >= 1, ksub >= 2; got m=$m ksub=$ksub")
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val train =
+      if (trainFraction >= 1.0) corpus
+      else corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+          math.round(trainFraction * 1000000L))
+    val seedRows = train.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub).collect()
+    require(seedRows.length == ksub,
+      s"train set has ${seedRows.length} vectors < ksub=$ksub")
+    val dim = seedRows(0).getSeq[Any](1).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) { (j, c) =>
+      vecToDoubles(seedRows(c).getSeq[Any](1)).slice(j * dsub, (j + 1) * dsub)
+    }
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val codes = org.apache.spark.sql.GraftColumnBridge.column(
+        expressions.PqEncodeBroadcast(bc,
+          org.apache.spark.sql.GraftColumnBridge.expression(col("embedding"))))
+      val cells = train
+        .select(col("embedding"), posexplode(codes).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("embedding"), col("j") * dsub + 1, lit(dsub)))
+            .as(Seq("pos", "v")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      cells.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) / r.getLong(4)
+      }
+      books = next
+    }
+    val cbSchema = StructType(Seq(
+      StructField("subspace", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("code", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("subvec", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false)))
+    val cbRows: Seq[Row] = for { j <- 0 until m; c <- 0 until ksub }
+      yield Row(j, c, books(j)(c).toSeq)
+    val cbDf = spark.createDataFrame(java.util.Arrays.asList(cbRows: _*), cbSchema)
+    val bcFinal = spark.sparkContext.broadcast(books)
+    val codesFinal = org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.PqEncodeBroadcast(bcFinal,
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding"))))
+    PqIndex(cbDf, corpus.select(col("vec_id"), codesFinal.as("codes"))
+      .localCheckpoint(false))
+  }
+
+  /** Persist a built [[PqIndex]] (the [[saveIvf]] cross-job half). */
+  def savePq(index: PqIndex, path: String): Unit = {
+    index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    index.encoded.write.mode("overwrite").parquet(s"$path/encoded")
+  }
+
+  /** Load a persisted PQ index ([[savePq]]). */
+  def loadPq(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex =
+    PqIndex(spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/encoded"))
+
+  /** Probe a [[PqIndex]]: ADC shortlist + exact re-rank.
+    *
+    *  1. Per query, the inner products against every codeword become an
+    *     m·ksub LOOKUP TABLE (computed driver-side from the collected
+    *     codebooks — |Q|·m·ksub doubles, broadcast). The encoded-corpus
+    *     scan then scores approximate cosine per (row, query) with m
+    *     table adds ([[graft.functions.expressions
+    *     .PqAdcScoresBroadcast]]) — d/m× fewer flops than brute force
+    *     on 4·d/m× fewer stored bytes, the ADC asymmetry that is PQ's
+    *     entire point.
+    *  2. The per-query `rerank`-deep shortlist comes from the bounded
+    *     [[TopKAggregator]] UDAF — O(rerank) state per query,
+    *     map-side-combined, so the shuffle carries ≤ rerank ids per
+    *     query per mapper, NOT the |Q|·N scored stream (the window-rank
+    *     shape [[bruteForceTopK]] tolerates would).
+    *  3. Shortlisted candidates re-join the RAW vectors by id (a
+    *     broadcast of |Q|·rerank ids against the corpus — id-only, the
+    *     [[lshNearDupPairs]] verified-candidate pattern) for exact
+    *     cosine and the final top-k — quantization error never reaches
+    *     the reported scores, only recall (IVFADC+R, Jégou 2011 §V).
+    *
+    * |Q| is bounded by contract (the [[bruteForceTopK]] caveat): LUTs
+    * are |Q|·m·ksub broadcast doubles and the scan is |Q| adds per
+    * corpus row, so batch very large query sets.
+    */
+  def pqProbe(queries: DataFrame, index: PqIndex, corpus: DataFrame,
+              k: Int, rerank: Int = Auto): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val rr = if (rerank == Auto) math.max(4 * k, 32) else rerank
+    val cb = index.codebooks.orderBy(col("subspace"), col("code")).collect()
+    val m = cb.map(_.getInt(0)).max + 1
+    val ksub = cb.length / m
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) { (j, c) =>
+      vecToDoubles(cb(j * ksub + c).getSeq[Any](2))
+    }
+    val dsub = books(0)(0).length
+    val norms2: Array[Array[Double]] =
+      books.map(_.map(cw => cw.map(x => x * x).sum))
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).collect()
+    val luts: Array[Array[Array[Double]]] = qRows.map { r =>
+      val qv = vecToDoubles(r.getSeq[Any](1))
+      Array.tabulate(m, ksub) { (j, c) =>
+        var ip = 0.0
+        var i = 0
+        while (i < dsub) { ip += qv(j * dsub + i) * books(j)(c)(i); i += 1 }
+        ip
+      }
+    }
+    val lutBc = spark.sparkContext.broadcast(luts)
+    val n2Bc = spark.sparkContext.broadcast(norms2)
+    val adc = org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.PqAdcScoresBroadcast(lutBc, n2Bc,
+        org.apache.spark.sql.GraftColumnBridge.expression(col("codes"))))
+    val qIdx = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.zipWithIndex.map {
+        case (r, i) => Row(i, r.getLong(0))
+      }: _*),
+      StructType(Seq(
+        StructField("qidx", org.apache.spark.sql.types.IntegerType, nullable = false),
+        StructField("q_id", org.apache.spark.sql.types.LongType, nullable = false))))
+    val topk = udaf(new graft.functions.TopKAggregator(rr),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val shortlist = index.encoded
+      .select(col("vec_id"), posexplode(adc).as(Seq("qidx", "adc")))
+      .join(broadcast(qIdx), "qidx")
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("adc"), col("vec_id")).as("ids"))
+      .select(col("q_id"), explode(col("ids")).as("vec_id"))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qv"))), "q_id")
+      .select(col("q_id").as("qid"), col("vec_id").as("cid"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: queries join candidates sharing any
     * of `tables` random-hyperplane bucket signatures, then exact cosine
     * + rank within the (much smaller) candidate set — the scale path:

@@ -539,6 +539,184 @@ object PairsAboveThresholdBroadcast {
   }
 }
 
+/** pq_encode: per-subspace nearest-codeword indices against a BROADCAST
+  * codebook array — the Product Quantization encoder (Jégou, Douze,
+  * Schmid, "Product quantization for nearest neighbor search", PAMI
+  * 2011). The d-dim vector splits into `m` contiguous subvectors of
+  * d/m dims; subspace j's subvector maps to the index of its nearest
+  * (L2) codeword in `books(j)` — ties break toward the LOWEST code
+  * (strict-< scan), a pure function of the input. Output is the
+  * m-length int code array: at ksub = 256 that is m BYTES of
+  * information per vector vs 4·d bytes of float32 — the compression
+  * that lets a 100 TB embedding corpus's candidate scan live in
+  * memory. NULL (not a truncated code) when the vector's length is not
+  * the codebooks' summed width, mirroring [[CosineSimilarity]]'s
+  * ragged-input discipline.
+  *
+  * Same codegen strategy as [[NearestCentroidsBroadcast]]: the plan
+  * carries only the broadcast handle; doGenCode emits one static call
+  * so the expression stays inside WholeStageCodegen.
+  */
+case class PqEncodeBroadcast(
+    books: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+    child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode needs array<float|double>, got $t")
+    }
+
+  private lazy val isFloat = VecUtil.isFloatArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncodeBroadcast.encode(v.asInstanceOf[ArrayData], isFloat, books.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bcRef = ctx.addReferenceObj("graftPqBooksBc", books, bcCls)
+    val mVar = ctx.addMutableState("double[][][]", "graftPqBooks",
+      v => s"$v = (double[][][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("codes")
+      s"""
+         org.apache.spark.sql.catalyst.util.ArrayData $boxed =
+           graft.functions.expressions.PqEncodeBroadcast.encode($c, $isFloat, $mVar);
+         if ($boxed == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $boxed; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncodeBroadcast {
+  /** Null on width mismatch (Σ dsub ≠ |v|). */
+  def encode(v: ArrayData, isFloat: Boolean,
+             books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    var width = 0
+    var j = 0
+    while (j < m) { width += books(j)(0).length; j += 1 }
+    if (v.numElements() != width) return null
+    val codes = new Array[Int](m)
+    var off = 0
+    j = 0
+    while (j < m) {
+      val cb = books(j)
+      val dsub = cb(0).length
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = VecUtil.get(v, off + i, isFloat) - cw(i)
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      codes(j) = best
+      off += dsub
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+}
+
+/** pq_adc_scores: Asymmetric Distance Computation over a code array —
+  * for each of Q broadcast queries, the approximate cosine between the
+  * query and the codes' RECONSTRUCTION, from per-query lookup tables
+  * (Jégou 2011 §IV.A, inner-product form):
+  *
+  *   ip(q, x̂)   = Σ_j luts(q)(j)(codes(j))      (q_j · codeword)
+  *   ‖x̂‖²       = Σ_j norms2(j)(codes(j))       (subspaces partition
+  *                                                coordinates, so the
+  *                                                decomposition is exact)
+  *   score(q)   = ip / ‖x̂‖                      (÷‖q‖ is a per-query
+  *                                                constant — rank-free)
+  *
+  * The scan is m table adds per (row, query) — d/m× fewer flops than
+  * the brute-force fold, on 4·d/m× fewer stored bytes; that asymmetry
+  * (query stays exact, corpus is quantized) is the whole point of ADC.
+  * Output: Q-length double array, positionally aligned with the
+  * broadcast query order (caller maps position → query id). A
+  * zero-norm reconstruction scores 0 rather than ±Inf.
+  */
+case class PqAdcScoresBroadcast(
+    luts: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+    norms2: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_scores needs array<int> codes, got $t")
+    }
+
+  override def nullSafeEval(codes: Any): Any =
+    PqAdcScoresBroadcast.scores(codes.asInstanceOf[ArrayData],
+      luts.value, norms2.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val lutRef = ctx.addReferenceObj("graftPqLutsBc", luts, bcCls)
+    val n2Ref = ctx.addReferenceObj("graftPqNorms2Bc", norms2, bcCls)
+    val lutVar = ctx.addMutableState("double[][][]", "graftPqLuts",
+      v => s"$v = (double[][][]) $lutRef.value();")
+    val n2Var = ctx.addMutableState("double[][]", "graftPqNorms2",
+      v => s"$v = (double[][]) $n2Ref.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.PqAdcScoresBroadcast.scores(
+         |  $c, $lutVar, $n2Var);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqAdcScoresBroadcast {
+  def scores(codes: ArrayData, luts: Array[Array[Array[Double]]],
+             norms2: Array[Array[Double]]): ArrayData = {
+    val m = norms2.length
+    var n2 = 0.0
+    var j = 0
+    while (j < m) { n2 += norms2(j)(codes.getInt(j)); j += 1 }
+    val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+    val out = new Array[Double](luts.length)
+    var qi = 0
+    while (qi < luts.length) {
+      val lut = luts(qi)
+      var ip = 0.0
+      j = 0
+      while (j < m) { ip += lut(j)(codes.getInt(j)); j += 1 }
+      out(qi) = ip * inv
+      qi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier

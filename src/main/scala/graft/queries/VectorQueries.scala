@@ -153,6 +153,39 @@ object VectorQueries {
     audit.crossJoin(conserve)
   }
 
+  /** Product-quantized ANN (r13): [[graft.functions.VectorFunctions
+    * .buildPq]] trains m = 16 per-subspace codebooks of ksub = 64
+    * codewords (one joint Lloyd pass), compresses the corpus to 16
+    * small ints per 64-float vector, and [[graft.functions
+    * .VectorFunctions.pqProbe]] answers top-5 by ADC lookup-table scan
+    * + exact re-rank of the 128-deep shortlist (IVFADC+R, Jégou 2011).
+    * Audited exactly like q41/q77/q104/q140: the exact brute-force
+    * reference side is DuckDB-recomputed (n_exact / kth-cosine
+    * extremes hash bit-for-bit), full_k/recall_ok are pinned sentinels
+    * (the codebooks come from Spark's xxhash-seeded k-means, not
+    * portable SQL). Realized recall@5: 1.00 / 1.00 / 1.00 at the three
+    * SFs (RecallProbe; bound 0.80). PLUS three conservation columns:
+    * `n_encoded` (every corpus vector got a code row — DuckDB counts
+    * the corpus), `n_codebook` (m·ksub codewords kept — pinned 1024),
+    * and `codes_ok` (every code row is exactly m wide with codes in
+    * [0, ksub) — the encoder never emits a ragged or out-of-range
+    * code; TRUE sentinel, Spark-computed over the full corpus).
+    */
+  def q142PqTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val idx = VF.buildPq(emb, m = 16, ksub = 64, iters = 1)
+    val probed = VF.pqProbe(q, idx, emb, k = 5, rerank = 128)
+    val audit = VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.80, corpusTag = d)
+    val conserve = idx.encoded.agg(
+        count(lit(1)).as("n_encoded"),
+        (min(size(col("codes"))) === 16 && max(size(col("codes"))) === 16 &&
+          min(array_min(col("codes"))) >= 0 &&
+          max(array_max(col("codes"))) < 64).as("codes_ok"))
+      .crossJoin(idx.codebooks.agg(count(lit(1)).as("n_codebook")))
+    audit.crossJoin(conserve)
+  }
+
   /** Vector norms + per-label stats, exact sequential folds. */
   def q45EmbeddingNorms(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
@@ -169,6 +202,7 @@ object VectorQueries {
     "q77_ann_ivf"        -> (q77AnnIvf _),
     "q104_ivf_persisted" -> (q104IvfPersisted _),
     "q140_ivf_sampled"   -> (q140IvfSampled _),
+    "q142_pq_topk"       -> (q142PqTopk _),
     "q109_cluster_assign" -> (q109ClusterAssign _),
     "q111_semdedup"      -> (q111SemDedup _),
     "q116_semdedup_learned" -> (q116SemDedupLearned _),
@@ -317,6 +351,30 @@ object VectorQueries {
              TRUE AS full_k, TRUE AS recall_ok,
              (SELECT COUNT(*) FROM embeddings) AS n_assigned,
              CAST(16 AS BIGINT) AS n_centroids, TRUE AS sampled_smaller
+      FROM t""",
+
+    // q142: the PQ audit — same exact reference side as q41/q77/q140,
+    // plus the conservation columns DuckDB verifies exactly (every
+    // corpus vector encoded → n_encoded = corpus count) or pins as
+    // constants (m·ksub = 1024 codewords; codes_ok — the in-[0,ksub)
+    // width-m invariant is Spark-checked over the full corpus)
+    "q142_pq_topk" -> """
+      WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id cid, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+      s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) cos
+            FROM q, c WHERE cid <> qid),
+      r AS (SELECT qid, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+            FROM s),
+      t AS (SELECT qid, MAX(CASE WHEN rn = 5 THEN cos END) kth, COUNT(*) nk
+            FROM r WHERE rn <= 5 GROUP BY qid)
+      SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+             CAST(SUM(nk) AS BIGINT) AS n_exact,
+             MIN(kth) AS min_kth_cos, MAX(kth) AS max_kth_cos,
+             TRUE AS full_k, TRUE AS recall_ok,
+             (SELECT COUNT(*) FROM embeddings) AS n_encoded,
+             TRUE AS codes_ok, CAST(1024 AS BIGINT) AS n_codebook
       FROM t""",
 
     "q40_cosine_topk" -> """

@@ -50,6 +50,12 @@ object RecallProbe {
         VF.annTopK(q, emb, 5, bits = 4, tables = 8, probes = 4))
       topStats("q77 ivf nlist=16 nprobe=6 refine=1",
         VF.ivfTopK(q, emb, 5, nlist = 16, nprobe = 6, refine = 1))
+      for ((m, ksub, it, rr) <- Seq((8, 64, 1, 128), (8, 64, 1, 256),
+                                    (16, 64, 1, 128), (8, 128, 1, 256))) {
+        val idx = VF.buildPq(emb, m = m, ksub = ksub, iters = it)
+        topStats(s"pq m=$m ksub=$ksub iters=$it rerank=$rr",
+          VF.pqProbe(q, idx, emb, k = 5, rerank = rr))
+      }
     }
     spark.stop()
   }

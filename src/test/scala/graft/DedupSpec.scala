@@ -880,4 +880,103 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("PQ: codes are width-m in [0, ksub); encode is deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = VectorFunctions.buildPq(emb, m = 8, ksub = 16, iters = 1)
+    val stats = idx.encoded.agg(
+      count(lit(1)), min(size(col("codes"))), max(size(col("codes"))),
+      min(array_min(col("codes"))), max(array_max(col("codes")))).head()
+    assert(stats.getLong(0) == emb.count())
+    assert(stats.getInt(1) == 8 && stats.getInt(2) == 8)
+    assert(stats.getInt(3) >= 0 && stats.getInt(4) < 16)
+    assert(idx.codebooks.count() == 8 * 16)
+    // same corpus, same parameters → bit-identical codes (pure function
+    // of the hash-seeded training — no RNG state anywhere)
+    val again = VectorFunctions.buildPq(emb, m = 8, ksub = 16, iters = 1)
+    assert(idx.encoded.join(again.encoded.withColumnRenamed("codes", "c2"), "vec_id")
+      .filter(col("codes") =!= col("c2")).count() == 0)
+  }
+
+  test("PQ ADC score equals exact cosine against the explicit reconstruction") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = VectorFunctions.buildPq(emb, m = 8, ksub = 16, iters = 1)
+    val q = emb.filter(col("vec_id") < 3)
+    // deep rerank + k = corpus so the probe emits EVERY (query, cand)
+    // pair ranked by exact cosine of the raw vectors — but the
+    // shortlist stage ranked by ADC; here we check the ADC scores
+    // directly: reconstruct x̂ from the codebooks in the test and
+    // compare cos(q, x̂) with the expression's ip/‖x̂‖ (÷‖q‖ applied).
+    val books = idx.codebooks.orderBy(col("subspace"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val codeRows = idx.encoded.orderBy(col("vec_id")).limit(20).collect()
+    val qRow = q.orderBy(col("vec_id")).head()
+    val qv = qRow.getSeq[Any](1).map(_.asInstanceOf[Float].toDouble).toArray
+    val byJc = books.map { case (j, c, v) => (j, c) -> v }.toMap
+    val dsub = qv.length / 8
+    codeRows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val recon = (0 until 8).flatMap(j => byJc((j, codes(j)))).toArray
+      val ip = qv.zip(recon).map { case (a, b) => a * b }.sum
+      val n2 = recon.map(x => x * x).sum
+      val expect = if (n2 > 0) ip / math.sqrt(n2) else 0.0
+      // recompute through the expression's static entry point
+      val luts = Array(Array.tabulate(8, 16) { (j, c) =>
+        val cw = byJc((j, c))
+        (0 until dsub).map(i => qv(j * dsub + i) * cw(i)).sum
+      })
+      val norms2 = Array.tabulate(8, 16)((j, c) => byJc((j, c)).map(x => x * x).sum)
+      val got = graft.functions.expressions.PqAdcScoresBroadcast.scores(
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(codes.toArray),
+        luts, norms2).getDouble(0)
+      assert(math.abs(got - expect) < 1e-9, s"vec ${r.getLong(0)}: $got vs $expect")
+    }
+  }
+
+  test("PQ probe: recall 1 on a clustered corpus; round-trips through parquet") {
+    val rnd = new scala.util.Random(29)
+    val dim = 32
+    val rows = (0 until 8).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian().toFloat * 5f)
+      (0 until 40).map { i =>
+        ((c * 40 + i).toLong, center.map(x => x + 0.3f * rnd.nextGaussian().toFloat).toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id").isin(0L, 45L, 90L, 135L, 200L))
+    val idx = VectorFunctions.buildPq(df, m = 8, ksub = 16, iters = 1)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rerank deeper than the cluster size (40): ADC ranks every
+    // own-cluster member near the top, but quantization jitter can push
+    // one past an arbitrary shallower cut (rerank=32 measured 0.96 —
+    // one own-cluster neighbor at ADC rank ~33)
+    val pq = ids(VectorFunctions.pqProbe(q, idx, df, k = 5, rerank = 48))
+    val brute = ids(VectorFunctions.bruteForceTopK(q, df, k = 5))
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    assert(recall == 1.0, s"clustered PQ recall=$recall")
+    assert(pq.forall { case (a, b) => a != b })
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    VectorFunctions.savePq(idx, dir)
+    val loaded = VectorFunctions.loadPq(spark, dir)
+    assert(ids(VectorFunctions.pqProbe(q, loaded, df, k = 5, rerank = 48)) == pq)
+  }
+
+  test("PQ build refuses indivisible dims and undersized corpora loudly") {
+    val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      VectorFunctions.buildPq(bad, m = 2, ksub = 1))
+    assert(e.getMessage.contains("ksub"))
+    val few = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException](
+      VectorFunctions.buildPq(few, m = 2, ksub = 16))
+    assert(e2.getMessage.contains("ksub=16"))
+    val e3 = intercept[IllegalArgumentException](
+      VectorFunctions.buildPq(
+        Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(2.0f, 3.0f, 4.0f)))
+          .toDF("vec_id", "embedding"), m = 2, ksub = 2))
+    assert(e3.getMessage.contains("divisible"))
+  }
+
 }
