@@ -583,6 +583,34 @@ object VectorFunctions {
       StructType(Seq(StructField("cent_id", centIdType),
         StructField("__graft_cidx", org.apache.spark.sql.types.IntegerType))))
 
+  /** The probe head shared by [[ivfProbe]] and [[ivfPqProbe]]: rank
+    * each query's `nprobe` nearest centroids and explode to
+    * (q_id, qv, cid) probe rows. Centroid ranking is row-local, like
+    * the build's assignment: each query scores the broadcast centroid
+    * matrix and explodes its top nprobe indices — the old
+    * crossJoin + per-query window shuffled Q·nlist rows to pick the
+    * same probe set. tieHigh=false reproduces the window's
+    * `ORDER BY pc DESC, cent_id` (ties → lowest cent_id).
+    */
+  private def centroidProbes(queries: DataFrame, centroids: DataFrame,
+                             nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val ordered = centroids.select(col("cent_id"), col("cvec"))
+      .orderBy(col("cent_id")).collect()
+    val np = if (nprobe == Auto) autoNprobe(ordered.length) else nprobe
+    val mat: Array[Array[Double]] = ordered.map(r => vecToDoubles(r.getSeq[Any](1)))
+    val bc = spark.sparkContext.broadcast(mat)
+    val nearestNp = org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.NearestCentroidsBroadcast(bc,
+        org.apache.spark.sql.GraftColumnBridge.expression(col("qv")),
+        k = np, tieHigh = false))
+    val centIdx = localCentIdx(spark, ordered, centroids.schema("cent_id").dataType)
+    queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .withColumn("__graft_cidx", explode(nearestNp))
+      .join(broadcast(centIdx), "__graft_cidx")
+      .select(col("q_id"), col("qv"), col("cent_id").as("cid"))
+  }
+
   /** Assign every corpus vector to its nearest centroid by cosine —
     * centroid-conditioned bucketing as a first-class operator (the
     * topic-bucketing half of SemDeDup, Abbas et al. 2023: cluster the
@@ -758,33 +786,7 @@ object VectorFunctions {
                nprobe: Int = Auto): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(queries.sparkSession)
-    val spark = queries.sparkSession
-    // Centroid ranking is row-local, like the build's assignment: each
-    // query scores the broadcast centroid matrix and explodes its top
-    // nprobe indices — the old crossJoin + per-query window shuffled
-    // Q·nlist rows to pick the same probe set. tieHigh=false reproduces
-    // the window's `ORDER BY pc DESC, cent_id` (ties → lowest cent_id).
-    val ordered = index.centroids.select(col("cent_id"), col("cvec"))
-      .orderBy(col("cent_id")).collect()
-    val np = if (nprobe == Auto) autoNprobe(ordered.length) else nprobe
-    val mat: Array[Array[Double]] = ordered.map { r =>
-      r.getSeq[Any](1).map {
-        case f: java.lang.Float => f.doubleValue()
-        case d: java.lang.Double => d.doubleValue()
-        case other => other.asInstanceOf[Number].doubleValue()
-      }.toArray
-    }
-    val bc = spark.sparkContext.broadcast(mat)
-    val nearestNp = org.apache.spark.sql.GraftColumnBridge.column(
-      expressions.NearestCentroidsBroadcast(bc,
-        org.apache.spark.sql.GraftColumnBridge.expression(col("qv")),
-        k = np, tieHigh = false))
-    val centIdx = localCentIdx(spark, ordered,
-      index.centroids.schema("cent_id").dataType)
-    val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      .withColumn("__graft_cidx", explode(nearestNp))
-      .join(broadcast(centIdx), "__graft_cidx")
-      .select(col("q_id"), col("qv"), col("cent_id").as("cid"))
+    val probes = centroidProbes(queries, index.centroids, nprobe)
     // Exact cosine inside the probed lists, rank per query.
     val scored = probes.join(index.assigned, "cid")
       .filter(col("q_id") =!= col("vec_id"))
@@ -839,6 +841,20 @@ object VectorFunctions {
     */
   def buildPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
               iters: Int = 1, trainFraction: Double = 1.0): PqIndex = {
+    val spark = corpus.sparkSession
+    val books = trainPqBooks(corpus, m, ksub, iters, trainFraction)
+    PqIndex(pqBooksDf(spark, books),
+      corpus.select(col("vec_id"), pqEncodeCol(spark, books).as("codes"))
+        .localCheckpoint(false))
+  }
+
+  /** The codebook-training half of [[buildPq]] (shared with
+    * [[buildIvfPq]], which encodes a different relation with the same
+    * codebooks): seeds + `iters` joint Lloyd passes, returning the
+    * driver-side [m][ksub][d/m] array.
+    */
+  private def trainPqBooks(corpus: DataFrame, m: Int, ksub: Int,
+                           iters: Int, trainFraction: Double): Array[Array[Array[Double]]] = {
     require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0, 1]")
     require(m >= 1 && ksub >= 2, s"need m >= 1, ksub >= 2; got m=$m ksub=$ksub")
     val spark = corpus.sparkSession
@@ -859,12 +875,9 @@ object VectorFunctions {
       vecToDoubles(seedRows(c).getSeq[Any](1)).slice(j * dsub, (j + 1) * dsub)
     }
     for (_ <- 1 to iters) {
-      val bc = spark.sparkContext.broadcast(books)
-      val codes = org.apache.spark.sql.GraftColumnBridge.column(
-        expressions.PqEncodeBroadcast(bc,
-          org.apache.spark.sql.GraftColumnBridge.expression(col("embedding"))))
       val cells = train
-        .select(col("embedding"), posexplode(codes).as(Seq("j", "code")))
+        .select(col("embedding"),
+          posexplode(pqEncodeCol(spark, books)).as(Seq("j", "code")))
         .select(col("j"), col("code"),
           posexplode(slice(col("embedding"), col("j") * dsub + 1, lit(dsub)))
             .as(Seq("pos", "v")))
@@ -877,20 +890,29 @@ object VectorFunctions {
       }
       books = next
     }
+    books
+  }
+
+  /** Broadcast `books` and return the encode column (over `embedding`). */
+  private def pqEncodeCol(spark: org.apache.spark.sql.SparkSession,
+                          books: Array[Array[Array[Double]]]): Column = {
+    val bc = spark.sparkContext.broadcast(books)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.PqEncodeBroadcast(bc,
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding"))))
+  }
+
+  /** (subspace, code, subvec) LocalRelation from driver-side codebooks. */
+  private def pqBooksDf(spark: org.apache.spark.sql.SparkSession,
+                        books: Array[Array[Array[Double]]]): DataFrame = {
     val cbSchema = StructType(Seq(
       StructField("subspace", org.apache.spark.sql.types.IntegerType, nullable = false),
       StructField("code", org.apache.spark.sql.types.IntegerType, nullable = false),
       StructField("subvec", org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false)))
-    val cbRows: Seq[Row] = for { j <- 0 until m; c <- 0 until ksub }
+    val cbRows: Seq[Row] = for { j <- books.indices; c <- books(j).indices }
       yield Row(j, c, books(j)(c).toSeq)
-    val cbDf = spark.createDataFrame(java.util.Arrays.asList(cbRows: _*), cbSchema)
-    val bcFinal = spark.sparkContext.broadcast(books)
-    val codesFinal = org.apache.spark.sql.GraftColumnBridge.column(
-      expressions.PqEncodeBroadcast(bcFinal,
-        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding"))))
-    PqIndex(cbDf, corpus.select(col("vec_id"), codesFinal.as("codes"))
-      .localCheckpoint(false))
+    spark.createDataFrame(java.util.Arrays.asList(cbRows: _*), cbSchema)
   }
 
   /** Persist a built [[PqIndex]] (the [[saveIvf]] cross-job half). */
@@ -931,22 +953,49 @@ object VectorFunctions {
     */
   def pqProbe(queries: DataFrame, index: PqIndex, corpus: DataFrame,
               k: Int, rerank: Int = Auto): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     GraftFunctions.register(spark)
     val rr = if (rerank == Auto) math.max(4 * k, 32) else rerank
-    val cb = index.codebooks.orderBy(col("subspace"), col("code")).collect()
-    val m = cb.map(_.getInt(0)).max + 1
-    val ksub = cb.length / m
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) { (j, c) =>
-      vecToDoubles(cb(j * ksub + c).getSeq[Any](2))
-    }
-    val dsub = books(0)(0).length
-    val norms2: Array[Array[Double]] =
-      books.map(_.map(cw => cw.map(x => x * x).sum))
+    val books = collectBooks(index.codebooks)
     val qRows = queries.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).collect()
-    val luts: Array[Array[Array[Double]]] = qRows.map { r =>
+    val lutBc = spark.sparkContext.broadcast(pqLuts(qRows, books))
+    val n2Bc = spark.sparkContext.broadcast(pqNorms2(books))
+    val adc = org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.PqAdcScoresBroadcast(lutBc, n2Bc,
+        org.apache.spark.sql.GraftColumnBridge.expression(col("codes"))))
+    val topk = udaf(new graft.functions.TopKAggregator(rr),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val shortlist = index.encoded
+      .select(col("vec_id"), posexplode(adc).as(Seq("qidx", "adc")))
+      .join(broadcast(qIdxDf(spark, qRows)), "qidx")
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("adc"), col("vec_id")).as("ids"))
+      .select(col("q_id"), explode(col("ids")).as("vec_id"))
+    exactRerankTail(shortlist, queries, corpus, k)
+  }
+
+  /** Collect an m·ksub codebook relation into the driver [m][ksub][dsub]
+    * array (broadcast-sized by construction).
+    */
+  private def collectBooks(codebooks: DataFrame): Array[Array[Array[Double]]] = {
+    val cb = codebooks.orderBy(col("subspace"), col("code")).collect()
+    val m = cb.map(_.getInt(0)).max + 1
+    val ksub = cb.length / m
+    Array.tabulate(m, ksub)((j, c) => vecToDoubles(cb(j * ksub + c).getSeq[Any](2)))
+  }
+
+  private def pqNorms2(books: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    books.map(_.map(cw => cw.map(x => x * x).sum))
+
+  /** Per-query inner-product lookup tables: luts(q)(j)(c) = q_j · c_jc. */
+  private def pqLuts(qRows: Array[Row],
+                     books: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    qRows.map { r =>
       val qv = vecToDoubles(r.getSeq[Any](1))
       Array.tabulate(m, ksub) { (j, c) =>
         var ip = 0.0
@@ -955,27 +1004,26 @@ object VectorFunctions {
         ip
       }
     }
-    val lutBc = spark.sparkContext.broadcast(luts)
-    val n2Bc = spark.sparkContext.broadcast(norms2)
-    val adc = org.apache.spark.sql.GraftColumnBridge.column(
-      expressions.PqAdcScoresBroadcast(lutBc, n2Bc,
-        org.apache.spark.sql.GraftColumnBridge.expression(col("codes"))))
-    val qIdx = spark.createDataFrame(
+  }
+
+  /** (qidx, q_id) LocalRelation mapping LUT position → query id. */
+  private def qIdxDf(spark: org.apache.spark.sql.SparkSession,
+                     qRows: Array[Row]): DataFrame =
+    spark.createDataFrame(
       java.util.Arrays.asList(qRows.zipWithIndex.map {
         case (r, i) => Row(i, r.getLong(0))
       }: _*),
       StructType(Seq(
         StructField("qidx", org.apache.spark.sql.types.IntegerType, nullable = false),
         StructField("q_id", org.apache.spark.sql.types.LongType, nullable = false))))
-    val topk = udaf(new graft.functions.TopKAggregator(rr),
-      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    val shortlist = index.encoded
-      .select(col("vec_id"), posexplode(adc).as(Seq("qidx", "adc")))
-      .join(broadcast(qIdx), "qidx")
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"))
-      .agg(topk(col("adc"), col("vec_id")).as("ids"))
-      .select(col("q_id"), explode(col("ids")).as("vec_id"))
+
+  /** Shared probe tail: exact-cosine re-rank of an id shortlist against
+    * the raw vectors (|Q|·rerank ids broadcast against the corpus —
+    * id-only, the verified-candidate pattern), final top-k per query.
+    */
+  private def exactRerankTail(shortlist: DataFrame, queries: DataFrame,
+                              corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(shortlist), "vec_id")
       .join(broadcast(queries.select(col("vec_id").as("q_id"),
@@ -984,6 +1032,93 @@ object VectorFunctions {
         cosine(col("qv"), col("embedding")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** IVF coarse quantizer over PQ-compressed posting lists — the
+    * IVFADC composition (Jégou 2011 §V, FAISS IndexIVFPQ shape): the
+    * coarse quantizer bounds CANDIDATES (each query scans ≈
+    * N·nprobe/nlist posting-list rows), PQ bounds BYTES AND FLOPS per
+    * candidate (m table adds over m small ints) — together the
+    * architecture that serves billion-vector corpora. This is the
+    * NON-RESIDUAL variant (FAISS `by_residual = false`): codes quantize
+    * the raw vectors, so one codebook set serves every posting list and
+    * the probe needs no per-(list, code) cross terms; the residual
+    * variant buys recall at equal m in exchange for those nlist·m·ksub
+    * tables. The measured recall here is the gate's, and the exact
+    * re-rank tail absorbs quantization error either way.
+    *
+    * `encoded` carries (vec_id, cid, codes): the posting-list layout
+    * with the compressed payload inline — the corpus's float vectors
+    * appear ONLY in the coarse assignment pass and the re-rank join.
+    */
+  final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+                              encoded: DataFrame)
+
+  /** Build [[IvfPqIndex]]: one coarse k-means ([[buildIvf]] — refine
+    * Lloyd passes) + one joint PQ training ([[trainPqBooks]]) + one
+    * encode pass over the already-assigned corpus. Both trainings
+    * honor `trainFraction` (the q140 sampled-training trade).
+    */
+  def buildIvfPq(corpus: DataFrame, nlist: Int = Auto, refine: Int = 1,
+                 m: Int = 8, ksub: Int = 16, iters: Int = 1,
+                 trainFraction: Double = 1.0): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    val coarse = buildIvf(corpus, nlist, refine, trainFraction)
+    val books = trainPqBooks(corpus, m, ksub, iters, trainFraction)
+    IvfPqIndex(coarse.centroids, pqBooksDf(spark, books),
+      coarse.assigned.select(col("vec_id"), col("cid"),
+        pqEncodeCol(spark, books).as("codes")).localCheckpoint(false))
+  }
+
+  /** Persist a built [[IvfPqIndex]]. */
+  def saveIvfPq(index: IvfPqIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    index.encoded.write.mode("overwrite").parquet(s"$path/encoded")
+  }
+
+  /** Load a persisted IVFPQ index ([[saveIvfPq]]). */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex =
+    IvfPqIndex(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/encoded"))
+
+  /** Probe an [[IvfPqIndex]]: rank each query's `nprobe` nearest
+    * centroids (row-local broadcast argmax — the [[ivfProbe]] head),
+    * equality-join into the probed posting lists, ADC-score the
+    * compressed rows ([[graft.functions.expressions.PqAdcScoreOne]] —
+    * m table adds per candidate), shortlist via the bounded
+    * [[TopKAggregator]], exact-re-rank from the raw vectors. Per-query
+    * cost: nlist centroid scores + ≈ N·nprobe/nlist · m adds +
+    * rerank · d exact flops — each factor bounded by a knob, none by
+    * the corpus alone.
+    */
+  def ivfPqProbe(queries: DataFrame, index: IvfPqIndex, corpus: DataFrame,
+                 k: Int, nprobe: Int = Auto, rerank: Int = Auto): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val rr = if (rerank == Auto) math.max(4 * k, 32) else rerank
+    val books = collectBooks(index.codebooks)
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).collect()
+    val lutBc = spark.sparkContext.broadcast(pqLuts(qRows, books))
+    val n2Bc = spark.sparkContext.broadcast(pqNorms2(books))
+    val probes = centroidProbes(queries, index.centroids, nprobe)
+      .join(broadcast(qIdxDf(spark, qRows)), "q_id")
+      .select(col("q_id"), col("qidx"), col("cid"))
+    val adc = org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.PqAdcScoreOne(lutBc, n2Bc,
+        org.apache.spark.sql.GraftColumnBridge.expression(col("qidx")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("codes"))))
+    val topk = udaf(new graft.functions.TopKAggregator(rr),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val shortlist = probes.join(index.encoded, "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("adc"), col("vec_id")).as("ids"))
+      .select(col("q_id"), explode(col("ids")).as("vec_id"))
+    exactRerankTail(shortlist, queries, corpus, k)
   }
 
   /** LSH-bucketed approximate top-k: queries join candidates sharing any

@@ -694,6 +694,71 @@ case class PqAdcScoresBroadcast(
     copy(child = newChild)
 }
 
+/** pq_adc_score_one: [[PqAdcScoresBroadcast]] for ONE query per row —
+  * the shape after an IVF probe join, where each (query, posting-list
+  * row) pair carries the query's LUT index in a column. left = qidx
+  * (int, position into the broadcast LUT array), right = codes
+  * (array<int>). Scoring is the same ip/‖x̂‖ approximate cosine; the
+  * per-row cost is m adds for the one query that actually probes this
+  * row, not Q.
+  */
+case class PqAdcScoreOne(
+    luts: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+    norms2: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    left: Expression,
+    right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score_one needs (int qidx, array<int> codes), got ($l, $r)")
+    }
+
+  override def nullSafeEval(qidx: Any, codes: Any): Any =
+    PqAdcScoreOne.score(qidx.asInstanceOf[Int],
+      codes.asInstanceOf[ArrayData], luts.value, norms2.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val lutRef = ctx.addReferenceObj("graftPqLutsBc", luts, bcCls)
+    val n2Ref = ctx.addReferenceObj("graftPqNorms2Bc", norms2, bcCls)
+    val lutVar = ctx.addMutableState("double[][][]", "graftPqLuts",
+      v => s"$v = (double[][][]) $lutRef.value();")
+    val n2Var = ctx.addMutableState("double[][]", "graftPqNorms2",
+      v => s"$v = (double[][]) $n2Ref.value();")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"""${ev.value} = graft.functions.expressions.PqAdcScoreOne.score(
+         |  $q, $c, $lutVar, $n2Var);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PqAdcScoreOne {
+  def score(qidx: Int, codes: ArrayData, luts: Array[Array[Array[Double]]],
+            norms2: Array[Array[Double]]): Double = {
+    val m = norms2.length
+    val lut = luts(qidx)
+    var n2 = 0.0
+    var ip = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      n2 += norms2(j)(c)
+      ip += lut(j)(c)
+      j += 1
+    }
+    if (n2 > 0) ip / math.sqrt(n2) else 0.0
+  }
+}
+
 object PqAdcScoresBroadcast {
   def scores(codes: ArrayData, luts: Array[Array[Array[Double]]],
              norms2: Array[Array[Double]]): ArrayData = {

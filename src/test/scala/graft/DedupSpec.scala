@@ -962,6 +962,45 @@ class DedupSpec extends SparkSpec {
     assert(ids(VectorFunctions.pqProbe(q, loaded, df, k = 5, rerank = 48)) == pq)
   }
 
+  test("IVFPQ: probe equals IVF-coarse candidates re-ranked; round-trips through parquet") {
+    val rnd = new scala.util.Random(31)
+    val dim = 32
+    val rows = (0 until 8).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian().toFloat * 5f)
+      (0 until 40).map { i =>
+        ((c * 40 + i).toLong, center.map(x => x + 0.3f * rnd.nextGaussian().toFloat).toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id").isin(0L, 45L, 90L, 135L, 200L))
+    val idx = VectorFunctions.buildIvfPq(df, nlist = 16, refine = 1,
+      m = 8, ksub = 16, iters = 1)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rerank deeper than the posting lists a query probes: the exact
+    // re-rank then recovers EXACTLY the plain-IVF result from the same
+    // coarse index — quantization affects only the shortlist order,
+    // which a full-depth rerank erases (the q143 composition claim)
+    val coarse = VectorFunctions.IvfIndex(idx.centroids,
+      df.select(col("vec_id"), col("embedding"))
+        .join(idx.encoded.select("vec_id", "cid"), "vec_id"))
+    val viaIvf = ids(VectorFunctions.ivfProbe(q, coarse, k = 5, nprobe = 4))
+    val viaIvfPq = ids(VectorFunctions.ivfPqProbe(q, idx, df, k = 5,
+      nprobe = 4, rerank = 320))
+    assert(viaIvfPq == viaIvf,
+      s"diff=${(viaIvfPq diff viaIvf) ++ (viaIvf diff viaIvfPq)}")
+    // clustered-regime recall stays 1 at practical rerank depth
+    val brute = ids(VectorFunctions.bruteForceTopK(q, df, k = 5))
+    val pq = ids(VectorFunctions.ivfPqProbe(q, idx, df, k = 5,
+      nprobe = 4, rerank = 48))
+    assert((pq intersect brute).size.toDouble / brute.size == 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    VectorFunctions.saveIvfPq(idx, dir)
+    val loaded = VectorFunctions.loadIvfPq(spark, dir)
+    assert(ids(VectorFunctions.ivfPqProbe(q, loaded, df, k = 5,
+      nprobe = 4, rerank = 48)) == pq)
+  }
+
   test("PQ build refuses indivisible dims and undersized corpora loudly") {
     val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException](
