@@ -424,6 +424,15 @@ object DuckDialect {
     "list_min" -> (es => { nArgs("list_min", es, 1); ArrayMin(es(0)) }),
     "list_max" -> (es => { nArgs("list_max", es, 1); ArrayMax(es(0)) }),
     "list_unique" -> (es => { nArgs("list_unique", es, 1); Size(ArrayDistinct(es(0))) }),
+    // DuckDB array_to_string ≡ list_aggr(l, 'string_agg', sep): joins the
+    // NON-NULL elements cast to VARCHAR, and is NULL when none remain
+    // (string_agg over zero values — probed duckdb 1.0.0: [] → NULL,
+    // [NULL] → NULL, [1,2] → '1,2'); Spark's array_join returns '' for
+    // those, hence the size guard
+    "array_to_string" -> (es => { nArgs("array_to_string", es, 2)
+      val arr = ArrayCompact(Cast(es(0), ArrayType(StringType)))
+      If(LessThanOrEqual(Size(arr), Literal(0)),
+        Literal.create(null, StringType), ArrayJoin(arr, es(1), None)) }),
     // 1-based inclusive [begin, end] with DuckDB's full clamp/negative
     // semantics, on lists AND strings (DuckSlice); a NULL bound nulls
     // the result, as DuckDB's function form does

@@ -56,14 +56,25 @@ object GraftSqlParser {
     "CASE", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "TRUE", "FALSE")
 
   /** Rewrite DuckDB struct LITERALS `{'k1': e1, 'k2': e2, …}` (r10 —
-    * previously a guided error) to Spark's `named_struct('k1', e1, …)`.
+    * previously a guided error) to Spark's `named_struct('k1', e1, …)`,
+    * and MAP literals `MAP {k1: v1, …}` (r13 — previously a guided
+    * error) to Spark's `map(k1, v1, …)` with arbitrary key EXPRESSIONS
+    * (DuckDB allows non-string keys; probed against duckdb 1.0.0).
     * `{` is not valid Spark SQL anywhere else, so a brace group whose
-    * top-level items ALL match `'key': value` is safely claimable at
-    * any nesting depth; anything else (map literals `MAP {...}` keep
-    * DuckDB-specific key typing, empty `{}`) is left for the guided
-    * error. Values rewrite recursively via the rescan, so nested
-    * structs/lists/comprehensions compose. Braces inside a `read_*`
-    * call's argument list are NEVER claimed — `columns = {'k':
+    * top-level items ALL match `'key': value` (struct) or
+    * `key_expr: value_expr` (map, when `MAP` immediately precedes as a
+    * standalone word) is safely claimable at any nesting depth;
+    * anything else (empty bare `{}`, mixed items) is left for the
+    * guided error. An IMMEDIATELY-subscripted map literal
+    * `MAP {...}[key]` is claimed as one construct with DuckDB 1.0's
+    * LIST-shaped result — `[v]` on a hit (`[NULL]` for a present NULL
+    * value), `[]` on a miss — via a `map_contains_key` CASE guard
+    * (also what keeps Spark's ANSI `element_at` from throwing on a
+    * miss); subscripts on anything OTHER than an adjacent map literal
+    * keep Spark's native scalar semantics, the documented divergence
+    * for plain `l[i]`. Values rewrite recursively via the rescan, so
+    * nested structs/lists/maps/comprehensions compose. Braces inside a
+    * `read_*` call's argument list are NEVER claimed — `columns = {'k':
     * 'TYPE'}` belongs to [[rewriteReadFns]]' option grammar (which
     * runs before this in a sql stage; skipping here keeps the rewrite
     * an identity on that text in any call order).
@@ -75,10 +86,15 @@ object GraftSqlParser {
     var i = 0
     while (i < masked.length) {
       if (masked.charAt(i) == '{' && !readSpans.exists(s => i > s._1 && i < s._2)) {
-        // MAP {...} literals keep DuckDB semantics — skip the group
         var p = i
         while (p > 0 && masked.charAt(p - 1).isWhitespace) p -= 1
         val isMap = p >= 3 && masked.substring(0, p).toUpperCase.endsWith("MAP")
+        // a standalone MAP word (not an identifier merely ENDING in
+        // "map", e.g. `heatmap {…}` — that shape stays a guided error)
+        val isMapWord = isMap && (p == 3 || {
+          val ch = masked.charAt(p - 4)
+          !ch.isLetterOrDigit && ch != '_' && ch != '.' && ch != '"' && ch != '`'
+        })
         var j = i + 1
         var depth = 1
         while (j < masked.length && depth > 0) {
@@ -106,11 +122,110 @@ object GraftSqlParser {
               s"named_struct($args)" + sql.substring(j + 1))
           }
         }
+        if (depth == 0 && isMapWord) {
+          val bodyRaw = sql.substring(i + 1, j)
+          val bodyMasked = masked.substring(i + 1, j)
+          val mapExprOpt: Option[String] =
+            if (bodyRaw.trim.isEmpty) Some("map()")
+            else splitMapPairs(bodyRaw, bodyMasked).map { prs =>
+              "map(" + prs.map { case (k, v) => s"$k, $v" }.mkString(", ") + ")"
+            }
+          mapExprOpt match {
+            case Some(mapExpr) =>
+              val wordStart = p - 3
+              // immediate index subscript (no top-level slice colon)?
+              var q = j + 1
+              while (q < masked.length && masked.charAt(q).isWhitespace) q += 1
+              val sub: Option[(Int, Int)] =
+                if (q < masked.length && masked.charAt(q) == '[') {
+                  var m = q + 1
+                  var dd = 0
+                  var colon = false
+                  var close = -1
+                  while (m < masked.length && close < 0) {
+                    masked.charAt(m) match {
+                      case '[' | '(' | '{' => dd += 1
+                      case ']' if dd > 0 => dd -= 1
+                      case ')' | '}' => dd -= 1
+                      case ']' => close = m
+                      case ':' if dd == 0 =>
+                        val isCast =
+                          (m + 1 < masked.length && masked.charAt(m + 1) == ':') ||
+                            masked.charAt(m - 1) == ':'
+                        if (!isCast) colon = true
+                      case _ =>
+                    }
+                    m += 1
+                  }
+                  if (close >= 0 && !colon &&
+                    sql.substring(q + 1, close).trim.nonEmpty) Some((q, close))
+                  else None
+                } else None
+              val (endPos, newText) = sub match {
+                case Some((open, close)) =>
+                  val key = sql.substring(open + 1, close).trim
+                  (close, s"(CASE WHEN map_contains_key($mapExpr, $key) " +
+                    s"THEN array(element_at($mapExpr, $key)) ELSE array() END)")
+                case None => (j, mapExpr)
+              }
+              return rewriteStructLiteral(sql.substring(0, wordStart) +
+                newText + sql.substring(endPos + 1))
+            case None => // malformed body → guided error
+          }
+        }
         if (depth == 0) i = j // skip the unclaimed group
       }
       i += 1
     }
     sql
+  }
+
+  /** Split a MAP-literal body into (key, value) expression pairs: items
+    * at top-level commas, each item at its FIRST top-level `:` (a `::`
+    * cast never counts). None when any item carries no top-level colon
+    * or an empty side — the caller leaves that text for the guided
+    * error. Keys are arbitrary expressions (DuckDB allows `MAP {1:
+    * 'x'}`), so no quoting is imposed here.
+    */
+  private def splitMapPairs(raw: String, masked: String): Option[Seq[(String, String)]] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    var d = 0
+    var last = 0
+    var k = 0
+    while (k < masked.length) {
+      masked.charAt(k) match {
+        case '(' | '{' | '[' => d += 1
+        case ')' | '}' | ']' => d -= 1
+        case ',' if d == 0 => spans += ((last, k)); last = k + 1
+        case _ =>
+      }
+      k += 1
+    }
+    spans += ((last, masked.length))
+    val pairs = spans.result().map { case (s, e) =>
+      var c = -1
+      var dd = 0
+      var m = s
+      while (m < e) {
+        masked.charAt(m) match {
+          case '(' | '{' | '[' => dd += 1
+          case ')' | '}' | ']' => dd -= 1
+          case ':' if dd == 0 && c < 0 =>
+            val isCast = (m + 1 < e && masked.charAt(m + 1) == ':') ||
+              (m > s && masked.charAt(m - 1) == ':')
+            if (!isCast) c = m
+          case _ =>
+        }
+        m += 1
+      }
+      if (c < 0) None
+      else {
+        val k0 = raw.substring(s, c).trim
+        val v0 = raw.substring(c + 1, e).trim
+        if (k0.isEmpty || v0.isEmpty) None else Some((k0, v0))
+      }
+    }
+    if (pairs.nonEmpty && pairs.forall(_.isDefined)) Some(pairs.flatten) else None
   }
 
   /** Rewrite DuckDB bare list LITERALS `[e1, e2, …]` (r10 — previously

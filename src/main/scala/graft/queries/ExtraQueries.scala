@@ -804,6 +804,36 @@ object ExtraQueries {
     graft.operators.SqlStage("q137", unionByNameSqlText).apply(s, documents(s, d))
   }
 
+  /** DuckDB `MAP {...}` literals through the passthrough (r13 —
+    * previously a guided error) — IDENTICAL text on both engines:
+    * literals rewrite to Spark `map(...)` ([[graft.operators
+    * .GraftSqlParser.rewriteStructLiteral]]'s map branch), and an
+    * IMMEDIATELY-subscripted literal claims DuckDB 1.0's LIST-shaped
+    * lookup — `[v]` on a hit, `[]` on a miss (probed; later DuckDBs
+    * return the scalar) — via a `map_contains_key` CASE guard. The
+    * gate pins: key/value order preservation (map_keys/map_values),
+    * computed values, cardinality, hit/miss/expression-key lookups,
+    * and a non-VARCHAR (integer) key space. BIGINT cast pins
+    * cardinality's width (DuckDB: UBIGINT); list outputs serialize via
+    * `array_to_string` (both engines; the miss row pins its
+    * empty-list→NULL rule), since the driver compare sorts scalar cells.
+    */
+  private[graft] val mapLiteralSqlText = """
+      SELECT doc_id,
+             array_to_string(map_keys(MAP {'lang': lang, 'upper': upper(lang)}), ',') AS ks,
+             array_to_string(map_values(MAP {'a': n_chars + 1, 'b': n_chars * 2}), ',') AS vs,
+             CAST(cardinality(MAP {'x': 1, 'y': 2}) AS BIGINT) AS n,
+             array_to_string(MAP {'k': lang, 'j': 'z'}['k'], ',') AS hit,
+             array_to_string(MAP {'k': lang}['nope'], ',') AS miss,
+             array_to_string(MAP {1: lang, 2: 'other'}[2], ',') AS intkey
+      FROM documents ORDER BY doc_id"""
+
+  def q144MapLiteral(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    documents(s, d).createOrReplaceTempView("documents")
+    s.sql(graft.operators.GraftSqlParser.rewriteAll(mapLiteralSqlText))
+  }
+
   /** Sorted-layout sink round-trip ([[graft.sources.Sources
     * .writeSorted]]): range-partition documents by (lang, doc_id), sort
     * within partitions, write parquet, read BACK and aggregate — the
@@ -831,6 +861,7 @@ object ExtraQueries {
     "q134_div_pow"        -> (q134DivPow _),
     "q135_json_ops"       -> (q135JsonOps _),
     "q139_json_arrow"     -> (q139JsonArrow _),
+    "q144_map_literal"    -> (q144MapLiteral _),
     "q137_union_by_name"  -> (q137UnionByName _),
     "q120_macro_sql"      -> (q120MacroSql _),
     "q121_describe_sql"   -> (q121DescribeSql _),
@@ -889,6 +920,8 @@ object ExtraQueries {
     "q135_json_ops" -> jsonOpsSqlText,
     // q139: DuckDB executes the IDENTICAL terminal-> chain text natively
     "q139_json_arrow" -> jsonArrowSqlText,
+    // q144: DuckDB executes the IDENTICAL MAP-literal text natively
+    "q144_map_literal" -> mapLiteralSqlText,
     // q137: DuckDB executes the IDENTICAL UNION ALL BY NAME natively
     "q137_union_by_name" -> unionByNameSqlText,
     "q119_argmax_sql" -> argmaxSqlText,

@@ -814,7 +814,7 @@ class DialectSpec extends SparkSpec {
       SqlStage("s", "SELECT f GLOB f AS r FROM df").apply(spark, df).collect())
   }
 
-  test("struct literals rewrite to named_struct; MAP literals stay guided") {
+  test("struct literals rewrite to named_struct; bare braces stay scoped") {
     import spark.implicits._
     val df = Seq((1L, "en")).toDF("id", "lang")
     def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
@@ -827,15 +827,54 @@ class DialectSpec extends SparkSpec {
     assert(nested.getSeq[Int](1) == Seq(1, 2))
     // keys with spaces / escaped quotes work (named_struct takes any name)
     assert(one("SELECT {'two words': 5} AS s FROM df").getStruct(0).getInt(0) == 5)
-    // strings are inert; MAP {...} and empty {} are not claimed
+    // strings are inert; bare empty {} is not claimed
     assert(GraftSqlParser.rewriteStructLiteral("SELECT '{1: 2}' AS s") ==
       "SELECT '{1: 2}' AS s")
-    assert(GraftSqlParser.rewriteStructLiteral("SELECT MAP {'a': 1} AS s") ==
-      "SELECT MAP {'a': 1} AS s")
     assert(GraftSqlParser.rewriteStructLiteral("SELECT {} AS s") == "SELECT {} AS s")
-    // non-string keys (a DuckDB MAP-ish shape) stay unclaimed
+    // non-string keys WITHOUT the MAP word (no faithful rewrite) unclaimed
     assert(GraftSqlParser.rewriteStructLiteral("SELECT {1: 2} AS s") ==
       "SELECT {1: 2} AS s")
+  }
+
+  test("MAP literals execute with DuckDB semantics incl. list-shaped subscript") {
+    import spark.implicits._
+    val df = Seq((7L, "en")).toDF("id", "lang")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // literal → map(); order preserved (probed duckdb 1.0.0)
+    assert(one("SELECT map_keys(MAP {'a': 1, 'b': id}) AS r FROM df")
+      .getSeq[String](0) == Seq("a", "b"))
+    assert(one("SELECT map_values(MAP {'a': id + 1, 'b': id * 2}) AS r FROM df")
+      .getSeq[Long](0) == Seq(8L, 14L))
+    // DuckDB 1.0 subscript is LIST-shaped: [v] hit, [] miss, [NULL]
+    // present-NULL; expression and integer keys work
+    assert(one("SELECT MAP {'k': lang}['k'] AS r FROM df")
+      .getSeq[String](0) == Seq("en"))
+    assert(one("SELECT MAP {'k': lang}['nope'] AS r FROM df")
+      .getSeq[String](0) == Seq())
+    assert(one("SELECT MAP {'k': lang}[concat('k', '')] AS r FROM df")
+      .getSeq[String](0) == Seq("en"))
+    assert(one("SELECT MAP {1: 'x', 2: 'y'}[2] AS r FROM df")
+      .getSeq[String](0) == Seq("y"))
+    assert(one("SELECT MAP {'k': CAST(NULL AS INT)}['k'] AS r FROM df")
+      .getSeq[Any](0) == Seq(null))
+    // nested values compose via the rescan; lowercase map; empty MAP {}
+    assert(one("SELECT MAP {'a': [1, 2]}['a'] AS r FROM df")
+      .getSeq[Seq[Int]](0) == Seq(Seq(1, 2)))
+    assert(one("SELECT map {'s': {'b': 3}}['s'] AS r FROM df")
+      .getSeq[org.apache.spark.sql.Row](0).head.getInt(0) == 3)
+    assert(one("SELECT cast(cardinality(MAP {}) AS BIGINT) AS r FROM df")
+      .getLong(0) == 0L)
+    // identifiers merely ENDING in "map" are NOT the MAP word; strings
+    // inert; malformed bodies unclaimed (→ guided error downstream)
+    assert(GraftSqlParser.rewriteStructLiteral("SELECT heatmap {'a': 1} AS s") ==
+      "SELECT heatmap {'a': 1} AS s")
+    assert(GraftSqlParser.rewriteStructLiteral("SELECT 'MAP {1: 2}' AS s") ==
+      "SELECT 'MAP {1: 2}' AS s")
+    assert(GraftSqlParser.rewriteStructLiteral("SELECT MAP {'a' 1} AS s") ==
+      "SELECT MAP {'a' 1} AS s")
+    // a SLICE bracket after the literal is not an index claim
+    assert(GraftSqlParser.rewriteStructLiteral("SELECT MAP {'a': 1}[1:2] AS s") ==
+      "SELECT map('a', 1)[1:2] AS s")
   }
 
   test("bare list literals rewrite to array() in literal position only") {
@@ -1153,7 +1192,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
       else // the ASOF rewrite output must itself be stable
