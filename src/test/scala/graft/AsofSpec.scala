@@ -93,6 +93,36 @@ class AsofSpec extends SparkSpec {
     checkAll(stringKey = true)
   }
 
+  test("native as-of execs match the interval rewrite: MULTI-key (r13)") {
+    import spark.implicits._
+    // q141 gates one multi-key shape; this fuzzes the space — composite
+    // (int, string) equality keys with nulls in either component, every
+    // inequality direction, both join types, all three paths
+    def gen(n: Int): Seq[(Integer, String, Integer, Long)] =
+      (1 to n).flatMap { _ =>
+        val a: Integer = if (rng.nextInt(15) == 0) null else Int.box(rng.nextInt(4))
+        val b: String = if (rng.nextInt(15) == 0) null else "g" + rng.nextInt(3)
+        val t: Integer = if (rng.nextInt(25) == 0) null else Int.box(rng.nextInt(30))
+        val pay = if (a == null || b == null || t == null) -1L
+          else a.toLong * 10000 + b.hashCode.toLong % 97 + t.toLong
+        val base = Seq((a, b, t, pay))
+        if (rng.nextInt(6) == 0) base ++ base else base
+      }
+    gen(200).toDF("la", "lb", "lts", "lpay").createOrReplaceTempView("asof_ml")
+    gen(110).toDF("ra", "rb", "rts", "rpay").createOrReplaceTempView("asof_mr")
+    for (op <- Seq(">=", ">", "<=", "<"); left <- Seq(false, true)) {
+      val kw = if (left) "ASOF LEFT JOIN" else "ASOF JOIN"
+      val sql = s"""SELECT l.la, l.lb, l.lts, l.lpay, r.rts, r.rpay
+                    FROM asof_ml l $kw asof_mr r
+                    ON l.la = r.ra AND l.lb = r.rb AND l.lts $op r.rts"""
+      val oracle = withoutStrategy(run(sql))
+      assert(run(sql) == oracle, s"multi-key hash diverged (op=$op left=$left)")
+      assert(forceMerge(run(sql)) == oracle, s"multi-key merge diverged (op=$op left=$left)")
+      val p = spark.sql(GraftSqlParser.rewriteAll(sql)).queryExecution.executedPlan.toString
+      assert(p.contains("AsofHashJoin") || p.contains("AsofMergeJoin"), p)
+    }
+  }
+
   test("merge exec plans co-partitioned sorts, no window, no union") {
     setupViews(stringKey = false)
     forceMerge {

@@ -2125,7 +2125,15 @@ class DialectSpec extends SparkSpec {
       ("list_extract(list_transform([x ->> 'a'], y -> length(y)), 1)", "j"),
       // ...and a CONSTANT-bodied lambda in a known HOF must NOT be
       // claimed as a JSON extraction (the r12 disambiguation)
-      ("list_extract(list_transform([x], y -> 'k'), 1)", "v"))
+      ("list_extract(list_transform([x], y -> 'k'), 1)", "v"),
+      // r13: MAP literals composed through macro expansion — subscript
+      // lookup, computed values, a literal inside a comprehension's
+      // lambda body, and a JSON-arrow chain as a map VALUE
+      ("array_to_string(MAP {'k': x, 'j': 'z'}['k'], ',')", "v"),
+      ("CAST(cardinality(MAP {'a': length(x), 'b': 1}) AS BIGINT)", "v"),
+      ("array_to_string(map_values(MAP {'a': length(x), 'b': length(x) * 2}), '-')", "v"),
+      ("list_sum([CAST(cardinality(MAP {'k': w}) AS BIGINT) FOR w IN string_split(x, ' ')])", "v"),
+      ("array_to_string(MAP {'m': x ->> 'a'}['m'], ',')", "j"))
     val comments = Seq("-- c; with semicolon\n", "/* block; ; */ ", "")
     val rnd = new scala.util.Random(20260814)
     for (trial <- 1 to 400) {
