@@ -1034,16 +1034,158 @@ object VectorFunctions {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** 8-bit scalar quantization — FAISS ScalarQuantizer QT_8bit, the
+    * cheap end of the compression family: per-DIMENSION affine params
+    * (trained min/max), d bytes per d-float vector (exact 4×), encode
+    * is one subtract/divide/round per dimension (no codebook search),
+    * and the probe is an exact-flop scan over quantized bytes — the
+    * win is MEMORY BANDWIDTH (4× fewer bytes through the scan), not
+    * flops, which is the right trade when recall must stay near-exact
+    * (SQ8 loses far less than PQ at equal compression ≤ 4×).
+    *
+    * `params` is the d-row (pos, vmin, vmax) relation; `encoded` is
+    * (vec_id, codes BINARY, rnorm) with the reconstruction norm stored
+    * at encode time so probes divide by a column instead of
+    * re-deriving it.
+    */
+  final case class SqIndex(params: DataFrame, encoded: DataFrame)
+
+  /** Train per-dimension min/max (one bounded d-cell aggregate over the
+    * optionally-sampled corpus — the q140 trainFraction trade) and
+    * encode the FULL corpus once, row-locally against the broadcast
+    * params ([[graft.functions.expressions.SqEncodeBroadcast]] — zero
+    * shuffle). Out-of-range values under sampled training clamp.
+    */
+  def buildSq(corpus: DataFrame, trainFraction: Double = 1.0): SqIndex = {
+    require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0, 1]")
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val train =
+      if (trainFraction >= 1.0) corpus
+      else corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+          math.round(trainFraction * 1000000L))
+    val stats = train
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("vmin"),
+        max(col("v").cast("double")).as("vmax"))
+      .orderBy(col("pos")).collect()
+    require(stats.nonEmpty, "empty train set")
+    val d = stats.length
+    val vmin = new Array[Double](d)
+    val vmax = new Array[Double](d)
+    stats.foreach { r =>
+      vmin(r.getInt(0)) = r.getDouble(1); vmax(r.getInt(0)) = r.getDouble(2)
+    }
+    SqIndex(sqParamsDf(spark, vmin, vmax),
+      sqEncode(corpus, vmin, vmax).localCheckpoint(false))
+  }
+
+  /** (vec_id, codes, rnorm) from raw vectors + driver-side params. */
+  private def sqEncode(corpus: DataFrame, vmin: Array[Double],
+                       vmax: Array[Double]): DataFrame = {
+    val spark = corpus.sparkSession
+    val delta = Array.tabulate(vmin.length)(i => (vmax(i) - vmin(i)) / 255.0)
+    val bc = spark.sparkContext.broadcast(Array(vmin, delta))
+    val enc = org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.SqEncodeBroadcast(bc,
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding"))))
+    val rn = org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.SqReconNormBroadcast(bc,
+        org.apache.spark.sql.GraftColumnBridge.expression(col("codes"))))
+    corpus.select(col("vec_id"), enc.as("codes")).withColumn("rnorm", rn)
+  }
+
+  /** (pos, vmin, vmax) LocalRelation from driver-side params. */
+  private def sqParamsDf(spark: org.apache.spark.sql.SparkSession,
+                         vmin: Array[Double], vmax: Array[Double]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(vmin.indices.map(i => Row(i, vmin(i), vmax(i))): _*),
+      StructType(Seq(
+        StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false),
+        StructField("vmin", org.apache.spark.sql.types.DoubleType, nullable = false),
+        StructField("vmax", org.apache.spark.sql.types.DoubleType, nullable = false))))
+
+  /** Persist a built [[SqIndex]] (the [[saveIvf]] cross-job half). */
+  def saveSq(index: SqIndex, path: String): Unit = {
+    index.params.write.mode("overwrite").parquet(s"$path/params")
+    index.encoded.write.mode("overwrite").parquet(s"$path/encoded")
+  }
+
+  /** Load a persisted SQ index ([[saveSq]]). */
+  def loadSq(spark: org.apache.spark.sql.SparkSession, path: String): SqIndex =
+    SqIndex(spark.read.parquet(s"$path/params"),
+      spark.read.parquet(s"$path/encoded"))
+
+  /** Probe an [[SqIndex]]: asymmetric scan + exact re-rank — the
+    * [[pqProbe]] shape with per-dimension weight vectors instead of
+    * lookup tables. Per query the scan is d byte-weighted adds per
+    * corpus row ([[graft.functions.expressions.SqAdcScoresBroadcast]]:
+    * base(q) + Σ w(q)(i)·code_i over the stored rnorm); the shortlist
+    * comes from the bounded [[TopKAggregator]] (map-side combined, ≤
+    * rerank ids per query per mapper on the shuffle); the final top-k
+    * is exact cosine over the raw vectors. |Q| bounded by contract as
+    * in [[pqProbe]].
+    */
+  def sqProbe(queries: DataFrame, index: SqIndex, corpus: DataFrame,
+              k: Int, rerank: Int = Auto): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val rr = if (rerank == Auto) math.max(4 * k, 32) else rerank
+    val prm = index.params.orderBy(col("pos")).collect()
+    val d = prm.length
+    val vmin = new Array[Double](d)
+    val delta = new Array[Double](d)
+    prm.foreach { r =>
+      vmin(r.getInt(0)) = r.getDouble(1)
+      delta(r.getInt(0)) = (r.getDouble(2) - r.getDouble(1)) / 255.0
+    }
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).collect()
+    val ws = qRows.map { r =>
+      val qv = vecToDoubles(r.getSeq[Any](1))
+      require(qv.length == d, s"query dim ${qv.length} != trained dim $d")
+      Array.tabulate(d)(i => qv(i) * delta(i))
+    }
+    val bases = qRows.map { r =>
+      val qv = vecToDoubles(r.getSeq[Any](1))
+      var s = 0.0; var i = 0
+      while (i < d) { s += qv(i) * vmin(i); i += 1 }
+      s
+    }
+    val wBc = spark.sparkContext.broadcast(ws)
+    val bBc = spark.sparkContext.broadcast(bases)
+    val adc = org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.SqAdcScoresBroadcast(wBc, bBc,
+        org.apache.spark.sql.GraftColumnBridge.expression(col("codes")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("rnorm"))))
+    val topk = udaf(new graft.functions.TopKAggregator(rr),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val shortlist = index.encoded
+      .select(col("vec_id"), posexplode(adc).as(Seq("qidx", "adc")))
+      .join(broadcast(qIdxDf(spark, qRows)), "qidx")
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("adc"), col("vec_id")).as("ids"))
+      .select(col("q_id"), explode(col("ids")).as("vec_id"))
+    exactRerankTail(shortlist, queries, corpus, k)
+  }
+
   /** IVF coarse quantizer over PQ-compressed posting lists — the
     * IVFADC composition (Jégou 2011 §V, FAISS IndexIVFPQ shape): the
     * coarse quantizer bounds CANDIDATES (each query scans ≈
     * N·nprobe/nlist posting-list rows), PQ bounds BYTES AND FLOPS per
     * candidate (m table adds over m small ints) — together the
-    * architecture that serves billion-vector corpora. This is the
-    * NON-RESIDUAL variant (FAISS `by_residual = false`): codes quantize
-    * the raw vectors, so one codebook set serves every posting list and
-    * the probe needs no per-(list, code) cross terms; the residual
-    * variant buys recall at equal m in exchange for those nlist·m·ksub
+    * architecture that serves billion-vector corpora. Both FAISS
+    * variants ship: `residual = false` quantizes the raw
+    * vectors (one codebook set serves every posting list, the probe
+    * needs no per-(list, code) cross terms), `residual = true` (FAISS's
+    * IndexIVFPQ default, r13) quantizes (v − centroid) — the same
+    * m·ksub budget spent on the post-coarse variance, measurably
+    * tighter reconstructions (DedupSpec pins the MSE strictly below
+    * non-residual's) — with the cross-term problem dissolved by a
+    * stored per-row reconstruction norm instead of nlist·m·ksub
     * tables. The measured recall here is the gate's, and the exact
     * re-rank tail absorbs quantization error either way.
     *
@@ -1061,13 +1203,48 @@ object VectorFunctions {
     */
   def buildIvfPq(corpus: DataFrame, nlist: Int = Auto, refine: Int = 1,
                  m: Int = 8, ksub: Int = 16, iters: Int = 1,
-                 trainFraction: Double = 1.0): IvfPqIndex = {
+                 trainFraction: Double = 1.0,
+                 residual: Boolean = false): IvfPqIndex = {
     val spark = corpus.sparkSession
     val coarse = buildIvf(corpus, nlist, refine, trainFraction)
-    val books = trainPqBooks(corpus, m, ksub, iters, trainFraction)
-    IvfPqIndex(coarse.centroids, pqBooksDf(spark, books),
-      coarse.assigned.select(col("vec_id"), col("cid"),
-        pqEncodeCol(spark, books).as("codes")).localCheckpoint(false))
+    if (!residual) {
+      val books = trainPqBooks(corpus, m, ksub, iters, trainFraction)
+      IvfPqIndex(coarse.centroids, pqBooksDf(spark, books),
+        coarse.assigned.select(col("vec_id"), col("cid"),
+          pqEncodeCol(spark, books).as("codes")).localCheckpoint(false))
+    } else {
+      // RESIDUAL variant (FAISS by_residual = true, its IndexIVFPQ
+      // default): codes quantize (v − centroid_cid), whose spread is
+      // what remains AFTER the coarse quantizer explains the corpus —
+      // strictly less variance than the raw vectors, so the same m·ksub
+      // code budget spends on finer detail (DedupSpec pins the MSE
+      // strictly below the non-residual build's). One codebook set
+      // still serves every list (FAISS's shared-codebook choice); the
+      // nlist·m·ksub centroid·codeword cross tables a probe-time norm
+      // would need are avoided by STORING ‖centroid + recon‖ per row at
+      // encode time ([[graft.functions.expressions.PqReconNormWithBase]]
+      // — the [[buildSq]] trick), leaving the probe one broadcast-joined
+      // q·centroid base term + m table adds per candidate.
+      val cvecs = coarse.centroids.select(col("cent_id").as("cid"),
+        col("cvec"))
+      val resid = coarse.assigned
+        .join(broadcast(cvecs), "cid")
+        .select(col("vec_id"), col("cid"), col("cvec"),
+          zip_with(col("embedding"), col("cvec"),
+            (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
+      val books = trainPqBooks(
+        resid.select(col("vec_id"), col("embedding")), m, ksub, iters,
+        trainFraction)
+      val bBc = spark.sparkContext.broadcast(books)
+      val rn = org.apache.spark.sql.GraftColumnBridge.column(
+        expressions.PqReconNormWithBase(bBc,
+          org.apache.spark.sql.GraftColumnBridge.expression(col("cvec")),
+          org.apache.spark.sql.GraftColumnBridge.expression(col("codes"))))
+      IvfPqIndex(coarse.centroids, pqBooksDf(spark, books),
+        resid.select(col("vec_id"), col("cid"), col("cvec"),
+            pqEncodeCol(spark, books).as("codes"))
+          .withColumn("rnorm", rn).drop("cvec").localCheckpoint(false))
+    }
   }
 
   /** Persist a built [[IvfPqIndex]]. */
@@ -1102,23 +1279,70 @@ object VectorFunctions {
     val qRows = queries.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).collect()
     val lutBc = spark.sparkContext.broadcast(pqLuts(qRows, books))
-    val n2Bc = spark.sparkContext.broadcast(pqNorms2(books))
     val probes = centroidProbes(queries, index.centroids, nprobe)
       .join(broadcast(qIdxDf(spark, qRows)), "q_id")
       .select(col("q_id"), col("qidx"), col("cid"))
-    val adc = org.apache.spark.sql.GraftColumnBridge.column(
-      expressions.PqAdcScoreOne(lutBc, n2Bc,
-        org.apache.spark.sql.GraftColumnBridge.expression(col("qidx")),
-        org.apache.spark.sql.GraftColumnBridge.expression(col("codes"))))
     val topk = udaf(new graft.functions.TopKAggregator(rr),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    val shortlist = probes.join(index.encoded, "cid")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+    // a stored rnorm column marks a RESIDUAL index (buildIvfPq residual
+    // = true): score = (q·centroid + Σ_j lut_residual) / rnorm, the
+    // base term broadcast-joined per (query, probed list); otherwise
+    // the non-residual per-subspace norm tables apply
+    val isResidual = index.encoded.columns.contains("rnorm")
+    val scored =
+      if (isResidual) {
+        val ip = org.apache.spark.sql.GraftColumnBridge.column(
+          expressions.PqAdcIpOne(lutBc,
+            org.apache.spark.sql.GraftColumnBridge.expression(col("qidx")),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("codes"))))
+        probes.join(index.encoded, "cid")
+          .join(broadcast(qcDotDf(spark, qRows, index.centroids)), Seq("qidx", "cid"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            when(col("rnorm") > 0, (col("qdotc") + ip) / col("rnorm"))
+              .otherwise(lit(0.0)).as("adc"))
+      } else {
+        val n2Bc = spark.sparkContext.broadcast(pqNorms2(books))
+        val adc = org.apache.spark.sql.GraftColumnBridge.column(
+          expressions.PqAdcScoreOne(lutBc, n2Bc,
+            org.apache.spark.sql.GraftColumnBridge.expression(col("qidx")),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("codes"))))
+        probes.join(index.encoded, "cid")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), adc.as("adc"))
+      }
+    val shortlist = scored
       .groupBy(col("q_id"))
       .agg(topk(col("adc"), col("vec_id")).as("ids"))
       .select(col("q_id"), explode(col("ids")).as("vec_id"))
     exactRerankTail(shortlist, queries, corpus, k)
+  }
+
+  /** (qidx, cid, qdotc) LocalRelation: each query's inner product with
+    * each coarse centroid — Q·nlist rows computed driver-side from the
+    * already-bounded centroid relation, the residual probe's base term.
+    */
+  private def qcDotDf(spark: org.apache.spark.sql.SparkSession,
+                      qRows: Array[Row], centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cent_id"), col("cvec")).collect()
+    val cidType = centroids.schema("cent_id").dataType
+    val rows = for {
+      (qr, qi) <- qRows.zipWithIndex
+      cr <- cents
+    } yield {
+      val qv = vecToDoubles(qr.getSeq[Any](1))
+      val cv = vecToDoubles(cr.getSeq[Any](1))
+      var s = 0.0
+      var i = 0
+      while (i < qv.length) { s += qv(i) * cv(i); i += 1 }
+      Row(qi, cr.get(0), s)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.toSeq: _*),
+      StructType(Seq(
+        StructField("qidx", org.apache.spark.sql.types.IntegerType, nullable = false),
+        StructField("cid", cidType),
+        StructField("qdotc", org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
   /** LSH-bucketed approximate top-k: queries join candidates sharing any

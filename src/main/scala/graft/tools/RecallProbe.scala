@@ -54,6 +54,10 @@ object RecallProbe {
       val pqIdx = VF.buildPq(emb, m = 16, ksub = 64, iters = 1)
       topStats("q142 pq m=16 ksub=64 iters=1 rerank=128",
         VF.pqProbe(q, pqIdx, emb, k = 5, rerank = 128))
+      // the shipped q145 configuration
+      val sqIdx = VF.buildSq(emb)
+      topStats("q145 sq8 rerank=64",
+        VF.sqProbe(q, sqIdx, emb, k = 5, rerank = 64))
       for ((nl, np, m, ksub, rr) <- Seq((16, 6, 16, 64, 128),
                                         (16, 8, 16, 64, 128),
                                         (16, 6, 16, 64, 256))) {
@@ -62,6 +66,11 @@ object RecallProbe {
         topStats(s"ivfpq nlist=$nl nprobe=$np m=$m ksub=$ksub rerank=$rr",
           VF.ivfPqProbe(q, idx, emb, k = 5, nprobe = np, rerank = rr))
       }
+      // the shipped q146 residual configuration
+      val residIdx = VF.buildIvfPq(emb, nlist = 16, refine = 1, m = 16,
+        ksub = 64, iters = 1, residual = true)
+      topStats("q146 ivfpq RESIDUAL nlist=16 nprobe=8 rerank=128",
+        VF.ivfPqProbe(q, residIdx, emb, k = 5, nprobe = 8, rerank = 128))
     }
     spark.stop()
   }

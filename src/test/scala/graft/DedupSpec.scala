@@ -1001,6 +1001,149 @@ class DedupSpec extends SparkSpec {
       nprobe = 4, rerank = 48)) == pq)
   }
 
+  test("residual IVFPQ: tighter reconstructions than non-residual; probe round-trips") {
+    val rnd = new scala.util.Random(43)
+    val dim = 32
+    val rows = (0 until 8).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian().toFloat * 5f)
+      (0 until 40).map { i =>
+        ((c * 40 + i).toLong, center.map(x => x + 0.3f * rnd.nextGaussian().toFloat).toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id").isin(0L, 45L, 90L, 135L, 200L))
+    val plain = VectorFunctions.buildIvfPq(df, nlist = 16, refine = 1,
+      m = 8, ksub = 16, iters = 1)
+    val res = VectorFunctions.buildIvfPq(df, nlist = 16, refine = 1,
+      m = 8, ksub = 16, iters = 1, residual = true)
+    // the residual claim: quantizing (v − centroid) with the SAME code
+    // budget reconstructs strictly tighter on a clustered corpus (the
+    // coarse quantizer explains most variance; codes spend on the rest)
+    def books(idx: VectorFunctions.IvfPqIndex) =
+      idx.codebooks.orderBy(col("subspace"), col("code")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray)).toSeq
+        .map { case (j, c, v) => (j, c) -> v }.toMap
+    val cents = res.centroids.collect()
+      .map(r => r.get(0) -> r.getSeq[Any](1).map(
+        _.asInstanceOf[Number].doubleValue()).toArray).toMap
+    val raw = rows.toMap
+    def mse(idx: VectorFunctions.IvfPqIndex, residual: Boolean): Double = {
+      val byJc = books(idx)
+      val encoded = idx.encoded.collect()
+      encoded.map { r =>
+        val v = raw(r.getAs[Long]("vec_id")).map(_.toDouble).toArray
+        val codes = r.getSeq[Int](r.fieldIndex("codes"))
+        val base =
+          if (residual) cents(r.get(r.fieldIndex("cid")))
+          else Array.fill(dim)(0.0)
+        val recon = (0 until 8).flatMap(j => byJc((j, codes(j))).toSeq).toArray
+        v.indices.map(i => math.pow(v(i) - (base(i) + recon(i)), 2)).sum
+      }.sum / encoded.length
+    }
+    val mPlain = mse(plain, residual = false)
+    val mRes = mse(res, residual = true)
+    assert(mRes < mPlain,
+      s"residual MSE $mRes not below non-residual $mPlain")
+    // stored rnorm matches the explicit reconstruction norm
+    val byJc = books(res)
+    res.encoded.limit(20).collect().foreach { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      val base = cents(r.get(r.fieldIndex("cid")))
+      val recon = (0 until 8).flatMap(j => byJc((j, codes(j))).toSeq).toArray
+      val n = math.sqrt(base.indices.map(i => math.pow(base(i) + recon(i), 2)).sum)
+      assert(math.abs(r.getAs[Double]("rnorm") - n) < 1e-9)
+    }
+    // clustered-regime recall stays 1; parquet round-trip keeps the
+    // residual probe path (rnorm column → base-term scoring)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(VectorFunctions.bruteForceTopK(q, df, k = 5))
+    val probed = ids(VectorFunctions.ivfPqProbe(q, res, df, k = 5,
+      nprobe = 4, rerank = 48))
+    assert((probed intersect brute).size.toDouble / brute.size == 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqr").toString
+    VectorFunctions.saveIvfPq(res, dir)
+    val loaded = VectorFunctions.loadIvfPq(spark, dir)
+    assert(ids(VectorFunctions.ivfPqProbe(q, loaded, df, k = 5,
+      nprobe = 4, rerank = 48)) == probed)
+  }
+
+  test("SQ8: codes are d bytes; encode deterministic; ADC matches the reconstruction") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = VectorFunctions.buildSq(emb)
+    val stats = idx.encoded.agg(
+      count(lit(1)), min(length(col("codes"))), max(length(col("codes"))),
+      min(col("rnorm"))).head()
+    assert(stats.getLong(0) == emb.count())
+    assert(stats.getInt(1) == 64 && stats.getInt(2) == 64)
+    assert(stats.getDouble(3) > 0)
+    assert(idx.params.count() == 64)
+    // pure function of the corpus → bit-identical on rebuild
+    val again = VectorFunctions.buildSq(emb)
+    assert(idx.encoded.join(again.encoded.withColumnRenamed("codes", "c2"), "vec_id")
+      .filter(col("codes") =!= col("c2")).count() == 0)
+    // ADC score == cos(q, x̂) computed from the explicit reconstruction
+    val prm = idx.params.orderBy(col("pos")).collect()
+    val vmin = prm.map(_.getDouble(1))
+    val delta = prm.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0)
+    val qv = emb.orderBy(col("vec_id")).head().getSeq[Any](1)
+      .map(_.asInstanceOf[Float].toDouble).toArray
+    idx.encoded.orderBy(col("vec_id")).limit(20).collect().foreach { r =>
+      val codes = r.getAs[Array[Byte]]("codes")
+      val rnorm = r.getAs[Double]("rnorm")
+      val recon = codes.indices.map(i => vmin(i) + (codes(i) & 0xFF) * delta(i))
+      val ip = qv.zip(recon).map { case (a, b) => a * b }.sum
+      val n2 = recon.map(x => x * x).sum
+      assert(math.abs(rnorm - math.sqrt(n2)) < 1e-9)
+      val expect = if (n2 > 0) ip / math.sqrt(n2) else 0.0
+      val ws = Array(codes.indices.map(i => qv(i) * delta(i)).toArray)
+      val bases = Array(qv.zip(vmin).map { case (a, b) => a * b }.sum)
+      val got = graft.functions.expressions.SqAdcScoresBroadcast
+        .scores(codes, rnorm, ws, bases).getDouble(0)
+      assert(math.abs(got - expect) < 1e-9, s"vec ${r.getLong(0)}: $got vs $expect")
+    }
+  }
+
+  test("SQ8 probe: recall 1 on a clustered corpus; round-trips through parquet") {
+    val rnd = new scala.util.Random(37)
+    val dim = 32
+    val rows = (0 until 8).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian().toFloat * 5f)
+      (0 until 40).map { i =>
+        ((c * 40 + i).toLong, center.map(x => x + 0.3f * rnd.nextGaussian().toFloat).toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id").isin(0L, 45L, 90L, 135L, 200L))
+    val idx = VectorFunctions.buildSq(df)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = ids(VectorFunctions.sqProbe(q, idx, df, k = 5, rerank = 32))
+    val brute = ids(VectorFunctions.bruteForceTopK(q, df, k = 5))
+    assert((sq intersect brute).size.toDouble / brute.size == 1.0)
+    assert(sq.forall { case (a, b) => a != b })
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq").toString
+    VectorFunctions.saveSq(idx, dir)
+    val loaded = VectorFunctions.loadSq(spark, dir)
+    assert(ids(VectorFunctions.sqProbe(q, loaded, df, k = 5, rerank = 32)) == sq)
+  }
+
+  test("SQ8: sampled training still encodes the full corpus; ragged input is NULL") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = VectorFunctions.buildSq(emb, trainFraction = 0.5)
+    assert(idx.encoded.count() == emb.count())
+    // clamping keeps every code in range even for out-of-sample extremes
+    assert(idx.encoded.filter(length(col("codes")) =!= 64).count() == 0)
+    // a ragged vector encodes to NULL, not a truncated code row
+    val prm = idx.params.orderBy(col("pos")).collect()
+    val vmin = prm.map(_.getDouble(1))
+    val delta = prm.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0)
+    val short = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(1.0, 2.0))
+    assert(graft.functions.expressions.SqEncodeBroadcast.encode(
+      short, isFloat = false, Array(vmin, delta)) == null)
+  }
+
   test("PQ build refuses indivisible dims and undersized corpora loudly") {
     val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException](
