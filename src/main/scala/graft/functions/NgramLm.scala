@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.{BigramLmModel, BigramPerplexityBroadcast, GraftFunctions}
+
+/** Capacity-bounded n-gram language model for perplexity-based quality
+  * filtering — the CCNet pipeline's scoring half (Wenzek et al. 2020,
+  * arXiv:1911.00359 §3.3: a small LM trained on trusted text ranks
+  * pages by perplexity; [[Mix.qualityBuckets]] then cuts head/middle/
+  * tail on that score). The reference pipeline consumes such scores as
+  * opaque columns (`/root/reference/filefilter.py:340-342` passthrough
+  * SQL over whatever scoring produced); this operator PRODUCES them
+  * inside the engine.
+  *
+  * Training is two bounded aggregation passes (the classic
+  * count-then-prune shape KenLM's pruning also takes — Heafield 2011):
+  *
+  *  1. unigram counts (one shuffle on token; distinct-token cardinality
+  *     is zipf-bounded), vocabulary capped to the `maxVocab` most
+  *     frequent (ties to the lexicographically smaller token —
+  *     deterministic), everything else mapped to the UNK symbol;
+  *  2. bigram counts over the UNK-mapped stream (one shuffle on the
+  *     token pair), pruned to counts ≥ `minCount` AND the `maxBigrams`
+  *     most frequent (same deterministic order) — the model size is
+  *     bounded by its CAPS, never by the corpus.
+  *
+  * The collected model broadcasts to executors (maxVocab + maxBigrams
+  * entries — the CCNet deployment shape: KenLM models ship to workers,
+  * documents never shuffle to score); scoring is the row-local
+  * codegen'd [[graft.functions.expressions.BigramPerplexityBroadcast]].
+  *
+  * At 100 TB: both training shuffles carry (token[-pair], partial
+  * count) rows with map-side combine; the caps bound the driver collect
+  * and the broadcast exactly like the heavy-hitter sketches
+  * ([[TextFunctions.heavyHitters]]). In production CCNet the LM is
+  * trained ONCE on a small trusted corpus (Wikipedia) and reused —
+  * train on the trusted slice, score the 100 TB.
+  */
+object NgramLm {
+
+  /** Train a [[BigramLmModel]] from `df`'s token arrays (pass
+    * `TextFunctions.tokens(col)` or any array<string> column).
+    */
+  def trainBigramLm(df: DataFrame, tokensCol: Column,
+                    maxVocab: Int = 65536, minCount: Int = 2,
+                    maxBigrams: Int = 1 << 20): BigramLmModel = {
+    require(maxVocab >= 1 && maxBigrams >= 0 && minCount >= 1,
+      s"need maxVocab >= 1, maxBigrams >= 0, minCount >= 1")
+    val toks = df.select(explode(tokensCol).as("w"))
+    val rawUni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // vocabulary: the maxVocab most frequent tokens, deterministic ties
+    val vocabRows = rawUni
+      .orderBy(col("c").desc, col("w")).limit(maxVocab).collect()
+    val vocab = new java.util.HashSet[String]()
+    vocabRows.foreach(r => vocab.add(r.getString(0)))
+    val spark = df.sparkSession
+    val unk = BigramPerplexityBroadcast.Unk
+    // UNK-mapped unigram counts: vocab rows keep their exact counts,
+    // the tail folds into one UNK row — derivable from the raw counts
+    // without a second corpus pass
+    val uni = new java.util.HashMap[String, Long]()
+    var unkCount = 0L
+    var nTokens = 0L
+    rawUni.collect().foreach { r =>
+      val w = r.getString(0)
+      val c = r.getLong(1)
+      nTokens += c
+      if (vocab.contains(w)) uni.put(w, c) else unkCount += c
+    }
+    if (unkCount > 0) uni.put(unk, unkCount)
+    // bigram counts: one corpus pass + one raw-pair shuffle, then the
+    // (small) distinct-pair relation UNK-maps through two broadcast
+    // joins against the vocab and re-aggregates — count-then-map gives
+    // identical sums to mapping per token without a UDF in the hot pass
+    val vocabDf = spark.createDataFrame(
+      java.util.Arrays.asList(vocabRows.map(r => Row(r.getString(0))): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vw",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val rawPairs = df.select(tokensCol.as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(posexplode(slice(col("ts"), lit(1), size(col("ts")) - 1)).as(Seq("p", "w1")),
+        col("ts"))
+      .select(col("w1"), element_at(col("ts"), col("p") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val pairs = rawPairs
+      .join(broadcast(vocabDf.select(col("vw").as("m1"))), col("w1") === col("m1"), "left")
+      .join(broadcast(vocabDf.select(col("vw").as("m2"))), col("w2") === col("m2"), "left")
+      .select(coalesce(col("m1"), lit(unk)).as("w1"),
+        coalesce(col("m2"), lit(unk)).as("w2"), col("c"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
+      .where(col("c") >= minCount)
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(maxBigrams)
+      .collect()
+    val bi = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+    pairs.foreach { r =>
+      bi.computeIfAbsent(r.getString(0), _ => new java.util.HashMap[String, Long]())
+        .put(r.getString(1), r.getLong(2))
+    }
+    new BigramLmModel(uni, bi, nTokens, uni.size().toLong)
+  }
+
+  /** Perplexity column over a token-array column under a trained model
+    * (broadcast once per call; reuse the returned Column across
+    * selects rather than re-calling per projection).
+    */
+  def perplexity(df: DataFrame, model: BigramLmModel, tokensCol: Column,
+                 lambda: Double = 0.9): Column = {
+    require(lambda >= 0 && lambda < 1, s"lambda in [0, 1); got $lambda")
+    GraftFunctions.register(df.sparkSession)
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BigramPerplexityBroadcast(bc, lambda,
+        org.apache.spark.sql.GraftColumnBridge.expression(tokensCol)))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.functions.expressions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** The broadcast payload of a trained capacity-bounded bigram LM
+  * ([[graft.functions.NgramLm.trainBigramLm]]): unigram counts over the
+  * UNK-mapped token stream, pruned bigram counts as a nested map (w1 →
+  * (w2 → count) — no per-token key concatenation at score time), and
+  * the (N, V) normalization constants. Sizes are bounded by the
+  * training caps (maxVocab + maxBigrams entries), NOT by the corpus —
+  * this is the CCNet deployment shape: the model ships to every
+  * executor once, documents never shuffle to score.
+  */
+final class BigramLmModel(
+    val uni: java.util.HashMap[String, Long],
+    val bi: java.util.HashMap[String, java.util.HashMap[String, Long]],
+    val nTokens: Long,
+    val vSize: Long) extends Serializable
+
+/** bigram_perplexity: per-document perplexity under a broadcast
+  * [[BigramLmModel]] — the CCNet quality signal (Wenzek et al. 2020,
+  * arXiv:1911.00359 §3.3: rank pages by the perplexity of a small LM
+  * trained on trusted text; low = fluent). Per token, Jelinek-Mercer
+  * interpolation with add-one unigram smoothing:
+  *
+  *   pUni(w)      = (c1(map(w)) + 1) / (N + V)
+  *   pBi(w2 | w1) = λ·c2(w1,w2)/c1(w1) + (1−λ)·pUni(w2)   [c1 > 0]
+  *                = pUni(w2)                                [else]
+  *   ppl(doc)     = exp(−(ln pUni(t1) + Σ_{i≥2} ln pBi(ti|ti−1)) / T)
+  *
+  * map(w) sends out-of-vocabulary tokens to the UNK symbol; pruned or
+  * unseen bigrams read c2 = 0, so the λ-mix floors every probability at
+  * (1−λ)·pUni > 0 — no −∞ anywhere. The scan is row-local: two hash
+  * lookups per token against the broadcast maps, sequential in document
+  * order (deterministic float fold). NULL for an empty token array.
+  *
+  * Codegen: one static call (the [[CosineSimilarity]] strategy), so the
+  * scorer stays inside WholeStageCodegen.
+  */
+case class BigramPerplexityBroadcast(
+    model: Broadcast[BigramLmModel],
+    lambda: Double,
+    child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"bigram_perplexity needs array<string> tokens, got $t")
+    }
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val r = BigramPerplexityBroadcast.ppl(
+      tokens.asInstanceOf[ArrayData], model.value, lambda)
+    if (r.isNaN) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[Broadcast[_]].getName
+    val mCls = classOf[BigramLmModel].getName
+    val bcRef = ctx.addReferenceObj("graftLmBc", model, bcCls)
+    val mVar = ctx.addMutableState(mCls, "graftLm",
+      v => s"$v = ($mCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("ppl")
+      s"""
+         double $tmp = graft.functions.expressions.BigramPerplexityBroadcast.ppl(
+           $c, $mVar, $lambda);
+         if (Double.isNaN($tmp)) { ${ev.isNull} = true; }
+         else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramPerplexityBroadcast {
+  /** The UNK symbol: U+0001 never appears in space-split natural text
+    * (it is `chr(1)` in the DuckDB replay). The empty string is NOT
+    * usable here: double spaces make "" a legitimate token.
+    */
+  val Unk = "\u0001"
+
+  /** NaN encodes NULL (empty token array) across the codegen boundary. */
+  def ppl(tokens: ArrayData, m: BigramLmModel, lambda: Double): Double = {
+    val t = tokens.numElements()
+    if (t == 0) return Double.NaN
+    val denom = (m.nTokens + m.vSize).toDouble
+    var logp = 0.0
+    var prev: String = null
+    var i = 0
+    while (i < t) {
+      val raw = tokens.getUTF8String(i).toString
+      val w = if (m.uni.containsKey(raw)) raw else Unk
+      val c1w = m.uni.getOrDefault(w, 0L)
+      val pU = (c1w + 1).toDouble / denom
+      if (i == 0) logp += math.log(pU)
+      else {
+        val c1p = m.uni.getOrDefault(prev, 0L)
+        val p =
+          if (c1p > 0) {
+            val inner = m.bi.get(prev)
+            val c2 = if (inner == null) 0L else inner.getOrDefault(w, 0L)
+            lambda * c2.toDouble / c1p + (1.0 - lambda) * pU
+          } else pU
+        logp += math.log(p)
+      }
+      prev = w
+      i += 1
+    }
+    math.exp(-logp / t)
+  }
+}

@@ -909,10 +909,45 @@ object TextQueries {
         (max(abs(col("rp") - col("rp2"))) === 0.0).as("deterministic"))
   }
 
+  /** Bigram-LM perplexity scoring (r13) — the CCNet quality signal
+    * PRODUCED in-engine ([[graft.functions.NgramLm]]): train the
+    * capacity-bounded LM on the corpus (maxVocab = 24, bigram
+    * minCount = 2), score every document row-locally via the broadcast
+    * model, emit per-doc token count + MILLI-perplexity (the ×1000
+    * integer cast absorbs the ≤1-ulp ln/exp divergence between JVM and
+    * libm — raw doubles would hash-mismatch bitwise) plus three exact
+    * model-conservation constants. maxVocab = 24 sits BELOW the
+    * synthetic corpus's 31 distinct tokens, so the UNK fold (election
+    * ties, tail folding, UNK-context scoring) is exercised, not just
+    * declared. The DuckDB oracle REPLAYS THE WHOLE
+    * MODEL — vocabulary election (count-desc, token tiebreak), UNK
+    * folding, bigram pruning, the Jelinek-Mercer per-token probability
+    * and the per-doc fold — so any deviation in training or scoring
+    * breaks the hash, not just the sentinels. maxBigrams (2^20) is
+    * deliberately non-binding at gate SFs; `n_bigrams` goes loud if it
+    * ever binds.
+    */
+  def q147NgramPpl(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val toksCol = split(col("text"), " ")
+    val lm = graft.functions.NgramLm.trainBigramLm(
+      docs, toksCol, maxVocab = 24, minCount = 2)
+    val ppl = graft.functions.NgramLm.perplexity(docs, lm, toksCol, lambda = 0.9)
+    var nBigrams = 0L
+    lm.bi.values().forEach(m => nBigrams += m.size())
+    docs.select(col("doc_id"), size(toksCol).cast("long").as("n_toks"),
+        round(ppl * 1000).cast("long").as("ppl_milli"))
+      .withColumn("n_tokens_total", lit(lm.nTokens))
+      .withColumn("v_size", lit(lm.vSize))
+      .withColumn("n_bigrams", lit(nBigrams))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_rest_pipeline"  -> (q131RestPipeline _),
     "q136_dedup_by_score" -> (q136DedupByScore _),
     "q138_compression_ratio" -> (q138CompressionRatio _),
+    "q147_ngram_ppl"      -> (q147NgramPpl _),
     "q132_buckets_approx" -> (q132BucketsApproxAudit _),
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
@@ -983,6 +1018,50 @@ object TextQueries {
 
   val sql: Map[String, String] = Map(
     "q36_simhash" -> simhashOracle,
+
+    // q147: FULL model replay — vocabulary election (count-desc, token
+    // tiebreak, LIMIT = maxVocab), UNK folding (chr(1)), bigram counts
+    // with the minCount prune, the Jelinek-Mercer per-token probability
+    // and the per-doc fold; ppl_milli's integer cast absorbs the
+    // ≤1-ulp ln/exp divergence between engines
+    "q147_ngram_ppl" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      u AS (SELECT w, COUNT(*) c FROM (SELECT unnest(ts) w FROM tok) GROUP BY w),
+      vocab AS (SELECT w FROM u ORDER BY c DESC, w LIMIT 24),
+      uni AS (SELECT CASE WHEN v.w IS NULL THEN chr(1) ELSE u.w END wm, SUM(c) c
+              FROM u LEFT JOIN vocab v ON u.w = v.w GROUP BY 1),
+      consts AS (SELECT CAST((SELECT SUM(c) FROM uni) AS DOUBLE) +
+                        CAST((SELECT COUNT(*) FROM uni) AS DOUBLE) AS nv),
+      pairtab AS (SELECT doc_id, ts[i] w1r, ts[i+1] w2r
+                  FROM tok, UNNEST(range(1, len(ts))) t(i)),
+      bigraw AS (SELECT CASE WHEN v1.w IS NULL THEN chr(1) ELSE w1r END w1,
+                        CASE WHEN v2.w IS NULL THEN chr(1) ELSE w2r END w2
+                 FROM pairtab LEFT JOIN vocab v1 ON w1r = v1.w
+                              LEFT JOIN vocab v2 ON w2r = v2.w),
+      big AS (SELECT w1, w2, COUNT(*) c FROM bigraw GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      toks2 AS (SELECT doc_id, len(ts) t, i, ts[i] wr,
+                       CASE WHEN i > 1 THEN ts[i-1] END prv
+                FROM tok, UNNEST(range(1, len(ts) + 1)) tt(i)),
+      m AS (SELECT doc_id, t, i,
+              CASE WHEN vw.w IS NULL THEN chr(1) ELSE wr END wm,
+              CASE WHEN i = 1 THEN NULL
+                   WHEN vp.w IS NULL THEN chr(1) ELSE prv END pm
+            FROM toks2 LEFT JOIN vocab vw ON wr = vw.w
+                       LEFT JOIN vocab vp ON prv = vp.w),
+      sc AS (SELECT doc_id, t,
+               CASE WHEN m.i = 1 THEN ln((uw.c + 1.0) / cs.nv)
+                    ELSE ln(0.9 * COALESCE(b.c, 0) / up.c
+                            + 0.1 * (uw.c + 1.0) / cs.nv) END lp
+             FROM (m CROSS JOIN consts cs)
+             JOIN uni uw ON m.wm = uw.wm
+             LEFT JOIN uni up ON m.pm = up.wm
+             LEFT JOIN big b ON b.w1 = m.pm AND b.w2 = m.wm)
+      SELECT doc_id, CAST(MAX(t) AS BIGINT) AS n_toks,
+             CAST(ROUND(EXP(-SUM(lp)/MAX(t)) * 1000, 0) AS BIGINT) AS ppl_milli,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_tokens_total,
+             (SELECT COUNT(*) FROM uni) AS v_size,
+             (SELECT COUNT(*) FROM big) AS n_bigrams
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
     // DEFLATE isn't replayable in DuckDB — exact row count + pinned
     // TRUE sentinels (the q69 sketch-bound convention)

