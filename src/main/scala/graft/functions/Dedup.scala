@@ -429,6 +429,58 @@ object Dedup {
         col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Sliding-window exact-substring dedup (r13) — the ANY-ALIGNMENT
+    * form of Lee et al. 2022's ExactSubstr that [[dedupSpans]]'s fixed
+    * chunks approximate: every k-token window at EVERY offset is
+    * indexed, each distinct window keeps only its first global
+    * occurrence (total order (doc, i)), and every token covered by a
+    * non-first duplicate window is removed. A block copied mid-sentence
+    * into another document is caught regardless of where it lands —
+    * the alignment insensitivity is what the paper's suffix array buys,
+    * recovered here with k-gram windows instead of suffixes (repeats
+    * shorter than k survive; repeats ≥ k are caught in full, since
+    * every length-k subwindow of a long repeat is itself a duplicate).
+    *
+    * Plan: one posexplode of md5 window keys (16-byte portable keys —
+    * the oracle replays them verbatim; at 100 TB swap to the
+    * allocation-free `shingle_hashes` xxhash64, same plan), one shuffle
+    * on the key for the min-(doc, i) aggregate, one join back, one
+    * per-doc sorted-starts aggregate, and a row-local two-pointer
+    * rebuild ([[graft.functions.expressions.RemoveCoveredTokens]] —
+    * O(T + M) per doc, no exists()-per-token quadratic). Window rows
+    * are ≈ token count, the same blow-up [[shingleSet]] already pays.
+    *
+    * Returns (doc, clean_text, n_toks, n_removed) for every input doc.
+    */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 50): DataFrame = {
+    require(k >= 2, s"window k >= 2; got $k")
+    GraftFunctions.register(df.sparkSession)
+    val toks = df.select(col(idCol).as("doc"), split(col(textCol), " ").as("l"))
+      .localCheckpoint()
+    val wins = toks.where(size(col("l")) >= k)
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(1), size(col("l")) - k + 1),
+        i => md5(concat_ws(" ", slice(col("l"), i, lit(k)))))).as(Seq("p0", "h")))
+      .select(col("doc"), (col("p0") + 1).cast("int").as("i"), col("h"))
+    val first = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc"), col("i"))).as("f"))
+    val marks = wins.join(first, "h")
+      .where(!(col("doc") === col("f.doc") && col("i") === col("f.i")))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    val kept = org.apache.spark.sql.GraftColumnBridge.column(
+      expressions.RemoveCoveredTokens(k,
+        org.apache.spark.sql.GraftColumnBridge.expression(col("l")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("starts"))))
+    toks.join(marks, Seq("doc"), "left")
+      .select(col("doc"), col("l"), kept.as("kept"))
+      .select(col("doc"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        size(col("l")).cast("long").as("n_toks"),
+        (size(col("l")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Line-level frequency dedup (the RefinedWeb / CCNet line-dedup
     * pass; reference's dedup is document-level — `/root/reference/
     * filters.py` has no line pass, this is the web-corpus extension):

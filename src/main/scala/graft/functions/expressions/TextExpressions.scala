@@ -668,3 +668,79 @@ object TokenGrams {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** remove_covered_tokens: drop every token covered by any of the
+  * k-wide marked windows — the rebuild half of [[graft.functions.Dedup
+  * .dedupSubstrings]] (Lee et al. 2022 "Deduplicating Training Data
+  * Makes Language Models Better", the ExactSubstr pass). left = the
+  * doc's token array, right = the SORTED-ascending 1-based start
+  * positions of its marked (non-first duplicate) windows; token j
+  * survives iff no start s satisfies s <= j < s + k. Two-pointer sweep
+  * — O(T + M) per row, not the O(T·M) an exists()-in-filter() HOF pair
+  * would pay — as one codegen'd static call. A NULL/empty start list
+  * keeps every token.
+  */
+case class RemoveCoveredTokens(k: Int, left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = left.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"remove_covered_tokens needs (array<string>, array<int>), got ($l, $r)")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) return null
+    val s = right.eval(input)
+    RemoveCoveredTokens.kept(t.asInstanceOf[ArrayData],
+      if (s == null) null else s.asInstanceOf[ArrayData], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${leftGen.code}
+      ${rightGen.code}
+      boolean ${ev.isNull} = ${leftGen.isNull};
+      $arrCls ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.expressions.RemoveCoveredTokens.kept(
+          ${leftGen.value}, ${rightGen.isNull} ? null : ${rightGen.value}, $k);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object RemoveCoveredTokens {
+  def kept(toks: ArrayData, starts: ArrayData, k: Int): ArrayData = {
+    val t = toks.numElements()
+    if (starts == null || starts.numElements() == 0) return toks.copy()
+    val m = starts.numElements()
+    val out = new Array[AnyRef](t)
+    var n = 0
+    var p = 0
+    var maxEnd = 0 // exclusive end of the furthest-reaching window so far
+    var j = 1
+    while (j <= t) {
+      while (p < m && starts.getInt(p) <= j) {
+        val e = starts.getInt(p) + k
+        if (e > maxEnd) maxEnd = e
+        p += 1
+      }
+      if (j >= maxEnd) { out(n) = toks.getUTF8String(j - 1); n += 1 }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, n))
+  }
+}

@@ -1295,18 +1295,34 @@ object GraftSqlParser {
     * block's WHERE — DuckDB's documented semantics, and the opposite of
     * raw TABLESAMPLE (which samples the table before filters):
     * `SELECT * FROM ( <block sans sample> ) TABLESAMPLE (spec)`.
-    * Method forms (`reservoir(...)`, `(bernoulli)`) keep the guided
-    * error — Spark's sampler is Bernoulli and pretending otherwise
-    * would silently change statistics.
+    * Percentage METHOD names are claimed too (r13): `(bernoulli)` IS
+    * Spark's sampler (independent per-row inclusion), and `(system)` is
+    * DuckDB's cheaper vector-granular approximation OF bernoulli — the
+    * bare `n%` form already defaults to system in DuckDB, so claiming
+    * the explicit name is the same trade the bare claim made (the
+    * sampled fraction is what the user asked for; block granularity is
+    * an executor-side implementation detail DuckDB itself documents as
+    * approximate). Seeded forms (`(bernoulli, 377)`) and
+    * `reservoir(n ROWS)` keep the guided error — Spark SQL has no seed
+    * clause, and reservoir returns EXACTLY n random rows where Spark's
+    * `n ROWS` takes the first n (silently different statistics).
     */
   def rewriteSample(sql: String): String = {
     val masked = maskQuotes(sql)
     SampleRe.findFirstMatchIn(masked) match {
       case None => sql
       case Some(m) =>
-        // a method suffix like 'reservoir(' or '(system)' → not rewritten
-        val after = masked.substring(m.end).dropWhile(_.isWhitespace)
-        if (after.startsWith("(") || raw"(?i)^[a-z_]+\s*\(".r.findFirstIn(after).isDefined)
+        // seedless percentage methods are claimable; anything else
+        // parenthesized ('reservoir(...)', seeds) → not rewritten
+        val wsLen = masked.substring(m.end).takeWhile(_.isWhitespace).length
+        val after = masked.substring(m.end + wsLen)
+        val method = raw"(?i)^\(\s*(bernoulli|system)\s*\)".r.findFirstMatchIn(after)
+        val consumed = method.map(mm => wsLen + mm.end).getOrElse(0)
+        val isPercent = m.group(2) != null &&
+          (m.group(2) == "%" || m.group(2).equalsIgnoreCase("percent"))
+        if (method.isDefined && !isPercent) return sql // reservoir-ROWS territory
+        if (method.isEmpty &&
+          (after.startsWith("(") || raw"(?i)^[a-z_]+\s*\(".r.findFirstIn(after).isDefined))
           return sql
         val spec = m.group(2) match {
           case s if s != null && (s == "%" || s.equalsIgnoreCase("percent")) =>
@@ -1327,7 +1343,8 @@ object GraftSqlParser {
         val blockStart = if (stack.isEmpty) 0 else stack.top
         val head = sql.substring(blockStart, m.start).trim
         rewriteSample(sql.substring(0, blockStart) +
-          s"SELECT * FROM ( $head ) TABLESAMPLE ($spec) " + sql.substring(m.end))
+          s"SELECT * FROM ( $head ) TABLESAMPLE ($spec) " +
+          sql.substring(m.end + consumed))
     }
   }
 

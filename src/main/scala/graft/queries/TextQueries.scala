@@ -943,11 +943,26 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sliding-window exact-substring dedup (r13 — [[graft.functions
+    * .Dedup.dedupSubstrings]], the any-alignment ExactSubstr form of
+    * Lee et al. 2022): every 20-token window at every offset, first
+    * global occurrence wins, covered tokens of non-first duplicates
+    * removed, documents rebuilt. The DuckDB oracle replays the whole
+    * construction — md5 window keys, (doc, i) first-occurrence
+    * election, coverage via an interval join, ordered reassembly — so
+    * the gate hash pins both the marking AND the rebuild, token for
+    * token. Integer/string outputs only; nothing float-fragile.
+    */
+  def q148SubstrDedup(s: SparkSession, d: String): DataFrame =
+    graft.functions.Dedup.dedupSubstrings(documents(s, d), "doc_id", "text", k = 20)
+      .orderBy(col("doc"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_rest_pipeline"  -> (q131RestPipeline _),
     "q136_dedup_by_score" -> (q136DedupByScore _),
     "q138_compression_ratio" -> (q138CompressionRatio _),
     "q147_ngram_ppl"      -> (q147NgramPpl _),
+    "q148_substr_dedup"   -> (q148SubstrDedup _),
     "q132_buckets_approx" -> (q132BucketsApproxAudit _),
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
@@ -1018,6 +1033,29 @@ object TextQueries {
 
   val sql: Map[String, String] = Map(
     "q36_simhash" -> simhashOracle,
+
+    // q148: full construction replay — md5 window keys at every offset,
+    // first-occurrence election over (doc, i), interval-join coverage,
+    // ordered token reassembly
+    "q148_substr_dedup" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      w AS (SELECT doc_id, i, md5(array_to_string(ts[i:i+19], ' ')) h
+            FROM tok, UNNEST(range(1, len(ts) - 18)) t(i)),
+      r AS (SELECT doc_id, i,
+              ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) rn FROM w),
+      marked AS (SELECT doc_id, i FROM r WHERE rn > 1),
+      tokpos AS (SELECT doc_id, j, ts[j] tokv
+                 FROM tok, UNNEST(range(1, len(ts) + 1)) t(j)),
+      kept AS (SELECT tp.doc_id, tp.j, tp.tokv FROM tokpos tp
+               WHERE NOT EXISTS (SELECT 1 FROM marked m
+                                 WHERE m.doc_id = tp.doc_id
+                                   AND tp.j >= m.i AND tp.j < m.i + 20)),
+      agg AS (SELECT doc_id, string_agg(tokv, ' ' ORDER BY j) ct, COUNT(*) nk
+              FROM kept GROUP BY doc_id)
+      SELECT t.doc_id AS doc, COALESCE(ct, '') AS clean_text,
+             CAST(len(ts) AS BIGINT) AS n_toks,
+             CAST(len(ts) - COALESCE(nk, 0) AS BIGINT) AS n_removed
+      FROM tok t LEFT JOIN agg USING (doc_id) ORDER BY doc""",
 
     // q147: FULL model replay — vocabulary election (count-desc, token
     // tiebreak, LIMIT = maxVocab), UNK folding (chr(1)), bigram counts

@@ -1001,6 +1001,65 @@ class DedupSpec extends SparkSpec {
       nprobe = 4, rerank = 48)) == pq)
   }
 
+  test("dedupSubstrings removes any-alignment copies that chunked spans miss") {
+    // doc 1: original; doc 2: the same 6-token block copied at an
+    // OFFSET alignment (after a 3-token prefix) — a fixed-width chunker
+    // at width 4 sees no equal chunk, the sliding window does
+    val block = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"$block eta theta"),
+      (2L, s"pre one two $block post"),
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val out = graft.functions.Dedup.dedupSubstrings(docs, "doc_id", "text", k = 4)
+      .orderBy(col("doc")).collect()
+    // doc 1 keeps everything (it IS the first occurrence)
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    assert(out(0).getString(1) == s"$block eta theta")
+    // doc 2 loses exactly the copied 6-token block, keeps its own words
+    assert(out(1).getString(1) == "pre one two post")
+    assert(out(1).getAs[Long]("n_removed") == 6L)
+    // doc 3 untouched
+    assert(out(2).getAs[Long]("n_removed") == 0L)
+    // the chunked form misses the offset copy entirely (its trade)
+    val chunked = graft.functions.Dedup.dedupSpans(docs, "doc_id", "text", width = 4)
+      .orderBy(col("doc")).collect()
+    assert(chunked(1).getAs[Long]("n_kept") == chunked(1).getAs[Long]("n_spans"))
+  }
+
+  test("dedupSubstrings: sub-k repeats survive; short docs untouched; ties by (doc, i)") {
+    val docs = Seq(
+      (1L, "a b c x a b c"), // intra-doc repeat of length 3 < k=4: survives
+      (2L, "tiny doc"), // shorter than k: no windows, untouched
+      (3L, "a b c x a b c")).toDF("doc_id", "text") // doc-level copy of doc 1
+    val out = graft.functions.Dedup.dedupSubstrings(docs, "doc_id", "text", k = 4)
+      .orderBy(col("doc")).collect()
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    assert(out(1).getString(1) == "tiny doc" && out(1).getAs[Long]("n_removed") == 0L)
+    // doc 3 is erased: every window duplicates doc 1's
+    assert(out(2).getString(1) == "" && out(2).getAs[Long]("n_removed") == 7L)
+  }
+
+  test("RemoveCoveredTokens two-pointer merges overlapping marks") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(s: String*) = new GenericArrayData(s.map(UTF8String.fromString).toArray)
+    def ints(i: Int*) = new GenericArrayData(i.toArray)
+    def run(toks: Seq[String], starts: Seq[Int], k: Int) = {
+      val r = graft.functions.expressions.RemoveCoveredTokens.kept(
+        arr(toks: _*), if (starts.isEmpty) null else ints(starts: _*), k)
+      (0 until r.numElements()).map(r.getUTF8String(_).toString)
+    }
+    val toks = (1 to 10).map("t" + _)
+    // overlapping [2,5) ∪ [4,7) removes 2..6
+    assert(run(toks, Seq(2, 4), 3) == Seq("t1", "t7", "t8", "t9", "t10"))
+    // adjacent-but-disjoint windows leave the gap token
+    assert(run(toks, Seq(1, 5), 3) == Seq("t4", "t8", "t9", "t10"))
+    // null/empty starts keep everything
+    assert(run(toks, Seq(), 3) == toks)
+    // window past the end clamps
+    assert(run(toks, Seq(9), 5) == toks.take(8))
+  }
+
   test("residual IVFPQ: tighter reconstructions than non-residual; probe round-trips") {
     val rnd = new scala.util.Random(43)
     val dim = 32

@@ -193,6 +193,22 @@ class DialectSpec extends SparkSpec {
     val pct = SqlStage("s", "SELECT * FROM df USING SAMPLE 50%")
       .apply(spark, spark.range(200).toDF("id")).count()
     assert(pct > 20 && pct < 180) // Bernoulli; loose bounds
+    // r13: seedless percentage METHOD names claim — (bernoulli) IS
+    // Spark's sampler, (system) is DuckDB's approximation of it
+    val bern = SqlStage("s", "SELECT * FROM df USING SAMPLE 50% (bernoulli)")
+      .apply(spark, spark.range(200).toDF("id")).count()
+    assert(bern > 20 && bern < 180)
+    val sys = SqlStage("s", "SELECT * FROM df USING SAMPLE 50 PERCENT (system)")
+      .apply(spark, spark.range(200).toDF("id")).count()
+    assert(sys > 20 && sys < 180)
+    // discrete counts with a method error in DuckDB too; seeds and
+    // reservoir stay guided (Spark SQL has no seed clause)
+    assert(GraftSqlParser.rewriteSample("SELECT * FROM t USING SAMPLE 10 ROWS (bernoulli)") ==
+      "SELECT * FROM t USING SAMPLE 10 ROWS (bernoulli)")
+    assert(GraftSqlParser.rewriteSample("SELECT * FROM t USING SAMPLE 10% (bernoulli, 42)") ==
+      "SELECT * FROM t USING SAMPLE 10% (bernoulli, 42)")
+    assert(GraftSqlParser.rewriteSample("SELECT * FROM t USING SAMPLE reservoir(10%)") ==
+      "SELECT * FROM t USING SAMPLE reservoir(10%)")
   }
 
   test("string literals never false-positive a construct hint") {
