@@ -187,6 +187,40 @@ object ScaleProbe {
           graft.functions.Mix.qualityBucketsApprox(
             scores, col("lang"), col("rarity")).count()
         }),
+        // r13 compression family: fresh build + probe each run (the
+        // in-gate pattern — the build's encode pass IS the linear-scan
+        // claim under test; q104 above isolates the amortized probe)
+        "q142_pq_topk" -> (() => {
+          val idx = VF.buildPq(emb, m = 16, ksub = 64, iters = 1)
+          VF.pqProbe(emb.filter(col("vec_id") < 10), idx, emb,
+            k = 5, rerank = 128).count()
+        }),
+        "q145_sq_topk" -> (() => {
+          val idx = VF.buildSq(emb)
+          VF.sqProbe(emb.filter(col("vec_id") < 10), idx, emb,
+            k = 5, rerank = 64).count()
+        }),
+        "q146_ivfpq_residual" -> (() => {
+          val idx = VF.buildIvfPq(emb, nlist = nlist, refine = 1, m = 16,
+            ksub = 64, iters = 1, residual = true)
+          VF.ivfPqProbe(emb.filter(col("vec_id") < 10), idx, emb, k = 5,
+            nprobe = VF.autoNprobe(nlist), rerank = 128).count()
+        }),
+        // r13 bigram-LM: train + score every doc (the gate shape; a
+        // production run trains once on the trusted slice and only the
+        // scoring scan grows with the corpus)
+        "q147_ngram_ppl" -> (() => {
+          val t = split(col("text"), " ")
+          val lm = graft.functions.NgramLm.trainBigramLm(docs, t,
+            maxVocab = 65536, minCount = 2)
+          docs.select(graft.functions.NgramLm.perplexity(docs, lm, t)
+            .as("p")).agg(count(col("p"))).collect()(0).getLong(0)
+        }),
+        // r13 sliding-window substring dedup; sum(length) forces the
+        // rebuild exactly like q92 above
+        "q148_substr_dedup" -> (() =>
+          Dedup.dedupSubstrings(docs, "doc_id", "text", k = 20)
+            .agg(sum(length(col("clean_text")))).collect()(0).getLong(0)),
       )
     }
 
