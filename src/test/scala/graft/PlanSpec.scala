@@ -288,6 +288,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r13 pins: LM scoring exchange-free; substring rebuild row-local; compressed probes broadcast-shaped") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val t = split(col("text"), " ")
+    // scoring under a broadcast model is a pure projection — the
+    // literal form of the documents-never-shuffle-to-score claim
+    val lm = graft.functions.NgramLm.trainBigramLm(docs, t,
+      maxVocab = 64, minCount = 2)
+    val scoreP = planOf(docs.select(col("doc_id"),
+      graft.functions.NgramLm.perplexity(docs, lm, t).as("p")))
+    assert(!scoreP.contains("Exchange"), scoreP)
+    // q148: the only Generates are the window-key posexplode (once per
+    // consumer of the prefix index — the first-occurrence aggregate and
+    // the probe side); the coverage rebuild is the row-local
+    // two-pointer native (removecoveredtokens in-plan), NOT a
+    // token-explode interval join; no cartesian/nested-loop anywhere
+    val sp = planOf(graft.functions.Dedup.dedupSubstrings(
+      docs, "doc_id", "text", k = 20))
+    assert(!sp.contains("CartesianProduct") &&
+      !sp.contains("BroadcastNestedLoop"), sp)
+    assert("Generate posexplode".r.findAllIn(sp).size == 2, sp)
+    assert("\\bGenerate\\b".r.findAllIn(sp).size == 2, sp)
+    assert(sp.contains("removecoveredtokens"), sp)
+    // SQ8 / residual-IVFADC probes: id-only shortlists re-join raw
+    // vectors and base terms by BROADCAST; never a cartesian
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val sqp = planOf(graft.functions.VectorFunctions.sqProbe(
+      q, graft.functions.VectorFunctions.buildSq(emb), emb, k = 5, rerank = 32))
+    assert(sqp.contains("BroadcastHashJoin") && !sqp.contains("CartesianProduct"), sqp)
+    val res = graft.functions.VectorFunctions.buildIvfPq(emb, nlist = 16,
+      refine = 1, m = 16, ksub = 64, iters = 1, residual = true)
+    val rp = planOf(graft.functions.VectorFunctions.ivfPqProbe(
+      q, res, emb, k = 5, nprobe = 6, rerank = 64))
+    assert(rp.contains("BroadcastHashJoin") && !rp.contains("CartesianProduct"), rp)
+  }
+
   test("cosine_sim returns null on ragged vectors instead of a truncated score") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
