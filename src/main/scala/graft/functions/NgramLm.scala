@@ -101,17 +101,73 @@ object NgramLm {
     new BigramLmModel(uni, bi, nTokens, uni.size().toLong)
   }
 
+  /** Order-3 upgrade (r13): [[trainBigramLm]]'s model plus pruned
+    * trigram counts over the same UNK-mapped stream — one more
+    * count-then-map pass with its own prune (`minCount`) and cap
+    * (`maxTrigrams`), the same KenLM count-pruning shape one order up.
+    * Score with `perplexity(..., lambda3 > 0)`: recursive
+    * Jelinek-Mercer — λ3·c(u,v,w)/c(u,v) interpolating into the bigram
+    * estimate, backing off THROUGH the pruned bigram table when the
+    * context pair itself was pruned (the expression and the q149
+    * oracle replay agree on that rule exactly).
+    */
+  def trainTrigramLm(df: DataFrame, tokensCol: Column,
+                     maxVocab: Int = 65536, minCount: Int = 2,
+                     maxBigrams: Int = 1 << 20,
+                     maxTrigrams: Int = 1 << 21): BigramLmModel = {
+    require(maxTrigrams >= 0, "maxTrigrams >= 0")
+    val base = trainBigramLm(df, tokensCol, maxVocab, minCount, maxBigrams)
+    val spark = df.sparkSession
+    val unk = BigramPerplexityBroadcast.Unk
+    val vocabDf = spark.createDataFrame(
+      java.util.Arrays.asList(base.uni.keySet().toArray.collect {
+        case w: String if w != unk => Row(w)
+      }.toSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vw",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val rawTris = df.select(tokensCol.as("ts"))
+      .where(size(col("ts")) >= 3)
+      .select(posexplode(slice(col("ts"), lit(1), size(col("ts")) - 2)).as(Seq("p", "w1")),
+        col("ts"))
+      .select(col("w1"), element_at(col("ts"), col("p") + 2).as("w2"),
+        element_at(col("ts"), col("p") + 3).as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+    val tris = rawTris
+      .join(broadcast(vocabDf.select(col("vw").as("m1"))), col("w1") === col("m1"), "left")
+      .join(broadcast(vocabDf.select(col("vw").as("m2"))), col("w2") === col("m2"), "left")
+      .join(broadcast(vocabDf.select(col("vw").as("m3"))), col("w3") === col("m3"), "left")
+      .select(coalesce(col("m1"), lit(unk)).as("w1"),
+        coalesce(col("m2"), lit(unk)).as("w2"),
+        coalesce(col("m3"), lit(unk)).as("w3"), col("c"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("c")).as("c"))
+      .where(col("c") >= minCount)
+      .orderBy(col("c").desc, col("w1"), col("w2"), col("w3"))
+      .limit(maxTrigrams).collect()
+    val tri = new java.util.HashMap[String,
+      java.util.HashMap[String, java.util.HashMap[String, Long]]]()
+    tris.foreach { r =>
+      tri.computeIfAbsent(r.getString(0),
+          _ => new java.util.HashMap[String, java.util.HashMap[String, Long]]())
+        .computeIfAbsent(r.getString(1), _ => new java.util.HashMap[String, Long]())
+        .put(r.getString(2), r.getLong(3))
+    }
+    new BigramLmModel(base.uni, base.bi, base.nTokens, base.vSize, tri)
+  }
+
   /** Perplexity column over a token-array column under a trained model
     * (broadcast once per call; reuse the returned Column across
-    * selects rather than re-calling per projection).
+    * selects rather than re-calling per projection). `lambda3 > 0`
+    * engages the model's trigram order ([[trainTrigramLm]]).
     */
   def perplexity(df: DataFrame, model: BigramLmModel, tokensCol: Column,
-                 lambda: Double = 0.9): Column = {
+                 lambda: Double = 0.9, lambda3: Double = 0.0): Column = {
     require(lambda >= 0 && lambda < 1, s"lambda in [0, 1); got $lambda")
+    require(lambda3 >= 0 && lambda3 < 1, s"lambda3 in [0, 1); got $lambda3")
     GraftFunctions.register(df.sparkSession)
     val bc = df.sparkSession.sparkContext.broadcast(model)
     org.apache.spark.sql.GraftColumnBridge.column(
       BigramPerplexityBroadcast(bc, lambda,
-        org.apache.spark.sql.GraftColumnBridge.expression(tokensCol)))
+        org.apache.spark.sql.GraftColumnBridge.expression(tokensCol), lambda3))
   }
 }

@@ -20,7 +20,21 @@ final class BigramLmModel(
     val uni: java.util.HashMap[String, Long],
     val bi: java.util.HashMap[String, java.util.HashMap[String, Long]],
     val nTokens: Long,
-    val vSize: Long) extends Serializable
+    val vSize: Long,
+    /** Pruned trigram counts tri(w1)(w2)(w3) — EMPTY for a bigram-only
+      * model (order 3 engages only when [[BigramPerplexityBroadcast]]'s
+      * lambda3 > 0 and the map is populated; r13 trigram upgrade).
+      */
+    val tri: java.util.HashMap[String,
+      java.util.HashMap[String, java.util.HashMap[String, Long]]])
+  extends Serializable {
+  def this(uni: java.util.HashMap[String, Long],
+           bi: java.util.HashMap[String, java.util.HashMap[String, Long]],
+           nTokens: Long, vSize: Long) =
+    this(uni, bi, nTokens, vSize,
+      new java.util.HashMap[String,
+        java.util.HashMap[String, java.util.HashMap[String, Long]]]())
+}
 
 /** bigram_perplexity: per-document perplexity under a broadcast
   * [[BigramLmModel]] — the CCNet quality signal (Wenzek et al. 2020,
@@ -45,7 +59,16 @@ final class BigramLmModel(
 case class BigramPerplexityBroadcast(
     model: Broadcast[BigramLmModel],
     lambda: Double,
-    child: Expression)
+    child: Expression,
+    /** Trigram interpolation weight (r13): at position i ≥ 3,
+      *   p3(w|u,v) = λ3·c(u,v,w)/c(u,v) + (1−λ3)·p2(w|v)   [c(u,v) > 0
+      *             = p2(w|v)                                 in the PRUNED
+      *                                                       bigram table]
+      * — recursive Jelinek-Mercer with backoff through the lower
+      * orders, the KenLM interpolated shape at order 3. lambda3 = 0
+      * (the default) is the pure bigram model.
+      */
+    lambda3: Double = 0.0)
   extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -60,7 +83,7 @@ case class BigramPerplexityBroadcast(
 
   override def nullSafeEval(tokens: Any): Any = {
     val r = BigramPerplexityBroadcast.ppl(
-      tokens.asInstanceOf[ArrayData], model.value, lambda)
+      tokens.asInstanceOf[ArrayData], model.value, lambda, lambda3)
     if (r.isNaN) null else r
   }
 
@@ -74,7 +97,7 @@ case class BigramPerplexityBroadcast(
       val tmp = ctx.freshName("ppl")
       s"""
          double $tmp = graft.functions.expressions.BigramPerplexityBroadcast.ppl(
-           $c, $mVar, $lambda);
+           $c, $mVar, $lambda, $lambda3);
          if (Double.isNaN($tmp)) { ${ev.isNull} = true; }
          else { ${ev.value} = $tmp; }
        """.stripMargin
@@ -93,12 +116,14 @@ object BigramPerplexityBroadcast {
   val Unk = "\u0001"
 
   /** NaN encodes NULL (empty token array) across the codegen boundary. */
-  def ppl(tokens: ArrayData, m: BigramLmModel, lambda: Double): Double = {
+  def ppl(tokens: ArrayData, m: BigramLmModel, lambda: Double,
+          lambda3: Double = 0.0): Double = {
     val t = tokens.numElements()
     if (t == 0) return Double.NaN
     val denom = (m.nTokens + m.vSize).toDouble
     var logp = 0.0
     var prev: String = null
+    var prev2: String = null
     var i = 0
     while (i < t) {
       val raw = tokens.getUTF8String(i).toString
@@ -108,14 +133,29 @@ object BigramPerplexityBroadcast {
       if (i == 0) logp += math.log(pU)
       else {
         val c1p = m.uni.getOrDefault(prev, 0L)
-        val p =
+        val p2 =
           if (c1p > 0) {
             val inner = m.bi.get(prev)
             val c2 = if (inner == null) 0L else inner.getOrDefault(w, 0L)
             lambda * c2.toDouble / c1p + (1.0 - lambda) * pU
           } else pU
+        val p =
+          if (i >= 2 && lambda3 > 0) {
+            // context-pair count from the PRUNED bigram table — an
+            // absent/pruned context backs off to the bigram estimate,
+            // exactly what the oracle replays
+            val biPrev2 = m.bi.get(prev2)
+            val c12 = if (biPrev2 == null) 0L else biPrev2.getOrDefault(prev, 0L)
+            if (c12 > 0) {
+              val t1 = m.tri.get(prev2)
+              val t2 = if (t1 == null) null else t1.get(prev)
+              val c123 = if (t2 == null) 0L else t2.getOrDefault(w, 0L)
+              lambda3 * c123.toDouble / c12 + (1.0 - lambda3) * p2
+            } else p2
+          } else p2
         logp += math.log(p)
       }
+      prev2 = prev
       prev = w
       i += 1
     }

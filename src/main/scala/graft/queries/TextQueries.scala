@@ -943,6 +943,33 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Trigram-LM perplexity (r13, the order-3 upgrade of q147):
+    * [[graft.functions.NgramLm.trainTrigramLm]] adds pruned trigram
+    * counts over the same UNK-mapped stream, and scoring interpolates
+    * recursively — λ3·c(u,v,w)/c(u,v) into the bigram estimate,
+    * backing off through the PRUNED bigram table when the context pair
+    * was pruned. Same replay discipline as q147: the DuckDB oracle
+    * recomputes the whole order-3 model (one more count CTE + the
+    * three-level probability CASE) so the added order is hash-anchored,
+    * not sentinel-waved; `n_trigrams` goes loud if the cap ever binds.
+    */
+  def q149TrigramPpl(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val toksCol = split(col("text"), " ")
+    val lm = graft.functions.NgramLm.trainTrigramLm(
+      docs, toksCol, maxVocab = 24, minCount = 2)
+    val ppl = graft.functions.NgramLm.perplexity(docs, lm, toksCol,
+      lambda = 0.9, lambda3 = 0.5)
+    var nTrigrams = 0L
+    lm.tri.values().forEach(_.values().forEach(m => nTrigrams += m.size()))
+    docs.select(col("doc_id"), size(toksCol).cast("long").as("n_toks"),
+        round(ppl * 1000).cast("long").as("ppl_milli"))
+      .withColumn("n_tokens_total", lit(lm.nTokens))
+      .withColumn("v_size", lit(lm.vSize))
+      .withColumn("n_trigrams", lit(nTrigrams))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sliding-window exact-substring dedup (r13 — [[graft.functions
     * .Dedup.dedupSubstrings]], the any-alignment ExactSubstr form of
     * Lee et al. 2022): every 20-token window at every offset, first
@@ -963,6 +990,7 @@ object TextQueries {
     "q138_compression_ratio" -> (q138CompressionRatio _),
     "q147_ngram_ppl"      -> (q147NgramPpl _),
     "q148_substr_dedup"   -> (q148SubstrDedup _),
+    "q149_trigram_ppl"    -> (q149TrigramPpl _),
     "q132_buckets_approx" -> (q132BucketsApproxAudit _),
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
@@ -1056,6 +1084,69 @@ object TextQueries {
              CAST(len(ts) AS BIGINT) AS n_toks,
              CAST(len(ts) - COALESCE(nk, 0) AS BIGINT) AS n_removed
       FROM tok t LEFT JOIN agg USING (doc_id) ORDER BY doc""",
+
+
+    // q149: the order-3 replay — q147's model CTEs plus the trigram
+    // count CTE and the recursive-interpolation CASE (trigram term over
+    // the PRUNED context-pair count, backing off to the bigram form)
+    "q149_trigram_ppl" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      u AS (SELECT w, COUNT(*) c FROM (SELECT unnest(ts) w FROM tok) GROUP BY w),
+      vocab AS (SELECT w FROM u ORDER BY c DESC, w LIMIT 24),
+      uni AS (SELECT CASE WHEN v.w IS NULL THEN chr(1) ELSE u.w END wm, SUM(c) c
+              FROM u LEFT JOIN vocab v ON u.w = v.w GROUP BY 1),
+      consts AS (SELECT CAST((SELECT SUM(c) FROM uni) AS DOUBLE) +
+                        CAST((SELECT COUNT(*) FROM uni) AS DOUBLE) AS nv),
+      pairtab AS (SELECT doc_id, ts[i] w1r, ts[i+1] w2r
+                  FROM tok, UNNEST(range(1, len(ts))) t(i)),
+      bigraw AS (SELECT CASE WHEN v1.w IS NULL THEN chr(1) ELSE w1r END w1,
+                        CASE WHEN v2.w IS NULL THEN chr(1) ELSE w2r END w2
+                 FROM pairtab LEFT JOIN vocab v1 ON w1r = v1.w
+                              LEFT JOIN vocab v2 ON w2r = v2.w),
+      big AS (SELECT w1, w2, COUNT(*) c FROM bigraw GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      tripl AS (SELECT doc_id, ts[i] w1r, ts[i+1] w2r, ts[i+2] w3r
+                FROM tok, UNNEST(range(1, len(ts) - 1)) t(i)),
+      trimap AS (SELECT CASE WHEN v1.w IS NULL THEN chr(1) ELSE w1r END w1,
+                        CASE WHEN v2.w IS NULL THEN chr(1) ELSE w2r END w2,
+                        CASE WHEN v3.w IS NULL THEN chr(1) ELSE w3r END w3
+                 FROM tripl LEFT JOIN vocab v1 ON w1r = v1.w
+                            LEFT JOIN vocab v2 ON w2r = v2.w
+                            LEFT JOIN vocab v3 ON w3r = v3.w),
+      tri AS (SELECT w1, w2, w3, COUNT(*) c FROM trimap GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+      toks3 AS (SELECT doc_id, len(ts) t, i, ts[i] wr,
+                       CASE WHEN i > 1 THEN ts[i-1] END prv,
+                       CASE WHEN i > 2 THEN ts[i-2] END prv2
+                FROM tok, UNNEST(range(1, len(ts) + 1)) tt(i)),
+      m AS (SELECT doc_id, t, i,
+              CASE WHEN vw.w IS NULL THEN chr(1) ELSE wr END wm,
+              CASE WHEN i = 1 THEN NULL WHEN vp.w IS NULL THEN chr(1) ELSE prv END pm,
+              CASE WHEN i <= 2 THEN NULL WHEN vp2.w IS NULL THEN chr(1) ELSE prv2 END pm2
+            FROM toks3 LEFT JOIN vocab vw ON wr = vw.w
+                       LEFT JOIN vocab vp ON prv = vp.w
+                       LEFT JOIN vocab vp2 ON prv2 = vp2.w),
+      sc AS (SELECT doc_id, t,
+               CASE WHEN m.i = 1 THEN ln((uw.c + 1.0) / cs.nv)
+                    WHEN m.i = 2 THEN ln(0.9 * COALESCE(b.c, 0) / up.c
+                                         + 0.1 * (uw.c + 1.0) / cs.nv)
+                    ELSE ln(CASE WHEN b12.c IS NOT NULL
+                            THEN 0.5 * COALESCE(t3.c, 0) / b12.c
+                               + 0.5 * (0.9 * COALESCE(b.c, 0) / up.c
+                                        + 0.1 * (uw.c + 1.0) / cs.nv)
+                            ELSE 0.9 * COALESCE(b.c, 0) / up.c
+                                 + 0.1 * (uw.c + 1.0) / cs.nv END)
+               END lp
+             FROM (m CROSS JOIN consts cs)
+             JOIN uni uw ON m.wm = uw.wm
+             LEFT JOIN uni up ON m.pm = up.wm
+             LEFT JOIN big b ON b.w1 = m.pm AND b.w2 = m.wm
+             LEFT JOIN big b12 ON b12.w1 = m.pm2 AND b12.w2 = m.pm
+             LEFT JOIN tri t3 ON t3.w1 = m.pm2 AND t3.w2 = m.pm AND t3.w3 = m.wm)
+      SELECT doc_id, CAST(MAX(t) AS BIGINT) AS n_toks,
+             CAST(ROUND(EXP(-SUM(lp)/MAX(t)) * 1000, 0) AS BIGINT) AS ppl_milli,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_tokens_total,
+             (SELECT COUNT(*) FROM uni) AS v_size,
+             (SELECT COUNT(*) FROM tri) AS n_trigrams
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
     // q147: FULL model replay — vocabulary election (count-desc, token
     // tiebreak, LIMIT = maxVocab), UNK folding (chr(1)), bigram counts

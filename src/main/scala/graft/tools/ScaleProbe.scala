@@ -216,6 +216,16 @@ object ScaleProbe {
           docs.select(graft.functions.NgramLm.perplexity(docs, lm, t)
             .as("p")).agg(count(col("p"))).collect()(0).getLong(0)
         }),
+        // r13 order-3 LM: one more zipf-bounded count pass over the
+        // same mapped stream
+        "q149_trigram_ppl" -> (() => {
+          val t = split(col("text"), " ")
+          val lm = graft.functions.NgramLm.trainTrigramLm(docs, t,
+            maxVocab = 65536, minCount = 2)
+          docs.select(graft.functions.NgramLm.perplexity(docs, lm, t,
+            lambda = 0.9, lambda3 = 0.5)
+            .as("p")).agg(count(col("p"))).collect()(0).getLong(0)
+        }),
         // r13 sliding-window substring dedup; sum(length) forces the
         // rebuild exactly like q92 above
         "q148_substr_dedup" -> (() =>

@@ -80,6 +80,66 @@ class NgramLmSpec extends SparkSpec {
     assert(lm.bi.get("a").get("b") == 4L) // the top pair survives
   }
 
+  test("trigram order: hand-computed interpolation and pruned-context backoff") {
+    // "a b a b" ×2 + "a c": trigrams (a,b,a):2 (b,a,b):2 — both survive
+    // minCount = 2; everything through (a,c) prunes
+    val lm = NgramLm.trainTrigramLm(tiny, split(col("text"), " "),
+      maxVocab = 10, minCount = 2)
+    assert(lm.tri.get("a").get("b").get("a") == 2L)
+    assert(lm.tri.get("b").get("a").get("b") == 2L)
+    var n = 0L
+    lm.tri.values().forEach(_.values().forEach(m => n += m.size()))
+    assert(n == 2L)
+    val scored = tiny.select(col("doc_id"),
+        NgramLm.perplexity(tiny, lm, split(col("text"), " "),
+          lambda = 0.9, lambda3 = 0.5).as("ppl"))
+      .orderBy(col("doc_id")).collect()
+    // doc 1 = "a b a b": p(t1)=pU(a); p(t2)=p2(b|a);
+    // p(t3) = .5·c(a,b,a)/c(a,b) + .5·p2(a|b); p(t4) same shape
+    val pUa = 6.0 / 13; val pUb = 5.0 / 13
+    val p2ab = 0.9 * 4 / 5 + 0.1 * pUb
+    val p2ba = 0.9 * 2 / 4 + 0.1 * pUa
+    val p3aba = 0.5 * 2.0 / 4 + 0.5 * p2ba // c(a,b,a)/c(a,b) = 2/4
+    val p3bab = 0.5 * 2.0 / 2 + 0.5 * p2ab // c(b,a,b)/c(b,a) = 2/2
+    val exp1 = math.exp(
+      -(math.log(pUa) + math.log(p2ab) + math.log(p3aba) + math.log(p3bab)) / 4)
+    assert(math.abs(scored(0).getDouble(1) - exp1) < 1e-12)
+    // doc 3 = "a c": no third token — identical to the bigram score
+    val pUc = 2.0 / 13
+    val exp3 = math.exp(-(math.log(pUa) + math.log(0.1 * pUc)) / 2)
+    assert(math.abs(scored(2).getDouble(1) - exp3) < 1e-12)
+    // a PRUNED context pair backs off to the bigram estimate: "c a b"
+    // has context (c, a) with bigram count pruned (c(c,a) = 0 in the
+    // pruned table) → p(b | c, a) = p2(b | a)
+    val probe = Seq((7L, "c a b")).toDF("doc_id", "text")
+    val got = probe.select(NgramLm.perplexity(probe, lm,
+      split(col("text"), " "), lambda = 0.9, lambda3 = 0.5).as("p")).head().getDouble(0)
+    val expBackoff = math.exp(
+      -(math.log(pUc) + math.log(0.1 * pUa) + math.log(p2ab)) / 3)
+    assert(math.abs(got - expBackoff) < 1e-12)
+    // lambda3 = 0 reproduces the pure bigram model bit-for-bit
+    val asBigram = tiny.select(NgramLm.perplexity(tiny, lm,
+      split(col("text"), " "), lambda = 0.9, lambda3 = 0.0).as("p"))
+      .orderBy(col("doc_id")).collect().map(_.getDouble(0)).toSeq
+    val bigramLm = NgramLm.trainBigramLm(tiny, split(col("text"), " "),
+      maxVocab = 10, minCount = 2)
+    val pure = tiny.select(NgramLm.perplexity(tiny, bigramLm,
+      split(col("text"), " "), lambda = 0.9).as("p"))
+      .orderBy(col("doc_id")).collect().map(_.getDouble(0)).toSeq
+    assert(asBigram == pure)
+  }
+
+  test("order 3 fits the training corpus better than order 2 (mean ppl drops)") {
+    val docs = Tables.documents(spark, sf)
+    val t = split(col("text"), " ")
+    val lm2 = NgramLm.trainBigramLm(docs, t, maxVocab = 24, minCount = 2)
+    val lm3 = NgramLm.trainTrigramLm(docs, t, maxVocab = 24, minCount = 2)
+    val mean2 = docs.select(avg(NgramLm.perplexity(docs, lm2, t))).head().getDouble(0)
+    val mean3 = docs.select(avg(NgramLm.perplexity(docs, lm3, t,
+      lambda = 0.9, lambda3 = 0.5))).head().getDouble(0)
+    assert(mean3 < mean2, s"trigram $mean3 not below bigram $mean2")
+  }
+
   test("training is deterministic; repeated text lowers perplexity vs shuffled-rare") {
     val docs = Tables.documents(spark, sf)
     val t = split(col("text"), " ")
