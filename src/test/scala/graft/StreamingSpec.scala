@@ -242,6 +242,45 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == batch)
   }
 
+  test("LM perplexity scores a stream unchanged and equals the batch scores (r13)") {
+    import org.apache.spark.sql.functions._
+    // the CCNet deployment shape, literally: model trained once on the
+    // (batch) trusted corpus, broadcast, then applied to an unbounded
+    // stream as a stateless row-local projection — nothing about
+    // BigramPerplexityBroadcast is batch-specific
+    val dir = Files.createTempDirectory("graft-stream-lm")
+    val docs = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'the cat sat on the mat'),
+        |  (2L, 'the cat sat on the hat'),
+        |  (3L, 'completely different words entirely'),
+        |  (4L, 'the cat sat on the mat again')
+        |AS t(doc_id, text)""".stripMargin)
+    docs.write.parquet(dir.resolve("docs.parquet").toString)
+    val t = split(col("text"), " ")
+    val lm = graft.functions.NgramLm.trainTrigramLm(docs, t,
+      maxVocab = 16, minCount = 1)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("docs.parquet").toString)
+    val q = stream.select(col("doc_id"),
+        graft.functions.NgramLm.perplexity(stream, lm, t,
+          lambda = 0.9, lambda3 = 0.5).as("ppl"))
+      .writeStream.format("memory").queryName("lm_ppl")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql("SELECT doc_id, ppl FROM lm_ppl ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = docs.select(col("doc_id"),
+        graft.functions.NgramLm.perplexity(docs, lm, t,
+          lambda = 0.9, lambda3 = 0.5).as("ppl"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == batch) // bit-identical: same model, same fold
+    // the repeated template scores lower than the outlier
+    val byId = streamed.toMap
+    assert(byId(1L) < byId(3L) && byId(2L) < byId(3L))
+  }
+
   test("gopherRules and c4Clean run on streams unchanged (stateless projections)") {
     import org.apache.spark.sql.functions._
     // both r9 quality operators are row-local Column functions — a
