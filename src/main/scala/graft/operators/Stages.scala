@@ -316,6 +316,12 @@ object TransformRegistry {
   *    window size from `width`, default 20): the text column is REPLACED
   *    by the document rebuilt from first-occurrence spans, and rows
   *    whose text was entirely duplicated elsewhere are dropped;
+  *  - `substrings` (r13): sliding-window exact-substring dedup
+  *    ([[graft.functions.Dedup.dedupSubstrings]] — the ANY-alignment
+  *    ExactSubstr of Lee et al. 2022; window length from `width`): every
+  *    token covered by a non-first duplicate window drops, the text
+  *    column is REPLACED by the rebuilt survivors, fully-duplicated
+  *    rows drop;
   *  - `lines`: line-level frequency dedup
   *    ([[graft.functions.Dedup.dropFrequentLines]], threshold from
   *    `maxDf`, default 4): every line appearing in more than `maxDf`
@@ -340,6 +346,7 @@ object TransformRegistry {
   * actionConfig: {method: semdedup, id: vec_id, vec: embedding, threshold: 0.9}
   * actionConfig: {method: minhash, id: doc_id, text: text, score: "length(text)"}
   * actionConfig: {method: lines, id: doc_id, text: text, maxDf: 4}
+  * actionConfig: {method: substrings, id: doc_id, text: text, width: 50}
   * }}}
   */
 final case class DedupStage(name: String, method: String, idCol: String,
@@ -372,6 +379,11 @@ final case class DedupStage(name: String, method: String, idCol: String,
       }
     case "spans" =>
       replaceText(df, graft.functions.Dedup.dedupSpans(df, idCol, textCol, width))
+    case "substrings" =>
+      // any-alignment ExactSubstr (r13): `width` is the sliding-window
+      // token length; covered tokens of non-first duplicates drop
+      replaceText(df, graft.functions.Dedup.dedupSubstrings(df, idCol, textCol, width)
+        .withColumn("n_kept", col("n_toks") - col("n_removed")))
     case "lines" =>
       replaceText(df, graft.functions.Dedup.dropFrequentLines(
         df, idCol, textCol, maxDf, hashKeys = hashKeys))
@@ -390,7 +402,7 @@ final case class DedupStage(name: String, method: String, idCol: String,
       df.join(survivors.select(col("vec_id").as("__graft_keep")),
         col(idCol) === col("__graft_keep"), "left_semi")
     case other => throw new IllegalArgumentException(
-      s"dedup stage '$name': unknown method '$other' (exact | fingerprint | minhash | spans | lines | vectors | semdedup)")
+      s"dedup stage '$name': unknown method '$other' (exact | fingerprint | minhash | spans | substrings | lines | vectors | semdedup)")
   }
 
   /** Swap the text column for the rebuilt survivors of a
@@ -746,27 +758,57 @@ object CleanStage {
   }
 }
 
-/** `score` stage: corpus-frequency quality scores as new columns
-  * ([[graft.functions.TextFunctions.corpusFrequencyScores]] — the
-  * CCNet-style LM proxy): joins `n_tokens`, `rarity` and
-  * `cross_entropy` back onto the pipeline rows by id. Compose with a
-  * `mix` quality stage to gate on the score.
+/** `score` stage: quality scores as new columns; compose with a `mix`
+  * quality stage to gate on them. Methods:
+  *
+  *  - `frequency` (default): corpus-frequency scores
+  *    ([[graft.functions.TextFunctions.corpusFrequencyScores]] — the
+  *    CCNet-style LM proxy) joined back by id: `n_tokens`, `rarity`,
+  *    `cross_entropy`;
+  *  - `perplexity` (r13): the REAL LM signal — train the
+  *    capacity-bounded n-gram LM ([[graft.functions.NgramLm]], `order`
+  *    2 or 3, `maxVocab`/`minCount` caps) on the stage input and add a
+  *    row-local `perplexity` column from the broadcast model (to train
+  *    on a trusted slice instead, filter with a sql stage first).
   *
   * {{{
   * actionConfig: {id: doc_id, text: text}
+  * actionConfig: {method: perplexity, text: text, order: 3, maxVocab: 65536}
   * }}}
   */
 final case class ScoreStage(name: String, idCol: String,
-                            textCol: String) extends Stage {
-  override def apply(spark: SparkSession, df: DataFrame): DataFrame = {
-    Seq("n_tokens", "rarity", "cross_entropy").foreach(c =>
-      require(!df.columns.contains(c),
-        s"score stage '$name' adds a $c column; the input already has one — rename it first"))
-    val scores = graft.functions.TextFunctions
-      .corpusFrequencyScores(df, idCol, textCol)
-      .withColumnRenamed("doc", "__graft_doc")
-    df.join(scores, col(idCol) === col("__graft_doc"), "left")
-      .drop("__graft_doc")
+                            textCol: String, method: String = "frequency",
+                            order: Int = 2, maxVocab: Int = 65536,
+                            minCount: Int = 2) extends Stage {
+  override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
+    case "frequency" =>
+      Seq("n_tokens", "rarity", "cross_entropy").foreach(c =>
+        require(!df.columns.contains(c),
+          s"score stage '$name' adds a $c column; the input already has one — rename it first"))
+      val scores = graft.functions.TextFunctions
+        .corpusFrequencyScores(df, idCol, textCol)
+        .withColumnRenamed("doc", "__graft_doc")
+      df.join(scores, col(idCol) === col("__graft_doc"), "left")
+        .drop("__graft_doc")
+    case "perplexity" =>
+      // the CCNet LM signal (r13): train the capacity-bounded n-gram LM
+      // on THIS stage's input (self-scored corpus; train on a trusted
+      // slice by putting a filtering sql stage before this one) and add
+      // a row-local `perplexity` column — low = fluent under the corpus
+      require(!df.columns.contains("perplexity"),
+        s"score stage '$name' adds a perplexity column; the input already has one — rename it first")
+      require(order == 2 || order == 3,
+        s"score stage '$name': order must be 2 (bigram) or 3 (trigram); got $order")
+      val t = split(col(textCol), " ")
+      val lm =
+        if (order == 3) graft.functions.NgramLm.trainTrigramLm(
+          df, t, maxVocab = maxVocab, minCount = minCount)
+        else graft.functions.NgramLm.trainBigramLm(
+          df, t, maxVocab = maxVocab, minCount = minCount)
+      df.withColumn("perplexity", graft.functions.NgramLm.perplexity(
+        df, lm, t, lambda = 0.9, lambda3 = if (order == 3) 0.5 else 0.0))
+    case other => throw new IllegalArgumentException(
+      s"score stage '$name': unknown method '$other' (frequency | perplexity)")
   }
 }
 
@@ -774,7 +816,12 @@ object ScoreStage {
   def fromConfig(cfg: StageConfig): ScoreStage = {
     val ac = cfg.actionConfig
     def s(k: String, d: String) = ac.get(k).flatMap(Option(_)).map(_.toString).getOrElse(d)
-    ScoreStage(cfg.name, s("id", "doc_id"), s("text", "text"))
+    def n(k: String, d: Int) = ac.get(k).flatMap(Option(_)) match {
+      case Some(x: Number) => x.intValue(); case Some(x) => x.toString.toInt; case None => d
+    }
+    ScoreStage(cfg.name, s("id", "doc_id"), s("text", "text"),
+      s("method", "frequency"), n("order", 2), n("maxVocab", 65536),
+      n("minCount", 2))
   }
 }
 

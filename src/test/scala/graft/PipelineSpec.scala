@@ -559,4 +559,60 @@ class PipelineSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("no column 'nope'"))
   }
+  test("substrings dedup stage and perplexity score stage (r13 YAML surface)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // substrings: an offset-aligned copied block drops from the copier,
+    // the original survives intact, empty docs are kept (spans' rule)
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", 46L),
+      (2L, "pre one two alpha beta gamma delta epsilon zeta post", 52L),
+      (3L, "", 0L))
+      .toDF("doc_id", "text", "n_chars")
+    val cleaned = graft.operators.DedupStage(
+      "s", "substrings", "doc_id", "text", 0.6, 3, 32, 8, width = 4)
+      .apply(spark, fixture)
+    val byId = cleaned.collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[String]("text"), r.getAs[Long]("n_chars")))).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L), s"kept=${byId.keySet}")
+    assert(byId(1L)._1 == "alpha beta gamma delta epsilon zeta eta theta")
+    assert(byId(2L) == (("pre one two post", 16L))) // n_chars follows the text
+    assert(byId(3L) == (("", 0L)))
+    val yamlSub =
+      s"""
+        |filters:
+        |  - name: substr_dedup
+        |    actionType: dedup
+        |    actionConfig: {method: substrings, id: doc_id, text: text, width: 20}
+        |""".stripMargin
+    val subOut = graft.operators.Pipeline.runYaml(
+      spark, yamlSub, s"$sf/documents.parquet", None).output
+    val twin = graft.functions.Dedup.dedupSubstrings(
+      Tables.documents(spark, sf), "doc_id", "text", k = 20)
+      .filter(col("n_toks") - col("n_removed") > 0)
+    assert(subOut.count() == twin.count() && subOut.count() > 0)
+
+    // perplexity score: column appears, equals the direct operator,
+    // composes with a quality mix gate; unknown orders fail loudly
+    val yamlPpl =
+      s"""
+        |filters:
+        |  - name: lm_score
+        |    actionType: score
+        |    actionConfig: {method: perplexity, id: doc_id, text: text, order: 3, maxVocab: 24}
+        |  - name: keep_fluent
+        |    actionType: mix
+        |    actionConfig: {method: quality, stratum: lang, id: doc_id, score: "-perplexity", fraction: 0.5}
+        |""".stripMargin
+    val pplOut = graft.operators.Pipeline.runYaml(
+      spark, yamlPpl, s"$sf/documents.parquet", None).output
+    assert(pplOut.columns.contains("perplexity"))
+    val docs = Tables.documents(spark, sf)
+    val half = docs.groupBy(col("lang")).count()
+      .agg(sum(ceil(col("count") / 2))).head().getLong(0)
+    assert(pplOut.count() == half, s"${pplOut.count()} vs $half")
+    val e = intercept[IllegalArgumentException](graft.operators.ScoreStage(
+      "bad", "doc_id", "text", method = "perplexity", order = 5).apply(spark, docs))
+    assert(e.getMessage.contains("order"))
+  }
 }
