@@ -162,3 +162,105 @@ object BigramPerplexityBroadcast {
     math.exp(-logp / t)
   }
 }
+
+/** The broadcast payload of a trained multinomial Naive Bayes text
+  * classifier ([[graft.functions.TextClassifier.trainNaiveBayes]]):
+  * per-token per-class counts over the UNK-mapped stream (token →
+  * long[nClasses], one map entry per vocab word — bounded by the
+  * training caps), per-class token totals and document counts, and the
+  * shared vocabulary size. Class order is fixed (sorted labels) and
+  * positions in every array align with it.
+  */
+final class NbModel(
+    val classes: Array[String],
+    val docsPerClass: Array[Long],
+    val nDocs: Long,
+    val tokTotals: Array[Long],
+    val vSize: Long,
+    val counts: java.util.HashMap[String, Array[Long]]) extends Serializable
+
+/** nb_log_scores: per-class multinomial Naive Bayes log-likelihoods of
+  * a token array under a broadcast [[NbModel]] — the model-based
+  * quality/domain classifier of the CCNet/GPT-3 pipeline family, in its
+  * exactly-countable form (training is pure counting, scoring is sums
+  * of logs of count ratios — the same integer-exact-then-log structure
+  * that lets the q147/q149 LM oracles replay bit-for-bit to milli
+  * precision):
+  *
+  *   score_c(doc) = ln(docs_c / nDocs)
+  *                + Σ_i ln((cnt(map(w_i), c) + 1) / (tokTotal_c + V))
+  *
+  * with add-one smoothing over the shared vocabulary (+UNK). Output is
+  * the nClasses-length double array aligned with the model's class
+  * order; argmax is the prediction, differences are log-odds. Row-local
+  * (one hash lookup per token), NULL for an empty token array.
+  */
+case class NbLogScoresBroadcast(
+    model: Broadcast[NbModel],
+    child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"nb_log_scores needs array<string> tokens, got $t")
+    }
+
+  override def nullSafeEval(tokens: Any): Any =
+    NbLogScoresBroadcast.scores(tokens.asInstanceOf[ArrayData], model.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[Broadcast[_]].getName
+    val mCls = classOf[NbModel].getName
+    val bcRef = ctx.addReferenceObj("graftNbBc", model, bcCls)
+    val mVar = ctx.addMutableState(mCls, "graftNb",
+      v => s"$v = ($mCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("nb")
+      s"""
+         org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+           graft.functions.expressions.NbLogScoresBroadcast.scores($c, $mVar);
+         if ($tmp == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NbLogScoresBroadcast {
+  /** Null (not a zero vector) for empty token arrays. */
+  def scores(tokens: ArrayData, m: NbModel): ArrayData = {
+    val t = tokens.numElements()
+    if (t == 0) return null
+    val k = m.classes.length
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      out(c) = math.log(m.docsPerClass(c).toDouble / m.nDocs)
+      c += 1
+    }
+    var i = 0
+    while (i < t) {
+      val raw = tokens.getUTF8String(i).toString
+      val row0 = m.counts.get(raw)
+      val row = if (row0 != null) row0
+        else m.counts.get(BigramPerplexityBroadcast.Unk)
+      c = 0
+      while (c < k) {
+        val cnt = if (row == null) 0L else row(c)
+        out(c) += math.log((cnt + 1).toDouble / (m.tokTotals(c) + m.vSize))
+        c += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}

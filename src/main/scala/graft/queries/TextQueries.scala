@@ -970,6 +970,39 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Multinomial Naive Bayes text classifier (r13 — [[graft.functions
+    * .TextClassifier]]): the supervised model-based quality/domain
+    * filter of the CCNet/GPT-3 pipeline family, in its exactly-
+    * countable form — training is pure counting (one (label, token)
+    * shuffle + the vocab election/UNK fold), scoring is a row-local
+    * broadcast-model sum of count-ratio logs. Binary en-vs-other on
+    * the documents corpus; per-doc per-class log-likelihoods milli-
+    * rounded (the q147 ulp treatment). The DuckDB oracle replays the
+    * ENTIRE classifier — election, fold, class counts, priors, add-one
+    * likelihoods, per-doc fold — plus five exact conservation
+    * constants (class doc/token totals and the shared vocab size), so
+    * both training and scoring are hash-anchored. maxVocab = 24 < the
+    * corpus's 31 distinct tokens keeps the UNK path exercised.
+    */
+  def q150NbClassifier(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val toksCol = split(col("text"), " ")
+    val labeled = docs.withColumn("lbl",
+      when(col("lang") === "en", "en").otherwise("other"))
+    val m = graft.functions.TextClassifier.trainNaiveBayes(
+      labeled, col("lbl"), toksCol, maxVocab = 24)
+    val scores = graft.functions.TextClassifier.nbLogScores(labeled, m, toksCol)
+    labeled.select(col("doc_id"), size(toksCol).cast("long").as("n_toks"),
+        round(element_at(scores, 1) * 1000).cast("long").as("lp_en_milli"),
+        round(element_at(scores, 2) * 1000).cast("long").as("lp_other_milli"))
+      .withColumn("n_docs_en", lit(m.docsPerClass(0)))
+      .withColumn("n_docs_other", lit(m.docsPerClass(1)))
+      .withColumn("n_tok_en", lit(m.tokTotals(0)))
+      .withColumn("n_tok_other", lit(m.tokTotals(1)))
+      .withColumn("v_size", lit(m.vSize))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sliding-window exact-substring dedup (r13 — [[graft.functions
     * .Dedup.dedupSubstrings]], the any-alignment ExactSubstr form of
     * Lee et al. 2022): every 20-token window at every offset, first
@@ -991,6 +1024,7 @@ object TextQueries {
     "q147_ngram_ppl"      -> (q147NgramPpl _),
     "q148_substr_dedup"   -> (q148SubstrDedup _),
     "q149_trigram_ppl"    -> (q149TrigramPpl _),
+    "q150_nb_classifier"  -> (q150NbClassifier _),
     "q132_buckets_approx" -> (q132BucketsApproxAudit _),
     "q112_dsir_scores"    -> (q112DsirScores _),
     "q122_gopher_rules"   -> (q122GopherRules _),
@@ -1061,6 +1095,44 @@ object TextQueries {
 
   val sql: Map[String, String] = Map(
     "q36_simhash" -> simhashOracle,
+
+
+    // q150: FULL classifier replay — vocabulary election, UNK fold,
+    // per-class counts, priors, add-one likelihoods, per-doc fold;
+    // milli-rounding absorbs ulp divergence (the q147 treatment)
+    "q150_nb_classifier" -> """
+      WITH tok AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END lbl,
+                          string_split(text, ' ') ts FROM documents),
+      lt AS (SELECT lbl, w, COUNT(*) c FROM (SELECT lbl, unnest(ts) w FROM tok) GROUP BY 1, 2),
+      vocab AS (SELECT w FROM (SELECT w, SUM(c) tc FROM lt GROUP BY w) ORDER BY tc DESC, w LIMIT 24),
+      cnts AS (SELECT lbl, CASE WHEN v.w IS NULL THEN chr(1) ELSE lt.w END wm, SUM(c) c
+               FROM lt LEFT JOIN vocab v ON lt.w = v.w GROUP BY 1, 2),
+      tots AS (SELECT lbl, SUM(c) tot FROM cnts GROUP BY lbl),
+      vs AS (SELECT CAST(COUNT(DISTINCT wm) AS DOUBLE) v FROM cnts),
+      docs_c AS (SELECT lbl, COUNT(*) n FROM tok GROUP BY lbl),
+      toks2 AS (SELECT doc_id, len(ts) t, ts[i] wr FROM tok, UNNEST(range(1, len(ts) + 1)) tt(i)),
+      mapped AS (SELECT doc_id, t, CASE WHEN v.w IS NULL THEN chr(1) ELSE wr END wm
+                 FROM toks2 LEFT JOIN vocab v ON wr = v.w),
+      sc AS (SELECT m.doc_id, m.t,
+               SUM(ln((COALESCE(ce.c, 0) + 1.0) / (te.tot + vs.v))) lpe,
+               SUM(ln((COALESCE(co.c, 0) + 1.0) / (tt2.tot + vs.v))) lpo
+             FROM ((((mapped m CROSS JOIN vs)
+             CROSS JOIN (SELECT CAST(tot AS DOUBLE) tot FROM tots WHERE lbl = 'en') te)
+             CROSS JOIN (SELECT CAST(tot AS DOUBLE) tot FROM tots WHERE lbl = 'other') tt2)
+             LEFT JOIN (SELECT wm, c FROM cnts WHERE lbl = 'en') ce ON m.wm = ce.wm)
+             LEFT JOIN (SELECT wm, c FROM cnts WHERE lbl = 'other') co ON m.wm = co.wm
+             GROUP BY m.doc_id, m.t)
+      SELECT doc_id, CAST(t AS BIGINT) AS n_toks,
+        CAST(ROUND((ln((SELECT n FROM docs_c WHERE lbl = 'en') * 1.0 /
+                    (SELECT SUM(n) FROM docs_c)) + lpe) * 1000, 0) AS BIGINT) AS lp_en_milli,
+        CAST(ROUND((ln((SELECT n FROM docs_c WHERE lbl = 'other') * 1.0 /
+                    (SELECT SUM(n) FROM docs_c)) + lpo) * 1000, 0) AS BIGINT) AS lp_other_milli,
+        (SELECT CAST(n AS BIGINT) FROM docs_c WHERE lbl = 'en') AS n_docs_en,
+        (SELECT CAST(n AS BIGINT) FROM docs_c WHERE lbl = 'other') AS n_docs_other,
+        (SELECT CAST(tot AS BIGINT) FROM tots WHERE lbl = 'en') AS n_tok_en,
+        (SELECT CAST(tot AS BIGINT) FROM tots WHERE lbl = 'other') AS n_tok_other,
+        (SELECT CAST(v AS BIGINT) FROM vs) AS v_size
+      FROM sc ORDER BY doc_id""",
 
     // q148: full construction replay — md5 window keys at every offset,
     // first-occurrence election over (doc, i), interval-join coverage,
