@@ -769,17 +769,23 @@ object CleanStage {
   *    capacity-bounded n-gram LM ([[graft.functions.NgramLm]], `order`
   *    2 or 3, `maxVocab`/`minCount` caps) on the stage input and add a
   *    row-local `perplexity` column from the broadcast model (to train
-  *    on a trusted slice instead, filter with a sql stage first).
+  *    on a trusted slice instead, filter with a sql stage first);
+  *  - `classify` (r13): the supervised filter — train the count-exact
+  *    multinomial NB ([[graft.functions.TextClassifier]]) on the
+  *    `label` column and add `nb_scores` (per-class log-likelihoods)
+  *    and the `nb_pred` argmax label.
   *
   * {{{
   * actionConfig: {id: doc_id, text: text}
   * actionConfig: {method: perplexity, text: text, order: 3, maxVocab: 65536}
+  * actionConfig: {method: classify, text: text, label: lang}
   * }}}
   */
 final case class ScoreStage(name: String, idCol: String,
                             textCol: String, method: String = "frequency",
                             order: Int = 2, maxVocab: Int = 65536,
-                            minCount: Int = 2) extends Stage {
+                            minCount: Int = 2,
+                            labelCol: String = "label") extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "frequency" =>
       Seq("n_tokens", "rarity", "cross_entropy").foreach(c =>
@@ -807,8 +813,23 @@ final case class ScoreStage(name: String, idCol: String,
           df, t, maxVocab = maxVocab, minCount = minCount)
       df.withColumn("perplexity", graft.functions.NgramLm.perplexity(
         df, lm, t, lambda = 0.9, lambda3 = if (order == 3) 0.5 else 0.0))
+    case "classify" =>
+      // the supervised filter (r13): train the count-exact NB model on
+      // THIS input's `label` column, add per-class `nb_scores` (log-
+      // likelihoods, class order = sorted labels) and the `nb_pred`
+      // argmax label — gate on agreement or score margins downstream
+      Seq("nb_scores", "nb_pred").foreach(c =>
+        require(!df.columns.contains(c),
+          s"score stage '$name' adds a $c column; the input already has one — rename it first"))
+      val t2 = split(col(textCol), " ")
+      val m = graft.functions.TextClassifier.trainNaiveBayes(
+        df, col(labelCol), t2, maxVocab = maxVocab)
+      df.withColumn("nb_scores",
+          graft.functions.TextClassifier.nbLogScores(df, m, t2))
+        .withColumn("nb_pred",
+          graft.functions.TextClassifier.nbPredict(df, m, t2))
     case other => throw new IllegalArgumentException(
-      s"score stage '$name': unknown method '$other' (frequency | perplexity)")
+      s"score stage '$name': unknown method '$other' (frequency | perplexity | classify)")
   }
 }
 
@@ -821,7 +842,7 @@ object ScoreStage {
     }
     ScoreStage(cfg.name, s("id", "doc_id"), s("text", "text"),
       s("method", "frequency"), n("order", 2), n("maxVocab", 65536),
-      n("minCount", 2))
+      n("minCount", 2), s("label", "label"))
   }
 }
 

@@ -614,5 +614,27 @@ class PipelineSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](graft.operators.ScoreStage(
       "bad", "doc_id", "text", method = "perplexity", order = 5).apply(spark, docs))
     assert(e.getMessage.contains("order"))
+
+    // classify: NB scores + argmax prediction from YAML; the prediction
+    // column matches the direct operator on the same labeled input
+    val yamlCls =
+      s"""
+        |filters:
+        |  - name: lang_model
+        |    actionType: score
+        |    actionConfig: {method: classify, text: text, label: lang}
+        |""".stripMargin
+    val clsOut = graft.operators.Pipeline.runYaml(
+      spark, yamlCls, s"$sf/documents.parquet", None).output
+    assert(clsOut.columns.contains("nb_scores") && clsOut.columns.contains("nb_pred"))
+    val m = graft.functions.TextClassifier.trainNaiveBayes(
+      docs, col("lang"), split(col("text"), " "))
+    val twinPred = docs.select(col("doc_id"),
+      graft.functions.TextClassifier.nbPredict(docs, m,
+        split(col("text"), " ")).as("p"))
+    val agree = clsOut.select(col("doc_id"), col("nb_pred"))
+      .join(twinPred, "doc_id")
+      .filter(col("nb_pred") === col("p")).count()
+    assert(agree == docs.count())
   }
 }
