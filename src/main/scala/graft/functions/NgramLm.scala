@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{BigramLmModel, BigramPerplexityBroadcast, GraftFunctions}
+import graft.functions.expressions.{BigramLmModel, BigramPerplexityBroadcast, GraftFunctions, KnModel, KnPerplexityBroadcast}
 
 /** Capacity-bounded n-gram language model for perplexity-based quality
   * filtering — the CCNet pipeline's scoring half (Wenzek et al. 2020,
@@ -153,6 +153,43 @@ object NgramLm {
         .put(r.getString(2), r.getLong(3))
     }
     new BigramLmModel(base.uni, base.bi, base.nTokens, base.vSize, tri)
+  }
+
+  /** Derive interpolated Kneser-Ney statistics (Kneser & Ney 1995;
+    * Chen & Goodman 1998 §2.7 — KenLM's default smoothing) from a
+    * trained bigram model's PRUNED pair table: per-context fanout
+    * N1+(v,·), per-word continuation counts N1+(·,w), total surviving
+    * pairs N1+(·,·). Pure driver-side counting over the
+    * capacity-bounded (≤ maxBigrams entries) collected table — no
+    * extra corpus pass, no shuffle; the derived maps are bounded by
+    * the same caps as the base model and broadcast with it.
+    */
+  def kneserNey(base: BigramLmModel): KnModel = {
+    val fanout = new java.util.HashMap[String, Long]()
+    val cont = new java.util.HashMap[String, Long]()
+    var pairs = 0L
+    base.bi.forEach { (w1, inner) =>
+      fanout.put(w1, inner.size().toLong)
+      pairs += inner.size()
+      inner.keySet().forEach { w2 =>
+        cont.merge(w2, 1L, (a, b) => a + b)
+      }
+    }
+    new KnModel(base, fanout, cont, pairs)
+  }
+
+  /** Kneser-Ney perplexity column under [[kneserNey]]'s statistics —
+    * the absolute-discount counterpart of [[perplexity]]'s
+    * Jelinek-Mercer mix; same broadcast-once/score-row-locally shape.
+    */
+  def knPerplexity(df: DataFrame, model: KnModel, tokensCol: Column,
+                   discount: Double = 0.75): Column = {
+    require(discount > 0 && discount < 1, s"discount in (0, 1); got $discount")
+    GraftFunctions.register(df.sparkSession)
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      KnPerplexityBroadcast(bc, discount,
+        org.apache.spark.sql.GraftColumnBridge.expression(tokensCol)))
   }
 
   /** Perplexity column over a token-array column under a trained model

@@ -163,6 +163,123 @@ object BigramPerplexityBroadcast {
   }
 }
 
+/** Kneser-Ney statistics derived from a trained [[BigramLmModel]]'s
+  * PRUNED bigram table (Kneser & Ney 1995; the interpolated form of
+  * Chen & Goodman 1998 §2.7 — the smoothing KenLM ships by default):
+  * per-context fanout N1+(v,·), per-word continuation counts N1+(·,w),
+  * and the total surviving-pair mass N1+(·,·). Derived driver-side from
+  * the already-collected (capacity-bounded) pair table — no extra
+  * corpus pass, sizes bounded by the training caps exactly like the
+  * base model.
+  */
+final class KnModel(
+    val base: BigramLmModel,
+    val fanout: java.util.HashMap[String, Long],
+    val cont: java.util.HashMap[String, Long],
+    val pairCount: Long) extends Serializable
+
+/** kn_perplexity: per-document perplexity under interpolated Kneser-Ney
+  * smoothing over the broadcast [[KnModel]] — the absolute-discount
+  * counterpart of [[BigramPerplexityBroadcast]]'s Jelinek-Mercer mix.
+  * With discount D over the PRUNED pair table:
+  *
+  *   pCont(w)   = (N1+(·,w) + 1) / (N1+(·,·) + V)        [add-one over
+  *                                                        vocab+UNK]
+  *   pKN(w | v) = max(c2(v,w) − D, 0)/c1(v)
+  *              + D·N1+(v,·)/c1(v) · pCont(w)     [c1(v) > 0, N1+(v,·) > 0]
+  *              = pCont(w)                        [else — contextless
+  *                                                backoff]
+  *   ppl(doc)   = exp(−(ln pCont(t1) + Σ_{i≥2} ln pKN(ti|ti−1)) / T)
+  *
+  * The continuation distribution is add-one smoothed so words with no
+  * surviving continuation mass (or UNK when absent from the pair table)
+  * still score finite; a pruned pair reads c2 = 0 and the max(·,0)
+  * floor keeps the discounted term at zero rather than negative. All
+  * inputs are exact integer counts — the q151 DuckDB oracle replays the
+  * whole construction (election, fold, prune+cap, fanout/continuation
+  * counting, this exact probability) term for term.
+  */
+case class KnPerplexityBroadcast(
+    model: Broadcast[KnModel],
+    discount: Double,
+    child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"kn_perplexity needs array<string> tokens, got $t")
+    }
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val r = KnPerplexityBroadcast.ppl(
+      tokens.asInstanceOf[ArrayData], model.value, discount)
+    if (r.isNaN) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[Broadcast[_]].getName
+    val mCls = classOf[KnModel].getName
+    val bcRef = ctx.addReferenceObj("graftKnBc", model, bcCls)
+    val mVar = ctx.addMutableState(mCls, "graftKn",
+      v => s"$v = ($mCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("ppl")
+      s"""
+         double $tmp = graft.functions.expressions.KnPerplexityBroadcast.ppl(
+           $c, $mVar, $discount);
+         if (Double.isNaN($tmp)) { ${ev.isNull} = true; }
+         else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KnPerplexityBroadcast {
+  /** NaN encodes NULL (empty token array) across the codegen boundary.
+    * Evaluation order mirrors the q151 oracle's SQL term for term
+    * (left-to-right `D·fanout/c1·pCont`), so the milli-rounded fold
+    * hash-matches; the integer cast absorbs the residual ≤1-ulp ln/exp
+    * divergence exactly as q147's does.
+    */
+  def ppl(tokens: ArrayData, m: KnModel, d: Double): Double = {
+    val t = tokens.numElements()
+    if (t == 0) return Double.NaN
+    val base = m.base
+    val pv = m.pairCount.toDouble + base.vSize.toDouble
+    var logp = 0.0
+    var prev: String = null
+    var i = 0
+    while (i < t) {
+      val raw = tokens.getUTF8String(i).toString
+      val w = if (base.uni.containsKey(raw)) raw else BigramPerplexityBroadcast.Unk
+      val pc = (m.cont.getOrDefault(w, 0L) + 1.0) / pv
+      if (i == 0) logp += math.log(pc)
+      else {
+        val c1p = base.uni.getOrDefault(prev, 0L)
+        val fo = m.fanout.getOrDefault(prev, 0L)
+        val p =
+          if (c1p > 0 && fo > 0) {
+            val inner = base.bi.get(prev)
+            val c2 = if (inner == null) 0L else inner.getOrDefault(w, 0L)
+            math.max(c2.toDouble - d, 0.0) / c1p + d * fo.toDouble / c1p * pc
+          } else pc
+        logp += math.log(p)
+      }
+      prev = w
+      i += 1
+    }
+    math.exp(-logp / t)
+  }
+}
+
 /** The broadcast payload of a trained multinomial Naive Bayes text
   * classifier ([[graft.functions.TextClassifier.trainNaiveBayes]]):
   * per-token per-class counts over the UNK-mapped stream (token →

@@ -3870,11 +3870,7 @@ object GraftSqlParser {
     // insertInto below).
     if (isTemp) cur.union(pinned).localCheckpoint().createOrReplaceTempView(t)
     else pinned.write.insertInto(t)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("Count",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    spark.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(n)), schema)
+    countRelation(spark, n)
   }
 
   /** Execute a parsed COPY: write the source relation to ONE file at
@@ -3931,6 +3927,94 @@ object GraftSqlParser {
           .foreach(p => Files.deleteIfExists(p))
       }
     }
+    countRelation(spark, n)
+  }
+
+  private val UpdateStmtRe =
+    raw"(?is)^\s*UPDATE\s+([A-Za-z_]\w*)\s+SET\s+(.*)$$".r
+  private val DeleteStmtRe =
+    raw"(?is)^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s*(?:\s+WHERE\s+(.*?))?\s*;?\s*$$".r
+
+  /** A parsed `UPDATE table SET col = expr[, ...] [WHERE pred]`
+    * statement: simultaneous assignments (every RHS reads the OLD row —
+    * `SET a = b, b = a` swaps, probed against duckdb 1.0.0) over a
+    * session temp table. `FROM`-joined updates keep a guided error.
+    */
+  final case class UpdateSpec(table: String,
+                              assigns: Seq[(String, String)],
+                              where: Option[String])
+
+  /** Detect a DuckDB `UPDATE` statement → [[UpdateSpec]]. Only the
+    * single-table simple-identifier form is claimed; the joined
+    * `UPDATE ... FROM` form throws a guided error naming the
+    * temp-table rebuild route rather than silently mis-parsing.
+    */
+  def updateTarget(sql: String): Option[UpdateSpec] = {
+    val m = UpdateStmtRe.findFirstMatchIn(maskQuotes(sql)).getOrElse(return None)
+    val table = sql.substring(m.start(1), m.end(1))
+    val rest = sql.substring(m.start(2)).replaceAll(";\\s*$", "")
+    val restMasked = maskQuotes(rest)
+    // depth-0 keyword scan: WHERE ends the SET list, FROM is unclaimed
+    var d = 0
+    var whereAt = -1
+    var k = 0
+    while (k < restMasked.length && whereAt < 0) {
+      val c = restMasked.charAt(k)
+      if (c == '(') { d += 1; k += 1 }
+      else if (c == ')') { d -= 1; k += 1 }
+      else if (d == 0 && c.isLetter &&
+        (k == 0 || (!restMasked.charAt(k - 1).isLetterOrDigit && restMasked.charAt(k - 1) != '_'))) {
+        val w = wordStartingAt(restMasked, k)
+        if (w == "WHERE") whereAt = k
+        else if (w == "FROM")
+          throw new graft.functions.expressions.DuckDialectException(
+            "UPDATE ... FROM (joined update) is not claimed — rebuild the " +
+              "temp table instead: CREATE OR REPLACE TEMP TABLE t AS " +
+              "SELECT ... FROM t JOIN other ...")
+        k += math.max(w.length, 1)
+      } else k += 1
+    }
+    val (setPart, wherePart) =
+      if (whereAt < 0) (rest, None)
+      else (rest.substring(0, whereAt),
+        Some(rest.substring(whereAt + "WHERE".length).trim))
+    val assigns = splitTopLevel(setPart, maskQuotes(setPart)).map { a =>
+      val am = maskQuotes(a)
+      val eq = am.indexOf('=')
+      if (eq < 0)
+        throw new graft.functions.expressions.DuckDialectException(
+          s"UPDATE $table: malformed assignment '${a.trim}' — need col = expr")
+      val col = a.substring(0, eq).trim
+      if (!col.matches("[A-Za-z_]\\w*"))
+        throw new graft.functions.expressions.DuckDialectException(
+          s"UPDATE $table: assignment target '$col' must be a simple column name")
+      (col, a.substring(eq + 1).trim)
+    }
+    if (assigns.map(_._1.toLowerCase).distinct.length != assigns.length)
+      throw new graft.functions.expressions.DuckDialectException(
+        s"UPDATE $table: a column is assigned twice (DuckDB errors here too)")
+    Some(UpdateSpec(table, assigns, wherePart.filter(_.nonEmpty)))
+  }
+
+  /** Detect a DuckDB `DELETE FROM table [WHERE pred]` statement →
+    * Some((table, predOpt)). Only the simple-identifier single-table
+    * form is claimed (DuckDB itself only deletes from base tables).
+    */
+  def deleteTarget(sql: String): Option[(String, Option[String])] = {
+    val masked = maskQuotes(sql)
+    val m = DeleteStmtRe.findFirstMatchIn(masked).getOrElse(return None)
+    val table = sql.substring(m.start(1), m.end(1))
+    val pred = if (m.group(2) == null) None
+      else Some(sql.substring(m.start(2), m.end(2)).trim).filter(_.nonEmpty)
+    Some((table, pred))
+  }
+
+  /** DuckDB's one-row `Count` relation — what COPY, UPDATE and DELETE
+    * statements return (affected-row count, probed: column literally
+    * named `Count`, BIGINT).
+    */
+  def countRelation(spark: org.apache.spark.sql.SparkSession, n: Long):
+      org.apache.spark.sql.DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("Count",
         org.apache.spark.sql.types.LongType, nullable = false)))

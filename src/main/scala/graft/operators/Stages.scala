@@ -133,6 +133,89 @@ final case class SqlStage(name: String, code: String) extends Stage {
         return df
       } // else: real table — Spark's native INSERT INTO handles it below
     }
+    // UPDATE / DELETE against a session TEMP table (r13): DuckDB
+    // mutates in place; the Spark re-expression re-registers the view
+    // as the mutated relation, LOCALCHECKPOINTED — plan depth stays
+    // constant across repeated statements (the COPY FROM treatment,
+    // ADVICE r12 #3) and the returned `Count` always equals the rows
+    // the surviving view reflects. Assignments are SIMULTANEOUS (every
+    // RHS reads the old row — `SET a = b, b = a` swaps; probed) because
+    // the projection evaluates over the pre-update relation. The
+    // predicate and RHS expressions recurse through this stage, so
+    // they keep the full dialect layer. A REAL catalog table gets a
+    // guided error: Spark has no in-place DML for file-backed tables —
+    // rebuild via CTAS + Sources sinks instead.
+    def mutableTempTable(verb: String, t: String): DataFrame = {
+      if (!spark.catalog.tableExists(t))
+        throw new graft.functions.expressions.DuckDialectException(
+          s"sql stage '$name': $verb unknown table '$t' — create it first " +
+            "with CREATE TEMP TABLE ... AS in an earlier statement/stage")
+      if (!isTempView(t))
+        throw new graft.functions.expressions.DuckDialectException(
+          s"sql stage '$name': $verb targets catalog table '$t' — Spark has " +
+            "no in-place DML for file-backed tables; rebuild it (CREATE TEMP " +
+            "TABLE AS / Sources sinks) or run the mutation before the write")
+      spark.table(t)
+    }
+    GraftSqlParser.deleteTarget(code2).foreach { case (t, predOpt) =>
+      val cur = mutableTempTable("DELETE FROM", t)
+      val total = cur.count()
+      val kept = predOpt match {
+        case Some(p) =>
+          SqlStage(name, s"SELECT * FROM $t WHERE NOT COALESCE(($p), FALSE)")
+            .apply(spark, df).localCheckpoint()
+        case None => cur.limit(0).localCheckpoint()
+      }
+      val nKept = kept.count()
+      kept.createOrReplaceTempView(t)
+      return GraftSqlParser.countRelation(spark, total - nKept)
+    }
+    GraftSqlParser.updateTarget(code2).foreach { spec =>
+      val cur = mutableTempTable("UPDATE", spec.table)
+      val have = cur.columns.map(_.toLowerCase).toSet
+      spec.assigns.foreach { case (c, _) =>
+        if (!have.contains(c.toLowerCase))
+          throw new graft.functions.expressions.DuckDialectException(
+            s"sql stage '$name': UPDATE ${spec.table} assigns unknown column " +
+              s"'$c' (table has ${cur.columns.mkString(", ")})")
+      }
+      val byLower = spec.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
+      val items = cur.columns.map { c =>
+        byLower.get(c.toLowerCase) match {
+          case Some(e) => spec.where match {
+            case Some(p) => s"CASE WHEN COALESCE(($p), FALSE) THEN ($e) ELSE $c END AS $c"
+            case None => s"($e) AS $c"
+          }
+          case None => c
+        }
+      }
+      val updated0 = SqlStage(name,
+        s"SELECT ${items.mkString(", ")} FROM ${spec.table}").apply(spark, df)
+      // DuckDB keeps the column's declared type, ROUNDING fractional →
+      // integral assignments (2.7 → 3, probed); Spark's cast truncates,
+      // so round first where that divergence bites
+      val updated = cur.schema.fields.foldLeft(updated0) { (acc, f) =>
+        val nt = updated0.schema(f.name).dataType
+        if (nt == f.dataType) acc
+        else {
+          import org.apache.spark.sql.types._
+          val needsRound = (nt == DoubleType || nt == FloatType ||
+            nt.isInstanceOf[DecimalType]) &&
+            (f.dataType == LongType || f.dataType == IntegerType ||
+              f.dataType == ShortType || f.dataType == ByteType)
+          val base = if (needsRound) round(col(f.name)) else col(f.name)
+          acc.withColumn(f.name, base.cast(f.dataType))
+        }
+      }
+      val n = spec.where match {
+        case Some(p) =>
+          SqlStage(name, s"SELECT 1 FROM ${spec.table} WHERE COALESCE(($p), FALSE)")
+            .apply(spark, df).count()
+        case None => cur.count()
+      }
+      updated.localCheckpoint().createOrReplaceTempView(spec.table)
+      return GraftSqlParser.countRelation(spark, n)
+    }
     GraftSqlParser.ctasTarget(code2).foreach { case (orReplace, ifNotExists, tname, q) =>
       if (spark.catalog.tableExists(tname) && !isTempView(tname))
         throw new graft.functions.expressions.DuckDialectException(

@@ -834,6 +834,38 @@ object ExtraQueries {
     s.sql(graft.operators.GraftSqlParser.rewriteAll(mapLiteralSqlText))
   }
 
+  /** DuckDB `UPDATE`/`DELETE` statements against a session temp table
+    * (r13 — previously unclaimed DML) — IDENTICAL batch text on both
+    * engines: DuckDB mutates its temp table natively; the engine
+    * re-registers the view as the mutated relation (localCheckpointed —
+    * constant plan depth across statements, the COPY FROM treatment).
+    * The batch pins: predicate delete, multi-column conditional update
+    * whose RHS carries a dialect-ism (`len`), SIMULTANEOUS assignment
+    * (`SET n_nationkey = n_regionkey, n_regionkey = n_nationkey` swaps
+    * — every RHS reads the OLD row, probed against duckdb 1.0.0), a
+    * second delete over UPDATED values, and the final read-back. BIGINT
+    * casts pin the key widths; the swap row (24 → 40/24) only survives
+    * if both engines agree on old-row semantics.
+    */
+  private[graft] val dmlSqlText = """
+      CREATE OR REPLACE TEMP TABLE q152_nat AS
+        SELECT n_nationkey, n_name, n_regionkey FROM nation;
+      DELETE FROM q152_nat WHERE n_regionkey = 2;
+      UPDATE q152_nat SET n_name = lower(n_name) || '/' || len(n_name),
+                          n_regionkey = n_regionkey * 10
+        WHERE n_nationkey % 2 = 0;
+      UPDATE q152_nat SET n_nationkey = n_regionkey, n_regionkey = n_nationkey
+        WHERE n_nationkey >= 20;
+      DELETE FROM q152_nat WHERE n_name LIKE '%a%' AND n_regionkey > 30;
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name, CAST(n_regionkey AS BIGINT) AS rk
+      FROM q152_nat ORDER BY k, rk, n_name"""
+
+  def q152DmlStatements(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    nation(s, d).createOrReplaceTempView("nation")
+    graft.operators.SqlStage("q152", dmlSqlText).apply(s, nation(s, d))
+  }
+
   /** Sorted-layout sink round-trip ([[graft.sources.Sources
     * .writeSorted]]): range-partition documents by (lang, doc_id), sort
     * within partitions, write parquet, read BACK and aggregate — the
@@ -866,6 +898,7 @@ object ExtraQueries {
     "q120_macro_sql"      -> (q120MacroSql _),
     "q121_describe_sql"   -> (q121DescribeSql _),
     "q124_copy_roundtrip" -> (q124CopyRoundtrip _),
+    "q152_dml_statements" -> (q152DmlStatements _),
     "q126_from_first"     -> (q126FromFirst _),
     "q127_sorted_layout"  -> (q127SortedLayout _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
@@ -933,6 +966,10 @@ object ExtraQueries {
     // q124: DuckDB executes the identical COPY+read_csv_auto batch —
     // its own write→read round-trip over the same /tmp path
     "q124_copy_roundtrip" -> copySqlText,
+    // q152: DuckDB executes the identical DML batch natively — temp
+    // CTAS, predicate DELETE, simultaneous-assignment UPDATEs, the
+    // final read-back; the swap row pins old-row RHS semantics
+    "q152_dml_statements" -> dmlSqlText,
     "q126_from_first" -> fromFirstSqlText,
     // q127: the aggregate is layout-independent — DuckDB reads the
     // ORIGINAL table; any loss/dup/corruption in the sorted layout

@@ -970,6 +970,38 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser-Ney perplexity (r13 — [[graft.functions
+    * .NgramLm.kneserNey]]): the absolute-discount smoothing KenLM
+    * ships by default (Kneser & Ney 1995, Chen & Goodman 1998 §2.7),
+    * over the same capacity-bounded bigram model as q147. The KN
+    * statistics — per-context fanout N1+(v,·), continuation counts
+    * N1+(·,w), surviving-pair mass — derive from the PRUNED pair
+    * table driver-side (zero extra passes). maxBigrams = 500 sits
+    * BELOW the corpus's 625 distinct UNK-mapped pairs at every SF
+    * (near-uniform synthetic counts make minCount SF-dependent; the
+    * cap is not), so the discount floor max(c2−D,0) = 0 and the
+    * capped-fanout backoff weight are exercised, not just declared.
+    * The DuckDB oracle replays the WHOLE construction — election,
+    * UNK fold, prune+cap (count-desc, pair tiebreak), fanout/
+    * continuation counting, the exact KN probability and per-doc
+    * fold — with the q147 milli-rounding ulp treatment.
+    */
+  def q151KneserNey(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val toksCol = split(col("text"), " ")
+    val lm = graft.functions.NgramLm.trainBigramLm(
+      docs, toksCol, maxVocab = 24, minCount = 2, maxBigrams = 500)
+    val kn = graft.functions.NgramLm.kneserNey(lm)
+    val ppl = graft.functions.NgramLm.knPerplexity(docs, kn, toksCol, discount = 0.75)
+    docs.select(col("doc_id"), size(toksCol).cast("long").as("n_toks"),
+        round(ppl * 1000).cast("long").as("ppl_milli"))
+      .withColumn("n_pairs", lit(kn.pairCount))
+      .withColumn("v_size", lit(lm.vSize))
+      .withColumn("n_fan", lit(kn.fanout.size().toLong))
+      .withColumn("n_cont", lit(kn.cont.size().toLong))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multinomial Naive Bayes text classifier (r13 — [[graft.functions
     * .TextClassifier]]): the supervised model-based quality/domain
     * filter of the CCNet/GPT-3 pipeline family, in its exactly-
@@ -1024,6 +1056,7 @@ object TextQueries {
     "q147_ngram_ppl"      -> (q147NgramPpl _),
     "q148_substr_dedup"   -> (q148SubstrDedup _),
     "q149_trigram_ppl"    -> (q149TrigramPpl _),
+    "q151_kneser_ney"     -> (q151KneserNey _),
     "q150_nb_classifier"  -> (q150NbClassifier _),
     "q132_buckets_approx" -> (q132BucketsApproxAudit _),
     "q112_dsir_scores"    -> (q112DsirScores _),
@@ -1157,6 +1190,57 @@ object TextQueries {
              CAST(len(ts) - COALESCE(nk, 0) AS BIGINT) AS n_removed
       FROM tok t LEFT JOIN agg USING (doc_id) ORDER BY doc""",
 
+
+    // q151: FULL Kneser-Ney replay — q147's election/fold CTEs, the
+    // prune+cap (count-desc, pair tiebreak, LIMIT = maxBigrams),
+    // fanout/continuation counting over the SURVIVING pairs, and the
+    // interpolated-KN probability (discount floor, capped-fanout
+    // backoff weight, add-one continuation distribution) with the
+    // milli-rounding ulp treatment
+    "q151_kneser_ney" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      u AS (SELECT w, COUNT(*) c FROM (SELECT unnest(ts) w FROM tok) GROUP BY w),
+      vocab AS (SELECT w FROM u ORDER BY c DESC, w LIMIT 24),
+      uni AS (SELECT CASE WHEN v.w IS NULL THEN chr(1) ELSE u.w END wm, SUM(c) c
+              FROM u LEFT JOIN vocab v ON u.w = v.w GROUP BY 1),
+      pairtab AS (SELECT doc_id, ts[i] w1r, ts[i+1] w2r
+                  FROM tok, UNNEST(range(1, len(ts))) t(i)),
+      bigraw AS (SELECT CASE WHEN v1.w IS NULL THEN chr(1) ELSE w1r END w1,
+                        CASE WHEN v2.w IS NULL THEN chr(1) ELSE w2r END w2
+                 FROM pairtab LEFT JOIN vocab v1 ON w1r = v1.w
+                              LEFT JOIN vocab v2 ON w2r = v2.w),
+      bigall AS (SELECT w1, w2, COUNT(*) c FROM bigraw GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      big AS (SELECT w1, w2, c FROM bigall ORDER BY c DESC, w1, w2 LIMIT 500),
+      fan AS (SELECT w1, COUNT(*) f FROM big GROUP BY w1),
+      cont AS (SELECT w2, COUNT(*) ct FROM big GROUP BY w2),
+      consts AS (SELECT CAST((SELECT COUNT(*) FROM big) AS DOUBLE) p,
+                        CAST((SELECT COUNT(*) FROM uni) AS DOUBLE) v),
+      toks2 AS (SELECT doc_id, len(ts) t, i, ts[i] wr,
+                       CASE WHEN i > 1 THEN ts[i-1] END prv
+                FROM tok, UNNEST(range(1, len(ts) + 1)) tt(i)),
+      m AS (SELECT doc_id, t, i,
+              CASE WHEN vw.w IS NULL THEN chr(1) ELSE wr END wm,
+              CASE WHEN i = 1 THEN NULL WHEN vp.w IS NULL THEN chr(1) ELSE prv END pm
+            FROM toks2 LEFT JOIN vocab vw ON wr = vw.w
+                       LEFT JOIN vocab vp ON prv = vp.w),
+      sc AS (SELECT doc_id, t,
+               CASE WHEN m.i = 1 THEN ln((COALESCE(cw.ct, 0) + 1.0) / (cs.p + cs.v))
+                    WHEN up.c IS NOT NULL AND f.f IS NOT NULL THEN
+                      ln(GREATEST(COALESCE(b.c, 0) - 0.75, 0) / up.c
+                         + 0.75 * f.f / up.c * ((COALESCE(cw.ct, 0) + 1.0) / (cs.p + cs.v)))
+                    ELSE ln((COALESCE(cw.ct, 0) + 1.0) / (cs.p + cs.v)) END lp
+             FROM (m CROSS JOIN consts cs)
+             LEFT JOIN uni up ON m.pm = up.wm
+             LEFT JOIN fan f ON m.pm = f.w1
+             LEFT JOIN big b ON b.w1 = m.pm AND b.w2 = m.wm
+             LEFT JOIN cont cw ON m.wm = cw.w2)
+      SELECT doc_id, CAST(MAX(t) AS BIGINT) AS n_toks,
+             CAST(ROUND(EXP(-SUM(lp)/MAX(t)) * 1000, 0) AS BIGINT) AS ppl_milli,
+             (SELECT CAST(p AS BIGINT) FROM consts) AS n_pairs,
+             (SELECT CAST(v AS BIGINT) FROM consts) AS v_size,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM fan) AS n_fan,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cont) AS n_cont
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
     // q149: the order-3 replay — q147's model CTEs plus the trigram
     // count CTE and the recursive-interpolation CASE (trigram term over

@@ -1179,6 +1179,63 @@ class DialectSpec extends SparkSpec {
     assert(out.head.getLong(0) == 6L)
   }
 
+  test("UPDATE/DELETE mutate session temp tables with DuckDB semantics (r13)") {
+    val df = spark.range(1).toDF("z")
+    // DELETE returns DuckDB's Count relation (probed: column literally
+    // named Count, BIGINT, affected rows); the view reflects the delete
+    val del = SqlStage("s",
+      """CREATE OR REPLACE TEMP TABLE dml_t AS
+         SELECT id, id % 3 AS g FROM range(9);
+         DELETE FROM dml_t WHERE g = 1""").apply(spark, df).collect()
+    assert(del.head.schema.fieldNames.toSeq == Seq("Count"))
+    assert(del.head.getLong(0) == 3L)
+    assert(spark.table("dml_t").count() == 6L)
+    // UPDATE: conditional, returns affected count, RHS reads OLD row
+    val upd = SqlStage("s",
+      "UPDATE dml_t SET g = g + 10 WHERE id >= 6").apply(spark, df).collect()
+    assert(upd.head.getLong(0) == 2L) // ids 6, 8 survive the delete
+    val after = spark.table("dml_t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == Seq((0L, 0L), (2L, 2L), (3L, 0L), (5L, 2L), (6L, 10L), (8L, 12L)))
+    // simultaneous assignment: a swap reads both OLD values (probed)
+    SqlStage("s",
+      """CREATE OR REPLACE TEMP TABLE dml_swap AS SELECT 1 AS a, 2 AS b;
+         UPDATE dml_swap SET a = b, b = a""").apply(spark, df)
+    val sw = spark.table("dml_swap").collect().head
+    assert(sw.getInt(0) == 2 && sw.getInt(1) == 1)
+    // DELETE with no WHERE empties the table, Count = prior rows
+    val delAll = SqlStage("s", "DELETE FROM dml_swap").apply(spark, df).collect()
+    assert(delAll.head.getLong(0) == 1L)
+    assert(spark.table("dml_swap").count() == 0L)
+    // fractional → integral assignment ROUNDS like DuckDB's cast
+    // (2.7 → 3, probed; Spark's bare cast would truncate)
+    SqlStage("s",
+      """CREATE OR REPLACE TEMP TABLE dml_round AS SELECT 1 AS n;
+         UPDATE dml_round SET n = 2.7""").apply(spark, df)
+    assert(spark.table("dml_round").head().getInt(0) == 3)
+    // NULL predicate rows are NOT deleted and NOT updated (SQL 3VL)
+    SqlStage("s",
+      """CREATE OR REPLACE TEMP TABLE dml_null AS
+         SELECT * FROM VALUES (1, 10), (2, NULL), (3, 30) AS v(id, x);
+         DELETE FROM dml_null WHERE x > 15""").apply(spark, df)
+    assert(spark.table("dml_null").select("id").orderBy("id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2))
+    // guided errors: unknown table, catalog table, joined UPDATE,
+    // duplicate assignment
+    val e1 = intercept[graft.functions.expressions.DuckDialectException](
+      SqlStage("s", "DELETE FROM nope_t WHERE 1 = 1").apply(spark, df))
+    assert(e1.getMessage.contains("CREATE TEMP TABLE"))
+    val e2 = intercept[graft.functions.expressions.DuckDialectException](
+      SqlStage("s", "UPDATE dml_t SET g = 1 FROM dml_swap WHERE 1 = 1").apply(spark, df))
+    assert(e2.getMessage.contains("not claimed"))
+    val e3 = intercept[graft.functions.expressions.DuckDialectException](
+      SqlStage("s", "UPDATE dml_t SET g = 1, g = 2").apply(spark, df))
+    assert(e3.getMessage.contains("assigned twice"))
+    val e4 = intercept[graft.functions.expressions.DuckDialectException](
+      SqlStage("s", "UPDATE dml_t SET nope = 1").apply(spark, df))
+    assert(e4.getMessage.contains("unknown column"))
+  }
+
   test("batch statements all see the STAGE INPUT as df, last result wins") {
     // r9 review: chaining rebound `df` to each prior statement's output,
     // so `COPY ...; SELECT * FROM df` saw the COPY Count relation —

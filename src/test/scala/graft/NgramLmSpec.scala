@@ -129,6 +129,76 @@ class NgramLmSpec extends SparkSpec {
     assert(asBigram == pure)
   }
 
+  test("Kneser-Ney: hand-computed stats, discount floor, contextless backoff") {
+    // pruned table: (a,b):4 (b,a):2 → fanout a:1 b:1; cont a:1 b:1; P=2
+    val lm = NgramLm.trainBigramLm(tiny, split(col("text"), " "),
+      maxVocab = 10, minCount = 2)
+    val kn = NgramLm.kneserNey(lm)
+    assert(kn.pairCount == 2L)
+    assert(kn.fanout.get("a") == 1L && kn.fanout.get("b") == 1L &&
+      !kn.fanout.containsKey("c"))
+    assert(kn.cont.get("a") == 1L && kn.cont.get("b") == 1L &&
+      !kn.cont.containsKey("c"))
+    val scored = tiny.select(col("doc_id"),
+        NgramLm.knPerplexity(tiny, kn, split(col("text"), " "), discount = 0.75).as("ppl"))
+      .orderBy(col("doc_id")).collect()
+    // pv = P + V = 2 + 3 = 5; pc(a) = pc(b) = 2/5, pc(c) = 1/5
+    val pcA = 0.4; val pcB = 0.4; val pcC = 0.2
+    // doc 1 "a b a b": pKN(b|a) = (4−.75)/5 + .75·1/5·pc(b);
+    //                  pKN(a|b) = (2−.75)/4 + .75·1/4·pc(a)
+    val pAB = (4 - 0.75) / 5 + 0.75 * 1 / 5 * pcB
+    val pBA = (2 - 0.75) / 4 + 0.75 * 1 / 4 * pcA
+    val exp1 = math.exp(-(math.log(pcA) + math.log(pAB) + math.log(pBA) + math.log(pAB)) / 4)
+    assert(math.abs(scored(0).getDouble(1) - exp1) < 1e-12)
+    // doc 3 "a c": (a,c) pruned → the discount FLOOR: max(0−.75,0) = 0,
+    // only the continuation term survives
+    val pAC = 0.0 / 5 + 0.75 * 1 / 5 * pcC
+    val exp3 = math.exp(-(math.log(pcA) + math.log(pAC)) / 2)
+    assert(math.abs(scored(2).getDouble(1) - exp3) < 1e-12)
+    // OOV context (no UNK in uni — cap not binding) → contextless
+    // backoff straight to pCont; finite everywhere
+    val oov = Seq((9L, "zz a")).toDF("doc_id", "text")
+    val got = oov.select(NgramLm.knPerplexity(oov, kn,
+      split(col("text"), " ")).as("p")).head().getDouble(0)
+    val pcUnk = 1.0 / 5 // cont has no UNK entry → (0+1)/5
+    val expOov = math.exp(-(math.log(pcUnk) + math.log(pcA)) / 2)
+    assert(math.abs(got - expOov) < 1e-12)
+    // in-vocab context whose every pair was pruned (c: c1 = 1 > 0 but
+    // fanout 0) also backs off to pCont — the zero-backoff-weight guard
+    val lmAll = NgramLm.trainBigramLm(tiny, split(col("text"), " "),
+      maxVocab = 10, minCount = 1, maxBigrams = 2)
+    val knAll = NgramLm.kneserNey(lmAll)
+    assert(!knAll.fanout.containsKey("c")) // (a,c) capped out
+    val probe = Seq((7L, "c a")).toDF("doc_id", "text")
+    val g2 = probe.select(NgramLm.knPerplexity(probe, knAll,
+      split(col("text"), " ")).as("p")).head().getDouble(0)
+    val exp2 = math.exp(-(math.log(1.0 / 5) + math.log(2.0 / 5)) / 2)
+    assert(math.abs(g2 - exp2) < 1e-12)
+    // empty token array → NULL
+    val empty = Seq((8L, Seq.empty[String])).toDF("doc_id", "ts")
+    assert(empty.select(NgramLm.knPerplexity(empty, kn, col("ts")).as("p"))
+      .head().isNullAt(0))
+  }
+
+  test("Kneser-Ney derivation is pure and deterministic over the corpus model") {
+    val docs = Tables.documents(spark, sf)
+    val t = split(col("text"), " ")
+    val lm = NgramLm.trainBigramLm(docs, t, maxVocab = 24, minCount = 2,
+      maxBigrams = 500)
+    val kn1 = NgramLm.kneserNey(lm)
+    val kn2 = NgramLm.kneserNey(lm)
+    assert(kn1.pairCount == 500L) // the cap binds (625 distinct pairs)
+    assert(kn1.fanout == kn2.fanout && kn1.cont == kn2.cont)
+    var mass = 0L
+    kn1.cont.values().forEach(mass += _)
+    assert(mass == kn1.pairCount) // each pair contributes once
+    val s1 = docs.select(NgramLm.knPerplexity(docs, kn1, t).as("p"))
+      .agg(sum(round(col("p") * 1000)).cast("long")).head().getLong(0)
+    val s2 = docs.select(NgramLm.knPerplexity(docs, kn2, t).as("p"))
+      .agg(sum(round(col("p") * 1000)).cast("long")).head().getLong(0)
+    assert(s1 == s2)
+  }
+
   test("order 3 fits the training corpus better than order 2 (mean ppl drops)") {
     val docs = Tables.documents(spark, sf)
     val t = split(col("text"), " ")
