@@ -3426,11 +3426,12 @@ object GraftSqlParser {
   private val ReadFnRe =
     raw"(?i)(?<![\w.])(read_csv_auto|read_csv|read_parquet|read_json_auto|read_json)\s*\(".r
 
-  /** Map a DuckDB column type name (read_csv `columns={'a':'INTEGER'}`)
-    * to the Spark DDL type for an explicit reader schema. Unknown names
-    * raise a guided error rather than silently reading strings.
+  /** Map a DuckDB column type name (read_csv `columns={'a':'INTEGER'}`,
+    * ALTER TABLE ADD COLUMN / SET DATA TYPE) to the Spark DDL type.
+    * Unknown names raise a guided error rather than silently mapping.
     */
-  private def duckTypeToSpark(t: String): String = t.trim.toUpperCase match {
+  def duckTypeToSpark(t: String): String = t.trim.toUpperCase match {
+    case v if v.startsWith("VARCHAR(") || v.startsWith("CHAR(") => "STRING"
     case "VARCHAR" | "TEXT" | "STRING" | "CHAR" | "BPCHAR" => "STRING"
     case "INTEGER" | "INT" | "INT4" | "SIGNED" => "INT"
     case "BIGINT" | "INT8" | "LONG" => "BIGINT"
@@ -3446,7 +3447,7 @@ object GraftSqlParser {
     case d if d.startsWith("DECIMAL") || d.startsWith("NUMERIC") =>
       d.replace("NUMERIC", "DECIMAL")
     case other => throw new graft.functions.expressions.DuckDialectException(
-      s"read_csv columns type '$other' has no Spark mapping " +
+      s"DuckDB type '$other' has no Spark mapping " +
         "- use VARCHAR/INTEGER/BIGINT/DOUBLE/FLOAT/BOOLEAN/DATE/TIMESTAMP/DECIMAL(p,s)")
   }
 
@@ -4008,6 +4009,66 @@ object GraftSqlParser {
       else Some(sql.substring(m.start(2), m.end(2)).trim).filter(_.nonEmpty)
     Some((table, pred))
   }
+
+  /** A parsed `ALTER TABLE` statement over a session temp table (r13).
+    * One of: RenameColumn, AddColumn (DuckDB type name + optional
+    * DEFAULT literal — omitted default fills NULL, probed), DropColumn,
+    * RenameTable, SetType (`ALTER COLUMN c SET DATA TYPE t [USING e]`).
+    */
+  sealed trait AlterSpec { def table: String }
+  final case class AlterRenameColumn(table: String, from: String, to: String) extends AlterSpec
+  final case class AlterAddColumn(table: String, col: String, typeName: String,
+                                  default: Option[String]) extends AlterSpec
+  final case class AlterDropColumn(table: String, col: String) extends AlterSpec
+  final case class AlterRenameTable(table: String, to: String) extends AlterSpec
+  final case class AlterSetType(table: String, col: String, typeName: String,
+                                using: Option[String]) extends AlterSpec
+
+  private val AlterHeadRe = raw"(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+(.*?)\s*;?\s*$$".r
+  private val RenameColRe = raw"(?is)^RENAME\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)$$".r
+  private val RenameTblRe = raw"(?is)^RENAME\s+TO\s+([A-Za-z_]\w*)$$".r
+  private val AddColRe = raw"(?is)^ADD\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+([A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(?:\s+DEFAULT\s+(.+))?$$".r
+  private val DropColRe = raw"(?is)^DROP\s+(?:COLUMN\s+)?([A-Za-z_]\w*)$$".r
+  private val SetTypeRe = raw"(?is)^ALTER\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+(?:SET\s+DATA\s+)?TYPE\s+([A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(?:\s+USING\s+(.+))?$$".r
+
+  /** Detect a DuckDB `ALTER TABLE` statement → Some((table, action)).
+    * `action` is None for an ALTER shape outside the claimed set
+    * (SET/DROP DEFAULT, constraints, partitions, properties) — the
+    * caller decides: a session temp view gets a guided error, a real
+    * catalog table falls through to Spark's own ALTER TABLE untouched.
+    */
+  def alterTarget(sql: String): Option[(String, Option[AlterSpec])] = {
+    val m = AlterHeadRe.findFirstMatchIn(maskQuotes(sql)).getOrElse(return None)
+    val table = sql.substring(m.start(1), m.end(1))
+    val action = sql.substring(m.start(2), m.end(2)).trim
+    val spec = action match {
+      case RenameTblRe(to) => Some(AlterRenameTable(table, to))
+      case RenameColRe(from, to) => Some(AlterRenameColumn(table, from, to))
+      case AddColRe(c, t, d) => Some(AlterAddColumn(table, c, t, Option(d).map(_.trim)))
+      case DropColRe(c) => Some(AlterDropColumn(table, c))
+      case SetTypeRe(c, t, u) => Some(AlterSetType(table, c, t, Option(u).map(_.trim)))
+      case _ => None
+    }
+    Some((table, spec))
+  }
+
+  private val TruncateRe = raw"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s*;?\s*$$".r
+
+  /** Detect `TRUNCATE [TABLE] t` → the table name (DuckDB: removes all
+    * rows, returns the Count relation — probed).
+    */
+  def truncateTarget(sql: String): Option[String] =
+    TruncateRe.findFirstMatchIn(sql).map(_.group(1))
+
+  private val DropTableRe = raw"(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$$".r
+
+  /** Detect `DROP TABLE [IF EXISTS] t` → Some((ifExists, name)). Only
+    * claimed when the name is a SESSION TEMP VIEW (DuckDB's DROP TABLE
+    * drops temp tables; Spark's insists on DROP VIEW for them) — real
+    * catalog tables keep Spark's native DROP TABLE.
+    */
+  def dropTableTarget(sql: String): Option[(Boolean, String)] =
+    DropTableRe.findFirstMatchIn(sql).map(m => (m.group(1) != null, m.group(2)))
 
   /** DuckDB's one-row `Count` relation — what COPY, UPDATE and DELETE
     * statements return (affected-row count, probed: column literally

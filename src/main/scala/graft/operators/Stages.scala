@@ -216,6 +216,109 @@ final case class SqlStage(name: String, code: String) extends Stage {
       updated.localCheckpoint().createOrReplaceTempView(spec.table)
       return GraftSqlParser.countRelation(spark, n)
     }
+    // TRUNCATE [TABLE] t: DuckDB removes every row and returns the
+    // Count relation (probed) — the DELETE-all shape
+    GraftSqlParser.truncateTarget(code2).foreach { t =>
+      val cur = mutableTempTable("TRUNCATE", t)
+      val n = cur.count()
+      cur.limit(0).localCheckpoint().createOrReplaceTempView(t)
+      return GraftSqlParser.countRelation(spark, n)
+    }
+    // DROP TABLE on a session TEMP view: DuckDB's DROP TABLE drops temp
+    // tables; Spark's insists on DROP VIEW for them — claim exactly the
+    // temp-view case and leave real catalog tables to Spark's native
+    // DROP TABLE below
+    GraftSqlParser.dropTableTarget(code2).foreach { case (_, t) =>
+      if (spark.catalog.tableExists(t) && isTempView(t)) {
+        spark.catalog.dropTempView(t)
+        return df
+      } // else fall through: Spark's DROP TABLE [IF EXISTS] handles it
+    }
+    // ALTER TABLE over a session TEMP table (r13): re-register the view
+    // under the altered shape — DDL-style input passthrough (the CTAS
+    // convention; DuckDB returns an empty Success relation, probed).
+    // ADD COLUMN's DEFAULT and SET DATA TYPE's USING expression recurse
+    // through this stage, so they keep the full dialect layer; DuckDB
+    // type names map via duckTypeToSpark, and fractional → integral
+    // retypes ROUND like DuckDB's cast (the UPDATE treatment).
+    GraftSqlParser.alterTarget(code2).foreach { case (atbl, specOpt) =>
+      // only session TEMP views are claimed — a real catalog table
+      // falls through to Spark's own ALTER TABLE untouched
+      if (!spark.catalog.tableExists(atbl) || !isTempView(atbl)) {
+        if (!spark.catalog.tableExists(atbl))
+          throw new graft.functions.expressions.DuckDialectException(
+            s"sql stage '$name': ALTER TABLE unknown table '$atbl' — create it " +
+              "first with CREATE TEMP TABLE ... AS in an earlier statement/stage")
+      } else {
+      val spec = specOpt.getOrElse(
+        throw new graft.functions.expressions.DuckDialectException(
+          s"sql stage '$name': ALTER TABLE $atbl: unclaimed alteration — claimed " +
+            "forms: RENAME [COLUMN] a TO b, RENAME TO t, ADD [COLUMN] c type " +
+            "[DEFAULT lit], DROP [COLUMN] c, ALTER [COLUMN] c [SET DATA] TYPE t " +
+            "[USING expr]; rebuild via CREATE OR REPLACE TEMP TABLE for the rest"))
+      val cur = spark.table(atbl)
+      val cols = cur.columns
+      def requireCol(c: String): Unit =
+        if (!cols.exists(_.equalsIgnoreCase(c)))
+          throw new graft.functions.expressions.DuckDialectException(
+            s"sql stage '$name': ALTER TABLE ${spec.table}: unknown column '$c' " +
+              s"(table has ${cols.mkString(", ")})")
+      def requireFree(c: String): Unit =
+        if (cols.exists(_.equalsIgnoreCase(c)))
+          throw new graft.functions.expressions.DuckDialectException(
+            s"sql stage '$name': ALTER TABLE ${spec.table}: column '$c' already " +
+              "exists (DuckDB errors here too)")
+      import org.apache.spark.sql.types._
+      def targetType(tn: String): DataType =
+        StructType.fromDDL(s"x ${GraftSqlParser.duckTypeToSpark(tn)}").head.dataType
+      def roundCast(c: org.apache.spark.sql.Column, from: DataType, to: DataType) = {
+        val needsRound = (from == DoubleType || from == FloatType ||
+          from.isInstanceOf[DecimalType]) &&
+          (to == LongType || to == IntegerType || to == ShortType || to == ByteType)
+        (if (needsRound) round(c) else c).cast(to)
+      }
+      spec match {
+        case GraftSqlParser.AlterRenameColumn(t, from, to) =>
+          requireCol(from); requireFree(to)
+          cur.withColumnRenamed(from, to).createOrReplaceTempView(t)
+        case GraftSqlParser.AlterAddColumn(t, c, ty, dOpt) =>
+          requireFree(c)
+          val tt = targetType(ty)
+          val added = dOpt match {
+            case Some(d) =>
+              val withD = SqlStage(name, s"SELECT *, ($d) AS $c FROM $t")
+                .apply(spark, df)
+              withD.withColumn(c, roundCast(col(c), withD.schema(c).dataType, tt))
+            case None => cur.withColumn(c, lit(null).cast(tt))
+          }
+          added.createOrReplaceTempView(t)
+        case GraftSqlParser.AlterDropColumn(t, c) =>
+          requireCol(c)
+          if (cols.length == 1)
+            throw new graft.functions.expressions.DuckDialectException(
+              s"sql stage '$name': ALTER TABLE $t: cannot drop the only column")
+          cur.drop(cols.find(_.equalsIgnoreCase(c)).get).createOrReplaceTempView(t)
+        case GraftSqlParser.AlterRenameTable(t, to) =>
+          if (spark.catalog.tableExists(to))
+            throw new graft.functions.expressions.DuckDialectException(
+              s"sql stage '$name': ALTER TABLE $t RENAME TO $to: '$to' already exists")
+          cur.createOrReplaceTempView(to)
+          spark.catalog.dropTempView(t)
+        case GraftSqlParser.AlterSetType(t, c, ty, usingOpt) =>
+          requireCol(c)
+          val tt = targetType(ty)
+          val items = cols.map { cc =>
+            if (cc.equalsIgnoreCase(c)) s"(${usingOpt.getOrElse(cc)}) AS $cc" else cc
+          }
+          val projected = SqlStage(name,
+            s"SELECT ${items.mkString(", ")} FROM $t").apply(spark, df)
+          projected.withColumn(cols.find(_.equalsIgnoreCase(c)).get,
+              roundCast(col(c), projected.schema(c).dataType, tt))
+            .createOrReplaceTempView(t)
+      }
+      return df
+      }
+    }
     GraftSqlParser.ctasTarget(code2).foreach { case (orReplace, ifNotExists, tname, q) =>
       if (spark.catalog.tableExists(tname) && !isTempView(tname))
         throw new graft.functions.expressions.DuckDialectException(
@@ -853,6 +956,9 @@ object CleanStage {
   *    2 or 3, `maxVocab`/`minCount` caps) on the stage input and add a
   *    row-local `perplexity` column from the broadcast model (to train
   *    on a trusted slice instead, filter with a sql stage first);
+  *    `smoothing: kneser_ney` (order 2, r13) swaps the Jelinek-Mercer
+  *    mix for interpolated Kneser-Ney over the pruned pair table —
+  *    KenLM's default smoothing, [[graft.functions.NgramLm.kneserNey]];
   *  - `classify` (r13): the supervised filter — train the count-exact
   *    multinomial NB ([[graft.functions.TextClassifier]]) on the
   *    `label` column and add `nb_scores` (per-class log-likelihoods)
@@ -868,7 +974,8 @@ final case class ScoreStage(name: String, idCol: String,
                             textCol: String, method: String = "frequency",
                             order: Int = 2, maxVocab: Int = 65536,
                             minCount: Int = 2,
-                            labelCol: String = "label") extends Stage {
+                            labelCol: String = "label",
+                            smoothing: String = "jm") extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "frequency" =>
       Seq("n_tokens", "rarity", "cross_entropy").foreach(c =>
@@ -888,14 +995,26 @@ final case class ScoreStage(name: String, idCol: String,
         s"score stage '$name' adds a perplexity column; the input already has one — rename it first")
       require(order == 2 || order == 3,
         s"score stage '$name': order must be 2 (bigram) or 3 (trigram); got $order")
+      require(smoothing == "jm" || smoothing == "kneser_ney",
+        s"score stage '$name': smoothing must be jm | kneser_ney; got '$smoothing'")
+      require(smoothing == "jm" || order == 2,
+        s"score stage '$name': kneser_ney smoothing is the bigram form — use order: 2")
       val t = split(col(textCol), " ")
-      val lm =
-        if (order == 3) graft.functions.NgramLm.trainTrigramLm(
-          df, t, maxVocab = maxVocab, minCount = minCount)
-        else graft.functions.NgramLm.trainBigramLm(
-          df, t, maxVocab = maxVocab, minCount = minCount)
-      df.withColumn("perplexity", graft.functions.NgramLm.perplexity(
-        df, lm, t, lambda = 0.9, lambda3 = if (order == 3) 0.5 else 0.0))
+      if (smoothing == "kneser_ney") {
+        val kn = graft.functions.NgramLm.kneserNey(
+          graft.functions.NgramLm.trainBigramLm(
+            df, t, maxVocab = maxVocab, minCount = minCount))
+        df.withColumn("perplexity",
+          graft.functions.NgramLm.knPerplexity(df, kn, t, discount = 0.75))
+      } else {
+        val lm =
+          if (order == 3) graft.functions.NgramLm.trainTrigramLm(
+            df, t, maxVocab = maxVocab, minCount = minCount)
+          else graft.functions.NgramLm.trainBigramLm(
+            df, t, maxVocab = maxVocab, minCount = minCount)
+        df.withColumn("perplexity", graft.functions.NgramLm.perplexity(
+          df, lm, t, lambda = 0.9, lambda3 = if (order == 3) 0.5 else 0.0))
+      }
     case "classify" =>
       // the supervised filter (r13): train the count-exact NB model on
       // THIS input's `label` column, add per-class `nb_scores` (log-
@@ -925,7 +1044,7 @@ object ScoreStage {
     }
     ScoreStage(cfg.name, s("id", "doc_id"), s("text", "text"),
       s("method", "frequency"), n("order", 2), n("maxVocab", 65536),
-      n("minCount", 2), s("label", "label"))
+      n("minCount", 2), s("label", "label"), s("smoothing", "jm"))
   }
 }
 

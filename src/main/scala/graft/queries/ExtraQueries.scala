@@ -860,6 +860,38 @@ object ExtraQueries {
       SELECT CAST(n_nationkey AS BIGINT) AS k, n_name, CAST(n_regionkey AS BIGINT) AS rk
       FROM q152_nat ORDER BY k, rk, n_name"""
 
+  /** DuckDB `ALTER TABLE` / `TRUNCATE` statements over session temp
+    * tables (r13, the DDL half of the q152 DML surface) — IDENTICAL
+    * batch text on both engines: RENAME COLUMN, ADD COLUMN with and
+    * without DEFAULT (omitted default fills NULL, probed), DROP
+    * COLUMN, SET DATA TYPE (int → VARCHAR — both engines render '5'),
+    * RENAME TO (the old name dies, the new one reads), and TRUNCATE
+    * (scalar-subquery count pins the emptied table). The engine
+    * re-registers views under the altered shape; DuckDB alters
+    * natively.
+    */
+  private[graft] val alterSqlText = """
+      CREATE OR REPLACE TEMP TABLE q153_t AS
+        SELECT n_nationkey, n_name, n_regionkey FROM nation;
+      DROP TABLE IF EXISTS q153_u;
+      ALTER TABLE q153_t RENAME COLUMN n_name TO nm;
+      ALTER TABLE q153_t ADD COLUMN flag INTEGER DEFAULT 1;
+      ALTER TABLE q153_t ADD COLUMN note VARCHAR;
+      ALTER TABLE q153_t DROP COLUMN n_regionkey;
+      ALTER TABLE q153_t ALTER COLUMN n_nationkey SET DATA TYPE VARCHAR;
+      ALTER TABLE q153_t RENAME TO q153_u;
+      CREATE OR REPLACE TEMP TABLE q153_scratch AS SELECT * FROM nation;
+      TRUNCATE q153_scratch;
+      SELECT nm, n_nationkey AS k, CAST(flag AS BIGINT) AS flag, note,
+             (SELECT COUNT(*) FROM q153_scratch) AS n_trunc
+      FROM q153_u ORDER BY nm"""
+
+  def q153AlterStatements(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    nation(s, d).createOrReplaceTempView("nation")
+    graft.operators.SqlStage("q153", alterSqlText).apply(s, nation(s, d))
+  }
+
   def q152DmlStatements(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
     nation(s, d).createOrReplaceTempView("nation")
@@ -899,6 +931,7 @@ object ExtraQueries {
     "q121_describe_sql"   -> (q121DescribeSql _),
     "q124_copy_roundtrip" -> (q124CopyRoundtrip _),
     "q152_dml_statements" -> (q152DmlStatements _),
+    "q153_alter_statements" -> (q153AlterStatements _),
     "q126_from_first"     -> (q126FromFirst _),
     "q127_sorted_layout"  -> (q127SortedLayout _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
@@ -970,6 +1003,8 @@ object ExtraQueries {
     // CTAS, predicate DELETE, simultaneous-assignment UPDATEs, the
     // final read-back; the swap row pins old-row RHS semantics
     "q152_dml_statements" -> dmlSqlText,
+    // q153: DuckDB executes the identical ALTER/TRUNCATE batch natively
+    "q153_alter_statements" -> alterSqlText,
     "q126_from_first" -> fromFirstSqlText,
     // q127: the aggregate is layout-independent — DuckDB reads the
     // ORIGINAL table; any loss/dup/corruption in the sorted layout

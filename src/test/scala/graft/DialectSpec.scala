@@ -1236,6 +1236,58 @@ class DialectSpec extends SparkSpec {
     assert(e4.getMessage.contains("unknown column"))
   }
 
+  test("ALTER TABLE/TRUNCATE/DROP TABLE mutate temp-table shape (r13)") {
+    val df = spark.range(1).toDF("z")
+    SqlStage("s",
+      """CREATE OR REPLACE TEMP TABLE alt_t AS
+         SELECT id AS a, CAST(id AS DOUBLE) + 0.7 AS d FROM range(3)""").apply(spark, df)
+    // rename column
+    SqlStage("s", "ALTER TABLE alt_t RENAME COLUMN a TO b").apply(spark, df)
+    assert(spark.table("alt_t").columns.toSeq == Seq("b", "d"))
+    // add with DEFAULT (filled) and without (NULL, probed)
+    SqlStage("s", "ALTER TABLE alt_t ADD COLUMN f INTEGER DEFAULT 9").apply(spark, df)
+    SqlStage("s", "ALTER TABLE alt_t ADD COLUMN g VARCHAR").apply(spark, df)
+    val r0 = spark.table("alt_t").orderBy("b").collect()
+    assert(r0.forall(r => r.getInt(2) == 9 && r.isNullAt(3)))
+    // SET DATA TYPE double → INTEGER rounds like DuckDB's cast (0.7→1)
+    SqlStage("s", "ALTER TABLE alt_t ALTER COLUMN d SET DATA TYPE INTEGER").apply(spark, df)
+    assert(spark.table("alt_t").orderBy("b").collect().map(_.getInt(1)).toSeq
+      == Seq(1, 2, 3))
+    // SET DATA TYPE with USING expression (keeps the dialect layer)
+    SqlStage("s",
+      "ALTER TABLE alt_t ALTER COLUMN g SET DATA TYPE VARCHAR USING 'v' || b").apply(spark, df)
+    assert(spark.table("alt_t").orderBy("b").collect().map(_.getString(3)).toSeq
+      == Seq("v0", "v1", "v2"))
+    // drop column; rename table (old name gone, new reads)
+    SqlStage("s", "ALTER TABLE alt_t DROP COLUMN f").apply(spark, df)
+    assert(spark.table("alt_t").columns.toSeq == Seq("b", "d", "g"))
+    SqlStage("s", "ALTER TABLE alt_t RENAME TO alt_u").apply(spark, df)
+    assert(!spark.catalog.tableExists("alt_t") && spark.table("alt_u").count() == 3)
+    // TRUNCATE returns DuckDB's Count relation, table empties
+    val tr = SqlStage("s", "TRUNCATE alt_u").apply(spark, df).collect()
+    assert(tr.head.schema.fieldNames.toSeq == Seq("Count") && tr.head.getLong(0) == 3L)
+    assert(spark.table("alt_u").count() == 0L)
+    // DROP TABLE drops the temp view (DuckDB's form; Spark wants DROP VIEW)
+    SqlStage("s", "DROP TABLE alt_u").apply(spark, df)
+    assert(!spark.catalog.tableExists("alt_u"))
+    SqlStage("s", "DROP TABLE IF EXISTS alt_u").apply(spark, df) // no-op
+    // guided errors: unknown column, duplicate add, unclaimed alteration
+    SqlStage("s",
+      "CREATE OR REPLACE TEMP TABLE alt_e AS SELECT 1 AS x").apply(spark, df)
+    val e1 = intercept[graft.functions.expressions.DuckDialectException](
+      SqlStage("s", "ALTER TABLE alt_e DROP COLUMN nope").apply(spark, df))
+    assert(e1.getMessage.contains("unknown column"))
+    val e2 = intercept[graft.functions.expressions.DuckDialectException](
+      SqlStage("s", "ALTER TABLE alt_e ADD COLUMN x INTEGER").apply(spark, df))
+    assert(e2.getMessage.contains("already exists"))
+    val e3 = intercept[graft.functions.expressions.DuckDialectException](
+      SqlStage("s", "ALTER TABLE alt_e SET DEFAULT 1").apply(spark, df))
+    assert(e3.getMessage.contains("unclaimed alteration"))
+    val e4 = intercept[graft.functions.expressions.DuckDialectException](
+      SqlStage("s", "ALTER TABLE alt_e DROP COLUMN x").apply(spark, df))
+    assert(e4.getMessage.contains("only column"))
+  }
+
   test("batch statements all see the STAGE INPUT as df, last result wins") {
     // r9 review: chaining rebound `df` to each prior statement's output,
     // so `COPY ...; SELECT * FROM df` saw the COPY Count relation —

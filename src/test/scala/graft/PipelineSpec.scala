@@ -615,6 +615,31 @@ class PipelineSpec extends SparkSpec {
       "bad", "doc_id", "text", method = "perplexity", order = 5).apply(spark, docs))
     assert(e.getMessage.contains("order"))
 
+    // kneser_ney smoothing from YAML equals the direct KN operator
+    // bit-for-bit; trigram KN fails loudly (bigram form only)
+    val yamlKn =
+      s"""
+        |filters:
+        |  - name: kn_score
+        |    actionType: score
+        |    actionConfig: {method: perplexity, id: doc_id, text: text, smoothing: kneser_ney, maxVocab: 24}
+        |""".stripMargin
+    val knOut = graft.operators.Pipeline.runYaml(
+      spark, yamlKn, s"$sf/documents.parquet", None).output
+    val t = split(col("text"), " ")
+    val knDirect = graft.functions.NgramLm.kneserNey(
+      graft.functions.NgramLm.trainBigramLm(docs, t, maxVocab = 24, minCount = 2))
+    val direct = docs.select(col("doc_id"),
+      graft.functions.NgramLm.knPerplexity(docs, knDirect, t).as("p"))
+    val joined = knOut.select(col("doc_id"), col("perplexity"))
+      .join(direct, "doc_id")
+    assert(joined.filter(col("perplexity") =!= col("p")).count() == 0)
+    assert(joined.count() == docs.count())
+    val eKn = intercept[IllegalArgumentException](graft.operators.ScoreStage(
+      "bad", "doc_id", "text", method = "perplexity", order = 3,
+      smoothing = "kneser_ney").apply(spark, docs))
+    assert(eKn.getMessage.contains("bigram form"))
+
     // classify: NB scores + argmax prediction from YAML; the prediction
     // column matches the direct operator on the same labeled input
     val yamlCls =
