@@ -4154,6 +4154,307 @@ object GraftSqlParser {
       (m.group(1), m.group(2) != null, m.group(3).trim.stripSuffix(";"))
     }
 
+  // ---- typed temp tables + upsert (r13) -------------------------------
+
+  /** One column of a typed `CREATE TEMP TABLE (…)` definition. */
+  final case class ColumnDef(name: String, typeName: String,
+                             default: Option[String], notNull: Boolean)
+
+  /** A parsed column-definition `CREATE TEMP TABLE` (the non-CTAS form
+    * DuckDB upserts need — `ON CONFLICT` resolves against a declared
+    * PRIMARY KEY). `pk` holds the key columns (inline `PRIMARY KEY` on
+    * a column or a table-level `PRIMARY KEY (a, b)`).
+    */
+  final case class CreateTableDef(orReplace: Boolean, ifNotExists: Boolean,
+                                  name: String, cols: Seq[ColumnDef],
+                                  pk: Seq[String])
+
+  /** Constraint metadata a typed CREATE TEMP TABLE declares, kept per
+    * session so later INSERTs enforce it (DuckDB stores this in its
+    * catalog; the temp view itself only carries the schema). `defaults`
+    * and `notNull` are keyed by lowercase column name; `pk` keeps the
+    * declared spelling. Maintained by the Stages DDL handlers (ALTER
+    * RENAME/ADD/DROP, DROP TABLE, CTAS-replace).
+    */
+  final case class TableMeta(pk: Seq[String], defaults: Map[String, String],
+                             notNull: Set[String])
+
+  /** Session-scoped table-constraint registry — the [[macroReg]]
+    * pattern: weak-keyed by the session object, values are tiny parsed
+    * text, the namespace dies with its session.
+    */
+  private val tableMetaReg =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, TableMeta]]()
+
+  def putTableMeta(spark: org.apache.spark.sql.SparkSession, table: String,
+                   meta: TableMeta): Unit = tableMetaReg.synchronized {
+    var m = tableMetaReg.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, TableMeta]
+      tableMetaReg.put(spark, m)
+    }
+    m.put(table.toLowerCase, meta)
+  }
+
+  def tableMeta(spark: org.apache.spark.sql.SparkSession, table: String)
+      : Option[TableMeta] =
+    tableMetaReg.synchronized(Option(tableMetaReg.get(spark)))
+      .flatMap(_.get(table.toLowerCase))
+
+  def dropTableMeta(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    tableMetaReg.synchronized(Option(tableMetaReg.get(spark)))
+      .foreach(_.remove(table.toLowerCase))
+
+  def renameTableMeta(spark: org.apache.spark.sql.SparkSession,
+                      from: String, to: String): Unit =
+    tableMetaReg.synchronized(Option(tableMetaReg.get(spark))).foreach { m =>
+      m.remove(from.toLowerCase).foreach(meta => m.put(to.toLowerCase, meta))
+    }
+
+  private val CreateDefHeadRe =
+    raw"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\(".r
+
+  private def createDefFail(why: String): Nothing =
+    throw new graft.functions.expressions.DuckDialectException(
+      s"CREATE TEMP TABLE (column definitions) couldn't be parsed ($why) — " +
+        "supported: CREATE [OR REPLACE] TEMP TABLE [IF NOT EXISTS] name " +
+        "(col TYPE [PRIMARY KEY] [NOT NULL] [DEFAULT expr], ..., " +
+        "[PRIMARY KEY (a, b)]); UNIQUE/CHECK/FOREIGN KEY constraints are " +
+        "not claimed — enforce them with a later sql-stage assertion")
+
+  /** Detect a typed (column-definition) `CREATE TEMP TABLE` — the
+    * non-CTAS form. Only TEMP is claimed, mirroring [[ctasTarget]]: a
+    * plain `CREATE TABLE name (...)` stays Spark's own catalog DDL.
+    * Inside the claimed form, malformed column definitions fail loudly.
+    */
+  def createTableDefTarget(sql: String): Option[CreateTableDef] = {
+    val masked = maskQuotes(sql)
+    val m = CreateDefHeadRe.findFirstMatchIn(masked).getOrElse(return None)
+    val close = closeOf(masked, m.end).getOrElse(
+      createDefFail("unbalanced column-definition parens"))
+    val tail = masked.substring(close).trim
+    if (tail.nonEmpty && tail != ";")
+      createDefFail(s"unexpected trailing text '${sql.substring(close).trim.take(40)}'")
+    val body = sql.substring(m.end, close - 1)
+    val bodyMasked = masked.substring(m.end, close - 1)
+    if (body.trim.isEmpty) createDefFail("empty column list")
+    val items = splitTopLevel(body, bodyMasked).map(_.trim)
+    val TablePkRe = raw"(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)$$".r
+    val ColRe = raw"(?is)^([A-Za-z_]\w*)\s+([A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*(.*)$$".r
+    var pk = Seq.empty[String]
+    val cols = Seq.newBuilder[ColumnDef]
+    items.foreach {
+      case TablePkRe(ks) =>
+        if (pk.nonEmpty) createDefFail("more than one PRIMARY KEY")
+        pk = ks.split(',').map(_.trim).toSeq
+        if (pk.exists(!_.matches("[A-Za-z_]\\w*")))
+          createDefFail(s"bad PRIMARY KEY column list '$ks'")
+      case it if it.matches("(?is)^(UNIQUE|CHECK|FOREIGN|CONSTRAINT)\\b.*") =>
+        createDefFail(s"unclaimed table constraint '${it.take(30)}'")
+      case ColRe(cname, ctype, mods0) =>
+        var mods = mods0.trim
+        var default: Option[String] = None
+        var notNull = false
+        var inlinePk = false
+        // modifiers may appear in any order; DEFAULT's expression runs
+        // to the end or to the next recognized modifier keyword
+        var progress = true
+        while (mods.nonEmpty && progress) {
+          progress = false
+          val pkM = raw"(?is)^PRIMARY\s+KEY\b\s*".r.findFirstMatchIn(mods)
+          val nnM = raw"(?is)^NOT\s+NULL\b\s*".r.findFirstMatchIn(mods)
+          val dfM = raw"(?is)^DEFAULT\s+".r.findFirstMatchIn(mods)
+          if (pkM.isDefined) { inlinePk = true; mods = mods.substring(pkM.get.end); progress = true }
+          else if (nnM.isDefined) { notNull = true; mods = mods.substring(nnM.get.end); progress = true }
+          else if (dfM.isDefined) {
+            val rest = mods.substring(dfM.get.end)
+            val stop = raw"(?is)\s+(PRIMARY\s+KEY|NOT\s+NULL)\b".r.findFirstMatchIn(
+              maskQuotes(rest))
+            val (d, after) = stop match {
+              case Some(s) => (rest.substring(0, s.start), rest.substring(s.start))
+              case None => (rest, "")
+            }
+            if (d.trim.isEmpty) createDefFail(s"column '$cname': empty DEFAULT")
+            default = Some(d.trim)
+            mods = after.trim
+            progress = true
+          }
+        }
+        if (mods.nonEmpty)
+          createDefFail(s"column '$cname': unclaimed modifier '${mods.take(30)}'")
+        if (inlinePk) {
+          if (pk.nonEmpty) createDefFail("more than one PRIMARY KEY")
+          pk = Seq(cname)
+        }
+        cols += ColumnDef(cname, ctype, default, notNull)
+      case it => createDefFail(s"bad column definition '${it.take(40)}'")
+    }
+    val defs = cols.result()
+    if (defs.map(_.name.toLowerCase).distinct.size != defs.size)
+      createDefFail("duplicate column name")
+    val known = defs.map(_.name.toLowerCase).toSet
+    pk.find(k => !known.contains(k.toLowerCase)).foreach(k =>
+      createDefFail(s"PRIMARY KEY names unknown column '$k'"))
+    Some(CreateTableDef(m.group(1) != null, m.group(2) != null, m.group(3),
+      defs, pk))
+  }
+
+  /** The conflict-resolution half of a DuckDB upsert. */
+  sealed trait ConflictAction
+  case object DoNothing extends ConflictAction
+  final case class DoUpdate(assigns: Seq[(String, String)],
+                            where: Option[String]) extends ConflictAction
+
+  /** A fully parsed `INSERT` statement (r13 upsert surface): optional
+    * `OR REPLACE`/`OR IGNORE` shorthand, optional explicit column list,
+    * the source query, and an optional `ON CONFLICT [(cols)] DO
+    * NOTHING | DO UPDATE SET ... [WHERE ...]` clause.
+    */
+  final case class InsertSpec(table: String, byName: Boolean,
+                              cols: Option[Seq[String]], query: String,
+                              conflictTarget: Option[Seq[String]],
+                              action: Option[ConflictAction])
+
+  private val InsertHeadRe =
+    raw"(?is)^\s*INSERT\s+(OR\s+REPLACE\s+|OR\s+IGNORE\s+)?INTO\s+([A-Za-z_]\w*)\s+(BY\s+NAME\s+)?(.*)$$".r
+
+  private def insertFail(table: String, why: String): Nothing =
+    throw new graft.functions.expressions.DuckDialectException(
+      s"INSERT INTO $table: $why — supported: INSERT [OR REPLACE | OR IGNORE] " +
+        "INTO t [BY NAME] [(c1, c2)] <query> [ON CONFLICT [(keys)] DO NOTHING " +
+        "| DO UPDATE SET c = expr, ... [WHERE pred]] (excluded.c reads the " +
+        "incoming row)")
+
+  /** Parse a DuckDB `INSERT` statement → [[InsertSpec]]. `OR REPLACE` /
+    * `OR IGNORE` normalize to their `ON CONFLICT` equivalents at the
+    * execution site (probed: OR REPLACE = DO UPDATE SET <listed cols> =
+    * excluded — UNLISTED columns keep the OLD row's values; OR IGNORE =
+    * DO NOTHING).
+    */
+  def insertSpec(sql: String): Option[InsertSpec] = {
+    val masked = maskQuotes(sql)
+    val m = InsertHeadRe.findFirstMatchIn(masked).getOrElse(return None)
+    val table = sql.substring(m.start(2), m.end(2))
+    val orClause = Option(m.group(1)).map(_.trim.toUpperCase match {
+      case s if s.startsWith("OR REPLACE") || s.matches("(?is)OR\\s+REPLACE") => "REPLACE"
+      case _ => "IGNORE"
+    })
+    var rest = sql.substring(m.start(4)).replaceAll(";\\s*$", "")
+    var restMasked = masked.substring(m.start(4)).replaceAll(";\\s*$", "")
+    // optional explicit column list: a leading parenthesized pure
+    // identifier list (a leading parenthesized QUERY keeps rest as-is)
+    var cols: Option[Seq[String]] = None
+    if (rest.trim.startsWith("(")) {
+      val open = rest.indexOf('(')
+      closeOf(restMasked, open + 1).foreach { cl =>
+        val inner = rest.substring(open + 1, cl - 1)
+        val items = inner.split(',').map(_.trim)
+        if (items.nonEmpty && items.forall(_.matches("[A-Za-z_]\\w*")) &&
+          !items.head.matches("(?i)SELECT|FROM|WITH|VALUES|TABLE")) {
+          cols = Some(items.toSeq)
+          rest = rest.substring(cl).trim
+          restMasked = restMasked.substring(cl).trim
+        }
+      }
+    }
+    // depth-0 scan for the ON CONFLICT clause
+    var d = 0
+    var confAt = -1
+    var k = 0
+    while (k < restMasked.length && confAt < 0) {
+      val c = restMasked.charAt(k)
+      if (c == '(') { d += 1; k += 1 }
+      else if (c == ')') { d -= 1; k += 1 }
+      else if (d == 0 && (c == 'O' || c == 'o') &&
+        (k == 0 || (!restMasked.charAt(k - 1).isLetterOrDigit && restMasked.charAt(k - 1) != '_')) &&
+        raw"(?is)^ON\s+CONFLICT\b".r.findFirstIn(restMasked.substring(k)).isDefined) {
+        confAt = k
+      } else k += 1
+    }
+    if (confAt < 0) {
+      if (rest.trim.isEmpty) insertFail(table, "missing source query")
+      return Some(InsertSpec(table, m.group(3) != null, cols, rest.trim,
+        None, orClause.map(o => if (o == "IGNORE") DoNothing
+          else DoUpdate(Nil, None))))
+    }
+    if (orClause.isDefined)
+      insertFail(table, "OR REPLACE/OR IGNORE cannot combine with ON CONFLICT")
+    val query = rest.substring(0, confAt).trim
+    if (query.isEmpty) insertFail(table, "missing source query")
+    var clause = rest.substring(confAt).replaceFirst(raw"(?is)^ON\s+CONFLICT\s*", "")
+    var clauseMasked = maskQuotes(clause)
+    var target: Option[Seq[String]] = None
+    if (clause.startsWith("(")) {
+      val cl = closeOf(clauseMasked, 1).getOrElse(
+        insertFail(table, "unbalanced conflict-target parens"))
+      val items = clause.substring(1, cl - 1).split(',').map(_.trim).toSeq
+      if (items.exists(!_.matches("[A-Za-z_]\\w*")))
+        insertFail(table, s"bad conflict target '${clause.substring(0, cl)}'")
+      target = Some(items)
+      clause = clause.substring(cl).trim
+      clauseMasked = maskQuotes(clause)
+    }
+    val action =
+      if (clause.matches(raw"(?is)^DO\s+NOTHING\s*$$")) DoNothing
+      else {
+        val upM = raw"(?is)^DO\s+UPDATE\s+SET\s+".r.findFirstMatchIn(clause)
+          .getOrElse(insertFail(table,
+            s"unclaimed conflict action '${clause.take(30)}'"))
+        val setPart0 = clause.substring(upM.end)
+        val setMasked0 = clauseMasked.substring(upM.end)
+        // depth-0 WHERE ends the SET list (the updateTarget scan)
+        var d2 = 0; var whereAt = -1; var j = 0
+        while (j < setMasked0.length && whereAt < 0) {
+          val c = setMasked0.charAt(j)
+          if (c == '(') { d2 += 1; j += 1 }
+          else if (c == ')') { d2 -= 1; j += 1 }
+          else if (d2 == 0 && c.isLetter &&
+            (j == 0 || (!setMasked0.charAt(j - 1).isLetterOrDigit && setMasked0.charAt(j - 1) != '_')) &&
+            wordStartingAt(setMasked0, j) == "WHERE") whereAt = j
+          else j += 1
+        }
+        val (setPart, wherePart) =
+          if (whereAt < 0) (setPart0, None)
+          else (setPart0.substring(0, whereAt),
+            Some(setPart0.substring(whereAt + "WHERE".length).trim))
+        val assigns = splitTopLevel(setPart, maskQuotes(setPart)).map { a =>
+          val am = maskQuotes(a)
+          val eq = am.indexOf('=')
+          if (eq < 0) insertFail(table, s"malformed assignment '${a.trim}'")
+          val cn = a.substring(0, eq).trim
+          if (!cn.matches("[A-Za-z_]\\w*"))
+            insertFail(table, s"assignment target '$cn' must be a simple column")
+          (cn, a.substring(eq + 1).trim)
+        }
+        if (assigns.isEmpty) insertFail(table, "empty SET list")
+        DoUpdate(assigns, wherePart.filter(_.nonEmpty))
+      }
+    Some(InsertSpec(table, m.group(3) != null, cols, query, target, Some(action)))
+  }
+
+  /** Rewrite an upsert SET/WHERE expression's row qualifiers for the
+    * executed join shape: `excluded.c` → `__exc_c` (the incoming row's
+    * renamed columns) and `<table>.c` → bare `c` (the old row — the
+    * join's unprefixed side). Masked-position replacement, so quoted
+    * strings containing the words stay untouched.
+    */
+  def rewriteUpsertRefs(expr: String, table: String): String = {
+    val masked = maskQuotes(expr)
+    val re = raw"(?i)(?<![\w.])(excluded|${java.util.regex.Pattern.quote(table)})\s*\.\s*([A-Za-z_]\w*)".r
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      sb.append(expr.substring(last, m.start))
+      val qual = expr.substring(m.start(1), m.end(1))
+      val c = expr.substring(m.start(2), m.end(2))
+      sb.append(if (qual.equalsIgnoreCase("excluded")) s"__exc_$c" else c)
+      last = m.end
+    }
+    sb.append(expr.substring(last))
+    sb.toString
+  }
+
   /** Split multi-statement sql-stage code on top-level (quote-masked)
     * semicolons, dropping empty statements — DuckDB sql stages carry
     * `CREATE MACRO ...; SELECT ...` batches through the reference's

@@ -109,7 +109,8 @@ final case class SqlStage(name: String, code: String) extends Stage {
       spark.catalog.tableExists(t) &&
         scala.util.Try(spark.catalog.getTable(t)).toOption
           .exists(_.tableType == "TEMPORARY")
-    GraftSqlParser.insertTarget(code2).foreach { case (tname, byName, q) =>
+    GraftSqlParser.insertSpec(code2).foreach { spec =>
+      val tname = spec.table
       val exists = spark.catalog.tableExists(tname)
       if (!exists || isTempView(tname)) {
         if (!exists)
@@ -117,21 +118,16 @@ final case class SqlStage(name: String, code: String) extends Stage {
             s"sql stage '$name': INSERT INTO unknown table '$tname' — create it " +
               "first with CREATE TEMP TABLE ... AS in an earlier statement/stage " +
               "(catalog tables are the Sources.writeBucketed route)")
-        val cur = spark.table(tname)
-        val add = SqlStage(name, q).apply(spark, df)
-        val merged =
-          if (byName) cur.unionByName(add)
-          else {
-            if (add.columns.length != cur.columns.length)
-              throw new graft.functions.expressions.DuckDialectException(
-                s"sql stage '$name': INSERT INTO $tname has ${cur.columns.length} " +
-                  s"columns but the query produces ${add.columns.length} — match " +
-                  "them or use INSERT INTO ... BY NAME")
-            cur.union(add)
-          }
-        merged.createOrReplaceTempView(tname)
-        return df
-      } // else: real table — Spark's native INSERT INTO handles it below
+        return executeInsert(spark, df, spec)
+      }
+      // real catalog table: Spark's native INSERT INTO handles the plain
+      // positional form below; the DuckDB extras have no native shape
+      if (spec.cols.isDefined || spec.action.isDefined || spec.byName)
+        throw new graft.functions.expressions.DuckDialectException(
+          s"sql stage '$name': INSERT INTO catalog table '$tname' with BY NAME / " +
+            "a column list / ON CONFLICT is not claimed — Spark's file-backed " +
+            "INSERT has no upsert; route through a temp table and rewrite the " +
+            "catalog table from it")
     }
     // UPDATE / DELETE against a session TEMP table (r13): DuckDB
     // mutates in place; the Spark re-expression re-registers the view
@@ -231,6 +227,7 @@ final case class SqlStage(name: String, code: String) extends Stage {
     GraftSqlParser.dropTableTarget(code2).foreach { case (_, t) =>
       if (spark.catalog.tableExists(t) && isTempView(t)) {
         spark.catalog.dropTempView(t)
+        GraftSqlParser.dropTableMeta(spark, t)
         return df
       } // else fall through: Spark's DROP TABLE [IF EXISTS] handles it
     }
@@ -277,10 +274,18 @@ final case class SqlStage(name: String, code: String) extends Stage {
           (to == LongType || to == IntegerType || to == ShortType || to == ByteType)
         (if (needsRound) round(c) else c).cast(to)
       }
+      val meta = GraftSqlParser.tableMeta(spark, atbl)
       spec match {
         case GraftSqlParser.AlterRenameColumn(t, from, to) =>
           requireCol(from); requireFree(to)
           cur.withColumnRenamed(from, to).createOrReplaceTempView(t)
+          meta.foreach { mm =>
+            val fl = from.toLowerCase
+            GraftSqlParser.putTableMeta(spark, t, GraftSqlParser.TableMeta(
+              mm.pk.map(k => if (k.equalsIgnoreCase(from)) to else k),
+              mm.defaults.map { case (k, v) => (if (k == fl) to.toLowerCase else k) -> v },
+              mm.notNull.map(k => if (k == fl) to.toLowerCase else k)))
+          }
         case GraftSqlParser.AlterAddColumn(t, c, ty, dOpt) =>
           requireFree(c)
           val tt = targetType(ty)
@@ -292,18 +297,32 @@ final case class SqlStage(name: String, code: String) extends Stage {
             case None => cur.withColumn(c, lit(null).cast(tt))
           }
           added.createOrReplaceTempView(t)
+          // DuckDB keeps the DEFAULT for future inserts
+          dOpt.foreach { d =>
+            val mm = meta.getOrElse(GraftSqlParser.TableMeta(Nil, Map.empty, Set.empty))
+            GraftSqlParser.putTableMeta(spark, t,
+              mm.copy(defaults = mm.defaults + (c.toLowerCase -> d)))
+          }
         case GraftSqlParser.AlterDropColumn(t, c) =>
           requireCol(c)
           if (cols.length == 1)
             throw new graft.functions.expressions.DuckDialectException(
               s"sql stage '$name': ALTER TABLE $t: cannot drop the only column")
+          if (meta.exists(_.pk.exists(_.equalsIgnoreCase(c))))
+            throw new graft.functions.expressions.DuckDialectException(
+              s"sql stage '$name': ALTER TABLE $t: cannot drop column '$c' — " +
+                "it is part of the PRIMARY KEY (DuckDB refuses too)")
           cur.drop(cols.find(_.equalsIgnoreCase(c)).get).createOrReplaceTempView(t)
+          meta.foreach(mm => GraftSqlParser.putTableMeta(spark, t, mm.copy(
+            defaults = mm.defaults - c.toLowerCase,
+            notNull = mm.notNull - c.toLowerCase)))
         case GraftSqlParser.AlterRenameTable(t, to) =>
           if (spark.catalog.tableExists(to))
             throw new graft.functions.expressions.DuckDialectException(
               s"sql stage '$name': ALTER TABLE $t RENAME TO $to: '$to' already exists")
           cur.createOrReplaceTempView(to)
           spark.catalog.dropTempView(t)
+          GraftSqlParser.renameTableMeta(spark, t, to)
         case GraftSqlParser.AlterSetType(t, c, ty, usingOpt) =>
           requireCol(c)
           val tt = targetType(ty)
@@ -330,8 +349,42 @@ final case class SqlStage(name: String, code: String) extends Stage {
         throw new graft.functions.expressions.DuckDialectException(
           s"sql stage '$name': temp table '$tname' already exists in this session " +
             "— use CREATE OR REPLACE TEMP TABLE, or CREATE TEMP TABLE IF NOT EXISTS")
-      if (!(ifNotExists && exists))
+      if (!(ifNotExists && exists)) {
         SqlStage(name, q).apply(spark, df).createOrReplaceTempView(tname)
+        // a CTAS table declares no constraints — a replaced typed table
+        // loses its old PRIMARY KEY/DEFAULT/NOT NULL metadata
+        GraftSqlParser.dropTableMeta(spark, tname)
+      }
+      return df
+    }
+    // typed CREATE TEMP TABLE (column definitions, r13): register an
+    // EMPTY view with the declared schema and keep the constraint
+    // metadata (PRIMARY KEY, DEFAULT, NOT NULL) for later INSERTs —
+    // DuckDB's upsert surface resolves ON CONFLICT against it
+    GraftSqlParser.createTableDefTarget(code2).foreach { ct =>
+      if (spark.catalog.tableExists(ct.name) && !isTempView(ct.name))
+        throw new graft.functions.expressions.DuckDialectException(
+          s"sql stage '$name': CREATE TEMP TABLE '${ct.name}' collides with a REAL " +
+            "catalog table of that name — a temp view would shadow it; pick " +
+            "another name or drop the table")
+      val exists = spark.catalog.tableExists(ct.name)
+      if (!ct.orReplace && !ct.ifNotExists && exists)
+        throw new graft.functions.expressions.DuckDialectException(
+          s"sql stage '$name': temp table '${ct.name}' already exists in this " +
+            "session — use CREATE OR REPLACE TEMP TABLE, or IF NOT EXISTS")
+      if (!(ct.ifNotExists && exists)) {
+        import org.apache.spark.sql.types._
+        val schema = StructType(ct.cols.map(c => StructField(c.name,
+          StructType.fromDDL(s"x ${GraftSqlParser.duckTypeToSpark(c.typeName)}")
+            .head.dataType)))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          .createOrReplaceTempView(ct.name)
+        GraftSqlParser.putTableMeta(spark, ct.name, GraftSqlParser.TableMeta(
+          ct.pk,
+          ct.cols.collect { case c if c.default.isDefined =>
+            c.name.toLowerCase -> c.default.get }.toMap,
+          ct.cols.collect { case c if c.notNull => c.name.toLowerCase }.toSet))
+      }
       return df
     }
     // UNION [ALL] BY NAME (r10): run each side through this stage (full
@@ -410,6 +463,186 @@ final case class SqlStage(name: String, code: String) extends Stage {
           case None => throw e
         }
     }
+  }
+
+  /** Cast `out` back to `target`'s declared column types, ROUNDING
+    * fractional → integral like DuckDB's cast (the UPDATE treatment;
+    * Spark's cast truncates).
+    */
+  private def recastTo(target: DataFrame, out: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    target.schema.fields.foldLeft(out) { (acc, f) =>
+      val nt = acc.schema(f.name).dataType
+      if (nt == f.dataType) acc
+      else {
+        val needsRound = (nt == DoubleType || nt == FloatType ||
+          nt.isInstanceOf[DecimalType]) &&
+          (f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == ShortType || f.dataType == ByteType)
+        val base = if (needsRound) round(col(f.name)) else col(f.name)
+        acc.withColumn(f.name, base.cast(f.dataType))
+      }
+    }
+  }
+
+  /** Execute a parsed [[GraftSqlParser.InsertSpec]] against a session
+    * TEMP table and return DuckDB's `Count` relation (inserted +
+    * actually-updated rows — conflict-skipped rows and WHERE-false
+    * updates don't count; probed). Enforces the table's declared
+    * constraints ([[GraftSqlParser.TableMeta]]): NOT NULL, PRIMARY KEY
+    * uniqueness (against the table AND within the batch — DuckDB errors
+    * on in-batch duplicate keys even under DO NOTHING, probed), and
+    * fills unlisted columns from declared DEFAULTs (NULL otherwise).
+    * `ON CONFLICT` resolves against the declared PRIMARY KEY; SET/WHERE
+    * expressions read the OLD row bare (or table-qualified) and the
+    * incoming row as `excluded.c`, both recursed through this stage so
+    * they keep the dialect layer. The re-registered view is
+    * localCheckpointed — constant plan depth across repeated statements
+    * (the UPDATE/DELETE treatment).
+    */
+  private def executeInsert(spark: SparkSession, df: DataFrame,
+                            spec: GraftSqlParser.InsertSpec): DataFrame = {
+    import graft.functions.expressions.DuckDialectException
+    val t = spec.table
+    def fail(msg: String): Nothing =
+      throw new DuckDialectException(s"sql stage '$name': INSERT INTO $t: $msg")
+    val cur = spark.table(t)
+    val meta = GraftSqlParser.tableMeta(spark, t)
+    val defaults = meta.map(_.defaults).getOrElse(Map.empty[String, String])
+    val pk = meta.map(_.pk).getOrElse(Nil)
+    val pkLower = pk.map(_.toLowerCase).toSet
+    val add0 = SqlStage(name, spec.query).apply(spark, df)
+    // ---- align incoming columns to the table's column set (canonical
+    // spelling; positional, explicit column list, or BY NAME)
+    val provided: Seq[String] = spec.cols match {
+      case Some(list) =>
+        list.find(c => !cur.columns.exists(_.equalsIgnoreCase(c))).foreach(c =>
+          fail(s"unknown column '$c' (table has ${cur.columns.mkString(", ")})"))
+        if (list.map(_.toLowerCase).distinct.size != list.size)
+          fail("duplicate column in the column list")
+        if (add0.columns.length != list.size)
+          fail(s"the column list names ${list.size} columns but the query " +
+            s"produces ${add0.columns.length}")
+        list.map(c => cur.columns.find(_.equalsIgnoreCase(c)).get)
+      case None if spec.byName =>
+        add0.columns.find(c => !cur.columns.exists(_.equalsIgnoreCase(c))).foreach(c =>
+          fail(s"BY NAME column '$c' is not in the table " +
+            s"(${cur.columns.mkString(", ")})"))
+        add0.columns.toSeq.map(c => cur.columns.find(_.equalsIgnoreCase(c)).get)
+      case None =>
+        if (add0.columns.length != cur.columns.length)
+          fail(s"the table has ${cur.columns.length} columns but the query " +
+            s"produces ${add0.columns.length} — match them or use " +
+            "INSERT INTO ... BY NAME")
+        cur.columns.toSeq
+    }
+    val renamed = add0.toDF(provided: _*)
+    val providedLower = provided.map(_.toLowerCase).toSet
+    // ---- fill unlisted columns: declared DEFAULT (dialect-evaluated) or NULL
+    val insView = s"__graft_ins_$t"
+    val aligned0 =
+      if (providedLower.size == cur.columns.length)
+        renamed.select(cur.columns.map(col).toIndexedSeq: _*)
+      else {
+        renamed.createOrReplaceTempView(insView)
+        val items = cur.columns.map { c =>
+          if (providedLower.contains(c.toLowerCase)) c
+          else defaults.get(c.toLowerCase) match {
+            case Some(d) => s"($d) AS $c"
+            case None => s"NULL AS $c"
+          }
+        }
+        SqlStage(name, s"SELECT ${items.mkString(", ")} FROM $insView")
+          .apply(spark, df)
+      }
+    val aligned = recastTo(cur, aligned0).localCheckpoint()
+    // ---- declared constraints: NOT NULL (pk implies it), in one pass
+    val constrained = (meta.map(_.notNull).getOrElse(Set.empty) ++ pkLower)
+      .toSeq.sorted.flatMap(c => cur.columns.find(_.equalsIgnoreCase(c)))
+    if (constrained.nonEmpty) {
+      val aggs = constrained.map(c => count(when(col(c).isNull, 1)).as(c))
+      val row = aligned.agg(aggs.head, aggs.tail: _*).collect().head
+      constrained.zipWithIndex.find { case (_, i) => row.getLong(i) > 0 }
+        .foreach { case (c, _) => fail(s"NOT NULL constraint failed: $t.$c") }
+    }
+    val pkCols = pk.map(k => cur.columns.find(_.equalsIgnoreCase(k)).getOrElse(
+      fail(s"declared PRIMARY KEY column '$k' is gone from the table")))
+    if (pkCols.nonEmpty) {
+      val dup = aligned.groupBy(pkCols.map(col).toIndexedSeq: _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        fail("PRIMARY KEY or UNIQUE constraint violated: duplicate key \"" +
+          dup.head.toSeq.dropRight(1).mkString(", ") + "\" (within the batch)")
+    }
+    if (spec.action.isDefined && pkCols.isEmpty)
+      fail("ON CONFLICT / OR REPLACE / OR IGNORE needs a declared PRIMARY KEY " +
+        "— create the table with CREATE TEMP TABLE t (c TYPE PRIMARY KEY, ...) " +
+        "(DuckDB: no UNIQUE/PRIMARY KEY index to refer to)")
+    spec.conflictTarget.foreach { tgt =>
+      if (tgt.map(_.toLowerCase).toSet != pkLower)
+        fail(s"conflict target (${tgt.mkString(", ")}) must match the " +
+          s"PRIMARY KEY (${pk.mkString(", ")})")
+    }
+    val (merged, nAffected) = spec.action match {
+      case None =>
+        if (pkCols.nonEmpty) {
+          val clash = aligned.join(cur, pkCols, "left_semi")
+            .select(pkCols.map(col).toIndexedSeq: _*).limit(1).collect()
+          if (clash.nonEmpty)
+            fail("Duplicate key \"" + pkCols.zip(clash.head.toSeq)
+              .map { case (c, v) => s"$c: $v" }.mkString(", ") +
+              "\" violates primary key constraint — add ON CONFLICT DO " +
+              "NOTHING / DO UPDATE, or INSERT OR REPLACE / OR IGNORE")
+        }
+        (cur.union(aligned), aligned.count())
+      case Some(GraftSqlParser.DoNothing) =>
+        val fresh = aligned.join(cur, pkCols, "left_anti").localCheckpoint()
+        (cur.union(fresh), fresh.count())
+      case Some(GraftSqlParser.DoUpdate(assigns0, where)) =>
+        // the OR REPLACE shorthand parses as DoUpdate(Nil): SET every
+        // PROVIDED non-key column = excluded (unlisted keep OLD values)
+        val assigns =
+          if (assigns0.nonEmpty) assigns0
+          else provided.filterNot(c => pkLower.contains(c.toLowerCase))
+            .map(c => c -> s"excluded.$c")
+        assigns.foreach { case (c, _) =>
+          if (!cur.columns.exists(_.equalsIgnoreCase(c)))
+            fail(s"DO UPDATE SET names unknown column '$c'")
+          if (pkLower.contains(c.toLowerCase))
+            fail(s"can not assign to column '$c' — it has a UNIQUE/PRIMARY " +
+              "KEY constraint")
+        }
+        val excView = s"__graft_exc_$t"
+        aligned.select((cur.columns.map(c => col(c).as(s"__exc_$c")) :+
+          lit(true).as("__graft_m")).toIndexedSeq: _*)
+          .createOrReplaceTempView(excView)
+        def rw(e: String): String = GraftSqlParser.rewriteUpsertRefs(e, t)
+        val byLower = assigns.map { case (c, e) => c.toLowerCase -> rw(e) }.toMap
+        val predR = where.map(rw)
+        val matchedCond = "COALESCE(__graft_m, FALSE)" +
+          predR.map(p => s" AND COALESCE(($p), FALSE)").getOrElse("")
+        val items = cur.columns.map { c =>
+          byLower.get(c.toLowerCase) match {
+            case Some(e) => s"CASE WHEN $matchedCond THEN ($e) ELSE $c END AS $c"
+            case None => c
+          }
+        }
+        val pkCond = pkCols.map(k => s"$t.$k = $excView.__exc_$k").mkString(" AND ")
+        val keptUpdated = recastTo(cur, SqlStage(name,
+          s"SELECT ${items.mkString(", ")} FROM $t LEFT JOIN $excView ON $pkCond")
+          .apply(spark, df))
+        val nUpd = SqlStage(name,
+          s"SELECT COUNT(*) AS n FROM $t JOIN $excView ON $pkCond" +
+            predR.map(p => s" WHERE COALESCE(($p), FALSE)").getOrElse(""))
+          .apply(spark, df).collect().head.getLong(0)
+        val fresh = aligned.join(cur, pkCols, "left_anti").localCheckpoint()
+        (keptUpdated.union(fresh), nUpd + fresh.count())
+    }
+    val out = merged.localCheckpoint()
+    out.createOrReplaceTempView(t)
+    spark.catalog.dropTempView(insView)
+    spark.catalog.dropTempView(s"__graft_exc_$t")
+    GraftSqlParser.countRelation(spark, nAffected)
   }
 }
 

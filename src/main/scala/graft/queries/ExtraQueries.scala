@@ -892,6 +892,40 @@ object ExtraQueries {
     graft.operators.SqlStage("q153", alterSqlText).apply(s, nation(s, d))
   }
 
+  /** DuckDB typed-table + upsert statements (r13, the third DML/DDL
+    * gate after q152/q153) — IDENTICAL batch text on both engines:
+    * typed CREATE TEMP TABLE (PRIMARY KEY + NOT NULL + DEFAULT),
+    * insert-from-select, column-list insert with DEFAULT fill, ON
+    * CONFLICT DO UPDATE with `excluded.` and old-row qualified refs,
+    * OR IGNORE (conflict skipped), OR REPLACE with a partial column
+    * list (unlisted columns keep OLD values, probed), a conditional
+    * self-referencing upsert (`WHERE q154_t.k < 102` keeps 102's old
+    * row), and the final read-back. DuckDB executes natively; the
+    * engine re-registers views through [[graft.operators.SqlStage]]'s
+    * executeInsert with session [[graft.operators.GraftSqlParser
+    * .TableMeta]] constraints.
+    */
+  private[graft] val upsertSqlText = """
+      CREATE OR REPLACE TEMP TABLE q154_t (
+        k INTEGER PRIMARY KEY, nm VARCHAR NOT NULL, rk INTEGER DEFAULT -1,
+        pop BIGINT);
+      INSERT INTO q154_t SELECT n_nationkey, n_name, n_regionkey, NULL FROM nation;
+      INSERT INTO q154_t (k, nm) VALUES (100, 'ATLANTIS'), (101, 'ELDORADO');
+      INSERT INTO q154_t VALUES (100, 'ATLANTIS2', 9, 1)
+        ON CONFLICT (k) DO UPDATE SET nm = excluded.nm,
+          pop = COALESCE(q154_t.pop, 0) + excluded.pop;
+      INSERT OR IGNORE INTO q154_t (k, nm) VALUES (101, 'X'), (102, 'SHANGRILA');
+      INSERT OR REPLACE INTO q154_t (k, nm) VALUES (102, 'SHANGRILA2');
+      INSERT INTO q154_t SELECT k, nm, rk, 7 FROM q154_t WHERE k >= 100
+        ON CONFLICT (k) DO UPDATE SET pop = excluded.pop WHERE q154_t.k < 102;
+      SELECT k, nm, rk, pop FROM q154_t ORDER BY k"""
+
+  def q154UpsertStatements(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    nation(s, d).createOrReplaceTempView("nation")
+    graft.operators.SqlStage("q154", upsertSqlText).apply(s, nation(s, d))
+  }
+
   def q152DmlStatements(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
     nation(s, d).createOrReplaceTempView("nation")
@@ -932,6 +966,7 @@ object ExtraQueries {
     "q124_copy_roundtrip" -> (q124CopyRoundtrip _),
     "q152_dml_statements" -> (q152DmlStatements _),
     "q153_alter_statements" -> (q153AlterStatements _),
+    "q154_upsert_statements" -> (q154UpsertStatements _),
     "q126_from_first"     -> (q126FromFirst _),
     "q127_sorted_layout"  -> (q127SortedLayout _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
@@ -1005,6 +1040,8 @@ object ExtraQueries {
     "q152_dml_statements" -> dmlSqlText,
     // q153: DuckDB executes the identical ALTER/TRUNCATE batch natively
     "q153_alter_statements" -> alterSqlText,
+    // q154: DuckDB executes the identical typed-create/upsert batch
+    "q154_upsert_statements" -> upsertSqlText,
     "q126_from_first" -> fromFirstSqlText,
     // q127: the aggregate is layout-independent — DuckDB reads the
     // ORIGINAL table; any loss/dup/corruption in the sorted layout

@@ -1288,6 +1288,89 @@ class DialectSpec extends SparkSpec {
     assert(e4.getMessage.contains("only column"))
   }
 
+  test("typed CREATE TEMP TABLE + upsert surface (r13)") {
+    val df = spark.range(1).toDF("z")
+    def run(sql: String) = SqlStage("s", sql).apply(spark, df)
+    def cnt(sql: String): Long = run(sql).collect().head.getLong(0)
+    run("""CREATE OR REPLACE TEMP TABLE ups (k INTEGER PRIMARY KEY,
+           v VARCHAR NOT NULL, w INTEGER DEFAULT 7)""")
+    assert(spark.table("ups").columns.toSeq == Seq("k", "v", "w") &&
+      spark.table("ups").count() == 0)
+    // plain insert returns the Count relation; column list fills DEFAULT
+    assert(cnt("INSERT INTO ups VALUES (1,'a',99)") == 1L)
+    assert(cnt("INSERT INTO ups (k, v) VALUES (2,'b')") == 1L)
+    assert(run("SELECT * FROM ups WHERE k = 2").collect().head.getInt(2) == 7)
+    // PK violation without ON CONFLICT; NOT NULL; dup-in-batch all raise
+    val e1 = intercept[DuckDialectException](run("INSERT INTO ups VALUES (1,'x',0)"))
+    assert(e1.getMessage.contains("primary key"))
+    val e2 = intercept[DuckDialectException](run("INSERT INTO ups VALUES (3,NULL,0)"))
+    assert(e2.getMessage.contains("NOT NULL constraint failed: ups.v"))
+    val e3 = intercept[DuckDialectException](run(
+      "INSERT INTO ups VALUES (5,'x',0),(5,'y',0) ON CONFLICT DO NOTHING"))
+    assert(e3.getMessage.contains("duplicate key"))
+    // DO UPDATE with excluded + old-row refs; Count = updated + inserted
+    assert(cnt("""INSERT INTO ups VALUES (1,'A',1),(3,'c',3)
+                  ON CONFLICT (k) DO UPDATE SET v = excluded.v, w = ups.w + 100""") == 2L)
+    val r1 = run("SELECT * FROM ups ORDER BY k").collect()
+    assert(r1.map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1, "A", 199), (2, "b", 7), (3, "c", 3)))
+    // conditional DO UPDATE: WHERE-false rows keep old values, not counted
+    assert(cnt("""INSERT INTO ups VALUES (2,'B2',0) ON CONFLICT (k)
+                  DO UPDATE SET v = excluded.v WHERE ups.w > 100""") == 0L)
+    assert(run("SELECT v FROM ups WHERE k = 2").collect().head.getString(0) == "b")
+    // DO NOTHING counts inserts only; OR IGNORE is its shorthand
+    assert(cnt("INSERT INTO ups VALUES (1,'zz',0),(6,'f',6) ON CONFLICT DO NOTHING") == 1L)
+    assert(cnt("INSERT OR IGNORE INTO ups VALUES (6,'zz',0),(8,'h',8)") == 1L)
+    // OR REPLACE with a partial column list: unlisted cols keep OLD values
+    assert(cnt("INSERT OR REPLACE INTO ups (k, v) VALUES (1,'R')") == 1L)
+    assert(run("SELECT v, w FROM ups WHERE k = 1").collect()
+      .map(r => (r.getString(0), r.getInt(1))).head == ("R", 199))
+    // insert-from-SELECT upsert + BY NAME upsert
+    assert(cnt("""INSERT INTO ups SELECT k + 10, v, w FROM ups WHERE k <= 2
+                  ON CONFLICT (k) DO UPDATE SET v = 'dup'""") == 2L)
+    assert(cnt("""INSERT INTO ups BY NAME (SELECT 'BN' AS v, 2 AS k)
+                  ON CONFLICT DO UPDATE SET v = excluded.v""") == 1L)
+    assert(run("SELECT v FROM ups WHERE k = 2").collect().head.getString(0) == "BN")
+    // guided errors: wrong conflict target, SET on the key, no-PK upsert,
+    // OR + ON CONFLICT combination
+    val e4 = intercept[DuckDialectException](run(
+      "INSERT INTO ups VALUES (9,'i',0) ON CONFLICT (v) DO NOTHING"))
+    assert(e4.getMessage.contains("must match the PRIMARY KEY"))
+    val e5 = intercept[DuckDialectException](run(
+      "INSERT INTO ups VALUES (9,'i',0) ON CONFLICT (k) DO UPDATE SET k = 99"))
+    assert(e5.getMessage.contains("UNIQUE/PRIMARY KEY constraint"))
+    run("CREATE OR REPLACE TEMP TABLE nopk AS SELECT 1 AS k, 'a' AS v")
+    val e6 = intercept[DuckDialectException](run(
+      "INSERT INTO nopk VALUES (1,'b') ON CONFLICT DO NOTHING"))
+    assert(e6.getMessage.contains("PRIMARY KEY"))
+    val e7 = intercept[DuckDialectException](run(
+      "INSERT OR IGNORE INTO ups VALUES (9,'i',0) ON CONFLICT DO NOTHING"))
+    assert(e7.getMessage.contains("cannot combine"))
+    // constraint metadata follows DDL: RENAME COLUMN, RENAME TO, DROP of
+    // a PK column refused, CTAS-replace wipes the PK
+    run("ALTER TABLE ups RENAME COLUMN v TO txt")
+    assert(cnt("INSERT OR REPLACE INTO ups (k, txt) VALUES (1,'R2')") == 1L)
+    val e8 = intercept[DuckDialectException](run("ALTER TABLE ups DROP COLUMN k"))
+    assert(e8.getMessage.contains("PRIMARY KEY"))
+    run("ALTER TABLE ups RENAME TO ups2")
+    assert(cnt("INSERT OR IGNORE INTO ups2 VALUES (1,'zz',0)") == 0L)
+    run("CREATE OR REPLACE TEMP TABLE ups2 AS SELECT 1 AS k")
+    val e9 = intercept[DuckDialectException](run(
+      "INSERT INTO ups2 VALUES (2) ON CONFLICT DO NOTHING"))
+    assert(e9.getMessage.contains("PRIMARY KEY"))
+    // duplicate typed CREATE raises; IF NOT EXISTS is silent; multi-col PK
+    run("CREATE TEMP TABLE mpk (a INTEGER, b INTEGER, s VARCHAR, PRIMARY KEY (a, b))")
+    val e10 = intercept[DuckDialectException](run("CREATE TEMP TABLE mpk (x INTEGER)"))
+    assert(e10.getMessage.contains("already exists"))
+    run("CREATE TEMP TABLE IF NOT EXISTS mpk (x INTEGER)")
+    assert(spark.table("mpk").columns.toSeq == Seq("a", "b", "s"))
+    run("INSERT INTO mpk VALUES (1,1,'x'),(1,2,'y')")
+    assert(cnt("""INSERT INTO mpk VALUES (1,1,'X'),(2,2,'z')
+                  ON CONFLICT (a, b) DO UPDATE SET s = s || '+' || excluded.s""") == 2L)
+    assert(run("SELECT s FROM mpk WHERE a = 1 AND b = 1").collect()
+      .head.getString(0) == "x+X")
+  }
+
   test("batch statements all see the STAGE INPUT as df, last result wins") {
     // r9 review: chaining rebound `df` to each prior statement's output,
     // so `COPY ...; SELECT * FROM df` saw the COPY Count relation —
@@ -2277,6 +2360,83 @@ class DialectSpec extends SparkSpec {
       val want = SqlStage("s", inline).apply(spark, df).collect().map(_.toSeq).toSeq
       assert(got == want, s"trial $trial mangled:\n$batch\nvs\n$inline")
     }
+  }
+
+  test("upsert model fuzz: 120 random DML ops track an in-memory reference (r13)") {
+    // model-based fuzz over the typed-table DML surface: every random
+    // statement runs through SqlStage AND a driver-side Map model; the
+    // returned Count must equal the model's affected-row count after
+    // EVERY op, and the full table must equal the model's state at
+    // checkpoints — a drift anywhere in executeInsert (alignment,
+    // default fill, conflict resolution, WHERE gating, count
+    // semantics) breaks the equality on some sampled sequence.
+    val df = spark.range(1).toDF("z")
+    def run(sql: String) = SqlStage("s", sql).apply(spark, df)
+    run("""CREATE OR REPLACE TEMP TABLE fzups (
+           k INTEGER PRIMARY KEY, v VARCHAR, w INTEGER DEFAULT 5)""")
+    val model = scala.collection.mutable.Map.empty[Int, (String, Int)]
+    val rnd = new scala.util.Random(20260815)
+    def rows(n: Int): Seq[(Int, String, Int)] = {
+      val ks = rnd.shuffle((0 to 15).toList).take(n)
+      ks.map(k => (k, s"s${rnd.nextInt(9)}", rnd.nextInt(20)))
+    }
+    def vals(rs: Seq[(Int, String, Int)], cols2: Boolean): String =
+      rs.map { case (k, v, w) =>
+        if (cols2) s"($k, '$v')" else s"($k, '$v', $w)" }.mkString(", ")
+    var checks = 0
+    for (op <- 1 to 120) {
+      val rs = rows(1 + rnd.nextInt(3))
+      val (sql, expect: Long) = rnd.nextInt(6) match {
+        case 0 => // plain full-width insert over FRESH keys only
+          val fresh = rs.filterNot(r => model.contains(r._1))
+          fresh.foreach(r => model(r._1) = (r._2, r._3))
+          if (fresh.isEmpty) ("", 0L)
+          else (s"INSERT INTO fzups VALUES ${vals(fresh, cols2 = false)}", fresh.size.toLong)
+        case 1 => // column-list insert, DEFAULT w, fresh keys
+          val fresh = rs.filterNot(r => model.contains(r._1))
+          fresh.foreach(r => model(r._1) = (r._2, 5))
+          if (fresh.isEmpty) ("", 0L)
+          else (s"INSERT INTO fzups (k, v) VALUES ${vals(fresh, cols2 = true)}", fresh.size.toLong)
+        case 2 => // DO NOTHING: conflicts skipped
+          val fresh = rs.filterNot(r => model.contains(r._1))
+          fresh.foreach(r => model(r._1) = (r._2, r._3))
+          (s"INSERT INTO fzups VALUES ${vals(rs, cols2 = false)} ON CONFLICT DO NOTHING",
+            fresh.size.toLong)
+        case 3 => // OR REPLACE, partial column list: w keeps OLD or DEFAULT
+          rs.foreach { case (k, v, _) =>
+            model(k) = (v, model.get(k).map(_._2).getOrElse(5)) }
+          (s"INSERT OR REPLACE INTO fzups (k, v) VALUES ${vals(rs, cols2 = true)}",
+            rs.size.toLong)
+        case 4 => // DO UPDATE with excluded + old-row arithmetic
+          rs.foreach { case (k, v, w) =>
+            model(k) = model.get(k).map { case (_, ow) => (v, ow + w) }
+              .getOrElse((v, w)) }
+          (s"INSERT INTO fzups VALUES ${vals(rs, cols2 = false)} ON CONFLICT (k) " +
+            "DO UPDATE SET v = excluded.v, w = fzups.w + excluded.w",
+            rs.size.toLong)
+        case _ => // conditional DO UPDATE: WHERE-false keeps old, uncounted
+          val cut = rnd.nextInt(25)
+          var n = 0L
+          rs.foreach { case (k, v, w) =>
+            model.get(k) match {
+              case Some((_, ow)) => if (ow < cut) { model(k) = (v, w); n += 1 }
+              case None => model(k) = (v, w); n += 1
+            } }
+          (s"INSERT INTO fzups VALUES ${vals(rs, cols2 = false)} ON CONFLICT (k) " +
+            s"DO UPDATE SET v = excluded.v, w = excluded.w WHERE fzups.w < $cut", n)
+      }
+      if (sql.nonEmpty) {
+        val got = run(sql).collect().head.getLong(0)
+        assert(got == expect, s"op $op count: got $got want $expect\n$sql")
+      }
+      if (op % 30 == 0) {
+        val got = run("SELECT k, v, w FROM fzups ORDER BY k").collect()
+          .map(r => (r.getInt(0), (r.getString(1), r.getInt(2)))).toMap
+        assert(got == model.toMap, s"state drift at op $op")
+        checks += 1
+      }
+    }
+    assert(checks == 4 && model.nonEmpty)
   }
 
   test("COPY/read_* option fuzz: comments, quoted delimiters and brace literals (r13)") {
