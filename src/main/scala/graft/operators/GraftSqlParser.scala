@@ -40,11 +40,143 @@ object GraftSqlParser {
     * TABLESAMPLE.
     */
   def rewriteAll(sql: String): String =
-    rewriteSample(rewriteQualify(rewriteDistinctOn(rewriteStructPack(
+    rewriteAggOrderBy(rewriteSample(rewriteQualify(rewriteDistinctOn(rewriteStructPack(
       rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(
         rewriteGlob(rewriteIntDiv(rewritePow(rewriteJsonOps(
           rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
-            rewriteFromFirst(sql))))))))))))))))
+            rewriteFromFirst(sql)))))))))))))))))
+
+  private val AggOrderByFnRe =
+    raw"(?i)(?<![\w.])(string_agg|group_concat|array_agg|list|first|last)\s*\(".r
+
+  private def aggOrderByFail(fn: String, why: String): Nothing =
+    throw new graft.functions.expressions.DuckDialectException(
+      s"inline ORDER BY inside $fn() couldn't be auto-rewritten ($why) — " +
+        "claimed: string_agg/group_concat([DISTINCT] x[, sep] ORDER BY keys) " +
+        "→ listagg WITHIN GROUP; array_agg/list(x ORDER BY keys) → " +
+        "sorted-struct transform; first/last(x ORDER BY keys) → min_by/" +
+        "max_by (or the sorted-struct head/tail for multi-key)")
+
+  /** DuckDB's inline `ORDER BY` modifier INSIDE aggregate calls (r13 —
+    * previously a raw Spark parse error): `string_agg(x, sep ORDER BY
+    * k)` / `group_concat` → Spark `listagg(...) WITHIN GROUP (ORDER BY
+    * ...)` (1-arg forms gain DuckDB's default `','` separator);
+    * `array_agg(x ORDER BY keys)` / `list` → `transform(array_sort(
+    * array_agg(named_struct(keys…, value)), comparator), s -> s.__v)`
+    * with a generated comparator honoring per-key ASC/DESC and DuckDB's
+    * NULLS-LAST-in-both-directions default (probed; NULLS FIRST/LAST
+    * qualifiers claimed) — the struct wrap also preserves NULL values,
+    * which DuckDB's array_agg keeps; `first/last(x ORDER BY k)` →
+    * `min_by`/`max_by` (probed equivalence: first = the value at the
+    * ordering's minimum), multi-key forms via the sorted-struct path's
+    * head/tail. A trailing OVER (window use) keeps a guided error.
+    * Ties are engine order in BOTH engines (hash aggregation) — gates
+    * must order by total keys, same as any oracle.
+    */
+  def rewriteAggOrderBy(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val hit = AggOrderByFnRe.findAllMatchIn(masked).flatMap { m =>
+      closeOf(masked, m.end).flatMap { close =>
+        val innerMasked = masked.substring(m.end, close - 1)
+        // depth-0 ORDER BY inside the call arguments
+        var d = 0; var at = -1; var k = 0
+        while (k < innerMasked.length && at < 0) {
+          val c = innerMasked.charAt(k)
+          if (c == '(') { d += 1; k += 1 }
+          else if (c == ')') { d -= 1; k += 1 }
+          else if (d == 0 && (c == 'O' || c == 'o') &&
+            (k == 0 || (!innerMasked.charAt(k - 1).isLetterOrDigit && innerMasked.charAt(k - 1) != '_')) &&
+            raw"(?is)^ORDER\s+BY\b".r.findFirstIn(innerMasked.substring(k)).isDefined) at = k
+          else k += 1
+        }
+        if (at < 0) None else Some((m, close, at))
+      }
+    }.toSeq.headOption
+    hit match {
+      case None => sql
+      case Some((m, close, obAt)) =>
+        val fn = sql.substring(m.start(1), m.end(1)).toLowerCase
+        val inner = sql.substring(m.end, close - 1)
+        val innerMasked = masked.substring(m.end, close - 1)
+        // window use is not claimable: the rewrite changes the call shape
+        var a = close
+        while (a < masked.length && masked.charAt(a).isWhitespace) a += 1
+        if (a < masked.length && masked.charAt(a).isLetter &&
+          wordStartingAt(masked, a).equalsIgnoreCase("OVER"))
+          aggOrderByFail(fn, "window (OVER) use — order inside the window spec")
+        var argsPart = inner.substring(0, obAt).trim
+        val orderPart = inner.substring(obAt).replaceFirst(raw"(?is)^ORDER\s+BY\s*", "")
+        var distinct = false
+        raw"(?is)^DISTINCT\s+".r.findFirstMatchIn(argsPart).foreach { dm =>
+          distinct = true; argsPart = argsPart.substring(dm.end)
+        }
+        // per-key (expr, desc, nullsFirst) with DuckDB's NULLS LAST default
+        val keys = splitTopLevel(orderPart, maskQuotes(orderPart)).map { it0 =>
+          var e = it0.trim; var desc = false; var nullsFirst = false
+          raw"(?is)\s+NULLS\s+(FIRST|LAST)\s*$$".r.findFirstMatchIn(e).foreach { nm =>
+            nullsFirst = nm.group(1).equalsIgnoreCase("FIRST")
+            e = e.substring(0, nm.start)
+          }
+          raw"(?is)\s+(ASC|DESC)\s*$$".r.findFirstMatchIn(e).foreach { am =>
+            desc = am.group(1).equalsIgnoreCase("DESC")
+            e = e.substring(0, am.start)
+          }
+          if (e.trim.isEmpty) aggOrderByFail(fn, "empty ORDER BY key")
+          (e.trim, desc, nullsFirst)
+        }
+        def sortedStruct(value: String, dist: Boolean = false,
+                         castStr: Boolean = false): String = {
+          val fields = keys.zipWithIndex.map { case ((e, _, _), i) =>
+            s"'__o${i + 1}', ($e)" }.mkString(", ")
+          val cmp = keys.zipWithIndex.map { case ((_, desc, nullsFirst), i) =>
+            val f = s"__o${i + 1}"
+            s"WHEN l.$f IS NULL AND r.$f IS NOT NULL THEN ${if (nullsFirst) -1 else 1} " +
+              s"WHEN l.$f IS NOT NULL AND r.$f IS NULL THEN ${if (nullsFirst) 1 else -1} " +
+              s"WHEN l.$f < r.$f THEN ${if (desc) 1 else -1} " +
+              s"WHEN l.$f > r.$f THEN ${if (desc) -1 else 1}"
+          }.mkString(" ")
+          val v = if (castStr) "CAST(s.__v AS STRING)" else "s.__v"
+          s"transform(array_sort(array_agg(${if (dist) "DISTINCT " else ""}" +
+            s"named_struct($fields, '__v', ($value)))" +
+            s", (l, r) -> CASE $cmp ELSE 0 END), s -> $v)"
+        }
+        val args = splitTopLevel(argsPart, maskQuotes(argsPart))
+        val nArgs = args.size
+        val replacement = fn match {
+          case "string_agg" | "group_concat" =>
+            if (distinct) {
+              // Spark's listagg DISTINCT demands order expr == input
+              // expr (pre-cast), which DuckDB's implicit string cast
+              // breaks — the sorted-struct path sidesteps it; DuckDB
+              // itself requires DISTINCT order keys to appear in the
+              // argument list, so distinct (keys, value) pairs are
+              // distinct values
+              if (nArgs > 2) aggOrderByFail(fn, s"expected ≤ 2 arguments, got $nArgs")
+              val sep = if (nArgs == 2) args(1).trim else "','"
+              s"array_join(${sortedStruct(args.head.trim, dist = true, castStr = true)}, $sep)"
+            } else {
+              val a = if (nArgs == 1) s"$argsPart, ','" else argsPart
+              s"listagg($a) WITHIN GROUP (ORDER BY $orderPart)"
+            }
+          case "array_agg" | "list" =>
+            if (distinct) aggOrderByFail(fn,
+              "DISTINCT with ORDER BY — dedup first (a subquery/GROUP BY)")
+            if (nArgs != 1) aggOrderByFail(fn, s"expected 1 argument, got $nArgs")
+            sortedStruct(argsPart)
+          case _ => // first | last
+            if (distinct) aggOrderByFail(fn, "DISTINCT with ORDER BY")
+            if (nArgs != 1) aggOrderByFail(fn, s"expected 1 argument, got $nArgs")
+            val isFirst = fn == "first"
+            if (keys.size == 1 && !keys.head._3) {
+              val (k0, desc, _) = keys.head
+              val pick = if (isFirst != desc) "min_by" else "max_by"
+              s"$pick(($argsPart), ($k0))"
+            } else
+              s"element_at(${sortedStruct(argsPart)}, ${if (isFirst) 1 else -1})"
+        }
+        rewriteAggOrderBy(sql.substring(0, m.start) + replacement + sql.substring(close))
+    }
+  }
 
   /** Words that can legally precede a LITERAL-position bracket — i.e.
     * the bracket after them is a DuckDB list literal, not a subscript

@@ -926,6 +926,41 @@ object ExtraQueries {
     graft.operators.SqlStage("q154", upsertSqlText).apply(s, nation(s, d))
   }
 
+  /** DuckDB's inline `ORDER BY` modifier inside aggregate calls (r13)
+    * — IDENTICAL text on both engines: `string_agg(x, sep ORDER BY
+    * keys)` (→ listagg WITHIN GROUP), DISTINCT string_agg (→ the
+    * sorted-struct array_join path), `array_agg(x ORDER BY k1 DESC,
+    * k2 DESC)` (→ struct-sort with the generated comparator,
+    * array_to_string-serialized for the hash compare — the q50
+    * pattern), and `first`/`last` with single-key (→ min_by/max_by)
+    * and multi-key (→ sorted-struct head) forms. The QUALIFY dedup
+    * makes (l_orderkey, l_linenumber) unique first — the synthetic
+    * lineitem has duplicate pairs with differing flags (unlike real
+    * TPC-H), and inline-agg ties are engine order in BOTH engines —
+    * so every ORDER BY is total and the hashes can't diverge.
+    */
+  private[graft] val aggOrderSqlText = """
+      WITH li AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+               row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                                  ORDER BY l_returnflag, l_linestatus) AS rn
+        FROM lineitem WHERE l_orderkey < 300
+        QUALIFY rn = 1
+      )
+      SELECT l_linestatus AS st,
+        string_agg(l_orderkey, ',' ORDER BY l_orderkey, l_linenumber) AS ks,
+        string_agg(DISTINCT l_returnflag, '|' ORDER BY l_returnflag) AS flags,
+        array_to_string(array_agg(l_linenumber ORDER BY l_orderkey DESC, l_linenumber DESC), ';') AS ln_desc,
+        first(l_returnflag ORDER BY l_orderkey * 10 + l_linenumber) AS first_flag,
+        last(l_returnflag ORDER BY l_orderkey, l_linenumber) AS last_flag
+      FROM li GROUP BY l_linestatus ORDER BY st"""
+
+  def q155AggOrderBy(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    graft.operators.SqlStage("q155", aggOrderSqlText).apply(s, lineitem(s, d))
+  }
+
   def q152DmlStatements(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
     nation(s, d).createOrReplaceTempView("nation")
@@ -967,6 +1002,7 @@ object ExtraQueries {
     "q152_dml_statements" -> (q152DmlStatements _),
     "q153_alter_statements" -> (q153AlterStatements _),
     "q154_upsert_statements" -> (q154UpsertStatements _),
+    "q155_agg_order_by"   -> (q155AggOrderBy _),
     "q126_from_first"     -> (q126FromFirst _),
     "q127_sorted_layout"  -> (q127SortedLayout _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
@@ -1042,6 +1078,8 @@ object ExtraQueries {
     "q153_alter_statements" -> alterSqlText,
     // q154: DuckDB executes the identical typed-create/upsert batch
     "q154_upsert_statements" -> upsertSqlText,
+    // q155: DuckDB executes the identical inline-agg-ORDER BY text
+    "q155_agg_order_by" -> aggOrderSqlText,
     "q126_from_first" -> fromFirstSqlText,
     // q127: the aggregate is layout-independent — DuckDB reads the
     // ORIGINAL table; any loss/dup/corruption in the sorted layout

@@ -1400,7 +1400,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
       else // the ASOF rewrite output must itself be stable
@@ -2360,6 +2360,59 @@ class DialectSpec extends SparkSpec {
       val want = SqlStage("s", inline).apply(spark, df).collect().map(_.toSeq).toSeq
       assert(got == want, s"trial $trial mangled:\n$batch\nvs\n$inline")
     }
+  }
+
+  test("inline agg ORDER BY rewrites: string_agg/array_agg/list/first/last (r13)") {
+    // every expected value below is the PROBED duckdb 1.0.0 output on
+    // the identical data: 10 rows i=0..9, g=i%3, v = NULL when i%4=0
+    // else 'v'||i
+    spark.range(10).selectExpr("id AS i", "id % 3 AS g",
+      "CASE WHEN id % 4 = 0 THEN NULL ELSE 'v' || id END AS v")
+      .createOrReplaceTempView("aot")
+    def q(sql: String) = SqlStage("s", sql).apply(spark, df = spark.table("aot"))
+    // string_agg two-arg + DESC keys
+    assert(q("SELECT g, string_agg(i, ',' ORDER BY i DESC) AS s FROM aot GROUP BY g ORDER BY g")
+      .collect().map(_.getString(1)).toSeq == Seq("9,6,3,0", "7,4,1", "8,5,2"))
+    // 1-arg form gains DuckDB's default ',' separator; NULL values skipped
+    assert(q("SELECT string_agg(v ORDER BY i DESC) AS s FROM aot")
+      .collect().head.getString(0) == "v9,v7,v6,v5,v3,v2,v1")
+    // DISTINCT + ORDER BY through listagg WITHIN GROUP
+    assert(q("SELECT string_agg(DISTINCT g, ',' ORDER BY g DESC) AS s FROM aot")
+      .collect().head.getString(0) == "2,1,0")
+    // array_agg KEEPS NULL values (the struct wrap preserves them)
+    assert(q("SELECT array_agg(v ORDER BY i) AS a FROM aot WHERE g = 0")
+      .collect().head.getSeq[String](0) == Seq(null, "v3", "v6", "v9"))
+    assert(q("SELECT list(v ORDER BY i DESC) AS a FROM aot WHERE g = 0")
+      .collect().head.getSeq[String](0) == Seq("v9", "v6", "v3", null))
+    // NULL order keys go LAST in BOTH directions (DuckDB default, probed)
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (CAST(NULL AS INT), 'b'), (2, 'c') AS x(k, s)")
+      .createOrReplaceTempView("aotn")
+    assert(SqlStage("s", "SELECT array_agg(s ORDER BY k) AS a FROM aotn")
+      .apply(spark, spark.table("aotn")).collect().head.getSeq[String](0)
+      == Seq("a", "c", "b"))
+    assert(SqlStage("s", "SELECT array_agg(s ORDER BY k DESC) AS a FROM aotn")
+      .apply(spark, spark.table("aotn")).collect().head.getSeq[String](0)
+      == Seq("c", "a", "b"))
+    // multi-key mixed directions
+    assert(q("SELECT array_agg(i ORDER BY g ASC, i DESC) AS a FROM aot")
+      .collect().head.getSeq[Long](0) == Seq(9L, 6L, 3L, 0L, 7L, 4L, 1L, 8L, 5L, 2L))
+    // first/last → min_by/max_by (probed: first = value at ordering minimum)
+    assert(q("SELECT g, first(i ORDER BY i DESC) AS f, last(i ORDER BY i DESC) AS l FROM aot GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((9L, 0L), (7L, 1L), (8L, 2L)))
+    // multi-key first goes through the sorted-struct head
+    assert(q("SELECT first(i ORDER BY g ASC, i DESC) AS f FROM aot")
+      .collect().head.getLong(0) == 9L)
+    // guided errors: window use, array_agg DISTINCT with ORDER BY
+    val e1 = intercept[DuckDialectException](q(
+      "SELECT string_agg(i, ',' ORDER BY i) OVER (PARTITION BY g) AS s FROM aot"))
+    assert(e1.getMessage.contains("window"))
+    val e2 = intercept[DuckDialectException](q(
+      "SELECT array_agg(DISTINCT i ORDER BY i) AS a FROM aot"))
+    assert(e2.getMessage.contains("DISTINCT"))
+    // rewrite is an identity when no inline ORDER BY is present
+    val plain = "SELECT string_agg(v, ',') AS s, first(i) AS f FROM aot"
+    assert(GraftSqlParser.rewriteAggOrderBy(plain) == plain)
   }
 
   test("upsert model fuzz: 120 random DML ops track an in-memory reference (r13)") {
