@@ -311,6 +311,48 @@ object DuckDialect {
       throw new DuckDialectException(
         s"$name expects $n argument(s), got ${es.length}")
 
+  /** quantile_disc/quantile: ANSI percentile_disc takes a scalar
+    * fraction — DuckDB's list-of-fractions form keeps a guided error
+    * naming the per-fraction route.
+    */
+  private def quantileDisc(es: Seq[Expression]): Expression = es(1) match {
+    case CreateArray(_, _) => throw new DuckDialectException(
+      "quantile_disc/quantile with a LIST of fractions isn't translated — " +
+        "call it once per fraction, or use quantile_cont(x, [..]) for the " +
+        "interpolated form (Spark's exact Percentile takes fraction arrays)")
+    case p => aggregate.PercentileDisc(es(0), p)
+  }
+
+  /** DuckDB unicode()/ord(): codepoint of the first character, '' → -1
+    * (probed duckdb 1.0.0); Spark's ascii('') is 0, hence the guard.
+    */
+  private def duckUnicode(s: Expression): Expression =
+    If(EqualTo(Length(s), Literal(0)), Literal(-1), Ascii(s))
+
+  /** Scalar-position `range`/`generate_series` → Sequence over BIGINT
+    * with DuckDB's emptiness semantics (probed duckdb 1.0.0): a span
+    * opposing the step's sign yields [], range is end-EXCLUSIVE
+    * (stop = b - sign(step)), generate_series end-INCLUSIVE. Spark's
+    * Sequence alone would throw on e.g. sequence(4, 1, 1).
+    */
+  private def seriesExpr(name: String, es: Seq[Expression],
+                         exclusive: Boolean): Expression = {
+    if (es.isEmpty || es.length > 3)
+      throw new DuckDialectException(s"$name takes 1-3 arguments, got ${es.length}")
+    val (a, b, s) =
+      if (es.length == 1) (Literal(0L), Cast(es(0), LongType), Literal(1L))
+      else (Cast(es(0), LongType), Cast(es(1), LongType),
+        if (es.length == 3) Cast(es(2), LongType) else Literal(1L))
+    val sign = Signum(Cast(s, DoubleType))
+    val span = Multiply(Cast(Subtract(b, a), DoubleType), sign)
+    val emptyCond =
+      if (exclusive) LessThanOrEqual(span, Literal(0.0))
+      else LessThan(span, Literal(0.0))
+    val stop = if (exclusive) Subtract(b, Cast(sign, LongType)) else b
+    If(emptyCond, Cast(CreateArray(Nil), ArrayType(LongType)),
+      new Sequence(a, stop, Some(s)))
+  }
+
   /** Σ over a list as a higher-order aggregate (codegen'd by Catalyst;
     * the analyzer binds the unresolved lambda variables exactly as it
     * does for parsed `aggregate(l, 0D, (acc, x) -> acc + x)`).
@@ -468,6 +510,55 @@ object DuckDialect {
     "arg_min" -> (es => { nArgs("arg_min", es, 2); aggregate.MinBy(es(0), es(1)) }),
     "argmax" -> (es => { nArgs("argmax", es, 2); aggregate.MaxBy(es(0), es(1)) }),
     "argmin" -> (es => { nArgs("argmin", es, 2); aggregate.MinBy(es(0), es(1)) }),
+    // --- r13 probe-batch closures (graft.tools.Probe found these as
+    // raw UNRESOLVED_ROUTINE errors; every semantic below probed
+    // against duckdb 1.0.0)
+    // quantile_cont == Spark's exact interpolating Percentile (scalar
+    // AND list-of-fractions forms); quantile_disc / quantile (its
+    // DuckDB alias) == ANSI percentile_disc (scalar fraction only;
+    // returns DOUBLE where DuckDB keeps the element type — CAST in
+    // cross-engine SQL)
+    "quantile_cont" -> (es => { nArgs("quantile_cont", es, 2); new aggregate.Percentile(es(0), es(1)) }),
+    "quantile_disc" -> (es => { nArgs("quantile_disc", es, 2); quantileDisc(es) }),
+    "quantile" -> (es => { nArgs("quantile", es, 2); quantileDisc(es) }),
+    // product / entropy aggregates (AggExpressions natives: NULL-skip,
+    // DOUBLE; entropy is Shannon log2 over the value distribution)
+    "product" -> (es => { nArgs("product", es, 1); GraftProduct(es(0)) }),
+    "entropy" -> (es => { nArgs("entropy", es, 1); GraftEntropy(Cast(es(0), StringType)) }),
+    // list_intersect: element ORDER is hash order in DuckDB and
+    // first-array order in Spark — sort before comparing engines
+    "list_intersect" -> (es => { nArgs("list_intersect", es, 2); ArrayIntersect(es(0), es(1)) }),
+    // list_zip pads to the longest with NULLs in both engines; field
+    // names pinned to DuckDB's list_1, list_2, ...
+    "list_zip" -> (es => ArraysZip(es,
+      es.indices.map(i => Literal(UTF8String.fromString(s"list_${i + 1}"), StringType)))),
+    "from_base64" -> (es => { nArgs("from_base64", es, 1); UnBase64(es(0)) }),
+    // unicode/ord: codepoint of the FIRST character; '' → -1 (probed)
+    "unicode" -> (es => { nArgs("unicode", es, 1); duckUnicode(es(0)) }),
+    "ord" -> (es => { nArgs("ord", es, 1); duckUnicode(es(0)) }),
+    // fdiv = true floor division, fmod = FLOORED modulo (probed:
+    // fmod(-7.5, 2.0) = 0.5, NOT C's -1.5): x - floor(x/y)*y, DOUBLE
+    "fdiv" -> (es => { nArgs("fdiv", es, 2)
+      Cast(Floor(Divide(Cast(es(0), DoubleType), Cast(es(1), DoubleType))), DoubleType) }),
+    "fmod" -> (es => { nArgs("fmod", es, 2)
+      val x = Cast(es(0), DoubleType); val y = Cast(es(1), DoubleType)
+      Subtract(x, Multiply(Cast(Floor(Divide(x, y)), DoubleType), y)) }),
+    // scalar-position range/generate_series → Sequence with DuckDB's
+    // emptiness (wrong-direction → [], probed: range end-exclusive,
+    // generate_series end-inclusive, both honoring negative steps)
+    "range" -> (es => seriesExpr("range", es, exclusive = true)),
+    "generate_series" -> (es => seriesExpr("generate_series", es, exclusive = false)),
+    // string-similarity family → codegen'd TextSimilarity natives (all
+    // byte-based like DuckDB, probed; the row-local pair scorers
+    // complementing the MinHash/SimHash document-scale dedup)
+    "jaccard" -> (es => { nArgs("jaccard", es, 2); JaccardSim(es(0), es(1)) }),
+    "hamming" -> (es => { nArgs("hamming", es, 2); HammingDist(es(0), es(1)) }),
+    "mismatches" -> (es => { nArgs("mismatches", es, 2); HammingDist(es(0), es(1)) }),
+    "jaro_similarity" -> (es => { nArgs("jaro_similarity", es, 2); JaroSim(es(0), es(1)) }),
+    "jaro_winkler_similarity" -> (es => { nArgs("jaro_winkler_similarity", es, 2); JaroWinklerSim(es(0), es(1)) }),
+    "damerau_levenshtein" -> (es => { nArgs("damerau_levenshtein", es, 2); DamerauLevenshteinDist(es(0), es(1)) }),
+    "strip_accents" -> (es => { nArgs("strip_accents", es, 1); StripAccents(es(0)) }),
+    "nfc_normalize" -> (es => { nArgs("nfc_normalize", es, 1); NfcNormalize(es(0)) }),
     // --- list set predicates (probed against duckdb 1.0.0:
     // has_all(l, []) = true — array_except([] , l) is empty → size 0)
     "list_has_any" -> (es => { nArgs("list_has_any", es, 2); ArraysOverlap(es(0), es(1)) }),
@@ -539,6 +630,9 @@ object DuckDialect {
     "date_diff" -> "use timestampdiff(unit, start, end) — note DuckDB's date_diff('day', a, b) argument order",
     "date_add" -> "Spark's date_add(date, days) takes days only — for other units use dateadd(unit, n, ts)",
     "histogram" -> "use groupBy + count, or width_bucket for binning",
+    "mad" -> "exact median-absolute-deviation needs two passes — percentile(abs(x - m), 0.5) against a precomputed median m, or approx_percentile for one pass",
+    "gamma" -> "Spark has no gamma function — factorial(n) covers integer n; otherwise precompute or use a derive-stage expression",
+    "lgamma" -> "Spark has no log-gamma — for integer n use log(factorial(n)); otherwise precompute",
     "md5_number" -> "use the graft fingerprint natives (norm_fingerprint) or hash/xxhash64",
     "gen_random_uuid" -> "use uuid() (non-deterministic; forbidden in oracle-checked queries)",
     // lambda/computed COLUMNS() forms parse as a normal call and fail
@@ -578,6 +672,11 @@ object DuckDialect {
     // identical text on both engines) — this hint fires only when a
     // recursive shape still fails to parse, naming the iterative
     // operator for closure-shaped uses instead of a bare ANTLR error.
+    // window frame EXCLUDE (DuckDB: EXCLUDE CURRENT ROW | GROUP | TIES)
+    // — Spark frames have no exclusion clause; for algebraic aggregates
+    // the subtraction identity is exact
+    raw"(?i)\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\b".r ->
+      "window frame EXCLUDE isn't supported by Spark frames — for sum/count/avg subtract the excluded rows' contribution from the full-frame aggregate (e.g. sum(x) OVER w - x for EXCLUDE CURRENT ROW); for min/max restructure with two frames or a self-join",
     raw"(?i)\bWITH\s+RECURSIVE\b".r ->
       "this WITH RECURSIVE shape couldn't be parsed — standard linear-recursion CTEs run natively on Spark 4; for transitive-closure / reachability shapes graft's iterative connected-components operator (graft.functions.Dedup.connectedComponents: path doubling, O(log diameter) rounds) is the scale path; bounded-depth recursion can be unrolled with UNION ALL",
     // DuckDB bracket slicing `l[begin:end]` is normally auto-rewritten

@@ -40,11 +40,105 @@ object GraftSqlParser {
     * TABLESAMPLE.
     */
   def rewriteAll(sql: String): String =
-    rewriteAggOrderBy(rewriteSample(rewriteQualify(rewriteDistinctOn(rewriteStructPack(
-      rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(
-        rewriteGlob(rewriteIntDiv(rewritePow(rewriteJsonOps(
-          rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
-            rewriteFromFirst(sql)))))))))))))))))
+    rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQualify(
+      rewriteDistinctOn(rewriteStructPack(
+        rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(
+          rewriteGlob(rewriteIntDiv(rewritePow(rewriteJsonOps(
+            rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
+              rewriteFromFirst(sql)))))))))))))))))))
+
+  private val IgnoreNullsInsideRe = raw"(?is)\b(IGNORE|RESPECT)\s+NULLS\s*\)".r
+
+  /** DuckDB writes the null-treatment modifier INSIDE the window
+    * function's argument list — `lag(v IGNORE NULLS) OVER (…)` — where
+    * Spark wants it between the call and OVER: `lag(v) IGNORE NULLS
+    * OVER (…)`. Move it when the call is immediately followed by OVER;
+    * a non-window position is left alone (Spark fails loudly there,
+    * same as DuckDB outside window functions).
+    */
+  def rewriteIgnoreNulls(sql: String): String = {
+    val masked = maskQuotes(sql)
+    IgnoreNullsInsideRe.findAllMatchIn(masked).foreach { m =>
+      val close = m.end - 1 // position of ')'
+      var a = close + 1
+      while (a < masked.length && masked.charAt(a).isWhitespace) a += 1
+      if (a < masked.length && masked.charAt(a).isLetter &&
+        wordStartingAt(masked, a).equalsIgnoreCase("OVER")) {
+        val modifier = sql.substring(m.start(1), m.end(1)).toUpperCase + " NULLS"
+        val rewritten = sql.substring(0, m.start).stripSuffix(" ") +
+          ") " + modifier + " " + sql.substring(m.end)
+        return rewriteIgnoreNulls(rewritten)
+      }
+    }
+    sql
+  }
+
+  private val FormatFnRe = raw"(?i)(?<![\w.])format\s*\(".r
+
+  private def formatFail(why: String): Nothing =
+    throw new graft.functions.expressions.DuckDialectException(
+      s"format() couldn't be auto-rewritten ($why) — claimed: a LITERAL " +
+        "format string with plain {} or positional {n} placeholders " +
+        "(rewritten to concat + CAST AS STRING); fmt format specs " +
+        "({:.2f}, {:>8}, …) are not translated — use printf's %-codes")
+
+  /** DuckDB's `format('{} x {}', a, b)` (the fmt library) → Spark
+    * `concat(...)` with each argument `CAST(... AS STRING)` — numbers,
+    * booleans and strings render identically (probed). Plain `{}`
+    * (auto-numbered) and positional `{n}` placeholders are claimed for
+    * LITERAL format strings; `{{`/`}}` escapes produce literal braces.
+    * Anything else (format specs, computed format strings) fails with
+    * guidance to printf.
+    */
+  def rewriteFormatFn(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val m = FormatFnRe.findFirstMatchIn(masked).getOrElse(return sql)
+    val close = closeOf(masked, m.end).getOrElse(return sql)
+    val inner = sql.substring(m.end, close - 1)
+    val innerMasked = masked.substring(m.end, close - 1)
+    val args = splitTopLevel(inner, innerMasked).map(_.trim)
+    if (args.isEmpty) formatFail("no arguments")
+    val fmtM = raw"(?s)^'((?:[^']|'')*)'$$".r.findFirstMatchIn(args.head)
+      .getOrElse(formatFail("the format string must be a single literal"))
+    val fmt = fmtM.group(1).replace("''", "'")
+    val rest = args.tail
+    val parts = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var auto = 0
+    var usedAuto = false
+    var usedPos = false
+    var i = 0
+    def flushLit(): Unit = if (sb.nonEmpty) {
+      parts += s"'${sb.toString.replace("'", "''")}'"
+      sb.clear()
+    }
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '{' && i + 1 < fmt.length && fmt.charAt(i + 1) == '{') { sb.append('{'); i += 2 }
+      else if (c == '}' && i + 1 < fmt.length && fmt.charAt(i + 1) == '}') { sb.append('}'); i += 2 }
+      else if (c == '{') {
+        val end = fmt.indexOf('}', i)
+        if (end < 0) formatFail("unbalanced { in the format string")
+        val spec = fmt.substring(i + 1, end)
+        val idx =
+          if (spec.isEmpty) { usedAuto = true; val k = auto; auto += 1; k }
+          else if (spec.forall(_.isDigit)) { usedPos = true; spec.toInt }
+          else formatFail(s"format spec '{$spec}'")
+        if (usedAuto && usedPos)
+          formatFail("mixing {} and {n} placeholders (DuckDB rejects it too)")
+        if (idx >= rest.length)
+          formatFail(s"placeholder $idx but only ${rest.length} argument(s)")
+        flushLit()
+        parts += s"CAST((${rest(idx)}) AS STRING)"
+        i = end + 1
+      } else { sb.append(c); i += 1 }
+    }
+    flushLit()
+    val replacement =
+      if (parts.result().isEmpty) "''"
+      else s"concat(${parts.result().mkString(", ")})"
+    rewriteFormatFn(sql.substring(0, m.start) + replacement + sql.substring(close))
+  }
 
   private val AggOrderByFnRe =
     raw"(?i)(?<![\w.])(string_agg|group_concat|array_agg|list|first|last)\s*\(".r

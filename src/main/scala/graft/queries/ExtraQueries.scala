@@ -961,6 +961,86 @@ object ExtraQueries {
     graft.operators.SqlStage("q155", aggOrderSqlText).apply(s, lineitem(s, d))
   }
 
+  /** The r13 probe-batch function surface — IDENTICAL text on both
+    * engines: quantile_cont scalar forms (×2/×4 integer casts pin the
+    * interpolation exactly), quantile_disc (CAST absorbs the
+    * documented DOUBLE-vs-element-type divergence), the product and
+    * entropy aggregate natives (round(×1e4) absorbs entropy's
+    * sum-order ulp — a ×1e6 TRUNCATING cast landed exactly on a
+    * truncation boundary at every SF), fdiv/fmod (floored division and FLOORED modulo,
+    * probed), format('{}-{}') → concat rewrite, scalar-position
+    * range/generate_series with negative steps, list_intersect
+    * (list_sort first — element order is hash order in DuckDB,
+    * first-array order in Spark), and unicode/ord incl. the '' → -1
+    * pin. product's input is magnitude-bounded so the double is exact.
+    */
+  private[graft] val probeBatchSqlText = """
+      SELECT l_linestatus AS st,
+        CAST(quantile_cont(l_orderkey, 0.5) * 2 AS BIGINT) AS med2,
+        CAST(quantile_cont(l_orderkey, 0.25) * 4 AS BIGINT) AS q1x4,
+        CAST(quantile_disc(l_orderkey, 0.25) AS BIGINT) AS q1d,
+        CAST(product(CASE WHEN l_orderkey < 12 AND l_linenumber <= 2 THEN l_linenumber END) AS BIGINT) AS prod_s,
+        CAST(round(entropy(l_returnflag) * 10000) AS BIGINT) AS ent_u,
+        CAST(fdiv(max(l_orderkey), 7) AS BIGINT) AS fd,
+        CAST(fmod(max(l_orderkey), 7) AS BIGINT) AS fm,
+        format('{}-{}', count(*), max(l_linenumber)) AS tag,
+        array_to_string(range(2, 12, 3), ',') AS r3,
+        array_to_string(generate_series(5, 1, -2), ',') AS gs,
+        array_to_string(list_sort(list_intersect([1,2,3,4], [3,4,5])), ',') AS li,
+        unicode('€') AS uc, ord('') AS oc
+      FROM lineitem GROUP BY l_linestatus ORDER BY st"""
+
+  def q156ProbeBatchFns(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    graft.operators.SqlStage("q156", probeBatchSqlText).apply(s, lineitem(s, d))
+  }
+
+  /** DuckDB's in-call `IGNORE NULLS` window modifier (r13) — IDENTICAL
+    * text on both engines: the rewrite moves it to Spark's position
+    * between the call and OVER. Orders' o_orderkey is unique, so the
+    * window order is total and no tie can diverge.
+    */
+  private[graft] val ignoreNullsSqlText = """
+      SELECT o_orderkey AS k,
+        lag(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END IGNORE NULLS)
+          OVER (ORDER BY o_orderkey) AS prev_pri,
+        first_value(CASE WHEN o_totalprice > 150000 THEN o_orderstatus END IGNORE NULLS)
+          OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS big_first,
+        lead(o_orderpriority, 2) OVER (ORDER BY o_orderkey) AS nxt2
+      FROM orders WHERE o_orderkey < 500 ORDER BY k"""
+
+  def q157IgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    orders(s, d).createOrReplaceTempView("orders")
+    graft.operators.SqlStage("q157", ignoreNullsSqlText).apply(s, orders(s, d))
+  }
+
+  /** The string-similarity native family (r13) — IDENTICAL text on
+    * both engines: jaccard / jaro / jaro_winkler (round(×1e3/×1e5)
+    * integer casts absorb float-op-order ulp between the two
+    * implementations of the same formulas), damerau_levenshtein (FULL
+    * DL) and hamming/mismatches (integer — compared raw), strip_accents
+    * and nfc_normalize. All byte-based like DuckDB (probed).
+    */
+  private[graft] val textSimSqlText = """
+      SELECT n_nationkey AS k,
+        CAST(round(jaccard(n_name, 'NATION_1') * 1000) AS BIGINT) AS jac_m,
+        CAST(round(jaro_winkler_similarity(n_name, 'NATION_1') * 100000) AS BIGINT) AS jw_m,
+        CAST(round(jaro_similarity(n_name, 'NOTION_' || n_nationkey) * 100000) AS BIGINT) AS js_m,
+        damerau_levenshtein(n_name, 'NATION_10') AS dl,
+        hamming(lpad('' || n_nationkey, 2, '0'), '12') AS ham,
+        mismatches(n_name || '!', n_name || '?') AS mm,
+        strip_accents('âéïõü ' || n_name) AS sa,
+        length(nfc_normalize('é')) AS nfc_len
+      FROM nation ORDER BY k"""
+
+  def q158TextSimilarity(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    nation(s, d).createOrReplaceTempView("nation")
+    graft.operators.SqlStage("q158", textSimSqlText).apply(s, nation(s, d))
+  }
+
   def q152DmlStatements(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
     nation(s, d).createOrReplaceTempView("nation")
@@ -1003,6 +1083,9 @@ object ExtraQueries {
     "q153_alter_statements" -> (q153AlterStatements _),
     "q154_upsert_statements" -> (q154UpsertStatements _),
     "q155_agg_order_by"   -> (q155AggOrderBy _),
+    "q156_probe_batch_fns" -> (q156ProbeBatchFns _),
+    "q157_ignore_nulls"   -> (q157IgnoreNulls _),
+    "q158_text_similarity" -> (q158TextSimilarity _),
     "q126_from_first"     -> (q126FromFirst _),
     "q127_sorted_layout"  -> (q127SortedLayout _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
@@ -1080,6 +1163,11 @@ object ExtraQueries {
     "q154_upsert_statements" -> upsertSqlText,
     // q155: DuckDB executes the identical inline-agg-ORDER BY text
     "q155_agg_order_by" -> aggOrderSqlText,
+    // q156/q157: DuckDB executes the identical function/window text
+    "q156_probe_batch_fns" -> probeBatchSqlText,
+    "q157_ignore_nulls" -> ignoreNullsSqlText,
+    // q158: DuckDB executes the identical string-metric text
+    "q158_text_similarity" -> textSimSqlText,
     "q126_from_first" -> fromFirstSqlText,
     // q127: the aggregate is layout-independent — DuckDB reads the
     // ORIGINAL table; any loss/dup/corruption in the sorted layout

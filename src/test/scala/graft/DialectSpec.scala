@@ -1400,7 +1400,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
       else // the ASOF rewrite output must itself be stable
@@ -2413,6 +2413,113 @@ class DialectSpec extends SparkSpec {
     // rewrite is an identity when no inline ORDER BY is present
     val plain = "SELECT string_agg(v, ',') AS s, first(i) AS f FROM aot"
     assert(GraftSqlParser.rewriteAggOrderBy(plain) == plain)
+  }
+
+  test("r13 probe-batch aliases: quantiles, product, entropy, series, fdiv/fmod, format, IGNORE NULLS") {
+    // expected values are PROBED duckdb 1.0.0 outputs on identical data
+    spark.range(10).selectExpr("id AS i", "id % 3 AS g",
+      "CASE WHEN id % 4 = 0 THEN NULL ELSE 'v' || id END AS v")
+      .createOrReplaceTempView("pbt")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, spark.table("pbt"))
+      .collect().head
+    assert(one("SELECT quantile_cont(i, 0.5) AS m FROM pbt").getDouble(0) == 4.5)
+    assert(one("SELECT quantile_cont(i, [0.25, 0.75]) AS m FROM pbt")
+      .getSeq[Double](0) == Seq(2.25, 6.75))
+    // documented divergence: Spark's PercentileDisc returns DOUBLE
+    // where DuckDB keeps the element type — CAST in cross-engine SQL
+    assert(one("SELECT quantile_disc(i, 0.5) AS m FROM pbt").getDouble(0) == 4.0)
+    assert(one("SELECT quantile(i, 0.3) AS m FROM pbt").getDouble(0) == 2.0)
+    val eq = intercept[DuckDialectException](one("SELECT quantile(i, [0.3, 0.7]) AS m FROM pbt"))
+    assert(eq.getMessage.contains("LIST of fractions"))
+    // product: NULL-skipping, DOUBLE (probed 120.0 / 40.0)
+    assert(one("SELECT product(i + 1) AS m FROM pbt WHERE i < 5").getDouble(0) == 120.0)
+    assert(one("SELECT product(CASE WHEN i = 2 THEN NULL ELSE i + 1 END) AS m FROM pbt WHERE i < 5")
+      .getDouble(0) == 40.0)
+    // entropy: Shannon log2 over the value distribution (probed: 4
+    // uniform values → 2.0 exactly; the 10-row case only to 1 ulp)
+    assert(one("SELECT entropy(i) AS m FROM pbt WHERE i < 4").getDouble(0) == 2.0)
+    assert(math.abs(one("SELECT entropy(g) AS m FROM pbt").getDouble(0)
+      - 1.5709505944546687) < 1e-12)
+    // series: range end-exclusive, generate_series end-inclusive,
+    // wrong-direction → [] (probed)
+    assert(one("SELECT range(5) AS m").getSeq[Long](0) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(one("SELECT range(5, 2) AS m").getSeq[Long](0).isEmpty)
+    assert(one("SELECT range(0, 10, 3) AS m").getSeq[Long](0) == Seq(0L, 3L, 6L, 9L))
+    assert(one("SELECT range(5, 0, -2) AS m").getSeq[Long](0) == Seq(5L, 3L, 1L))
+    assert(one("SELECT generate_series(1, 3) AS m").getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(one("SELECT generate_series(4, 1) AS m").getSeq[Long](0).isEmpty)
+    assert(one("SELECT generate_series(5, 1, -2) AS m").getSeq[Long](0) == Seq(5L, 3L, 1L))
+    // fdiv = true floor; fmod = FLOORED modulo (probed: fmod(-7.5, 2.0)
+    // = 0.5, NOT C's -1.5)
+    assert(one("SELECT fdiv(7, 2) AS m").getDouble(0) == 3.0)
+    assert(one("SELECT fdiv(-7.5, 2.0) AS m").getDouble(0) == -4.0)
+    assert(one("SELECT fmod(-7.5, 2.0) AS m").getDouble(0) == 0.5)
+    assert(one("SELECT fmod(7.5, 2) AS m").getDouble(0) == 1.5)
+    // unicode/ord: first char codepoint, '' → -1 (probed)
+    assert(one("SELECT unicode('abc') AS a, unicode('') AS b, ord('€') AS c")
+      .toSeq == Seq(97, -1, 8364))
+    // list_zip pads with NULLs and pins DuckDB's list_1/list_2 names
+    val z = one("SELECT list_zip([1,2,3], ['a','b']) AS m").getSeq[org.apache.spark.sql.Row](0)
+    assert(z.size == 3 && z(0).schema.fieldNames.toSeq == Seq("list_1", "list_2") &&
+      z(2).isNullAt(1))
+    assert(one("SELECT list_sort(list_intersect([1,2,3], [2,3,4])) AS m")
+      .getSeq[Int](0) == Seq(2, 3))
+    assert(new String(one("SELECT from_base64('aGk=') AS m").getAs[Array[Byte]](0)) == "hi")
+    // format: {} auto and {n} positional over a literal (probed)
+    assert(one("SELECT format('{} x {}', 1, 'a') AS m").getString(0) == "1 x a")
+    assert(one("SELECT format('{1}-{0}', 'a', 'b') AS m").getString(0) == "b-a")
+    val ef = intercept[DuckDialectException](one("SELECT format('{:.2f}', 1.5) AS m"))
+    assert(ef.getMessage.contains("printf"))
+    // IGNORE NULLS moves from inside the call to Spark's position
+    val lag = SqlStage("s",
+      "SELECT i, lag(v IGNORE NULLS) OVER (ORDER BY i) AS p FROM pbt ORDER BY i LIMIT 6")
+      .apply(spark, spark.table("pbt")).collect().map(r =>
+        if (r.isNullAt(1)) null else r.getString(1)).toSeq
+    assert(lag == Seq(null, null, "v1", "v2", "v3", "v3"))
+    val fv = SqlStage("s",
+      """SELECT i, first_value(v IGNORE NULLS) OVER (ORDER BY i
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f FROM pbt ORDER BY i LIMIT 3""")
+      .apply(spark, spark.table("pbt")).collect().map(r =>
+        if (r.isNullAt(1)) null else r.getString(1)).toSeq
+    assert(fv == Seq(null, "v1", "v1"))
+  }
+
+  test("string-similarity natives match probed DuckDB values (r13)") {
+    val df = spark.range(1).toDF("z")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // all expected values PROBED against duckdb 1.0.0 — the family is
+    // byte-based there (hamming('âb','ab') errors though codepoint
+    // counts match; damerau('âa','aâ') = 2, not the codepoint 1)
+    assert(one("SELECT jaccard('duck', 'luck') AS m").getDouble(0) == 0.6)
+    assert(one("SELECT jaccard('aab', 'ab') AS m").getDouble(0) == 1.0) // sets
+    assert(one("SELECT jaccard('abcd', 'bc') AS m").getDouble(0) == 0.5)
+    assert(one("SELECT hamming('duck', 'luck') AS m").getLong(0) == 1L)
+    assert(one("SELECT mismatches('âx', 'ây') AS m").getLong(0) == 1L)
+    assert(one("SELECT jaro_similarity('duck', 'luck') AS m").getDouble(0)
+      == 0.8333333333333334)
+    assert(one("SELECT jaro_winkler_similarity('martha', 'marhta') AS m").getDouble(0)
+      == 0.9611111111111111)
+    assert(one("SELECT jaro_winkler_similarity('dwayne', 'duane') AS m").getDouble(0)
+      == 0.8400000000000001)
+    assert(one("SELECT jaro_winkler_similarity('dixon', 'dicksonx') AS m").getDouble(0)
+      == 0.8133333333333332)
+    // boost only above the 0.7 threshold (probed: unchanged at 0.477)
+    assert(one("SELECT jaro_winkler_similarity('abqqqqqq', 'abzzzzzzyyy') AS m")
+      .getDouble(0) == 0.4772727272727273)
+    // FULL Damerau-Levenshtein, not OSA: CA→ABC is 2
+    assert(one("SELECT damerau_levenshtein('CA', 'ABC') AS m").getLong(0) == 2L)
+    assert(one("SELECT damerau_levenshtein('ca', 'ac') AS m").getLong(0) == 1L)
+    assert(one("SELECT damerau_levenshtein('kitten', 'sitting') AS m").getLong(0) == 3L)
+    assert(one("SELECT damerau_levenshtein('âa', 'aâ') AS m").getLong(0) == 2L) // bytes
+    assert(one("SELECT damerau_levenshtein('', 'abc') AS m").getLong(0) == 3L)
+    assert(one("SELECT strip_accents('âéïõü mühlen') AS m").getString(0) == "aeiou muhlen")
+    assert(one("SELECT length(nfc_normalize('é')) AS m").getInt(0) == 1)
+    // NULLs propagate; DuckDB's loud edges stay loud
+    assert(one("SELECT jaccard(CAST(NULL AS STRING), 'a') AS m").isNullAt(0))
+    val e1 = intercept[Exception](one("SELECT hamming('ab', 'abc') AS m"))
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception](one("SELECT jaccard('', 'a') AS m"))
+    assert(e2.getMessage != null)
   }
 
   test("upsert model fuzz: 120 random DML ops track an in-memory reference (r13)") {
