@@ -556,23 +556,33 @@ final case class SqlStage(name: String, code: String) extends Stage {
           .apply(spark, df)
       }
     val aligned = recastTo(cur, aligned0).localCheckpoint()
-    // ---- declared constraints: NOT NULL (pk implies it), in one pass
+    // ---- declared constraints, ONE aggregate pass (the per-statement
+    // job count is the DML fixture cost at bench scale): total rows,
+    // per-constrained-column null counts, and distinct-key count; the
+    // offending key is only LOOKED UP on the error path
     val constrained = (meta.map(_.notNull).getOrElse(Set.empty) ++ pkLower)
       .toSeq.sorted.flatMap(c => cur.columns.find(_.equalsIgnoreCase(c)))
-    if (constrained.nonEmpty) {
-      val aggs = constrained.map(c => count(when(col(c).isNull, 1)).as(c))
-      val row = aligned.agg(aggs.head, aggs.tail: _*).collect().head
-      constrained.zipWithIndex.find { case (_, i) => row.getLong(i) > 0 }
-        .foreach { case (c, _) => fail(s"NOT NULL constraint failed: $t.$c") }
-    }
     val pkCols = pk.map(k => cur.columns.find(_.equalsIgnoreCase(k)).getOrElse(
       fail(s"declared PRIMARY KEY column '$k' is gone from the table")))
-    if (pkCols.nonEmpty) {
-      val dup = aligned.groupBy(pkCols.map(col).toIndexedSeq: _*).count()
-        .filter(col("count") > 1).limit(1).collect()
-      if (dup.nonEmpty)
+    if (constrained.nonEmpty || pkCols.nonEmpty) {
+      val statsCols = Seq(count(lit(1)).as("__n")) ++
+        (if (pkCols.nonEmpty)
+          Seq(countDistinct(struct(pkCols.map(col).toIndexedSeq: _*)).as("__nd"))
+        else Nil) ++
+        constrained.map(c => count(when(col(c).isNull, 1)).as(s"__nn_$c"))
+      val stats = aligned.agg(statsCols.head, statsCols.tail: _*).collect().head
+      constrained.foreach { c =>
+        if (stats.getAs[Long](s"__nn_$c") > 0)
+          fail(s"NOT NULL constraint failed: $t.$c")
+      }
+      if (pkCols.nonEmpty &&
+        stats.getAs[Long]("__nd") != stats.getAs[Long]("__n")) {
+        val dup = aligned.groupBy(pkCols.map(col).toIndexedSeq: _*).count()
+          .filter(col("count") > 1).limit(1).collect()
         fail("PRIMARY KEY or UNIQUE constraint violated: duplicate key \"" +
-          dup.head.toSeq.dropRight(1).mkString(", ") + "\" (within the batch)")
+          dup.headOption.map(_.toSeq.dropRight(1).mkString(", ")).getOrElse("?") +
+          "\" (within the batch)")
+      }
     }
     if (spec.action.isDefined && pkCols.isEmpty)
       fail("ON CONFLICT / OR REPLACE / OR IGNORE needs a declared PRIMARY KEY " +
