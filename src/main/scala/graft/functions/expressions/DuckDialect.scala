@@ -311,6 +311,78 @@ object DuckDialect {
       throw new DuckDialectException(
         s"$name expects $n argument(s), got ${es.length}")
 
+  /** Normalize a DuckDB datepart name (plural and common abbreviated
+    * forms) for date_diff/date_sub; unknown parts keep a guided error.
+    */
+  private def literalUnit(name: String, e: Expression): String = {
+    val raw = e match {
+      case Literal(s: UTF8String, StringType) if s != null => s.toString.toLowerCase
+      case _ => throw new DuckDialectException(
+        s"$name needs a LITERAL datepart string as its first argument")
+    }
+    raw.stripSuffix("s") match {
+      case "year" | "yr" | "y" => "year"
+      case "quarter" => "quarter"
+      case "month" | "mon" => "month"
+      case "week" => "week"
+      case "day" | "d" => "day"
+      case "hour" | "hr" | "h" => "hour"
+      case "minute" | "min" => "minute"
+      case "second" | "sec" => "second"
+      case "millisecond" | "msec" | "ms" => "millisecond"
+      case "microsecond" | "usec" | "us" => "microsecond"
+      case other => throw new DuckDialectException(
+        s"$name: datepart '$other' isn't translated — use year/quarter/month/" +
+          "week/day/hour/minute/second/millisecond/microsecond")
+    }
+  }
+
+  /** DuckDB date_diff(part, a, b): BOUNDARY CROSSINGS between a and b
+    * (probed: one month from 01-31 to 02-01, negative when b < a) — the
+    * truncate-then-subtract identity per part. Returns BIGINT like
+    * DuckDB. week boundaries are Mondays (Spark trunc 'week' agrees).
+    */
+  private def boundaryDiff(name: String, es: Seq[Expression]): Expression = {
+    val a = es(1); val b = es(2)
+    def d(e: Expression) = Cast(e, DateType)
+    def yearL(e: Expression) = Cast(Year(d(e)), LongType)
+    def ymL(e: Expression) = Add(Multiply(yearL(e), Literal(12L)),
+      Cast(Subtract(Month(d(e)), Literal(1)), LongType))
+    def qL(e: Expression) = Add(Multiply(yearL(e), Literal(4L)),
+      Cast(Subtract(Quarter(d(e)), Literal(1)), LongType))
+    def floorEpochDiv(e: Expression, unitSecs: Long) =
+      Cast(Floor(Divide(Cast(UnixSeconds(Cast(e, TimestampType)), DoubleType),
+        Literal(unitSecs.toDouble))), LongType)
+    literalUnit(name, es(0)) match {
+      case "year" => Subtract(yearL(b), yearL(a))
+      case "quarter" => Subtract(qL(b), qL(a))
+      case "month" => Subtract(ymL(b), ymL(a))
+      case "week" =>
+        // Monday-truncated date difference is an exact multiple of 7
+        Cast(IntegralDivide(
+          Cast(DateDiff(TruncDate(d(b), lit("week")), TruncDate(d(a), lit("week"))), LongType),
+          Literal(7L)), LongType)
+      case "day" => Cast(DateDiff(d(b), d(a)), LongType)
+      case "hour" => Subtract(floorEpochDiv(b, 3600L), floorEpochDiv(a, 3600L))
+      case "minute" => Subtract(floorEpochDiv(b, 60L), floorEpochDiv(a, 60L))
+      case "second" => Subtract(floorEpochDiv(b, 1L), floorEpochDiv(a, 1L))
+      case "millisecond" => Subtract(
+        Cast(UnixMillis(Cast(b, TimestampType)), LongType),
+        Cast(UnixMillis(Cast(a, TimestampType)), LongType))
+      case "microsecond" => Subtract(
+        Cast(UnixMicros(Cast(b, TimestampType)), LongType),
+        Cast(UnixMicros(Cast(a, TimestampType)), LongType))
+    }
+  }
+
+  /** DuckDB date_sub(part, a, b): COMPLETE intervals between a and b —
+    * exactly Spark's timestampdiff (probed: 0 hours from 00:59 to
+    * 01:01).
+    */
+  private def completeDiff(name: String, es: Seq[Expression]): Expression =
+    TimestampDiff(literalUnit(name, es(0)).toUpperCase,
+      Cast(es(1), TimestampType), Cast(es(2), TimestampType))
+
   /** quantile_disc/quantile: ANSI percentile_disc takes a scalar
     * fraction — DuckDB's list-of-fractions form keeps a guided error
     * naming the per-fraction route.
@@ -548,6 +620,48 @@ object DuckDialect {
     // generate_series end-inclusive, both honoring negative steps)
     "range" -> (es => seriesExpr("range", es, exclusive = true)),
     "generate_series" -> (es => seriesExpr("generate_series", es, exclusive = false)),
+    // --- r13 second probe sweep: date/time + small math
+    // time_bucket → the codegen'd TimeBucket native (origin 2000-01-03
+    // for fixed widths / 2000-01 for month widths, probed); the 3-arg
+    // origin/offset forms keep a guided error
+    "time_bucket" -> (es => {
+      if (es.length != 2) throw new DuckDialectException(
+        "time_bucket(width, ts[, origin/offset]) — only the 2-argument form is " +
+          "translated; rebase the input (ts - offset) for custom origins")
+      TimeBucket(es(0), es(1))
+    }),
+    // date_diff/datediff with a QUOTED datepart arrive as
+    // graft_date_diff (GraftSqlParser.rewriteDateDiffFn — Spark's
+    // parser special-cases the original names): DuckDB counts BOUNDARY
+    // CROSSINGS (probed: date_diff('month', '2024-01-31', '2024-02-01')
+    // = 1 — NOT timestampdiff's full-interval count)
+    "graft_date_diff" -> (es => { nArgs("graft_date_diff", es, 3)
+      boundaryDiff("date_diff", es) }),
+    // date_sub/datesub 3-arg: DuckDB's COMPLETE-interval count ==
+    // timestampdiff; the 2-arg form stays Spark's native date_sub(d, n)
+    // (q65 uses it — replacing the builtin outright broke it, caught by
+    // the gate)
+    "date_sub" -> (es => if (es.length == 3) completeDiff("date_sub", es)
+      else { nArgs("date_sub", es, 2); DateSub(es(0), es(1)) }),
+    "datesub" -> (es => { nArgs("datesub", es, 3); completeDiff("datesub", es) }),
+    // dayname/monthname: DuckDB returns FULL names (Spark's own dayname
+    // is abbreviated — hence date_format)
+    "dayname" -> (es => { nArgs("dayname", es, 1)
+      DateFormatClass(Cast(es(0), TimestampType), lit("EEEE")) }),
+    "monthname" -> (es => { nArgs("monthname", es, 1)
+      DateFormatClass(Cast(es(0), TimestampType), lit("MMMM")) }),
+    // isodow: Monday=1..Sunday=7 (probed) = Spark weekday + 1
+    "isodow" -> (es => { nArgs("isodow", es, 1)
+      Cast(Add(WeekDay(Cast(es(0), DateType)), Literal(1)), LongType) }),
+    "epoch_ns" -> (es => { nArgs("epoch_ns", es, 1)
+      Multiply(UnixMicros(Cast(es(0), TimestampType)), Literal(1000L)) }),
+    // small math natives (probed: gcd sign-insensitive, lcm(0, x) = 0,
+    // even rounds AWAY from zero to the next even)
+    "greatest_common_divisor" -> (es => { nArgs("greatest_common_divisor", es, 2); GcdExpr(es(0), es(1)) }),
+    "gcd" -> (es => { nArgs("gcd", es, 2); GcdExpr(es(0), es(1)) }),
+    "least_common_multiple" -> (es => { nArgs("least_common_multiple", es, 2); LcmExpr(es(0), es(1)) }),
+    "lcm" -> (es => { nArgs("lcm", es, 2); LcmExpr(es(0), es(1)) }),
+    "even" -> (es => { nArgs("even", es, 1); EvenExpr(es(0)) }),
     // string-similarity family → codegen'd TextSimilarity natives (all
     // byte-based like DuckDB, probed; the row-local pair scorers
     // complementing the MinHash/SimHash document-scale dedup)
@@ -627,7 +741,6 @@ object DuckDialect {
     "read_json_auto" -> "read_json_auto('path') runs inside graft sql stages; here declare the file as a pipeline `input` or use spark.read.json",
     "struct_pack" -> "use named_struct('a', expr1, 'b', expr2)",
     "group_concat" -> "use string_agg(expr, sep) (both engines support it)",
-    "date_diff" -> "use timestampdiff(unit, start, end) — note DuckDB's date_diff('day', a, b) argument order",
     "date_add" -> "Spark's date_add(date, days) takes days only — for other units use dateadd(unit, n, ts)",
     "histogram" -> "use groupBy + count, or width_bucket for binning",
     "mad" -> "exact median-absolute-deviation needs two passes — percentile(abs(x - m), 0.5) against a precomputed median m, or approx_percentile for one pass",

@@ -40,12 +40,28 @@ object GraftSqlParser {
     * TABLESAMPLE.
     */
   def rewriteAll(sql: String): String =
-    rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQualify(
+    rewriteDateDiffFn(rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQualify(
       rewriteDistinctOn(rewriteStructPack(
         rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(
           rewriteGlob(rewriteIntDiv(rewritePow(rewriteJsonOps(
             rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
-              rewriteFromFirst(sql)))))))))))))))))))
+              rewriteFromFirst(sql))))))))))))))))))))
+
+  private val DateDiffFnRe = raw"(?i)(?<![\w.])(date_diff|datediff)\s*\(\s*'".r
+
+  /** DuckDB's `date_diff('part', a, b)` carries the datepart as a
+    * QUOTED string — Spark's PARSER special-cases these names and
+    * demands an unquoted unit keyword, so the call never reaches the
+    * function registry. Rename quoted-part calls to the registered
+    * `graft_date_diff` (DuckDB's boundary-crossing semantics); Spark's
+    * own unquoted forms (`date_diff(DAY, a, b)`) pass through native.
+    */
+  def rewriteDateDiffFn(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val m = DateDiffFnRe.findFirstMatchIn(masked).getOrElse(return sql)
+    rewriteDateDiffFn(sql.substring(0, m.start(1)) + "graft_date_diff" +
+      sql.substring(m.end(1)))
+  }
 
   private val IgnoreNullsInsideRe = raw"(?is)\b(IGNORE|RESPECT)\s+NULLS\s*\)".r
 

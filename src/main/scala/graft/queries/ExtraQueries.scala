@@ -1077,6 +1077,37 @@ object ExtraQueries {
     graft.operators.SqlStage("q159", fuzzyMatchSqlText).apply(s, customer(s, d))
   }
 
+  /** The r13 date/time probe-batch closures over the EVENTS stream —
+    * IDENTICAL text on both engines: `time_bucket` (6-hour group
+    * buckets + a 15-minute bucket pinned to the nanosecond through
+    * epoch_ns — the native's 2000-01-03 origin shows in every value),
+    * boundary-counting `date_diff` vs complete-interval `datesub` on
+    * the same (min, max) pair (the two semantics differ and BOTH are
+    * pinned), `dayname` (full names), `isodow`, `gcd`, and `even` on a
+    * deterministic integer+0.5 input (float-free — even() jumps at
+    * every even boundary, so a ulp-bearing avg would flip it).
+    * Timestamps render via strftime (the raw-timestamp compare gotcha).
+    */
+  private[graft] val timeBucketSqlText = """
+      SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M') AS bucket,
+             event_type,
+             count(*) AS n,
+             date_diff('hour', min(ts), max(ts)) AS span_h,
+             datesub('minute', min(ts), max(ts)) AS span_min_full,
+             dayname(min(ts)) AS first_day,
+             isodow(min(ts)) AS dow,
+             epoch_ns(time_bucket(INTERVAL '15 minutes', min(ts))) AS bn,
+             greatest_common_divisor(count(*), 12) AS g,
+             CAST(even((count(*) % 7) + 0.5) AS BIGINT) AS ev
+      FROM events
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  def q160TimeBucket(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    events(s, d).createOrReplaceTempView("events")
+    graft.operators.SqlStage("q160", timeBucketSqlText).apply(s, events(s, d))
+  }
+
   def q152DmlStatements(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
     nation(s, d).createOrReplaceTempView("nation")
@@ -1123,6 +1154,7 @@ object ExtraQueries {
     "q157_ignore_nulls"   -> (q157IgnoreNulls _),
     "q158_text_similarity" -> (q158TextSimilarity _),
     "q159_fuzzy_match"    -> (q159FuzzyMatch _),
+    "q160_time_bucket"    -> (q160TimeBucket _),
     "q126_from_first"     -> (q126FromFirst _),
     "q127_sorted_layout"  -> (q127SortedLayout _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
@@ -1207,6 +1239,8 @@ object ExtraQueries {
     "q158_text_similarity" -> textSimSqlText,
     // q159: DuckDB executes the identical blocked fuzzy-match text
     "q159_fuzzy_match" -> fuzzyMatchSqlText,
+    // q160: DuckDB executes the identical time_bucket/date_diff text
+    "q160_time_bucket" -> timeBucketSqlText,
     "q126_from_first" -> fromFirstSqlText,
     // q127: the aggregate is layout-independent — DuckDB reads the
     // ORIGINAL table; any loss/dup/corruption in the sorted layout

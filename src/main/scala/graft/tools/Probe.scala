@@ -84,6 +84,23 @@ object Probe {
     tryq("list_intersect", "SELECT list_intersect([1,2,3], [2,3,4]) AS m")
     tryq("list_has_any", "SELECT list_has_any([1,2], [2,9]) AS m")
     tryq("list_position", "SELECT list_position([7,8,9], 8) AS m")
+    // r13 second sweep: date/time + misc
+    tryq("time_bucket", "SELECT time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-01-01 10:23:45') AS m")
+    tryq("last_day", "SELECT last_day(DATE '2024-02-05') AS m")
+    tryq("make_date", "SELECT make_date(2024, 2, 29) AS m")
+    tryq("make_timestamp", "SELECT make_timestamp(2024, 2, 29, 10, 30, 12.5) AS m")
+    tryq("date_diff3", "SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-05') AS m")
+    tryq("timestampdiff", "SELECT timestampdiff(DAY, DATE '2024-01-01', DATE '2024-03-05') AS m")
+    tryq("datediff3", "SELECT datediff('hour', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 07:30:00') AS m")
+    tryq("dayname", "SELECT dayname(DATE '2024-03-05') AS m")
+    tryq("monthname", "SELECT monthname(DATE '2024-03-05') AS m")
+    tryq("weekofyear", "SELECT weekofyear(DATE '2024-03-05') AS m")
+    tryq("isodow", "SELECT isodow(DATE '2024-03-05') AS m")
+    tryq("epoch_ns", "SELECT epoch_ns(TIMESTAMP '2024-01-01 00:00:01') AS m")
+    tryq("cot", "SELECT cot(1.0) AS m")
+    tryq("atan2", "SELECT atan2(1.0, 2.0) AS m")
+    tryq("gcd", "SELECT greatest_common_divisor(12, 18) AS m")
+    tryq("even", "SELECT even(2.5) AS m")
     spark.stop()
   }
 }

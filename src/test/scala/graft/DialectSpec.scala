@@ -223,7 +223,9 @@ class DialectSpec extends SparkSpec {
       intercept[DuckDialectException](
         SqlStage("s", sql).apply(spark, spark.range(1).toDF("id"))).getMessage
     assert(hintOf("SELECT histogram(id) FROM df").contains("width_bucket"))
-    assert(hintOf("SELECT date_diff('day', d1, d2) FROM df").contains("timestampdiff"))
+    // date_diff('day', ...) EXECUTES since r13 (boundary-crossing
+    // rewrite) — mad keeps the two-pass guidance instead
+    assert(hintOf("SELECT mad(id) FROM df").contains("percentile"))
     // read_csv_auto('path') EXECUTES in sql stages since r9 — a missing
     // file surfaces as the reader's path error, not a dialect hint; the
     // hint remains for option-bearing calls (asserted in the COPY test)
@@ -1400,7 +1402,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
       else // the ASOF rewrite output must itself be stable
@@ -2482,6 +2484,63 @@ class DialectSpec extends SparkSpec {
       .apply(spark, spark.table("pbt")).collect().map(r =>
         if (r.isNullAt(1)) null else r.getString(1)).toSeq
     assert(fv == Seq(null, "v1", "v1"))
+  }
+
+  test("date/time probe-batch: time_bucket, boundary date_diff, datesub, small math (r13)") {
+    val df = spark.range(1).toDF("z")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // time_bucket: origin 2000-01-03 (probed: the 7-hour bucket of the
+    // origin is itself; pre-origin floors into negative buckets)
+    def ts(sql: String) = one(s"SELECT strftime($sql, '%Y-%m-%d %H:%M') AS m").getString(0)
+    assert(ts("time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-01-01 10:23:45')")
+      == "2024-01-01 10:15")
+    assert(ts("time_bucket(INTERVAL '7 hours', TIMESTAMP '2000-01-03 00:00:00')")
+      == "2000-01-03 00:00")
+    assert(ts("time_bucket(INTERVAL '7 hours', TIMESTAMP '1999-12-31 23:00:00')")
+      == "1999-12-31 23:00")
+    assert(ts("time_bucket(INTERVAL '2 months', TIMESTAMP '2024-03-15 10:00:00')")
+      == "2024-03-01 00:00")
+    // DATE inputs bucket their midnight and return DATE (probed)
+    assert(one("SELECT time_bucket(INTERVAL '7 days', DATE '2024-03-05') AS m")
+      .getDate(0).toString == "2024-03-04")
+    assert(one("SELECT time_bucket(INTERVAL '2 months', DATE '2024-02-15') AS m")
+      .getDate(0).toString == "2024-01-01")
+    // date_diff counts BOUNDARY CROSSINGS; datesub counts COMPLETE units
+    assert(one("SELECT date_diff('month', DATE '2024-01-31', DATE '2024-02-01') AS m")
+      .getLong(0) == 1L)
+    assert(one("SELECT date_diff('hour', TIMESTAMP '2024-01-01 00:59:00', TIMESTAMP '2024-01-01 01:01:00') AS m")
+      .getLong(0) == 1L)
+    assert(one("SELECT datesub('hour', TIMESTAMP '2024-01-01 00:59:00', TIMESTAMP '2024-01-01 01:01:00') AS m")
+      .getLong(0) == 0L)
+    assert(one("SELECT date_diff('week', DATE '2024-03-03', DATE '2024-03-04') AS m")
+      .getLong(0) == 1L) // Sunday -> Monday crosses the ISO week boundary
+    assert(one("SELECT date_diff('month', DATE '2024-03-01', DATE '2024-01-31') AS m")
+      .getLong(0) == -2L)
+    assert(one("SELECT date_diff('day', TIMESTAMP '2024-01-01 23:00:00', TIMESTAMP '2024-01-02 01:00:00') AS m")
+      .getLong(0) == 1L)
+    // Spark's own unquoted form stays native (parser-level timestampdiff)
+    assert(one("SELECT date_diff(DAY, DATE '2024-01-01', DATE '2024-03-05') AS m")
+      .getLong(0) == 64L)
+    // dayname/monthname FULL names; isodow Monday=1..Sunday=7
+    assert(one("SELECT dayname(DATE '2024-03-05') AS a, monthname(DATE '2024-03-05') AS b")
+      .toSeq == Seq("Tuesday", "March"))
+    assert(one("SELECT isodow(DATE '2024-03-05') AS a, isodow(DATE '2024-03-10') AS b")
+      .toSeq == Seq(2L, 7L))
+    assert(one("SELECT epoch_ns(TIMESTAMP '2024-01-01 00:00:01') AS m")
+      .getLong(0) == 1704067201000000000L)
+    // small math (probed): gcd sign-insensitive, lcm(0, x) = 0, even
+    // rounds AWAY from zero to the next even
+    assert(one("SELECT greatest_common_divisor(-12, 18) AS a, lcm(4, 6) AS b, " +
+      "least_common_multiple(0, 5) AS c").toSeq == Seq(6L, 12L, 0L))
+    assert(one("SELECT even(2.5) AS a, even(-2.5) AS b, even(2.0) AS c, even(3) AS d")
+      .toSeq == Seq(4.0, -4.0, 2.0, 4.0))
+    // guided errors: 3-arg time_bucket, unknown datepart
+    val e1 = intercept[DuckDialectException](one(
+      "SELECT time_bucket(INTERVAL '1 hour', TIMESTAMP '2024-01-01 00:00:00', INTERVAL '30 minutes') AS m"))
+    assert(e1.getMessage.contains("2-argument"))
+    val e2 = intercept[DuckDialectException](one(
+      "SELECT date_diff('fortnight', DATE '2024-01-01', DATE '2024-03-05') AS m"))
+    assert(e2.getMessage.contains("datepart"))
   }
 
   test("string-similarity natives match probed DuckDB values (r13)") {
