@@ -40,12 +40,118 @@ object GraftSqlParser {
     * TABLESAMPLE.
     */
   def rewriteAll(sql: String): String =
-    rewriteDateDiffFn(rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQualify(
+    rewriteFrameExclude(rewriteDateDiffFn(rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQualify(
       rewriteDistinctOn(rewriteStructPack(
         rewriteExclude(rewriteAsof(rewritePositional(rewriteSlice(
           rewriteGlob(rewriteIntDiv(rewritePow(rewriteJsonOps(
             rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
-              rewriteFromFirst(sql))))))))))))))))))))
+              rewriteFromFirst(sql)))))))))))))))))))))
+
+  private val FrameExcludeRe =
+    raw"(?is)\s*EXCLUDE\s+(CURRENT\s+ROW|NO\s+OTHERS|GROUP|TIES)\s*\)".r
+
+  private def frameExcludeFail(why: String): Nothing =
+    throw new graft.functions.expressions.DuckDialectException(
+      s"window frame EXCLUDE couldn't be auto-rewritten ($why) — EXCLUDE " +
+        "CURRENT ROW is translated for sum/count/avg over an inline OVER " +
+        "(the subtraction identity: full-frame aggregate minus the current " +
+        "row's contribution); for min/max restructure with two frames or a " +
+        "self-join, for EXCLUDE GROUP/TIES subtract the peer rows' aggregate")
+
+  /** DuckDB window frames support an exclusion clause Spark's don't.
+    * `EXCLUDE NO OTHERS` is the default — dropped. `EXCLUDE CURRENT
+    * ROW` over `sum`/`count`/`avg` rewrites to the exact subtraction
+    * identity (probed duckdb 1.0.0: empty-after-exclusion sum is NULL,
+    * count is 0, the identity holds through RANGE peer frames since
+    * only the row itself is removed); when the frame provably cannot
+    * CONTAIN the current row (both bounds PRECEDING or both FOLLOWING)
+    * the exclusion is a no-op and the clause is simply dropped (probed).
+    * Other aggregates / EXCLUDE GROUP / TIES keep a guided error.
+    */
+  def rewriteFrameExclude(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val m = FrameExcludeRe.findFirstMatchIn(masked).getOrElse(return sql)
+    val mode = m.group(1).toUpperCase.replaceAll(raw"\s+", " ")
+    if (mode == "NO OTHERS") // the default, in both engines
+      return rewriteFrameExclude(sql.substring(0, m.start) + ")" + sql.substring(m.end))
+    if (mode != "CURRENT ROW") frameExcludeFail(s"EXCLUDE $mode")
+    val close = m.end - 1
+    // backward to the OVER-paren's open
+    var d = 1
+    var i = close - 1
+    while (i >= 0 && d > 0) {
+      masked.charAt(i) match {
+        case ')' => d += 1
+        case '(' => d -= 1
+        case _ =>
+      }
+      if (d > 0) i -= 1
+    }
+    if (d != 0) frameExcludeFail("unbalanced window parens")
+    val specOpen = i
+    val spec = sql.substring(specOpen + 1, m.start).trim
+    // the word before the open paren must be OVER (named windows keep
+    // the guided error — the clause lives in a WINDOW definition there)
+    var j = specOpen - 1
+    while (j >= 0 && masked.charAt(j).isWhitespace) j -= 1
+    if (j < 3 || !wordEndingAt(masked, j).equalsIgnoreCase("OVER"))
+      frameExcludeFail("not an inline OVER (...) window")
+    j -= "OVER".length
+    while (j >= 0 && masked.charAt(j).isWhitespace) j -= 1
+    if (j < 0 || masked.charAt(j) != ')')
+      frameExcludeFail("no aggregate call before OVER")
+    val argsClose = j
+    d = 1; j -= 1
+    while (j >= 0 && d > 0) {
+      masked.charAt(j) match {
+        case ')' => d += 1
+        case '(' => d -= 1
+        case _ =>
+      }
+      if (d > 0) j -= 1
+    }
+    if (d != 0) frameExcludeFail("unbalanced aggregate parens")
+    val argsOpen = j
+    val args = sql.substring(argsOpen + 1, argsClose).trim
+    var k = argsOpen - 1
+    while (k >= 0 && masked.charAt(k).isWhitespace) k -= 1
+    if (k < 0 || !(masked.charAt(k).isLetterOrDigit || masked.charAt(k) == '_'))
+      frameExcludeFail("no aggregate name before the argument list")
+    var b = k
+    while (b >= 0 && (masked.charAt(b).isLetterOrDigit || masked.charAt(b) == '_')) b -= 1
+    val fn = sql.substring(b + 1, k + 1).toLowerCase
+    val fnStart = b + 1
+    // can the frame contain the current row? (both-PRECEDING / both-
+    // FOLLOWING frames can't — exclusion is a no-op there, probed)
+    val specMasked = maskQuotes(spec)
+    val frameM = raw"(?is)\b(ROWS|RANGE|GROUPS)\s+(?:BETWEEN\s+(.*?)\s+AND\s+(.*)|(.*))$$".r
+      .findFirstMatchIn(specMasked)
+    val containsCurrent = frameM match {
+      case None => true // default frame: UNBOUNDED PRECEDING .. CURRENT ROW
+      case Some(fm) =>
+        val start = Option(fm.group(2)).getOrElse(Option(fm.group(4)).getOrElse("")).trim.toUpperCase
+        val end = Option(fm.group(3)).getOrElse("CURRENT ROW").trim.toUpperCase
+        val bothPreceding = start.endsWith("PRECEDING") && end.endsWith("PRECEDING")
+        val bothFollowing = start.endsWith("FOLLOWING") && end.endsWith("FOLLOWING")
+        !(bothPreceding || bothFollowing)
+    }
+    val dropped = sql.substring(0, m.start) + ")" + sql.substring(m.end)
+    if (!containsCurrent) return rewriteFrameExclude(dropped)
+    val replacement = fn match {
+      case "count" =>
+        if (args == "*") s"(count(*) OVER ($spec) - 1)"
+        else s"(count($args) OVER ($spec) - (CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END))"
+      case "sum" =>
+        s"(CASE WHEN count($args) OVER ($spec) <= (CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END) " +
+          s"THEN NULL ELSE sum($args) OVER ($spec) - COALESCE(($args), 0) END)"
+      case "avg" =>
+        s"(CAST(CASE WHEN count($args) OVER ($spec) <= (CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END) " +
+          s"THEN NULL ELSE sum($args) OVER ($spec) - COALESCE(($args), 0) END AS DOUBLE) / " +
+          s"NULLIF(count($args) OVER ($spec) - (CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END), 0))"
+      case other => frameExcludeFail(s"aggregate '$other'")
+    }
+    rewriteFrameExclude(sql.substring(0, fnStart) + replacement + sql.substring(close + 1))
+  }
 
   private val DateDiffFnRe = raw"(?i)(?<![\w.])(date_diff|datediff)\s*\(\s*'".r
 

@@ -2486,6 +2486,57 @@ class DialectSpec extends SparkSpec {
     assert(fv == Seq(null, "v1", "v1"))
   }
 
+  test("window frame EXCLUDE CURRENT ROW rewrites to the subtraction identity (r13)") {
+    // every expected row is the PROBED duckdb 1.0.0 output on the same
+    // data: i = 0..5, v = NULL when i % 4 = 0 else i * 10
+    spark.range(6).selectExpr("id AS i",
+      "CASE WHEN id % 4 = 0 THEN NULL ELSE id * 10 END AS v")
+      .createOrReplaceTempView("fxt")
+    def rows(sql: String) = SqlStage("s", sql).apply(spark, spark.table("fxt"))
+      .collect()
+    val s1 = rows("""SELECT i, sum(i) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING
+      AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM fxt ORDER BY i""")
+      .map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq
+    assert(s1 == Seq(1L, 2L, 4L, 6L, 8L, 4L))
+    // single-row frame → empty after exclusion: sum NULL, count 0
+    val s2 = rows("""SELECT sum(i) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW
+      AND CURRENT ROW EXCLUDE CURRENT ROW) AS s, count(*) OVER (ORDER BY i
+      ROWS BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE CURRENT ROW) AS c
+      FROM fxt LIMIT 2""")
+    assert(s2.forall(r => r.isNullAt(0) && r.getLong(1) == 0L))
+    // NULL values: sum skips them, count(v) counts non-null neighbors
+    val s3 = rows("""SELECT i, sum(v) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING
+      AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s, count(v) OVER (ORDER BY i
+      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS c
+      FROM fxt ORDER BY i""").map(r =>
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSeq
+    assert(s3 == Seq((10L, 1L), (20L, 1L), (40L, 2L), (20L, 1L), (80L, 2L), (-1L, 0L)))
+    // a frame that CANNOT contain the current row: exclusion is a no-op
+    val s4 = rows("""SELECT i, sum(i) OVER (ORDER BY i ROWS BETWEEN 2 PRECEDING
+      AND 1 PRECEDING EXCLUDE CURRENT ROW) AS s FROM fxt ORDER BY i LIMIT 3""")
+      .map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq
+    assert(s4 == Seq(-1L, 0L, 1L))
+    // EXCLUDE NO OTHERS is the default — dropped
+    val s5 = rows("""SELECT sum(i) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING
+      AND 1 FOLLOWING EXCLUDE NO OTHERS) AS s FROM fxt ORDER BY i LIMIT 2""")
+      .map(_.getLong(0)).toSeq
+    assert(s5 == Seq(1L, 3L))
+    // avg: double, NULL on empty (probed [1.0, 1.0, 2.0])
+    val s6 = rows("""SELECT avg(i) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING
+      AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS a FROM fxt ORDER BY i LIMIT 3""")
+      .map(_.getDouble(0)).toSeq
+    assert(s6 == Seq(1.0, 1.0, 2.0))
+    // guided errors: min, EXCLUDE TIES
+    val e1 = intercept[DuckDialectException](rows(
+      """SELECT min(i) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND 1
+         FOLLOWING EXCLUDE CURRENT ROW) AS m FROM fxt"""))
+    assert(e1.getMessage.contains("min/max"))
+    val e2 = intercept[DuckDialectException](rows(
+      """SELECT sum(i) OVER (ORDER BY i RANGE BETWEEN 1 PRECEDING AND 1
+         FOLLOWING EXCLUDE TIES) AS m FROM fxt"""))
+    assert(e2.getMessage.contains("TIES"))
+  }
+
   test("date/time probe-batch: time_bucket, boundary date_diff, datesub, small math (r13)") {
     val df = spark.range(1).toDF("z")
     def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
