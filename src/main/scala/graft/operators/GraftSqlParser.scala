@@ -55,8 +55,11 @@ object GraftSqlParser {
       s"window frame EXCLUDE couldn't be auto-rewritten ($why) — EXCLUDE " +
         "CURRENT ROW is translated for sum/count/avg over an inline OVER " +
         "(the subtraction identity: full-frame aggregate minus the current " +
-        "row's contribution); for min/max restructure with two frames or a " +
-        "self-join, for EXCLUDE GROUP/TIES subtract the peer rows' aggregate")
+        "row's contribution), EXCLUDE GROUP/TIES for RANGE frames and " +
+        "ROWS UNBOUNDED-both (peer group fully contained there, computed " +
+        "via RANGE BETWEEN CURRENT ROW AND CURRENT ROW); for min/max " +
+        "restructure with two frames or a self-join, for narrow ROWS " +
+        "frames the peer group is only partially in-frame — use RANGE")
 
   /** DuckDB window frames support an exclusion clause Spark's don't.
     * `EXCLUDE NO OTHERS` is the default — dropped. `EXCLUDE CURRENT
@@ -66,7 +69,12 @@ object GraftSqlParser {
     * only the row itself is removed); when the frame provably cannot
     * CONTAIN the current row (both bounds PRECEDING or both FOLLOWING)
     * the exclusion is a no-op and the clause is simply dropped (probed).
-    * Other aggregates / EXCLUDE GROUP / TIES keep a guided error.
+    * `EXCLUDE GROUP`/`TIES` subtract the PEER-GROUP aggregate (the
+    * `RANGE BETWEEN CURRENT ROW AND CURRENT ROW` window) — sound
+    * exactly when the frame fully contains the peer group: any RANGE
+    * frame containing offset 0, or ROWS UNBOUNDED-both (probed: a
+    * narrow ROWS frame excludes only frame∩peers, NOT the identity,
+    * so those keep the guided error). Other aggregates error.
     */
   def rewriteFrameExclude(sql: String): String = {
     val masked = maskQuotes(sql)
@@ -74,7 +82,6 @@ object GraftSqlParser {
     val mode = m.group(1).toUpperCase.replaceAll(raw"\s+", " ")
     if (mode == "NO OTHERS") // the default, in both engines
       return rewriteFrameExclude(sql.substring(0, m.start) + ")" + sql.substring(m.end))
-    if (mode != "CURRENT ROW") frameExcludeFail(s"EXCLUDE $mode")
     val close = m.end - 1
     // backward to the OVER-paren's open
     var d = 1
@@ -121,34 +128,82 @@ object GraftSqlParser {
     while (b >= 0 && (masked.charAt(b).isLetterOrDigit || masked.charAt(b) == '_')) b -= 1
     val fn = sql.substring(b + 1, k + 1).toLowerCase
     val fnStart = b + 1
-    // can the frame contain the current row? (both-PRECEDING / both-
-    // FOLLOWING frames can't — exclusion is a no-op there, probed)
+    // frame analysis: can it contain the current row / the peer group?
     val specMasked = maskQuotes(spec)
     val frameM = raw"(?is)\b(ROWS|RANGE|GROUPS)\s+(?:BETWEEN\s+(.*?)\s+AND\s+(.*)|(.*))$$".r
       .findFirstMatchIn(specMasked)
-    val containsCurrent = frameM match {
-      case None => true // default frame: UNBOUNDED PRECEDING .. CURRENT ROW
-      case Some(fm) =>
-        val start = Option(fm.group(2)).getOrElse(Option(fm.group(4)).getOrElse("")).trim.toUpperCase
-        val end = Option(fm.group(3)).getOrElse("CURRENT ROW").trim.toUpperCase
-        val bothPreceding = start.endsWith("PRECEDING") && end.endsWith("PRECEDING")
-        val bothFollowing = start.endsWith("FOLLOWING") && end.endsWith("FOLLOWING")
-        !(bothPreceding || bothFollowing)
+    def frameBounds(fm: scala.util.matching.Regex.Match): (String, String) = {
+      val start = Option(fm.group(2)).getOrElse(Option(fm.group(4)).getOrElse(""))
+        .trim.toUpperCase.replaceAll(raw"\s+", " ")
+      val end = Option(fm.group(3)).getOrElse("CURRENT ROW")
+        .trim.toUpperCase.replaceAll(raw"\s+", " ")
+      (start, end)
+    }
+    def offsetZeroOutsideFrame(fm: scala.util.matching.Regex.Match): Boolean = {
+      val (start, end) = frameBounds(fm)
+      (start.endsWith("PRECEDING") && end.endsWith("PRECEDING") &&
+        !end.startsWith("0")) ||
+        (start.endsWith("FOLLOWING") && end.endsWith("FOLLOWING") &&
+          !start.startsWith("0"))
     }
     val dropped = sql.substring(0, m.start) + ")" + sql.substring(m.end)
-    if (!containsCurrent) return rewriteFrameExclude(dropped)
-    val replacement = fn match {
-      case "count" =>
-        if (args == "*") s"(count(*) OVER ($spec) - 1)"
-        else s"(count($args) OVER ($spec) - (CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END))"
-      case "sum" =>
-        s"(CASE WHEN count($args) OVER ($spec) <= (CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END) " +
-          s"THEN NULL ELSE sum($args) OVER ($spec) - COALESCE(($args), 0) END)"
-      case "avg" =>
-        s"(CAST(CASE WHEN count($args) OVER ($spec) <= (CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END) " +
-          s"THEN NULL ELSE sum($args) OVER ($spec) - COALESCE(($args), 0) END AS DOUBLE) / " +
-          s"NULLIF(count($args) OVER ($spec) - (CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END), 0))"
-      case other => frameExcludeFail(s"aggregate '$other'")
+    val nn = s"(CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END)"
+    val replacement: String = if (mode == "CURRENT ROW") {
+      // both-PRECEDING / both-FOLLOWING frames can't contain the
+      // current row — exclusion is a no-op there, probed
+      if (frameM.exists(offsetZeroOutsideFrame)) return rewriteFrameExclude(dropped)
+      fn match {
+        case "count" =>
+          if (args == "*") s"(count(*) OVER ($spec) - 1)"
+          else s"(count($args) OVER ($spec) - $nn)"
+        case "sum" =>
+          s"(CASE WHEN count($args) OVER ($spec) <= $nn " +
+            s"THEN NULL ELSE sum($args) OVER ($spec) - COALESCE(($args), 0) END)"
+        case "avg" =>
+          s"(CAST(CASE WHEN count($args) OVER ($spec) <= $nn " +
+            s"THEN NULL ELSE sum($args) OVER ($spec) - COALESCE(($args), 0) END AS DOUBLE) / " +
+            s"NULLIF(count($args) OVER ($spec) - $nn, 0))"
+        case other => frameExcludeFail(s"aggregate '$other'")
+      }
+    } else { // GROUP | TIES: subtract the peer-group window's aggregate
+      val fm = frameM.getOrElse(
+        frameExcludeFail(s"EXCLUDE $mode without an explicit frame"))
+      val ftype = fm.group(1).toUpperCase
+      val (start, end) = frameBounds(fm)
+      val peersContained = ftype match {
+        case "RANGE" =>
+          // peers sit at value-offset 0: outside a both-PRECEDING /
+          // both-FOLLOWING RANGE frame the exclusion is a no-op
+          if (offsetZeroOutsideFrame(fm)) return rewriteFrameExclude(dropped)
+          true
+        case "ROWS" => // only unbounded-both contains the peer group
+          start == "UNBOUNDED PRECEDING" && end == "UNBOUNDED FOLLOWING"
+        case _ => false // GROUPS frames don't execute in Spark at all
+      }
+      if (!peersContained)
+        frameExcludeFail(s"EXCLUDE $mode over a $ftype frame that may " +
+          "only partially contain the peer group")
+      if (!raw"(?is)\bORDER\s+BY\b".r.findFirstIn(specMasked.substring(0, fm.start)).isDefined)
+        frameExcludeFail(s"EXCLUDE $mode without ORDER BY")
+      val peer = spec.substring(0, fm.start).trim +
+        " RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+      val tieN = if (mode == "TIES") s" + $nn" else ""
+      val tieS = if (mode == "TIES") s" + COALESCE(($args), 0)" else ""
+      def cntExpr(a: String, tie: String) =
+        s"(count($a) OVER ($spec) - count($a) OVER ($peer)$tie)"
+      fn match {
+        case "count" =>
+          if (args == "*") cntExpr("*", if (mode == "TIES") " + 1" else "")
+          else cntExpr(args, tieN)
+        case "sum" =>
+          s"(CASE WHEN ${cntExpr(args, tieN)} = 0 THEN NULL ELSE " +
+            s"sum($args) OVER ($spec) - COALESCE(sum($args) OVER ($peer), 0)$tieS END)"
+        case "avg" =>
+          s"(CAST(CASE WHEN ${cntExpr(args, tieN)} = 0 THEN NULL ELSE " +
+            s"sum($args) OVER ($spec) - COALESCE(sum($args) OVER ($peer), 0)$tieS END AS DOUBLE) / " +
+            s"NULLIF(${cntExpr(args, tieN)}, 0))"
+        case other => frameExcludeFail(s"aggregate '$other'")
+      }
     }
     rewriteFrameExclude(sql.substring(0, fnStart) + replacement + sql.substring(close + 1))
   }

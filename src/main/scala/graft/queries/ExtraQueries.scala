@@ -1108,6 +1108,48 @@ object ExtraQueries {
     graft.operators.SqlStage("q160", timeBucketSqlText).apply(s, events(s, d))
   }
 
+  /** Window frame EXCLUDE gate (r13) — IDENTICAL text on both engines:
+    * DuckDB executes the exclusion clause natively, Spark through
+    * [[graft.operators.GraftSqlParser.rewriteFrameExclude]]'s
+    * subtraction identities (full-frame aggregate minus the current
+    * row's / the peer group's contribution — the peer group computed
+    * via a RANGE CURRENT-ROW-both window). Covers all three modes over
+    * sum/count/avg: EXCLUDE CURRENT ROW on a numeric RANGE neighborhood
+    * (value-determined, so order-stable under the unique key), EXCLUDE
+    * GROUP and TIES over a partitioned unbounded RANGE where ORDER BY n
+    * carries heavy ties (the peer group is the whole n-tier), and
+    * EXCLUDE CURRENT ROW on ROWS UNBOUNDED-both (order-insensitive).
+    * Money is exact per-row cents (round before the sum — DuckDB's
+    * double→BIGINT cast ROUNDS where Spark truncates); avg lands
+    * through round(×1e4). Scale shape: one aggregate plus windows —
+    * the rewrite adds no extra exchange (the peer window shares the
+    * frame window's partitioning and sort).
+    */
+  private[graft] val frameExcludeSqlText = """
+      WITH per AS (
+        SELECT o_custkey AS k, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+      )
+      SELECT k, n,
+        CAST(sum(cents) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING
+                         EXCLUDE CURRENT ROW) AS BIGINT) AS neigh_cents,
+        count(*) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING
+                       EXCLUDE CURRENT ROW) AS neigh_n,
+        CAST(sum(cents) OVER (PARTITION BY k % 8 ORDER BY n RANGE BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS BIGINT) AS other_tier_cents,
+        count(*) OVER (PARTITION BY k % 8 ORDER BY n RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS non_peer_n,
+        CAST(round(avg(n) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) * 10000) AS BIGINT) AS avg_other_n
+      FROM per ORDER BY k"""
+
+  def q161FrameExclude(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    orders(s, d).createOrReplaceTempView("orders")
+    graft.operators.SqlStage("q161", frameExcludeSqlText).apply(s, orders(s, d))
+  }
+
   def q152DmlStatements(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
     nation(s, d).createOrReplaceTempView("nation")
@@ -1155,6 +1197,7 @@ object ExtraQueries {
     "q158_text_similarity" -> (q158TextSimilarity _),
     "q159_fuzzy_match"    -> (q159FuzzyMatch _),
     "q160_time_bucket"    -> (q160TimeBucket _),
+    "q161_frame_exclude"  -> (q161FrameExclude _),
     "q126_from_first"     -> (q126FromFirst _),
     "q127_sorted_layout"  -> (q127SortedLayout _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
@@ -1241,6 +1284,8 @@ object ExtraQueries {
     "q159_fuzzy_match" -> fuzzyMatchSqlText,
     // q160: DuckDB executes the identical time_bucket/date_diff text
     "q160_time_bucket" -> timeBucketSqlText,
+    // q161: DuckDB executes the identical frame-EXCLUDE text natively
+    "q161_frame_exclude" -> frameExcludeSqlText,
     "q126_from_first" -> fromFirstSqlText,
     // q127: the aggregate is layout-independent — DuckDB reads the
     // ORIGINAL table; any loss/dup/corruption in the sorted layout

@@ -2526,15 +2526,70 @@ class DialectSpec extends SparkSpec {
       AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS a FROM fxt ORDER BY i LIMIT 3""")
       .map(_.getDouble(0)).toSeq
     assert(s6 == Seq(1.0, 1.0, 2.0))
-    // guided errors: min, EXCLUDE TIES
+    // guided error: min stays untranslatable
     val e1 = intercept[DuckDialectException](rows(
       """SELECT min(i) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND 1
          FOLLOWING EXCLUDE CURRENT ROW) AS m FROM fxt"""))
     assert(e1.getMessage.contains("min/max"))
+  }
+
+  test("window frame EXCLUDE GROUP/TIES subtract the peer-group window (r13)") {
+    // every expected row is the PROBED duckdb 1.0.0 output on the same
+    // data: (k, x) with NULLs and a 3-row peer group at k=2
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", IntegerType), StructField("x", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1, 10), Row(2, null), Row(2, 20),
+        Row(2, 25), Row(3, 30), Row(4, null), Row(4, 40))), schema)
+      .createOrReplaceTempView("fxg")
+    def rows(sql: String) = SqlStage("s", sql).apply(spark, spark.table("fxg"))
+      .collect()
+    def longs(sql: String) = rows(sql).map(r =>
+      if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    val order = "ORDER BY k, x NULLS FIRST"
+    // RANGE frame, EXCLUDE GROUP: frame minus the whole peer group
+    assert(longs(s"""SELECT sum(x) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING
+      AND 1 FOLLOWING EXCLUDE GROUP) AS s FROM fxg $order""")
+      == Seq(45L, 40L, 40L, 40L, 85L, 30L, 30L))
+    assert(longs(s"""SELECT count(x) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING
+      AND 1 FOLLOWING EXCLUDE GROUP) AS c FROM fxg $order""")
+      == Seq(2L, 2L, 2L, 2L, 3L, 1L, 1L))
+    assert(longs(s"""SELECT count(*) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING
+      AND 1 FOLLOWING EXCLUDE GROUP) AS c FROM fxg $order""")
+      == Seq(3L, 2L, 2L, 2L, 5L, 1L, 1L))
+    // EXCLUDE TIES keeps the current row
+    assert(longs(s"""SELECT sum(x) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING
+      AND 1 FOLLOWING EXCLUDE TIES) AS s FROM fxg $order""")
+      == Seq(55L, 40L, 60L, 65L, 115L, 30L, 70L))
+    assert(longs(s"""SELECT count(*) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING
+      AND 1 FOLLOWING EXCLUDE TIES) AS c FROM fxg $order""")
+      == Seq(4L, 3L, 3L, 3L, 6L, 2L, 2L))
+    val avgs = rows(s"""SELECT avg(x) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING
+      AND 1 FOLLOWING EXCLUDE TIES) AS a FROM fxg $order""")
+      .map(r => if (r.isNullAt(0)) -1.0 else r.getDouble(0)).toSeq
+    val exp = Seq(55.0 / 3, 20.0, 20.0, 65.0 / 3, 115.0 / 4, 30.0, 35.0)
+    assert(avgs.zip(exp).forall { case (a, e) => math.abs(a - e) < 1e-9 })
+    // ROWS UNBOUNDED-both fully contains the peer group — allowed
+    assert(longs(s"""SELECT sum(x) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+      PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS s FROM fxg $order""")
+      == Seq(115L, 80L, 80L, 80L, 95L, 85L, 85L))
+    // single-point RANGE frame: GROUP empties it, TIES keeps current
+    assert(longs(s"""SELECT sum(x) OVER (ORDER BY k, x RANGE BETWEEN CURRENT
+      ROW AND CURRENT ROW EXCLUDE GROUP) AS s FROM fxg $order""")
+      == Seq(-1L, -1L, -1L, -1L, -1L, -1L, -1L))
+    assert(longs(s"""SELECT sum(x) OVER (ORDER BY k, x RANGE BETWEEN CURRENT
+      ROW AND CURRENT ROW EXCLUDE TIES) AS s FROM fxg $order""")
+      == Seq(10L, -1L, 20L, 25L, 30L, -1L, 40L))
+    // narrow ROWS frame only partially contains the peer group — guided
+    val e1 = intercept[DuckDialectException](rows(
+      """SELECT sum(x) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND 1
+         FOLLOWING EXCLUDE GROUP) AS s FROM fxg"""))
+    assert(e1.getMessage.contains("partially contain"))
     val e2 = intercept[DuckDialectException](rows(
-      """SELECT sum(i) OVER (ORDER BY i RANGE BETWEEN 1 PRECEDING AND 1
-         FOLLOWING EXCLUDE TIES) AS m FROM fxt"""))
-    assert(e2.getMessage.contains("TIES"))
+      """SELECT min(x) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND 1
+         FOLLOWING EXCLUDE TIES) AS m FROM fxg"""))
+    assert(e2.getMessage.contains("min/max"))
   }
 
   test("date/time probe-batch: time_bucket, boundary date_diff, datesub, small math (r13)") {
