@@ -687,6 +687,21 @@ object DuckDialect {
     "list_dot_product" -> (es => { nArgs("list_dot_product", es, 2); DotProduct(es(0), es(1)) }),
     "list_inner_product" -> (es => { nArgs("list_inner_product", es, 2); DotProduct(es(0), es(1)) }),
     // --- regex
+    // DuckDB 1.0 regexp_replace semantics: FIRST match only unless the
+    // 'g' option is present (probed — Spark's builtin always replaces
+    // all, silent-wrong on multi-match input), options string as 4th
+    // arg (Spark's 4th is a position int). Registered under a graft
+    // name and TEXT-renamed by GraftSqlParser.rewriteRegexpReplaceFn:
+    // overriding the builtin name would hijack Scala-level
+    // functions.regexp_replace too (Spark 4's functions API resolves
+    // through the registry via Column.fn), breaking every internal
+    // quality operator that wants Spark semantics.
+    "duck_regexp_replace" -> (es => {
+      if (es.length != 3 && es.length != 4) throw new DuckDialectException(
+        s"regexp_replace expects (string, pattern, replacement[, options]), got ${es.length} args")
+      DuckRegexpReplace(es(0), es(1), es(2),
+        if (es.length == 4) es(3) else lit(""))
+    }),
     "regexp_matches" -> (es => {
       if (es.length == 3) throw new DuckDialectException(
         "regexp_matches with an options argument isn't supported — inline " +
@@ -707,6 +722,8 @@ object DuckDialect {
     // --- string predicates
     "starts_with" -> (es => { nArgs("starts_with", es, 2); StartsWith(es(0), es(1)) }),
     "ends_with" -> (es => { nArgs("ends_with", es, 2); EndsWith(es(0), es(1)) }),
+    // strpos(s, sub) = 1-based position, 0 when absent — Spark's instr
+    "strpos" -> (es => { nArgs("strpos", es, 2); StringInstr(es(0), es(1)) }),
     "prefix" -> (es => { nArgs("prefix", es, 2); StartsWith(es(0), es(1)) }),
     "suffix" -> (es => { nArgs("suffix", es, 2); EndsWith(es(0), es(1)) }),
     "editdist3" -> (es => { nArgs("editdist3", es, 2); Levenshtein(es(0), es(1)) }),

@@ -744,3 +744,109 @@ object RemoveCoveredTokens {
       java.util.Arrays.copyOf(out, n))
   }
 }
+
+/** regexp_replace with DuckDB 1.0 semantics (probed): replaces only
+  * the FIRST match unless the options string carries `g` — Spark's
+  * builtin always replaces all, a silent-wrong divergence for any
+  * multi-match input. Options: `g` global, `i` case-insensitive, `c`
+  * case-sensitive (position-ordered, later wins), `s` dot-matches-
+  * newline, `l` literal pattern, `m`/`n`/`p` accepted as no-ops
+  * (newline-sensitive matching IS Java's default: probed `.` skips
+  * `\n` and `^` anchors only at string start), anything else errors
+  * like DuckDB ("Unrecognized Regex option"). The replacement string
+  * uses RE2 rewrite rules: `\1`-`\9` and `\0` are backrefs, `\\` a
+  * literal backslash, `$` LITERAL (translated to Java Matcher form
+  * per row — the strings are tiny next to the regex work). NULL in
+  * any argument → NULL. The compiled Pattern is memoized per thread
+  * on (pattern, flags) — one compile per task for the
+  * constant-pattern shape every real query has.
+  */
+case class DuckRegexpReplace(str: Expression, regex: Expression,
+    rep: Expression, flags: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def first: Expression = str
+  override def second: Expression = regex
+  override def third: Expression = rep
+  override def fourth: Expression = flags
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(c => c.dataType == StringType || c.dataType == NullType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"regexp_replace needs string args, got ${children.map(_.dataType).mkString(", ")}")
+
+  override def nullSafeEval(s: Any, p: Any, r: Any, f: Any): Any =
+    DuckRegexpReplace.compute(s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], f.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p, r, f) =>
+      s"${ev.value} = graft.functions.expressions.DuckRegexpReplace.compute($s, $p, $r, $f);")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression =
+    copy(str = a, regex = b, rep = c, flags = d)
+}
+
+object DuckRegexpReplace {
+  import java.util.regex.{Matcher, Pattern}
+
+  /** (pattern, flags) → compiled Pattern + global?, memoized per thread. */
+  private val cache = new ThreadLocal[(String, String, Pattern, Boolean)]
+
+  private def compile(pat: String, opts: String): (Pattern, Boolean) = {
+    var jf = 0
+    var global = false
+    var i = 0
+    while (i < opts.length) {
+      opts.charAt(i) match {
+        case 'g' => global = true
+        case 'i' => jf |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
+        case 'c' => jf &= ~(Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
+        case 's' => jf |= Pattern.DOTALL
+        case 'l' => jf |= Pattern.LITERAL
+        case 'm' | 'n' | 'p' => // newline-sensitive: Java's default
+        case other => throw new DuckDialectException(
+          s"Unrecognized Regex option $other (regexp_replace options are g/i/c/s/l/m/n/p)")
+      }
+      i += 1
+    }
+    (Pattern.compile(pat, jf), global)
+  }
+
+  /** RE2 rewrite string → Java Matcher replacement: `\N` → `$N`,
+    * `\\` → literal backslash, `$` → literal, lone `\x` kept literal.
+    */
+  private def toJavaRewrite(r: String): String = {
+    val sb = new java.lang.StringBuilder(r.length + 8)
+    var i = 0
+    while (i < r.length) {
+      val c = r.charAt(i)
+      if (c == '\\' && i + 1 < r.length) {
+        val n = r.charAt(i + 1)
+        if (n >= '0' && n <= '9') { sb.append('$').append(n); i += 2 }
+        else if (n == '\\') { sb.append("\\\\"); i += 2 }
+        else { sb.append("\\\\").append(n); i += 2 }
+      } else if (c == '\\') { sb.append("\\\\"); i += 1 }
+      else if (c == '$') { sb.append("\\$"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def compute(str: UTF8String, pattern: UTF8String, rep: UTF8String,
+      flags: UTF8String): UTF8String = {
+    val pat = pattern.toString
+    val opts = flags.toString
+    var entry = cache.get()
+    if (entry == null || entry._1 != pat || entry._2 != opts) {
+      val (p, g) = compile(pat, opts)
+      entry = (pat, opts, p, g)
+      cache.set(entry)
+    }
+    val m = entry._3.matcher(str.toString)
+    val rw = toJavaRewrite(rep.toString)
+    UTF8String.fromString(if (entry._4) m.replaceAll(rw) else m.replaceFirst(rw))
+  }
+}

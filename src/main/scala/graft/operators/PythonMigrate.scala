@@ -27,7 +27,8 @@ import scala.collection.mutable
   *    format specs error), `row['y']`, str/int/float/len/abs/round and
   *    min/max (→ least/greatest), `re.match/search/fullmatch(pat, e)`
   *    (→ RLIKE, anchored per python semantics), `re.sub(pat, repl, e)`
-  *    (→ regexp_replace; `\1`/`\g<1>` backrefs become `$1`),
+  *    (→ regexp_replace with the 'g' flag — python replaces ALL matches;
+  *    `\g<1>` backrefs become `\1`),
   *    `rand.uniform(a,b)` (→ `a + rand()*(b-a)`),
   *    `math.sqrt/floor/ceil/exp/log/log2/log10/pow/fabs` + `math.pi/e`,
   *    `json.dumps({...})` (→ to_json(named_struct(...))),
@@ -678,14 +679,17 @@ object PythonMigrate {
           }
           val repl = a(1) match {
             case Sql(lit, true) =>
-              // python backrefs \1 / \g<1> → Java $1; literal '$' escaped
-              val java = rawStr(lit).replace("$", "\\$")
-                .replaceAll("""\\g<(\d+)>""", "\\$$1")
-                .replaceAll("""\\(\d)""", "\\$$1")
-              sqlStr(java)
+              // python backrefs: \g<1> → \1 (\1 and literals already
+              // match the DuckDB-dialect regexp_replace rewrite rules —
+              // \N backref, \\ literal backslash, $ literal)
+              sqlStr(rawStr(lit).replaceAll("""\\g<(\d+)>""", """\\$1"""))
             case _ => err("re.sub replacement must be a string literal")
           }
-          Sql(s"regexp_replace(${sqlOf(a(2), line).sql}, $pat, $repl)", isString = true)
+          // python re.sub replaces ALL matches; the DuckDB-semantics
+          // native replaces the FIRST unless 'g' is passed (emitted by
+          // its registered name — derive expressions don't pass through
+          // the dialect rename)
+          Sql(s"duck_regexp_replace(${sqlOf(a(2), line).sql}, $pat, $repl, 'g')", isString = true)
         case (Module("re"), Some(other)) =>
           err(s"re.$other", "re.match/search/fullmatch/sub are translated; use regexp_extract in a 'derive' stage for group capture.")
         case (Module("random"), Some("uniform")) =>

@@ -671,6 +671,9 @@ final case class DeriveStage(
     dropCols: Seq[String] = Nil,
     rename: Seq[(String, String)] = Nil) extends Stage {
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = {
+    // the migrator emits graft natives (duck_regexp_replace, …) —
+    // resolve them on sessions we didn't build (idempotent)
+    graft.functions.expressions.GraftFunctions.register(spark)
     var out = df
     columns.foreach { case (c, e) => out = out.withColumn(c, expr(e)) }
     filterExpr.foreach(f => out = out.filter(expr(f)))

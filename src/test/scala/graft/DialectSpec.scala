@@ -29,6 +29,8 @@ class DialectSpec extends SparkSpec {
     assert(one("SELECT string_split_regex('a1b22c', '[0-9]+') AS r").getSeq[String](0) == Seq("a", "b", "c"))
     assert(one("SELECT str_split('x-y', '-') AS r").getSeq[String](0) == Seq("x", "y"))
     assert(one("SELECT string_to_array('x-y', '-') AS r").getSeq[String](0) == Seq("x", "y"))
+    // this `one` is raw spark.sql (no dialect rewrite), so the literal
+    // is Spark-ESCAPED here; SqlStage texts write the DuckDB-raw form
     assert(one("SELECT regexp_split_to_array('a, b,c', ',\\\\s*') AS r").getSeq[String](0) == Seq("a", "b", "c"))
     assert(one("SELECT to_base(255, 16) AS r").getString(0) == "FF")
   }
@@ -1402,10 +1404,14 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
-        assert(GraftSqlParser.rewriteAll(sql) == sql, s"$name was mangled")
-      else // the ASOF rewrite output must itself be stable
+        // identity modulo rewriteRawLiterals (r13): backslashes inside
+        // literals double ON PURPOSE (DuckDB-raw → Spark-escaped)
+        assert(GraftSqlParser.rewriteAll(sql) == GraftSqlParser.rewriteRawLiterals(sql),
+          s"$name was mangled")
+      else if (!sql.contains("\\")) // the ASOF rewrite output must itself
+        // be stable (backslash-bearing texts legitimately re-double)
         assert(GraftSqlParser.rewriteAll(GraftSqlParser.rewriteAll(sql))
           == GraftSqlParser.rewriteAll(sql), s"$name rewrite not idempotent")
     }
@@ -2590,6 +2596,43 @@ class DialectSpec extends SparkSpec {
       """SELECT min(x) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND 1
          FOLLOWING EXCLUDE TIES) AS m FROM fxg"""))
     assert(e2.getMessage.contains("min/max"))
+  }
+
+  test("regexp_replace has DuckDB first-match/flags semantics; SIMILAR TO; strpos (r13)") {
+    val df = spark.range(1).toDF("z")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // every expected value is the PROBED duckdb 1.0.0 output
+    assert(one("SELECT regexp_replace('aaa', 'a', 'b') AS m").getString(0) == "baa")
+    assert(one("SELECT regexp_replace('aaa', 'a', 'b', 'g') AS m").getString(0) == "bbb")
+    assert(one("SELECT regexp_replace('AaA', 'a', 'b', 'gi') AS m").getString(0) == "bbb")
+    assert(one("SELECT regexp_replace('aAa', 'A', 'x', 'i') AS m").getString(0) == "xAa")
+    // \1 backrefs (group swap), $ literal, \\ literal backslash
+    assert(one(raw"SELECT regexp_replace('ab12cd', '([a-z])([0-9])', '\2\1', 'g') AS m")
+      .getString(0) == "a1b2cd")
+    assert(one(raw"SELECT regexp_replace('ab', 'b', 'x$$y') AS m").getString(0) == "ax$y")
+    assert(one(raw"SELECT regexp_replace('ab', '(b)', 'x\\1y') AS m").getString(0) == raw"ax\1y")
+    // default: dot does NOT match newline; 's' makes it; 'l' literal
+    assert(one("SELECT regexp_replace('a' || chr(10) || 'b', '.', 'X', 'g') AS m")
+      .getString(0) == "X\nX")
+    assert(one("SELECT regexp_replace('a' || chr(10) || 'b', '.', 'X', 'gs') AS m")
+      .getString(0) == "XXX")
+    assert(one("SELECT regexp_replace('a.b', 'a.b', 'X', 'l') AS m").getString(0) == "X")
+    // NULLs propagate; unknown option errors like DuckDB
+    assert(one("SELECT regexp_replace('ab', 'b', NULL) AS m").isNullAt(0))
+    assert(one("SELECT regexp_replace('ab', 'b', 'x', NULL) AS m").isNullAt(0))
+    val e = intercept[Exception](one("SELECT regexp_replace('ab', 'b', 'x', 'z') AS m"))
+    assert(e.getMessage.contains("Unrecognized Regex option") ||
+      Option(e.getCause).exists(_.getMessage.contains("Unrecognized Regex option")))
+    // SIMILAR TO = whole-string REGEX match (not %-wildcards)
+    assert(one("SELECT 'abc' SIMILAR TO 'a.c' AS m").getBoolean(0))
+    assert(!one("SELECT 'abc' SIMILAR TO 'ab' AS m").getBoolean(0))
+    assert(!one("SELECT 'abc' SIMILAR TO 'a%' AS m").getBoolean(0))
+    assert(one("SELECT 'abc' NOT SIMILAR TO 'ab' AS m").getBoolean(0))
+    assert(one(raw"SELECT 'a1' SIMILAR TO 'a\d' AS m").getBoolean(0))
+    assert(one("SELECT 'abc' SIMILAR TO '(a|z)bc' AS m").getBoolean(0))
+    // strpos = 1-based instr
+    assert(one("SELECT strpos('abc', 'b') AS m").getInt(0) == 2)
+    assert(one("SELECT strpos('abc', 'q') AS m").getInt(0) == 0)
   }
 
   test("date/time probe-batch: time_bucket, boundary date_diff, datesub, small math (r13)") {

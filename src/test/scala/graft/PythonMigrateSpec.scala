@@ -216,6 +216,9 @@ class PythonMigrateSpec extends SparkSpec {
         |row['right'] = row['s'].rjust(8, '.')
         |""".stripMargin)
     import org.apache.spark.sql.functions._
+    // re.sub emits the duck_regexp_replace native (python replaces ALL
+    // matches → 'g'); DeriveStage registers it, raw expr() must too
+    graft.functions.expressions.GraftFunctions.register(spark)
     var df = spark.sql(
       "SELECT * FROM VALUES ('aabbb x1', 'p,q,r'), ('42', 'single') AS t(s, csv)")
     cols.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
