@@ -1150,6 +1150,37 @@ object ExtraQueries {
     graft.operators.SqlStage("q161", frameExcludeSqlText).apply(s, orders(s, d))
   }
 
+  /** Regex-surface gate (r13) — IDENTICAL text on both engines, the
+    * CORRECTNESS anchor for three silent-divergence fixes probed out of
+    * DuckDB 1.0: regexp_replace replaces the FIRST match only (Spark's
+    * builtin replaces all — renamed by the dialect layer to the
+    * [[graft.functions.expressions.DuckRegexpReplace]] native), the
+    * options-string 4th arg (`g`, `gi`), RE2 `\N` backrefs in the
+    * replacement, RAW string literals (`'\d'` IS backslash-d —
+    * rewriteRawLiterals; Spark's parser would unescape it to `d`), and
+    * SIMILAR TO as whole-string regex (NOT the SQL-standard wildcard
+    * form). strpos rides along. Row-local codegen'd expressions — no
+    * exchange beyond the scan and final sort at any scale.
+    */
+  private[graft] val regexSurfaceSqlText = """
+      SELECT c_custkey AS k,
+        regexp_replace(c_name, '0', '*') AS first_zero,
+        regexp_replace(c_name, '0+', '<z>', 'g') AS zero_runs,
+        regexp_replace(c_name, '(\d)(\d)$', '\2\1', 'g') AS tail_swapped,
+        regexp_replace(c_name, 'customer', 'CUST', 'gi') AS renamed,
+        regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked,
+        CASE WHEN c_name SIMILAR TO 'Customer#\d+' THEN 1 ELSE 0 END AS canonical,
+        CASE WHEN c_mktsegment NOT SIMILAR TO '.*E.*' THEN 1 ELSE 0 END AS no_e,
+        strpos(c_name, '#') AS hash_pos,
+        strpos(c_mktsegment, 'O') AS o_pos
+      FROM customer ORDER BY k"""
+
+  def q162RegexSurface(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    customer(s, d).createOrReplaceTempView("customer")
+    graft.operators.SqlStage("q162", regexSurfaceSqlText).apply(s, customer(s, d))
+  }
+
   def q152DmlStatements(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
     nation(s, d).createOrReplaceTempView("nation")
@@ -1198,6 +1229,7 @@ object ExtraQueries {
     "q159_fuzzy_match"    -> (q159FuzzyMatch _),
     "q160_time_bucket"    -> (q160TimeBucket _),
     "q161_frame_exclude"  -> (q161FrameExclude _),
+    "q162_regex_surface"  -> (q162RegexSurface _),
     "q126_from_first"     -> (q126FromFirst _),
     "q127_sorted_layout"  -> (q127SortedLayout _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
@@ -1286,6 +1318,8 @@ object ExtraQueries {
     "q160_time_bucket" -> timeBucketSqlText,
     // q161: DuckDB executes the identical frame-EXCLUDE text natively
     "q161_frame_exclude" -> frameExcludeSqlText,
+    // q162: DuckDB executes the identical regexp/SIMILAR TO text
+    "q162_regex_surface" -> regexSurfaceSqlText,
     "q126_from_first" -> fromFirstSqlText,
     // q127: the aggregate is layout-independent — DuckDB reads the
     // ORIGINAL table; any loss/dup/corruption in the sorted layout
