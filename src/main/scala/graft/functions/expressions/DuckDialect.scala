@@ -270,6 +270,112 @@ object DuckSlice {
   }
 }
 
+/** DuckDB scalar subscript `base[i]` semantics (probed duckdb 1.0.0) —
+  * Spark's native subscript is 0-based on arrays, the classic silent
+  * off-by-one for migrating SQL. Backs `graft_bracket_get` (wired by
+  * [[graft.operators.GraftSqlParser.rewriteSubscript]]):
+  *  - list: 1-based; negative counts from the end (`[-1]` last);
+  *    `[0]` and out-of-range → NULL
+  *  - map: LIST-shaped result — `[v]` on a hit, `[]` on a miss (DuckDB
+  *    1.0's map extract; same shape as the MAP-literal rewrite)
+  *  - struct: plain field access
+  *  - string: one 1-based character; `[0]`/out-of-range → '' (DuckSlice
+  *    with both bounds = the index)
+  * RuntimeReplaceable: the replacement composes existing codegen'd
+  * expressions once the base's type is resolved.
+  */
+case class DuckBracketGet(base: Expression, key: Expression)
+    extends RuntimeReplaceable {
+  override def children: Seq[Expression] = Seq(base, key)
+  override lazy val replacement: Expression = base.dataType match {
+    case ArrayType(et, _) =>
+      if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType, NullType)
+        .contains(key.dataType))
+        throw new DuckDialectException(
+          s"list subscript must be an integer, got ${key.dataType} " +
+            "(DuckDB rejects fractional subscripts too)")
+      val idx = Cast(key, IntegerType)
+      If(Or(EqualTo(idx, Literal(0)), GreaterThan(Abs(idx), Size(base))),
+        Literal.create(null, et), ElementAt(base, idx))
+    case MapType(kt, vt, _) =>
+      val k = Cast(key, kt)
+      If(ArrayContains(MapKeys(base), k),
+        CreateArray(Seq(ElementAt(base, k))),
+        Literal.create(Seq.empty[Any], ArrayType(vt, containsNull = true)))
+    case _: StructType =>
+      ExtractValue(base, key,
+        org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution)
+    case StringType => DuckSlice(base, key, key, nullBoundIsOpen = true)
+    case other => throw new DuckDialectException(
+      s"[] subscript on $other isn't supported (lists, maps, structs, strings)")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(base = newChildren(0), key = newChildren(1))
+}
+
+/** DuckDB list_sort with its FULL order surface (probed duckdb 1.0.0):
+  * the DEFAULT is ASC **NULLS LAST** — Spark's sort_array(asc) puts
+  * nulls FIRST, a silent divergence on null-bearing arrays — plus
+  * 'ASC'/'DESC' and 'NULLS FIRST'/'NULLS LAST' modifier args. One
+  * generic interpreted sort on the element ordering (reference-object
+  * codegen: one static call per row, no per-element virtual dispatch
+  * beyond the ordering itself — these are list utilities, not scan
+  * hot paths).
+  */
+case class GraftListSort(child: Expression, asc: Boolean, nullsFirst: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(et, _)
+        if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(et) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"list_sort needs an array of orderable elements, got $other")
+    }
+  @transient private lazy val elementType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(elementType)
+
+  override def nullSafeEval(v: Any): Any =
+    GraftListSort.compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      elementType, ordering, asc, nullsFirst)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val etRef = ctx.addReferenceObj("et", elementType)
+    val ordRef = ctx.addReferenceObj("ord", ordering)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.GraftListSort.compute($c, $etRef, " +
+        s"(scala.math.Ordering) $ordRef, $asc, $nullsFirst);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object GraftListSort {
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData, et: DataType,
+      ord: Ordering[Any], asc: Boolean, nullsFirst: Boolean):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val vals = new java.util.ArrayList[Any](n)
+    var nulls = 0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) nulls += 1
+      else vals.add(arr.get(i, et))
+      i += 1
+    }
+    val sorted: Array[AnyRef] = vals.toArray
+    val cmp = (if (asc) ord else ord.reverse).asInstanceOf[java.util.Comparator[AnyRef]]
+    java.util.Arrays.sort(sorted, cmp)
+    val out = new Array[Any](n)
+    val off = if (nullsFirst) nulls else 0
+    System.arraycopy(sorted, 0, out, off, sorted.length)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** DuckDB-dialect compatibility for user `sql` stages (VERDICT r4 #1).
   *
   * Three layers, in order of preference:
@@ -510,6 +616,39 @@ object DuckDialect {
     * GraftExtensions, so they resolve in any `sql` stage, subquery or
     * CTE with zero text rewriting.
     */
+  /** DuckDB `epoch`: DOUBLE seconds including the fraction (probed). */
+  private def epochSeconds(e: Expression): Expression =
+    Divide(Cast(UnixMicros(Cast(e, TimestampType)), DoubleType), Literal(1e6))
+
+  private def extractOnePart(part: String, source: Expression): Expression =
+    part.toUpperCase match {
+      case "EPOCH" => epochSeconds(source)
+      case "ISODOW" => DatePart.parseExtractField("DOW_ISO", source)
+      case p => DatePart.parseExtractField(p, source)
+    }
+
+  /** date_part / datepart builder: scalar field → Spark's own extract
+    * parser; a LITERAL LIST of fields → a struct of the parts (DuckDB's
+    * polymorphic form, probed `{'year': 2024, 'month': 3}`).
+    */
+  private def datePartBuilder(es: Seq[Expression]): Expression = {
+    nArgs("date_part", es, 2)
+    es(0) match {
+      case Literal(s: UTF8String, StringType) if s != null =>
+        extractOnePart(s.toString, es(1))
+      case CreateArray(parts, _) =>
+        val fields = parts.map {
+          case Literal(p: UTF8String, StringType) if p != null => p.toString
+          case other => throw new DuckDialectException(
+            s"date_part list entries must be string literals, got $other")
+        }
+        CreateNamedStruct(fields.flatMap(p =>
+          Seq(Literal(p), extractOnePart(p, es(1)))))
+      case other => throw new DuckDialectException(
+        s"date_part field must be a string literal or a literal list, got $other")
+    }
+  }
+
   val aliases: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // --- string splitting (DuckDB separator is literal; Spark's is regex)
     "string_split" -> (es => { nArgs("string_split", es, 2); StringSplit(es(0), quotedSep(es(1)), Literal(-1)) }),
@@ -525,7 +664,30 @@ object DuckDialect {
     "list_contains" -> (es => { nArgs("list_contains", es, 2); ArrayContains(es(0), es(1)) }),
     "list_has" -> (es => { nArgs("list_has", es, 2); ArrayContains(es(0), es(1)) }),
     "list_distinct" -> (es => { nArgs("list_distinct", es, 1); ArrayDistinct(es(0)) }),
-    "list_sort" -> (es => { nArgs("list_sort", es, 1); SortArray(es(0), Literal(true)) }),
+    // DuckDB default is ASC **NULLS LAST** (probed — Spark's
+    // sort_array(asc) is nulls-first); 2/3-arg order/nulls modifiers
+    "list_sort" -> (es => {
+      if (es.isEmpty || es.length > 3) throw new DuckDialectException(
+        s"list_sort expects (list[, order[, null order]]), got ${es.length} args")
+      def flag(e: Expression, what: String): String = e match {
+        case Literal(s: UTF8String, StringType) if s != null =>
+          s.toString.trim.toUpperCase.replaceAll(raw"\s+", " ")
+        case _ => throw new DuckDialectException(
+          s"list_sort $what must be a string literal")
+      }
+      val asc = if (es.length < 2) true else flag(es(1), "order") match {
+        case "ASC" | "ASCENDING" => true
+        case "DESC" | "DESCENDING" => false
+        case o => throw new DuckDialectException(s"list_sort order '$o' (ASC/DESC)")
+      }
+      val nullsFirst = if (es.length < 3) false else flag(es(2), "null order") match {
+        case "NULLS FIRST" => true
+        case "NULLS LAST" => false
+        case o => throw new DuckDialectException(s"list_sort null order '$o' (NULLS FIRST/LAST)")
+      }
+      GraftListSort(es(0), asc, nullsFirst)
+    }),
+    // = list_sort(l, 'DESC') — DESC NULLS LAST (probed)
     "list_reverse_sort" -> (es => { nArgs("list_reverse_sort", es, 1); SortArray(es(0), Literal(false)) }),
     "list_reverse" -> (es => { nArgs("list_reverse", es, 1); Reverse(es(0)) }),
     "list_concat" -> (es => Concat(es)),
@@ -533,8 +695,9 @@ object DuckDialect {
     "list_prepend" -> (es => { nArgs("list_prepend", es, 2); ArrayPrepend(es(1), es(0)) }),
     "list_position" -> (es => { nArgs("list_position", es, 2); ArrayPosition(es(0), es(1)) }),
     "list_indexof" -> (es => { nArgs("list_indexof", es, 2); ArrayPosition(es(0), es(1)) }),
-    "list_extract" -> (es => { nArgs("list_extract", es, 2); ElementAt(es(0), es(1)) }),
-    "array_extract" -> (es => { nArgs("array_extract", es, 2); ElementAt(es(0), es(1)) }),
+    // full DuckDB subscript semantics ([0]/out-of-range → NULL, strings)
+    "list_extract" -> (es => { nArgs("list_extract", es, 2); DuckBracketGet(es(0), es(1)) }),
+    "array_extract" -> (es => { nArgs("array_extract", es, 2); DuckBracketGet(es(0), es(1)) }),
     "list_min" -> (es => { nArgs("list_min", es, 1); ArrayMin(es(0)) }),
     "list_max" -> (es => { nArgs("list_max", es, 1); ArrayMax(es(0)) }),
     "list_unique" -> (es => { nArgs("list_unique", es, 1); Size(ArrayDistinct(es(0))) }),
@@ -597,6 +760,23 @@ object DuckDialect {
     // DOUBLE; entropy is Shannon log2 over the value distribution)
     "product" -> (es => { nArgs("product", es, 1); GraftProduct(es(0)) }),
     "entropy" -> (es => { nArgs("entropy", es, 1); GraftEntropy(Cast(es(0), StringType)) }),
+    // Kahan-compensated sums: DOUBLE result (probed); Spark's DOUBLE
+    // sum is plain but the values agree wherever an oracle rounds
+    "fsum" -> (es => { nArgs("fsum", es, 1); aggregate.Sum(Cast(es(0), DoubleType)) }),
+    "sumkahan" -> (es => { nArgs("sumkahan", es, 1); aggregate.Sum(Cast(es(0), DoubleType)) }),
+    "kahan_sum" -> (es => { nArgs("kahan_sum", es, 1); aggregate.Sum(Cast(es(0), DoubleType)) }),
+    "favg" -> (es => { nArgs("favg", es, 1); aggregate.Average(Cast(es(0), DoubleType)) }),
+    // JSON aggregates: to_json over the collected list / entry map.
+    // DuckDB aggregates in its (single-threaded) input order; Spark's
+    // collect order is partition-dependent — pair with an in-call
+    // ORDER BY or a single-partition frame when the order matters
+    "json_group_array" -> (es => { nArgs("json_group_array", es, 1)
+      StructsToJson(Map.empty[String, String],
+        aggregate.CollectList(es(0)).toAggregateExpression()) }),
+    "json_group_object" -> (es => { nArgs("json_group_object", es, 2)
+      StructsToJson(Map.empty[String, String], MapFromArrays(
+        aggregate.CollectList(Cast(es(0), StringType)).toAggregateExpression(),
+        aggregate.CollectList(es(1)).toAggregateExpression())) }),
     // list_intersect: element ORDER is hash order in DuckDB and
     // first-array order in Spark — sort before comparing engines
     "list_intersect" -> (es => { nArgs("list_intersect", es, 2); ArrayIntersect(es(0), es(1)) }),
@@ -719,6 +899,8 @@ object DuckDialect {
     "len" -> (es => { nArgs("len", es, 1); DuckLen(es(0)) }),
     // backs the `a // b` rewrite (GraftSqlParser.rewriteIntDiv)
     "graft_ddiv" -> (es => { nArgs("graft_ddiv", es, 2); DuckDiv(es(0), es(1)) }),
+    // backs the scalar-subscript rewrite (GraftSqlParser.rewriteSubscript)
+    "graft_bracket_get" -> (es => { nArgs("graft_bracket_get", es, 2); DuckBracketGet(es(0), es(1)) }),
     // --- string predicates
     "starts_with" -> (es => { nArgs("starts_with", es, 2); StartsWith(es(0), es(1)) }),
     "ends_with" -> (es => { nArgs("ends_with", es, 2); EndsWith(es(0), es(1)) }),
@@ -736,9 +918,52 @@ object DuckDialect {
       nArgs("strptime", es, 2)
       ParseToTimestamp(es(0), Some(lit(cFormatToJava(literalFormat("strptime", es(1))))), TimestampType)
     }),
-    "epoch" -> (es => { nArgs("epoch", es, 1); UnixTimestamp(es(0), lit("yyyy-MM-dd HH:mm:ss")) }),
+    // DOUBLE seconds incl. the fraction (probed: epoch(ts'…01.5') =
+    // …01.5, DATE input casts through midnight) — not Spark's LONG
+    "epoch" -> (es => { nArgs("epoch", es, 1)
+      Divide(Cast(UnixMicros(Cast(es(0), TimestampType)), DoubleType), Literal(1e6)) }),
     "epoch_ms" -> (es => { nArgs("epoch_ms", es, 1); UnixMillis(es(0)) }),
     "epoch_us" -> (es => { nArgs("epoch_us", es, 1); UnixMicros(es(0)) }),
+    // interval constructors (to_days(5) = INTERVAL 5 DAYS etc., probed
+    // TIMESTAMP '2024-01-02' + to_hours(3) = …T03:00) — year/month
+    // parts build a year-month interval, the rest day-time
+    "to_years" -> (es => { nArgs("to_years", es, 1)
+      MakeYMInterval(Cast(es(0), IntegerType), Literal(0)) }),
+    "to_decades" -> (es => { nArgs("to_decades", es, 1)
+      MakeYMInterval(Multiply(Cast(es(0), IntegerType), Literal(10)), Literal(0)) }),
+    "to_centuries" -> (es => { nArgs("to_centuries", es, 1)
+      MakeYMInterval(Multiply(Cast(es(0), IntegerType), Literal(100)), Literal(0)) }),
+    "to_millennia" -> (es => { nArgs("to_millennia", es, 1)
+      MakeYMInterval(Multiply(Cast(es(0), IntegerType), Literal(1000)), Literal(0)) }),
+    "to_months" -> (es => { nArgs("to_months", es, 1)
+      MakeYMInterval(Literal(0), Cast(es(0), IntegerType)) }),
+    "to_weeks" -> (es => { nArgs("to_weeks", es, 1)
+      MakeDTInterval(Multiply(Cast(es(0), IntegerType), Literal(7)),
+        Literal(0), Literal(0), Cast(Literal(0), DecimalType(18, 6))) }),
+    "to_days" -> (es => { nArgs("to_days", es, 1)
+      MakeDTInterval(Cast(es(0), IntegerType),
+        Literal(0), Literal(0), Cast(Literal(0), DecimalType(18, 6))) }),
+    "to_hours" -> (es => { nArgs("to_hours", es, 1)
+      MakeDTInterval(Literal(0), Cast(es(0), IntegerType),
+        Literal(0), Cast(Literal(0), DecimalType(18, 6))) }),
+    "to_minutes" -> (es => { nArgs("to_minutes", es, 1)
+      MakeDTInterval(Literal(0), Literal(0), Cast(es(0), IntegerType),
+        Cast(Literal(0), DecimalType(18, 6))) }),
+    "to_seconds" -> (es => { nArgs("to_seconds", es, 1)
+      MakeDTInterval(Literal(0), Literal(0), Literal(0),
+        Cast(es(0), DecimalType(18, 6))) }),
+    "to_milliseconds" -> (es => { nArgs("to_milliseconds", es, 1)
+      MakeDTInterval(Literal(0), Literal(0), Literal(0),
+        Cast(Divide(Cast(es(0), DoubleType), Literal(1e3)), DecimalType(18, 6))) }),
+    "to_microseconds" -> (es => { nArgs("to_microseconds", es, 1)
+      MakeDTInterval(Literal(0), Literal(0), Literal(0),
+        Cast(Divide(Cast(es(0), DoubleType), Literal(1e6)), DecimalType(18, 6))) }),
+    // date_part with DuckDB's LIST form: date_part(['year','month'], d)
+    // returns a STRUCT of the parts (probed); the scalar form delegates
+    // to Spark's own extract-field parser (identical semantics), plus
+    // the 'epoch' part Spark's parser lacks (DOUBLE seconds, probed)
+    "date_part" -> (es => datePartBuilder(es)),
+    "datepart" -> (es => datePartBuilder(es)),
     // --- table-in-select
     "unnest" -> (es => { nArgs("unnest", es, 1); Explode(es(0)) })
   )

@@ -133,7 +133,8 @@ class DialectSpec extends SparkSpec {
       "epoch_ms(TIMESTAMP '1970-01-01 00:00:01.5') AS ms")
     assert(r.getString(0) == "2024-03-05 07:08:09")
     assert(r.getString(1) == "05 March 2024")
-    assert(r.getLong(2) == 100L && r.getLong(3) == 1500L)
+    // epoch is DOUBLE seconds since r13 (DuckDB's type, fraction kept)
+    assert(r.getDouble(2) == 100.0 && r.getLong(3) == 1500L)
     val p = one("SELECT strptime('05/03/2024 07:08', '%d/%m/%Y %H:%M') AS ts")
     assert(p.getTimestamp(0).toInstant.toString == "2024-03-05T07:08:00Z")
     // non-literal format: plan-time translation impossible → guided error
@@ -698,10 +699,11 @@ class DialectSpec extends SparkSpec {
     assert(run("SELECT list_sort(l)[2:3] AS r FROM df").getSeq[Int](0) == Seq(2, 3))
     assert(run("SELECT l[2:][2:] AS r FROM df").getSeq[Int](0) == Seq(3, 4, 5))
     assert(run("SELECT df.l[2:3] AS r FROM df").getSeq[Int](0) == Seq(2, 3))
-    // plain subscripts and quoted colons stay untouched
+    // scalar subscripts (quoted colons don't make a slice) are DuckDB
+    // 1-BASED since the r13 rewriteSubscript pass
     val str = SqlStage("s", "SELECT element_at(map('a:b', l), 'a:b')[1] AS v FROM df")
       .apply(spark, df)
-    assert(str.collect().head.getInt(0) == 2) // Spark [] is 0-based
+    assert(str.collect().head.getInt(0) == 1)
     // the function aliases share the semantics; a NULL bound nulls the
     // result (DuckDB's function form), unlike an OPEN bracket bound
     assert(run("SELECT list_slice(l, 2, 3) AS r FROM df").getSeq[Int](0) == Seq(2, 3))
@@ -911,10 +913,10 @@ class DialectSpec extends SparkSpec {
     // comprehension + literal + slice compose (each rewrite feeds the next)
     assert(run("SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1][2:2] AS r FROM df")
       .getSeq[Int](0) == Seq(6))
-    // subscripts on expressions are NOT literals — l[1] keeps Spark's
-    // native 0-BASED subscript (the documented divergence; DuckDB's
-    // 1-based forms are the [a:b] slices and list_slice aliases)
-    assert(run("SELECT l[1] AS r FROM df").getInt(0) == 8)
+    // subscripts on expressions are NOT literals — l[1] is a scalar
+    // subscript, DuckDB 1-BASED since the r13 rewriteSubscript pass
+    // (previously a documented divergence to Spark's 0-based native)
+    assert(run("SELECT l[1] AS r FROM df").getInt(0) == 9)
     // CASE branches are literal position
     assert(run("SELECT CASE WHEN s = 'x' THEN [1] ELSE [2] END AS r FROM df")
       .getSeq[Int](0) == Seq(1))
@@ -1404,7 +1406,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(|[\w)\]]\s*\[".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         // identity modulo rewriteRawLiterals (r13): backslashes inside
         // literals double ON PURPOSE (DuckDB-raw → Spark-escaped)
@@ -2633,6 +2635,57 @@ class DialectSpec extends SparkSpec {
     // strpos = 1-based instr
     assert(one("SELECT strpos('abc', 'b') AS m").getInt(0) == 2)
     assert(one("SELECT strpos('abc', 'q') AS m").getInt(0) == 0)
+  }
+
+  test("scalar subscripts, list_sort orders, epoch/intervals, json aggs (r13)") {
+    val df = spark.range(1).toDF("z")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // every expected value is the PROBED duckdb 1.0.0 output
+    // --- scalar subscript: 1-based, negative-from-end, 0/oob NULL
+    assert(one("SELECT ([10,20,30])[1] AS m").getInt(0) == 10)
+    assert(one("SELECT ([10,20,30])[-1] AS m").getInt(0) == 30)
+    assert(one("SELECT ([10,20,30])[0] AS m").isNullAt(0))
+    assert(one("SELECT ([10,20,30])[4] AS m").isNullAt(0))
+    assert(one("SELECT (string_split('a b c', ' '))[1] AS m").getString(0) == "a")
+    // strings: 1-based char, ''/oob empty
+    assert(one("SELECT 'abcd'[2] AS m").getString(0) == "b")
+    assert(one("SELECT 'abcd'[-1] AS m").getString(0) == "d")
+    assert(one("SELECT 'abcd'[0] AS m").getString(0) == "")
+    assert(one("SELECT 'abcd'[9] AS m").getString(0) == "")
+    // struct field; map subscright stays LIST-shaped (q144's shape)
+    assert(one("SELECT ({'f': 7})['f'] AS m").getInt(0) == 7)
+    // list_extract carries the same semantics
+    assert(one("SELECT list_extract([10,20], 0) AS m").isNullAt(0))
+    assert(one("SELECT array_extract('abc', 2) AS m").getString(0) == "b")
+    // --- list_sort: DEFAULT IS NULLS LAST (Spark's sort_array is not)
+    def arr(sql: String) = one(sql).getSeq[Any](0).map(v => if (v == null) -1L else v)
+    assert(arr("SELECT list_sort([3,1,NULL,2]) AS m") == Seq(1L, 2L, 3L, -1L))
+    assert(arr("SELECT list_sort([3,1,NULL,2], 'DESC') AS m") == Seq(3L, 2L, 1L, -1L))
+    assert(arr("SELECT list_sort([3,1,NULL,2], 'DESC', 'NULLS FIRST') AS m") == Seq(-1L, 3L, 2L, 1L))
+    assert(arr("SELECT list_sort([3,1,NULL,2], 'ASC', 'NULLS LAST') AS m") == Seq(1L, 2L, 3L, -1L))
+    // --- epoch: DOUBLE seconds incl. fraction; EXTRACT(epoch FROM …)
+    assert(one("SELECT epoch(TIMESTAMP '2024-01-01 00:00:01.5') AS m").getDouble(0) == 1.7040672015e9)
+    assert(one("SELECT extract(epoch FROM TIMESTAMP '2024-01-01 00:00:01') AS m").getDouble(0) == 1.704067201e9)
+    // --- interval constructors
+    assert(one("SELECT CAST(TIMESTAMP '2024-01-02 00:00:00' + to_hours(3) AS STRING) AS m")
+      .getString(0).startsWith("2024-01-02 03:00"))
+    assert(one("SELECT CAST(DATE '2024-01-01' + to_days(5) AS DATE) AS m")
+      .getDate(0).toString == "2024-01-06")
+    assert(one("SELECT CAST(DATE '2024-01-01' + to_months(2) AS DATE) AS m")
+      .getDate(0).toString == "2024-03-01")
+    // --- date_part list form → struct (probed {'year': 2024, 'month': 3})
+    val st = one("SELECT date_part(['year','month'], DATE '2024-03-05') AS m").getStruct(0)
+    assert(st.getAs[Number]("year").longValue == 2024L && st.getAs[Number]("month").longValue == 3L)
+    assert(one("SELECT date_part('year', DATE '2024-03-05') AS m").getAs[Number](0).longValue == 2024L)
+    // --- kahan aliases + json aggregates (ordered single-range input)
+    assert(one("SELECT fsum(z + 1.5) AS m FROM df").getDouble(0) == 1.5)
+    assert(one("SELECT favg(z + 1.5) AS m FROM df").getDouble(0) == 1.5)
+    spark.range(3).toDF("i").createOrReplaceTempView("jga")
+    assert(SqlStage("s", "SELECT json_group_array(i) AS m FROM jga")
+      .apply(spark, spark.table("jga")).collect().head.getString(0) == "[0,1,2]")
+    assert(SqlStage("s", "SELECT json_group_object(i, 'v' || i) AS m FROM jga")
+      .apply(spark, spark.table("jga")).collect().head.getString(0)
+      == """{"0":"v0","1":"v1","2":"v2"}""")
   }
 
   test("date/time probe-batch: time_bucket, boundary date_diff, datesub, small math (r13)") {
