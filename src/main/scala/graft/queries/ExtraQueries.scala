@@ -1181,6 +1181,45 @@ object ExtraQueries {
     graft.operators.SqlStage("q162", regexSurfaceSqlText).apply(s, customer(s, d))
   }
 
+  /** Collection-surface gate (r13) — IDENTICAL text on both engines:
+    * DuckDB 1-based scalar subscripts incl. negative-from-end, `[0]`/
+    * out-of-range NULL and 1-based string chars (the r13
+    * rewriteSubscript pass — Spark's native subscript is 0-based, the
+    * classic silent off-by-one), list_sort's ASC-NULLS-LAST default
+    * and 'DESC' modifier, json_group_array/object (single-row groups —
+    * DuckDB aggregates in input order, so multi-row groups would be
+    * order-fragile), fractional-DOUBLE epoch, date_part's list→struct
+    * form (to_json for a type-stable compare), and GROUP BY ALL.
+    * Row-local work over one aggregate — a scan plus one exchange.
+    */
+  private[graft] val collectionSqlText = """
+      WITH toks AS (
+        SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ts FROM documents
+      )
+      SELECT doc_id,
+        ts[1] AS head_tok,
+        ts[-1] AS tail_tok,
+        COALESCE(ts[0], '<null>') AS zero_tok,
+        COALESCE(ts[len(ts) + 5], '<null>') AS oob_tok,
+        (list_sort(ts))[2] AS second_sorted,
+        (list_sort(ts, 'DESC'))[1] AS max_tok,
+        (ts[1])[1] AS head_char,
+        (ts[1])[-2] AS head_penult,
+        strpos(ts[1], 'e') AS e_pos,
+        json_group_array(n_chars) AS chars_json,
+        json_group_object(lang, n_chars) AS lang_json,
+        CAST(round(epoch(TIMESTAMP '2024-01-01 00:00:01.5') * 10) AS BIGINT) AS ep,
+        to_json(date_part(['year','month'], DATE '2024-03-05')) AS parts
+      FROM toks
+      GROUP BY ALL
+      ORDER BY doc_id"""
+
+  def q163Collections(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    documents(s, d).createOrReplaceTempView("documents")
+    graft.operators.SqlStage("q163", collectionSqlText).apply(s, documents(s, d))
+  }
+
   def q152DmlStatements(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
     nation(s, d).createOrReplaceTempView("nation")
@@ -1230,6 +1269,7 @@ object ExtraQueries {
     "q160_time_bucket"    -> (q160TimeBucket _),
     "q161_frame_exclude"  -> (q161FrameExclude _),
     "q162_regex_surface"  -> (q162RegexSurface _),
+    "q163_collections"    -> (q163Collections _),
     "q126_from_first"     -> (q126FromFirst _),
     "q127_sorted_layout"  -> (q127SortedLayout _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
@@ -1320,6 +1360,8 @@ object ExtraQueries {
     "q161_frame_exclude" -> frameExcludeSqlText,
     // q162: DuckDB executes the identical regexp/SIMILAR TO text
     "q162_regex_surface" -> regexSurfaceSqlText,
+    // q163: DuckDB executes the identical subscript/list_sort text
+    "q163_collections" -> collectionSqlText,
     "q126_from_first" -> fromFirstSqlText,
     // q127: the aggregate is layout-independent — DuckDB reads the
     // ORIGINAL table; any loss/dup/corruption in the sorted layout
