@@ -109,7 +109,16 @@ final case class SqlStage(name: String, code: String) extends Stage {
       spark.catalog.tableExists(t) &&
         scala.util.Try(spark.catalog.getTable(t)).toOption
           .exists(_.tableType == "TEMPORARY")
-    GraftSqlParser.insertSpec(code2).foreach { spec =>
+    // DuckDB `RETURNING` (r13): split the projection off the DML text —
+    // the statement then returns the AFFECTED rows (post-assignment for
+    // UPDATE, old values for DELETE) instead of the Count relation
+    val (dmlCode, returning) = GraftSqlParser.stripReturning(code2)
+    def returningRelation(rows: DataFrame, exprs: String): DataFrame = {
+      val v = "__graft_returning"
+      rows.localCheckpoint().createOrReplaceTempView(v)
+      SqlStage(name, s"SELECT $exprs FROM $v").apply(spark, df)
+    }
+    GraftSqlParser.insertSpec(dmlCode).foreach { spec =>
       val tname = spec.table
       val exists = spark.catalog.tableExists(tname)
       if (!exists || isTempView(tname)) {
@@ -118,7 +127,7 @@ final case class SqlStage(name: String, code: String) extends Stage {
             s"sql stage '$name': INSERT INTO unknown table '$tname' — create it " +
               "first with CREATE TEMP TABLE ... AS in an earlier statement/stage " +
               "(catalog tables are the Sources.writeBucketed route)")
-        return executeInsert(spark, df, spec)
+        return executeInsert(spark, df, spec, returning, returningRelation)
       }
       // real catalog table: Spark's native INSERT INTO handles the plain
       // positional form below; the DuckDB extras have no native shape
@@ -153,9 +162,17 @@ final case class SqlStage(name: String, code: String) extends Stage {
             "TABLE AS / Sources sinks) or run the mutation before the write")
       spark.table(t)
     }
-    GraftSqlParser.deleteTarget(code2).foreach { case (t, predOpt) =>
+    GraftSqlParser.deleteTarget(dmlCode).foreach { case (t, predOpt) =>
       val cur = mutableTempTable("DELETE FROM", t)
       val total = cur.count()
+      // RETURNING for DELETE carries the OLD rows (probed)
+      val affected = returning.map { _ =>
+        predOpt match {
+          case Some(p) => SqlStage(name, s"SELECT * FROM $t WHERE COALESCE(($p), FALSE)")
+            .apply(spark, df).localCheckpoint()
+          case None => cur.localCheckpoint()
+        }
+      }
       val kept = predOpt match {
         case Some(p) =>
           SqlStage(name, s"SELECT * FROM $t WHERE NOT COALESCE(($p), FALSE)")
@@ -164,9 +181,10 @@ final case class SqlStage(name: String, code: String) extends Stage {
       }
       val nKept = kept.count()
       kept.createOrReplaceTempView(t)
+      returning.foreach(exprs => return returningRelation(affected.get, exprs))
       return GraftSqlParser.countRelation(spark, total - nKept)
     }
-    GraftSqlParser.updateTarget(code2).foreach { spec =>
+    GraftSqlParser.updateTarget(dmlCode).foreach { spec =>
       val cur = mutableTempTable("UPDATE", spec.table)
       val have = cur.columns.map(_.toLowerCase).toSet
       spec.assigns.foreach { case (c, _) =>
@@ -174,6 +192,10 @@ final case class SqlStage(name: String, code: String) extends Stage {
           throw new graft.functions.expressions.DuckDialectException(
             s"sql stage '$name': UPDATE ${spec.table} assigns unknown column " +
               s"'$c' (table has ${cur.columns.mkString(", ")})")
+      }
+      spec.from.foreach { fromList =>
+        return executeUpdateFrom(spark, df, cur, spec, fromList, returning,
+          returningRelation)
       }
       val byLower = spec.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
       val items = cur.columns.map { c =>
@@ -190,18 +212,17 @@ final case class SqlStage(name: String, code: String) extends Stage {
       // DuckDB keeps the column's declared type, ROUNDING fractional →
       // integral assignments (2.7 → 3, probed); Spark's cast truncates,
       // so round first where that divergence bites
-      val updated = cur.schema.fields.foldLeft(updated0) { (acc, f) =>
-        val nt = updated0.schema(f.name).dataType
-        if (nt == f.dataType) acc
-        else {
-          import org.apache.spark.sql.types._
-          val needsRound = (nt == DoubleType || nt == FloatType ||
-            nt.isInstanceOf[DecimalType]) &&
-            (f.dataType == LongType || f.dataType == IntegerType ||
-              f.dataType == ShortType || f.dataType == ByteType)
-          val base = if (needsRound) round(col(f.name)) else col(f.name)
-          acc.withColumn(f.name, base.cast(f.dataType))
+      val updated = recastTo(cur, updated0)
+      // RETURNING carries the POST-assignment rows (probed): the same
+      // assignments applied unconditionally over the matching old rows
+      val affected = returning.map { _ =>
+        val uncond = cur.columns.map { c =>
+          byLower.get(c.toLowerCase).map(e => s"($e) AS $c").getOrElse(c)
         }
+        val w = spec.where.map(p => s" WHERE COALESCE(($p), FALSE)").getOrElse("")
+        recastTo(cur, SqlStage(name,
+          s"SELECT ${uncond.mkString(", ")} FROM ${spec.table}$w").apply(spark, df))
+          .localCheckpoint()
       }
       val n = spec.where match {
         case Some(p) =>
@@ -210,6 +231,7 @@ final case class SqlStage(name: String, code: String) extends Stage {
         case None => cur.count()
       }
       updated.localCheckpoint().createOrReplaceTempView(spec.table)
+      returning.foreach(exprs => return returningRelation(affected.get, exprs))
       return GraftSqlParser.countRelation(spark, n)
     }
     // TRUNCATE [TABLE] t: DuckDB removes every row and returns the
@@ -485,6 +507,57 @@ final case class SqlStage(name: String, code: String) extends Stage {
     }
   }
 
+  /** Execute a joined `UPDATE t SET ... FROM tables WHERE cond` (r13)
+    * against a session TEMP table. The Spark re-expression: tag the
+    * target with a row id (stable within the checkpointed snapshot),
+    * compute ONE match row per target id with `any_value` over each
+    * assignment RHS (DuckDB also takes an arbitrary match when several
+    * from-rows qualify — probed), LEFT JOIN the matches back, and keep
+    * the old value where no match. Count = matched target rows
+    * (DuckDB's). Scale shape: one join on the from-predicate + one
+    * id-keyed join — the same plan a hand-written rebuild would get.
+    */
+  private def executeUpdateFrom(spark: SparkSession, df: DataFrame,
+      cur: DataFrame, spec: GraftSqlParser.UpdateSpec, fromList: String,
+      returning: Option[String],
+      returningRelation: (DataFrame, String) => DataFrame): DataFrame = {
+    val t = spec.table
+    val rid = "__graft_rid"
+    val tagged = cur.withColumn(rid, monotonically_increasing_id()).localCheckpoint()
+    tagged.createOrReplaceTempView(t)
+    val aliases = spec.assigns.zipWithIndex.map { case ((c, e), ix) =>
+      (c.toLowerCase, e, s"__graft_a$ix")
+    }
+    val mView = "__graft_upd_m"
+    val matchSql = s"SELECT $t.$rid AS $rid, " +
+      aliases.map { case (_, e, a) => s"any_value($e) AS $a" }.mkString(", ") +
+      s" FROM $t, $fromList" +
+      spec.where.map(p => s" WHERE ($p)").getOrElse("") +
+      s" GROUP BY $t.$rid"
+    val matches = SqlStage(name, matchSql).apply(spark, df).localCheckpoint()
+    val n = matches.count()
+    matches.createOrReplaceTempView(mView)
+    val aliasByCol = aliases.map { case (c, _, a) => c -> a }.toMap
+    val items = cur.columns.map { c =>
+      aliasByCol.get(c.toLowerCase) match {
+        case Some(a) =>
+          s"CASE WHEN m.$rid IS NOT NULL THEN m.$a ELSE t.$c END AS $c"
+        case None => s"t.$c"
+      }
+    }
+    val rebuilt = recastTo(cur, SqlStage(name,
+      s"SELECT ${items.mkString(", ")} FROM $t t LEFT JOIN $mView m ON t.$rid = m.$rid")
+      .apply(spark, df)).localCheckpoint()
+    val affected = returning.map { _ =>
+      recastTo(cur, SqlStage(name,
+        s"SELECT ${items.mkString(", ")} FROM $t t JOIN $mView m ON t.$rid = m.$rid")
+        .apply(spark, df)).localCheckpoint()
+    }
+    rebuilt.createOrReplaceTempView(t)
+    returning.map(exprs => returningRelation(affected.get, exprs))
+      .getOrElse(GraftSqlParser.countRelation(spark, n))
+  }
+
   /** Execute a parsed [[GraftSqlParser.InsertSpec]] against a session
     * TEMP table and return DuckDB's `Count` relation (inserted +
     * actually-updated rows — conflict-skipped rows and WHERE-false
@@ -501,7 +574,10 @@ final case class SqlStage(name: String, code: String) extends Stage {
     * (the UPDATE/DELETE treatment).
     */
   private def executeInsert(spark: SparkSession, df: DataFrame,
-                            spec: GraftSqlParser.InsertSpec): DataFrame = {
+                            spec: GraftSqlParser.InsertSpec,
+                            returning: Option[String] = None,
+                            returningRelation: (DataFrame, String) => DataFrame
+                              = (r, _) => r): DataFrame = {
     import graft.functions.expressions.DuckDialectException
     val t = spec.table
     def fail(msg: String): Nothing =
@@ -584,6 +660,10 @@ final case class SqlStage(name: String, code: String) extends Stage {
           "\" (within the batch)")
       }
     }
+    if (returning.isDefined && spec.action.isDefined)
+      fail("RETURNING with ON CONFLICT / OR REPLACE / OR IGNORE is not " +
+        "claimed — DuckDB returns only the actually-inserted/updated rows " +
+        "there; read the table back after the upsert instead")
     if (spec.action.isDefined && pkCols.isEmpty)
       fail("ON CONFLICT / OR REPLACE / OR IGNORE needs a declared PRIMARY KEY " +
         "— create the table with CREATE TEMP TABLE t (c TYPE PRIMARY KEY, ...) " +
@@ -652,7 +732,9 @@ final case class SqlStage(name: String, code: String) extends Stage {
     out.createOrReplaceTempView(t)
     spark.catalog.dropTempView(insView)
     spark.catalog.dropTempView(s"__graft_exc_$t")
-    GraftSqlParser.countRelation(spark, nAffected)
+    // RETURNING on a plain INSERT carries the rows as inserted (probed)
+    returning.map(exprs => returningRelation(aligned, exprs))
+      .getOrElse(GraftSqlParser.countRelation(spark, nAffected))
   }
 }
 

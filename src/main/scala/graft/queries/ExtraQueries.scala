@@ -1220,6 +1220,55 @@ object ExtraQueries {
     graft.operators.SqlStage("q163", collectionSqlText).apply(s, documents(s, d))
   }
 
+  /** Joined-UPDATE statement gate (r13) — IDENTICAL batch text on both
+    * engines: CTAS aggregate, multi-row INSERT, DELETE ... RETURNING
+    * (executes mid-batch; DuckDB's batch rule keeps the LAST relation),
+    * and `UPDATE ... SET ... FROM (subquery) WHERE join-pred` (each
+    * target row takes its matching from-row's assignment — matches are
+    * UNIQUE here, since an over-matched row is engine-arbitrary in
+    * BOTH engines), closed by a full-state SELECT pinning every
+    * mutation. The Spark exec: one join on the from-predicate + one
+    * row-id join back ([[graft.operators.SqlStage]] executeUpdateFrom).
+    */
+  private[graft] val updateFromSqlText = """
+      CREATE OR REPLACE TEMP TABLE adj AS
+        SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1;
+      INSERT INTO adj VALUES ('AAA_FIRST', 7), ('ZZZ_LAST', 9);
+      DELETE FROM adj WHERE seg = 'ZZZ_LAST' RETURNING seg, n;
+      UPDATE adj SET n = adj.n + b.bonus
+        FROM (SELECT 'HOUSEHOLD' AS s, 1000 AS bonus
+              UNION ALL SELECT 'MACHINERY', 2000) b
+        WHERE adj.seg = b.s;
+      SELECT seg, n FROM adj ORDER BY seg"""
+
+  def q164UpdateFrom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    customer(s, d).createOrReplaceTempView("customer")
+    graft.operators.SqlStage("q164", updateFromSqlText).apply(s, customer(s, d))
+  }
+
+  /** RETURNING-projection gate (r13) — the batch ENDS on an
+    * `UPDATE ... FROM ... RETURNING expr-list`, so the compared
+    * relation is the post-assignment affected rows themselves (probed:
+    * DuckDB returns NEW values for UPDATE; check.py sorts rows, so the
+    * unordered RETURNING relation compares stably).
+    */
+  private[graft] val returningSqlText = """
+      CREATE OR REPLACE TEMP TABLE nat2 AS
+        SELECT n_nationkey AS k, n_name AS nm, CAST(n_regionkey AS BIGINT) AS r
+        FROM nation;
+      UPDATE nat2 SET r = nat2.r * 100 + b.add
+        FROM (SELECT 0 AS rk, 11 AS add UNION ALL SELECT 1, 22) b
+        WHERE nat2.r = b.rk
+        RETURNING k, nm, r, r // 10 AS r10"""
+
+  def q165Returning(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    nation(s, d).createOrReplaceTempView("nation")
+    graft.operators.SqlStage("q165", returningSqlText).apply(s, nation(s, d))
+  }
+
   def q152DmlStatements(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
     nation(s, d).createOrReplaceTempView("nation")
@@ -1270,6 +1319,8 @@ object ExtraQueries {
     "q161_frame_exclude"  -> (q161FrameExclude _),
     "q162_regex_surface"  -> (q162RegexSurface _),
     "q163_collections"    -> (q163Collections _),
+    "q164_update_from"    -> (q164UpdateFrom _),
+    "q165_returning"      -> (q165Returning _),
     "q126_from_first"     -> (q126FromFirst _),
     "q127_sorted_layout"  -> (q127SortedLayout _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
@@ -1362,6 +1413,10 @@ object ExtraQueries {
     "q162_regex_surface" -> regexSurfaceSqlText,
     // q163: DuckDB executes the identical subscript/list_sort text
     "q163_collections" -> collectionSqlText,
+    // q164/q165: DuckDB executes the identical UPDATE FROM / RETURNING
+    // batches natively
+    "q164_update_from" -> updateFromSqlText,
+    "q165_returning" -> returningSqlText,
     "q126_from_first" -> fromFirstSqlText,
     // q127: the aggregate is layout-independent — DuckDB reads the
     // ORIGINAL table; any loss/dup/corruption in the sorted layout
