@@ -120,3 +120,126 @@ case class GraftEntropy(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): GraftEntropy =
     copy(child = newChild)
 }
+
+/** DuckDB's `histogram(x)` aggregate: a MAP from each distinct value to
+  * its count, KEYS SORTED ascending, NULLs skipped (probed duckdb
+  * 1.0.0: histogram over (2,1,2,NULL) = {1=1, 2=2}). Same mergeable
+  * count-table shape as [[GraftEntropy]] (memory bounded by the
+  * column's distinct count — DuckDB pays the same); keys keep the
+  * child's type. Atomic key types only.
+  */
+case class GraftHistogram(child: Expression,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.HashMap[Any, Long]]
+    with UnaryLike[Expression] {
+  override def dataType: DataType = MapType(child.dataType, LongType, valueContainsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "histogram"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | LongType | IntegerType | DoubleType | FloatType |
+           BooleanType | ShortType | ByteType | DateType | TimestampType |
+           TimestampNTZType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _: DecimalType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"histogram needs an atomic key type, got $other")
+    }
+
+  override def createAggregationBuffer(): scala.collection.mutable.HashMap[Any, Long] =
+    scala.collection.mutable.HashMap.empty
+
+  override def update(buf: scala.collection.mutable.HashMap[Any, Long],
+                      input: InternalRow): scala.collection.mutable.HashMap[Any, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // UnsafeRow-backed strings are reused buffers — copy the key
+      val k = v match {
+        case s: UTF8String => s.clone()
+        case other => other
+      }
+      buf.update(k, buf.getOrElse(k, 0L) + 1L)
+    }
+    buf
+  }
+
+  override def merge(buf: scala.collection.mutable.HashMap[Any, Long],
+                     other: scala.collection.mutable.HashMap[Any, Long]): scala.collection.mutable.HashMap[Any, Long] = {
+    other.foreach { case (k, c) => buf.update(k, buf.getOrElse(k, 0L) + c) }
+    buf
+  }
+
+  @transient private lazy val keyOrdering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(child.dataType)
+
+  override def eval(buf: scala.collection.mutable.HashMap[Any, Long]): Any = {
+    if (buf.isEmpty) return null
+    val sorted = buf.toArray.sortBy(_._1)(keyOrdering)
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sorted.map(_._1)),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sorted.map(_._2)))
+  }
+
+  // serialize by the child's type: a tagged little protocol beats
+  // dragging a generic serializer into the agg hot path
+  override def serialize(buf: scala.collection.mutable.HashMap[Any, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, c) =>
+      k match {
+        case s: UTF8String =>
+          val b = s.getBytes
+          out.writeByte(0); out.writeInt(b.length); out.write(b)
+        case l: Long => out.writeByte(1); out.writeLong(l)
+        case i: Int => out.writeByte(2); out.writeInt(i)
+        case d: Double => out.writeByte(3); out.writeDouble(d)
+        case f: Float => out.writeByte(4); out.writeFloat(f)
+        case b: Boolean => out.writeByte(5); out.writeBoolean(b)
+        case s: Short => out.writeByte(6); out.writeShort(s)
+        case b: Byte => out.writeByte(7); out.writeByte(b)
+        case d: org.apache.spark.sql.types.Decimal =>
+          val str = d.toString
+          out.writeByte(8); out.writeInt(d.precision); out.writeInt(d.scale)
+          out.writeUTF(str)
+        case other => throw new DuckDialectException(
+          s"histogram: unsupported key runtime type ${other.getClass.getName}")
+      }
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.HashMap[Any, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = scala.collection.mutable.HashMap.empty[Any, Long]
+    var i = 0
+    while (i < n) {
+      val k: Any = in.readByte() match {
+        case 0 => val len = in.readInt(); val b = new Array[Byte](len)
+          in.readFully(b); UTF8String.fromBytes(b)
+        case 1 => in.readLong()
+        case 2 => in.readInt()
+        case 3 => in.readDouble()
+        case 4 => in.readFloat()
+        case 5 => in.readBoolean()
+        case 6 => in.readShort()
+        case 7 => in.readByte()
+        case 8 => val p = in.readInt(); val s = in.readInt()
+          org.apache.spark.sql.types.Decimal(BigDecimal(in.readUTF()), p, s)
+      }
+      buf.update(k, in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftHistogram =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftHistogram =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): GraftHistogram =
+    copy(child = newChild)
+}

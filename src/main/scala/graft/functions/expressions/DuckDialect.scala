@@ -353,6 +353,52 @@ case class GraftListSort(child: Expression, asc: Boolean, nullsFirst: Boolean)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** DuckDB `list_grade_up(l)`: the 1-BASED indices that would sort the
+  * list ascending — with NULL elements graded FIRST (probed duckdb
+  * 1.0.0: [30,NULL,20] → [2,3,1]), unlike list_sort's nulls-last
+  * default. Stable on ties (original order).
+  */
+case class GraftGradeUp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(et, _)
+        if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(et) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"list_grade_up needs an array of orderable elements, got $other")
+    }
+  @transient private lazy val elementType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(elementType)
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val idx = (0 until n).toArray
+    val vals = idx.map(i => if (arr.isNullAt(i)) null else arr.get(i, elementType))
+    val sorted = idx.sortBy(identity)(Ordering.fromLessThan { (a, b) =>
+      val (x, y) = (vals(a), vals(b))
+      if (x == null && y == null) a < b
+      else if (x == null) true
+      else if (y == null) false
+      else { val c = ordering.compare(x, y); if (c != 0) c < 0 else a < b }
+    })
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sorted.map(_ + 1))
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gradeUp", this,
+      "graft.functions.expressions.GraftGradeUp")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GraftListSort {
   def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData, et: DataType,
       ord: Ordering[Any], asc: Boolean, nullsFirst: Boolean):
@@ -689,6 +735,8 @@ object DuckDialect {
     }),
     // = list_sort(l, 'DESC') — DESC NULLS LAST (probed)
     "list_reverse_sort" -> (es => { nArgs("list_reverse_sort", es, 1); SortArray(es(0), Literal(false)) }),
+    // 1-based ascending sort indices, NULL elements graded FIRST (probed)
+    "list_grade_up" -> (es => { nArgs("list_grade_up", es, 1); GraftGradeUp(es(0)) }),
     "list_reverse" -> (es => { nArgs("list_reverse", es, 1); Reverse(es(0)) }),
     "list_concat" -> (es => Concat(es)),
     "list_append" -> (es => { nArgs("list_append", es, 2); ArrayAppend(es(0), es(1)) }),
@@ -762,6 +810,8 @@ object DuckDialect {
     "entropy" -> (es => { nArgs("entropy", es, 1); GraftEntropy(Cast(es(0), StringType)) }),
     // Kahan-compensated sums: DOUBLE result (probed); Spark's DOUBLE
     // sum is plain but the values agree wherever an oracle rounds
+    // map value→count, keys sorted, NULLs skipped (probed)
+    "histogram" -> (es => { nArgs("histogram", es, 1); GraftHistogram(es(0)) }),
     "fsum" -> (es => { nArgs("fsum", es, 1); aggregate.Sum(Cast(es(0), DoubleType)) }),
     "sumkahan" -> (es => { nArgs("sumkahan", es, 1); aggregate.Sum(Cast(es(0), DoubleType)) }),
     "kahan_sum" -> (es => { nArgs("kahan_sum", es, 1); aggregate.Sum(Cast(es(0), DoubleType)) }),
@@ -901,6 +951,9 @@ object DuckDialect {
     "graft_ddiv" -> (es => { nArgs("graft_ddiv", es, 2); DuckDiv(es(0), es(1)) }),
     // backs the scalar-subscript rewrite (GraftSqlParser.rewriteSubscript)
     "graft_bracket_get" -> (es => { nArgs("graft_bracket_get", es, 2); DuckBracketGet(es(0), es(1)) }),
+    // divide(a, b) is DuckDB's // operator as a function (probed:
+    // divide(7,2)=3 integer, divide(7.5,2)=3.75)
+    "divide" -> (es => { nArgs("divide", es, 2); DuckDiv(es(0), es(1)) }),
     // --- string predicates
     "starts_with" -> (es => { nArgs("starts_with", es, 2); StartsWith(es(0), es(1)) }),
     "ends_with" -> (es => { nArgs("ends_with", es, 2); EndsWith(es(0), es(1)) }),
@@ -984,8 +1037,8 @@ object DuckDialect {
     "struct_pack" -> "use named_struct('a', expr1, 'b', expr2)",
     "group_concat" -> "use string_agg(expr, sep) (both engines support it)",
     "date_add" -> "Spark's date_add(date, days) takes days only — for other units use dateadd(unit, n, ts)",
-    "histogram" -> "use groupBy + count, or width_bucket for binning",
     "mad" -> "exact median-absolute-deviation needs two passes — percentile(abs(x - m), 0.5) against a precomputed median m, or approx_percentile for one pass",
+    "age" -> "Spark has no mixed calendar-interval result type — use date_diff('part', a, b) for a chosen unit, or make_interval over extracted parts",
     "gamma" -> "Spark has no gamma function — factorial(n) covers integer n; otherwise precompute or use a derive-stage expression",
     "lgamma" -> "Spark has no log-gamma — for integer n use log(factorial(n)); otherwise precompute",
     "md5_number" -> "use the graft fingerprint natives (norm_fingerprint) or hash/xxhash64",

@@ -225,10 +225,10 @@ class DialectSpec extends SparkSpec {
     def hintOf(sql: String): String =
       intercept[DuckDialectException](
         SqlStage("s", sql).apply(spark, spark.range(1).toDF("id"))).getMessage
-    assert(hintOf("SELECT histogram(id) FROM df").contains("width_bucket"))
-    // date_diff('day', ...) EXECUTES since r13 (boundary-crossing
-    // rewrite) — mad keeps the two-pass guidance instead
+    // histogram EXECUTES since r13 (GraftHistogram) — mad and age keep
+    // the guided errors
     assert(hintOf("SELECT mad(id) FROM df").contains("percentile"))
+    assert(hintOf("SELECT age(ts1, ts2) FROM df").contains("date_diff"))
     // read_csv_auto('path') EXECUTES in sql stages since r9 — a missing
     // file surfaces as the reader's path error, not a dialect hint; the
     // hint remains for option-bearing calls (asserted in the COPY test)
@@ -2689,6 +2689,33 @@ class DialectSpec extends SparkSpec {
     assert(SqlStage("s", "SELECT json_group_object(i, 'v' || i) AS m FROM jga")
       .apply(spark, spark.table("jga")).collect().head.getString(0)
       == """{"0":"v0","1":"v1","2":"v2"}""")
+  }
+
+  test("dot-call chains, histogram, list_grade_up, divide (r13)") {
+    val df = spark.range(1).toDF("z")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // method-call syntax: x.f(a) = f(x, a); chains compose (probed)
+    assert(one("SELECT ('abc').upper() AS m").getString(0) == "ABC")
+    assert(one("SELECT ('  a ').trim().len() AS m").getAs[Number](0).longValue == 1L)
+    assert(one("SELECT 'a,b'.string_split(',').len() AS m").getAs[Number](0).longValue == 2L)
+    assert(one("SELECT ([3,1,2]).list_sort() AS m").getSeq[Int](0) == Seq(1, 2, 3))
+    // args after the receiver
+    assert(one("SELECT ('hello').substring(2, 3) AS m").getString(0) == "ell")
+    // histogram: sorted-key map, NULLs skipped (probed {1=1, 2=2})
+    spark.sql("SELECT * FROM VALUES (2),(1),(2),(NULL) AS v(x)")
+      .createOrReplaceTempView("hgt")
+    val h = SqlStage("s", "SELECT histogram(x) AS m FROM hgt")
+      .apply(spark, spark.table("hgt")).collect().head.getMap[Int, Long](0)
+    assert(h == Map(1 -> 1L, 2 -> 2L))
+    val hs = SqlStage("s", "SELECT to_json(histogram(x)) AS m FROM hgt")
+      .apply(spark, spark.table("hgt")).collect().head.getString(0)
+    assert(hs == """{"1":1,"2":2}""") // keys sorted ascending
+    // list_grade_up: 1-based sort indices, NULLs graded FIRST (probed)
+    assert(one("SELECT list_grade_up([30,10,20]) AS m").getSeq[Int](0) == Seq(2, 3, 1))
+    assert(one("SELECT list_grade_up([30,NULL,20]) AS m").getSeq[Int](0) == Seq(2, 3, 1))
+    // divide = the // operator as a function (probed 3 and 3.75)
+    assert(one("SELECT divide(7, 2) AS m").getAs[Number](0).longValue == 3L)
+    assert(one("SELECT divide(7.5, 2) AS m").getDouble(0) == 3.75)
   }
 
   test("UPDATE ... FROM and RETURNING execute with DuckDB semantics (r13)") {
