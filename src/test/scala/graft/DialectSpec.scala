@@ -2354,7 +2354,22 @@ class DialectSpec extends SparkSpec {
       ("CAST(cardinality(MAP {'a': length(x), 'b': 1}) AS BIGINT)", "v"),
       ("array_to_string(map_values(MAP {'a': length(x), 'b': length(x) * 2}), '-')", "v"),
       ("list_sum([CAST(cardinality(MAP {'k': w}) AS BIGINT) FOR w IN string_split(x, ' ')])", "v"),
-      ("array_to_string(MAP {'m': x ->> 'a'}['m'], ',')", "j"))
+      ("array_to_string(MAP {'m': x ->> 'a'}['m'], ',')", "j"),
+      // r13 session-4 surface: 1-based scalar subscripts (incl. on a
+      // slice result), dot-call chains, SIMILAR TO, DuckDB-semantics
+      // regexp_replace with flags and a RAW backslash literal,
+      // list_sort modifiers and grade_up indices
+      ("string_split(x, ' ')[1]", "v"),
+      ("string_split(x, ' ')[-1]", "v"),
+      ("(x[2:4])[1]", "v"),
+      ("x.upper().len()", "v"),
+      ("x.trim().substring(2, 3)", "v"),
+      ("CASE WHEN x SIMILAR TO '[a-z ]+' THEN 1 ELSE 0 END", "v"),
+      ("regexp_replace(x, 't', 'T', 'g')", "v"),
+      ("regexp_replace(x, '\\s+', '_', 'g')", "v"),
+      ("regexp_replace(x, '(t)(i)', '\\2\\1')", "v"),
+      ("array_to_string(list_sort(string_split(x, ' '), 'DESC'), ',')", "v"),
+      ("list_grade_up(string_split(x, ' '))[1]", "v"))
     val comments = Seq("-- c; with semicolon\n", "/* block; ; */ ", "")
     val rnd = new scala.util.Random(20260814)
     for (trial <- 1 to 400) {
