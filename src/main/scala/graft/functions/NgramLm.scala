@@ -155,6 +155,63 @@ object NgramLm {
     new BigramLmModel(base.uni, base.bi, base.nTokens, base.vSize, tri)
   }
 
+  /** Order-4 upgrade (r13): [[trainTrigramLm]]'s model plus pruned
+    * 4-gram counts over the same UNK-mapped stream — one further
+    * count-then-map pass with its own prune (`minCount`) and cap
+    * (`maxQuadgrams`). Score with `perplexity(..., lambda4 > 0)`:
+    * λ4·c(t,u,v,w)/c(t,u,v) interpolating into the trigram estimate,
+    * backing off through the PRUNED trigram table when the context
+    * triple itself was pruned — the identical recursion one order up
+    * (the q166 oracle replays the whole order-4 construction).
+    */
+  def trainQuadgramLm(df: DataFrame, tokensCol: Column,
+                      maxVocab: Int = 65536, minCount: Int = 2,
+                      maxBigrams: Int = 1 << 20,
+                      maxTrigrams: Int = 1 << 21,
+                      maxQuadgrams: Int = 1 << 22): BigramLmModel = {
+    require(maxQuadgrams >= 0, "maxQuadgrams >= 0")
+    val base = trainTrigramLm(df, tokensCol, maxVocab, minCount,
+      maxBigrams, maxTrigrams)
+    val spark = df.sparkSession
+    val unk = BigramPerplexityBroadcast.Unk
+    val sep = expressions.BigramLmModel.CtxSep
+    val vocabDf = spark.createDataFrame(
+      java.util.Arrays.asList(base.uni.keySet().toArray.collect {
+        case w: String if w != unk => Row(w)
+      }.toSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vw",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val rawQuads = df.select(tokensCol.as("ts"))
+      .where(size(col("ts")) >= 4)
+      .select(posexplode(slice(col("ts"), lit(1), size(col("ts")) - 3)).as(Seq("p", "w1")),
+        col("ts"))
+      .select(col("w1"), element_at(col("ts"), col("p") + 2).as("w2"),
+        element_at(col("ts"), col("p") + 3).as("w3"),
+        element_at(col("ts"), col("p") + 4).as("w4"))
+      .groupBy(col("w1"), col("w2"), col("w3"), col("w4")).agg(count(lit(1)).as("c"))
+    val quads = rawQuads
+      .join(broadcast(vocabDf.select(col("vw").as("m1"))), col("w1") === col("m1"), "left")
+      .join(broadcast(vocabDf.select(col("vw").as("m2"))), col("w2") === col("m2"), "left")
+      .join(broadcast(vocabDf.select(col("vw").as("m3"))), col("w3") === col("m3"), "left")
+      .join(broadcast(vocabDf.select(col("vw").as("m4"))), col("w4") === col("m4"), "left")
+      .select(coalesce(col("m1"), lit(unk)).as("w1"),
+        coalesce(col("m2"), lit(unk)).as("w2"),
+        coalesce(col("m3"), lit(unk)).as("w3"),
+        coalesce(col("m4"), lit(unk)).as("w4"), col("c"))
+      .groupBy(col("w1"), col("w2"), col("w3"), col("w4")).agg(sum(col("c")).as("c"))
+      .where(col("c") >= minCount)
+      .orderBy(col("c").desc, col("w1"), col("w2"), col("w3"), col("w4"))
+      .limit(maxQuadgrams).collect()
+    val quad = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+    quads.foreach { r =>
+      val ctx = r.getString(0) + sep + r.getString(1) + sep + r.getString(2)
+      quad.computeIfAbsent(ctx, _ => new java.util.HashMap[String, Long]())
+        .put(r.getString(3), r.getLong(4))
+    }
+    new BigramLmModel(base.uni, base.bi, base.nTokens, base.vSize, base.tri, quad)
+  }
+
   /** Derive interpolated Kneser-Ney statistics (Kneser & Ney 1995;
     * Chen & Goodman 1998 §2.7 — KenLM's default smoothing) from a
     * trained bigram model's PRUNED pair table: per-context fanout
@@ -198,13 +255,16 @@ object NgramLm {
     * engages the model's trigram order ([[trainTrigramLm]]).
     */
   def perplexity(df: DataFrame, model: BigramLmModel, tokensCol: Column,
-                 lambda: Double = 0.9, lambda3: Double = 0.0): Column = {
+                 lambda: Double = 0.9, lambda3: Double = 0.0,
+                 lambda4: Double = 0.0): Column = {
     require(lambda >= 0 && lambda < 1, s"lambda in [0, 1); got $lambda")
     require(lambda3 >= 0 && lambda3 < 1, s"lambda3 in [0, 1); got $lambda3")
+    require(lambda4 >= 0 && lambda4 < 1, s"lambda4 in [0, 1); got $lambda4")
     GraftFunctions.register(df.sparkSession)
     val bc = df.sparkSession.sparkContext.broadcast(model)
     org.apache.spark.sql.GraftColumnBridge.column(
       BigramPerplexityBroadcast(bc, lambda,
-        org.apache.spark.sql.GraftColumnBridge.expression(tokensCol), lambda3))
+        org.apache.spark.sql.GraftColumnBridge.expression(tokensCol), lambda3,
+        lambda4))
   }
 }

@@ -26,14 +26,35 @@ final class BigramLmModel(
       * lambda3 > 0 and the map is populated; r13 trigram upgrade).
       */
     val tri: java.util.HashMap[String,
-      java.util.HashMap[String, java.util.HashMap[String, Long]]])
+      java.util.HashMap[String, java.util.HashMap[String, Long]]],
+    /** Pruned 4-gram counts keyed by the JOINED context
+      * `w1␂w2␂w3` → (w4 → count) ([[BigramLmModel.CtxSep]]; flat-keyed
+      * — four nested levels stop paying for themselves). EMPTY below
+      * order 4 (engages when lambda4 > 0; r13 quadgram upgrade).
+      */
+    val quad: java.util.HashMap[String, java.util.HashMap[String, Long]])
   extends Serializable {
   def this(uni: java.util.HashMap[String, Long],
            bi: java.util.HashMap[String, java.util.HashMap[String, Long]],
            nTokens: Long, vSize: Long) =
     this(uni, bi, nTokens, vSize,
       new java.util.HashMap[String,
-        java.util.HashMap[String, java.util.HashMap[String, Long]]]())
+        java.util.HashMap[String, java.util.HashMap[String, Long]]](),
+      new java.util.HashMap[String, java.util.HashMap[String, Long]]())
+  def this(uni: java.util.HashMap[String, Long],
+           bi: java.util.HashMap[String, java.util.HashMap[String, Long]],
+           nTokens: Long, vSize: Long,
+           tri: java.util.HashMap[String,
+             java.util.HashMap[String, java.util.HashMap[String, Long]]]) =
+    this(uni, bi, nTokens, vSize, tri,
+      new java.util.HashMap[String, java.util.HashMap[String, Long]]())
+}
+
+object BigramLmModel {
+  /** Join separator for flat context keys: U+0002 can't appear in
+    * space-split tokens (the UNK symbol already claims U+0001).
+    */
+  val CtxSep = "\u0002"
 }
 
 /** bigram_perplexity: per-document perplexity under a broadcast
@@ -68,7 +89,16 @@ case class BigramPerplexityBroadcast(
       * orders, the KenLM interpolated shape at order 3. lambda3 = 0
       * (the default) is the pure bigram model.
       */
-    lambda3: Double = 0.0)
+    lambda3: Double = 0.0,
+    /** 4-gram interpolation weight (r13): at position i ≥ 4,
+      *   p4(w|t,u,v) = λ4·c(t,u,v,w)/c(t,u,v) + (1−λ4)·p3(w|u,v)
+      *                                           [c(t,u,v) > 0 in the
+      *                                            PRUNED trigram table]
+      *               = p3(w|u,v)                  [else]
+      * — one more recursive level, backing off through the pruned
+      * trigram table exactly as order 3 backs off through the bigrams.
+      */
+    lambda4: Double = 0.0)
   extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -83,7 +113,7 @@ case class BigramPerplexityBroadcast(
 
   override def nullSafeEval(tokens: Any): Any = {
     val r = BigramPerplexityBroadcast.ppl(
-      tokens.asInstanceOf[ArrayData], model.value, lambda, lambda3)
+      tokens.asInstanceOf[ArrayData], model.value, lambda, lambda3, lambda4)
     if (r.isNaN) null else r
   }
 
@@ -97,7 +127,7 @@ case class BigramPerplexityBroadcast(
       val tmp = ctx.freshName("ppl")
       s"""
          double $tmp = graft.functions.expressions.BigramPerplexityBroadcast.ppl(
-           $c, $mVar, $lambda, $lambda3);
+           $c, $mVar, $lambda, $lambda3, $lambda4);
          if (Double.isNaN($tmp)) { ${ev.isNull} = true; }
          else { ${ev.value} = $tmp; }
        """.stripMargin
@@ -117,13 +147,14 @@ object BigramPerplexityBroadcast {
 
   /** NaN encodes NULL (empty token array) across the codegen boundary. */
   def ppl(tokens: ArrayData, m: BigramLmModel, lambda: Double,
-          lambda3: Double = 0.0): Double = {
+          lambda3: Double = 0.0, lambda4: Double = 0.0): Double = {
     val t = tokens.numElements()
     if (t == 0) return Double.NaN
     val denom = (m.nTokens + m.vSize).toDouble
     var logp = 0.0
     var prev: String = null
     var prev2: String = null
+    var prev3: String = null
     var i = 0
     while (i < t) {
       val raw = tokens.getUTF8String(i).toString
@@ -139,7 +170,7 @@ object BigramPerplexityBroadcast {
             val c2 = if (inner == null) 0L else inner.getOrDefault(w, 0L)
             lambda * c2.toDouble / c1p + (1.0 - lambda) * pU
           } else pU
-        val p =
+        val p3 =
           if (i >= 2 && lambda3 > 0) {
             // context-pair count from the PRUNED bigram table — an
             // absent/pruned context backs off to the bigram estimate,
@@ -153,8 +184,23 @@ object BigramPerplexityBroadcast {
               lambda3 * c123.toDouble / c12 + (1.0 - lambda3) * p2
             } else p2
           } else p2
+        // order 4 (r13): context-TRIPLE count from the PRUNED trigram
+        // table; an absent/pruned triple backs off to the order-3 form
+        val p =
+          if (i >= 3 && lambda4 > 0) {
+            val t1 = m.tri.get(prev3)
+            val t2 = if (t1 == null) null else t1.get(prev2)
+            val c123ctx = if (t2 == null) 0L else t2.getOrDefault(prev, 0L)
+            if (c123ctx > 0) {
+              val qInner = m.quad.get(
+                prev3 + BigramLmModel.CtxSep + prev2 + BigramLmModel.CtxSep + prev)
+              val c4 = if (qInner == null) 0L else qInner.getOrDefault(w, 0L)
+              lambda4 * c4.toDouble / c123ctx + (1.0 - lambda4) * p3
+            } else p3
+          } else p3
         logp += math.log(p)
       }
+      prev3 = prev2
       prev2 = prev
       prev = w
       i += 1

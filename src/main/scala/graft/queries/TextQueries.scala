@@ -970,6 +970,37 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** 4-gram-LM perplexity (r13, the order-4 upgrade of q149):
+    * [[graft.functions.NgramLm.trainQuadgramLm]] adds pruned 4-gram
+    * counts over the same UNK-mapped stream; scoring interpolates one
+    * further level — λ4·c(t,u,v,w)/c(t,u,v) into the trigram estimate,
+    * backing off through the PRUNED trigram table when the context
+    * triple was pruned (the identical recursion one order up). Same
+    * replay discipline as q147/q149: the DuckDB oracle recomputes the
+    * WHOLE order-4 model (one more count CTE, one more context column,
+    * the four-level probability CASE) so the added order is
+    * hash-anchored; `n_quadgrams` goes loud if the cap ever binds.
+    */
+  def q166QuadgramPpl(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val toksCol = split(col("text"), " ")
+    val lm = graft.functions.NgramLm.trainQuadgramLm(
+      docs, toksCol, maxVocab = 24, minCount = 2)
+    // λ3 = λ4 = 0.5: (1 − λ) is EXACT in doubles, so the JVM's
+    // runtime (1.0 - lambda) equals the oracle's literal — the q147
+    // milli-rounding then only has the ln/exp ulp to absorb
+    val ppl = graft.functions.NgramLm.perplexity(docs, lm, toksCol,
+      lambda = 0.9, lambda3 = 0.5, lambda4 = 0.5)
+    var nQuads = 0L
+    lm.quad.values().forEach(m => nQuads += m.size())
+    docs.select(col("doc_id"), size(toksCol).cast("long").as("n_toks"),
+        round(ppl * 1000).cast("long").as("ppl_milli"))
+      .withColumn("n_tokens_total", lit(lm.nTokens))
+      .withColumn("v_size", lit(lm.vSize))
+      .withColumn("n_quadgrams", lit(nQuads))
+      .orderBy(col("doc_id"))
+  }
+
   /** Interpolated Kneser-Ney perplexity (r13 — [[graft.functions
     * .NgramLm.kneserNey]]): the absolute-discount smoothing KenLM
     * ships by default (Kneser & Ney 1995, Chen & Goodman 1998 §2.7),
@@ -1056,6 +1087,7 @@ object TextQueries {
     "q147_ngram_ppl"      -> (q147NgramPpl _),
     "q148_substr_dedup"   -> (q148SubstrDedup _),
     "q149_trigram_ppl"    -> (q149TrigramPpl _),
+    "q166_quadgram_ppl"   -> (q166QuadgramPpl _),
     "q151_kneser_ney"     -> (q151KneserNey _),
     "q150_nb_classifier"  -> (q150NbClassifier _),
     "q132_buckets_approx" -> (q132BucketsApproxAudit _),
@@ -1245,6 +1277,101 @@ object TextQueries {
     // q149: the order-3 replay — q147's model CTEs plus the trigram
     // count CTE and the recursive-interpolation CASE (trigram term over
     // the PRUNED context-pair count, backing off to the bigram form)
+    // q166: the order-4 replay — q149's CTEs plus the quadgram count
+    // CTE, a third context column and the four-level recursive-
+    // interpolation CASE (λ = 0.9, λ3 = λ4 = 0.5 — the halves are
+    // exact in doubles, so the JVM's runtime 1−λ matches the literal)
+    "q166_quadgram_ppl" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      u AS (SELECT w, COUNT(*) c FROM (SELECT unnest(ts) w FROM tok) GROUP BY w),
+      vocab AS (SELECT w FROM u ORDER BY c DESC, w LIMIT 24),
+      uni AS (SELECT CASE WHEN v.w IS NULL THEN chr(1) ELSE u.w END wm, SUM(c) c
+              FROM u LEFT JOIN vocab v ON u.w = v.w GROUP BY 1),
+      consts AS (SELECT CAST((SELECT SUM(c) FROM uni) AS DOUBLE) +
+                        CAST((SELECT COUNT(*) FROM uni) AS DOUBLE) AS nv),
+      pairtab AS (SELECT doc_id, ts[i] w1r, ts[i+1] w2r
+                  FROM tok, UNNEST(range(1, len(ts))) t(i)),
+      bigraw AS (SELECT CASE WHEN v1.w IS NULL THEN chr(1) ELSE w1r END w1,
+                        CASE WHEN v2.w IS NULL THEN chr(1) ELSE w2r END w2
+                 FROM pairtab LEFT JOIN vocab v1 ON w1r = v1.w
+                              LEFT JOIN vocab v2 ON w2r = v2.w),
+      big AS (SELECT w1, w2, COUNT(*) c FROM bigraw GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      tripl AS (SELECT doc_id, ts[i] w1r, ts[i+1] w2r, ts[i+2] w3r
+                FROM tok, UNNEST(range(1, len(ts) - 1)) t(i)),
+      trimap AS (SELECT CASE WHEN v1.w IS NULL THEN chr(1) ELSE w1r END w1,
+                        CASE WHEN v2.w IS NULL THEN chr(1) ELSE w2r END w2,
+                        CASE WHEN v3.w IS NULL THEN chr(1) ELSE w3r END w3
+                 FROM tripl LEFT JOIN vocab v1 ON w1r = v1.w
+                            LEFT JOIN vocab v2 ON w2r = v2.w
+                            LEFT JOIN vocab v3 ON w3r = v3.w),
+      tri AS (SELECT w1, w2, w3, COUNT(*) c FROM trimap GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+      quadpl AS (SELECT doc_id, ts[i] w1r, ts[i+1] w2r, ts[i+2] w3r, ts[i+3] w4r
+                 FROM tok, UNNEST(range(1, len(ts) - 2)) t(i)),
+      quadmap AS (SELECT CASE WHEN v1.w IS NULL THEN chr(1) ELSE w1r END w1,
+                         CASE WHEN v2.w IS NULL THEN chr(1) ELSE w2r END w2,
+                         CASE WHEN v3.w IS NULL THEN chr(1) ELSE w3r END w3,
+                         CASE WHEN v4.w IS NULL THEN chr(1) ELSE w4r END w4
+                  FROM quadpl LEFT JOIN vocab v1 ON w1r = v1.w
+                              LEFT JOIN vocab v2 ON w2r = v2.w
+                              LEFT JOIN vocab v3 ON w3r = v3.w
+                              LEFT JOIN vocab v4 ON w4r = v4.w),
+      quad AS (SELECT w1, w2, w3, w4, COUNT(*) c FROM quadmap
+               GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2),
+      toks4 AS (SELECT doc_id, len(ts) t, i, ts[i] wr,
+                       CASE WHEN i > 1 THEN ts[i-1] END prv,
+                       CASE WHEN i > 2 THEN ts[i-2] END prv2,
+                       CASE WHEN i > 3 THEN ts[i-3] END prv3
+                FROM tok, UNNEST(range(1, len(ts) + 1)) tt(i)),
+      m AS (SELECT doc_id, t, i,
+              CASE WHEN vw.w IS NULL THEN chr(1) ELSE wr END wm,
+              CASE WHEN i = 1 THEN NULL WHEN vp.w IS NULL THEN chr(1) ELSE prv END pm,
+              CASE WHEN i <= 2 THEN NULL WHEN vp2.w IS NULL THEN chr(1) ELSE prv2 END pm2,
+              CASE WHEN i <= 3 THEN NULL WHEN vp3.w IS NULL THEN chr(1) ELSE prv3 END pm3
+            FROM toks4 LEFT JOIN vocab vw ON wr = vw.w
+                       LEFT JOIN vocab vp ON prv = vp.w
+                       LEFT JOIN vocab vp2 ON prv2 = vp2.w
+                       LEFT JOIN vocab vp3 ON prv3 = vp3.w),
+      sc AS (SELECT doc_id, t,
+               CASE WHEN m.i = 1 THEN ln((uw.c + 1.0) / cs.nv)
+                    WHEN m.i = 2 THEN ln(0.9 * COALESCE(b.c, 0) / up.c
+                                         + 0.1 * (uw.c + 1.0) / cs.nv)
+                    WHEN m.i = 3 THEN ln(CASE WHEN b12.c IS NOT NULL
+                            THEN 0.5 * COALESCE(t3.c, 0) / b12.c
+                               + 0.5 * (0.9 * COALESCE(b.c, 0) / up.c
+                                        + 0.1 * (uw.c + 1.0) / cs.nv)
+                            ELSE 0.9 * COALESCE(b.c, 0) / up.c
+                                 + 0.1 * (uw.c + 1.0) / cs.nv END)
+                    ELSE ln(CASE WHEN t123.c IS NOT NULL
+                            THEN 0.5 * COALESCE(q4.c, 0) / t123.c
+                               + 0.5 * (CASE WHEN b12.c IS NOT NULL
+                                        THEN 0.5 * COALESCE(t3.c, 0) / b12.c
+                                           + 0.5 * (0.9 * COALESCE(b.c, 0) / up.c
+                                                    + 0.1 * (uw.c + 1.0) / cs.nv)
+                                        ELSE 0.9 * COALESCE(b.c, 0) / up.c
+                                             + 0.1 * (uw.c + 1.0) / cs.nv END)
+                            ELSE CASE WHEN b12.c IS NOT NULL
+                                 THEN 0.5 * COALESCE(t3.c, 0) / b12.c
+                                    + 0.5 * (0.9 * COALESCE(b.c, 0) / up.c
+                                             + 0.1 * (uw.c + 1.0) / cs.nv)
+                                 ELSE 0.9 * COALESCE(b.c, 0) / up.c
+                                      + 0.1 * (uw.c + 1.0) / cs.nv END END)
+               END lp
+             FROM (m CROSS JOIN consts cs)
+             JOIN uni uw ON m.wm = uw.wm
+             LEFT JOIN uni up ON m.pm = up.wm
+             LEFT JOIN big b ON b.w1 = m.pm AND b.w2 = m.wm
+             LEFT JOIN big b12 ON b12.w1 = m.pm2 AND b12.w2 = m.pm
+             LEFT JOIN tri t3 ON t3.w1 = m.pm2 AND t3.w2 = m.pm AND t3.w3 = m.wm
+             LEFT JOIN tri t123 ON t123.w1 = m.pm3 AND t123.w2 = m.pm2 AND t123.w3 = m.pm
+             LEFT JOIN quad q4 ON q4.w1 = m.pm3 AND q4.w2 = m.pm2
+                              AND q4.w3 = m.pm AND q4.w4 = m.wm)
+      SELECT doc_id, CAST(MAX(t) AS BIGINT) AS n_toks,
+             CAST(ROUND(EXP(-SUM(lp)/MAX(t)) * 1000, 0) AS BIGINT) AS ppl_milli,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_tokens_total,
+             (SELECT COUNT(*) FROM uni) AS v_size,
+             (SELECT COUNT(*) FROM quad) AS n_quadgrams
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
     "q149_trigram_ppl" -> """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
       u AS (SELECT w, COUNT(*) c FROM (SELECT unnest(ts) w FROM tok) GROUP BY w),
