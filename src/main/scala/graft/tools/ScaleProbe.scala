@@ -226,6 +226,17 @@ object ScaleProbe {
             lambda = 0.9, lambda3 = 0.5)
             .as("p")).agg(count(col("p"))).collect()(0).getLong(0)
         }),
+        // r13 order-4 LM: the quadgram count pass on top — window
+        // count rows ≈ tokens at every order, so the added pass should
+        // hold the trigram slope
+        "q166_quadgram_ppl" -> (() => {
+          val t = split(col("text"), " ")
+          val lm = graft.functions.NgramLm.trainQuadgramLm(docs, t,
+            maxVocab = 65536, minCount = 2)
+          docs.select(graft.functions.NgramLm.perplexity(docs, lm, t,
+            lambda = 0.9, lambda3 = 0.5, lambda4 = 0.5)
+            .as("p")).agg(count(col("p"))).collect()(0).getLong(0)
+        }),
         // r13 sliding-window substring dedup; sum(length) forces the
         // rebuild exactly like q92 above
         "q148_substr_dedup" -> (() =>
