@@ -334,6 +334,19 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().head.isNullAt(0))
   }
 
+  test("r13 frame-EXCLUDE rewrite adds no exchange: peer windows share the frame's partitioning") {
+    // q161 carries FOUR excluded-frame aggregates over two window
+    // families; the subtraction rewrite's peer windows (RANGE CURRENT
+    // ROW both) must MERGE into the frame windows' Window nodes — the
+    // plan holds exactly 2 Exchanges (aggregate + window sort) and 2
+    // Window nodes, one per (partitioning, ordering) pair; an
+    // un-merged peer window would add a third of either
+    val df = graft.queries.ExtraQueries.all("q161_frame_exclude")(spark, sf)
+    val p = planOf(df)
+    assert("\\bExchange\\b".r.findAllIn(p).size <= 3, p) // AQE may split
+    assert("\\bWindow\\b".r.findAllIn(p).size == 2, p)
+  }
+
   test("r9 quality bundles plan as single-stage scans: zero exchanges") {
     import org.apache.spark.sql.functions._
     // gopherRules / c4Clean / repetitionProfile / scriptProfile are
