@@ -737,6 +737,30 @@ object DuckDialect {
     "list_reverse_sort" -> (es => { nArgs("list_reverse_sort", es, 1); SortArray(es(0), Literal(false)) }),
     // 1-based ascending sort indices, NULL elements graded FIRST (probed)
     "list_grade_up" -> (es => { nArgs("list_grade_up", es, 1); GraftGradeUp(es(0)) }),
+    // list_reduce: no-init fold (probed [1,2,3] + → 6) = aggregate over
+    // the tail with the head as zero; the lambda arrives two-param
+    // (accumulator first, like DuckDB's)
+    "list_reduce" -> (es => { nArgs("list_reduce", es, 2)
+      val id = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+      ArrayAggregate(
+        Slice(es(0), Literal(2), Greatest(Seq(Subtract(Size(es(0)), Literal(1)), Literal(0)))),
+        ElementAt(es(0), Literal(1)),
+        es(1), LambdaFunction(id, Seq(id))) }),
+    // list_median: NULLs dropped, interpolated even-count midpoint
+    // (probed [1,2,3,10] → 2.5), DOUBLE
+    "list_median" -> (es => { nArgs("list_median", es, 1)
+      val sorted = GraftListSort(ArrayCompact(es(0)), asc = true, nullsFirst = false)
+      val n = Size(sorted)
+      def at(i: Expression) = Cast(ElementAt(sorted, i), DoubleType)
+      If(EqualTo(n, Literal(0)), Literal.create(null, DoubleType),
+        If(EqualTo(Pmod(n, Literal(2)), Literal(1)),
+          at(Cast(Divide(Add(n, Literal(1)), Literal(2)), IntegerType)),
+          Divide(Add(at(Cast(Divide(n, Literal(2)), IntegerType)),
+            at(Add(Cast(Divide(n, Literal(2)), IntegerType), Literal(1)))), Literal(2.0)))) }),
+    "array_pop_back" -> (es => { nArgs("array_pop_back", es, 1)
+      Slice(es(0), Literal(1), Greatest(Seq(Subtract(Size(es(0)), Literal(1)), Literal(0)))) }),
+    "array_pop_front" -> (es => { nArgs("array_pop_front", es, 1)
+      Slice(es(0), Literal(2), Greatest(Seq(Subtract(Size(es(0)), Literal(1)), Literal(0)))) }),
     "list_reverse" -> (es => { nArgs("list_reverse", es, 1); Reverse(es(0)) }),
     "list_concat" -> (es => Concat(es)),
     "list_append" -> (es => { nArgs("list_append", es, 2); ArrayAppend(es(0), es(1)) }),
@@ -954,6 +978,30 @@ object DuckDialect {
     // divide(a, b) is DuckDB's // operator as a function (probed:
     // divide(7,2)=3 integer, divide(7.5,2)=3.75)
     "divide" -> (es => { nArgs("divide", es, 2); DuckDiv(es(0), es(1)) }),
+    // DuckDB's 1-arg log is LOG10 (Spark's is ln); 2-arg log(base, x)
+    // agrees across engines — backs GraftSqlParser.rewriteLogFn
+    "duck_log" -> (es => es.length match {
+      case 1 => Log10(es(0))
+      case 2 => Logarithm(es(0), es(1))
+      case n => throw new DuckDialectException(s"log expects 1 or 2 args, got $n")
+    }),
+    // bitwise XOR as a function (DuckDB's ^ operator is EXPONENT —
+    // rewritten to power() by rewriteCaret)
+    "xor" -> (es => { nArgs("xor", es, 2); BitwiseXor(es(0), es(1)) }),
+    // DuckDB left/right accept NEGATIVE lengths: drop |n| chars from
+    // the other end (probed left('abcd',-1)='abc'); Spark returns ''
+    "left" -> (es => { nArgs("left", es, 2)
+      val n = Cast(es(1), IntegerType)
+      If(GreaterThanOrEqual(n, Literal(0)),
+        Substring(es(0), Literal(1), n),
+        Substring(es(0), Literal(1),
+          Greatest(Seq(Add(Length(es(0)), n), Literal(0))))) }),
+    "right" -> (es => { nArgs("right", es, 2)
+      val n = Cast(es(1), IntegerType)
+      If(GreaterThanOrEqual(n, Literal(0)),
+        If(EqualTo(n, Literal(0)), Literal(""),
+          Substring(es(0), UnaryMinus(n), Literal(Int.MaxValue))),
+        Substring(es(0), Subtract(Literal(1), n), Literal(Int.MaxValue))) }),
     // --- string predicates
     "starts_with" -> (es => { nArgs("starts_with", es, 2); StartsWith(es(0), es(1)) }),
     "ends_with" -> (es => { nArgs("ends_with", es, 2); EndsWith(es(0), es(1)) }),

@@ -1220,6 +1220,39 @@ object ExtraQueries {
     graft.operators.SqlStage("q163", collectionSqlText).apply(s, documents(s, d))
   }
 
+  /** Operator-semantics gate (r13) — IDENTICAL text on both engines,
+    * anchoring the fourth probe sweep's silent-divergence fixes:
+    * DuckDB's `^` is EXPONENT (Spark's is XOR — rewriteCaret), 1-arg
+    * `log` is LOG10 (Spark's is ln — the duck_log rename), `xor()` as
+    * the bitwise function, left/right with NEGATIVE lengths (drop from
+    * the other end), aggregate FILTER over WINDOW functions (Spark:
+    * unsupported — rewritten to the CASE-guarded argument), and the
+    * list folds (list_reduce no-init fold, list_median interpolated
+    * midpoint, array_pop_back). round(×1e4) absorbs ln/exp ulp.
+    * Row-local work plus two windows — scan-shaped at any scale.
+    */
+  private[graft] val operatorSemanticsSqlText = """
+      SELECT n_nationkey AS k,
+        CAST(round(2 ^ (n_nationkey % 5) * 100) AS BIGINT) AS pow2,
+        CAST(round(log(n_nationkey + 1) * 10000) AS BIGINT) AS lg10,
+        CAST(round(log(2, n_nationkey + 1) * 10000) AS BIGINT) AS lg2,
+        xor(n_nationkey, 21) AS xr,
+        left(n_name, -2) AS lcut,
+        right(n_name, -2) AS rcut,
+        count(*) FILTER (WHERE n_regionkey = 0) OVER (ORDER BY n_nationkey) AS r0_so_far,
+        CAST(sum(n_regionkey) FILTER (WHERE n_nationkey % 2 = 0) OVER
+             (ORDER BY n_nationkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS even_r,
+        list_reduce([n_nationkey + 1, 2, 3], (a, b) -> a * b) AS folded,
+        list_median([n_nationkey, 0, 10, 5]) AS med,
+        array_to_string(array_pop_back(string_split(n_name, '_')), ',') AS stem
+      FROM nation ORDER BY k"""
+
+  def q167OperatorSemantics(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    nation(s, d).createOrReplaceTempView("nation")
+    graft.operators.SqlStage("q167", operatorSemanticsSqlText).apply(s, nation(s, d))
+  }
+
   /** Joined-UPDATE statement gate (r13) — IDENTICAL batch text on both
     * engines: CTAS aggregate, multi-row INSERT, DELETE ... RETURNING
     * (executes mid-batch; DuckDB's batch rule keeps the LAST relation),
@@ -1321,6 +1354,7 @@ object ExtraQueries {
     "q163_collections"    -> (q163Collections _),
     "q164_update_from"    -> (q164UpdateFrom _),
     "q165_returning"      -> (q165Returning _),
+    "q167_operator_semantics" -> (q167OperatorSemantics _),
     "q126_from_first"     -> (q126FromFirst _),
     "q127_sorted_layout"  -> (q127SortedLayout _),
     "q117_recursive_sql"  -> (q117RecursiveSql _),
@@ -1417,6 +1451,8 @@ object ExtraQueries {
     // batches natively
     "q164_update_from" -> updateFromSqlText,
     "q165_returning" -> returningSqlText,
+    // q167: DuckDB executes the identical operator-semantics text
+    "q167_operator_semantics" -> operatorSemanticsSqlText,
     "q126_from_first" -> fromFirstSqlText,
     // q127: the aggregate is layout-independent — DuckDB reads the
     // ORIGINAL table; any loss/dup/corruption in the sorted layout

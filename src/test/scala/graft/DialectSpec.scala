@@ -1409,7 +1409,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(|[\w)\]]\s*\[".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(|[\w)\]]\s*\[|\^|\blog\s*\(|\bFILTER\s*\(".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         // identity modulo rewriteRawLiterals (r13): backslashes inside
         // literals double ON PURPOSE (DuckDB-raw → Spark-escaped)
@@ -2704,6 +2704,42 @@ class DialectSpec extends SparkSpec {
     assert(SqlStage("s", "SELECT json_group_object(i, 'v' || i) AS m FROM jga")
       .apply(spark, spark.table("jga")).collect().head.getString(0)
       == """{"0":"v0","1":"v1","2":"v2"}""")
+  }
+
+  test("caret exponent, log10, left/right negatives, FILTER-over-window, list folds (r13)") {
+    val df = spark.range(1).toDF("z")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // every expected value is the PROBED duckdb 1.0.0 output
+    // ^ is EXPONENT (Spark's ^ is XOR — the classic silent wrong)
+    assert(one("SELECT 2 ^ 3 AS m").getDouble(0) == 8.0)
+    assert(one("SELECT 2 ^ 3 ^ 2 AS m").getDouble(0) == 64.0) // left-assoc
+    assert(one("SELECT -2 ^ 2 AS m").getDouble(0) == 4.0)
+    assert(one("SELECT 3 * 2 ^ 2 AS m").getDouble(0) == 12.0)
+    assert(one("SELECT xor(5, 3) AS m").getAs[Number](0).longValue == 6L)
+    // 1-arg log is LOG10 (Spark's is ln); 2-arg log(base, x) agrees
+    assert(one("SELECT log(100) AS m").getDouble(0) == 2.0)
+    assert(one("SELECT log(2, 8) AS m").getDouble(0) == 3.0)
+    // left/right with negative lengths drop from the other end
+    assert(one("SELECT left('abcd', -1) AS m").getString(0) == "abc")
+    assert(one("SELECT right('abcd', -1) AS m").getString(0) == "bcd")
+    assert(one("SELECT left('abcd', 2) AS m").getString(0) == "ab")
+    assert(one("SELECT right('abcd', 0) AS m").getString(0) == "")
+    assert(one("SELECT right('ab', 5) AS m").getString(0) == "ab")
+    // FILTER over a window function rewrites to the CASE-guarded form
+    spark.range(4).selectExpr("id AS i").createOrReplaceTempView("fot")
+    val fo = SqlStage("s",
+      """SELECT i, count(*) FILTER (WHERE i > 0) OVER (ORDER BY i) AS c,
+         sum(i) FILTER (WHERE i % 2 = 0) OVER (ORDER BY i) AS s
+         FROM fot ORDER BY i""").apply(spark, spark.table("fot")).collect()
+    assert(fo.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(fo.map(r => if (r.isNullAt(2)) -1L else r.getLong(2)).toSeq == Seq(0L, 0L, 2L, 2L))
+    // list folds
+    assert(one("SELECT list_reduce([1,2,3], (a, b) -> a + b) AS m")
+      .getAs[Number](0).longValue == 6L)
+    assert(one("SELECT list_median([1,2,3,10]) AS m").getDouble(0) == 2.5)
+    assert(one("SELECT list_median([3,1,2]) AS m").getDouble(0) == 2.0)
+    assert(one("SELECT array_pop_back([1,2,3]) AS m").getSeq[Int](0) == Seq(1, 2))
+    assert(one("SELECT array_pop_front([1,2,3]) AS m").getSeq[Int](0) == Seq(2, 3))
   }
 
   test("dot-call chains, histogram, list_grade_up, divide (r13)") {
