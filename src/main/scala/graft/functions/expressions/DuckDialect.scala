@@ -1211,7 +1211,12 @@ object DuckDialect {
     raw"(?i)(?<![\w.])\d+\s*//\s*\d+".r ->
       "this // division shape couldn't be rewritten — a // b auto-rewrites to graft's native DuckDiv (r10: integer truncating division, double division on fractional inputs); write a div b or floor(a / b) directly for anything fancier",
     raw"\*\*".r ->
-      "this ** exponent shape couldn't be rewritten — a ** b auto-rewrites to power(a, b) (r10); note ^ is bitwise XOR in Spark, not exponent"
+      "this ** exponent shape couldn't be rewritten — a ** b auto-rewrites to power(a, b) (r10); note ^ is bitwise XOR in Spark, not exponent",
+    // quantified comparisons parse in DuckDB but not Spark; the
+    // aggregate rewrite is the standard route (NULL semantics differ
+    // from the aggregate form only when the subquery yields NULLs)
+    raw"(?i)[<>=!]=?\s*(ALL|ANY|SOME)\s*\(\s*SELECT\b".r ->
+      "quantified comparisons (x > ALL/ANY (SELECT ...)) aren't Spark SQL — rewrite with an aggregate (x > (SELECT max(...)) for > ALL, x > (SELECT min(...)) for > ANY) or EXISTS/NOT EXISTS when the subquery can yield NULLs"
   )
 
   /** Enrich a failed `sql`-stage error with the dialect hint, if one of

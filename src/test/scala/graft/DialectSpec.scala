@@ -2369,7 +2369,17 @@ class DialectSpec extends SparkSpec {
       ("regexp_replace(x, '\\s+', '_', 'g')", "v"),
       ("regexp_replace(x, '(t)(i)', '\\2\\1')", "v"),
       ("array_to_string(list_sort(string_split(x, ' '), 'DESC'), ',')", "v"),
-      ("list_grade_up(string_split(x, ' '))[1]", "v"))
+      ("list_grade_up(string_split(x, ' '))[1]", "v"),
+      // fourth-sweep surface: caret exponent (vs lambda arrows and
+      // JSON ops in the same body), log10 rename, left/right
+      // negatives, list folds, dot-call composed with a fold
+      ("CAST(2 ^ (length(x) % 4) AS BIGINT)", "v"),
+      ("CAST(round(log(length(x) + 1) * 100) AS BIGINT)", "v"),
+      ("left(x, -3) || '~' || right(x, -3)", "v"),
+      ("list_reduce([length(x), 2, 3], (a, b) -> a + b)", "v"),
+      ("list_median([length(x), 1, 9])", "v"),
+      ("array_to_string(array_pop_back(string_split(x, ' ')), '-')", "v"),
+      ("x.lower().left(-2)", "v"))
     val comments = Seq("-- c; with semicolon\n", "/* block; ; */ ", "")
     val rnd = new scala.util.Random(20260814)
     for (trial <- 1 to 400) {
