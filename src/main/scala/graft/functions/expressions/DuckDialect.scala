@@ -975,6 +975,42 @@ object DuckDialect {
     "graft_ddiv" -> (es => { nArgs("graft_ddiv", es, 2); DuckDiv(es(0), es(1)) }),
     // backs the scalar-subscript rewrite (GraftSqlParser.rewriteSubscript)
     "graft_bracket_get" -> (es => { nArgs("graft_bracket_get", es, 2); DuckBracketGet(es(0), es(1)) }),
+    // struct field by name (same resolver as the [] subscript)
+    "struct_extract" -> (es => { nArgs("struct_extract", es, 2); DuckBracketGet(es(0), es(1)) }),
+    // backs rewriteStructInsert: (struct, 'name', value, ...) pairs
+    // fold into UpdateFields — append or overwrite (probed)
+    "graft_struct_insert" -> (es => {
+      if (es.length < 3 || es.length % 2 == 0) throw new DuckDialectException(
+        "struct_insert expects (struct, name := value, ...)")
+      es.drop(1).grouped(2).foldLeft(es(0)) { case (acc, Seq(name, value)) =>
+        name match {
+          case Literal(n: UTF8String, StringType) if n != null =>
+            UpdateFields(acc, n.toString, value)
+          case other => throw new DuckDialectException(
+            s"struct_insert field names must be identifiers, got $other")
+        }
+      }
+    }),
+    // scalar-list form like range/generate_series (set-returning in
+    // DuckDB; compose with unnest for rows)
+    "generate_subscripts" -> (es => {
+      if (es.length < 1 || es.length > 2) throw new DuckDialectException(
+        "generate_subscripts expects (list[, dim])")
+      es.lift(1).foreach {
+        case Literal(v, _) if v != null && v.toString == "1" =>
+        case other => throw new DuckDialectException(
+          s"generate_subscripts: only dimension 1 exists for lists (got $other)")
+      }
+      Sequence(Literal(1), Size(es(0)), None)
+    }),
+    "sha256" -> (es => { nArgs("sha256", es, 1); Sha2(es(0), Literal(256)) }),
+    // calendar parts Spark's extract lacks (probed: 2024 → 21/202/3)
+    "century" -> (es => { nArgs("century", es, 1)
+      Cast(Ceil(Divide(Cast(Year(es(0)), DoubleType), Literal(100.0))), LongType) }),
+    "decade" -> (es => { nArgs("decade", es, 1)
+      Cast(Floor(Divide(Cast(Year(es(0)), DoubleType), Literal(10.0))), LongType) }),
+    "millennium" -> (es => { nArgs("millennium", es, 1)
+      Cast(Ceil(Divide(Cast(Year(es(0)), DoubleType), Literal(1000.0))), LongType) }),
     // divide(a, b) is DuckDB's // operator as a function (probed:
     // divide(7,2)=3 integer, divide(7.5,2)=3.75)
     "divide" -> (es => { nArgs("divide", es, 2); DuckDiv(es(0), es(1)) }),

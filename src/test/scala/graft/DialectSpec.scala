@@ -2716,6 +2716,25 @@ class DialectSpec extends SparkSpec {
       == """{"0":"v0","1":"v1","2":"v2"}""")
   }
 
+  test("struct_insert/extract, generate_subscripts, sha256, calendar parts (r13)") {
+    val df = spark.range(1).toDF("z")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // every expected value is the PROBED duckdb 1.0.0 output
+    val st = one("SELECT struct_insert({'a': 1}, b := 2, c := length('xy')) AS m").getStruct(0)
+    assert(st.getAs[Number]("a").intValue == 1 && st.getAs[Number]("b").intValue == 2 &&
+      st.getAs[Number]("c").intValue == 2)
+    // overwrite keeps position, updates value (UpdateFields semantics)
+    val ow = one("SELECT struct_insert({'a': 1, 'b': 5}, b := 9) AS m").getStruct(0)
+    assert(ow.getAs[Number]("b").intValue == 9)
+    assert(one("SELECT struct_extract({'a': 7}, 'a') AS m").getAs[Number](0).intValue == 7)
+    assert(one("SELECT generate_subscripts([9,8,7], 1) AS m").getSeq[Int](0) == Seq(1, 2, 3))
+    assert(one("SELECT sha256('a') AS m").getString(0)
+      == "ca978112ca1bbdcafac231b39a23dc4da786eff8147c4e72b9807785afee48bb")
+    assert(one("SELECT century(DATE '2024-03-07') AS m").getLong(0) == 21L)
+    assert(one("SELECT decade(DATE '2024-03-07') AS m").getLong(0) == 202L)
+    assert(one("SELECT millennium(DATE '2024-03-07') AS m").getLong(0) == 3L)
+  }
+
   test("caret exponent, log10, left/right negatives, FILTER-over-window, list folds (r13)") {
     val df = spark.range(1).toDF("z")
     def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
