@@ -2379,7 +2379,9 @@ class DialectSpec extends SparkSpec {
       ("list_reduce([length(x), 2, 3], (a, b) -> a + b)", "v"),
       ("list_median([length(x), 1, 9])", "v"),
       ("array_to_string(array_pop_back(string_split(x, ' ')), '-')", "v"),
-      ("x.lower().left(-2)", "v"))
+      ("x.lower().left(-2)", "v"),
+      ("struct_extract(struct_insert({'a': length(x)}, b := 2), 'b')", "v"),
+      ("list_sum(generate_subscripts(string_split(x, ' '), 1))", "v"))
     val comments = Seq("-- c; with semicolon\n", "/* block; ; */ ", "")
     val rnd = new scala.util.Random(20260814)
     for (trial <- 1 to 400) {
