@@ -662,6 +662,23 @@ object DuckDialect {
     * GraftExtensions, so they resolve in any `sql` stage, subquery or
     * CTE with zero text rewriting.
     */
+  /** Two-param HOF lambdas: DuckDB's index variable is 1-BASED,
+    * Spark's 0-based — rewrite every reference to the second lambda
+    * parameter as (i + 1). One-param lambdas pass through.
+    */
+  private def shiftLambdaIndex(lam: Expression): Expression = lam match {
+    case LambdaFunction(body, args, hidden) if args.length == 2 =>
+      val iv = args(1)
+      val shifted = body.transformUp {
+        case v: UnresolvedNamedLambdaVariable
+          if iv.isInstanceOf[UnresolvedNamedLambdaVariable] &&
+            v.nameParts == iv.asInstanceOf[UnresolvedNamedLambdaVariable].nameParts =>
+          Add(v, Literal(1))
+      }
+      LambdaFunction(shifted, args, hidden)
+    case other => other
+  }
+
   /** DuckDB `epoch`: DOUBLE seconds including the fraction (probed). */
   private def epochSeconds(e: Expression): Expression =
     Divide(Cast(UnixMicros(Cast(e, TimestampType)), DoubleType), Literal(1e6))
@@ -705,8 +722,13 @@ object DuckDialect {
     "regexp_split_to_array" -> (es => { nArgs("regexp_split_to_array", es, 2); StringSplit(es(0), es(1), Literal(-1)) }),
     "to_base" -> (es => { nArgs("to_base", es, 2); Conv(es(0), Literal(10), es(1)) }),
     // --- list_* family → array_* equivalents
-    "list_transform" -> (es => { nArgs("list_transform", es, 2); ArrayTransform(es(0), es(1)) }),
-    "list_filter" -> (es => { nArgs("list_filter", es, 2); ArrayFilter(es(0), es(1)) }),
+    // two-param lambdas carry the element INDEX — 1-BASED in DuckDB
+    // (probed list_transform([1,2], (e,i) -> e*i) = [1,4]), 0-based in
+    // Spark: shift every index-variable reference by one
+    "list_transform" -> (es => { nArgs("list_transform", es, 2)
+      ArrayTransform(es(0), shiftLambdaIndex(es(1))) }),
+    "list_filter" -> (es => { nArgs("list_filter", es, 2)
+      ArrayFilter(es(0), shiftLambdaIndex(es(1))) }),
     "list_contains" -> (es => { nArgs("list_contains", es, 2); ArrayContains(es(0), es(1)) }),
     "list_has" -> (es => { nArgs("list_has", es, 2); ArrayContains(es(0), es(1)) }),
     "list_distinct" -> (es => { nArgs("list_distinct", es, 1); ArrayDistinct(es(0)) }),

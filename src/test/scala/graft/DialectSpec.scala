@@ -2729,6 +2729,10 @@ class DialectSpec extends SparkSpec {
     val ow = one("SELECT struct_insert({'a': 1, 'b': 5}, b := 9) AS m").getStruct(0)
     assert(ow.getAs[Number]("b").intValue == 9)
     assert(one("SELECT struct_extract({'a': 7}, 'a') AS m").getAs[Number](0).intValue == 7)
+    // two-param HOF lambdas: DuckDB's index is 1-BASED (probed [1,4])
+    assert(one("SELECT list_transform([1,2], (e, i) -> e * i) AS m").getSeq[Int](0) == Seq(1, 4))
+    assert(one("SELECT list_filter([10,20,30], (e, i) -> i >= 2) AS m").getSeq[Int](0) == Seq(20, 30))
+    assert(one("SELECT list_transform([5,6], e -> e + 1) AS m").getSeq[Int](0) == Seq(6, 7))
     assert(one("SELECT generate_subscripts([9,8,7], 1) AS m").getSeq[Int](0) == Seq(1, 2, 3))
     assert(one("SELECT sha256('a') AS m").getString(0)
       == "ca978112ca1bbdcafac231b39a23dc4da786eff8147c4e72b9807785afee48bb")
