@@ -57,17 +57,21 @@ object NgramLm {
     val spark = df.sparkSession
     val unk = BigramPerplexityBroadcast.Unk
     // UNK-mapped unigram counts: vocab rows keep their exact counts,
-    // the tail folds into one UNK row — derivable from the raw counts
-    // without a second corpus pass
+    // the tail folds into one UNK row. nTokens comes from a DISTRIBUTED
+    // sum over the count relation (never collect the raw zipf token
+    // space — at web scale distinct tokens are billions of rows), and
+    // unkCount falls out by subtraction from the already-collected
+    // vocab rows.
     val uni = new java.util.HashMap[String, Long]()
-    var unkCount = 0L
-    var nTokens = 0L
-    rawUni.collect().foreach { r =>
-      val w = r.getString(0)
-      val c = r.getLong(1)
-      nTokens += c
-      if (vocab.contains(w)) uni.put(w, c) else unkCount += c
+    var vocabTokens = 0L
+    vocabRows.foreach { r =>
+      uni.put(r.getString(0), r.getLong(1))
+      vocabTokens += r.getLong(1)
     }
+    val nTokens = rawUni.agg(sum(col("c")).as("n")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
+      .getOrElse(0L)
+    val unkCount = nTokens - vocabTokens
     if (unkCount > 0) uni.put(unk, unkCount)
     // bigram counts: one corpus pass + one raw-pair shuffle, then the
     // (small) distinct-pair relation UNK-maps through two broadcast

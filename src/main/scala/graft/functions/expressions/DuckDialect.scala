@@ -668,14 +668,24 @@ object DuckDialect {
     */
   private def shiftLambdaIndex(lam: Expression): Expression = lam match {
     case LambdaFunction(body, args, hidden) if args.length == 2 =>
-      val iv = args(1)
-      val shifted = body.transformUp {
-        case v: UnresolvedNamedLambdaVariable
-          if iv.isInstanceOf[UnresolvedNamedLambdaVariable] &&
-            v.nameParts == iv.asInstanceOf[UnresolvedNamedLambdaVariable].nameParts =>
-          Add(v, Literal(1))
+      args(1) match {
+        case iv: UnresolvedNamedLambdaVariable =>
+          // Manual recursion (not transformUp): a nested lambda whose own
+          // argument list rebinds the same name SHADOWS this index var, so
+          // its subtree must be left alone — the inner lambda gets its own
+          // shift when its builder runs.
+          def shift(e: Expression): Expression = e match {
+            case v: UnresolvedNamedLambdaVariable if v.nameParts == iv.nameParts =>
+              Add(v, Literal(1))
+            case inner: LambdaFunction if inner.arguments.exists {
+              case a: UnresolvedNamedLambdaVariable => a.nameParts == iv.nameParts
+              case _ => false
+            } => inner
+            case other => other.mapChildren(shift)
+          }
+          LambdaFunction(shift(body), args, hidden)
+        case _ => lam
       }
-      LambdaFunction(shifted, args, hidden)
     case other => other
   }
 

@@ -114,9 +114,15 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // UPDATE, old values for DELETE) instead of the Count relation
     val (dmlCode, returning) = GraftSqlParser.stripReturning(code2)
     def returningRelation(rows: DataFrame, exprs: String): DataFrame = {
-      val v = "__graft_returning"
+      // counter-suffixed so a same-named USER view is never clobbered
+      // (ADVICE r13); the projection checkpoints so the scratch view can
+      // drop immediately
+      val v = s"__graft_returning_${SqlStage.dmlSeq.incrementAndGet()}"
       rows.localCheckpoint().createOrReplaceTempView(v)
-      SqlStage(name, s"SELECT $exprs FROM $v").apply(spark, df)
+      val out = SqlStage(name, s"SELECT $exprs FROM $v").apply(spark, df)
+        .localCheckpoint()
+      spark.catalog.dropTempView(v)
+      out
     }
     GraftSqlParser.insertSpec(dmlCode).foreach { spec =>
       val tname = spec.table
@@ -164,25 +170,24 @@ final case class SqlStage(name: String, code: String) extends Stage {
     }
     GraftSqlParser.deleteTarget(dmlCode).foreach { case (t, predOpt) =>
       val cur = mutableTempTable("DELETE FROM", t)
-      val total = cur.count()
-      // RETURNING for DELETE carries the OLD rows (probed)
-      val affected = returning.map { _ =>
-        predOpt match {
-          case Some(p) => SqlStage(name, s"SELECT * FROM $t WHERE COALESCE(($p), FALSE)")
-            .apply(spark, df).localCheckpoint()
-          case None => cur.localCheckpoint()
-        }
-      }
-      val kept = predOpt match {
+      // The predicate evaluates EXACTLY ONCE, onto a checkpointed match
+      // flag (ADVICE r13): a non-deterministic predicate (rand(),
+      // uuid()) must not let the count, the RETURNING set, and the
+      // surviving view disagree — all three derive from one snapshot.
+      val m = s"__graft_m_${SqlStage.dmlSeq.incrementAndGet()}"
+      val tagged = predOpt match {
         case Some(p) =>
-          SqlStage(name, s"SELECT * FROM $t WHERE NOT COALESCE(($p), FALSE)")
+          SqlStage(name, s"SELECT *, COALESCE(($p), FALSE) AS $m FROM $t")
             .apply(spark, df).localCheckpoint()
-        case None => cur.limit(0).localCheckpoint()
+        case None => cur.withColumn(m, lit(true)).localCheckpoint()
       }
-      val nKept = kept.count()
+      // RETURNING for DELETE carries the OLD rows (probed)
+      val affected = returning.map(_ => tagged.where(col(m)).drop(m))
+      val kept = tagged.where(!col(m)).drop(m).localCheckpoint()
+      val n = tagged.where(col(m)).count()
       kept.createOrReplaceTempView(t)
       returning.foreach(exprs => return returningRelation(affected.get, exprs))
-      return GraftSqlParser.countRelation(spark, total - nKept)
+      return GraftSqlParser.countRelation(spark, n)
     }
     GraftSqlParser.updateTarget(dmlCode).foreach { spec =>
       val cur = mutableTempTable("UPDATE", spec.table)
@@ -197,39 +202,55 @@ final case class SqlStage(name: String, code: String) extends Stage {
         return executeUpdateFrom(spark, df, cur, spec, fromList, returning,
           returningRelation)
       }
-      val byLower = spec.assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
-      val items = cur.columns.map { c =>
-        byLower.get(c.toLowerCase) match {
-          case Some(e) => spec.where match {
-            case Some(p) => s"CASE WHEN COALESCE(($p), FALSE) THEN ($e) ELSE $c END AS $c"
-            case None => s"($e) AS $c"
-          }
-          case None => c
+      // Snapshot 1 (ADVICE r13): the WHERE predicate evaluates EXACTLY
+      // ONCE onto a checkpoint-materialized match flag, so the count,
+      // RETURNING set, and surviving view agree under a
+      // non-deterministic predicate.
+      val seqNo = SqlStage.dmlSeq.incrementAndGet()
+      val m = s"__graft_m_$seqNo"
+      val tagged = spec.where match {
+        case Some(p) =>
+          SqlStage(name, s"SELECT *, COALESCE(($p), FALSE) AS $m FROM ${spec.table}")
+            .apply(spark, df).localCheckpoint()
+        case None => cur.withColumn(m, lit(true)).localCheckpoint()
+      }
+      // Snapshot 2: every assignment RHS evaluates once per row, guarded
+      // by the MATERIALIZED flag (an RHS that would error on
+      // non-matching rows never sees them — DuckDB's behavior), then
+      // checkpoints so a non-deterministic RHS yields one value shared
+      // by the surviving view and the RETURNING rows. Assignments stay
+      // SIMULTANEOUS: every RHS reads the pre-update row.
+      val tv = s"__graft_dml_$seqNo"
+      tagged.createOrReplaceTempView(tv)
+      val assignsIdx = spec.assigns.zipWithIndex
+      val rhsItems = assignsIdx.map { case ((_, e), i) =>
+        s"CASE WHEN $m THEN ($e) END AS __graft_u_${i}_$seqNo"
+      }
+      val snap = SqlStage(name,
+        s"SELECT *, ${rhsItems.mkString(", ")} FROM $tv").apply(spark, df)
+        .localCheckpoint()
+      spark.catalog.dropTempView(tv)
+      val idxByLower = assignsIdx.map { case ((ce, i)) => ce._1.toLowerCase -> i }.toMap
+      def uCol(i: Int): Column = col(s"__graft_u_${i}_$seqNo")
+      val updatedCols = cur.columns.map { c =>
+        idxByLower.get(c.toLowerCase) match {
+          case Some(i) => when(col(m), uCol(i)).otherwise(col(c)).as(c)
+          case None => col(c)
         }
       }
-      val updated0 = SqlStage(name,
-        s"SELECT ${items.mkString(", ")} FROM ${spec.table}").apply(spark, df)
       // DuckDB keeps the column's declared type, ROUNDING fractional →
       // integral assignments (2.7 → 3, probed); Spark's cast truncates,
       // so round first where that divergence bites
-      val updated = recastTo(cur, updated0)
-      // RETURNING carries the POST-assignment rows (probed): the same
-      // assignments applied unconditionally over the matching old rows
+      val updated = recastTo(cur, snap.select(updatedCols.toIndexedSeq: _*))
+      // RETURNING carries the POST-assignment rows (probed)
       val affected = returning.map { _ =>
-        val uncond = cur.columns.map { c =>
-          byLower.get(c.toLowerCase).map(e => s"($e) AS $c").getOrElse(c)
+        val cols = cur.columns.map { c =>
+          idxByLower.get(c.toLowerCase).map(i => uCol(i).as(c)).getOrElse(col(c))
         }
-        val w = spec.where.map(p => s" WHERE COALESCE(($p), FALSE)").getOrElse("")
-        recastTo(cur, SqlStage(name,
-          s"SELECT ${uncond.mkString(", ")} FROM ${spec.table}$w").apply(spark, df))
+        recastTo(cur, snap.where(col(m)).select(cols.toIndexedSeq: _*))
           .localCheckpoint()
       }
-      val n = spec.where match {
-        case Some(p) =>
-          SqlStage(name, s"SELECT 1 FROM ${spec.table} WHERE COALESCE(($p), FALSE)")
-            .apply(spark, df).count()
-        case None => cur.count()
-      }
+      val n = snap.where(col(m)).count()
       updated.localCheckpoint().createOrReplaceTempView(spec.table)
       returning.foreach(exprs => return returningRelation(affected.get, exprs))
       return GraftSqlParser.countRelation(spark, n)
@@ -736,6 +757,13 @@ final case class SqlStage(name: String, code: String) extends Stage {
     returning.map(exprs => returningRelation(aligned, exprs))
       .getOrElse(GraftSqlParser.countRelation(spark, nAffected))
   }
+}
+
+object SqlStage {
+  /** Session-unique sequence for DML scratch view/column names, so the
+    * emulation can never clobber a same-named user view (ADVICE r13).
+    */
+  private[operators] val dmlSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 /** `derive` stage — the Catalyst-visible re-expression of the reference's

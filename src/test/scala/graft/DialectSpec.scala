@@ -1245,6 +1245,37 @@ class DialectSpec extends SparkSpec {
     assert(e4.getMessage.contains("unknown column"))
   }
 
+  test("DML evaluates non-deterministic predicates and RHS exactly once (r14)") {
+    val df = spark.range(1).toDF("z")
+    // DELETE with a random() predicate: the RETURNING set and the
+    // surviving view must PARTITION the table — one snapshot, one
+    // predicate evaluation (ADVICE r13)
+    SqlStage("s", "CREATE OR REPLACE TEMP TABLE nd_t AS SELECT id FROM range(1000)")
+      .apply(spark, df)
+    val deleted = SqlStage("s", "DELETE FROM nd_t WHERE random() < 0.5 RETURNING id")
+      .apply(spark, df).collect().map(_.getLong(0)).toSet
+    val kept = spark.table("nd_t").collect().map(_.getLong(0)).toSet
+    assert(deleted.intersect(kept).isEmpty)
+    assert(deleted.size + kept.size == 1000)
+    // and the Count form agrees with the survivors
+    SqlStage("s", "CREATE OR REPLACE TEMP TABLE nd_c AS SELECT id FROM range(1000)")
+      .apply(spark, df)
+    val cnt = SqlStage("s", "DELETE FROM nd_c WHERE random() < 0.5")
+      .apply(spark, df).collect().head.getLong(0)
+    assert(cnt + spark.table("nd_c").count() == 1000L)
+    // UPDATE with a random() predicate AND RHS: the RETURNING rows must
+    // carry EXACTLY the values the surviving view holds
+    SqlStage("s",
+      """CREATE OR REPLACE TEMP TABLE nd_u AS
+         SELECT id, CAST(0 AS DOUBLE) AS v FROM range(500)""").apply(spark, df)
+    val ret = SqlStage("s",
+      "UPDATE nd_u SET v = 1.0 + random() WHERE random() < 0.5 RETURNING id, v")
+      .apply(spark, df).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val changed = spark.table("nd_u").where("v != 0.0").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ret == changed)
+  }
+
   test("ALTER TABLE/TRUNCATE/DROP TABLE mutate temp-table shape (r13)") {
     val df = spark.range(1).toDF("z")
     SqlStage("s",
@@ -2733,6 +2764,14 @@ class DialectSpec extends SparkSpec {
     assert(one("SELECT list_transform([1,2], (e, i) -> e * i) AS m").getSeq[Int](0) == Seq(1, 4))
     assert(one("SELECT list_filter([10,20,30], (e, i) -> i >= 2) AS m").getSeq[Int](0) == Seq(20, 30))
     assert(one("SELECT list_transform([5,6], e -> e + 1) AS m").getSeq[Int](0) == Seq(6, 7))
+    // nested lambda REBINDING the same index name shadows the outer var
+    // (ADVICE r13): the inner i shifts exactly once, not twice
+    assert(one("SELECT list_transform([[9],[9]], (e, i) -> list_transform(e, (x, i) -> i)) AS m")
+      .getSeq[scala.collection.Seq[Int]](0).map(_.toSeq) == Seq(Seq(1), Seq(1)))
+    // and an outer-var reference inside a NON-rebinding nested lambda
+    // still shifts (bound to the outer index)
+    assert(one("SELECT list_transform([[9],[9]], (e, i) -> list_transform(e, x -> i)) AS m")
+      .getSeq[scala.collection.Seq[Int]](0).map(_.toSeq) == Seq(Seq(1), Seq(2)))
     assert(one("SELECT generate_subscripts([9,8,7], 1) AS m").getSeq[Int](0) == Seq(1, 2, 3))
     assert(one("SELECT sha256('a') AS m").getString(0)
       == "ca978112ca1bbdcafac231b39a23dc4da786eff8147c4e72b9807785afee48bb")
