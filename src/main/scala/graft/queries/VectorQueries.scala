@@ -288,6 +288,85 @@ object VectorQueries {
     audit.crossJoin(conserve)
   }
 
+  /** Content-keyed tmpdir path for a persisted index (the q104
+    * scheme): SF dir + corpus count + build parameters, so different
+    * SFs, regenerated corpora and differently-parameterized builders
+    * never probe each other's index; under tmpdir — never inside the
+    * repo or testdata.
+    */
+  private def indexPath(kind: String, key: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_index_$tag"
+  }
+
+  /** PERSISTED-SQ8 probe (r14, VERDICT r13 #3): the q104 amortization
+    * applied to [[graft.functions.VectorFunctions.buildSq]] — the
+    * per-dimension affine params + byte codes are written once per
+    * corpus snapshot ([[graft.functions.VectorFunctions.saveSq]]) and
+    * every later job probes the parquet-backed index, so the gate and
+    * the bench price SERVING (the steady state FAISS deployments run),
+    * not training. The build is deterministic (min/max params, affine
+    * encode), so a rebuilt and a reloaded index probe identically and
+    * the gate hash is stable no matter which run populated the index.
+    * Same audit as q145 (realized recall@5 1.00 at all three SFs;
+    * bound 0.90).
+    */
+  def q168SqPersisted(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val path = indexPath("sq", s"$d|n=${emb.count()}|sq8")
+    if (!new java.io.File(s"$path/encoded/_SUCCESS").exists())
+      VF.saveSq(VF.buildSq(emb), path)
+    val idx = VF.SqIndex(graft.Tables.raw(s, s"$path/params"),
+      graft.Tables.raw(s, s"$path/encoded"))
+    val probed = VF.sqProbe(q, idx, emb, k = 5, rerank = 64)
+    VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.90, corpusTag = d)
+  }
+
+  /** PERSISTED-PQ probe (r14, VERDICT r13 #3): q142's codebooks +
+    * 16-byte codes written once ([[graft.functions.VectorFunctions
+    * .savePq]]), probed from parquet — the deterministic-build /
+    * stable-hash argument of [[q104IvfPersisted]] verbatim (the
+    * codebooks come from the xxhash-seeded Lloyd pass, deterministic
+    * across runs). Same audit as q142 (realized recall@5 1.00 at all
+    * three SFs; bound 0.80).
+    */
+  def q169PqPersisted(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val path = indexPath("pq", s"$d|n=${emb.count()}|m=16|ksub=64|iters=1")
+    if (!new java.io.File(s"$path/encoded/_SUCCESS").exists())
+      VF.savePq(VF.buildPq(emb, m = 16, ksub = 64, iters = 1), path)
+    val idx = VF.PqIndex(graft.Tables.raw(s, s"$path/codebooks"),
+      graft.Tables.raw(s, s"$path/encoded"))
+    val probed = VF.pqProbe(q, idx, emb, k = 5, rerank = 128)
+    VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.80, corpusTag = d)
+  }
+
+  /** PERSISTED residual-IVFADC probe (r14, VERDICT r13 #3): q146's
+    * coarse centroids + residual codebooks + rnorm-bearing codes
+    * written once ([[graft.functions.VectorFunctions.saveIvfPq]]),
+    * probed from parquet — the full FAISS serving shape: billion-scale
+    * deployments build IndexIVFPQ offline and mmap it for probes; this
+    * gate prices exactly that steady state. Deterministic build, same
+    * audit as q146 (realized recall@5 0.82 / 0.82 / 0.78; bound 0.60).
+    */
+  def q170IvfPqPersisted(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val path = indexPath("ivfpq",
+      s"$d|n=${emb.count()}|nlist=16|refine=1|m=16|ksub=64|iters=1|residual=1")
+    if (!new java.io.File(s"$path/encoded/_SUCCESS").exists())
+      VF.saveIvfPq(VF.buildIvfPq(emb, nlist = 16, refine = 1, m = 16,
+        ksub = 64, iters = 1, residual = true), path)
+    val idx = VF.IvfPqIndex(graft.Tables.raw(s, s"$path/centroids"),
+      graft.Tables.raw(s, s"$path/codebooks"),
+      graft.Tables.raw(s, s"$path/encoded"))
+    val probed = VF.ivfPqProbe(q, idx, emb, k = 5, nprobe = 8, rerank = 128)
+    VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.60, corpusTag = d)
+  }
+
   /** Vector norms + per-label stats, exact sequential folds. */
   def q45EmbeddingNorms(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
@@ -308,6 +387,9 @@ object VectorQueries {
     "q143_ivfpq_topk"    -> (q143IvfPqTopk _),
     "q145_sq_topk"       -> (q145SqTopk _),
     "q146_ivfpq_residual" -> (q146IvfPqResidual _),
+    "q168_sq_persisted"  -> (q168SqPersisted _),
+    "q169_pq_persisted"  -> (q169PqPersisted _),
+    "q170_ivfpq_persisted" -> (q170IvfPqPersisted _),
     "q109_cluster_assign" -> (q109ClusterAssign _),
     "q111_semdedup"      -> (q111SemDedup _),
     "q116_semdedup_learned" -> (q116SemDedupLearned _),
@@ -434,6 +516,12 @@ object VectorQueries {
     // q104 probes the PERSISTED index with q77's parameters; the exact
     // reference side is the same, so the same oracle verifies it
     "q104_ivf_persisted" -> annAuditOracle,
+    // r14: persisted-probe variants of SQ8/PQ/residual-IVFADC — same
+    // exact reference side (deterministic builds probe identically
+    // whether rebuilt or reloaded), so the same oracle verifies them
+    "q168_sq_persisted" -> annAuditOracle,
+    "q169_pq_persisted" -> annAuditOracle,
+    "q170_ivfpq_persisted" -> annAuditOracle,
     // q140: the SAMPLED build's audit — same exact reference side,
     // plus the conservation columns DuckDB verifies exactly: every
     // corpus vector assigned to exactly one posting list, nlist
