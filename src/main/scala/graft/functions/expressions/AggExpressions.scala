@@ -243,3 +243,104 @@ case class GraftHistogram(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): GraftHistogram =
     copy(child = newChild)
 }
+
+/** DuckDB's `mad(x)` aggregate — median absolute deviation: the
+  * INTERPOLATED median of |x − median(x)| with the median itself
+  * interpolated, NULLs skipped, NULL on zero rows, DOUBLE result
+  * (probed duckdb 1.0.0: mad over (1,2,4,10) = 1.5 — median 3.0,
+  * deviations (2,1,1,7) → median 1.5). The builder casts the child to
+  * DOUBLE (DuckDB returns DECIMAL for decimal input — cast explicitly
+  * where that matters; temporal mad returns an interval and stays a
+  * guided error). Buffered as a (value → count) table, so memory is
+  * bounded by the column's DISTINCT count — strictly below DuckDB's
+  * all-values quantile buffer — and it partial-aggregates map-side
+  * (count maps union).
+  */
+case class GraftMad(child: Expression,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.HashMap[Double, Long]]
+    with UnaryLike[Expression] {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "mad"
+
+  override def createAggregationBuffer(): scala.collection.mutable.HashMap[Double, Long] =
+    scala.collection.mutable.HashMap.empty
+
+  override def update(buf: scala.collection.mutable.HashMap[Double, Long],
+                      input: InternalRow): scala.collection.mutable.HashMap[Double, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = v.asInstanceOf[Double]
+      buf.update(d, buf.getOrElse(d, 0L) + 1L)
+    }
+    buf
+  }
+
+  override def merge(buf: scala.collection.mutable.HashMap[Double, Long],
+                     other: scala.collection.mutable.HashMap[Double, Long]): scala.collection.mutable.HashMap[Double, Long] = {
+    other.foreach { case (k, c) => buf.update(k, buf.getOrElse(k, 0L) + c) }
+    buf
+  }
+
+  /** Interpolated median over a sorted weighted value table: the mean
+    * of the two middle order statistics for even n, the middle one for
+    * odd — identical to DuckDB's `median` on numerics.
+    */
+  private def weightedMedian(sorted: Array[(Double, Long)], n: Long): Double = {
+    def kth(k: Long): Double = {
+      var acc = 0L
+      var i = 0
+      while (i < sorted.length) {
+        acc += sorted(i)._2
+        if (acc > k) return sorted(i)._1
+        i += 1
+      }
+      sorted.last._1
+    }
+    if (n % 2 == 1) kth(n / 2)
+    else (kth(n / 2 - 1) + kth(n / 2)) / 2.0
+  }
+
+  override def eval(buf: scala.collection.mutable.HashMap[Double, Long]): Any = {
+    if (buf.isEmpty) return null
+    val n = buf.valuesIterator.sum
+    val sorted = buf.toArray.sortBy(_._1)
+    val med = weightedMedian(sorted, n)
+    val devs = scala.collection.mutable.HashMap.empty[Double, Long]
+    sorted.foreach { case (v, c) =>
+      val d = math.abs(v - med)
+      devs.update(d, devs.getOrElse(d, 0L) + c)
+    }
+    weightedMedian(devs.toArray.sortBy(_._1), n)
+  }
+
+  override def serialize(buf: scala.collection.mutable.HashMap[Double, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, c) => out.writeDouble(k); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.HashMap[Double, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = scala.collection.mutable.HashMap.empty[Double, Long]
+    var i = 0
+    while (i < n) {
+      buf.update(in.readDouble(), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftMad =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftMad =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): GraftMad =
+    copy(child = newChild)
+}

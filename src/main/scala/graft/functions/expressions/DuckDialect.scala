@@ -864,6 +864,9 @@ object DuckDialect {
     // DOUBLE; entropy is Shannon log2 over the value distribution)
     "product" -> (es => { nArgs("product", es, 1); GraftProduct(es(0)) }),
     "entropy" -> (es => { nArgs("entropy", es, 1); GraftEntropy(Cast(es(0), StringType)) }),
+    // mad: exact interpolated-median absolute deviation (r14; DOUBLE —
+    // DuckDB's DECIMAL-in/DECIMAL-out and temporal forms stay out)
+    "mad" -> (es => { nArgs("mad", es, 1); GraftMad(Cast(es(0), DoubleType)) }),
     // Kahan-compensated sums: DOUBLE result (probed); Spark's DOUBLE
     // sum is plain but the values agree wherever an oracle rounds
     // map value→count, keys sorted, NULLs skipped (probed)
@@ -911,10 +914,22 @@ object DuckDialect {
     // for fixed widths / 2000-01 for month widths, probed); the 3-arg
     // origin/offset forms keep a guided error
     "time_bucket" -> (es => {
-      if (es.length != 2) throw new DuckDialectException(
-        "time_bucket(width, ts[, origin/offset]) — only the 2-argument form is " +
-          "translated; rebase the input (ts - offset) for custom origins")
-      TimeBucket(es(0), es(1))
+      if (es.length != 2 && es.length != 3) throw new DuckDialectException(
+        "time_bucket takes (width, ts[, origin/offset])")
+      if (es.length == 2) TimeBucket(es(0), es(1))
+      else {
+        // r14: the 3-arg forms execute — a FOLDABLE interval third arg
+        // is the OFFSET form (shift-bucket-unshift), anything else is
+        // the ORIGIN form (TimeBucketOrigin's type check names the
+        // contract if a non-temporal lands there)
+        val third = es(2)
+        val isInterval = third.resolved && (
+          third.dataType.isInstanceOf[DayTimeIntervalType] ||
+          third.dataType.isInstanceOf[YearMonthIntervalType] ||
+          third.dataType == CalendarIntervalType)
+        if (isInterval && third.foldable) TimeBucketOffset(es(0), es(1), third)
+        else TimeBucketOrigin(es(0), es(1), third)
+      }
     }),
     // date_diff/datediff with a QUOTED datepart arrive as
     // graft_date_diff (GraftSqlParser.rewriteDateDiffFn — Spark's
@@ -1153,7 +1168,6 @@ object DuckDialect {
     "struct_pack" -> "use named_struct('a', expr1, 'b', expr2)",
     "group_concat" -> "use string_agg(expr, sep) (both engines support it)",
     "date_add" -> "Spark's date_add(date, days) takes days only — for other units use dateadd(unit, n, ts)",
-    "mad" -> "exact median-absolute-deviation needs two passes — percentile(abs(x - m), 0.5) against a precomputed median m, or approx_percentile for one pass",
     "age" -> "Spark has no mixed calendar-interval result type — use date_diff('part', a, b) for a chosen unit, or make_interval over extracted parts",
     "gamma" -> "Spark has no gamma function — factorial(n) covers integer n; otherwise precompute or use a derive-stage expression",
     "lgamma" -> "Spark has no log-gamma — for integer n use log(factorial(n)); otherwise precompute",

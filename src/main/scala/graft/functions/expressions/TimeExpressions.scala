@@ -38,6 +38,52 @@ object TimeBucketKernel {
 
   def bucketMonthsDays(days: Int, wm: Int): Int =
     Math.toIntExact(bucketMonthsTs(days * DayUs, wm) / DayUs)
+
+  /** Calendar month add on naive micros: the DATE part shifts with
+    * day-of-month clamping (LocalDate.plusMonths — DuckDB's interval
+    * arithmetic), time-of-day rides along unchanged.
+    */
+  def addMonthsUs(us: Long, months: Long): Long = {
+    if (months == 0) return us
+    val days = Math.floorDiv(us, DayUs)
+    val rem = us - days * DayUs
+    java.time.LocalDate.ofEpochDay(days).plusMonths(months).toEpochDay * DayUs + rem
+  }
+
+  /** 3-arg OFFSET form (probed duckdb 1.0.0): shift-bucket-unshift —
+    * `time_bucket(w, ts, off) = time_bucket(w, ts - off) + off`, with
+    * interval subtraction applying months (clamped) then micros and the
+    * unshift inverting in the opposite order.
+    */
+  def bucketOffsetUs(us: Long, isMonths: Boolean, w: Long,
+                     offMonths: Long, offUs: Long): Long = {
+    val shifted = addMonthsUs(us, -offMonths) - offUs
+    val b = if (isMonths) bucketMonthsTs(shifted, w.toInt) else bucketMicros(shifted, w)
+    addMonthsUs(b, offMonths) + offUs
+  }
+
+  private def monthIdx(us: Long): Long = {
+    val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(us, DayUs))
+    (d.getYear - 2000L) * 12 + (d.getMonthValue - 1)
+  }
+
+  private def monthStartUs(m: Long): Long =
+    java.time.LocalDate.of((2000 + Math.floorDiv(m, 12)).toInt,
+      (Math.floorMod(m, 12) + 1).toInt, 1).toEpochDay * DayUs
+
+  /** 3-arg ORIGIN form (probed duckdb 1.0.0): fixed widths floor in
+    * pure micros from the origin (the origin's time-of-day survives in
+    * every bucket); month widths use month-INDEX arithmetic from the
+    * origin's month — its day and time are DISCARDED and buckets start
+    * on day 1 (probed: origin 2000-06-15 07:30 buckets 2024-03-08 to
+    * 2024-03-01 00:00).
+    */
+  def bucketOriginUs(us: Long, originUs: Long, isMonths: Boolean, w: Long): Long =
+    if (!isMonths) Math.floorDiv(us - originUs, w) * w + originUs
+    else {
+      val mo = monthIdx(originUs)
+      monthStartUs(Math.floorDiv(monthIdx(us) - mo, w) * w + mo)
+    }
 }
 
 /** DuckDB `time_bucket(width_interval, ts_or_date)` — the log/event
@@ -103,6 +149,149 @@ case class TimeBucket(width: Expression, child: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TimeBucket =
     copy(width = l, child = r)
+}
+
+/** DuckDB `time_bucket(width, ts, offset_interval)` (r14): buckets
+  * shifted by a FOLDABLE interval offset — shift-bucket-unshift via
+  * [[TimeBucketKernel.bucketOffsetUs]]. Result keeps the input's type
+  * (DATE in → DATE out, truncating like DuckDB's cast — probed:
+  * time_bucket('1 day', DATE '2024-03-08', '3 hours') = 2024-03-07).
+  */
+case class TimeBucketOffset(width: Expression, child: Expression, offset: Expression)
+    extends TernaryExpression {
+  override def first: Expression = width
+  override def second: Expression = child
+  override def third: Expression = offset
+  override def dataType: DataType = child.dataType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "time_bucket"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def fail(msg: String) =
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(msg)
+    if (!width.foldable)
+      fail("time_bucket's width must be an interval LITERAL")
+    else if (!width.dataType.isInstanceOf[DayTimeIntervalType] &&
+      !width.dataType.isInstanceOf[YearMonthIntervalType])
+      fail(s"time_bucket's width must be an interval, got ${width.dataType}")
+    else if (!offset.foldable)
+      fail("time_bucket's offset must be an interval LITERAL")
+    else child.dataType match {
+      case TimestampType | DateType | TimestampNTZType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => fail(s"time_bucket needs a timestamp or date, got $t")
+    }
+  }
+
+  private lazy val isMonths = width.dataType.isInstanceOf[YearMonthIntervalType]
+  private lazy val widthVal: Long = width.eval(null) match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"time_bucket: unsupported width value $other")
+  }
+  private lazy val offParts: (Long, Long) = offset.eval(null) match {
+    case i: Int => (i.toLong, 0L) // YearMonthIntervalType: months
+    case l: Long => (0L, l) // DayTimeIntervalType: micros
+    case c: org.apache.spark.unsafe.types.CalendarInterval =>
+      (c.months.toLong, c.days * TimeBucketKernel.DayUs + c.microseconds)
+    case other => throw new IllegalArgumentException(
+      s"time_bucket: unsupported offset value $other")
+  }
+  private def offMonths: Long = offParts._1
+  private def offUs: Long = offParts._2
+  private lazy val isDate = child.dataType == DateType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val us = if (isDate) v.asInstanceOf[Int] * TimeBucketKernel.DayUs
+             else v.asInstanceOf[Long]
+    val res = TimeBucketKernel.bucketOffsetUs(us, isMonths, widthVal, offMonths, offUs)
+    if (isDate) Math.toIntExact(Math.floorDiv(res, TimeBucketKernel.DayUs)) else res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = "graft.functions.expressions.TimeBucketKernel"
+    val day = s"${TimeBucketKernel.DayUs}L"
+    defineCodeGen(ctx, ev, (_, c, _) => {
+      val in = if (isDate) s"((long) $c) * $day" else s"(long) $c"
+      val res = s"$k.bucketOffsetUs($in, $isMonths, ${widthVal}L, ${offMonths}L, ${offUs}L)"
+      if (isDate) s"(int) java.lang.Math.floorDiv($res, $day)" else res
+    })
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): TimeBucketOffset =
+    copy(width = f, child = s, offset = t)
+}
+
+/** DuckDB `time_bucket(width, ts, origin)` (r14): buckets anchored at a
+  * per-row timestamp/date origin — [[TimeBucketKernel.bucketOriginUs]].
+  * Result type: DATE only when BOTH input and origin are dates (probed:
+  * a timestamp origin promotes a DATE input to TIMESTAMP).
+  */
+case class TimeBucketOrigin(width: Expression, child: Expression, anchor: Expression)
+    extends TernaryExpression {
+  override def first: Expression = width
+  override def second: Expression = child
+  override def third: Expression = anchor
+  override def dataType: DataType =
+    if (child.dataType == DateType && anchor.dataType == DateType) DateType
+    else if (child.dataType == TimestampType || anchor.dataType == TimestampType) TimestampType
+    else TimestampNTZType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "time_bucket"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def fail(msg: String) =
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(msg)
+    if (!width.foldable)
+      fail("time_bucket's width must be an interval LITERAL")
+    else if (!width.dataType.isInstanceOf[DayTimeIntervalType] &&
+      !width.dataType.isInstanceOf[YearMonthIntervalType])
+      fail(s"time_bucket's width must be an interval, got ${width.dataType}")
+    else (child.dataType, anchor.dataType) match {
+      case (TimestampType | DateType | TimestampNTZType,
+            TimestampType | DateType | TimestampNTZType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (c, o) => fail(s"time_bucket's 3rd argument must be an interval " +
+        s"LITERAL offset or a timestamp/date origin, got ($c, $o)")
+    }
+  }
+
+  private lazy val isMonths = width.dataType.isInstanceOf[YearMonthIntervalType]
+  private lazy val widthVal: Long = width.eval(null) match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"time_bucket: unsupported width value $other")
+  }
+  private lazy val childIsDate = child.dataType == DateType
+  private lazy val originIsDate = anchor.dataType == DateType
+
+  override protected def nullSafeEval(w: Any, c: Any, o: Any): Any = {
+    val us = if (childIsDate) c.asInstanceOf[Int] * TimeBucketKernel.DayUs
+             else c.asInstanceOf[Long]
+    val ous = if (originIsDate) o.asInstanceOf[Int] * TimeBucketKernel.DayUs
+              else o.asInstanceOf[Long]
+    val res = TimeBucketKernel.bucketOriginUs(us, ous, isMonths, widthVal)
+    if (dataType == DateType) Math.toIntExact(Math.floorDiv(res, TimeBucketKernel.DayUs))
+    else res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = "graft.functions.expressions.TimeBucketKernel"
+    val day = s"${TimeBucketKernel.DayUs}L"
+    defineCodeGen(ctx, ev, (_, c, o) => {
+      val in = if (childIsDate) s"((long) $c) * $day" else s"(long) $c"
+      val oin = if (originIsDate) s"((long) $o) * $day" else s"(long) $o"
+      val res = s"$k.bucketOriginUs($in, $oin, $isMonths, ${widthVal}L)"
+      if (dataType == DateType) s"(int) java.lang.Math.floorDiv($res, $day)" else res
+    })
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): TimeBucketOrigin =
+    copy(width = f, child = s, anchor = t)
 }
 
 /** Static kernels for DuckDB's small math functions. */

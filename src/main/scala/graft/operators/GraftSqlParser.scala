@@ -2074,6 +2074,16 @@ object GraftSqlParser {
   private val SampleRe =
     raw"(?i)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?".r
 
+  /** Function-style percentage sample (`USING SAMPLE bernoulli(50%)
+    * [REPEATABLE (seed)]` — DuckDB's only spelling that takes a
+    * REPEATABLE suffix, probed 1.0.0): normalized to the size-first
+    * form and re-fed to [[rewriteSample]]. `reservoir(...)` and ROWS
+    * bodies deliberately don't match (exact-n seeded reservoir has no
+    * Spark equivalent — guided error).
+    */
+  private val FnSampleRe =
+    raw"(?i)\bUSING\s+SAMPLE\s+(bernoulli|system)\s*\(\s*(\d+(?:\.\d+)?)\s*(%|PERCENT\b)\s*\)(?:\s*REPEATABLE\s*\(\s*(\d+)\s*\))?".r
+
   /** Rewrite DuckDB `USING SAMPLE n% / n PERCENT / n [ROWS]` into Spark
     * `TABLESAMPLE`, wrapping the block so the sample applies AFTER the
     * block's WHERE — DuckDB's documented semantics, and the opposite of
@@ -2093,18 +2103,39 @@ object GraftSqlParser {
     */
   def rewriteSample(sql: String): String = {
     val masked = maskQuotes(sql)
+    FnSampleRe.findFirstMatchIn(masked).foreach { fm =>
+      val seed = Option(fm.group(4)).map(s => s", $s").getOrElse("")
+      return rewriteSample(sql.substring(0, fm.start) +
+        s"USING SAMPLE ${fm.group(2)}${fm.group(3)} (${fm.group(1)}$seed)" +
+        sql.substring(fm.end))
+    }
     SampleRe.findFirstMatchIn(masked) match {
       case None => sql
       case Some(m) =>
-        // seedless percentage methods are claimable; anything else
-        // parenthesized ('reservoir(...)', seeds) → not rewritten
+        // percentage methods are claimable, seeded or not (r14: the
+        // seed rides through as Spark's REPEATABLE clause); anything
+        // else parenthesized ('reservoir(...)') → not rewritten
         val wsLen = masked.substring(m.end).takeWhile(_.isWhitespace).length
         val after = masked.substring(m.end + wsLen)
-        val method = raw"(?i)^\(\s*(bernoulli|system)\s*\)".r.findFirstMatchIn(after)
-        val consumed = method.map(mm => wsLen + mm.end).getOrElse(0)
+        val method = raw"(?i)^\(\s*(bernoulli|system)\s*(?:,\s*(\d+))?\s*\)".r
+          .findFirstMatchIn(after)
+        val consumedMethod = method.map(mm => wsLen + mm.end).getOrElse(0)
+        // optional `REPEATABLE (seed)` suffix (DuckDB's function-style
+        // seed spelling) after the method parens or the bare size spec
+        val afterMethod = masked.substring(m.end + consumedMethod)
+        val wsLen2 = afterMethod.takeWhile(_.isWhitespace).length
+        val rep = raw"(?i)^REPEATABLE\s*\(\s*(\d+)\s*\)".r
+          .findFirstMatchIn(afterMethod.substring(wsLen2))
+        val consumed = consumedMethod + rep.map(r => wsLen2 + r.end).getOrElse(0)
+        val seed: Option[String] =
+          method.flatMap(mm => Option(mm.group(2))).orElse(rep.map(_.group(1)))
         val isPercent = m.group(2) != null &&
           (m.group(2) == "%" || m.group(2).equalsIgnoreCase("percent"))
         if (method.isDefined && !isPercent) return sql // reservoir-ROWS territory
+        // a seeded ROWS sample is DuckDB's exact-n seeded reservoir;
+        // Spark's `n ROWS` takes the first n — silently different, so
+        // the guided error stands
+        if (seed.isDefined && !isPercent) return sql
         if (method.isEmpty &&
           (after.startsWith("(") || raw"(?i)^[a-z_]+\s*\(".r.findFirstIn(after).isDefined))
           return sql
@@ -2113,6 +2144,7 @@ object GraftSqlParser {
             s"${m.group(1)} PERCENT"
           case _ => s"${m.group(1)} ROWS"
         }
+        val repeatable = seed.map(sd => s"REPEATABLE ($sd) ").getOrElse("")
         // block start (same scan as QUALIFY)
         val stack = scala.collection.mutable.Stack[Int]()
         var i = 0
@@ -2127,7 +2159,7 @@ object GraftSqlParser {
         val blockStart = if (stack.isEmpty) 0 else stack.top
         val head = sql.substring(blockStart, m.start).trim
         rewriteSample(sql.substring(0, blockStart) +
-          s"SELECT * FROM ( $head ) TABLESAMPLE ($spec) " +
+          s"SELECT * FROM ( $head ) TABLESAMPLE ($spec) $repeatable" +
           sql.substring(m.end + consumed))
     }
   }

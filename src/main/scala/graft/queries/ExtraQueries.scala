@@ -1329,6 +1329,77 @@ object ExtraQueries {
       .orderBy(col("lang"))
   }
 
+  /** Seeded `USING SAMPLE` gate (r14, VERDICT r13 #4) — IDENTICAL text
+    * on both engines; both seeded spellings (`50% (bernoulli, 377)` and
+    * `bernoulli(50%) REPEATABLE (377)`, probed duckdb 1.0.0) execute,
+    * on Spark via `TABLESAMPLE ... REPEATABLE(seed)`. The two engines'
+    * RNGs pick DIFFERENT rows for the same seed (no portable seeded
+    * sampler exists), so the gate checks the INVARIANTS each engine
+    * must satisfy on its own sample — the q37 sentinel pattern: exact
+    * n_total (oracle-verified), a proper nonempty subset, the two
+    * spellings yield the SAME set (seed determinism within a session),
+    * and the sampled fraction lands within a 4-sigma band of 50%.
+    */
+  private[graft] val sampleSeededSqlText = """
+      WITH s AS (SELECT doc_id FROM documents USING SAMPLE 50% (bernoulli, 377)),
+           s2 AS (SELECT doc_id FROM documents USING SAMPLE bernoulli(50%) REPEATABLE (377))
+      SELECT (SELECT count(*) FROM documents) AS n_total,
+             (SELECT count(*) FROM s) > 0 AS sampled_some,
+             (SELECT count(*) FROM s) < (SELECT count(*) FROM documents) AS sampled_proper,
+             (SELECT count(*) FROM s) = (SELECT count(*) FROM s2) AS same_n,
+             (SELECT count(*) FROM (SELECT doc_id FROM s EXCEPT SELECT doc_id FROM s2)) = 0 AS same_set,
+             abs(CAST((SELECT count(*) FROM s) AS DOUBLE) / (SELECT count(*) FROM documents) - 0.5) < 0.25 AS frac_ok"""
+
+  def q171SampleSeeded(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    documents(s, d).createOrReplaceTempView("documents")
+    graft.operators.SqlStage("q171", sampleSeededSqlText).apply(s, documents(s, d))
+  }
+
+  /** `mad` aggregate gate (r14, VERDICT r13 #5) — IDENTICAL text on
+    * both engines ([[graft.functions.expressions.GraftMad]]). Exactness
+    * strategy: l_quantity is integral, so every order statistic and
+    * .5-midpoint is exact in binary and the two engines' interpolation
+    * formulas agree bit-for-bit; the 2-decimal money/discount columns
+    * interpolate inexactly, so they land through round(·, 4/6) (far
+    * from the rounding boundary — the frameExclude money treatment).
+    */
+  private[graft] val madSqlText = """
+      SELECT l_returnflag,
+             mad(CAST(l_quantity AS DOUBLE)) AS mad_qty,
+             round(mad(CAST(l_extendedprice AS DOUBLE)), 4) AS mad_price,
+             round(mad(CAST(l_discount AS DOUBLE)), 6) AS mad_disc,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  def q172Mad(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    graft.operators.SqlStage("q172", madSqlText).apply(s, lineitem(s, d))
+  }
+
+  /** 3-arg `time_bucket` gate (r14, VERDICT r13 #5) — IDENTICAL text:
+    * the OFFSET form (shift-bucket-unshift, [[graft.functions
+    * .expressions.TimeBucketOffset]]) over fixed and month widths, and
+    * the ORIGIN form ([[graft.functions.expressions.TimeBucketOrigin]])
+    * with a time-bearing fixed-width origin, a month-width origin
+    * (day/time discarded), and a DATE+DATE origin pair returning DATE.
+    */
+  private[graft] val timeBucket3SqlText = """
+      SELECT strftime(time_bucket(INTERVAL '6 hours', ts, INTERVAL '90 minutes'), '%Y-%m-%d %H:%M') AS b_off,
+             strftime(time_bucket(INTERVAL '7 days', ts, TIMESTAMP '2024-01-04 07:30:00'), '%Y-%m-%d %H:%M') AS b_org,
+             strftime(time_bucket(INTERVAL '2 months', ts, INTERVAL '10 days'), '%Y-%m-%d') AS b_moff,
+             strftime(time_bucket(INTERVAL '1 month', ts, TIMESTAMP '2000-06-15 07:30:00'), '%Y-%m-%d') AS b_morg,
+             time_bucket(INTERVAL '7 days', CAST(ts AS DATE), DATE '2024-01-04') AS b_date,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5"""
+
+  def q173TimeBucket3(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    events(s, d).createOrReplaceTempView("events")
+    graft.operators.SqlStage("q173", timeBucket3SqlText).apply(s, events(s, d))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_columns_sql"    -> (q113ColumnsSql _),
     "q133_comprehension"  -> (q133Comprehension _),
@@ -1349,6 +1420,9 @@ object ExtraQueries {
     "q158_text_similarity" -> (q158TextSimilarity _),
     "q159_fuzzy_match"    -> (q159FuzzyMatch _),
     "q160_time_bucket"    -> (q160TimeBucket _),
+    "q171_sample_seeded"  -> (q171SampleSeeded _),
+    "q172_mad"            -> (q172Mad _),
+    "q173_time_bucket3"   -> (q173TimeBucket3 _),
     "q161_frame_exclude"  -> (q161FrameExclude _),
     "q162_regex_surface"  -> (q162RegexSurface _),
     "q163_collections"    -> (q163Collections _),
@@ -1441,6 +1515,9 @@ object ExtraQueries {
     "q159_fuzzy_match" -> fuzzyMatchSqlText,
     // q160: DuckDB executes the identical time_bucket/date_diff text
     "q160_time_bucket" -> timeBucketSqlText,
+    "q171_sample_seeded" -> sampleSeededSqlText,
+    "q172_mad" -> madSqlText,
+    "q173_time_bucket3" -> timeBucket3SqlText,
     // q161: DuckDB executes the identical frame-EXCLUDE text natively
     "q161_frame_exclude" -> frameExcludeSqlText,
     // q162: DuckDB executes the identical regexp/SIMILAR TO text

@@ -204,12 +204,26 @@ class DialectSpec extends SparkSpec {
     val sys = SqlStage("s", "SELECT * FROM df USING SAMPLE 50 PERCENT (system)")
       .apply(spark, spark.range(200).toDF("id")).count()
     assert(sys > 20 && sys < 180)
-    // discrete counts with a method error in DuckDB too; seeds and
-    // reservoir stay guided (Spark SQL has no seed clause)
+    // r14: SEEDED percentage forms claim — the seed becomes Spark's
+    // TABLESAMPLE ... REPEATABLE(seed), deterministic within a session
+    val s1 = SqlStage("s", "SELECT * FROM df USING SAMPLE 50% (bernoulli, 377)")
+      .apply(spark, spark.range(200).toDF("id")).collect().map(_.getLong(0)).toSet
+    val s2 = SqlStage("s", "SELECT * FROM df USING SAMPLE 50% (bernoulli, 377)")
+      .apply(spark, spark.range(200).toDF("id")).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 200)
+    // function-style spelling with the REPEATABLE suffix (DuckDB's
+    // only REPEATABLE placement, probed 1.0.0)
+    val s3 = SqlStage("s", "SELECT * FROM df USING SAMPLE bernoulli(50%) REPEATABLE (377)")
+      .apply(spark, spark.range(200).toDF("id")).collect().map(_.getLong(0)).toSet
+    val s4 = SqlStage("s", "SELECT * FROM df USING SAMPLE system(50 PERCENT) REPEATABLE (377)")
+      .apply(spark, spark.range(200).toDF("id")).collect().map(_.getLong(0)).toSet
+    assert(s3 == s1 && s4 == s1) // same seed, same session -> same rows
+    // discrete counts with a method error in DuckDB too; seeded ROWS
+    // (exact-n seeded reservoir) and reservoir stay guided
     assert(GraftSqlParser.rewriteSample("SELECT * FROM t USING SAMPLE 10 ROWS (bernoulli)") ==
       "SELECT * FROM t USING SAMPLE 10 ROWS (bernoulli)")
-    assert(GraftSqlParser.rewriteSample("SELECT * FROM t USING SAMPLE 10% (bernoulli, 42)") ==
-      "SELECT * FROM t USING SAMPLE 10% (bernoulli, 42)")
+    assert(GraftSqlParser.rewriteSample("SELECT * FROM t USING SAMPLE 10 ROWS REPEATABLE (42)") ==
+      "SELECT * FROM t USING SAMPLE 10 ROWS REPEATABLE (42)")
     assert(GraftSqlParser.rewriteSample("SELECT * FROM t USING SAMPLE reservoir(10%)") ==
       "SELECT * FROM t USING SAMPLE reservoir(10%)")
   }
@@ -225,9 +239,8 @@ class DialectSpec extends SparkSpec {
     def hintOf(sql: String): String =
       intercept[DuckDialectException](
         SqlStage("s", sql).apply(spark, spark.range(1).toDF("id"))).getMessage
-    // histogram EXECUTES since r13 (GraftHistogram) — mad and age keep
-    // the guided errors
-    assert(hintOf("SELECT mad(id) FROM df").contains("percentile"))
+    // histogram EXECUTES since r13 (GraftHistogram), mad since r14 —
+    // age keeps the guided error
     assert(hintOf("SELECT age(ts1, ts2) FROM df").contains("date_diff"))
     // read_csv_auto('path') EXECUTES in sql stages since r9 — a missing
     // file surfaces as the reader's path error, not a dialect hint; the
@@ -1440,7 +1453,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(|[\w)\]]\s*\[|\^|\blog\s*\(|\bFILTER\s*\(".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\bUSING\s+SAMPLE\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(|[\w)\]]\s*\[|\^|\blog\s*\(|\bFILTER\s*\(".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         // identity modulo rewriteRawLiterals (r13): backslashes inside
         // literals double ON PURPOSE (DuckDB-raw → Spark-escaped)
@@ -2926,10 +2939,44 @@ class DialectSpec extends SparkSpec {
       "least_common_multiple(0, 5) AS c").toSeq == Seq(6L, 12L, 0L))
     assert(one("SELECT even(2.5) AS a, even(-2.5) AS b, even(2.0) AS c, even(3) AS d")
       .toSeq == Seq(4.0, -4.0, 2.0, 4.0))
-    // guided errors: 3-arg time_bucket, unknown datepart
-    val e1 = intercept[DuckDialectException](one(
-      "SELECT time_bucket(INTERVAL '1 hour', TIMESTAMP '2024-01-01 00:00:00', INTERVAL '30 minutes') AS m"))
-    assert(e1.getMessage.contains("2-argument"))
+    // 3-arg time_bucket EXECUTES since r14 (probed duckdb 1.0.0):
+    // OFFSET form = shift-bucket-unshift
+    assert(ts("time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-08 10:07:00', INTERVAL '5 minutes')")
+      == "2024-03-08 10:05")
+    assert(ts("time_bucket(INTERVAL '1 day', TIMESTAMP '2024-03-08 10:00:00', INTERVAL '-3 hours')")
+      == "2024-03-07 21:00")
+    assert(ts("time_bucket(INTERVAL '1 month', TIMESTAMP '2024-03-08 10:00:00', INTERVAL '10 days')")
+      == "2024-02-11 00:00")
+    // month offset on a fixed width (calendar shift, clamped)
+    assert(ts("time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-08 10:07:00', INTERVAL '1 month')")
+      == "2024-03-08 10:00")
+    // DATE input keeps DATE, truncating like DuckDB's cast
+    assert(one("SELECT time_bucket(INTERVAL '1 day', DATE '2024-03-08', INTERVAL '3 hours') AS m")
+      .getDate(0).toString == "2024-03-07")
+    // ORIGIN form: fixed widths floor in pure micros from the origin
+    // (its time-of-day survives); month widths use month-index
+    // arithmetic, origin day/time DISCARDED; ts before origin floors
+    assert(ts("time_bucket(INTERVAL '7 days', TIMESTAMP '2024-03-08 10:00:00', TIMESTAMP '2024-01-01 07:30:00')")
+      == "2024-03-04 07:30")
+    assert(ts("time_bucket(INTERVAL '7 days', TIMESTAMP '2023-12-25 00:00:00', TIMESTAMP '2024-01-04 00:00:00')")
+      == "2023-12-21 00:00")
+    assert(ts("time_bucket(INTERVAL '1 month', TIMESTAMP '2024-03-08 10:00:00', TIMESTAMP '2000-06-15 07:30:00')")
+      == "2024-03-01 00:00")
+    // date+date origin stays DATE; ts-origin promotes DATE to TIMESTAMP
+    assert(one("SELECT time_bucket(INTERVAL '7 days', DATE '2024-03-08', DATE '2024-01-04') AS m")
+      .getDate(0).toString == "2024-03-07")
+    assert(one("SELECT time_bucket(INTERVAL '2 months', DATE '2000-01-10', DATE '2000-02-15') AS m")
+      .getDate(0).toString == "1999-12-01")
+    assert(ts("time_bucket(INTERVAL '7 days', DATE '2024-03-08', TIMESTAMP '2024-01-04 07:30:00')")
+      == "2024-03-07 07:30")
+    // mad EXECUTES since r14: interpolated median of |x - median|
+    assert(one("SELECT mad(x) AS m FROM (VALUES (1.0), (2.0), (4.0), (10.0)) v(x)")
+      .getDouble(0) == 1.5)
+    assert(one("SELECT mad(x) AS m FROM (VALUES (1.0), (NULL), (4.0)) v(x)")
+      .getDouble(0) == 1.5)
+    assert(one("SELECT mad(x) AS m FROM (VALUES (CAST(NULL AS DOUBLE))) v(x)")
+      .isNullAt(0))
+    // guided error: unknown datepart
     val e2 = intercept[DuckDialectException](one(
       "SELECT date_diff('fortnight', DATE '2024-01-01', DATE '2024-03-05') AS m"))
     assert(e2.getMessage.contains("datepart"))
