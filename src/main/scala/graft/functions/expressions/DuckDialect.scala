@@ -769,6 +769,40 @@ object DuckDialect {
     "list_reverse_sort" -> (es => { nArgs("list_reverse_sort", es, 1); SortArray(es(0), Literal(false)) }),
     // 1-based ascending sort indices, NULL elements graded FIRST (probed)
     "list_grade_up" -> (es => { nArgs("list_grade_up", es, 1); GraftGradeUp(es(0)) }),
+    // list_where (r14, probed): keep elements whose mask slot is TRUE;
+    // a shorter mask truncates (positional filter — the pad-null slots
+    // evaluate false). DuckDB errors on NULL mask slots; here they
+    // filter out (permissive divergence, documented).
+    "list_where" -> (es => { nArgs("list_where", es, 2)
+      val x = UnresolvedNamedLambdaVariable(Seq("__graft_lw_x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("__graft_lw_i"))
+      // Spark's filter index is 0-based; mask lookup is 1-based get
+      ArrayFilter(es(0), LambdaFunction(
+        EqualTo(GetArrayItem(es(1), i, failOnError = false), Literal(true)),
+        Seq(x, i))) }),
+    // list_select (r14, probed): 1-based gather; 0/out-of-range/negative
+    // indexes yield NULL elements (NOT the bracket-get neg-from-end),
+    // duplicates allowed
+    "list_select" -> (es => { nArgs("list_select", es, 2)
+      val i = UnresolvedNamedLambdaVariable(Seq("__graft_ls_i"))
+      ArrayTransform(es(1), LambdaFunction(
+        GetArrayItem(es(0), Subtract(Cast(i, IntegerType), Literal(1)),
+          failOnError = false),
+        Seq(i))) }),
+    // array_resize (r14, probed): truncate or pad with fill (NULL
+    // default) to exactly n elements
+    "array_resize" -> (es => {
+      if (es.length != 2 && es.length != 3)
+        throw new DuckDialectException("array_resize takes (list, size[, fill])")
+      val l = es(0)
+      val n = Cast(es(1), IntegerType)
+      val fill = if (es.length == 3) es(2) else Literal(null)
+      If(LessThanOrEqual(n, Size(l)),
+        Slice(l, Literal(1), Greatest(Seq(n, Literal(0)))),
+        Concat(Seq(l, ArrayRepeat(fill, Subtract(n, Size(l)))))) }),
+    // nextafter (r14): IEEE-defined, bit-identical to DuckDB's libm
+    "nextafter" -> (es => { nArgs("nextafter", es, 2)
+      NextAfterExpr(Cast(es(0), DoubleType), Cast(es(1), DoubleType)) }),
     // list_reduce: no-init fold (probed [1,2,3] + → 6) = aggregate over
     // the tail with the head as zero; the lambda arrives two-param
     // (accumulator first, like DuckDB's)
@@ -963,6 +997,10 @@ object DuckDialect {
     "least_common_multiple" -> (es => { nArgs("least_common_multiple", es, 2); LcmExpr(es(0), es(1)) }),
     "lcm" -> (es => { nArgs("lcm", es, 2); LcmExpr(es(0), es(1)) }),
     "even" -> (es => { nArgs("even", es, 1); EvenExpr(es(0)) }),
+    // gamma/lgamma (r14): Lanczos kernels within a few ulp of DuckDB's
+    // libm — oracle gates compare through round(·, 6)
+    "gamma" -> (es => { nArgs("gamma", es, 1); GammaExpr(Cast(es(0), DoubleType)) }),
+    "lgamma" -> (es => { nArgs("lgamma", es, 1); LGammaExpr(Cast(es(0), DoubleType)) }),
     // string-similarity family → codegen'd TextSimilarity natives (all
     // byte-based like DuckDB, probed; the row-local pair scorers
     // complementing the MinHash/SimHash document-scale dedup)
@@ -1169,8 +1207,6 @@ object DuckDialect {
     "group_concat" -> "use string_agg(expr, sep) (both engines support it)",
     "date_add" -> "Spark's date_add(date, days) takes days only — for other units use dateadd(unit, n, ts)",
     "age" -> "Spark has no mixed calendar-interval result type — use date_diff('part', a, b) for a chosen unit, or make_interval over extracted parts",
-    "gamma" -> "Spark has no gamma function — factorial(n) covers integer n; otherwise precompute or use a derive-stage expression",
-    "lgamma" -> "Spark has no log-gamma — for integer n use log(factorial(n)); otherwise precompute",
     "md5_number" -> "use the graft fingerprint natives (norm_fingerprint) or hash/xxhash64",
     "gen_random_uuid" -> "use uuid() (non-deterministic; forbidden in oracle-checked queries)",
     // lambda/computed COLUMNS() forms parse as a normal call and fail

@@ -308,6 +308,53 @@ object MathKernel {
     */
   def even(x: Double): Double =
     math.signum(x) * 2.0 * math.ceil(math.abs(x) / 2.0)
+
+  // Lanczos approximation (g = 7, 9 terms — the standard public
+  // coefficients; ~15 significant digits, within a few ulp of libm's
+  // tgamma/lgamma). DuckDB's gamma/lgamma are libm, so oracle gates
+  // compare through round(·, 6) rather than bitwise.
+  private val LanczosCoef = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  private def lanczosSum(z: Double): Double = {
+    var a = LanczosCoef(0)
+    var i = 1
+    while (i < LanczosCoef.length) { a += LanczosCoef(i) / (z + i); i += 1 }
+    a
+  }
+
+  private def gammaPole(x: Double, what: String): Unit =
+    if (x == 0.0 || (x < 0 && x == math.floor(x)))
+      throw new ArithmeticException(
+        s"cannot take $what of zero or a negative integer (got $x)")
+
+  /** Γ(x) — DuckDB `gamma` (libm tgamma; errors on poles, probed). */
+  def gammaFn(x: Double): Double = {
+    gammaPole(x, "gamma")
+    if (x < 0.5) math.Pi / (math.sin(math.Pi * x) * gammaFn(1 - x))
+    else {
+      val z = x - 1
+      val t = z + 7.5
+      math.sqrt(2 * math.Pi) * math.pow(t, z + 0.5) * math.exp(-t) * lanczosSum(z)
+    }
+  }
+
+  /** log|Γ(x)| — DuckDB `lgamma` (libm; log-abs on the negative axis,
+    * probed: lgamma(-0.5) = 1.2655…).
+    */
+  def lgammaFn(x: Double): Double = {
+    gammaPole(x, "log gamma")
+    if (x < 0.5)
+      math.log(math.Pi / math.abs(math.sin(math.Pi * x))) - lgammaFn(1 - x)
+    else {
+      val z = x - 1
+      val t = z + 7.5
+      0.5 * math.log(2 * math.Pi) + (z + 0.5) * math.log(t) - t +
+        math.log(lanczosSum(z))
+    }
+  }
 }
 
 case class GcdExpr(left: Expression, right: Expression) extends BinaryExpression {
@@ -351,6 +398,66 @@ case class LcmExpr(left: Expression, right: Expression) extends BinaryExpression
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.expressions.MathKernel.lcm((long) $a, (long) $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): LcmExpr =
+    copy(left = l, right = r)
+}
+
+case class GammaExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gamma"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gamma needs a number, got $t")
+    }
+  override protected def nullSafeEval(a: Any): Any =
+    MathKernel.gammaFn(a.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.MathKernel.gammaFn($a)")
+  override protected def withNewChildInternal(newChild: Expression): GammaExpr =
+    copy(child = newChild)
+}
+
+case class LGammaExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lgamma"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lgamma needs a number, got $t")
+    }
+  override protected def nullSafeEval(a: Any): Any =
+    MathKernel.lgammaFn(a.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.MathKernel.lgammaFn($a)")
+  override protected def withNewChildInternal(newChild: Expression): LGammaExpr =
+    copy(child = newChild)
+}
+
+/** DuckDB `nextafter(a, b)` — IEEE-754 nextafter, bit-identical to
+  * libm's (java.lang.Math.nextAfter implements the same standard).
+  */
+case class NextAfterExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nextafter"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nextafter needs doubles, got (${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Math.nextAfter(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Math.nextAfter($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NextAfterExpr =
     copy(left = l, right = r)
 }
 

@@ -1400,6 +1400,35 @@ object ExtraQueries {
     graft.operators.SqlStage("q173", timeBucket3SqlText).apply(s, events(s, d))
   }
 
+  /** r14 leftover-function gate — IDENTICAL text on both engines:
+    * list_where (positional mask filter), list_select (1-based gather,
+    * invalid→NULL), array_resize (2-arg; the 3-arg fill form crashes
+    * duckdb 1.0.0 over an array_agg input — `std::bad_array_new_length`
+    * — so it's pinned by DialectSpec literals instead), nextafter
+    * (IEEE — bit-identical), and gamma/lgamma (Lanczos vs libm through
+    * round(·, 6); arguments bounded so the rounding boundary is ≥ 9
+    * orders away from the approximation error).
+    */
+  private[graft] val listOpsSqlText = """
+      WITH g AS (SELECT l_orderkey AS k,
+                        array_agg(CAST(l_quantity AS INT) ORDER BY l_linenumber) AS qs
+                 FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey)
+      SELECT k,
+        array_to_string(list_where(qs, list_transform(qs, q -> q > 25)), ',') AS big,
+        array_to_string(list_select(qs, [1, 3, 5]), ',') AS gather,
+        array_to_string(array_resize(qs, 4), ',') AS r4,
+        array_to_string(array_resize(qs, 6), ',') AS r6,
+        nextafter(CAST(len(qs) AS DOUBLE), 100.0) AS na,
+        round(lgamma(CAST(k % 40 AS DOUBLE) + 1.5), 6) AS lg,
+        round(gamma(1 + (len(qs) % 5) * 0.5), 6) AS gm
+      FROM g ORDER BY k"""
+
+  def q174ListOps(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    graft.operators.SqlStage("q174", listOpsSqlText).apply(s, lineitem(s, d))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_columns_sql"    -> (q113ColumnsSql _),
     "q133_comprehension"  -> (q133Comprehension _),
@@ -1423,6 +1452,7 @@ object ExtraQueries {
     "q171_sample_seeded"  -> (q171SampleSeeded _),
     "q172_mad"            -> (q172Mad _),
     "q173_time_bucket3"   -> (q173TimeBucket3 _),
+    "q174_list_ops"       -> (q174ListOps _),
     "q161_frame_exclude"  -> (q161FrameExclude _),
     "q162_regex_surface"  -> (q162RegexSurface _),
     "q163_collections"    -> (q163Collections _),
@@ -1518,6 +1548,7 @@ object ExtraQueries {
     "q171_sample_seeded" -> sampleSeededSqlText,
     "q172_mad" -> madSqlText,
     "q173_time_bucket3" -> timeBucket3SqlText,
+    "q174_list_ops" -> listOpsSqlText,
     // q161: DuckDB executes the identical frame-EXCLUDE text natively
     "q161_frame_exclude" -> frameExcludeSqlText,
     // q162: DuckDB executes the identical regexp/SIMILAR TO text

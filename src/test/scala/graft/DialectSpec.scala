@@ -2791,6 +2791,32 @@ class DialectSpec extends SparkSpec {
     assert(one("SELECT century(DATE '2024-03-07') AS m").getLong(0) == 21L)
     assert(one("SELECT decade(DATE '2024-03-07') AS m").getLong(0) == 202L)
     assert(one("SELECT millennium(DATE '2024-03-07') AS m").getLong(0) == 3L)
+    // r14 leftovers (probed duckdb 1.0.0)
+    assert(one("SELECT list_where([10,20,30], [true,false,true]) AS m")
+      .getSeq[Int](0) == Seq(10, 30))
+    assert(one("SELECT list_where([10,20], [true]) AS m").getSeq[Int](0) == Seq(10))
+    assert(one("SELECT list_select([10,20,30], [3,1]) AS m").getSeq[Int](0) == Seq(30, 10))
+    assert(one("SELECT list_select([10,20,30], [4,0,-1,2,2]) AS m")
+      .getSeq[Any](0) == Seq(null, null, null, 20, 20))
+    assert(one("SELECT array_resize([1,2,3], 5) AS m")
+      .getSeq[Any](0) == Seq(1, 2, 3, null, null))
+    assert(one("SELECT array_resize([1,2,3], 2) AS m").getSeq[Int](0) == Seq(1, 2))
+    assert(one("SELECT array_resize([1,2,3], 0) AS m").getSeq[Int](0) == Seq())
+    assert(one("SELECT array_resize([1,2,3], 5, 9) AS m")
+      .getSeq[Int](0) == Seq(1, 2, 3, 9, 9))
+    assert(one("SELECT nextafter(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS m")
+      .getDouble(0) == 1.0000000000000002)
+    assert(one("SELECT nextafter(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS m")
+      .getDouble(0) == 0.9999999999999999)
+    // gamma/lgamma: Lanczos within round(·, 6) of DuckDB's libm (probed)
+    assert(one("SELECT round(gamma(5), 6) AS m").getDouble(0) == 24.0)
+    assert(one("SELECT round(gamma(0.5), 6) AS m").getDouble(0) == 1.772454)
+    assert(one("SELECT round(gamma(7.5), 6) AS m").getDouble(0) == 1871.254306)
+    assert(one("SELECT round(gamma(-0.5), 6) AS m").getDouble(0) == -3.544908)
+    assert(one("SELECT round(lgamma(100.5), 6) AS m").getDouble(0) == 361.435540)
+    assert(one("SELECT round(lgamma(-0.5), 6) AS m").getDouble(0) == 1.265512)
+    val eg = intercept[Exception](one("SELECT gamma(0) AS m"))
+    assert(eg.getMessage.contains("gamma") || eg.getCause != null)
   }
 
   test("caret exponent, log10, left/right negatives, FILTER-over-window, list folds (r13)") {
