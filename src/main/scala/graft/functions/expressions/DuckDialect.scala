@@ -1312,14 +1312,10 @@ object DuckDialect {
       "DuckDB CREATE MACRO runs inside graft sql stages (CREATE MACRO f(a, n := 1) AS expr | AS TABLE query; registered per session, expanded at later call sites); in plain Spark SQL use SQL UDFs (CREATE TEMPORARY FUNCTION f(x INT) RETURNS INT RETURN x + 1) or TEMP VIEWs for table macros",
     // DuckDB database-file statements — the engine's storage model is
     // parquet/csv directories, not a .db file; name the graft routes
-    raw"(?i)^\s*EXPORT\s+DATABASE\b".r ->
-      "DuckDB EXPORT DATABASE isn't Spark SQL — export relations individually with COPY (SELECT ...) TO 'path' (FORMAT PARQUET) (runs in sql stages) or the Sources sinks (writeParquet/writeCsv/writeBucketed)",
-    raw"(?i)^\s*IMPORT\s+DATABASE\b".r ->
-      "DuckDB IMPORT DATABASE isn't Spark SQL — read files with read_parquet('path')/read_csv_auto('path') (run in sql stages) or declare pipeline inputs (reference O1)",
+    // EXPORT/IMPORT DATABASE and CHECKPOINT EXECUTE since r14 (SqlStage
+    // routes); only ATTACH keeps the guided error
     raw"(?i)^\s*ATTACH\b".r ->
       "DuckDB ATTACH isn't Spark SQL — there is no .db file; read the data files directly (read_parquet/read_csv_auto in sql stages, Sources loaders, or spark.read)",
-    raw"(?i)^\s*CHECKPOINT\b".r ->
-      "DuckDB CHECKPOINT isn't Spark SQL — there is no WAL; pipeline stages persist via stage checkpoints (Pipeline materialization) or Dataset.localCheckpoint",
     raw":=".r ->
       "named-argument syntax (a := 1) isn't Spark SQL — struct_pack(a := 1) becomes named_struct('a', 1)",
     raw"(?i)\[\s*[\w.]+\s+for\s+\w+\s+in\b".r ->

@@ -4605,7 +4605,10 @@ object GraftSqlParser {
         val parts = opt.split(raw"\s+", 2)
         parts(0).toUpperCase match {
           case "FORMAT" =>
-            val f = parts.lift(1).getOrElse(fail("FORMAT needs a value")).trim.toLowerCase
+            // DuckDB's own EXPORT DATABASE load.sql quotes the value
+            // (FORMAT 'csv') — accept both spellings (r14 import)
+            val f = parts.lift(1).getOrElse(fail("FORMAT needs a value"))
+              .trim.stripPrefix("'").stripSuffix("'").toLowerCase
             if (!Set("csv", "parquet", "json").contains(f)) fail(s"unsupported FORMAT $f")
             format = f
           case "HEADER" =>
@@ -4616,6 +4619,12 @@ object GraftSqlParser {
             if (d.length < 2 || d.head != '\'' || d.last != '\'')
               fail("DELIMITER needs a quoted value")
             delim = d.substring(1, d.length - 1).replace("''", "'")
+          case "QUOTE" =>
+            // only the default double-quote is claimed — it appears in
+            // DuckDB's own load.sql (r14 import); other quote chars
+            // would silently change csv parsing
+            val v = parts.lift(1).getOrElse(fail("QUOTE needs a value")).trim
+            if (v != "'\"'") fail(s"unsupported QUOTE $v — only the default '\"'")
           case "PARTITION_BY" =>
             if (isFrom) fail("PARTITION_BY applies to COPY TO (reads discover " +
               "hive partitions natively)")
@@ -5069,6 +5078,133 @@ object GraftSqlParser {
     tableMetaReg.synchronized(Option(tableMetaReg.get(spark))).foreach { m =>
       m.remove(from.toLowerCase).foreach(meta => m.put(to.toLowerCase, meta))
     }
+
+  // ---- session TABLE registry (r14: EXPORT/IMPORT DATABASE) ----
+  // DuckDB's EXPORT DATABASE walks its catalog; the graft equivalent is
+  // the set of temp views created AS TABLES (CTAS / typed CREATE / an
+  // IMPORT) — plain registered views (`df`, the parquet base tables,
+  // scratch names) are NOT tables and don't export.
+  private val sessionTablesReg =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.LinkedHashSet[String]]()
+
+  def registerSessionTable(spark: org.apache.spark.sql.SparkSession,
+                           t: String): Unit = sessionTablesReg.synchronized {
+    var s = sessionTablesReg.get(spark)
+    if (s == null) { s = new java.util.LinkedHashSet[String](); sessionTablesReg.put(spark, s) }
+    s.add(t.toLowerCase)
+  }
+
+  def dropSessionTable(spark: org.apache.spark.sql.SparkSession, t: String): Unit =
+    sessionTablesReg.synchronized(
+      Option(sessionTablesReg.get(spark)).foreach(_.remove(t.toLowerCase)))
+
+  def renameSessionTable(spark: org.apache.spark.sql.SparkSession,
+                         from: String, to: String): Unit =
+    sessionTablesReg.synchronized(
+      Option(sessionTablesReg.get(spark)).foreach { s =>
+        if (s.remove(from.toLowerCase)) s.add(to.toLowerCase)
+      })
+
+  def sessionTables(spark: org.apache.spark.sql.SparkSession): Seq[String] =
+    sessionTablesReg.synchronized(
+      Option(sessionTablesReg.get(spark))
+        .map(s => scala.jdk.CollectionConverters.SetHasAsScala(s).asScala.toSeq)
+        .getOrElse(Nil))
+
+  /** Spark type → DuckDB DDL type (the EXPORT DATABASE schema.sql). */
+  def sparkTypeToDuck(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case StringType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case BinaryType => "BLOB"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case ArrayType(e, _) => sparkTypeToDuck(e) + "[]"
+      case other => other.sql
+    }
+  }
+
+  private val ExportDbRe =
+    raw"(?is)^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$$".r
+  private val ImportDbRe =
+    raw"(?is)^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$$".r
+  private val CheckpointRe = raw"(?is)^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$$".r
+
+  /** `EXPORT DATABASE 'dir' [(FORMAT CSV|PARQUET)]` → Some((dir, fmt)). */
+  def exportDatabaseTarget(sql: String): Option[(String, String)] =
+    ExportDbRe.findFirstMatchIn(sql).map { m =>
+      val fmt = Option(m.group(2)).map(_.trim).filter(_.nonEmpty) match {
+        case None => "csv"
+        case Some(o) =>
+          val fm = raw"(?i)^FORMAT\s+'?(\w+)'?$$".r.findFirstMatchIn(o).getOrElse(
+            throw new graft.functions.expressions.DuckDialectException(
+              s"EXPORT DATABASE options '$o' — supported: (FORMAT CSV|PARQUET)"))
+          fm.group(1).toLowerCase
+      }
+      if (fmt != "csv" && fmt != "parquet")
+        throw new graft.functions.expressions.DuckDialectException(
+          s"EXPORT DATABASE FORMAT $fmt — supported: CSV, PARQUET")
+      (m.group(1), fmt)
+    }
+
+  def importDatabaseTarget(sql: String): Option[String] =
+    ImportDbRe.findFirstMatchIn(sql).map(_.group(1))
+
+  def isCheckpointStatement(sql: String): Boolean =
+    CheckpointRe.findFirstIn(sql).isDefined
+
+  /** DuckDB's empty `Success` relation (probed: EXPORT DATABASE and
+    * CHECKPOINT both return zero rows of one BOOLEAN `Success` column).
+    */
+  def successRelation(spark: org.apache.spark.sql.SparkSession):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("Success", BooleanType))))
+  }
+
+  /** Execute `EXPORT DATABASE 'dir' [(FORMAT ...)]`: every session
+    * TABLE ([[sessionTables]]) writes one data file under `dir` plus a
+    * DuckDB-compatible `schema.sql` (typed CREATE TABLE statements) and
+    * `load.sql` (COPY ... FROM statements) — the same layout DuckDB
+    * produces (readable names instead of its mangled `t_.csv`), so
+    * either engine can IMPORT the directory. Scale note: each table
+    * routes through [[executeCopy]]'s single-file writer (DuckDB's
+    * contract); bulk multi-file export is the Sources sinks' job.
+    */
+  def executeExportDatabase(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, fmt: String):
+      org.apache.spark.sql.DataFrame = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(dir))
+    val tables = sessionTables(spark).filter(spark.catalog.tableExists)
+    val schemaSb = new StringBuilder
+    val loadSb = new StringBuilder
+    tables.foreach { t =>
+      val dfT = spark.table(t)
+      val ext = if (fmt == "parquet") "parquet" else "csv"
+      val path = s"$dir/$t.$ext"
+      executeCopy(spark, dfT, CopySpec(None, Some(t), path, fmt,
+        header = true, delimiter = ","))
+      schemaSb ++= s"CREATE TABLE $t(" + dfT.schema.fields
+        .map(f => s"${f.name} ${sparkTypeToDuck(f.dataType)}")
+        .mkString(", ") + ");\n"
+      loadSb ++= (if (fmt == "parquet") s"COPY $t FROM '$path' (FORMAT PARQUET);\n"
+        else s"COPY $t FROM '$path' (FORMAT CSV, HEADER, DELIMITER ',');\n")
+    }
+    Files.write(Paths.get(dir, "schema.sql"), schemaSb.toString.getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "load.sql"), loadSb.toString.getBytes("UTF-8"))
+    successRelation(spark)
+  }
 
   private val CreateDefHeadRe =
     raw"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\(".r

@@ -1429,6 +1429,32 @@ object ExtraQueries {
     graft.operators.SqlStage("q174", listOpsSqlText).apply(s, lineitem(s, d))
   }
 
+  /** EXPORT / IMPORT DATABASE round-trip gate (r14, VERDICT r13
+    * missing #5): a session table exports (DuckDB-compatible
+    * schema.sql + load.sql + one parquet file), is DROPPED, and comes
+    * back via IMPORT — the final SELECT must reproduce the source
+    * exactly, which the oracle independently recomputes from nation
+    * (a property oracle: the two engines' seeded export DIRECTORIES
+    * aren't comparable, the restored relation is). Runs in a FRESH
+    * session so only this gate's table exports (DuckDB's EXPORT walks
+    * the whole catalog the same way).
+    */
+  private[graft] val exportImportSqlText = """
+      CREATE OR REPLACE TEMP TABLE q176_src AS
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+               CAST(n_regionkey AS BIGINT) AS rk FROM nation;
+      EXPORT DATABASE '/tmp/graft_q176_db' (FORMAT PARQUET);
+      DROP TABLE q176_src;
+      IMPORT DATABASE '/tmp/graft_q176_db';
+      SELECT k, nm, rk FROM q176_src ORDER BY k"""
+
+  def q176ExportImport(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    graft.functions.expressions.GraftFunctions.register(s2)
+    nation(s2, d).createOrReplaceTempView("nation")
+    graft.operators.SqlStage("q176", exportImportSqlText).apply(s2, nation(s2, d))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_columns_sql"    -> (q113ColumnsSql _),
     "q133_comprehension"  -> (q133Comprehension _),
@@ -1453,6 +1479,7 @@ object ExtraQueries {
     "q172_mad"            -> (q172Mad _),
     "q173_time_bucket3"   -> (q173TimeBucket3 _),
     "q174_list_ops"       -> (q174ListOps _),
+    "q176_export_import"  -> (q176ExportImport _),
     "q161_frame_exclude"  -> (q161FrameExclude _),
     "q162_regex_surface"  -> (q162RegexSurface _),
     "q163_collections"    -> (q163Collections _),
@@ -1549,6 +1576,13 @@ object ExtraQueries {
     "q172_mad" -> madSqlText,
     "q173_time_bucket3" -> timeBucket3SqlText,
     "q174_list_ops" -> listOpsSqlText,
+    // q176: property oracle — the restored relation must equal the
+    // independently recomputed source (the export/import round-trip is
+    // engine-local; the directories aren't cross-comparable)
+    "q176_export_import" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+             CAST(n_regionkey AS BIGINT) AS rk
+      FROM nation ORDER BY k""",
     // q161: DuckDB executes the identical frame-EXCLUDE text natively
     "q161_frame_exclude" -> frameExcludeSqlText,
     // q162: DuckDB executes the identical regexp/SIMILAR TO text

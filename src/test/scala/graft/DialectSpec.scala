@@ -243,8 +243,9 @@ class DialectSpec extends SparkSpec {
     // age keeps the guided error
     assert(hintOf("SELECT age(ts1, ts2) FROM df").contains("date_diff"))
     // read_csv_auto('path') EXECUTES in sql stages since r9 — a missing
-    // file surfaces as the reader's path error, not a dialect hint; the
-    // hint remains for option-bearing calls (asserted in the COPY test)
+    // file surfaces as the reader's path error, not a dialect hint;
+    // option-bearing calls (delim/header/skip/columns/...) execute too
+    // (r11) and are gated end-to-end by q124
     val e = intercept[Exception](SqlStage("s",
       "SELECT * FROM read_csv_auto('/tmp/graft_no_such_file.csv')")
       .apply(spark, spark.range(1).toDF("id")))
@@ -1287,6 +1288,43 @@ class DialectSpec extends SparkSpec {
     val changed = spark.table("nd_u").where("v != 0.0").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ret == changed)
+  }
+
+  test("EXPORT/IMPORT DATABASE round-trip session tables; CHECKPOINT acknowledges (r14)") {
+    val s2 = spark.newSession()
+    graft.functions.expressions.GraftFunctions.register(s2)
+    val df2 = s2.range(1).toDF("z")
+    SqlStage("s",
+      """CREATE OR REPLACE TEMP TABLE exp_a AS SELECT id, 'v' || id AS s FROM range(5);
+         CREATE OR REPLACE TEMP TABLE exp_b (k INTEGER PRIMARY KEY, v DOUBLE DEFAULT 1.5);
+         INSERT INTO exp_b VALUES (1, 2.5), (2, 3.5)""").apply(s2, df2)
+    val suc = SqlStage("s", "EXPORT DATABASE '/tmp/graft_exp_test' (FORMAT PARQUET)")
+      .apply(s2, df2)
+    assert(suc.columns.toSeq == Seq("Success") && suc.count() == 0)
+    // a FRESH session imports both tables back (data + declared schema)
+    val s3 = spark.newSession()
+    graft.functions.expressions.GraftFunctions.register(s3)
+    val imp = SqlStage("s", "IMPORT DATABASE '/tmp/graft_exp_test'")
+      .apply(s3, s3.range(1).toDF("z"))
+    assert(imp.columns.toSeq == Seq("Count")) // DuckDB: last COPY's Count
+    assert(s3.table("exp_a").count() == 5)
+    assert(s3.table("exp_b").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq == Seq((1, 2.5), (2, 3.5)))
+    // default CSV format round-trips too
+    SqlStage("s", "EXPORT DATABASE '/tmp/graft_exp_test2'").apply(s2, df2)
+    val s4 = spark.newSession()
+    graft.functions.expressions.GraftFunctions.register(s4)
+    SqlStage("s", "IMPORT DATABASE '/tmp/graft_exp_test2'")
+      .apply(s4, s4.range(1).toDF("z"))
+    assert(s4.table("exp_a").orderBy("id").collect().map(_.getString(1)).toSeq
+      == Seq("v0", "v1", "v2", "v3", "v4"))
+    // CHECKPOINT: DuckDB's empty Success relation (no WAL to flush)
+    val cp = SqlStage("s", "CHECKPOINT").apply(spark, spark.range(1).toDF("z"))
+    assert(cp.columns.toSeq == Seq("Success") && cp.count() == 0)
+    // ATTACH keeps the guided error
+    val e = intercept[DuckDialectException](
+      SqlStage("s", "ATTACH 'x.db' AS x").apply(spark, spark.range(1).toDF("z")))
+    assert(e.getMessage.contains("ATTACH"))
   }
 
   test("ALTER TABLE/TRUNCATE/DROP TABLE mutate temp-table shape (r13)") {
