@@ -1329,8 +1329,11 @@ object DuckDialect {
     // quantified comparisons parse in DuckDB but not Spark; the
     // aggregate rewrite is the standard route (NULL semantics differ
     // from the aggregate form only when the subquery yields NULLs)
+    // quantified comparisons EXECUTE since r14 (rewriteQuantified) for
+    // identifier/number/call/parenthesized left operands; this trap
+    // names the remaining unclaimed operand shapes
     raw"(?i)[<>=!]=?\s*(ALL|ANY|SOME)\s*\(\s*SELECT\b".r ->
-      "quantified comparisons (x > ALL/ANY (SELECT ...)) aren't Spark SQL — rewrite with an aggregate (x > (SELECT max(...)) for > ALL, x > (SELECT min(...)) for > ANY) or EXISTS/NOT EXISTS when the subquery can yield NULLs"
+      "this quantified comparison's LEFT OPERAND shape isn't claimed (supported: column/number/function-call/parenthesized) — wrap the operand in parentheses, or rewrite with an aggregate (x > (SELECT max(...)) for > ALL)"
   )
 
   /** Enrich a failed `sql`-stage error with the dialect hint, if one of

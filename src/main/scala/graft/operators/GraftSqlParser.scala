@@ -44,12 +44,12 @@ object GraftSqlParser {
     // text REWRITTEN BY rewriteDotCall (x.log() emits log(x), which the
     // inner rename pass has already run past)
     rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteLogFn(
-    rewriteDotCall(rewriteFrameExclude(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteExtractEpoch(rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQualify(
+    rewriteDotCall(rewriteFrameExclude(rewriteNamedWindows(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteExtractEpoch(rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQuantified(rewriteQualify(
       rewriteDistinctOn(rewriteStructPack(rewriteStructInsert(
         rewriteExclude(rewriteAsof(rewritePositional(rewriteSubscript(rewriteSlice(
           rewriteGlob(rewriteSimilarTo(rewriteIntDiv(rewritePow(rewriteCaret(rewriteLogFn(rewriteFilterOver(rewriteJsonOps(
             rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
-              rewriteFromFirst(rewriteRawLiterals(sql))))))))))))))))))))))))))))))))))
+              rewriteFromFirst(rewriteRawLiterals(sql))))))))))))))))))))))))))))))))))))
 
   /** DuckDB single-quoted string literals are RAW — no backslash
     * escapes (`'\d'` is backslash-d) — while Spark's parser unescapes
@@ -126,6 +126,187 @@ object GraftSqlParser {
     * narrow ROWS frame excludes only frame∩peers, NOT the identity,
     * so those keep the guided error). Other aggregates error.
     */
+  private val QuantOpRe =
+    raw"(?i)(=|<>|!=|<=|>=|<|>)\s*(ALL|ANY|SOME)\s*\(".r
+
+  /** Execute quantified comparisons (r14): `x op ALL/ANY/SOME
+    * (subquery)` lowers to Spark-expressible forms with DuckDB's exact
+    * 3VL (probed 1.0.0): `= ANY` → IN, `<>/!= ALL` → NOT IN (identical
+    * 3VL natively), and the ordered/remaining forms → a CASE over
+    * aggregate scalar subqueries — empty set → TRUE (ALL) / FALSE
+    * (ANY) even for a NULL operand; a counterexample/witness decides
+    * even when NULLs are present; otherwise NULLs in the set or a NULL
+    * operand → NULL. The subquery text is spliced into up to three
+    * scalar subqueries — fine for the claimed (deterministic,
+    * uncorrelated-or-Spark-supported) surface; a correlated shape
+    * Spark can't plan fails loudly in analysis. Claimed left operands:
+    * identifiers/qualified names/numbers/function calls/parenthesized
+    * expressions — anything else keeps the guided error.
+    */
+  def rewriteQuantified(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val m = QuantOpRe.findAllMatchIn(masked).find { mm =>
+      // require a subquery head inside the paren
+      raw"(?is)^\s*(SELECT|WITH|FROM)\b".r
+        .findFirstIn(masked.substring(mm.end)).isDefined
+    }.getOrElse(return sql)
+    // subquery extent: balance from the open paren at m.end - 1
+    var d = 1
+    var i = m.end
+    while (i < masked.length && d > 0) {
+      masked.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (d != 0) return sql
+    val subq = sql.substring(m.end, i - 1).trim
+    // left operand extent (backward scan)
+    var ls = m.start - 1
+    while (ls >= 0 && masked.charAt(ls).isWhitespace) ls -= 1
+    if (ls < 0) return sql
+    def identStart(k0: Int): Int = {
+      var k = k0
+      while (k >= 0 && (masked.charAt(k).isLetterOrDigit ||
+        masked.charAt(k) == '_' || masked.charAt(k) == '.')) k -= 1
+      k + 1
+    }
+    val leftStart: Int =
+      if (masked.charAt(ls) == ')') {
+        var d2 = 1
+        var k = ls - 1
+        while (k >= 0 && d2 > 0) {
+          masked.charAt(k) match {
+            case ')' => d2 += 1
+            case '(' => d2 -= 1
+            case _ =>
+          }
+          if (d2 > 0) k -= 1
+        }
+        if (d2 != 0) return sql
+        identStart(k - 1) // include a function-name chain, if any
+      } else if (masked.charAt(ls).isLetterOrDigit || masked.charAt(ls) == '_') {
+        identStart(ls)
+      } else return sql // unsupported operand shape → guided error stays
+    val x = sql.substring(leftStart, m.start).trim
+    val op = m.group(1) match { case "!=" => "<>"; case o => o }
+    val isAll = m.group(2).equalsIgnoreCase("ALL")
+    def cnt(where: String = "") =
+      s"(SELECT count(*) FROM ( $subq ) __graft_qa(__graft_qc)$where)"
+    val nullCnt = cnt(" WHERE __graft_qc IS NULL")
+    val replacement = (op, isAll) match {
+      // NOT the tempting IN/NOT IN mapping: Spark's IN-subquery outside
+      // a WHERE collapses NULL to FALSE (probed), so the 3VL-exact CASE
+      // runs everywhere
+      case ("=", false) =>
+        s"(CASE WHEN ${cnt()} = 0 THEN FALSE " +
+          s"WHEN ${cnt(s" WHERE __graft_qc = ($x)")} > 0 THEN TRUE " +
+          s"WHEN $nullCnt > 0 THEN NULL " +
+          s"WHEN ($x) IS NULL THEN NULL ELSE FALSE END)"
+      case ("<>", true) =>
+        s"(CASE WHEN ${cnt()} = 0 THEN TRUE " +
+          s"WHEN ${cnt(s" WHERE __graft_qc = ($x)")} > 0 THEN FALSE " +
+          s"WHEN $nullCnt > 0 THEN NULL " +
+          s"WHEN ($x) IS NULL THEN NULL ELSE TRUE END)"
+      case ("=", true) =>
+        s"(CASE WHEN ${cnt()} = 0 THEN TRUE " +
+          s"WHEN ${cnt(s" WHERE __graft_qc <> ($x)")} > 0 THEN FALSE " +
+          s"WHEN $nullCnt > 0 THEN NULL " +
+          s"WHEN ($x) IS NULL THEN NULL ELSE TRUE END)"
+      case ("<>", false) =>
+        s"(CASE WHEN ${cnt()} = 0 THEN FALSE " +
+          s"WHEN ${cnt(s" WHERE __graft_qc <> ($x)")} > 0 THEN TRUE " +
+          s"WHEN $nullCnt > 0 THEN NULL " +
+          s"WHEN ($x) IS NULL THEN NULL ELSE FALSE END)"
+      case (o, all) =>
+        // ALL: counterexample against the adverse extreme; ANY: witness
+        // against the favorable one
+        val ext = (o.startsWith(">"), all) match {
+          case (true, true) => "max"
+          case (true, false) => "min"
+          case (false, true) => "min"
+          case (false, false) => "max"
+        }
+        val extSub = s"(SELECT $ext(__graft_qc) FROM ( $subq ) __graft_qa(__graft_qc))"
+        if (all)
+          s"(CASE WHEN ${cnt()} = 0 THEN TRUE " +
+            s"WHEN NOT (($x) $o $extSub) THEN FALSE " +
+            s"WHEN $nullCnt > 0 THEN NULL " +
+            s"WHEN ($x) IS NULL THEN NULL ELSE TRUE END)"
+        else
+          s"(CASE WHEN ${cnt()} = 0 THEN FALSE " +
+            s"WHEN ($x) $o $extSub THEN TRUE " +
+            s"WHEN $nullCnt > 0 THEN NULL " +
+            s"WHEN ($x) IS NULL THEN NULL ELSE FALSE END)"
+    }
+    rewriteQuantified(sql.substring(0, leftStart) + replacement + sql.substring(i))
+  }
+
+  /** Inline NAMED windows that carry a frame-EXCLUDE clause (r14):
+    * `WINDOW w AS (spec … EXCLUDE x)` + `OVER w` becomes the inline
+    * `OVER (spec … EXCLUDE x)` form [[rewriteFrameExclude]] already
+    * lowers (subtraction identities). Only EXCLUDE-bearing definitions
+    * inline — plain named windows stay on Spark's native WINDOW
+    * clause. Claimed surface: independent definitions (`w2 AS (w1
+    * …)` window inheritance is not claimed and fails loudly once the
+    * clause is consumed).
+    */
+  def rewriteNamedWindows(sql: String): String = {
+    val masked = maskQuotes(sql)
+    if (raw"(?i)\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES)\b".r
+        .findFirstIn(masked).isEmpty) return sql
+    val wm = raw"(?i)\bWINDOW\s+".r.findAllMatchIn(masked).toSeq
+      .find { m =>
+        // the SELECT-level WINDOW clause, not a function named window
+        val before = masked.substring(0, m.start)
+        !raw"(?i)(OVER|AS)\s*$$".r.findFirstIn(before).isDefined
+      }.getOrElse(return sql)
+    // parse `name AS ( … ) [, name AS ( … )]*`
+    var pos = wm.end
+    val defs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val DefHead = raw"(?is)^([A-Za-z_]\w*)\s+AS\s*\(".r
+    var ok = true
+    var clauseEnd = pos
+    while (ok) {
+      DefHead.findFirstMatchIn(masked.substring(pos)) match {
+        case Some(dm) =>
+          var d = 1
+          var i = pos + dm.end
+          while (i < masked.length && d > 0) {
+            masked.charAt(i) match {
+              case '(' => d += 1
+              case ')' => d -= 1
+              case _ =>
+            }
+            i += 1
+          }
+          if (d != 0) return sql // unbalanced — leave for Spark's parser
+          defs += ((dm.group(1), sql.substring(pos + dm.end, i - 1).trim))
+          clauseEnd = i
+          val rest = masked.substring(i)
+          val comma = raw"^\s*,\s*".r.findFirstMatchIn(rest)
+          if (comma.isDefined) pos = i + comma.get.end else ok = false
+        case None => return sql
+      }
+    }
+    val (inlined, kept) = defs.partition(d =>
+      raw"(?i)\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\b".r
+        .findFirstIn(maskQuotes(d._2)).isDefined)
+    if (inlined.isEmpty) return sql
+    val newClause =
+      if (kept.isEmpty) ""
+      else " WINDOW " + kept.map { case (n, s) => s"$n AS ($s)" }.mkString(", ") + " "
+    var out = sql.substring(0, wm.start) + newClause + sql.substring(clauseEnd)
+    inlined.foreach { case (n, s) =>
+      out = raw"(?i)\bOVER\s+${java.util.regex.Pattern.quote(n)}\b".r
+        .replaceAllIn(out,
+          java.util.regex.Matcher.quoteReplacement(s"OVER ( $s )"))
+    }
+    rewriteNamedWindows(out)
+  }
+
   def rewriteFrameExclude(sql: String): String = {
     val masked = maskQuotes(sql)
     val m = FrameExcludeRe.findFirstMatchIn(masked).getOrElse(return sql)

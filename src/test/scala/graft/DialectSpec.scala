@@ -1290,6 +1290,64 @@ class DialectSpec extends SparkSpec {
     assert(ret == changed)
   }
 
+  test("quantified comparisons ALL/ANY/SOME execute with DuckDB's 3VL (r14)") {
+    val df = spark.range(1).toDF("z")
+    def tri(sql: String): Option[Boolean] = {
+      val r = SqlStage("s", s"SELECT ($sql) AS m").apply(spark, df).collect().head
+      if (r.isNullAt(0)) None else Some(r.getBoolean(0))
+    }
+    // every case probed against duckdb 1.0.0
+    assert(tri("5 > ALL (SELECT * FROM (VALUES (1),(2)) t(c))") == Some(true))
+    assert(tri("5 > ALL (SELECT * FROM (VALUES (1),(NULL)) t(c))") == None)
+    assert(tri("5 > ALL (SELECT c FROM (VALUES (1)) t(c) WHERE c > 99)") == Some(true))
+    assert(tri("1 > ALL (SELECT * FROM (VALUES (3),(NULL)) t(c))") == Some(false))
+    assert(tri("NULL > ALL (SELECT * FROM (VALUES (1)) t(c))") == None)
+    assert(tri("NULL > ALL (SELECT c FROM (VALUES (1)) t(c) WHERE c > 99)") == Some(true))
+    assert(tri("2 > ANY (SELECT * FROM (VALUES (1),(NULL)) t(c))") == Some(true))
+    assert(tri("0 > ANY (SELECT * FROM (VALUES (1),(NULL)) t(c))") == None)
+    assert(tri("0 > ANY (SELECT c FROM (VALUES (1)) t(c) WHERE c > 99)") == Some(false))
+    assert(tri("2 = ANY (SELECT * FROM (VALUES (1),(NULL)) t(c))") == None)
+    assert(tri("1 = ANY (SELECT * FROM (VALUES (1),(NULL)) t(c))") == Some(true))
+    assert(tri("2 <> ALL (SELECT * FROM (VALUES (1),(NULL)) t(c))") == None)
+    assert(tri("2 <> ALL (SELECT * FROM (VALUES (1),(3)) t(c))") == Some(true))
+    assert(tri("3 >= SOME (SELECT * FROM (VALUES (5),(NULL)) t(c))") == None)
+    assert(tri("5 >= SOME (SELECT * FROM (VALUES (5),(NULL)) t(c))") == Some(true))
+    assert(tri("1 = ALL (SELECT * FROM (VALUES (1),(1)) t(c))") == Some(true))
+    assert(tri("1 = ALL (SELECT * FROM (VALUES (1),(2)) t(c))") == Some(false))
+    assert(tri("1 <> ANY (SELECT * FROM (VALUES (1),(2)) t(c))") == Some(true))
+    assert(tri("1 <> ANY (SELECT * FROM (VALUES (1),(1)) t(c))") == Some(false))
+    assert(tri("2 <= ALL (SELECT * FROM (VALUES (2),(5)) t(c))") == Some(true))
+    assert(tri("abs(-3) < ANY (SELECT * FROM (VALUES (4)) t(c))") == Some(true))
+    // WHERE position + a parenthesized operand
+    val n = SqlStage("s",
+      """SELECT count(*) AS n FROM range(10) t(id)
+         WHERE (id + 1) > ALL (SELECT * FROM (VALUES (5),(7)) v(c))""")
+      .apply(spark, df).collect().head.getLong(0)
+    assert(n == 3L) // ids 7, 8, 9
+  }
+
+  test("named WINDOW clause with frame EXCLUDE inlines and rewrites (r14)") {
+    val df = spark.range(1).toDF("z")
+    // probed duckdb 1.0.0: (0,1),(1,2),(2,4),(3,6),(4,3)
+    val r1 = SqlStage("s",
+      """SELECT id, sum(id) OVER w AS s FROM range(5) t(id)
+         WINDOW w AS (ORDER BY id RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)
+         ORDER BY id""").apply(spark, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r1 == Seq((0L, 1L), (1L, 2L), (2L, 4L), (3L, 6L), (4L, 3L)))
+    // mixed clause: the EXCLUDE-bearing window inlines, the plain one
+    // stays on Spark's native WINDOW clause (probed expectations)
+    val r2 = SqlStage("s",
+      """SELECT id, g, sum(id) OVER w AS s, count(*) OVER w2 AS c
+         FROM (SELECT id, id % 2 AS g FROM range(6) t0(id)) t
+         WINDOW w AS (PARTITION BY g ORDER BY id RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP),
+                w2 AS (PARTITION BY g)
+         ORDER BY id""").apply(spark, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(r2 == Seq((0L, 0L, 6L, 3L), (1L, 1L, 8L, 3L), (2L, 0L, 4L, 3L),
+      (3L, 1L, 6L, 3L), (4L, 0L, 2L, 3L), (5L, 1L, 4L, 3L)))
+  }
+
   test("EXPORT/IMPORT DATABASE round-trip session tables; CHECKPOINT acknowledges (r14)") {
     val s2 = spark.newSession()
     graft.functions.expressions.GraftFunctions.register(s2)
@@ -2239,14 +2297,21 @@ class DialectSpec extends SparkSpec {
     assert(!nhp.columns.contains("k") && nhp.count() == 4)
   }
 
-  test("database-file statements raise guided errors naming the graft routes") {
+  test("database-file statements: EXPORT/IMPORT/CHECKPOINT execute (r14); ATTACH guides") {
     def hintOf(sql: String): String =
       intercept[DuckDialectException](
         SqlStage("s", sql).apply(spark, spark.range(1).toDF("id"))).getMessage
-    assert(hintOf("EXPORT DATABASE '/tmp/x'").contains("COPY"))
-    assert(hintOf("IMPORT DATABASE '/tmp/x'").contains("read_parquet"))
+    // EXPORT with no session tables writes an empty manifest pair
+    val ex = SqlStage("s", "EXPORT DATABASE '/tmp/graft_exp_empty'")
+      .apply(spark, spark.range(1).toDF("id"))
+    assert(ex.columns.toSeq == Seq("Success"))
+    assert(new java.io.File("/tmp/graft_exp_empty/schema.sql").isFile)
+    // IMPORT of a non-export directory names the contract
+    assert(hintOf("IMPORT DATABASE '/tmp/graft_no_such_dir'")
+      .contains("EXPORT DATABASE"))
     assert(hintOf("ATTACH '/tmp/other.db' AS other").contains("read the data files"))
-    assert(hintOf("CHECKPOINT").contains("localCheckpoint"))
+    assert(SqlStage("s", "CHECKPOINT").apply(spark, spark.range(1).toDF("id"))
+      .columns.toSeq == Seq("Success"))
   }
 
   test("FROM-first statements rewrite to standard clause order") {
