@@ -1455,6 +1455,36 @@ object ExtraQueries {
     graft.operators.SqlStage("q176", exportImportSqlText).apply(s2, nation(s2, d))
   }
 
+  /** Quantified comparisons + named-window EXCLUDE gate (r14) —
+    * IDENTICAL text on both engines: `> ALL` / `> ANY` against a
+    * value-set subquery, `= ANY` / `<> ALL` membership forms (the
+    * 3VL-exact CASE lowering — [[graft.operators.GraftSqlParser
+    * .rewriteQuantified]]), and a WINDOW-clause frame EXCLUDE
+    * ([[graft.operators.GraftSqlParser.rewriteNamedWindows]] inlining
+    * into the subtraction-identity rewrite). Money sums in exact
+    * per-row cents (the frameExclude treatment).
+    */
+  private[graft] val quantifiedSqlText = """
+      WITH t AS (SELECT o_orderkey AS k, o_custkey AS c,
+                        CAST(o_totalprice AS DOUBLE) AS p
+                 FROM orders WHERE o_orderkey < 400)
+      SELECT k, c,
+             p > ALL (SELECT CAST(o_totalprice AS DOUBLE) FROM orders WHERE o_orderkey < 40) AS gt_all,
+             p > ANY (SELECT CAST(o_totalprice AS DOUBLE) FROM orders WHERE o_orderkey < 40) AS gt_any,
+             c = ANY (SELECT c_custkey FROM customer WHERE c_custkey < 100) AS eq_any,
+             c <> ALL (SELECT c_custkey FROM customer WHERE c_custkey < 100) AS ne_all,
+             CAST(sum(CAST(round(p * 100) AS BIGINT)) OVER w AS BIGINT) AS neigh_cents
+      FROM t
+      WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW)
+      ORDER BY k"""
+
+  def q177Quantified(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    orders(s, d).createOrReplaceTempView("orders")
+    customer(s, d).createOrReplaceTempView("customer")
+    graft.operators.SqlStage("q177", quantifiedSqlText).apply(s, orders(s, d))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_columns_sql"    -> (q113ColumnsSql _),
     "q133_comprehension"  -> (q133Comprehension _),
@@ -1480,6 +1510,7 @@ object ExtraQueries {
     "q173_time_bucket3"   -> (q173TimeBucket3 _),
     "q174_list_ops"       -> (q174ListOps _),
     "q176_export_import"  -> (q176ExportImport _),
+    "q177_quantified"     -> (q177Quantified _),
     "q161_frame_exclude"  -> (q161FrameExclude _),
     "q162_regex_surface"  -> (q162RegexSurface _),
     "q163_collections"    -> (q163Collections _),
@@ -1576,6 +1607,7 @@ object ExtraQueries {
     "q172_mad" -> madSqlText,
     "q173_time_bucket3" -> timeBucket3SqlText,
     "q174_list_ops" -> listOpsSqlText,
+    "q177_quantified" -> quantifiedSqlText,
     // q176: property oracle — the restored relation must equal the
     // independently recomputed source (the export/import round-trip is
     // engine-local; the directories aren't cross-comparable)
