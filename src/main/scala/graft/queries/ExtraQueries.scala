@@ -1448,8 +1448,16 @@ object ExtraQueries {
       IMPORT DATABASE '/tmp/graft_q176_db';
       SELECT k, nm, rk FROM q176_src ORDER BY k"""
 
+  /** One derived session per caller session, cached: every live
+    * SparkSession attaches listeners to the shared context bus, so a
+    * session-per-invocation q176 would accumulate them across bench
+    * passes (the r12 session-per-pass latency inflation).
+    */
+  private val q176Sessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
   def q176ExportImport(s: SparkSession, d: String): DataFrame = {
-    val s2 = s.newSession()
+    val s2 = q176Sessions.computeIfAbsent(s, _.newSession())
     graft.functions.expressions.GraftFunctions.register(s2)
     nation(s2, d).createOrReplaceTempView("nation")
     graft.operators.SqlStage("q176", exportImportSqlText).apply(s2, nation(s2, d))

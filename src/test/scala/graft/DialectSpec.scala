@@ -1326,6 +1326,55 @@ class DialectSpec extends SparkSpec {
     assert(n == 3L) // ids 7, 8, 9
   }
 
+  test("quantified comparison fuzz: engine matches the 3VL reference model (r14)") {
+    // the reference model reproduces every DuckDB probe above: ALL over
+    // an empty set is TRUE (even for a NULL operand), a counterexample/
+    // witness decides despite NULLs, otherwise any NULL comparison
+    // yields NULL
+    val rnd = new scala.util.Random(1404)
+    val df = spark.range(1).toDF("z")
+    val ops = Seq("=", "<>", "<", "<=", ">", ">=")
+    for (_ <- 1 to 60) {
+      val op = ops(rnd.nextInt(ops.size))
+      val quant = Seq("ALL", "ANY", "SOME")(rnd.nextInt(3))
+      val n = rnd.nextInt(4)
+      val vals: Seq[Option[Int]] =
+        Seq.fill(n)(if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(5)))
+      val x: Option[Int] = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(5))
+      val setSql =
+        if (vals.isEmpty) "SELECT * FROM (VALUES (1)) t(c) WHERE 1 = 0"
+        else "SELECT * FROM (VALUES " + vals.map(v =>
+          "(" + v.map(_.toString).getOrElse("CAST(NULL AS INT)") + ")")
+          .mkString(",") + ") t(c)"
+      val xSql = x.map(_.toString).getOrElse("CAST(NULL AS INT)")
+      val sql = s"SELECT ($xSql $op $quant ($setSql)) AS m"
+      val row = SqlStage("s", sql).apply(spark, df).collect().head
+      val got: Option[Boolean] = if (row.isNullAt(0)) None else Some(row.getBoolean(0))
+      def cmp(a: Int, b: Int): Boolean = op match {
+        case "=" => a == b
+        case "<>" => a != b
+        case "<" => a < b
+        case "<=" => a <= b
+        case ">" => a > b
+        case ">=" => a >= b
+      }
+      val results = vals.map(c => for { a <- x; b <- c } yield cmp(a, b))
+      val expect: Option[Boolean] =
+        if (quant == "ALL") {
+          if (vals.isEmpty) Some(true)
+          else if (results.contains(Some(false))) Some(false)
+          else if (results.contains(None)) None
+          else Some(true)
+        } else {
+          if (vals.isEmpty) Some(false)
+          else if (results.contains(Some(true))) Some(true)
+          else if (results.contains(None)) None
+          else Some(false)
+        }
+      assert(got == expect, s"mismatch for: $sql (got $got, expect $expect)")
+    }
+  }
+
   test("named WINDOW clause with frame EXCLUDE inlines and rewrites (r14)") {
     val df = spark.range(1).toDF("z")
     // probed duckdb 1.0.0: (0,1),(1,2),(2,4),(3,6),(4,3)
