@@ -1425,6 +1425,27 @@ class DialectSpec extends SparkSpec {
       .apply(s4, s4.range(1).toDF("z"))
     assert(s4.table("exp_a").orderBy("id").collect().map(_.getString(1)).toSeq
       == Seq("v0", "v1", "v2", "v3", "v4"))
+    // a DUCKDB-PRODUCED directory imports too: this fixture carries
+    // duckdb 1.0.0's exact output spellings (quoted FORMAT value,
+    // quote '\"', header 1 — validated against a real EXPORT DATABASE),
+    // which the COPY option parser tolerates
+    val ddir = "/tmp/graft_duckstyle_imp"
+    new java.io.File(ddir).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(ddir, "schema.sql"),
+      "\n\n\nCREATE TABLE dk_t(id BIGINT, nm VARCHAR, v DECIMAL(21,1));\n\n\n\n"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(ddir, "load.sql"),
+      (s"COPY dk_t FROM '$ddir/dk_t.csv' (FORMAT 'csv', quote '\"', " +
+        "delimiter ',', header 1);\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(ddir, "dk_t.csv"),
+      "id,nm,v\n0,n0,0.0\n1,n1,1.5\n2,\"q,c\",3.0\n".getBytes("UTF-8"))
+    val s5 = spark.newSession()
+    graft.functions.expressions.GraftFunctions.register(s5)
+    SqlStage("s", s"IMPORT DATABASE '$ddir'").apply(s5, s5.range(1).toDF("z"))
+    val dk = s5.table("dk_t").orderBy("id").collect()
+    assert(dk.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(dk(2).getString(1) == "q,c") // quoted comma survives
+    assert(dk(1).getDecimal(2).doubleValue == 1.5)
     // CHECKPOINT: DuckDB's empty Success relation (no WAL to flush)
     val cp = SqlStage("s", "CHECKPOINT").apply(spark, spark.range(1).toDF("z"))
     assert(cp.columns.toSeq == Seq("Success") && cp.count() == 0)
