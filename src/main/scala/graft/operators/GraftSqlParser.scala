@@ -195,48 +195,59 @@ object GraftSqlParser {
     val isAll = m.group(2).equalsIgnoreCase("ALL")
     def cnt(where: String = "") =
       s"(SELECT count(*) FROM ( $subq ) __graft_qa(__graft_qc)$where)"
-    val nullCnt = cnt(" WHERE __graft_qc IS NULL")
+    // ONE uncorrelated stats subquery, repeated VERBATIM per CASE branch
+    // — the references canonicalize identically, so Spark's
+    // ReuseSubquery executes the set scan ONCE (a 3-4× scan saving at
+    // scale over per-branch count/extreme/null subqueries)
+    val st = s"(SELECT named_struct('n', count(*), " +
+      s"'nn', count(CASE WHEN __graft_qc IS NULL THEN 1 END), " +
+      s"'mx', max(__graft_qc), 'mn', min(__graft_qc)) " +
+      s"FROM ( $subq ) __graft_qa(__graft_qc))"
+    val nEmpty = s"$st.n = 0"
+    val nullCnt = s"$st.nn"
     val replacement = (op, isAll) match {
       // NOT the tempting IN/NOT IN mapping: Spark's IN-subquery outside
       // a WHERE collapses NULL to FALSE (probed), so the 3VL-exact CASE
       // runs everywhere
+      // the equality witness WHERE stays a separate (possibly
+      // correlated) count — Spark allows equality correlation in a
+      // subquery WHERE but not inside aggregate expressions
       case ("=", false) =>
-        s"(CASE WHEN ${cnt()} = 0 THEN FALSE " +
+        s"(CASE WHEN $nEmpty THEN FALSE " +
           s"WHEN ${cnt(s" WHERE __graft_qc = ($x)")} > 0 THEN TRUE " +
           s"WHEN $nullCnt > 0 THEN NULL " +
           s"WHEN ($x) IS NULL THEN NULL ELSE FALSE END)"
       case ("<>", true) =>
-        s"(CASE WHEN ${cnt()} = 0 THEN TRUE " +
+        s"(CASE WHEN $nEmpty THEN TRUE " +
           s"WHEN ${cnt(s" WHERE __graft_qc = ($x)")} > 0 THEN FALSE " +
           s"WHEN $nullCnt > 0 THEN NULL " +
           s"WHEN ($x) IS NULL THEN NULL ELSE TRUE END)"
       case ("=", true) =>
-        s"(CASE WHEN ${cnt()} = 0 THEN TRUE " +
+        s"(CASE WHEN $nEmpty THEN TRUE " +
           s"WHEN ${cnt(s" WHERE __graft_qc <> ($x)")} > 0 THEN FALSE " +
           s"WHEN $nullCnt > 0 THEN NULL " +
           s"WHEN ($x) IS NULL THEN NULL ELSE TRUE END)"
       case ("<>", false) =>
-        s"(CASE WHEN ${cnt()} = 0 THEN FALSE " +
+        s"(CASE WHEN $nEmpty THEN FALSE " +
           s"WHEN ${cnt(s" WHERE __graft_qc <> ($x)")} > 0 THEN TRUE " +
           s"WHEN $nullCnt > 0 THEN NULL " +
           s"WHEN ($x) IS NULL THEN NULL ELSE FALSE END)"
       case (o, all) =>
         // ALL: counterexample against the adverse extreme; ANY: witness
         // against the favorable one
-        val ext = (o.startsWith(">"), all) match {
-          case (true, true) => "max"
-          case (true, false) => "min"
-          case (false, true) => "min"
-          case (false, false) => "max"
-        }
-        val extSub = s"(SELECT $ext(__graft_qc) FROM ( $subq ) __graft_qa(__graft_qc))"
+        val extSub = s"$st." + ((o.startsWith(">"), all) match {
+          case (true, true) => "mx"
+          case (true, false) => "mn"
+          case (false, true) => "mn"
+          case (false, false) => "mx"
+        })
         if (all)
-          s"(CASE WHEN ${cnt()} = 0 THEN TRUE " +
+          s"(CASE WHEN $nEmpty THEN TRUE " +
             s"WHEN NOT (($x) $o $extSub) THEN FALSE " +
             s"WHEN $nullCnt > 0 THEN NULL " +
             s"WHEN ($x) IS NULL THEN NULL ELSE TRUE END)"
         else
-          s"(CASE WHEN ${cnt()} = 0 THEN FALSE " +
+          s"(CASE WHEN $nEmpty THEN FALSE " +
             s"WHEN ($x) $o $extSub THEN TRUE " +
             s"WHEN $nullCnt > 0 THEN NULL " +
             s"WHEN ($x) IS NULL THEN NULL ELSE FALSE END)"
