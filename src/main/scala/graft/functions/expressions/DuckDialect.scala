@@ -577,6 +577,59 @@ object DuckDialect {
       new Sequence(a, stop, Some(s)))
   }
 
+  /** [[DuckSweep]] static-method invocation (codegen'd, null-propagating). */
+  private def sweepInvoke(dt: DataType, method: String, args: Seq[Expression],
+      inputTypes: Seq[DataType]): Expression =
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      DuckSweep.getClass, dt, method, args, inputTypes = inputTypes)
+
+  /** list_where (r14, probed): keep elements whose mask slot is TRUE;
+    * a shorter mask truncates (positional filter — the pad-null slots
+    * evaluate false). DuckDB errors on NULL mask slots; here they
+    * filter out (permissive divergence, documented).
+    */
+  private def listWhereBuilder(es: Seq[Expression]): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("__graft_lw_x"))
+    val i = UnresolvedNamedLambdaVariable(Seq("__graft_lw_i"))
+    // Spark's filter index is 0-based; mask lookup is 1-based get
+    ArrayFilter(es(0), LambdaFunction(
+      EqualTo(GetArrayItem(es(1), i, failOnError = false), Literal(true)),
+      Seq(x, i)))
+  }
+
+  /** list_select (r14, probed): 1-based gather; 0/out-of-range/negative
+    * indexes yield NULL elements, duplicates allowed.
+    */
+  private def listSelectBuilder(es: Seq[Expression]): Expression = {
+    val i = UnresolvedNamedLambdaVariable(Seq("__graft_ls_i"))
+    ArrayTransform(es(1), LambdaFunction(
+      GetArrayItem(es(0), Subtract(Cast(i, IntegerType), Literal(1)),
+        failOnError = false),
+      Seq(i)))
+  }
+
+  /** Pairwise fold over two DOUBLE[] lists (zip_with + the [[listSum]]
+    * sequential fold — DuckDB's evaluation order): the dot-product /
+    * distance / cosine builders' shared shape. Casts make DECIMAL list
+    * literals behave like DuckDB's.
+    */
+  private def listPairFold(es: Seq[Expression],
+      f: (Expression, Expression) => Expression,
+      divideByNorms: Boolean): Expression = {
+    def cast(e: Expression) = Cast(e, ArrayType(DoubleType))
+    def fold(x: Expression, y: Expression,
+             g: (Expression, Expression) => Expression): Expression = {
+      val l = UnresolvedNamedLambdaVariable(Seq("__graft_pa"))
+      val r = UnresolvedNamedLambdaVariable(Seq("__graft_pb"))
+      listSum(ZipWith(cast(x), cast(y), LambdaFunction(g(l, r), Seq(l, r))))
+    }
+    val dot = fold(es(0), es(1), f)
+    if (!divideByNorms) dot
+    else Divide(dot, Multiply(
+      Sqrt(fold(es(0), es(0), (a, b) => Multiply(a, b))),
+      Sqrt(fold(es(1), es(1), (a, b) => Multiply(a, b)))))
+  }
+
   /** Σ over a list as a higher-order aggregate (codegen'd by Catalyst;
     * the analyzer binds the unresolved lambda variables exactly as it
     * does for parsed `aggregate(l, 0D, (acc, x) -> acc + x)`).
@@ -773,22 +826,11 @@ object DuckDialect {
     // a shorter mask truncates (positional filter — the pad-null slots
     // evaluate false). DuckDB errors on NULL mask slots; here they
     // filter out (permissive divergence, documented).
-    "list_where" -> (es => { nArgs("list_where", es, 2)
-      val x = UnresolvedNamedLambdaVariable(Seq("__graft_lw_x"))
-      val i = UnresolvedNamedLambdaVariable(Seq("__graft_lw_i"))
-      // Spark's filter index is 0-based; mask lookup is 1-based get
-      ArrayFilter(es(0), LambdaFunction(
-        EqualTo(GetArrayItem(es(1), i, failOnError = false), Literal(true)),
-        Seq(x, i))) }),
+    "list_where" -> (es => { nArgs("list_where", es, 2); listWhereBuilder(es) }),
     // list_select (r14, probed): 1-based gather; 0/out-of-range/negative
     // indexes yield NULL elements (NOT the bracket-get neg-from-end),
     // duplicates allowed
-    "list_select" -> (es => { nArgs("list_select", es, 2)
-      val i = UnresolvedNamedLambdaVariable(Seq("__graft_ls_i"))
-      ArrayTransform(es(1), LambdaFunction(
-        GetArrayItem(es(0), Subtract(Cast(i, IntegerType), Literal(1)),
-          failOnError = false),
-        Seq(i))) }),
+    "list_select" -> (es => { nArgs("list_select", es, 2); listSelectBuilder(es) }),
     // array_resize (r14, probed): truncate or pad with fill (NULL
     // default) to exactly n elements
     "array_resize" -> (es => {
@@ -838,7 +880,23 @@ object DuckDialect {
     "array_extract" -> (es => { nArgs("array_extract", es, 2); DuckBracketGet(es(0), es(1)) }),
     "list_min" -> (es => { nArgs("list_min", es, 1); ArrayMin(es(0)) }),
     "list_max" -> (es => { nArgs("list_max", es, 1); ArrayMax(es(0)) }),
-    "list_unique" -> (es => { nArgs("list_unique", es, 1); Size(ArrayDistinct(es(0))) }),
+    "list_unique" -> (es => { nArgs("list_unique", es, 1)
+      // count of distinct NON-NULL elements (probed: [1,1,2,NULL] -> 2)
+      Size(ArrayDistinct(ArrayCompact(es(0)))) }),
+    "array_unique" -> (es => { nArgs("array_unique", es, 1)
+      Size(ArrayDistinct(ArrayCompact(es(0)))) }),
+    "array_cat" -> (es => Concat(es)),
+    "array_concat" -> (es => Concat(es)),
+    "list_cat" -> (es => Concat(es)),
+    "array_has" -> (es => { nArgs("array_has", es, 2); ArrayContains(es(0), es(1)) }),
+    "array_indexof" -> (es => { nArgs("array_indexof", es, 2); ArrayPosition(es(0), es(1)) }),
+    "array_grade_up" -> (es => { nArgs("array_grade_up", es, 1); GraftGradeUp(es(0)) }),
+    "grade_up" -> (es => { nArgs("grade_up", es, 1); GraftGradeUp(es(0)) }),
+    "array_reverse_sort" -> (es => { nArgs("array_reverse_sort", es, 1)
+      GraftListSort(es(0), asc = false, nullsFirst = false) }),
+    "array_select" -> (es => { nArgs("array_select", es, 2); listSelectBuilder(es) }),
+    "array_where" -> (es => { nArgs("array_where", es, 2); listWhereBuilder(es) }),
+    "list_element" -> (es => { nArgs("list_element", es, 2); DuckBracketGet(es(0), es(1)) }),
     // DuckDB array_to_string ≡ list_aggr(l, 'string_agg', sep): joins the
     // NON-NULL elements cast to VARCHAR, and is NULL when none remain
     // (string_agg over zero values — probed duckdb 1.0.0: [] → NULL,
@@ -997,6 +1055,116 @@ object DuckDialect {
     "least_common_multiple" -> (es => { nArgs("least_common_multiple", es, 2); LcmExpr(es(0), es(1)) }),
     "lcm" -> (es => { nArgs("lcm", es, 2); LcmExpr(es(0), es(1)) }),
     "even" -> (es => { nArgs("even", es, 1); EvenExpr(es(0)) }),
+    // --- r14 sixth probe sweep (all probed duckdb 1.0.0)
+    "week" -> (es => { nArgs("week", es, 1)
+      Cast(WeekOfYear(Cast(es(0), DateType)), LongType) }),
+    "weekofyear" -> (es => { nArgs("weekofyear", es, 1)
+      Cast(WeekOfYear(Cast(es(0), DateType)), LongType) }),
+    "isoyear" -> (es => { nArgs("isoyear", es, 1)
+      Cast(DatePart.parseExtractField("YEAROFWEEK", Cast(es(0), DateType)), LongType) }),
+    // yearweek = isoyear·100 + iso week (probed 2023-01-01 → 202252)
+    "yearweek" -> (es => { nArgs("yearweek", es, 1)
+      val d = Cast(es(0), DateType)
+      Cast(Add(Multiply(DatePart.parseExtractField("YEAROFWEEK", d), Literal(100)),
+        WeekOfYear(d)), LongType) }),
+    // Julian Day as DOUBLE, midnight = .0 (probed: 1970-01-01 → 2440588.0)
+    "julian" -> (es => { nArgs("julian", es, 1)
+      sweepInvoke(DoubleType, "julianUs",
+        Seq(UnixMicros(Cast(es(0), TimestampType))), Seq(LongType)) }),
+    // era: 1 for year ≥ 1, 0 before (probed across the AD/BC boundary)
+    "era" -> (es => { nArgs("era", es, 1)
+      Cast(If(GreaterThanOrEqual(Year(Cast(es(0), DateType)), Literal(1)),
+        Literal(1), Literal(0)), LongType) }),
+    "today" -> (es => { nArgs("today", es, 0); CurrentDate() }),
+    "get_current_timestamp" -> (es => { nArgs("get_current_timestamp", es, 0); Now() }),
+    "transaction_timestamp" -> (es => { nArgs("transaction_timestamp", es, 0); Now() }),
+    "current_localtimestamp" -> (es => { nArgs("current_localtimestamp", es, 0)
+      LocalTimestamp() }),
+    "regexp_escape" -> (es => { nArgs("regexp_escape", es, 1)
+      sweepInvoke(StringType, "regexpEscape", Seq(Cast(es(0), StringType)),
+        Seq(StringType)) }),
+    "format_bytes" -> (es => { nArgs("format_bytes", es, 1)
+      sweepInvoke(StringType, "formatBytes", Seq(Cast(es(0), LongType)), Seq(LongType)) }),
+    "formatreadablesize" -> (es => { nArgs("formatReadableSize", es, 1)
+      sweepInvoke(StringType, "formatBytes", Seq(Cast(es(0), LongType)), Seq(LongType)) }),
+    "formatreadabledecimalsize" -> (es => { nArgs("formatReadableDecimalSize", es, 1)
+      sweepInvoke(StringType, "formatBytesDecimal", Seq(Cast(es(0), LongType)),
+        Seq(LongType)) }),
+    "isfinite" -> (es => { nArgs("isfinite", es, 1)
+      val d = Cast(es(0), DoubleType)
+      And(Not(IsNaN(d)), LessThan(Abs(d), Literal(Double.PositiveInfinity))) }),
+    "isinf" -> (es => { nArgs("isinf", es, 1)
+      EqualTo(Abs(Cast(es(0), DoubleType)), Literal(Double.PositiveInfinity)) }),
+    "signbit" -> (es => { nArgs("signbit", es, 1)
+      sweepInvoke(BooleanType, "signbit", Seq(Cast(es(0), DoubleType)),
+        Seq(DoubleType)) }),
+    // 1-arg greatest/least are identity in DuckDB
+    "greatest" -> (es =>
+      if (es.length == 1) es(0) else Greatest(es)),
+    "least" -> (es =>
+      if (es.length == 1) es(0) else Least(es)),
+    // 1-arg trunc = truncate toward zero (DOUBLE here; DuckDB keeps the
+    // input's numeric type — cast where the width matters); 2-arg stays
+    // Spark's date trunc
+    "trunc" -> (es => es.length match {
+      case 1 =>
+        val d = Cast(es(0), DoubleType)
+        Cast(If(GreaterThanOrEqual(d, Literal(0.0)), Floor(d), Ceil(d)), DoubleType)
+      case 2 => TruncDate(es(0), es(1))
+      case n => throw new DuckDialectException(s"trunc expects 1 or 2 args, got $n")
+    }),
+    "strlen" -> (es => { nArgs("strlen", es, 1); OctetLength(Cast(es(0), StringType)) }),
+    "array_length" -> (es => { nArgs("array_length", es, 1)
+      Cast(Size(es(0)), LongType) }),
+    "add" -> (es => { nArgs("add", es, 2); Add(es(0), es(1)) }),
+    "subtract" -> (es => { nArgs("subtract", es, 2); Subtract(es(0), es(1)) }),
+    "multiply" -> (es => { nArgs("multiply", es, 2); Multiply(es(0), es(1)) }),
+    // constant_or_null(v, check…): NULL if ANY check is NULL (probed)
+    "constant_or_null" -> (es => {
+      if (es.length < 2)
+        throw new DuckDialectException("constant_or_null takes (value, check, ...)")
+      val anyNull = es.tail.map(e => IsNull(e): Expression).reduce(Or)
+      If(anyNull, Literal(null), es(0)) }),
+    // vector similarity/distance scalars over DOUBLE[] (the oracle-side
+    // names; casts make DECIMAL literals work like DuckDB's)
+    "list_distance" -> (es => { nArgs("list_distance", es, 2)
+      Sqrt(listPairFold(es, (x, y) => {
+        val d = Subtract(x, y); Multiply(d, d)
+      }, divideByNorms = false)) }),
+    // path utilities ('/' AND '\' separators, DuckDB's 'both' default)
+    "parse_path" -> (es => { nArgs("parse_path", es, 1)
+      sweepInvoke(ArrayType(StringType, containsNull = false), "parsePath",
+        Seq(Cast(es(0), StringType)), Seq(StringType)) }),
+    "parse_dirname" -> (es => { nArgs("parse_dirname", es, 1)
+      sweepInvoke(StringType, "parseDirname", Seq(Cast(es(0), StringType)),
+        Seq(StringType)) }),
+    "parse_dirpath" -> (es => { nArgs("parse_dirpath", es, 1)
+      sweepInvoke(StringType, "parseDirpath", Seq(Cast(es(0), StringType)),
+        Seq(StringType)) }),
+    "parse_filename" -> (es => {
+      if (es.isEmpty || es.length > 2)
+        throw new DuckDialectException("parse_filename takes (path[, trim_extension])")
+      val trim = if (es.length == 2) Cast(es(1), BooleanType) else Literal(false)
+      sweepInvoke(StringType, "parseFilename",
+        Seq(Cast(es(0), StringType), trim), Seq(StringType, BooleanType)) }),
+    // json utilities (probed duckdb 1.0.0); json_extract* are TEXTUAL
+    // rewrites onto the arrow machinery (GraftSqlParser
+    // .rewriteJsonExtractFns)
+    "json_keys" -> (es => { nArgs("json_keys", es, 1)
+      // non-object json yields [] (probed); Spark's native gives NULL
+      Coalesce(Seq(JsonObjectKeys(Cast(es(0), StringType)),
+        Literal.create(Array.empty[String], ArrayType(StringType)))) }),
+    "json_valid" -> (es => { nArgs("json_valid", es, 1)
+      IsNotNull(org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq("try_parse_json"), Seq(Cast(es(0), StringType)), isDistinct = false)) }),
+    "json_type" -> (es => { nArgs("json_type", es, 1)
+      sweepInvoke(StringType, "duckJsonType", Seq(Cast(es(0), StringType)),
+        Seq(StringType)) }),
+    // typed rendering via named_struct (probed: null fields KEPT)
+    "json_object" -> (es => {
+      if (es.isEmpty || es.length % 2 != 0)
+        throw new DuckDialectException("json_object takes (key, value, ...) pairs")
+      StructsToJson(Map("ignoreNullFields" -> "false"), CreateNamedStruct(es)) }),
     // gamma/lgamma (r14): Lanczos kernels within a few ulp of DuckDB's
     // libm — oracle gates compare through round(·, 6)
     "gamma" -> (es => { nArgs("gamma", es, 1); GammaExpr(Cast(es(0), DoubleType)) }),
@@ -1022,9 +1190,13 @@ object DuckDialect {
     "list_value" -> (es => CreateArray(es)),
     "list_pack" -> (es => CreateArray(es)),
     // --- vector ops → graft natives (codegen'd; see VectorExpressions)
-    "list_cosine_similarity" -> (es => { nArgs("list_cosine_similarity", es, 2); CosineSimilarity(es(0), es(1)) }),
-    "list_dot_product" -> (es => { nArgs("list_dot_product", es, 2); DotProduct(es(0), es(1)) }),
-    "list_inner_product" -> (es => { nArgs("list_inner_product", es, 2); DotProduct(es(0), es(1)) }),
+    // DOUBLE[] casts make DECIMAL list literals work like DuckDB's (r14)
+    "list_cosine_similarity" -> (es => { nArgs("list_cosine_similarity", es, 2)
+      CosineSimilarity(Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType))) }),
+    "list_dot_product" -> (es => { nArgs("list_dot_product", es, 2)
+      DotProduct(Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType))) }),
+    "list_inner_product" -> (es => { nArgs("list_inner_product", es, 2)
+      DotProduct(Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType))) }),
     // --- regex
     // DuckDB 1.0 regexp_replace semantics: FIRST match only unless the
     // 'g' option is present (probed — Spark's builtin always replaces
@@ -1134,7 +1306,16 @@ object DuckDialect {
     // --- time (literal formats converted %-code → java.time at plan time)
     "strftime" -> (es => {
       nArgs("strftime", es, 2)
-      DateFormatClass(es(0), lit(cFormatToJava(literalFormat("strftime", es(1)))))
+      // DuckDB overloads BOTH argument orders (probed: strftime('%Y',
+      // ts) == strftime(ts, '%Y')); the format is whichever side is
+      // the string literal
+      def isStrLit(e: Expression): Boolean = e match {
+        case Literal(_: UTF8String, StringType) => true
+        case _ => false
+      }
+      val (ts, fmt) =
+        if (isStrLit(es(1)) || !isStrLit(es(0))) (es(0), es(1)) else (es(1), es(0))
+      DateFormatClass(ts, lit(cFormatToJava(literalFormat("strftime", fmt))))
     }),
     "strptime" -> (es => {
       nArgs("strptime", es, 2)
@@ -1144,8 +1325,38 @@ object DuckDialect {
     // …01.5, DATE input casts through midnight) — not Spark's LONG
     "epoch" -> (es => { nArgs("epoch", es, 1)
       Divide(Cast(UnixMicros(Cast(es(0), TimestampType)), DoubleType), Literal(1e6)) }),
-    "epoch_ms" -> (es => { nArgs("epoch_ms", es, 1); UnixMillis(es(0)) }),
-    "epoch_us" -> (es => { nArgs("epoch_us", es, 1); UnixMicros(es(0)) }),
+    // OVERLOADED like DuckDB's (probed): a numeric argument converts
+    // TO a timestamp (epoch_ms(1704067201001) = ts), a temporal one
+    // extracts the epoch count (DATE casts through midnight)
+    "epoch_ms" -> (es => { nArgs("epoch_ms", es, 1)
+      if (es(0).resolved && es(0).dataType.isInstanceOf[NumericType])
+        MillisToTimestamp(Cast(es(0), LongType))
+      else UnixMillis(Cast(es(0), TimestampType)) }),
+    "epoch_us" -> (es => { nArgs("epoch_us", es, 1)
+      if (es(0).resolved && es(0).dataType.isInstanceOf[NumericType])
+        MicrosToTimestamp(Cast(es(0), LongType))
+      else UnixMicros(Cast(es(0), TimestampType)) }),
+    "make_timestamp" -> (es => es.length match {
+      // 1-arg = micros since epoch (probed); 6-arg = calendar parts
+      case 1 => MicrosToTimestamp(Cast(es(0), LongType))
+      case 6 => MakeTimestamp(es(0), es(1), es(2), es(3), es(4), es(5), None)
+      case n => throw new DuckDialectException(
+        s"make_timestamp expects 1 (micros) or 6 (parts) args, got $n")
+    }),
+    "regexp_extract" -> (es => es.length match {
+      // DuckDB's 2-arg form extracts GROUP 0 (the whole match); Spark's
+      // default idx = 1 errors on group-less patterns (probed)
+      case 2 => RegExpExtract(es(0), es(1), Literal(0))
+      case 3 => RegExpExtract(es(0), es(1), es(2))
+      case n => throw new DuckDialectException(
+        s"regexp_extract expects 2 or 3 args, got $n (the name-list and options forms are not claimed)")
+    }),
+    "regexp_extract_all" -> (es => es.length match {
+      case 2 => RegExpExtractAll(es(0), es(1), Literal(0))
+      case 3 => RegExpExtractAll(es(0), es(1), es(2))
+      case n => throw new DuckDialectException(
+        s"regexp_extract_all expects 2 or 3 args, got $n")
+    }),
     // interval constructors (to_days(5) = INTERVAL 5 DAYS etc., probed
     // TIMESTAMP '2024-01-02' + to_hours(3) = …T03:00) — year/month
     // parts build a year-month interval, the rest day-time
@@ -1204,6 +1415,9 @@ object DuckDialect {
     "read_parquet" -> "read_parquet('path') runs inside graft sql stages; here declare the file as a pipeline `input` or use spark.read.parquet",
     "read_json_auto" -> "read_json_auto('path') runs inside graft sql stages; here declare the file as a pipeline `input` or use spark.read.json",
     "struct_pack" -> "use named_struct('a', expr1, 'b', expr2)",
+    "json_structure" -> "use schema_of_json(j) (Spark's structural-type analog) or from_json with a declared schema",
+    "json_contains" -> "recursive JSON containment isn't claimed — test specific paths with json_extract(j, path) / -> chains, or from_json + array_contains",
+    "json_array" -> "use to_json(array(...)) for same-typed elements, or json_object/named_struct composition for mixed types",
     "group_concat" -> "use string_agg(expr, sep) (both engines support it)",
     "date_add" -> "Spark's date_add(date, days) takes days only — for other units use dateadd(unit, n, ts)",
     "age" -> "Spark has no mixed calendar-interval result type — use date_diff('part', a, b) for a chosen unit, or make_interval over extracted parts",

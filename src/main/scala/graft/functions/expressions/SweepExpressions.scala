@@ -1,0 +1,152 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the r14 sixth probe sweep's function closures —
+  * invoked via `StaticInvoke` (codegen'd, null-propagating). Every
+  * behavior probed against duckdb 1.0.0; see the DuckDialect builders
+  * for the per-function notes.
+  */
+object DuckSweep {
+
+  /** DuckDB `format_bytes`/`formatReadableSize`: binary (KiB) units,
+    * value TRUNCATED to one decimal (probed: 1556480 → '1.4 MiB'),
+    * '1 byte' singular, sign carried through.
+    */
+  def formatBytes(n: Long): UTF8String = {
+    val neg = n < 0
+    val a = math.abs(n)
+    if (a < 1024)
+      return UTF8String.fromString(
+        if (a == 1L) s"$n byte" else s"$n bytes")
+    val units = Array("KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
+    var v = a.toDouble / 1024.0
+    var u = 0
+    while (v >= 1024.0 && u < units.length - 1) { v /= 1024.0; u += 1 }
+    val t = math.floor(v * 10.0) / 10.0
+    UTF8String.fromString((if (neg) "-" else "") +
+      String.format(java.util.Locale.ROOT, "%.1f %s", Double.box(t), units(u)))
+  }
+
+  /** `formatReadableDecimalSize`: decimal (kB/MB/…) units, same
+    * truncate-to-one-decimal rule (probed: 1460000 → '1.4 MB',
+    * 1000 → '1.0 kB').
+    */
+  def formatBytesDecimal(n: Long): UTF8String = {
+    val neg = n < 0
+    val a = math.abs(n)
+    if (a < 1000)
+      return UTF8String.fromString(
+        if (a == 1L) s"$n byte" else s"$n bytes")
+    val units = Array("kB", "MB", "GB", "TB", "PB", "EB")
+    var v = a.toDouble / 1000.0
+    var u = 0
+    while (v >= 1000.0 && u < units.length - 1) { v /= 1000.0; u += 1 }
+    val t = math.floor(v * 10.0) / 10.0
+    UTF8String.fromString((if (neg) "-" else "") +
+      String.format(java.util.Locale.ROOT, "%.1f %s", Double.box(t), units(u)))
+  }
+
+  /** DuckDB `regexp_escape` = RE2 QuoteMeta: backslash-escape every
+    * character outside [A-Za-z0-9_] (probed: 'a-b c+d(e)' →
+    * 'a\-b\ c\+d\(e\)').
+    */
+  def regexpEscape(s: UTF8String): UTF8String = {
+    val in = s.toString
+    val sb = new java.lang.StringBuilder(in.length * 2)
+    in.foreach { c =>
+      if (c.isLetterOrDigit && c < 128 || c == '_') sb.append(c)
+      else { sb.append('\\'); sb.append(c) }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  // path components on '/' AND '\' separators (DuckDB's 'both'
+  // default): leading separator becomes a root '/' element, empty
+  // components drop (probed: '/a/b/c.txt' → ['/','a','b','c.txt'],
+  // 'C:\a\b.txt' → ['C:','a','b.txt'])
+  private def components(s: String): Array[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    if (s.nonEmpty && (s.charAt(0) == '/' || s.charAt(0) == '\\'))
+      parts += "/"
+    s.split("[/\\\\]").foreach(p => if (p.nonEmpty) parts += p)
+    parts.toArray
+  }
+
+  def parsePath(s: UTF8String): ArrayData =
+    new GenericArrayData(components(s.toString)
+      .map(p => UTF8String.fromString(p).asInstanceOf[Any]))
+
+  /** FIRST path component when the path has more than one, else ''
+    * (probed: 'a/b' → 'a', 'c.txt' → '', '/a/b/c.txt' → '/').
+    */
+  def parseDirname(s: UTF8String): UTF8String = {
+    val parts = components(s.toString)
+    UTF8String.fromString(if (parts.length > 1) parts.head else "")
+  }
+
+  /** Path up to (excluding) the LAST separator (probed: '/c.txt' → '',
+    * 'a/b/c/' → 'a/b/c').
+    */
+  def parseDirpath(s: UTF8String): UTF8String = {
+    val in = s.toString
+    val i = math.max(in.lastIndexOf('/'), in.lastIndexOf('\\'))
+    UTF8String.fromString(if (i < 0) "" else in.substring(0, i))
+  }
+
+  /** LAST path component; trimExtension strips from the last '.'
+    * (probed: '.bashrc' with trim → '').
+    */
+  def parseFilename(s: UTF8String, trimExtension: Boolean): UTF8String = {
+    val in = s.toString
+    val i = math.max(in.lastIndexOf('/'), in.lastIndexOf('\\'))
+    var f = if (i < 0) in else in.substring(i + 1)
+    if (trimExtension) {
+      val d = f.lastIndexOf('.')
+      if (d >= 0) f = f.substring(0, d)
+    }
+    UTF8String.fromString(f)
+  }
+
+  /** Julian Day as DOUBLE with midnight = .0 (probed: DuckDB's julian
+    * of 1970-01-01 is 2440588.0, noon adds .5).
+    */
+  def julianUs(us: Long): Double = {
+    val day = Math.floorDiv(us, TimeBucketKernel.DayUs)
+    day + 2440588.0 + (us - day * TimeBucketKernel.DayUs).toDouble / 86400.0e6
+  }
+
+  /** IEEE sign bit (probed: signbit(-2.5) TRUE, signbit(0.0) FALSE). */
+  def signbit(x: Double): Boolean =
+    java.lang.Double.doubleToRawLongBits(x) < 0
+
+  /** DuckDB `json_type` (1-arg; probed): OBJECT / ARRAY / VARCHAR /
+    * BOOLEAN / NULL, numbers classify as UBIGINT (integral ≥ 0),
+    * BIGINT (integral < 0) or DOUBLE; malformed input errors like
+    * DuckDB's.
+    */
+  def duckJsonType(s: UTF8String): UTF8String = {
+    val in = s.toString.trim
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"Malformed JSON in json_type: '${in.take(40)}'")
+    if (in.isEmpty) fail()
+    val t = in.charAt(0) match {
+      case '{' => "OBJECT"
+      case '[' => "ARRAY"
+      case '"' => "VARCHAR"
+      case 't' | 'f' =>
+        if (in == "true" || in == "false") "BOOLEAN" else fail()
+      case 'n' => if (in == "null") "NULL" else fail()
+      case c if c == '-' || c.isDigit =>
+        try {
+          val d = new java.math.BigDecimal(in)
+          if (d.scale <= 0 || d.stripTrailingZeros.scale <= 0)
+            (if (d.signum < 0) "BIGINT" else "UBIGINT")
+          else "DOUBLE"
+        } catch { case _: NumberFormatException => fail() }
+      case _ => fail()
+    }
+    UTF8String.fromString(t)
+  }
+}

@@ -47,9 +47,9 @@ object GraftSqlParser {
     rewriteDotCall(rewriteFrameExclude(rewriteNamedWindows(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteExtractEpoch(rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQuantified(rewriteQualify(
       rewriteDistinctOn(rewriteStructPack(rewriteStructInsert(
         rewriteExclude(rewriteAsof(rewritePositional(rewriteSubscript(rewriteSlice(
-          rewriteGlob(rewriteSimilarTo(rewriteIntDiv(rewritePow(rewriteCaret(rewriteLogFn(rewriteFilterOver(rewriteJsonOps(
+          rewriteGlob(rewriteSimilarTo(rewriteIntDiv(rewritePow(rewriteCaret(rewriteLogFn(rewriteFilterOver(rewriteJsonOps(rewriteJsonExtractFns(
             rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
-              rewriteFromFirst(rewriteRawLiterals(sql))))))))))))))))))))))))))))))))))))
+              rewriteFromFirst(rewriteRawLiterals(sql)))))))))))))))))))))))))))))))))))))
 
   /** DuckDB single-quoted string literals are RAW — no backslash
     * escapes (`'\d'` is backslash-d) — while Spark's parser unescapes
@@ -1176,6 +1176,82 @@ object GraftSqlParser {
     // array_filter == list_filter; array_reduce == list_reduce)
     "apply", "array_apply", "array_transform", "array_filter",
     "array_aggregate", "array_reduce", "list_aggr")
+
+  private val JsonExtractFnRe =
+    raw"(?i)\b(json_extract_string|json_extract_path_text|json_extract_path|json_extract)\s*\(".r
+
+  /** DuckDB `json_extract[_string|_path|_path_text](j, path)` (r14) —
+    * the named forms of the `->`/`->>` arrows: the LITERAL path
+    * decomposes into an arrow chain ([[rewriteJsonOps]] then lowers it
+    * with the probed JSON-typed / text-typed rendering). Path forms
+    * (probed duckdb 1.0.0): '$.a.b[0]' JSONPath, '/a/b/1' JSON
+    * pointer (numeric components index arrays), a BARE key taken
+    * verbatim — 'a.b' is the single key "a.b", never a traversal —
+    * an integer (array index), and a LITERAL LIST of paths (a list of
+    * per-path extractions). Non-literal paths stay unresolved (loud).
+    */
+  def rewriteJsonExtractFns(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val m = JsonExtractFnRe.findFirstMatchIn(masked).getOrElse(return sql)
+    val close = closeOf(masked, m.end).getOrElse(return sql)
+    val argsRaw = sql.substring(m.end, close - 1)
+    val args = splitReadArgs(argsRaw, masked.substring(m.end, close - 1))
+    if (args.length != 2) return sql
+    val fn = m.group(1).toLowerCase
+    val textual = fn == "json_extract_string" || fn == "json_extract_path_text"
+    val base = args(0).trim
+    def quote(k: String): String = "'" + k.replace("'", "''") + "'"
+    def stepsOf(path: String): Option[Seq[String]] = {
+      if (path.startsWith("$")) {
+        // $.key / [n] steps; simple keys only (quoted keys stay loud)
+        val StepRe = raw"\.([^.\[\]]+)|\[(\d+)\]".r
+        val body = path.substring(1)
+        val ms = StepRe.findAllMatchIn(body).toSeq
+        if (ms.map(_.matched).mkString != body || ms.isEmpty) None
+        else Some(ms.map(s => Option(s.group(1)).map(quote).getOrElse(s.group(2))))
+      } else if (path.startsWith("/")) {
+        val parts = path.split("/").drop(1).filter(_.nonEmpty).toSeq
+        if (parts.isEmpty) None
+        else Some(parts.map(p =>
+          if (p.forall(_.isDigit)) p else quote(p)))
+      } else Some(Seq(quote(path)))
+      // a bare key with dots/specials ('a.b' is the literal key "a.b"
+      // in DuckDB) can't map onto Spark's JSON path — the arrow
+      // machinery raises its guided error (never a silent traversal)
+    }
+    def pathSteps(arg: String): Option[Seq[String]] = {
+      val t = arg.trim
+      if (raw"^-?\d+$$".r.findFirstIn(t).isDefined) Some(Seq(t))
+      else if (t.length >= 2 && t.head == '\'' && t.last == '\'' &&
+        !maskQuotes(t).drop(1).dropRight(1).contains('\''))
+        stepsOf(t.substring(1, t.length - 1).replace("''", "'"))
+      else None
+    }
+    def chain(ss: Seq[String]): String = {
+      val mid = ss.init.map(s => s"-> $s").mkString(" ")
+      s"(( $base ) $mid ${if (textual) "->>" else "->"} ${ss.last})"
+    }
+    val pathArg = args(1).trim
+    // list-of-paths form: both the raw bracket spelling and the
+    // array(...) the inner rewriteListLiteral pass already produced
+    val listInner: Option[String] =
+      if (pathArg.startsWith("[") && pathArg.endsWith("]"))
+        Some(pathArg.substring(1, pathArg.length - 1))
+      else raw"(?is)^array\s*\((.*)\)$$".r.findFirstMatchIn(pathArg).map(_.group(1))
+    val replOpt: Option[String] = listInner match {
+      case Some(inner) =>
+        val parts = splitReadArgs(inner, maskQuotes(inner))
+        val all = parts.map(pathSteps)
+        if (all.exists(_.isEmpty) || all.isEmpty) None
+        else Some(all.flatten.map(chain).mkString("array(", ", ", ")"))
+      case None => pathSteps(pathArg).map(chain)
+    }
+    replOpt match {
+      case Some(repl) =>
+        rewriteJsonExtractFns(sql.substring(0, m.start) + repl + sql.substring(close))
+      case None => sql
+    }
+  }
 
   def rewriteJsonOps(sql: String): String = {
     val masked = maskQuotes(sql)

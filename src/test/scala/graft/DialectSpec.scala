@@ -1326,6 +1326,96 @@ class DialectSpec extends SparkSpec {
     assert(n == 3L) // ids 7, 8, 9
   }
 
+  test("sixth probe sweep closures match probed DuckDB values (r14)") {
+    val df = spark.range(1).toDF("z")
+    def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
+    // calendar parts (probed)
+    assert(one("SELECT week(DATE '2023-01-01') AS m").getLong(0) == 52L)
+    assert(one("SELECT week(DATE '2024-01-01') AS m").getLong(0) == 1L)
+    assert(one("SELECT isoyear(DATE '2023-01-01') AS m").getLong(0) == 2022L)
+    assert(one("SELECT yearweek(DATE '2023-01-01') AS m").getLong(0) == 202252L)
+    assert(one("SELECT julian(DATE '1970-01-01') AS m").getDouble(0) == 2440588.0)
+    assert(one("SELECT julian(TIMESTAMP '2024-03-05 12:00:00') AS m").getDouble(0) == 2460375.5)
+    assert(one("SELECT era(DATE '2024-03-05') AS m").getLong(0) == 1L)
+    // regexp extras (probed: 2-arg extract = group 0; QuoteMeta escape)
+    assert(one("SELECT regexp_extract('abc123', '[0-9]+') AS m").getString(0) == "123")
+    assert(one(raw"SELECT regexp_escape('a-b c+d(e)') AS m").getString(0) == raw"a\-b\ c\+d\(e\)")
+    // sizes (probed: truncated single decimal, '1 byte' singular)
+    assert(one("SELECT format_bytes(1556480) AS m").getString(0) == "1.4 MiB")
+    assert(one("SELECT format_bytes(1) AS a, format_bytes(1023) AS b, format_bytes(-1536) AS c")
+      .toSeq == Seq("1 byte", "1023 bytes", "-1.5 KiB"))
+    assert(one("SELECT formatReadableDecimalSize(1460000) AS m").getString(0) == "1.4 MB")
+    // numerics
+    assert(one("SELECT isfinite(2.5) AS a, isinf(CAST('inf' AS DOUBLE)) AS b, " +
+      "signbit(-2.5) AS c, signbit(0.0) AS d").toSeq == Seq(true, true, true, false))
+    assert(one("SELECT greatest(3) AS a, trunc(2.7) AS b, trunc(-2.7) AS c")
+      .toSeq == Seq(3, 2.0, -2.0))
+    assert(one("SELECT strlen('é') AS m").getInt(0) == 2)
+    assert(one("SELECT add(2, 3) AS a, subtract(5, 2) AS b, multiply(4, 6) AS c")
+      .toSeq == Seq(5, 3, 24))
+    assert(one("SELECT constant_or_null(7, 1) AS m").getInt(0) == 7)
+    assert(one("SELECT constant_or_null(7, 1, NULL) AS m").isNullAt(0))
+    // list aliases (probed: *_unique counts distinct NON-NULL)
+    assert(one("SELECT array_length([10,20,30]) AS m").getLong(0) == 3L)
+    assert(one("SELECT list_unique([1,1,2,NULL]) AS a, array_unique([1,1,2,NULL]) AS b")
+      .toSeq == Seq(2, 2))
+    assert(one("SELECT array_has([1,2], 2) AS a, array_indexof([5,6,7], 7) AS b")
+      .toSeq == Seq(true, 3L))
+    assert(one("SELECT list_element([10,20,30], -1) AS m").getInt(0) == 30)
+    assert(one("SELECT array_cat([1], [2], [3]) AS m").getSeq[Int](0) == Seq(1, 2, 3))
+    // vector scalars over DECIMAL literals (casts make them DOUBLE[])
+    assert(one("SELECT list_dot_product([1.5, 2.0], [2.0, 3.0]) AS m").getDouble(0) == 9.0)
+    assert(one("SELECT list_distance([1.0, 2.0], [4.0, 6.0]) AS m").getDouble(0) == 5.0)
+    assert(math.abs(one("SELECT list_cosine_similarity([2.5, 2.5], [1.0, 2.0]) AS m")
+      .getDouble(0) - 0.9486832980505138) < 1e-12)
+    // timestamp constructors/overloads (probed)
+    assert(one("SELECT make_timestamp(1704067201000000) AS m").getTimestamp(0).toString
+      == "2024-01-01 00:00:01.0")
+    assert(one("SELECT epoch_ms(1704067201001) AS m").getTimestamp(0).toString
+      == "2024-01-01 00:00:01.001")
+    assert(one("SELECT epoch_us(DATE '2024-03-05') AS m").getLong(0) == 1709596800000000L)
+    // strftime accepts both argument orders (probed)
+    assert(one("SELECT strftime('%Y/%m', TIMESTAMP '2024-03-05 10:30:00') AS m")
+      .getString(0) == "2024/03")
+    assert(one("SELECT strftime(TIMESTAMP '2024-03-05 10:30:00', '%Y/%m') AS m")
+      .getString(0) == "2024/03")
+    assert(one("SELECT today() = current_date AS m").getBoolean(0))
+    // path utilities (probed, incl. windows separators)
+    assert(one(raw"SELECT parse_path('C:\\a\\b.txt') AS m").getSeq[String](0)
+      == Seq("C:", "a", "b.txt"))
+    assert(one("SELECT parse_path('/a/b/c.txt') AS m").getSeq[String](0)
+      == Seq("/", "a", "b", "c.txt"))
+    assert(one("SELECT parse_dirname('/a/b/c.txt') AS a, parse_dirname('c.txt') AS b, " +
+      "parse_dirpath('/c.txt') AS c, parse_dirpath('a/b/c/') AS d, " +
+      "parse_filename('/a/b/c.txt', true) AS e, parse_filename('.bashrc', true) AS f")
+      .toSeq == Seq("/", "", "", "a/b/c", "c", ""))
+    // json utilities (probed)
+    assert(one("""SELECT json_extract('{"a": {"b": [1,2]}}', '$.a.b[0]') AS m""").getString(0) == "1")
+    assert(one("""SELECT json_extract('{"a": {"b": [1,2]}}', '/a/b/1') AS m""").getString(0) == "2")
+    assert(one("""SELECT json_extract('{"a": "x"}', 'a') AS m""").getString(0) == "\"x\"")
+    assert(one("""SELECT json_extract('[5,6]', 1) AS m""").getString(0) == "6")
+    // dotted bare keys ('a.b' = the literal key) can't map onto Spark's
+    // JSON path — guided error, never a silent traversal
+    intercept[DuckDialectException](
+      one("""SELECT json_extract('{"a.b": 1}', 'a.b') AS m"""))
+    assert(one("""SELECT json_extract_string('{"a": "x"}', 'a') AS m""").getString(0) == "x")
+    assert(one("""SELECT json_extract_string('{"a": {"b": 2}}', '/a/b') AS m""").getString(0) == "2")
+    assert(one("""SELECT json_extract('{"a":1,"b":2}', ['a','b']) AS m""")
+      .getSeq[String](0) == Seq("1", "2"))
+    assert(one("""SELECT json_extract('{"a": 1}', 'zz') AS m""").isNullAt(0))
+    assert(one("""SELECT json_keys('{"a":1,"b":2}') AS m""").getSeq[String](0) == Seq("a", "b"))
+    assert(one("""SELECT json_keys('[1,2]') AS m""").getSeq[String](0) == Seq())
+    assert(one("SELECT json_valid('abc') AS a, json_valid('{\"a\":1}') AS b, json_valid('1') AS c")
+      .toSeq == Seq(false, true, true))
+    assert(one("""SELECT json_type('{"a":1}') AS a, json_type('[1]') AS b, json_type('"x"') AS c, """ +
+      "json_type('1') AS d, json_type('-1') AS e, json_type('1.5') AS f, json_type('null') AS g")
+      .toSeq == Seq("OBJECT", "ARRAY", "VARCHAR", "UBIGINT", "BIGINT", "DOUBLE", "NULL"))
+    assert(one("""SELECT json_object('a', 1.5, 'b', 'x') AS m""").getString(0)
+      == """{"a":1.5,"b":"x"}""")
+    assert(one("""SELECT json_object('a', CAST(NULL AS INT)) AS m""").getString(0)
+      == """{"a":null}""")
+  }
+
   test("quantified comparison fuzz: engine matches the 3VL reference model (r14)") {
     // the reference model reproduces every DuckDB probe above: ALL over
     // an empty set is TRUE (even for a NULL operand), a counterexample/
@@ -1619,7 +1709,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\bUSING\s+SAMPLE\b|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(|[\w)\]]\s*\[|\^|\blog\s*\(|\bFILTER\s*\(".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\bUSING\s+SAMPLE\b|\bjson_extract|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(|[\w)\]]\s*\[|\^|\blog\s*\(|\bFILTER\s*\(".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         // identity modulo rewriteRawLiterals (r13): backslashes inside
         // literals double ON PURPOSE (DuckDB-raw → Spark-escaped)
