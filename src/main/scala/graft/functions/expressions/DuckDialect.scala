@@ -1114,6 +1114,30 @@ object DuckDialect {
       case n => throw new DuckDialectException(s"trunc expects 1 or 2 args, got $n")
     }),
     "strlen" -> (es => { nArgs("strlen", es, 1); OctetLength(Cast(es(0), StringType)) }),
+    // binary/hex/base64 family (probed; BLOB maps onto Spark BINARY —
+    // the ::BLOB/AS BLOB type spelling rewrites in rewriteBlobType)
+    "to_hex" -> (es => { nArgs("to_hex", es, 1); Hex(es(0)) }),
+    "from_hex" -> (es => { nArgs("from_hex", es, 1); Unhex(es(0)) }),
+    "to_base64" -> (es => { nArgs("to_base64", es, 1); Base64(Cast(es(0), BinaryType)) }),
+    "base64" -> (es => { nArgs("base64", es, 1); Base64(Cast(es(0), BinaryType)) }),
+    "from_base64" -> (es => { nArgs("from_base64", es, 1); UnBase64(es(0)) }),
+    "encode" -> (es => { nArgs("encode", es, 1); Cast(es(0), BinaryType) }),
+    "decode" -> (es => { nArgs("decode", es, 1); Cast(es(0), StringType) }),
+    // md5 as unsigned 64-bit halves (probed: LITTLE-endian; lower =
+    // the digest's LAST 8 bytes, upper = the FIRST 8) — DECIMAL(20,0)
+    // carries DuckDB's UBIGINT range
+    "md5_number_lower" -> (es => { nArgs("md5_number_lower", es, 1)
+      sweepInvoke(DecimalType(20, 0), "md5NumberLower",
+        Seq(Cast(es(0), StringType)), Seq(StringType)) }),
+    "md5_number_upper" -> (es => { nArgs("md5_number_upper", es, 1)
+      sweepInvoke(DecimalType(20, 0), "md5NumberUpper",
+        Seq(Cast(es(0), StringType)), Seq(StringType)) }),
+    "try_strptime" -> (es => {
+      nArgs("try_strptime", es, 2)
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq("try_to_timestamp"),
+        Seq(es(0), lit(cFormatToJava(literalFormat("try_strptime", es(1))))),
+        isDistinct = false) }),
     "array_length" -> (es => { nArgs("array_length", es, 1)
       Cast(Size(es(0)), LongType) }),
     "add" -> (es => { nArgs("add", es, 2); Add(es(0), es(1)) }),
@@ -1370,6 +1394,8 @@ object DuckDialect {
       MakeYMInterval(Multiply(Cast(es(0), IntegerType), Literal(1000)), Literal(0)) }),
     "to_months" -> (es => { nArgs("to_months", es, 1)
       MakeYMInterval(Literal(0), Cast(es(0), IntegerType)) }),
+    "to_quarters" -> (es => { nArgs("to_quarters", es, 1)
+      MakeYMInterval(Literal(0), Multiply(Cast(es(0), IntegerType), Literal(3))) }),
     "to_weeks" -> (es => { nArgs("to_weeks", es, 1)
       MakeDTInterval(Multiply(Cast(es(0), IntegerType), Literal(7)),
         Literal(0), Literal(0), Cast(Literal(0), DecimalType(18, 6))) }),

@@ -121,6 +121,23 @@ object DuckSweep {
   def signbit(x: Double): Boolean =
     java.lang.Double.doubleToRawLongBits(x) < 0
 
+  private def md5Half(s: UTF8String, offset: Int): org.apache.spark.sql.types.Decimal = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    var v = java.math.BigInteger.ZERO
+    var i = 7
+    while (i >= 0) { // little-endian u64
+      v = v.shiftLeft(8).or(java.math.BigInteger.valueOf((d(offset + i) & 0xff).toLong))
+      i -= 1
+    }
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(v), 20, 0)
+  }
+
+  /** DuckDB `md5_number_lower/upper` (probed): the digest's LAST /
+    * FIRST 8 bytes as a LITTLE-endian unsigned 64-bit number.
+    */
+  def md5NumberLower(s: UTF8String): org.apache.spark.sql.types.Decimal = md5Half(s, 8)
+  def md5NumberUpper(s: UTF8String): org.apache.spark.sql.types.Decimal = md5Half(s, 0)
+
   /** DuckDB `json_type` (1-arg; probed): OBJECT / ARRAY / VARCHAR /
     * BOOLEAN / NULL, numbers classify as UBIGINT (integral ≥ 0),
     * BIGINT (integral < 0) or DOUBLE; malformed input errors like

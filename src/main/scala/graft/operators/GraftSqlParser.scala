@@ -47,9 +47,9 @@ object GraftSqlParser {
     rewriteDotCall(rewriteFrameExclude(rewriteNamedWindows(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteExtractEpoch(rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQuantified(rewriteQualify(
       rewriteDistinctOn(rewriteStructPack(rewriteStructInsert(
         rewriteExclude(rewriteAsof(rewritePositional(rewriteSubscript(rewriteSlice(
-          rewriteGlob(rewriteSimilarTo(rewriteIntDiv(rewritePow(rewriteCaret(rewriteLogFn(rewriteFilterOver(rewriteJsonOps(rewriteJsonExtractFns(
+          rewriteGlob(rewriteSimilarTo(rewriteIntDiv(rewritePow(rewriteCaret(rewriteLogFn(rewriteFilterOver(rewriteJsonOps(rewriteJsonExtractFns(rewriteBlobType(
             rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
-              rewriteFromFirst(rewriteRawLiterals(sql)))))))))))))))))))))))))))))))))))))
+              rewriteFromFirst(rewriteRawLiterals(sql))))))))))))))))))))))))))))))))))))))
 
   /** DuckDB single-quoted string literals are RAW — no backslash
     * escapes (`'\d'` is backslash-d) — while Spark's parser unescapes
@@ -1176,6 +1176,25 @@ object GraftSqlParser {
     // array_filter == list_filter; array_reduce == list_reduce)
     "apply", "array_apply", "array_transform", "array_filter",
     "array_aggregate", "array_reduce", "list_aggr")
+
+  /** `::BLOB` / `::BYTEA` / `::VARBINARY` cast spellings → Spark's
+    * `::BINARY` (r14; the `CAST(x AS BLOB)` form stays loud — `AS blob`
+    * is also valid alias syntax, so a textual rewrite there could
+    * corrupt a projection).
+    */
+  def rewriteBlobType(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val re = raw"(?i)::\s*(BLOB|BYTEA|VARBINARY)\b".r
+    val ms = re.findAllMatchIn(masked).toSeq
+    if (ms.isEmpty) return sql
+    val sb = new StringBuilder
+    var pos = 0
+    ms.foreach { m =>
+      sb.append(sql.substring(pos, m.start)).append("::BINARY")
+      pos = m.end
+    }
+    sb.append(sql.substring(pos)).toString
+  }
 
   private val JsonExtractFnRe =
     raw"(?i)\b(json_extract_string|json_extract_path_text|json_extract_path|json_extract)\s*\(".r

@@ -1414,6 +1414,25 @@ class DialectSpec extends SparkSpec {
       == """{"a":1.5,"b":"x"}""")
     assert(one("""SELECT json_object('a', CAST(NULL AS INT)) AS m""").getString(0)
       == """{"a":null}""")
+    // binary/hex/base64 family; ::BLOB maps onto BINARY (probed)
+    assert(one("SELECT to_hex(255) AS m").getString(0) == "FF")
+    assert(one("SELECT to_base64('ab'::BLOB) AS a, base64('ab'::BLOB) AS b")
+      .toSeq == Seq("YWI=", "YWI="))
+    assert(one("SELECT decode(from_base64('YWI=')) AS m").getString(0) == "ab")
+    assert(one("SELECT decode(encode('abc')) AS m").getString(0) == "abc")
+    assert(one("SELECT octet_length('ab'::BLOB) AS m").getInt(0) == 2)
+    assert(one("SELECT decode(from_hex('0a')) AS m").getString(0) == "\n")
+    // md5 halves: LITTLE-endian u64 of the last/first 8 digest bytes
+    assert(one("SELECT md5_number_lower('abc') AS m").getDecimal(0)
+      .toBigInteger.toString == "8250560606382298838")
+    assert(one("SELECT md5_number_upper('abc') AS m").getDecimal(0)
+      .toBigInteger.toString == "12704604231530709392")
+    // to_quarters / try_strptime
+    assert(one("SELECT DATE '2024-01-01' + to_quarters(3) AS m")
+      .getDate(0).toString == "2024-10-01")
+    assert(one("SELECT try_strptime('xx', '%Y') AS m").isNullAt(0))
+    assert(one("SELECT try_strptime('2024-03-05', '%Y-%m-%d') AS m")
+      .getTimestamp(0).toString == "2024-03-05 00:00:00.0")
   }
 
   test("quantified comparison fuzz: engine matches the 3VL reference model (r14)") {
