@@ -16,17 +16,18 @@ object DuckSweep {
     */
   def formatBytes(n: Long): UTF8String = {
     val neg = n < 0
-    val a = math.abs(n)
+    var a = math.abs(n)
     if (a < 1024)
       return UTF8String.fromString(
         if (a == 1L) s"$n byte" else s"$n bytes")
     val units = Array("KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
-    var v = a.toDouble / 1024.0
+    // DuckDB truncates with INTEGER division at each unit step (probed:
+    // 1363729 → '1.2 MiB', though 1363729/2^20 = 1.3006 — the value
+    // first floors to 1331 KiB, then 1331/1024 truncates to 1.2)
     var u = 0
-    while (v >= 1024.0 && u < units.length - 1) { v /= 1024.0; u += 1 }
-    val t = math.floor(v * 10.0) / 10.0
-    UTF8String.fromString((if (neg) "-" else "") +
-      String.format(java.util.Locale.ROOT, "%.1f %s", Double.box(t), units(u)))
+    while (a >= 1024L * 1024L && u < units.length - 1) { a /= 1024L; u += 1 }
+    val t = a * 10L / 1024L
+    UTF8String.fromString((if (neg) "-" else "") + s"${t / 10}.${t % 10} ${units(u)}")
   }
 
   /** `formatReadableDecimalSize`: decimal (kB/MB/…) units, same
@@ -35,17 +36,15 @@ object DuckSweep {
     */
   def formatBytesDecimal(n: Long): UTF8String = {
     val neg = n < 0
-    val a = math.abs(n)
+    var a = math.abs(n)
     if (a < 1000)
       return UTF8String.fromString(
         if (a == 1L) s"$n byte" else s"$n bytes")
     val units = Array("kB", "MB", "GB", "TB", "PB", "EB")
-    var v = a.toDouble / 1000.0
     var u = 0
-    while (v >= 1000.0 && u < units.length - 1) { v /= 1000.0; u += 1 }
-    val t = math.floor(v * 10.0) / 10.0
-    UTF8String.fromString((if (neg) "-" else "") +
-      String.format(java.util.Locale.ROOT, "%.1f %s", Double.box(t), units(u)))
+    while (a >= 1000L * 1000L && u < units.length - 1) { a /= 1000L; u += 1 }
+    val t = a * 10L / 1000L
+    UTF8String.fromString((if (neg) "-" else "") + s"${t / 10}.${t % 10} ${units(u)}")
   }
 
   /** DuckDB `regexp_escape` = RE2 QuoteMeta: backslash-escape every

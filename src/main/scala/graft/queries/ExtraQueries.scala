@@ -1493,6 +1493,51 @@ object ExtraQueries {
     graft.operators.SqlStage("q177", quantifiedSqlText).apply(s, orders(s, d))
   }
 
+  /** Sixth-sweep function gate (r14) — IDENTICAL text on both engines
+    * covering the probe-sweep closures end-to-end: json_object/
+    * json_extract[_string]/json_type/json_valid, ISO week/isoyear/
+    * yearweek/julian/era, 2-arg regexp_extract (group 0) and
+    * regexp_escape, format_bytes + the decimal variant, md5_number
+    * halves (VARCHAR-cast — DuckDB renders UBIGINT, Spark
+    * DECIMAL(20,0)), the parse_path family, strlen/isfinite/signbit/
+    * trunc/to_hex/greatest-1-arg, vector list_dot_product over DECIMAL
+    * literals, array_unique, and negative list_element.
+    */
+  private[graft] val sweep6SqlText = """
+      SELECT l_orderkey AS k, l_linenumber AS ln,
+             json_extract_string(json_object('q', CAST(l_quantity AS INT), 'f', l_returnflag), 'f') AS jf,
+             json_extract(json_object('q', CAST(l_quantity AS INT)), '$.q') AS jq,
+             json_type(json_object('q', CAST(l_quantity AS INT))) AS jt,
+             json_valid(l_returnflag) AS jv,
+             week(l_shipdate) AS wk, isoyear(l_shipdate) AS iy, yearweek(l_shipdate) AS yw,
+             CAST(julian(l_shipdate) AS BIGINT) AS jd,
+             era(l_shipdate) AS er,
+             regexp_extract(l_linestatus || l_returnflag, '[A-Z]+') AS re1,
+             regexp_escape(l_returnflag || '.' || l_linestatus) AS resc,
+             format_bytes(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)) AS fb,
+             formatReadableDecimalSize(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)) AS fd,
+             CAST(md5_number_lower(l_returnflag || l_orderkey) AS STRING) AS ml,
+             CAST(md5_number_upper(l_returnflag || l_orderkey) AS STRING) AS mu,
+             parse_filename('/corpus/' || l_returnflag || '/' || l_orderkey || '.txt', true) AS pf,
+             parse_dirpath('/corpus/' || l_returnflag || '/' || l_orderkey || '.txt') AS pd,
+             array_to_string(parse_path('/corpus/' || l_returnflag || '/' || l_orderkey || '.txt'), '|') AS pp,
+             strlen(l_returnflag || l_linestatus) AS sl,
+             isfinite(CAST(l_discount AS DOUBLE)) AS fin,
+             signbit(CAST(l_discount AS DOUBLE) - 0.05) AS sb,
+             trunc(CAST(l_quantity AS DOUBLE) / 7) AS tr,
+             to_hex(l_orderkey) AS hx,
+             greatest(l_orderkey) AS g1,
+             CAST(list_dot_product([CAST(l_quantity AS DOUBLE), 1.0], [2.0, 3.0]) AS BIGINT) AS dp,
+             array_unique([l_returnflag, l_linestatus, l_returnflag]) AS au,
+             list_element([l_orderkey, l_partkey], -1) AS le
+      FROM lineitem WHERE l_orderkey < 120 ORDER BY k, ln"""
+
+  def q178Sweep6(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    graft.operators.SqlStage("q178", sweep6SqlText).apply(s, lineitem(s, d))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_columns_sql"    -> (q113ColumnsSql _),
     "q133_comprehension"  -> (q133Comprehension _),
@@ -1519,6 +1564,7 @@ object ExtraQueries {
     "q174_list_ops"       -> (q174ListOps _),
     "q176_export_import"  -> (q176ExportImport _),
     "q177_quantified"     -> (q177Quantified _),
+    "q178_sweep6"         -> (q178Sweep6 _),
     "q161_frame_exclude"  -> (q161FrameExclude _),
     "q162_regex_surface"  -> (q162RegexSurface _),
     "q163_collections"    -> (q163Collections _),
@@ -1616,6 +1662,7 @@ object ExtraQueries {
     "q173_time_bucket3" -> timeBucket3SqlText,
     "q174_list_ops" -> listOpsSqlText,
     "q177_quantified" -> quantifiedSqlText,
+    "q178_sweep6" -> sweep6SqlText,
     // q176: property oracle — the restored relation must equal the
     // independently recomputed source (the export/import round-trip is
     // engine-local; the directories aren't cross-comparable)
