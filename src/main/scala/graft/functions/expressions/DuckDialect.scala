@@ -1114,6 +1114,30 @@ object DuckDialect {
       case n => throw new DuckDialectException(s"trunc expects 1 or 2 args, got $n")
     }),
     "strlen" -> (es => { nArgs("strlen", es, 1); OctetLength(Cast(es(0), StringType)) }),
+    // chr is CODE-POINT based in DuckDB (probed via chr(769) = U+0301);
+    // Spark's builtin is mod-256 ASCII
+    "chr" -> (es => { nArgs("chr", es, 1)
+      sweepInvoke(StringType, "chrCodepoint", Seq(Cast(es(0), IntegerType)),
+        Seq(IntegerType)) }),
+    // grapheme-cluster family (probed; UAX#29 segmentation)
+    "length_grapheme" -> (es => { nArgs("length_grapheme", es, 1)
+      sweepInvoke(IntegerType, "lengthGrapheme", Seq(Cast(es(0), StringType)),
+        Seq(StringType)) }),
+    "left_grapheme" -> (es => { nArgs("left_grapheme", es, 2)
+      sweepInvoke(StringType, "leftGrapheme",
+        Seq(Cast(es(0), StringType), Cast(es(1), IntegerType)),
+        Seq(StringType, IntegerType)) }),
+    "right_grapheme" -> (es => { nArgs("right_grapheme", es, 2)
+      sweepInvoke(StringType, "rightGrapheme",
+        Seq(Cast(es(0), StringType), Cast(es(1), IntegerType)),
+        Seq(StringType, IntegerType)) }),
+    "substring_grapheme" -> (es => {
+      if (es.length != 2 && es.length != 3)
+        throw new DuckDialectException("substring_grapheme takes (s, start[, len])")
+      val len = if (es.length == 3) Cast(es(2), IntegerType) else Literal(-1)
+      sweepInvoke(StringType, "substringGrapheme",
+        Seq(Cast(es(0), StringType), Cast(es(1), IntegerType), len),
+        Seq(StringType, IntegerType, IntegerType)) }),
     // binary/hex/base64 family (probed; BLOB maps onto Spark BINARY —
     // the ::BLOB/AS BLOB type spelling rewrites in rewriteBlobType)
     "to_hex" -> (es => { nArgs("to_hex", es, 1); Hex(es(0)) }),

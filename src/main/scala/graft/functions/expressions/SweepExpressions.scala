@@ -116,6 +116,67 @@ object DuckSweep {
     day + 2440588.0 + (us - day * TimeBucketKernel.DayUs).toDouble / 86400.0e6
   }
 
+  // grapheme-cluster segmentation (java.text.BreakIterator — the same
+  // UAX#29 defaults utf8proc implements; probed: a ZWJ emoji family is
+  // ONE cluster, combining marks attach)
+  private def clusters(s: String): Array[String] = {
+    val bi = java.text.BreakIterator.getCharacterInstance(java.util.Locale.ROOT)
+    bi.setText(s)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var start = bi.first()
+    var end = bi.next()
+    while (end != java.text.BreakIterator.DONE) {
+      out += s.substring(start, end)
+      start = end
+      end = bi.next()
+    }
+    out.toArray
+  }
+
+  def lengthGrapheme(s: UTF8String): Int = clusters(s.toString).length
+
+  /** DuckDB `chr` is CODE-POINT based (chr(769) = U+0301); Spark's is
+    * mod-256 ASCII. Invalid code points error like DuckDB's.
+    */
+  def chrCodepoint(n: Int): UTF8String =
+    UTF8String.fromString(new String(Character.toChars(n)))
+
+  /** left/right with DuckDB's negative rule: drop |n| clusters from the
+    * other end (the left/right treatment).
+    */
+  def leftGrapheme(s: UTF8String, n: Int): UTF8String = {
+    val cs = clusters(s.toString)
+    val k = if (n >= 0) math.min(n, cs.length) else math.max(cs.length + n, 0)
+    UTF8String.fromString(cs.take(k).mkString)
+  }
+
+  def rightGrapheme(s: UTF8String, n: Int): UTF8String = {
+    val cs = clusters(s.toString)
+    val k = if (n >= 0) math.min(n, cs.length) else math.max(cs.length + n, 0)
+    UTF8String.fromString(cs.takeRight(k).mkString)
+  }
+
+  /** substring over clusters with DuckDB's substring rules (probed):
+    * start ≥ 0 clips on the [1, L] axis (start 0 consumes a slot of
+    * len); start < 0 counts from the end and CLAMPS to 1 keeping len.
+    * len < 0 encodes the 2-arg to-the-end form.
+    */
+  def substringGrapheme(s: UTF8String, start: Int, len: Int): UTF8String = {
+    val cs = clusters(s.toString)
+    val L = cs.length
+    val (lo, hi) =
+      if (start >= 0) {
+        val h = if (len < 0) L else start + len - 1
+        (math.max(start, 1), math.min(h, L))
+      } else {
+        val p = math.max(1, L + start + 1)
+        val h = if (len < 0) L else p + len - 1
+        (p, math.min(h, L))
+      }
+    if (hi < lo) UTF8String.fromString("")
+    else UTF8String.fromString(cs.slice(lo - 1, hi).mkString)
+  }
+
   /** IEEE sign bit (probed: signbit(-2.5) TRUE, signbit(0.0) FALSE). */
   def signbit(x: Double): Boolean =
     java.lang.Double.doubleToRawLongBits(x) < 0

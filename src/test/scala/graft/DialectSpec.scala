@@ -1433,6 +1433,20 @@ class DialectSpec extends SparkSpec {
     assert(one("SELECT try_strptime('xx', '%Y') AS m").isNullAt(0))
     assert(one("SELECT try_strptime('2024-03-05', '%Y-%m-%d') AS m")
       .getTimestamp(0).toString == "2024-03-05 00:00:00.0")
+    // grapheme family (probed; combining mark attaches to its base)
+    assert(one("SELECT length_grapheme('héllo') AS m").getInt(0) == 5)
+    assert(one("SELECT length_grapheme('né' || chr(769)) AS m").getInt(0) == 2)
+    assert(one("SELECT left_grapheme('né' || chr(769) || 'xyz', 2) AS m")
+      .getString(0) == "né́")
+    assert(one("SELECT right_grapheme('né' || chr(769) || 'xyz', 2) AS m")
+      .getString(0) == "yz")
+    assert(one("SELECT substring_grapheme('né' || chr(769) || 'xyz', 2, 2) AS m")
+      .getString(0) == "é́x")
+    assert(one("SELECT left_grapheme('abc', -1) AS m").getString(0) == "ab")
+    assert(one("SELECT substring_grapheme('abcdef', -2, 3) AS m").getString(0) == "ef")
+    assert(one("SELECT substring_grapheme('abcdef', 0, 3) AS m").getString(0) == "ab")
+    assert(one("SELECT substring_grapheme('abcdef', -10, 3) AS m").getString(0) == "abc")
+    assert(one("SELECT substring_grapheme('abcdef', 3) AS m").getString(0) == "cdef")
   }
 
   test("quantified comparison fuzz: engine matches the 3VL reference model (r14)") {
