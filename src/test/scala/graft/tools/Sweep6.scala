@@ -12,6 +12,14 @@ object Sweep6 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = spark.range(1).toDF("z")
+    if (!new java.io.File("/tmp/duck_probe6.tsv").isFile) {
+      // the probe list is generated driver-side from duckdb_functions()
+      // (see the r14 session notes); without it this diagnostic no-ops
+      println("[sweep6] /tmp/duck_probe6.tsv missing — generate it from " +
+        "duckdb_functions() first (fn\\tSELECT fn(args) AS m\\tresult)")
+      spark.stop()
+      return
+    }
     val entries = scala.io.Source.fromFile("/tmp/duck_probe6.tsv").getLines()
       .map(_.split("\t")).collect { case a if a.length >= 2 => (a(0), a(1)) }
       .toSeq
