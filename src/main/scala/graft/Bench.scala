@@ -286,11 +286,20 @@ object Bench {
           val passes = sys.env.getOrElse("GRAFT_BENCH_DUCKDB_PASSES", "3")
           val pb = new ProcessBuilder("python3", script.getPath,
             sfDir, dir.toString, passes)
-          pb.redirectErrorStream(false)
+          // Redirect both streams to files so no pipe buffer can fill and
+          // block either the child (stderr) or this read (stdout) — the
+          // 900 s waitFor below is then guaranteed to fire even if the
+          // child hangs without closing its streams.
+          val outFile = dir.resolve("duckbase_out.txt").toFile
+          pb.redirectOutput(java.lang.ProcessBuilder.Redirect.to(outFile))
+          pb.redirectError(java.lang.ProcessBuilder.Redirect.DISCARD)
           val proc = pb.start()
-          val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
           val done = proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
           if (!done) proc.destroyForcibly()
+          val out =
+            if (outFile.isFile)
+              new String(java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+            else ""
           val ok = done && proc.exitValue == 0
           def field(name: String): Option[Double] =
             (s""""$name":\\s*([0-9.]+)""").r.findFirstMatchIn(out)

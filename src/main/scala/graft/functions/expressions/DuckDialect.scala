@@ -463,6 +463,23 @@ object DuckDialect {
       throw new DuckDialectException(
         s"$name expects $n argument(s), got ${es.length}")
 
+  /** epoch_ms/epoch_us are type-overloaded (numeric → construct a
+    * timestamp, temporal → extract the count). Spark's analyzer invokes
+    * function builders only once the argument is resolved, so the type
+    * is normally known here — but if a caller ever hands us an
+    * unresolved argument, refuse loudly instead of silently picking the
+    * extraction arm (which would misread a ms-count column as seconds).
+    */
+  private def epochOverload(name: String, arg: Expression,
+      numeric: => Expression, temporal: => Expression): Expression = {
+    if (!arg.resolved)
+      throw new DuckDialectException(
+        s"$name: argument type cannot be determined before resolution; " +
+        s"CAST the argument explicitly (numeric → builds a timestamp, " +
+        s"timestamp/date → extracts the epoch count)")
+    if (arg.dataType.isInstanceOf[NumericType]) numeric else temporal
+  }
+
   /** Normalize a DuckDB datepart name (plural and common abbreviated
     * forms) for date_diff/date_sub; unknown parts keep a guided error.
     */
@@ -1377,13 +1394,13 @@ object DuckDialect {
     // TO a timestamp (epoch_ms(1704067201001) = ts), a temporal one
     // extracts the epoch count (DATE casts through midnight)
     "epoch_ms" -> (es => { nArgs("epoch_ms", es, 1)
-      if (es(0).resolved && es(0).dataType.isInstanceOf[NumericType])
-        MillisToTimestamp(Cast(es(0), LongType))
-      else UnixMillis(Cast(es(0), TimestampType)) }),
+      epochOverload("epoch_ms", es(0),
+        numeric = MillisToTimestamp(Cast(es(0), LongType)),
+        temporal = UnixMillis(Cast(es(0), TimestampType))) }),
     "epoch_us" -> (es => { nArgs("epoch_us", es, 1)
-      if (es(0).resolved && es(0).dataType.isInstanceOf[NumericType])
-        MicrosToTimestamp(Cast(es(0), LongType))
-      else UnixMicros(Cast(es(0), TimestampType)) }),
+      epochOverload("epoch_us", es(0),
+        numeric = MicrosToTimestamp(Cast(es(0), LongType)),
+        temporal = UnixMicros(Cast(es(0), TimestampType))) }),
     "make_timestamp" -> (es => es.length match {
       // 1-arg = micros since epoch (probed); 6-arg = calendar parts
       case 1 => MicrosToTimestamp(Cast(es(0), LongType))

@@ -15,12 +15,17 @@ object DuckSweep {
     * '1 byte' singular, sign carried through.
     */
   def formatBytes(n: Long): UTF8String = {
+    // math.abs(Long.MinValue) overflows (stays negative) and would fall
+    // into the `< 1024` raw-bytes branch; its magnitude is exactly 2^63
+    // = 8192 PiB (DuckDB 1.0.0's units stop at PiB — probed:
+    // format_bytes(2^60) = '1024.0 PiB', max Long = '8191.9 PiB').
+    if (n == Long.MinValue) return UTF8String.fromString("-8192.0 PiB")
     val neg = n < 0
     var a = math.abs(n)
     if (a < 1024)
       return UTF8String.fromString(
         if (a == 1L) s"$n byte" else s"$n bytes")
-    val units = Array("KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
+    val units = Array("KiB", "MiB", "GiB", "TiB", "PiB")
     // DuckDB truncates with INTEGER division at each unit step (probed:
     // 1363729 → '1.2 MiB', though 1363729/2^20 = 1.3006 — the value
     // first floors to 1331 KiB, then 1331/1024 truncates to 1.2)
@@ -35,12 +40,15 @@ object DuckSweep {
     * 1000 → '1.0 kB').
     */
   def formatBytesDecimal(n: Long): UTF8String = {
+    // 2^63 → '-9223.3 PB' (abs would overflow; DuckDB 1.0.0 stops at
+    // PB — probed: max Long = '9223.3 PB')
+    if (n == Long.MinValue) return UTF8String.fromString("-9223.3 PB")
     val neg = n < 0
     var a = math.abs(n)
     if (a < 1000)
       return UTF8String.fromString(
         if (a == 1L) s"$n byte" else s"$n bytes")
-    val units = Array("kB", "MB", "GB", "TB", "PB", "EB")
+    val units = Array("kB", "MB", "GB", "TB", "PB")
     var u = 0
     while (a >= 1000L * 1000L && u < units.length - 1) { a /= 1000L; u += 1 }
     val t = a * 10L / 1000L
@@ -199,9 +207,11 @@ object DuckSweep {
   def md5NumberUpper(s: UTF8String): org.apache.spark.sql.types.Decimal = md5Half(s, 0)
 
   /** DuckDB `json_type` (1-arg; probed): OBJECT / ARRAY / VARCHAR /
-    * BOOLEAN / NULL, numbers classify as UBIGINT (integral ≥ 0),
-    * BIGINT (integral < 0) or DOUBLE; malformed input errors like
-    * DuckDB's.
+    * BOOLEAN / NULL; numbers classify LEXICALLY like yyjson — a plain
+    * integer literal is UBIGINT (fits u64) / BIGINT (negative, fits
+    * i64) / DOUBLE (overflow), and anything written with a '.' or
+    * exponent is DOUBLE even when integral-valued ('12.0', '1e3');
+    * malformed input errors like DuckDB's.
     */
   def duckJsonType(s: UTF8String): UTF8String = {
     val in = s.toString.trim
@@ -216,11 +226,19 @@ object DuckSweep {
         if (in == "true" || in == "false") "BOOLEAN" else fail()
       case 'n' => if (in == "null") "NULL" else fail()
       case c if c == '-' || c.isDigit =>
-        try {
-          val d = new java.math.BigDecimal(in)
-          if (d.scale <= 0 || d.stripTrailingZeros.scale <= 0)
-            (if (d.signum < 0) "BIGINT" else "UBIGINT")
-          else "DOUBLE"
+        // yyjson lexes, it doesn't normalize: any number WRITTEN with a
+        // decimal point or exponent is DOUBLE even when integral-valued
+        // ('12.0', '1e3'); plain integer literals are UBIGINT (fits
+        // u64), BIGINT (negative, fits i64), else DOUBLE on overflow.
+        if (in.exists(ch => ch == '.' || ch == 'e' || ch == 'E')) {
+          try { new java.math.BigDecimal(in); "DOUBLE" }
+          catch { case _: NumberFormatException => fail() }
+        } else try {
+          val bi = new java.math.BigInteger(in)
+          // the SIGN CHARACTER decides the signed/unsigned read (probed:
+          // json_type('-0') = BIGINT), not the value's signum
+          if (in.charAt(0) == '-') (if (bi.bitLength <= 63) "BIGINT" else "DOUBLE")
+          else (if (bi.bitLength <= 64) "UBIGINT" else "DOUBLE")
         } catch { case _: NumberFormatException => fail() }
       case _ => fail()
     }

@@ -190,6 +190,18 @@ object GraftSqlParser {
       } else if (masked.charAt(ls).isLetterOrDigit || masked.charAt(ls) == '_') {
         identStart(ls)
       } else return sql // unsupported operand shape → guided error stays
+    // The backward scan claims ONE term; if the char before it is an
+    // expression-continuing operator (`a || b > ALL …`, `a + b > ALL …`)
+    // the true left operand is the whole compound and claiming just `b`
+    // would rewrite silently wrong (e.g. `a || (CASE …)` string-concats
+    // a boolean). Those shapes keep the guided error.
+    val beforeLeft: Int = {
+      var p = leftStart - 1
+      while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
+      p
+    }
+    if (beforeLeft >= 0 && "|+-*/%^&<>=!~:".indexOf(masked.charAt(beforeLeft)) >= 0)
+      return sql
     val x = sql.substring(leftStart, m.start).trim
     val op = m.group(1) match { case "!=" => "<>"; case o => o }
     val isAll = m.group(2).equalsIgnoreCase("ALL")

@@ -1324,6 +1324,11 @@ class DialectSpec extends SparkSpec {
          WHERE (id + 1) > ALL (SELECT * FROM (VALUES (5),(7)) v(c))""")
       .apply(spark, df).collect().head.getLong(0)
     assert(n == 3L) // ids 7, 8, 9
+    // a COMPOUND left operand binds tighter than the comparison
+    // (DuckDB: ('a'||'b') > ALL …) — claiming just `b` would rewrite
+    // silently wrong, so these shapes must keep the loud error
+    intercept[Exception](tri("'a' || 'b' > ALL (SELECT 'ab')"))
+    intercept[Exception](tri("1 + 2 > ALL (SELECT * FROM (VALUES (1)) t(c))"))
   }
 
   test("sixth probe sweep closures match probed DuckDB values (r14)") {
@@ -1345,6 +1350,15 @@ class DialectSpec extends SparkSpec {
     assert(one("SELECT format_bytes(1) AS a, format_bytes(1023) AS b, format_bytes(-1536) AS c")
       .toSeq == Seq("1 byte", "1023 bytes", "-1.5 KiB"))
     assert(one("SELECT formatReadableDecimalSize(1460000) AS m").getString(0) == "1.4 MB")
+    // unit ceiling is PiB/PB and Long.MinValue must not abs-overflow
+    // (probed: format_bytes(2^60)='1024.0 PiB', max='8191.9 PiB',
+    // min='-8192.0 PiB'; decimal max='9223.3 PB')
+    assert(one("SELECT format_bytes(1152921504606846976) AS m").getString(0) == "1024.0 PiB")
+    assert(one("SELECT format_bytes(9223372036854775807) AS a, " +
+      "format_bytes(-9223372036854775808) AS b, " +
+      "formatReadableDecimalSize(9223372036854775807) AS c, " +
+      "formatReadableDecimalSize(-9223372036854775808) AS d")
+      .toSeq == Seq("8191.9 PiB", "-8192.0 PiB", "9223.3 PB", "-9223.3 PB"))
     // numerics
     assert(one("SELECT isfinite(2.5) AS a, isinf(CAST('inf' AS DOUBLE)) AS b, " +
       "signbit(-2.5) AS c, signbit(0.0) AS d").toSeq == Seq(true, true, true, false))
@@ -1410,6 +1424,12 @@ class DialectSpec extends SparkSpec {
     assert(one("""SELECT json_type('{"a":1}') AS a, json_type('[1]') AS b, json_type('"x"') AS c, """ +
       "json_type('1') AS d, json_type('-1') AS e, json_type('1.5') AS f, json_type('null') AS g")
       .toSeq == Seq("OBJECT", "ARRAY", "VARCHAR", "UBIGINT", "BIGINT", "DOUBLE", "NULL"))
+    // lexical number classification (probed: '.'/exponent → DOUBLE even
+    // when integral; sign char → BIGINT; u64/i64 overflow → DOUBLE)
+    assert(one("SELECT json_type('12.0') AS a, json_type('1e3') AS b, json_type('-0') AS c, " +
+      "json_type('18446744073709551615') AS d, json_type('18446744073709551616') AS e, " +
+      "json_type('-9223372036854775808') AS f, json_type('-9223372036854775809') AS g")
+      .toSeq == Seq("DOUBLE", "DOUBLE", "BIGINT", "UBIGINT", "DOUBLE", "BIGINT", "DOUBLE"))
     assert(one("""SELECT json_object('a', 1.5, 'b', 'x') AS m""").getString(0)
       == """{"a":1.5,"b":"x"}""")
     assert(one("""SELECT json_object('a', CAST(NULL AS INT)) AS m""").getString(0)
