@@ -44,24 +44,85 @@ object NgramLm {
     */
   def trainBigramLm(df: DataFrame, tokensCol: Column,
                     maxVocab: Int = 65536, minCount: Int = 2,
-                    maxBigrams: Int = 1 << 20): BigramLmModel = {
+                    maxBigrams: Int = 1 << 20): BigramLmModel =
+    trainOrders(df, tokensCol, 2, maxVocab, minCount, maxBigrams, 0, 0)
+
+  /** Order-3 upgrade (r13): [[trainBigramLm]]'s model plus pruned
+    * trigram counts over the same UNK-mapped stream, with their own
+    * prune (`minCount`) and cap (`maxTrigrams`) — the same KenLM
+    * count-pruning shape one order up. Score with
+    * `perplexity(..., lambda3 > 0)`: recursive Jelinek-Mercer —
+    * λ3·c(u,v,w)/c(u,v) interpolating into the bigram estimate,
+    * backing off THROUGH the pruned bigram table when the context
+    * pair itself was pruned (the expression and the q149 oracle
+    * replay agree on that rule exactly).
+    */
+  def trainTrigramLm(df: DataFrame, tokensCol: Column,
+                     maxVocab: Int = 65536, minCount: Int = 2,
+                     maxBigrams: Int = 1 << 20,
+                     maxTrigrams: Int = 1 << 21): BigramLmModel = {
+    require(maxTrigrams >= 0, "maxTrigrams >= 0")
+    trainOrders(df, tokensCol, 3, maxVocab, minCount, maxBigrams, maxTrigrams, 0)
+  }
+
+  /** Order-4 upgrade (r13): [[trainTrigramLm]]'s model plus pruned
+    * 4-gram counts over the same UNK-mapped stream, with their own
+    * prune (`minCount`) and cap (`maxQuadgrams`). Score with
+    * `perplexity(..., lambda4 > 0)`: λ4·c(t,u,v,w)/c(t,u,v)
+    * interpolating into the trigram estimate, backing off through the
+    * PRUNED trigram table when the context triple itself was pruned —
+    * the identical recursion one order up (the q166 oracle replays the
+    * whole order-4 construction).
+    */
+  def trainQuadgramLm(df: DataFrame, tokensCol: Column,
+                      maxVocab: Int = 65536, minCount: Int = 2,
+                      maxBigrams: Int = 1 << 20,
+                      maxTrigrams: Int = 1 << 21,
+                      maxQuadgrams: Int = 1 << 22): BigramLmModel = {
+    require(maxTrigrams >= 0 && maxQuadgrams >= 0,
+      "maxTrigrams >= 0, maxQuadgrams >= 0")
+    trainOrders(df, tokensCol, 4, maxVocab, minCount, maxBigrams,
+      maxTrigrams, maxQuadgrams)
+  }
+
+  /** Shared trainer (r15 — collapsed from one-pass-per-order): TWO
+    * corpus scans total, at every order.
+    *
+    *  1. unigram counts (one shuffle on token), the relation persisted
+    *     so both the vocabulary election (top-maxVocab collect) and the
+    *     distributed `nTokens` sum read it without re-scanning the
+    *     corpus (never collect the raw zipf token space — at web scale
+    *     distinct tokens are billions of rows); unkCount falls out by
+    *     subtraction from the collected vocab rows;
+    *  2. ONE combined n-gram pass: per bigram position emit
+    *     (w1, w2, w3?, w4?) with NULLs past the document end, count by
+    *     raw 4-tuple, UNK-map the (small) distinct relation through
+    *     broadcast joins against the vocab, then derive every order as
+    *     an exact marginal — bigram = all rows, trigram = rows with a
+    *     w3, quadgram = rows with a w4 (document-boundary edge effects
+    *     fall out of the NULL pattern, so the counts are identical to
+    *     the per-order explodes, row for row). Each order then prunes
+    *     (`minCount`) and caps (count-desc, token tiebreaks —
+    *     deterministic) exactly as before.
+    *
+    * The marginal aggregations re-shuffle only the UNK-mapped distinct
+    * relation (bounded far below the corpus), which is persisted across
+    * the per-order reads when more than one order consumes it.
+    */
+  private def trainOrders(df: DataFrame, tokensCol: Column, order: Int,
+                          maxVocab: Int, minCount: Int, maxBigrams: Int,
+                          maxTrigrams: Int, maxQuadgrams: Int): BigramLmModel = {
     require(maxVocab >= 1 && maxBigrams >= 0 && minCount >= 1,
       s"need maxVocab >= 1, maxBigrams >= 0, minCount >= 1")
+    val spark = df.sparkSession
+    val unk = BigramPerplexityBroadcast.Unk
+    val sep = expressions.BigramLmModel.CtxSep
     val toks = df.select(explode(tokensCol).as("w"))
     val rawUni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // vocabulary: the maxVocab most frequent tokens, deterministic ties
     val vocabRows = rawUni
       .orderBy(col("c").desc, col("w")).limit(maxVocab).collect()
-    val vocab = new java.util.HashSet[String]()
-    vocabRows.foreach(r => vocab.add(r.getString(0)))
-    val spark = df.sparkSession
-    val unk = BigramPerplexityBroadcast.Unk
-    // UNK-mapped unigram counts: vocab rows keep their exact counts,
-    // the tail folds into one UNK row. nTokens comes from a DISTRIBUTED
-    // sum over the count relation (never collect the raw zipf token
-    // space — at web scale distinct tokens are billions of rows), and
-    // unkCount falls out by subtraction from the already-collected
-    // vocab rows.
     val uni = new java.util.HashMap[String, Long]()
     var vocabTokens = 0L
     vocabRows.foreach { r =>
@@ -71,28 +132,56 @@ object NgramLm {
     val nTokens = rawUni.agg(sum(col("c")).as("n")).collect()
       .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
       .getOrElse(0L)
+    rawUni.unpersist(false)
     val unkCount = nTokens - vocabTokens
     if (unkCount > 0) uni.put(unk, unkCount)
-    // bigram counts: one corpus pass + one raw-pair shuffle, then the
-    // (small) distinct-pair relation UNK-maps through two broadcast
-    // joins against the vocab and re-aggregates — count-then-map gives
-    // identical sums to mapping per token without a UDF in the hot pass
     val vocabDf = spark.createDataFrame(
       java.util.Arrays.asList(vocabRows.map(r => Row(r.getString(0))): _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vw",
           org.apache.spark.sql.types.StringType, nullable = false))))
-    val rawPairs = df.select(tokensCol.as("ts"))
+    // the combined pass: one posexplode over bigram positions; w3/w4
+    // guard on the doc end (NULL = the window ran out) so every order's
+    // positions are exactly the per-order explode's
+    val nullStr = lit(null).cast(org.apache.spark.sql.types.StringType)
+    val w3col =
+      if (order >= 3) when(col("p") + 3 <= size(col("ts")),
+        element_at(col("ts"), col("p") + 3))
+      else nullStr
+    val w4col =
+      if (order >= 4) when(col("p") + 4 <= size(col("ts")),
+        element_at(col("ts"), col("p") + 4))
+      else nullStr
+    val rawN = df.select(tokensCol.as("ts"))
       .where(size(col("ts")) >= 2)
       .select(posexplode(slice(col("ts"), lit(1), size(col("ts")) - 1)).as(Seq("p", "w1")),
         col("ts"))
-      .select(col("w1"), element_at(col("ts"), col("p") + 2).as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-    val pairs = rawPairs
+      .select(col("w1"), element_at(col("ts"), col("p") + 2).as("w2"),
+        w3col.as("w3"), w4col.as("w4"))
+      .groupBy(col("w1"), col("w2"), col("w3"), col("w4")).agg(count(lit(1)).as("c"))
+    // UNK-map the distinct relation via broadcast joins (count-then-map
+    // gives identical sums to mapping per token without a UDF in the
+    // hot pass); a NULL slot stays NULL — it marks the window end, not
+    // an out-of-vocabulary token
+    var joined = rawN
       .join(broadcast(vocabDf.select(col("vw").as("m1"))), col("w1") === col("m1"), "left")
       .join(broadcast(vocabDf.select(col("vw").as("m2"))), col("w2") === col("m2"), "left")
-      .select(coalesce(col("m1"), lit(unk)).as("w1"),
-        coalesce(col("m2"), lit(unk)).as("w2"), col("c"))
+    if (order >= 3) joined = joined
+      .join(broadcast(vocabDf.select(col("vw").as("m3"))), col("w3") === col("m3"), "left")
+    if (order >= 4) joined = joined
+      .join(broadcast(vocabDf.select(col("vw").as("m4"))), col("w4") === col("m4"), "left")
+    val mapped = joined.select(
+      coalesce(col("m1"), lit(unk)).as("w1"),
+      coalesce(col("m2"), lit(unk)).as("w2"),
+      (if (order >= 3) when(col("w3").isNull, nullStr)
+        .otherwise(coalesce(col("m3"), lit(unk))) else nullStr).as("w3"),
+      (if (order >= 4) when(col("w4").isNull, nullStr)
+        .otherwise(coalesce(col("m4"), lit(unk))) else nullStr).as("w4"),
+      col("c"))
+    val shared =
+      if (order >= 3) mapped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else mapped
+    val pairs = shared
       .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
       .where(col("c") >= minCount)
       .orderBy(col("c").desc, col("w1"), col("w2")).limit(maxBigrams)
@@ -102,118 +191,145 @@ object NgramLm {
       bi.computeIfAbsent(r.getString(0), _ => new java.util.HashMap[String, Long]())
         .put(r.getString(1), r.getLong(2))
     }
-    new BigramLmModel(uni, bi, nTokens, uni.size().toLong)
-  }
-
-  /** Order-3 upgrade (r13): [[trainBigramLm]]'s model plus pruned
-    * trigram counts over the same UNK-mapped stream — one more
-    * count-then-map pass with its own prune (`minCount`) and cap
-    * (`maxTrigrams`), the same KenLM count-pruning shape one order up.
-    * Score with `perplexity(..., lambda3 > 0)`: recursive
-    * Jelinek-Mercer — λ3·c(u,v,w)/c(u,v) interpolating into the bigram
-    * estimate, backing off THROUGH the pruned bigram table when the
-    * context pair itself was pruned (the expression and the q149
-    * oracle replay agree on that rule exactly).
-    */
-  def trainTrigramLm(df: DataFrame, tokensCol: Column,
-                     maxVocab: Int = 65536, minCount: Int = 2,
-                     maxBigrams: Int = 1 << 20,
-                     maxTrigrams: Int = 1 << 21): BigramLmModel = {
-    require(maxTrigrams >= 0, "maxTrigrams >= 0")
-    val base = trainBigramLm(df, tokensCol, maxVocab, minCount, maxBigrams)
-    val spark = df.sparkSession
-    val unk = BigramPerplexityBroadcast.Unk
-    val vocabDf = spark.createDataFrame(
-      java.util.Arrays.asList(base.uni.keySet().toArray.collect {
-        case w: String if w != unk => Row(w)
-      }.toSeq: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vw",
-          org.apache.spark.sql.types.StringType, nullable = false))))
-    val rawTris = df.select(tokensCol.as("ts"))
-      .where(size(col("ts")) >= 3)
-      .select(posexplode(slice(col("ts"), lit(1), size(col("ts")) - 2)).as(Seq("p", "w1")),
-        col("ts"))
-      .select(col("w1"), element_at(col("ts"), col("p") + 2).as("w2"),
-        element_at(col("ts"), col("p") + 3).as("w3"))
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
-    val tris = rawTris
-      .join(broadcast(vocabDf.select(col("vw").as("m1"))), col("w1") === col("m1"), "left")
-      .join(broadcast(vocabDf.select(col("vw").as("m2"))), col("w2") === col("m2"), "left")
-      .join(broadcast(vocabDf.select(col("vw").as("m3"))), col("w3") === col("m3"), "left")
-      .select(coalesce(col("m1"), lit(unk)).as("w1"),
-        coalesce(col("m2"), lit(unk)).as("w2"),
-        coalesce(col("m3"), lit(unk)).as("w3"), col("c"))
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("c")).as("c"))
-      .where(col("c") >= minCount)
-      .orderBy(col("c").desc, col("w1"), col("w2"), col("w3"))
-      .limit(maxTrigrams).collect()
     val tri = new java.util.HashMap[String,
       java.util.HashMap[String, java.util.HashMap[String, Long]]]()
-    tris.foreach { r =>
+    if (order >= 3) {
+      val tris = shared.where(col("w3").isNotNull)
+        .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("c")).as("c"))
+        .where(col("c") >= minCount)
+        .orderBy(col("c").desc, col("w1"), col("w2"), col("w3"))
+        .limit(maxTrigrams).collect()
+      tris.foreach { r =>
+        tri.computeIfAbsent(r.getString(0),
+            _ => new java.util.HashMap[String, java.util.HashMap[String, Long]]())
+          .computeIfAbsent(r.getString(1), _ => new java.util.HashMap[String, Long]())
+          .put(r.getString(2), r.getLong(3))
+      }
+    }
+    val quad = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+    if (order >= 4) {
+      val quads = shared.where(col("w4").isNotNull)
+        .groupBy(col("w1"), col("w2"), col("w3"), col("w4")).agg(sum(col("c")).as("c"))
+        .where(col("c") >= minCount)
+        .orderBy(col("c").desc, col("w1"), col("w2"), col("w3"), col("w4"))
+        .limit(maxQuadgrams).collect()
+      quads.foreach { r =>
+        val ctx = r.getString(0) + sep + r.getString(1) + sep + r.getString(2)
+        quad.computeIfAbsent(ctx, _ => new java.util.HashMap[String, Long]())
+          .put(r.getString(3), r.getLong(4))
+      }
+    }
+    if (order >= 3) shared.unpersist(false)
+    new BigramLmModel(uni, bi, nTokens, uni.size().toLong, tri, quad)
+  }
+
+  // ---------------------------------------------------------------
+  // Model persistence (r15): the CCNet deployment shape trains ONCE
+  // on the trusted slice and ships the model to every scoring job —
+  // save/load makes that a parquet round-trip instead of a retrain.
+  // Every table is bounded by the training caps (maxVocab, maxBigrams,
+  // maxTrigrams, maxQuadgrams entries), so the write is a driver-side
+  // createDataFrame and the load is a bounded collect — same posture
+  // as the FAISS index save/load family (VectorFunctions.saveSq/...).
+  // The maps hold exact Long counts and strings, so a reloaded model
+  // scores BIT-IDENTICALLY to the freshly-trained one.
+  // ---------------------------------------------------------------
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  private def writeRows(spark: SparkSession, path: String,
+                        schema: StructType, rows: Seq[Row]): Unit =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Persist a trained [[BigramLmModel]] (any order — empty tri/quad
+    * tables round-trip as empty) under `path` as five parquet tables.
+    * `meta` is written LAST, so `meta/_SUCCESS` marks a complete save
+    * (the build-if-absent pattern checks it).
+    */
+  def save(spark: SparkSession, model: BigramLmModel, path: String): Unit = {
+    val sLong = (n: String) => StructField(n, LongType, nullable = false)
+    val sStr = (n: String) => StructField(n, StringType, nullable = false)
+    val uniRows = scala.collection.mutable.ArrayBuffer[Row]()
+    model.uni.forEach((w, c) => uniRows += Row(w, c))
+    writeRows(spark, s"$path/uni", StructType(Seq(sStr("w"), sLong("c"))), uniRows.toSeq)
+    val biRows = scala.collection.mutable.ArrayBuffer[Row]()
+    model.bi.forEach((w1, inner) => inner.forEach((w2, c) => biRows += Row(w1, w2, c)))
+    writeRows(spark, s"$path/bi",
+      StructType(Seq(sStr("w1"), sStr("w2"), sLong("c"))), biRows.toSeq)
+    val triRows = scala.collection.mutable.ArrayBuffer[Row]()
+    model.tri.forEach((w1, l2) => l2.forEach((w2, l3) =>
+      l3.forEach((w3, c) => triRows += Row(w1, w2, w3, c))))
+    writeRows(spark, s"$path/tri",
+      StructType(Seq(sStr("w1"), sStr("w2"), sStr("w3"), sLong("c"))), triRows.toSeq)
+    val quadRows = scala.collection.mutable.ArrayBuffer[Row]()
+    model.quad.forEach((ctx, inner) =>
+      inner.forEach((w4, c) => quadRows += Row(ctx, w4, c)))
+    writeRows(spark, s"$path/quad",
+      StructType(Seq(sStr("ctx"), sStr("w4"), sLong("c"))), quadRows.toSeq)
+    writeRows(spark, s"$path/meta",
+      StructType(Seq(sLong("n_tokens"), sLong("v_size"))),
+      Seq(Row(model.nTokens, model.vSize)))
+  }
+
+  /** Load a model persisted by [[save]]. Collects are bounded by the
+    * training caps the save inherited — never by any corpus.
+    */
+  def load(spark: SparkSession, path: String): BigramLmModel = {
+    val uni = new java.util.HashMap[String, Long]()
+    spark.read.parquet(s"$path/uni").collect()
+      .foreach(r => uni.put(r.getString(0), r.getLong(1)))
+    val bi = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+    spark.read.parquet(s"$path/bi").collect().foreach { r =>
+      bi.computeIfAbsent(r.getString(0), _ => new java.util.HashMap[String, Long]())
+        .put(r.getString(1), r.getLong(2))
+    }
+    val tri = new java.util.HashMap[String,
+      java.util.HashMap[String, java.util.HashMap[String, Long]]]()
+    spark.read.parquet(s"$path/tri").collect().foreach { r =>
       tri.computeIfAbsent(r.getString(0),
           _ => new java.util.HashMap[String, java.util.HashMap[String, Long]]())
         .computeIfAbsent(r.getString(1), _ => new java.util.HashMap[String, Long]())
         .put(r.getString(2), r.getLong(3))
     }
-    new BigramLmModel(base.uni, base.bi, base.nTokens, base.vSize, tri)
+    val quad = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+    spark.read.parquet(s"$path/quad").collect().foreach { r =>
+      quad.computeIfAbsent(r.getString(0), _ => new java.util.HashMap[String, Long]())
+        .put(r.getString(1), r.getLong(2))
+    }
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    new BigramLmModel(uni, bi, meta.getLong(0), meta.getLong(1), tri, quad)
   }
 
-  /** Order-4 upgrade (r13): [[trainTrigramLm]]'s model plus pruned
-    * 4-gram counts over the same UNK-mapped stream — one further
-    * count-then-map pass with its own prune (`minCount`) and cap
-    * (`maxQuadgrams`). Score with `perplexity(..., lambda4 > 0)`:
-    * λ4·c(t,u,v,w)/c(t,u,v) interpolating into the trigram estimate,
-    * backing off through the PRUNED trigram table when the context
-    * triple itself was pruned — the identical recursion one order up
-    * (the q166 oracle replays the whole order-4 construction).
+  /** Persist [[kneserNey]]'s derived statistics alongside their base
+    * model (the base saves first; `knmeta` last = completion marker).
     */
-  def trainQuadgramLm(df: DataFrame, tokensCol: Column,
-                      maxVocab: Int = 65536, minCount: Int = 2,
-                      maxBigrams: Int = 1 << 20,
-                      maxTrigrams: Int = 1 << 21,
-                      maxQuadgrams: Int = 1 << 22): BigramLmModel = {
-    require(maxQuadgrams >= 0, "maxQuadgrams >= 0")
-    val base = trainTrigramLm(df, tokensCol, maxVocab, minCount,
-      maxBigrams, maxTrigrams)
-    val spark = df.sparkSession
-    val unk = BigramPerplexityBroadcast.Unk
-    val sep = expressions.BigramLmModel.CtxSep
-    val vocabDf = spark.createDataFrame(
-      java.util.Arrays.asList(base.uni.keySet().toArray.collect {
-        case w: String if w != unk => Row(w)
-      }.toSeq: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vw",
-          org.apache.spark.sql.types.StringType, nullable = false))))
-    val rawQuads = df.select(tokensCol.as("ts"))
-      .where(size(col("ts")) >= 4)
-      .select(posexplode(slice(col("ts"), lit(1), size(col("ts")) - 3)).as(Seq("p", "w1")),
-        col("ts"))
-      .select(col("w1"), element_at(col("ts"), col("p") + 2).as("w2"),
-        element_at(col("ts"), col("p") + 3).as("w3"),
-        element_at(col("ts"), col("p") + 4).as("w4"))
-      .groupBy(col("w1"), col("w2"), col("w3"), col("w4")).agg(count(lit(1)).as("c"))
-    val quads = rawQuads
-      .join(broadcast(vocabDf.select(col("vw").as("m1"))), col("w1") === col("m1"), "left")
-      .join(broadcast(vocabDf.select(col("vw").as("m2"))), col("w2") === col("m2"), "left")
-      .join(broadcast(vocabDf.select(col("vw").as("m3"))), col("w3") === col("m3"), "left")
-      .join(broadcast(vocabDf.select(col("vw").as("m4"))), col("w4") === col("m4"), "left")
-      .select(coalesce(col("m1"), lit(unk)).as("w1"),
-        coalesce(col("m2"), lit(unk)).as("w2"),
-        coalesce(col("m3"), lit(unk)).as("w3"),
-        coalesce(col("m4"), lit(unk)).as("w4"), col("c"))
-      .groupBy(col("w1"), col("w2"), col("w3"), col("w4")).agg(sum(col("c")).as("c"))
-      .where(col("c") >= minCount)
-      .orderBy(col("c").desc, col("w1"), col("w2"), col("w3"), col("w4"))
-      .limit(maxQuadgrams).collect()
-    val quad = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
-    quads.foreach { r =>
-      val ctx = r.getString(0) + sep + r.getString(1) + sep + r.getString(2)
-      quad.computeIfAbsent(ctx, _ => new java.util.HashMap[String, Long]())
-        .put(r.getString(3), r.getLong(4))
-    }
-    new BigramLmModel(base.uni, base.bi, base.nTokens, base.vSize, base.tri, quad)
+  def saveKn(spark: SparkSession, model: KnModel, path: String): Unit = {
+    save(spark, model.base, path)
+    val sLong = (n: String) => StructField(n, LongType, nullable = false)
+    val sStr = (n: String) => StructField(n, StringType, nullable = false)
+    val fanRows = scala.collection.mutable.ArrayBuffer[Row]()
+    model.fanout.forEach((w, f) => fanRows += Row(w, f))
+    writeRows(spark, s"$path/fanout", StructType(Seq(sStr("w"), sLong("f"))), fanRows.toSeq)
+    val contRows = scala.collection.mutable.ArrayBuffer[Row]()
+    model.cont.forEach((w, c) => contRows += Row(w, c))
+    writeRows(spark, s"$path/cont", StructType(Seq(sStr("w"), sLong("c"))), contRows.toSeq)
+    writeRows(spark, s"$path/knmeta", StructType(Seq(sLong("pair_count"))),
+      Seq(Row(model.pairCount)))
+  }
+
+  /** Load a [[KnModel]] persisted by [[saveKn]]. */
+  def loadKn(spark: SparkSession, path: String): KnModel = {
+    val base = load(spark, path)
+    val fanout = new java.util.HashMap[String, Long]()
+    spark.read.parquet(s"$path/fanout").collect()
+      .foreach(r => fanout.put(r.getString(0), r.getLong(1)))
+    val cont = new java.util.HashMap[String, Long]()
+    spark.read.parquet(s"$path/cont").collect()
+      .foreach(r => cont.put(r.getString(0), r.getLong(1)))
+    val pairs = spark.read.parquet(s"$path/knmeta").collect().head.getLong(0)
+    new KnModel(base, fanout, cont, pairs)
   }
 
   /** Derive interpolated Kneser-Ney statistics (Kneser & Ney 1995;

@@ -210,6 +210,34 @@ class NgramLmSpec extends SparkSpec {
     assert(mean3 < mean2, s"trigram $mean3 not below bigram $mean2")
   }
 
+  test("save/load round-trips every order and KN bit-identically (r15)") {
+    val docs = Tables.documents(spark, sf)
+    val t = split(col("text"), " ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_rt").toString
+    val lm4 = NgramLm.trainQuadgramLm(docs, t, maxVocab = 24, minCount = 2)
+    NgramLm.save(spark, lm4, s"$dir/quad")
+    val rt4 = NgramLm.load(spark, s"$dir/quad")
+    assert(rt4.uni == lm4.uni && rt4.bi == lm4.bi && rt4.tri == lm4.tri &&
+      rt4.quad == lm4.quad && rt4.nTokens == lm4.nTokens && rt4.vSize == lm4.vSize)
+    // scores are bit-identical (exact Longs in, same doubles out)
+    val fresh = docs.select(NgramLm.perplexity(docs, lm4, t,
+      lambda = 0.9, lambda3 = 0.5, lambda4 = 0.5).as("p"))
+      .agg(sum(col("p"))).head().getDouble(0)
+    val loaded = docs.select(NgramLm.perplexity(docs, rt4, t,
+      lambda = 0.9, lambda3 = 0.5, lambda4 = 0.5).as("p"))
+      .agg(sum(col("p"))).head().getDouble(0)
+    assert(fresh == loaded)
+    // a bigram-only model round-trips its EMPTY tri/quad tables
+    val lm2 = NgramLm.trainBigramLm(docs, t, maxVocab = 24, minCount = 2, maxBigrams = 500)
+    val kn = NgramLm.kneserNey(lm2)
+    NgramLm.saveKn(spark, kn, s"$dir/kn")
+    val rtKn = NgramLm.loadKn(spark, s"$dir/kn")
+    assert(rtKn.base.uni == lm2.uni && rtKn.base.bi == lm2.bi &&
+      rtKn.base.tri.isEmpty && rtKn.base.quad.isEmpty &&
+      rtKn.fanout == kn.fanout && rtKn.cont == kn.cont &&
+      rtKn.pairCount == kn.pairCount)
+  }
+
   test("training is deterministic; repeated text lowers perplexity vs shuffled-rare") {
     val docs = Tables.documents(spark, sf)
     val t = split(col("text"), " ")
