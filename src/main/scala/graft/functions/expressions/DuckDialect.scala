@@ -600,6 +600,92 @@ object DuckDialect {
     org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
       DuckSweep.getClass, dt, method, args, inputTypes = inputTypes)
 
+  private def makeTimestampBuilder(name: String, es: Seq[Expression]): Expression =
+    es.length match {
+      // 1-arg = micros since epoch (probed); 6-arg = calendar parts
+      case 1 => MicrosToTimestamp(Cast(es(0), LongType))
+      case 6 => MakeTimestamp(es(0), es(1), es(2), es(3), es(4), es(5), None)
+      case n => throw new DuckDialectException(
+        s"$name expects 1 (micros) or 6 (parts) args, got $n")
+    }
+
+  /** millisecond/microsecond dispatch DATE/TIME/TIMESTAMP at plan time;
+    * an unresolved argument refuses loudly (the [[epochOverload]]
+    * treatment) rather than guessing an arm.
+    */
+  private def subMinuteBuilder(name: String, arg: Expression,
+                               unitMicros: Long): Expression = {
+    if (!arg.resolved)
+      throw new DuckDialectException(
+        s"$name: argument type cannot be determined before resolution; " +
+          "CAST the argument explicitly (timestamp, time or date)")
+    arg.dataType match {
+      case TimestampType | TimestampNTZType | DateType | _: TimeType =>
+        SubMinutePart(arg, unitMicros)
+      case StringType => SubMinutePart(Cast(arg, TimestampType), unitMicros)
+      case t => throw new DuckDialectException(
+        s"$name needs a timestamp, time or date argument, got $t")
+    }
+  }
+
+  private def arrayResizeBuilder(es: Seq[Expression]): Expression = {
+    if (es.length != 2 && es.length != 3)
+      throw new DuckDialectException("array_resize/list_resize takes (list, size[, fill])")
+    val l = es(0)
+    val n = Cast(es(1), IntegerType)
+    val fill = if (es.length == 3) es(2) else Literal(null)
+    If(LessThanOrEqual(n, Size(l)),
+      Slice(l, Literal(1), Greatest(Seq(n, Literal(0)))),
+      Concat(Seq(l, ArrayRepeat(fill, Subtract(n, Size(l))))))
+  }
+
+  /** like_escape family (r15, probed): LIKE/ILIKE with an explicit
+    * escape character — the escape must be a one-character literal
+    * (Catalyst's Like bakes it into the compiled pattern). A LITERAL
+    * pattern is re-escaped onto '\' up front: DuckDB lets the escape
+    * precede ANY character (it just means "that char, literally") while
+    * Spark's Like rejects an escape before an ordinary character, so
+    * translating the pattern — escaped wildcards stay escaped, escaped
+    * ordinary chars drop the escape — preserves DuckDB's semantics. A
+    * non-literal pattern passes through with the user's escape char
+    * (well-formed patterns behave identically).
+    */
+  private def likeEscapeBuilder(name: String, es: Seq[Expression],
+                                insensitive: Boolean, negate: Boolean): Expression = {
+    nArgs(name, es, 3)
+    val esc = es(2) match {
+      case Literal(s: UTF8String, StringType) if s != null && s.numChars == 1 =>
+        s.toString.charAt(0)
+      case other => throw new DuckDialectException(
+        s"$name: the escape must be a single-character string literal, got $other")
+    }
+    def reEscape(p: String): String = {
+      val sb = new StringBuilder
+      def putLiteral(c: Char): Unit = c match {
+        case '%' | '_' => sb += '\\' += c
+        case '\\' => sb ++= "\\\\"
+        case o => sb += o
+      }
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        if (c == esc && i + 1 < p.length) { putLiteral(p.charAt(i + 1)); i += 2 }
+        else if (c == esc) { putLiteral(c); i += 1 } // trailing escape: literal
+        else if (c == '%' || c == '_') { sb += c; i += 1 }
+        else { putLiteral(c); i += 1 }
+      }
+      sb.toString
+    }
+    val like: Expression = es(1) match {
+      case Literal(p: UTF8String, StringType) if p != null =>
+        val rp = lit(reEscape(p.toString))
+        if (insensitive) ILike(es(0), rp, '\\') else Like(es(0), rp, '\\')
+      case p =>
+        if (insensitive) ILike(es(0), p, esc) else Like(es(0), p, esc)
+    }
+    if (negate) Not(like) else like
+  }
+
   /** list_where (r14, probed): keep elements whose mask slot is TRUE;
     * a shorter mask truncates (positional filter — the pad-null slots
     * evaluate false). DuckDB errors on NULL mask slots; here they
@@ -848,17 +934,20 @@ object DuckDialect {
     // indexes yield NULL elements (NOT the bracket-get neg-from-end),
     // duplicates allowed
     "list_select" -> (es => { nArgs("list_select", es, 2); listSelectBuilder(es) }),
-    // array_resize (r14, probed): truncate or pad with fill (NULL
-    // default) to exactly n elements
-    "array_resize" -> (es => {
-      if (es.length != 2 && es.length != 3)
-        throw new DuckDialectException("array_resize takes (list, size[, fill])")
-      val l = es(0)
-      val n = Cast(es(1), IntegerType)
-      val fill = if (es.length == 3) es(2) else Literal(null)
-      If(LessThanOrEqual(n, Size(l)),
-        Slice(l, Literal(1), Greatest(Seq(n, Literal(0)))),
-        Concat(Seq(l, ArrayRepeat(fill, Subtract(n, Size(l)))))) }),
+    // array_resize/list_resize (r14/r15, probed): truncate or pad with
+    // fill (NULL default) to exactly n elements
+    "array_resize" -> (es => arrayResizeBuilder(es)),
+    "list_resize" -> (es => arrayResizeBuilder(es)),
+    // array_cross_product (r15, probed): 3-d cross product, DOUBLE[3].
+    // One static kernel rather than a CreateArray∘ElementAt composition:
+    // Spark's ElementAt codegen loses its isNull declaration when
+    // subexpression elimination splits the projection (janino "not an
+    // rvalue"), and the kernel is also one pass instead of six gets.
+    "array_cross_product" -> (es => {
+      nArgs("array_cross_product", es, 2)
+      sweepInvoke(ArrayType(DoubleType, containsNull = false), "crossProduct",
+        Seq(Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType))),
+        Seq(ArrayType(DoubleType), ArrayType(DoubleType))) }),
     // nextafter (r14): IEEE-defined, bit-identical to DuckDB's libm
     "nextafter" -> (es => { nArgs("nextafter", es, 2)
       NextAfterExpr(Cast(es(0), DoubleType), Cast(es(1), DoubleType)) }),
@@ -1175,14 +1264,35 @@ object DuckDialect {
         Seq(Cast(es(0), StringType)), Seq(StringType)) }),
     "try_strptime" -> (es => {
       nArgs("try_strptime", es, 2)
-      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
-        Seq("try_to_timestamp"),
-        Seq(es(0), lit(cFormatToJava(literalFormat("try_strptime", es(1))))),
-        isDistinct = false) }),
+      def one(f: Expression): Expression =
+        org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          Seq("try_to_timestamp"),
+          Seq(es(0), lit(cFormatToJava(literalFormat("try_strptime", f)))),
+          isDistinct = false)
+      es(1) match {
+        // format-LIST overload (r15, probed): first matching format
+        // wins, NULL when none do
+        case CreateArray(fs, _) if fs.nonEmpty => Coalesce(fs.map(one))
+        case f => one(f)
+      } }),
+    // LIKE with an explicit escape char (r15, probed 1.0.0)
+    "like_escape" -> (es => likeEscapeBuilder("like_escape", es, insensitive = false, negate = false)),
+    "ilike_escape" -> (es => likeEscapeBuilder("ilike_escape", es, insensitive = true, negate = false)),
+    "not_like_escape" -> (es => likeEscapeBuilder("not_like_escape", es, insensitive = false, negate = true)),
+    "not_ilike_escape" -> (es => likeEscapeBuilder("not_ilike_escape", es, insensitive = true, negate = true)),
     "array_length" -> (es => { nArgs("array_length", es, 1)
       Cast(Size(es(0)), LongType) }),
-    "add" -> (es => { nArgs("add", es, 2); Add(es(0), es(1)) }),
-    "subtract" -> (es => { nArgs("subtract", es, 2); Subtract(es(0), es(1)) }),
+    // 1-arg overloads probed 1.0.0: add(x) = x, subtract(x) = -x
+    "add" -> (es => es.length match {
+      case 1 => es(0)
+      case 2 => Add(es(0), es(1))
+      case n => throw new DuckDialectException(s"add expects 1 or 2 arguments, got $n")
+    }),
+    "subtract" -> (es => es.length match {
+      case 1 => UnaryMinus(es(0))
+      case 2 => Subtract(es(0), es(1))
+      case n => throw new DuckDialectException(s"subtract expects 1 or 2 arguments, got $n")
+    }),
     "multiply" -> (es => { nArgs("multiply", es, 2); Multiply(es(0), es(1)) }),
     // constant_or_null(v, check…): NULL if ANY check is NULL (probed)
     "constant_or_null" -> (es => {
@@ -1225,11 +1335,39 @@ object DuckDialect {
     "json_type" -> (es => { nArgs("json_type", es, 1)
       sweepInvoke(StringType, "duckJsonType", Seq(Cast(es(0), StringType)),
         Seq(StringType)) }),
-    // typed rendering via named_struct (probed: null fields KEPT)
+    // typed rendering via named_struct (probed: null fields KEPT;
+    // zero args → '{}', r15)
     "json_object" -> (es => {
-      if (es.isEmpty || es.length % 2 != 0)
+      if (es.length % 2 != 0)
         throw new DuckDialectException("json_object takes (key, value, ...) pairs")
-      StructsToJson(Map("ignoreNullFields" -> "false"), CreateNamedStruct(es)) }),
+      if (es.isEmpty) lit("{}")
+      else StructsToJson(Map("ignoreNullFields" -> "false"), CreateNamedStruct(es)) }),
+    // json_array (r15, probed): heterogeneous args render element-wise —
+    // each element through to_json(named_struct('x', e)) with the
+    // '{"x":' wrapper stripped, so string escaping/number rendering is
+    // Catalyst's own JSON writer (nulls KEPT, like json_object's)
+    "json_array" -> (es => {
+      if (es.isEmpty) lit("[]")
+      else {
+        val rendered = es.map { e =>
+          val wrapped = StructsToJson(Map("ignoreNullFields" -> "false"),
+            CreateNamedStruct(Seq(lit("x"), e)))
+          Substring(wrapped, Literal(6),
+            Subtract(Length(wrapped), Literal(6))): Expression
+        }
+        Concat(Seq(lit("["),
+          ConcatWs(lit(",") +: rendered),
+          lit("]")))
+      } }),
+    // json_structure / json_contains (r15): Jackson-backed kernels,
+    // probed semantics in [[DuckSweep.jsonStructure]]/[[DuckSweep.jsonContains]]
+    "json_structure" -> (es => { nArgs("json_structure", es, 1)
+      sweepInvoke(StringType, "jsonStructure", Seq(Cast(es(0), StringType)),
+        Seq(StringType)) }),
+    "json_contains" -> (es => { nArgs("json_contains", es, 2)
+      sweepInvoke(BooleanType, "jsonContains",
+        Seq(Cast(es(0), StringType), Cast(es(1), StringType)),
+        Seq(StringType, StringType)) }),
     // gamma/lgamma (r14): Lanczos kernels within a few ulp of DuckDB's
     // libm — oracle gates compare through round(·, 6)
     "gamma" -> (es => { nArgs("gamma", es, 1); GammaExpr(Cast(es(0), DoubleType)) }),
@@ -1291,8 +1429,9 @@ object DuckDialect {
         case p => RLike(es(0), Concat(Seq(lit("^(?:"), p, lit(")$"))))
       }
     }),
-    // --- polymorphic len (string AND list, like DuckDB)
+    // --- polymorphic len/length (string AND list, like DuckDB)
     "len" -> (es => { nArgs("len", es, 1); DuckLen(es(0)) }),
+    "length" -> (es => { nArgs("length", es, 1); DuckLen(es(0)) }),
     // backs the `a // b` rewrite (GraftSqlParser.rewriteIntDiv)
     "graft_ddiv" -> (es => { nArgs("graft_ddiv", es, 2); DuckDiv(es(0), es(1)) }),
     // backs the scalar-subscript rewrite (GraftSqlParser.rewriteSubscript)
@@ -1401,13 +1540,30 @@ object DuckDialect {
       epochOverload("epoch_us", es(0),
         numeric = MicrosToTimestamp(Cast(es(0), LongType)),
         temporal = UnixMicros(Cast(es(0), TimestampType))) }),
-    "make_timestamp" -> (es => es.length match {
-      // 1-arg = micros since epoch (probed); 6-arg = calendar parts
-      case 1 => MicrosToTimestamp(Cast(es(0), LongType))
-      case 6 => MakeTimestamp(es(0), es(1), es(2), es(3), es(4), es(5), None)
-      case n => throw new DuckDialectException(
-        s"make_timestamp expects 1 (micros) or 6 (parts) args, got $n")
-    }),
+    "make_timestamp" -> (es => makeTimestampBuilder("make_timestamp", es)),
+    // make_timestamptz (r15): same parts/micros forms, interpreted in
+    // the SESSION zone — exactly what MakeTimestamp/MicrosToTimestamp
+    // already do for TimestampType (graft sessions default to UTC)
+    "make_timestamptz" -> (es => makeTimestampBuilder("make_timestamptz", es)),
+    // sub-minute components INCLUDING seconds (r15, probed:
+    // millisecond('…13:30:05.123456') = 5123) — see [[SubMinutePart]]
+    "millisecond" -> (es => { nArgs("millisecond", es, 1)
+      subMinuteBuilder("millisecond", es(0), unitMicros = 1000L) }),
+    "microsecond" -> (es => { nArgs("microsecond", es, 1)
+      subMinuteBuilder("microsecond", es(0), unitMicros = 1L) }),
+    // session-zone UTC offset parts (r15, probed) — see [[TzOffsetPart]]
+    "timezone" -> (es => { nArgs("timezone", es, 1)
+      TzOffsetPart(Cast(es(0), TimestampType), "seconds") }),
+    "timezone_hour" -> (es => { nArgs("timezone_hour", es, 1)
+      TzOffsetPart(Cast(es(0), TimestampType), "hour") }),
+    "timezone_minute" -> (es => { nArgs("timezone_minute", es, 1)
+      TzOffsetPart(Cast(es(0), TimestampType), "minute") }),
+    // current session-zone TIME (r15; DuckDB types both as TIME) —
+    // non-deterministic like now(), so oracle-checked queries avoid it
+    "current_localtime" -> (es => { nArgs("current_localtime", es, 0)
+      new CurrentTime() }),
+    "get_current_time" -> (es => { nArgs("get_current_time", es, 0)
+      new CurrentTime() }),
     "regexp_extract" -> (es => es.length match {
       // DuckDB's 2-arg form extracts GROUP 0 (the whole match); Spark's
       // default idx = 1 errors on group-less patterns (probed)
@@ -1482,9 +1638,8 @@ object DuckDialect {
     "read_parquet" -> "read_parquet('path') runs inside graft sql stages; here declare the file as a pipeline `input` or use spark.read.parquet",
     "read_json_auto" -> "read_json_auto('path') runs inside graft sql stages; here declare the file as a pipeline `input` or use spark.read.json",
     "struct_pack" -> "use named_struct('a', expr1, 'b', expr2)",
-    "json_structure" -> "use schema_of_json(j) (Spark's structural-type analog) or from_json with a declared schema",
-    "json_contains" -> "recursive JSON containment isn't claimed — test specific paths with json_extract(j, path) / -> chains, or from_json + array_contains",
-    "json_array" -> "use to_json(array(...)) for same-typed elements, or json_object/named_struct composition for mixed types",
+    // json_structure / json_contains / json_array EXECUTE since r15
+    // (Jackson kernels + element-wise rendering) — no hints needed
     "group_concat" -> "use string_agg(expr, sep) (both engines support it)",
     "date_add" -> "Spark's date_add(date, days) takes days only — for other units use dateadd(unit, n, ts)",
     "age" -> "Spark has no mixed calendar-interval result type — use date_diff('part', a, b) for a chosen unit, or make_interval over extracted parts",
@@ -1546,11 +1701,12 @@ object DuckDialect {
     // could not handle (e.g. a parse failure after rewriting).
     raw"(?i)\bQUALIFY\b".r ->
       "this QUALIFY shape couldn't be auto-rewritten — compute the window column in a subquery and filter it outside: SELECT * FROM (SELECT ..., row_number() OVER (...) AS rn FROM t) WHERE rn = 1",
-    // plain n% / n ROWS forms are auto-rewritten; this hint fires for
-    // method specs (reservoir/system/bernoulli) which Spark's Bernoulli
-    // sampler must not silently impersonate
+    // plain n% / n ROWS, seeded bernoulli/system percentages and
+    // reservoir(n ROWS) forms are auto-rewritten (r15); this hint fires
+    // for the leftovers — e.g. percentage reservoir(n%), whose exact
+    // output count needs the input's cardinality
     raw"(?i)\bUSING\s+SAMPLE\b".r ->
-      "this USING SAMPLE form couldn't be auto-rewritten (sampling-method specs change statistics) — use TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
+      "this USING SAMPLE form couldn't be auto-rewritten (reservoir(n%) needs the input cardinality; other method specs change statistics) — use reservoir(n ROWS), or TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
     // DuckDB's SUMMARIZE statement (per-column stats of a relation) —
     // graft `sql` stages execute it (GraftSqlParser.summarize, one
     // single-pass aggregate with DuckDB's exact output shape); this
@@ -1592,11 +1748,12 @@ object DuckDialect {
     raw"(?i)\bCREATE\s+(OR\s+REPLACE\s+)?(TEMP(ORARY)?\s+)?MACRO\b".r ->
       "DuckDB CREATE MACRO runs inside graft sql stages (CREATE MACRO f(a, n := 1) AS expr | AS TABLE query; registered per session, expanded at later call sites); in plain Spark SQL use SQL UDFs (CREATE TEMPORARY FUNCTION f(x INT) RETURNS INT RETURN x + 1) or TEMP VIEWs for table macros",
     // DuckDB database-file statements — the engine's storage model is
-    // parquet/csv directories, not a .db file; name the graft routes
-    // EXPORT/IMPORT DATABASE and CHECKPOINT EXECUTE since r14 (SqlStage
-    // routes); only ATTACH keeps the guided error
+    // parquet/csv directories, not a .db file; EXPORT/IMPORT DATABASE,
+    // CHECKPOINT (r14) and ATTACH/DETACH of EXPORT-DATABASE directories
+    // (r15) all EXECUTE as SqlStage routes; this hint fires only for
+    // the shapes those routes don't claim (a .db storage file)
     raw"(?i)^\s*ATTACH\b".r ->
-      "DuckDB ATTACH isn't Spark SQL — there is no .db file; read the data files directly (read_parquet/read_csv_auto in sql stages, Sources loaders, or spark.read)",
+      "graft's ATTACH mounts EXPORT DATABASE directories (ATTACH 'dir' AS alias, then alias.tbl), not .db storage files — EXPORT DATABASE the source first, or read the data files directly (read_parquet/read_csv_auto, Sources loaders)",
     raw":=".r ->
       "named-argument syntax (a := 1) isn't Spark SQL — struct_pack(a := 1) becomes named_struct('a', 1)",
     raw"(?i)\[\s*[\w.]+\s+for\s+\w+\s+in\b".r ->

@@ -1,6 +1,9 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.expressions.{Expression, TimeZoneAwareExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels for the r14 sixth probe sweep's function closures —
@@ -244,4 +247,194 @@ object DuckSweep {
     }
     UTF8String.fromString(t)
   }
+
+  /** DuckDB `array_cross_product` (probed 1.0.0): 3-d cross product
+    * over DOUBLE[3]; wrong lengths or NULL slots error like DuckDB's
+    * typed ARRAY requirement.
+    */
+  def crossProduct(a: ArrayData, b: ArrayData): ArrayData = {
+    if (a.numElements != 3 || b.numElements != 3)
+      throw new IllegalArgumentException(
+        "array_cross_product needs two 3-element lists, got " +
+          s"${a.numElements} and ${b.numElements}")
+    var i = 0
+    while (i < 3) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          "array_cross_product: NULL element (DuckDB's DOUBLE[3] arrays are non-null)")
+      i += 1
+    }
+    val (a1, a2, a3) = (a.getDouble(0), a.getDouble(1), a.getDouble(2))
+    val (b1, b2, b3) = (b.getDouble(0), b.getDouble(1), b.getDouble(2))
+    new GenericArrayData(Array(a2 * b3 - a3 * b2, a3 * b1 - a1 * b3, a1 * b2 - a2 * b1))
+  }
+
+  private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parseJson(s: UTF8String, fn: String): com.fasterxml.jackson.databind.JsonNode =
+    try jsonMapper.readTree(s.toString)
+    catch { case _: Exception => throw new IllegalArgumentException(
+      s"Malformed JSON in $fn: '${s.toString.take(40)}'") }
+
+  /** DuckDB `json_structure` (probed 1.0.0): objects map each key to
+    * its value's structure ('{}' → "JSON"); arrays report the common
+    * element structure (["NULL"] when empty, ["JSON"] when elements
+    * disagree); scalars quote the [[duckJsonType]] name. One lexical
+    * divergence: '-0' classifies UBIGINT here (Jackson normalizes the
+    * sign away) where DuckDB says BIGINT.
+    */
+  def jsonStructure(s: UTF8String): UTF8String =
+    UTF8String.fromString(nodeStructure(parseJson(s, "json_structure")))
+
+  private def nodeStructure(n: com.fasterxml.jackson.databind.JsonNode): String = {
+    import scala.jdk.CollectionConverters._
+    if (n.isObject) {
+      if (n.isEmpty) "\"JSON\""
+      else n.properties().asScala.toSeq
+        .map(e => jsonMapper.writeValueAsString(e.getKey) + ":" + nodeStructure(e.getValue))
+        .mkString("{", ",", "}")
+    } else if (n.isArray) {
+      val elems = n.elements().asScala.map(nodeStructure).toSeq
+      if (elems.isEmpty) "[\"NULL\"]"
+      else if (elems.distinct.lengthCompare(1) == 0) "[" + elems.head + "]"
+      else "[\"JSON\"]"
+    } else "\"" + scalarJsonType(n) + "\""
+  }
+
+  private def scalarJsonType(n: com.fasterxml.jackson.databind.JsonNode): String =
+    if (n.isTextual) "VARCHAR"
+    else if (n.isBoolean) "BOOLEAN"
+    else if (n.isNull) "NULL"
+    else if (n.isFloatingPointNumber || n.isBigDecimal) "DOUBLE"
+    else { // integral: sign decides the signed/unsigned read (yyjson)
+      val bi = n.bigIntegerValue
+      if (bi.signum < 0) (if (bi.bitLength <= 63) "BIGINT" else "DOUBLE")
+      else (if (bi.bitLength <= 64) "UBIGINT" else "DOUBLE")
+    }
+
+  /** DuckDB `json_contains(haystack, needle)` (probed 1.0.0): true when
+    * the needle value appears anywhere in the haystack — objects match
+    * by key-subset (every needle field matched in the candidate),
+    * arrays by element-subset ([1,2] contains [2,1]), scalars by value
+    * equality (numbers numerically), and the search recurses into every
+    * object field and array element.
+    */
+  def jsonContains(h: UTF8String, n: UTF8String): Boolean = {
+    val hay = parseJson(h, "json_contains")
+    val nee = parseJson(n, "json_contains")
+    containsNode(hay, nee)
+  }
+
+  private def containsNode(h: com.fasterxml.jackson.databind.JsonNode,
+                           n: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    import scala.jdk.CollectionConverters._
+    matchesNode(h, n) ||
+      (if (h.isObject) h.properties().asScala.exists(e => containsNode(e.getValue, n))
+       else if (h.isArray) h.elements().asScala.exists(containsNode(_, n))
+       else false)
+  }
+
+  private def matchesNode(h: com.fasterxml.jackson.databind.JsonNode,
+                          n: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    import scala.jdk.CollectionConverters._
+    if (n.isObject && h.isObject)
+      n.properties().asScala.forall(e =>
+        h.has(e.getKey) && matchesNode(h.get(e.getKey), e.getValue))
+    else if (n.isArray && h.isArray)
+      n.elements().asScala.forall(ne =>
+        h.elements().asScala.exists(he => matchesNode(he, ne)))
+    else if (n.isNumber && h.isNumber)
+      h.decimalValue.compareTo(n.decimalValue) == 0
+    else h == n
+  }
+}
+
+/** DuckDB `millisecond`/`microsecond`: the sub-MINUTE count INCLUDING
+  * the seconds (probed 1.0.0: millisecond('…13:30:05.123456') = 5123,
+  * microsecond = 5123456); DATE input yields 0 (midnight). Type
+  * dispatch at plan time (the [[DuckLen]] pattern): TIMESTAMP carries
+  * epoch micros, TIME nanos-of-day, DATE days.
+  */
+case class SubMinutePart(child: Expression, unitMicros: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case TimestampType | TimestampNTZType | DateType | _: TimeType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"millisecond/microsecond need a timestamp, time or date, got $t")
+    }
+
+  // 0 = date (always 0), 1 = time (nanos of day), 2 = timestamp (micros)
+  private lazy val mode: Int = child.dataType match {
+    case DateType => 0
+    case _: TimeType => 1
+    case _ => 2
+  }
+
+  override def nullSafeEval(v: Any): Any = mode match {
+    case 0 => 0L
+    case 1 => Math.floorMod(v.asInstanceOf[Long], 60000000000L) / (unitMicros * 1000L)
+    case 2 => Math.floorMod(v.asInstanceOf[Long], 60000000L) / unitMicros
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => mode match {
+      case 0 => s"${ev.value} = 0L;"
+      case 1 => s"${ev.value} = java.lang.Math.floorMod($c, 60000000000L) / ${unitMicros * 1000L}L;"
+      case 2 => s"${ev.value} = java.lang.Math.floorMod($c, 60000000L) / ${unitMicros}L;"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** DuckDB `timezone`/`timezone_hour`/`timezone_minute` on a TIMESTAMP:
+  * the SESSION time zone's UTC offset at that instant (probed 1.0.0;
+  * seconds / truncated hours / leftover minutes, sign carried). graft
+  * sessions default to UTC (0/0/0) but a user `SET TimeZone` rides
+  * through the [[TimeZoneAwareExpression]] resolution. Fringe surface —
+  * interpreted eval (CodegenFallback), not a hot-path expression.
+  */
+case class TzOffsetPart(child: Expression, part: String,
+                        timeZoneId: Option[String] = None)
+    extends UnaryExpression
+    with TimeZoneAwareExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def withTimeZone(timeZoneId: String): TimeZoneAwareExpression =
+    copy(timeZoneId = Some(timeZoneId))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case TimestampType | TimestampNTZType | DateType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"timezone/timezone_hour/timezone_minute need a timestamp or date, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val micros = child.dataType match {
+      case DateType => v.asInstanceOf[Int].toLong * 86400L * 1000000L
+      case _ => v.asInstanceOf[Long]
+    }
+    val inst = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+    val off = zoneId.getRules.getOffset(inst).getTotalSeconds
+    part match {
+      case "hour" => (off / 3600).toLong
+      case "minute" => ((off % 3600) / 60).toLong
+      case _ => off.toLong
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

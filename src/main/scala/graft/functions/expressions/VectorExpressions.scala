@@ -315,6 +315,12 @@ object GraftFunctions {
     */
   def register(spark: SparkSession): Unit =
     if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      // Spark 4.1 ships the ANSI TIME type behind a runtime flag; the
+      // DuckDB dialect's TIME-typed scalars (sweep-7: make_time,
+      // extract-on-TIME, TIME casts) need it, so every graft session
+      // runs with it on — it only UNLOCKS a type, existing plans are
+      // unaffected.
+      spark.conf.set("spark.sql.timeType.enabled", "true")
       val reg = spark.sessionState.functionRegistry
       fns.foreach { case (name, b) =>
         reg.createOrReplaceTempFunction(name, b, "scala_udf")

@@ -1196,16 +1196,92 @@ object GraftSqlParser {
     */
   def rewriteBlobType(sql: String): String = {
     val masked = maskQuotes(sql)
-    val re = raw"(?i)::\s*(BLOB|BYTEA|VARBINARY)\b".r
+    // `::TYPE` spellings: BLOB family → BINARY, VARCHAR family → STRING
+    // (r15; the parameterized VARCHAR(n) form is Spark's own and stays)
+    val re = raw"(?i)::\s*(BLOB|BYTEA|VARBINARY|VARCHAR|BPCHAR)\b(?!\s*\()".r
     val ms = re.findAllMatchIn(masked).toSeq
-    if (ms.isEmpty) return sql
-    val sb = new StringBuilder
-    var pos = 0
-    ms.foreach { m =>
-      sb.append(sql.substring(pos, m.start)).append("::BINARY")
-      pos = m.end
+    val step1 = if (ms.isEmpty) sql else {
+      val sb = new StringBuilder
+      var pos = 0
+      ms.foreach { m =>
+        val to = m.group(1).toUpperCase match {
+          case "VARCHAR" | "BPCHAR" => "STRING"
+          case _ => "BINARY"
+        }
+        sb.append(sql.substring(pos, m.start)).append("::").append(to)
+        pos = m.end
+      }
+      sb.append(sql.substring(pos)).toString
     }
-    sb.append(sql.substring(pos)).toString
+    rewriteCastTypeNames(step1)
+  }
+
+  /** `CAST(expr AS <ducktype>)` with a DuckDB-only type name (r15):
+    * rewrite the TYPE TOKEN inside the cast — found as the text after
+    * the last TOP-LEVEL ` AS ` of each CAST/TRY_CAST body, so aliases
+    * like `SELECT x AS text` (the documents schema!) are never touched.
+    * Only single-word names [[duckTypeToSpark]] maps DIFFERENTLY
+    * rewrite; anything else (including Spark-native names) passes
+    * through untouched. Replacement spans of distinct casts are
+    * disjoint (an inner cast closes before an outer cast's type token),
+    * so collecting on the original offsets and applying right-to-left
+    * is exact.
+    */
+  /** Type names Spark's parser rejects (or reads differently) that
+    * [[duckTypeToSpark]] maps — ONLY these rewrite inside casts, so
+    * Spark-valid spellings (INTEGER, LONG, BOOL, REAL, NUMERIC…) never
+    * churn and the rewrite stays identity on Spark-clean SQL.
+    */
+  private val duckOnlyCastTypes = Set(
+    "VARCHAR", "TEXT", "BPCHAR", "CHAR", "BLOB", "BYTEA", "VARBINARY",
+    "UBIGINT", "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+    "INT1", "INT2", "INT4", "INT8", "SIGNED", "LOGICAL",
+    "FLOAT4", "FLOAT8", "DATETIME")
+
+  private def rewriteCastTypeNames(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val CastRe = raw"(?i)\b(?:TRY_)?CAST\s*\(".r
+    // (typeStart, closeParen, replacement)
+    val repls = Seq.newBuilder[(Int, Int, String)]
+    CastRe.findAllMatchIn(masked).foreach { m =>
+      closeOf(masked, m.end).foreach { close =>
+        val bodyMasked = masked.substring(m.end, close - 1)
+        // last top-level ' AS ' of this cast's body
+        var depth = 0
+        var asPos = -1
+        var i = 0
+        while (i < bodyMasked.length) {
+          bodyMasked.charAt(i) match {
+            case '(' | '[' => depth += 1
+            case ')' | ']' => depth -= 1
+            case c if depth == 0 && (c == 'A' || c == 'a') &&
+              i + 2 < bodyMasked.length &&
+              (i == 0 || (!bodyMasked.charAt(i - 1).isLetterOrDigit && bodyMasked.charAt(i - 1) != '_')) &&
+              bodyMasked.regionMatches(true, i, "AS", 0, 2) &&
+              !bodyMasked.charAt(i + 2).isLetterOrDigit && bodyMasked.charAt(i + 2) != '_' =>
+              asPos = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (asPos >= 0) {
+          val typeStart = m.end + asPos + 2
+          val typeText = sql.substring(typeStart, close - 1).trim
+          if (duckOnlyCastTypes.contains(typeText.toUpperCase)) {
+            val mapped = try Some(duckTypeToSpark(typeText))
+            catch { case _: graft.functions.expressions.DuckDialectException => None }
+            mapped.filter(!_.equalsIgnoreCase(typeText)).foreach { t =>
+              repls += ((typeStart, close - 1, " " + t))
+            }
+          }
+        }
+      }
+    }
+    val rs = repls.result()
+    if (rs.isEmpty) sql
+    else rs.sortBy(-_._1).foldLeft(sql) { case (acc, (a, b, t)) =>
+      acc.substring(0, a) + t + acc.substring(b)
+    }
   }
 
   private val JsonExtractFnRe =
@@ -2376,12 +2452,32 @@ object GraftSqlParser {
   /** Function-style percentage sample (`USING SAMPLE bernoulli(50%)
     * [REPEATABLE (seed)]` — DuckDB's only spelling that takes a
     * REPEATABLE suffix, probed 1.0.0): normalized to the size-first
-    * form and re-fed to [[rewriteSample]]. `reservoir(...)` and ROWS
-    * bodies deliberately don't match (exact-n seeded reservoir has no
-    * Spark equivalent — guided error).
+    * form and re-fed to [[rewriteSample]]. Percentage `reservoir(n%)`
+    * bodies deliberately don't match (exact-count percentage needs the
+    * table's cardinality, which a text rewrite doesn't have — guided
+    * error); `reservoir(n ROWS)` executes via [[RsvFnRe]].
     */
   private val FnSampleRe =
     raw"(?i)\bUSING\s+SAMPLE\s+(bernoulli|system)\s*\(\s*(\d+(?:\.\d+)?)\s*(%|PERCENT\b)\s*\)(?:\s*REPEATABLE\s*\(\s*(\d+)\s*\))?".r
+
+  /** Exact-n reservoir sample (r15, VERDICT r14 missing #3):
+    * `USING SAMPLE reservoir(n ROWS) [REPEATABLE (seed)]` and the
+    * size-first spelling `USING SAMPLE n [ROWS] (reservoir[, seed])`
+    * (both probed 1.0.0; bare `n ROWS REPEATABLE (s)` is a DuckDB
+    * parse error, so only these two shapes exist). DuckDB's seeded
+    * reservoir is an exact-n deterministic sample; the Spark
+    * re-expression is the q68/q171 deterministic-hash pattern — order
+    * by a seeded xxhash64 of the whole row and take n
+    * (TakeOrderedAndProject: bounded top-n, no global sort). The two
+    * engines pick DIFFERENT rows (different RNGs — DuckDB's own docs
+    * make no cross-version promise), but the invariants DuckDB
+    * guarantees hold identically: exactly n rows, a subset of the
+    * input, same seed → same set, applied after the block's WHERE.
+    */
+  private val RsvFnRe =
+    raw"(?i)\bUSING\s+SAMPLE\s+reservoir\s*\(\s*(\d+)\s+ROWS\s*\)(?:\s*REPEATABLE\s*\(\s*(\d+)\s*\))?".r
+  private val RsvSizeRe =
+    raw"(?i)\bUSING\s+SAMPLE\s+(\d+)\s*(?:ROWS\s*)?\(\s*reservoir\s*(?:,\s*(\d+))?\s*\)".r
 
   /** Rewrite DuckDB `USING SAMPLE n% / n PERCENT / n [ROWS]` into Spark
     * `TABLESAMPLE`, wrapping the block so the sample applies AFTER the
@@ -2395,10 +2491,11 @@ object GraftSqlParser {
     * the explicit name is the same trade the bare claim made (the
     * sampled fraction is what the user asked for; block granularity is
     * an executor-side implementation detail DuckDB itself documents as
-    * approximate). Seeded forms (`(bernoulli, 377)`) and
-    * `reservoir(n ROWS)` keep the guided error — Spark SQL has no seed
-    * clause, and reservoir returns EXACTLY n random rows where Spark's
-    * `n ROWS` takes the first n (silently different statistics).
+    * approximate). Seeded percentage forms ride through as Spark's
+    * REPEATABLE clause (r14); `reservoir(n ROWS)` executes as the
+    * deterministic-hash top-n (r15, [[RsvFnRe]]); only percentage
+    * `reservoir(n%)` keeps the guided error (exact-count percentage
+    * needs the input's cardinality).
     */
   def rewriteSample(sql: String): String = {
     val masked = maskQuotes(sql)
@@ -2407,6 +2504,41 @@ object GraftSqlParser {
       return rewriteSample(sql.substring(0, fm.start) +
         s"USING SAMPLE ${fm.group(2)}${fm.group(3)} (${fm.group(1)}$seed)" +
         sql.substring(fm.end))
+    }
+    // size-first reservoir spelling → function form, then one rewriter
+    RsvSizeRe.findFirstMatchIn(masked).foreach { rm =>
+      val rep = Option(rm.group(2)).map(s => s" REPEATABLE ($s)").getOrElse("")
+      return rewriteSample(sql.substring(0, rm.start) +
+        s"USING SAMPLE reservoir(${rm.group(1)} ROWS)$rep" +
+        sql.substring(rm.end))
+    }
+    RsvFnRe.findFirstMatchIn(masked).foreach { rm =>
+      val n = rm.group(1)
+      // unseeded reservoir is random in DuckDB; graft is deterministic
+      // either way (documented) — a fixed default seed keeps repeated
+      // runs stable, the property DuckDB's REPEATABLE promises
+      val seed = Option(rm.group(2)).getOrElse("8675309")
+      // helper name keyed on the MATCH OFFSET, not a counter: the
+      // rewrite must be a pure function of its input (the oracle-corpus
+      // idempotency pin) and offsets are unique per sibling sample
+      val h = s"__graft_rsv_${rm.start}"
+      // block start (same scan as the percentage path below)
+      val stack = scala.collection.mutable.Stack[Int]()
+      var i = 0
+      while (i < rm.start) {
+        masked.charAt(i) match {
+          case '(' => stack.push(i + 1)
+          case ')' => if (stack.nonEmpty) stack.pop()
+          case _ =>
+        }
+        i += 1
+      }
+      val blockStart = if (stack.isEmpty) 0 else stack.top
+      val head = sql.substring(blockStart, rm.start).trim
+      return rewriteSample(sql.substring(0, blockStart) +
+        s"SELECT * EXCEPT ($h) FROM (SELECT *, xxhash64(struct(*), $seed) " +
+        s"AS $h FROM ( $head ) ORDER BY $h LIMIT $n)" +
+        sql.substring(rm.end))
     }
     SampleRe.findFirstMatchIn(masked) match {
       case None => sql
@@ -4553,6 +4685,10 @@ object GraftSqlParser {
     case "SMALLINT" | "INT2" | "SHORT" => "SMALLINT"
     case "TINYINT" | "INT1" => "TINYINT"
     case "UBIGINT" | "HUGEINT" => "DECIMAL(38,0)"
+    case "UTINYINT" => "SMALLINT"
+    case "USMALLINT" => "INT"
+    case "UINTEGER" => "BIGINT"
+    case "VARBINARY" => "BINARY"
     case "DOUBLE" | "FLOAT8" => "DOUBLE"
     case "FLOAT" | "REAL" | "FLOAT4" => "FLOAT"
     case "BOOLEAN" | "BOOL" | "LOGICAL" => "BOOLEAN"
@@ -5503,6 +5639,163 @@ object GraftSqlParser {
     Files.write(Paths.get(dir, "schema.sql"), schemaSb.toString.getBytes("UTF-8"))
     Files.write(Paths.get(dir, "load.sql"), loadSb.toString.getBytes("UTF-8"))
     successRelation(spark)
+  }
+
+  // ---- ATTACH / DETACH over EXPORT-DATABASE directories (r15, VERDICT
+  // r14 missing #2) ----
+  // DuckDB's ATTACH mounts a storage file as an alias-qualified schema;
+  // graft's storage model is the EXPORT DATABASE directory (either
+  // engine's layout), so ATTACH 'dir' AS a runs the IMPORT route into
+  // alias-prefixed temp views and later statements' `a.tbl` references
+  // rewrite onto them. DETACH drops the views. A .db file keeps a
+  // guided error — there is no DuckDB storage engine here.
+
+  private val AttachRe =
+    raw"(?is)^\s*ATTACH\s+(?:DATABASE\s+)?(?:IF\s+NOT\s+EXISTS\s+)?'([^']+)'(?:\s+AS\s+([A-Za-z_]\w*))?\s*(?:\(\s*READ_?\s*ONLY\s*\))?\s*;?\s*$$".r
+  private val DetachRe =
+    raw"(?is)^\s*DETACH\s+(?:DATABASE\s+)?(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$$".r
+
+  /** `ATTACH [DATABASE] 'dir' [AS alias] [(READ_ONLY)]` →
+    * Some((dir, alias)); the default alias is the path's basename sans
+    * extension, DuckDB's rule.
+    */
+  def attachTarget(sql: String): Option[(String, String)] =
+    AttachRe.findFirstMatchIn(sql).map { m =>
+      val dir = m.group(1)
+      val alias = Option(m.group(2)).getOrElse {
+        // DuckDB's rule: basename sans extension; non-identifier chars
+        // sanitize to '_' (DuckDB would need a quoted alias there —
+        // graft's alias references are plain identifiers)
+        val base = new java.io.File(dir).getName
+        val dot = base.lastIndexOf('.')
+        (if (dot > 0) base.substring(0, dot) else base).replaceAll("\\W", "_")
+      }
+      (dir, alias.toLowerCase)
+    }
+
+  /** `DETACH [DATABASE] [IF EXISTS] alias` → Some((alias, ifExists)). */
+  def detachTarget(sql: String): Option[(String, Boolean)] =
+    DetachRe.findFirstMatchIn(sql).map(m =>
+      (m.group(2).toLowerCase, m.group(1) != null))
+
+  /** alias-qualified table → its backing temp-view name. */
+  private def attachViewName(alias: String, table: String): String =
+    s"__graft_att_${alias}__${table.toLowerCase}"
+
+  private val attachReg =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, Seq[String]]]()
+
+  private def attachMap(spark: org.apache.spark.sql.SparkSession)
+      : scala.collection.concurrent.TrieMap[String, Seq[String]] =
+    attachReg.synchronized {
+      var m = attachReg.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+        attachReg.put(spark, m)
+      }
+      m
+    }
+
+  def executeAttach(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    alias: String, run: String => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val reg = attachMap(spark)
+    if (reg.contains(alias))
+      throw new graft.functions.expressions.DuckDialectException(
+        s"ATTACH: database alias '$alias' is already attached — DETACH $alias " +
+          "first (DuckDB errors on duplicate aliases too)")
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p) || !Files.isRegularFile(p.resolve("schema.sql")))
+      throw new graft.functions.expressions.DuckDialectException(
+        s"ATTACH '$dir' — graft attaches EXPORT DATABASE directories " +
+          "(schema.sql + load.sql, either engine's EXPORT layout), not .db " +
+          "storage files; EXPORT DATABASE the source first, or read the data " +
+          "files directly (read_parquet/read_csv_auto, Sources loaders)")
+    def readSql(f: String): String = {
+      val fp = p.resolve(f)
+      if (!Files.isRegularFile(fp)) ""
+      else new String(Files.readAllBytes(fp), "UTF-8")
+    }
+    val CreateHeadRe =
+      raw"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)".r
+    val CopyHeadRe = raw"(?is)^\s*COPY\s+([A-Za-z_]\w*)\s+FROM\b".r
+    val tables = Seq.newBuilder[String]
+    (splitStatements(readSql("schema.sql")) ++
+      splitStatements(readSql("load.sql"))).foreach { st =>
+      val renamed = CreateHeadRe.findFirstMatchIn(st) match {
+        case Some(m) =>
+          val t = m.group(1)
+          tables += t.toLowerCase
+          "CREATE OR REPLACE TEMP TABLE " + attachViewName(alias, t) +
+            st.substring(m.end)
+        case None => CopyHeadRe.findFirstMatchIn(st) match {
+          case Some(m) =>
+            s"COPY ${attachViewName(alias, m.group(1))} FROM" + st.substring(m.end)
+          case None => st // indexes/sequences in a DuckDB export: skip below
+        }
+      }
+      // a DuckDB-produced export may carry CREATE INDEX/SEQUENCE
+      // statements — no Spark equivalent and nothing reads them here
+      if (renamed.trim.nonEmpty &&
+          !renamed.matches("(?is)^\\s*CREATE\\s+(UNIQUE\\s+)?(INDEX|SEQUENCE)\\b.*"))
+        run(renamed)
+    }
+    val ts = tables.result().distinct
+    // attached relations are NOT session tables: DuckDB's EXPORT
+    // DATABASE walks only the current database, so a later EXPORT here
+    // must not re-export the attachment (and DETACH, not DROP, owns
+    // their lifecycle)
+    ts.foreach { t =>
+      dropSessionTable(spark, attachViewName(alias, t))
+      dropTableMeta(spark, attachViewName(alias, t))
+    }
+    reg.put(alias, ts)
+    successRelation(spark)
+  }
+
+  def executeDetach(spark: org.apache.spark.sql.SparkSession, alias: String,
+                    ifExists: Boolean): org.apache.spark.sql.DataFrame = {
+    attachMap(spark).remove(alias) match {
+      case Some(ts) =>
+        ts.foreach(t => spark.catalog.dropTempView(attachViewName(alias, t)))
+      case None if !ifExists =>
+        throw new graft.functions.expressions.DuckDialectException(
+          s"DETACH: no database named '$alias' is attached (DuckDB errors " +
+            "here too); DETACH IF EXISTS ignores the miss")
+      case None => ()
+    }
+    successRelation(spark)
+  }
+
+  /** Rewrite `alias.tbl` references onto the attached temp views —
+    * string literals are skipped via [[maskQuotes]]; only (alias, tbl)
+    * pairs actually attached in THIS session rewrite, so ordinary
+    * schema-qualified names (global_temp.x, catalog tables) never
+    * match.
+    */
+  def rewriteAttachedRefs(spark: org.apache.spark.sql.SparkSession,
+                          sql: String): String = {
+    val reg = attachReg.synchronized(Option(attachReg.get(spark)))
+      .map(_.readOnlySnapshot()).getOrElse(return sql)
+    if (reg.isEmpty) return sql
+    var out = sql
+    reg.foreach { case (alias, ts) => ts.foreach { t =>
+      val re = ("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(alias) +
+        "\\s*\\.\\s*" + java.util.regex.Pattern.quote(t) + "(?![\\w.`])").r
+      var changed = true
+      while (changed) {
+        changed = false
+        val masked = maskQuotes(out)
+        re.findFirstMatchIn(masked).foreach { m =>
+          out = out.substring(0, m.start) + attachViewName(alias, t) +
+            out.substring(m.end)
+          changed = true
+        }
+      }
+    }}
+    out
   }
 
   private val CreateDefHeadRe =

@@ -75,8 +75,9 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // DuckDB-isms still meets the full rewrite chain below; then
     // read_* table functions become session temp views (file readers
     // need the session, so they rewrite here, not in rewriteAll).
-    val code2 = GraftSqlParser.rewriteReadFns(spark,
-      GraftSqlParser.expandMacros(spark, code1))
+    val code2 = GraftSqlParser.rewriteAttachedRefs(spark,
+      GraftSqlParser.rewriteReadFns(spark,
+        GraftSqlParser.expandMacros(spark, code1)))
     // COPY ... TO statement: write one file at the target path and
     // return DuckDB's `Count` relation; a (query) source recurses
     // through this stage so it keeps the full dialect layer. COPY ...
@@ -291,8 +292,18 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // back through this stage (CREATE TABLE maps onto the session
     // temp-table route, so a DuckDB-produced directory imports too);
     // CHECKPOINT is the no-op acknowledgment (no WAL here) returning
-    // DuckDB's empty Success relation. ATTACH keeps the guided error —
-    // there is no .db file to attach.
+    // DuckDB's empty Success relation. ATTACH (r15) mounts an
+    // EXPORT-DATABASE directory as alias-prefixed temp views —
+    // rewriteAttachedRefs (in code2 above) points later statements'
+    // alias.tbl at them; DETACH drops them. Only a .db storage file
+    // keeps the guided error.
+    GraftSqlParser.attachTarget(code2).foreach { case (dir, alias) =>
+      return GraftSqlParser.executeAttach(spark, dir, alias,
+        st => SqlStage(name, st).apply(spark, df))
+    }
+    GraftSqlParser.detachTarget(code2).foreach { case (alias, ifExists) =>
+      return GraftSqlParser.executeDetach(spark, alias, ifExists)
+    }
     GraftSqlParser.exportDatabaseTarget(code2).foreach { case (dir, fmt) =>
       return GraftSqlParser.executeExportDatabase(spark, dir, fmt)
     }

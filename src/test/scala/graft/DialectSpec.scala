@@ -1762,7 +1762,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\bUSING\s+SAMPLE\b|\bjson_extract|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(|[\w)\]]\s*\[|\^|\blog\s*\(|\bFILTER\s*\(".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\bUSING\s+SAMPLE\b|\bjson_extract|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(|[\w)\]]\s*\[|\^|\blog\s*\(|\bFILTER\s*\(|\b(?:AS\s+|::\s*)(?:VARCHAR|TEXT|BPCHAR|CHAR|BLOB|BYTEA|VARBINARY|UBIGINT|HUGEINT|UTINYINT|USMALLINT|UINTEGER|INT1|INT2|INT4|INT8|SIGNED|LOGICAL|FLOAT4|FLOAT8|DATETIME)\b".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         // identity modulo rewriteRawLiterals (r13): backslashes inside
         // literals double ON PURPOSE (DuckDB-raw → Spark-escaped)
@@ -3492,4 +3492,143 @@ class DialectSpec extends SparkSpec {
       assert(viaRead == want, s"trial $trial read_csv (delim '$d' header $header)")
     }
   }
+  // ---- r15 sweep-7 closures ----
+  test("reservoir(n ROWS) executes as a deterministic exact-n sample") {
+    def run(sql: String): Set[Long] =
+      SqlStage("s", sql).apply(spark, spark.range(500).toDF("id"))
+        .collect().map(_.getLong(0)).toSet
+    val a = run("SELECT * FROM df USING SAMPLE reservoir(50 ROWS) REPEATABLE (42)")
+    val b = run("SELECT * FROM df USING SAMPLE reservoir(50 ROWS) REPEATABLE (42)")
+    assert(a.size == 50 && a == b && a.forall(x => x >= 0 && x < 500))
+    // size-first spelling draws the same set for the same seed
+    val c = run("SELECT * FROM df USING SAMPLE 50 (reservoir, 42)")
+    val d = run("SELECT * FROM df USING SAMPLE 50 ROWS (reservoir, 42)")
+    assert(c == a && d == a)
+    // a different seed draws a different set; unseeded is stable
+    val e = run("SELECT * FROM df USING SAMPLE reservoir(50 ROWS) REPEATABLE (7)")
+    assert(e != a && e.size == 50)
+    assert(run("SELECT * FROM df USING SAMPLE reservoir(50 ROWS)") ==
+      run("SELECT * FROM df USING SAMPLE reservoir(50 ROWS)"))
+    // applies AFTER the block's WHERE (DuckDB semantics)
+    val f = run("SELECT * FROM df WHERE id < 60 USING SAMPLE reservoir(50 ROWS) REPEATABLE (42)")
+    assert(f.size == 50 && f.forall(_ < 60))
+    // oversample returns every row
+    assert(run("SELECT * FROM df WHERE id < 30 USING SAMPLE reservoir(99 ROWS)").size == 30)
+  }
+
+  test("sub-minute millisecond/microsecond and session timezone parts (probed)") {
+    assert(one("SELECT millisecond(TIMESTAMP '2024-01-15 13:31:05.123456') AS m").getLong(0) == 5123L)
+    assert(one("SELECT microsecond(TIMESTAMP '2024-01-15 13:31:05.123456') AS m").getLong(0) == 5123456L)
+    assert(one("SELECT millisecond(TIME '13:30:05.123456') AS m").getLong(0) == 5123L)
+    assert(one("SELECT microsecond(make_time(1, 2, 3.254321)) AS m").getLong(0) == 3254321L)
+    assert(one("SELECT millisecond(DATE '2024-01-15' ) AS m").getLong(0) == 0L)
+    // UTC session: offset 0 at every part
+    assert(one("SELECT timezone(TIMESTAMP '2024-01-15 13:30:05') AS m").getLong(0) == 0L)
+    assert(one("SELECT timezone_hour(TIMESTAMP '2024-01-15 13:30:05') AS m").getLong(0) == 0L)
+    assert(one("SELECT timezone_minute(TIMESTAMP '2024-01-15 13:30:05') AS m").getLong(0) == 0L)
+  }
+
+  test("TIME family: literals, make_time, parts, casts (Spark 4.1 TimeType)") {
+    assert(one("SELECT CAST(TIME '13:30:05' AS STRING) AS m").getString(0) == "13:30:05")
+    assert(one("SELECT hour(TIME '13:30:05') AS m").getInt(0) == 13)
+    assert(one("SELECT minute(make_time(13, 30, 5.5)) AS m").getInt(0) == 30)
+    assert(one("SELECT second(make_time(1, 2, 3.75)) AS m").getInt(0) == 3)
+    // the dialect claims CAST(x AS VARCHAR) spellings (rewriteCastTypeNames)
+    assert(SqlStage("s", "SELECT CAST(make_time(1, 2, 3.0) AS VARCHAR) AS m")
+      .apply(spark, spark.range(1).toDF("z")).collect().head.getString(0) == "01:02:03")
+    assert(SqlStage("s", "SELECT CAST(42 AS VARCHAR) AS m, 1 AS text")
+      .apply(spark, spark.range(1).toDF("z")).collect().head.getString(0) == "42")
+    // ::VARCHAR spelling too; and aliases named like types stay aliases
+    assert(SqlStage("s", "SELECT 42::VARCHAR AS m")
+      .apply(spark, spark.range(1).toDF("z")).collect().head.getString(0) == "42")
+    assert(one("SELECT strftime(make_timestamptz(2024, 1, 15, 13, 30, 5.5), '%Y-%m-%d %H:%M:%S') AS m")
+      .getString(0) == "2024-01-15 13:30:05")
+  }
+
+  test("sweep-7 scalar closures match the DuckDB probes") {
+    assert(one("SELECT add(7) AS m").getInt(0) == 7)
+    assert(one("SELECT subtract(7) AS m").getInt(0) == -7)
+    assert(one("SELECT add(2, 3) AS m").getInt(0) == 5)
+    // like_escape family: escape may precede ANY char in DuckDB
+    assert(!one("SELECT like_escape('abc', 'abc', 'a') AS m").getBoolean(0))
+    assert(one("SELECT like_escape('bc', 'abc', 'a') AS m").getBoolean(0))
+    assert(one("SELECT like_escape('a%c', 'a\\\\%c', '\\\\') AS m").getBoolean(0))
+    assert(!one("SELECT like_escape('axc', 'a\\\\%c', '\\\\') AS m").getBoolean(0))
+    assert(one("SELECT ilike_escape('BC', 'abc', 'a') AS m").getBoolean(0))
+    assert(one("SELECT not_like_escape('x', 'abc', 'a') AS m").getBoolean(0))
+    // list_resize: 2-arg NULL pad, 3-arg fill, truncation
+    assert(one("SELECT list_resize(array(1, 2, 3), 5, 9) AS m").getSeq[Int](0) == Seq(1, 2, 3, 9, 9))
+    assert(one("SELECT list_resize(array(1, 2, 3), 2) AS m").getSeq[Int](0) == Seq(1, 2))
+    assert(one("SELECT list_resize(array(1), 3) AS m").getSeq[Any](0) == Seq(1, null, null))
+    // cross product (probed: [1,2,3]x[4,5,6] = [-3,6,-3])
+    assert(one("SELECT array_cross_product(array(1.0,2.0,3.0), array(4.0,5.0,6.0)) AS m")
+      .getSeq[Double](0) == Seq(-3.0, 6.0, -3.0))
+    // polymorphic length
+    assert(one("SELECT length(array(1,2,3)) AS m").getInt(0) == 3)
+    assert(one("SELECT length('abcd') AS m").getInt(0) == 4)
+    assert(one("SELECT epoch_ns(TIMESTAMP '2024-01-15 13:30:05.123456') AS m").getLong(0) == 1705325405123456000L)
+  }
+
+  test("json_array/json_object()/json_structure/json_contains (probed)") {
+    assert(one("SELECT json_object() AS m").getString(0) == "{}")
+    assert(one("SELECT json_array() AS m").getString(0) == "[]")
+    assert(one("SELECT json_array(7, 'a', NULL) AS m").getString(0) == "[7,\"a\",null]")
+    assert(one("SELECT json_array(array(1, 2)) AS m").getString(0) == "[[1,2]]")
+    assert(one("SELECT json_structure('{\"a\": 1, \"b\": [1.5]}') AS m").getString(0)
+      == "{\"a\":\"UBIGINT\",\"b\":[\"DOUBLE\"]}")
+    assert(one("SELECT json_structure('[1, \"a\"]') AS m").getString(0) == "[\"JSON\"]")
+    assert(one("SELECT json_structure('{}') AS m").getString(0) == "\"JSON\"")
+    assert(one("SELECT json_structure('[]') AS m").getString(0) == "[\"NULL\"]")
+    assert(one("SELECT json_structure('{\"a\": {\"b\": [true]}}') AS m").getString(0)
+      == "{\"a\":{\"b\":[\"BOOLEAN\"]}}")
+    assert(one("SELECT json_contains('[1,2,3]', '2') AS m").getBoolean(0))
+    assert(one("SELECT json_contains('{\"a\":{\"b\":2}}', '{\"b\":2}') AS m").getBoolean(0))
+    assert(one("SELECT json_contains('[1,2]', '[2,1]') AS m").getBoolean(0))
+    assert(!one("SELECT json_contains('{\"a\":1}', '2') AS m").getBoolean(0))
+    assert(!one("SELECT json_contains('[1,2]', '[3]') AS m").getBoolean(0))
+    assert(!one("SELECT json_contains('{\"a\":{\"b\":2}}', '{\"b\":3}') AS m").getBoolean(0))
+  }
+
+  test("try_strptime with a format LIST takes the first match (probed)") {
+    assert(one("SELECT CAST(try_strptime('2024-01-15', array('%d/%m/%Y', '%Y-%m-%d')) AS DATE) AS m")
+      .getDate(0).toString == "2024-01-15")
+    assert(one("SELECT try_strptime('junk', array('%Y-%m-%d')) AS m").isNullAt(0))
+  }
+
+  test("ATTACH mounts an EXPORT-DATABASE directory; DETACH drops it") {
+    val dir = Files.createTempDirectory("graftatt").toString
+    val df = spark.range(1).toDF("z")
+    val s2 = spark.newSession()
+    graft.functions.expressions.GraftFunctions.register(s2)
+    SqlStage("t", s"""
+      CREATE OR REPLACE TEMP TABLE att_src AS SELECT id AS k, id * 2 AS v FROM range(5);
+      EXPORT DATABASE '$dir' (FORMAT PARQUET);
+      DROP TABLE att_src""").apply(s2, s2.range(1).toDF("z"))
+    // attach under an alias; alias-qualified reads rewrite onto the views
+    val out = SqlStage("t", s"ATTACH '$dir' AS adb; SELECT k, v FROM adb.att_src ORDER BY k")
+      .apply(s2, s2.range(1).toDF("z")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == (0L to 4L).map(k => (k, k * 2)))
+    // double-attach errors like DuckDB; DETACH then re-attach works
+    val dup = intercept[Exception](
+      SqlStage("t", s"ATTACH '$dir' AS adb").apply(s2, s2.range(1).toDF("z")))
+    assert(dup.getMessage.contains("already attached"))
+    SqlStage("t", "DETACH adb").apply(s2, s2.range(1).toDF("z"))
+    val gone = intercept[Exception](
+      SqlStage("t", "SELECT * FROM adb.att_src").apply(s2, s2.range(1).toDF("z")))
+    assert(gone != null)
+    // DETACH of an unknown alias errors; IF EXISTS ignores it
+    val miss = intercept[Exception](
+      SqlStage("t", "DETACH adb").apply(s2, s2.range(1).toDF("z")))
+    assert(miss.getMessage.contains("no database named"))
+    SqlStage("t", "DETACH IF EXISTS adb").apply(s2, s2.range(1).toDF("z"))
+    // default alias = basename; .db storage files keep the guided error
+    val out2 = SqlStage("t", s"ATTACH '$dir'; SELECT count(*) AS n FROM ${new java.io.File(dir).getName}.att_src")
+      .apply(s2, s2.range(1).toDF("z")).collect()
+    assert(out2.head.getLong(0) == 5L)
+    val bad = intercept[Exception](
+      SqlStage("t", "ATTACH '/tmp/nonexistent_graft.db' AS x").apply(s2, s2.range(1).toDF("z")))
+    assert(bad.getMessage.contains("EXPORT DATABASE"))
+    assert(df.count() == 1) // base session untouched
+  }
+
 }
