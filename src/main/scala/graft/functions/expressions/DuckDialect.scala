@@ -878,7 +878,10 @@ object DuckDialect {
     }
   }
 
-  val aliases: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  val aliases: Seq[(String, Seq[Expression] => Expression)] =
+    baseAliases ++ icuCollateAliases
+
+  private def baseAliases: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // --- string splitting (DuckDB separator is literal; Spark's is regex)
     "string_split" -> (es => { nArgs("string_split", es, 2); StringSplit(es(0), quotedSep(es(1)), Literal(-1)) }),
     "str_split" -> (es => { nArgs("str_split", es, 2); StringSplit(es(0), quotedSep(es(1)), Literal(-1)) }),
@@ -1623,6 +1626,47 @@ object DuckDialect {
     // --- table-in-select
     "unnest" -> (es => { nArgs("unnest", es, 1); Explode(es(0)) })
   )
+
+  /** The 130 `icu_collate_<locale>` collators in DuckDB 1.0.0's catalog
+    * (r15) plus `icu_sort_key(s, 'locale')`: a hex-encoded collation
+    * sort key whose ORDERING is the locale's collation. DuckDB renders
+    * ICU keys, graft renders `java.text.Collator` keys — the BYTES
+    * differ by design (different libraries; only ordering is the
+    * contract, which q183 pins per locale against DuckDB on the
+    * locale's own alphabet). Known ordering divergences, documented:
+    * the JDK's French-family collators keep legacy backward-accent
+    * secondaries (côte < coté where CLDR says coté < côte), and foreign
+    * exotic codepoints (dotless ı in a Latin battery) can rank
+    * differently; a locale the JDK lacks falls back to root collation.
+    */
+  // a def, not a val: `aliases` initializes earlier in the object body
+  private def icuTags = Seq(
+    "af", "am", "ar", "ar_sa", "as", "az", "be", "bg", "bn", "bo", "br",
+    "bs", "ca", "ceb", "chr", "cs", "cy", "da", "de", "de_at", "dsb", "dz",
+    "ee", "el", "en", "en_us", "eo", "es", "et", "fa", "fa_af", "ff", "fi",
+    "fil", "fo", "fr", "fr_ca", "fy", "ga", "gl", "gu", "ha", "haw", "he",
+    "he_il", "hi", "hr", "hsb", "hu", "hy", "id", "id_id", "ig", "is", "it",
+    "ja", "ka", "kk", "kl", "km", "kn", "ko", "kok", "ku", "ky", "lb",
+    "lkt", "ln", "lo", "lt", "lv", "mk", "ml", "mn", "mr", "ms", "mt", "my",
+    "nb", "nb_no", "ne", "nl", "nn", "om", "or", "pa", "pa_in", "pl", "ps",
+    "pt", "ro", "ru", "sa", "se", "si", "sk", "sl", "smn", "sq", "sr",
+    "sr_ba", "sr_me", "sr_rs", "sv", "sw", "ta", "te", "th", "tk", "to",
+    "tr", "ug", "uk", "ur", "uz", "vi", "wae", "wo", "xh", "yi", "yo",
+    "yue", "yue_cn", "zh", "zh_cn", "zh_hk", "zh_mo", "zh_sg", "zh_tw", "zu")
+
+  private def icuCollateAliases: Seq[(String, Seq[Expression] => Expression)] =
+    icuTags.map { t =>
+      s"icu_collate_$t" -> ((es: Seq[Expression]) => {
+        nArgs(s"icu_collate_$t", es, 1)
+        sweepInvoke(StringType, "icuCollateKey",
+          Seq(Cast(es(0), StringType), lit(t)), Seq(StringType, StringType))
+      })
+    } :+ ("icu_sort_key" -> ((es: Seq[Expression]) => {
+      nArgs("icu_sort_key", es, 2)
+      sweepInvoke(StringType, "icuCollateKey",
+        Seq(Cast(es(0), StringType), Cast(es(1), StringType)),
+        Seq(StringType, StringType))
+    }))
 
   /** DuckDB functions with no faithful expression rewrite → the hint a
     * raised error carries. Checked when a `sql` stage fails analysis

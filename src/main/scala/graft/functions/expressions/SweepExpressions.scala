@@ -248,6 +248,37 @@ object DuckSweep {
     UTF8String.fromString(t)
   }
 
+  /** Backs the `icu_collate_<locale>` family and `icu_sort_key` (see
+    * the DuckDialect registration notes): locale collation key as
+    * uppercase hex. Collator instances are NOT thread-safe —
+    * thread-local cache keyed by the locale tag.
+    */
+  private val tlCollators =
+    ThreadLocal.withInitial[java.util.HashMap[String, java.text.Collator]](
+      () => new java.util.HashMap[String, java.text.Collator]())
+
+  def icuCollateKey(s: UTF8String, tag: UTF8String): UTF8String = {
+    val t = tag.toString
+    val m = tlCollators.get()
+    var col = m.get(t)
+    if (col == null) {
+      val parts = t.split("_")
+      val loc =
+        if (parts.length > 1) new java.util.Locale(parts(0), parts(1).toUpperCase)
+        else new java.util.Locale(parts(0))
+      col = java.text.Collator.getInstance(loc)
+      m.put(t, col)
+    }
+    val bytes = col.getCollationKey(s.toString).toByteArray
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append("%02X".format(bytes(i) & 0xff))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** DuckDB `array_cross_product` (probed 1.0.0): 3-d cross product
     * over DOUBLE[3]; wrong lengths or NULL slots error like DuckDB's
     * typed ARRAY requirement.

@@ -2479,6 +2479,76 @@ object GraftSqlParser {
   private val RsvSizeRe =
     raw"(?i)\bUSING\s+SAMPLE\s+(\d+)\s*(?:ROWS\s*)?\(\s*reservoir\s*(?:,\s*(\d+))?\s*\)".r
 
+  private val SampleAggFnRe =
+    raw"(?i)\b(count|sum|avg|mean|min|max|median|mad|product|entropy|string_agg|group_concat|listagg|array_agg|bool_and|bool_or|bit_and|bit_or|bit_xor|stddev|stddev_pop|stddev_samp|var_pop|var_samp|variance|corr|covar_pop|covar_samp|approx_count_distinct|approx_quantile|quantile|quantile_cont|quantile_disc|arg_min|arg_max|argmin|argmax|any_value|histogram|mode|skewness|kurtosis)\s*\(".r
+
+  /** DuckDB's USING SAMPLE draws the FROM/WHERE rows BEFORE the select
+    * list evaluates (probed 1.0.0: `SELECT count(*) FROM t USING SAMPLE
+    * 5 ROWS` = 5; `GROUP BY g USING SAMPLE 10 ROWS` groups the 10
+    * sampled rows; `SELECT DISTINCT … USING SAMPLE 6` dedups 6 rows).
+    * The wrap rewrite evaluates the whole block FIRST, which would be
+    * silently wrong under aggregation/DISTINCT/GROUP BY — refuse loudly
+    * and name the FROM-subquery form, which both engines execute
+    * identically (the subquery sample applies where written, probed).
+    */
+  private def guardAggregatedSample(maskedHead: String): Unit = {
+    // subquery-paren depth per position: '(' followed by SELECT opens a
+    // subquery scope; function/grouping parens don't (so round(sum(x))
+    // still counts as a top-level aggregate while (SELECT count(*) …)
+    // scalar subqueries don't trigger)
+    val subDepth = new Array[Int](maskedHead.length + 1)
+    val stack = scala.collection.mutable.Stack[Boolean]()
+    var i = 0
+    while (i < maskedHead.length) {
+      subDepth(i) = stack.count(identity)
+      maskedHead.charAt(i) match {
+        case '(' =>
+          val rest = maskedHead.substring(i + 1).dropWhile(_.isWhitespace)
+          stack.push(rest.regionMatches(true, 0, "SELECT", 0, 6))
+        case ')' => if (stack.nonEmpty) stack.pop()
+        case _ =>
+      }
+      i += 1
+    }
+    def topLevel(re: scala.util.matching.Regex, upTo: Int): Boolean =
+      re.findAllMatchIn(maskedHead.substring(0, upTo))
+        .exists(m => subDepth(m.start) == 0 && !insideParens(m.start))
+    // plain paren depth (for GROUP BY: must be this block's clause, not
+    // a parenthesized expression's text)
+    def insideParens(pos: Int): Boolean = {
+      var d = 0
+      var j = 0
+      while (j < pos) {
+        maskedHead.charAt(j) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+        }
+        j += 1
+      }
+      d > 0
+    }
+    val grouped = topLevel(raw"(?i)\b(GROUP\s+BY|HAVING)\b".r, maskedHead.length)
+    val distinct = raw"(?i)^\s*SELECT\s+DISTINCT\b".r
+      .findFirstIn(maskedHead).isDefined
+    // aggregates AND window functions only matter in the select list
+    // (before the top-level FROM) — both evaluate over the SAMPLED rows
+    // in DuckDB, while the wrap evaluates the block first, so both
+    // refuse
+    val fromIdx = raw"(?i)\bFROM\b".r.findAllMatchIn(maskedHead)
+      .find(m => subDepth(m.start) == 0 && !insideParens(m.start))
+      .map(_.start).getOrElse(maskedHead.length)
+    val selList = maskedHead.substring(0, fromIdx)
+    val agg = SampleAggFnRe.findAllMatchIn(selList).exists(m => subDepth(m.start) == 0) ||
+      raw"(?i)\bOVER\b".r.findAllMatchIn(selList).exists(m => subDepth(m.start) == 0)
+    if (grouped || distinct || agg)
+      throw new graft.functions.expressions.DuckDialectException(
+        "USING SAMPLE under aggregation/DISTINCT/GROUP BY samples the base " +
+          "rows BEFORE aggregating in DuckDB, which this block-wrap rewrite " +
+          "cannot express — move the sample into a FROM subquery: SELECT " +
+          "... FROM (SELECT * FROM t WHERE ... USING SAMPLE <spec>) GROUP BY ...")
+  }
+
   /** Rewrite DuckDB `USING SAMPLE n% / n PERCENT / n [ROWS]` into Spark
     * `TABLESAMPLE`, wrapping the block so the sample applies AFTER the
     * block's WHERE — DuckDB's documented semantics, and the opposite of
@@ -2535,6 +2605,7 @@ object GraftSqlParser {
       }
       val blockStart = if (stack.isEmpty) 0 else stack.top
       val head = sql.substring(blockStart, rm.start).trim
+      guardAggregatedSample(masked.substring(blockStart, rm.start).trim)
       return rewriteSample(sql.substring(0, blockStart) +
         s"SELECT * EXCEPT ($h) FROM (SELECT *, xxhash64(struct(*), $seed) " +
         s"AS $h FROM ( $head ) ORDER BY $h LIMIT $n)" +
@@ -2589,6 +2660,7 @@ object GraftSqlParser {
         }
         val blockStart = if (stack.isEmpty) 0 else stack.top
         val head = sql.substring(blockStart, m.start).trim
+        guardAggregatedSample(masked.substring(blockStart, m.start).trim)
         rewriteSample(sql.substring(0, blockStart) +
           s"SELECT * FROM ( $head ) TABLESAMPLE ($spec) $repeatable" +
           sql.substring(m.end + consumed))

@@ -1547,10 +1547,11 @@ object ExtraQueries {
     * family, list_resize, array_cross_product, polymorphic
     * length(list), json_object()/json_array/json_structure/
     * json_contains, format-list try_strptime, and the BLOB
-    * encode→octet_length/bit_length pair. Sweep-7 measured 264/414 of
+    * encode→octet_length/bit_length pair. Sweep-7 measures 395/414 of
     * DuckDB's own scalar catalog executing (gen_duck_probes.py +
-    * graft.tools.Sweep7); the remainder is ICU collations, BIT-typed
-    * probes and session-meta functions.
+    * graft.tools.Sweep7; the icu_collate_* family executes too — q183);
+    * the 19-function remainder is BIT-typed probes and session-meta/
+    * debug functions.
     */
   private[graft] val sweep7SqlText = """
       WITH t AS (
@@ -1605,6 +1606,85 @@ object ExtraQueries {
     graft.functions.expressions.GraftFunctions.register(s)
     lineitem(s, d).createOrReplaceTempView("lineitem")
     graft.operators.SqlStage("q180", sweep7SqlText).apply(s, lineitem(s, d))
+  }
+
+  /** ICU-collation gate (r15) — IDENTICAL text on both engines: the
+    * `icu_collate_<locale>` family orders a per-locale word battery
+    * (each battery drawn from the locale's OWN alphabet) and the two
+    * engines' orderings must agree byte-for-byte. The key BYTES differ
+    * by design (DuckDB renders ICU sort keys, graft renders
+    * java.text.Collator keys — see the DuckDialect registration notes),
+    * so the gate hashes the ORDERING, the actual contract. 16 locales
+    * spanning Latin-with-diacritics, digraph collations (es ch / cs ch
+    * / hu cs / hr lj), expansion collations (de ß), Cyrillic, Greek,
+    * Hebrew, CJK and Vietnamese; `icu_sort_key(s, 'locale')` rides the
+    * de battery. Verified-diverging locales (fr backward accents, uk
+    * Cyrillic ghe-upturn) are documented divergences and stay out.
+    */
+  private[graft] val icuCollateSqlText = """
+      WITH b(loc, x) AS (VALUES
+        ('de', 'apfel'), ('de', 'ähre'), ('de', 'azur'), ('de', 'ober'),
+        ('de', 'öl'), ('de', 'ost'), ('de', 'strasse'), ('de', 'Straße'),
+        ('de', 'szene'), ('de', 'ufer'), ('de', 'über'), ('de', 'zelt'),
+        ('es', 'cama'), ('es', 'chico'), ('es', 'dardo'), ('es', 'lado'),
+        ('es', 'llave'), ('es', 'luz'), ('es', 'nido'), ('es', 'ñu'), ('es', 'oso'),
+        ('sv', 'apa'), ('sv', 'vem'), ('sv', 'wok'), ('sv', 'zebra'),
+        ('sv', 'åka'), ('sv', 'ärta'), ('sv', 'öra'),
+        ('cs', 'cena'), ('cs', 'čas'), ('cs', 'dub'), ('cs', 'hora'),
+        ('cs', 'chata'), ('cs', 'ihla'), ('cs', 'rak'), ('cs', 'řeka'),
+        ('cs', 'sad'), ('cs', 'šance'), ('cs', 'zub'), ('cs', 'žena'),
+        ('da', 'abe'), ('da', 'zebra'), ('da', 'æble'), ('da', 'øre'), ('da', 'åben'),
+        ('pl', 'as'), ('pl', 'bak'), ('pl', 'cena'), ('pl', 'ćma'),
+        ('pl', 'lok'), ('pl', 'łok'), ('pl', 'noc'), ('pl', 'oko'),
+        ('pl', 'ósemka'), ('pl', 'sad'), ('pl', 'śad'), ('pl', 'zad'),
+        ('pl', 'źad'), ('pl', 'żad'),
+        ('hu', 'cab'), ('hu', 'csak'), ('hu', 'dal'), ('hu', 'gaz'),
+        ('hu', 'gyar'), ('hu', 'oda'), ('hu', 'ör'),
+        ('tr', 'cam'), ('tr', 'çam'), ('tr', 'gaz'), ('tr', 'ise'),
+        ('tr', 'ısı'), ('tr', 'oda'), ('tr', 'öde'), ('tr', 'su'),
+        ('tr', 'şu'), ('tr', 'ulu'), ('tr', 'ünlü'),
+        ('ru', 'азбука'), ('ru', 'буква'), ('ru', 'весна'), ('ru', 'если'),
+        ('ru', 'ёлка'), ('ru', 'жизнь'), ('ru', 'зима'),
+        ('el', 'αλφα'), ('el', 'βητα'), ('el', 'γαμμα'), ('el', 'δελτα'), ('el', 'ζητα'),
+        ('ro', 'ac'), ('ro', 'ață'), ('ro', 'azi'), ('ro', 'sase'),
+        ('ro', 'șase'), ('ro', 'tara'), ('ro', 'țara'), ('ro', 'zi'),
+        ('hr', 'cica'), ('hr', 'čačak'), ('hr', 'ćup'), ('hr', 'dane'),
+        ('hr', 'džep'), ('hr', 'đak'), ('hr', 'evo'), ('hr', 'luk'),
+        ('hr', 'ljeto'), ('hr', 'noc'), ('hr', 'njega'), ('hr', 'on'),
+        ('hr', 'sok'), ('hr', 'šok'), ('hr', 'zub'), ('hr', 'žut'),
+        ('fi', 'aalto'), ('fi', 'vesi'), ('fi', 'zeta'), ('fi', 'åland'),
+        ('fi', 'äiti'), ('fi', 'öljy'),
+        ('he', 'אבא'), ('he', 'בית'), ('he', 'גמל'), ('he', 'דלת'),
+        ('ja', 'あい'), ('ja', 'かき'), ('ja', 'さし'), ('ja', 'たち'),
+        ('vi', 'an'), ('vi', 'ăn'), ('vi', 'ân'), ('vi', 'ba'),
+        ('vi', 'đa'), ('vi', 'da'), ('vi', 'e'), ('vi', 'ê'))
+      SELECT loc,
+             string_agg(x, '|' ORDER BY
+               CASE loc
+                 WHEN 'de' THEN icu_collate_de(x)
+                 WHEN 'es' THEN icu_collate_es(x)
+                 WHEN 'sv' THEN icu_collate_sv(x)
+                 WHEN 'cs' THEN icu_collate_cs(x)
+                 WHEN 'da' THEN icu_collate_da(x)
+                 WHEN 'pl' THEN icu_collate_pl(x)
+                 WHEN 'hu' THEN icu_collate_hu(x)
+                 WHEN 'tr' THEN icu_collate_tr(x)
+                 WHEN 'ru' THEN icu_collate_ru(x)
+                 WHEN 'el' THEN icu_collate_el(x)
+                 WHEN 'ro' THEN icu_collate_ro(x)
+                 WHEN 'hr' THEN icu_collate_hr(x)
+                 WHEN 'fi' THEN icu_collate_fi(x)
+                 WHEN 'he' THEN icu_collate_he(x)
+                 WHEN 'ja' THEN icu_collate_ja(x)
+                 ELSE icu_collate_vi(x)
+               END, x) AS ordering,
+             string_agg(CASE WHEN loc = 'de' THEN x END, '|' ORDER BY icu_sort_key(x, 'de'), x) AS ordering_de_key
+      FROM b GROUP BY loc ORDER BY loc"""
+
+  def q183IcuCollate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    nation(s, d).createOrReplaceTempView("nation")
+    graft.operators.SqlStage("q183", icuCollateSqlText).apply(s, nation(s, d))
   }
 
   /** ATTACH/DETACH gate (r15, VERDICT r14 missing #2): EXPORT a session
@@ -1695,6 +1775,7 @@ object ExtraQueries {
     "q180_sweep7"         -> (q180Sweep7 _),
     "q181_attach"         -> (q181Attach _),
     "q182_reservoir"      -> (q182Reservoir _),
+    "q183_icu_collate"    -> (q183IcuCollate _),
     "q178_sweep6"         -> (q178Sweep6 _),
     "q161_frame_exclude"  -> (q161FrameExclude _),
     "q162_regex_surface"  -> (q162RegexSurface _),
@@ -1798,6 +1879,9 @@ object ExtraQueries {
     // invariant text natively
     "q180_sweep7" -> sweep7SqlText,
     "q182_reservoir" -> reservoirSqlText,
+    // q183: DuckDB executes the IDENTICAL collation-battery text — the
+    // ORDERING is compared (key bytes differ by design)
+    "q183_icu_collate" -> icuCollateSqlText,
     // q181: both engines ATTACH and read back alias-qualified — graft
     // mounts its EXPORT-DATABASE directory, DuckDB round-trips through
     // a real .db storage file; the restored relations must agree

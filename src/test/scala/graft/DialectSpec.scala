@@ -3514,6 +3514,41 @@ class DialectSpec extends SparkSpec {
     assert(f.size == 50 && f.forall(_ < 60))
     // oversample returns every row
     assert(run("SELECT * FROM df WHERE id < 30 USING SAMPLE reservoir(99 ROWS)").size == 30)
+    // plan shape: bounded top-n (per-partition heaps + driver merge),
+    // never a global sort — the 100 TB posture of the hash-sample
+    val plan = SqlStage("s", "SELECT * FROM df USING SAMPLE reservoir(50 ROWS) REPEATABLE (42)")
+      .apply(spark, spark.range(500).toDF("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    assert(!plan.contains("SortExec"), plan.take(400))
+  }
+
+  test("USING SAMPLE under aggregation refuses loudly (DuckDB samples first)") {
+    // DuckDB probes: SELECT count(*) FROM t USING SAMPLE 5 ROWS = 5 —
+    // the block-wrap rewrite would evaluate the aggregate FIRST, so
+    // aggregate/DISTINCT/GROUP BY/window blocks refuse with the
+    // FROM-subquery form named instead of silently diverging
+    val df = spark.range(100).toDF("id")
+    for (sql <- Seq(
+      "SELECT count(*) AS n FROM df USING SAMPLE 5 ROWS",
+      "SELECT count(*) AS n FROM df USING SAMPLE reservoir(5 ROWS)",
+      "SELECT round(sum(id), 2) AS s FROM df USING SAMPLE 50%",
+      "SELECT id % 2 AS g, count(*) AS n FROM df GROUP BY g USING SAMPLE 10 ROWS",
+      "SELECT DISTINCT id % 3 FROM df USING SAMPLE 6 ROWS",
+      "SELECT sum(id) OVER () AS w FROM df USING SAMPLE 5 ROWS")) {
+      val e = intercept[Exception](SqlStage("s", sql).apply(spark, df).collect())
+      assert(e.getMessage.contains("FROM subquery"), s"$sql -> ${e.getMessage.take(120)}")
+    }
+    // the named workaround executes: sample inside a FROM subquery
+    val n = SqlStage("s",
+      "SELECT count(*) AS n FROM (SELECT * FROM df USING SAMPLE reservoir(5 ROWS)) t")
+      .apply(spark, df).collect().head.getLong(0)
+    assert(n == 5L)
+    // scalar subqueries in the select list do NOT trigger the guard
+    val ok = SqlStage("s",
+      "SELECT id, (SELECT count(*) FROM df) AS tot FROM df USING SAMPLE 5 ROWS")
+      .apply(spark, df).collect()
+    assert(ok.length == 5 && ok.head.getLong(1) == 100L)
   }
 
   test("sub-minute millisecond/microsecond and session timezone parts (probed)") {
@@ -3629,6 +3664,35 @@ class DialectSpec extends SparkSpec {
       SqlStage("t", "ATTACH '/tmp/nonexistent_graft.db' AS x").apply(s2, s2.range(1).toDF("z")))
     assert(bad.getMessage.contains("EXPORT DATABASE"))
     assert(df.count() == 1) // base session untouched
+  }
+
+  test("icu_collate_* family orders by locale collation (probed batteries)") {
+    def order(fn: String, words: Seq[String]): Seq[String] = {
+      val vals = words.map(w => s"('$w')").mkString(",")
+      spark.sql(s"SELECT x FROM (VALUES $vals) t(x) ORDER BY $fn(x), x")
+        .collect().map(_.getString(0)).toSeq
+    }
+    // German: ä == a at primary strength, so the secondary only breaks
+    // ties AFTER later letters compare — ähre < apfel (h < p), über <
+    // ufer (b < f); probed against DuckDB's icu_collate_de
+    assert(order("icu_collate_de", Seq("zelt", "über", "ufer", "öl", "ober", "ähre", "apfel"))
+      == Seq("ähre", "apfel", "ober", "öl", "über", "ufer", "zelt"))
+    // Spanish: ñ is a distinct letter after n; ch sorts inside c
+    // (post-1994 rules; probed: cama < chico < dardo)
+    assert(order("icu_collate_es", Seq("dardo", "chico", "cama", "ñu", "nido", "oso"))
+      == Seq("cama", "chico", "dardo", "nido", "ñu", "oso"))
+    // Swedish: å ä ö AFTER z
+    assert(order("icu_collate_sv", Seq("öra", "ärta", "åka", "zebra", "apa"))
+      == Seq("apa", "zebra", "åka", "ärta", "öra"))
+    // Czech: ch is a letter between h and i
+    assert(order("icu_collate_cs", Seq("ihla", "chata", "hora", "čas", "cena"))
+      == Seq("cena", "čas", "hora", "chata", "ihla"))
+    // icu_sort_key's named-collator form matches the dedicated alias
+    assert(order("icu_collate_de", Seq("öl", "ober", "ost")) ==
+      spark.sql("SELECT x FROM (VALUES ('öl'),('ober'),('ost')) t(x) ORDER BY icu_sort_key(x, 'de'), x")
+        .collect().map(_.getString(0)).toSeq)
+    // keys are deterministic uppercase hex
+    assert(one("SELECT icu_collate_en('abc') AS k").getString(0).matches("[0-9A-F]+"))
   }
 
 }
