@@ -1371,6 +1371,15 @@ object DuckDialect {
       sweepInvoke(BooleanType, "jsonContains",
         Seq(Cast(es(0), StringType), Cast(es(1), StringType)),
         Seq(StringType, StringType)) }),
+    // bar chart string (r15, probed) — see DuckSweep.bar
+    "bar" -> (es => {
+      if (es.length != 3 && es.length != 4)
+        throw new DuckDialectException("bar takes (value, min, max[, width])")
+      val w = if (es.length == 4) Cast(es(3), DoubleType) else Literal(80.0)
+      sweepInvoke(StringType, "bar",
+        Seq(Cast(es(0), DoubleType), Cast(es(1), DoubleType),
+          Cast(es(2), DoubleType), w),
+        Seq(DoubleType, DoubleType, DoubleType, DoubleType)) }),
     // gamma/lgamma (r14): Lanczos kernels within a few ulp of DuckDB's
     // libm — oracle gates compare through round(·, 6)
     "gamma" -> (es => { nArgs("gamma", es, 1); GammaExpr(Cast(es(0), DoubleType)) }),

@@ -248,6 +248,33 @@ object DuckSweep {
     UTF8String.fromString(t)
   }
 
+  /** DuckDB `bar(v, min, max[, width=80])` (probed 1.0.0): unicode
+    * block bar — `frac = clamp((v-min)/(max-min), 0, 1)` (a reversed or
+    * empty range renders empty), `full = floor(frac·width)` FULL BLOCKS
+    * plus one eighth-block for `floor(frac·width%1 · 8)` eighths, then
+    * space padding computed against the bar's BYTE length (each block
+    * char is 3 UTF-8 bytes — DuckDB pads `width - strlen(bar)`, probed:
+    * bar(2.5,0,10,8) = 2 blocks + 2 spaces, bar(0,0,10,8) = 8 spaces).
+    */
+  def bar(v: Double, lo: Double, hi: Double, width: Double): UTF8String = {
+    if (width < 1)
+      throw new IllegalArgumentException("Max bar width must be >= 1")
+    var frac = if (hi <= lo) 0.0 else (v - lo) / (hi - lo)
+    if (frac.isNaN) frac = 0.0
+    frac = math.max(0.0, math.min(1.0, frac))
+    val blocks = frac * width
+    val full = math.floor(blocks).toInt
+    val eighths = math.floor((blocks - full) * 8.0).toInt
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < full) { sb.append('█'); i += 1 }
+    if (eighths > 0) sb.append("▏▎▍▌▋▊▉".charAt(eighths - 1))
+    val chars = full + (if (eighths > 0) 1 else 0)
+    var pad = math.max(0, math.round(width).toInt - 3 * chars)
+    while (pad > 0) { sb.append(' '); pad -= 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Backs the `icu_collate_<locale>` family and `icu_sort_key` (see
     * the DuckDialect registration notes): locale collation key as
     * uppercase hex. Collator instances are NOT thread-safe —

@@ -1547,10 +1547,10 @@ object ExtraQueries {
     * family, list_resize, array_cross_product, polymorphic
     * length(list), json_object()/json_array/json_structure/
     * json_contains, format-list try_strptime, and the BLOB
-    * encode→octet_length/bit_length pair. Sweep-7 measures 395/414 of
+    * encode→octet_length/bit_length pair. Sweep-7 measures 396/414 of
     * DuckDB's own scalar catalog executing (gen_duck_probes.py +
     * graft.tools.Sweep7; the icu_collate_* family executes too — q183);
-    * the 19-function remainder is BIT-typed probes and session-meta/
+    * the 18-function remainder is BIT-typed probes and session-meta/
     * debug functions.
     */
   private[graft] val sweep7SqlText = """
@@ -1599,7 +1599,8 @@ object ExtraQueries {
              json_contains(json_object('f', l_returnflag), '"A"') AS jc,
              strftime(try_strptime(strftime(ts, '%Y-%m-%d'), ['%d/%m/%Y', '%Y-%m-%d']), '%Y-%m-%d') AS tsp,
              CAST(octet_length(encode(l_returnflag || l_linestatus)) AS INT) AS ol,
-             CAST(bit_length(l_returnflag) AS INT) AS bl
+             CAST(bit_length(l_returnflag) AS INT) AS bl,
+             bar(CAST(l_quantity AS DOUBLE), 0, 50, 10) AS br
       FROM t ORDER BY k, ln"""
 
   def q180Sweep7(s: SparkSession, d: String): DataFrame = {

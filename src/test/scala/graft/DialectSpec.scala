@@ -3601,6 +3601,14 @@ class DialectSpec extends SparkSpec {
     // polymorphic length
     assert(one("SELECT length(array(1,2,3)) AS m").getInt(0) == 3)
     assert(one("SELECT length('abcd') AS m").getInt(0) == 4)
+    // bar: eighth blocks + byte-length padding (probed values)
+    assert(one("SELECT bar(2.5, 0, 10, 8) AS m").getString(0) == "██  ")
+    assert(one("SELECT bar(0, 0, 10, 8) AS m").getString(0) == "        ")
+    assert(one("SELECT bar(1, 0, 3, 7) AS m").getString(0) == "██▎")
+    assert(one("SELECT bar(1.99, 0, 16, 8) AS m").getString(0) == "▉     ")
+    assert(one("SELECT bar(1, 0, 16, 8) AS m").getString(0) == "▌     ")
+    assert(one("SELECT bar(5, 10, 0, 8) AS m").getString(0) == "        ")
+    assert(one("SELECT bar(3, 0, 10) AS m").getString(0).length == 32)
     assert(one("SELECT epoch_ns(TIMESTAMP '2024-01-15 13:30:05.123456') AS m").getLong(0) == 1705325405123456000L)
   }
 
