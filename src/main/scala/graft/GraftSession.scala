@@ -19,6 +19,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4.1's ANSI TIME type ships behind a flag; the dialect's
+      // TIME-typed scalars need it (GraftFunctions.register also sets
+      // it at runtime for sessions built elsewhere)
+      .config("spark.sql.timeType.enabled", "true")
       // janino's compiled-class cache defaults to 100 entries; a suite of
       // ~90 queries x several codegen units each thrashes it, recompiling
       // every generated class on every pass (r7: sequential Bench wall

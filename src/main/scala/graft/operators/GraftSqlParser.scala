@@ -2480,7 +2480,7 @@ object GraftSqlParser {
     raw"(?i)\bUSING\s+SAMPLE\s+(\d+)\s*(?:ROWS\s*)?\(\s*reservoir\s*(?:,\s*(\d+))?\s*\)".r
 
   private val SampleAggFnRe =
-    raw"(?i)\b(count|sum|avg|mean|min|max|median|mad|product|entropy|string_agg|group_concat|listagg|array_agg|bool_and|bool_or|bit_and|bit_or|bit_xor|stddev|stddev_pop|stddev_samp|var_pop|var_samp|variance|corr|covar_pop|covar_samp|approx_count_distinct|approx_quantile|quantile|quantile_cont|quantile_disc|arg_min|arg_max|argmin|argmax|any_value|histogram|mode|skewness|kurtosis)\s*\(".r
+    raw"(?i)\b(count|sum|avg|mean|min|max|median|mad|product|entropy|string_agg|group_concat|listagg|array_agg|list|first|last|bool_and|bool_or|bit_and|bit_or|bit_xor|stddev|stddev_pop|stddev_samp|var_pop|var_samp|variance|corr|covar_pop|covar_samp|approx_count_distinct|approx_quantile|quantile|quantile_cont|quantile_disc|arg_min|arg_max|argmin|argmax|any_value|histogram|mode|skewness|kurtosis)\s*\(".r
 
   /** DuckDB's USING SAMPLE draws the FROM/WHERE rows BEFORE the select
     * list evaluates (probed 1.0.0: `SELECT count(*) FROM t USING SAMPLE
