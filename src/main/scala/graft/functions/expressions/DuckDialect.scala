@@ -433,8 +433,11 @@ object GraftListSort {
   *     `* EXCLUDE(...)` → `* EXCEPT(...)`, `QUALIFY <pred>` → a ranked
   *     subquery (wrap for alias predicates, helper-column injection for
   *     inline windows), `struct_pack(a := x)` → `named_struct('a', x)`,
-  *     and `USING SAMPLE n%/n ROWS` → a TABLESAMPLE over the block
-  *     (method specs like reservoir(...) keep the guided error).
+  *     and `USING SAMPLE n%/n ROWS` → a TABLESAMPLE over the block,
+  *     with `reservoir(n ROWS)` as a deterministic-hash top-n (r15;
+  *     percentage reservoir(n%) keeps the guided error, and sampled
+  *     aggregation/DISTINCT blocks refuse loudly — DuckDB samples the
+  *     base rows first).
   *  3. [[fnHints]]/[[constructHints]] — DuckDB-isms with no faithful
   *     Spark rewrite raise [[DuckDialectException]] naming the construct
   *     and the nearest Spark equivalent instead of a raw Catalyst error.
