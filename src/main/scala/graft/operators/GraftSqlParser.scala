@@ -5754,6 +5754,19 @@ object GraftSqlParser {
   private def attachViewName(alias: String, table: String): String =
     s"__graft_att_${alias}__${table.toLowerCase}"
 
+  /** Remap a `COPY ... FROM '<path>'` source onto `dir` by basename:
+    * DuckDB's load.sql records ABSOLUTE paths (r15 interop fixture), so
+    * a moved or copied export directory would point at the original
+    * location (DuckDB's own IMPORT shares the quirk); the data files
+    * always sit next to load.sql, so the basename under the mounted
+    * directory is the correct source.
+    */
+  def remapCopySourceToDir(st: String, dir: String): String =
+    raw"(?is)\bFROM\s+'([^']+)'".r.replaceAllIn(st, m => {
+      val base = new java.io.File(m.group(1)).getName
+      java.util.regex.Matcher.quoteReplacement(s"FROM '$dir/$base'")
+    })
+
   private val attachReg =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.concurrent.TrieMap[String, Seq[String]]]()
@@ -5812,7 +5825,7 @@ object GraftSqlParser {
       // statements — no Spark equivalent and nothing reads them here
       if (renamed.trim.nonEmpty &&
           !renamed.matches("(?is)^\\s*CREATE\\s+(UNIQUE\\s+)?(INDEX|SEQUENCE)\\b.*"))
-        run(renamed)
+        run(remapCopySourceToDir(renamed, dir))
     }
     val ts = tables.result().distinct
     // attached relations are NOT session tables: DuckDB's EXPORT
@@ -5897,7 +5910,12 @@ object GraftSqlParser {
     val body = sql.substring(m.end, close - 1)
     val bodyMasked = masked.substring(m.end, close - 1)
     if (body.trim.isEmpty) createDefFail("empty column list")
-    val items = splitTopLevel(body, bodyMasked).map(_.trim)
+    // DuckDB's own EXPORT DATABASE schema.sql double-quotes column
+    // names that shadow keywords ("name" VARCHAR — r15 interop
+    // fixture); plain-identifier quotes strip, anything needing real
+    // quoting keeps the loud failure below
+    val items = splitTopLevel(body, bodyMasked).map(
+      _.trim.replaceAll("^\"([A-Za-z_]\\w*)\"", "$1"))
     val TablePkRe = raw"(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)$$".r
     val ColRe = raw"(?is)^([A-Za-z_]\w*)\s+([A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*(.*)$$".r
     var pk = Seq.empty[String]

@@ -320,9 +320,12 @@ final case class SqlStage(name: String, code: String) extends Stage {
       var out = df
       (GraftSqlParser.splitStatements(readSql("schema.sql")) ++
         GraftSqlParser.splitStatements(readSql("load.sql"))).foreach { st0 =>
-        val st = st0
+        // DuckDB's load.sql records ABSOLUTE source paths — remap onto
+        // the import directory so a moved/copied export still loads
+        // (r15; the attach route shares the helper)
+        val st = GraftSqlParser.remapCopySourceToDir(st0
           .replaceAll("(?is)^\\s*CREATE\\s+TABLE\\b", "CREATE TEMP TABLE")
-          .replaceAll("(?is)^\\s*CREATE\\s+VIEW\\b", "CREATE TEMP VIEW")
+          .replaceAll("(?is)^\\s*CREATE\\s+VIEW\\b", "CREATE TEMP VIEW"), dir)
         if (st.trim.nonEmpty) out = SqlStage(name, st).apply(spark, df)
       }
       // DuckDB returns the LAST load statement's Count relation

@@ -3674,6 +3674,34 @@ class DialectSpec extends SparkSpec {
     assert(df.count() == 1) // base session untouched
   }
 
+  test("ATTACH/IMPORT consume DuckDB's own EXPORT DATABASE layout (fixture)") {
+    // src/test/resources/duckdb_export was produced by duckdb 1.0.0's
+    // EXPORT DATABASE (FORMAT CSV): double-quoted column names in
+    // schema.sql ("name" VARCHAR), quoted FORMAT / valued HEADER /
+    // QUOTE options and ABSOLUTE source paths in load.sql — the
+    // remap-by-basename route loads the MOVED directory (the original
+    // /tmp path no longer exists)
+    val dir = "/root/repo/src/test/resources/duckdb_export"
+    val s2 = spark.newSession()
+    graft.functions.expressions.GraftFunctions.register(s2)
+    val out = SqlStage("t",
+      s"ATTACH '$dir' AS duck; SELECT name, pop FROM duck.cities ORDER BY city_id")
+      .apply(s2, s2.range(1).toDF("z")).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("madrid", 3300000L), ("paris", 2100000L), ("berlin", 3700000L)))
+    val m = SqlStage("t", "SELECT sum(v) AS s FROM duck.metrics")
+      .apply(s2, s2.range(1).toDF("z")).collect()
+    assert(m.head.getDouble(0) == 3.75)
+    SqlStage("t", "DETACH duck").apply(s2, s2.range(1).toDF("z"))
+    // the IMPORT route consumes the same directory (unprefixed names)
+    val s3 = spark.newSession()
+    graft.functions.expressions.GraftFunctions.register(s3)
+    val out2 = SqlStage("t",
+      s"IMPORT DATABASE '$dir'; SELECT count(*) AS n FROM cities")
+      .apply(s3, s3.range(1).toDF("z")).collect()
+    assert(out2.head.getLong(0) == 3L)
+  }
+
   test("icu_collate_* family orders by locale collation (probed batteries)") {
     def order(fn: String, words: Seq[String]): Seq[String] = {
       val vals = words.map(w => s"('$w')").mkString(",")
