@@ -1649,7 +1649,10 @@ object DuckDialect {
     * the JDK's French-family collators keep legacy backward-accent
     * secondaries (côte < coté where CLDR says coté < côte), and foreign
     * exotic codepoints (dotless ı in a Latin battery) can rank
-    * differently; a locale the JDK lacks falls back to root collation.
+    * differently. 71 of the 130 tags have no JDK tailoring and fall
+    * back to ROOT collation — which matches ICU for CLDR-untailored
+    * locales (probed identical orderings for sw/zu/yo/fil/ta/km);
+    * only tailored-in-CLDR-but-missing-in-JDK locales can diverge.
     */
   // a def, not a val: `aliases` initializes earlier in the object body
   private def icuTags = Seq(

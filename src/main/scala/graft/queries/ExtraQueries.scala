@@ -1439,13 +1439,13 @@ object ExtraQueries {
     * session so only this gate's table exports (DuckDB's EXPORT walks
     * the whole catalog the same way).
     */
-  private[graft] val exportImportSqlText = """
+  private[graft] def exportImportSqlText(dir: String) = s"""
       CREATE OR REPLACE TEMP TABLE q176_src AS
         SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
                CAST(n_regionkey AS BIGINT) AS rk FROM nation;
-      EXPORT DATABASE '/tmp/graft_q176_db' (FORMAT PARQUET);
+      EXPORT DATABASE '$dir' (FORMAT PARQUET);
       DROP TABLE q176_src;
-      IMPORT DATABASE '/tmp/graft_q176_db';
+      IMPORT DATABASE '$dir';
       SELECT k, nm, rk FROM q176_src ORDER BY k"""
 
   /** One derived session per caller session, cached: every live
@@ -1460,7 +1460,11 @@ object ExtraQueries {
     val s2 = q176Sessions.computeIfAbsent(s, _.newSession())
     graft.functions.expressions.GraftFunctions.register(s2)
     nation(s2, d).createOrReplaceTempView("nation")
-    graft.operators.SqlStage("q176", exportImportSqlText).apply(s2, nation(s2, d))
+    // per-derived-session directory — the q181 concurrent-stream
+    // treatment (a shared path races EXPORT overwrite vs IMPORT read)
+    graft.operators.SqlStage("q176", exportImportSqlText(
+      s"/tmp/graft_q176_db_${Integer.toHexString(System.identityHashCode(s2))}"))
+      .apply(s2, nation(s2, d))
   }
 
   /** Quantified comparisons + named-window EXCLUDE gate (r14) —
@@ -1698,25 +1702,29 @@ object ExtraQueries {
     * and the relations must agree. Fresh derived session, the q176
     * treatment (EXPORT walks every session table).
     */
-  private[graft] val attachSqlText = """
+  private[graft] def attachSqlText(dir: String) = s"""
       CREATE OR REPLACE TEMP TABLE q181_src AS
         SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
                CAST(n_regionkey AS BIGINT) AS rk FROM nation;
-      EXPORT DATABASE '/tmp/graft_q181_db' (FORMAT PARQUET);
+      EXPORT DATABASE '$dir' (FORMAT PARQUET);
       DROP TABLE q181_src;
-      ATTACH '/tmp/graft_q181_db' AS tmpdb;
+      ATTACH '$dir' AS tmpdb;
       DETACH tmpdb;
-      ATTACH '/tmp/graft_q181_db' AS adb;
+      ATTACH '$dir' AS adb;
       SELECT k, nm, rk FROM adb.q181_src ORDER BY k"""
 
   def q181Attach(s: SparkSession, d: String): DataFrame = {
     val s2 = q176Sessions.computeIfAbsent(s, _.newSession())
     graft.functions.expressions.GraftFunctions.register(s2)
     nation(s2, d).createOrReplaceTempView("nation")
+    // the export directory is PER DERIVED SESSION: the bench's ten
+    // concurrent streams each run this gate, and a shared path would
+    // race one stream's EXPORT overwrite against another's ATTACH read
+    val dir = s"/tmp/graft_q181_db_${Integer.toHexString(System.identityHashCode(s2))}"
     // repeated invocations (bench passes) re-run the batch in the SAME
     // derived session: DETACH leftovers from the previous pass first
     graft.operators.SqlStage("q181",
-      "DETACH IF EXISTS tmpdb; DETACH IF EXISTS adb; " + attachSqlText)
+      s"DETACH IF EXISTS tmpdb; DETACH IF EXISTS adb; ${attachSqlText(dir)}")
       .apply(s2, nation(s2, d))
   }
 
