@@ -2529,8 +2529,11 @@ object GraftSqlParser {
       d > 0
     }
     val grouped = topLevel(raw"(?i)\b(GROUP\s+BY|HAVING)\b".r, maskedHead.length)
-    val distinct = raw"(?i)^\s*SELECT\s+DISTINCT\b".r
-      .findFirstIn(maskedHead).isDefined
+    // DISTINCT at the block's own select (subquery-depth 0 — a leading
+    // WITH clause must not hide it; CTE-internal DISTINCTs sit at
+    // subquery depth > 0 and stay inert)
+    val distinct = raw"(?i)\bSELECT\s+DISTINCT\b".r.findAllMatchIn(maskedHead)
+      .exists(m => subDepth(m.start) == 0)
     // aggregates AND window functions only matter in the select list
     // (before the top-level FROM) — both evaluate over the SAMPLED rows
     // in DuckDB, while the wrap evaluates the block first, so both

@@ -3549,6 +3549,16 @@ class DialectSpec extends SparkSpec {
       "SELECT id, (SELECT count(*) FROM df) AS tot FROM df USING SAMPLE 5 ROWS")
       .apply(spark, df).collect()
     assert(ok.length == 5 && ok.head.getLong(1) == 100L)
+    // a leading WITH clause must not hide a top-level DISTINCT; a
+    // CTE-internal aggregate stays inert
+    val e2 = intercept[Exception](SqlStage("s",
+      "WITH c AS (SELECT count(*) AS n FROM df) SELECT DISTINCT id % 3 FROM df USING SAMPLE 6 ROWS")
+      .apply(spark, df).collect())
+    assert(e2.getMessage.contains("FROM subquery"))
+    val cteOk = SqlStage("s",
+      "WITH c AS (SELECT count(*) AS n FROM df) SELECT id FROM df USING SAMPLE 5 ROWS")
+      .apply(spark, df).collect()
+    assert(cteOk.length == 5)
   }
 
   test("sub-minute millisecond/microsecond and session timezone parts (probed)") {
@@ -3672,6 +3682,12 @@ class DialectSpec extends SparkSpec {
       SqlStage("t", "ATTACH '/tmp/nonexistent_graft.db' AS x").apply(s2, s2.range(1).toDF("z")))
     assert(bad.getMessage.contains("EXPORT DATABASE"))
     assert(df.count() == 1) // base session untouched
+    // alias.tbl inside STRING LITERALS never rewrites (maskQuotes)
+    val alias = new java.io.File(dir).getName
+    val lit = SqlStage("t",
+      s"SELECT '$alias.att_src' AS s, count(*) AS n FROM $alias.att_src")
+      .apply(s2, s2.range(1).toDF("z")).collect().head
+    assert(lit.getString(0) == s"$alias.att_src" && lit.getLong(1) == 5L)
   }
 
   test("ATTACH/IMPORT consume DuckDB's own EXPORT DATABASE layout (fixture)") {
