@@ -673,7 +673,9 @@ object DuckDialect {
       while (i < p.length) {
         val c = p.charAt(i)
         if (c == esc && i + 1 < p.length) { putLiteral(p.charAt(i + 1)); i += 2 }
-        else if (c == esc) { putLiteral(c); i += 1 } // trailing escape: literal
+        else if (c == esc) // DuckDB 1.0.0 (probed): trailing escape errors
+          throw new DuckDialectException(
+            s"$name: Like pattern must not end with escape character!")
         else if (c == '%' || c == '_') { sb += c; i += 1 }
         else { putLiteral(c); i += 1 }
       }

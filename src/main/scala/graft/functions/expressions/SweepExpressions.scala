@@ -335,28 +335,73 @@ object DuckSweep {
       s"Malformed JSON in $fn: '${s.toString.take(40)}'") }
 
   /** DuckDB `json_structure` (probed 1.0.0): objects map each key to
-    * its value's structure ('{}' → "JSON"); arrays report the common
-    * element structure (["NULL"] when empty, ["JSON"] when elements
-    * disagree); scalars quote the [[duckJsonType]] name. One lexical
-    * divergence: '-0' classifies UBIGINT here (Jackson normalizes the
-    * sign away) where DuckDB says BIGINT.
+    * its value's structure; arrays MERGE their element structures with
+    * DuckDB's refinement rules (probed: '[1,2.5]' → ["DOUBLE"],
+    * '["a",null]' → ["VARCHAR"], '[-1,1]' → ["BIGINT"],
+    * '[{"a":1},{"b":2.5}]' → key-union objects) — NULL coalesces into
+    * any sibling, BIGINT absorbs UBIGINT, DOUBLE absorbs both integral
+    * kinds, objects union keys recursively, arrays merge element-wise,
+    * and genuinely incompatible kinds (number vs VARCHAR, object vs
+    * array, …) collapse to "JSON". An object that ends up with zero
+    * keys renders "JSON" ('{}' and '[{}]' probes); an empty array is
+    * the NULL element structure (["NULL"]). One lexical divergence:
+    * '-0' classifies UBIGINT here (Jackson normalizes the sign away)
+    * where DuckDB says BIGINT.
     */
   def jsonStructure(s: UTF8String): UTF8String =
-    UTF8String.fromString(nodeStructure(parseJson(s, "json_structure")))
+    UTF8String.fromString(renderStruct(structOf(parseJson(s, "json_structure"))))
 
-  private def nodeStructure(n: com.fasterxml.jackson.databind.JsonNode): String = {
+  // Structure tree: objects keep first-seen key order (LinkedHashMap,
+  // matching DuckDB's key-union output order), arrays carry one merged
+  // element structure, scalars carry the DuckDB type-name kind.
+  private sealed trait JStruct
+  private final case class JObj(
+      fields: scala.collection.mutable.LinkedHashMap[String, JStruct]) extends JStruct
+  private final case class JArr(elem: JStruct) extends JStruct
+  private final case class JScalar(kind: String) extends JStruct
+
+  private val JNull = JScalar("NULL")
+
+  private def structOf(n: com.fasterxml.jackson.databind.JsonNode): JStruct = {
     import scala.jdk.CollectionConverters._
     if (n.isObject) {
-      if (n.isEmpty) "\"JSON\""
-      else n.properties().asScala.toSeq
-        .map(e => jsonMapper.writeValueAsString(e.getKey) + ":" + nodeStructure(e.getValue))
-        .mkString("{", ",", "}")
+      val m = new scala.collection.mutable.LinkedHashMap[String, JStruct]
+      n.properties().asScala.foreach(e => m.put(e.getKey, structOf(e.getValue)))
+      JObj(m)
     } else if (n.isArray) {
-      val elems = n.elements().asScala.map(nodeStructure).toSeq
-      if (elems.isEmpty) "[\"NULL\"]"
-      else if (elems.distinct.lengthCompare(1) == 0) "[" + elems.head + "]"
-      else "[\"JSON\"]"
-    } else "\"" + scalarJsonType(n) + "\""
+      JArr(n.elements().asScala.map(structOf)
+        .foldLeft(JNull: JStruct)(mergeStruct))
+    } else JScalar(scalarJsonType(n))
+  }
+
+  private def mergeStruct(a: JStruct, b: JStruct): JStruct = (a, b) match {
+    case (JScalar("NULL"), _) => b
+    case (_, JScalar("NULL")) => a
+    case (JObj(fa), JObj(fb)) =>
+      fb.foreach { case (k, v) =>
+        fa.put(k, fa.get(k).fold(v)(mergeStruct(_, v)))
+      }
+      JObj(fa)
+    case (JArr(ea), JArr(eb)) => JArr(mergeStruct(ea, eb))
+    case (JScalar(x), JScalar(y)) =>
+      if (x == y) a
+      else if ((x == "BIGINT" || x == "UBIGINT") && (y == "BIGINT" || y == "UBIGINT"))
+        JScalar("BIGINT")
+      else if ((x == "DOUBLE" || x == "BIGINT" || x == "UBIGINT") &&
+               (y == "DOUBLE" || y == "BIGINT" || y == "UBIGINT"))
+        JScalar("DOUBLE")
+      else JScalar("JSON")
+    case _ => JScalar("JSON")
+  }
+
+  private def renderStruct(s: JStruct): String = s match {
+    case JObj(fields) =>
+      if (fields.isEmpty) "\"JSON\""
+      else fields.iterator
+        .map { case (k, v) => jsonMapper.writeValueAsString(k) + ":" + renderStruct(v) }
+        .mkString("{", ",", "}")
+    case JArr(elem) => "[" + renderStruct(elem) + "]"
+    case JScalar(kind) => "\"" + kind + "\""
   }
 
   private def scalarJsonType(n: com.fasterxml.jackson.databind.JsonNode): String =

@@ -5726,18 +5726,19 @@ object GraftSqlParser {
   // guided error — there is no DuckDB storage engine here.
 
   private val AttachRe =
-    raw"(?is)^\s*ATTACH\s+(?:DATABASE\s+)?(?:IF\s+NOT\s+EXISTS\s+)?'([^']+)'(?:\s+AS\s+([A-Za-z_]\w*))?\s*(?:\(\s*READ_?\s*ONLY\s*\))?\s*;?\s*$$".r
+    raw"(?is)^\s*ATTACH\s+(?:DATABASE\s+)?(IF\s+NOT\s+EXISTS\s+)?'([^']+)'(?:\s+AS\s+([A-Za-z_]\w*))?\s*(?:\(\s*READ_?\s*ONLY\s*\))?\s*;?\s*$$".r
   private val DetachRe =
     raw"(?is)^\s*DETACH\s+(?:DATABASE\s+)?(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$$".r
 
-  /** `ATTACH [DATABASE] 'dir' [AS alias] [(READ_ONLY)]` →
-    * Some((dir, alias)); the default alias is the path's basename sans
-    * extension, DuckDB's rule.
+  /** `ATTACH [DATABASE] [IF NOT EXISTS] 'dir' [AS alias] [(READ_ONLY)]`
+    * → Some((dir, alias, ifNotExists)); the default alias is the
+    * path's basename sans extension, DuckDB's rule. A duplicate-alias
+    * ATTACH IF NOT EXISTS is a no-op (probed 1.0.0), not an error.
     */
-  def attachTarget(sql: String): Option[(String, String)] =
+  def attachTarget(sql: String): Option[(String, String, Boolean)] =
     AttachRe.findFirstMatchIn(sql).map { m =>
-      val dir = m.group(1)
-      val alias = Option(m.group(2)).getOrElse {
+      val dir = m.group(2)
+      val alias = Option(m.group(3)).getOrElse {
         // DuckDB's rule: basename sans extension; non-identifier chars
         // sanitize to '_' (DuckDB would need a quoted alias there —
         // graft's alias references are plain identifiers)
@@ -5745,7 +5746,7 @@ object GraftSqlParser {
         val dot = base.lastIndexOf('.')
         (if (dot > 0) base.substring(0, dot) else base).replaceAll("\\W", "_")
       }
-      (dir, alias.toLowerCase)
+      (dir, alias.toLowerCase, m.group(1) != null)
     }
 
   /** `DETACH [DATABASE] [IF EXISTS] alias` → Some((alias, ifExists)). */
@@ -5786,14 +5787,19 @@ object GraftSqlParser {
     }
 
   def executeAttach(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    alias: String, run: String => org.apache.spark.sql.DataFrame)
+                    alias: String, run: String => org.apache.spark.sql.DataFrame,
+                    ifNotExists: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import java.nio.file.{Files, Paths}
     val reg = attachMap(spark)
-    if (reg.contains(alias))
+    if (reg.contains(alias)) {
+      // DuckDB 1.0.0 (probed): duplicate alias errors, but the
+      // IF NOT EXISTS spelling is a no-op so re-runnable scripts pass
+      if (ifNotExists) return successRelation(spark)
       throw new graft.functions.expressions.DuckDialectException(
         s"ATTACH: database alias '$alias' is already attached — DETACH $alias " +
           "first (DuckDB errors on duplicate aliases too)")
+    }
     val p = Paths.get(dir)
     if (!Files.isDirectory(p) || !Files.isRegularFile(p.resolve("schema.sql")))
       throw new graft.functions.expressions.DuckDialectException(

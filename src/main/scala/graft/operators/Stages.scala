@@ -297,9 +297,9 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // rewriteAttachedRefs (in code2 above) points later statements'
     // alias.tbl at them; DETACH drops them. Only a .db storage file
     // keeps the guided error.
-    GraftSqlParser.attachTarget(code2).foreach { case (dir, alias) =>
+    GraftSqlParser.attachTarget(code2).foreach { case (dir, alias, ifNotExists) =>
       return GraftSqlParser.executeAttach(spark, dir, alias,
-        st => SqlStage(name, st).apply(spark, df))
+        st => SqlStage(name, st).apply(spark, df), ifNotExists)
     }
     GraftSqlParser.detachTarget(code2).foreach { case (alias, ifExists) =>
       return GraftSqlParser.executeDetach(spark, alias, ifExists)

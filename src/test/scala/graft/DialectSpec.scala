@@ -3601,6 +3601,10 @@ class DialectSpec extends SparkSpec {
     assert(!one("SELECT like_escape('axc', 'a\\\\%c', '\\\\') AS m").getBoolean(0))
     assert(one("SELECT ilike_escape('BC', 'abc', 'a') AS m").getBoolean(0))
     assert(one("SELECT not_like_escape('x', 'abc', 'a') AS m").getBoolean(0))
+    // DuckDB 1.0.0 (probed): a pattern ending in an unpaired escape errors
+    val trailEsc = intercept[Exception](
+      one("SELECT like_escape('ab', 'aba', 'a') AS m"))
+    assert(trailEsc.getMessage.contains("must not end with escape character"))
     // list_resize: 2-arg NULL pad, 3-arg fill, truncation
     assert(one("SELECT list_resize(array(1, 2, 3), 5, 9) AS m").getSeq[Int](0) == Seq(1, 2, 3, 9, 9))
     assert(one("SELECT list_resize(array(1, 2, 3), 2) AS m").getSeq[Int](0) == Seq(1, 2))
@@ -3634,6 +3638,28 @@ class DialectSpec extends SparkSpec {
     assert(one("SELECT json_structure('[]') AS m").getString(0) == "[\"NULL\"]")
     assert(one("SELECT json_structure('{\"a\": {\"b\": [true]}}') AS m").getString(0)
       == "{\"a\":{\"b\":[\"BOOLEAN\"]}}")
+    // r16 refinement pins (each probed on duckdb 1.0.0): NULL coalesces
+    // into siblings, integral kinds widen, objects merge by key union.
+    assert(one("SELECT json_structure('[1, 2.5]') AS m").getString(0) == "[\"DOUBLE\"]")
+    assert(one("SELECT json_structure('[\"a\", null]') AS m").getString(0) == "[\"VARCHAR\"]")
+    assert(one("SELECT json_structure('[1, -1]') AS m").getString(0) == "[\"BIGINT\"]")
+    assert(one("SELECT json_structure('[1, null]') AS m").getString(0) == "[\"UBIGINT\"]")
+    assert(one("SELECT json_structure('[{\"a\":1},{\"a\":2.5}]') AS m").getString(0)
+      == "[{\"a\":\"DOUBLE\"}]")
+    assert(one("SELECT json_structure('[{\"a\":1,\"c\":3},{\"b\":2,\"a\":9.5}]') AS m").getString(0)
+      == "[{\"a\":\"DOUBLE\",\"c\":\"UBIGINT\",\"b\":\"UBIGINT\"}]")
+    assert(one("SELECT json_structure('[{\"a\":{\"b\":1}},{\"a\":{\"c\":2.5}}]') AS m").getString(0)
+      == "[{\"a\":{\"b\":\"UBIGINT\",\"c\":\"DOUBLE\"}}]")
+    assert(one("SELECT json_structure('[[],[1]]') AS m").getString(0) == "[[\"UBIGINT\"]]")
+    assert(one("SELECT json_structure('[[1],[2.5]]') AS m").getString(0) == "[[\"DOUBLE\"]]")
+    assert(one("SELECT json_structure('[null,{\"a\":1}]') AS m").getString(0)
+      == "[{\"a\":\"UBIGINT\"}]")
+    assert(one("SELECT json_structure('[{},{\"a\":1}]') AS m").getString(0)
+      == "[{\"a\":\"UBIGINT\"}]")
+    assert(one("SELECT json_structure('[{}]') AS m").getString(0) == "[\"JSON\"]")
+    assert(one("SELECT json_structure('[{\"a\":1},[1]]') AS m").getString(0) == "[\"JSON\"]")
+    assert(one("SELECT json_structure('[1, true]') AS m").getString(0) == "[\"JSON\"]")
+    assert(one("SELECT json_structure('[null,null,1.5]') AS m").getString(0) == "[\"DOUBLE\"]")
     assert(one("SELECT json_contains('[1,2,3]', '2') AS m").getBoolean(0))
     assert(one("SELECT json_contains('{\"a\":{\"b\":2}}', '{\"b\":2}') AS m").getBoolean(0))
     assert(one("SELECT json_contains('[1,2]', '[2,1]') AS m").getBoolean(0))
