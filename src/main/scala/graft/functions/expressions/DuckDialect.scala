@@ -1568,7 +1568,9 @@ object DuckDialect {
       subMinuteBuilder("millisecond", es(0), unitMicros = 1000L) }),
     "microsecond" -> (es => { nArgs("microsecond", es, 1)
       subMinuteBuilder("microsecond", es(0), unitMicros = 1L) }),
-    // session-zone UTC offset parts (r15, probed) — see [[TzOffsetPart]]
+    // session-zone UTC offset parts (r15, probed) — see [[TzOffsetPart]];
+    // deliberate divergence: graft's single TimestampType takes DuckDB's
+    // TIMESTAMPTZ branch (session offset), never the naive-TIMESTAMP 0
     "timezone" -> (es => { nArgs("timezone", es, 1)
       TzOffsetPart(Cast(es(0), TimestampType), "seconds") }),
     "timezone_hour" -> (es => { nArgs("timezone_hour", es, 1)

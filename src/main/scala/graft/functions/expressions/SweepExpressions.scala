@@ -496,11 +496,17 @@ case class SubMinutePart(child: Expression, unitMicros: Long)
     copy(child = newChild)
 }
 
-/** DuckDB `timezone`/`timezone_hour`/`timezone_minute` on a TIMESTAMP:
-  * the SESSION time zone's UTC offset at that instant (probed 1.0.0;
-  * seconds / truncated hours / leftover minutes, sign carried). graft
-  * sessions default to UTC (0/0/0) but a user `SET TimeZone` rides
-  * through the [[TimeZoneAwareExpression]] resolution. Fringe surface —
+/** DuckDB `timezone`/`timezone_hour`/`timezone_minute` semantics are
+  * type-split (probed 1.0.0): on a TIMESTAMPTZ they return the SESSION
+  * time zone's UTC offset at that instant (seconds / truncated hours /
+  * leftover minutes, sign carried); on a naive TIMESTAMP they return 0
+  * regardless of `SET TimeZone`. graft has ONE timestamp type — Spark's
+  * session-tz `TimestampType`, the TIMESTAMPTZ-shaped one — so this
+  * expression implements the TIMESTAMPTZ branch for every input. That
+  * is a DELIBERATE divergence: a value DuckDB would type as plain
+  * TIMESTAMP gets the session offset here (0 under graft's default UTC
+  * session, nonzero after a user `SET TimeZone`, which rides through
+  * the [[TimeZoneAwareExpression]] resolution). Fringe surface —
   * interpreted eval (CodegenFallback), not a hot-path expression.
   */
 case class TzOffsetPart(child: Expression, part: String,
