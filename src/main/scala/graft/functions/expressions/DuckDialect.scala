@@ -1270,6 +1270,56 @@ object DuckDialect {
     "md5_number_upper" -> (es => { nArgs("md5_number_upper", es, 1)
       sweepInvoke(DecimalType(20, 0), "md5NumberUpper",
         Seq(Cast(es(0), StringType)), Seq(StringType)) }),
+    // full md5_number (r16): DuckDB's HUGEINT is int128 — graft renders
+    // the decimal digits (see [[DuckSweep.md5Number]]); the _lower/_upper
+    // halves above stay the numeric route
+    "md5_number" -> (es => { nArgs("md5_number", es, 1)
+      sweepInvoke(StringType, "md5Number",
+        Seq(Cast(es(0), StringType)), Seq(StringType)) }),
+    // age (r16): Postgres-style symbolic calendar subtraction, rendered
+    // in DuckDB's INTERVAL→VARCHAR form (see [[DuckSweep.ageInterval]]);
+    // the 1-arg anchor is now() (probed — NOT Postgres's current_date)
+    "age" -> (es => {
+      if (es.isEmpty || es.length > 2)
+        throw new DuckDialectException(
+          s"age takes 1 or 2 timestamp arguments, got ${es.length}")
+      val a = if (es.length == 2) Cast(es(0), TimestampType) else Now()
+      val b = Cast(es.last, TimestampType)
+      sweepInvoke(StringType, "ageInterval",
+        Seq(UnixMicros(a), UnixMicros(b)), Seq(LongType, LongType)) }),
+    // gen_random_uuid (r16): DuckDB's uuid() synonym — resolve through
+    // Spark's own uuid so the analyzer assigns its per-query seed
+    "gen_random_uuid" -> (es => { nArgs("gen_random_uuid", es, 0)
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "uuid", Nil, isDistinct = false) }),
+    // unpivot_list (r16, probed): list_value's UNPIVOT-helper twin —
+    // builds a list from its arguments ('SELECT unpivot_list()' → [])
+    "unpivot_list" -> (es => CreateArray(es)),
+    // setseed (r16): registers the seed in a session registry consumed
+    // by SqlStage's random()/rand() rewrite (rand(seed) — deterministic
+    // per row like DuckDB's reseeded stream is per call; the VALUES
+    // differ from DuckDB's serial global RNG, which a distributed plan
+    // cannot replay). Returns NULL like DuckDB (probed); the [-1, 1]
+    // range check mirrors DuckDB's error text. Analysis may rebuild the
+    // expression — the registry put is idempotent.
+    "setseed" -> (es => { nArgs("setseed", es, 1)
+      val d = es(0) match {
+        case e if e.resolved && e.foldable && e.dataType.isInstanceOf[NumericType] =>
+          Cast(e, DoubleType).eval() match {
+            case x: java.lang.Double => x.doubleValue
+            case _ => throw new DuckDialectException(
+              "setseed takes a literal numeric seed")
+          }
+        case _ => throw new DuckDialectException(
+          "setseed takes a literal numeric seed (DuckDB seeds a session " +
+            "RNG — a per-row seed has no meaning)")
+      }
+      if (d < -1.0 || d > 1.0)
+        throw new DuckDialectException(
+          "SETSEED accepts seed values between -1.0 and 1.0, inclusive")
+      org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+        graft.operators.GraftSqlParser.registerSeed(s, d))
+      Literal(null, IntegerType) }),
     "try_strptime" -> (es => {
       nArgs("try_strptime", es, 2)
       def one(f: Expression): Expression =
@@ -1705,9 +1755,29 @@ object DuckDialect {
     // (Jackson kernels + element-wise rendering) — no hints needed
     "group_concat" -> "use string_agg(expr, sep) (both engines support it)",
     "date_add" -> "Spark's date_add(date, days) takes days only — for other units use dateadd(unit, n, ts)",
-    "age" -> "Spark has no mixed calendar-interval result type — use date_diff('part', a, b) for a chosen unit, or make_interval over extracted parts",
-    "md5_number" -> "use the graft fingerprint natives (norm_fingerprint) or hash/xxhash64",
-    "gen_random_uuid" -> "use uuid() (non-deterministic; forbidden in oracle-checked queries)",
+    // age / md5_number / gen_random_uuid / setseed / unpivot_list
+    // EXECUTE since r16 (builders above) — no hints needed
+    // --- the sweep-8 EXCLUSION TABLE (r16, terminal — COVERAGE.md):
+    // the 13 catalog functions graft deliberately does not implement.
+    // Four need the BIT/TIMETZ types Spark lacks; nine observe
+    // DuckDB-process state (query text, storage stats, vectorization,
+    // AST serialization, MVCC ids, catalog search path) that has no
+    // meaning inside a distributed Spark plan. Each raises this guided
+    // error naming the nearest real alternative.
+    "get_bit" -> "Spark has no BIT (bitstring) type — keep bits in BIGINT and use Spark's getbit(x, pos) / bitwise &, |, <<",
+    "set_bit" -> "Spark has no BIT (bitstring) type — keep bits in BIGINT and set with x | (1 << pos) or clear with x & ~(1 << pos)",
+    "bit_position" -> "Spark has no BIT (bitstring) type — for single-bit search in a BIGINT combine getbit(x, pos) with a generated position sequence",
+    "timetz_byte_comparable" -> "Spark has no TIMETZ type — store TIME plus a separate offset column; ordering keys can concatenate both",
+    "current_query" -> "DuckDB session-meta: the executing statement's text is not observable inside a distributed plan — the pipeline config (stage `code`) already carries it",
+    "current_schemas" -> "DuckDB catalog search path — use current_database()/current_schema() (both execute here); Spark has a single active schema, not a path",
+    "in_search_path" -> "DuckDB catalog search path — compare against current_database()/current_schema() directly",
+    "stats" -> "DuckDB storage-statistics debug helper — use DESCRIBE <table> (executes here), SUMMARIZE, or the Spark UI's scan metrics",
+    "vector_type" -> "DuckDB-internal vectorization debug helper (FLAT/CONSTANT/DICTIONARY vector layout) — Spark's execution layout is Tungsten rows/columnar batches; inspect plans with EXPLAIN",
+    "json_serialize_sql" -> "DuckDB-internal AST serialization — Spark has no SQL-to-JSON AST surface; EXPLAIN (or df.queryExecution in code) exposes the plan",
+    "json_serialize_plan" -> "DuckDB-internal AST serialization — Spark has no SQL-to-JSON AST surface; EXPLAIN (or df.queryExecution in code) exposes the plan",
+    "json_deserialize_sql" -> "DuckDB-internal AST serialization — there is no AST JSON to deserialize here; keep the SQL text itself",
+    "txid_current" -> "no MVCC transactions in a Spark batch plan — derive a run id with uuid() or key on the pipeline's stage/run identifier",
+    "alias" -> "DuckDB debug helper returning an expression's rendered name — inline the name as a string literal (column names are static in a Spark plan)",
     // lambda/computed COLUMNS() forms parse as a normal call and fail
     // ANALYSIS (the expandable shapes were already rewritten in SqlStage)
     "columns" -> "this COLUMNS(...) shape isn't expandable (COLUMNS outside a select list or WHERE clause, or a name function beyond len/lower/upper/substring/substr/replace; *, 'regex', ['list'], boolean name-lambdas of LIKE/SIMILAR TO/IN/=/<> with AND/OR/NOT plus those name transforms, whole-item expressions and AND-replicated WHERE predicates DO expand) — list the columns, or use * EXCEPT(...) / * EXCLUDE(...) to subtract"
@@ -1770,6 +1840,13 @@ object DuckDialect {
     // output count needs the input's cardinality
     raw"(?i)\bUSING\s+SAMPLE\b".r ->
       "this USING SAMPLE form couldn't be auto-rewritten (reservoir(n%) needs the input cardinality; other method specs change statistics) — use reservoir(n ROWS), or TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
+    // BIT / TIMETZ are DuckDB-only types (sweep-8 exclusion table,
+    // COVERAGE.md): a '::BIT' cast fails Spark's parser — name the
+    // missing type instead of a bare ANTLR error
+    raw"(?i)::\s*BIT\b|\bAS\s+BIT\s*\)".r ->
+      "Spark has no BIT (bitstring) type — keep bit sets in BIGINT (getbit/bitwise ops) or BOOLEAN arrays",
+    raw"(?i)::\s*TIMETZ\b|\bAS\s+TIMETZ\s*\)|\bTIMETZ\s*'".r ->
+      "Spark has no TIMETZ type — store TIME (supported since r15) plus a separate UTC-offset column",
     // DuckDB's SUMMARIZE statement (per-column stats of a relation) —
     // graft `sql` stages execute it (GraftSqlParser.summarize, one
     // single-pass aggregate with DuckDB's exact output shape); this

@@ -209,6 +209,86 @@ object DuckSweep {
   def md5NumberLower(s: UTF8String): org.apache.spark.sql.types.Decimal = md5Half(s, 8)
   def md5NumberUpper(s: UTF8String): org.apache.spark.sql.types.Decimal = md5Half(s, 0)
 
+  /** DuckDB `md5_number` (r16, probed): the full 16-byte digest as a
+    * LITTLE-endian SIGNED 128-bit number (md5_number('b') is negative).
+    * DuckDB types it HUGEINT; Spark's widest exact numeric,
+    * DECIMAL(38,0), cannot carry int128 (|HUGEINT| reaches ~1.7e38 >
+    * 1e38-1), so graft renders the decimal DIGITS as VARCHAR —
+    * `CAST(md5_number(x) AS VARCHAR)` is then byte-identical
+    * cross-engine text, and the 64-bit halves (md5_number_lower/upper)
+    * remain the numeric route for sharding arithmetic.
+    */
+  def md5Number(s: UTF8String): UTF8String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val be = new Array[Byte](16)
+    var i = 0
+    while (i < 16) { be(i) = d(15 - i); i += 1 } // LE digest → BigInteger's BE
+    UTF8String.fromString(new java.math.BigInteger(be).toString)
+  }
+
+  /** DuckDB `age(a, b)` (r16, probed 1.0.0 — Postgres's symbolic
+    * subtraction): field-wise calendar difference with single-step
+    * borrowing; the day borrow adds the EARLIER operand's month length
+    * (always sufficient: |day diff| < that month's length), and
+    * `age(a, b) = -age(b, a)` (probed: DuckDB negates every field).
+    * DuckDB returns INTERVAL; Spark's CalendarIntervalType is neither
+    * orderable nor parquet-writable, so graft renders DuckDB's VARCHAR
+    * form directly (probed: singular/plural unit names, zero components
+    * omitted, time part omitted when zero unless EVERYTHING is zero →
+    * '00:00:00', uniform sign with '-' on each component, fractional
+    * seconds trimmed of trailing zeros) — `CAST(age(..) AS VARCHAR)` is
+    * byte-identical cross-engine text; interval arithmetic on the
+    * result is not claimed (use date_diff for a single unit).
+    */
+  def ageInterval(aUs: Long, bUs: Long): UTF8String = {
+    val neg = aUs < bUs
+    val (hiUs, loUs) = if (neg) (bUs, aUs) else (aUs, bUs)
+    def ldt(us: Long): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    val t1 = ldt(hiUs)
+    val t2 = ldt(loUs)
+    var years = t1.getYear - t2.getYear
+    var months = t1.getMonthValue - t2.getMonthValue
+    var days = t1.getDayOfMonth - t2.getDayOfMonth
+    var hours = t1.getHour - t2.getHour
+    var minutes = t1.getMinute - t2.getMinute
+    var seconds = t1.getSecond - t2.getSecond
+    var micros = (t1.getNano - t2.getNano) / 1000
+    if (micros < 0) { micros += 1000000; seconds -= 1 }
+    if (seconds < 0) { seconds += 60; minutes -= 1 }
+    if (minutes < 0) { minutes += 60; hours -= 1 }
+    if (hours < 0) { hours += 24; days -= 1 }
+    if (days < 0) { days += t2.toLocalDate.lengthOfMonth; months -= 1 }
+    if (months < 0) { months += 12; years -= 1 }
+    val sb = new StringBuilder
+    val sign = if (neg) -1 else 1
+    def unit(v: Int, name: String): Unit = if (v != 0) {
+      if (sb.nonEmpty) sb += ' '
+      sb ++= (v * sign).toString
+      sb += ' '
+      sb ++= name
+      if (v != 1) sb += 's'
+    }
+    unit(years, "year")
+    unit(months, "month")
+    unit(days, "day")
+    val timeUs = ((hours * 60L + minutes) * 60L + seconds) * 1000000L + micros
+    if (timeUs != 0 || sb.isEmpty) {
+      if (sb.nonEmpty) sb += ' '
+      if (neg && timeUs != 0) sb += '-'
+      sb ++= f"$hours%02d:$minutes%02d:$seconds%02d"
+      if (micros != 0) {
+        var frac = micros.toString
+        frac = "0" * (6 - frac.length) + frac
+        while (frac.endsWith("0")) frac = frac.dropRight(1)
+        sb += '.'
+        sb ++= frac
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** DuckDB `json_type` (1-arg; probed): OBJECT / ARRAY / VARCHAR /
     * BOOLEAN / NULL; numbers classify LEXICALLY like yyjson — a plain
     * integer literal is UBIGINT (fits u64) / BIGINT (negative, fits

@@ -5775,6 +5775,48 @@ object GraftSqlParser {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.concurrent.TrieMap[String, Seq[String]]]()
 
+  // --- setseed session registry (r16). DuckDB's setseed(x) reseeds a
+  // serial process-global RNG; a distributed plan cannot replay that
+  // stream, but it CAN honor the property users reach for — reproducible
+  // random() draws. The DuckDialect setseed builder registers the seed
+  // here (at analysis time, idempotent); rewriteSeededRandom then turns
+  // later zero-arg random()/rand() calls into rand(<seed-derived long>),
+  // deterministic per row for a fixed partitioning. Weak keys: the
+  // registry dies with the session.
+  private val seedReg =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Double]()
+
+  def registerSeed(spark: org.apache.spark.sql.SparkSession, seed: Double): Unit =
+    seedReg.synchronized { seedReg.put(spark, java.lang.Double.valueOf(seed)); () }
+
+  def sessionSeed(spark: org.apache.spark.sql.SparkSession): Option[Double] =
+    seedReg.synchronized(Option(seedReg.get(spark)).map(_.doubleValue))
+
+  /** After `SELECT setseed(x)`, zero-arg `random()`/`rand()` calls
+    * rewrite to `rand(<doubleToLongBits(x)>)` — same seed, same draws
+    * (DuckDB's reseed-then-replay property; the VALUES differ from
+    * DuckDB's serial stream, documented in the setseed builder). Scans
+    * the quote-masked text so literals can't match; no seed registered →
+    * the text passes through untouched (Spark's native nondeterministic
+    * rand).
+    */
+  def rewriteSeededRandom(spark: org.apache.spark.sql.SparkSession,
+                          sql: String): String =
+    sessionSeed(spark) match {
+      case None => sql
+      case Some(seed) =>
+        val re = raw"(?i)\b(random|rand)\s*\(\s*\)".r
+        val masked = maskQuotes(sql)
+        val out = new StringBuilder
+        var last = 0
+        re.findAllMatchIn(masked).foreach { m =>
+          out ++= sql.substring(last, m.start)
+          out ++= s"rand(${java.lang.Double.doubleToLongBits(seed)}L)"
+          last = m.end
+        }
+        if (last == 0) sql else { out ++= sql.substring(last); out.toString }
+    }
+
   private def attachMap(spark: org.apache.spark.sql.SparkSession)
       : scala.collection.concurrent.TrieMap[String, Seq[String]] =
     attachReg.synchronized {

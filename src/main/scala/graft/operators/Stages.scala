@@ -561,9 +561,10 @@ final case class SqlStage(name: String, code: String) extends Stage {
       s => GraftSqlParser.rewriteAll(
         GraftSqlParser.rewriteColumns(
           GraftSqlParser.rewriteReplace(s, df.columns.toSeq), df.columns.toSeq)))
-    val rewritten = GraftSqlParser.rewriteAll(
-      GraftSqlParser.rewriteColumns(
-        GraftSqlParser.rewriteReplace(stmt, df.columns.toSeq), df.columns.toSeq))
+    val rewritten = GraftSqlParser.rewriteSeededRandom(spark,
+      GraftSqlParser.rewriteAll(
+        GraftSqlParser.rewriteColumns(
+          GraftSqlParser.rewriteReplace(stmt, df.columns.toSeq), df.columns.toSeq)))
     graft.functions.expressions.DuckDialect.rejectSilentTraps(
       GraftSqlParser.maskQuotes(rewritten))
     // deep/unbounded WITH RECURSIVE: warn about the one-job-per-level

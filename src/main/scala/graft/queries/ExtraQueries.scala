@@ -1613,6 +1613,50 @@ object ExtraQueries {
     graft.operators.SqlStage("q180", sweep7SqlText).apply(s, lineitem(s, d))
   }
 
+  /** Eighth-sweep function gate (r16, VERDICT r15 #1 — the catalog's
+    * TERMINAL state) — IDENTICAL text on both engines covering the
+    * sweep-8 closures end-to-end: `age` (Postgres-style symbolic
+    * calendar subtraction in both directions, zero case, month/day
+    * borrows, fraction trimming — graft renders DuckDB's
+    * INTERVAL→VARCHAR form so the CAST text is byte-identical),
+    * `md5_number` (little-endian SIGNED int128 digest, rendered as its
+    * decimal digits — DuckDB's HUGEINT exceeds DECIMAL(38,0)),
+    * `setseed` (returns NULL; seeds the session registry that makes
+    * random() reproducible), `unpivot_list` and `gen_random_uuid`
+    * (length-36 sentinel — values are nondeterministic by design).
+    * With these, sweep-8 measures 401/414 of DuckDB's own scalar
+    * catalog executing (gen_duck_probes.py + graft.tools.Sweep7); the
+    * 13-function remainder is the PERMANENT exclusion table in
+    * COVERAGE.md (BIT/TIMETZ-typed + session-meta/debug), each raising
+    * a guided error — pinned in DialectSpec.
+    */
+  private[graft] val sweep8SqlText = """
+      WITH t AS (
+        SELECT l_orderkey AS k, l_linenumber AS ln, l_returnflag, l_linestatus,
+               CAST(l_shipdate AS TIMESTAMP)
+                 + to_milliseconds(CAST(l_partkey % 86399123 AS BIGINT)) AS ts1,
+               CAST(l_shipdate AS TIMESTAMP)
+                 + to_months(CAST(l_suppkey % 25 AS INT) - 12)
+                 + to_days(CAST(l_partkey % 47 AS INT) - 23)
+                 + to_milliseconds(CAST(l_suppkey % 77777777 AS BIGINT)) AS ts2
+        FROM lineitem WHERE l_orderkey < 60)
+      SELECT k, ln,
+             CAST(age(ts1, ts2) AS VARCHAR) AS a12,
+             CAST(age(ts2, ts1) AS VARCHAR) AS a21,
+             CAST(age(ts1, ts1) AS VARCHAR) AS a0,
+             CAST(age(TIMESTAMP '2024-03-01 00:00:00.5', ts2) AS VARCHAR) AS af,
+             CAST(md5_number(l_returnflag || CAST(k AS VARCHAR)) AS VARCHAR) AS mn,
+             setseed(0.25) IS NULL AS seeded,
+             array_to_string(unpivot_list(l_returnflag, l_linestatus, CAST(ln AS VARCHAR)), ',') AS ul,
+             CAST(length(CAST(gen_random_uuid() AS VARCHAR)) AS INT) AS gl
+      FROM t ORDER BY k, ln"""
+
+  def q184Sweep8(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    graft.operators.SqlStage("q184", sweep8SqlText).apply(s, lineitem(s, d))
+  }
+
   /** ICU-collation gate (r15) — IDENTICAL text on both engines: the
     * `icu_collate_<locale>` family orders a per-locale word battery
     * (each battery drawn from the locale's OWN alphabet) and the two
@@ -1782,6 +1826,7 @@ object ExtraQueries {
     "q176_export_import"  -> (q176ExportImport _),
     "q177_quantified"     -> (q177Quantified _),
     "q180_sweep7"         -> (q180Sweep7 _),
+    "q184_sweep8"         -> (q184Sweep8 _),
     "q181_attach"         -> (q181Attach _),
     "q182_reservoir"      -> (q182Reservoir _),
     "q183_icu_collate"    -> (q183IcuCollate _),
@@ -1887,6 +1932,7 @@ object ExtraQueries {
     // q180/q182: DuckDB executes the IDENTICAL sweep-7 / reservoir-
     // invariant text natively
     "q180_sweep7" -> sweep7SqlText,
+    "q184_sweep8" -> sweep8SqlText,
     "q182_reservoir" -> reservoirSqlText,
     // q183: DuckDB executes the IDENTICAL collation-battery text — the
     // ORDERING is compared (key bytes differ by design)

@@ -239,9 +239,10 @@ class DialectSpec extends SparkSpec {
     def hintOf(sql: String): String =
       intercept[DuckDialectException](
         SqlStage("s", sql).apply(spark, spark.range(1).toDF("id"))).getMessage
-    // histogram EXECUTES since r13 (GraftHistogram), mad since r14 —
-    // age keeps the guided error
-    assert(hintOf("SELECT age(ts1, ts2) FROM df").contains("date_diff"))
+    // histogram EXECUTES since r13 (GraftHistogram), mad since r14, and
+    // age/md5_number since r16 — the exclusion table (COVERAGE.md)
+    // carries the remaining guided errors
+    assert(hintOf("SELECT txid_current() FROM df").contains("uuid()"))
     // read_csv_auto('path') EXECUTES in sql stages since r9 — a missing
     // file surfaces as the reader's path error, not a dialect hint;
     // option-bearing calls (delim/header/skip/columns/...) execute too
@@ -3668,6 +3669,122 @@ class DialectSpec extends SparkSpec {
     assert(!one("SELECT json_contains('{\"a\":{\"b\":2}}', '{\"b\":3}') AS m").getBoolean(0))
   }
 
+  test("sweep-8: age matches DuckDB's symbolic subtraction + rendering (probed)") {
+    // age returns DuckDB's INTERVAL→VARCHAR rendering directly, so
+    // CAST(age(..) AS VARCHAR) is the identity and cross-engine SQL
+    // written with the cast stays byte-identical (one SqlStage pin below)
+    def age(sql: String): String = one(s"SELECT $sql AS m").getString(0)
+    assert(SqlStage("s",
+      "SELECT CAST(age(TIMESTAMP '2024-03-31', TIMESTAMP '2024-01-31') AS VARCHAR) AS m")
+      .apply(spark, spark.range(1).toDF("z")).collect().head.getString(0) == "2 months")
+    // every pin probed against duckdb 1.0.0 this round
+    assert(age("age(TIMESTAMP '2024-03-15 13:30:05', TIMESTAMP '2022-01-20 10:00:00')")
+      == "2 years 1 month 26 days 03:30:05")
+    assert(age("age(TIMESTAMP '2022-01-20 10:00:00', TIMESTAMP '2024-03-15 13:30:05')")
+      == "-2 years -1 month -26 days -03:30:05") // age(a,b) = -age(b,a)
+    assert(age("age(TIMESTAMP '2024-03-31', TIMESTAMP '2024-01-31')") == "2 months")
+    assert(age("age(TIMESTAMP '2024-03-01', TIMESTAMP '2024-01-31')") == "1 month 1 day")
+    assert(age("age(TIMESTAMP '2024-03-30', TIMESTAMP '2024-01-31')") == "1 month 30 days")
+    assert(age("age(TIMESTAMP '2024-02-29', TIMESTAMP '2023-02-28')") == "1 year 1 day")
+    assert(age("age(TIMESTAMP '2024-03-10 05:00:00', TIMESTAMP '2024-03-11 06:30:10.123456')")
+      == "-1 day -01:30:10.123456")
+    assert(age("age(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-01')") == "00:00:00")
+    assert(age("age(TIMESTAMP '2024-01-01 00:00:01', TIMESTAMP '2024-01-01')") == "00:00:01")
+    assert(age("age(TIMESTAMP '2024-01-02', TIMESTAMP '2024-01-01 23:00:00')") == "01:00:00")
+    assert(age("age(TIMESTAMP '2023-12-31 23:00:00', TIMESTAMP '2024-01-01 01:30:00')")
+      == "-02:30:00")
+    assert(age("age(TIMESTAMP '2024-03-31 05:00:00', TIMESTAMP '2024-01-31 10:00:00')")
+      == "1 month 30 days 19:00:00")
+    assert(age("age(TIMESTAMP '2024-03-01 00:00:00', TIMESTAMP '2023-12-31 23:59:59')")
+      == "2 months 00:00:01")
+    // fraction trimmed of trailing zeros, like DuckDB
+    assert(age("age(TIMESTAMP '2024-01-01 00:00:00.5', TIMESTAMP '2024-01-01')") == "00:00:00.5")
+    assert(age("age(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-01 00:00:00.123456')")
+      == "-00:00:00.123456")
+    // DATE operands cast like DuckDB's implicit TIMESTAMP coercion
+    assert(age("age(TIMESTAMP '2025-06-01 12:00:00', DATE '2024-05-30')")
+      == "1 year 2 days 12:00:00")
+    // NULL propagates; the 1-arg form anchors at now() (probed — NOT
+    // Postgres's current_date), so only its shape is asserted here
+    assert(one("SELECT age(NULL, TIMESTAMP '2024-01-01') AS m").isNullAt(0))
+    assert(one("SELECT age(TIMESTAMP '2024-01-15 13:30:05') AS m").getString(0).nonEmpty)
+  }
+
+  test("sweep-8: md5_number is the little-endian SIGNED int128 digest (probed)") {
+    def md5n(s: String): String =
+      one(s"SELECT md5_number('$s') AS m").getString(0)
+    assert(md5n("abc") == "152195979970564155685860391459828531600")
+    assert(md5n("b") == "-149750030552373788046256512903076123758") // sign exercised
+    assert(md5n("graft") == "78023251690873641090830456044959079527")
+    assert(one("SELECT md5_number(NULL) AS m").isNullAt(0))
+    // the halves stay numeric (UBIGINT range via DECIMAL(20,0))
+    assert(one("SELECT md5_number_lower('abc') AS m").getDecimal(0) != null)
+  }
+
+  test("sweep-8: setseed makes random() reproducible; gen_random_uuid/unpivot_list execute") {
+    val df = spark.range(1).toDF("z")
+    val s2 = spark.newSession()
+    // setseed returns NULL like DuckDB, and seeds the session registry
+    assert(SqlStage("s", "SELECT setseed(0.42) AS m").apply(s2, df).collect().head.isNullAt(0))
+    def draw(): Seq[Double] =
+      SqlStage("s", "SELECT random() AS r FROM range(5) ORDER BY r")
+        .apply(s2, df).collect().map(_.getDouble(0)).toSeq
+    val d1 = draw()
+    val d2 = draw()
+    assert(d1 == d2) // DuckDB's reseed-then-replay property
+    assert(d1.forall(r => r >= 0.0 && r < 1.0))
+    // re-seeding with a different value changes the draws
+    SqlStage("s", "SELECT setseed(0.9) AS m").apply(s2, df).collect()
+    assert(draw() != d1)
+    // an UNSEEDED session keeps Spark's nondeterministic rand
+    val s3 = spark.newSession()
+    val u = SqlStage("s", "SELECT random() AS r").apply(s3, df).collect().head.getDouble(0)
+    assert(u >= 0.0 && u < 1.0)
+    // range check mirrors DuckDB's error text
+    val oob = intercept[Exception](
+      SqlStage("s", "SELECT setseed(1.5) AS m").apply(s2, df))
+    assert(oob.getMessage.contains("between -1.0 and 1.0"))
+    // gen_random_uuid resolves through Spark's uuid
+    assert(one("SELECT gen_random_uuid() AS m").getString(0).length == 36)
+    // unpivot_list builds a list; the zero-arg form is the empty list
+    assert(one("SELECT unpivot_list('a', 'b') AS m").getSeq[String](0) == Seq("a", "b"))
+    assert(one("SELECT size(unpivot_list()) AS m").getInt(0) == 0)
+  }
+
+  test("sweep-8: the exclusion table raises guided errors, not bare Catalyst failures") {
+    val df = spark.range(1).toDF("z")
+    // the 13 excluded catalog functions (COVERAGE.md) — each names its
+    // rationale/alternative through the fnHints path
+    val excluded = Seq(
+      "get_bit('x', 3)" -> "BIT",
+      "set_bit('x', 3, 1)" -> "BIT",
+      "bit_position('x', 'y')" -> "BIT",
+      "timetz_byte_comparable('x')" -> "TIMETZ",
+      "current_query()" -> "pipeline config",
+      "current_schemas(true)" -> "current_database",
+      "in_search_path('a', 'b')" -> "search path",
+      "stats('abc')" -> "DESCRIBE",
+      "vector_type('abc')" -> "EXPLAIN",
+      "json_serialize_sql('SELECT 1')" -> "EXPLAIN",
+      "json_serialize_plan('SELECT 1')" -> "EXPLAIN",
+      "txid_current()" -> "uuid()",
+      "alias(42)" -> "string literal")
+    excluded.foreach { case (call, marker) =>
+      val e = intercept[Exception](
+        SqlStage("s", s"SELECT $call AS m").apply(spark, df).collect())
+      assert(e.isInstanceOf[graft.functions.expressions.DuckDialectException],
+        s"$call should raise a guided error, got ${e.getClass.getName}: ${e.getMessage}")
+      assert(e.getMessage.contains(marker), s"$call hint should mention '$marker'")
+    }
+    // the BIT/TIMETZ typed-probe shapes fail at PARSE with the type named
+    val bitCast = intercept[Exception](
+      SqlStage("s", "SELECT get_bit('1010'::BIT, 3) AS m").apply(spark, df))
+    assert(bitCast.getMessage.contains("no BIT"))
+    val tzCast = intercept[Exception](
+      SqlStage("s", "SELECT timetz_byte_comparable(TIMETZ '13:30:05+00') AS m").apply(spark, df))
+    assert(tzCast.getMessage.contains("no TIMETZ"))
+  }
+
   test("try_strptime with a format LIST takes the first match (probed)") {
     assert(one("SELECT CAST(try_strptime('2024-01-15', array('%d/%m/%Y', '%Y-%m-%d')) AS DATE) AS m")
       .getDate(0).toString == "2024-01-15")
@@ -3691,6 +3808,11 @@ class DialectSpec extends SparkSpec {
     val dup = intercept[Exception](
       SqlStage("t", s"ATTACH '$dir' AS adb").apply(s2, s2.range(1).toDF("z")))
     assert(dup.getMessage.contains("already attached"))
+    // ...but the IF NOT EXISTS spelling is a no-op on a duplicate alias
+    // (probed duckdb 1.0.0) — re-runnable scripts pass
+    SqlStage("t", s"ATTACH IF NOT EXISTS '$dir' AS adb").apply(s2, s2.range(1).toDF("z"))
+    assert(SqlStage("t", "SELECT count(*) AS n FROM adb.att_src")
+      .apply(s2, s2.range(1).toDF("z")).collect().head.getLong(0) == 5L)
     SqlStage("t", "DETACH adb").apply(s2, s2.range(1).toDF("z"))
     val gone = intercept[Exception](
       SqlStage("t", "SELECT * FROM adb.att_src").apply(s2, s2.range(1).toDF("z")))

@@ -24,18 +24,25 @@ object Sweep7 {
     val entries = scala.io.Source.fromFile(in).getLines()
       .map(_.split("\t")).collect { case a if a.length >= 2 => (a(0), a(1)) }
       .toSeq
-    var okN, failN = 0
+    // r16 terminal-state classification: a miss is GUIDED when graft
+    // raises DuckDialectException (the COVERAGE.md exclusion table) and
+    // RAW when a bare Catalyst error escapes — the closed catalog state
+    // is "raw=0, guided == the exclusion table".
+    var okN, guidedN, rawN = 0
     entries.foreach { case (fn, sql) =>
       try {
         graft.operators.SqlStage("s", sql).apply(spark, df).collect()
         okN += 1
       } catch {
         case e: Throwable =>
-          failN += 1
-          println(s"[miss] $fn :: $sql :: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(110)}")
+          val guided = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5)
+            .exists(_.isInstanceOf[graft.functions.expressions.DuckDialectException])
+          if (guided) guidedN += 1 else rawN += 1
+          val tag = if (guided) "guided" else "RAW"
+          println(s"[miss:$tag] $fn :: $sql :: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(110)}")
       }
     }
-    println(s"[sweep7] ok=$okN fail=$failN of ${entries.size}")
+    println(s"[sweep7] ok=$okN guided=$guidedN raw=$rawN of ${entries.size}")
     spark.stop()
   }
 }
