@@ -261,11 +261,15 @@ object Bench {
     // line so BENCH_rN.json is self-contained. Graceful: any failure
     // (no python3/duckdb on this host, script missing) just omits the
     // fields. GRAFT_BENCH_DUCKDB=0 disables.
-    val duckFields: String =
-      if (sys.env.get("GRAFT_BENCH_DUCKDB").contains("0")) ""
+    // (fields for the JSON line, per-query DuckDB best map) — the map
+    // feeds the per-query ratio columns (VERDICT r15 #2: ratios settle
+    // box-contention archaeology mechanically; compare ratios, never
+    // absolute walls, on this box).
+    val (duckFields: String, duckQueries: Map[String, Double]) =
+      if (sys.env.get("GRAFT_BENCH_DUCKDB").contains("0")) ("", Map.empty[String, Double])
       else try {
         val script = new java.io.File("tools/duckbase.py")
-        if (!script.isFile) "" else {
+        if (!script.isFile) ("", Map.empty[String, Double]) else {
           // duckbase reads <dir>/oracle_sql.json — dump the CURRENT
           // oracle set (the exact SQL the correctness gate replays)
           val dir = java.nio.file.Files.createTempDirectory("graft_duckbase")
@@ -304,14 +308,22 @@ object Bench {
           def field(name: String): Option[Double] =
             (s""""$name":\\s*([0-9.]+)""").r.findFirstMatchIn(out)
               .map(_.group(1).toDouble)
+          // per-query best map out of duckbase's {"queries": {...}} —
+          // keys are the full oracle names, matching seqRes keys
+          val perQuery: Map[String, Double] =
+            """"queries":\s*\{([^}]*)\}""".r.findFirstMatchIn(out).map { m =>
+              """"([^"]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(m.group(1))
+                .map(q => q.group(1) -> q.group(2).toDouble).toMap
+            }.getOrElse(Map.empty)
           (if (ok) field("wall_best") else None) match {
             case Some(dw) if dw > 0 =>
               val sumBest = field("sum_of_best").getOrElse(0.0)
-              f""","duckdb_wall_best":$dw%.3f,"duckdb_sum_best":$sumBest%.3f,"duckdb_ratio":${seqWall / dw}%.3f"""
-            case _ => ""
+              (f""","duckdb_wall_best":$dw%.3f,"duckdb_sum_best":$sumBest%.3f,"duckdb_ratio":${seqWall / dw}%.3f""",
+                perQuery)
+            case _ => ("", perQuery)
           }
         }
-      } catch { case scala.util.control.NonFatal(_) => "" }
+      } catch { case scala.util.control.NonFatal(_) => ("", Map.empty[String, Double]) }
 
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line out of that window (round 3's full-precision,
@@ -329,19 +341,46 @@ object Bench {
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val qOmitted = seqRes.size - qTop.size
+    // Per-query DuckDB baselines + ratios (VERDICT r15 #2): graft-median
+    // / duckdb-best per query, so a per-query wall move reads as
+    // engine-vs-engine, not box noise. The line carries the SLOWEST 50
+    // graft queries (the plan-audit set; the stdout line must stay
+    // parseable in the driver's capture window — full maps for all
+    // queries go to bench_detail.json).
+    def f2(v: Double): String = f"$v%.2f"
+    val duckLine =
+      if (duckQueries.isEmpty) ""
+      else {
+        val dTop = qTop.take(50)
+        val dq = dTop.sortBy(_._1).flatMap { case (k, _) =>
+          duckQueries.get(k).map(d => "\"" + shortKey(k) + "\":" + f3(d)) }
+          .mkString("{", ",", "}")
+        val ratios = dTop.sortBy(_._1).flatMap { case (k, v) =>
+          duckQueries.get(k).filter(_ > 0)
+            .map(d => "\"" + shortKey(k) + "\":" + f2(v / d)) }
+          .mkString("{", ",", "}")
+        s""","queries_duckdb":$dq,"ratios":$ratios"""
+      }
     val walls = runs.map(r => f3(r._1)).mkString("[", ",", "]")
     val failedJson = {
       import scala.jdk.CollectionConverters._
       failed.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
     val seqWalls = seqRuns.map(r => f3(r._1)).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(wall)},"unit":"sec","queries":$qs,"queries_omitted":$qOmitted,"n_queries":${seqRes.size},"sf":"$sfDir","streams":$streams,"passes":$passes,"wall_runs":$walls,"wall_median_sec":${f3(wallMedian)},"seq_wall_sec":${f3(seqWall)},"seq_runs":$seqWalls,"sum_query_sec":${f3(seqRes.values.sum)},"warmed":${warmDir.nonEmpty}$duckFields,"failed":$failedJson}"""
-    // Full-name, full-precision record for local diffing.
+    val line = s"""{"metric":"total","value":${f3(wall)},"unit":"sec","queries":$qs,"queries_omitted":$qOmitted,"n_queries":${seqRes.size},"sf":"$sfDir","streams":$streams,"passes":$passes,"wall_runs":$walls,"wall_median_sec":${f3(wallMedian)},"seq_wall_sec":${f3(seqWall)},"seq_runs":$seqWalls,"sum_query_sec":${f3(seqRes.values.sum)},"warmed":${warmDir.nonEmpty}$duckFields$duckLine,"failed":$failedJson}"""
+    // Full-name, full-precision record for local diffing (includes the
+    // COMPLETE duckdb per-query map + ratios, not just the slowest set).
     val detail = seqRes.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val duckDetail = duckQueries.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ratioDetail = seqRes.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) =>
+        duckQueries.get(k).filter(_ > 0).map(d => "\"" + k + "\":" + f3(v / d)) }
+      .mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
-      w.println(s"""{"wall":$wall,"wall_runs":$walls,"seq_wall":$seqWall,"seq_runs":$seqWalls,"queries":$detail,"failed":$failedJson,"streams":$streams,"passes":$passes,"sf":"$sfDir"}""")
+      w.println(s"""{"wall":$wall,"wall_runs":$walls,"seq_wall":$seqWall,"seq_runs":$seqWalls,"queries":$detail,"queries_duckdb":$duckDetail,"ratios":$ratioDetail,"failed":$failedJson,"streams":$streams,"passes":$passes,"sf":"$sfDir"}""")
       w.close()
     } catch { case scala.util.control.NonFatal(_) => }
     // The driver line-parses the tail for this JSON, so it must reach

@@ -1941,6 +1941,7 @@ object ExtraQueries {
     // mounts its EXPORT-DATABASE directory, DuckDB round-trips through
     // a real .db storage file; the restored relations must agree
     "q181_attach" -> """
+      DETACH DATABASE IF EXISTS adb;
       ATTACH '/tmp/duck_q181.db' AS wdb;
       CREATE OR REPLACE TABLE wdb.q181_src AS
         SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
