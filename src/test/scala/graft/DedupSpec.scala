@@ -577,25 +577,40 @@ class DedupSpec extends SparkSpec {
         val members = nodes.filter(u => find(u.toInt) == root)
         v -> members.min
       }.toMap
+      // BOTH execution paths must match the oracle: the r16 adaptive
+      // driver union-find (default for bounded edge sets) and the
+      // distributed doubling loop (forced via the conf, the 100 TB path)
       val got = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"round $round")
+      assert(got == expected, s"round $round (driver path)")
+      spark.conf.set("spark.graft.cc.localEdges", "0")
+      try {
+        val gotLoop = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotLoop == expected, s"round $round (distributed path)")
+      } finally spark.conf.unset("spark.graft.cc.localEdges")
     }
   }
 
   test("connectedComponents converges on a 200-node path (diameter ≫ maxIter) via path doubling") {
     val path = (0L until 199L).map(i => (i, i + 1))
-    val got = Dedup.connectedComponents(path.toDF("doc_a", "doc_b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-    assert(got.length == 200 && got.forall(_._2 == 0L))
+    spark.conf.set("spark.graft.cc.localEdges", "0") // force the loop
+    try {
+      val got = Dedup.connectedComponents(path.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(got.length == 200 && got.forall(_._2 == 0L))
+    } finally spark.conf.unset("spark.graft.cc.localEdges")
   }
 
   test("connectedComponents throws instead of returning un-converged labels") {
     val path = (0L until 199L).map(i => (i, i + 1))
-    val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(path.toDF("doc_a", "doc_b"), maxIter = 3).count()
-    }
-    assert(e.getMessage.contains("not converged"))
+    spark.conf.set("spark.graft.cc.localEdges", "0") // force the loop
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.connectedComponents(path.toDF("doc_a", "doc_b"), maxIter = 3).count()
+      }
+      assert(e.getMessage.contains("not converged"))
+    } finally spark.conf.unset("spark.graft.cc.localEdges")
   }
 
   test("connectedComponents handles string ids natively (no silent null cast)") {

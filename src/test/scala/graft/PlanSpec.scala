@@ -365,4 +365,38 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange"), p)
     }
   }
+
+  test("connectedComponents pays ONE action per round (fused convergence metric)") {
+    // The changed-count rides the round's localCheckpoint as an observed
+    // metric (Dedup.connectedComponents) — the fallback count() must not
+    // fire. With AQE OFF one action = one Spark job, so the job count is
+    // the action count: 2 setup checkpoints (edges, labels) + one job
+    // per doubling round. A 200-node path converges in ≤ 12 rounds
+    // (~log2(199) + slack + the zero-change confirmation) → ≤ 14 jobs;
+    // a two-actions-per-round loop would pay ≥ 2 setup + 2 × rounds
+    // ≈ 20+. Measured 14 on this box (graft.tools.CcJobs2).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.graft.cc.localEdges", "0") // force the distributed loop
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val df = {
+      import s2.implicits._
+      path.toDF("doc_a", "doc_b")
+    }
+    graft.functions.Dedup.connectedComponents(df) // warm (JIT/codegen)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    s2.sparkContext.addSparkListener(listener)
+    try {
+      val got = graft.functions.Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      Thread.sleep(500) // job-start events post async to the listener bus
+      assert(got.length == 200 && got.forall(_._2 == 0L))
+      // +1 for the final collect() above
+      assert(jobs.get <= 16, s"jobs=${jobs.get} — CC rounds are paying more than one action")
+    } finally s2.sparkContext.removeSparkListener(listener)
+  }
 }
