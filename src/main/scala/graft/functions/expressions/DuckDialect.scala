@@ -434,10 +434,12 @@ object GraftListSort {
   *     subquery (wrap for alias predicates, helper-column injection for
   *     inline windows), `struct_pack(a := x)` → `named_struct('a', x)`,
   *     and `USING SAMPLE n%/n ROWS` → a TABLESAMPLE over the block,
-  *     with `reservoir(n ROWS)` as a deterministic-hash top-n (r15;
-  *     percentage reservoir(n%) keeps the guided error, and sampled
-  *     aggregation/DISTINCT blocks refuse loudly — DuckDB samples the
-  *     base rows first).
+  *     with `reservoir(n ROWS)` as a deterministic-hash top-n (r15) and
+  *     `reservoir(n%)` resolved by one base-relation count at SqlStage
+  *     level (r16); exact-n samples under a WHERE attach to the base
+  *     relation (DuckDB 1.0.0 draws BEFORE the filter, probed), and
+  *     sampled aggregation/DISTINCT blocks without a WHERE refuse
+  *     loudly naming the FROM-subquery form.
   *  3. [[fnHints]]/[[constructHints]] — DuckDB-isms with no faithful
   *     Spark rewrite raise [[DuckDialectException]] naming the construct
   *     and the nearest Spark equivalent instead of a raw Catalyst error.
@@ -1834,12 +1836,11 @@ object DuckDialect {
     // could not handle (e.g. a parse failure after rewriting).
     raw"(?i)\bQUALIFY\b".r ->
       "this QUALIFY shape couldn't be auto-rewritten — compute the window column in a subquery and filter it outside: SELECT * FROM (SELECT ..., row_number() OVER (...) AS rn FROM t) WHERE rn = 1",
-    // plain n% / n ROWS, seeded bernoulli/system percentages and
-    // reservoir(n ROWS) forms are auto-rewritten (r15); this hint fires
-    // for the leftovers — e.g. percentage reservoir(n%), whose exact
-    // output count needs the input's cardinality
+    // plain n% / n ROWS, seeded bernoulli/system percentages,
+    // reservoir(n ROWS) and (r16) percentage reservoir(n%) forms all
+    // execute; this hint fires only for leftover method specs
     raw"(?i)\bUSING\s+SAMPLE\b".r ->
-      "this USING SAMPLE form couldn't be auto-rewritten (reservoir(n%) needs the input cardinality; other method specs change statistics) — use reservoir(n ROWS), or TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
+      "this USING SAMPLE form couldn't be auto-rewritten — use n% / n ROWS / reservoir(n ROWS) / reservoir(n%), or TABLESAMPLE: SELECT ... FROM t TABLESAMPLE (10 PERCENT) or TABLESAMPLE (100 ROWS)",
     // BIT / TIMETZ are DuckDB-only types (sweep-8 exclusion table,
     // COVERAGE.md): a '::BIT' cast fails Spark's parser — name the
     // missing type instead of a bare ANTLR error

@@ -2453,9 +2453,10 @@ object GraftSqlParser {
     * [REPEATABLE (seed)]` — DuckDB's only spelling that takes a
     * REPEATABLE suffix, probed 1.0.0): normalized to the size-first
     * form and re-fed to [[rewriteSample]]. Percentage `reservoir(n%)`
-    * bodies deliberately don't match (exact-count percentage needs the
-    * table's cardinality, which a text rewrite doesn't have — guided
-    * error); `reservoir(n ROWS)` executes via [[RsvFnRe]].
+    * bodies deliberately don't match HERE (exact-count percentage needs
+    * the table's cardinality, which a pure text rewrite doesn't have) —
+    * they resolve at SqlStage level via [[resolvePercentReservoir]]
+    * (r16) and re-enter as `reservoir(n ROWS)` via [[RsvFnRe]].
     */
   private val FnSampleRe =
     raw"(?i)\bUSING\s+SAMPLE\s+(bernoulli|system)\s*\(\s*(\d+(?:\.\d+)?)\s*(%|PERCENT\b)\s*\)(?:\s*REPEATABLE\s*\(\s*(\d+)\s*\))?".r
@@ -2472,7 +2473,12 @@ object GraftSqlParser {
     * engines pick DIFFERENT rows (different RNGs — DuckDB's own docs
     * make no cross-version promise), but the invariants DuckDB
     * guarantees hold identically: exactly n rows, a subset of the
-    * input, same seed → same set, applied after the block's WHERE.
+    * input, same seed → same set. r16 correction (probed): DuckDB
+    * 1.0.0 draws the sample from the base FROM relation BEFORE the
+    * block's WHERE — a seeded `WHERE p USING SAMPLE reservoir(10 ROWS)`
+    * returns a deterministic ≤ 10 rows, not 10 — so when a top-level
+    * WHERE is present the hash-top-n attaches to the relation
+    * ([[sampleSplit]]) instead of wrapping the filtered block.
     */
   private val RsvFnRe =
     raw"(?i)\bUSING\s+SAMPLE\s+reservoir\s*\(\s*(\d+)\s+ROWS\s*\)(?:\s*REPEATABLE\s*\(\s*(\d+)\s*\))?".r
@@ -2553,23 +2559,163 @@ object GraftSqlParser {
   }
 
   /** Rewrite DuckDB `USING SAMPLE n% / n PERCENT / n [ROWS]` into Spark
-    * `TABLESAMPLE`, wrapping the block so the sample applies AFTER the
-    * block's WHERE — DuckDB's documented semantics, and the opposite of
-    * raw TABLESAMPLE (which samples the table before filters):
-    * `SELECT * FROM ( <block sans sample> ) TABLESAMPLE (spec)`.
-    * Percentage METHOD names are claimed too (r13): `(bernoulli)` IS
-    * Spark's sampler (independent per-row inclusion), and `(system)` is
-    * DuckDB's cheaper vector-granular approximation OF bernoulli — the
-    * bare `n%` form already defaults to system in DuckDB, so claiming
-    * the explicit name is the same trade the bare claim made (the
-    * sampled fraction is what the user asked for; block granularity is
-    * an executor-side implementation detail DuckDB itself documents as
-    * approximate). Seeded percentage forms ride through as Spark's
+    * `TABLESAMPLE`. Sample ORDER (r16 correction, probed 1.0.0): the
+    * trailing USING SAMPLE draws from the base FROM relation BEFORE the
+    * block's WHERE — `FROM t WHERE p USING SAMPLE 10 ROWS` over a
+    * half-passing filter returns ≤ 10 VARIABLE rows (observed 7,4,5,…),
+    * where an after-WHERE reading would always return exactly 10. So:
+    * exact-n forms with a top-level WHERE attach the sample to the
+    * relation ([[sampleSplit]] — raw TABLESAMPLE's pre-filter placement
+    * is exactly DuckDB's behavior); percentage forms keep the block
+    * wrap, which is distribution-identical (row-independent inclusion
+    * commutes with filters; cross-engine row SETS differ by RNG in every
+    * form, documented). Percentage METHOD names are claimed too (r13):
+    * `(bernoulli)` IS Spark's sampler (independent per-row inclusion),
+    * and `(system)` is DuckDB's cheaper vector-granular approximation OF
+    * bernoulli — the bare `n%` form already defaults to system in
+    * DuckDB, so claiming the explicit name is the same trade the bare
+    * claim made. Seeded percentage forms ride through as Spark's
     * REPEATABLE clause (r14); `reservoir(n ROWS)` executes as the
-    * deterministic-hash top-n (r15, [[RsvFnRe]]); only percentage
-    * `reservoir(n%)` keeps the guided error (exact-count percentage
-    * needs the input's cardinality).
+    * deterministic-hash top-n (r15, [[RsvFnRe]]); percentage
+    * `reservoir(n%)` resolves at SqlStage level (r16,
+    * [[resolvePercentReservoir]]: one base-relation count, then the
+    * exact-n path).
     */
+  /** First depth-0 occurrence of `re` in masked[from, until) — paren
+    * depth measured relative to `from` (a block's own parens balance).
+    */
+  private def depth0Find(masked: String, re: scala.util.matching.Regex,
+                         from: Int, until: Int): Option[Int] = {
+    var d = 0
+    var i = from
+    val hits = re.findAllMatchIn(masked.substring(from, until))
+      .map(_.start + from).toList
+    if (hits.isEmpty) return None
+    val depths = new Array[Int](until - from)
+    while (i < until) {
+      depths(i - from) = d
+      masked.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    hits.find(p => depths(p - from) == 0)
+  }
+
+  /** Split a sample-carrying block at its top-level FROM/WHERE (r16):
+    * Some((fromIdxAfterKeyword, whereIdx, fromPart, alias)) when the
+    * block has a depth-0 WHERE before the sample — the shape where
+    * DuckDB 1.0.0's sample order is OBSERVABLE (probed: `FROM t WHERE p
+    * USING SAMPLE 10 ROWS` returns ≤ 10 VARIABLE rows — the sample
+    * draws from the base relation BEFORE the filter; the docs-implied
+    * after-WHERE reading would always return exactly 10). Multi-relation
+    * FROMs (depth-0 comma or JOIN) with a WHERE raise a guided error
+    * for the exact-n forms — sampling the pre-filter join result needs
+    * the FROM-subquery spelling. The derived alias keeps qualified refs
+    * (`t.col`) resolving after the relation is wrapped.
+    */
+  private def sampleSplit(sql: String, masked: String, blockStart: Int,
+                          sampleStart: Int): Option[(Int, Int, String, String)] = {
+    val fromIdx = depth0Find(masked, raw"(?i)\bFROM\b".r, blockStart, sampleStart)
+      .getOrElse(return None)
+    val whereIdx = depth0Find(masked, raw"(?i)\bWHERE\b".r, fromIdx + 4, sampleStart)
+      .getOrElse(return None)
+    val multi = depth0Find(masked, raw",|(?i)\bJOIN\b".r, fromIdx + 4, whereIdx).isDefined
+    if (multi) throw new graft.functions.expressions.DuckDialectException(
+      "USING SAMPLE (exact-n form) after a WHERE over a multi-relation FROM — " +
+        "DuckDB draws the sample from the pre-filter join result, which this " +
+        "rewrite can't attach to a join; move the sample into a FROM subquery: " +
+        "SELECT ... FROM (SELECT * FROM a JOIN b ON ... USING SAMPLE <spec>) WHERE ...")
+    val fromPart = sql.substring(fromIdx + 4, whereIdx).trim
+    // alias: explicit trailing identifier, else the relation's own last
+    // name component; subquery relations use their explicit alias
+    val alias = {
+      val bare = raw"^([A-Za-z_][\w.]*)$$".r
+      val aliased = raw"(?is)^([A-Za-z_][\w.]*)\s+(?:AS\s+)?([A-Za-z_]\w*)$$".r
+      val subq = raw"(?is)\)\s*(?:AS\s+)?([A-Za-z_]\w*)$$".r
+      fromPart match {
+        case bare(n) => n.split('.').last
+        case aliased(_, a) => a
+        case _ => subq.findFirstMatchIn(fromPart).map(_.group(1)).getOrElse("")
+      }
+    }
+    Some((fromIdx + 4, whereIdx, fromPart, alias))
+  }
+
+  private val RsvPctRe =
+    raw"(?i)\bUSING\s+SAMPLE\s+reservoir\s*\(\s*(\d+(?:\.\d+)?)\s*(?:%|PERCENT\b)\s*\)(?:\s*REPEATABLE\s*\(\s*(\d+)\s*\))?".r
+  private val RsvPctSizeRe =
+    raw"(?i)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT\b)\s*\(\s*reservoir\s*(?:,\s*(\d+))?\s*\)".r
+
+  /** Percentage reservoir (r16, VERDICT r15 missing #3):
+    * `USING SAMPLE reservoir(p%) [REPEATABLE (s)]` and the size-first
+    * `USING SAMPLE p% (reservoir[, s])` — DuckDB 1.0.0 (probed) returns
+    * EXACTLY round-half-up(p/100 × N) rows where N is the row count of
+    * the base FROM relation BEFORE the block's WHERE (25 rows at 10% →
+    * 3; 50% → 13; 10 rows at 15% → 2; a WHERE makes the post-filter
+    * count variable — the draw happens first). The count needs the
+    * input's cardinality, which a pure text rewrite doesn't have — so
+    * this resolver runs at SqlStage level: ONE count over the base
+    * relation (a metadata-cheap column-pruned count for file scans),
+    * then the spec collapses to the exact-n `reservoir(n ROWS)` path
+    * (deterministic hash top-n, TakeOrderedAndProject). CTE-scoped
+    * relations can't be counted out of statement context and raise a
+    * guided error naming the temp-table route.
+    */
+  def resolvePercentReservoir(spark: org.apache.spark.sql.SparkSession,
+      sql: String,
+      run: String => org.apache.spark.sql.DataFrame): String = {
+    var cur = sql
+    var guard = 0
+    while (guard < 16) { // sibling samples resolve one per iteration
+      guard += 1
+      val masked = maskQuotes(cur)
+      val hit = RsvPctRe.findFirstMatchIn(masked)
+        .orElse(RsvPctSizeRe.findFirstMatchIn(masked))
+      hit match {
+        case None => return cur
+        case Some(mm) =>
+          val pct = mm.group(1).toDouble
+          val seedOpt = Option(mm.group(2))
+          val stack = scala.collection.mutable.Stack[Int]()
+          var i = 0
+          while (i < mm.start) {
+            masked.charAt(i) match {
+              case '(' => stack.push(i + 1)
+              case ')' => if (stack.nonEmpty) stack.pop()
+              case _ =>
+            }
+            i += 1
+          }
+          val blockStart = if (stack.isEmpty) 0 else stack.top
+          val fromIdx = depth0Find(masked, raw"(?i)\bFROM\b".r, blockStart, mm.start)
+            .getOrElse(throw new graft.functions.expressions.DuckDialectException(
+              "reservoir(n%) without a FROM relation has no cardinality to count"))
+          val baseEnd = depth0Find(masked, raw"(?i)\bWHERE\b".r, fromIdx + 4, mm.start)
+            .getOrElse(mm.start)
+          val basePart = cur.substring(fromIdx + 4, baseEnd).trim
+          val cnt =
+            try run(s"SELECT count(*) AS __graft_rsv_n FROM $basePart")
+              .collect().head.getLong(0)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                throw new graft.functions.expressions.DuckDialectException(
+                  s"reservoir($pct%): could not count the base relation " +
+                    s"'$basePart' out of statement context (CTE-scoped names " +
+                    "can't be resolved here) — materialize it first with " +
+                    "CREATE TEMP TABLE ... AS, or use reservoir(n ROWS)", e)
+            }
+          val n = math.floor(cnt * pct / 100.0 + 0.5).toLong
+          val rep = seedOpt.map(s => s" REPEATABLE ($s)").getOrElse("")
+          cur = cur.substring(0, mm.start) +
+            s"USING SAMPLE reservoir($n ROWS)$rep" + cur.substring(mm.end)
+      }
+    }
+    cur
+  }
+
   def rewriteSample(sql: String): String = {
     val masked = maskQuotes(sql)
     FnSampleRe.findFirstMatchIn(masked).foreach { fm =>
@@ -2607,6 +2753,22 @@ object GraftSqlParser {
         i += 1
       }
       val blockStart = if (stack.isEmpty) 0 else stack.top
+      // a depth-0 WHERE before the sample: DuckDB 1.0.0 draws the n
+      // rows from the base FROM relation BEFORE the filter (probed —
+      // `WHERE p USING SAMPLE reservoir(10 ROWS) REPEATABLE (42)`
+      // returns a deterministic ≤ 10, not 10), so attach the hash-top-n
+      // to the relation and leave the WHERE above it; aggregation /
+      // DISTINCT in the select list is then DuckDB-correct too (it
+      // evaluates over the filtered sample), so the wrap guard is
+      // bypassed on this path
+      sampleSplit(sql, masked, blockStart, rm.start).foreach {
+        case (fromEnd, whereIdx, fromPart, alias) =>
+          val rel = s"( SELECT * EXCEPT ($h) FROM (SELECT *, " +
+            s"xxhash64(struct(*), $seed) AS $h FROM ( SELECT * FROM $fromPart ) " +
+            s"ORDER BY $h LIMIT $n) ) $alias"
+          return rewriteSample(sql.substring(0, fromEnd) + s" $rel " +
+            sql.substring(whereIdx, rm.start) + sql.substring(rm.end))
+      }
       val head = sql.substring(blockStart, rm.start).trim
       guardAggregatedSample(masked.substring(blockStart, rm.start).trim)
       return rewriteSample(sql.substring(0, blockStart) +
@@ -2662,6 +2824,21 @@ object GraftSqlParser {
           i += 1
         }
         val blockStart = if (stack.isEmpty) 0 else stack.top
+        // exact-n (ROWS) with a depth-0 WHERE: DuckDB 1.0.0 samples the
+        // base relation BEFORE the filter (probed; see sampleSplit) —
+        // attach the TABLESAMPLE to the relation instead of wrapping
+        // the filtered block, which would always return exactly n.
+        // Percentage forms COMMUTE with row-independent filters (the
+        // per-row inclusion decision doesn't depend on other rows), so
+        // the wrap stays for them — cross-engine row sets differ by RNG
+        // either way, and the count distribution is identical.
+        if (!isPercent)
+          sampleSplit(sql, masked, blockStart, m.start).foreach {
+            case (fromEnd, whereIdx, fromPart, alias) =>
+              val rel = s"( SELECT * FROM $fromPart ) TABLESAMPLE ($spec) $repeatable $alias"
+              return rewriteSample(sql.substring(0, fromEnd) + s" $rel " +
+                sql.substring(whereIdx, m.start) + sql.substring(m.end + consumed))
+          }
         val head = sql.substring(blockStart, m.start).trim
         guardAggregatedSample(masked.substring(blockStart, m.start).trim)
         rewriteSample(sql.substring(0, blockStart) +

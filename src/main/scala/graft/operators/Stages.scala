@@ -556,8 +556,13 @@ final case class SqlStage(name: String, code: String) extends Stage {
         else spark.table(target)
       return GraftSqlParser.describe(inner)
     }
+    // percentage reservoir resolves here (needs the session to count
+    // the base relation — r16); the spec then collapses to the exact-n
+    // reservoir(n ROWS) text the pure rewrites below execute
+    val code3 = GraftSqlParser.resolvePercentReservoir(spark, code2,
+      st => SqlStage(name, st).apply(spark, df))
     val stmt = GraftSqlParser.rewritePivotStatement(spark,
-      GraftSqlParser.rewriteUnpivotStatement(code2),
+      GraftSqlParser.rewriteUnpivotStatement(code3),
       s => GraftSqlParser.rewriteAll(
         GraftSqlParser.rewriteColumns(
           GraftSqlParser.rewriteReplace(s, df.columns.toSeq), df.columns.toSeq)))

@@ -1785,13 +1785,18 @@ object ExtraQueries {
       WITH s AS (SELECT doc_id FROM documents USING SAMPLE reservoir(100 ROWS) REPEATABLE (42)),
            s2 AS (SELECT doc_id FROM documents USING SAMPLE reservoir(100 ROWS) REPEATABLE (42)),
            s3 AS (SELECT doc_id FROM documents USING SAMPLE 40 ROWS (reservoir, 7)),
-           s4 AS (SELECT doc_id FROM documents USING SAMPLE reservoir(40 ROWS) REPEATABLE (7))
+           s4 AS (SELECT doc_id FROM documents USING SAMPLE reservoir(40 ROWS) REPEATABLE (7)),
+           s5 AS (SELECT doc_id FROM documents USING SAMPLE reservoir(20%) REPEATABLE (11)),
+           s6 AS (SELECT doc_id FROM documents USING SAMPLE 20% (reservoir, 11))
       SELECT (SELECT count(*) FROM s) AS n_s,
              (SELECT count(DISTINCT doc_id) FROM s) AS n_s_distinct,
              (SELECT count(*) FROM s3) AS n_s3,
              (SELECT count(*) FROM (SELECT doc_id FROM s EXCEPT SELECT doc_id FROM s2)) = 0 AS same_seed_same_set,
              (SELECT count(*) FROM (SELECT doc_id FROM s3 EXCEPT SELECT doc_id FROM s4)) = 0 AS spellings_agree,
-             (SELECT count(*) FROM (SELECT doc_id FROM s EXCEPT SELECT doc_id FROM documents)) = 0 AS subset_ok"""
+             (SELECT count(*) FROM (SELECT doc_id FROM s EXCEPT SELECT doc_id FROM documents)) = 0 AS subset_ok,
+             (SELECT count(*) FROM s5) AS n_pct,
+             (SELECT count(*) FROM (SELECT doc_id FROM s5 EXCEPT SELECT doc_id FROM s6)) = 0 AS pct_spellings_agree,
+             (SELECT count(*) FROM (SELECT doc_id FROM s5 EXCEPT SELECT doc_id FROM documents)) = 0 AS pct_subset_ok"""
 
   def q182Reservoir(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)

@@ -161,8 +161,11 @@ class DialectSpec extends SparkSpec {
     // a shape the rewrite can't express still raises the named hint
     assert(hintOf("SELECT * FROM df a ASOF JOIN df b ON a.id = b.id")
       .contains("no inequality"))
-    // USING SAMPLE with a method spec is NOT silently approximated
-    assert(hintOf("SELECT * FROM df USING SAMPLE reservoir(10%)").contains("TABLESAMPLE"))
+    // percentage reservoir left the guided-error list too (r16: SqlStage
+    // counts the base relation, then the exact-n path executes) — over
+    // the 1-row df, 10% rounds to 0 rows
+    assert(SqlStage("s", "SELECT * FROM df USING SAMPLE reservoir(10%)")
+      .apply(spark, spark.range(1).toDF("id")).collect().isEmpty)
     // list comprehensions left the guided-error list (auto-rewritten
     // since r10, own test below); a malformed shape still raises a
     // comprehension-naming error
@@ -3510,11 +3513,13 @@ class DialectSpec extends SparkSpec {
     assert(e != a && e.size == 50)
     assert(run("SELECT * FROM df USING SAMPLE reservoir(50 ROWS)") ==
       run("SELECT * FROM df USING SAMPLE reservoir(50 ROWS)"))
-    // applies AFTER the block's WHERE (DuckDB semantics)
+    // draws from the base relation BEFORE the WHERE (r16 correction,
+    // probed duckdb 1.0.0: `WHERE p USING SAMPLE reservoir(n ROWS)`
+    // returns ≤ n rows — the filter prunes the drawn sample)
     val f = run("SELECT * FROM df WHERE id < 60 USING SAMPLE reservoir(50 ROWS) REPEATABLE (42)")
-    assert(f.size == 50 && f.forall(_ < 60))
-    // oversample returns every row
-    assert(run("SELECT * FROM df WHERE id < 30 USING SAMPLE reservoir(99 ROWS)").size == 30)
+    assert(f.size < 50 && f.nonEmpty && f.forall(_ < 60), s"n=${f.size}")
+    // oversampling the base returns every filtered row
+    assert(run("SELECT * FROM df WHERE id < 30 USING SAMPLE reservoir(500 ROWS)").size == 30)
     // plan shape: bounded top-n (per-partition heaps + driver merge),
     // never a global sort — the 100 TB posture of the hash-sample
     val plan = SqlStage("s", "SELECT * FROM df USING SAMPLE reservoir(50 ROWS) REPEATABLE (42)")
@@ -3667,6 +3672,41 @@ class DialectSpec extends SparkSpec {
     assert(!one("SELECT json_contains('{\"a\":1}', '2') AS m").getBoolean(0))
     assert(!one("SELECT json_contains('[1,2]', '[3]') AS m").getBoolean(0))
     assert(!one("SELECT json_contains('{\"a\":{\"b\":2}}', '{\"b\":3}') AS m").getBoolean(0))
+  }
+
+  test("r16 sample semantics: percentage reservoir + pre-WHERE draw (probed)") {
+    val df = spark.range(100).toDF("r")
+    df.createOrReplaceTempView("rsv_w")
+    def q(sql: String) = SqlStage("s", sql).apply(spark, df).collect()
+    // exact counts = round-half-up(pct × base count), probed duckdb
+    // 1.0.0: 25% of 40 → 10, 10% of 25 → 3 (2.5 up), 50% of 25 → 13
+    assert(q("SELECT * FROM (SELECT r FROM rsv_w WHERE r < 40) t USING SAMPLE reservoir(25%)").length == 10)
+    assert(q("SELECT * FROM (SELECT r FROM rsv_w WHERE r < 25) t USING SAMPLE reservoir(10%)").length == 3)
+    assert(q("SELECT * FROM (SELECT r FROM rsv_w WHERE r < 25) t USING SAMPLE 50% (reservoir, 7)").length == 13)
+    // a trailing exact-n sample draws from the base relation BEFORE the
+    // WHERE (probed: DuckDB returns a variable ≤ n; graft a
+    // deterministic ≤ n) — the old after-WHERE wrap always returned n
+    val a = q("SELECT r FROM rsv_w WHERE r < 50 USING SAMPLE reservoir(10 ROWS) REPEATABLE (7) ORDER BY r")
+    val b = q("SELECT r FROM rsv_w WHERE r < 50 USING SAMPLE reservoir(10 ROWS) REPEATABLE (7) ORDER BY r")
+    assert(a.length > 0 && a.length < 10, s"n=${a.length} — pre-WHERE draw should lose rows to the filter")
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    // percentage reservoir with a WHERE sizes n from the PRE-filter
+    // count (probed), so it equals the explicit-n spelling exactly
+    val c = q("SELECT r FROM rsv_w WHERE r < 50 USING SAMPLE reservoir(10%) REPEATABLE (7) ORDER BY r")
+    assert(c.map(_.getLong(0)).toSeq == a.map(_.getLong(0)).toSeq)
+    // qualified refs survive the relation restructure (derived alias)
+    assert(q("SELECT t.r FROM rsv_w t WHERE t.r < 50 USING SAMPLE reservoir(5 ROWS) REPEATABLE (3)").length <= 5)
+    // multi-relation FROM + WHERE + exact-n refuses loudly (the sample
+    // would need to attach to the pre-filter join result)
+    val multi = intercept[Exception](
+      q("SELECT * FROM rsv_w a, rsv_w b WHERE a.r = b.r USING SAMPLE 5 ROWS"))
+    assert(multi.getMessage.contains("FROM subquery"), multi.getMessage)
+    // CTE-scoped percentage reservoir can't be counted out of context —
+    // guided error naming the temp-table route
+    val cte = intercept[Exception](
+      q("WITH c AS (SELECT r FROM rsv_w) SELECT * FROM c USING SAMPLE reservoir(10%)"))
+    assert(cte.getMessage.contains("reservoir"), cte.getMessage)
+    spark.catalog.dropTempView("rsv_w")
   }
 
   test("sweep-8: age matches DuckDB's symbolic subtraction + rendering (probed)") {
