@@ -2342,8 +2342,57 @@ object GraftSqlParser {
               "constant, not a column position. Name the columns")
         val qualify = s" QUALIFY row_number() OVER (PARTITION BY $keys " +
           s"ORDER BY $orderList) = 1 "
+        // The OUTER ORDER BY resolves against the rewritten subquery's
+        // OUTPUT (the aliased select list), while DuckDB also accepts
+        // the pre-projection input names (r16, found by FuzzDiff:
+        // `DISTINCT ON (c) c AS g ... ORDER BY c` works in DuckDB but
+        // `c` no longer exists after projection here) — map each outer
+        // ORDER BY item whose text matches an aliased select expression
+        // onto its alias. The OVER clause keeps the original names: it
+        // evaluates in the pre-projection scope.
+        val outerOrder = {
+          def canon(s: String): String = s.trim.toLowerCase.replaceAll("\\s+", " ")
+          // select list = text between the key list and the block's FROM
+          var j2 = keysClose + 1
+          var df2 = 0
+          var fromPos2 = -1
+          while (j2 < orderPos && fromPos2 < 0) {
+            val c = masked.charAt(j2)
+            if (c == '(') df2 += 1
+            else if (c == ')') df2 -= 1
+            else if (df2 == 0 && c.isLetter &&
+              (!masked.charAt(j2 - 1).isLetterOrDigit && masked.charAt(j2 - 1) != '_')) {
+              val w = wordStartingAt(masked, j2)
+              if (w == "FROM") fromPos2 = j2
+              else j2 += math.max(w.length, 1) - 1
+            }
+            j2 += 1
+          }
+          val aliasRe = raw"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)$$".r
+          val aliasMap: Map[String, String] =
+            if (fromPos2 < 0) Map.empty
+            else {
+              val selText = sql.substring(keysClose + 1, fromPos2)
+              splitTopLevel(selText, maskQuotes(selText)).flatMap(_.trim match {
+                case aliasRe(e, a) => Some(canon(e) -> a)
+                case _ => None
+              }).toMap
+            }
+          val itemRe =
+            raw"(?is)^(.*?)(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?$$".r
+          splitTopLevel(orderList, maskQuotes(orderList)).map { item =>
+            item.trim match {
+              case itemRe(core, dir, nulls) =>
+                aliasMap.get(canon(core)).map(_ +
+                  Option(dir).getOrElse("") + Option(nulls).getOrElse(""))
+                  .getOrElse(item.trim)
+              case other => other
+            }
+          }.mkString(", ")
+        }
         val rewritten = sql.substring(0, m.start) + "SELECT " +
-          sql.substring(keysClose + 1, orderPos) + qualify + sql.substring(orderPos)
+          sql.substring(keysClose + 1, orderPos) + qualify +
+          "ORDER BY " + outerOrder + " " + sql.substring(listEnd)
         rewriteDistinctOn(rewritten)
     }
   }

@@ -2036,6 +2036,25 @@ class DialectSpec extends SparkSpec {
     assert(cte == 4L)
   }
 
+  test("DISTINCT ON: outer ORDER BY items renamed by the select list resolve (r16, FuzzDiff)") {
+    // DuckDB resolves the trailing ORDER BY against the PRE-projection
+    // input names even when the select list aliases them away —
+    // `DISTINCT ON (g) g AS x ... ORDER BY g` works there. The rewrite
+    // maps matching outer ORDER BY items onto their aliases (the OVER
+    // clause keeps the input names: it evaluates pre-projection).
+    spark.range(40).selectExpr("id", "id % 4 AS g")
+      .createOrReplaceTempView("don3")
+    val got = spark.sql(GraftSqlParser.rewriteAll(
+      "SELECT DISTINCT ON (g) g AS grp, id AS k FROM don3 ORDER BY g, id DESC"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 36L), (1L, 37L), (2L, 38L), (3L, 39L)), got)
+    // direction/NULLS suffixes ride along with the mapped alias
+    val got2 = spark.sql(GraftSqlParser.rewriteAll(
+      "SELECT DISTINCT ON (g) g AS grp, id AS k FROM don3 ORDER BY g DESC NULLS LAST, id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((3L, 3L), (2L, 2L), (1L, 1L), (0L, 0L)), got2)
+  }
+
   test("DISTINCT ON shapes without a deterministic rewrite raise guided errors") {
     val noOrder = intercept[DuckDialectException] {
       GraftSqlParser.rewriteAll("SELECT DISTINCT ON (g) g, id FROM t")

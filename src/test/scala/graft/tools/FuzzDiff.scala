@@ -1,0 +1,211 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import scala.util.Random
+
+/** Differential SQL fuzzer (r16): generates deterministic random
+  * queries over the dialect surface both engines execute — arithmetic /
+  * CASE / string functions, WHERE predicates, GROUP BY aggregates,
+  * QUALIFY, DISTINCT ON, bracket slices, inline agg ORDER BY, joins,
+  * set ops, date parts — runs each through SqlStage and dumps Verify's
+  * layout (outDir/<name>/ parquet + oracle_sql.json), so the existing
+  * oracle mimic replays the IDENTICAL text in DuckDB:
+  *
+  *   sbt "Test/runMain graft.tools.FuzzDiff /root/testdata/sf0.001 /tmp/fuzz 1 150"
+  *   python3 tools/check.py /root/testdata/sf0.001 /tmp/fuzz
+  *
+  * Grammar constraints keep the comparison exact: integer/string/bool/
+  * date outputs only (no float accumulation), BIGINT sums CAST past
+  * DuckDB's HUGEINT widening, modulo-bounded products (no overflow
+  * divergence), `//` for integer division (DuckDB's `/` is float), and
+  * every under-specified order pinned by a unique key. Seeds are part
+  * of the command line, so a found divergence replays exactly.
+  */
+object FuzzDiff {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_fuzz")
+    val seed = args.lift(2).map(_.toLong).getOrElse(1L)
+    val n = args.lift(3).map(_.toInt).getOrElse(150)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.expressions.GraftFunctions.register(spark)
+    Seq("lineitem", "orders", "nation", "customer", "documents").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val rnd = new Random(seed)
+    val queries = generate(rnd, n)
+    new java.io.File(outDir).mkdirs()
+    val df = spark.range(1).toDF("z")
+    var failed = 0
+    queries.foreach { case (name, sql) =>
+      try {
+        graft.operators.SqlStage(name, sql).apply(spark, df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          failed += 1
+          println(s"[fuzz] THREW $name :: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(140)}")
+          println(s"[fuzz]   sql: ${sql.replaceAll("\\s+", " ")}")
+      }
+    }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    }
+    val json = queries.map { case (k, v) => "\"" + k + "\": \"" + esc(v) + "\"" }
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.getBytes("UTF-8"))
+    println(s"[fuzz] wrote ${queries.size} queries (seed=$seed), $failed threw, " +
+      s"layout at $outDir — replay: python3 tools/check.py $sfDir $outDir")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+
+  // --- grammar ------------------------------------------------------
+  /** Tie-proof ORDER BY tail for LIMIT templates: (l_orderkey,
+    * l_linenumber) is NOT unique in the synthetic lineitem (seed-2
+    * found a 3-way tie at a LIMIT boundary — an under-specified query,
+    * not an engine bug), so LIMIT cuts order by an md5 over every
+    * source column the expressions read. Two rows tying on THIS key
+    * agree on all six columns, so either engine's pick yields identical
+    * output rows.
+    */
+  private val liTiebreak =
+    "md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)" +
+      " || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)" +
+      " || '|' || l_returnflag || '|' || l_linestatus)"
+  private val intCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "CAST(l_linenumber AS BIGINT)")
+  private val strCols = Seq("l_returnflag", "l_linestatus")
+  private val primes = Seq(7, 13, 97, 997, 9973)
+
+  private def intAtom(r: Random): String = r.nextInt(3) match {
+    case 0 => s"(${intCols(r.nextInt(intCols.size))} % ${primes(r.nextInt(primes.size))})"
+    case 1 => (r.nextInt(200) - 100).toString
+    case _ => s"abs(${intCols(r.nextInt(intCols.size))} % ${primes(r.nextInt(primes.size))})"
+  }
+
+  /** Bounded integer expression: every operand is modulo-bounded, so
+    * products stay far below BIGINT overflow (no widening divergence).
+    */
+  private def intExpr(r: Random, depth: Int = 2): String =
+    if (depth == 0) intAtom(r)
+    else r.nextInt(6) match {
+      case 0 => s"(${intExpr(r, depth - 1)} + ${intExpr(r, depth - 1)})"
+      case 1 => s"(${intExpr(r, depth - 1)} - ${intExpr(r, depth - 1)})"
+      case 2 => s"(${intExpr(r, depth - 1)} * ${intExpr(r, depth - 1)})"
+      // integer division: `//` in both dialects (DuckDB's `/` is float);
+      // divisor shifted positive so both engines agree on the row set
+      case 3 => s"(${intExpr(r, depth - 1)} // ${primes(r.nextInt(primes.size))})"
+      case 4 => s"(CASE WHEN ${pred(r, 1)} THEN ${intExpr(r, depth - 1)} " +
+        s"ELSE ${intExpr(r, depth - 1)} END)"
+      case _ => s"greatest(${intExpr(r, depth - 1)}, ${intExpr(r, depth - 1)})"
+    }
+
+  private def strExpr(r: Random, depth: Int = 2): String =
+    if (depth == 0) strCols(r.nextInt(strCols.size))
+    else r.nextInt(6) match {
+      case 0 => s"upper(${strExpr(r, depth - 1)})"
+      case 1 => s"lower(${strExpr(r, depth - 1)})"
+      case 2 => s"(${strExpr(r, depth - 1)} || ${strExpr(r, depth - 1)})"
+      case 3 => s"substr(${strExpr(r, depth - 1)} || 'xyzw', 1, ${1 + r.nextInt(4)})"
+      case 4 => s"replace(${strExpr(r, depth - 1)}, 'A', 'q')"
+      case _ => s"reverse(${strExpr(r, depth - 1)})"
+    }
+
+  private def pred(r: Random, depth: Int = 2): String =
+    if (depth == 0) r.nextInt(4) match {
+      case 0 => s"${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=", "=", "<>")(r.nextInt(6))} ${intExpr(r, 1)}"
+      case 1 => s"${strExpr(r, 1)} LIKE '${Seq("A%", "%F", "_O%", "R%")(r.nextInt(4))}'"
+      case 2 => s"${intCols(r.nextInt(intCols.size))} % ${primes(r.nextInt(3))} IN (0, 1, 2)"
+      case _ => s"${strCols(r.nextInt(strCols.size))} IN ('A', 'N')"
+    }
+    else r.nextInt(3) match {
+      case 0 => s"(${pred(r, depth - 1)} AND ${pred(r, depth - 1)})"
+      case 1 => s"(${pred(r, depth - 1)} OR ${pred(r, depth - 1)})"
+      case _ => s"(NOT ${pred(r, depth - 1)})"
+    }
+
+  private def aggExpr(r: Random, e: String): String = r.nextInt(5) match {
+    // CAST past DuckDB's sum(BIGINT) → HUGEINT widening
+    case 0 => s"CAST(sum($e) AS BIGINT)"
+    case 1 => s"min($e)"
+    case 2 => s"max($e)"
+    case 3 => s"count(DISTINCT $e)"
+    case _ => s"count(*)"
+  }
+
+  private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
+    (1 to n).map { i =>
+      val name = f"fz$i%03d"
+      val sql = r.nextInt(10) match {
+        case 0 => // plain projection + filter, pinned order
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
+              FROM lineitem WHERE ${pred(r)}
+              ORDER BY k, ln, $liTiebreak LIMIT ${50 + r.nextInt(200)}"""
+        case 1 => // grouped aggregates
+          s"""SELECT ${strCols(r.nextInt(strCols.size))} AS g,
+              (l_orderkey % ${primes(r.nextInt(3))}) AS g2,
+              ${aggExpr(r, intExpr(r, 1))} AS a1,
+              ${aggExpr(r, intExpr(r, 1))} AS a2, count(*) AS n
+              FROM lineitem WHERE ${pred(r, 1)} GROUP BY g, g2"""
+        case 2 => // QUALIFY top-1 per group (total order: tiebreak keys)
+          s"""SELECT l_returnflag AS g, l_orderkey AS k, l_linenumber AS ln
+              FROM lineitem WHERE ${pred(r, 1)}
+              QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY l_orderkey, l_linenumber) = ${1 + r.nextInt(3)}"""
+        case 3 => // DISTINCT ON with deterministic order
+          s"""SELECT DISTINCT ON (l_linestatus) l_linestatus AS g,
+              l_orderkey AS k, l_linenumber AS ln
+              FROM lineitem WHERE ${pred(r, 1)}
+              ORDER BY l_linestatus, l_orderkey, l_linenumber"""
+        case 4 => // bracket slice + list ops over documents tokens
+          s"""SELECT doc_id,
+              array_to_string(split(text, ' ')[${1 + r.nextInt(2)}:${3 + r.nextInt(3)}], '_') AS sl,
+              len(split(text, ' ')) AS nw
+              FROM documents ORDER BY doc_id LIMIT 200"""
+        case 5 => // join + grouped count
+          s"""SELECT n_name AS g, count(*) AS n,
+              min(c_custkey % 997) AS m
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE ${Seq("c_custkey % 3 = 0", "c_acctbal > 0", "c_custkey % 2 = 1")(r.nextInt(3))}
+              GROUP BY g"""
+        case 6 => // set ops between filtered projections
+          val op = Seq("UNION", "INTERSECT", "EXCEPT", "UNION ALL")(r.nextInt(4))
+          s"""SELECT l_orderkey % 997 AS k FROM lineitem WHERE ${pred(r, 1)}
+              $op
+              SELECT l_orderkey % 997 AS k FROM lineitem WHERE ${pred(r, 1)}"""
+        case 7 => // date parts + strftime over orders
+          s"""SELECT o_orderkey AS k,
+              CAST(year(o_orderdate) AS INT) AS y,
+              CAST(month(o_orderdate) AS INT) AS mo,
+              strftime(CAST(o_orderdate AS TIMESTAMP), '%Y/%m/%d') AS s
+              FROM orders WHERE o_orderkey % ${2 + r.nextInt(5)} = 0
+              ORDER BY k, md5(CAST(o_orderkey AS VARCHAR) || strftime(CAST(o_orderdate AS TIMESTAMP), '%Y%m%d')) LIMIT 300"""
+        case 8 => // inline agg ORDER BY (string_agg rewrite)
+          s"""SELECT l_returnflag AS g,
+              string_agg(CAST(l_orderkey % 97 AS VARCHAR), ','
+                ORDER BY l_orderkey, l_linenumber) AS sa,
+              count(*) AS n
+              FROM lineitem WHERE ${pred(r, 1)} GROUP BY g"""
+        case _ => // scalar battery over one pinned row set
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              ${intExpr(r, 3)} AS e1,
+              (CASE WHEN ${pred(r)} THEN 'y' ELSE 'n' END) AS c1,
+              length(${strExpr(r)}) AS l1
+              FROM lineitem WHERE l_orderkey < 100 ORDER BY k, ln, $liTiebreak"""
+      }
+      name -> sql.replaceAll("\n\\s+", "\n      ")
+    }
+}
