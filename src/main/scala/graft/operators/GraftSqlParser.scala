@@ -275,9 +275,70 @@ object GraftSqlParser {
     * clause. Claimed surface: independent definitions (`w2 AS (w1
     * …)` window inheritance is not claimed and fails loudly once the
     * clause is consumed).
+    *
+    * r16 (found by FuzzDiff): DuckDB also accepts a named-window
+    * EXTENSION reference — `OVER (w ROWS BETWEEN …)` adds a frame to
+    * the base definition — which Spark's grammar rejects (it parses
+    * only `OVER w`, `OVER (w)` and full inline specs). Those
+    * references inline the definition textually: `OVER ( <spec>
+    * <extension> )`. Extensions carrying their own parens are not
+    * claimed (none of the frame grammar needs them).
     */
+  /** Parse the SELECT-level `WINDOW name AS ( … )[, …]` clause into
+    * (name, spec) pairs — positions-free twin of the EXCLUDE flow's
+    * inline parse, shared by the r16 extension-reference inlining.
+    */
+  private def namedWindowDefs(sql: String, masked: String): Seq[(String, String)] = {
+    val wm = raw"(?i)\bWINDOW\s+".r.findAllMatchIn(masked).toSeq
+      .find { m =>
+        val before = masked.substring(0, m.start)
+        !raw"(?i)(OVER|AS)\s*$$".r.findFirstIn(before).isDefined
+      }.getOrElse(return Nil)
+    var pos = wm.end
+    val defs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val DefHead = raw"(?is)^([A-Za-z_]\w*)\s+AS\s*\(".r
+    var ok = true
+    while (ok) {
+      DefHead.findFirstMatchIn(masked.substring(pos)) match {
+        case Some(dm) =>
+          var d = 1
+          var i = pos + dm.end
+          while (i < masked.length && d > 0) {
+            masked.charAt(i) match {
+              case '(' => d += 1
+              case ')' => d -= 1
+              case _ =>
+            }
+            i += 1
+          }
+          if (d != 0) return Nil
+          defs += ((dm.group(1), sql.substring(pos + dm.end, i - 1).trim))
+          val rest = masked.substring(i)
+          val comma = raw"^\s*,\s*".r.findFirstMatchIn(rest)
+          if (comma.isDefined) pos = i + comma.get.end else ok = false
+        case None => return defs.toSeq
+      }
+    }
+    defs.toSeq
+  }
+
   def rewriteNamedWindows(sql: String): String = {
-    val masked = maskQuotes(sql)
+    val masked0 = maskQuotes(sql)
+    // named-window EXTENSION references: inline `OVER ( name ext )`
+    // for every SELECT-level WINDOW definition
+    if (raw"(?i)\bWINDOW\s+[A-Za-z_]\w*\s+AS\s*\(".r.findFirstIn(masked0).isDefined) {
+      namedWindowDefs(sql, masked0).foreach { case (n, s) =>
+        val extRe =
+          (raw"(?is)\bOVER\s*\(\s*" + java.util.regex.Pattern.quote(n) +
+            raw"\s+([^()]*[^()\s])\s*\)").r
+        extRe.findFirstMatchIn(masked0).foreach { em =>
+          val ext = sql.substring(em.start(1), em.end(1))
+          return rewriteNamedWindows(sql.substring(0, em.start) +
+            s"OVER ( $s $ext )" + sql.substring(em.end))
+        }
+      }
+    }
+    val masked = masked0
     if (raw"(?i)\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES)\b".r
         .findFirstIn(masked).isEmpty) return sql
     val wm = raw"(?i)\bWINDOW\s+".r.findAllMatchIn(masked).toSeq
@@ -4544,7 +4605,51 @@ object GraftSqlParser {
     * REPLACE target that is not a schema column (DuckDB errors there
     * too).
     */
-  def rewriteReplace(sql: String, cols: Seq[String]): String = {
+  /** The single bare relation name of the block's FROM following `pos`
+    * (depth-0 relative to the block containing `pos`), or None when the
+    * FROM is absent, multi-relation (comma/JOIN), or a subquery — used
+    * by [[rewriteReplace]] to expand a star against the ACTUAL source
+    * table's schema instead of the stage `df` contract (r16, FuzzDiff:
+    * `SELECT * REPLACE (…) FROM lineitem` previously refused because
+    * the replaced name wasn't a stage-input column).
+    */
+  private def blockFromRelation(sql: String, masked: String, pos: Int): Option[String] = {
+    var i = pos
+    var d = 0
+    var fromAt = -1
+    var blockEnd = masked.length
+    while (i < masked.length && blockEnd == masked.length) {
+      val c = masked.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') { d -= 1; if (d < 0) blockEnd = i }
+      else if (d == 0 && fromAt < 0 && c.isLetter &&
+        (i == 0 || (!masked.charAt(i - 1).isLetterOrDigit && masked.charAt(i - 1) != '_'))) {
+        val w = wordStartingAt(masked, i)
+        if (w == "FROM") fromAt = i
+        else i += math.max(w.length, 1) - 1
+      }
+      i += 1
+    }
+    if (fromAt < 0) return None
+    val fromEnd = depth0Find(masked,
+      raw"(?i)\b(WHERE|GROUP|ORDER|LIMIT|HAVING|QUALIFY|WINDOW|UNION|INTERSECT|EXCEPT|USING|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|SEMI|ANTI)\b|,".r,
+      fromAt + 4, blockEnd) match {
+      // a JOIN-family keyword or comma INSIDE the from-part → multi-relation
+      case Some(p) =>
+        val w = if (masked.charAt(p) == ',') "," else wordStartingAt(masked, p)
+        if (w == "," || !Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+          "QUALIFY", "WINDOW", "UNION", "INTERSECT", "EXCEPT").contains(w))
+          return None
+        p
+      case None => blockEnd
+    }
+    val fromPart = sql.substring(fromAt + 4, fromEnd).trim
+    raw"(?is)^([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?$$".r
+      .findFirstMatchIn(fromPart).map(_.group(1))
+  }
+
+  def rewriteReplace(sql: String, cols: Seq[String],
+      resolve: String => Option[Seq[String]] = _ => None): String = {
     val masked = maskQuotes(sql)
     // `replace(...)` is also the string function and `*` is also
     // multiplication (`a * replace(b, 'x', 'y')`), so a match only counts
@@ -4583,7 +4688,12 @@ object GraftSqlParser {
         }
         if (d > 0) return sql // unbalanced — let the parser report it
         val close = i - 1
-        val byLower = cols.map(c => c.toLowerCase -> c).toMap
+        // prefer the ACTUAL source relation's schema (r16): a star over
+        // `FROM <table>` expands against that table; the stage `df`
+        // contract stays the fallback for df-sourced and complex FROMs
+        val srcCols = blockFromRelation(sql, masked, close + 1)
+          .flatMap(resolve).getOrElse(cols)
+        val byLower = srcCols.map(c => c.toLowerCase -> c).toMap
         val itemRe = raw"(?is)^(.*\S)\s+AS\s+(`[^`]+`|\x22[^\x22]+\x22|[A-Za-z_]\w*)\s*$$".r
         val repl: Map[String, String] =
           splitTopLevel(sql.substring(m.end, close), masked.substring(m.end, close))
@@ -4595,7 +4705,7 @@ object GraftSqlParser {
                   if (!byLower.contains(name))
                     throw new graft.functions.expressions.DuckDialectException(
                       s"* REPLACE targets `$name`, not a column of " +
-                        s"[${cols.mkString(", ")}]")
+                        s"[${srcCols.mkString(", ")}]")
                   name -> expr.trim
                 case other =>
                   throw new graft.functions.expressions.DuckDialectException(
@@ -4609,7 +4719,7 @@ object GraftSqlParser {
             .map(_.stripPrefix("`").stripSuffix("`")
               .stripPrefix("\"").stripSuffix("\"").toLowerCase).toSet
         }
-        val expansion = cols
+        val expansion = srcCols
           .filterNot(c => excluded.contains(c.toLowerCase))
           .map { c =>
             repl.get(c.toLowerCase) match {
@@ -4620,7 +4730,7 @@ object GraftSqlParser {
         if (expansion.isEmpty)
           throw new graft.functions.expressions.DuckDialectException(
             "* EXCLUDE ... REPLACE excluded every column of the stage schema")
-        rewriteReplace(sql.substring(0, m.start) + expansion + sql.substring(i), cols)
+        rewriteReplace(sql.substring(0, m.start) + expansion + sql.substring(i), cols, resolve)
     }
   }
 

@@ -561,15 +561,23 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // reservoir(n ROWS) text the pure rewrites below execute
     val code3 = GraftSqlParser.resolvePercentReservoir(spark, code2,
       st => SqlStage(name, st).apply(spark, df))
+    // star-REPLACE expands against the ACTUAL source table's schema
+    // when the block reads one resolvable relation (r16); the stage
+    // `df` contract stays the fallback
+    val resolveRel: String => Option[Seq[String]] = t =>
+      if (t.equalsIgnoreCase("df")) None
+      else scala.util.Try(spark.table(t).columns.toSeq).toOption
     val stmt = GraftSqlParser.rewritePivotStatement(spark,
       GraftSqlParser.rewriteUnpivotStatement(code3),
       s => GraftSqlParser.rewriteAll(
         GraftSqlParser.rewriteColumns(
-          GraftSqlParser.rewriteReplace(s, df.columns.toSeq), df.columns.toSeq)))
+          GraftSqlParser.rewriteReplace(s, df.columns.toSeq, resolveRel),
+          df.columns.toSeq)))
     val rewritten = GraftSqlParser.rewriteSeededRandom(spark,
       GraftSqlParser.rewriteAll(
         GraftSqlParser.rewriteColumns(
-          GraftSqlParser.rewriteReplace(stmt, df.columns.toSeq), df.columns.toSeq)))
+          GraftSqlParser.rewriteReplace(stmt, df.columns.toSeq, resolveRel),
+          df.columns.toSeq)))
     graft.functions.expressions.DuckDialect.rejectSilentTraps(
       GraftSqlParser.maskQuotes(rewritten))
     // deep/unbounded WITH RECURSIVE: warn about the one-job-per-level

@@ -3728,6 +3728,70 @@ class DialectSpec extends SparkSpec {
     spark.catalog.dropTempView("rsv_w")
   }
 
+  test("named-window EXTENSION references inline (r16, FuzzDiff)") {
+    // DuckDB: OVER (w ROWS BETWEEN ...) extends the named definition;
+    // Spark's grammar only accepts OVER w / OVER (w) / a full inline
+    // spec — the rewrite inlines the definition plus the extension
+    val df = spark.range(20).selectExpr("id", "id % 3 AS g")
+    df.createOrReplaceTempView("nwx")
+    val got = SqlStage("s", """
+      SELECT id, g,
+             CAST(sum(id) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s2,
+             row_number() OVER w AS rn
+      FROM nwx WINDOW w AS (PARTITION BY g ORDER BY id)""")
+      .apply(spark, df).collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+    assert(got.size == 20)
+    // id=3 (g=0): previous row in partition is id=0 → s2 = 3, rn = 2
+    val row3 = SqlStage("s", """
+      SELECT CAST(sum(id) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s2
+      FROM nwx WINDOW w AS (PARTITION BY g ORDER BY id)
+    """).apply(spark, df) // shape only; value asserted via full query below
+    assert(row3.columns.sameElements(Array("s2")))
+    val v = SqlStage("s", """
+      SELECT id, CAST(sum(id) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s2
+      FROM nwx WINDOW w AS (PARTITION BY g ORDER BY id)""")
+      .apply(spark, df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v(3L) == 3L && v(0L) == 0L && v(6L) == 9L)
+    spark.catalog.dropTempView("nwx")
+  }
+
+  test("star REPLACE expands against the FROM table's schema (r16, FuzzDiff)") {
+    // previously the expansion was bound to the stage `df` schema, so
+    // `SELECT * REPLACE (...) FROM lineitem` refused; the block's single
+    // source relation now resolves through the session catalog
+    spark.range(6).selectExpr("id AS a", "id * 2 AS b", "CAST(id AS STRING) AS c")
+      .createOrReplaceTempView("repl_t")
+    val out = SqlStage("s",
+      "SELECT * REPLACE ((a % 3) AS a) FROM repl_t WHERE b < 10")
+      .apply(spark, spark.range(1).toDF("z"))
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+    assert(out.collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    // the stage-df contract still holds for df-sourced stars
+    val df2 = spark.range(3).selectExpr("id AS x", "id + 1 AS y")
+    val out2 = SqlStage("s", "SELECT * REPLACE ((x * 10) AS x) FROM df")
+      .apply(spark, df2)
+    assert(out2.columns.toSeq == Seq("x", "y"))
+    assert(out2.collect().map(_.getLong(0)).toSet == Set(0L, 10L, 20L))
+    spark.catalog.dropTempView("repl_t")
+  }
+
+  test("documented divergence: grouping sets over an EMPTY input (r16, FuzzDiff)") {
+    // DuckDB (and the standard reading) emit the grand-total grouping
+    // set's row even when the input is empty — `GROUP BY ROLLUP (g)`
+    // over zero rows yields (NULL, 0). Spark's grouping-sets expansion
+    // aggregates WITH keys, so zero input rows yield zero output rows;
+    // both engines agree on the plain global aggregate. Fixing it would
+    // mean a second full aggregate UNION'd under a HAVING count(*) = 0
+    // guard for every grouping-sets query — not worth the cost for an
+    // empty-input edge; recorded here as deliberate.
+    val rows = spark.sql(
+      "SELECT g, count(*) AS n FROM (SELECT 'a' AS g WHERE false) GROUP BY ROLLUP (g)")
+      .collect()
+    assert(rows.isEmpty) // DuckDB would return [(NULL, 0)]
+    assert(spark.sql("SELECT count(*) AS n FROM (SELECT 'a' AS g WHERE false)")
+      .collect().head.getLong(0) == 0L) // the global aggregate agrees
+  }
+
   test("sweep-8: age matches DuckDB's symbolic subtraction + rendering (probed)") {
     // age returns DuckDB's INTERVAL→VARCHAR rendering directly, so
     // CAST(age(..) AS VARCHAR) is the identity and cross-engine SQL

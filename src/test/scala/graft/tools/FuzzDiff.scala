@@ -148,7 +148,7 @@ object FuzzDiff {
   private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(10) match {
+      val sql = r.nextInt(18) match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -199,12 +199,70 @@ object FuzzDiff {
                 ORDER BY l_orderkey, l_linenumber) AS sa,
               count(*) AS n
               FROM lineitem WHERE ${pred(r, 1)} GROUP BY g"""
-        case _ => // scalar battery over one pinned row set
+        case 9 => // scalar battery over one pinned row set
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r, 3)} AS e1,
               (CASE WHEN ${pred(r)} THEN 'y' ELSE 'n' END) AS c1,
               length(${strExpr(r)}) AS l1
               FROM lineitem WHERE l_orderkey < 100 ORDER BY k, ln, $liTiebreak"""
+        case 10 => // window battery with a named WINDOW over a total order
+          // row_number/lag need a TOTAL order (the md5 tiebreak); rank's
+          // ties are deterministic by definition; window sums CAST past
+          // DuckDB's HUGEINT widening
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              row_number() OVER w AS rn,
+              lag(l_orderkey % 97, 1, -1) OVER w AS lg,
+              CAST(sum(l_suppkey % 97) OVER (w ROWS BETWEEN ${1 + r.nextInt(3)} PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS sm,
+              CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey % ${primes(r.nextInt(3))}) AS BIGINT) AS rk
+              FROM lineitem WHERE ${pred(r, 1)}
+              WINDOW w AS (PARTITION BY l_returnflag ORDER BY $liTiebreak)"""
+        case 11 => // IN-subquery semi filter + group
+          s"""SELECT (l_orderkey % 97) AS g, count(*) AS n,
+              min(abs(l_partkey % 997)) AS m
+              FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                   WHERE o_orderkey % ${2 + r.nextInt(6)} = ${r.nextInt(2)})
+                AND ${pred(r, 1)}
+              GROUP BY g"""
+        case 12 => // HAVING over grouped aggregates
+          s"""SELECT l_returnflag AS g, (l_suppkey % ${primes(r.nextInt(3))}) AS g2,
+              count(*) AS n, max(l_orderkey % 997) AS mx
+              FROM lineitem GROUP BY g, g2
+              HAVING count(*) > ${1 + r.nextInt(5)} AND min(l_orderkey % 7) <= ${r.nextInt(6)}"""
+        case 13 => // ROLLUP with NULL-producing super-aggregate rows.
+          // The WHERE must be provably NON-EMPTY (a plain residue class):
+          // grouping sets over an EMPTY input are a documented engine
+          // divergence — DuckDB emits the grand-total row (NULL, NULL,
+          // 0, NULL), Spark emits no rows (seed-10 found it; pinned in
+          // DialectSpec).
+          s"""SELECT l_returnflag AS g, l_linestatus AS g2,
+              count(*) AS n, CAST(sum(l_orderkey % 97) AS BIGINT) AS s
+              FROM lineitem WHERE l_orderkey % ${2 + r.nextInt(5)} = ${r.nextInt(2)}
+              GROUP BY ROLLUP (g, g2)"""
+        case 14 => // star EXCLUDE + REPLACE expansion (no LIMIT — the
+          // compare sorts rows, so no order pin is needed)
+          s"""SELECT * EXCLUDE (l_quantity, l_extendedprice, l_discount, l_tax, l_shipdate)
+              REPLACE ((l_orderkey % 997) AS l_orderkey)
+              FROM lineitem WHERE ${pred(r, 1)}"""
+        case 15 => // json build + extract (q180's probed rendering)
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              json_object('a', l_orderkey % ${primes(r.nextInt(3))}, 'f', l_returnflag) AS j,
+              json_extract_string(json_object('x', l_linestatus), '$$.x') AS jx
+              FROM lineitem WHERE l_orderkey < ${100 + r.nextInt(200)}"""
+        case 16 => // date function battery (quoted date_diff, dayname, isodow)
+          s"""SELECT o_orderkey AS k,
+              CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+              CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd,
+              dayname(o_orderdate) AS dn,
+              CAST(isodow(o_orderdate) AS BIGINT) AS dw
+              FROM orders WHERE o_orderkey % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"""
+        case _ => // list functions over document tokens
+          s"""SELECT doc_id,
+              array_to_string(list_sort(string_split(substr(text, 1, ${40 + r.nextInt(40)}), ' ')), '|') AS w,
+              len(string_split(text, ' ')) AS nw,
+              list_contains(string_split(text, ' '), 'the') AS hasthe
+              FROM documents WHERE doc_id % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"""
       }
       name -> sql.replaceAll("\n\\s+", "\n      ")
     }
