@@ -3880,7 +3880,8 @@ object GraftSqlParser {
     * patterns in one item (no sound splice — DuckDB zips identical
     * expansions only).
     */
-  def rewriteColumns(sql: String, cols: Seq[String]): String = {
+  def rewriteColumns(sql: String, cols: Seq[String],
+      resolve: String => Option[Seq[String]] = _ => None): String = {
     val masked = maskQuotes(sql)
     ColumnsRe.findFirstMatchIn(masked) match {
       case None => sql
@@ -3890,13 +3891,30 @@ object GraftSqlParser {
           case None => return sql // unbalanced — let the parser report it
         }
         val argRaw = sql.substring(m.end, i - 1).trim
-        val matched = matchedColumns(argRaw, cols) match {
+        // expand against the ACTUAL source relation's schema when the
+        // block reads one resolvable table (r16, the rewriteReplace
+        // treatment) — the stage `df` contract stays the fallback
+        val srcCols = {
+          val stk = scala.collection.mutable.Stack[Int]()
+          var bj = 0
+          while (bj < m.start) {
+            masked.charAt(bj) match {
+              case '(' => stk.push(bj + 1)
+              case ')' => if (stk.nonEmpty) stk.pop()
+              case _ =>
+            }
+            bj += 1
+          }
+          val blockStart = if (stk.isEmpty) 0 else stk.top
+          blockFromRelation(sql, masked, blockStart).flatMap(resolve).getOrElse(cols)
+        }
+        val matched = matchedColumns(argRaw, srcCols) match {
           case Some(ms) => ms
           case None => return sql // unsupported arg form → guided error
         }
         if (matched.isEmpty)
           throw new graft.functions.expressions.DuckDialectException(
-            s"COLUMNS($argRaw) matches no column of [${cols.mkString(", ")}]")
+            s"COLUMNS($argRaw) matches no column of [${srcCols.mkString(", ")}]")
         val (itemStart, itemEnd) = itemSpanContaining(masked, m.start) match {
           case Some(s) if raw"(?i)\bSELECT\b".r
               .findFirstMatchIn(masked.substring(s._1, m.start)).isDefined =>
@@ -3935,7 +3953,7 @@ object GraftSqlParser {
                   }.trim + ")"
                 }.mkString(" AND ")
                 return rewriteColumns(sql.substring(0, ws) + " " + expansion +
-                  " " + sql.substring(we), cols)
+                  " " + sql.substring(we), cols, resolve)
             }
         }
         // every COLUMNS inside the item must carry the SAME pattern
@@ -4026,7 +4044,7 @@ object GraftSqlParser {
         // abuts SELECT/',', itemEnd abuts FROM/','): re-pad
         rewriteColumns(
           sql.substring(0, itemStart) + " " + expansion + " " +
-            sql.substring(itemEnd), cols)
+            sql.substring(itemEnd), cols, resolve)
     }
   }
 

@@ -572,12 +572,12 @@ final case class SqlStage(name: String, code: String) extends Stage {
       s => GraftSqlParser.rewriteAll(
         GraftSqlParser.rewriteColumns(
           GraftSqlParser.rewriteReplace(s, df.columns.toSeq, resolveRel),
-          df.columns.toSeq)))
+          df.columns.toSeq, resolveRel)))
     val rewritten = GraftSqlParser.rewriteSeededRandom(spark,
       GraftSqlParser.rewriteAll(
         GraftSqlParser.rewriteColumns(
           GraftSqlParser.rewriteReplace(stmt, df.columns.toSeq, resolveRel),
-          df.columns.toSeq)))
+          df.columns.toSeq, resolveRel)))
     graft.functions.expressions.DuckDialect.rejectSilentTraps(
       GraftSqlParser.maskQuotes(rewritten))
     // deep/unbounded WITH RECURSIVE: warn about the one-job-per-level

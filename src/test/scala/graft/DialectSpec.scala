@@ -3775,6 +3775,19 @@ class DialectSpec extends SparkSpec {
     spark.catalog.dropTempView("repl_t")
   }
 
+  test("COLUMNS() expands against the FROM table's schema (r16, FuzzDiff)") {
+    // same catalog resolution as star REPLACE: COLUMNS over a named
+    // table previously matched against the stage-df schema only
+    spark.range(5).selectExpr("id AS a_key", "id * 2 AS b_key", "CAST(id AS STRING) AS note")
+      .createOrReplaceTempView("colx_t")
+    val out = SqlStage("s", "SELECT note, COLUMNS('.*_key') % 3 FROM colx_t")
+      .apply(spark, spark.range(1).toDF("z"))
+    assert(out.columns.toSeq == Seq("note", "a_key", "b_key"))
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      .contains(("4", 1L, 2L)))
+    spark.catalog.dropTempView("colx_t")
+  }
+
   test("documented divergence: grouping sets over an EMPTY input (r16, FuzzDiff)") {
     // DuckDB (and the standard reading) emit the grand-total grouping
     // set's row even when the input is empty — `GROUP BY ROLLUP (g)`

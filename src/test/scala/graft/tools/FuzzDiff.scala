@@ -148,7 +148,7 @@ object FuzzDiff {
   private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(18) match {
+      val sql = r.nextInt(20) match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -257,6 +257,16 @@ object FuzzDiff {
               dayname(o_orderdate) AS dn,
               CAST(isodow(o_orderdate) AS BIGINT) AS dw
               FROM orders WHERE o_orderkey % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"""
+        case 17 => // COLUMNS() star-pattern expansion over a named table
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              COLUMNS('l_.*key') % ${primes(r.nextInt(3))}
+              FROM lineitem WHERE l_orderkey < ${100 + r.nextInt(150)}"""
+        case 18 => // list comprehension over split tokens (rendered to
+          // strings — the compare harness can't sort raw list columns)
+          s"""SELECT doc_id,
+              array_to_string([length(x) FOR x IN string_split(substr(text, 1, ${30 + r.nextInt(30)}), ' ')], ',') AS ls,
+              array_to_string([upper(x) FOR x IN string_split(substr(text, 1, 25), ' ') IF length(x) > ${1 + r.nextInt(3)}], ',') AS us
+              FROM documents WHERE doc_id % ${2 + r.nextInt(3)} = ${r.nextInt(2)}"""
         case _ => // list functions over document tokens
           s"""SELECT doc_id,
               array_to_string(list_sort(string_split(substr(text, 1, ${40 + r.nextInt(40)}), ' ')), '|') AS w,
