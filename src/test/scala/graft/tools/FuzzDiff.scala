@@ -154,12 +154,14 @@ object FuzzDiff {
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
               FROM lineitem WHERE ${pred(r)}
               ORDER BY k, ln, $liTiebreak LIMIT ${50 + r.nextInt(200)}"""
-        case 1 => // grouped aggregates
+        case 1 => // grouped aggregates (half the draws use DuckDB's
+          // GROUP BY ALL spelling — Spark 4.1 parses it natively too)
+          val by = if (r.nextBoolean()) "ALL" else "g, g2"
           s"""SELECT ${strCols(r.nextInt(strCols.size))} AS g,
               (l_orderkey % ${primes(r.nextInt(3))}) AS g2,
               ${aggExpr(r, intExpr(r, 1))} AS a1,
               ${aggExpr(r, intExpr(r, 1))} AS a2, count(*) AS n
-              FROM lineitem WHERE ${pred(r, 1)} GROUP BY g, g2"""
+              FROM lineitem WHERE ${pred(r, 1)} GROUP BY $by"""
         case 2 => // QUALIFY top-1 per group (total order: tiebreak keys)
           s"""SELECT l_returnflag AS g, l_orderkey AS k, l_linenumber AS ln
               FROM lineitem WHERE ${pred(r, 1)}
