@@ -4666,6 +4666,24 @@ object GraftSqlParser {
       .findFirstMatchIn(fromPart).map(_.group(1))
   }
 
+  /** [[blockFromRelation]]'s (name, explicit alias) twin — the
+    * qualified-star paths need the alias to match the qualifier.
+    */
+  private def blockFromRelationParts(sql: String, masked: String,
+      pos: Int): Option[(String, Option[String])] =
+    blockFromRelation(sql, masked, pos).map { name =>
+      // re-extract the alias from the same single-relation from-part
+      // shape blockFromRelation just validated
+      val aliasRe =
+        (raw"(?is)\bFROM\s+" + java.util.regex.Pattern.quote(name) +
+          raw"\s+(?:AS\s+)?([A-Za-z_]\w*)").r
+      (name, aliasRe.findFirstMatchIn(sql).map(_.group(1))
+        .filterNot(a => Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+          "QUALIFY", "WINDOW", "UNION", "INTERSECT", "EXCEPT", "USING",
+          "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "SEMI",
+          "ANTI").contains(a.toUpperCase)))
+    }
+
   def rewriteReplace(sql: String, cols: Seq[String],
       resolve: String => Option[Seq[String]] = _ => None): String = {
     val masked = maskQuotes(sql)
@@ -4686,14 +4704,22 @@ object GraftSqlParser {
     m0 match {
       case None => sql
       case Some(m) =>
-        (m.start - 1 to 0 by -1).find(j => !masked.charAt(j).isWhitespace)
-          .foreach { j =>
-            if (masked.charAt(j) == '.')
-              throw new graft.functions.expressions.DuckDialectException(
-                "qualified-star REPLACE (t.* REPLACE (...)) isn't expandable — " +
-                  "graft expands a bare * REPLACE against the stage schema; " +
-                  "list the columns explicitly")
-          }
+        // qualified star (t.* REPLACE): claimable when the block reads a
+        // single resolvable relation whose name/alias matches the
+        // qualifier (r16 — DuckDB supports the form; single-relation
+        // blocks make the qualifier redundant, so the bare expansion is
+        // exact); anything else keeps the guided error
+        val qual: Option[(String, Int)] =
+          (m.start - 1 to 0 by -1).find(j => !masked.charAt(j).isWhitespace)
+            .filter(j => masked.charAt(j) == '.')
+            .map { j =>
+              val w = wordEndingAt(masked, j - 1)
+              if (w.isEmpty)
+                throw new graft.functions.expressions.DuckDialectException(
+                  "qualified-star REPLACE: could not read the qualifier — " +
+                    "list the columns explicitly")
+              (w, j - w.length)
+            }
         var i = m.end
         var d = 1
         while (i < masked.length && d > 0) {
@@ -4709,8 +4735,20 @@ object GraftSqlParser {
         // prefer the ACTUAL source relation's schema (r16): a star over
         // `FROM <table>` expands against that table; the stage `df`
         // contract stays the fallback for df-sourced and complex FROMs
-        val srcCols = blockFromRelation(sql, masked, close + 1)
-          .flatMap(resolve).getOrElse(cols)
+        val relParts = blockFromRelationParts(sql, masked, close + 1)
+        val resolved = relParts.map(_._1).flatMap(resolve)
+        val srcCols = resolved.getOrElse(cols)
+        qual.foreach { case (q, _) =>
+          val matches = relParts.exists { case (nm, al) =>
+            q.equalsIgnoreCase(nm) || q.equalsIgnoreCase(nm.split('.').last) ||
+              al.exists(_.equalsIgnoreCase(q))
+          }
+          if (!matches || (resolved.isEmpty && !q.equalsIgnoreCase("df")))
+            throw new graft.functions.expressions.DuckDialectException(
+              s"qualified-star REPLACE ($q.* REPLACE (...)) expands only when " +
+                "the block reads a single resolvable relation named/aliased " +
+                s"like the qualifier — list the columns explicitly")
+        }
         val byLower = srcCols.map(c => c.toLowerCase -> c).toMap
         val itemRe = raw"(?is)^(.*\S)\s+AS\s+(`[^`]+`|\x22[^\x22]+\x22|[A-Za-z_]\w*)\s*$$".r
         val repl: Map[String, String] =
@@ -4748,7 +4786,10 @@ object GraftSqlParser {
         if (expansion.isEmpty)
           throw new graft.functions.expressions.DuckDialectException(
             "* EXCLUDE ... REPLACE excluded every column of the stage schema")
-        rewriteReplace(sql.substring(0, m.start) + expansion + sql.substring(i), cols, resolve)
+        // a matched qualifier is consumed with the star (the expansion's
+        // bare names resolve in the single-relation block)
+        val expStart = qual.map(_._2).getOrElse(m.start)
+        rewriteReplace(sql.substring(0, expStart) + expansion + sql.substring(i), cols, resolve)
     }
   }
 

@@ -3755,6 +3755,23 @@ class DialectSpec extends SparkSpec {
     spark.catalog.dropTempView("nwx")
   }
 
+  test("qualified-star REPLACE resolves over a single matching relation (r16)") {
+    spark.range(4).selectExpr("id AS a", "id + 1 AS b")
+      .createOrReplaceTempView("qs_t")
+    def q(sql: String) = SqlStage("s", sql).apply(spark, spark.range(1).toDF("z"))
+    // table-name qualifier and alias qualifier both expand; the
+    // qualifier is consumed (bare names resolve in the block)
+    assert(q("SELECT qs_t.* REPLACE ((a * 10) AS a) FROM qs_t")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 10L, 20L, 30L))
+    assert(q("SELECT x.* REPLACE ((b * 2) AS b) FROM qs_t x WHERE x.a < 2")
+      .collect().map(_.getLong(1)).toSet == Set(2L, 4L))
+    // a NON-matching qualifier keeps the guided error
+    val bad = intercept[Exception](
+      q("SELECT y.* REPLACE ((a * 10) AS a) FROM qs_t x"))
+    assert(bad.getMessage.contains("qualified-star"), bad.getMessage)
+    spark.catalog.dropTempView("qs_t")
+  }
+
   test("star REPLACE expands against the FROM table's schema (r16, FuzzDiff)") {
     // previously the expansion was bound to the stage `df` schema, so
     // `SELECT * REPLACE (...) FROM lineitem` refused; the block's single
