@@ -114,20 +114,26 @@ object FuzzDiff {
 
   private def strExpr(r: Random, depth: Int = 2): String =
     if (depth == 0) strCols(r.nextInt(strCols.size))
-    else r.nextInt(6) match {
+    else r.nextInt(9) match {
       case 0 => s"upper(${strExpr(r, depth - 1)})"
       case 1 => s"lower(${strExpr(r, depth - 1)})"
       case 2 => s"(${strExpr(r, depth - 1)} || ${strExpr(r, depth - 1)})"
       case 3 => s"substr(${strExpr(r, depth - 1)} || 'xyzw', 1, ${1 + r.nextInt(4)})"
       case 4 => s"replace(${strExpr(r, depth - 1)}, 'A', 'q')"
+      case 5 => s"left(${strExpr(r, depth - 1)} || 'pq', ${1 + r.nextInt(3)})"
+      case 6 => s"lpad(${strExpr(r, depth - 1)}, ${2 + r.nextInt(4)}, '_')"
+      case 7 => s"trim(' ' || ${strExpr(r, depth - 1)} || ' ')"
       case _ => s"reverse(${strExpr(r, depth - 1)})"
     }
 
   private def pred(r: Random, depth: Int = 2): String =
-    if (depth == 0) r.nextInt(4) match {
+    if (depth == 0) r.nextInt(7) match {
       case 0 => s"${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=", "=", "<>")(r.nextInt(6))} ${intExpr(r, 1)}"
       case 1 => s"${strExpr(r, 1)} LIKE '${Seq("A%", "%F", "_O%", "R%")(r.nextInt(4))}'"
       case 2 => s"${intCols(r.nextInt(intCols.size))} % ${primes(r.nextInt(3))} IN (0, 1, 2)"
+      case 3 => s"${strExpr(r, 1)} ILIKE '${Seq("a%", "%f", "_o%", "r%")(r.nextInt(4))}'"
+      case 4 => s"${strExpr(r, 1)} SIMILAR TO '${Seq("[AN].*", ".*F", "R.?")(r.nextInt(3))}'"
+      case 5 => s"${intExpr(r, 1)} BETWEEN ${r.nextInt(20) - 10} AND ${20 + r.nextInt(80)}"
       case _ => s"${strCols(r.nextInt(strCols.size))} IN ('A', 'N')"
     }
     else r.nextInt(3) match {
