@@ -3725,6 +3725,13 @@ class DialectSpec extends SparkSpec {
     val cte = intercept[Exception](
       q("WITH c AS (SELECT r FROM rsv_w) SELECT * FROM c USING SAMPLE reservoir(10%)"))
     assert(cte.getMessage.contains("reservoir"), cte.getMessage)
+    // SIBLING percentage samples each resolve their own count
+    val sib = q("""SELECT (SELECT count(*) FROM (SELECT * FROM rsv_w USING SAMPLE reservoir(10%)))
+                   + (SELECT count(*) FROM (SELECT * FROM rsv_w USING SAMPLE reservoir(20%))) AS n""")
+    assert(sib.head.getLong(0) == 30L, sib.head.getLong(0))
+    // a reservoir(n%) inside a string literal never resolves (maskQuotes)
+    val lit = q("SELECT 'USING SAMPLE reservoir(10%)' AS s FROM rsv_w WHERE r = 0")
+    assert(lit.head.getString(0) == "USING SAMPLE reservoir(10%)")
     spark.catalog.dropTempView("rsv_w")
   }
 
