@@ -154,7 +154,7 @@ object FuzzDiff {
   private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(20) match {
+      val sql = r.nextInt(21) match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -275,6 +275,17 @@ object FuzzDiff {
               array_to_string([length(x) FOR x IN string_split(substr(text, 1, ${30 + r.nextInt(30)}), ' ')], ',') AS ls,
               array_to_string([upper(x) FOR x IN string_split(substr(text, 1, 25), ' ') IF length(x) > ${1 + r.nextInt(3)}], ',') AS us
               FROM documents WHERE doc_id % ${2 + r.nextInt(3)} = ${r.nextInt(2)}"""
+        case 20 => // DML statement batch: CTAS -> UPDATE -> DELETE ->
+          // SELECT (both engines run the identical batch; the final
+          // SELECT's relation is compared). CREATE OR REPLACE makes the
+          // shared name safe across sequential fuzz queries.
+          s"""CREATE OR REPLACE TEMP TABLE fz_dml AS
+              SELECT l_orderkey AS k, l_linenumber AS ln,
+                     (l_orderkey % 97) AS v, l_returnflag AS f
+              FROM lineitem WHERE l_orderkey < ${150 + r.nextInt(200)};
+              UPDATE fz_dml SET v = v + ${1 + r.nextInt(50)} WHERE k % ${2 + r.nextInt(4)} = ${r.nextInt(2)};
+              DELETE FROM fz_dml WHERE v % ${2 + r.nextInt(5)} = ${r.nextInt(2)};
+              SELECT k, ln, v, f FROM fz_dml"""
         case _ => // list functions over document tokens
           s"""SELECT doc_id,
               array_to_string(list_sort(string_split(substr(text, 1, ${40 + r.nextInt(40)}), ' ')), '|') AS w,
