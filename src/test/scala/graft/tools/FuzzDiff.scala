@@ -154,7 +154,7 @@ object FuzzDiff {
   private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(21) match {
+      val sql = r.nextInt(22) match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -286,6 +286,25 @@ object FuzzDiff {
               UPDATE fz_dml SET v = v + ${1 + r.nextInt(50)} WHERE k % ${2 + r.nextInt(4)} = ${r.nextInt(2)};
               DELETE FROM fz_dml WHERE v % ${2 + r.nextInt(5)} = ${r.nextInt(2)};
               SELECT k, ln, v, f FROM fz_dml"""
+        case 21 => // UPSERT batch over a declared PRIMARY KEY: both
+          // engines run the identical conflict-resolution text; sources
+          // are GROUP BY'd so no batch carries in-batch duplicate keys
+          // (DuckDB errors there — a separate probed semantic)
+          val action = r.nextInt(3) match {
+            case 0 => s"ON CONFLICT (k) DO UPDATE SET v = excluded.v + ${1 + r.nextInt(9)}"
+            case 1 => "ON CONFLICT (k) DO NOTHING"
+            case _ => "ON CONFLICT DO NOTHING"
+          }
+          s"""DROP TABLE IF EXISTS fz_up;
+              CREATE TEMP TABLE fz_up (k BIGINT PRIMARY KEY, v BIGINT);
+              INSERT INTO fz_up SELECT (l_orderkey % ${5 + r.nextInt(20)}) AS k,
+                CAST(min(l_partkey % 997) AS BIGINT) AS v
+                FROM lineitem WHERE l_orderkey < ${150 + r.nextInt(150)} GROUP BY 1;
+              INSERT INTO fz_up SELECT (l_orderkey % ${5 + r.nextInt(30)}) AS k,
+                CAST(max(l_suppkey % 97) AS BIGINT) AS v
+                FROM lineitem WHERE l_orderkey < ${100 + r.nextInt(100)} GROUP BY 1
+                $action;
+              SELECT k, v FROM fz_up"""
         case _ => // list functions over document tokens
           s"""SELECT doc_id,
               array_to_string(list_sort(string_split(substr(text, 1, ${40 + r.nextInt(40)}), ' ')), '|') AS w,
