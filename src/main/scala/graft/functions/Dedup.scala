@@ -600,7 +600,16 @@ object Dedup {
         s"connectedComponents: id columns must be both integral or share a type " +
           s"(got $aCol: $a, $bCol: $b) — cast them to a common orderable type first")
     }
-    val edges = half.union(half.select(col("y").as("x"), col("x").as("y")))
+    // Materialize the (possibly expensive) pair pipeline ONCE before the
+    // symmetrizing union — both union branches read the checkpoint, not
+    // the upstream plan. Without this, an un-checkpointed input (q89: the
+    // whole MinHash+LSH+verify pipeline) is computed twice inside the
+    // edges job (r16, measured at the full-suite sf1 point: the pairs
+    // pipeline is the dominant q89 term, so this halves the gate's
+    // dominant cost; at 100 TB recomputing an LSH pipeline per union
+    // branch is never the right plan).
+    val h = half.localCheckpoint(true)
+    val edges = h.union(h.select(col("y").as("x"), col("x").as("y")))
       .distinct().localCheckpoint(true)
     val integralIds = integral(pairs.schema(aCol).dataType) &&
       integral(pairs.schema(bCol).dataType)

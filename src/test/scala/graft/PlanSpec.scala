@@ -370,11 +370,13 @@ class PlanSpec extends SparkSpec {
     // The changed-count rides the round's localCheckpoint as an observed
     // metric (Dedup.connectedComponents) — the fallback count() must not
     // fire. With AQE OFF one action = one Spark job, so the job count is
-    // the action count: 2 setup checkpoints (edges, labels) + one job
-    // per doubling round. A 200-node path converges in ≤ 12 rounds
-    // (~log2(199) + slack + the zero-change confirmation) → ≤ 14 jobs;
-    // a two-actions-per-round loop would pay ≥ 2 setup + 2 × rounds
-    // ≈ 20+. Measured 14 on this box (graft.tools.CcJobs2).
+    // the action count: 3 setup checkpoints (input pairs — computed once,
+    // not once per union branch; edges; labels) + one job per doubling
+    // round. A 200-node path converges in ≤ 12 rounds (~log2(199) +
+    // slack + the zero-change confirmation) → ≤ 15 jobs; a
+    // two-actions-per-round loop would pay ≥ 3 setup + 2 × rounds
+    // ≈ 20+. Measured 14 on this box pre-input-checkpoint
+    // (graft.tools.CcJobs2), +1 for the input materialization.
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.graft.cc.localEdges", "0") // force the distributed loop
@@ -396,7 +398,7 @@ class PlanSpec extends SparkSpec {
       Thread.sleep(500) // job-start events post async to the listener bus
       assert(got.length == 200 && got.forall(_._2 == 0L))
       // +1 for the final collect() above
-      assert(jobs.get <= 16, s"jobs=${jobs.get} — CC rounds are paying more than one action")
+      assert(jobs.get <= 17, s"jobs=${jobs.get} — CC rounds are paying more than one action")
     } finally s2.sparkContext.removeSparkListener(listener)
   }
 }

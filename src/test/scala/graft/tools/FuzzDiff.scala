@@ -35,7 +35,7 @@ object FuzzDiff {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.expressions.GraftFunctions.register(spark)
-    Seq("lineitem", "orders", "nation", "customer", "documents").foreach { t =>
+    Seq("lineitem", "orders", "nation", "customer", "documents", "events").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }
     val rnd = new Random(seed)
@@ -154,7 +154,7 @@ object FuzzDiff {
   private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(22) match {
+      val sql = r.nextInt(30) match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -305,6 +305,74 @@ object FuzzDiff {
                 FROM lineitem WHERE l_orderkey < ${100 + r.nextInt(100)} GROUP BY 1
                 $action;
               SELECT k, v FROM fz_up"""
+        case 22 => // CTE chain: filtered base -> grouped agg -> HAVING-ish
+          s"""WITH base AS (
+              SELECT l_orderkey AS k, l_linenumber AS ln,
+                     (l_partkey % ${primes(r.nextInt(3))}) AS v, l_returnflag AS f
+              FROM lineitem WHERE ${pred(r, 1)}
+              ), agg AS (
+              SELECT f, (k % ${primes(r.nextInt(3))}) AS g,
+                     CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+              FROM base GROUP BY f, g
+              )
+              SELECT f, g, s, n FROM agg WHERE n > ${r.nextInt(4)}"""
+        case 23 => // correlated [NOT] EXISTS semi/anti filter
+          val neg = if (r.nextBoolean()) "" else "NOT "
+          s"""SELECT o_orderkey AS k, o_orderstatus AS st
+              FROM orders o
+              WHERE ${neg}EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND ${pred(r, 1)})
+                AND o_orderkey < ${300 + r.nextInt(400)}"""
+        case 24 => // FILTER'd aggregates + arg_max/arg_min over a unique
+          // order key (the md5 tiebreak — a tied arg_max is
+          // under-specified, not a differential signal)
+          s"""SELECT l_returnflag AS g,
+              count(*) FILTER (WHERE ${pred(r, 1)}) AS cf,
+              CAST(sum(l_suppkey % 97) FILTER (WHERE l_linenumber > ${1 + r.nextInt(4)}) AS BIGINT) AS sf,
+              arg_max(l_orderkey % 997, $liTiebreak) AS am,
+              arg_min(l_partkey % 997, $liTiebreak) AS an
+              FROM lineitem WHERE ${pred(r, 1)} GROUP BY g"""
+        case 25 => // INTERVAL arithmetic on order dates
+          s"""SELECT o_orderkey AS k,
+              CAST(o_orderdate + INTERVAL ${1 + r.nextInt(30)} DAY AS DATE) AS d1,
+              CAST(o_orderdate - INTERVAL ${1 + r.nextInt(11)} MONTH AS DATE) AS d2,
+              CAST(o_orderdate + INTERVAL ${1 + r.nextInt(3)} YEAR AS DATE) AS d3
+              FROM orders WHERE o_orderkey % ${2 + r.nextInt(5)} = ${r.nextInt(2)}"""
+        case 26 => // VALUES inline table joined as a decode dimension
+          s"""SELECT v.nm AS nm, count(*) AS n,
+              CAST(sum(l_orderkey % ${primes(r.nextInt(3))}) AS BIGINT) AS s
+              FROM lineitem
+              JOIN (VALUES ('A', 'alpha'), ('N', 'november'), ('R', 'romeo'))
+                AS v(f, nm) ON l_returnflag = v.f
+              WHERE ${pred(r, 1)} GROUP BY nm"""
+        case 27 => // RANGE window frame over an integer order key
+          // (tie-inclusive by definition, so duplicate order keys are
+          // deterministic — unlike ROWS, which would need a total order)
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              CAST(sum(l_suppkey % 97) OVER (PARTITION BY l_returnflag
+                ORDER BY l_orderkey
+                RANGE BETWEEN ${1 + r.nextInt(50)} PRECEDING AND CURRENT ROW) AS BIGINT) AS rs,
+              CAST(count(*) OVER (PARTITION BY l_linestatus ORDER BY l_orderkey
+                RANGE BETWEEN CURRENT ROW AND ${1 + r.nextInt(50)} FOLLOWING) AS BIGINT) AS rc
+              FROM lineitem WHERE ${pred(r, 1)}"""
+        case 28 => // WITH RECURSIVE bounded sequence (modular product
+          // keeps the accumulator in BIGINT in both engines)
+          val lim = 5 + r.nextInt(16)
+          s"""WITH RECURSIVE s(i, acc) AS (
+              SELECT 1, 1
+              UNION ALL
+              SELECT i + 1, (acc * (i + 1)) % ${primes(3 + r.nextInt(2))} FROM s WHERE i < $lim
+              )
+              SELECT i, acc FROM s"""
+        case 29 => // ASOF JOIN events to a sparser event sample — only
+          // the asof-ordered column is projected, so a tie on b.ts
+          // yields identical output whichever row either engine keeps
+          s"""SELECT a.event_id AS k,
+              strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS bts
+              FROM events a ASOF JOIN
+                (SELECT user_id, ts FROM events WHERE event_id % ${3 + r.nextInt(5)} = ${r.nextInt(3)}) b
+                ON a.user_id = b.user_id AND a.ts ${if (r.nextBoolean()) ">" else ">="} b.ts
+              WHERE a.event_id % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"""
         case _ => // list functions over document tokens
           s"""SELECT doc_id,
               array_to_string(list_sort(string_split(substr(text, 1, ${40 + r.nextInt(40)}), ' ')), '|') AS w,
