@@ -3290,10 +3290,11 @@ object GraftSqlParser {
     * omitted USING means count(*); an omitted GROUP BY groups on every
     * remaining column (Spark's pivot clause does exactly that, so no
     * projection is needed); an explicit GROUP BY narrows the implicit
-    * grouping via an inner projection. Multi-column ON, multiple USING
-    * aggregates and USING aliases keep a guided error (their naming
-    * scheme is a cartesian-product naming DuckDB users rarely need).
-    * q105 runs the SAME statement text on both engines.
+    * grouping via an inner projection. Multiple USING aggregates and
+    * USING aliases execute with DuckDB's value-major `{value}_{name}`
+    * cell naming (r16; name = alias, else normalized aggregate text,
+    * `count(*)` → `count_star()` — all probed). Multi-column ON keeps
+    * a guided error. q105 runs the SAME statement text on both engines.
     */
   def rewritePivotStatement(spark: org.apache.spark.sql.SparkSession,
                             sql: String,
@@ -3350,22 +3351,49 @@ object GraftSqlParser {
       inBody = Some((sql.substring(i + 1, e - 1), masked.substring(i + 1, e - 1)))
       i = e; skipWs()
     }
-    var aggFn = "count"
-    var aggArg = "1"
+    // USING list: `agg(expr) [AS alias], ...` (r16: aliases and multiple
+    // aggregates execute — previously a guided error). DuckDB's cell
+    // naming (probed 1.0.0): a SINGLE unaliased aggregate names cells by
+    // the value text alone; otherwise every cell is `{value}_{name}`
+    // where name = the alias, or the aggregate's normalized text
+    // (`min(x)`; `count(*)` renders `count_star()`).
+    case class PivotAgg(fn: String, arg: String, name: String)
+    var aggs = Seq(PivotAgg("count", "1", "count_star()"))
+    var namedCells = false // any alias or >1 aggregate → value_name cells
     if (wordStartingAt(masked, i).equalsIgnoreCase("USING")) {
-      i += 5; skipWs()
-      val f0 = i
-      while (i < masked.length && (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_')) i += 1
-      if (i == f0) fail("USING needs an aggregate call")
-      aggFn = sql.substring(f0, i)
-      skipWs()
-      if (i >= masked.length || masked.charAt(i) != '(') fail("USING needs an aggregate call")
-      val e = balanced(i)
-      aggArg = sql.substring(i + 1, e - 1).trim
-      if (aggArg == "*") aggArg = "1"
-      i = e; skipWs()
-      if (wordStartingAt(masked, i).equalsIgnoreCase("AS")) fail("USING ... AS alias")
-      if (i < masked.length && masked.charAt(i) == ',') fail("multiple USING aggregates")
+      i += 5
+      val parsed = scala.collection.mutable.ArrayBuffer[PivotAgg]()
+      var more = true
+      while (more) {
+        skipWs()
+        val f0 = i
+        while (i < masked.length && (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_')) i += 1
+        if (i == f0) fail("USING needs an aggregate call")
+        val fn = sql.substring(f0, i)
+        skipWs()
+        if (i >= masked.length || masked.charAt(i) != '(') fail("USING needs an aggregate call")
+        val e = balanced(i)
+        var arg = sql.substring(i + 1, e - 1).trim
+        val isStar = arg == "*"
+        if (isStar) arg = "1"
+        i = e; skipWs()
+        var alias: Option[String] = None
+        if (wordStartingAt(masked, i).equalsIgnoreCase("AS")) {
+          i += 2; skipWs()
+          val a0 = i
+          while (i < masked.length && (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_')) i += 1
+          if (i == a0) fail("USING ... AS needs a plain name")
+          alias = Some(sql.substring(a0, i))
+          skipWs()
+          namedCells = true
+        }
+        val defName =
+          if (fn.equalsIgnoreCase("count") && isStar) "count_star()" else s"$fn($arg)"
+        parsed += PivotAgg(fn, arg, alias.getOrElse(defName))
+        if (i < masked.length && masked.charAt(i) == ',') { i += 1; namedCells = true }
+        else more = false
+      }
+      aggs = parsed.toSeq
     }
     var groupCols: Option[String] = None
     if (wordStartingAt(masked, i).equalsIgnoreCase("GROUP")) {
@@ -3407,7 +3435,21 @@ object GraftSqlParser {
           s"SELECT DISTINCT $pcol AS v FROM $relForSql WHERE $pcol IS NOT NULL " +
             "ORDER BY v LIMIT 1001")).collect()
         if (rows.length > 1000) fail("over 1000 distinct pivot values — pin them with IN (...)")
-        if (rows.isEmpty) fail("no non-null pivot values to discover")
+        if (rows.isEmpty) {
+          // DuckDB over an empty (or all-NULL-pivot-column) input
+          // (probed 1.0.0): ZERO rows whose schema is the grouping
+          // columns alone — no cell columns to discover, no error.
+          def btq(c: String) = s"`${c.replace("`", "``")}`"
+          val grpList = groupCols.getOrElse {
+            val schemaCols = spark.sql(prepare(s"SELECT * FROM $relForSql WHERE 1=0")).columns
+            schemaCols.filterNot(_ == pcol)
+              .filterNot(c => aggs.exists(a => ("(?i)(?<![\\w`])" +
+                java.util.regex.Pattern.quote(c) + "(?![\\w`])").r
+                .findFirstIn(a.arg).isDefined))
+              .map(btq).mkString(", ")
+          }
+          return s"SELECT $grpList FROM $relForSql WHERE 1=0 $tail"
+        }
         import org.apache.spark.sql.types._
         rows.head.schema("v").dataType match {
           case StringType => rows.toSeq.map { r =>
@@ -3429,42 +3471,83 @@ object GraftSqlParser {
           case t => fail(s"pivot values of type ${t.simpleString} — pin them with IN (...)")
         }
     }
-    val inList = vals.map { case (lit, nm) =>
-      s"$lit AS `${nm.replace("`", "``")}`"
-    }.mkString(", ")
     // DuckDB's count over an empty pivot cell is 0; Spark's pivot cell
-    // is NULL — a count agg needs a coalescing outer projection over
+    // is NULL — count aggregates need a coalescing outer projection over
     // the known grouping columns (GROUP BY list, or every non-pivot
-    // column from the relation's schema when grouping is implicit)
-    val isCount = aggFn.equalsIgnoreCase("count")
+    // column from the relation's schema when grouping is implicit).
+    // Named-cell mode projects value-major (DuckDB's column order).
+    def bt(s0: String): String = s"`${s0.replace("`", "``")}`"
+    // Spark's pivot clause names a cell `{value}_{aggAlias}` when there
+    // are SEVERAL aggregates — aliasing each with its DuckDB name makes
+    // Spark produce DuckDB's columns directly. With ONE aggregate Spark
+    // names cells by the value text alone and IGNORES the alias
+    // (probed), so a single-aliased USING needs the outer projection to
+    // rename `{value}` → `{value}_{alias}`.
+    val sparkAggList =
+      if (aggs.size == 1) s"${aggs.head.fn}(${aggs.head.arg})"
+      else aggs.map(a => s"${a.fn}(${a.arg}) AS ${bt(a.name)}").mkString(", ")
+    val anyCount = aggs.exists(_.fn.equalsIgnoreCase("count"))
+    // outer projection needed to coalesce count cells and/or rename
+    // single-aliased cells to DuckDB's names
+    val needOuter = anyCount || (namedCells && aggs.size == 1)
+    // When an outer projection re-references pivot cells, the IN values
+    // get collision-free internal aliases: Spark resolves references
+    // case-INsensitively, so a cell named by value text 'F' captures an
+    // outer reference to grouping column `f` (probed:
+    // AMBIGUOUS_REFERENCE) — `__graft_c{i}` can collide with nothing,
+    // and the outer projection renames cells to DuckDB's names.
+    val inList = vals.zipWithIndex.map { case ((lit, nm), ix) =>
+      if (needOuter) s"$lit AS `__graft_c$ix`"
+      else s"$lit AS ${bt(nm)}"
+    }.mkString(", ")
+    def sparkCellName(ix: Int, a: PivotAgg): String =
+      if (aggs.size == 1) s"__graft_c$ix" else s"__graft_c${ix}_${a.name}"
+    def duckCellName(valueName: String, a: PivotAgg): String =
+      if (!namedCells) valueName else s"${valueName}_${a.name}"
     def coalesced(grpList: String): String = {
       val grp = grpList.trim
-      val cells = vals.map { case (_, nm) =>
-        val q = s"`${nm.replace("`", "``")}`"
-        s"coalesce($q, 0) AS $q"
+      val cells = vals.zipWithIndex.flatMap { case ((_, nm), ix) =>
+        aggs.map { a =>
+          val src = bt(sparkCellName(ix, a))
+          val dst = bt(duckCellName(nm, a))
+          if (a.fn.equalsIgnoreCase("count")) s"coalesce($src, 0) AS $dst"
+          else s"$src AS $dst"
+        }
       }.mkString(", ")
       (if (grp.isEmpty) cells else s"$grp, $cells")
     }
     groupCols match {
       case Some(g) =>
-        val inner = s"(SELECT $g, $pcol, $aggArg AS __graft_pv FROM $relForSql) " +
-          s"PIVOT ($aggFn(__graft_pv) FOR $pcol IN ($inList))"
-        if (isCount) s"SELECT ${coalesced(g)} FROM $inner$tail"
+        val pvProj = aggs.zipWithIndex
+          .map { case (a, ix) => s"${a.arg} AS __graft_pv$ix" }.mkString(", ")
+        val pvAggs =
+          if (aggs.size == 1) s"${aggs.head.fn}(__graft_pv0)"
+          else aggs.zipWithIndex
+            .map { case (a, ix) => s"${a.fn}(__graft_pv$ix) AS ${bt(a.name)}" }
+            .mkString(", ")
+        val inner = s"(SELECT $g, $pcol, $pvProj FROM $relForSql) " +
+          s"PIVOT ($pvAggs FOR $pcol IN ($inList))"
+        // the outer projection's FROM wraps the pivot in a subquery —
+        // a bare `(sub) PIVOT (single-agg ...)` leaves the pivot CHILD's
+        // columns visible to outer references alongside the pivot
+        // output, and a grouping column resolves ambiguously (probed:
+        // AMBIGUOUS_REFERENCE on the single-aggregate shape)
+        if (needOuter) s"SELECT ${coalesced(g)} FROM (SELECT * FROM $inner) __graft_pvt $tail"
         else s"SELECT * FROM $inner$tail"
       case None =>
-        val inner = s"$relForSql PIVOT ($aggFn($aggArg) FOR $pcol IN ($inList))"
-        if (isCount) {
+        val inner = s"$relForSql PIVOT ($sparkAggList FOR $pcol IN ($inList))"
+        if (needOuter) {
           // implicit grouping = every column the pivot doesn't consume:
-          // exclude the pivot column AND any column the aggregate
+          // exclude the pivot column AND any column an aggregate
           // argument references (Spark's clause drops those too)
           val schemaCols = spark.sql(prepare(s"SELECT * FROM $relForSql WHERE 1=0")).columns
           val others = schemaCols
             .filterNot(_ == pcol)
-            .filterNot(c => ("(?i)(?<![\\w`])" +
+            .filterNot(c => aggs.exists(a => ("(?i)(?<![\\w`])" +
               java.util.regex.Pattern.quote(c) + "(?![\\w`])").r
-              .findFirstIn(aggArg).isDefined)
-            .map(c => s"`${c.replace("`", "``")}`").mkString(", ")
-          s"SELECT ${coalesced(others)} FROM $inner$tail"
+              .findFirstIn(a.arg).isDefined))
+            .map(c => bt(c)).mkString(", ")
+          s"SELECT ${coalesced(others)} FROM (SELECT * FROM $inner) __graft_pvt $tail"
         } else s"SELECT * FROM $inner$tail"
     }
   }

@@ -400,9 +400,11 @@ class DialectSpec extends SparkSpec {
       "SELECT * FROM (SELECT id FROM df ORDER BY 1) POSITIONAL JOIN (SELECT id FROM df ORDER BY id) r")
       .contains("ordinal"))
     // PIVOT/UNPIVOT statements normally rewrite (see the statement
-    // test); shapes past the rewrite still name Spark's clause form
-    assert(hintOf("PIVOT df ON id USING sum(id), count(*)")
-      .contains("PIVOT (agg(expr) FOR"))
+    // test); shapes past the rewrite still name Spark's clause form.
+    // r16: multi-aggregate/aliased USING now EXECUTES (value-major
+    // DuckDB naming) — multi-column ON remains the guided shape
+    assert(hintOf("PIVOT df ON id, df USING count(*)")
+      .contains("multiple ON columns"))
     assert(hintOf("UNPIVOT df ON q INTO NAME n VALUE v VALUE w")
       .contains("UNPIVOT (v FOR n IN"))
   }
@@ -445,6 +447,33 @@ class DialectSpec extends SparkSpec {
       "PIVOT (SELECT * EXCLUDE (n) FROM df) ON lang USING count(*) GROUP BY src ORDER BY src")
       .apply(spark, df)
     assert(p5.columns.toSeq == Seq("src", "en", "zh"))
+    // r16: aliased + multiple USING aggregates execute with DuckDB's
+    // value-major cell naming (probed 1.0.0: alias, else normalized
+    // aggregate text, count(*) → count_star()); count cells still
+    // coalesce to 0, non-count cells keep NULL
+    val p6 = SqlStage("s",
+      "PIVOT df ON lang USING min(n) AS mv, count(*) AS c GROUP BY src ORDER BY src")
+      .apply(spark, df)
+    assert(p6.columns.toSeq == Seq("src", "en_mv", "en_c", "zh_mv", "zh_c"))
+    assert(p6.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toSeq ==
+      Seq(("a", 1L, 1L, Some(2L), 1L), ("b", 3L, 1L, None, 0L)))
+    val p7 = SqlStage("s",
+      "PIVOT df ON lang USING min(n), count(*) GROUP BY src ORDER BY src")
+      .apply(spark, df)
+    assert(p7.columns.toSeq ==
+      Seq("src", "en_min(n)", "en_count_star()", "zh_min(n)", "zh_count_star()"))
+    // single ALIASED aggregate: DuckDB names cells value_alias (Spark
+    // ignores a lone aggregate's alias — the rewrite renames)
+    val p8 = SqlStage("s",
+      "PIVOT df ON lang USING sum(n) AS sv GROUP BY src ORDER BY src").apply(spark, df)
+    assert(p8.columns.toSeq == Seq("src", "en_sv", "zh_sv"))
+    // empty (or all-NULL) pivot input: zero rows, grouping columns only
+    // (probed — no error)
+    val p9 = SqlStage("s",
+      "PIVOT (SELECT * FROM df WHERE n > 100) ON lang USING count(*) GROUP BY src")
+      .apply(spark, df)
+    assert(p9.columns.toSeq == Seq("src") && p9.count() == 0)
     // unsupported shapes keep guided errors
     val e1 = intercept[DuckDialectException](SqlStage("s",
       "PIVOT df ON lang, src USING count(*)").apply(spark, df))

@@ -154,7 +154,7 @@ object FuzzDiff {
   private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(30) match {
+      val sql = r.nextInt(39) match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -373,6 +373,65 @@ object FuzzDiff {
                 (SELECT user_id, ts FROM events WHERE event_id % ${3 + r.nextInt(5)} = ${r.nextInt(3)}) b
                 ON a.user_id = b.user_id AND a.ts ${if (r.nextBoolean()) ">" else ">="} b.ts
               WHERE a.event_id % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"""
+        case 30 => // PIVOT ON a bounded category (USING takes BARE
+          // aggregates — DuckDB rejects CAST-wrapped ones; min/count
+          // avoid the sum->HUGEINT widening divergence)
+          s"""PIVOT (SELECT l_returnflag AS f, l_linestatus AS s,
+              (l_orderkey % ${primes(r.nextInt(3))}) AS v
+              FROM lineitem WHERE ${pred(r, 1)})
+              ON s USING min(v) AS mv, count(*) AS c GROUP BY f"""
+        case 31 => // TRY_CAST battery: non-numeric -> NULL, range spill
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              TRY_CAST(l_returnflag AS INT) AS a,
+              TRY_CAST(CAST(l_orderkey % ${200 + r.nextInt(300)} AS VARCHAR) AS SMALLINT) AS b,
+              TRY_CAST('${r.nextInt(99)}x' AS INT) AS c
+              FROM lineitem WHERE l_orderkey < ${100 + r.nextInt(200)}"""
+        case 32 => // list lambdas over split tokens
+          s"""SELECT doc_id,
+              array_to_string(list_transform(string_split(substr(text, 1, ${30 + r.nextInt(30)}), ' '), x -> upper(x)), ',') AS u,
+              array_to_string(list_filter(string_split(substr(text, 1, 40), ' '), x -> length(x) > ${2 + r.nextInt(3)}), ',') AS f
+              FROM documents WHERE doc_id % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"""
+        case 33 => // explicit GROUPING SETS (non-empty input: plain
+          // residue WHERE — the empty-input grand-total divergence is
+          // documented at the ROLLUP template)
+          s"""SELECT l_returnflag AS g, l_linestatus AS g2, count(*) AS n,
+              CAST(sum(l_suppkey % 97) AS BIGINT) AS s
+              FROM lineitem WHERE l_orderkey % ${2 + r.nextInt(4)} = ${r.nextInt(2)}
+              GROUP BY GROUPING SETS ((g), (g2), (g, g2), ())"""
+        case 34 => // ntile/first_value over a TOTAL per-partition order
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              ntile(${2 + r.nextInt(5)}) OVER (PARTITION BY l_returnflag
+                ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS nt,
+              first_value(l_orderkey % 997) OVER (PARTITION BY l_linestatus
+                ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS fv
+              FROM lineitem WHERE l_orderkey < ${200 + r.nextInt(200)}"""
+        case 35 => // correlated scalar subqueries in the select list
+          s"""SELECT o_orderkey AS k,
+              (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey
+                 AND ${pred(r, 1)}) AS nl,
+              (SELECT CAST(min(l_partkey % 997) AS BIGINT) FROM lineitem
+                 WHERE l_orderkey = o_orderkey) AS mp
+              FROM orders WHERE o_orderkey < ${200 + r.nextInt(300)}"""
+        case 36 => // regex battery (patterns restricted to the class
+          // both RE2 and Java regex read identically)
+          s"""SELECT doc_id,
+              regexp_extract(text, '([a-z]+) ([a-z]+)', ${1 + r.nextInt(2)}) AS r1,
+              regexp_matches(text, '${Seq("the|spark", "data", "qu[ae]ry", "^[bf]")(r.nextInt(4))}') AS m,
+              regexp_replace(substr(text, 1, ${20 + r.nextInt(20)}), '[aeiou]', '_', 'g') AS rr
+              FROM documents WHERE doc_id % ${2 + r.nextInt(3)} = ${r.nextInt(2)}"""
+        case 37 => // NULL-algebra scalars over TRY_CAST misses
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              NULLIF(l_returnflag, '${Seq("A", "N", "R")(r.nextInt(3))}') AS nf,
+              COALESCE(NULLIF(l_linestatus, 'O'), '${('a' + r.nextInt(26)).toChar}') AS co,
+              IFNULL(TRY_CAST(l_returnflag AS INT), ${-5 + r.nextInt(10)}) AS inn
+              FROM lineitem WHERE l_orderkey < ${150 + r.nextInt(150)}"""
+        case 38 => // date_part battery + epoch seconds
+          s"""SELECT o_orderkey AS k,
+              CAST(date_part('week', o_orderdate) AS BIGINT) AS w,
+              CAST(date_part('quarter', o_orderdate) AS BIGINT) AS q,
+              CAST(date_part('doy', o_orderdate) AS BIGINT) AS dy,
+              CAST(epoch(o_orderdate) AS BIGINT) AS ep
+              FROM orders WHERE o_orderkey % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"""
         case _ => // list functions over document tokens
           s"""SELECT doc_id,
               array_to_string(list_sort(string_split(substr(text, 1, ${40 + r.nextInt(40)}), ' ')), '|') AS w,
