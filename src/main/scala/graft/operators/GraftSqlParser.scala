@@ -43,13 +43,13 @@ object GraftSqlParser {
     // the outer rename wrap re-applies the idempotent fn renames to
     // text REWRITTEN BY rewriteDotCall (x.log() emits log(x), which the
     // inner rename pass has already run past)
-    rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteLogFn(
+    rewriteGroupingAliases(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteLogFn(
     rewriteDotCall(rewriteFrameExclude(rewriteNamedWindows(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteExtractEpoch(rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQuantified(rewriteQualify(
       rewriteDistinctOn(rewriteStructPack(rewriteStructInsert(
         rewriteExclude(rewriteAsof(rewritePositional(rewriteSubscript(rewriteSlice(
           rewriteGlob(rewriteSimilarTo(rewriteIntDiv(rewritePow(rewriteCaret(rewriteLogFn(rewriteFilterOver(rewriteJsonOps(rewriteJsonExtractFns(rewriteBlobType(
             rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
-              rewriteFromFirst(rewriteRawLiterals(sql))))))))))))))))))))))))))))))))))))))
+              rewriteFromFirst(rewriteRawLiterals(sql)))))))))))))))))))))))))))))))))))))))
 
   /** DuckDB single-quoted string literals are RAW — no backslash
     * escapes (`'\d'` is backslash-d) — while Spark's parser unescapes
@@ -2316,6 +2316,152 @@ object GraftSqlParser {
     * select list (Spark resolves the outer sort against the rewritten
     * subquery's output).
     */
+  private val GroupingConstructRe =
+    raw"(?i)\bGROUP\s+BY\s+(ROLLUP|CUBE|GROUPING\s+SETS)\s*\(".r
+
+  /** DuckDB resolves select-list ALIASES as ROLLUP/CUBE/GROUPING SETS
+    * items AND as `grouping()`/`grouping_id()` arguments in either
+    * spelling — `SELECT n AS g, grouping(n) ... GROUP BY ROLLUP (g)`
+    * and `grouping(g)` both bind (probed 1.0.0); Spark's analyzer
+    * demands the grouping() child match a grouping column EXACTLY
+    * (GROUPING_COLUMN_MISMATCH on both shapes, probed). Normalize to
+    * the one form both engines execute: construct items that are bare
+    * select-list aliases are replaced by their underlying expressions,
+    * and grouping()/grouping_id() arguments naming THOSE aliases follow
+    * (only those — `grouping(alias)` where the GROUP BY names the raw
+    * expression is a Binder error in DuckDB too, and stays loud here).
+    * Found by FuzzDiff (r16 template 40).
+    */
+  def rewriteGroupingAliases(sql: String, depth: Int = 0): String = {
+    // depth caps pathological alias cycles (`SELECT b AS a, a AS b ...
+    // ROLLUP (a)` would ping-pong forever); real queries settle in 1-2
+    if (depth > 8) return sql
+    val masked = maskQuotes(sql)
+    // try each construct left-to-right; the first that yields a change
+    // wins and the result recurses (so every block eventually settles)
+    for (m <- GroupingConstructRe.findAllMatchIn(masked)) {
+      rewriteOneGroupingConstruct(sql, masked, m) match {
+        case Some(out) => return rewriteGroupingAliases(out, depth + 1)
+        case None =>
+      }
+    }
+    sql
+  }
+
+  /** One ROLLUP/CUBE/GROUPING SETS occurrence: None when nothing to
+    * change (no enclosing block found, no aliased select items, or no
+    * alias used as a construct item). All identifier FINDS run on the
+    * quote-masked text (literal content is underscores there) and
+    * replacements splice into the raw text by position.
+    */
+  private def rewriteOneGroupingConstruct(
+      sql: String, masked: String,
+      m: scala.util.matching.Regex.Match): Option[String] = {
+    // balanced construct span
+    val open = m.end - 1
+    var i = m.end
+    var d = 1
+    while (i < masked.length && d > 0) {
+      masked.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (d != 0) return None
+    val close = i // index AFTER the ')'
+    // enclosing SELECT: scan backward from the match at depth 0
+    var j = m.start - 1
+    var bd = 0
+    var selPos = -1
+    while (j >= 0 && selPos < 0) {
+      val c = masked.charAt(j)
+      if (c == ')') bd += 1
+      else if (c == '(') bd -= 1
+      else if (bd == 0 && c.isLetter && wordStartingAt(masked, j) == "SELECT" &&
+        (j == 0 || (!masked.charAt(j - 1).isLetterOrDigit && masked.charAt(j - 1) != '_')))
+        selPos = j
+      j -= 1
+    }
+    if (selPos < 0) return None
+    // select list = SELECT .. FROM at the same depth
+    var k = selPos + 6
+    var fd = 0
+    var fromPos = -1
+    while (k < m.start && fromPos < 0) {
+      val c = masked.charAt(k)
+      if (c == '(') fd += 1
+      else if (c == ')') fd -= 1
+      else if (fd == 0 && c.isLetter &&
+        (!masked.charAt(k - 1).isLetterOrDigit && masked.charAt(k - 1) != '_') &&
+        wordStartingAt(masked, k) == "FROM") fromPos = k
+      k += 1
+    }
+    if (fromPos < 0) return None
+    val selText = sql.substring(selPos + 6, fromPos)
+    val aliasRe = raw"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)$$".r
+    val aliasMap: Map[String, String] =
+      splitTopLevel(selText, maskQuotes(selText)).flatMap(_.trim match {
+        case aliasRe(e, a) => Some(a.toLowerCase -> e)
+        case _ => None
+      }).toMap
+    if (aliasMap.isEmpty) return None
+    // construct items: replace bare-identifier tokens that are aliases
+    // (found on the MASKED span, spliced into the raw span)
+    val spanRaw = sql.substring(open + 1, close - 1)
+    val spanMasked = masked.substring(open + 1, close - 1)
+    val replaced = scala.collection.mutable.Set[String]()
+    val identRe = raw"(?i)\b([A-Za-z_]\w*)\b".r
+    val sb = new StringBuilder
+    var last = 0
+    for (mm <- identRe.findAllMatchIn(spanMasked)) {
+      aliasMap.get(mm.group(1).toLowerCase) match {
+        case Some(e) =>
+          replaced += mm.group(1).toLowerCase
+          sb.append(spanRaw.substring(last, mm.start)).append(e)
+          last = mm.end
+        case None =>
+      }
+    }
+    if (replaced.isEmpty) return None
+    sb.append(spanRaw.substring(last))
+    val newSpan = sb.toString
+    // grouping()/grouping_id() args over the replaced aliases — block
+    // scope: the enclosing SELECT to the end of its balanced region
+    var blockEnd = close
+    var ed = 0
+    while (blockEnd < masked.length && ed >= 0) {
+      masked.charAt(blockEnd) match {
+        case '(' => ed += 1
+        case ')' => ed -= 1
+        case _ =>
+      }
+      if (ed >= 0) blockEnd += 1
+    }
+    val grRe = raw"(?i)\b(grouping|grouping_id)\s*\(([^()]*)\)".r
+    def fixGrouping(raw0: String): String = {
+      val msk = maskQuotes(raw0)
+      val b = new StringBuilder
+      var p = 0
+      for (gm <- grRe.findAllMatchIn(msk)) {
+        val rawArgs = raw0.substring(gm.start(2), gm.end(2))
+        val args = rawArgs.split(",").map(_.trim).map { a =>
+          if (replaced.contains(a.toLowerCase)) aliasMap(a.toLowerCase) else a
+        }.mkString(", ")
+        b.append(raw0.substring(p, gm.start(2))).append(args)
+        p = gm.end(2)
+      }
+      b.append(raw0.substring(p))
+      b.toString
+    }
+    val head = sql.substring(0, selPos)
+    val mid0 = sql.substring(selPos, open + 1) + newSpan + sql.substring(close - 1, close)
+    val tail0 = sql.substring(close, blockEnd)
+    val tailAfter = sql.substring(blockEnd)
+    Some(head + fixGrouping(mid0) + fixGrouping(tail0) + tailAfter)
+  }
+
   def rewriteDistinctOn(sql: String): String = {
     val masked = maskQuotes(sql)
     DistinctOnRe.findFirstMatchIn(masked) match {

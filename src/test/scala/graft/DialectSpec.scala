@@ -2152,6 +2152,31 @@ class DialectSpec extends SparkSpec {
     val rows = SqlStage("s", "SELECT g, count(*) AS n FROM gba GROUP BY ALL ORDER BY ALL")
       .apply(spark, spark.range(1).toDF("id")).collect()
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 10L), (1L, 10L), (2L, 10L)))
+    // r16 (FuzzDiff template 40): DuckDB binds select-list ALIASES as
+    // ROLLUP/CUBE/GROUPING SETS items and as grouping() arguments;
+    // Spark demands the raw grouping expression (probed both). The
+    // rewrite normalizes aliases to their select-list expressions in
+    // the construct AND in grouping()/grouping_id() calls over them.
+    val ga = SqlStage("s",
+      """SELECT g % 2 AS p, count(*) AS n,
+         CAST(grouping(g % 2) AS BIGINT) AS gm
+         FROM gba GROUP BY ROLLUP (p) ORDER BY gm, p""")
+      .apply(spark, spark.range(1).toDF("id")).collect()
+    assert(ga.map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((Some(0L), 20L, 0L), (Some(1L), 10L, 0L), (None, 30L, 1L)))
+    // the grouping(alias) spelling DuckDB also accepts
+    val gb = SqlStage("s",
+      """SELECT g % 2 AS p, CAST(grouping(p) AS BIGINT) AS gm, count(*) AS n
+         FROM gba GROUP BY ROLLUP (p) ORDER BY gm, p""")
+      .apply(spark, spark.range(1).toDF("id")).collect()
+    assert(gb.map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((Some(0L), 0L, 20L), (Some(1L), 0L, 10L), (None, 1L, 30L)))
+    // grouping(alias) where the GROUP BY names the RAW expression is a
+    // Binder error in DuckDB — it stays loud here too (no rewrite: the
+    // alias is not a construct item)
+    intercept[Exception](SqlStage("s",
+      "SELECT g % 2 AS p, grouping(p) AS gm FROM gba GROUP BY ROLLUP (g % 2)")
+      .apply(spark, spark.range(1).toDF("id")).collect())
   }
 
   test("SUMMARIZE statement: DuckDB output shape, exact stats exact, one-scan plan") {

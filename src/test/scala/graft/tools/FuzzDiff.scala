@@ -154,7 +154,7 @@ object FuzzDiff {
   private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(39) match {
+      val sql = r.nextInt(45) match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -432,6 +432,53 @@ object FuzzDiff {
               CAST(date_part('doy', o_orderdate) AS BIGINT) AS dy,
               CAST(epoch(o_orderdate) AS BIGINT) AS ep
               FROM orders WHERE o_orderkey % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"""
+        case 39 => // CTE feeding a QUALIFY'd window — stacked rewrites
+          s"""WITH base AS (
+              SELECT l_orderkey AS k, l_linenumber AS ln, l_returnflag AS f,
+                     (l_partkey % ${primes(r.nextInt(3))}) AS v
+              FROM lineitem WHERE ${pred(r, 1)}
+              )
+              SELECT f, k, ln, v
+              FROM base
+              QUALIFY row_number() OVER (PARTITION BY f ORDER BY v, k, ln) <= ${2 + r.nextInt(4)}"""
+        case 40 => // ROLLUP + grouping() marker over a join
+          s"""SELECT n_name AS g, c_mktsegment AS g2,
+              CAST(grouping(n_name) AS BIGINT) AS gm,
+              CAST(grouping(c_mktsegment) AS BIGINT) AS gm2, count(*) AS n
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE c_custkey % ${2 + r.nextInt(4)} = ${r.nextInt(2)}
+              GROUP BY ROLLUP (g, g2)"""
+        case 41 => // EXISTS + grouped HAVING + set op
+          s"""SELECT o_orderstatus AS g, count(*) AS n FROM orders o
+              WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey
+                AND ${pred(r, 1)})
+              GROUP BY g HAVING count(*) > ${1 + r.nextInt(4)}
+              UNION ALL
+              SELECT 'x' AS g, count(*) AS n FROM orders WHERE o_orderkey % ${3 + r.nextInt(4)} = 0"""
+        case 42 => // diamond CTE: one CTE consumed twice (self-join)
+          s"""WITH c AS (
+              SELECT (l_orderkey % ${primes(2 + r.nextInt(3))}) AS g,
+                     count(*) AS n, CAST(sum(l_suppkey % 97) AS BIGINT) AS s
+              FROM lineitem WHERE ${pred(r, 1)} GROUP BY g
+              )
+              SELECT a.g AS g, a.n AS an, b.n AS bn, (a.s - b.s) AS ds
+              FROM c a JOIN c b ON a.g = (b.g + ${1 + r.nextInt(5)})"""
+        case 43 => // window over a join result, named + RANGE extension
+          s"""SELECT o_orderkey AS k, n AS nl,
+              CAST(sum(n) OVER (w RANGE BETWEEN ${5 + r.nextInt(50)} PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS rs
+              FROM (SELECT o_orderkey, o_orderstatus, count(*) AS n
+                    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                    WHERE o_orderkey < ${500 + r.nextInt(500)}
+                    GROUP BY o_orderkey, o_orderstatus) j
+              WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)"""
+        case 44 => // string-function battery both engines share
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              split_part(l_returnflag || '-' || l_linestatus, '-', ${1 + r.nextInt(2)}) AS sp,
+              repeat(${strExpr(r, 1)}, ${1 + r.nextInt(3)}) AS rp,
+              translate(l_returnflag || l_linestatus, 'ANROF', 'anrof') AS tr,
+              CAST(position('O' IN l_returnflag || l_linestatus) AS BIGINT) AS ps
+              FROM lineitem WHERE l_orderkey < ${150 + r.nextInt(200)}"""
         case _ => // list functions over document tokens
           s"""SELECT doc_id,
               array_to_string(list_sort(string_split(substr(text, 1, ${40 + r.nextInt(40)}), ' ')), '|') AS w,
