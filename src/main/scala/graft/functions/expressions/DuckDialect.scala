@@ -284,6 +284,31 @@ object DuckSlice {
   * RuntimeReplaceable: the replacement composes existing codegen'd
   * expressions once the base's type is resolved.
   */
+/** DuckDB's `map(keys_list, values_list)` two-list constructor vs
+  * Spark's variadic `map(k1, v1, ...)` pairs form — same name, silently
+  * different semantics (found by FuzzDiff r16: the two-list form built
+  * a one-entry map of array→array and the subsequent subscript died as
+  * an unresolvable cast). Only the ambiguous TWO-ARG call needs the
+  * post-analysis dispatch (both array-typed → DuckDB's constructor →
+  * MapFromArrays; else one Spark pair — a single entry needs no
+  * cross-entry coercion, so the replacement always resolves). Calls of
+  * any other arity return a RAW CreateMap from the builder — a
+  * RuntimeReplaceable's replacement skips the analyzer's implicit
+  * casts, which a multi-entry pairs call (`map('a', 1, 'b', id)`)
+  * relies on to unify value types.
+  */
+case class DuckMapConstructor(children: Seq[Expression])
+    extends RuntimeReplaceable {
+  override lazy val replacement: Expression = children match {
+    case Seq(k, v) if k.dataType.isInstanceOf[ArrayType] &&
+      v.dataType.isInstanceOf[ArrayType] => MapFromArrays(k, v)
+    case es => CreateMap(es)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 case class DuckBracketGet(base: Expression, key: Expression)
     extends RuntimeReplaceable {
   override def children: Seq[Expression] = Seq(base, key)
@@ -991,6 +1016,10 @@ object DuckDialect {
     "list_prepend" -> (es => { nArgs("list_prepend", es, 2); ArrayPrepend(es(1), es(0)) }),
     "list_position" -> (es => { nArgs("list_position", es, 2); ArrayPosition(es(0), es(1)) }),
     "list_indexof" -> (es => { nArgs("list_indexof", es, 2); ArrayPosition(es(0), es(1)) }),
+    // DuckDB's two-list map constructor vs Spark's variadic pairs —
+    // post-analysis dispatch for the ambiguous 2-arg call only (see
+    // DuckMapConstructor); other arities stay Spark's native CreateMap
+    "map" -> (es => if (es.length == 2) DuckMapConstructor(es) else CreateMap(es)),
     // full DuckDB subscript semantics ([0]/out-of-range → NULL, strings)
     "list_extract" -> (es => { nArgs("list_extract", es, 2); DuckBracketGet(es(0), es(1)) }),
     "array_extract" -> (es => { nArgs("array_extract", es, 2); DuckBracketGet(es(0), es(1)) }),

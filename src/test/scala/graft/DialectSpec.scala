@@ -914,6 +914,19 @@ class DialectSpec extends SparkSpec {
       .getSeq[String](0) == Seq("a", "b"))
     assert(one("SELECT map_values(MAP {'a': id + 1, 'b': id * 2}) AS r FROM df")
       .getSeq[Long](0) == Seq(8L, 14L))
+    // r16 (FuzzDiff): DuckDB's two-list map(keys, values) CONSTRUCTOR —
+    // Spark's same-named variadic pairs form silently built a one-entry
+    // array→array map. DuckMapConstructor dispatches post-analysis:
+    // two array args → map_from_arrays; anything else stays Spark's
+    // CreateMap (the pairs call keeps working).
+    assert(one("SELECT map(['x', 'y'], [id, id + 1])['y'][1] AS r FROM df")
+      .getLong(0) == 8L)
+    assert(one("SELECT map_keys(map(['a', 'b'], [1, 2])) AS r FROM df")
+      .getSeq[String](0) == Seq("a", "b"))
+    assert(one("SELECT map(['x'], [id])['nope'] AS r FROM df")
+      .getSeq[Long](0) == Seq())
+    assert(one("SELECT map('k', id)['k'][1] AS r FROM df") // Spark pairs form
+      .getLong(0) == 7L)
     // DuckDB 1.0 subscript is LIST-shaped: [v] hit, [] miss, [NULL]
     // present-NULL; expression and integer keys work
     assert(one("SELECT MAP {'k': lang}['k'] AS r FROM df")

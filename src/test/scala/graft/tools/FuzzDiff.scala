@@ -154,7 +154,7 @@ object FuzzDiff {
   private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(45) match {
+      val sql = r.nextInt(51) match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -479,6 +479,39 @@ object FuzzDiff {
               translate(l_returnflag || l_linestatus, 'ANROF', 'anrof') AS tr,
               CAST(position('O' IN l_returnflag || l_linestatus) AS BIGINT) AS ps
               FROM lineitem WHERE l_orderkey < ${150 + r.nextInt(200)}"""
+        case 45 => // LATERAL correlated subquery in the FROM list
+          s"""SELECT o_orderkey AS k, l.mx AS mx, l.n AS n
+              FROM orders o, LATERAL (
+                SELECT max(l_partkey % ${primes(r.nextInt(3))}) AS mx, count(*) AS n
+                FROM lineitem WHERE l_orderkey = o.o_orderkey AND ${pred(r, 1)}) l
+              WHERE o_orderkey < ${200 + r.nextInt(200)}"""
+        case 46 => // unnest exploding split tokens to rows
+          s"""SELECT doc_id,
+              unnest(string_split(substr(text, 1, ${20 + r.nextInt(30)}), ' ')) AS w
+              FROM documents WHERE doc_id % ${2 + r.nextInt(3)} = ${r.nextInt(2)}"""
+        case 47 => // struct_pack field access + MAP two-list subscript
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              struct_pack(a := l_orderkey % ${primes(r.nextInt(3))}, f := l_returnflag).a AS sa,
+              map(['x', 'y'], [l_orderkey % 7, l_suppkey % 7])['${Seq("x", "y", "z")(r.nextInt(3))}'][1] AS mv
+              FROM lineitem WHERE l_orderkey < ${150 + r.nextInt(150)}"""
+        case 48 => // rank-fraction windows rounded to a shared precision
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              round(percent_rank() OVER (PARTITION BY l_returnflag
+                ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey), 6) AS pr,
+              round(cume_dist() OVER (PARTITION BY l_linestatus
+                ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey), 6) AS cd
+              FROM lineitem WHERE l_orderkey < ${200 + r.nextInt(200)}"""
+        case 49 => // concat_ws over mixed columns
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              concat_ws('${Seq("-", "|", "~")(r.nextInt(3))}', l_returnflag,
+                l_linestatus, CAST(l_linenumber AS VARCHAR)) AS c
+              FROM lineitem WHERE ${pred(r, 1)}"""
+        case 50 => // list_aggregate + list_distinct over split tokens
+          s"""SELECT doc_id,
+              CAST(list_aggregate(list_transform(string_split(substr(text, 1, ${30 + r.nextInt(30)}), ' '),
+                x -> length(x)), '${Seq("sum", "min", "max")(r.nextInt(3))}') AS BIGINT) AS ls,
+              len(list_distinct(string_split(substr(text, 1, 40), ' '))) AS ld
+              FROM documents WHERE doc_id % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"""
         case _ => // list functions over document tokens
           s"""SELECT doc_id,
               array_to_string(list_sort(string_split(substr(text, 1, ${40 + r.nextInt(40)}), ' ')), '|') AS w,
