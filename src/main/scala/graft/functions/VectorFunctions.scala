@@ -79,6 +79,36 @@ object VectorFunctions {
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/embedding-
+    * model shape): for each anchor, the top-k most-cosine-similar
+    * candidates carrying a DIFFERENT label, self excluded — the
+    * near-misses that teach a contrastive objective the decision
+    * boundary. Exact by construction (every anchor scans the full
+    * candidate set); at 100 TB the same label-exclusion predicate
+    * drops into the IVF/LSH probe joins once the anchor set outgrows a
+    * broadcast, and this exact form stays the recall oracle — the
+    * q40/q41 build-vs-audit pattern.
+    *
+    * Plan shape: anchors broadcast (bounded query set), ONE candidate
+    * scan computes the cosine row-locally inside codegen, the
+    * per-anchor top-k is a bounded rank — no shuffle of the wide
+    * vector payload beyond the k survivors per anchor.
+    */
+  def hardNegatives(anchors: DataFrame, candidates: DataFrame,
+                    labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(anchors.sparkSession)
+    val joined = candidates.as("c")
+      .join(broadcast(anchors.as("q")),
+        col("q.vec_id") =!= col("c.vec_id") &&
+          col("q." + labelCol) =!= col("c." + labelCol))
+      .select(col("q.vec_id").as("qid"), col("q." + labelCol).as("qlabel"),
+        col("c.vec_id").as("cid"), col("c." + labelCol).as("clabel"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Pairwise embedding near-dup detection at scale: banded sign-LSH
     * candidate generation (equality self-join on (table, bucket) — the
     * same banding shape as [[Dedup.lshCandidates]] for MinHash), then

@@ -483,8 +483,15 @@ case class EvenExpr(child: Expression) extends UnaryExpression {
       case d: org.apache.spark.sql.types.Decimal => d.toDouble
     })
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.expressions.MathKernel.even((double) $a)")
+    defineCodeGen(ctx, ev, a => child.dataType match {
+      // Decimal carries no implicit double conversion in generated Java
+      // — a bare (double) cast was a janino CompileException and the
+      // whole projection fell back to interpreter mode (found via q160:
+      // `(count(*) % 7) + 0.5` types DECIMAL(21,1))
+      case _: DecimalType =>
+        s"graft.functions.expressions.MathKernel.even($a.toDouble())"
+      case _ => s"graft.functions.expressions.MathKernel.even((double) $a)"
+    })
   override protected def withNewChildInternal(newChild: Expression): EvenExpr =
     copy(child = newChild)
 }

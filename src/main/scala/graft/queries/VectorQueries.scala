@@ -37,6 +37,21 @@ object VectorQueries {
     VF.pairRecallAudit(lsh, exact, bound = 0.25)
   }
 
+  /** Hard-negative mining ([[graft.functions.VectorFunctions
+    * .hardNegatives]]): for each anchor (vec_id < 10) the 5 nearest
+    * candidates with a DIFFERENT label — the contrastive-training
+    * near-miss set. The oracle replays the exact scan with the same
+    * label-exclusion predicate and double-cast cosine fold, so ranks,
+    * labels and cosines hash-match cell-for-cell.
+    */
+  def q185HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    VF.hardNegatives(emb.filter(col("vec_id") < 10), emb, "label", k = 5)
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def q40CosineTopk(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
@@ -378,6 +393,7 @@ object VectorQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_embed_neardup_lsh" -> (q37EmbedNearDupLsh _),
     "q40_cosine_topk"    -> (q40CosineTopk _),
+    "q185_hard_negatives" -> (q185HardNegatives _),
     "q41_ann_lsh"        -> (q41AnnLsh _),
     "q45_embedding_norm" -> (q45EmbeddingNorms _),
     "q77_ann_ivf"        -> (q77AnnIvf _),
@@ -651,6 +667,23 @@ object VectorQueries {
               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
             FROM s)
       SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // q185: q40's exact scan with the hard-negative label exclusion —
+    // the mined near-misses for a contrastive objective
+    "q185_hard_negatives" -> """
+      WITH q AS (SELECT vec_id qid, label qlabel,
+                        CAST(embedding AS DOUBLE[]) qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id cid, label clabel,
+                   CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+      s AS (SELECT qid, qlabel, cid, clabel,
+                   list_cosine_similarity(qv, cv) cos
+            FROM q, c WHERE cid <> qid AND clabel <> qlabel),
+      r AS (SELECT qid, qlabel, cid, clabel, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+            FROM s)
+      SELECT qid, qlabel, cid, clabel, cos, rn
+      FROM r WHERE rn <= 5 ORDER BY qid, rn""",
 
     "q45_embedding_norm" -> """
       SELECT vec_id, label,
