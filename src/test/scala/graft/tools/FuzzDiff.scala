@@ -154,7 +154,7 @@ object FuzzDiff {
   private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(51) match {
+      val sql = r.nextInt(55) match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -512,6 +512,32 @@ object FuzzDiff {
                 x -> length(x)), '${Seq("sum", "min", "max")(r.nextInt(3))}') AS BIGINT) AS ls,
               len(list_distinct(string_split(substr(text, 1, 40), ' '))) AS ld
               FROM documents WHERE doc_id % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"""
+        case 51 => // bag-semantics set ops (ALL variants)
+          val op = Seq("INTERSECT ALL", "EXCEPT ALL")(r.nextInt(2))
+          s"""SELECT (l_orderkey % ${primes(r.nextInt(3))}) AS k, l_returnflag AS f
+              FROM lineitem WHERE ${pred(r, 1)}
+              $op
+              SELECT (l_orderkey % ${primes(r.nextInt(3))}) AS k, l_returnflag AS f
+              FROM lineitem WHERE ${pred(r, 1)}"""
+        case 52 => // LIMIT/OFFSET pagination over a total order
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln, ${intExpr(r, 1)} AS e
+              FROM lineitem WHERE ${pred(r, 1)}
+              ORDER BY $liTiebreak
+              LIMIT ${20 + r.nextInt(80)} OFFSET ${r.nextInt(50)}"""
+        case 53 => // string bracket slices (1-based inclusive, negatives)
+          s"""SELECT doc_id,
+              substr(text, 1, 30)[${1 + r.nextInt(5)}:${8 + r.nextInt(12)}] AS s1,
+              (text || 'tail')[${-6 - r.nextInt(5)}:-1] AS s2,
+              text[${2 + r.nextInt(4)}:] AS s3
+              FROM (SELECT doc_id, substr(text, 1, 40) AS text FROM documents)
+              WHERE doc_id % ${2 + r.nextInt(3)} = ${r.nextInt(2)}"""
+        case 54 => // nth_value / lead-with-default over a total order
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              nth_value(l_orderkey % 997, ${1 + r.nextInt(3)}) OVER w AS nv,
+              lead(l_suppkey % 97, ${1 + r.nextInt(2)}, ${-1 - r.nextInt(9)}) OVER w AS ld,
+              lag(l_partkey % 97, ${1 + r.nextInt(2)}, ${100 + r.nextInt(100)}) OVER w AS lg
+              FROM lineitem WHERE l_orderkey < ${250 + r.nextInt(200)}
+              WINDOW w AS (PARTITION BY l_returnflag ORDER BY $liTiebreak)"""
         case _ => // list functions over document tokens
           s"""SELECT doc_id,
               array_to_string(list_sort(string_split(substr(text, 1, ${40 + r.nextInt(40)}), ' ')), '|') AS w,
