@@ -93,6 +93,17 @@ object VectorFunctions {
     * scan computes the cosine row-locally inside codegen, the
     * per-anchor top-k is a bounded rank — no shuffle of the wide
     * vector payload beyond the k survivors per anchor.
+    *
+    * Schema contract: both frames must carry `vec_id` (id) and
+    * `embedding` (Array[Float]) under exactly those names — only the
+    * label column name is a parameter (matching the embeddings-table
+    * convention every other vector operator here uses). NULL labels:
+    * the `=!=` exclusion is three-valued, so a NULL-labeled row never
+    * matches on EITHER side — NULL-labeled anchors emit no negatives
+    * and NULL-labeled candidates are never mined. That matches the
+    * oracle's `<>` semantics by construction, but on partially-labeled
+    * corpora the mined set quietly shrinks; filter or backfill labels
+    * upstream if NULL should mean "different from everything".
     */
   def hardNegatives(anchors: DataFrame, candidates: DataFrame,
                     labelCol: String, k: Int): DataFrame = {

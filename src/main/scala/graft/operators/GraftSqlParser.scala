@@ -39,11 +39,14 @@ object GraftSqlParser {
     * rewrite then lowers), QUALIFY → ranked subquery, USING SAMPLE →
     * TABLESAMPLE.
     */
-  def rewriteAll(sql: String): String =
+  def rewriteAll(sql: String,
+      resolve: String => Option[Seq[String]] = _ => None): String =
     // the outer rename wrap re-applies the idempotent fn renames to
     // text REWRITTEN BY rewriteDotCall (x.log() emits log(x), which the
-    // inner rename pass has already run past)
-    rewriteGroupingAliases(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteLogFn(
+    // inner rename pass has already run past). `resolve` (relation →
+    // columns, session-backed where the caller has one) feeds the
+    // grouping-alias shadowing check only.
+    rewriteGroupingAliases(resolve = resolve, depth = 0, sql = rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteLogFn(
     rewriteDotCall(rewriteFrameExclude(rewriteNamedWindows(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteExtractEpoch(rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQuantified(rewriteQualify(
       rewriteDistinctOn(rewriteStructPack(rewriteStructInsert(
         rewriteExclude(rewriteAsof(rewritePositional(rewriteSubscript(rewriteSlice(
@@ -2331,8 +2334,24 @@ object GraftSqlParser {
     * (only those — `grouping(alias)` where the GROUP BY names the raw
     * expression is a Binder error in DuckDB too, and stays loud here).
     * Found by FuzzDiff (r16 template 40).
+    *
+    * Safety rules (ADVICE r16, all probed on 1.0.0): DuckDB resolves
+    * ONLY aliases that form a COMPLETE construct item — `ROLLUP (p *
+    * 2)` and `CUBE (abs(p))` with alias p are Binder errors, and `t.p`
+    * is a column path — so substitution is delimiter-bounded to bare
+    * items; every other occurrence keeps both engines' loud errors.
+    * When `resolve` can see the block's source relation, an alias that
+    * SHADOWS a real input column is not substituted at all — DuckDB
+    * binds the COLUMN there (Postgres precedence), and so does Spark,
+    * so the untouched text already agrees (typically a loud
+    * ungrouped-expression error on both). Both the explicit `expr AS a`
+    * and DuckDB's implicit `expr a` alias forms are collected (quoted
+    * aliases are not — they'd be quoted in the construct too, where the
+    * identifier scan never matches them, so nothing mis-rewrites; they
+    * simply keep Spark's loud GROUPING_COLUMN_MISMATCH).
     */
-  def rewriteGroupingAliases(sql: String, depth: Int = 0): String = {
+  def rewriteGroupingAliases(sql: String, depth: Int = 0,
+      resolve: String => Option[Seq[String]] = _ => None): String = {
     // depth caps pathological alias cycles (`SELECT b AS a, a AS b ...
     // ROLLUP (a)` would ping-pong forever); real queries settle in 1-2
     if (depth > 8) return sql
@@ -2340,8 +2359,8 @@ object GraftSqlParser {
     // try each construct left-to-right; the first that yields a change
     // wins and the result recurses (so every block eventually settles)
     for (m <- GroupingConstructRe.findAllMatchIn(masked)) {
-      rewriteOneGroupingConstruct(sql, masked, m) match {
-        case Some(out) => return rewriteGroupingAliases(out, depth + 1)
+      rewriteOneGroupingConstruct(sql, masked, m, resolve) match {
+        case Some(out) => return rewriteGroupingAliases(out, depth + 1, resolve)
         case None =>
       }
     }
@@ -2356,7 +2375,8 @@ object GraftSqlParser {
     */
   private def rewriteOneGroupingConstruct(
       sql: String, masked: String,
-      m: scala.util.matching.Regex.Match): Option[String] = {
+      m: scala.util.matching.Regex.Match,
+      resolve: String => Option[Seq[String]]): Option[String] = {
     // balanced construct span
     val open = m.end - 1
     var i = m.end
@@ -2401,27 +2421,81 @@ object GraftSqlParser {
     if (fromPos < 0) return None
     val selText = sql.substring(selPos + 6, fromPos)
     val aliasRe = raw"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)$$".r
-    val aliasMap: Map[String, String] =
+    val implicitAliasRe = raw"(?is)^(.*\S)\s+([A-Za-z_]\w*)$$".r
+    // words making a trailing identifier part of the EXPRESSION, not an
+    // implicit alias (`a AND b`, `x IS NULL`, `EXTRACT(... FROM ts)`)
+    val notBeforeAlias = Set("AND", "OR", "NOT", "IS", "LIKE", "ILIKE",
+      "GLOB", "SIMILAR", "IN", "BETWEEN", "ESCAPE", "ALL", "ANY", "SOME",
+      "DISTINCT", "CASE", "WHEN", "THEN", "ELSE", "COLLATE", "AS", "TO",
+      "FROM", "BY", "OVER", "FILTER", "WITHIN", "EXCLUDE", "REPLACE",
+      "INTERVAL", "XOR")
+    // words that LOOK like a trailing identifier but never alias
+    // (literals, CASE END, interval units)
+    val notAnAlias = Set("TRUE", "FALSE", "NULL", "END", "ASC", "DESC",
+      "DAY", "DAYS", "MONTH", "MONTHS", "YEAR", "YEARS", "HOUR", "HOURS",
+      "MINUTE", "MINUTES", "SECOND", "SECONDS", "WEEK", "WEEKS",
+      "MILLISECOND", "MILLISECONDS", "MICROSECOND", "MICROSECONDS",
+      "QUARTER", "QUARTERS", "DECADE", "DECADES", "CENTURY", "CENTURIES")
+    def implicitAlias(item: String): Option[(String, String)] =
+      implicitAliasRe.findFirstMatchIn(item).flatMap { im =>
+        val e = im.group(1); val a = im.group(2)
+        val prevWord = raw"([A-Za-z_]\w*)\s*$$".r.findFirstMatchIn(e)
+          .map(_.group(1).toUpperCase)
+        if (notAnAlias.contains(a.toUpperCase) ||
+          prevWord.exists(notBeforeAlias.contains) ||
+          "+-*/%|&^<>=,(~!".indexOf(e.last) >= 0) None
+        else Some(a.toLowerCase -> e)
+      }
+    val aliasMapAll: Map[String, String] =
       splitTopLevel(selText, maskQuotes(selText)).flatMap(_.trim match {
         case aliasRe(e, a) => Some(a.toLowerCase -> e)
-        case _ => None
+        case it => implicitAlias(it)
       }).toMap
+    // alias vs real-column shadowing: when the block's source relation
+    // resolves and an alias NAMES one of its columns, DuckDB binds the
+    // construct item to the COLUMN (Postgres precedence, probed 1.0.0)
+    // — and so does Spark, so the untouched text already agrees and
+    // substituting the alias expression would silently diverge
+    val shadowed: Set[String] =
+      blockFromRelation(sql, masked, selPos).flatMap(resolve)
+        .getOrElse(Nil).map(_.toLowerCase).toSet
+    val aliasMap = aliasMapAll -- shadowed
     if (aliasMap.isEmpty) return None
-    // construct items: replace bare-identifier tokens that are aliases
-    // (found on the MASKED span, spliced into the raw span)
+    // construct items: replace alias tokens that form a COMPLETE item —
+    // delimiter-bounded by '('/','/span-start on the left and
+    // ','/')'/span-end on the right (found on the MASKED span, spliced
+    // into the raw span). DuckDB resolves ONLY bare-item aliases
+    // (probed 1.0.0: `ROLLUP (p * 2)` and `CUBE (abs(p))` with alias p
+    // are Binder errors, and `t.p` is a column path) — so qualified
+    // refs, function calls, and aliases inside larger expressions are
+    // never substituted; they stay loud on both engines.
     val spanRaw = sql.substring(open + 1, close - 1)
     val spanMasked = masked.substring(open + 1, close - 1)
     val replaced = scala.collection.mutable.Set[String]()
     val identRe = raw"(?i)\b([A-Za-z_]\w*)\b".r
+    def nextNonSpace(s: String, from: Int): Char = {
+      var p = from
+      while (p < s.length && s.charAt(p).isWhitespace) p += 1
+      if (p < s.length) s.charAt(p) else ' '
+    }
+    def prevNonSpace(s: String, from: Int): Char = {
+      var p = from - 1
+      while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+      if (p >= 0) s.charAt(p) else ' '
+    }
     val sb = new StringBuilder
     var last = 0
     for (mm <- identRe.findAllMatchIn(spanMasked)) {
+      val l = prevNonSpace(spanMasked, mm.start)
+      val r = nextNonSpace(spanMasked, mm.end)
+      val bareItem = (l == ' ' || l == '(' || l == ',') &&
+        (r == ' ' || r == ')' || r == ',')
       aliasMap.get(mm.group(1).toLowerCase) match {
-        case Some(e) =>
+        case Some(e) if bareItem =>
           replaced += mm.group(1).toLowerCase
           sb.append(spanRaw.substring(last, mm.start)).append(e)
           last = mm.end
-        case None =>
+        case _ =>
       }
     }
     if (replaced.isEmpty) return None
@@ -3594,6 +3668,18 @@ object GraftSqlParser {
                 .findFirstIn(a.arg).isDefined))
               .map(btq).mkString(", ")
           }
+          // with implicit grouping where EVERY column is the pivot
+          // column or an aggregate arg, the empty-input result has no
+          // columns at all — DuckDB 1.0.0 raises "SELECT list is empty
+          // after resolving * expressions!" (probed); a guided error
+          // keeps the parity loud instead of an invalid `SELECT  FROM`
+          // Spark parse (ADVICE r16)
+          if (grpList.trim.isEmpty)
+            fail("pivot over an empty input leaves no grouping columns " +
+              "(every column is the pivot column or an aggregate " +
+              "argument) — DuckDB raises a Binder error on this shape " +
+              "too; add a grouping column or pin the pivot values " +
+              "with IN (...)")
           return s"SELECT $grpList FROM $relForSql WHERE 1=0 $tail"
         }
         import org.apache.spark.sql.types._

@@ -567,17 +567,21 @@ final case class SqlStage(name: String, code: String) extends Stage {
     val resolveRel: String => Option[Seq[String]] = t =>
       if (t.equalsIgnoreCase("df")) None
       else scala.util.Try(spark.table(t).columns.toSeq).toOption
+    // grouping-alias shadowing check also needs the stage-input `df`
+    // schema (its FROM spelling is the literal name `df`)
+    val grpResolve: String => Option[Seq[String]] = t =>
+      if (t.equalsIgnoreCase("df")) Some(df.columns.toSeq) else resolveRel(t)
     val stmt = GraftSqlParser.rewritePivotStatement(spark,
       GraftSqlParser.rewriteUnpivotStatement(code3),
       s => GraftSqlParser.rewriteAll(
         GraftSqlParser.rewriteColumns(
           GraftSqlParser.rewriteReplace(s, df.columns.toSeq, resolveRel),
-          df.columns.toSeq, resolveRel)))
+          df.columns.toSeq, resolveRel), grpResolve))
     val rewritten = GraftSqlParser.rewriteSeededRandom(spark,
       GraftSqlParser.rewriteAll(
         GraftSqlParser.rewriteColumns(
           GraftSqlParser.rewriteReplace(stmt, df.columns.toSeq, resolveRel),
-          df.columns.toSeq, resolveRel)))
+          df.columns.toSeq, resolveRel), grpResolve))
     graft.functions.expressions.DuckDialect.rejectSilentTraps(
       GraftSqlParser.maskQuotes(rewritten))
     // deep/unbounded WITH RECURSIVE: warn about the one-job-per-level

@@ -474,6 +474,14 @@ class DialectSpec extends SparkSpec {
       "PIVOT (SELECT * FROM df WHERE n > 100) ON lang USING count(*) GROUP BY src")
       .apply(spark, df)
     assert(p9.columns.toSeq == Seq("src") && p9.count() == 0)
+    // empty input where EVERY column is the pivot column or an
+    // aggregate arg → zero grouping columns; DuckDB 1.0.0 raises
+    // "SELECT list is empty after resolving * expressions!" (probed) —
+    // the guided error keeps that loud (ADVICE r16)
+    val e0 = intercept[DuckDialectException](SqlStage("s",
+      "PIVOT (SELECT lang, n FROM df WHERE n > 100) ON lang USING sum(n)")
+      .apply(spark, df))
+    assert(e0.getMessage.contains("no grouping columns"))
     // unsupported shapes keep guided errors
     val e1 = intercept[DuckDialectException](SqlStage("s",
       "PIVOT df ON lang, src USING count(*)").apply(spark, df))
@@ -2190,6 +2198,42 @@ class DialectSpec extends SparkSpec {
     intercept[Exception](SqlStage("s",
       "SELECT g % 2 AS p, grouping(p) AS gm FROM gba GROUP BY ROLLUP (g % 2)")
       .apply(spark, spark.range(1).toDF("id")).collect())
+  }
+
+  test("grouping-alias rewrite: bare items only, shadowing, implicit alias (ADVICE r16)") {
+    spark.range(30).selectExpr("id % 3 AS g", "id").createOrReplaceTempView("gba2")
+    val one = spark.range(1).toDF("id")
+    // DuckDB's IMPLICIT alias (`expr p`, no AS) binds as a construct
+    // item too (probed 1.0.0) — the rewrite collects it
+    val ia = SqlStage("s",
+      "SELECT g % 2 p, count(*) AS n FROM gba2 GROUP BY ROLLUP (p) ORDER BY p NULLS LAST")
+      .apply(spark, one).collect()
+    assert(ia.map(r => (Option(r.get(0)), r.getLong(1))).toSeq ==
+      Seq((Some(0L), 20L), (Some(1L), 10L), (None, 30L)))
+    // an alias INSIDE a larger item is a Binder error in DuckDB
+    // (`ROLLUP (p * 2)` with alias p: "Referenced column p not found",
+    // probed) — no substitution, Spark stays loud too
+    intercept[Exception](SqlStage("s",
+      "SELECT g % 2 AS p, count(*) AS n FROM gba2 GROUP BY ROLLUP (p * 2)")
+      .apply(spark, one).collect())
+    // a QUALIFIED ref is a column path, never an alias use — `gba2.g`
+    // must not be clobbered by a same-named alias of another expression
+    val qa = SqlStage("s",
+      """SELECT id % 2 AS g, gba2.g AS cg, count(*) AS n
+         FROM gba2 GROUP BY ROLLUP (gba2.g, id % 2)
+         ORDER BY cg NULLS LAST, g NULLS LAST""")
+      .apply(spark, one).collect()
+    assert(qa.length == 10) // 3 g-values × 2 parities + 3 subtotals + 1 total
+    // SHADOWING: when the alias NAMES a real input column, DuckDB binds
+    // the COLUMN (Postgres precedence, probed: sum(g) AS y with column
+    // y present groups by column y) — the rewrite must leave it alone
+    spark.sql("SELECT * FROM VALUES (1, 10), (2, 20), (3, 30), (4, 20) AS v(g, y)")
+      .createOrReplaceTempView("shadt")
+    val sh = SqlStage("s",
+      "SELECT sum(g) AS y, count(*) AS n FROM shadt GROUP BY ROLLUP (y) ORDER BY 1")
+      .apply(spark, one).collect()
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (3L, 1L), (6L, 2L), (10L, 4L)))
   }
 
   test("SUMMARIZE statement: DuckDB output shape, exact stats exact, one-scan plan") {
