@@ -43,7 +43,10 @@ object Bench {
     * scale paths (q35 minhash-LSH and q37 bucketed-LSH respectively),
     * which are the operators a 100 TB run uses. They stay in the suite
     * so the oracle side is continuously benchmarked, not because their
-    * latency is a scale claim.
+    * latency is a scale claim. Since r17 (VERDICT r16 #2) q34 runs over
+    * a deterministic `doc_id < 5000` slice — a no-op at every gate SF,
+    * a fixed-size bound at SF ≥ 1 so scale points stay runnable (the
+    * oracle SQL carries the identical slice).
     */
   private val heavyFirst = Seq(
     "q34_jaccard_pairs", "q37_embed_neardup_lsh", "q89_dedup_clusters",

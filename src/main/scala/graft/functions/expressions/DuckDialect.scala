@@ -309,6 +309,32 @@ case class DuckMapConstructor(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** DuckDB rounds EVERY fractional→integral cast HALF AWAY FROM ZERO
+  * (probed 1.0.0: CAST(2.5 AS BIGINT) = 3, CAST(-2.5 AS BIGINT) = -3,
+  * CAST(22287.9999 AS BIGINT) = 22288, DECIMAL sources round too)
+  * where Spark's cast truncates toward zero — a silent off-by-one on
+  * any fractional value in passthrough SQL (found by FuzzDiff r17
+  * template 57). [[graft.operators.GraftSqlParser]]'s integral-cast
+  * rewrite wraps every CAST/TRY_CAST source whose target is an
+  * integral type in this expression: IDENTITY on everything except
+  * Double/Float/Decimal, which round at scale 0 first (Spark's Round
+  * is HALF_UP = half away from zero on both signs, matching DuckDB).
+  * STRING sources stay on Spark's native cast — DuckDB rounds
+  * fractional strings ('12.7' → 13) but routing strings through
+  * DOUBLE would corrupt 19-digit integer strings, the worse trade
+  * (documented divergence, COVERAGE.md).
+  */
+case class DuckIntRound(child: Expression) extends RuntimeReplaceable {
+  override def children: Seq[Expression] = Seq(child)
+  override lazy val replacement: Expression = child.dataType match {
+    case DoubleType | FloatType | _: DecimalType => Round(child, Literal(0))
+    case _ => child
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 case class DuckBracketGet(base: Expression, key: Expression)
     extends RuntimeReplaceable {
   override def children: Seq[Expression] = Seq(base, key)
@@ -1020,6 +1046,9 @@ object DuckDialect {
     // post-analysis dispatch for the ambiguous 2-arg call only (see
     // DuckMapConstructor); other arities stay Spark's native CreateMap
     "map" -> (es => if (es.length == 2) DuckMapConstructor(es) else CreateMap(es)),
+    // internal: emitted by the integral-cast rewrite only (DuckDB's
+    // round-not-truncate fractional→integral cast semantics)
+    "duck_iround" -> (es => DuckIntRound(es.head)),
     // full DuckDB subscript semantics ([0]/out-of-range → NULL, strings)
     "list_extract" -> (es => { nArgs("list_extract", es, 2); DuckBracketGet(es(0), es(1)) }),
     "array_extract" -> (es => { nArgs("array_extract", es, 2); DuckBracketGet(es(0), es(1)) }),

@@ -47,12 +47,12 @@ object GraftSqlParser {
     // columns, session-backed where the caller has one) feeds the
     // grouping-alias shadowing check only.
     rewriteGroupingAliases(resolve = resolve, depth = 0, sql = rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteLogFn(
-    rewriteDotCall(rewriteFrameExclude(rewriteNamedWindows(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteExtractEpoch(rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQuantified(rewriteQualify(
+    rewriteDotCall(rewriteMixedIntervalFrame(rewriteFrameExclude(rewriteNamedWindows(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteExtractEpoch(rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQuantified(rewriteQualify(
       rewriteDistinctOn(rewriteStructPack(rewriteStructInsert(
         rewriteExclude(rewriteAsof(rewritePositional(rewriteSubscript(rewriteSlice(
-          rewriteGlob(rewriteSimilarTo(rewriteIntDiv(rewritePow(rewriteCaret(rewriteLogFn(rewriteFilterOver(rewriteJsonOps(rewriteJsonExtractFns(rewriteBlobType(
+          rewriteGlob(rewriteSimilarTo(rewriteIntDiv(rewritePow(rewriteCaret(rewriteLogFn(rewriteFilterOver(rewriteJsonOps(rewriteJsonExtractFns(rewriteIntegralCastRound(rewriteBlobType(
             rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
-              rewriteFromFirst(rewriteRawLiterals(sql)))))))))))))))))))))))))))))))))))))))
+              rewriteFromFirst(rewriteRawLiterals(sql)))))))))))))))))))))))))))))))))))))))))
 
   /** DuckDB single-quoted string literals are RAW — no backslash
     * escapes (`'\d'` is backslash-d) — while Spark's parser unescapes
@@ -392,6 +392,48 @@ object GraftSqlParser {
           java.util.regex.Matcher.quoteReplacement(s"OVER ( $s )"))
     }
     rewriteNamedWindows(out)
+  }
+
+  private val MixedIntervalFrameRe =
+    (raw"(?i)\bRANGE\s+BETWEEN\s+INTERVAL\s+'?(\d+)'?\s+" +
+      raw"(DAY|HOUR|MINUTE|SECOND|YEAR|MONTH)S?\s+(PRECEDING|FOLLOWING)\s+" +
+      raw"AND\s+INTERVAL\s+'?(\d+)'?\s+" +
+      raw"(DAY|HOUR|MINUTE|SECOND|YEAR|MONTH)S?\s+(PRECEDING|FOLLOWING)").r
+
+  /** DuckDB accepts window RANGE frames whose two INTERVAL bounds carry
+    * DIFFERENT units (`RANGE BETWEEN INTERVAL 9 MINUTE PRECEDING AND
+    * INTERVAL 2 HOUR FOLLOWING`); Spark types each bound by its unit
+    * and rejects the pair (DATATYPE_MISMATCH.SPECIFIED_WINDOW_FRAME_
+    * DIFF_TYPES — FuzzDiff r17 template 57, seed 1801). Normalize both
+    * bounds of a mixed pair to one unit: day-time units to total
+    * SECONDs, year-month units to total MONTHs — value-identical,
+    * Spark-typable. A pair mixing the two interval CLASSES (month +
+    * hour) is unrepresentable as one Spark bound type and stays loud.
+    */
+  def rewriteMixedIntervalFrame(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val daySecs = Map("DAY" -> 86400L, "HOUR" -> 3600L, "MINUTE" -> 60L, "SECOND" -> 1L)
+    val ymMonths = Map("YEAR" -> 12L, "MONTH" -> 1L)
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- MixedIntervalFrameRe.findAllMatchIn(masked)) {
+      val (n1, u1, d1) = (m.group(1).toLong, m.group(2).toUpperCase, m.group(3).toUpperCase)
+      val (n2, u2, d2) = (m.group(4).toLong, m.group(5).toUpperCase, m.group(6).toUpperCase)
+      val repl: Option[String] =
+        if (u1 == u2) None
+        else if (daySecs.contains(u1) && daySecs.contains(u2))
+          Some(s"RANGE BETWEEN INTERVAL '${n1 * daySecs(u1)}' SECOND $d1 " +
+            s"AND INTERVAL '${n2 * daySecs(u2)}' SECOND $d2")
+        else if (ymMonths.contains(u1) && ymMonths.contains(u2))
+          Some(s"RANGE BETWEEN INTERVAL '${n1 * ymMonths(u1)}' MONTH $d1 " +
+            s"AND INTERVAL '${n2 * ymMonths(u2)}' MONTH $d2")
+        else None // class mix — no single Spark bound type; stays loud
+      repl.foreach { r =>
+        sb.append(sql.substring(last, m.start)).append(r)
+        last = m.end
+      }
+    }
+    if (last == 0) sql else { sb.append(sql.substring(last)); sb.toString }
   }
 
   def rewriteFrameExclude(sql: String): String = {
@@ -1345,6 +1387,131 @@ object GraftSqlParser {
     if (rs.isEmpty) sql
     else rs.sortBy(-_._1).foldLeft(sql) { case (acc, (a, b, t)) =>
       acc.substring(0, a) + t + acc.substring(b)
+    }
+  }
+
+  /** Integral-cast target type names (Spark's and DuckDB's spellings —
+    * the DuckDB-only ones rewrite to Spark names separately, but this
+    * scan runs on pre-rewrite text so both sets match here).
+    */
+  private val integralCastTypes = Set(
+    "BIGINT", "INT", "INTEGER", "SMALLINT", "TINYINT", "LONG", "SHORT",
+    "BYTE", "INT1", "INT2", "INT4", "INT8", "SIGNED", "UBIGINT",
+    "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER")
+
+  /** DuckDB rounds fractional→integral casts half-away-from-zero where
+    * Spark truncates (probed; see [[graft.functions.expressions
+    * .DuckIntRound]]). Wrap every CAST/TRY_CAST source whose target
+    * type is integral in `duck_iround(...)` — a RuntimeReplaceable
+    * that is IDENTITY except on Double/Float/Decimal sources, so
+    * integral-source casts (the overwhelmingly common case) are
+    * untouched at the plan level. Pure insertions (never replacements),
+    * applied right-to-left, so NESTED casts wrap correctly.
+    */
+  def rewriteIntegralCastRound(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val CastRe = raw"(?i)\b(?:TRY_)?CAST\s*\(".r
+    val inserts = Seq.newBuilder[(Int, String)]
+    CastRe.findAllMatchIn(masked).foreach { m =>
+      closeOf(masked, m.end).foreach { close =>
+        val bodyMasked = masked.substring(m.end, close - 1)
+        var depth = 0
+        var asPos = -1
+        var i = 0
+        while (i < bodyMasked.length) {
+          bodyMasked.charAt(i) match {
+            case '(' | '[' => depth += 1
+            case ')' | ']' => depth -= 1
+            case c if depth == 0 && (c == 'A' || c == 'a') &&
+              i + 2 < bodyMasked.length &&
+              (i == 0 || (!bodyMasked.charAt(i - 1).isLetterOrDigit && bodyMasked.charAt(i - 1) != '_')) &&
+              bodyMasked.regionMatches(true, i, "AS", 0, 2) &&
+              !bodyMasked.charAt(i + 2).isLetterOrDigit && bodyMasked.charAt(i + 2) != '_' =>
+              asPos = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (asPos >= 0) {
+          val typeText = sql.substring(m.end + asPos + 2, close - 1).trim
+          // idempotency: an expr that is ALREADY exactly one
+          // duck_iround(...) call (a prior pass's wrap) skips
+          val exprMasked = bodyMasked.substring(0, asPos)
+          val alreadyWrapped =
+            raw"(?is)^\s*duck_iround\s*\(".r.findFirstMatchIn(exprMasked) match {
+              case Some(wm) =>
+                closeOf(exprMasked, wm.end)
+                  .exists(e => exprMasked.substring(e).trim.isEmpty)
+              case None => false
+            }
+          if (integralCastTypes.contains(typeText.toUpperCase) && !alreadyWrapped) {
+            inserts += ((m.end, "duck_iround("))
+            inserts += ((m.end + asPos, ") "))
+          }
+        }
+      }
+    }
+    val ins = inserts.result()
+    val step1 =
+      if (ins.isEmpty) sql
+      else ins.sortBy(-_._1).foldLeft(sql) { case (acc, (p, t)) =>
+        acc.substring(0, p) + t + acc.substring(p)
+      }
+    rewriteIntegralDoubleColon(step1)
+  }
+
+  /** The `expr::BIGINT` spelling of the same rounding divergence: wrap
+    * the `::`-cast OPERAND (an identifier chain, numeric literal, or a
+    * balanced paren/bracket group with an optional function-name head)
+    * in duck_iround. String-literal operands skip (string sources stay
+    * on Spark's native cast — see [[rewriteIntegralCastRound]]), as do
+    * chained casts (`x::INT::BIGINT`, where a textual operand scan
+    * would claim the inner type token).
+    */
+  private def rewriteIntegralDoubleColon(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val re = (raw"(?i)::\s*(" + integralCastTypes.mkString("|") + raw")\b").r
+    val inserts = Seq.newBuilder[(Int, String)]
+    re.findAllMatchIn(masked).foreach { m =>
+      var e = m.start - 1
+      while (e >= 0 && masked.charAt(e).isWhitespace) e -= 1
+      if (e >= 0 && masked.charAt(e) != '\'' && masked.charAt(e) != '"') {
+        def identStart(k0: Int): Int = {
+          var k = k0
+          while (k >= 0 && (masked.charAt(k).isLetterOrDigit ||
+            masked.charAt(k) == '_' || masked.charAt(k) == '.')) k -= 1
+          k + 1
+        }
+        val start: Int =
+          if (masked.charAt(e) == ')' || masked.charAt(e) == ']') {
+            val closer = masked.charAt(e)
+            val opener = if (closer == ')') '(' else '['
+            var d = 1
+            var k = e - 1
+            while (k >= 0 && d > 0) {
+              val c = masked.charAt(k)
+              if (c == closer) d += 1 else if (c == opener) d -= 1
+              if (d > 0) k -= 1
+            }
+            if (d != 0) -1 else identStart(k - 1)
+          } else if (masked.charAt(e).isLetterOrDigit || masked.charAt(e) == '_')
+            identStart(e)
+          else -1
+        // skip chained casts (`x::INT::BIGINT` backscan would claim the
+        // inner type token) and already-wrapped operands (idempotency)
+        val alreadyWrapped = start >= 0 &&
+          masked.regionMatches(true, start, "duck_iround", 0, 11)
+        if (start >= 0 && !alreadyWrapped &&
+          !(start >= 1 && masked.charAt(start - 1) == ':')) {
+          inserts += ((start, "duck_iround("))
+          inserts += ((m.start, ")"))
+        }
+      }
+    }
+    val ins = inserts.result()
+    if (ins.isEmpty) sql
+    else ins.sortBy(-_._1).foldLeft(sql) { case (acc, (p, t)) =>
+      acc.substring(0, p) + t + acc.substring(p)
     }
   }
 
@@ -2534,6 +2701,192 @@ object GraftSqlParser {
     val tail0 = sql.substring(close, blockEnd)
     val tailAfter = sql.substring(blockEnd)
     Some(head + fixGrouping(mid0) + fixGrouping(tail0) + tailAfter)
+  }
+
+  /** Empty-input grouping-sets parity handle (r17 — closes the r16
+    * documented divergence). DuckDB emits one row PER EMPTY grouping
+    * set even when the input has ZERO rows — all probed on 1.0.0:
+    * `GROUP BY ROLLUP (g)` over an empty relation yields the
+    * grand-total row with select expressions evaluated over NULL keys
+    * (`coalesce(g,'TOT')` renders 'TOT'), aggregates at their
+    * empty-input values (count 0, sum NULL), `grouping()` = 1 /
+    * `grouping_id(a,b)` = 3, HAVING applied to that row,
+    * `GROUPING SETS ((), ())` yielding TWO rows, and mixed
+    * `GROUP BY g, ROLLUP (h)` (no pure-empty set) yielding none.
+    * Spark's grouping-sets expansion aggregates WITH keys, so zero
+    * input rows always yield zero output rows.
+    *
+    * [[graft.operators.SqlStage]] closes the gap with the q105 pivot
+    * pattern: `probeSql` is a LIMIT-1 emptiness check (CollectLimit
+    * early-exits, so the probe is near-free on non-empty inputs — the
+    * only case that exists at scale); ONLY when it returns no row is
+    * the statement swapped for `buildArm`'s global-aggregate arm, in
+    * which every grouping-expression occurrence is substituted by a
+    * typed NULL (key expressions then evaluate over NULL exactly like
+    * DuckDB's grand-total row, and whatever lands inside aggregate
+    * arguments is irrelevant — there are no rows), grouping() /
+    * grouping_id() become their all-aggregated constants, the original
+    * HAVING is retained, ORDER BY is dropped (the arm emits at most a
+    * few identical rows), LIMIT/OFFSET reapply outside, and
+    * `count(*) = 0` joins the HAVING to force aggregate context when
+    * the select list carries no aggregate of its own. The caller
+    * renames/casts the arm to the plain statement's exact schema, so
+    * no per-item aliasing is needed here.
+    *
+    * None = out of scope (no construct, a non-empty-capable construct
+    * list, mixed GROUP BY, set ops, DISTINCT, OVER, WITH, or scalar
+    * subqueries in the select list) — those keep plain Spark behavior.
+    */
+  case class EmptyGroupingSpec(
+      probeSql: String,
+      groupingExprs: Seq[String],
+      typeProbe: String => String,
+      buildArm: Map[String, String] => String)
+
+  def emptyGroupingSetsSpec(sql0: String): Option[EmptyGroupingSpec] = {
+    val sql = {
+      val t = sql0.trim
+      (if (t.endsWith(";")) t.dropRight(1) else t).trim
+    }
+    val masked = maskQuotes(sql)
+    if (raw"(?is)^SELECT\b".r.findFirstIn(masked).isEmpty) return None
+    if (raw"(?is)^SELECT\s+DISTINCT\b".r.findFirstIn(masked).isDefined) return None
+    if (raw"(?i)\bOVER\b".r.findFirstIn(masked).isDefined) return None
+    if (depth0Find(masked, raw"(?i)\b(UNION|INTERSECT|EXCEPT)\b".r,
+      0, masked.length).isDefined) return None
+    val gbPos = depth0Find(masked, raw"(?i)\bGROUP\s+BY\b".r, 0, masked.length)
+      .getOrElse(return None)
+    // the GROUP BY body must be EXACTLY one construct starting right at
+    // the GROUP BY (mixed `GROUP BY g, ROLLUP (h)` has no pure-empty
+    // set — zero rows on both engines already)
+    val cm = GroupingConstructRe.findFirstMatchIn(masked.substring(gbPos))
+      .filter(_.start == 0).getOrElse(return None)
+    val open = gbPos + cm.end - 1
+    var i = open + 1
+    var d = 1
+    while (i < masked.length && d > 0) {
+      masked.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (d != 0) return None
+    val close = i // index AFTER ')'
+    val kind = cm.group(1).toUpperCase.replaceAll(raw"\s+", " ")
+    val interior = sql.substring(open + 1, close - 1)
+    // grand-total multiplicity: ROLLUP/CUBE always contain the empty
+    // set once; explicit GROUPING SETS contain it per literal `()`
+    val setItems = splitTopLevel(interior, masked.substring(open + 1, close - 1))
+      .map(_.trim)
+    val grandTotals =
+      if (kind == "ROLLUP" || kind == "CUBE") 1
+      else setItems.count(it => it == "()" || it.isEmpty)
+    if (grandTotals == 0) return None
+    // atomic grouping expressions: composite items `(a, b)` flatten
+    val groupingExprs: Seq[String] = setItems.flatMap { it =>
+      if (it.startsWith("(") && it.endsWith(")")) {
+        val inner = it.substring(1, it.length - 1)
+        splitTopLevel(inner, maskQuotes(inner)).map(_.trim).filter(_.nonEmpty)
+      } else if (it.nonEmpty) Seq(it) else Nil
+    }.distinct
+    // clause spans
+    val fromPos = depth0Find(masked, raw"(?i)\bFROM\b".r, 0, gbPos)
+      .getOrElse(return None)
+    val selList = sql.substring(6, fromPos)
+    if (raw"(?i)\bSELECT\b".r.findFirstIn(maskQuotes(selList)).isDefined) return None
+    val fromWhere = sql.substring(fromPos + 4, gbPos)
+    val tailMasked = masked.substring(close)
+    def tailFind(re: scala.util.matching.Regex): Option[Int] =
+      depth0Find(tailMasked, re, 0, tailMasked.length).map(_ + close)
+    val havingPos = tailFind(raw"(?i)\bHAVING\b".r)
+    val orderPos = tailFind(raw"(?i)\bORDER\s+BY\b".r)
+    val limitPos = Seq(tailFind(raw"(?i)\bLIMIT\b".r),
+      tailFind(raw"(?i)\bOFFSET\b".r)).flatten.minOption
+    // anything else after the construct (another grouping item, a
+    // window clause, …) is out of scope
+    val firstTail = Seq(havingPos, orderPos, limitPos).flatten.minOption
+      .getOrElse(sql.length)
+    if (sql.substring(close, firstTail).trim.nonEmpty) return None
+    val having = havingPos.map { hp =>
+      val end = Seq(orderPos, limitPos).flatten.filter(_ > hp)
+        .minOption.getOrElse(sql.length)
+      sql.substring(hp + 6, end)
+    }
+    val limitTail = limitPos.map(lp => sql.substring(lp))
+    // a whitespace-flexible, quote-masked, word-boundary-guarded
+    // replace-all of one expression's occurrences
+    def replAll(frag: String, find: String, repl: String): String = {
+      val chunks = find.trim.split(raw"\s+").map(java.util.regex.Pattern.quote)
+      val lead = if (find.trim.head.isLetterOrDigit || find.trim.head == '_') raw"\b" else ""
+      val trail = if (find.trim.last.isLetterOrDigit || find.trim.last == '_') raw"\b" else ""
+      val p = ("(?i)" + lead + chunks.mkString(raw"\s*") + trail).r
+      val msk = maskQuotes(frag)
+      val sb = new StringBuilder
+      var last = 0
+      for (mm <- p.findAllMatchIn(msk)) {
+        sb.append(frag.substring(last, mm.start)).append(repl)
+        last = mm.end
+      }
+      sb.append(frag.substring(last))
+      sb.toString
+    }
+    // grouping()/grouping_id() → all-aggregated constants (Spark types:
+    // grouping = TINYINT, grouping_id = BIGINT)
+    def substGroupingFns(frag0: String): String = {
+      var frag = frag0
+      var guard = 0
+      var done = false
+      while (!done && guard < 64) {
+        guard += 1
+        val msk = maskQuotes(frag)
+        raw"(?i)\b(grouping|grouping_id)\s*\(".r.findFirstMatchIn(msk) match {
+          case Some(gm) =>
+            closeOf(msk, gm.end) match {
+              case Some(e) =>
+                val nArgs = {
+                  val a = frag.substring(gm.end, e - 1).trim
+                  if (a.isEmpty) groupingExprs.size
+                  else splitTopLevel(a, maskQuotes(a)).size
+                }
+                val const =
+                  if (gm.group(1).equalsIgnoreCase("grouping")) "CAST(1 AS TINYINT)"
+                  else s"CAST(${(1L << nArgs) - 1} AS BIGINT)"
+                frag = frag.substring(0, gm.start) + const + frag.substring(e)
+              case None => done = true
+            }
+          case None => done = true
+        }
+      }
+      frag
+    }
+    val spec = EmptyGroupingSpec(
+      probeSql = s"SELECT 1 AS __p FROM $fromWhere LIMIT 1",
+      groupingExprs = groupingExprs,
+      typeProbe = e => s"SELECT ($e) AS __ty FROM $fromWhere LIMIT 0",
+      buildArm = types => {
+        def substitute(frag0: String): String = {
+          var frag = substGroupingFns(frag0)
+          for (e <- groupingExprs.sortBy(-_.length)) {
+            val t = types.getOrElse(e, "STRING")
+            frag = replAll(frag, e, s"CAST(NULL AS $t)")
+          }
+          frag
+        }
+        val substSel = substitute(selList)
+        val havingArm = having.map(h => s"(${substitute(h)}) AND count(*) = 0")
+          .getOrElse("count(*) = 0")
+        val base = s"SELECT $substSel FROM $fromWhere HAVING $havingArm"
+        val unioned =
+          if (grandTotals == 1) base
+          else Seq.fill(grandTotals)(s"SELECT * FROM ($base)").mkString(" UNION ALL ")
+        limitTail match {
+          case Some(t) => s"SELECT * FROM ($unioned) $t"
+          case None => unioned
+        }
+      })
+    Some(spec)
   }
 
   def rewriteDistinctOn(sql: String): String = {
@@ -5529,9 +5882,19 @@ object GraftSqlParser {
     * decode. read_json takes `columns` (DDL schema), `format`
     * ('array' -> multiLine), `records` (false refused); read_parquet
     * takes `hive_partitioning` (false -> recursiveFileLookup, which
-    * disables partition discovery). Unsupported option keys keep a
-    * guided error naming the pipeline `input` route - never a silent
-    * misread. Spark
+    * disables partition discovery), `union_by_name` (-> mergeSchema,
+    * DuckDB's name-matched NULL-filling glob union, probed 1.0.0) and
+    * `filename`. r17 csv additions: `sample_size` accepted (Spark's
+    * inference always reads the whole file — the sample_size=-1
+    * behavior users set to FIX misdetection; a smaller DuckDB sample
+    * only coarsens DuckDB's side), `all_varchar` (inference off —
+    * Spark's uninferred column type IS string), `ignore_errors`
+    * (-> DROPMALFORMED), `filename` (per-row source path, scheme
+    * stripped to DuckDB's plain-path rendering), `union_by_name` over
+    * a csv GLOB keeps a guided error (csv schemas unify positionally
+    * in Spark - no name-matched reader equivalent). Unsupported option
+    * keys keep a guided error naming the pipeline `input` route -
+    * never a silent misread. Spark
     * handles glob paths (`*.parquet` under a dir) natively. View names
     * are content-addressed by reader+path+options so two
     * differently-optioned reads of one path in a statement get distinct
@@ -5548,8 +5911,10 @@ object GraftSqlParser {
           throw new graft.functions.expressions.DuckDialectException(
             s"$fn $why - supported: $fn('path' [, delim/sep, header, columns, " +
               "names, quote, escape, nullstr, skip, compression, dateformat, " +
-              "timestampformat]); declare the file as a pipeline `input` " +
-              "(reference O1) for anything else, or read it with the Dataset API")
+              "timestampformat, sample_size, all_varchar, ignore_errors, " +
+              "filename, union_by_name]); declare the file as a pipeline " +
+              "`input` (reference O1) for anything else, or read it with " +
+              "the Dataset API")
         val argsRaw = sql.substring(mm.end, close - 1)
         val args = splitReadArgs(argsRaw, masked.substring(mm.end, close - 1))
         if (args.isEmpty) fail("needs a path argument")
@@ -5580,6 +5945,8 @@ object GraftSqlParser {
         var skipLines = 0
         var jsonMultiline = false
         var noHivePartitioning = false
+        var addFilename = false
+        var mergeSchema = false
         var readerOpts = Map("header" -> "true", "inferSchema" -> "true")
         // columns = {'name': 'TYPE', ...} -> an explicit Spark DDL schema
         // (shared by read_csv and read_json - DuckDB's contract on both:
@@ -5609,8 +5976,17 @@ object GraftSqlParser {
               // true is Spark's native directory behavior; false maps to
               // recursiveFileLookup (which disables partition discovery)
               noHivePartitioning = boolOf(v) == "false"
+            case "union_by_name" =>
+              // DuckDB unions glob schemas BY NAME with NULL fill
+              // (probed 1.0.0); Spark's mergeSchema is the same
+              // name-matched merge for parquet
+              if (boolOf(v) == "true") mergeSchema = true
+            case "filename" =>
+              // adds a per-row source-path column (probed: plain path,
+              // no scheme) — appended after the read below
+              if (boolOf(v) == "true") addFilename = true
             case other => fail(s"option '$other' isn't supported on read_parquet " +
-              "(supported: hive_partitioning)")
+              "(supported: hive_partitioning, union_by_name, filename)")
           }
           else if (isJson) k match {
             case "columns" => parseColumns(v)
@@ -5674,6 +6050,37 @@ object GraftSqlParser {
               names = splitReadArgs(innerN, maskQuotes(innerN))
                 .map(s => strLit(s).getOrElse(fail(s"$k entry '$s' must be a string")))
             case "auto_detect" => boolOf(v) // inference is Spark's default; accept
+            case "sample_size" =>
+              // DuckDB's sample_size bounds how many rows type
+              // inference READS (-1 = all). Spark's csv inference
+              // always reads the whole file, i.e. the sample_size=-1
+              // behavior — the value users set to FIX misdetection.
+              // Accept any integer: a smaller DuckDB sample can only
+              // make DuckDB's inference coarser, never this reader's.
+              try v.trim.toLong catch {
+                case _: NumberFormatException =>
+                  fail(s"sample_size needs an integer, got '$v'")
+              }
+            case "all_varchar" =>
+              // every column VARCHAR = inference off (Spark's default
+              // column type without inferSchema is string)
+              if (boolOf(v) == "true") readerOpts -= "inferSchema"
+            case "ignore_errors" =>
+              // DuckDB skips unparseable rows; DROPMALFORMED is Spark's
+              // same-shape mode
+              if (boolOf(v) == "true") readerOpts += "mode" -> "DROPMALFORMED"
+            case "union_by_name" =>
+              // csv glob schemas differ by HEADER content, which
+              // Spark's csv reader unifies only positionally — a
+              // name-matched csv union has no Spark reader equivalent;
+              // single-file reads are trivially unioned already
+              if (boolOf(v) == "true" &&
+                path.exists(c => c == '*' || c == '?' || c == '['))
+                fail("union_by_name over a csv GLOB has no Spark reader " +
+                  "equivalent (csv schemas unify positionally) — read the " +
+                  "files separately and UNION ALL BY NAME, or convert to parquet")
+            case "filename" =>
+              if (boolOf(v) == "true") addFilename = true
             case other => fail(s"option '$other' isn't supported")
           }
         }
@@ -5684,7 +6091,9 @@ object GraftSqlParser {
           schemaDdl.getOrElse("") + names.mkString(",") +
           (if (skipLines > 0) s",skip=$skipLines" else "") +
           (if (jsonMultiline) ",ml" else "") +
-          (if (noHivePartitioning) ",nohive" else "")
+          (if (noHivePartitioning) ",nohive" else "") +
+          (if (addFilename) ",fn" else "") +
+          (if (mergeSchema) ",ms" else "")
         val view = "graft_rf_" + java.security.MessageDigest.getInstance("MD5")
           .digest((fn + " " + path + " " + optKey).getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16)
@@ -5696,8 +6105,10 @@ object GraftSqlParser {
         // inference pass (csv) per stage, not per row.
         val rdf = fn match {
           case "read_parquet" =>
-            val r = spark.read
-            (if (noHivePartitioning) r.option("recursiveFileLookup", "true") else r).parquet(path)
+            var r = spark.read
+            if (noHivePartitioning) r = r.option("recursiveFileLookup", "true")
+            if (mergeSchema) r = r.option("mergeSchema", "true")
+            r.parquet(path)
           case "read_json_auto" | "read_json" =>
             val r = if (jsonMultiline) spark.read.option("multiLine", "true") else spark.read
             schemaDdl.fold(r)(d => r.schema(d)).json(path)
@@ -5737,7 +6148,16 @@ object GraftSqlParser {
               read.toDF(read.columns.indices.map(i => s"column$i"): _*)
             else read
         }
-        rdf.createOrReplaceTempView(view)
+        // filename=true appends DuckDB's per-row source-path column
+        // (probed: plain path, no scheme — input_file_name returns a
+        // file: URI, stripped here)
+        val rdf2 =
+          if (addFilename)
+            rdf.withColumn("filename", org.apache.spark.sql.functions
+              .regexp_replace(org.apache.spark.sql.functions.input_file_name(),
+                "^file:(//)?", ""))
+          else rdf
+        rdf2.createOrReplaceTempView(view)
         sb.append(sql.substring(pos, mm.start)).append(view)
         pos = close
       }

@@ -587,6 +587,31 @@ final case class SqlStage(name: String, code: String) extends Stage {
     // deep/unbounded WITH RECURSIVE: warn about the one-job-per-level
     // cost model and name the iterative operators — never blocks
     GraftSqlParser.warnDeepRecursion(rewritten)
+    // empty-input grouping-sets parity (r17): DuckDB emits grand-total
+    // row(s) even over an empty input where Spark emits none. One
+    // LIMIT-1 probe decides (early-exit — near-free on non-empty
+    // inputs, the only case at scale); a provably-empty input swaps in
+    // the typed-NULL global-aggregate arm, renamed+cast to the plain
+    // statement's exact schema. Any failure falls back silently to the
+    // plain statement (the pre-r17 Spark behavior).
+    GraftSqlParser.emptyGroupingSetsSpec(rewritten).foreach { spec =>
+      scala.util.Try {
+        val plain = GraftSqlParser.withDialectHint(code)(spark.sql(rewritten))
+        if (spark.sql(spec.probeSql).isEmpty) {
+          val types = spec.groupingExprs.map(e =>
+            e -> spark.sql(spec.typeProbe(e)).schema.head.dataType.sql).toMap
+          val arm = spark.sql(spec.buildArm(types))
+          Some(arm.select(arm.columns.zip(plain.schema.fields).map {
+            case (c, f) =>
+              org.apache.spark.sql.functions.col(s"`${c.replace("`", "``")}`")
+                .cast(f.dataType).as(f.name)
+          }.toSeq: _*))
+        } else None
+      } match {
+        case scala.util.Success(Some(armDf)) => return armDf
+        case _ =>
+      }
+    }
     try GraftSqlParser.withDialectHint(code)(spark.sql(rewritten))
     catch {
       case e: org.apache.spark.sql.AnalysisException =>

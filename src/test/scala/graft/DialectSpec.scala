@@ -1816,7 +1816,7 @@ class DialectSpec extends SparkSpec {
     // legitimately rewrite), none contains a rewrite trigger, so the
     // rewriters must pass every byte through untouched (no false fires)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\bUSING\s+SAMPLE\b|\bjson_extract|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(|[\w)\]]\s*\[|\^|\blog\s*\(|\bFILTER\s*\(|\b(?:AS\s+|::\s*)(?:VARCHAR|TEXT|BPCHAR|CHAR|BLOB|BYTEA|VARBINARY|UBIGINT|HUGEINT|UTINYINT|USMALLINT|UINTEGER|INT1|INT2|INT4|INT8|SIGNED|LOGICAL|FLOAT4|FLOAT8|DATETIME)\b".r
+      if (raw"(?i)\bASOF\b|\bDISTINCT\s+ON\b|\bUSING\s+SAMPLE\b|\bjson_extract|\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\([^)]*\)\s*)?REPLACE\s*\(|\[[^\[\]']*:[^\]]*\]|\[[^\]]*\bFOR\b|//|\*\*|^\s*FROM\b|\bMAP\s*\{|\b(?:string_agg|group_concat|array_agg|list|first|last)\s*\([^;()]*(?:\([^()]*\)[^;()]*)*ORDER\s+BY|\bformat\s*\(|\b(?:IGNORE|RESPECT)\s+NULLS\s*\)|\b(?:date_diff|datediff)\s*\(\s*'|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)|\bSIMILAR\s+TO\b|\bregexp_replace\s*\(|[\w)\]]\s*\[|\^|\blog\s*\(|\bFILTER\s*\(|\b(?:AS\s+|::\s*)(?:VARCHAR|TEXT|BPCHAR|CHAR|BLOB|BYTEA|VARBINARY|UBIGINT|HUGEINT|UTINYINT|USMALLINT|UINTEGER|INT1|INT2|INT4|INT8|SIGNED|LOGICAL|FLOAT4|FLOAT8|DATETIME|BIGINT|INT|INTEGER|SMALLINT|TINYINT|LONG|SHORT|BYTE)\b".r
           .findFirstIn(GraftSqlParser.maskQuotes(sql)).isEmpty)
         // identity modulo rewriteRawLiterals (r13): backslashes inside
         // literals double ON PURPOSE (DuckDB-raw → Spark-escaped)
@@ -2442,8 +2442,57 @@ class DialectSpec extends SparkSpec {
       s"COPY (SELECT id FROM df) TO '$dir/x.csv' (USE_TMP_FILE true)").apply(spark, df))
     assert(e1.getMessage.contains("USE_TMP_FILE"))
     val e2 = intercept[DuckDialectException](SqlStage("s",
-      s"SELECT * FROM read_csv_auto('$dir/three.csv', sample_size = 100)").apply(spark, df))
-    assert(e2.getMessage.contains("sample_size") && e2.getMessage.contains("input"))
+      s"SELECT * FROM read_csv_auto('$dir/three.csv', new_line = 'x')").apply(spark, df))
+    assert(e2.getMessage.contains("new_line") && e2.getMessage.contains("input"))
+  }
+
+  test("read_csv/read_parquet r17 options: sample_size, all_varchar, ignore_errors, filename, union_by_name") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1, 4).toDF("id").withColumn("v", col("id") * 10)
+    val dir = Files.createTempDirectory("graft-readopts").toString
+    SqlStage("s", s"COPY (SELECT id, v FROM df) TO '$dir/t.csv' (FORMAT CSV, HEADER)")
+      .apply(spark, df)
+    // sample_size accepted (Spark inference always reads the file —
+    // DuckDB's sample_size=-1 behavior); values don't change results
+    val s1 = SqlStage("s",
+      s"SELECT * FROM read_csv('$dir/t.csv', header = true, sample_size = -1) ORDER BY id")
+      .apply(spark, df).collect()
+    assert(s1.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 10), (2, 20), (3, 30)))
+    assert(SqlStage("s",
+      s"SELECT count(*) AS n FROM read_csv_auto('$dir/t.csv', sample_size = 100)")
+      .apply(spark, df).collect().head.getLong(0) == 3L)
+    // all_varchar: every column string (probed: DuckDB renders '1')
+    val av = SqlStage("s",
+      s"SELECT * FROM read_csv('$dir/t.csv', header = true, all_varchar = true) ORDER BY id")
+      .apply(spark, df)
+    assert(av.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(av.collect().head.getString(1) == "10")
+    // ignore_errors: malformed rows drop (DROPMALFORMED under an
+    // explicit columns schema)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.csv"),
+      "k,n\n1,2\nx,y\n3,4\n".getBytes("UTF-8"))
+    val ig = SqlStage("s",
+      s"""SELECT * FROM read_csv('$dir/bad.csv', header = true, ignore_errors = true,
+          columns = {'k': 'BIGINT', 'n': 'BIGINT'}) ORDER BY k""")
+      .apply(spark, df).collect()
+    assert(ig.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 4L)))
+    // filename: per-row source path, plain (no file: scheme) like DuckDB
+    val fnr = SqlStage("s",
+      s"SELECT id, filename FROM read_csv('$dir/t.csv', header = true, filename = true)")
+      .apply(spark, df).collect()
+    assert(fnr.forall(_.getString(1) == s"$dir/t.csv"))
+    // union_by_name on a parquet glob: name-matched merge, NULL fill
+    SqlStage("s", s"COPY (SELECT 1 AS a, 'x' AS b) TO '$dir/u1.parquet'").apply(spark, df)
+    SqlStage("s", s"COPY (SELECT 2 AS a, 7 AS c) TO '$dir/u2.parquet'").apply(spark, df)
+    val ub = SqlStage("s",
+      s"""SELECT a, b, c FROM read_parquet('$dir/u*.parquet', union_by_name = true)
+          ORDER BY a""").apply(spark, df).collect()
+    assert(ub.map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)))).toSeq ==
+      Seq((1, Some("x"), None), (2, None, Some(7))))
+    // csv GLOB union_by_name keeps the guided error (positional-only)
+    val e = intercept[DuckDialectException](SqlStage("s",
+      s"SELECT * FROM read_csv('$dir/*.csv', union_by_name = true)").apply(spark, df))
+    assert(e.getMessage.contains("union_by_name"))
   }
 
   test("COPY table FROM appends the file with the table's types (r12)") {
@@ -3923,21 +3972,109 @@ class DialectSpec extends SparkSpec {
     spark.catalog.dropTempView("colx_t")
   }
 
-  test("documented divergence: grouping sets over an EMPTY input (r16, FuzzDiff)") {
-    // DuckDB (and the standard reading) emit the grand-total grouping
-    // set's row even when the input is empty — `GROUP BY ROLLUP (g)`
-    // over zero rows yields (NULL, 0). Spark's grouping-sets expansion
-    // aggregates WITH keys, so zero input rows yield zero output rows;
-    // both engines agree on the plain global aggregate. Fixing it would
-    // mean a second full aggregate UNION'd under a HAVING count(*) = 0
-    // guard for every grouping-sets query — not worth the cost for an
-    // empty-input edge; recorded here as deliberate.
-    val rows = spark.sql(
-      "SELECT g, count(*) AS n FROM (SELECT 'a' AS g WHERE false) GROUP BY ROLLUP (g)")
-      .collect()
-    assert(rows.isEmpty) // DuckDB would return [(NULL, 0)]
-    assert(spark.sql("SELECT count(*) AS n FROM (SELECT 'a' AS g WHERE false)")
-      .collect().head.getLong(0) == 0L) // the global aggregate agrees
+  test("mixed-unit INTERVAL RANGE frames normalize to one bound type (r17, FuzzDiff)") {
+    // DuckDB accepts RANGE BETWEEN INTERVAL 9 MINUTE PRECEDING AND
+    // INTERVAL 2 HOUR FOLLOWING; Spark types each bound by unit and
+    // throws SPECIFIED_WINDOW_FRAME_DIFF_TYPES (FuzzDiff r17 seed
+    // 1801). The rewrite converts both day-time bounds to SECONDs
+    // (year-month pairs to MONTHs) — value-identical.
+    import org.apache.spark.sql.functions.col
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+         (1, TIMESTAMP '2024-01-01 00:00:00', 10),
+         (2, TIMESTAMP '2024-01-01 00:30:00', 20),
+         (3, TIMESTAMP '2024-01-01 02:00:00', 40) t(id, ts, v)""")
+    val out = SqlStage("s",
+      """SELECT id, CAST(sum(v) OVER (ORDER BY ts
+         RANGE BETWEEN INTERVAL 45 MINUTE PRECEDING
+         AND INTERVAL 2 HOUR FOLLOWING) AS BIGINT) AS s
+         FROM df ORDER BY id""").apply(spark, df).collect()
+    // frames: id1 [ts-45m, ts+2h] = 10+20+40; id2 = 10+20+40; id3 = 40
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 70L), (2, 70L), (3, 40L)))
+    // same-unit pairs stay untouched (native Spark path)
+    val same = SqlStage("s",
+      """SELECT id, CAST(count(*) OVER (ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+         FROM df ORDER BY id""").apply(spark, df).collect()
+    assert(same.map(_.getLong(1)).toSeq == Seq(1L, 2L, 1L))
+  }
+
+  test("fractional->integral casts round half-away like DuckDB (r17, FuzzDiff)") {
+    // probed duckdb 1.0.0: CAST(2.5 AS BIGINT)=3, CAST(-2.5 AS
+    // BIGINT)=-3, CAST(22287.9999 AS BIGINT)=22288, DECIMAL sources
+    // round too; Spark's cast truncates toward zero. duck_iround wraps
+    // integral-cast sources: round on Double/Float/Decimal, identity
+    // elsewhere (strings stay native — documented).
+    val one = spark.range(1).toDF("z")
+    def row(sql: String) = SqlStage("s", sql).apply(spark, one).collect().head
+    val r1 = row("""SELECT CAST(2.5 + 0.0 AS BIGINT) AS a, CAST(0.0 - 2.5 AS BIGINT) AS b,
+      CAST(22287.9999 + 0.0 AS BIGINT) AS c, CAST(2.4 + 0.0 AS BIGINT) AS d""")
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((3L, -3L, 22288L, 2L)))
+    // DECIMAL source rounds; the :: spelling takes the same path
+    val r2 = row("SELECT CAST(CAST(2.5 AS DECIMAL(5,1)) AS BIGINT) AS a, (2.5 + 0.0)::BIGINT AS b")
+    assert((r2.getLong(0), r2.getLong(1)) == ((3L, 3L)))
+    // integral sources untouched (identity path), TRY_CAST too
+    val r3 = row("SELECT CAST(7 AS BIGINT) AS a, TRY_CAST(3.5 + 0.0 AS INT) AS b")
+    assert((r3.getLong(0), r3.getInt(1)) == ((7L, 4)))
+  }
+
+  test("grouping sets over an EMPTY input emit DuckDB's grand-total rows (r17)") {
+    // r16 recorded this as a documented divergence; r17 closes it at
+    // the SqlStage layer: a LIMIT-1 emptiness probe (early-exit,
+    // near-free on non-empty inputs) swaps in a typed-NULL
+    // global-aggregate arm only when the input is provably empty.
+    // Every pin below probed against duckdb 1.0.0.
+    spark.sql("SELECT CAST(v AS STRING) AS g, v AS h, v AS x FROM VALUES (1) t(v) WHERE false")
+      .createOrReplaceTempView("egt")
+    val one = spark.range(1).toDF("id")
+    def rows(sql: String) = SqlStage("s", sql).apply(spark, one).collect()
+    // ROLLUP: exactly one grand-total row, count 0 / sum NULL
+    val r1 = rows("SELECT g, count(*) AS n, sum(x) AS s FROM egt GROUP BY ROLLUP (g)")
+    assert(r1.map(r => (Option(r.get(0)), r.getLong(1), Option(r.get(2)))).toSeq ==
+      Seq((None, 0L, None)))
+    // multi-key ROLLUP and CUBE: still ONE row
+    assert(rows("SELECT g, h, count(*) AS n FROM egt GROUP BY ROLLUP (g, h)").length == 1)
+    assert(rows("SELECT g, h, count(*) AS n FROM egt GROUP BY CUBE (g, h)").length == 1)
+    // GROUPING SETS: one row per literal (); none → zero rows
+    assert(rows("SELECT g, count(*) AS n FROM egt GROUP BY GROUPING SETS ((g), ())").length == 1)
+    assert(rows("SELECT g, h, count(*) AS n FROM egt GROUP BY GROUPING SETS ((g), (h))").isEmpty)
+    assert(rows("SELECT count(*) AS n FROM egt GROUP BY GROUPING SETS ((), ())")
+      .map(_.getLong(0)).toSeq == Seq(0L, 0L))
+    // select expressions evaluate OVER the NULL keys like DuckDB's
+    // grand-total row: coalesce(g,'TOT') renders 'TOT'
+    val r2 = rows("SELECT coalesce(g, 'TOT') AS tag, count(*) AS n FROM egt GROUP BY ROLLUP (g)")
+    assert(r2.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("TOT", 0L)))
+    // grouping() = 1 on the grand-total row; HAVING applies to it
+    val r3 = rows(
+      "SELECT g, CAST(grouping(g) AS BIGINT) AS gg, count(*) AS n FROM egt GROUP BY ROLLUP (g)")
+    assert(r3.map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((None, 1L, 0L)))
+    assert(rows(
+      "SELECT g, count(*) AS n FROM egt GROUP BY ROLLUP (g) HAVING count(*) = 0").length == 1)
+    assert(rows(
+      "SELECT g, count(*) AS n FROM egt GROUP BY ROLLUP (g) HAVING count(*) > 0").isEmpty)
+    // WHERE that filters a NON-empty table to empty takes the arm too
+    spark.sql("SELECT CAST(v AS STRING) AS g, v AS x FROM VALUES (1), (2) t(v)")
+      .createOrReplaceTempView("egt2")
+    val r4 = rows("SELECT g, count(*) AS n FROM egt2 WHERE x > 5 GROUP BY ROLLUP (g)")
+    assert(r4.map(r => (Option(r.get(0)), r.getLong(1))).toSeq == Seq((None, 0L)))
+    // a NON-empty input keeps the plain grouping-sets plan (probe says
+    // non-empty; no arm)
+    val r5 = rows("SELECT g, count(*) AS n FROM egt2 GROUP BY ROLLUP (g)")
+    assert(r5.length == 3) // 2 keys + grand total
+    // mixed GROUP BY g, ROLLUP (h): no pure-empty set — zero rows on
+    // both engines (out of the arm's scope by design)
+    assert(rows("SELECT g, h, count(*) AS n FROM egt GROUP BY g, ROLLUP (h)").isEmpty)
+    // ORDER BY + LIMIT tails survive (ORDER dropped in the arm — at
+    // most a few identical rows — LIMIT reapplied)
+    val r6 = rows(
+      "SELECT g, count(*) AS n FROM egt GROUP BY ROLLUP (g) ORDER BY n LIMIT 3")
+    assert(r6.map(r => (Option(r.get(0)), r.getLong(1))).toSeq == Seq((None, 0L)))
+    assert(rows(
+      "SELECT g, count(*) AS n FROM egt GROUP BY ROLLUP (g) LIMIT 0").isEmpty)
+    spark.catalog.dropTempView("egt")
+    spark.catalog.dropTempView("egt2")
   }
 
   test("sweep-8: age matches DuckDB's symbolic subtraction + rendering (probed)") {

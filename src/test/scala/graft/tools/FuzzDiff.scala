@@ -154,7 +154,7 @@ object FuzzDiff {
   private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(55) match {
+      val sql = r.nextInt(60) match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -238,15 +238,16 @@ object FuzzDiff {
               count(*) AS n, max(l_orderkey % 997) AS mx
               FROM lineitem GROUP BY g, g2
               HAVING count(*) > ${1 + r.nextInt(5)} AND min(l_orderkey % 7) <= ${r.nextInt(6)}"""
-        case 13 => // ROLLUP with NULL-producing super-aggregate rows.
-          // The WHERE must be provably NON-EMPTY (a plain residue class):
-          // grouping sets over an EMPTY input are a documented engine
-          // divergence — DuckDB emits the grand-total row (NULL, NULL,
-          // 0, NULL), Spark emits no rows (seed-10 found it; pinned in
-          // DialectSpec).
+        case 13 => // ROLLUP with NULL-producing super-aggregate rows —
+          // INCLUDING sometimes-empty inputs: the r16 empty-input
+          // grand-total divergence (seed-10) is CLOSED in r17 by the
+          // SqlStage emptiness-probe arm, so one branch in three
+          // filters to provably zero rows on purpose
           s"""SELECT l_returnflag AS g, l_linestatus AS g2,
               count(*) AS n, CAST(sum(l_orderkey % 97) AS BIGINT) AS s
-              FROM lineitem WHERE l_orderkey % ${2 + r.nextInt(5)} = ${r.nextInt(2)}
+              FROM lineitem WHERE ${
+                if (r.nextInt(3) == 0) s"l_orderkey < -${1 + r.nextInt(5)}"
+                else s"l_orderkey % ${2 + r.nextInt(5)} = ${r.nextInt(2)}"}
               GROUP BY ROLLUP (g, g2)"""
         case 14 => // star EXCLUDE + REPLACE expansion (no LIMIT — the
           // compare sorts rows, so no order pin is needed)
@@ -391,13 +392,18 @@ object FuzzDiff {
               array_to_string(list_transform(string_split(substr(text, 1, ${30 + r.nextInt(30)}), ' '), x -> upper(x)), ',') AS u,
               array_to_string(list_filter(string_split(substr(text, 1, 40), ' '), x -> length(x) > ${2 + r.nextInt(3)}), ',') AS f
               FROM documents WHERE doc_id % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"""
-        case 33 => // explicit GROUPING SETS (non-empty input: plain
-          // residue WHERE — the empty-input grand-total divergence is
-          // documented at the ROLLUP template)
+        case 33 => // explicit GROUPING SETS — also over sometimes-empty
+          // inputs since r17 (the emptiness-probe arm handles the
+          // grand-total rows; a set list WITHOUT () stays zero-row on
+          // both engines)
           s"""SELECT l_returnflag AS g, l_linestatus AS g2, count(*) AS n,
               CAST(sum(l_suppkey % 97) AS BIGINT) AS s
-              FROM lineitem WHERE l_orderkey % ${2 + r.nextInt(4)} = ${r.nextInt(2)}
-              GROUP BY GROUPING SETS ((g), (g2), (g, g2), ())"""
+              FROM lineitem WHERE ${
+                if (r.nextInt(3) == 0) s"l_orderkey < -${1 + r.nextInt(4)}"
+                else s"l_orderkey % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"}
+              GROUP BY GROUPING SETS (${
+                if (r.nextInt(4) == 0) "(g), (g2), (g, g2)"
+                else "(g), (g2), (g, g2), ()"})"""
         case 34 => // ntile/first_value over a TOTAL per-partition order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ntile(${2 + r.nextInt(5)}) OVER (PARTITION BY l_returnflag
@@ -538,6 +544,62 @@ object FuzzDiff {
               lag(l_partkey % 97, ${1 + r.nextInt(2)}, ${100 + r.nextInt(100)}) OVER w AS lg
               FROM lineitem WHERE l_orderkey < ${250 + r.nextInt(200)}
               WINDOW w AS (PARTITION BY l_returnflag ORDER BY $liTiebreak)"""
+        case 55 => // DECIMAL arithmetic battery (r17 band). Widening-only
+          // casts: DuckDB 1.0 TRUNCATES scale-reducing decimal casts
+          // where Spark rounds HALF_UP (probed: CAST(2.355 AS
+          // DECIMAL(10,2)) = 2.35 vs 2.36) — so every cast here only
+          // widens, per-row products are exact in both engines, and
+          // the aggregate is a sum of identical exact values.
+          s"""SELECT l_returnflag AS g,
+              CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sq,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                       * CAST(1 + l_tax AS DECIMAL(8,2))) AS DECIMAL(32,4)) AS rev,
+              CAST(min(CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(8,2)) AS mind,
+              TRY_CAST('${r.nextInt(1000)}${"9" * 18}' AS DECIMAL(10,2)) AS ovf
+              FROM lineitem WHERE ${pred(r, 1)} GROUP BY g"""
+        case 56 => // NULL-heavy join keys (r17 band): NULLIF seeds NULLs
+          // on both sides; equality joins must DROP them, the left join
+          // counts them unmatched — aggregated so hot NULL keys can't
+          // blow up the row count
+          s"""WITH a AS (SELECT NULLIF(l_suppkey % ${17 + r.nextInt(30)}, ${r.nextInt(5)}) AS k,
+                     l_orderkey AS id FROM lineitem WHERE l_orderkey < ${400 + r.nextInt(300)}),
+              b AS (SELECT NULLIF(o_custkey % ${17 + r.nextInt(30)}, ${r.nextInt(5)}) AS k,
+                     o_orderkey AS oid FROM orders WHERE o_orderkey < ${400 + r.nextInt(300)})
+              SELECT a.k AS k, count(*) AS n, CAST(sum(a.id % 97) AS BIGINT) AS s,
+                     count(b.k) AS nb
+              FROM a LEFT JOIN b ON a.k = b.k GROUP BY a.k"""
+        case 57 => // window RANGE frames with INTERVAL bounds over event
+          // timestamps (r17 band) — RANGE includes ts peers, so ties
+          // stay deterministic; per-row CAST to BIGINT before the sum
+          // keeps both engines on exact integer arithmetic
+          s"""SELECT event_id AS k,
+              CAST(sum(CAST(value * 100 AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL ${1 + r.nextInt(48)} HOUR PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS rs,
+              count(*) OVER (PARTITION BY event_type ORDER BY ts
+                RANGE BETWEEN INTERVAL ${1 + r.nextInt(10)} MINUTE PRECEDING
+                AND INTERVAL ${1 + r.nextInt(3)} HOUR FOLLOWING) AS cf
+              FROM events WHERE event_id % ${3 + r.nextInt(4)} = ${r.nextInt(3)}"""
+        case 58 => // nested CTE chain + a subquery-scoped WITH consuming
+          // it (r17 band)
+          s"""WITH l1 AS (SELECT l_orderkey AS k, (l_suppkey % ${primes(r.nextInt(3))}) AS v
+                          FROM lineitem WHERE ${pred(r, 1)}),
+              l2 AS (SELECT k, count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM l1 GROUP BY k),
+              l3 AS (SELECT k, n, s FROM l2 WHERE n > ${r.nextInt(3)})
+              SELECT k, n, s FROM l3
+              UNION ALL
+              SELECT -1 AS k, t.cnt AS n, t.ts AS s
+              FROM (WITH agg AS (SELECT count(*) AS cnt, CAST(coalesce(sum(s), 0) AS BIGINT) AS ts
+                                 FROM l3) SELECT cnt, ts FROM agg) t"""
+        case 59 => // null-safe comparison operators: IS [NOT] DISTINCT
+          // FROM over NULLIF'd values (scalar position — both engines'
+          // three-valued logic pinned cell-for-cell)
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              NULLIF(l_suppkey % ${5 + r.nextInt(6)}, ${r.nextInt(4)})
+                IS NOT DISTINCT FROM NULLIF(l_partkey % ${5 + r.nextInt(6)}, ${r.nextInt(4)}) AS eqn,
+              NULLIF(l_returnflag, '${Seq("A", "N", "R")(r.nextInt(3))}')
+                IS DISTINCT FROM l_linestatus AS neq
+              FROM lineitem WHERE l_orderkey < ${250 + r.nextInt(250)}"""
         case _ => // list functions over document tokens
           s"""SELECT doc_id,
               array_to_string(list_sort(string_split(substr(text, 1, ${40 + r.nextInt(40)}), ' ')), '|') AS w,

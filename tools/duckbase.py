@@ -35,12 +35,23 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(oracle)
+    # DUCKBASE_QUERY_BUDGET (seconds, default unset = unlimited): a
+    # query whose FIRST (warm-up) run exceeds the budget keeps that
+    # single timing and is excluded from later passes — bounds the sf1+
+    # walls where the exact quadratic VERIFICATION ORACLES (q35/q46/q89
+    # class) would otherwise dominate every pass. Over-budget names are
+    # reported so SCALE.md can mark their best as single-run.
+    import os
+    budget = float(os.environ.get("DUCKBASE_QUERY_BUDGET", "0")) or None
     best = {}
     failed = []
     walls = []
+    over_budget = []
     for p in range(passes + 1):  # pass 0 = warm-up, excluded
         t_wall = time.time()
         for name in names:
+            if name in over_budget:
+                continue
             t0 = time.time()
             try:
                 con.execute(oracle[name]).fetchall()
@@ -49,6 +60,9 @@ def main():
                     failed.append(f"{name}: {str(e)[:120]}")
                 continue
             dt = time.time() - t0
+            if p == 0 and budget and dt > budget:
+                over_budget.append(name)
+                best[name] = dt  # single cold-ish run — marked below
             if p > 0 and (name not in best or dt < best[name]):
                 best[name] = dt
         if p > 0:
@@ -60,6 +74,7 @@ def main():
         "queries": {k: round(v, 4) for k, v in sorted(best.items())},
         "n": len(names),
         "failed": failed,
+        "over_budget": sorted(over_budget),
     }))
 
 
