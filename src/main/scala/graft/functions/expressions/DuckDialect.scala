@@ -656,6 +656,67 @@ object DuckDialect {
     org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
       DuckSweep.getClass, dt, method, args, inputTypes = inputTypes)
 
+  /** `graft_fmt_spec('<spec>', x)` — the rewrite target for a format()
+    * placeholder CARRYING a fmt spec (`{:.2f}`, `{:>8}` …); plain
+    * `{}`/`{n}` stay on the concat+CAST path. Dispatch is on the
+    * RESOLVED argument type, mirroring DuckDB's fmt dispatch (probed):
+    * integrals (and BOOLEAN under an integer type char — '{:d}' of
+    * true → '1') format as int; FLOAT/DOUBLE/DECIMAL as float;
+    * everything else stringifies first (DuckDB itself feeds dates,
+    * hugeint … to fmt as strings — '{:d}' on them names "type
+    * string"). The spec is validated HERE with a zero-value dry run so
+    * spec/type mismatches ("precision not allowed…", "Invalid type
+    * specifier…") surface at analysis, not mid-job; the kernels in
+    * [[DuckSweep]] re-raise the same messages at runtime.
+    */
+  private def fmtSpecBuilder(es: Seq[Expression]): Expression = {
+    nArgs("graft_fmt_spec", es, 2)
+    val spec = es.head match {
+      case Literal(s: UTF8String, StringType) if s != null => s.toString
+      case other => throw new DuckDialectException(
+        s"format: internal spec argument must be a string literal, got $other")
+    }
+    val v = es(1)
+    if (!v.resolved)
+      throw new DuckDialectException(
+        s"format('{:$spec}', …): the argument type cannot be determined " +
+          "before resolution; CAST the argument explicitly")
+    def guard[A](dryRun: => A): Unit =
+      try { dryRun; () } catch {
+        case e: IllegalArgumentException =>
+          throw new DuckDialectException(s"format('{:$spec}', …): ${e.getMessage}")
+      }
+    def call(method: String, arg: Expression, argType: DataType): Expression =
+      sweepInvoke(StringType, method,
+        Seq(Literal(UTF8String.fromString(spec), StringType), arg),
+        Seq(StringType, argType))
+    val f = try DuckSweep.parseFmtSpec(spec) catch {
+      case e: IllegalArgumentException =>
+        throw new DuckDialectException(s"format('{:$spec}', …): ${e.getMessage}")
+    }
+    val intTyp = f.typ != 0.toChar && "dboxX".indexOf(f.typ) >= 0
+    v.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        guard(DuckSweep.fmtLong(spec, 0L))
+        call("fmtSpecLong", Cast(v, LongType), LongType)
+      case BooleanType if intTyp =>
+        guard(DuckSweep.fmtLong(spec, 0L))
+        call("fmtSpecLong", Cast(v, LongType), LongType)
+      case FloatType =>
+        guard(DuckSweep.fmtDouble(spec, 0.0))
+        call("fmtSpecFloat", v, FloatType)
+      case DoubleType | _: DecimalType =>
+        guard(DuckSweep.fmtDouble(spec, 0.0))
+        call("fmtSpecDouble", Cast(v, DoubleType), DoubleType)
+      case StringType =>
+        guard(DuckSweep.fmtStr(spec, ""))
+        call("fmtSpecString", v, StringType)
+      case _ =>
+        guard(DuckSweep.fmtStr(spec, ""))
+        call("fmtSpecString", Cast(v, StringType), StringType)
+    }
+  }
+
   private def makeTimestampBuilder(name: String, es: Seq[Expression]): Expression =
     es.length match {
       // 1-arg = micros since epoch (probed); 6-arg = calendar parts
@@ -1259,6 +1320,9 @@ object DuckDialect {
         Seq(StringType)) }),
     "format_bytes" -> (es => { nArgs("format_bytes", es, 1)
       sweepInvoke(StringType, "formatBytes", Seq(Cast(es(0), LongType)), Seq(LongType)) }),
+    // internal target of the format() fmt-spec rewrite
+    // (GraftSqlParser.rewriteFormatFn) — not a DuckDB name
+    "graft_fmt_spec" -> (es => fmtSpecBuilder(es)),
     "formatreadablesize" -> (es => { nArgs("formatReadableSize", es, 1)
       sweepInvoke(StringType, "formatBytes", Seq(Cast(es(0), LongType)), Seq(LongType)) }),
     "formatreadabledecimalsize" -> (es => { nArgs("formatReadableDecimalSize", es, 1)

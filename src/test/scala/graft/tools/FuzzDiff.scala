@@ -154,7 +154,7 @@ object FuzzDiff {
   private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(60) match {
+      val sql = r.nextInt(61) match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -591,6 +591,41 @@ object FuzzDiff {
               SELECT -1 AS k, t.cnt AS n, t.ts AS s
               FROM (WITH agg AS (SELECT count(*) AS cnt, CAST(coalesce(sum(s), 0) AS BIGINT) AS ts
                                  FROM l3) SELECT cnt, ts FROM agg) t"""
+        case 60 => // format() fmt specs (r17): random spec batteries over
+          // exact values. Ints draw from the validated radix/grouping/
+          // padding surface; doubles divide a bounded int by a power of
+          // two (exact binary, identical in both engines) and use only
+          // f/e/g with precision ≥ 1 (precision-0 g is a guided error —
+          // DuckDB's fmt emits unspecified digits there — and the
+          // none-type FLOAT repr is the documented grisu2 micro-
+          // divergence, so neither is generated).
+          // canonical spec slot order (probed): [fill align][sign|,][#][0][width][typ]
+          def intSpec(): String = {
+            val fillAlign = Seq("", "*>", "*<", "*^", "=")(r.nextInt(5))
+            val signOrComma = Seq("", "+", " ", ",", ",", "")(r.nextInt(6))
+            val alt = if (r.nextInt(4) == 0) "#" else ""
+            val zero = if (fillAlign.isEmpty && r.nextInt(4) == 0) "0" else ""
+            val width = if (r.nextInt(2) == 0) (1 + r.nextInt(14)).toString else ""
+            val typ = Seq("", "d", "x", "X", "o", "b")(r.nextInt(6))
+            s"$fillAlign$signOrComma$alt$zero$width$typ"
+          }
+          def dblSpec(): String = {
+            val align = Seq("", ">", "<", "^", "*>", "_^")(r.nextInt(6))
+            val sign = Seq("", "+", " ")(r.nextInt(3))
+            val zero = if (r.nextInt(4) == 0) "0" else ""
+            val width = if (r.nextInt(2) == 0) (1 + r.nextInt(16)).toString else ""
+            val prec = s".${1 + r.nextInt(14)}"
+            val typ = Seq("f", "e", "g", "E", "G")(r.nextInt(5))
+            s"$align$sign$zero$width$prec$typ"
+          }
+          val d1 = s"(CAST(${intExpr(r, 1)} AS DOUBLE) / ${Seq(2, 4, 8, 16, 64, 256)(r.nextInt(6))})"
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              format('{:${intSpec()}}', ${intExpr(r, 1)}) AS f1,
+              format('{:${intSpec()}}', ${intExpr(r, 1)}) AS f2,
+              format('{:${dblSpec()}}', $d1) AS f3,
+              format('[{:${dblSpec()}}|{}]', $d1, ${intExpr(r, 1)}) AS f4,
+              format('{:${Seq("", ">", "<", "^", "_^", "*>")(r.nextInt(6))}${1 + r.nextInt(10)}${if (r.nextInt(2) == 0) s".${r.nextInt(5)}" else ""}}', ${strExpr(r, 1)}) AS f5
+              FROM lineitem WHERE l_orderkey < ${200 + r.nextInt(200)}"""
         case 59 => // null-safe comparison operators: IS [NOT] DISTINCT
           // FROM over NULLIF'd values (scalar position — both engines'
           // three-valued logic pinned cell-for-cell)
