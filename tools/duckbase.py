@@ -39,10 +39,36 @@ def main():
     # query whose FIRST (warm-up) run exceeds the budget keeps that
     # single timing and is excluded from later passes — bounds the sf1+
     # walls where the exact quadratic VERIFICATION ORACLES (q35/q46/q89
-    # class) would otherwise dominate every pass. Over-budget names are
-    # reported so SCALE.md can mark their best as single-run.
+    # class) would otherwise dominate every pass. Since r17 the budget
+    # is enforced DURING the warm-up run too, via duckdb's interrupt()
+    # from a watchdog thread: at sf1 a single exact-pair oracle's FIRST
+    # run exceeded an hour, so a post-hoc check could not bound the
+    # wall. An interrupted query reports in `over_budget` with no
+    # timing (it has no comparable number — SCALE.md excludes the class
+    # from ratio claims either way). Over-budget names are reported so
+    # SCALE.md can mark them.
     import os
+    import threading
     budget = float(os.environ.get("DUCKBASE_QUERY_BUDGET", "0")) or None
+
+    def run_budgeted(sql):
+        """Execute under the budget; returns (seconds, interrupted)."""
+        done = threading.Event()
+        if budget:
+            def watchdog():
+                if not done.wait(budget):
+                    con.interrupt()
+            w = threading.Thread(target=watchdog, daemon=True)
+            w.start()
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            return time.time() - t0, False
+        except duckdb.InterruptException:
+            return time.time() - t0, True
+        finally:
+            done.set()
+
     best = {}
     failed = []
     walls = []
@@ -52,17 +78,17 @@ def main():
         for name in names:
             if name in over_budget:
                 continue
-            t0 = time.time()
             try:
-                con.execute(oracle[name]).fetchall()
+                dt, interrupted = run_budgeted(oracle[name])
             except Exception as e:  # noqa: BLE001 - record and move on
                 if p == 0:
                     failed.append(f"{name}: {str(e)[:120]}")
                 continue
-            dt = time.time() - t0
-            if p == 0 and budget and dt > budget:
+            if interrupted or (p == 0 and budget and dt > budget):
                 over_budget.append(name)
-                best[name] = dt  # single cold-ish run — marked below
+                if not interrupted:
+                    best[name] = dt  # completed cold run — marked below
+                continue
             if p > 0 and (name not in best or dt < best[name]):
                 best[name] = dt
         if p > 0:
