@@ -669,7 +669,8 @@ object DuckDialect {
     * specifier…") surface at analysis, not mid-job; the kernels in
     * [[DuckSweep]] re-raise the same messages at runtime.
     */
-  private def fmtSpecBuilder(es: Seq[Expression]): Expression = {
+  private def fmtSpecBuilder(es: Seq[Expression],
+                             allowSignComma: Boolean = false): Expression = {
     nArgs("graft_fmt_spec", es, 2)
     val spec = es.head match {
       case Literal(s: UTF8String, StringType) if s != null => s.toString
@@ -694,6 +695,12 @@ object DuckDialect {
       case e: IllegalArgumentException =>
         throw new DuckDialectException(s"format('{:$spec}', …): ${e.getMessage}")
     }
+    // the brace grammar keeps sign and ',' mutually exclusive (DuckDB:
+    // "missing '}'"); printf allows both ('%+,d' → '+42', probed)
+    if (f.comma && f.sign != 0.toChar && !allowSignComma)
+      throw new DuckDialectException(
+        s"format('{:$spec}', …): a sign cannot combine with the thousands " +
+          "separator in a brace format spec (DuckDB rejects it; printf allows it)")
     val intTyp = f.typ != 0.toChar && "dboxX".indexOf(f.typ) >= 0
     v.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
@@ -714,6 +721,72 @@ object DuckDialect {
       case _ =>
         guard(DuckSweep.fmtStr(spec, ""))
         call("fmtSpecString", Cast(v, StringType), StringType)
+    }
+  }
+
+  /** `graft_printf_radix('<spec>', x)` — rewrite target for printf's
+    * unsigned conversions (%x/%X/%o/%b/%u): two's-complement at the
+    * argument's STORAGE width, 64 bits for BIGINT, 32 otherwise (C
+    * default promotion, probed). Non-integral arguments raise DuckDB's
+    * own binder message.
+    */
+  private def printfRadixBuilder(es: Seq[Expression]): Expression = {
+    nArgs("graft_printf_radix", es, 2)
+    val spec = es.head match {
+      case Literal(s: UTF8String, StringType) if s != null => s.toString
+      case other => throw new DuckDialectException(
+        s"printf: internal spec argument must be a string literal, got $other")
+    }
+    val v = es(1)
+    if (!v.resolved)
+      throw new DuckDialectException(
+        s"printf('%$spec', …): the argument type cannot be determined " +
+          "before resolution; CAST the argument explicitly")
+    val typ = spec.last
+    val bits = v.dataType match {
+      case LongType => 64
+      case ByteType | ShortType | IntegerType | BooleanType => 32
+      case FloatType | DoubleType | _: DecimalType =>
+        throw new DuckDialectException(
+          s"""printf: Invalid type specifier "$typ" for formatting a value of type float""")
+      case _ =>
+        throw new DuckDialectException(
+          s"""printf: Invalid type specifier "$typ" for formatting a value of type string""")
+    }
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      DuckSweep.getClass, StringType, "printfRadix",
+      Seq(Literal(UTF8String.fromString(spec), StringType),
+        Cast(v, LongType), Literal(bits)),
+      inputTypes = Seq(StringType, LongType, IntegerType))
+  }
+
+  /** `graft_printf_char('<spec>', x)` — printf's %c over a codepoint;
+    * int-typed arguments only (probed: '%c' of a string is DuckDB's
+    * "Invalid type specifier" error).
+    */
+  private def printfCharBuilder(es: Seq[Expression]): Expression = {
+    nArgs("graft_printf_char", es, 2)
+    val spec = es.head match {
+      case Literal(s: UTF8String, StringType) if s != null => s.toString
+      case other => throw new DuckDialectException(
+        s"printf: internal spec argument must be a string literal, got $other")
+    }
+    val v = es(1)
+    if (!v.resolved)
+      throw new DuckDialectException(
+        "printf('%c', …): the argument type cannot be determined " +
+          "before resolution; CAST the argument explicitly")
+    v.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        sweepInvoke(StringType, "printfChar",
+          Seq(Literal(UTF8String.fromString(spec), StringType), Cast(v, LongType)),
+          Seq(StringType, LongType))
+      case FloatType | DoubleType | _: DecimalType =>
+        throw new DuckDialectException(
+          """printf: Invalid type specifier "c" for formatting a value of type float""")
+      case _ =>
+        throw new DuckDialectException(
+          """printf: Invalid type specifier "c" for formatting a value of type string""")
     }
   }
 
@@ -1320,9 +1393,12 @@ object DuckDialect {
         Seq(StringType)) }),
     "format_bytes" -> (es => { nArgs("format_bytes", es, 1)
       sweepInvoke(StringType, "formatBytes", Seq(Cast(es(0), LongType)), Seq(LongType)) }),
-    // internal target of the format() fmt-spec rewrite
-    // (GraftSqlParser.rewriteFormatFn) — not a DuckDB name
+    // internal targets of the format()/printf() spec rewrites
+    // (GraftSqlParser.rewriteFormatFn/rewritePrintfFn) — not DuckDB names
     "graft_fmt_spec" -> (es => fmtSpecBuilder(es)),
+    "graft_printf_spec" -> (es => fmtSpecBuilder(es, allowSignComma = true)),
+    "graft_printf_radix" -> (es => printfRadixBuilder(es)),
+    "graft_printf_char" -> (es => printfCharBuilder(es)),
     "formatreadablesize" -> (es => { nArgs("formatReadableSize", es, 1)
       sweepInvoke(StringType, "formatBytes", Seq(Cast(es(0), LongType)), Seq(LongType)) }),
     "formatreadabledecimalsize" -> (es => { nArgs("formatReadableDecimalSize", es, 1)

@@ -569,7 +569,11 @@ object DuckSweep {
     var comma = false
     if (i < n && (spec.charAt(i) == '+' || spec.charAt(i) == '-' ||
         spec.charAt(i) == ' ')) { sign = spec.charAt(i); i += 1 }
-    else if (i < n && spec.charAt(i) == ',') { comma = true; i += 1 }
+    // printf allows BOTH a sign and the grouping flag ('%+,d' → '+42',
+    // probed) while the brace grammar keeps them mutually exclusive —
+    // the parse accepts both here and the format() BUILDER rejects the
+    // combination (the printf builders allow it)
+    if (i < n && spec.charAt(i) == ',') { comma = true; i += 1 }
     var alt = false
     if (i < n && spec.charAt(i) == '#') { alt = true; i += 1 }
     var zero = false
@@ -597,7 +601,7 @@ object DuckSweep {
     if (i < n) {
       typ = spec.charAt(i); i += 1
       if (i < n) bad(s"unparsed trailing characters '${spec.substring(i)}'")
-      if ("dboxXsfFeEgG".indexOf(typ) < 0)
+      if ("dboxXsfFeEgGuc".indexOf(typ) < 0)
         bad(s"""unsupported format type "$typ"""")
     }
     FmtSpec(fill, align, sign, alt, zero, comma, width, prec, typ)
@@ -917,6 +921,68 @@ object DuckSweep {
         else s0.substring(0, s0.offsetByCodePoints(0, f.prec))
       }
     fmtPad("", s, f, '<')
+  }
+
+  // --- printf (r17): DuckDB's printf() runs fmt::sprintf, sharing the
+  // float kernels above (probed: printf('%.1f', 0.25) → '0.2',
+  // '%.1g' of 0.0001 → '0.01' — the same exact-binary rounding AND the
+  // same small-value %g bug as format()). The C-only conversions get
+  // their own kernels below.
+
+  def printfRadix(spec: UTF8String, v: Long, bits: Int): UTF8String =
+    UTF8String.fromString(printfRadixStr(spec.toString, v, bits))
+
+  /** `%x/%X/%o/%b/%u`: TWO'S COMPLEMENT / unsigned reinterpretation at
+    * the argument's storage width — C semantics, unlike the brace
+    * form's sign-magnitude (probed: printf('%x', -255) → 'ffffff01',
+    * on a BIGINT → 'ffffffffffffff01'; '%u' of -255 → '4294967041').
+    * Sub-INT types promote to 32 bits like C default promotion. The
+    * grouping flag forces grouped unsigned DECIMAL ('%,x' of 4096 →
+    * '4,096', probed, same override as the brace form). Sign flags are
+    * inert on unsigned conversions.
+    */
+  private[expressions] def printfRadixStr(spec: String, v: Long,
+                                          bits: Int): String = {
+    val f = parseFmtSpec(spec)
+    val uv =
+      if (bits == 64) {
+        if (v >= 0) java.math.BigInteger.valueOf(v)
+        else java.math.BigInteger.valueOf(v)
+          .add(java.math.BigInteger.ONE.shiftLeft(64))
+      } else java.math.BigInteger.valueOf(v & 0xFFFFFFFFL)
+    val body =
+      if (f.comma) group3(uv.toString)
+      else f.typ match {
+        case 'x' => uv.toString(16)
+        case 'X' => uv.toString(16).toUpperCase
+        case 'o' => uv.toString(8)
+        case 'b' => uv.toString(2)
+        case _ => uv.toString // 'u'
+      }
+    // '#' prefixes only NONZERO values — C semantics ('%#x' of 0 → '0',
+    // probed), unlike the brace form where '{:#x}' of 0 keeps '0x0'
+    val prefix =
+      if (f.alt && !f.comma && uv.signum != 0) f.typ match {
+        case 'x' => "0x"
+        case 'X' => "0X"
+        case 'b' => "0b"
+        case 'o' => "0"
+        case _ => ""
+      } else ""
+    fmtPad(prefix, body, f, '>')
+  }
+
+  def printfChar(spec: UTF8String, v: Long): UTF8String =
+    UTF8String.fromString(printfCharStr(spec.toString, v))
+
+  /** `%c`: the codepoint's character. Width pads on the LEFT whatever
+    * the '-' flag says (probed: '%-5c|' of 65 → '    A|' — fmt's
+    * sprintf quirk, reproduced).
+    */
+  private[expressions] def printfCharStr(spec: String, v: Long): String = {
+    val f = parseFmtSpec(spec)
+    val s = new String(Character.toChars(v.toInt))
+    fmtPad("", s, f.copy(align = '>', fill = ' ', zero = false), '>')
   }
 }
 

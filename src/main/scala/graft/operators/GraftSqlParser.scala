@@ -47,12 +47,12 @@ object GraftSqlParser {
     // columns, session-backed where the caller has one) feeds the
     // grouping-alias shadowing check only.
     rewriteGroupingAliases(resolve = resolve, depth = 0, sql = rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteLogFn(
-    rewriteDotCall(rewriteMixedIntervalFrame(rewriteFrameExclude(rewriteNamedWindows(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteExtractEpoch(rewriteFormatFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQuantified(rewriteQualify(
+    rewriteDotCall(rewriteMixedIntervalFrame(rewriteFrameExclude(rewriteNamedWindows(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteExtractEpoch(rewriteFormatFn(rewritePrintfFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQuantified(rewriteQualify(
       rewriteDistinctOn(rewriteStructPack(rewriteStructInsert(
         rewriteExclude(rewriteAsof(rewritePositional(rewriteSubscript(rewriteSlice(
           rewriteGlob(rewriteSimilarTo(rewriteIntDiv(rewritePow(rewriteCaret(rewriteLogFn(rewriteFilterOver(rewriteJsonOps(rewriteJsonExtractFns(rewriteIntegralCastRound(rewriteBlobType(
             rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
-              rewriteFromFirst(rewriteRawLiterals(sql)))))))))))))))))))))))))))))))))))))))))
+              rewriteFromFirst(rewriteRawLiterals(sql))))))))))))))))))))))))))))))))))))))))))
 
   /** DuckDB single-quoted string literals are RAW — no backslash
     * escapes (`'\d'` is backslash-d) — while Spark's parser unescapes
@@ -768,6 +768,132 @@ object GraftSqlParser {
       if (parts.result().isEmpty) "''"
       else s"concat(${parts.result().mkString(", ")})"
     rewriteFormatFn(sql.substring(0, m.start) + replacement + sql.substring(close))
+  }
+
+  private val PrintfFnRe = raw"(?i)(?<![\w.])printf\s*\(".r
+
+  private def printfFail(why: String): Nothing =
+    throw new graft.functions.expressions.DuckDialectException(
+      s"printf() couldn't be auto-rewritten ($why) — claimed: a LITERAL " +
+        "format string with %-specs (flags - + space 0 # ',', width, " +
+        ".precision, n$ positionals, %% escapes; conversions " +
+        "d i u x X o b c s f F e E g G). Dynamic '*' width/precision, " +
+        "length modifiers and %a are not translated. The error is " +
+        "deliberate: an untranslated printf would run Spark's Java " +
+        "Formatter, which rounds the DECIMAL value HALF_UP where " +
+        "DuckDB's fmt rounds the exact BINARY value half-even " +
+        "(printf('%.1f', 0.25) is '0.3' there, '0.2' in DuckDB)")
+
+  /** DuckDB's `printf()` (fmt::sprintf) AUTO-REWRITTEN onto the same
+    * DuckSweep kernels as [[rewriteFormatFn]] (r17 — previously passed
+    * through to Spark's own printf, whose java.util.Formatter rounds
+    * ties differently and renders %x of negatives as 64-bit
+    * two's-complement regardless of the argument width — a SILENT
+    * divergence on the probed surface). Float conversions share the
+    * exact-binary half-even kernels (probed identical to format(),
+    * including the small-value %g bug); %d/%i/%s map onto the fmt
+    * grammar with printf's flag translation ('-' → '<' align, zero
+    * beating '-' — probed '%0-8d' → '00000042'); %u/%x/%X/%o/%b use
+    * the width-aware two's-complement kernel; %c the codepoint kernel;
+    * `n$` positionals execute, and mixing them with sequential specs
+    * raises DuckDB's own "cannot switch from manual to automatic
+    * argument indexing".
+    */
+  def rewritePrintfFn(sql: String): String = {
+    val masked = maskQuotes(sql)
+    val m = PrintfFnRe.findFirstMatchIn(masked).getOrElse(return sql)
+    val close = closeOf(masked, m.end).getOrElse(return sql)
+    val inner = sql.substring(m.end, close - 1)
+    val innerMasked = masked.substring(m.end, close - 1)
+    val args = splitTopLevel(inner, innerMasked).map(_.trim)
+    if (args.isEmpty) printfFail("no arguments")
+    val fmtM = raw"(?s)^'((?:[^']|'')*)'$$".r.findFirstMatchIn(args.head)
+      .getOrElse(printfFail("the format string must be a single literal"))
+    val fmt = fmtM.group(1).replace("''", "'")
+    val rest = args.tail
+    val parts = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var auto = 0
+    var usedAuto = false
+    var usedManual = false
+    var i = 0
+    def flushLit(): Unit = if (sb.nonEmpty) {
+      parts += s"'${sb.toString.replace("'", "''")}'"
+      sb.clear()
+    }
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c != '%') { sb.append(c); i += 1 }
+      else if (i + 1 < fmt.length && fmt.charAt(i + 1) == '%') { sb.append('%'); i += 2 }
+      else {
+        var j = i + 1
+        // n$ positional
+        var argPos = -1
+        val posM = raw"^(\d+)\$$".r.findFirstMatchIn(fmt.substring(j))
+        posM.foreach { pm => argPos = pm.group(1).toInt; j += pm.end }
+        var alignLeft = false; var sign = ""; var zero = false
+        var alt = false; var comma = false
+        var inFlags = true
+        while (inFlags && j < fmt.length) {
+          fmt.charAt(j) match {
+            case '-' => alignLeft = true; j += 1
+            case '+' => sign = "+"; j += 1
+            case ' ' => sign = " "; j += 1
+            case '0' => zero = true; j += 1
+            case '#' => alt = true; j += 1
+            case ',' => comma = true; j += 1
+            case '\'' => printfFail("custom thousands-separator flag %'")
+            case _ => inFlags = false
+          }
+        }
+        if (j < fmt.length && fmt.charAt(j) == '*')
+          printfFail("dynamic '*' width")
+        var width = ""
+        while (j < fmt.length && fmt.charAt(j).isDigit) { width += fmt.charAt(j); j += 1 }
+        var prec = ""
+        if (j < fmt.length && fmt.charAt(j) == '.') {
+          j += 1
+          if (j < fmt.length && fmt.charAt(j) == '*') printfFail("dynamic '*' precision")
+          prec = "."
+          while (j < fmt.length && fmt.charAt(j).isDigit) { prec += fmt.charAt(j); j += 1 }
+          if (prec == ".") prec = ".0"
+        }
+        while (j < fmt.length && "lzjt".indexOf(fmt.charAt(j)) >= 0) j += 1 // inert length mods
+        if (j < fmt.length && fmt.charAt(j) == 'h')
+          printfFail("length modifier 'h' (16-bit wrap)")
+        if (j >= fmt.length) printfFail("truncated %-spec")
+        val conv = fmt.charAt(j); j += 1
+        val idx =
+          if (argPos > 0) { usedManual = true; argPos - 1 }
+          else { usedAuto = true; val k = auto; auto += 1; k }
+        if (usedManual && usedAuto)
+          printfFail("cannot switch from manual to automatic argument indexing")
+        if (idx >= rest.length)
+          printfFail(s"argument index ${idx + 1} out of range")
+        // fmt-spec slot order: [align][sign][,][#][0][width][.prec][typ]
+        val align = if (alignLeft) "<" else ">"
+        def spec(typ: Char) =
+          align + sign + (if (comma) "," else "") + (if (alt) "#" else "") +
+            (if (zero) "0" else "") + width + prec + typ
+        val call = conv match {
+          case 'd' | 'i' => s"graft_printf_spec('${spec('d')}', (${rest(idx)}))"
+          case 's' | 'f' | 'F' | 'e' | 'E' | 'g' | 'G' =>
+            s"graft_printf_spec('${spec(conv)}', (${rest(idx)}))"
+          case 'u' | 'x' | 'X' | 'o' | 'b' =>
+            s"graft_printf_radix('${spec(conv)}', (${rest(idx)}))"
+          case 'c' => s"graft_printf_char('${spec('c')}', (${rest(idx)}))"
+          case other => printfFail(s"conversion '%$other'")
+        }
+        flushLit()
+        parts += call
+        i = j
+      }
+    }
+    flushLit()
+    val replacement =
+      if (parts.result().isEmpty) "''"
+      else s"concat(${parts.result().mkString(", ")})"
+    rewritePrintfFn(sql.substring(0, m.start) + replacement + sql.substring(close))
   }
 
   private val AggOrderByFnRe =

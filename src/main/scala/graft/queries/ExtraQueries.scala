@@ -1714,7 +1714,12 @@ object ExtraQueries {
              format('{:.6g}', CAST(l_suppkey * l_orderkey AS DOUBLE) / 16) AS fgen,
              format('{0:^9}|{0:.2s}', l_returnflag || l_linestatus) AS strf,
              format('{:6}', l_linenumber % 2 = 0) AS boolstr,
-             format('{: d}', l_suppkey - 50) AS sgn
+             format('{: d}', l_suppkey - 50) AS sgn,
+             printf('%05d|%,d', l_suppkey - 50, l_orderkey * l_partkey) AS pfd,
+             printf('%x %#o %u', l_suppkey - 50, l_partkey, l_suppkey - 50) AS pfx,
+             printf('%+.3f %.2e', CAST(l_orderkey - 2000 AS DOUBLE) / 64,
+                    CAST(l_partkey AS DOUBLE) / 256) AS pff,
+             printf('%8.1s|%s', l_returnflag || l_linestatus, l_linestatus) AS pfs
       FROM lineitem WHERE l_orderkey < 40 ORDER BY k, ln"""
 
   def q187FmtSpecs(s: SparkSession, d: String): DataFrame = {

@@ -4477,4 +4477,89 @@ class DialectSpec extends SparkSpec {
     fails("format('{:,+d}', 42)", "format")
   }
 
+  test("printf() %-specs (r17): every expected value is a probed duckdb 1.0.0 output") {
+    def one(sql: String): String = {
+      val r = SqlStage("s", sql).apply(spark, spark.range(1).toDF("i")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    def fmt(call: String): String = one(s"SELECT $call AS m")
+    // floats share the exact-binary half-even kernels (NOT Java's %.Nf)
+    assert(fmt("printf('%.1f', 0.25)") == "0.2") // Spark's own printf says 0.3
+    assert(fmt("printf('%.1f', 0.35)") == "0.3")
+    assert(fmt("printf('%.0f', 2.5)") == "2")
+    assert(fmt("printf('%.2f', 2.345)") == "2.35")
+    assert(fmt("printf('%e', 31415.9265)") == "3.141593e+04")
+    assert(fmt("printf('%.0e', 2.5)") == "2e+00")
+    assert(fmt("printf('%g', 1234567.0)") == "1.23457e+06")
+    assert(fmt("printf('%g', 0.0001)") == "0.0001")
+    assert(fmt("printf('%.1g', 0.0001)") == "0.01") // the shared small-value %g bug
+    assert(fmt("printf('%g', 999999.5)") == "1e+06")
+    assert(fmt("printf('%#g', 100.0)") == "100.000")
+    assert(fmt("printf('%.30f', 0.1)") == "0.100000000000000005551115123126")
+    assert(fmt("printf('% .2f', 2.5)") == " 2.50")
+    assert(fmt("printf('%-5.1f|', 2.25)") == "2.2  |")
+    // ints: flags, widths, grouping; zero beats '-' (probed)
+    assert(fmt("printf('%d', 42)") == "42")
+    assert(fmt("printf('%i', 42)") == "42")
+    assert(fmt("printf('%5d', -42)") == "  -42")
+    assert(fmt("printf('%-5d|', 42)") == "42   |")
+    assert(fmt("printf('%05d', -42)") == "-0042")
+    assert(fmt("printf('%0-8d|', 42)") == "00000042|")
+    assert(fmt("printf('%+d', 42)") == "+42")
+    assert(fmt("printf('%,d', 1234567)") == "1,234,567")
+    assert(fmt("printf('%+,d', 42)") == "+42") // printf allows sign + grouping
+    // unsigned conversions: two's complement at the STORAGE width
+    assert(fmt("printf('%x', 255)") == "ff")
+    assert(fmt("printf('%x', -255)") == "ffffff01") // 32-bit INT arg
+    assert(fmt("printf('%x', CAST(-255 AS BIGINT))") == "ffffffffffffff01")
+    assert(fmt("printf('%x', CAST(-255 AS SMALLINT))") == "ffffff01") // promotes to 32
+    assert(fmt("printf('%X', CAST(-1 AS BIGINT))") == "FFFFFFFFFFFFFFFF")
+    assert(fmt("printf('%u', -255)") == "4294967041")
+    assert(fmt("printf('%u', CAST(-255 AS BIGINT))") == "18446744073709551361")
+    assert(fmt("printf('%o', -8)") == "37777777770")
+    assert(fmt("printf('%b', -5)") == "11111111111111111111111111111011")
+    assert(fmt("printf('%#x', 255)") == "0xff")
+    assert(fmt("printf('%#o', 8)") == "010")
+    assert(fmt("printf('%#b', 5)") == "0b101")
+    assert(fmt("printf('%#x', 0)") == "0") // '#' prefixes only nonzero (C)
+    assert(fmt("printf('%#2X', 0)") == " 0") // seed-83 fuzz find
+    assert(fmt("format('{:#x}', 0)") == "0x0") // while the brace form keeps it
+    assert(fmt("printf('%,x', 4096)") == "4,096") // grouping overrides the radix
+    // %c: codepoint; width pads LEFT whatever '-' says (probed quirk)
+    assert(fmt("printf('%c', 65)") == "A")
+    assert(fmt("printf('%5c|', 65)") == "    A|")
+    assert(fmt("printf('%-5c|', 65)") == "    A|")
+    // strings: default RIGHT align (unlike the brace form), truncation
+    assert(fmt("printf('%s|%s', 'a', 'b')") == "a|b")
+    assert(fmt("printf('%10.2s|', 'hello')") == "        he|")
+    assert(fmt("printf('%7s|', '日本語')") == "    日本語|")
+    assert(fmt("printf('%.1s', 'ab')") == "a")
+    // positionals, escapes, bools, NULLs, inert length modifiers
+    assert(fmt("printf('%2$s %1$s', 'a', 'b')") == "b a")
+    assert(fmt("printf('%%')") == "%")
+    assert(fmt("printf('%d', true)") == "1")
+    assert(fmt("printf('%x', true)") == "1")
+    assert(fmt("printf('%s', true)") == "true")
+    assert(fmt("printf('%ld', 42)") == "42")
+    assert(fmt("printf('%s', CAST(NULL AS STRING))") == null)
+    assert(fmt("printf('%d', 1, 2)") == "1") // excess args fine
+    assert(fmt("printf('%.2f', CAST(2.345 AS DECIMAL(5,3)))") == "2.35")
+    assert(fmt("printf('%.2f', CAST(2.345 AS FLOAT))") == "2.35")
+    // loud parity errors (each a DuckDB Invalid Input Error too)
+    def fails(call: String, needle: String): Unit = {
+      val e = intercept[Exception](one(s"SELECT $call AS m"))
+      assert(e.getMessage != null && e.getMessage.contains(needle),
+        s"$call → ${e.getMessage}")
+    }
+    fails("printf('%s', 42)", "Invalid type specifier")
+    fails("printf('%d', 2.9)", "Invalid type specifier")
+    fails("printf('%x', 2.5)", "Invalid type specifier")
+    fails("printf('%c', 'A')", "Invalid type specifier")
+    fails("printf('%1$s %s', 'a', 'b')", "manual to automatic")
+    fails("printf('%d %d', 1)", "out of range")
+    fails("printf('%*d', 8, 42)", "dynamic")
+    fails("printf('%hd', 70000)", "length modifier")
+    fails("printf('%a', 1.0)", "conversion")
+  }
+
 }

@@ -618,13 +618,39 @@ object FuzzDiff {
             val typ = Seq("f", "e", "g", "E", "G")(r.nextInt(5))
             s"$align$sign$zero$width$prec$typ"
           }
+          // printf flavor: flags translate onto the same kernels; the
+          // unsigned conversions two's-complement at the arg width —
+          // which must therefore be CAST explicitly: the engines'
+          // function type inference differs (DuckDB's greatest(int,int)
+          // returns BIGINT, Spark's returns int — seed-84 find), and
+          // %x/%u surface the STORAGE width where every other surface
+          // compares only values
+          def pfIntSpec(): String = {
+            val flags = Seq("", "-", "+", " ", "0", "0-", "+0", ",")(r.nextInt(8))
+            val width = if (r.nextInt(2) == 0) (1 + r.nextInt(12)).toString else ""
+            s"%$flags$width${Seq("d", "i")(r.nextInt(2))}"
+          }
+          def pfRadixSpec(): String = {
+            val alt = if (r.nextInt(3) == 0) "#" else ""
+            val width = if (r.nextInt(2) == 0) (1 + r.nextInt(12)).toString else ""
+            s"%$alt$width${Seq("x", "X", "o", "b", "u")(r.nextInt(5))}"
+          }
+          def pfDblSpec(): String = {
+            val flags = Seq("", "-", "+", " ", "0")(r.nextInt(5))
+            val width = if (r.nextInt(2) == 0) (1 + r.nextInt(14)).toString else ""
+            s"%$flags$width.${1 + r.nextInt(12)}${Seq("f", "e", "g", "E", "G")(r.nextInt(5))}"
+          }
           val d1 = s"(CAST(${intExpr(r, 1)} AS DOUBLE) / ${Seq(2, 4, 8, 16, 64, 256)(r.nextInt(6))})"
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               format('{:${intSpec()}}', ${intExpr(r, 1)}) AS f1,
               format('{:${intSpec()}}', ${intExpr(r, 1)}) AS f2,
               format('{:${dblSpec()}}', $d1) AS f3,
               format('[{:${dblSpec()}}|{}]', $d1, ${intExpr(r, 1)}) AS f4,
-              format('{:${Seq("", ">", "<", "^", "_^", "*>")(r.nextInt(6))}${1 + r.nextInt(10)}${if (r.nextInt(2) == 0) s".${r.nextInt(5)}" else ""}}', ${strExpr(r, 1)}) AS f5
+              format('{:${Seq("", ">", "<", "^", "_^", "*>")(r.nextInt(6))}${1 + r.nextInt(10)}${if (r.nextInt(2) == 0) s".${r.nextInt(5)}" else ""}}', ${strExpr(r, 1)}) AS f5,
+              printf('${pfIntSpec()}|${pfRadixSpec()}', ${intExpr(r, 1)},
+                     CAST(${intExpr(r, 1)} AS ${Seq("BIGINT", "INT")(r.nextInt(2))}) ) AS p1,
+              printf('${pfDblSpec()} ${pfDblSpec()}', $d1, $d1 * ${1 + r.nextInt(8)}) AS p2,
+              printf('%${1 + r.nextInt(9)}.${r.nextInt(4)}s|%c', ${strExpr(r, 1)}, ${65 + r.nextInt(26)}) AS p3
               FROM lineitem WHERE l_orderkey < ${200 + r.nextInt(200)}"""
         case 59 => // null-safe comparison operators: IS [NOT] DISTINCT
           // FROM over NULLIF'd values (scalar position — both engines'
