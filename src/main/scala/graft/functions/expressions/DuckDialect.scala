@@ -760,6 +760,113 @@ object DuckDialect {
       inputTypes = Seq(StringType, LongType, IntegerType))
   }
 
+  /** `graft_printf_int('<spec>', x)` — printf's `%d`/`%i` carrying a
+    * PRECISION (C min-digits, which the shared brace-grammar kernel
+    * rejects — see [[DuckSweep.printfIntStr]]). Type dispatch mirrors
+    * DuckDB's binder (probed: '%.2d' of 1.5 / 'x' raise the same
+    * "Invalid type specifier" as the no-precision form; BOOLEAN
+    * formats as 0/1 — '%.2d' of true → '01').
+    */
+  private def printfIntBuilder(es: Seq[Expression]): Expression = {
+    nArgs("graft_printf_int", es, 2)
+    val spec = es.head match {
+      case Literal(s: UTF8String, StringType) if s != null => s.toString
+      case other => throw new DuckDialectException(
+        s"printf: internal spec argument must be a string literal, got $other")
+    }
+    val v = es(1)
+    if (!v.resolved)
+      throw new DuckDialectException(
+        s"printf('%$spec', …): the argument type cannot be determined " +
+          "before resolution; CAST the argument explicitly")
+    v.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+        sweepInvoke(StringType, "printfInt",
+          Seq(Literal(UTF8String.fromString(spec), StringType), Cast(v, LongType)),
+          Seq(StringType, LongType))
+      case FloatType | DoubleType | _: DecimalType =>
+        throw new DuckDialectException(
+          """printf: Invalid type specifier "d" for formatting a value of type float""")
+      case _ =>
+        throw new DuckDialectException(
+          """printf: Invalid type specifier "d" for formatting a value of type string""")
+    }
+  }
+
+  /** `graft_printf_dyn('<flags>', '<typ>', w, p, x)` — printf specs
+    * carrying a dynamic `'*'` width and/or precision (r18). `flags` is
+    * the literal `[align][sign][,][#][0]` prefix; `w`/`p` are the
+    * consumed arguments (integral only — DuckDB raises "width is not
+    * integer"/"precision is not integer" otherwise, probed; BOOLEAN
+    * promotes to 0/1, probed '%*d' of true). A static width/precision
+    * mixed with a dynamic partner rides in as a Literal (absent width
+    * = 0; precision-slot presence is a trailing '.' on `flags`, since
+    * dynamic negatives clamp to 0 and block a numeric sentinel).
+    * The spec string is composed per row and runs the SAME kernels as
+    * the literal forms; NULL in any slot → NULL (StaticInvoke null
+    * propagation), matching DuckDB's NULL row.
+    */
+  private def printfDynBuilder(es: Seq[Expression]): Expression = {
+    nArgs("graft_printf_dyn", es, 5)
+    def lit(i: Int, what: String): String = es(i) match {
+      case Literal(s: UTF8String, StringType) if s != null => s.toString
+      case other => throw new DuckDialectException(
+        s"printf: internal $what argument must be a string literal, got $other")
+    }
+    val flags = lit(0, "flags")
+    val typ = lit(1, "conversion").head
+    def dynInt(e: Expression, what: String): Expression = {
+      if (!e.resolved)
+        throw new DuckDialectException(
+          s"printf('%*$typ', …): the $what type cannot be determined " +
+            "before resolution; CAST the argument explicitly")
+      e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+          Cast(e, LongType)
+        case _ => throw new DuckDialectException(s"printf: $what is not integer")
+      }
+    }
+    val w = dynInt(es(2), "width")
+    val p = dynInt(es(3), "precision")
+    val v = es(4)
+    if (!v.resolved)
+      throw new DuckDialectException(
+        s"printf('%*$typ', …): the argument type cannot be determined " +
+          "before resolution; CAST the argument explicitly")
+    val flagsL = Literal(UTF8String.fromString(flags), StringType)
+    val typL = Literal(UTF8String.fromString(typ.toString), StringType)
+    def longCall(bits: Int): Expression =
+      sweepInvoke(StringType, "printfDynLong",
+        Seq(flagsL, typL, w, p, Cast(v, LongType), Literal(bits)),
+        Seq(StringType, StringType, LongType, LongType, LongType, IntegerType))
+    def dblCall: Expression =
+      sweepInvoke(StringType, "printfDynDouble",
+        Seq(flagsL, typL, w, p, Cast(v, DoubleType)),
+        Seq(StringType, StringType, LongType, LongType, DoubleType))
+    def strCall(cast: Boolean): Expression =
+      sweepInvoke(StringType, "printfDynStr",
+        Seq(flagsL, typL, w, p, if (cast) Cast(v, StringType) else v),
+        Seq(StringType, StringType, LongType, LongType, StringType))
+    def mismatch(tn: String): Nothing = throw new DuckDialectException(
+      s"""printf: Invalid type specifier "$typ" for formatting a value of type $tn""")
+    (typ, v.dataType) match {
+      case ('d' | 'i' | 'u' | 'x' | 'X' | 'o' | 'b' | 'c',
+            ByteType | ShortType | IntegerType | BooleanType) => longCall(32)
+      case ('d' | 'i' | 'u' | 'x' | 'X' | 'o' | 'b' | 'c', LongType) => longCall(64)
+      case ('d' | 'i' | 'u' | 'x' | 'X' | 'o' | 'b' | 'c',
+            FloatType | DoubleType | _: DecimalType) => mismatch("float")
+      case ('d' | 'i' | 'u' | 'x' | 'X' | 'o' | 'b' | 'c', _) => mismatch("string")
+      case (_, ByteType | ShortType | IntegerType | LongType) =>
+        if (typ == 's') mismatch("int") else longCall(64) // fmtLong raises for f/e/g
+      case (_, FloatType | DoubleType | _: DecimalType) =>
+        if (typ == 's') mismatch("float") else dblCall
+      case (_, StringType) => strCall(cast = false)
+      // bools, dates etc stringify (probed '%5s' of DATE; '%s' of true →
+      // 'true' — the static fmtSpecBuilder's own fallthrough)
+      case _ => strCall(cast = true)
+    }
+  }
+
   /** `graft_printf_char('<spec>', x)` — printf's %c over a codepoint;
     * int-typed arguments only (probed: '%c' of a string is DuckDB's
     * "Invalid type specifier" error).
@@ -1398,6 +1505,8 @@ object DuckDialect {
     "graft_fmt_spec" -> (es => fmtSpecBuilder(es)),
     "graft_printf_spec" -> (es => fmtSpecBuilder(es, allowSignComma = true)),
     "graft_printf_radix" -> (es => printfRadixBuilder(es)),
+    "graft_printf_int" -> (es => printfIntBuilder(es)),
+    "graft_printf_dyn" -> (es => printfDynBuilder(es)),
     "graft_printf_char" -> (es => printfCharBuilder(es)),
     "formatreadablesize" -> (es => { nArgs("formatReadableSize", es, 1)
       sweepInvoke(StringType, "formatBytes", Seq(Cast(es(0), LongType)), Seq(LongType)) }),

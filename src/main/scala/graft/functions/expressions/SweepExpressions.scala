@@ -785,9 +785,10 @@ object DuckSweep {
 
   /** Float presentation. Probed: exact-binary-value HALF_EVEN rounding
     * ('{:.1f}' of 0.25 → '0.2'; '{:.0f}' of 1.5 → '2'; '{:.30f}' of
-    * 0.1 prints the binary expansion); a true ±0.0 prints UNSIGNED
-    * ('{:.2f}' of -0.0 → '0.00') while a nonzero value that rounds to
-    * zero keeps its sign ('-0.00' from -0.004); nan/inf lowercase;
+    * 0.1 prints the binary expansion); a literal `-0.0` parses as +0.0
+    * and prints UNSIGNED ('0.00') but a true sign-bit IEEE -0.0 prints
+    * SIGNED ('-0.00' — the sign comes from the raw bit, as for a
+    * nonzero value that rounds to zero like -0.004); nan/inf lowercase;
     * thousands separators are rejected; `{:.N}` with no type char is
     * %g; no precision and no type is the shortest-repr VARCHAR form.
     */
@@ -938,8 +939,18 @@ object DuckSweep {
     * on a BIGINT → 'ffffffffffffff01'; '%u' of -255 → '4294967041').
     * Sub-INT types promote to 32 bits like C default promotion. The
     * grouping flag forces grouped unsigned DECIMAL ('%,x' of 4096 →
-    * '4,096', probed, same override as the brace form). Sign flags are
-    * inert on unsigned conversions.
+    * '4,096', probed, same override as the brace form). Sign flags
+    * APPLY to unsigned conversions, on the reinterpreted magnitude
+    * (probed 1.0.0: '%+x' of 255 → '+ff', of -255 → '+ffffff01';
+    * '% u' of 5 → ' 5'; '%#+x' → '+0xff' — sign left of the radix
+    * prefix). Precision is C min-digits, zero-extending the BODY
+    * string to `prec` CHARS after grouping ('%,.9x' of 4096 →
+    * '00004,096', probed) and after octal's '#' merges its '0' into
+    * the digits ('%#.5o' of 8 → '00010' but '%#.5x' of 255 →
+    * '0x000ff' — hex/binary prefixes stay OUTSIDE the extension,
+    * probed); fmt drops the precision entirely when the zero flag is
+    * present ('%010.5x' of 255 → '00000000ff', '%0.5d' → '42',
+    * probed — NOT C, which ignores the flag instead).
     */
   private[expressions] def printfRadixStr(spec: String, v: Long,
                                           bits: Int): String = {
@@ -950,7 +961,7 @@ object DuckSweep {
         else java.math.BigInteger.valueOf(v)
           .add(java.math.BigInteger.ONE.shiftLeft(64))
       } else java.math.BigInteger.valueOf(v & 0xFFFFFFFFL)
-    val body =
+    var body =
       if (f.comma) group3(uv.toString)
       else f.typ match {
         case 'x' => uv.toString(16)
@@ -961,7 +972,7 @@ object DuckSweep {
       }
     // '#' prefixes only NONZERO values — C semantics ('%#x' of 0 → '0',
     // probed), unlike the brace form where '{:#x}' of 0 keeps '0x0'
-    val prefix =
+    var radixPrefix =
       if (f.alt && !f.comma && uv.signum != 0) f.typ match {
         case 'x' => "0x"
         case 'X' => "0X"
@@ -969,7 +980,40 @@ object DuckSweep {
         case 'o' => "0"
         case _ => ""
       } else ""
-    fmtPad(prefix, body, f, '>')
+    if (f.typ == 'o') { body = radixPrefix + body; radixPrefix = "" }
+    if (f.prec >= 0 && !f.zero && body.length < f.prec)
+      body = "0" * (f.prec - body.length) + body
+    val signStr =
+      if (f.sign == '+') "+" else if (f.sign == ' ') " " else ""
+    fmtPad(signStr + radixPrefix, body, f, '>')
+  }
+
+  def printfInt(spec: UTF8String, v: Long): UTF8String =
+    UTF8String.fromString(printfIntStr(spec.toString, v))
+
+  /** printf's `%d`/`%i` WITH a precision — C min-digits on the signed
+    * value, which the brace grammar (and so [[fmtLong]]) rejects.
+    * Zero-extension follows the same fmt rules as [[printfRadixStr]]:
+    * the body string pads to `prec` CHARS after grouping ('%,.8d' of
+    * -123456 → '-0123,456', probed), the sign stays outside
+    * ('%.5d' of -42 → '-00042'), and the zero flag DROPS the
+    * precision ('%08.5d' of -42 → '-0000042' = plain '%08d', probed).
+    */
+  private[expressions] def printfIntStr(spec: String, v: Long): String = {
+    val f = parseFmtSpec(spec)
+    if (f.typ != 0.toChar && f.typ != 'd')
+      throw new IllegalArgumentException(
+        s"""Invalid type specifier "${f.typ}" for formatting a value of type int""")
+    val mag = java.math.BigInteger.valueOf(v).abs
+    var body = if (f.comma) group3(mag.toString) else mag.toString
+    if (f.prec >= 0 && !f.zero && body.length < f.prec)
+      body = "0" * (f.prec - body.length) + body
+    val signStr =
+      if (v < 0) "-"
+      else if (f.sign == '+') "+"
+      else if (f.sign == ' ') " "
+      else ""
+    fmtPad(signStr, body, f, '>')
   }
 
   def printfChar(spec: UTF8String, v: Long): UTF8String =
@@ -983,6 +1027,64 @@ object DuckSweep {
     val f = parseFmtSpec(spec)
     val s = new String(Character.toChars(v.toInt))
     fmtPad("", s, f.copy(align = '>', fill = ' ', zero = false), '>')
+  }
+
+  // --- printf dynamic '*' width/precision (r18): the spec string is
+  // COMPOSED at runtime from the literal flag prefix plus the argument
+  // values, then runs the same kernels as the literal forms. Probed
+  // 1.0.0 semantics: a NEGATIVE width left-aligns at |w| like C's '-'
+  // flag — but the zero flag still beats it ('%0*d' of (-6, 42) →
+  // '000042', the documented '%0-8d' precedence); a negative PRECISION
+  // clamps to 0 for every conversion ('%.*f' of -2 ≡ '%.0f' → '2',
+  // '%.*s' of -3 → '', '%.*d' of -5 → '42'), unlike C's drop-the-spec;
+  // NULL width/precision/value → NULL row (fmt never runs).
+
+  /** A trailing '.' on the flags template marks "a precision slot
+    * exists" (dynamic negatives clamp to 0, so no numeric sentinel can
+    * distinguish absent from clamped — '%.*f' of -2 ≡ '%.0f' → '2'
+    * while a spec with NO precision defaults to 6).
+    */
+  private def pfComposeSpec(flags0: String, typ: Char, w: Long, p: Long): String = {
+    val hasP = flags0.nonEmpty && flags0.charAt(flags0.length - 1) == '.'
+    var flags = if (hasP) flags0.substring(0, flags0.length - 1) else flags0
+    var ww = w
+    if (ww < 0) {
+      ww = -ww
+      // C's negative-width '-' flag, which fmt's zero flag overrides
+      if (flags.indexOf('0') < 0) flags = "<" + flags.substring(1)
+    }
+    if (ww > 1000000L)
+      throw new IllegalArgumentException("format specifier width out of range")
+    val sb = new java.lang.StringBuilder(flags)
+    if (ww > 0) sb.append(ww)
+    if (hasP) sb.append('.').append(math.max(p, 0L))
+    sb.append(typ)
+    sb.toString
+  }
+
+  def printfDynLong(flags: UTF8String, typS: UTF8String, w: Long, p: Long,
+                    v: Long, bits: Int): UTF8String = {
+    val typ = typS.toString.charAt(0)
+    val spec = pfComposeSpec(flags.toString, if (typ == 'i') 'd' else typ, w, p)
+    val out = typ match {
+      case 'd' | 'i' => printfIntStr(spec, v)
+      case 'c' => printfCharStr(spec, v)
+      case 'u' | 'x' | 'X' | 'o' | 'b' => printfRadixStr(spec, v, bits)
+      case _ => fmtLong(spec, v) // raises fmt's own type-mismatch message
+    }
+    UTF8String.fromString(out)
+  }
+
+  def printfDynDouble(flags: UTF8String, typS: UTF8String, w: Long, p: Long,
+                      v: Double): UTF8String = {
+    val typ = typS.toString.charAt(0)
+    UTF8String.fromString(fmtDouble(pfComposeSpec(flags.toString, typ, w, p), v))
+  }
+
+  def printfDynStr(flags: UTF8String, typS: UTF8String, w: Long, p: Long,
+                   s: UTF8String): UTF8String = {
+    val typ = typS.toString.charAt(0)
+    UTF8String.fromString(fmtStr(pfComposeSpec(flags.toString, typ, w, p), s.toString))
   }
 }
 

@@ -777,7 +777,8 @@ object GraftSqlParser {
       s"printf() couldn't be auto-rewritten ($why) — claimed: a LITERAL " +
         "format string with %-specs (flags - + space 0 # ',', width, " +
         ".precision, n$ positionals, %% escapes; conversions " +
-        "d i u x X o b c s f F e E g G). Dynamic '*' width/precision, " +
+        "d i u x X o b c s f F e E g G; dynamic '*' width/precision " +
+        "consuming sequential arguments). Mixing '*' with n$ positionals, " +
         "length modifiers and %a are not translated. The error is " +
         "deliberate: an untranslated printf would run Spark's Java " +
         "Formatter, which rounds the DECIMAL value HALF_UP where " +
@@ -846,44 +847,89 @@ object GraftSqlParser {
             case _ => inFlags = false
           }
         }
-        if (j < fmt.length && fmt.charAt(j) == '*')
-          printfFail("dynamic '*' width")
+        // dynamic '*' width/precision (r18): each '*' CONSUMES the next
+        // sequential argument, in C order width-then-precision-then-value
+        // (probed '%*.*f' of (10, 2, x)); fmt itself rejects mixing them
+        // with n$ positionals ("cannot switch from automatic to manual
+        // argument indexing", probed), so the positional+dynamic combo
+        // keeps a guided error here
+        var widthDyn = false
+        if (j < fmt.length && fmt.charAt(j) == '*') {
+          if (argPos > 0)
+            printfFail("dynamic '*' width combined with an n$ positional " +
+              "(DuckDB rejects the mix too)")
+          widthDyn = true; j += 1
+        }
         var width = ""
         while (j < fmt.length && fmt.charAt(j).isDigit) { width += fmt.charAt(j); j += 1 }
         var prec = ""
+        var precDyn = false
         if (j < fmt.length && fmt.charAt(j) == '.') {
           j += 1
-          if (j < fmt.length && fmt.charAt(j) == '*') printfFail("dynamic '*' precision")
-          prec = "."
-          while (j < fmt.length && fmt.charAt(j).isDigit) { prec += fmt.charAt(j); j += 1 }
-          if (prec == ".") prec = ".0"
+          if (j < fmt.length && fmt.charAt(j) == '*') {
+            if (argPos > 0)
+              printfFail("dynamic '*' precision combined with an n$ positional " +
+                "(DuckDB rejects the mix too)")
+            precDyn = true; j += 1
+          } else {
+            prec = "."
+            while (j < fmt.length && fmt.charAt(j).isDigit) { prec += fmt.charAt(j); j += 1 }
+            if (prec == ".") prec = ".0"
+          }
         }
         while (j < fmt.length && "lzjt".indexOf(fmt.charAt(j)) >= 0) j += 1 // inert length mods
         if (j < fmt.length && fmt.charAt(j) == 'h')
           printfFail("length modifier 'h' (16-bit wrap)")
         if (j >= fmt.length) printfFail("truncated %-spec")
         val conv = fmt.charAt(j); j += 1
+        def nextAuto(): Int = {
+          usedAuto = true; val k = auto; auto += 1
+          if (k >= rest.length) printfFail(s"argument index ${k + 1} out of range")
+          k
+        }
+        val wIdx = if (widthDyn) nextAuto() else -1
+        val pIdx = if (precDyn) nextAuto() else -1
         val idx =
           if (argPos > 0) { usedManual = true; argPos - 1 }
-          else { usedAuto = true; val k = auto; auto += 1; k }
+          else nextAuto()
         if (usedManual && usedAuto)
           printfFail("cannot switch from manual to automatic argument indexing")
         if (idx >= rest.length)
           printfFail(s"argument index ${idx + 1} out of range")
+        // sign/'#'/zero flags are INERT on %s in fmt's sprintf (probed:
+        // '%+s'/'%#s' → the bare string, '%05s' SPACE-pads) while the
+        // shared brace-grammar kernel rejects them — strip before routing
+        val sSign = if (conv == 's') "" else sign
+        val sAlt = if (conv == 's') false else alt
+        val sZero = if (conv == 's') false else zero
         // fmt-spec slot order: [align][sign][,][#][0][width][.prec][typ]
         val align = if (alignLeft) "<" else ">"
         def spec(typ: Char) =
-          align + sign + (if (comma) "," else "") + (if (alt) "#" else "") +
-            (if (zero) "0" else "") + width + prec + typ
-        val call = conv match {
-          case 'd' | 'i' => s"graft_printf_spec('${spec('d')}', (${rest(idx)}))"
-          case 's' | 'f' | 'F' | 'e' | 'E' | 'g' | 'G' =>
-            s"graft_printf_spec('${spec(conv)}', (${rest(idx)}))"
-          case 'u' | 'x' | 'X' | 'o' | 'b' =>
-            s"graft_printf_radix('${spec(conv)}', (${rest(idx)}))"
-          case 'c' => s"graft_printf_char('${spec('c')}', (${rest(idx)}))"
-          case other => printfFail(s"conversion '%$other'")
-        }
+          align + sSign + (if (comma) "," else "") + (if (sAlt) "#" else "") +
+            (if (sZero) "0" else "") + width + prec + typ
+        val call =
+          if (widthDyn || precDyn) {
+            if ("disuxXobcfFeEgG".indexOf(conv) < 0)
+              printfFail(s"conversion '%$conv'")
+            // flags literal = [align][sign][,][#][0] + trailing '.'
+            // marker when a precision slot (dynamic or static) exists
+            val flags = align + sSign + (if (comma) "," else "") +
+              (if (sAlt) "#" else "") + (if (sZero) "0" else "") +
+              (if (precDyn || prec.nonEmpty) "." else "")
+            val wArg = if (widthDyn) s"(${rest(wIdx)})" else (if (width.isEmpty) "0" else width)
+            val pArg = if (precDyn) s"(${rest(pIdx)})" else (if (prec.isEmpty) "0" else prec.substring(1))
+            s"graft_printf_dyn('$flags', '$conv', $wArg, $pArg, (${rest(idx)}))"
+          } else conv match {
+            case 'd' | 'i' if prec.nonEmpty =>
+              s"graft_printf_int('${spec('d')}', (${rest(idx)}))"
+            case 'd' | 'i' => s"graft_printf_spec('${spec('d')}', (${rest(idx)}))"
+            case 's' | 'f' | 'F' | 'e' | 'E' | 'g' | 'G' =>
+              s"graft_printf_spec('${spec(conv)}', (${rest(idx)}))"
+            case 'u' | 'x' | 'X' | 'o' | 'b' =>
+              s"graft_printf_radix('${spec(conv)}', (${rest(idx)}))"
+            case 'c' => s"graft_printf_char('${spec('c')}', (${rest(idx)}))"
+            case other => printfFail(s"conversion '%$other'")
+          }
         flushLit()
         parts += call
         i = j

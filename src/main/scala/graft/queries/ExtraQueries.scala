@@ -1719,7 +1719,13 @@ object ExtraQueries {
              printf('%x %#o %u', l_suppkey - 50, l_partkey, l_suppkey - 50) AS pfx,
              printf('%+.3f %.2e', CAST(l_orderkey - 2000 AS DOUBLE) / 64,
                     CAST(l_partkey AS DOUBLE) / 256) AS pff,
-             printf('%8.1s|%s', l_returnflag || l_linestatus, l_linestatus) AS pfs
+             printf('%8.1s|%s', l_returnflag || l_linestatus, l_linestatus) AS pfs,
+             printf('%+x %.5d % .3u', l_suppkey - 50, l_suppkey - 50, l_linenumber) AS pfp,
+             printf('%#.5o|%,.9d', l_partkey, l_orderkey * l_partkey) AS pfo,
+             printf('%*d|%-*x', CAST(l_linenumber + 4 AS INT), l_suppkey,
+                    CAST(l_linenumber AS INT), l_partkey) AS pfw,
+             printf('%*.*f', CAST(8 AS INT), CAST(l_linenumber - 2 AS INT),
+                    CAST(l_orderkey - 2000 AS DOUBLE) / 64) AS pfdw
       FROM lineitem WHERE l_orderkey < 40 ORDER BY k, ln"""
 
   def q187FmtSpecs(s: SparkSession, d: String): DataFrame = {

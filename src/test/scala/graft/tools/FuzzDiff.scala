@@ -628,12 +628,19 @@ object FuzzDiff {
           def pfIntSpec(): String = {
             val flags = Seq("", "-", "+", " ", "0", "0-", "+0", ",")(r.nextInt(8))
             val width = if (r.nextInt(2) == 0) (1 + r.nextInt(12)).toString else ""
-            s"%$flags$width${Seq("d", "i")(r.nextInt(2))}"
+            // r18: C min-digit precision executes ('%.5d' → '-00042';
+            // with the zero flag fmt DROPS it — both pinned in-kernel)
+            val prec = if (r.nextInt(3) == 0) s".${r.nextInt(9)}" else ""
+            s"%$flags$width$prec${Seq("d", "i")(r.nextInt(2))}"
           }
           def pfRadixSpec(): String = {
+            // r18: sign/space flags apply to unsigned conversions
+            // ('%+x' of 255 → '+ff', probed — ADVICE r17)
+            val sign = Seq("", "", "+", " ")(r.nextInt(4))
             val alt = if (r.nextInt(3) == 0) "#" else ""
             val width = if (r.nextInt(2) == 0) (1 + r.nextInt(12)).toString else ""
-            s"%$alt$width${Seq("x", "X", "o", "b", "u")(r.nextInt(5))}"
+            val prec = if (r.nextInt(3) == 0) s".${r.nextInt(9)}" else ""
+            s"%$sign$alt$width$prec${Seq("x", "X", "o", "b", "u")(r.nextInt(5))}"
           }
           def pfDblSpec(): String = {
             val flags = Seq("", "-", "+", " ", "0")(r.nextInt(5))
@@ -650,7 +657,15 @@ object FuzzDiff {
               printf('${pfIntSpec()}|${pfRadixSpec()}', ${intExpr(r, 1)},
                      CAST(${intExpr(r, 1)} AS ${Seq("BIGINT", "INT")(r.nextInt(2))}) ) AS p1,
               printf('${pfDblSpec()} ${pfDblSpec()}', $d1, $d1 * ${1 + r.nextInt(8)}) AS p2,
-              printf('%${1 + r.nextInt(9)}.${r.nextInt(4)}s|%c', ${strExpr(r, 1)}, ${65 + r.nextInt(26)}) AS p3
+              printf('%${1 + r.nextInt(9)}.${r.nextInt(4)}s|%c', ${strExpr(r, 1)}, ${65 + r.nextInt(26)}) AS p3,
+              printf('%${Seq("", "-", "0", "+")(r.nextInt(4))}*${Seq("d", "x", "u", "s")(r.nextInt(4)) match {
+                case "s" => "s', CAST(l_linenumber + " + r.nextInt(9) + " AS INT), " + strExpr(r, 1)
+                case t => t + "', CAST(l_linenumber - " + r.nextInt(5) + " AS INT), CAST(" + intExpr(r, 1) + " AS INT)"
+              }}) AS p4,
+              printf(${if (r.nextInt(2) == 0)
+                s"'%${1 + r.nextInt(10)}.*f', CAST(l_linenumber + ${r.nextInt(6) - 2} AS INT), $d1"
+              else
+                s"'%*.*${Seq("f", "e", "E", "f")(r.nextInt(4))}', CAST(${3 + r.nextInt(10)} AS INT), CAST(l_linenumber + ${r.nextInt(4) - 1} AS INT), $d1"}) AS p5
               FROM lineitem WHERE l_orderkey < ${200 + r.nextInt(200)}"""
         case 59 => // null-safe comparison operators: IS [NOT] DISTINCT
           // FROM over NULLIF'd values (scalar position — both engines'

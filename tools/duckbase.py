@@ -54,20 +54,37 @@ def main():
     def run_budgeted(sql):
         """Execute under the budget; returns (seconds, interrupted)."""
         done = threading.Event()
+        fired = []
+        w = None
         if budget:
             def watchdog():
-                if not done.wait(budget):
+                # re-check AFTER the wait: a query finishing right at the
+                # boundary could otherwise eat an interrupt meant for it
+                # on its NEXT statement (r18, ADVICE)
+                if not done.wait(budget) and not done.is_set():
+                    fired.append(True)
                     con.interrupt()
             w = threading.Thread(target=watchdog, daemon=True)
             w.start()
         t0 = time.time()
+        interrupted = False
         try:
             con.execute(sql).fetchall()
-            return time.time() - t0, False
         except duckdb.InterruptException:
-            return time.time() - t0, True
+            interrupted = True
         finally:
             done.set()
+        dt = time.time() - t0
+        if w is not None:
+            w.join()
+            if fired and not interrupted:
+                # the interrupt landed after fetchall() returned — swallow
+                # the pending flag so it can't cancel the next query
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except duckdb.InterruptException:
+                    pass
+        return dt, interrupted
 
     best = {}
     failed = []
@@ -88,6 +105,10 @@ def main():
                 over_budget.append(name)
                 if not interrupted:
                     best[name] = dt  # completed cold run — marked below
+                else:
+                    # an earlier warm pass may have recorded a timing; an
+                    # over-budget query reports with NO timing (r18, ADVICE)
+                    best.pop(name, None)
                 continue
             if p > 0 and (name not in best or dt < best[name]):
                 best[name] = dt

@@ -166,9 +166,14 @@ def gen_events(n, nusers, rng):
 
 def main():
     outroot = sys.argv[1] if len(sys.argv) > 1 else '/root/repo/scaledata'
+    # r18: optional mult list (e.g. `... scaledata 100` emits only sf10);
+    # default keeps the r16 pair so existing invocations are unchanged.
+    mults = ([int(a) for a in sys.argv[2:]] if len(sys.argv) > 2
+             else [5, 10])
     import os
     import shutil
-    for mult, name in [(5, 'sf0.5'), (10, 'sf1')]:
+    for mult in mults:
+        name = f'sf{mult/10:g}'
         d = os.path.join(outroot, name)
         os.makedirs(d, exist_ok=True)
         rng = np.random.default_rng(1000 + mult)
