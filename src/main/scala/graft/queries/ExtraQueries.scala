@@ -1667,7 +1667,11 @@ object ExtraQueries {
     * LIKE keeps the gate location-independent); the parquet leg writes
     * two DIFFERENT schemas and reads them back through a glob with
     * `union_by_name = true` (DuckDB's name-matched NULL-filling union
-    * = Spark's mergeSchema, probed 1.0.0).
+    * = Spark's mergeSchema, probed 1.0.0); the csv-glob leg (r18,
+    * VERDICT r17 #3) writes two csvs with DIFFERENT headers and
+    * re-reads them through `union_by_name = true` — the glob expands
+    * and the per-file frames align by name with NULL fill
+    * (`unionByName(allowMissing)`), first file's columns leading.
     */
   private[graft] val readOptsSqlText = """
       COPY (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS rk FROM nation)
@@ -1676,15 +1680,25 @@ object ExtraQueries {
         TO '/tmp/graft_q186_u1.parquet' (FORMAT PARQUET);
       COPY (SELECT n_nationkey AS k, n_regionkey AS rk FROM nation WHERE n_regionkey = 1)
         TO '/tmp/graft_q186_u2.parquet' (FORMAT PARQUET);
+      COPY (SELECT n_nationkey AS k, n_name AS name FROM nation WHERE n_regionkey = 2)
+        TO '/tmp/graft_q186_c1.csv' (FORMAT CSV, HEADER);
+      COPY (SELECT n_nationkey AS k, n_regionkey AS rk, n_name AS name
+            FROM nation WHERE n_regionkey = 3)
+        TO '/tmp/graft_q186_c2.csv' (FORMAT CSV, HEADER);
       SELECT CAST(c.k AS BIGINT) AS k, c.name, c.rk AS rk_str,
              c.fname LIKE '%graft_q186_opts.csv' AS from_csv,
-             CAST(u.k2 AS BIGINT) AS uk, u.name2 AS uname, CAST(u.rk2 AS BIGINT) AS urk
+             CAST(u.k2 AS BIGINT) AS uk, u.name2 AS uname, CAST(u.rk2 AS BIGINT) AS urk,
+             cu.name3 AS cuname, CAST(cu.rk3 AS BIGINT) AS curk
       FROM (SELECT k, name, rk, filename AS fname
             FROM read_csv('/tmp/graft_q186_opts.csv', header = true,
                           sample_size = -1, all_varchar = true, filename = true)) c
       LEFT JOIN (SELECT k AS k2, name AS name2, rk AS rk2
                  FROM read_parquet('/tmp/graft_q186_u*.parquet', union_by_name = true)) u
         ON CAST(u.k2 AS BIGINT) = CAST(c.k AS BIGINT)
+      LEFT JOIN (SELECT k AS k3, name AS name3, rk AS rk3
+                 FROM read_csv('/tmp/graft_q186_c*.csv', header = true,
+                               union_by_name = true)) cu
+        ON CAST(cu.k3 AS BIGINT) = CAST(c.k AS BIGINT)
       ORDER BY k"""
 
   def q186ReadOptions(s: SparkSession, d: String): DataFrame = {
@@ -1865,8 +1879,12 @@ object ExtraQueries {
            s3 AS (SELECT doc_id FROM documents USING SAMPLE 40 ROWS (reservoir, 7)),
            s4 AS (SELECT doc_id FROM documents USING SAMPLE reservoir(40 ROWS) REPEATABLE (7)),
            s5 AS (SELECT doc_id FROM documents USING SAMPLE reservoir(20%) REPEATABLE (11)),
-           s6 AS (SELECT doc_id FROM documents USING SAMPLE 20% (reservoir, 11))
+           s6 AS (SELECT doc_id FROM documents USING SAMPLE 20% (reservoir, 11)),
+           sc AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+           sc2 AS (SELECT * FROM sc USING SAMPLE reservoir(25%) REPEATABLE (13))
       SELECT (SELECT count(*) FROM s) AS n_s,
+             (SELECT count(*) FROM sc2) AS n_cte_pct,
+             (SELECT count(*) FROM (SELECT doc_id FROM sc2 EXCEPT SELECT doc_id FROM sc)) = 0 AS cte_subset_ok,
              (SELECT count(DISTINCT doc_id) FROM s) AS n_s_distinct,
              (SELECT count(*) FROM s3) AS n_s3,
              (SELECT count(*) FROM (SELECT doc_id FROM s EXCEPT SELECT doc_id FROM s2)) = 0 AS same_seed_same_set,

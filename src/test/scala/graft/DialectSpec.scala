@@ -3881,11 +3881,24 @@ class DialectSpec extends SparkSpec {
     val multi = intercept[Exception](
       q("SELECT * FROM rsv_w a, rsv_w b WHERE a.r = b.r USING SAMPLE 5 ROWS"))
     assert(multi.getMessage.contains("FROM subquery"), multi.getMessage)
-    // CTE-scoped percentage reservoir can't be counted out of context —
-    // guided error naming the temp-table route
-    val cte = intercept[Exception](
-      q("WITH c AS (SELECT r FROM rsv_w) SELECT * FROM c USING SAMPLE reservoir(10%)"))
-    assert(cte.getMessage.contains("reservoir"), cte.getMessage)
+    // CTE-scoped percentage reservoir (r18, VERDICT r17 #5): the count
+    // re-attaches the statement's own WITH prefix — probed duckdb
+    // 1.0.0 on the same shapes: 10% of a 100-row CTE → 10, 50% of a
+    // 15-row filtered CTE → 8 (7.5 up), chained-CTE 20% of 25 → 5
+    assert(q("WITH c AS (SELECT r FROM rsv_w) SELECT * FROM c USING SAMPLE reservoir(10%)").length == 10)
+    assert(q("""WITH c AS (SELECT r FROM rsv_w WHERE r < 15)
+                SELECT * FROM c USING SAMPLE reservoir(50%) REPEATABLE (42)""").length == 8)
+    assert(q("""WITH a AS (SELECT r FROM rsv_w WHERE r < 25),
+                     b AS (SELECT * FROM a USING SAMPLE 20% (reservoir, 7))
+                SELECT * FROM b""").length == 5)
+    // seeded CTE-scoped draw is deterministic
+    val cteA = q("WITH c AS (SELECT r FROM rsv_w) SELECT * FROM c USING SAMPLE reservoir(10%) REPEATABLE (7) ORDER BY r")
+    val cteB = q("WITH c AS (SELECT r FROM rsv_w) SELECT * FROM c USING SAMPLE reservoir(10%) REPEATABLE (7) ORDER BY r")
+    assert(cteA.map(_.getLong(0)).toSeq == cteB.map(_.getLong(0)).toSeq)
+    // a name NOTHING resolves still raises the guided temp-table error
+    val cteBad = intercept[Exception](
+      q("SELECT * FROM graft_no_such_rel_xyz USING SAMPLE reservoir(10%)"))
+    assert(cteBad.getMessage.contains("reservoir"), cteBad.getMessage)
     // SIBLING percentage samples each resolve their own count
     val sib = q("""SELECT (SELECT count(*) FROM (SELECT * FROM rsv_w USING SAMPLE reservoir(10%)))
                    + (SELECT count(*) FROM (SELECT * FROM rsv_w USING SAMPLE reservoir(20%))) AS n""")

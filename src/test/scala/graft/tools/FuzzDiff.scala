@@ -154,7 +154,7 @@ object FuzzDiff {
   private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(61) match {
+      val sql = r.nextInt(62) match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -676,6 +676,19 @@ object FuzzDiff {
               NULLIF(l_returnflag, '${Seq("A", "N", "R")(r.nextInt(3))}')
                 IS DISTINCT FROM l_linestatus AS neq
               FROM lineitem WHERE l_orderkey < ${250 + r.nextInt(250)}"""
+        case 61 => // CTE-scoped percentage reservoir (r18): both engines
+          // draw their own rows, so the comparison pins the DuckDB-
+          // guaranteed invariants — exact round-half-up(p% × CTE count)
+          // cardinality and subset-of-the-CTE membership
+          val cap = 100 + r.nextInt(400)
+          val pct = 5 + r.nextInt(60)
+          s"""WITH a AS (SELECT l_orderkey AS k, l_linenumber AS ln
+                         FROM lineitem WHERE l_orderkey < $cap),
+                   b AS (SELECT * FROM a USING SAMPLE reservoir($pct%)
+                         REPEATABLE (${1 + r.nextInt(99)}))
+              SELECT (SELECT count(*) FROM b) AS n,
+                     (SELECT count(*) FROM (SELECT k, ln FROM b
+                        EXCEPT SELECT k, ln FROM a)) = 0 AS subset_ok"""
         case _ => // list functions over document tokens
           s"""SELECT doc_id,
               array_to_string(list_sort(string_split(substr(text, 1, ${40 + r.nextInt(40)}), ' ')), '|') AS w,
