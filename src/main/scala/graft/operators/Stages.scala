@@ -1119,6 +1119,21 @@ object TransformRegistry {
   *    then cluster-local keep-lowest-id prune at cosine ≥ `threshold`;
   *    `clusters` sets the centroid count (omitted → √N/3 auto-sizing,
   *    which bounds the cluster-local quadratic at ~N^1.5 flops).
+  *    `maxClusterSize` (default 4096, 0 disables) caps any one
+  *    cluster's prune membership: a cluster over the cap is
+  *    deterministically down-sampled BEFORE the pair join (hash-ranked
+  *    by id), bounding its blowup at cap²/2 pairs. SILENT-PRECISION
+  *    NOTE: evicted members skip pruning entirely — they survive even
+  *    when a true near-twin exists, so a production cluster above the
+  *    cap pays a RECALL tax on dedup (at most (size−cap)/size of that
+  *    cluster's true near-dups are retained), never a data loss.
+  *    Detect it from the `Dataset.observe` telemetry semDedup emits
+  *    (`rows_evicted` > 0 / `hot_buckets` / `max_bucket_size` — see
+  *    DedupSpec "hot-cluster cap"): any nonzero `rows_evicted` means
+  *    the cap engaged, and a `max_bucket_size` well over N/`clusters`
+  *    is the signal that `clusters` is undersized for the corpus —
+  *    raise `clusters` (cheaper assignment, smaller clusters) before
+  *    raising the cap.
   *
   * {{{
   * actionConfig: {method: minhash, id: doc_id, text: text, threshold: 0.6}
@@ -1138,8 +1153,15 @@ final case class DedupStage(name: String, method: String, idCol: String,
                             maxDf: Long = 4,
                             hashKeys: Boolean = false,
                             clusters: Int = graft.functions.VectorFunctions.Auto,
-                            score: Option[String] = None)
+                            score: Option[String] = None,
+                            maxClusterSize: Int = 4096)
     extends Stage {
+  /** The latest semdedup apply's hot-cluster Observation (None until a
+    * semdedup apply; metrics block until an action runs the plan).
+    */
+  @transient @volatile var lastCapObs:
+    Option[org.apache.spark.sql.Observation] = None
+
   override def apply(spark: SparkSession, df: DataFrame): DataFrame = method match {
     case "exact" | "fingerprint" =>
       val key = if (method == "exact") col(textCol)
@@ -1173,12 +1195,18 @@ final case class DedupStage(name: String, method: String, idCol: String,
     case "semdedup" =>
       // SemDeDup proper (Abbas 2023): Lloyd-refined quantizer (nlist
       // auto-sizes to √N/3 when `clusters` is omitted), cluster-local
-      // keep-lowest-id prune at cosine ≥ threshold
+      // keep-lowest-id prune at cosine ≥ threshold. A fresh Observation
+      // per apply carries the hot-cluster telemetry (rows_evicted /
+      // hot_buckets / max_bucket_size) — `lastCapObs.get` after any
+      // action on the result is the production probe for the cap's
+      // recall tax (see the class doc)
       val corpus = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       val idx = graft.functions.VectorFunctions.buildIvf(
         corpus, nlist = clusters, refine = 1)
+      val obs = new org.apache.spark.sql.Observation(s"semdedup_cap_$name")
+      lastCapObs = Some(obs)
       val survivors = graft.functions.VectorFunctions.semDedup(
-        corpus, idx.centroids, threshold)
+        corpus, idx.centroids, threshold, maxClusterSize, Some(obs))
       df.join(survivors.select(col("vec_id").as("__graft_keep")),
         col(idCol) === col("__graft_keep"), "left_semi")
     case other => throw new IllegalArgumentException(
@@ -1225,7 +1253,8 @@ object DedupStage {
       n("maxDf", 4).toLong,
       ac.get("hashKeys").flatMap(Option(_)).exists(_.toString.toBoolean),
       n("clusters", graft.functions.VectorFunctions.Auto),
-      ac.get("score").flatMap(Option(_)).map(_.toString).filter(_.nonEmpty))
+      ac.get("score").flatMap(Option(_)).map(_.toString).filter(_.nonEmpty),
+      n("maxClusterSize", 4096))
   }
 }
 

@@ -2489,10 +2489,24 @@ class DialectSpec extends SparkSpec {
           ORDER BY a""").apply(spark, df).collect()
     assert(ub.map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)))).toSeq ==
       Seq((1, Some("x"), None), (2, None, Some(7))))
-    // csv GLOB union_by_name keeps the guided error (positional-only)
+    // csv GLOB union_by_name (r18): the glob expands and per-file
+    // frames align by name with NULL fill — first file's columns lead,
+    // later extras append (DuckDB's probed order)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/ub1.csv"),
+      "k,name\n1,alpha\n2,beta\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/ub2.csv"),
+      "k,extra,name\n3,x,gamma\n".getBytes("UTF-8"))
+    val cub = SqlStage("s",
+      s"""SELECT * FROM read_csv('$dir/ub*.csv', header = true,
+          union_by_name = true) ORDER BY k""").apply(spark, df)
+    assert(cub.columns.toSeq == Seq("k", "name", "extra"))
+    assert(cub.collect().map(r => (r.getInt(0), r.getString(1),
+      Option(r.getString(2)))).toSeq ==
+      Seq((1, "alpha", None), (2, "beta", None), (3, "gamma", Some("x"))))
+    // an empty glob match stays a loud error
     val e = intercept[DuckDialectException](SqlStage("s",
-      s"SELECT * FROM read_csv('$dir/*.csv', union_by_name = true)").apply(spark, df))
-    assert(e.getMessage.contains("union_by_name"))
+      s"SELECT * FROM read_csv('$dir/nope*.csv', union_by_name = true)").apply(spark, df))
+    assert(e.getMessage.contains("no files match"))
   }
 
   test("COPY table FROM appends the file with the table's types (r12)") {

@@ -15,12 +15,14 @@ class RestStageSpec extends SparkSpec with BeforeAndAfterAll {
   private var server: HttpServer = _
   private var port: Int = _
   @volatile private var lastPostBody: String = _
+  private val nameHits = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress(0), 0)
     port = server.getAddress.getPort
     server.createContext("/v3.1/name/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        nameHits.incrementAndGet()
         val name = ex.getRequestURI.getPath.stripPrefix("/v3.1/name/")
         if (name == "atlantis") { // unknown country → 404
           ex.sendResponseHeaders(404, -1)
@@ -290,5 +292,99 @@ class RestStageSpec extends SparkSpec with BeforeAndAfterAll {
     val got = back.collect().map(r => r.getString(1) -> r.getString(3)).toMap
     assert(got == Map("spain" -> "Region-spain", "france" -> "Region-france",
       "Germany" -> "Region-Germany"))
+  }
+
+  test("task-retry chaos: a partition's first attempt dies AFTER its HTTP " +
+    "calls — rows, drops and counters stay exact (SURVEY §7 hard part 1)") {
+    // the session runs local[4, 4] with speculation ON (TestSpark):
+    // task retries are real. The chaos map consumes the rest stage's
+    // iterator FIRST (every HTTP call of the attempt fires), then kills
+    // partition 0's attempt 0 — the documented redo scenario at
+    // RestStage.scala: side effects re-execute, results must not.
+    val n = 40
+    val data = (0 until n).map(i => (i, if (i % 10 == 7) "atlantis" else s"c$i"))
+    val df = data.toDF("id", "countryName").repartition(4)
+    val ctr = RestCounters(spark, "chaos")
+    val rest = RestStage("geo", RestConfig(
+      host = s"http://localhost:$port", path = "/v3.1/name/{countryName}",
+      filterThreads = 2), ctr)
+    val enriched = rest(spark, df)
+    val enc = org.apache.spark.sql.Encoders.row(enriched.schema)
+    val before = nameHits.get()
+    val chaotic = enriched.mapPartitions { it =>
+      val rows = it.toArray // force THIS attempt's HTTP calls first
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc.partitionId() == 0 && tc.attemptNumber() == 0)
+        throw new RuntimeException("chaos: killing partition 0's first attempt")
+      rows.iterator
+    }(enc)
+    val out = chaotic.collect()
+    val dropped = data.count(_._2 == "atlantis")
+    assert(out.length == n - dropped)
+    assert(out.forall(r => r.getString(2).contains("Region-")))
+    assert(out.map(_.getInt(0)).distinct.length == out.length) // no dup rows
+    // the killed attempt really made its calls: the server saw MORE
+    // requests than input rows (partition 0 ran twice)...
+    assert(nameHits.get() - before > n, s"hits=${nameHits.get() - before}")
+    // ...while the failed attempt's accumulator updates were DISCARDED
+    // (Spark drops them with the task), so the status-class counters
+    // stay exact
+    assert(ctr.s20x.value == n - dropped, s"20x=${ctr.s20x.value}")
+    assert(ctr.s40x.value == dropped, s"40x=${ctr.s40x.value}")
+    assert(ctr.errors.value == 0)
+  }
+
+  test("task-retry chaos through the YAML pipeline — fused and checkpointed " +
+    "runs both land exact counts") {
+    import graft.operators.TransformRegistry
+    TransformRegistry.register("chaos_kill_first_attempt", df => {
+      val enc = org.apache.spark.sql.Encoders.row(df.schema)
+      df.mapPartitions { it =>
+        val rows = it.toArray
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0)
+          throw new RuntimeException("chaos: first attempt dies")
+        rows.iterator
+      }(enc)
+    })
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos").toFile
+    val f = new java.io.File(dir, "countries.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("id;countryName")
+    (0 until 12).foreach(i => w.println(s"$i;${if (i == 5) "atlantis" else "c" + i}"))
+    w.close()
+    val yaml =
+      s"""
+         |inDelimiter: ";"
+         |outDelimiter: ";"
+         |filters:
+         |  - name: enrich
+         |    actionType: rest
+         |    filterThreads: 2
+         |    actionConfig:
+         |      host: "http://localhost:$port"
+         |      path: "/v3.1/name/{countryName}"
+         |  - name: chaos
+         |    actionType: transform
+         |    code: chaos_kill_first_attempt
+         |""".stripMargin
+    val cfg = graft.model.ConfigLoader.fromYaml(yaml)
+    // fused run (no checkpoints): rest + chaos share a task, so the
+    // retry re-executes the HTTP calls — output rows must stay exact
+    val fused = Pipeline.run(spark, cfg, f.getAbsolutePath, None, countStages = true)
+    assert(fused.stages.map(_.rows) == Seq(Some(11L), Some(11L)))
+    assert(fused.output.select("id").collect().map(_.get(0).toString).distinct.length == 11)
+    // checkpointed run: each stage materializes to parquet; the chaos
+    // stage's WRITE job loses a task attempt mid-commit — the parquet
+    // commit protocol must discard the failed attempt's files (no
+    // duplicates, no holes) and the overwrite checkpoint re-reads clean
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val res = Pipeline.run(spark, cfg, f.getAbsolutePath, None,
+      countStages = true, checkpointDir = Some(ckpt))
+    assert(res.stages.map(_.rows) == Seq(Some(11L), Some(11L)))
+    val back = spark.read.parquet(s"$ckpt/stage=1")
+    assert(back.count() == 11)
+    assert(back.select("id").collect().map(_.get(0).toString).distinct.length == 11)
+    assert(back.columns.contains("response"))
   }
 }
