@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   *    overlaps across queries exactly as on a shared production
   *    cluster, while the data path keeps all cores busy.
   *  - `seq_wall_sec` / `queries`: strictly sequential passes
-  *    (GRAFT_SEQ_RUNS, default 3), run last (fully JIT-warmed — steady
+  *    (GRAFT_SEQ_RUNS, default 3; extended up to GRAFT_SEQ_MAX_RUNS,
+  *    default 7, while the walls are still descending >5% — r18, so a
+  *    contended capture converges instead of reporting a mid-warmup
+  *    best), run last (fully JIT-warmed — steady
   *    state). `seq_wall_sec` is the best pass wall (all listed in
   *    `seq_runs`); `queries` holds per-query MEDIAN latency across the
   *    passes, so a single microVM stall cannot masquerade as a query
@@ -245,9 +248,29 @@ object Bench {
     // query and read as a 4x regression (VERDICT r5 #7: q47/q48).
     // Median-of-3 per query is the same estimator ScaleProbe uses.
     val seqPasses = math.max(1, sys.env.getOrElse("GRAFT_SEQ_RUNS", "3").toInt)
-    val seqRuns = (1 to seqPasses).map { _ =>
-      val r = runSuite(1, seqShuffle, seqScan); System.gc(); r
+    // Convergence extension (r18, VERDICT r17 #2): two rounds running
+    // the artifact-of-record capture landed on a contended stretch with
+    // seq walls STILL DESCENDING at the configured pass count, so the
+    // best-pass wall read the box, not the code. If the final pass is
+    // still the best AND improved on the previous best by >5%, the JIT/
+    // page-cache steady state hasn't been reached — keep running (up to
+    // GRAFT_SEQ_MAX_RUNS, default 7) until the improvement flattens.
+    val seqMax = math.max(seqPasses,
+      sys.env.getOrElse("GRAFT_SEQ_MAX_RUNS", "7").toInt)
+    val seqRunsBuf = scala.collection.mutable.ArrayBuffer
+      .tabulate(seqPasses) { _ =>
+        val r = runSuite(1, seqShuffle, seqScan); System.gc(); r
+      }
+    def stillDescending: Boolean = {
+      val walls = seqRunsBuf.map(_._1)
+      walls.last == walls.min && walls.size >= 2 &&
+        walls.init.min > walls.last * 1.05
     }
+    while (seqRunsBuf.size < seqMax && stillDescending) {
+      val r = runSuite(1, seqShuffle, seqScan); System.gc()
+      seqRunsBuf += r
+    }
+    val seqRuns = seqRunsBuf.toSeq
     val seqWall = seqRuns.map(_._1).min
     val seqRes: Map[String, Double] = names.flatMap { q =>
       val vs = seqRuns.flatMap(_._2.get(q)).sorted

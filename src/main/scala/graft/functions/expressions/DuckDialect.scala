@@ -72,8 +72,33 @@ case class DuckDiv(left: Expression, right: Expression) extends BinaryExpression
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
-  override def dataType: DataType = if (integral) LongType else DoubleType
+  /** DuckDB keeps the operands' COMMON integer type (probed 1.0.0:
+    * `typeof(-30 // 13)` = INTEGER, TINYINT//SMALLINT = SMALLINT,
+    * INT//BIGINT = BIGINT) — the width feeds printf's unsigned
+    * conversions, where an INT32 argument renders 'fffffffe' but a
+    * BIGINT renders 'fffffffffffffffe' (r18, fuzz template 65).
+    * MIN // -1 overflow: DuckDB raises, this wraps (JVM semantics) —
+    * a loud-vs-wrap edge, never a silent value divergence on queries
+    * both engines execute.
+    */
+  override def dataType: DataType = if (integral) {
+    def rank(t: DataType): Int = t match {
+      case ByteType => 0
+      case ShortType => 1
+      case IntegerType => 2
+      case _ => 3
+    }
+    if (rank(left.dataType) >= rank(right.dataType)) left.dataType
+    else right.dataType
+  } else DoubleType
   override def nullable: Boolean = true
+
+  private def narrow(v: Long): Any = dataType match {
+    case ByteType => v.toByte
+    case ShortType => v.toShort
+    case IntegerType => v.toInt
+    case _ => v
+  }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (Seq(left.dataType, right.dataType).forall(_.isInstanceOf[NumericType]))
@@ -96,7 +121,7 @@ case class DuckDiv(left: Expression, right: Expression) extends BinaryExpression
     if (r == null) return null
     if (integral) {
       val rl = toL(r)
-      if (rl == 0L) null else toL(l) / rl
+      if (rl == 0L) null else narrow(toL(l) / rl)
     } else {
       val rd = toD(r)
       // DuckDB probe: 7.5 // 0 (and 7.5::DOUBLE // 0) is NULL, same as
@@ -121,7 +146,7 @@ case class DuckDiv(left: Expression, right: Expression) extends BinaryExpression
       if (integral)
         s"long $rTmp = ${cast(right, rg.value)}; " +
           s"if ($rTmp == 0L) { ${ev.isNull} = true; } " +
-          s"else { ${ev.value} = ${cast(left, lg.value)} / $rTmp; }"
+          s"else { ${ev.value} = ($jt)(${cast(left, lg.value)} / $rTmp); }"
       else
         s"double $rTmp = ${cast(right, rg.value)}; " +
           s"if ($rTmp == 0.0d) { ${ev.isNull} = true; } " +
@@ -723,6 +748,18 @@ object DuckDialect {
         call("fmtSpecString", Cast(v, StringType), StringType)
     }
   }
+
+  /** Cast every argument to BIGINT when ALL are resolved integral
+    * types — the shape under which DuckDB binds its BIGINT overload of
+    * least/greatest (r18). Any non-integral (or unresolved) argument
+    * leaves the list untouched.
+    */
+  private def widenIntegralArgs(es: Seq[Expression]): Seq[Expression] =
+    if (es.forall(_.resolved) && es.forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })) es.map(e => if (e.dataType == LongType) e else Cast(e, LongType))
+    else es
 
   /** `graft_printf_radix('<spec>', x)` — rewrite target for printf's
     * unsigned conversions (%x/%X/%o/%b/%u): two's-complement at the
@@ -1498,6 +1535,22 @@ object DuckDialect {
     "regexp_escape" -> (es => { nArgs("regexp_escape", es, 1)
       sweepInvoke(StringType, "regexpEscape", Seq(Cast(es(0), StringType)),
         Seq(StringType)) }),
+    // round(DOUBLE/FLOAT[, p]) → exact-binary half-away kernel (r18 —
+    // Spark's Round rounds the shortest-decimal repr instead; see
+    // [[DuckSweep.duckRound]]). Ints/decimals keep Spark's native
+    // Round (HALF_UP = DuckDB's half-away on exact decimal values).
+    "round" -> (es => {
+      if (es.isEmpty || es.length > 2) throw new DuckDialectException(
+        s"round takes 1 or 2 arguments, got ${es.length}")
+      val x = es(0)
+      val p = if (es.length == 2) es(1) else Literal(0)
+      if (x.resolved && (x.dataType == DoubleType || x.dataType == FloatType)) {
+        val call = sweepInvoke(DoubleType, "duckRound",
+          Seq(Cast(x, DoubleType), Cast(p, IntegerType)),
+          Seq(DoubleType, IntegerType))
+        if (x.dataType == FloatType) Cast(call, FloatType) else call
+      } else Round(x, p)
+    }),
     "format_bytes" -> (es => { nArgs("format_bytes", es, 1)
       sweepInvoke(StringType, "formatBytes", Seq(Cast(es(0), LongType)), Seq(LongType)) }),
     // internal targets of the format()/printf() spec rewrites
@@ -1521,11 +1574,16 @@ object DuckDialect {
     "signbit" -> (es => { nArgs("signbit", es, 1)
       sweepInvoke(BooleanType, "signbit", Seq(Cast(es(0), DoubleType)),
         Seq(DoubleType)) }),
-    // 1-arg greatest/least are identity in DuckDB
+    // 1-arg greatest/least are identity in DuckDB. Integer args bind
+    // DuckDB's BIGINT overload regardless of input width (probed 1.0.0:
+    // typeof(least(1::SMALLINT, 2::SMALLINT)) = BIGINT) — the width
+    // feeds printf's unsigned conversions (r18, fuzz template 65), so
+    // widen to LongType to keep the argument-width contract; DOUBLE /
+    // VARCHAR / HUGEINT mixes keep Spark's native promotion (matches).
     "greatest" -> (es =>
-      if (es.length == 1) es(0) else Greatest(es)),
+      if (es.length == 1) es(0) else Greatest(widenIntegralArgs(es))),
     "least" -> (es =>
-      if (es.length == 1) es(0) else Least(es)),
+      if (es.length == 1) es(0) else Least(widenIntegralArgs(es))),
     // 1-arg trunc = truncate toward zero (DOUBLE here; DuckDB keeps the
     // input's numeric type — cast where the width matters); 2-arg stays
     // Spark's date trunc

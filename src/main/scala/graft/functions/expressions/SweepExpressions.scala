@@ -192,6 +192,36 @@ object DuckSweep {
   def signbit(x: Double): Boolean =
     java.lang.Double.doubleToRawLongBits(x) < 0
 
+  /** DuckDB's round(DOUBLE, p): scaled half-away-from-zero on the
+    * EXACT binary value — `round(x·10^p)/10^p` in double arithmetic
+    * (probed 1.0.0: round(0.0640625, 6) → 0.064062 because
+    * 0.0640625·1e6 = 64062.49999…; round(1.005, 2) → 1.0;
+    * round(0.125, 2) → 0.13 — half away, not half even). Spark's own
+    * Round goes through BigDecimal.valueOf's SHORTEST-DECIMAL repr and
+    * reads 0.064063/1.01/0.13 — a silent divergence the differential
+    * fuzzer surfaced through round(cume_dist(), 6) (r18, seed 112).
+    * Negative p divides first (round(123.456, -1) → 120, probed);
+    * an infinite scaled product passes the input through
+    * (round(1e308, 2) → 1e308, probed); NaN/±Inf/±0.0 pass through
+    * sign-preserved (round(-0.0, 2) → -0.0, probed); a power-of-ten
+    * overflow on negative p yields 0.0 (round(5.0, -400) → 0.0,
+    * probed).
+    */
+  def duckRound(x: Double, p: Int): Double = {
+    if (x.isNaN || x.isInfinite || x == 0.0d) return x
+    def halfAway(v: Double): Double =
+      if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
+    if (p >= 0) {
+      val power = math.pow(10.0, p.toDouble)
+      val scaled = x * power
+      if (scaled.isInfinite) x else halfAway(scaled) / power
+    } else {
+      val power = math.pow(10.0, (-p).toDouble)
+      if (power.isInfinite) return 0.0d
+      halfAway(x / power) * power
+    }
+  }
+
   private def md5Half(s: UTF8String, offset: Int): org.apache.spark.sql.types.Decimal = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
     var v = java.math.BigInteger.ZERO

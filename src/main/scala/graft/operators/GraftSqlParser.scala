@@ -50,9 +50,9 @@ object GraftSqlParser {
     rewriteDotCall(rewriteMixedIntervalFrame(rewriteFrameExclude(rewriteNamedWindows(rewriteDateDiffFn(rewriteRegexpReplaceFn(rewriteExtractEpoch(rewriteFormatFn(rewritePrintfFn(rewriteIgnoreNulls(rewriteAggOrderBy(rewriteSample(rewriteQuantified(rewriteQualify(
       rewriteDistinctOn(rewriteStructPack(rewriteStructInsert(
         rewriteExclude(rewriteAsof(rewritePositional(rewriteSubscript(rewriteSlice(
-          rewriteGlob(rewriteSimilarTo(rewriteIntDiv(rewritePow(rewriteCaret(rewriteLogFn(rewriteFilterOver(rewriteJsonOps(rewriteJsonExtractFns(rewriteIntegralCastRound(rewriteBlobType(
+          rewriteGlob(rewriteSimilarTo(rewriteDecimalDivLiterals(rewriteIntDiv(rewritePow(rewriteCaret(rewriteLogFn(rewriteFilterOver(rewriteJsonOps(rewriteJsonExtractFns(rewriteIntegralCastRound(rewriteBlobType(
             rewriteListLiteral(rewriteStructLiteral(rewriteComprehension(
-              rewriteFromFirst(rewriteRawLiterals(sql))))))))))))))))))))))))))))))))))))))))))
+              rewriteFromFirst(rewriteRawLiterals(sql)))))))))))))))))))))))))))))))))))))))))))
 
   /** DuckDB single-quoted string literals are RAW — no backslash
     * escapes (`'\d'` is backslash-d) — while Spark's parser unescapes
@@ -2141,6 +2141,37 @@ object GraftSqlParser {
     * multiplicative chain; `7 // 2 * 3` = 9 — the right operand is one
     * primary). Divide-by-zero is NULL on both engines (probed).
     */
+  /** DuckDB's `/` is ALWAYS double division, while Spark keeps DECIMAL
+    * division when an operand is DECIMAL-typed (probed 1.0.0:
+    * `typeof(41.0 / 640)` = DOUBLE in DuckDB, DecimalType(8,6) in
+    * Spark — the VALUES then diverge, 0.0640625 stored binary vs the
+    * decimal-exact 0.064063; r18 fuzz seed 112 surfaced it through
+    * round()). A decimal LITERAL operand (`\d+.\d+`, the only literal
+    * shape both engines type DECIMAL — an exponent makes it DOUBLE
+    * everywhere) is syntactically detectable, and ONE double operand
+    * makes Spark's division double, so wrap such literals adjacent to
+    * `/` in CAST(AS DOUBLE). The no-literal residue (decimal column /
+    * decimal column) keeps Spark's decimal result — CAST an operand
+    * for exact DuckDB parity there.
+    */
+  def rewriteDecimalDivLiterals(sql: String): String = {
+    if (sql.indexOf('/') < 0) return sql
+    val masked = maskQuotes(sql)
+    val leftRe = raw"(?<![\w.$$])(\d+\.\d+)(?![\w.]|[eE][+-]?\d)\s*/(?![/*])".r
+    val rightRe = raw"/(?![/*])\s*(\d+\.\d+)(?![\w.]|[eE][+-]?\d)".r
+    val spans = (leftRe.findAllMatchIn(masked).map(m => (m.start(1), m.end(1))) ++
+      rightRe.findAllMatchIn(masked)
+        .filter { m =>
+          val p = m.start(1) - 1
+          p < 0 || { val c = masked.charAt(p)
+            !(c.isLetterOrDigit || c == '_' || c == '.' || c == '$') }
+        }
+        .map(m => (m.start(1), m.end(1)))).toSeq.distinct.sortBy(-_._1)
+    spans.foldLeft(sql) { case (acc, (s, e)) =>
+      acc.substring(0, s) + s"CAST(${acc.substring(s, e)} AS DOUBLE)" + acc.substring(e)
+    }
+  }
+
   def rewriteIntDiv(sql: String): String = {
     val masked = maskQuotes(sql)
     val m = raw"//".r.findFirstMatchIn(masked).getOrElse(return sql)
@@ -3077,6 +3108,55 @@ object GraftSqlParser {
         }
       })
     Some(spec)
+  }
+
+  /** Body spans of a NON-RECURSIVE top-level WITH clause:
+    * (bodyStart, bodyEnd) with [bodyStart, bodyEnd) the text INSIDE
+    * each definition's parentheses, in definition order. Empty for any
+    * other statement shape.
+    */
+  private def cteBodySpans(masked: String): Seq[(Int, Int)] = {
+    val wm = raw"(?is)^\s*WITH\s+".r.findFirstMatchIn(masked)
+      .getOrElse(return Nil)
+    if (raw"(?is)^\s*WITH\s+RECURSIVE\b".r.findFirstIn(masked).isDefined)
+      return Nil
+    val out = Seq.newBuilder[(Int, Int)]
+    var p = wm.end
+    var more = true
+    while (more) {
+      more = false
+      val defRe = raw"(?s)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\([^()]*\)\s*)?(?i:AS)\s*(?:(?i:NOT\s+MATERIALIZED)\s*|(?i:MATERIALIZED)\s*)?\(".r
+      defRe.findFirstMatchIn(masked.substring(p)).foreach { dm =>
+        closeOf(masked, p + dm.end).foreach { close =>
+          out += ((p + dm.end, close - 1))
+          var q = close
+          while (q < masked.length && masked.charAt(q).isWhitespace) q += 1
+          if (q < masked.length && masked.charAt(q) == ',') { p = q + 1; more = true }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** CTE-scoped sites of the empty-input grouping-sets parity (r18 —
+    * fuzz template 63 found the WITH-wrapped form of the r17
+    * divergence: DuckDB's grand-total row materializes inside a CTE
+    * too, so `WITH g AS (SELECT ... GROUP BY GROUPING SETS (..., ()))
+    * SELECT ... OVER ... FROM g` returns one row over an empty input
+    * where plain Spark returns none). Each top-level CTE body that
+    * matches [[emptyGroupingSetsSpec]] yields a (bodyStart, bodyEnd,
+    * spec) site; [[graft.operators.SqlStage]] probes each and splices
+    * an aligned arm view over the span when the body's input is
+    * provably empty. The OUTER query's shape is unconstrained (windows
+    * over the CTE are fine — parity is restored before it runs); a
+    * body referencing an earlier same-statement CTE fails its probe's
+    * analysis and falls back to plain Spark behavior.
+    */
+  def emptyGroupingSetsCteSites(sql: String): Seq[(Int, Int, EmptyGroupingSpec)] = {
+    val masked = maskQuotes(sql)
+    cteBodySpans(masked).flatMap { case (bs, be) =>
+      emptyGroupingSetsSpec(sql.substring(bs, be)).map(spec => (bs, be, spec))
+    }
   }
 
   def rewriteDistinctOn(sql: String): String = {

@@ -612,6 +612,51 @@ final case class SqlStage(name: String, code: String) extends Stage {
         case _ =>
       }
     }
+    // the CTE-scoped form of the same parity (r18 — fuzz template 63):
+    // probe each matching CTE body independently; bodies over empty
+    // inputs get the aligned arm registered as a temp view and the
+    // body span spliced to read it. Any failure anywhere falls back to
+    // the plain statement.
+    val cteSites = GraftSqlParser.emptyGroupingSetsCteSites(rewritten)
+    if (cteSites.nonEmpty) {
+      val views = scala.collection.mutable.ListBuffer.empty[String]
+      scala.util.Try {
+        val repls = cteSites.flatMap { case (bs, be, spec) =>
+          val body = rewritten.substring(bs, be)
+          val plain = spark.sql(body)
+          if (spark.sql(spec.probeSql).isEmpty) {
+            val types = spec.groupingExprs.map(e =>
+              e -> spark.sql(spec.typeProbe(e)).schema.head.dataType.sql).toMap
+            val arm = spark.sql(spec.buildArm(types))
+            val aligned = arm.select(arm.columns.zip(plain.schema.fields).map {
+              case (c, f) =>
+                org.apache.spark.sql.functions.col(s"`${c.replace("`", "``")}`")
+                  .cast(f.dataType).as(f.name)
+            }.toSeq: _*)
+            val vn = "graft_empty_gs_" +
+              java.util.UUID.randomUUID().toString.replace("-", "")
+            aligned.createOrReplaceTempView(vn)
+            views += vn
+            Some((bs, be, s"SELECT * FROM $vn"))
+          } else None
+        }
+        if (repls.isEmpty) None
+        else {
+          val spliced = repls.sortBy(-_._1).foldLeft(rewritten) {
+            case (acc, (bs, be, r)) => acc.substring(0, bs) + r + acc.substring(be)
+          }
+          // analysis is eager in spark.sql, so the views can be dropped
+          // as soon as the DataFrame exists
+          val out = GraftSqlParser.withDialectHint(code)(spark.sql(spliced))
+          views.foreach(spark.catalog.dropTempView(_))
+          Some(out)
+        }
+      } match {
+        case scala.util.Success(Some(out)) => return out
+        case _ => views.foreach(v =>
+          scala.util.Try(spark.catalog.dropTempView(v)))
+      }
+    }
     try GraftSqlParser.withDialectHint(code)(spark.sql(rewritten))
     catch {
       case e: org.apache.spark.sql.AnalysisException =>

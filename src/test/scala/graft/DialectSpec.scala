@@ -1061,18 +1061,22 @@ class DialectSpec extends SparkSpec {
     val df = spark.range(1).toDF("id")
     def one(sql: String) = SqlStage("s", sql).apply(spark, df).collect().head
     // every value below probed on duckdb 1.0.0 this round
-    // `//`: integer inputs truncate toward zero, BIGINT result
-    assert(one("SELECT 7 // 2 AS r FROM df").getLong(0) == 3L)
-    assert(one("SELECT -7 // 2 AS r FROM df").getLong(0) == -3L)
+    // `//`: integer inputs truncate toward zero, keeping the operands'
+    // COMMON integer type (r18 correction: typeof(-30 // 13) = INTEGER
+    // in DuckDB, not BIGINT — the width feeds printf's unsigned
+    // conversions, fuzz template 65)
+    assert(one("SELECT 7 // 2 AS r FROM df").getInt(0) == 3)
+    assert(one("SELECT -7 // 2 AS r FROM df").getInt(0) == -3)
+    assert(one("SELECT CAST(7 AS BIGINT) // 2 AS r FROM df").getLong(0) == 3L)
     // fractional input → plain DOUBLE division (DuckDB does NOT floor)
     assert(one("SELECT 7.5 // 2 AS r FROM df").getDouble(0) == 3.75)
     // same precedence tier as * (left-assoc): 3*5//2 = 7, 7//2*3 = 9
-    assert(one("SELECT 3 * 5 // 2 AS r FROM df").getLong(0) == 7L)
-    assert(one("SELECT 7 // 2 * 3 AS r FROM df").getLong(0) == 9L)
-    assert(one("SELECT 1 + 7 // 2 AS r FROM df").getLong(0) == 4L)
+    assert(one("SELECT 3 * 5 // 2 AS r FROM df").getInt(0) == 7)
+    assert(one("SELECT 7 // 2 * 3 AS r FROM df").getInt(0) == 9)
+    assert(one("SELECT 1 + 7 // 2 AS r FROM df").getInt(0) == 4)
     // chains, function operands, column operands
-    assert(one("SELECT 100 // 7 // 2 AS r FROM df").getLong(0) == 7L)
-    assert(one("SELECT len('abcdefg') // 2 AS r FROM df").getLong(0) == 3L)
+    assert(one("SELECT 100 // 7 // 2 AS r FROM df").getInt(0) == 7)
+    assert(one("SELECT len('abcdefg') // 2 AS r FROM df").getInt(0) == 3)
     assert(one("SELECT (id + 7) // 2 AS r FROM df").getLong(0) == 3L)
     // divide-by-zero → NULL on both engines (probed) — the FRACTIONAL
     // path too (ADVICE r10: was Infinity/NaN; DuckDB: 7.5 // 0 is NULL)
@@ -4028,6 +4032,34 @@ class DialectSpec extends SparkSpec {
     assert(same.map(_.getLong(1)).toSeq == Seq(1L, 2L, 1L))
   }
 
+  test("round(DOUBLE) rounds the EXACT binary value like DuckDB (r18, FuzzDiff)") {
+    // seed-112 find: round(cume_dist(), 6) read 0.064063 through
+    // Spark's shortest-decimal BigDecimal path where DuckDB reads
+    // 0.064062 (0.0640625 stores as 0.06406249999…). All pins probed
+    // on duckdb 1.0.0.
+    val one = spark.range(1).toDF("z")
+    def v(sql: String) = SqlStage("s", s"SELECT $sql AS x").apply(spark, one)
+      .collect().head.get(0)
+    // (a bare `0.0640625 + 0.0` is DECIMAL on BOTH engines and rounds
+    // decimal-exact to 0.064063 — the binary-value story is DOUBLE's)
+    assert(v("round(CAST(0.0640625 AS DOUBLE), 6)") == 0.064062)
+    assert(v("round(41.0 / 640, 6)") == 0.064062) // `/` is DOUBLE division
+    assert(v("round(CAST(1.005 AS DOUBLE), 2)") == 1.0)
+    assert(v("round(CAST(0.125 AS DOUBLE), 2)") == 0.13) // half AWAY, not half even
+    assert(v("round(CAST(2.5 AS DOUBLE), 0)") == 3.0)
+    assert(v("round(CAST(-2.5 AS DOUBLE), 0)") == -3.0)
+    assert(v("round(CAST(123.456 AS DOUBLE), -1)") == 120.0)
+    assert(v("round(1.0e308, 2)") == 1.0e308) // overflow → passthrough
+    assert(v("round(CAST(5.0 AS DOUBLE), -400)") == 0.0)
+    assert(v("round(CAST(3.33333333 AS DOUBLE))") == 3.0) // 1-arg form
+    assert(java.lang.Double.doubleToRawLongBits(
+      v("round(CAST('-0.0' AS DOUBLE), 2)").asInstanceOf[Double]) < 0)
+    assert(v("round(CAST(2.5 AS FLOAT), 0)") == 3.0f) // FLOAT stays FLOAT
+    // ints/decimals keep the native decimal-exact path
+    assert(v("round(CAST(2.345 AS DECIMAL(5,3)), 2)").toString == "2.35")
+    assert(v("round(15, -1)") == 20)
+  }
+
   test("fractional->integral casts round half-away like DuckDB (r17, FuzzDiff)") {
     // probed duckdb 1.0.0: CAST(2.5 AS BIGINT)=3, CAST(-2.5 AS
     // BIGINT)=-3, CAST(22287.9999 AS BIGINT)=22288, DECIMAL sources
@@ -4103,6 +4135,44 @@ class DialectSpec extends SparkSpec {
       "SELECT g, count(*) AS n FROM egt GROUP BY ROLLUP (g) LIMIT 0").isEmpty)
     spark.catalog.dropTempView("egt")
     spark.catalog.dropTempView("egt2")
+  }
+
+  test("CTE-scoped grouping sets over an EMPTY input emit the grand-total row (r18)") {
+    // fuzz template 63 found the WITH-wrapped form of the r17
+    // divergence: the grand-total row materializes INSIDE the CTE on
+    // DuckDB, so an outer window/order query over the CTE still sees
+    // it. SqlStage now probes each matching CTE body and splices the
+    // aligned arm in. Probed against duckdb 1.0.0.
+    spark.sql("SELECT CAST(v AS STRING) AS g, v AS x FROM VALUES (1) t(v) WHERE false")
+      .createOrReplaceTempView("egc")
+    val one = spark.range(1).toDF("id")
+    def rows(sql: String) = SqlStage("s", sql).apply(spark, one).collect()
+    // the fuzz shape: grouping-sets CTE + an outer cumulative window
+    val r1 = rows(
+      """WITH c AS (
+           SELECT g, count(*) AS n, CAST(grouping(g) AS BIGINT) AS gg
+           FROM egc GROUP BY GROUPING SETS ((g), ()))
+         SELECT g, n, gg,
+                CAST(sum(n) OVER (ORDER BY gg, g NULLS LAST) AS BIGINT) AS cum
+         FROM c ORDER BY gg, g NULLS LAST""")
+    assert(r1.map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((None, 0L, 1L, 0L)))
+    // multiple CTEs: only the matching body is swapped; the outer
+    // join over a non-empty sibling still sees the grand-total row
+    val r2 = rows(
+      """WITH tot AS (SELECT count(*) AS n FROM egc GROUP BY ROLLUP (g) HAVING count(*) = 0),
+              k AS (SELECT 7 AS v)
+         SELECT tot.n, k.v FROM tot CROSS JOIN k""")
+    assert(r2.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((0L, 7)))
+    // NON-empty CTE input keeps the plain plan (no arm)
+    spark.sql("SELECT CAST(v AS STRING) AS g, v AS x FROM VALUES (1), (2) t(v)")
+      .createOrReplaceTempView("egc2")
+    val r3 = rows(
+      """WITH c AS (SELECT g, count(*) AS n FROM egc2 GROUP BY ROLLUP (g))
+         SELECT count(*) AS rows FROM c""")
+    assert(r3.head.getLong(0) == 3L) // 2 keys + grand total
+    spark.catalog.dropTempView("egc")
+    spark.catalog.dropTempView("egc2")
   }
 
   test("sweep-8: age matches DuckDB's symbolic subtraction + rendering (probed)") {
@@ -4552,6 +4622,15 @@ class DialectSpec extends SparkSpec {
     assert(fmt("printf('%#2X', 0)") == " 0") // seed-83 fuzz find
     assert(fmt("format('{:#x}', 0)") == "0x0") // while the brace form keeps it
     assert(fmt("printf('%,x', 4096)") == "4,096") // grouping overrides the radix
+    // the argument-width CONTRACT holds through dialect rewrites (r18,
+    // fuzz templates 62-65): `//` keeps the operands' common integer
+    // type (typeof(-30 // 13) = INTEGER, probed) and least/greatest
+    // bind DuckDB's BIGINT overload even for narrow ints (probed)
+    assert(fmt("printf('%x', (-30 // 13))") == "fffffffe")
+    assert(fmt("printf('%x', (CAST(-30 AS BIGINT) // 13))") == "fffffffffffffffe")
+    assert(fmt("printf('%x', greatest(-65, -26))") == "ffffffffffffffe6")
+    assert(fmt("printf('%x', least(CAST(-2 AS SMALLINT), CAST(-1 AS SMALLINT)))") ==
+      "fffffffffffffffe")
     // %c: codepoint; width pads LEFT whatever '-' says (probed quirk)
     assert(fmt("printf('%c', 65)") == "A")
     assert(fmt("printf('%5c|', 65)") == "    A|")

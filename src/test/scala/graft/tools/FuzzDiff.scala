@@ -38,8 +38,10 @@ object FuzzDiff {
     Seq("lineitem", "orders", "nation", "customer", "documents", "events").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }
+    val only: Option[Set[Int]] =
+      args.lift(4).map(_.split(",").map(_.trim.toInt).toSet)
     val rnd = new Random(seed)
-    val queries = generate(rnd, n)
+    val queries = generate(rnd, n, only)
     new java.io.File(outDir).mkdirs()
     val df = spark.range(1).toDF("z")
     var failed = 0
@@ -151,10 +153,17 @@ object FuzzDiff {
     case _ => s"count(*)"
   }
 
-  private[tools] def generate(r: Random, n: Int): Seq[(String, String)] =
+  /** `only`: optional template whitelist (arg 5, comma-separated ints)
+    * so a new band can be hammered directly — rejected draws are simply
+    * redrawn, so the same (seed, only) pair still replays exactly.
+    */
+  private[tools] def generate(r: Random, n: Int,
+      only: Option[Set[Int]] = None): Seq[(String, String)] =
     (1 to n).map { i =>
       val name = f"fz$i%03d"
-      val sql = r.nextInt(62) match {
+      val tpl = Iterator.continually(r.nextInt(66))
+        .find(t => only.forall(_.contains(t))).get
+      val sql = tpl match {
         case 0 => // plain projection + filter, pinned order
           s"""SELECT l_orderkey AS k, l_linenumber AS ln,
               ${intExpr(r)} AS e1, ${strExpr(r)} AS s1
@@ -676,6 +685,72 @@ object FuzzDiff {
               NULLIF(l_returnflag, '${Seq("A", "N", "R")(r.nextInt(3))}')
                 IS DISTINCT FROM l_linestatus AS neq
               FROM lineitem WHERE l_orderkey < ${250 + r.nextInt(250)}"""
+        case 62 => // LATERAL join + correlated subqueries in select
+          // position (r18 band): DuckDB and Spark 4 both execute the
+          // ANSI forms natively — aggregate LATERAL (always one row),
+          // correlated scalar + EXISTS in the select list
+          val cap = 40 + r.nextInt(120)
+          val m = 2 + r.nextInt(5)
+          s"""SELECT o.o_orderkey AS k, l.cnt, l.qsum,
+              (SELECT count(*) FROM lineitem li
+               WHERE li.l_orderkey = o.o_orderkey
+                 AND li.l_linenumber <= ${1 + r.nextInt(5)}) AS csel,
+              EXISTS (SELECT 1 FROM lineitem le
+                      WHERE le.l_orderkey = o.o_orderkey
+                        AND le.l_suppkey % $m = ${r.nextInt(m)}) AS esel
+              FROM orders o, LATERAL (
+                SELECT count(*) AS cnt,
+                       coalesce(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT), 0) AS qsum
+                FROM lineitem
+                WHERE l_orderkey = o.o_orderkey
+                  AND l_partkey % ${2 + r.nextInt(3)} = ${r.nextInt(2)}) l
+              WHERE o.o_orderkey < $cap
+              ORDER BY k"""
+        case 63 => // grouping-sets × window mixes, sometimes over an
+          // EMPTY input (the r17 grand-total-parity arm): a cumulative
+          // window over the grouping-sets output, totally ordered by
+          // (grouping ids, keys)
+          val cap = if (r.nextInt(4) == 0) 0 else 150 + r.nextInt(300)
+          s"""WITH g AS (
+                SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n,
+                       coalesce(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT), 0) AS q,
+                       grouping(l_returnflag) AS g1, grouping(l_linestatus) AS g2
+                FROM lineitem WHERE l_orderkey < $cap
+                GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()))
+              SELECT rf, ls, n, q, g1, g2,
+                     CAST(sum(n) OVER (ORDER BY g1, g2, rf NULLS LAST, ls NULLS LAST) AS BIGINT) AS cum,
+                     row_number() OVER (PARTITION BY g1, g2
+                       ORDER BY rf NULLS LAST, ls NULLS LAST) AS rn
+              FROM g
+              ORDER BY g1, g2, rf NULLS LAST, ls NULLS LAST"""
+        case 64 => // collation-heavy ORDER BY: case/accent/empty-string
+          // keys under the shared BINARY default collation, explicit
+          // NULLS FIRST/LAST (the engines' bare-ASC defaults differ),
+          // lower/upper ordering keys over NULLIF-seeded NULLs
+          val nf = if (r.nextBoolean()) "NULLS FIRST" else "NULLS LAST"
+          val dir = if (r.nextBoolean()) "ASC" else "DESC"
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              CASE (l_partkey % 7) WHEN 0 THEN 'apple' WHEN 1 THEN 'Apple'
+                   WHEN 2 THEN 'ärger' WHEN 3 THEN 'Zoo' WHEN 4 THEN ''
+                   WHEN 5 THEN 'zoo' ELSE 'ÄRGER' END || l_returnflag AS s,
+              NULLIF(l_linestatus, '${Seq("O", "F")(r.nextInt(2))}') AS ns
+              FROM lineitem WHERE l_orderkey < ${150 + r.nextInt(250)}
+              ORDER BY ${Seq("s", "lower(s)", "upper(s)")(r.nextInt(3))} $dir $nf,
+                       ns $dir $nf, k, ln"""
+        case 65 => // format()/printf() ROUND-TRIPPED through string
+          // functions (r18 band): the kernels' output feeds upper/
+          // length/substr/replace/concat — any formatting divergence
+          // surfaces through the downstream transform too
+          val w = 4 + r.nextInt(8)
+          val p = 1 + r.nextInt(6)
+          val d2 = s"(CAST(${intExpr(r, 1)} AS DOUBLE) / ${Seq(4, 16, 64)(r.nextInt(3))})"
+          s"""SELECT l_orderkey AS k, l_linenumber AS ln,
+              upper(printf('%${Seq("", "0", "-", "+")(r.nextInt(4))}${w}x|%.${p}f', ${intExpr(r, 1)}, $d2)) AS a,
+              CAST(length(format('{:>$w.$p}', ${strExpr(r, 1)})) AS INT) AS b,
+              substr(format('{:${Seq(",", "0", "")(r.nextInt(3))}${w}d}', ${intExpr(r, 1)}), ${1 + r.nextInt(3)}, ${2 + r.nextInt(w)}) AS c,
+              replace(printf('%,.${p}d', ${intExpr(r, 1)}), '0', '_') AS d,
+              concat(format('{:.${p}e}', $d2), '|', printf('%.*g', CAST(${1 + r.nextInt(8)} AS INT), $d2)) AS e
+              FROM lineitem WHERE l_orderkey < ${150 + r.nextInt(250)}"""
         case 61 => // CTE-scoped percentage reservoir (r18): both engines
           // draw their own rows, so the comparison pins the DuckDB-
           // guaranteed invariants — exact round-half-up(p% × CTE count)
