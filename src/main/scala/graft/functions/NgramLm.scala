@@ -119,9 +119,14 @@ object NgramLm {
     val sep = expressions.BigramLmModel.CtxSep
     val toks = df.select(explode(tokensCol).as("w"))
     val rawUni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // vocabulary: the maxVocab most frequent tokens, deterministic ties
-    val vocabRows = rawUni
+    // vocabulary: the maxVocab most frequent tokens, deterministic
+    // ties. nTokens (= sum of ALL unigram counts, vocab or not) rides
+    // the SAME action as an observed metric — TakeOrdered scans every
+    // aggregate output row anyway, so the old separate sum() pass (and
+    // the persist that existed only to share rawUni between the two
+    // actions) bought nothing (r18 job shave; exact Long sum either way)
+    val nObs = org.apache.spark.sql.Observation()
+    val vocabRows = rawUni.observe(nObs, sum(col("c")).cast("long").as("n"))
       .orderBy(col("c").desc, col("w")).limit(maxVocab).collect()
     val uni = new java.util.HashMap[String, Long]()
     var vocabTokens = 0L
@@ -129,10 +134,10 @@ object NgramLm {
       uni.put(r.getString(0), r.getLong(1))
       vocabTokens += r.getLong(1)
     }
-    val nTokens = rawUni.agg(sum(col("c")).as("n")).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
-      .getOrElse(0L)
-    rawUni.unpersist(false)
+    val nTokens = Option(nObs.get.getOrElse("n", null)) match {
+      case Some(v: java.lang.Long) => v.longValue()
+      case _ => 0L
+    }
     val unkCount = nTokens - vocabTokens
     if (unkCount > 0) uni.put(unk, unkCount)
     val vocabDf = spark.createDataFrame(
@@ -277,28 +282,39 @@ object NgramLm {
     * training caps the save inherited — never by any corpus.
     */
   def load(spark: SparkSession, path: String): BigramLmModel = {
+    // the five bounded table reads overlap as concurrent actions
+    // (guide §2.6 — Spark schedules independent jobs side by side, so
+    // the per-job scheduling floor is paid ~once, not five times in
+    // sequence; each collect is capacity-bounded by the training caps)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    def rows(t: String): Future[Array[Row]] =
+      Future(spark.read.parquet(s"$path/$t").collect())
+    val fUni = rows("uni"); val fBi = rows("bi"); val fTri = rows("tri")
+    val fQuad = rows("quad"); val fMeta = rows("meta")
     val uni = new java.util.HashMap[String, Long]()
-    spark.read.parquet(s"$path/uni").collect()
+    Await.result(fUni, Duration.Inf)
       .foreach(r => uni.put(r.getString(0), r.getLong(1)))
     val bi = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
-    spark.read.parquet(s"$path/bi").collect().foreach { r =>
+    Await.result(fBi, Duration.Inf).foreach { r =>
       bi.computeIfAbsent(r.getString(0), _ => new java.util.HashMap[String, Long]())
         .put(r.getString(1), r.getLong(2))
     }
     val tri = new java.util.HashMap[String,
       java.util.HashMap[String, java.util.HashMap[String, Long]]]()
-    spark.read.parquet(s"$path/tri").collect().foreach { r =>
+    Await.result(fTri, Duration.Inf).foreach { r =>
       tri.computeIfAbsent(r.getString(0),
           _ => new java.util.HashMap[String, java.util.HashMap[String, Long]]())
         .computeIfAbsent(r.getString(1), _ => new java.util.HashMap[String, Long]())
         .put(r.getString(2), r.getLong(3))
     }
     val quad = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
-    spark.read.parquet(s"$path/quad").collect().foreach { r =>
+    Await.result(fQuad, Duration.Inf).foreach { r =>
       quad.computeIfAbsent(r.getString(0), _ => new java.util.HashMap[String, Long]())
         .put(r.getString(1), r.getLong(2))
     }
-    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val meta = Await.result(fMeta, Duration.Inf).head
     new BigramLmModel(uni, bi, meta.getLong(0), meta.getLong(1), tri, quad)
   }
 
@@ -321,14 +337,22 @@ object NgramLm {
 
   /** Load a [[KnModel]] persisted by [[saveKn]]. */
   def loadKn(spark: SparkSession, path: String): KnModel = {
+    // the three KN tables overlap with the base model's five reads
+    // (see load) — all eight bounded collects run as concurrent jobs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fFan = Future(spark.read.parquet(s"$path/fanout").collect())
+    val fCont = Future(spark.read.parquet(s"$path/cont").collect())
+    val fPairs = Future(spark.read.parquet(s"$path/knmeta").collect())
     val base = load(spark, path)
     val fanout = new java.util.HashMap[String, Long]()
-    spark.read.parquet(s"$path/fanout").collect()
+    Await.result(fFan, Duration.Inf)
       .foreach(r => fanout.put(r.getString(0), r.getLong(1)))
     val cont = new java.util.HashMap[String, Long]()
-    spark.read.parquet(s"$path/cont").collect()
+    Await.result(fCont, Duration.Inf)
       .foreach(r => cont.put(r.getString(0), r.getLong(1)))
-    val pairs = spark.read.parquet(s"$path/knmeta").collect().head.getLong(0)
+    val pairs = Await.result(fPairs, Duration.Inf).head.getLong(0)
     new KnModel(base, fanout, cont, pairs)
   }
 

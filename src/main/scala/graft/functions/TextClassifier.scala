@@ -40,10 +40,26 @@ object TextClassifier {
                       maxClasses: Int = 100): NbModel = {
     require(maxVocab >= 1, "maxVocab >= 1")
     val base = df.select(labelCol.cast("string").as("lbl"), tokensCol.as("ts"))
-    require(base.filter(col("lbl").isNull).isEmpty,
+    // one bounded collect serves the NULL-label guard AND the class
+    // list: a NULL label surfaces as the null group of the SAME
+    // count aggregate the classes come from (the old separate
+    // `filter(isNull).isEmpty` probe paid a full corpus pass for a
+    // check this collect already answers — r18 job shave), and the
+    // ≤ maxClasses rows sort DRIVER-side in UTF-8 byte order, which is
+    // exactly Spark's binary string sort, so `classes` (and with it
+    // the class-aligned output arrays) is unchanged.
+    val docCounts0 = base.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
+      .collect()
+    require(!docCounts0.exists(_.isNullAt(0)),
       "trainNaiveBayes: NULL labels (drop or impute them first)")
-    val docCounts = base.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
-      .orderBy(col("lbl")).collect()
+    val docCounts = docCounts0.sortWith { (a, b) =>
+      val x = a.getString(0).getBytes("UTF-8")
+      val y = b.getString(0).getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+    }
     require(docCounts.nonEmpty, "empty training set")
     require(docCounts.length <= maxClasses,
       s"${docCounts.length} classes > maxClasses=$maxClasses — labels " +
