@@ -40,6 +40,19 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Cross-session (path → row count) memo — same contract as the
+    * schema cache: every cached path is write-once under a running
+    * process, so the count is a pure function of the path. Used for
+    * the content-keyed persisted-index paths (q104/q168-q170), which
+    * otherwise paid a full count() job on EVERY execution just to
+    * rebuild an unchanging cache key (r18 job shave).
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def rowCount(spark: SparkSession, path: String): Long =
+    countCache.computeIfAbsent(path, p => raw(spark, p).count()).longValue()
+
   private def readMemo(spark: SparkSession, path: String): DataFrame = {
     val known = schemaCache.get(path)
     if (known != null) spark.read.schema(known).parquet(path)

@@ -515,9 +515,17 @@ object VectorFunctions {
     val kth = eRows.filter(_.getInt(3) == k).map(_.getDouble(2))
     val minKth: java.lang.Double = if (kth.isEmpty) null else kth.min
     val maxKth: java.lang.Double = if (kth.isEmpty) null else kth.max
+    // n_queries folds driver-side too (count_distinct semantics: nulls
+    // excluded) — the query batch is the same driver-bounded relation
+    // every probe already collects, and the old distributed
+    // count_distinct paid a 2-stage aggregate + a crossJoin arm per gate
+    val qIds = queries.select(col("vec_id")).collect()
+    val nQueries = java.lang.Long.valueOf(
+      qIds.filter(!_.isNullAt(0)).map(_.get(0)).distinct.length.toLong)
     val exactStats = spark.createDataFrame(
-      java.util.Arrays.asList(Row(nExact, minKth, maxKth)),
+      java.util.Arrays.asList(Row(nQueries, nExact, minKth, maxKth)),
       StructType(Seq(
+        StructField("n_queries", org.apache.spark.sql.types.LongType),
         StructField("n_exact", org.apache.spark.sql.types.LongType),
         StructField("min_kth_cos", org.apache.spark.sql.types.DoubleType),
         StructField("max_kth_cos", org.apache.spark.sql.types.DoubleType))))
@@ -528,10 +536,9 @@ object VectorFunctions {
         StructField("cid", org.apache.spark.sql.types.LongType, nullable = false),
         StructField("m", org.apache.spark.sql.types.IntegerType, nullable = false))))
     val a = approx.select(col("qid"), col("cid"))
-    val nQ = queries.select(count_distinct(col("vec_id")).as("n_queries"))
     val stats = a.join(broadcast(exactPairs), Seq("qid", "cid"), "left")
       .agg(count(lit(1)).as("n_approx"), count(col("m")).as("n_hit"))
-    nQ.crossJoin(broadcast(exactStats)).crossJoin(stats).select(
+    stats.crossJoin(broadcast(exactStats)).select(
       col("n_queries"), col("n_exact"), col("min_kth_cos"), col("max_kth_cos"),
       (col("n_approx") === col("n_queries") * k).as("full_k"),
       (col("n_hit").cast("double") / (col("n_queries") * k) >= bound).as("recall_ok"))

@@ -6677,8 +6677,22 @@ object GraftSqlParser {
     // rows written — a nondeterministic source (USING SAMPLE) would
     // otherwise produce a different row set per execution, and a
     // deterministic one would pay the query twice (review r9)
-    val pinned = src.localCheckpoint()
-    val n = pinned.count()
+    val pinned0 = src.localCheckpoint()
+    // the row count rides the WRITE action as an observed metric — the
+    // checkpoint already pins one materialization, so a separate
+    // count() job over the checkpointed blocks bought nothing but a
+    // ~30 ms scheduling floor per COPY statement (r18; the observed
+    // count equals the written rows by construction). The fallback
+    // count() fires only if the write path ever stops reporting
+    // observed metrics.
+    val nObs = org.apache.spark.sql.Observation()
+    val pinned = pinned0.observe(nObs, org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    def writtenCount(): Long =
+      org.apache.spark.sql.GraftColumnBridge.observedOrEmpty(nObs).get("n") match {
+        case Some(v: Number) => v.longValue()
+        case _ => pinned0.count()
+      }
     if (spec.partitionBy.nonEmpty) {
       // PARTITION_BY: hive-style col=value directory tree (DuckDB's
       // exact layout) — the parallel write path, no coalesce, no move
@@ -6715,7 +6729,7 @@ object GraftSqlParser {
           .foreach(p => Files.deleteIfExists(p))
       }
     }
-    countRelation(spark, n)
+    countRelation(spark, writtenCount())
   }
 
   private val UpdateStmtRe =

@@ -775,9 +775,13 @@ object TextQueries {
     val approx = graft.functions.Mix.qualityBucketsApprox(
       scores, col("lang"), col("rarity"))
     val windowless = !approx.queryExecution.executedPlan.toString.contains("Window")
+    // materialized once (lazy checkpoint): the exact-window ⨝ approx
+    // join feeds BOTH audit actions (the balance count and the final
+    // aggregate) — without it the window + cut-point assignment + join
+    // re-ran per action (r18 job shave; values unchanged)
     val j = exact.join(
       approx.select(col("doc").as("doc2"), col("bucket").as("ba")),
-      col("doc") === col("doc2"))
+      col("doc") === col("doc2")).localCheckpoint(false)
     val byBucket = j.groupBy(col("lang"), col("ba")).agg(count(lit(1)).as("nb"))
     val byLang = j.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
     val balanceViolations = byBucket.join(byLang, "lang")

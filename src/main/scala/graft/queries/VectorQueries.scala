@@ -124,7 +124,7 @@ object VectorQueries {
     // different SFs, regenerated corpora and differently-parameterized
     // builders (ScaleProbe auto-sizes nlist) never probe each other's
     // index; under tmpdir — never inside the repo or testdata
-    val key = s"$d|n=${emb.count()}|nlist=16|refine=1"
+    val key = s"$d|n=${graft.Tables.rowCount(s, s"$d/embeddings.parquet")}|nlist=16|refine=1"
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$tag"
@@ -161,7 +161,7 @@ object VectorQueries {
     val probed = VF.ivfProbe(q, idx, k = 5, nprobe = 6)
     val audit = VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.50, corpusTag = d)
     val conserve = idx.assigned.agg(count(lit(1)).as("n_assigned"))
-      .crossJoin(idx.centroids.agg(count(lit(1)).as("n_centroids")))
+      .crossJoin(idx.centroids.coalesce(1).agg(count(lit(1)).as("n_centroids")))
       .crossJoin(emb.agg(
         (sum(when(pmod(xxhash64(col("vec_id")), lit(1000000L)) < 500000L, 1L)
           .otherwise(0L)) < count(lit(1))).as("sampled_smaller")))
@@ -197,7 +197,7 @@ object VectorQueries {
         (min(size(col("codes"))) === 16 && max(size(col("codes"))) === 16 &&
           min(array_min(col("codes"))) >= 0 &&
           max(array_max(col("codes"))) < 64).as("codes_ok"))
-      .crossJoin(idx.codebooks.agg(count(lit(1)).as("n_codebook")))
+      .crossJoin(idx.codebooks.coalesce(1).agg(count(lit(1)).as("n_codebook")))
     audit.crossJoin(conserve)
   }
 
@@ -228,8 +228,8 @@ object VectorQueries {
         (min(size(col("codes"))) === 16 && max(size(col("codes"))) === 16 &&
           min(array_min(col("codes"))) >= 0 &&
           max(array_max(col("codes"))) < 64).as("codes_ok"))
-      .crossJoin(idx.codebooks.agg(count(lit(1)).as("n_codebook")))
-      .crossJoin(idx.centroids.agg(count(lit(1)).as("n_centroids")))
+      .crossJoin(idx.codebooks.coalesce(1).agg(count(lit(1)).as("n_codebook")))
+      .crossJoin(idx.centroids.coalesce(1).agg(count(lit(1)).as("n_centroids")))
     audit.crossJoin(conserve)
   }
 
@@ -264,8 +264,8 @@ object VectorQueries {
           min(array_min(col("codes"))) >= 0 &&
           max(array_max(col("codes"))) < 64).as("codes_ok"),
         (min(col("rnorm")) > 0).as("norms_ok"))
-      .crossJoin(idx.codebooks.agg(count(lit(1)).as("n_codebook")))
-      .crossJoin(idx.centroids.agg(count(lit(1)).as("n_centroids")))
+      .crossJoin(idx.codebooks.coalesce(1).agg(count(lit(1)).as("n_codebook")))
+      .crossJoin(idx.centroids.coalesce(1).agg(count(lit(1)).as("n_centroids")))
     audit.crossJoin(conserve)
   }
 
@@ -298,7 +298,7 @@ object VectorQueries {
         count(lit(1)).as("n_encoded"),
         (min(length(col("codes"))) === 64 && max(length(col("codes"))) === 64 &&
           min(col("rnorm")) > 0).as("codes_ok"))
-      .crossJoin(idx.params.agg(count(lit(1)).as("n_params"),
+      .crossJoin(idx.params.coalesce(1).agg(count(lit(1)).as("n_params"),
         (min(col("vmax") - col("vmin")) >= 0).as("params_ok")))
     audit.crossJoin(conserve)
   }
@@ -330,7 +330,7 @@ object VectorQueries {
   def q168SqPersisted(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
-    val path = indexPath("sq", s"$d|n=${emb.count()}|sq8")
+    val path = indexPath("sq", s"$d|n=${graft.Tables.rowCount(s, s"$d/embeddings.parquet")}|sq8")
     if (!new java.io.File(s"$path/encoded/_SUCCESS").exists())
       VF.saveSq(VF.buildSq(emb), path)
     val idx = VF.SqIndex(graft.Tables.raw(s, s"$path/params"),
@@ -350,7 +350,7 @@ object VectorQueries {
   def q169PqPersisted(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
-    val path = indexPath("pq", s"$d|n=${emb.count()}|m=16|ksub=64|iters=1")
+    val path = indexPath("pq", s"$d|n=${graft.Tables.rowCount(s, s"$d/embeddings.parquet")}|m=16|ksub=64|iters=1")
     if (!new java.io.File(s"$path/encoded/_SUCCESS").exists())
       VF.savePq(VF.buildPq(emb, m = 16, ksub = 64, iters = 1), path)
     val idx = VF.PqIndex(graft.Tables.raw(s, s"$path/codebooks"),
@@ -371,7 +371,7 @@ object VectorQueries {
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
     val path = indexPath("ivfpq",
-      s"$d|n=${emb.count()}|nlist=16|refine=1|m=16|ksub=64|iters=1|residual=1")
+      s"$d|n=${graft.Tables.rowCount(s, s"$d/embeddings.parquet")}|nlist=16|refine=1|m=16|ksub=64|iters=1|residual=1")
     if (!new java.io.File(s"$path/encoded/_SUCCESS").exists())
       VF.saveIvfPq(VF.buildIvfPq(emb, nlist = 16, refine = 1, m = 16,
         ksub = 64, iters = 1, residual = true), path)
