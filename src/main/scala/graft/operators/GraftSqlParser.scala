@@ -3676,28 +3676,42 @@ object GraftSqlParser {
           val baseEnd = depth0Find(masked, raw"(?i)\bWHERE\b".r, fromIdx + 4, mm.start)
             .getOrElse(mm.start)
           val basePart = cur.substring(fromIdx + 4, baseEnd).trim
-          val cnt =
-            try run(s"SELECT count(*) AS __graft_rsv_n FROM $basePart")
+          // a bare identifier that names a PRECEDING same-statement CTE
+          // goes straight to the WITH-prefixed count: the old
+          // try-bare-first shape deliberately ran a count that FAILS
+          // analysis for CTE bases (then retried) — a wasted failed
+          // execution per resolve whose cached AnalysisException any
+          // execution listener re-surfaces as a loud stack trace when
+          // it touches the dead QueryExecution (r18; same counts, same
+          // guided error for genuinely unresolvable names)
+          val (rec, defs) = cteDefsBefore(cur, masked, mm.start)
+          val cteNames = defs.flatMap(d =>
+            raw"(?s)^\s*([A-Za-z_]\w*)".r.findFirstMatchIn(d).map(_.group(1).toLowerCase)).toSet
+          val baseIsCte = cteNames.contains(basePart.toLowerCase)
+          def guided(cause: Throwable): Nothing =
+            throw new graft.functions.expressions.DuckDialectException(
+              s"reservoir($pct%): could not count the base relation " +
+                s"'$basePart' out of statement context (names neither " +
+                "the catalog nor a preceding same-statement CTE " +
+                "resolves) — materialize it first with " +
+                "CREATE TEMP TABLE ... AS, or use reservoir(n ROWS)", cause)
+          def countWith(orElse: Throwable => Long): Long =
+            try run(s"WITH $rec${defs.mkString(", ")} " +
+              s"SELECT count(*) AS __graft_rsv_n FROM $basePart")
               .collect().head.getLong(0)
-            catch {
-              case scala.util.control.NonFatal(e) =>
-                // CTE-scoped base relation: retry with the statement's
-                // own WITH prefix (definitions closing before the
-                // sample site — r18, VERDICT r17 #5)
-                val (rec, defs) = cteDefsBefore(cur, masked, mm.start)
-                def guided(cause: Throwable): Nothing =
-                  throw new graft.functions.expressions.DuckDialectException(
-                    s"reservoir($pct%): could not count the base relation " +
-                      s"'$basePart' out of statement context (names neither " +
-                      "the catalog nor a preceding same-statement CTE " +
-                      "resolves) — materialize it first with " +
-                      "CREATE TEMP TABLE ... AS, or use reservoir(n ROWS)", cause)
-                if (defs.isEmpty) guided(e)
-                else try run(s"WITH $rec${defs.mkString(", ")} " +
-                  s"SELECT count(*) AS __graft_rsv_n FROM $basePart")
-                  .collect().head.getLong(0)
-                catch { case scala.util.control.NonFatal(e2) => guided(e2) }
-            }
+            catch { case scala.util.control.NonFatal(e2) => orElse(e2) }
+          val cnt =
+            if (baseIsCte) countWith(guided)
+            else
+              try run(s"SELECT count(*) AS __graft_rsv_n FROM $basePart")
+                .collect().head.getLong(0)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  // non-identifier CTE-scoped base (e.g. a subquery over
+                  // a CTE): retry with the statement's WITH prefix
+                  // (r18, VERDICT r17 #5)
+                  if (defs.isEmpty) guided(e) else countWith(guided)
+              }
           val n = math.floor(cnt * pct / 100.0 + 0.5).toLong
           val rep = seedOpt.map(s => s" REPEATABLE ($s)").getOrElse("")
           cur = cur.substring(0, mm.start) +

@@ -1262,4 +1262,25 @@ class DedupSpec extends SparkSpec {
     assert(e3.getMessage.contains("divisible"))
   }
 
+
+  test("r18 audit-tail driver fold: < k exact rows per query leaves the kth extremes NULL") {
+    // 3 candidates / 2 queries: each query has only 2 exact neighbors
+    // (self excluded), so no row ever reaches rn == 5 — the driver-side
+    // fold must reproduce the old max(when(rn==k))-then-min/max chain's
+    // NULLs, and n_exact counts ALL exact rows, not just full-k ones
+    import org.apache.spark.sql.functions._
+    val emb = spark.range(3).select(col("id").as("vec_id"),
+      array((0 until 4).map(i => (col("id") * (i + 1) + 1).cast("float")): _*)
+        .as("embedding"))
+    val q = emb.filter(col("vec_id") < 2)
+    val approx = VectorFunctions.bruteForceTopK(q, emb, k = 5)
+    val row = VectorFunctions.topKRecallAudit(approx, q, emb, k = 5, bound = 0.5)
+      .collect()(0)
+    assert(row.getAs[Long]("n_queries") == 2L)
+    assert(row.getAs[Long]("n_exact") == 4L) // 2 queries x 2 neighbors
+    assert(row.isNullAt(row.fieldIndex("min_kth_cos")))
+    assert(row.isNullAt(row.fieldIndex("max_kth_cos")))
+    assert(!row.getAs[Boolean]("full_k")) // 4 != 2 * 5
+    assert(!row.getAs[Boolean]("recall_ok")) // 4/10 < 0.5
+  }
 }

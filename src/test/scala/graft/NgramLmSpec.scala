@@ -252,4 +252,14 @@ class NgramLmSpec extends SparkSpec {
       scored, lit(1), col("ppl"), col("doc_id"), 3)
     assert(buckets.groupBy(col("bucket")).count().count() == 3)
   }
+
+  test("r18: nTokens observed on the vocab election equals the exact token total; empty input gives 0") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+      Tuple1(Seq("a", "b", "a", "c")), Tuple1(Seq("b", "a")))).toDF("ts")
+    val m = NgramLm.trainBigramLm(docs, col("ts"), maxVocab = 2, minCount = 1)
+    assert(m.nTokens == 6L) // ALL tokens, vocab-capped or not
+    val empty = spark.createDataFrame(Seq.empty[Tuple1[Seq[String]]]).toDF("ts")
+    assert(NgramLm.trainBigramLm(empty, col("ts")).nTokens == 0L)
+  }
 }

@@ -87,4 +87,23 @@ class TextClassifierSpec extends SparkSpec {
       ids, col("lbl"), split(col("text"), " "), maxClasses = 10))
     assert(e2.getMessage.contains("maxClasses"))
   }
+
+  test("r18: class order under non-ASCII labels matches Spark's binary string sort") {
+    import org.apache.spark.sql.functions._
+    // UTF-8 byte order puts 'Z' (0x5a) before 'é' (0xc3 0xa9) before
+    // '日' (0xe6 ...) — same as Spark's UTF8String binary comparison;
+    // a Java-String (UTF-16 char) comparator would agree here, but the
+    // driver-side sort must stay byte-ordered by construction
+    val df = spark.createDataFrame(Seq(
+      ("日label", Seq("a", "b")), ("élabel", Seq("a")), ("Zlabel", Seq("b", "b"))
+    )).toDF("lbl", "ts")
+    val m = TextClassifier.trainNaiveBayes(df, col("lbl"), col("ts"))
+    assert(m.classes.toSeq == Seq("Zlabel", "\u00e9label", "\u65e5label"))
+    val nulls = spark.createDataFrame(Seq((Option.empty[String], Seq("a"))))
+      .toDF("lbl", "ts")
+    val e = intercept[IllegalArgumentException] {
+      TextClassifier.trainNaiveBayes(nulls, col("lbl"), col("ts"))
+    }
+    assert(e.getMessage.contains("NULL labels"))
+  }
 }
