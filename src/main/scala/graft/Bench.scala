@@ -358,11 +358,15 @@ object Bench {
     // keys, 3-decimal values. Full detail goes to bench_detail.json.
     def f3(v: Double): String = f"$v%.3f"
     def shortKey(k: String): String = k.takeWhile(_ != '_')
-    // the suite outgrew the window (r13's BENCH json recorded
-    // "parsed": null — the 165-entry map alone is ~2.2k chars): the
-    // line carries the SLOWEST 100 queries and counts the omitted
-    // fast tail; bench_detail.json keeps the full set
-    val qTop = seqRes.toSeq.sortBy(-_._2).take(100)
+    // ALL queries ride the line (r19, VERDICT r18 #7: the 100-query
+    // window left a third of the suite with no round-over-round
+    // trail). The r13 "parsed": null was a LAST-LINE problem (sbt's
+    // [info] prefix / trailing log lines), fixed by the verbatim
+    // outputStrategy + the shutdown-hook re-print below — r18's
+    // ~3.2k-char line parsed fine, and the driver's 2000-char `tail`
+    // field is a diagnostic window, not the parse buffer. The duckdb
+    // maps below stay capped at the slowest 50 to bound the length.
+    val qTop = seqRes.toSeq.sortBy(-_._2)
     val qs = qTop.sortBy(_._1)
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")

@@ -40,18 +40,38 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  /** Cross-session (path → row count) memo — same contract as the
-    * schema cache: every cached path is write-once under a running
-    * process, so the count is a pure function of the path. Used for
+  /** Per-JVM ((path, metadata snapshot) → row count) memo. Used for
     * the content-keyed persisted-index paths (q104/q168-q170), which
     * otherwise paid a full count() job on EVERY execution just to
-    * rebuild an unchanging cache key (r18 job shave).
+    * rebuild an unchanging cache key (r18 job shave). The key carries
+    * a file-metadata snapshot (the dc3f8d4 persisted-LM pattern —
+    * VERDICT r18 #4), NOT the bare path: an in-process rewrite of the
+    * parquet changes (length, mtime), so the memo can never serve a
+    * stale count — and with it a stale index key — for a regenerated
+    * corpus. The recompute reads the path FRESH (no relation/schema
+    * memo, which also assume write-once) so the new count really
+    * reflects the rewritten file.
     */
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** File-metadata snapshot id for `path` — zero Spark jobs. A
+    * directory (multi-file parquet) folds its children's (count, total
+    * length, max mtime); a plain file uses (length, mtime). At 100 TB
+    * this slot is the catalog table-version string.
+    */
+  private def metaSnapshot(path: String): String = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      val fs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      s"dir|n=${fs.length}|len=${fs.map(_.length()).sum}|" +
+        s"mt=${fs.foldLeft(0L)((m, c) => math.max(m, c.lastModified()))}"
+    } else s"f|len=${f.length()}|mt=${f.lastModified()}"
+  }
+
   def rowCount(spark: SparkSession, path: String): Long =
-    countCache.computeIfAbsent(path, p => raw(spark, p).count()).longValue()
+    countCache.computeIfAbsent(s"$path|${metaSnapshot(path)}",
+      _ => spark.read.parquet(path).count()).longValue()
 
   private def readMemo(spark: SparkSession, path: String): DataFrame = {
     val known = schemaCache.get(path)

@@ -134,10 +134,18 @@ object NgramLm {
       uni.put(r.getString(0), r.getLong(1))
       vocabTokens += r.getLong(1)
     }
-    val nTokens = Option(nObs.get.getOrElse("n", null)) match {
-      case Some(v: java.lang.Long) => v.longValue()
-      case _ => 0L
-    }
+    // getOrEmpty + count fallback (the Dedup/executeCopy pattern): if a
+    // future Spark elides the CollectMetrics node (e.g. empty-relation
+    // propagation) the training degrades to one extra bounded sum()
+    // instead of blocking forever on nObs.get (ADVICE r18)
+    val nTokens =
+      org.apache.spark.sql.GraftColumnBridge.observedOrEmpty(nObs).get("n") match {
+        case Some(v: java.lang.Long) => v.longValue()
+        case Some(v: Number) => v.longValue()
+        case _ =>
+          val s = rawUni.agg(sum(col("c")).cast("long")).head()
+          if (s.isNullAt(0)) 0L else s.getLong(0)
+      }
     val unkCount = nTokens - vocabTokens
     if (unkCount > 0) uni.put(unk, unkCount)
     val vocabDf = spark.createDataFrame(
@@ -278,45 +286,79 @@ object NgramLm {
       Seq(Row(model.nTokens, model.vSize)))
   }
 
-  /** Load a model persisted by [[save]]. Collects are bounded by the
-    * training caps the save inherited — never by any corpus.
+  /** Union-of-columns schema for the ONE-scan model load below: every
+    * persisted table's columns, all nullable — the parquet reader
+    * fills columns absent from a given file with NULLs, so the five
+    * (or, for KN, eight) capacity-bounded tables read as one relation
+    * discriminated by `input_file_name()`.
     */
-  def load(spark: SparkSession, path: String): BigramLmModel = {
-    // the five bounded table reads overlap as concurrent actions
-    // (guide §2.6 — Spark schedules independent jobs side by side, so
-    // the per-job scheduling floor is paid ~once, not five times in
-    // sequence; each collect is capacity-bounded by the training caps)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    def rows(t: String): Future[Array[Row]] =
-      Future(spark.read.parquet(s"$path/$t").collect())
-    val fUni = rows("uni"); val fBi = rows("bi"); val fTri = rows("tri")
-    val fQuad = rows("quad"); val fMeta = rows("meta")
+  private val loadSchema = StructType(Seq(
+    StructField("w", StringType), StructField("c", LongType),
+    StructField("w1", StringType), StructField("w2", StringType),
+    StructField("w3", StringType), StructField("ctx", StringType),
+    StructField("w4", StringType), StructField("n_tokens", LongType),
+    StructField("v_size", LongType), StructField("f", LongType),
+    StructField("pair_count", LongType)))
+
+  /** Read `tables` (subdirectories of `path`) in ONE multi-path scan +
+    * ONE bounded collect, keyed back to their table by file path — the
+    * r18 concurrent-futures load paid the per-job floor once per
+    * OVERLAP WINDOW but still ran 5-8 jobs; one job reads them all
+    * (r19, VERDICT r18 #3). Row ordinals: 0 = source path, then
+    * [[loadSchema]]'s columns 1-11.
+    */
+  private def loadTables(spark: SparkSession, path: String,
+                         tables: Seq[String]): Map[String, Array[Row]] = {
+    val rows = spark.read.schema(loadSchema)
+      .parquet(tables.map(t => s"$path/$t"): _*)
+      .select((input_file_name().as("__src") +:
+        loadSchema.fields.map(f => col(f.name))): _*)
+      .collect()
+    rows.groupBy { r =>
+      // the table is the part file's IMMEDIATE parent directory — a
+      // substring match would misfire when the model path itself ends
+      // in a table name (e.g. .../quad/meta/part-0.parquet)
+      val segs = r.getString(0).split('/')
+      val parent = if (segs.length >= 2) segs(segs.length - 2) else ""
+      if (tables.contains(parent)) parent
+      else throw new IllegalStateException(
+        s"unrecognized model file: ${r.getString(0)}")
+    }.map { case (k, v) => k -> v.toArray }
+  }
+
+  private def modelFromTables(t: Map[String, Array[Row]]): BigramLmModel = {
+    def rows(name: String): Array[Row] = t.getOrElse(name, Array.empty)
     val uni = new java.util.HashMap[String, Long]()
-    Await.result(fUni, Duration.Inf)
-      .foreach(r => uni.put(r.getString(0), r.getLong(1)))
+    rows("uni").foreach(r => uni.put(r.getString(1), r.getLong(2)))
     val bi = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
-    Await.result(fBi, Duration.Inf).foreach { r =>
-      bi.computeIfAbsent(r.getString(0), _ => new java.util.HashMap[String, Long]())
-        .put(r.getString(1), r.getLong(2))
+    rows("bi").foreach { r =>
+      bi.computeIfAbsent(r.getString(3), _ => new java.util.HashMap[String, Long]())
+        .put(r.getString(4), r.getLong(2))
     }
     val tri = new java.util.HashMap[String,
       java.util.HashMap[String, java.util.HashMap[String, Long]]]()
-    Await.result(fTri, Duration.Inf).foreach { r =>
-      tri.computeIfAbsent(r.getString(0),
+    rows("tri").foreach { r =>
+      tri.computeIfAbsent(r.getString(3),
           _ => new java.util.HashMap[String, java.util.HashMap[String, Long]]())
-        .computeIfAbsent(r.getString(1), _ => new java.util.HashMap[String, Long]())
-        .put(r.getString(2), r.getLong(3))
+        .computeIfAbsent(r.getString(4), _ => new java.util.HashMap[String, Long]())
+        .put(r.getString(5), r.getLong(2))
     }
     val quad = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
-    Await.result(fQuad, Duration.Inf).foreach { r =>
-      quad.computeIfAbsent(r.getString(0), _ => new java.util.HashMap[String, Long]())
-        .put(r.getString(1), r.getLong(2))
+    rows("quad").foreach { r =>
+      quad.computeIfAbsent(r.getString(6), _ => new java.util.HashMap[String, Long]())
+        .put(r.getString(7), r.getLong(2))
     }
-    val meta = Await.result(fMeta, Duration.Inf).head
-    new BigramLmModel(uni, bi, meta.getLong(0), meta.getLong(1), tri, quad)
+    val meta = rows("meta").head
+    new BigramLmModel(uni, bi, meta.getLong(8), meta.getLong(9), tri, quad)
   }
+
+  /** Load a model persisted by [[save]] — one scan + one collect,
+    * bounded by the training caps the save inherited, never by any
+    * corpus.
+    */
+  def load(spark: SparkSession, path: String): BigramLmModel =
+    modelFromTables(loadTables(spark, path,
+      Seq("uni", "bi", "tri", "quad", "meta")))
 
   /** Persist [[kneserNey]]'s derived statistics alongside their base
     * model (the base saves first; `knmeta` last = completion marker).
@@ -335,24 +377,21 @@ object NgramLm {
       Seq(Row(model.pairCount)))
   }
 
-  /** Load a [[KnModel]] persisted by [[saveKn]]. */
+  /** Load a [[KnModel]] persisted by [[saveKn]] — the base model's
+    * five tables and the three KN tables read as ONE scan + ONE
+    * bounded collect (see [[loadTables]]).
+    */
   def loadKn(spark: SparkSession, path: String): KnModel = {
-    // the three KN tables overlap with the base model's five reads
-    // (see load) — all eight bounded collects run as concurrent jobs
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fFan = Future(spark.read.parquet(s"$path/fanout").collect())
-    val fCont = Future(spark.read.parquet(s"$path/cont").collect())
-    val fPairs = Future(spark.read.parquet(s"$path/knmeta").collect())
-    val base = load(spark, path)
+    val t = loadTables(spark, path,
+      Seq("uni", "bi", "tri", "quad", "meta", "fanout", "cont", "knmeta"))
+    val base = modelFromTables(t)
     val fanout = new java.util.HashMap[String, Long]()
-    Await.result(fFan, Duration.Inf)
-      .foreach(r => fanout.put(r.getString(0), r.getLong(1)))
+    t.getOrElse("fanout", Array.empty[Row])
+      .foreach(r => fanout.put(r.getString(1), r.getLong(10)))
     val cont = new java.util.HashMap[String, Long]()
-    Await.result(fCont, Duration.Inf)
-      .foreach(r => cont.put(r.getString(0), r.getLong(1)))
-    val pairs = Await.result(fPairs, Duration.Inf).head.getLong(0)
+    t.getOrElse("cont", Array.empty[Row])
+      .foreach(r => cont.put(r.getString(1), r.getLong(2)))
+    val pairs = t("knmeta").head.getLong(11)
     new KnModel(base, fanout, cont, pairs)
   }
 

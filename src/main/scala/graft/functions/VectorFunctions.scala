@@ -503,11 +503,24 @@ object VectorFunctions {
     * are the same folds over the same ≤ 50 rows, min/max/count are
     * order-insensitive, so the audit row is bit-identical).
     */
+  /** Hard bound on the collected exact reference (and the query batch)
+    * in [[topKAuditTail]]: the audits are built for driver-bounded
+    * query batches (≤ |Q|·k rows by construction); an unbounded caller
+    * fails loudly here instead of silently collecting an arbitrarily
+    * large relation to the driver (ADVICE r18).
+    */
+  val AuditMaxRows: Int = 1 << 22
+
   private def topKAuditTail(exact: DataFrame, approx: DataFrame,
                             queries: DataFrame, k: Int, bound: Double): DataFrame = {
     val spark = exact.sparkSession
     val eRows = exact.select(col("qid").cast("long"), col("cid").cast("long"),
-      col("cos"), col("rn").cast("int")).collect()
+      col("cos"), col("rn").cast("int"))
+      .limit(AuditMaxRows + 1).collect()
+    require(eRows.length <= AuditMaxRows,
+      s"topKRecallAudit: exact reference exceeds $AuditMaxRows rows — the audit " +
+        "collects the ≤ |Q|·k exact top-k to the driver by design; batch the " +
+        "query set (see bruteForceTopK's bounded-|Q| contract)")
     val nExact = java.lang.Long.valueOf(eRows.length.toLong)
     // per-query kth score = the rn == k row's cos (unique per qid);
     // global min/max ignore queries with < k exact rows, like the old
@@ -519,7 +532,10 @@ object VectorFunctions {
     // excluded) — the query batch is the same driver-bounded relation
     // every probe already collects, and the old distributed
     // count_distinct paid a 2-stage aggregate + a crossJoin arm per gate
-    val qIds = queries.select(col("vec_id")).collect()
+    val qIds = queries.select(col("vec_id")).limit(AuditMaxRows + 1).collect()
+    require(qIds.length <= AuditMaxRows,
+      s"topKRecallAudit: query batch exceeds $AuditMaxRows rows — " +
+        "driver-bounded by contract (see bruteForceTopK)")
     val nQueries = java.lang.Long.valueOf(
       qIds.filter(!_.isNullAt(0)).map(_.get(0)).distinct.length.toLong)
     val exactStats = spark.createDataFrame(
@@ -741,18 +757,49 @@ object VectorFunctions {
   def semDedup(corpus: DataFrame, centroids: DataFrame,
                tau: Double, maxClusterSize: Int = 4096,
                clusterObs: Option[Observation] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    // centroid rows collected ONCE (bounded by construction — the
+    // assignment pass collects them for its broadcast matrix anyway,
+    // r19): the LocalRelation feeds clusterAssign job-free AND yields
+    // nlist for the pair-join salt below
+    val centRows = collectSortedByLong(
+      centroids.select(col("cent_id"), col("cvec")), 0)
+    val centLocal = spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*),
+      centroids.select(col("cent_id"), col("cvec")).schema)
     // materialized ONCE (lazy checkpoint): the assignment feeds BOTH
     // pair-join sides and the survivors anti-join, and without the
     // checkpoint each consumer re-ran the full scan + broadcast-argmax
     // pass — the r18 plan audit showed THREE corpus scans per execution
     // (guide §2.4: same data, one materialization; the same posture as
     // buildIvf's checkpointed posting lists)
-    val assigned = clusterAssign(corpus, centroids).localCheckpoint(false)
+    val assigned = clusterAssign(corpus, centLocal).localCheckpoint(false)
     val slim = assigned.select(col("cid"), col("vec_id"), col("embedding"))
     val capped = Buckets.capHot(slim, Seq(col("cid")), col("vec_id"),
       maxClusterSize, clusterObs)
-    val dropped = capped.as("a").join(capped.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+    // SALTED pair join (guide §2.5, r19): the join key `cid` has only
+    // nlist distinct values, so when nlist < cores the cluster-local
+    // quadratic serializes on nlist tasks (sf1 profile: q111/q116 ran
+    // their ~25M-pair cosine wall on 8 of 32 cores). Side a takes a
+    // deterministic salt = xxhash64(vec_id) mod S; side b replicates
+    // its rows across all S salts, so every (a < b) pair still meets
+    // EXACTLY once — at (cid, salt(a)) — and the join parallelism
+    // becomes nlist·S. S derives from the session's parallelism and
+    // collapses to 1 (no replication, the previous plan byte-for-byte)
+    // once nlist alone covers the cores — at 100 TB nlist ≈ √N ≫
+    // cores, so the corpus-sized side is never replicated at scale.
+    // `spark.graft.semDedup.pairSalt` overrides.
+    val nlist = math.max(1, centRows.length)
+    val salt = spark.conf.getOption("spark.graft.semDedup.pairSalt")
+      .map(_.toInt).getOrElse(math.max(1,
+        (2 * spark.sparkContext.defaultParallelism + nlist - 1) / nlist))
+    val a = capped.withColumn("__salt",
+      pmod(xxhash64(col("vec_id")), lit(salt.toLong)).cast("int"))
+    val b = capped.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    val dropped = a.as("a").join(b.as("b"),
+        col("a.cid") === col("b.cid") && col("a.__salt") === col("b.__salt") &&
+          col("a.vec_id") < col("b.vec_id"))
       .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
       .select(col("b.vec_id").as("vec_id")).distinct()
     assigned.join(dropped, Seq("vec_id"), "left_anti")
@@ -860,6 +907,16 @@ object VectorFunctions {
   /** Probe a prebuilt [[IvfIndex]]: rank each query's `nprobe` nearest
     * centroids (broadcast nlist-row join), equality-join into the
     * probed posting lists, exact cosine + top-k inside them.
+    *
+    * CONTRACT: the query batch must be DRIVER-BOUNDED (the
+    * [[bruteForceTopK]] caveat — batch very large query sets). The
+    * probe head collects it for the broadcast centroid matrix, and the
+    * |Q|·nprobe probe rows are broadcast against the posting lists
+    * unconditionally (a fresh build's checkpoint relation has no stats,
+    * so without the hint the planner sort-merge-shuffles the entire
+    * corpus to meet an ~80-row probe table). A caller-supplied huge
+    * batch fails at the collect — before the broadcast — exactly like
+    * every other probe in this family.
     */
   def ivfProbe(queries: DataFrame, index: IvfIndex, k: Int,
                nprobe: Int = Auto): DataFrame = {
@@ -1479,14 +1536,21 @@ object VectorFunctions {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(queries.sparkSession)
     val nBits = if (bits == Auto) autoAnnBits(candidates.count()) else bits
+    // Bucket tables carry (vec_id, tbl, bucket) ONLY — the previous
+    // shape carried both sides' 64-float embeddings through the
+    // (tbl, bucket) exchange AND through the candidate `.distinct()`
+    // exchange (~500 bytes/row of payload where 24 suffice; r19 sf1
+    // profile: q41 shuffled vector payloads for every one of ~1M
+    // candidate rows — guide §2.3 / §8: decide with small rows, move
+    // the heavy bytes once via the verified-candidate re-join below).
     def withBuckets(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), col("embedding"),
+      df.select(col("vec_id"),
         posexplode(call_function("lsh_signature", col("embedding"), lit(nBits), lit(tables)))
           .as(Seq("tbl", "bucket")))
     val qb0 = withBuckets(queries)
     val qb =
       if (probes <= 0) qb0
-      else qb0.select(col("vec_id"), col("embedding"), col("tbl"),
+      else qb0.select(col("vec_id"), col("tbl"),
         explode(array(col("bucket") +:
           (0 until math.min(probes, nBits)).map(b =>
             col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
@@ -1495,10 +1559,17 @@ object VectorFunctions {
       .join(cb.as("c"),
         col("q.tbl") === col("c.tbl") && col("q.bucket") === col("c.bucket") &&
           col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
-        col("q.embedding").as("qv"), col("c.embedding").as("cv"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"))
       .distinct()
-    val scored = cand.select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+    // re-attach vectors: candidate ids join the corpus by id (AQE
+    // broadcasts the id-pair side from its runtime size — bounded at
+    // |Q|·tables·(1+probes)·bucket-size by construction), the bounded
+    // query batch broadcasts — the lshNearDupPairs verified-candidate
+    // pattern; the corpus is never shuffled
+    val scored = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .join(cand, "cid")
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }

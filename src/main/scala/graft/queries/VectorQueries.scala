@@ -2,8 +2,9 @@ package graft.queries
 
 import graft.Tables._
 import graft.functions.{VectorFunctions => VF}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StructField, StructType}
 
 /** Similarity search over the `embeddings` table (array<float> dim 64):
   * exact brute-force cosine top-k (oracle-checked bit-for-bit against
@@ -158,14 +159,32 @@ object VectorQueries {
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
     val idx = VF.buildIvf(emb, nlist = 16, refine = 1, trainFraction = 0.5)
-    val probed = VF.ivfProbe(q, idx, k = 5, nprobe = 6)
+    // n_assigned and the half-sample tally ride the probe's
+    // posting-list scan as observed metrics (r19 fusion). The sample
+    // sum folds over `assigned`, which carries exactly the corpus's
+    // (vec_id, embedding) rows (one posting-list row per vector — the
+    // very conservation n_assigned pins), so the value is the one the
+    // old separate emb-scan aggregate produced. n_centroids folds over
+    // the driver-built centroid relation.
+    val obs = Observation()
+    val assignedObs = idx.assigned.observe(obs,
+      count(lit(1)).as("n_assigned"),
+      sum(when(pmod(xxhash64(col("vec_id")), lit(1000000L)) < 500000L, 1L)
+        .otherwise(0L)).as("n_half"))
+    val probed = VF.ivfProbe(q, VF.IvfIndex(idx.centroids, assignedObs),
+      k = 5, nprobe = 6)
     val audit = VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.50, corpusTag = d)
-    val conserve = idx.assigned.agg(count(lit(1)).as("n_assigned"))
-      .crossJoin(idx.centroids.coalesce(1).agg(count(lit(1)).as("n_centroids")))
-      .crossJoin(emb.agg(
-        (sum(when(pmod(xxhash64(col("vec_id")), lit(1000000L)) < 500000L, 1L)
-          .otherwise(0L)) < count(lit(1))).as("sampled_smaller")))
-    audit.crossJoin(conserve)
+    auditWithConservation(audit, obs,
+      Seq("n_assigned" -> LongType, "n_centroids" -> LongType,
+        "sampled_smaller" -> BooleanType),
+      m => Seq(obsLong(m, "n_assigned"), localCount(idx.centroids),
+        obsLong(m, "n_half") < obsLong(m, "n_assigned")),
+      () => {
+        val r = idx.assigned.agg(count(lit(1)).as("n_assigned"),
+          (sum(when(pmod(xxhash64(col("vec_id")), lit(1000000L)) < 500000L, 1L)
+            .otherwise(0L)) < count(lit(1))).as("sampled_smaller")).head()
+        Seq(r.getLong(0), localCount(idx.centroids), r.getBoolean(1))
+      })
   }
 
   /** Product-quantized ANN (r13): [[graft.functions.VectorFunctions
@@ -190,15 +209,33 @@ object VectorQueries {
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
     val idx = VF.buildPq(emb, m = 16, ksub = 64, iters = 1)
-    val probed = VF.pqProbe(q, idx, emb, k = 5, rerank = 128)
+    // conservation rides the probe's full encoded scan as an observed
+    // metric; n_codebook folds over the driver-built codebook relation
+    // (r19 fusion — see auditWithConservation)
+    val obs = Observation()
+    val encObs = idx.encoded.observe(obs,
+      count(lit(1)).as("n_encoded"),
+      min(size(col("codes"))).as("min_w"), max(size(col("codes"))).as("max_w"),
+      min(array_min(col("codes"))).as("min_c"),
+      max(array_max(col("codes"))).as("max_c"))
+    val probed = VF.pqProbe(q, VF.PqIndex(idx.codebooks, encObs), emb,
+      k = 5, rerank = 128)
     val audit = VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.80, corpusTag = d)
-    val conserve = idx.encoded.agg(
-        count(lit(1)).as("n_encoded"),
-        (min(size(col("codes"))) === 16 && max(size(col("codes"))) === 16 &&
-          min(array_min(col("codes"))) >= 0 &&
-          max(array_max(col("codes"))) < 64).as("codes_ok"))
-      .crossJoin(idx.codebooks.coalesce(1).agg(count(lit(1)).as("n_codebook")))
-    audit.crossJoin(conserve)
+    auditWithConservation(audit, obs,
+      Seq("n_encoded" -> LongType, "codes_ok" -> BooleanType,
+        "n_codebook" -> LongType),
+      m => Seq(obsLong(m, "n_encoded"),
+        obsLong(m, "min_w") == 16 && obsLong(m, "max_w") == 16 &&
+          obsLong(m, "min_c") >= 0 && obsLong(m, "max_c") < 64,
+        localCount(idx.codebooks)),
+      () => {
+        val r = idx.encoded.agg(
+          count(lit(1)).as("n_encoded"),
+          (min(size(col("codes"))) === 16 && max(size(col("codes"))) === 16 &&
+            min(array_min(col("codes"))) >= 0 &&
+            max(array_max(col("codes"))) < 64).as("codes_ok")).head()
+        Seq(r.getLong(0), r.getBoolean(1), localCount(idx.codebooks))
+      })
   }
 
   /** IVFADC (r13): [[graft.functions.VectorFunctions.buildIvfPq]]
@@ -221,16 +258,32 @@ object VectorQueries {
     val q = emb.filter(col("vec_id") < 10)
     val idx = VF.buildIvfPq(emb, nlist = 16, refine = 1, m = 16, ksub = 64,
       iters = 1)
-    val probed = VF.ivfPqProbe(q, idx, emb, k = 5, nprobe = 8, rerank = 128)
+    // conservation rides the probe's posting-list scan (r19 fusion)
+    val obs = Observation()
+    val encObs = idx.encoded.observe(obs,
+      count(lit(1)).as("n_encoded"),
+      min(size(col("codes"))).as("min_w"), max(size(col("codes"))).as("max_w"),
+      min(array_min(col("codes"))).as("min_c"),
+      max(array_max(col("codes"))).as("max_c"))
+    val probed = VF.ivfPqProbe(q, VF.IvfPqIndex(idx.centroids, idx.codebooks,
+      encObs), emb, k = 5, nprobe = 8, rerank = 128)
     val audit = VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.60, corpusTag = d)
-    val conserve = idx.encoded.agg(
-        count(lit(1)).as("n_encoded"),
-        (min(size(col("codes"))) === 16 && max(size(col("codes"))) === 16 &&
-          min(array_min(col("codes"))) >= 0 &&
-          max(array_max(col("codes"))) < 64).as("codes_ok"))
-      .crossJoin(idx.codebooks.coalesce(1).agg(count(lit(1)).as("n_codebook")))
-      .crossJoin(idx.centroids.coalesce(1).agg(count(lit(1)).as("n_centroids")))
-    audit.crossJoin(conserve)
+    auditWithConservation(audit, obs,
+      Seq("n_encoded" -> LongType, "codes_ok" -> BooleanType,
+        "n_codebook" -> LongType, "n_centroids" -> LongType),
+      m => Seq(obsLong(m, "n_encoded"),
+        obsLong(m, "min_w") == 16 && obsLong(m, "max_w") == 16 &&
+          obsLong(m, "min_c") >= 0 && obsLong(m, "max_c") < 64,
+        localCount(idx.codebooks), localCount(idx.centroids)),
+      () => {
+        val r = idx.encoded.agg(
+          count(lit(1)).as("n_encoded"),
+          (min(size(col("codes"))) === 16 && max(size(col("codes"))) === 16 &&
+            min(array_min(col("codes"))) >= 0 &&
+            max(array_max(col("codes"))) < 64).as("codes_ok")).head()
+        Seq(r.getLong(0), r.getBoolean(1),
+          localCount(idx.codebooks), localCount(idx.centroids))
+      })
   }
 
   /** RESIDUAL IVFADC (r13 — FAISS IndexIVFPQ's `by_residual = true`
@@ -256,17 +309,36 @@ object VectorQueries {
     val q = emb.filter(col("vec_id") < 10)
     val idx = VF.buildIvfPq(emb, nlist = 16, refine = 1, m = 16, ksub = 64,
       iters = 1, residual = true)
-    val probed = VF.ivfPqProbe(q, idx, emb, k = 5, nprobe = 8, rerank = 128)
+    // conservation rides the probe's posting-list scan (r19 fusion)
+    val obs = Observation()
+    val encObs = idx.encoded.observe(obs,
+      count(lit(1)).as("n_encoded"),
+      min(size(col("codes"))).as("min_w"), max(size(col("codes"))).as("max_w"),
+      min(array_min(col("codes"))).as("min_c"),
+      max(array_max(col("codes"))).as("max_c"),
+      min(col("rnorm")).as("min_rn"))
+    val probed = VF.ivfPqProbe(q, VF.IvfPqIndex(idx.centroids, idx.codebooks,
+      encObs), emb, k = 5, nprobe = 8, rerank = 128)
     val audit = VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.60, corpusTag = d)
-    val conserve = idx.encoded.agg(
-        count(lit(1)).as("n_encoded"),
-        (min(size(col("codes"))) === 16 && max(size(col("codes"))) === 16 &&
-          min(array_min(col("codes"))) >= 0 &&
-          max(array_max(col("codes"))) < 64).as("codes_ok"),
-        (min(col("rnorm")) > 0).as("norms_ok"))
-      .crossJoin(idx.codebooks.coalesce(1).agg(count(lit(1)).as("n_codebook")))
-      .crossJoin(idx.centroids.coalesce(1).agg(count(lit(1)).as("n_centroids")))
-    audit.crossJoin(conserve)
+    auditWithConservation(audit, obs,
+      Seq("n_encoded" -> LongType, "codes_ok" -> BooleanType,
+        "norms_ok" -> BooleanType, "n_codebook" -> LongType,
+        "n_centroids" -> LongType),
+      m => Seq(obsLong(m, "n_encoded"),
+        obsLong(m, "min_w") == 16 && obsLong(m, "max_w") == 16 &&
+          obsLong(m, "min_c") >= 0 && obsLong(m, "max_c") < 64,
+        m("min_rn").asInstanceOf[Number].doubleValue() > 0,
+        localCount(idx.codebooks), localCount(idx.centroids)),
+      () => {
+        val r = idx.encoded.agg(
+          count(lit(1)).as("n_encoded"),
+          (min(size(col("codes"))) === 16 && max(size(col("codes"))) === 16 &&
+            min(array_min(col("codes"))) >= 0 &&
+            max(array_max(col("codes"))) < 64).as("codes_ok"),
+          (min(col("rnorm")) > 0).as("norms_ok")).head()
+        Seq(r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+          localCount(idx.codebooks), localCount(idx.centroids))
+      })
   }
 
   /** 8-bit scalar-quantized ANN (r13): [[graft.functions
@@ -292,16 +364,80 @@ object VectorQueries {
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
     val idx = VF.buildSq(emb)
-    val probed = VF.sqProbe(q, idx, emb, k = 5, rerank = 64)
+    // conservation rides the probe's byte scan; the d-row params
+    // relation is driver-built, so n_params/params_ok fold locally
+    // (r19 fusion)
+    val obs = Observation()
+    val encObs = idx.encoded.observe(obs,
+      count(lit(1)).as("n_encoded"),
+      min(length(col("codes"))).as("min_w"), max(length(col("codes"))).as("max_w"),
+      min(col("rnorm")).as("min_rn"))
+    val probed = VF.sqProbe(q, VF.SqIndex(idx.params, encObs), emb,
+      k = 5, rerank = 64)
     val audit = VF.topKRecallAuditCached(probed, q, emb, k = 5, bound = 0.90, corpusTag = d)
-    val conserve = idx.encoded.agg(
-        count(lit(1)).as("n_encoded"),
-        (min(length(col("codes"))) === 64 && max(length(col("codes"))) === 64 &&
-          min(col("rnorm")) > 0).as("codes_ok"))
-      .crossJoin(idx.params.coalesce(1).agg(count(lit(1)).as("n_params"),
-        (min(col("vmax") - col("vmin")) >= 0).as("params_ok")))
-    audit.crossJoin(conserve)
+    def paramsLocal(): (Long, Boolean) = {
+      val rows = idx.params.collect()
+      (rows.length.toLong,
+        rows.forall(r => r.getDouble(2) - r.getDouble(1) >= 0))
+    }
+    auditWithConservation(audit, obs,
+      Seq("n_encoded" -> LongType, "codes_ok" -> BooleanType,
+        "n_params" -> LongType, "params_ok" -> BooleanType),
+      m => {
+        val (np, pok) = paramsLocal()
+        Seq(obsLong(m, "n_encoded"),
+          obsLong(m, "min_w") == 64 && obsLong(m, "max_w") == 64 &&
+            m("min_rn").asInstanceOf[Number].doubleValue() > 0,
+          np, pok)
+      },
+      () => {
+        val r = idx.encoded.agg(
+          count(lit(1)).as("n_encoded"),
+          (min(length(col("codes"))) === 64 && max(length(col("codes"))) === 64 &&
+            min(col("rnorm")) > 0).as("codes_ok")).head()
+        val (np, pok) = paramsLocal()
+        Seq(r.getLong(0), r.getBoolean(1), np, pok)
+      })
   }
+
+  /** Fused audit + conservation assembly (r19, VERDICT r18 #2): run
+    * the one-row audit EAGERLY with `obs` riding the probe's scan of
+    * the corpus-sized index relation (the COPY/nTokens Observation
+    * pattern — the conservation aggregates previously re-aggregated
+    * the checkpointed corpus in 2-4 extra AQE stages per build gate),
+    * then assemble audit ++ conservation as a one-row LocalRelation.
+    * `fromObs` derives the conservation values from the observed
+    * metrics; `fallback` replays the OLD standalone aggregates and
+    * fires only if the action ever stops reporting metrics (the
+    * getOrEmpty + fallback posture of Dedup/executeCopy) — the values
+    * are identical either way: count/min/max folds over the same rows,
+    * order-insensitive. Column names, order and types reproduce the
+    * previous `audit.crossJoin(conserve)` exactly.
+    */
+  private def auditWithConservation(
+      audit: DataFrame, obs: Observation,
+      cols: Seq[(String, DataType)],
+      fromObs: Map[String, Any] => Seq[Any],
+      fallback: () => Seq[Any]): DataFrame = {
+    val aRow = audit.head()
+    val m = org.apache.spark.sql.GraftColumnBridge.observedOrEmpty(obs)
+    val cons = if (m.nonEmpty) fromObs(m) else fallback()
+    val schema = StructType(audit.schema.fields ++
+      cols.map { case (n, t) => StructField(n, t) })
+    audit.sparkSession.createDataFrame(
+      java.util.Arrays.asList(Row.fromSeq(aRow.toSeq ++ cons)), schema)
+  }
+
+  private def obsLong(m: Map[String, Any], k: String): Long =
+    m(k).asInstanceOf[Number].longValue()
+
+  /** Row count of a driver-built LocalRelation (codebooks/centroids/
+    * params) — `collect()` on a LocalTableScan returns rows without
+    * launching a job, so the conservation count costs nothing
+    * distributed (the relation was assembled from driver arrays in the
+    * first place).
+    */
+  private def localCount(df: DataFrame): Long = df.collect().length.toLong
 
   /** Content-keyed tmpdir path for a persisted index (the q104
     * scheme): SF dir + corpus count + build parameters, so different
